@@ -1,0 +1,579 @@
+package graft.table
+
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * A partitioned, snapshot-versioned table on plain Parquet — the Spark-native
+ * rebuild of the reference's Iceberg capability surface (see SURVEY.md §1.5):
+ * append / merge-upsert commits, named branches, time travel, write-audit-
+ * publish, metadata introspection and maintenance, with every read and write
+ * lowering to stock Catalyst/Tungsten plans over vectorized Parquet scans.
+ *
+ * Design notes for scale (local[32] here, 1000-executor cluster in spirit):
+ *  - Reads are `spark.read.schema(...).parquet(files...)` over the snapshot's
+ *    live-file list with `basePath` set, so Catalyst's file index still does
+ *    partition pruning, column pruning and parquet predicate pushdown.
+ *  - Writes land in a staging dir, are moved into hive-style partition dirs,
+ *    and become visible only via an atomic metadata commit (SnapshotLog).
+ *  - Merge is copy-on-write at partition granularity: only partitions that
+ *    contain matched keys are rewritten; inserts append to their target
+ *    partitions. Finding affected partitions is a column-pruned semi-join on
+ *    the merge key — the same scan Iceberg's RewriteMergeIntoTable pays
+ *    (reference IcebergLoadActivityTask.scala:68-76).
+ */
+class GraftTable(val spark: SparkSession, val location: String) {
+
+  private def conf: Configuration = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(location).getFileSystem(conf)
+
+  def dataDir: String = s"$location/data"
+
+  /** Always read fresh metadata — commits from this or other sessions are
+    * immediately visible (metadata reads are a driver-side local file). */
+  def meta: TableMetadata = SnapshotLog.read(location, conf)
+
+  def schema: StructType =
+    DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+
+  def partitionCols: Seq[String] = meta.partitionCols
+
+  def name: String = meta.name
+
+  def properties: Map[String, String] = meta.props
+
+  // ---------------------------------------------------------------------
+  // Read paths
+  // ---------------------------------------------------------------------
+
+  /** WAP redirect (reference WapIceberg.scala:13-15): when the session sets
+    * `spark.graft.wap.branch` and the table enables WAP, plain reads resolve
+    * the staged branch first so in-session audits see staged rows. */
+  private def wapBranch: Option[String] =
+    if (properties.getOrElse("write.wap.enabled", "false") == "true")
+      Option(spark.conf.getOption("spark.graft.wap.branch").orNull).filter(_.nonEmpty)
+    else None
+
+  /** Current table contents (WAP-aware, see `wapBranch`). */
+  def toDF: DataFrame = {
+    val m = meta
+    val ref = wapBranch.filter(m.refs.contains).getOrElse(SnapshotLog.MainBranch)
+    scan(m.snapshotForRef(ref), m)
+  }
+
+  /** Time travel: read the table as of a named branch or a snapshot id —
+    * the rebuild of `SELECT * FROM t VERSION AS OF 'ref'` (reference
+    * IcebergLoadActivityTask.scala:114,128-131). */
+  def asOf(ref: String): DataFrame = {
+    val m = meta
+    val snap = m.snapshotForRef(ref).getOrElse(
+      throw new IllegalArgumentException(s"Unknown ref or snapshot '$ref' on table ${m.name}"))
+    scan(Some(snap), m)
+  }
+
+  def asOfSnapshot(id: Long): DataFrame = asOf(id.toString)
+
+  private def scan(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame = {
+    val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    snap match {
+      case Some(sn) if sn.files.nonEmpty =>
+        val paths = sn.files.map(f => s"$dataDir/${f.path}")
+        // re-project: the file reader surfaces partition columns last;
+        // keep the declared column order stable for users and oracles
+        spark.read
+          .schema(s)
+          .option("basePath", dataDir)
+          .parquet(paths: _*)
+          .select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      case _ =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Write paths
+  // ---------------------------------------------------------------------
+
+  /** V2-append equivalent (reference IcebergLoadActivityTask.scala:64-67
+    * `df.writeTo(t).append()`). With `mergeSchema=true` semantics: incoming
+    * columns are aligned/cast to the table schema; brand-new columns widen
+    * the stored schema (union), missing columns become nulls. */
+  def append(df: DataFrame, branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val widened = maybeWidenSchema(m, df)
+      val files = writeDataFiles(df, DataType.fromJson(widened.schemaJson).asInstanceOf[StructType], widened.partitionCols)
+      commitSnapshot(widened, files, removed = Seq.empty, operation = "append", branch)
+    }
+
+  /** Replace the entire table contents (CTAS-replace / compaction target). */
+  def overwrite(df: DataFrame, operation: String = "overwrite",
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val head = resolveWriteBranchHead(m, branch)
+      val removed = head.map(_.files.map(_.path)).getOrElse(Seq.empty)
+      val files = writeDataFiles(df, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.partitionCols)
+      commitSnapshot(m, files, removed, operation, branch)
+    }
+
+  /**
+   * MERGE INTO rebuild (reference IcebergLoadActivityTask.scala:68-76):
+   * upsert `source` into this table keyed on `keys`.
+   *
+   *  - matched rows: columns in `updateCols` (empty = all non-key columns)
+   *    take the source value, others keep the target value;
+   *  - unmatched source rows are inserted whole (`WHEN NOT MATCHED INSERT *`).
+   *
+   * Copy-on-write at partition granularity: only partitions holding matched
+   * target rows are rewritten; pure inserts just add files. Handles merge
+   * keys that move a row across partitions (the update rewrites the old
+   * partition and the row lands in its new partition's fresh file).
+   *
+   * `source` must be unique per key (standard MERGE cardinality rule).
+   */
+  def merge(source: DataFrame, keys: Seq[String],
+      updateCols: Seq[String] = Seq.empty,
+      insertNotMatched: Boolean = true,
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val cols = tableSchema.fields.map(_.name).toSeq
+      val updates = if (updateCols.isEmpty) cols.filterNot(keys.contains) else updateCols
+      val alignedSrc = source.select(tableSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+      val head = resolveWriteBranchHead(m, branch)
+      val current = scan(head, m)
+
+      if (head.forall(_.files.isEmpty)) {
+        // empty target: MERGE degenerates to insert-all
+        val files =
+          if (insertNotMatched) writeDataFiles(alignedSrc, tableSchema, m.partitionCols)
+          else Seq.empty
+        commitSnapshot(m, files, Seq.empty, "merge", branch)
+      } else mergeNonEmpty(m, tableSchema, cols, updates, alignedSrc, head, current,
+        keys, insertNotMatched, branch)
+    }
+
+  private def mergeNonEmpty(m: TableMetadata, tableSchema: StructType,
+      cols: Seq[String], updates: Seq[String], alignedSrc: DataFrame,
+      head: Option[GraftSnapshot], current: DataFrame, keys: Seq[String],
+      insertNotMatched: Boolean, branch: Option[String]): GraftSnapshot = {
+      // 1. which partitions contain matched keys? (column-pruned semi-join)
+      val srcKeys = alignedSrc.select(keys.map(col).toIndexedSeq: _*).distinct()
+      val affectedParts: Set[Map[String, String]] =
+        if (m.partitionCols.isEmpty) Set(Map.empty[String, String])
+        else
+          current
+            .join(srcKeys, keys, "left_semi")
+            .select(m.partitionCols.map(col).toIndexedSeq: _*)
+            .distinct()
+            .collect()
+            .map(partitionValuesOf(_, m.partitionCols))
+            .toSet
+
+      val headFiles = head.map(_.files).getOrElse(Seq.empty)
+      val (affectedFiles, untouchedFiles) =
+        if (m.partitionCols.isEmpty) (headFiles, Seq.empty[DataFile])
+        else headFiles.partition(f => affectedParts.contains(f.partitionValues))
+
+      // 2. rewrite affected partitions with merged contents + all inserts
+      val target =
+        if (affectedFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+        else
+          spark.read.schema(tableSchema).option("basePath", dataDir)
+            .parquet(affectedFiles.map(f => s"$dataDir/${f.path}"): _*)
+
+      val t = target.withColumn("__tgt", lit(1))
+      val sFlagged = alignedSrc
+        .select(cols.map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
+        .withColumn("__src", lit(1))
+      val joinCond = keys.map(k => t(k) <=> sFlagged(s"__s_$k")).reduce(_ && _)
+      val joined = t.join(sFlagged, joinCond, "full_outer")
+
+      val merged = joined
+        .select(cols.map { c =>
+          val fromSrc = col(s"__s_$c")
+          val out =
+            if (keys.contains(c)) coalesce(col(c), fromSrc)
+            else if (updates.contains(c))
+              when(col("__src").isNotNull, fromSrc).otherwise(col(c))
+            else
+              when(col("__tgt").isNull, fromSrc).otherwise(col(c))
+          out.as(c)
+        }.toIndexedSeq: _*)
+      val result =
+        if (insertNotMatched) merged
+        else joined.filter(col("__tgt").isNotNull).select(cols.map { c =>
+          val out =
+            if (updates.contains(c))
+              when(col("__src").isNotNull, col(s"__s_$c")).otherwise(col(c))
+            else col(c)
+          out.as(c)
+        }.toIndexedSeq: _*)
+
+      val newFiles = writeDataFiles(result, tableSchema, m.partitionCols)
+      commitSnapshot(m, newFiles, affectedFiles.map(_.path), "merge", branch)
+    }
+
+  /** Copy-on-write DELETE (reference tblproperty write.delete.mode=copy-on-write,
+    * IcebergLoadActivityTask.scala:29): rewrite partitions containing matches. */
+  def deleteWhere(cond: Column, branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val head = resolveWriteBranchHead(m, branch)
+      val current = scan(head, m)
+      val affectedParts: Set[Map[String, String]] =
+        if (m.partitionCols.isEmpty) Set(Map.empty[String, String])
+        else
+          current.filter(cond)
+            .select(m.partitionCols.map(col).toIndexedSeq: _*)
+            .distinct().collect()
+            .map(partitionValuesOf(_, m.partitionCols)).toSet
+      val headFiles = head.map(_.files).getOrElse(Seq.empty)
+      val (affectedFiles, _) =
+        if (m.partitionCols.isEmpty) (headFiles, Seq.empty[DataFile])
+        else headFiles.partition(f => affectedParts.contains(f.partitionValues))
+      if (affectedFiles.isEmpty) {
+        commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch)
+      } else {
+        val kept = spark.read.schema(tableSchema).option("basePath", dataDir)
+          .parquet(affectedFiles.map(f => s"$dataDir/${f.path}"): _*)
+          .filter(!cond)
+        val newFiles = writeDataFiles(kept, tableSchema, m.partitionCols)
+        commitSnapshot(m, newFiles, affectedFiles.map(_.path), "delete", branch)
+      }
+    }
+
+  // ---------------------------------------------------------------------
+  // Branches / WAP (reference IcebergLoadActivityTask.scala:78-80,167;
+  // WapIceberg.scala:64-84)
+  // ---------------------------------------------------------------------
+
+  /** `ALTER TABLE t CREATE OR REPLACE BRANCH name`: pin the current main
+    * head under `name`. */
+  def createOrReplaceBranch(branchName: String): Unit = withCommitLock {
+    val m = meta
+    val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
+      throw new IllegalStateException("Cannot branch an empty table"))
+    SnapshotLog.commit(location, m.copy(refs = m.refs + (branchName -> headId)), conf)
+  }
+
+  def dropBranch(branchName: String): Unit = withCommitLock {
+    val m = meta
+    require(branchName != SnapshotLog.MainBranch, "cannot drop main")
+    SnapshotLog.commit(location, m.copy(refs = m.refs - branchName), conf)
+  }
+
+  /** `CALL system.fast_forward(t, to, from)` (reference WapIceberg.scala:81):
+    * move `to` up to `from`'s head, requiring `to` to be an ancestor. */
+  def fastForward(to: String, from: String): Unit = withCommitLock {
+    val m = meta
+    val fromId = m.refs.getOrElse(from,
+      throw new IllegalArgumentException(s"Unknown ref $from"))
+    m.refs.get(to).foreach { toId =>
+      require(m.isAncestorOf(toId, fromId),
+        s"Cannot fast-forward $to to $from: $to is not an ancestor")
+    }
+    SnapshotLog.commit(location, m.copy(refs = m.refs + (to -> fromId)), conf)
+  }
+
+  // ---------------------------------------------------------------------
+  // Metadata tables (reference IcebergLoadActivityTask.scala:84-97)
+  // ---------------------------------------------------------------------
+
+  /** `t.history`: one row per commit on the log, flagging main-ancestry. */
+  def history: DataFrame = {
+    val m = meta
+    val ancestors = m.currentSnapshotId.map(m.ancestry).getOrElse(Seq.empty).toSet
+    val sp = spark
+    import sp.implicits._
+    m.snapshots
+      .map(s => (new java.sql.Timestamp(s.timestampMs), s.id, s.parentId, ancestors.contains(s.id)))
+      .toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  /** `t.snapshots` */
+  def snapshotsDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    m.snapshots
+      .map(s => (new java.sql.Timestamp(s.timestampMs), s.id, s.parentId, s.operation,
+        s"${SnapshotLog.metadataDir(location)}/snap-${s.id}",
+        s.summary ++ Map(
+          "total-records" -> s.totalRecords.toString,
+          "total-files-size" -> s.totalBytes.toString,
+          "total-data-files" -> s.files.size.toString)))
+      .toDF("committed_at", "snapshot_id", "parent_id", "operation", "manifest_list", "summary")
+  }
+
+  /** `t.metadata_log_entries` */
+  def metadataLogEntries: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    m.metadataLog
+      .map(e => (new java.sql.Timestamp(e.timestampMs),
+        s"${SnapshotLog.metadataDir(location)}/${e.file}", e.latestSnapshotId))
+      .toDF("timestamp", "file", "latest_snapshot_id")
+  }
+
+  /** `t.files`: live data files of the current snapshot, with stats captured
+    * at commit time (no parquet re-open). */
+  def filesDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+      .map(f => (0, s"$dataDir/${f.path}", "PARQUET",
+        f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"),
+        f.records, f.sizeBytes))
+      .toDF("content", "file_path", "file_format", "partition", "record_count", "file_size_in_bytes")
+  }
+
+  /** `t.manifests`: we have no manifest layer (file lists live in the log);
+    * emit one synthetic manifest row per partition of the current snapshot
+    * so the introspection surface matches (SURVEY.md §2.4 M4). */
+  def manifestsDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    val files = m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    files.groupBy(_.partitionValues).toSeq.sortBy(_._1.toString)
+      .map { case (pv, fl) =>
+        (s"${SnapshotLog.metadataDir(location)}/v${m.version}.metadata.json#" +
+          pv.map { case (k, v) => s"$k=$v" }.mkString(","),
+          fl.map(_.sizeBytes).sum, 0, m.currentSnapshotId.getOrElse(-1L),
+          fl.size, 0, 0)
+      }
+      .toDF("path", "length", "partition_spec_id", "added_snapshot_id",
+        "added_data_files_count", "existing_data_files_count", "deleted_data_files_count")
+  }
+
+  def refsDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    m.refs.toSeq.sortBy(_._1).map { case (n, id) => (n, "BRANCH", id) }
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Maintenance (reference IcebergLoadActivityTask.scala:156-165)
+  // ---------------------------------------------------------------------
+
+  /** `remove_orphan_files`: delete data files referenced by no snapshot. */
+  def removeOrphanFiles(dryRun: Boolean): Seq[String] = {
+    val m = meta
+    val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
+    val dd = fs.makeQualified(new Path(dataDir))
+    if (!fs.exists(dd)) return Seq.empty
+    val listed = ArrayBuffer.empty[String]
+    val it = fs.listFiles(dd, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = dd.toUri.relativize(st.getPath.toUri).getPath
+      if (st.isFile && !rel.endsWith("_SUCCESS")) listed += rel
+    }
+    val orphans = listed.filterNot(referenced.contains).toSeq
+    if (!dryRun) orphans.foreach(o => fs.delete(new Path(dataDir, o), false))
+    orphans
+  }
+
+  /** `rewrite_data_files(strategy=>'sort')`: compact the current snapshot
+    * into one sorted file per partition (reference sort_order
+    * `account ASC NULLS LAST, txn_id DESC NULLS FIRST`,
+    * IcebergLoadActivityTask.scala:159). */
+  def rewriteDataFilesSorted(sortExprs: Seq[Column]): GraftSnapshot = {
+    val df = toDF
+    val compacted =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(sortExprs.toIndexedSeq: _*)
+      else df.repartition(1).sortWithinPartitions(sortExprs.toIndexedSeq: _*)
+    overwrite(compacted, operation = "replace")
+  }
+
+  /** `rewrite_manifests`: our metadata is a single JSON log, so this is a
+    * log-compaction: truncate the metadata-log history (keeping snapshots
+    * and refs intact). Kept for API fidelity (SURVEY.md §2.5 P3). */
+  def rewriteManifests(): Unit = withCommitLock {
+    val m = meta
+    SnapshotLog.commit(location, m.copy(metadataLog = m.metadataLog.takeRight(1)), conf)
+  }
+
+  /** `expire_snapshots(older_than, retain_last)`: drop old snapshots (keeping
+    * ref heads and the last N of main's ancestry) and delete files no
+    * retained snapshot references. Branch-pinned snapshots always survive
+    * (SURVEY.md §7.4 risk 3). */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int): Seq[Long] = withCommitLock {
+    val m = meta
+    val mainKeep = m.currentSnapshotId.map(m.ancestry(_).take(retainLast)).getOrElse(Seq.empty)
+    val refHeads = m.refs.values.toSet
+    val keep = m.snapshots.filter(s =>
+      s.timestampMs >= olderThanMs || refHeads.contains(s.id) || mainKeep.contains(s.id))
+      .map(_.id).toSet
+    val expired = m.snapshots.filterNot(s => keep.contains(s.id))
+    val retainedFiles = m.snapshots.filter(s => keep.contains(s.id))
+      .flatMap(_.files.map(_.path)).toSet
+    val toDelete = expired.flatMap(_.files.map(_.path)).distinct.filterNot(retainedFiles.contains)
+    val pruned = m.copy(snapshots = m.snapshots.filter(s => keep.contains(s.id)))
+    SnapshotLog.commit(location, pruned, conf)
+    toDelete.foreach(p => fs.delete(new Path(dataDir, p), false))
+    expired.map(_.id)
+  }
+
+  // ---------------------------------------------------------------------
+  // internals
+  // ---------------------------------------------------------------------
+
+  private def withCommitLock[T](body: => T): T = GraftTable.lockFor(location).synchronized(body)
+
+  private def resolveWriteBranchHead(m: TableMetadata, branch: Option[String]): Option[GraftSnapshot] = {
+    val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
+    m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch)).flatMap(m.snapshot)
+  }
+
+  /** append-style schema widening for mergeSchema semantics */
+  private def maybeWidenSchema(m: TableMetadata, df: DataFrame): TableMetadata = {
+    val cur = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val newCols = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+    if (newCols.isEmpty) m
+    else m.copy(schemaJson = StructType(cur.fields ++ newCols).json)
+  }
+
+  /** Write df into hive-partition-layout files under data/, returning the
+    * committed DataFile entries (with footer stats). */
+  private def writeDataFiles(df: DataFrame, tableSchema: StructType,
+      parts: Seq[String]): Seq[DataFile] = {
+    val commitId = UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$location/_staging/$commitId")
+    val aligned = df.select(tableSchema.fields.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    val writer = aligned.write.mode("overwrite")
+    val codec = properties.getOrElse("write.parquet.compression-codec", "zstd")
+    val w2 = writer.option("compression", codec)
+    (if (parts.nonEmpty) w2.partitionBy(parts: _*) else w2).parquet(staging.toString)
+
+    // move staged leaves into data/, collecting partition values + stats
+    val out = ArrayBuffer.empty[DataFile]
+    val stagingQ = fs.makeQualified(staging)
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val st: FileStatus = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rel = stagingQ.toUri.relativize(st.getPath.toUri).getPath
+        val segs = rel.split("/").toSeq
+        val partSegs = segs.dropRight(1)
+        val pv = partSegs.flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, v) => Some(k -> ExternalCatalogUtils.unescapePathName(v))
+            case _ => None
+          }
+        }.toMap
+        val newName = s"$commitId-${st.getPath.getName}"
+        val relTarget = (partSegs :+ newName).mkString("/")
+        val target = new Path(dataDir, relTarget)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(st.getPath, target))
+          throw new IllegalStateException(s"Failed to move staged file to $target")
+        val records = {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
+          try r.getRecordCount finally r.close()
+        }
+        out += DataFile(relTarget, pv, records, fs.getFileStatus(target).getLen)
+      }
+    }
+    fs.delete(staging, true)
+    out.toSeq
+  }
+
+  private def partitionValuesOf(row: Row, parts: Seq[String]): Map[String, String] =
+    parts.zipWithIndex.map { case (p, i) =>
+      val v = row.get(i)
+      p -> (if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString)
+    }.toMap
+
+  private def commitSnapshot(m: TableMetadata, added: Seq[DataFile],
+      removed: Seq[String], operation: String, branch: Option[String]): GraftSnapshot = {
+    val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
+    val head = m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch)).flatMap(m.snapshot)
+    val removedSet = removed.toSet
+    val live = head.map(_.files).getOrElse(Seq.empty).filterNot(f => removedSet.contains(f.path)) ++ added
+    val id = m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val snap = GraftSnapshot(
+      id = id,
+      parentId = head.map(_.id),
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      files = live,
+      addedFiles = added.map(_.path),
+      removedFiles = removed,
+      summary = Map(
+        "added-data-files" -> added.size.toString,
+        "removed-data-files" -> removed.size.toString,
+        "added-records" -> added.map(_.records).sum.toString,
+        "branch" -> b))
+    val newRefs = m.refs + (b -> id)
+    SnapshotLog.commit(location, m.copy(refs = newRefs, snapshots = m.snapshots :+ snap), conf)
+    snap
+  }
+}
+
+object GraftTable {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(location: String): Object =
+    locks.computeIfAbsent(location, _ => new Object)
+
+  /** Create a new table (reference DDL IcebergLoadActivityTask.scala:17-40). */
+  def create(spark: SparkSession, location: String, name: String, schema: StructType,
+      partitionCols: Seq[String] = Seq.empty,
+      props: Map[String, String] = Map.empty): GraftTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(!SnapshotLog.exists(location, conf), s"Table already exists at $location")
+    partitionCols.foreach(p => require(schema.fieldNames.contains(p),
+      s"Partition column $p not in schema"))
+    SnapshotLog.commit(location,
+      SnapshotLog.initial(name, schema.json, partitionCols, props), conf)
+    new GraftTable(spark, location)
+  }
+
+  def createOrReplace(spark: SparkSession, location: String, name: String, schema: StructType,
+      partitionCols: Seq[String] = Seq.empty,
+      props: Map[String, String] = Map.empty): GraftTable = {
+    drop(spark, location)
+    create(spark, location, name, schema, partitionCols, props)
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(SnapshotLog.exists(location, conf), s"No graft table at $location")
+    new GraftTable(spark, location)
+  }
+
+  def exists(spark: SparkSession, location: String): Boolean =
+    SnapshotLog.exists(location, spark.sparkContext.hadoopConfiguration)
+
+  /** `DROP TABLE IF EXISTS` (reference IcebergLoadActivityTask.scala:15). */
+  def drop(spark: SparkSession, location: String): Boolean = {
+    val p = new Path(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}

@@ -1,0 +1,215 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/**
+ * A single immutable data file tracked by the snapshot log.
+ *
+ * Stats (records/sizeBytes) are captured at commit time from the parquet
+ * footer so that metadata queries and driver-side file skipping never have
+ * to re-open data files. At 100 TB these stats would be produced by the
+ * write tasks themselves and carried through the commit, exactly like
+ * Iceberg manifest entries (see reference IcebergLoadActivityTask.scala:94
+ * `t.files`).
+ *
+ * @param path            path relative to the table's data directory
+ * @param partitionValues identity-partition values parsed/assigned at write
+ * @param records         row count (parquet footer)
+ * @param sizeBytes       file length
+ */
+case class DataFile(
+    path: String,
+    partitionValues: Map[String, String],
+    records: Long,
+    sizeBytes: Long)
+
+/**
+ * One committed table version. Mirrors the reference's Iceberg snapshot
+ * model (reference IcebergLoadActivityTask.scala:90 `t.snapshots`):
+ * every append / merge / replace produces a new snapshot whose `files`
+ * list fully describes the live data at that version.
+ *
+ * Storing the full live-file list per snapshot (rather than add/remove
+ * deltas resolved through manifest chains) is a deliberate simplification:
+ * the log is O(snapshots x files) JSON. At 100 TB scale, `files` would
+ * become a pointer to a manifest-list file; the API surface is unchanged.
+ */
+case class GraftSnapshot(
+    id: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // append | merge | replace | delete | overwrite
+    files: Seq[DataFile],
+    addedFiles: Seq[String],
+    removedFiles: Seq[String],
+    summary: Map[String, String]) {
+  def totalRecords: Long = files.map(_.records).sum
+  def totalBytes: Long = files.map(_.sizeBytes).sum
+}
+
+/**
+ * Root metadata for a Graft table: schema, partitioning, properties,
+ * snapshot log and named refs (branches). The `main` branch is the
+ * current table state; additional refs pin historical snapshots for
+ * time travel exactly like Iceberg branch refs (reference
+ * IcebergLoadActivityTask.scala:78-80 CREATE OR REPLACE BRANCH).
+ */
+case class TableMetadata(
+    name: String,
+    schemaJson: String,
+    partitionCols: Seq[String],
+    props: Map[String, String],
+    refs: Map[String, Long],
+    snapshots: Seq[GraftSnapshot],
+    version: Int,
+    lastUpdatedMs: Long,
+    metadataLog: Seq[MetadataLogEntry]) {
+
+  def currentSnapshotId: Option[Long] = refs.get(SnapshotLog.MainBranch)
+
+  def snapshot(id: Long): Option[GraftSnapshot] = snapshots.find(_.id == id)
+
+  def snapshotForRef(ref: String): Option[GraftSnapshot] =
+    refs.get(ref).flatMap(snapshot).orElse {
+      // allow addressing a snapshot directly by its numeric id
+      scala.util.Try(ref.toLong).toOption.flatMap(snapshot)
+    }
+
+  def currentSnapshot: Option[GraftSnapshot] =
+    currentSnapshotId.flatMap(snapshot)
+
+  /** Snapshot ids on the ancestry chain of the given ref head. */
+  def ancestry(headId: Long): Seq[Long] = {
+    val byId = snapshots.map(s => s.id -> s).toMap
+    Iterator
+      .iterate(Option(headId))(cur => cur.flatMap(byId.get).flatMap(_.parentId))
+      .takeWhile(_.isDefined)
+      .flatten
+      .toSeq
+  }
+
+  def isAncestorOf(maybeAncestor: Long, headId: Long): Boolean =
+    ancestry(headId).contains(maybeAncestor)
+}
+
+case class MetadataLogEntry(timestampMs: Long, file: String, latestSnapshotId: Option[Long])
+
+/**
+ * Persistence + optimistic-concurrency commit protocol for TableMetadata.
+ *
+ * Layout under `<tableDir>/_graft/`:
+ *   v<N>.metadata.json   -- immutable metadata versions
+ *   version-hint.text    -- advisory pointer to latest N (readers fall back
+ *                           to directory listing if stale/missing)
+ *
+ * Commit = write a temp file, then rename to `v<N+1>.metadata.json` with
+ * overwrite=false. The rename acts as the compare-and-swap: on HDFS it is
+ * atomic; concurrent committers race on the same target name and exactly
+ * one wins (the same protocol as Iceberg's HadoopTableOperations). On a
+ * real deployment the CAS would live in a catalog service (REST/JDBC, as in
+ * reference IcebergSupport.scala:26-35); the storage-level protocol here
+ * keeps the library self-contained.
+ */
+object SnapshotLog {
+  val MainBranch = "main"
+  implicit val formats: Formats = DefaultFormats
+
+  def metadataDir(tableDir: String): String = s"$tableDir/_graft"
+
+  private def metadataFile(tableDir: String, v: Int): Path =
+    new Path(metadataDir(tableDir), f"v$v%05d.metadata.json")
+
+  private def hintFile(tableDir: String): Path =
+    new Path(metadataDir(tableDir), "version-hint.text")
+
+  def exists(tableDir: String, conf: Configuration): Boolean = {
+    val dir = new Path(metadataDir(tableDir))
+    val fs = dir.getFileSystem(conf)
+    fs.exists(dir) && latestVersion(tableDir, conf).isDefined
+  }
+
+  /** Latest committed metadata version, by hint then by listing. */
+  def latestVersion(tableDir: String, conf: Configuration): Option[Int] = {
+    val dir = new Path(metadataDir(tableDir))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    val listed = fs
+      .listStatus(dir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt
+      }
+    if (listed.isEmpty) None else Some(listed.max)
+  }
+
+  def read(tableDir: String, conf: Configuration): TableMetadata = {
+    val v = latestVersion(tableDir, conf).getOrElse(
+      throw new IllegalStateException(s"No graft table at $tableDir"))
+    readVersion(tableDir, v, conf)
+  }
+
+  def readVersion(tableDir: String, v: Int, conf: Configuration): TableMetadata = {
+    val p = metadataFile(tableDir, v)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      Serialization.read[TableMetadata](new String(bytes, "UTF-8"))
+    } finally in.close()
+  }
+
+  /**
+   * Commit `meta` as the next metadata version. `meta.version` must be the
+   * version the writer read; the committed file is version+1. Throws if a
+   * concurrent commit won the race.
+   */
+  def commit(tableDir: String, meta: TableMetadata, conf: Configuration): TableMetadata = {
+    val nextV = meta.version + 1
+    val stamped = meta.copy(
+      version = nextV,
+      lastUpdatedMs = System.currentTimeMillis(),
+      metadataLog = meta.metadataLog :+ MetadataLogEntry(
+        System.currentTimeMillis(),
+        f"v$nextV%05d.metadata.json",
+        meta.currentSnapshotId)
+    )
+    val dir = new Path(metadataDir(tableDir))
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.write(stamped).getBytes("UTF-8"))
+    finally out.close()
+    val target = metadataFile(tableDir, nextV)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
+    }
+    // advisory hint; losing a race here is harmless (readers list the dir)
+    val hintTmp = new Path(dir, s".hint-${java.util.UUID.randomUUID()}")
+    val h = fs.create(hintTmp, true)
+    try h.write(nextV.toString.getBytes("UTF-8"))
+    finally h.close()
+    fs.delete(hintFile(tableDir), false)
+    fs.rename(hintTmp, hintFile(tableDir))
+    stamped
+  }
+
+  def initial(name: String, schemaJson: String, partitionCols: Seq[String],
+      props: Map[String, String]): TableMetadata =
+    TableMetadata(
+      name = name,
+      schemaJson = schemaJson,
+      partitionCols = partitionCols,
+      props = props,
+      refs = Map.empty,
+      snapshots = Seq.empty,
+      version = 0,
+      lastUpdatedMs = System.currentTimeMillis(),
+      metadataLog = Seq.empty)
+}

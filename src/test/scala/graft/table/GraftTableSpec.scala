@@ -1,0 +1,199 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class GraftTableSpec extends SparkTestBase {
+
+  private def fullPipeline(): GraftTable = {
+    val loc = tmpDir("graft-activity")
+    val t = GraftTable.create(spark, loc, "finance.activity",
+      ActivityFixtures.schema, ActivityFixtures.partitionCols, ActivityFixtures.tableProps)
+    val days = Seq(
+      ActivityFixtures.day1(spark), ActivityFixtures.day2(spark),
+      ActivityFixtures.day3(spark), ActivityFixtures.day4(spark),
+      ActivityFixtures.day5(spark))
+    days.zipWithIndex.foreach { case (d, i) =>
+      t.merge(d, ActivityFixtures.mergeKeys, ActivityFixtures.updateCols)
+      t.createOrReplaceBranch(s"day${i + 1}")
+    }
+    t
+  }
+
+  test("create + append + read back round trip") {
+    val loc = tmpDir("graft-basic")
+    val t = GraftTable.create(spark, loc, "t", ActivityFixtures.schema,
+      ActivityFixtures.partitionCols)
+    assert(t.toDF.count() === 0)
+    t.append(ActivityFixtures.day1(spark))
+    assert(t.toDF.count() === 15)
+    t.append(ActivityFixtures.day2(spark))
+    assert(t.toDF.count() === 30)
+    // schema preserved, partition column readable
+    assert(t.toDF.schema.fieldNames.toSeq === ActivityFixtures.schema.fieldNames.toSeq)
+    assert(t.toDF.select("txn_date").distinct().count() === 2)
+  }
+
+  test("daily merge pipeline yields reference row-count arithmetic 15/30/45/47/50") {
+    val t = fullPipeline()
+    assert(t.asOf("day1").count() === 15)
+    assert(t.asOf("day2").count() === 30)
+    assert(t.asOf("day3").count() === 45)
+    assert(t.asOf("day4").count() === 47)
+    assert(t.asOf("day5").count() === 50)
+    assert(t.toDF.count() === 50)
+  }
+
+  test("merge updates only the update columns and preserves the rest") {
+    val t = fullPipeline()
+    // txn10: day1 category Jewellery -> day4 Fashion, amount updated to 199
+    val latest = t.toDF.filter(col("txn_id") === "txn10").collect().head
+    assert(latest.getAs[String]("category") === "Fashion")
+    assert(latest.getAs[Double]("amount") === 199.0)
+    // account/merchant were NOT in updateCols -> preserved from day1 insert
+    assert(latest.getAs[String]("account") === "acc1")
+    // time travel: day1 state still Jewellery
+    val orig = t.asOf("day1").filter(col("txn_id") === "txn10").collect().head
+    assert(orig.getAs[String]("category") === "Jewellery")
+    // txn44 history: Hardware (day3) -> Phone (day5)
+    assert(t.asOf("day3").filter(col("txn_id") === "txn44").collect()
+      .head.getAs[String]("category") === "Hardware")
+    assert(t.asOf("day5").filter(col("txn_id") === "txn44").collect()
+      .head.getAs[String]("category") === "Phone")
+  }
+
+  test("merge moves a row across partitions when the partition key is updated") {
+    val loc = tmpDir("graft-move")
+    val t = GraftTable.create(spark, loc, "t", ActivityFixtures.schema,
+      ActivityFixtures.partitionCols)
+    t.append(ActivityFixtures.day1(spark))
+    import spark.implicits._
+    val move = Seq(("acc1", java.sql.Date.valueOf("2024-04-01"), "txn10", "Moved Mart",
+      java.lang.Double.valueOf(1.0), "Moved", java.sql.Timestamp.valueOf("2024-04-01 00:00:00")))
+      .toDF("account", "txn_date", "txn_id", "merchant", "amount", "category", "last_updated")
+    t.merge(move, Seq("txn_id"), ActivityFixtures.updateCols)
+    assert(t.toDF.count() === 15)
+    val moved = t.toDF.filter($"txn_id" === "txn10").collect().head
+    assert(moved.getAs[java.sql.Date]("txn_date").toString === "2024-04-01")
+    // old partition no longer contains the row
+    assert(t.toDF.filter($"txn_date" === "2024-03-02" && $"txn_id" === "txn10").count() === 0)
+  }
+
+  test("merge leaves untouched partitions' files alone (partition-level CoW)") {
+    val t = fullPipeline()
+    // day5 merge touched only 2024-03-05 (updates) + 2024-03-09 (inserts);
+    // files for 2024-03-02/03 must predate the day5 snapshot
+    val m = t.meta
+    val day4Files = m.snapshotForRef("day4").get.files.filter(
+      _.partitionValues("txn_date") == "2024-03-02").map(_.path).toSet
+    val day5Files = m.snapshotForRef("day5").get.files.filter(
+      _.partitionValues("txn_date") == "2024-03-02").map(_.path).toSet
+    assert(day4Files === day5Files)
+  }
+
+  test("group-by count matches the flagship query shape") {
+    val t = fullPipeline()
+    val counts = t.toDF.groupBy("account").agg(count(lit(1)).as("activity_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 50)
+    assert(counts.keySet === Set("acc1", "acc2", "acc3", "acc4", "acc5"))
+  }
+
+  test("branch pins survive later commits and drops work") {
+    val t = fullPipeline()
+    val day2Count = t.asOf("day2").count()
+    t.append(ActivityFixtures.cleanBatch(spark))
+    assert(t.asOf("day2").count() === day2Count)
+    assert(t.toDF.count() === 65)
+    t.dropBranch("day1")
+    assertThrows[IllegalArgumentException](t.asOf("day1"))
+    assert(t.asOf("day2").count() === 30)
+  }
+
+  test("metadata tables: history / snapshots / files / manifests / metadata_log") {
+    val t = fullPipeline()
+    val m = t.meta
+    assert(t.history.count() === m.snapshots.size.toLong)
+    assert(t.snapshotsDF.count() === m.snapshots.size.toLong)
+    assert(t.history.filter(col("is_current_ancestor")).count() === 5)
+    val files = t.filesDF.collect()
+    assert(files.map(_.getAs[Long]("record_count")).sum === 50)
+    assert(t.manifestsDF.count() > 0)
+    assert(t.metadataLogEntries.count() === m.metadataLog.size.toLong)
+    assert(t.refsDF.filter(col("name") === "main").count() === 1)
+  }
+
+  test("expire_snapshots keeps branch-pinned + last N, deletes exclusive files") {
+    val t = fullPipeline()
+    t.dropBranch("day1")
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 3)
+    // day1's snapshot is unpinned and outside retain-last-3 -> expired
+    assert(expired.nonEmpty)
+    // all remaining branches still readable with correct counts
+    assert(t.asOf("day2").count() === 30)
+    assert(t.asOf("day5").count() === 50)
+    assert(t.toDF.count() === 50)
+    // no orphans left dangling beyond expired ones
+    val orphans = t.removeOrphanFiles(dryRun = true)
+    assert(orphans.isEmpty)
+  }
+
+  test("remove_orphan_files: dry run lists, real run deletes") {
+    val t = fullPipeline()
+    // plant an orphan
+    val orphan = new java.io.File(s"${t.dataDir}/txn_date=2024-03-02/zz-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val dry = t.removeOrphanFiles(dryRun = true)
+    assert(dry === Seq("txn_date=2024-03-02/zz-orphan.parquet"))
+    assert(orphan.exists())
+    val real = t.removeOrphanFiles(dryRun = false)
+    assert(real === dry)
+    assert(!orphan.exists())
+    assert(t.toDF.count() === 50)
+  }
+
+  test("rewrite_data_files sort compaction: fewer files, same data, sorted within files") {
+    val t = fullPipeline()
+    val before = t.toDF.groupBy("account").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val filesBefore = t.meta.currentSnapshot.get.files.size
+    t.rewriteDataFilesSorted(Seq(asc_nulls_last("account"), desc_nulls_first("txn_id")))
+    val after = t.toDF.groupBy("account").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === before)
+    val filesAfter = t.meta.currentSnapshot.get.files.size
+    assert(filesAfter <= filesBefore)
+    // per-partition files are sorted by the compaction order
+    val onePart = t.meta.currentSnapshot.get.files.head
+    val rows = spark.read.schema(t.schema).option("basePath", t.dataDir)
+      .parquet(s"${t.dataDir}/${onePart.path}")
+      .select("account", "txn_id").collect()
+    assert(rows.map(_.getString(0)).toSeq === rows.map(_.getString(0)).sorted.toSeq)
+    // time travel through a replace snapshot still works
+    assert(t.asOf("day3").count() === 45)
+  }
+
+  test("schema widening on append (mergeSchema semantics)") {
+    val loc = tmpDir("graft-widen")
+    val t = GraftTable.create(spark, loc, "t", ActivityFixtures.schema,
+      ActivityFixtures.partitionCols)
+    t.append(ActivityFixtures.day1(spark))
+    val extra = ActivityFixtures.day2(spark).withColumn("channel", lit("web"))
+    t.append(extra)
+    assert(t.schema.fieldNames.contains("channel"))
+    val c = t.toDF.groupBy("channel").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(c === Map("web" -> 15L, "null" -> 15L))
+  }
+
+  test("deleteWhere rewrites only affected partitions") {
+    val t = fullPipeline()
+    t.deleteWhere(col("txn_date") === "2024-03-02" && col("account") === "acc1")
+    val remaining = t.toDF.filter(col("txn_date") === "2024-03-02").count()
+    assert(remaining < 15 && t.toDF.count() < 50)
+    assert(t.toDF.filter(col("txn_date") === "2024-03-02" && col("account") === "acc1").count() === 0)
+    // other partitions untouched
+    assert(t.toDF.filter(col("txn_date") === "2024-03-09").count() === 3)
+  }
+}
