@@ -1,13 +1,532 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.queries.TableFixtures
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a `(SparkSession, sfDir) => DataFrame`; every
+  * SQL-expressible one has a matching DuckDB oracle in `oracleSql` with
+  * identical column names and values (aggregates on exact decimal or rounded
+  * doubles to keep cross-engine hashes stable).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, t: String): DataFrame =
+    if (t == "events") events(s, dir) else s.read.parquet(s"$dir/$t.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read it as long nanos and convert to a microsecond timestamp
+    * (the same truncation Spark applies to micro-precision sources). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+  }
+
+  /** Flagship query on sf=0.001: daily-batch ingestion into a partitioned
+    * snapshot-versioned table, then the reference's group-by-count shape
+    * (reference IcebergLoadActivityTask.scala:125). Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = TableFixtures.ordersVersioned(spark, "/root/testdata/sf0.001")
+    t.toDF.groupBy("o_orderstatus").agg(count(lit(1)).as("n")).orderBy("o_orderstatus")
+  }
+
+  // =====================================================================
+  // Queries (SURVEY.md §2 inventory + north-star extensions)
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational core (Q1-Q6 analogues on the TPC-H-ish testdata) ----
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_filter_point" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200 && col("l_returnflag") =!= "N")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q3_join_topk" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spend"))
+        .orderBy(col("total_spend").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+
+    "q4_multijoin_agg" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val n = T(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q5_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_orderstatus", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rnk")
+    }),
+
+    "q6_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    "q7_except" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "q8_antijoin" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val big = T(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q9_conditional_agg" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("big_orders"))
+        .orderBy("o_orderpriority")),
+
+    "q10_events_json" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
+    // --- text analysis over documents -----------------------------------
+
+    "x_token_stats" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"))
+        .orderBy("source")),
+
+    "x_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")),
+
+    "x_quality" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("q")), 2).as("quality_sum"),
+          round(min(col("q")), 4).as("quality_min"),
+          round(max(col("q")), 4).as("quality_max"))
+        .orderBy("lang")),
+
+    "x_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(TextAnalysis.fingerprint(col("text"))).as("distinct_fingerprints"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // --- dedup -----------------------------------------------------------
+
+    // deterministic duplicate injection: every 10th doc re-appears with
+    // doc_id+100000 — exact dedup must find exactly those groups
+    "d_exact_groups" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val withDups = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exactDupGroups(withDups, "text", "doc_id")
+        .orderBy("content_key")
+    }),
+
+    "d_exact_dedup_kept" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val withDups = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exactDedup(withDups, "text", "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+
+    // brute-force word-set Jaccard ground truth on a 20% subsample
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        T(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", threshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash-LSH near-dup pipeline (scale path; rows-only check)
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.4, k = 32, bands = 16, shingleN = 2)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup (rows-only check)
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxDist = 16)
+        .orderBy("id_a", "id_b")),
+
+    // --- similarity search over embeddings -------------------------------
+
+    "s_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only check)
+    "s_ann_lsh" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- events: sessionization + time-windowed aggregation --------------
+
+    "e_sessions" -> ((s, dir) =>
+      Sessionize.userSessionSummary(T(s, dir, "events"), gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id")),
+
+    "e_daily" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy("day", "event_type")),
+
+    // --- snapshot-versioned table layer (SURVEY §2.1/2.2/2.3/2.5) --------
+
+    // S2/S5/S6: create + 3 appends + read back
+    "t_append_read" -> ((s, dir) =>
+      TableFixtures.ordersVersioned(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy("o_orderstatus")),
+
+    // V1/V2: branch-pinned time travel — state as of v2 (batches 0+1)
+    "t_time_travel" -> ((s, dir) =>
+      TableFixtures.ordersVersioned(s, dir).asOf("v2")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy("o_orderstatus")),
+
+    // Q9: MERGE INTO upsert result
+    "t_merge_upsert" -> ((s, dir) =>
+      TableFixtures.lineitemMerged(s, dir).toDF
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"),
+          sum(col("l_linenumber")).as("sum_linenumber"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // V4/V5: write-audit-publish, accept path
+    "t_wap_publish" -> ((s, dir) =>
+      TableFixtures.wapAccepted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // V6: write-audit-publish, reject path (staged rows never reach main)
+    "t_wap_reject" -> ((s, dir) =>
+      TableFixtures.wapRejected(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // P1/P2/P4: maintenance preserves table contents
+    "t_maintenance" -> ((s, dir) =>
+      TableFixtures.ordersMaintained(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy("o_orderstatus")),
+
+    // M1-M5: metadata introspection — snapshot operations on the log
+    "t_metadata" -> ((s, dir) => {
+      val t = TableFixtures.ordersVersioned(s, dir)
+      t.snapshotsDF.groupBy(col("operation")).agg(count(lit(1)).as("n"))
+        .orderBy("operation")
+    })
+  )
+
+  // =====================================================================
+  // DuckDB oracles (driver runs these at sf0.01 over the same parquet)
+  // =====================================================================
+
+  private val wordset =
+    "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+
+  private val langCase: String = {
+    val hits = TextAnalysis.langMarkers.map { case (l, m) =>
+      l -> s"len(list_intersect($wordset, [${m.map(w => s"'$w'").mkString(",")}]))"
+    }
+    val best = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val whens = hits.map { case (l, h) =>
+      s"WHEN $h = __best AND __best > 0 THEN '$l'"
+    }.mkString(" ")
+    // computed over a lateral alias __best
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val qualityExpr: String = {
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
+    """round(
+      least(cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) as double) / 200.0, 1.0) * 0.3
+      + least((cast(length(text) as double) / greatest(cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) as double), 1.0)) / 8.0, 1.0) * 0.2
+      + least((cast(len(list_intersect(WORDSET, [STOP])) as double) / greatest(cast(len(WORDSET) as double), 1.0)) * 3.0, 1.0) * 0.2
+      + (cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) / greatest(cast(length(text) as double), 1.0)) * 0.3
+      , 4)"""
+      .replace("WORDSET", wordset).replace("STOP", stop)
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+         sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+         sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q2_filter_point" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem WHERE l_orderkey < 200 AND l_returnflag <> 'N'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_join_topk" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+         sum(cast(o_totalprice AS decimal(18,2))) AS total_spend
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey ASC LIMIT 10""",
+
+    "q4_multijoin_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+         sum(cast(o_totalprice AS decimal(18,2))) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q5_window_rank" ->
+      """SELECT o_orderstatus, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
+
+    "q6_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+
+    "q7_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+
+    "q8_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+
+    "q9_conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q10_events_json" ->
+      """SELECT event_type, count(*) AS n,
+         sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "x_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS ws_tokens,
+         sum(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "x_langid" ->
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+            SELECT lang, $langCase AS predicted FROM (
+              SELECT lang, text,
+                greatest(${TextAnalysis.langMarkers.map { case (_, m) =>
+        s"len(list_intersect($wordset, [${m.map(w => s"'$w'").mkString(",")}]))"
+      }.mkString(", ")}) AS __best
+              FROM documents))
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_quality" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          round(sum(__q), 2) AS quality_sum,
+          round(min(__q), 4) AS quality_min,
+          round(max(__q), 4) AS quality_max
+          FROM (SELECT lang, $qualityExpr AS __q FROM documents)
+          GROUP BY 1 ORDER BY 1""",
+
+    "x_fingerprint" ->
+      """SELECT lang,
+         count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS distinct_fingerprints,
+         count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "d_exact_groups" ->
+      """WITH withdups AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key,
+           count(*) AS group_size, min(doc_id) AS keeper_id
+         FROM withdups GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key""",
+
+    "d_exact_dedup_kept" ->
+      """WITH withdups AS (
+           SELECT doc_id, text, lang FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0),
+         kept AS (
+           SELECT lang, row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id ASC) AS rn
+           FROM withdups)
+         SELECT lang, count(*) AS kept FROM kept WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
+
+    "d_ngram_jaccard" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(cast(len(list_intersect(a.ws, b.ws)) AS double)
+                 / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) AS jaccard_sim
+         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         WHERE round(cast(len(list_intersect(a.ws, b.ws)) AS double)
+                 / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "s_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_sum(list_transform(list_zip(qv, cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+             FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+           ranked AS (
+             SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+             FROM scored)
+         SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "e_sessions" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ms,
+             CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+           FROM ordered),
+         sessions AS (
+           SELECT user_id, event_id, ms,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             max(ms) - min(ms) AS duration_ms
+           FROM sessions GROUP BY 1, 2)
+         SELECT user_id, max(session_id) AS n_sessions, sum(n_events) AS n_events,
+           max(n_events) AS max_session_events, max(duration_ms) AS max_session_ms
+         FROM per_session GROUP BY 1 ORDER BY user_id""",
+
+    "e_daily" ->
+      """SELECT cast(date_trunc('day', ts) AS date) AS day, event_type,
+         count(*) AS n, round(sum(value), 2) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // --- table-layer oracles: deterministic recompute from raw parquet ---
+
+    "t_append_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "t_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1 ORDER BY 1""",
+
+    "t_merge_upsert" ->
+      """WITH t AS (SELECT * FROM lineitem WHERE l_linenumber = 1),
+           s AS (SELECT * FROM lineitem WHERE l_linenumber = 2),
+           merged AS (
+             SELECT
+               coalesce(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+               CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_quantity ELSE t.l_quantity END AS l_quantity,
+               CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_extendedprice ELSE t.l_extendedprice END AS l_extendedprice,
+               CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_linenumber ELSE t.l_linenumber END AS l_linenumber,
+               coalesce(t.l_returnflag, s.l_returnflag) AS l_returnflag,
+               coalesce(t.l_linestatus, s.l_linestatus) AS l_linestatus
+             FROM t FULL OUTER JOIN s ON t.l_orderkey = s.l_orderkey)
+         SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(cast(l_quantity AS decimal(18,2))) AS qty,
+           sum(cast(l_extendedprice AS decimal(18,2))) AS price,
+           sum(l_linenumber) AS sum_linenumber
+         FROM merged GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "t_wap_publish" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+         WHERE o_orderkey % 3 <= 1 GROUP BY 1 ORDER BY 1""",
+
+    "t_wap_reject" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+         WHERE o_orderkey % 3 = 0 GROUP BY 1 ORDER BY 1""",
+
+    "t_maintenance" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // ordersVersioned commits exactly 3 append snapshots — a deterministic
+    // pipeline makes the metadata table oracle a constant
+    "t_metadata" -> "SELECT 'append' AS operation, cast(3 AS bigint) AS n"
+  )
 }

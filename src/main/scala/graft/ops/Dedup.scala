@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines over `documents`:
+ * exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup.
+ *
+ * Scale design:
+ *  - exact dedup is one hash-shuffle on the content digest;
+ *  - MinHash signatures are computed with a single explode + k min-aggregates
+ *    (map-side partial aggregation applies — no per-seed passes);
+ *  - LSH banding turns the O(n^2) pair space into an equi-join on
+ *    (band, band_hash) buckets, the standard shingle->minhash->band->bucket
+ *    pipeline; only bucket-colliding pairs pay the exact-Jaccard verify;
+ *  - SimHash reduces each doc to 64 bits; near-dup = small hamming distance
+ *    within LSH buckets of bit-prefixes.
+ */
+object Dedup {
+
+  /** Stable content digest for exact dedup. */
+  def contentKey(text: Column): Column = TextAnalysis.fingerprint(text)
+
+  /**
+   * Exact dedup: keep the lowest-`idCol` row per identical (normalized)
+   * text. One shuffle on the digest; deterministic keeper choice.
+   */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact-duplicate groups: digest, group size, keeper id. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_key"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
+      .filter(col("group_size") > 1)
+
+  // --- MinHash + LSH -----------------------------------------------------
+
+  /**
+   * MinHash signature over word `shingleN`-gram shingles: k independent
+   * permutations approximated by xxhash64(shingle, seed). Returns
+   * (idCol, sig array<long>). One explode + k min() aggregates.
+   */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sh = TextAnalysis.shingles(col(textCol), shingleN)
+    val exploded = df
+      .select(col(idCol), explode(array_distinct(sh)).as("__shingle"))
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("__shingle"), lit(i))).as(s"__h$i"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__h$i")): _*).as("minhash_sig"))
+  }
+
+  /**
+   * LSH candidate pairs: band the signature (`bands` x rows), bucket-join on
+   * (band index, hash of band slice), emit distinct (id_a < id_b) pairs.
+   */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      bands: Int = 8, k: Int = 32): DataFrame = {
+    val rowsPerBand = k / bands
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",",
+            (0 until rowsPerBand).map(r => col("minhash_sig")(b * rowsPerBand + r)): _*))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact word-set Jaccard between two token-set columns. */
+  def jaccard(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB)).cast("double")
+    val uni = size(array_union(setA, setB)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /**
+   * Full MinHash-LSH near-dup pipeline: candidates from LSH buckets,
+   * verified with exact shingle-set Jaccard >= `threshold`.
+   * Output: (id_a, id_b, jaccard_sim).
+   */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 32, bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    val cands = lshCandidatePairs(sigs, idCol, bands, k)
+    val sets = df.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("__set"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("__set_a"), col("__set_b")), 4).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  /**
+   * Brute-force n-gram Jaccard near-dup over a deterministic subsample
+   * (oracle-checkable ground truth for the LSH pipeline). All pairs
+   * (a.id < b.id) with word-set Jaccard >= threshold.
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 1): DataFrame = {
+    val sets = df.select(col(idCol),
+      (if (shingleN == 1) TextAnalysis.wordSet(col(textCol))
+       else array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("__set"))
+    val a = sets.select(col(idCol).as("id_a"), col("__set").as("__set_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("__set").as("__set_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("__set_a"), col("__set_b")), 4).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  // --- SimHash -----------------------------------------------------------
+
+  /**
+   * 64-bit SimHash over word tokens: per-token xxhash64, each bit votes
+   * +1/-1, sign of the vote total forms the fingerprint bit. Computed with
+   * 64 codegen'd sum aggregates over one explode (no UDF).
+   * Output: (idCol, simhash long).
+   */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextAnalysis.wordSet(col(textCol))).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val votes = (0 until 64).map(bit =>
+      sum(when(shiftright(col("__h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$bit"))
+    val voted = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(bit =>
+      when(col(s"__b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    voted.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dups: pairs with hamming distance <= maxDist. Candidate
+   * generation buckets on 4 x 16-bit fingerprint segments (any pair within
+   * distance 3 must agree on at least one segment — pigeonhole), then
+   * verifies exact distance. Avoids the O(n^2) cross join.
+   */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val fps = simhash(df, textCol, idCol)
+    val banded = fps.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(seg =>
+        shiftright(col("simhash"), seg * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("seg", "seg_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("seg"), col("seg_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("seg"), col("seg_val"))
+    a.join(b, Seq("seg", "seg_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming_dist"))
+      .distinct()
+      .filter(col("hamming_dist") <= maxDist)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Gap-based sessionization over the `events` table: a session closes after
+ * `gapMs` of inactivity per user. Classic lag + cumulative-sum window —
+ * one shuffle on user_id, then linear window work per user; scales by
+ * user-key partitioning (skewed power users would get salted in a real
+ * deployment; AQE skew handling covers the join side).
+ *
+ * Millisecond arithmetic (`unix_millis`) keeps the semantics identical to
+ * the DuckDB oracle's `epoch_ms` regardless of parquet timestamp precision.
+ */
+object Sessionize {
+
+  /** Assign `session_id` (per-user ordinal) to each event. */
+  def sessionize(events: DataFrame, gapMs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      tieBreak: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    val ms = unix_millis(col(tsCol))
+    events
+      .withColumn("__prev_ms", lag(ms, 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ms").isNull || (ms - col("__prev_ms")) > gapMs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_ms", "__new_session")
+  }
+
+  /** Per-session rollup: events, span, value sum. */
+  def sessionStats(events: DataFrame, gapMs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val s = sessionize(events, gapMs, userCol, tsCol)
+    s.groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(unix_millis(col(tsCol))) - min(unix_millis(col(tsCol)))).as("duration_ms"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+  }
+
+  /** Per-user rollup across sessions. */
+  def userSessionSummary(events: DataFrame, gapMs: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val s = sessionStats(events, gapMs, userCol, tsCol)
+    s.groupBy(col(userCol))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("duration_ms")).as("max_session_ms"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+ * variant as the 100 TB scale path.
+ *
+ * All vector math uses higher-order functions (`zip_with` / `aggregate`)
+ * over doubles — codegen'd, no UDFs, and bit-identical to a sequential
+ * left-to-right fold (mirrorable in the DuckDB oracle).
+ */
+object Similarity {
+
+  /** elementwise-double dot product via zip_with + left fold */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact brute-force cosine top-k: for each query vector, the k nearest
+   * corpus vectors (self-match excluded). `queries` should be small — it is
+   * broadcast so the corpus is scanned exactly once with no shuffle on the
+   * big side.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
+  /**
+   * Deterministic random-hyperplane LSH signature: `planes` sign bits packed
+   * into a long. Plane coefficients are pseudo-random derived from
+   * xxhash64(dim, plane) — identical across executors with no state.
+   */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int = 16,
+      seed: Int = 0): Column = {
+    val bits = (0 until planes).map { p =>
+      // s_p = sum_d coeff(p,d) * v_d, coeff in [-1,1) from a hash
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") *
+            (pmod(xxhash64(i, lit(seed * 1024 + p)), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * LSH-bucketed ANN top-k — the scale path: corpus is bucketed by
+   * hyperplane signature; each query only scores candidates that share a
+   * bucket under at least one of `tables` independent signature sets.
+   * Returns the same shape as bruteForceTopK (approximate contents).
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 12, tables: Int = 4): DataFrame = {
+    def signatures(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id), col(v),
+        posexplode(array((0 until tables).map(t =>
+          // independent plane set per table via the seed
+          hyperplaneSignature(col(v), dim, planes, seed = t)): _*))
+          .as(Seq("table_id", "sig")))
+    val qs = signatures(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "query_id", "__qv")
+    val cs = signatures(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "neighbor_id", "__cv")
+    val cands = qs.join(cs, Seq("table_id", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id").asc)
+    cands
+      .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("__sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
+  /** All pairs above a cosine threshold (embedding near-dup detection),
+    * brute force over a small/sampled input. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 4).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines over the
+ * `documents` table: tokenization, language-ID, quality scoring, document
+ * fingerprinting. Everything is expressed as codegen-friendly `Column`
+ * functions (`org.apache.spark.sql.functions`) — no UDFs — so whole-stage
+ * codegen applies and the same logic is mirrorable in ANSI SQL for the
+ * DuckDB oracle.
+ *
+ * Scale notes: all operators are embarrassingly parallel per-row map work;
+ * no shuffles are introduced here. Aggregations composed on top of these
+ * columns use stock partial+final hash aggregation.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed, lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text))
+
+  /**
+   * BPE-ish subword proxy count: number of matches of a word/number/punct
+   * regex, the standard pre-tokenizer shape. Mirrors DuckDB
+   * `len(regexp_extract_all(text, pattern))`.
+   */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeTokenPattern), lit(0)))
+
+  /** Distinct lowercase word set (for Jaccard / language-ID). */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  // --- language identification (marker-word heuristic) ------------------
+
+  /** tiny stopword marker sets per language */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit", "von"))
+
+  /** marker-hit count for one language */
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(wordSet(text), array(markers.map(lit): _*)))
+
+  /**
+   * Predicted language: the language with the most distinct marker hits;
+   * ties broken by the declaration order of `langMarkers` (first wins);
+   * zero hits => 'und'. Deterministic and fully expressible as a SQL CASE
+   * chain for the oracle.
+   */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (l, m) => l -> langHits(text, m) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.reverse.foldLeft(lit("und"): Column) { case (acc, (l, h)) =>
+      when(h === best && h > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  val stopwords: Seq[String] = langMarkers.flatMap(_._2)
+
+  /**
+   * Heuristic quality score in [0,1]: blends length, mean word length,
+   * stopword ratio and alpha-character ratio. Deterministic; rounded by
+   * callers for oracle comparison.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val meanWordLen = nChars / greatest(nTok, lit(1.0))
+    val stopRatio =
+      size(array_intersect(wordSet(text), array(stopwords.map(lit): _*))).cast("double") /
+        greatest(size(wordSet(text)).cast("double"), lit(1.0))
+    val alphaRatio =
+      (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")) / greatest(nChars, lit(1.0))
+    val lenScore = least(nTok / lit(200.0), lit(1.0))
+    round(
+      lenScore * lit(0.3) +
+        least(meanWordLen / lit(8.0), lit(1.0)) * lit(0.2) +
+        least(stopRatio * lit(3.0), lit(1.0)) * lit(0.2) +
+        alphaRatio * lit(0.3), 4)
+  }
+
+  // --- fingerprinting ----------------------------------------------------
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * (The codegen'd rolling-hash variant lives in graft.functions.) */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // one shingle starting at each position 0..size-n (empty when size < n)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+}

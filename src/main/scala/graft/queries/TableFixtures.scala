@@ -1,0 +1,149 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+
+/**
+ * Memoized graft tables built deterministically from the driver-provided
+ * parquet testdata, shared by every versioned/table-layer query in
+ * SparkEntry. Built once per (fixture, sfDir) per JVM so Verify/Bench pay
+ * the build cost a single time.
+ *
+ * All splits are deterministic (`key % 3`) so each fixture state is exactly
+ * reproducible by the DuckDB oracle with plain filters.
+ */
+object TableFixtures {
+
+  private val cache = TrieMap.empty[(String, String), GraftTable]
+
+  private def baseDir: String =
+    sys.props.getOrElseUpdate("graft.fixtures.dir",
+      java.nio.file.Files.createTempDirectory("graft-fixtures").toString)
+
+  def read(spark: SparkSession, sfDir: String, t: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$t.parquet")
+
+  /**
+   * `orders` loaded as three deterministic batches (o_orderkey % 3 == 0/1/2)
+   * with a branch pinned after each append: v1, v2, v3.
+   * State at vN == orders where o_orderkey % 3 < N.
+   */
+  def ordersVersioned(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_versioned", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_versioned"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_versioned",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      (0 until 3).foreach { i =>
+        t.append(orders.filter(col("o_orderkey") % 3 === i))
+        t.createOrReplaceBranch(s"v${i + 1}")
+      }
+      t
+    })
+
+  /**
+   * MERGE fixture: target = lineitem line 1 rows (partitioned by
+   * l_returnflag); source = line 2 rows keyed on l_orderkey, updating
+   * (l_quantity, l_extendedprice, l_linenumber). Result state is exactly
+   * expressible in SQL as a full-outer coalesce of the two line sets.
+   */
+  def lineitemMerged(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("lineitem_merged", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_merged"
+      GraftTable.drop(spark, loc)
+      val li = read(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, loc, "graft.lineitem_merged",
+        li.schema, partitionCols = Seq("l_returnflag"))
+      t.append(li.filter(col("l_linenumber") === 1))
+      t.merge(
+        li.filter(col("l_linenumber") === 2),
+        keys = Seq("l_orderkey"),
+        updateCols = Seq("l_quantity", "l_extendedprice", "l_linenumber"))
+      t
+    })
+
+  /**
+   * WAP accept path: main = orders batch 0; clean batch 1 staged on a WAP
+   * branch, audited (no nulls in o_orderpriority), fast-forwarded to main.
+   * Final state == orders where o_orderkey % 3 <= 1.
+   */
+  def wapAccepted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("wap_accepted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/wap_accepted"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.wap_accepted",
+        orders.schema, partitionCols = Seq("o_orderstatus"),
+        props = Map("write.wap.enabled" -> "true"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      spark.conf.set("spark.graft.wap.branch", "wap_stage")
+      try {
+        t.append(orders.filter(col("o_orderkey") % 3 === 1))
+        val staged = t.toDF // wap-redirected read
+        val bad = staged.filter(t.schema.fieldNames.map(col(_).isNull).reduce(_ || _)).count()
+        if (bad == 0) {
+          spark.conf.unset("spark.graft.wap.branch")
+          t.fastForward("main", "wap_stage")
+        }
+      } finally spark.conf.unset("spark.graft.wap.branch")
+      t.dropBranch("wap_stage")
+      t
+    })
+
+  /**
+   * WAP reject path: main = orders batch 0; batch 1 staged with
+   * o_orderpriority nulled on every 7th order — audit fails, branch is
+   * dropped, staged rows never reach main. Final state == batch 0 only.
+   */
+  def wapRejected(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("wap_rejected", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/wap_rejected"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.wap_rejected",
+        orders.schema, partitionCols = Seq("o_orderstatus"),
+        props = Map("write.wap.enabled" -> "true"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      val dirty = orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+      spark.conf.set("spark.graft.wap.branch", "wap_stage")
+      try {
+        t.append(dirty)
+        val bad = t.toDF.filter(t.schema.fieldNames.map(col(_).isNull).reduce(_ || _)).count()
+        spark.conf.unset("spark.graft.wap.branch")
+        if (bad > 0) t.dropBranch("wap_stage") // reject: discard staged commits
+        else t.fastForward("main", "wap_stage")
+      } finally spark.conf.unset("spark.graft.wap.branch")
+      t
+    })
+
+  /**
+   * Maintenance fixture: ordersVersioned pipeline + sorted compaction +
+   * snapshot expiry (branch-pinned v1..v3 survive). Data state == full
+   * orders; used to prove maintenance preserves contents.
+   */
+  def ordersMaintained(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_maintained", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_maintained"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_maintained",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      (0 until 3).foreach { i =>
+        t.append(orders.filter(col("o_orderkey") % 3 === i))
+        t.createOrReplaceBranch(s"v${i + 1}")
+      }
+      t.rewriteDataFilesSorted(Seq(asc_nulls_last("o_custkey"), desc_nulls_first("o_orderkey")))
+      t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 2)
+      t.removeOrphanFiles(dryRun = false)
+      t.rewriteManifests()
+      t
+    })
+}
