@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge to the `private[sql]` Column <-> Expression converters in
+ * Spark 4's classic API, so graft's native Catalyst expressions can be
+ * exposed as public `Column` functions. Lives under the spark.sql package
+ * namespace for access, exactly like other Spark session extensions do.
+ */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

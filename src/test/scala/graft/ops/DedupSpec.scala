@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      (4L, "completely different content about spark engines"),
+      (5L, "  The Quick  Brown Fox jumps over the lazy dog "), // normalized dup of 1
+      (6L, "unrelated text mentioning neither foxes nor dogs at all")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps lowest id per normalized text") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 6L)) // 2 and 5 collapse into 1
+  }
+
+  test("exactDupGroups reports group size and keeper") {
+    val g = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("group_size") === 3)
+    assert(g.head.getAs[Long]("keeper_id") === 1)
+  }
+
+  test("jaccard column math") {
+    import spark.implicits._
+    val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("minhash signature: identical texts get identical signatures") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 16, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) === sigs(5L)) // normalization folds case/whitespace
+    assert(sigs(1L) !== sigs(4L))
+    assert(sigs.values.head.size === 16)
+  }
+
+  test("minhashNearDups finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      threshold = 0.5, k = 16, bands = 8, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((2L, 5L)))
+    // doc 3 differs by one token -> high but sub-1.0 jaccard; must pair with 1
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  test("ngramJaccardPairs brute force matches hand arithmetic") {
+    val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 1/2/5: identical word sets -> 1.0
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((1L, 5L)) === 1.0)
+    // 1 vs 3: words {the,quick,brown,fox,jumps,over,lazy,dog} vs same minus dog plus cat
+    // |inter|=7, |union|=9 -> 0.7778
+    assert(got((1L, 3L)) === 0.7778)
+    assert(!got.contains((1L, 4L)))
+  }
+
+  test("simhash: identical texts equal, near texts close, distant texts far") {
+    val fp = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+  }
+
+  test("simhashNearDups bucketing finds identical pairs") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+  }
+}

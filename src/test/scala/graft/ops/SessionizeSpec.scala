@@ -1,0 +1,65 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SessionizeSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // user 1: two sessions (gap 45 min); user 2: one session
+  private lazy val events: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:10:00"), 2.0),
+      (3L, 1L, ts("2024-01-01 10:55:00"), 3.0), // 45 min gap -> new session
+      (4L, 1L, ts("2024-01-01 11:00:00"), 4.0),
+      (5L, 2L, ts("2024-01-01 09:00:00"), 5.0),
+      (6L, 2L, ts("2024-01-01 09:29:00"), 6.0) // 29 min gap -> same session
+    ).toDF("event_id", "user_id", "ts", "value")
+  }
+
+  private val gap30m = 30 * 60 * 1000L
+
+  test("sessionize assigns per-user session ordinals at gap boundaries") {
+    val s = Sessionize.sessionize(events, gap30m)
+      .select("event_id", "session_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === 1 && s(2L) === 1)
+    assert(s(3L) === 2 && s(4L) === 2)
+    assert(s(5L) === 1 && s(6L) === 1)
+  }
+
+  test("sessionStats aggregates per session") {
+    val s = Sessionize.sessionStats(events, gap30m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms"), r.getAs[Double]("total_value"))).toMap
+    assert(s((1L, 1L)) === ((2L, 600000L, 3.0)))
+    assert(s((1L, 2L)) === ((2L, 300000L, 7.0)))
+    assert(s((2L, 1L)) === ((2L, 1740000L, 11.0)))
+  }
+
+  test("userSessionSummary rolls up across sessions") {
+    val s = Sessionize.userSessionSummary(events, gap30m)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"), r.getAs[Long]("max_session_ms"))).toMap
+    assert(s(1L) === ((2L, 4L, 600000L)))
+    assert(s(2L) === ((1L, 2L, 1740000L)))
+  }
+
+  test("exact gap equal to threshold stays in the same session") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 9L, ts("2024-01-01 00:00:00"), 0.0),
+      (2L, 9L, ts("2024-01-01 00:30:00"), 0.0)) // exactly 30 min
+      .toDF("event_id", "user_id", "ts", "value")
+    val n = Sessionize.userSessionSummary(e, gap30m)
+      .collect().head.getAs[Long]("n_sessions")
+    assert(n === 1) // strictly-greater-than opens a session
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val vecs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),  // close to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+      (3L, Seq(-1.0f, 0.0f, 0.0f)), // opposite of 0
+      (4L, Seq(0.7f, 0.7f, 0.0f))   // between 0 and 2
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine math") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val r = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(r.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    assert(r.head.getAs[Double]("cosine_sim") > 0.99)
+  }
+
+  test("hyperplane signature: identical vectors share buckets, plan stays expression-only") {
+    val sigs = vecs.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("embedding"), dim = 3, planes = 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // opposite vectors flip every plane bit
+    assert((sigs(0L) ^ sigs(3L)) === 0xFFL)
+    // close vectors agree on most planes
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <=
+      java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)))
+  }
+
+  test("lshTopK returns ranked neighbors drawn from shared buckets") {
+    val r = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 0), vecs, k = 2, dim = 3, planes = 4, tables = 4)
+      .collect()
+    assert(r.nonEmpty)
+    // best candidate when found must be vec 1
+    assert(r.filter(_.getAs[Int]("rank") == 1)
+      .forall(_.getAs[Long]("neighbor_id") == 1L))
+  }
+
+  test("cosineNearDupPairs finds the close pair only at high threshold") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("broadcast hint present in brute-force plan (corpus scanned once, no shuffle on big side)") {
+    val plan = Similarity.bruteForceTopK(vecs.limit(2), vecs, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in plan:\n$plan")
+  }
+}
