@@ -1,4 +1,4 @@
-package graft.table
+package graft.apps
 
 import java.sql.{Date, Timestamp}
 
@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
  * batch with nulls for the WAP reject path) — data itself is our own.
  * Expected running row counts: 15, 30, 45, 47, 50.
  */
-object ActivityFixtures {
+object ActivityData {
 
   val schema: StructType = StructType(Seq(
     StructField("account", StringType),

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming counterparts of the batch event operators: the same
+ * `events` schema consumed as an unbounded stream, with watermarked window
+ * aggregation and stateful gap-sessionization via
+ * `flatMapGroupsWithState` (the Spark-native continuous form of
+ * graft.ops.Sessionize).
+ *
+ * Scale notes: state is partitioned by user_id (the natural key); the
+ * watermark bounds state size for window aggs, and the session state
+ * per key is O(1) (an open-session summary, not the event list).
+ */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long,
+      duration_ms: Long, total_value: Double, closed: Boolean)
+
+  /** state record — must stay public for the state encoder's codegen */
+  case class OpenSession(sessionId: Long, startMs: Long, lastMs: Long,
+      nEvents: Long, totalValue: Double)
+
+  /**
+   * Tumbling-window counts per event type with a watermark bounding state:
+   * the streaming analogue of the `e_daily` batch query.
+   */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /**
+   * Continuous gap-based sessionization: emits one SessionUpdate per closed
+   * session (event-time gap > gapMs, enforced via processing of later
+   * events per key; a production build would add an event-time timeout).
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            open match {
+              case Some(s) if ms - s.lastMs <= gapMs =>
+                open = Some(s.copy(lastMs = ms, nEvents = s.nEvents + 1,
+                  totalValue = s.totalValue + e.value))
+              case Some(s) =>
+                closed += SessionUpdate(userId, s.sessionId, s.nEvents,
+                  s.lastMs - s.startMs, s.totalValue, closed = true)
+                open = Some(OpenSession(s.sessionId + 1, ms, ms, 1, e.value))
+              case None =>
+                open = Some(OpenSession(1, ms, ms, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+        })
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import StreamingOps._
+
+class StreamingOpsSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates a replayed batch under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:15:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0))
+    val q = windowedCounts(input.toDF, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wc_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wc_out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("value_sum"))).toMap
+    assert(rows(("2024-01-01 10:00:00.0", "click")) === ((2L, 3.0)))
+    assert(rows(("2024-01-01 11:00:00.0", "view")) === ((1L, 3.0)))
+  }
+
+  test("streaming sessionize closes sessions on gap and matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    // batch 1: user 1 opens session 1
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() === 0) // still open
+    // batch 2: 45-minute gap closes session 1, opens session 2
+    input.addData(Event(3, ts("2024-01-01 10:55:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[SessionUpdate].collect()
+    q.stop()
+    assert(closed.length === 1)
+    val s = closed.head
+    assert(s.user_id === 1 && s.session_id === 1)
+    assert(s.n_events === 2 && s.duration_ms === 600000L && s.total_value === 3.0)
+  }
+}

@@ -3,19 +3,20 @@ package graft.table
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+import graft.apps.ActivityData
 
 class GraftTableSpec extends SparkTestBase {
 
   private def fullPipeline(): GraftTable = {
     val loc = tmpDir("graft-activity")
     val t = GraftTable.create(spark, loc, "finance.activity",
-      ActivityFixtures.schema, ActivityFixtures.partitionCols, ActivityFixtures.tableProps)
+      ActivityData.schema, ActivityData.partitionCols, ActivityData.tableProps)
     val days = Seq(
-      ActivityFixtures.day1(spark), ActivityFixtures.day2(spark),
-      ActivityFixtures.day3(spark), ActivityFixtures.day4(spark),
-      ActivityFixtures.day5(spark))
+      ActivityData.day1(spark), ActivityData.day2(spark),
+      ActivityData.day3(spark), ActivityData.day4(spark),
+      ActivityData.day5(spark))
     days.zipWithIndex.foreach { case (d, i) =>
-      t.merge(d, ActivityFixtures.mergeKeys, ActivityFixtures.updateCols)
+      t.merge(d, ActivityData.mergeKeys, ActivityData.updateCols)
       t.createOrReplaceBranch(s"day${i + 1}")
     }
     t
@@ -23,15 +24,15 @@ class GraftTableSpec extends SparkTestBase {
 
   test("create + append + read back round trip") {
     val loc = tmpDir("graft-basic")
-    val t = GraftTable.create(spark, loc, "t", ActivityFixtures.schema,
-      ActivityFixtures.partitionCols)
+    val t = GraftTable.create(spark, loc, "t", ActivityData.schema,
+      ActivityData.partitionCols)
     assert(t.toDF.count() === 0)
-    t.append(ActivityFixtures.day1(spark))
+    t.append(ActivityData.day1(spark))
     assert(t.toDF.count() === 15)
-    t.append(ActivityFixtures.day2(spark))
+    t.append(ActivityData.day2(spark))
     assert(t.toDF.count() === 30)
     // schema preserved, partition column readable
-    assert(t.toDF.schema.fieldNames.toSeq === ActivityFixtures.schema.fieldNames.toSeq)
+    assert(t.toDF.schema.fieldNames.toSeq === ActivityData.schema.fieldNames.toSeq)
     assert(t.toDF.select("txn_date").distinct().count() === 2)
   }
 
@@ -65,14 +66,14 @@ class GraftTableSpec extends SparkTestBase {
 
   test("merge moves a row across partitions when the partition key is updated") {
     val loc = tmpDir("graft-move")
-    val t = GraftTable.create(spark, loc, "t", ActivityFixtures.schema,
-      ActivityFixtures.partitionCols)
-    t.append(ActivityFixtures.day1(spark))
+    val t = GraftTable.create(spark, loc, "t", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
     import spark.implicits._
     val move = Seq(("acc1", java.sql.Date.valueOf("2024-04-01"), "txn10", "Moved Mart",
       java.lang.Double.valueOf(1.0), "Moved", java.sql.Timestamp.valueOf("2024-04-01 00:00:00")))
       .toDF("account", "txn_date", "txn_id", "merchant", "amount", "category", "last_updated")
-    t.merge(move, Seq("txn_id"), ActivityFixtures.updateCols)
+    t.merge(move, Seq("txn_id"), ActivityData.updateCols)
     assert(t.toDF.count() === 15)
     val moved = t.toDF.filter($"txn_id" === "txn10").collect().head
     assert(moved.getAs[java.sql.Date]("txn_date").toString === "2024-04-01")
@@ -103,7 +104,7 @@ class GraftTableSpec extends SparkTestBase {
   test("branch pins survive later commits and drops work") {
     val t = fullPipeline()
     val day2Count = t.asOf("day2").count()
-    t.append(ActivityFixtures.cleanBatch(spark))
+    t.append(ActivityData.cleanBatch(spark))
     assert(t.asOf("day2").count() === day2Count)
     assert(t.toDF.count() === 65)
     t.dropBranch("day1")
@@ -176,10 +177,10 @@ class GraftTableSpec extends SparkTestBase {
 
   test("schema widening on append (mergeSchema semantics)") {
     val loc = tmpDir("graft-widen")
-    val t = GraftTable.create(spark, loc, "t", ActivityFixtures.schema,
-      ActivityFixtures.partitionCols)
-    t.append(ActivityFixtures.day1(spark))
-    val extra = ActivityFixtures.day2(spark).withColumn("channel", lit("web"))
+    val t = GraftTable.create(spark, loc, "t", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    val extra = ActivityData.day2(spark).withColumn("channel", lit("web"))
     t.append(extra)
     assert(t.schema.fieldNames.contains("channel"))
     val c = t.toDF.groupBy("channel").count().collect()

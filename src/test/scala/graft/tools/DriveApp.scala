@@ -2,6 +2,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.table._
+import graft.apps.ActivityData
 /** Manual end-to-end drive of the public GraftTable API (verification harness). */
 object DriveApp {
   def main(args: Array[String]): Unit = {
@@ -10,8 +11,8 @@ object DriveApp {
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val loc = java.nio.file.Files.createTempDirectory("drive").toString + "/activity"
-    val t = GraftTable.create(spark, loc, "finance.activity", ActivityFixtures.schema, Seq("txn_date"), ActivityFixtures.tableProps)
-    Seq(ActivityFixtures.day1(spark), ActivityFixtures.day2(spark), ActivityFixtures.day3(spark), ActivityFixtures.day4(spark), ActivityFixtures.day5(spark)).zipWithIndex.foreach { case (d, i) => t.merge(d, Seq("txn_id"), ActivityFixtures.updateCols); t.createOrReplaceBranch(s"day${i+1}") }
+    val t = GraftTable.create(spark, loc, "finance.activity", ActivityData.schema, Seq("txn_date"), ActivityData.tableProps)
+    Seq(ActivityData.day1(spark), ActivityData.day2(spark), ActivityData.day3(spark), ActivityData.day4(spark), ActivityData.day5(spark)).zipWithIndex.foreach { case (d, i) => t.merge(d, Seq("txn_id"), ActivityData.updateCols); t.createOrReplaceBranch(s"day${i+1}") }
     println("== per-branch counts (expect 15,30,45,47,50): " + (1 to 5).map(i => t.asOf(s"day$i").count()).mkString(","))
     println("== flagship group-by:")
     t.toDF.groupBy("account").agg(count(lit(1)).as("activity_count")).orderBy("account").show()
@@ -20,7 +21,7 @@ object DriveApp {
     t.toDF.filter(col("txn_id")==="txn10").select("txn_id","category","amount").show()
     println("== WAP: stage bad batch on branch, audit, reject")
     spark.conf.set("spark.graft.wap.branch", "audit_branch")
-    t.append(ActivityFixtures.badBatch(spark))
+    t.append(ActivityData.badBatch(spark))
     val staged = t.toDF.count()
     val nulls = t.toDF.filter(t.schema.fieldNames.map(col(_).isNull).reduce(_ || _)).count()
     spark.conf.unset("spark.graft.wap.branch")
@@ -30,7 +31,7 @@ object DriveApp {
     println("== probe: unknown ref")
     try t.asOf("nope") catch { case e: IllegalArgumentException => println("unknown-ref error: " + e.getMessage) }
     println("== probe: double create")
-    try GraftTable.create(spark, loc, "x", ActivityFixtures.schema) catch { case e: IllegalArgumentException => println("double-create error: " + e.getMessage) }
+    try GraftTable.create(spark, loc, "x", ActivityData.schema) catch { case e: IllegalArgumentException => println("double-create error: " + e.getMessage) }
     println("== probe: partition-pruned scan plan (filter on txn_date):")
     val plan = t.toDF.filter(col("txn_date")===lit("2024-03-02").cast("date")).queryExecution.executedPlan.toString
     println(plan.linesIterator.filter(l => l.contains("Scan") || l.contains("PartitionFilters") || l.contains("PushedFilters")).mkString("\n").take(1200))
