@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Sessionize, Similarity, TextAnalysis}
 import graft.queries.TableFixtures
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -217,6 +217,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-space near-duplicate pairs on a deterministic subsample
+    "s_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        T(s, dir, "embeddings").filter(col("vec_id") % 4 === 0), threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
     // --- events: sessionization + time-windowed aggregation --------------
 
     "e_sessions" -> ((s, dir) =>
@@ -228,6 +234,20 @@ object SparkEntry {
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
         .orderBy("day", "event_type")),
+
+    // point-in-time (backward as-of) join: each event joined to the user's
+    // most recent order at event time — union+window, no range cross join
+    "e_asof_join" -> ((s, dir) => {
+      val orders = AsOfJoin.dedupRightPerInstant(
+        T(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+      AsOfJoin.asofBackward(T(s, dir, "events"), orders,
+        "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("matched"),
+          sum(col("o_orderkey")).as("sum_matched_orderkey"))
+        .orderBy("event_type")
+    }),
 
     // --- snapshot-versioned table layer (SURVEY §2.1/2.2/2.3/2.5) --------
 
@@ -454,6 +474,29 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "s_cosine_neardup" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine_sim
+             FROM s a JOIN s b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cosine_sim FROM pairs
+         WHERE cosine_sim >= 0.35 ORDER BY id_a, id_b""",
+
+    "e_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_type, count(*) AS n,
+           count(o.o_orderkey) AS matched,
+           sum(o.o_orderkey) AS sum_matched_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         GROUP BY 1 ORDER BY 1""",
 
     "e_sessions" ->
       """WITH ordered AS (
