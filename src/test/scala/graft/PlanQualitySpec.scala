@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.apps.ActivityData
+import graft.table.GraftTable
+
+/**
+ * Guards the physical-plan properties that matter at 100 TB (SURVEY.md §4):
+ * partition pruning, filter pushdown, column pruning, broadcast choice and
+ * whole-stage codegen on the flagship paths. A plan regression here is a
+ * scale bug even when results stay correct.
+ */
+class PlanQualitySpec extends SparkTestBase {
+
+  private lazy val table: GraftTable = {
+    val loc = tmpDir("planq")
+    val t = GraftTable.create(spark, loc, "planq", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    t.append(ActivityData.day2(spark))
+    t.append(ActivityData.day3(spark))
+    t
+  }
+
+  test("partition-column filter prunes partitions at the scan") {
+    val plan = table.toDF
+      .filter(col("txn_date") === to_date(lit("2024-03-02")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(txn_date"), plan)
+    assert(plan.contains("(txn_date") && plan.contains("= 2024-03-02)"), plan)
+  }
+
+  test("non-partition filter is pushed down to the parquet reader") {
+    val plan = table.toDF
+      .filter(col("txn_id") === "txn10")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(txn_id), EqualTo(txn_id,txn10)]"), plan)
+  }
+
+  test("projection prunes columns at the scan (ReadSchema)") {
+    val plan = table.toDF
+      .select("account", "amount")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.mkString("\n")
+    assert(readSchema.contains("ReadSchema: struct<account:string,amount:double>"), plan)
+  }
+
+  test("flagship group-by lowers to two-phase HashAggregate in WSCG, no typed ops") {
+    val df = table.toDF.groupBy("account").agg(count(lit(1)).as("n"))
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"), plan)
+    assert(plan.contains("*("), s"expected whole-stage codegen:\n$plan")
+  }
+
+  test("small dimension join broadcasts (q4 shape)") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val plan = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("merge's affected-partition probe is column-pruned") {
+    // the semi-join that finds affected partitions must not read all 7 cols
+    val srcKeys = ActivityData.day4(spark).select("txn_id").distinct()
+    val probe = table.toDF.join(srcKeys, Seq("txn_id"), "left_semi")
+      .select("txn_date").distinct()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<txn_id:string>"), plan)
+  }
+
+  test("time-travel scan reads only the pinned snapshot's files") {
+    table.createOrReplaceBranch("pin")
+    table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
+    val pinned = table.asOf("pin").inputFiles.toSet
+    val current = table.toDF.inputFiles.toSet
+    assert(pinned.subsetOf(current) && pinned.size < current.size)
+  }
+}
