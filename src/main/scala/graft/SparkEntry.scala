@@ -187,7 +187,7 @@ object SparkEntry {
     // brute-force word-set Jaccard ground truth on a 20% subsample
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
-        T(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
@@ -450,7 +450,7 @@ object SparkEntry {
     "d_ngram_jaccard" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
-           FROM documents WHERE doc_id % 5 = 0)
+           FROM documents WHERE doc_id % 10 = 0)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(cast(len(list_intersect(a.ws, b.ws)) AS double)
                  / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) AS jaccard_sim

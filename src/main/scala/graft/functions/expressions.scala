@@ -132,11 +132,65 @@ object GraftFunctions {
   def vec_cosine(a: Column, b: Column): Column =
     bridge.column(VecCosine(bridge.expression(a), bridge.expression(b)))
 
-  /** Register `rolling_hash` / `vec_cosine` for SQL use in this session. */
+  def array_eq_count(a: Column, b: Column): Column =
+    bridge.column(ArrayLongEqCount(bridge.expression(a), bridge.expression(b)))
+
+  /** Register the native expressions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => VecCosine(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_eq_count", exprs => ArrayLongEqCount(exprs.head, exprs(1)), "built-in")
   }
+}
+
+/** Count of positions where two long-array columns hold equal values —
+  * the MinHash signature-overlap kernel. Codegen'd tight loop, no per-row
+  * array allocation (vs zip_with + filter). */
+case class ArrayLongEqCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_eq_count requires two array<bigint> columns, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0; var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $c = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) $c++;
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayLongEqCount =
+    copy(left = l, right = r)
 }

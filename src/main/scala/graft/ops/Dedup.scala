@@ -82,17 +82,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-set Jaccard between two token-set columns. */
+  /** Exact set Jaccard between two distinct-element array columns.
+    * |A ∪ B| is computed arithmetically (|A|+|B|-|A∩B|) so only the
+    * intersection's hash set is materialized per pair. */
   def jaccard(setA: Column, setB: Column): Column = {
     val inter = size(array_intersect(setA, setB)).cast("double")
-    val uni = size(array_union(setA, setB)).cast("double")
+    val uni = size(setA).cast("double") + size(setB).cast("double") - inter
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
   /** Fraction of agreeing MinHash signature positions — an unbiased
-    * estimator of Jaccard similarity, 32 long-compares per pair. */
+    * estimator of Jaccard similarity; a native codegen'd count of equal
+    * positions (no per-pair array allocation). */
   def sigEstimate(sigA: Column, sigB: Column, k: Int): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / k
+    graft.functions.GraftFunctions.array_eq_count(sigA, sigB).cast("double") / k
 
   /**
    * Full MinHash-LSH near-dup pipeline: candidates from LSH buckets,
