@@ -299,6 +299,14 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
         .orderBy("o_orderstatus")),
 
+    // V1 via SQL: the DSv2 catalog surface — VERSION AS OF a branch ref
+    "t_sql_time_travel" -> ((s, dir) => {
+      val cat = TableFixtures.sqlCatalog(s, dir)
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n
+                FROM $cat.orders_versioned VERSION AS OF 'v1'
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // M1-M5: metadata introspection — snapshot operations on the log
     "t_metadata" -> ((s, dir) => {
       val t = TableFixtures.ordersVersioned(s, dir)
@@ -567,6 +575,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
          sum(cast(o_totalprice AS decimal(18,2))) AS total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "t_sql_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+         WHERE o_orderkey % 3 = 0 GROUP BY 1 ORDER BY 1""",
 
     // ordersVersioned commits exactly 3 append snapshots — a deterministic
     // pipeline makes the metadata table oracle a constant

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.table.GraftTable
+import graft.table.catalog.GraftSparkCatalog
 
 /**
  * Memoized graft tables built deterministically from the driver-provided
@@ -23,6 +24,18 @@ object TableFixtures {
   private def baseDir: String =
     sys.props.getOrElseUpdate("graft.fixtures.dir",
       java.nio.file.Files.createTempDirectory("graft-fixtures").toString)
+
+  /** Register the SQL catalog over this JVM's fixture warehouse and expose
+    * ordersVersioned under `graft.fixtures.orders_versioned`. */
+  def sqlCatalog(spark: SparkSession, sfDir: String): String = {
+    val t = ordersVersioned(spark, sfDir)
+    // catalog warehouse = fixture base dir; table path must be warehouse/ns/name
+    val wh = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    spark.conf.set("spark.sql.catalog.graft_fx", classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_fx.warehouse", wh)
+    assert(t.location.startsWith(wh))
+    "graft_fx"
+  }
 
   def read(spark: SparkSession, sfDir: String, t: String): DataFrame =
     spark.read.parquet(s"$sfDir/$t.parquet")

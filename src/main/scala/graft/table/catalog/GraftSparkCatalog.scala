@@ -1,0 +1,155 @@
+package graft.table.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.{GraftSnapshot, GraftTable, SnapshotLog, TableMetadata}
+
+/**
+ * DataSource-V2 `TableCatalog` over graft tables, giving the reference's SQL
+ * surface natively (reference IcebergSupport.scala:20 configures the same
+ * shape for Iceberg):
+ *
+ * {{{
+ * spark.sql.catalog.graft           = graft.table.catalog.GraftSparkCatalog
+ * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+ *
+ * SELECT * FROM graft.finance.activity
+ * SELECT * FROM graft.finance.activity VERSION AS OF 'day1'     -- branch ref
+ * SELECT * FROM graft.finance.activity VERSION AS OF 3          -- snapshot id
+ * SELECT * FROM graft.finance.activity TIMESTAMP AS OF '...'    -- time travel
+ * }}}
+ *
+ * Reads resolve a snapshot (driver-side metadata lookup) and expose its
+ * live file list through Spark's own vectorized `ParquetTable`, so scans get
+ * stock pushdown/pruning/codegen. The catalog is read-only at the SQL layer:
+ * writes go through the transactional `GraftTable` API (append/merge commit
+ * protocol); `INSERT INTO` is rejected rather than silently bypassing the
+ * snapshot log.
+ */
+class GraftSparkCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must be set"))
+  }
+
+  override def name(): String = catalogName
+
+  def tableLocation(ident: Identifier): String =
+    (ident.namespace().toSeq :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((Seq(warehouse) ++ namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => SnapshotLog.exists(
+        (Seq(warehouse) ++ namespace :+ n).mkString("/"),
+        spark.sparkContext.hadoopConfiguration))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val meta = metaFor(ident)
+    readOnlyTable(ident, meta, meta.currentSnapshot)
+  }
+
+  /** VERSION AS OF — branch name or snapshot id (reference
+    * IcebergLoadActivityTask.scala:114 `VERSION AS OF 'day1'`). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val meta = metaFor(ident)
+    val snap = meta.snapshotForRef(version).getOrElse(
+      throw new NoSuchTableException(ident))
+    readOnlyTable(ident, meta, Some(snap))
+  }
+
+  /** TIMESTAMP AS OF — latest main-ancestry snapshot at or before ts. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val meta = metaFor(ident)
+    val tsMs = timestampMicros / 1000L
+    val onMain = meta.currentSnapshotId.map(meta.ancestry).getOrElse(Seq.empty).toSet
+    val snap = meta.snapshots
+      .filter(s => onMain.contains(s.id) && s.timestampMs <= tsMs)
+      .sortBy(_.timestampMs).lastOption
+      .getOrElse(throw new NoSuchTableException(ident))
+    readOnlyTable(ident, meta, Some(snap))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val loc = tableLocation(ident)
+    if (GraftTable.exists(spark, loc)) throw new TableAlreadyExistsException(Seq(ident.toString))
+    val partCols = partitions.toSeq.map(_.references().head.fieldNames().mkString("."))
+    GraftTable.create(spark, loc, ident.toString, schema, partCols,
+      properties.asScala.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the GraftTable API (branches/properties are commit-protocol operations)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    GraftTable.exists(spark, tableLocation(ident)) &&
+      GraftTable.drop(spark, tableLocation(ident))
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(spark, tableLocation(ident))
+
+  // -------------------------------------------------------------------
+
+  private def metaFor(ident: Identifier): TableMetadata = {
+    val loc = tableLocation(ident)
+    if (!GraftTable.exists(spark, loc)) throw new NoSuchTableException(ident)
+    SnapshotLog.read(loc, spark.sparkContext.hadoopConfiguration)
+  }
+
+  private def readOnlyTable(ident: Identifier, meta: TableMetadata,
+      snap: Option[GraftSnapshot]): Table = {
+    val loc = tableLocation(ident)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[StructType]
+    val dataDir = s"$loc/data"
+    val paths = snap.map(_.files.map(f => s"$dataDir/${f.path}")).getOrElse(Seq.empty)
+    val options = new CaseInsensitiveStringMap(
+      Map("basePath" -> dataDir).asJava)
+    val inner = ParquetTable(ident.toString, spark, options, paths,
+      Some(schema), classOf[ParquetFileFormat])
+    new GraftReadOnlyTable(ident.toString, inner, schema)
+  }
+}
+
+/** Read-only shell around Spark's ParquetTable: exposes BATCH_READ only, so
+  * SQL writes cannot bypass the snapshot-log commit protocol. */
+class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+}

@@ -1,0 +1,97 @@
+package graft.table.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.apps.ActivityData
+import graft.table.GraftTable
+
+class GraftSparkCatalogSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val t = GraftTable.create(spark, s"$wh/finance/activity", "finance.activity",
+      ActivityData.schema, ActivityData.partitionCols, ActivityData.tableProps)
+    Seq(ActivityData.day1(spark), ActivityData.day2(spark), ActivityData.day3(spark))
+      .zipWithIndex.foreach { case (d, i) =>
+        t.merge(d, ActivityData.mergeKeys, ActivityData.updateCols)
+        t.createOrReplaceBranch(s"day${i + 1}")
+      }
+    wh
+  }
+
+  test("SQL reads the current snapshot through the catalog") {
+    warehouse
+    assert(spark.sql("SELECT count(*) AS n FROM graft.finance.activity")
+      .collect().head.getLong(0) === 45)
+    val byAccount = spark.sql(
+      """SELECT account, count(*) AS n FROM graft.finance.activity
+         GROUP BY account ORDER BY account""").collect()
+    assert(byAccount.map(_.getLong(1)).sum === 45)
+  }
+
+  test("SQL VERSION AS OF resolves branch refs and snapshot ids") {
+    warehouse
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.finance.activity VERSION AS OF 'day1'")
+      .collect().head.getLong(0) === 15)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.finance.activity VERSION AS OF 'day2'")
+      .collect().head.getLong(0) === 30)
+    // numeric snapshot id: snapshot 1 is the first merge commit
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.finance.activity VERSION AS OF '1'")
+      .collect().head.getLong(0) === 15)
+  }
+
+  test("SQL TIMESTAMP AS OF picks the snapshot current at that time") {
+    warehouse
+    val t = GraftTable.load(spark, s"$warehouse/finance/activity")
+    val snap2 = t.meta.snapshot(2L).get
+    val ts = new java.sql.Timestamp(snap2.timestampMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.finance.activity TIMESTAMP AS OF '$ts'")
+      .collect().head.getLong(0) === 30)
+  }
+
+  test("catalog scans keep pushdown and partition pruning") {
+    warehouse
+    val df = spark.sql(
+      """SELECT txn_id, category FROM graft.finance.activity
+         WHERE txn_date = DATE'2024-03-02' AND txn_id = 'txn10'""")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(txn_id,txn10)"), plan)
+    assert(df.inputFiles.forall(_.contains("txn_date=2024-03-02")), plan)
+  }
+
+  test("SQL writes are rejected (snapshot protocol cannot be bypassed)") {
+    warehouse
+    val e = intercept[Exception] {
+      spark.sql(
+        """INSERT INTO graft.finance.activity VALUES
+           ('acc1', DATE'2024-03-02', 'txnX', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00')""")
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(does not support|unsupported|not supported).*"),
+      e.getMessage)
+  }
+
+  test("DDL via the catalog: CREATE TABLE / list / DROP") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE graft.finance.scratch (k STRING, v DOUBLE)
+         USING parquet PARTITIONED BY (k)""")
+    assert(spark.sql("SHOW TABLES IN graft.finance").collect()
+      .map(_.getString(1)).toSet === Set("activity", "scratch"))
+    // written through the API, readable through SQL
+    import spark.implicits._
+    GraftTable.load(spark, s"$warehouse/finance/scratch")
+      .append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    assert(spark.sql("SELECT count(*) FROM graft.finance.scratch")
+      .collect().head.getLong(0) === 2)
+    spark.sql("DROP TABLE graft.finance.scratch")
+    assert(!GraftTable.exists(spark, s"$warehouse/finance/scratch"))
+  }
+}
