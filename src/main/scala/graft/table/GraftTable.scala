@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 
 /**
  * A partitioned, snapshot-versioned table on plain Parquet — the Spark-native
@@ -493,15 +493,91 @@ class GraftTable(val spark: SparkSession, val location: String) {
         fs.mkdirs(target.getParent)
         if (!fs.rename(st.getPath, target))
           throw new IllegalStateException(s"Failed to move staged file to $target")
-        val records = {
+        val (records, stats) = {
           val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
-          try r.getRecordCount finally r.close()
+          try (r.getRecordCount, footerColumnStats(r, tableSchema)) finally r.close()
         }
-        out += DataFile(relTarget, pv, records, fs.getFileStatus(target).getLen)
+        out += DataFile(relTarget, pv, records, fs.getFileStatus(target).getLen, stats)
       }
     }
     fs.delete(staging, true)
     out.toSeq
+  }
+
+  /** Aggregate per-column min/max/null-count across a file's row groups —
+    * the manifest-entry stats used by [[scanWhere]] file skipping. Covered:
+    * top-level numeric, string and date columns (dates normalized to ISO so
+    * lexical order == chronological order). */
+  private def footerColumnStats(r: ParquetFileReader,
+      tableSchema: StructType): Option[Map[String, ColumnStats]] = {
+    import scala.jdk.CollectionConverters._
+    val types = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    def normalize(dt: DataType, raw: String): Option[String] = dt match {
+      case DateType =>
+        // parquet stringifiers emit either raw epoch days or ISO dates
+        // depending on the logical-type annotation path; accept both
+        scala.util.Try(java.time.LocalDate.ofEpochDay(raw.toLong).toString).toOption
+          .orElse(scala.util.Try { java.time.LocalDate.parse(raw); raw }.toOption)
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           _: DecimalType | StringType => Some(raw)
+      case _ => None // timestamps/booleans/complex: not stat-pruned (round 1)
+    }
+    val acc = scala.collection.mutable.Map.empty[String, (String, String, Long)]
+    r.getFooter.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { col =>
+        if (col.getPath.size == 1) {
+          val name = col.getPath.toDotString
+          val st = col.getStatistics
+          types.get(name).foreach { dt =>
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              val nulls = if (st.isNumNullsSet) st.getNumNulls else 0L
+              (normalize(dt, st.minAsString), normalize(dt, st.maxAsString)) match {
+                case (Some(mn), Some(mx)) => acc.get(name) match {
+                  case None => acc(name) = (mn, mx, nulls)
+                  case Some((omn, omx, on)) => acc(name) = (
+                    if (GraftTable.statLt(dt, mn, omn)) mn else omn,
+                    if (GraftTable.statLt(dt, omx, mx)) mx else omx,
+                    on + nulls)
+                }
+                case _ =>
+              }
+            }
+          }
+        }
+      }
+    }
+    if (acc.isEmpty) None
+    else Some(acc.map { case (k, (mn, mx, n)) => k -> ColumnStats(mn, mx, n) }.toMap)
+  }
+
+  /**
+   * Stat-pruned scan: like `toDF.filter(cond)`, but simple conjuncts
+   * (`col op literal` for =, <, <=, >, >=, plus IsNull/IsNotNull) are also
+   * evaluated against each file's partition values and footer min/max BEFORE
+   * the scan, so non-matching files never reach Spark's file index — the
+   * driver-side manifest pruning a 100 TB table needs on top of row-group
+   * statistics (which only help after the file is opened).
+   */
+  def scanWhere(cond: Column, ref: Option[String] = None): DataFrame = {
+    val m = meta
+    val wap = wapBranch.filter(m.refs.contains)
+    val snap = ref.orElse(wap).map(r => m.snapshotForRef(r).getOrElse(
+      throw new IllegalArgumentException(s"Unknown ref '$r'")))
+      .orElse(m.snapshotForRef(SnapshotLog.MainBranch))
+    // analyze the predicate against the full scan to obtain resolved
+    // catalyst conjuncts (attribute references + typed literals)
+    val full = scan(snap, m)
+    // optimizedPlan folds constants (e.g. cast('2024-02-01' as date)) into
+    // typed literals; the Filter node survives logical optimization
+    val analyzed = full.filter(cond).queryExecution.optimizedPlan
+    val conjuncts = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.headOption.map(GraftTable.splitConjuncts).getOrElse(Seq.empty)
+    val files = snap.map(_.files).getOrElse(Seq.empty)
+    val kept = files.filter(f =>
+      conjuncts.forall(c => GraftTable.fileMayMatch(c, f, m.partitionCols)))
+    if (kept.size == files.size) full.filter(cond)
+    else scan(snap.map(s => s.copy(files = kept)), m).filter(cond)
   }
 
   private def partitionValuesOf(row: Row, parts: Seq[String]): Map[String, String] =
@@ -540,6 +616,95 @@ object GraftTable {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(location: String): Object =
     locks.computeIfAbsent(location, _ => new Object)
+
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression => CExpr,
+    GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+  import org.apache.spark.sql.types.{ByteType => BT, DateType => DT, DecimalType => DecT,
+    DoubleType => DblT, FloatType => FT, IntegerType => IT, LongType => LT2,
+    ShortType => ShT, StringType => StrT}
+
+  /** typed "a < b" over stat strings: numeric columns compare numerically,
+    * strings/ISO-dates lexically */
+  private[table] def statLt(dt: DataType, a: String, b: String): Boolean = dt match {
+    case BT | ShT | IT | LT2 | FT | DblT | _: DecT =>
+      scala.util.Try(BigDecimal(a) < BigDecimal(b)).getOrElse(a < b)
+    case _ => a < b
+  }
+
+  private[table] def splitConjuncts(e: CExpr): Seq[CExpr] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast}
+
+  /** resolved attribute name, looking through numeric/date upcasts */
+  private def attrName(e: CExpr): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Cast(a: AttributeReference, _, _, _) => Some(a.name)
+    case _ => None
+  }
+
+  /** literal rendered into the stat-string domain of its own type:
+    * numerics as numbers, dates as ISO strings, strings verbatim */
+  private def litInfo(e: CExpr): Option[(String, DataType)] = e match {
+    case Literal(v, dt) if v != null => dt match {
+      case DateType => Some((java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong).toString, DateType))
+      case StringType => Some((v.toString, StringType))
+      case t: NumericType => Some((v.toString, t))
+      case _ => None
+    }
+    case Cast(Literal(v, _), _, _, _) => None // conservative on cast literals
+    case _ => None
+  }
+
+  /** Conservative may-match: false only when partition values or footer
+    * stats PROVE no row in the file can satisfy the conjunct. */
+  private[table] def fileMayMatch(c: CExpr, f: DataFile,
+      partitionCols: Seq[String]): Boolean = {
+    def le(dt: DataType, a: String, b: String) = !statLt(dt, b, a)
+    def check(name: String, dt: DataType, statOp: ColumnStats => Boolean,
+        partOp: String => Boolean): Boolean =
+      if (partitionCols.contains(name))
+        f.partitionValues.get(name).forall(v =>
+          v == "__HIVE_DEFAULT_PARTITION__" || partOp(v))
+      else f.stats.flatMap(_.get(name)).forall(statOp)
+    def cmp(a: CExpr, l: CExpr)(statOp: (DataType, String, ColumnStats) => Boolean,
+        partOp: (DataType, String, String) => Boolean): Boolean =
+      (attrName(a), litInfo(l)) match {
+        case (Some(n), Some((v, dt))) =>
+          check(n, dt, st => statOp(dt, v, st), pv => partOp(dt, v, pv))
+        case _ => true
+      }
+    c match {
+      case EqualTo(a, l) if attrName(a).isDefined =>
+        cmp(a, l)((dt, v, st) => le(dt, st.min, v) && le(dt, v, st.max),
+          (dt, v, pv) => pv == v)
+      case EqualTo(l, a) if attrName(a).isDefined =>
+        fileMayMatch(EqualTo(a, l), f, partitionCols)
+      case GreaterThan(a, l) =>
+        cmp(a, l)((dt, v, st) => statLt(dt, v, st.max), (dt, v, pv) => statLt(dt, v, pv))
+      case GreaterThanOrEqual(a, l) =>
+        cmp(a, l)((dt, v, st) => le(dt, v, st.max), (dt, v, pv) => le(dt, v, pv))
+      case LessThan(a, l) =>
+        cmp(a, l)((dt, v, st) => statLt(dt, st.min, v), (dt, v, pv) => statLt(dt, pv, v))
+      case LessThanOrEqual(a, l) =>
+        cmp(a, l)((dt, v, st) => le(dt, st.min, v), (dt, v, pv) => le(dt, pv, v))
+      case IsNull(a) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        if (partitionCols.contains(n))
+          f.partitionValues.get(n).forall(_ == "__HIVE_DEFAULT_PARTITION__")
+        else f.stats.flatMap(_.get(n)).forall(_.nullCount > 0)
+      case IsNotNull(a) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        if (partitionCols.contains(n))
+          f.partitionValues.get(n).forall(_ != "__HIVE_DEFAULT_PARTITION__")
+        else true
+      case _ => true // unsupported shape: never prune
+    }
+  }
 
   /** Create a new table (reference DDL IcebergLoadActivityTask.scala:17-40). */
   def create(spark: SparkSession, location: String, name: String, schema: StructType,

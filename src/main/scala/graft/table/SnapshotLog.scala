@@ -5,6 +5,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
+/** Per-column min/max/null-count captured from the parquet footer at commit
+  * time — the manifest-entry stats that let the driver skip whole files for
+  * point/range predicates without opening them (Iceberg's manifest pruning,
+  * reference SURVEY.md §4 "file skipping via column stats"). Values are
+  * stored as strings; comparison semantics come from the table schema. */
+case class ColumnStats(min: String, max: String, nullCount: Long)
+
 /**
  * A single immutable data file tracked by the snapshot log.
  *
@@ -24,7 +31,8 @@ case class DataFile(
     path: String,
     partitionValues: Map[String, String],
     records: Long,
-    sizeBytes: Long)
+    sizeBytes: Long,
+    stats: Option[Map[String, ColumnStats]] = None)
 
 /**
  * One committed table version. Mirrors the reference's Iceberg snapshot

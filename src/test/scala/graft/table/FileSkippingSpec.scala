@@ -1,0 +1,86 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+class FileSkippingSpec extends SparkTestBase {
+
+  // unpartitioned table, 4 appends with disjoint key ranges -> 4+ files whose
+  // footer stats are the only way to skip
+  private lazy val table: GraftTable = {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("skip"), "skip", StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("d", DateType), StructField("v", DoubleType))))
+    for (b <- 0 until 4) {
+      val df = ((b * 1000) until (b * 1000 + 100)).map(i =>
+        (i.toLong, s"g$b", java.sql.Date.valueOf(s"2024-0${b + 1}-15"), i * 1.5))
+        .toDF("id", "grp", "d", "v")
+      t.append(df.coalesce(1))
+    }
+    t
+  }
+
+  test("commit captures per-file min/max stats") {
+    val files = table.meta.currentSnapshot.get.files
+    assert(files.size >= 4)
+    val f0 = files.find(_.stats.exists(_.get("id").exists(_.min == "0"))).get
+    val st = f0.stats.get
+    assert(st("id").max === "99")
+    assert(st("grp").min === "g0" && st("grp").max === "g0")
+    assert(st("d").min === "2024-01-15") // date normalized to ISO
+  }
+
+  test("point equality prunes to a single file before the scan") {
+    val df = table.scanWhere(col("id") === 1050L)
+    assert(df.inputFiles.length === 1)
+    assert(df.count() === 1)
+    // unpruned baseline reads everything
+    assert(table.toDF.filter(col("id") === 1050L).inputFiles.length >= 4)
+  }
+
+  test("range predicates prune by numeric order, not string order") {
+    // id >= 3000 must keep ONLY batch 3 (string compare would also keep
+    // e.g. min="0" files if compared lexically)
+    val df = table.scanWhere(col("id") >= 3000L)
+    assert(df.inputFiles.length === 1)
+    assert(df.count() === 100)
+  }
+
+  test("string and date predicates prune lexically/chronologically") {
+    assert(table.scanWhere(col("grp") === "g2").inputFiles.length === 1)
+    val df = table.scanWhere(col("d") < lit("2024-02-01").cast("date"))
+    assert(df.inputFiles.length === 1)
+    assert(df.count() === 100)
+  }
+
+  test("conjunctions intersect pruning; contradictions read zero files") {
+    val df = table.scanWhere(col("id") >= 1000L && col("id") < 2000L)
+    assert(df.inputFiles.length === 1)
+    val none = table.scanWhere(col("id") === 1050L && col("grp") === "g3")
+    assert(none.inputFiles.isEmpty && none.count() === 0)
+  }
+
+  test("pruning is conservative: unsupported predicates keep all files, results stay correct") {
+    val df = table.scanWhere(length(col("grp")) === 2) // not a stat-prunable shape
+    assert(df.inputFiles.length >= 4)
+    assert(df.count() === 400)
+    // correctness equivalence with plain filter
+    assert(table.scanWhere(col("v") > 4000.0).count() ===
+      table.toDF.filter(col("v") > 4000.0).count())
+  }
+
+  test("partitioned tables combine partition-value and stats pruning") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("skip-part"), "skip2", StructType(Seq(
+      StructField("id", LongType), StructField("part", StringType))),
+      partitionCols = Seq("part"))
+    t.append((0 until 100).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part").coalesce(1))
+    t.append((1000 until 1100).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part").coalesce(1))
+    val df = t.scanWhere(col("part") === "p0" && col("id") >= 1000L)
+    assert(df.inputFiles.length === 1)
+    assert(df.count() === 50)
+  }
+}
