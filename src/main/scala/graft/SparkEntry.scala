@@ -128,6 +128,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // exact distinct-count per group (two-phase partial aggregation)
+    "q11_count_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // HLL sketch variant — the O(1)-memory scale path (rows-only check:
+    // approx values are engine-specific by design)
+    "q12_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // --- text analysis over documents -----------------------------------
 
     "x_token_stats" -> ((s, dir) =>
@@ -402,6 +419,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
          sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q11_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+         count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "x_token_stats" ->
       """SELECT source, count(*) AS n_docs,

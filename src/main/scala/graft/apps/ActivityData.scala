@@ -95,6 +95,19 @@ object ActivityData {
     ).toDF("account", "txn_date", "txn_id", "merchant", "amount", "category", "last_updated")
   }
 
+  /** S1 CSV scan (reference IcebergLoadActivityTask.scala:51-63): day-folder
+    * CSV with header and the explicit 7-column schema. */
+  def readDayCsv(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("csv")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+      .schema(schema)
+      .load(dir)
+
+  /** Classpath location of the generated CSV day fixtures (dev layout). */
+  def csvFixturesDir: Option[String] =
+    Option(getClass.getResource("/input")).map(_.getPath)
+
   /** Clean batch for the WAP accept path. */
   def cleanBatch(spark: SparkSession): DataFrame =
     df(spark, (61 to 75).map(i => row(i, "2024-03-10")))

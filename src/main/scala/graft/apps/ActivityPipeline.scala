@@ -24,13 +24,20 @@ object ActivityPipeline {
     val table = GraftTable.create(spark, location, "finance.activity",
       ActivityData.schema, ActivityData.partitionCols, ActivityData.tableProps)
 
-    // reference :99-105 — one merge-keyed load + branch per day
-    val days = Seq(
-      "day1" -> ActivityData.day1(spark),
-      "day2" -> ActivityData.day2(spark),
-      "day3" -> ActivityData.day3(spark),
-      "day4" -> ActivityData.day4(spark),
-      "day5" -> ActivityData.day5(spark))
+    // reference :99-105 — one merge-keyed CSV load + branch per day.
+    // Ingestion is the S1 path: day-folder CSVs with header + explicit
+    // schema (falls back to in-memory batches when fixtures are absent).
+    val csvDays = Seq("2024-03-02", "2024-03-03", "2024-03-05", "2024-03-08", "2024-03-09")
+    val days: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      ActivityData.csvFixturesDir match {
+        case Some(base) => csvDays.zipWithIndex.map { case (d, i) =>
+          s"day${i + 1}" -> ActivityData.readDayCsv(spark, s"$base/$d")
+        }
+        case None => Seq(
+          "day1" -> ActivityData.day1(spark), "day2" -> ActivityData.day2(spark),
+          "day3" -> ActivityData.day3(spark), "day4" -> ActivityData.day4(spark),
+          "day5" -> ActivityData.day5(spark))
+      }
     days.foreach { case (branch, df) =>
       table.merge(df, ActivityData.mergeKeys, ActivityData.updateCols)
       table.createOrReplaceBranch(branch)

@@ -55,8 +55,12 @@ object WapPipeline {
     val published = loadWithAudit(spark, table, ActivityData.cleanBatch(spark))
     println(s"clean batch published=$published count=${table.toDF.count()}")
 
-    // bad load (nulls) is rejected (reference :91-92 + input/2024-03-10)
-    val published2 = loadWithAudit(spark, table, ActivityData.badBatch(spark))
+    // bad load (nulls) is rejected (reference :91-92 + input/2024-03-10);
+    // read through the CSV ingestion path when the fixture exists
+    val badBatch = ActivityData.csvFixturesDir
+      .map(base => ActivityData.readDayCsv(spark, s"$base/2024-03-10"))
+      .getOrElse(ActivityData.badBatch(spark))
+    val published2 = loadWithAudit(spark, table, badBatch)
     println(s"bad batch published=$published2 count=${table.toDF.count()}")
   }
 

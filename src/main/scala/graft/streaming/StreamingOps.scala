@@ -43,6 +43,26 @@ object StreamingOps {
         col("n"), col("value_sum"))
 
   /**
+   * Stream into a snapshot-versioned graft table: every micro-batch becomes
+   * one atomic snapshot commit (append, or merge-upsert when `mergeKeys` is
+   * given), so readers always see a consistent version and time travel /
+   * WAP work on streaming ingestion exactly as on batch loads. This is the
+   * `foreachBatch` idiom — the streaming analogue of the reference's daily
+   * micro-ingestion loop.
+   */
+  def writeToGraftTable(df: DataFrame, table: graft.table.GraftTable,
+      checkpointDir: String, mergeKeys: Seq[String] = Seq.empty,
+      updateCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (mergeKeys.isEmpty) { table.append(batch); () }
+        else { table.merge(batch, mergeKeys, updateCols); () }
+      }
+      .start()
+
+  /**
    * Continuous gap-based sessionization: emits one SessionUpdate per closed
    * session (event-time gap > gapMs, enforced via processing of later
    * events per key; a production build would add an event-time timeout).
