@@ -324,6 +324,17 @@ object SparkEntry {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
+    // file skipping: scanWhere prunes files via footer stats + partition
+    // values before the scan; result must equal the plain filtered read
+    "t_stat_pruned_scan" -> ((s, dir) => {
+      val t = TableFixtures.ordersVersioned(s, dir)
+      t.scanWhere(col("o_orderkey") < 1000 && col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // M1-M5: metadata introspection — snapshot operations on the log
     "t_metadata" -> ((s, dir) => {
       val t = TableFixtures.ordersVersioned(s, dir)
@@ -597,6 +608,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
          sum(cast(o_totalprice AS decimal(18,2))) AS total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "t_stat_pruned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY 1""",
 
     "t_sql_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
