@@ -132,6 +132,9 @@ object GraftFunctions {
   def vec_cosine(a: Column, b: Column): Column =
     bridge.column(VecCosine(bridge.expression(a), bridge.expression(b)))
 
+  def wrapping_affine(c: Column, a: Long, b: Long): Column =
+    bridge.column(WrappingAffine(bridge.expression(c), a, b))
+
   def array_eq_count(a: Column, b: Column): Column =
     bridge.column(ArrayLongEqCount(bridge.expression(a), bridge.expression(b)))
 
@@ -193,4 +196,26 @@ case class ArrayLongEqCount(left: Expression, right: Expression) extends BinaryE
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayLongEqCount =
     copy(left = l, right = r)
+}
+
+/** Wrapping affine transform `a*x + b` over longs (Java two's-complement
+  * semantics) — the minhash permutation family. A plain Column multiply
+  * would throw under ANSI mode; hash mixing WANTS the wraparound. */
+case class WrappingAffine(child: Expression, a: Long, b: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wrapping_affine requires a bigint column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[Long] * a + b
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $c * ${a}L + ${b}L;")
+
+  override protected def withNewChildInternal(newChild: Expression): WrappingAffine =
+    copy(child = newChild)
 }

@@ -42,18 +42,55 @@ object Dedup {
 
   // --- MinHash + LSH -----------------------------------------------------
 
+  /** splitmix64-derived odd multipliers/offsets for the affine minhash
+    * family h_i(x) = a_i * xxhash64(x) + b_i (wrapping arithmetic). */
+  private def mixConst(i: Int): (Long, Long) = {
+    def sm(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (sm(i.toLong * 2 + 1) | 1L, sm(i.toLong * 2 + 2))
+  }
+
   /**
-   * MinHash signature over word `shingleN`-gram shingles: k independent
-   * permutations approximated by xxhash64(shingle, seed). Returns
-   * (idCol, sig array<long>). One explode + k min() aggregates.
+   * Hashed `n`-gram shingles without materializing shingle strings: tokens
+   * are hashed once (`__th` must be a bound column of token hashes), then
+   * each shingle hash combines a window of n token hashes with
+   * position-dependent wrapping affine mixes (order-sensitive). Cuts the
+   * dominant cost of shingling — per-shingle string building + hashing.
+   */
+  private[ops] def shingleHashCol(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(0), size(th) - lit(n)), i =>
+        (0 until n).map { j =>
+          val (a, b) = mixConst(1000 + j)
+          graft.functions.GraftFunctions.wrapping_affine(
+            element_at(th, i + lit(j + 1)), a, b)
+        }.reduce((x, y) => x.bitwiseXOR(y))))
+      .otherwise(array().cast("array<long>"))
+
+  private def withTokenHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+
+  /**
+   * MinHash signature over hashed word `shingleN`-gram shingles. The k
+   * permutations are affine mixes of one base shingle hash (`a_i*h+b_i`,
+   * wrapping) — the standard one-hash minhash family. One explode + k min()
+   * aggregates with map-side partial aggregation. Returns
+   * (idCol, sig array<long>).
    */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, shingleN: Int = 3): DataFrame = {
-    val sh = TextAnalysis.shingles(col(textCol), shingleN)
-    val exploded = df
-      .select(col(idCol), explode(array_distinct(sh)).as("__shingle"))
-    val mins = (0 until k).map(i =>
-      min(xxhash64(col("__shingle"), lit(i))).as(s"__h$i"))
+    val exploded = withTokenHashes(df, textCol, idCol)
+      .select(col(idCol),
+        explode(array_distinct(shingleHashCol(col("__th"), shingleN))).as("__h0"))
+    val mins = (0 until k).map { i =>
+      val (a, b) = mixConst(i)
+      min(graft.functions.GraftFunctions.wrapping_affine(col("__h0"), a, b)).as(s"__h$i")
+    }
     exploded
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -112,24 +149,24 @@ object Dedup {
       threshold: Double, k: Int = 32, bands: Int = 8,
       shingleN: Int = 3, estimateMargin: Double = 0.15,
       maxBucketSize: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
     val rowsPerBand = k / bands
     // carry the signature through the band join: the est filter then runs
     // BEFORE the pair distinct, so non-candidates never shuffle twice
-    val banded = sigs.select(
+    val bandedRaw = sigs.select(
       col(idCol), col("minhash_sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => col("minhash_sig")(b * rowsPerBand + r)): _*))): _*))
         .as(Seq("band", "band_hash")))
-      // scale guard: degenerate buckets (stop-shingle collisions) would
-      // square; cap them — recall for those keys is already covered by the
-      // other bands
-      .withColumn("__bn", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("__bn") <= maxBucketSize)
-      .drop("__bn")
+    // scale guard: degenerate buckets (stop-shingle collisions) would
+    // square; drop them via a broadcast anti-join against the (tiny) list
+    // of oversized buckets — cheaper than a window (no sort of the banded
+    // rows). Recall for capped keys is covered by the other bands.
+    val oversized = bandedRaw.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
+      .select("band", "band_hash")
+    val banded = bandedRaw.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
     val a = banded.select(col(idCol).as("id_a"), col("minhash_sig").as("__sig_a"),
       col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("minhash_sig").as("__sig_b"),
@@ -139,8 +176,12 @@ object Dedup {
         sigEstimate(col("__sig_a"), col("__sig_b"), k) >= threshold - estimateMargin)
       .select("id_a", "id_b")
       .distinct()
-    val sets = df.select(col(idCol),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("__set"))
+    // verify on hashed shingle sets: long-array intersection is far cheaper
+    // than string-array intersection, and the Jaccard value is identical up
+    // to 64-bit hash collisions (negligible)
+    val sets = withTokenHashes(df, textCol, idCol)
+      .select(col(idCol),
+        array_distinct(shingleHashCol(col("__th"), shingleN)).as("__set"))
     estFiltered
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), Seq("id_b"))
