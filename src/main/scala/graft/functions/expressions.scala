@@ -135,6 +135,9 @@ object GraftFunctions {
   def wrapping_affine(c: Column, a: Long, b: Long): Column =
     bridge.column(WrappingAffine(bridge.expression(c), a, b))
 
+  def simhash64(tokenHashes: Column): Column =
+    bridge.column(SimHash64(bridge.expression(tokenHashes)))
+
   def array_eq_count(a: Column, b: Column): Column =
     bridge.column(ArrayLongEqCount(bridge.expression(a), bridge.expression(b)))
 
@@ -146,6 +149,8 @@ object GraftFunctions {
       "vec_cosine", exprs => VecCosine(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_eq_count", exprs => ArrayLongEqCount(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 }
 
@@ -217,5 +222,66 @@ case class WrappingAffine(child: Expression, a: Long, b: Long) extends UnaryExpr
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $c * ${a}L + ${b}L;")
 
   override protected def withNewChildInternal(newChild: Expression): WrappingAffine =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from an array of token hashes: each hash votes its bits
+  * +1/-1; the sign of each bit's vote total forms the fingerprint. One
+  * codegen'd loop per row replaces an explode + 64 conditional-sum
+  * aggregates (no shuffle at all). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<bigint> of token hashes, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+        int[] $votes = new int[64];
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          long $h = $c.getLong($i);
+          for (int $b = 0; $b < 64; $b++) {
+            if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+          }
+        }
+        long $fp = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($votes[$b] > 0) $fp |= (1L << $b);
+        }
+        ${ev.value} = $fp;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }

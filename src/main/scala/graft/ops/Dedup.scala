@@ -213,22 +213,15 @@ object Dedup {
 
   /**
    * 64-bit SimHash over word tokens: per-token xxhash64, each bit votes
-   * +1/-1, sign of the vote total forms the fingerprint bit. Computed with
-   * 64 codegen'd sum aggregates over one explode (no UDF).
-   * Output: (idCol, simhash long).
+   * +1/-1, sign of the vote total forms the fingerprint bit. Computed by
+   * the SimHash64 native expression in one codegen'd loop per row — a
+   * narrow map with no explode/shuffle. Output: (idCol, simhash long).
    */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(TextAnalysis.wordSet(col(textCol))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val votes = (0 until 64).map(bit =>
-      sum(when(shiftright(col("__h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$bit"))
-    val voted = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map(bit =>
-      when(col(s"__b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    voted.select(col(idCol), fp.as("simhash"))
-  }
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.simhash64(
+        transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
+        .as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
