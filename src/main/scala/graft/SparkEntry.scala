@@ -145,6 +145,14 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // hierarchical aggregation: ROLLUP over two keys with subtotals
+    "q13_rollup" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
     // --- text analysis over documents -----------------------------------
 
     "x_token_stats" -> ((s, dir) =>
@@ -435,6 +443,12 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
          count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q13_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "x_token_stats" ->
       """SELECT source, count(*) AS n_docs,
