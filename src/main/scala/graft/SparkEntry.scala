@@ -242,6 +242,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF (k-means cell) ANN — the alternative scale path (rows-only check)
+    "s_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-space near-duplicate pairs on a deterministic subsample
     "s_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(

@@ -118,6 +118,51 @@ object Similarity {
         round(col("__sim"), 4).as("cosine_sim"))
   }
 
+  /**
+   * IVF-style ANN: the corpus is clustered into `nCells` Voronoi cells
+   * (k-means over a deterministic sample); each query scores only the
+   * candidates in its `nProbe` nearest cells. The inverted-file layout is
+   * the list-per-cell grouping IVF indexes use — here expressed as a
+   * cell-id equi-join, which scales to shuffled billions of vectors where
+   * the LSH variant's bucket quality degrades with dimensionality.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__features")
+      .fit(corpusVec)
+    val centers = model.clusterCenters
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
+    // nProbe nearest centroids per query, computed on the driver-broadcast
+    // centroid table (nCells rows — always tiny)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val centerRows = centers.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }
+      .toSeq.toDF("__cell", "__center")
+    val probes = q.crossJoin(broadcast(centerRows))
+      .select(col("query_id"), col("__qv"), col("__cell"),
+        cosineFast(col("__qv").cast("array<double>"), col("__center")).as("__csim"))
+    val wCell = Window.partitionBy(col("query_id")).orderBy(col("__csim").desc, col("__cell").asc)
+    val probed = probes.withColumn("__cr", row_number().over(wCell))
+      .filter(col("__cr") <= nProbe)
+      .select("query_id", "__qv", "__cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id").asc)
+    probed.join(assigned, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosineFast(col("__qv"), col("__cv")).as("__sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup detection),
     * brute force over a small/sampled input. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

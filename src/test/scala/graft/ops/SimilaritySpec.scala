@@ -57,6 +57,25 @@ class SimilaritySpec extends SparkTestBase {
       .forall(_.getAs[Long]("neighbor_id") == 1L))
   }
 
+  test("ivfTopK recall: probing enough cells recovers the exact top-1") {
+    import spark.implicits._
+    // bigger corpus so k-means has structure: 3 separated clusters
+    val corpus = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d == c) 1.0f else 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + ((i * 31 + d * 7) % 13) / 130.0f }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 3, nCells = 6, nProbe = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // top-1 from the probed cells matches brute force for clustered data
+    assert(ivf === exact)
+  }
+
   test("cosineNearDupPairs finds the close pair only at high threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
