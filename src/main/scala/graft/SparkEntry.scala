@@ -188,6 +188,16 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    // content fingerprinting via the native codegen rolling hash; the
+    // distinct-count equals the md5-based count absent 64-bit collisions,
+    // which makes the custom expression oracle-checkable
+    "x_rolling_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(graft.functions.GraftFunctions.rolling_hash(
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "))).as("distinct_docs"))
+        .orderBy("lang")),
+
     // --- dedup -----------------------------------------------------------
 
     // deterministic duplicate injection: every 10th doc re-appears with
@@ -485,6 +495,11 @@ object SparkEntry {
       """SELECT lang,
          count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS distinct_fingerprints,
          count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "x_rolling_fingerprint" ->
+      """SELECT lang,
+         count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS distinct_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "d_exact_groups" ->

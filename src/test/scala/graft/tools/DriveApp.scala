@@ -42,6 +42,22 @@ object DriveApp {
     t.rewriteDataFilesSorted(Seq(asc_nulls_last("account"), desc_nulls_first("txn_id")))
     println("post-compaction count=" + t.toDF.count() + " files=" + t.meta.currentSnapshot.get.files.size)
     println("metadata: history=" + t.history.count() + " snapshots=" + t.snapshotsDF.count())
+    println("== SQL catalog: VERSION AS OF through spark.sql")
+    val wh = java.nio.file.Files.createTempDirectory("drive-wh").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ct = GraftTable.create(spark, s"$wh/fin/act", "fin.act",
+      ActivityData.schema, ActivityData.partitionCols)
+    ct.append(ActivityData.day1(spark)); ct.createOrReplaceBranch("d1")
+    ct.append(ActivityData.day2(spark))
+    println("sql current=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0)
+      + " asof-d1=" + spark.sql("SELECT count(*) FROM graft.fin.act VERSION AS OF 'd1'").collect().head.getLong(0))
+    println("== file skipping: scanWhere input files vs plain filter")
+    println("pruned=" + ct.scanWhere(col("txn_id") === "txn20").inputFiles.length
+      + " unpruned=" + ct.toDF.filter(col("txn_id") === "txn20").inputFiles.length)
+    println("== native expressions via SQL")
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("SELECT rolling_hash('graft') AS h, vec_cosine(array(1.0F,2.0F), array(2.0F,1.0F)) AS c").show()
     spark.stop()
   }
 }
