@@ -333,6 +333,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // copy-on-write DELETE: only partitions containing matches rewritten
+    "t_delete_where" -> ((s, dir) =>
+      TableFixtures.ordersDeleted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy("o_orderstatus")),
+
     // P1/P2/P4: maintenance preserves table contents
     "t_maintenance" -> ((s, dir) =>
       TableFixtures.ordersMaintained(s, dir).toDF
@@ -639,6 +647,12 @@ object SparkEntry {
     "t_wap_reject" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
          WHERE o_orderkey % 3 = 0 GROUP BY 1 ORDER BY 1""",
+
+    "t_delete_where" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
+         GROUP BY 1 ORDER BY 1""",
 
     "t_maintenance" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -138,6 +138,23 @@ object TableFixtures {
     })
 
   /**
+   * Copy-on-write DELETE fixture: orders batch 0 loaded, then
+   * high-value rows deleted. State == orders where o_orderkey%3=0 AND NOT
+   * (o_totalprice > 300000).
+   */
+  def ordersDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_deleted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_deleted"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_deleted",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.deleteWhere(col("o_totalprice") > 300000)
+      t
+    })
+
+  /**
    * Maintenance fixture: ordersVersioned pipeline + sorted compaction +
    * snapshot expiry (branch-pinned v1..v3 survive). Data state == full
    * orders; used to prove maintenance preserves contents.

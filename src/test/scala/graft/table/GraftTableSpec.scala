@@ -188,6 +188,35 @@ class GraftTableSpec extends SparkTestBase {
     assert(c === Map("web" -> 15L, "null" -> 15L))
   }
 
+  test("typed row-lambda null audit matches the columnar audit (Q7 fidelity)") {
+    // reference WapIceberg.scala:70-75 filters with a Row lambda; the
+    // product path uses the codegen-friendly columnar reduce — both must
+    // count the same invalid rows
+    val loc = tmpDir("graft-q7")
+    val t = GraftTable.create(spark, loc, "t", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    t.append(ActivityData.badBatch(spark))
+    val df = t.toDF
+    val columnar = df.filter(t.schema.fieldNames.map(col(_).isNull).reduce(_ || _)).count()
+    val typed = df.filter(row => (0 until row.length).exists(row.isNullAt)).count()
+    assert(columnar === 3 && typed === 3)
+  }
+
+  test("merge on a composite key") {
+    import spark.implicits._
+    val loc = tmpDir("graft-ck")
+    val t = GraftTable.create(spark, loc, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    t.append(Seq(("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)).toDF("k1", "k2", "v"))
+    t.merge(Seq(("a", 1, 10.0), ("c", 9, 9.0)).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+    val got = t.toDF.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(("a", 1) -> 10.0, ("a", 2) -> 2.0, ("b", 1) -> 3.0, ("c", 9) -> 9.0))
+  }
+
   test("deleteWhere rewrites only affected partitions") {
     val t = fullPipeline()
     t.deleteWhere(col("txn_date") === "2024-03-02" && col("account") === "acc1")
