@@ -291,6 +291,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // pivot: events per type per day as a wide table
+    "q14_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
     // --- snapshot-versioned table layer (SURVEY §2.1/2.2/2.3/2.5) --------
 
     // S2/S5/S6: create + 3 appends + read back
@@ -582,6 +591,15 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          GROUP BY 1 ORDER BY 1""",
+
+    "q14_pivot" ->
+      """SELECT cast(date_trunc('day', ts) AS date) AS day,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'view') AS view,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "e_sessions" ->
       """WITH ordered AS (

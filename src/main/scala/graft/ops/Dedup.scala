@@ -242,9 +242,11 @@ object Dedup {
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("seg"), col("seg_val"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("seg"), col("seg_val"))
     a.join(b, Seq("seg", "seg_val"))
-      .filter(col("id_a") < col("id_b"))
+      // hamming is one xor+popcount on values already in the join row:
+      // filter BEFORE the distinct so far pairs never shuffle again
+      .filter(col("id_a") < col("id_b") &&
+        hamming(col("fp_a"), col("fp_b")) <= maxDist)
       .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming_dist"))
       .distinct()
-      .filter(col("hamming_dist") <= maxDist)
   }
 }
