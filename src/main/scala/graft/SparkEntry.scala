@@ -641,8 +641,16 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1 ORDER BY 1""",
 
     "t_merge_upsert" ->
-      """WITH t AS (SELECT * FROM lineitem WHERE l_linenumber = 1),
-           s AS (SELECT * FROM lineitem WHERE l_linenumber = 2),
+      """WITH t AS (SELECT * FROM lineitem WHERE l_linenumber = 1
+             QUALIFY row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+                 l_extendedprice DESC, l_discount DESC, l_tax DESC,
+                 l_returnflag DESC, l_linestatus DESC, l_shipdate DESC) = 1),
+           s AS (SELECT * FROM lineitem WHERE l_linenumber = 2
+             QUALIFY row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+                 l_extendedprice DESC, l_discount DESC, l_tax DESC,
+                 l_returnflag DESC, l_linestatus DESC, l_shipdate DESC) = 1),
            merged AS (
              SELECT
                coalesce(t.l_orderkey, s.l_orderkey) AS l_orderkey,

@@ -72,9 +72,21 @@ object TableFixtures {
       val li = read(spark, sfDir, "lineitem")
       val t = GraftTable.create(spark, loc, "graft.lineitem_merged",
         li.schema, partitionCols = Seq("l_returnflag"))
-      t.append(li.filter(col("l_linenumber") === 1))
+      // the synthetic lineitem repeats (orderkey, linenumber) pairs, so both
+      // sides are deduplicated deterministically: target keeps one line-1 row
+      // per order, source keeps one line-2 row per order (max full-row order)
+      import org.apache.spark.sql.expressions.Window
+      val rowOrder = Seq(col("l_partkey").desc, col("l_suppkey").desc,
+        col("l_quantity").desc, col("l_extendedprice").desc, col("l_discount").desc,
+        col("l_tax").desc, col("l_returnflag").desc, col("l_linestatus").desc,
+        col("l_shipdate").desc)
+      def onePerOrder(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("l_orderkey")).orderBy(rowOrder: _*)))
+        .filter(col("__rn") === 1).drop("__rn")
+      t.append(onePerOrder(li.filter(col("l_linenumber") === 1)))
       t.merge(
-        li.filter(col("l_linenumber") === 2),
+        onePerOrder(li.filter(col("l_linenumber") === 2)),
         keys = Seq("l_orderkey"),
         updateCols = Seq("l_quantity", "l_extendedprice", "l_linenumber"))
       t

@@ -171,6 +171,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
       cols: Seq[String], updates: Seq[String], alignedSrc: DataFrame,
       head: Option[GraftSnapshot], current: DataFrame, keys: Seq[String],
       insertNotMatched: Boolean, branch: Option[String]): GraftSnapshot = {
+      // MERGE cardinality rule: a target row must match at most one source
+      // row; duplicate source keys would silently multiply rows through the
+      // join, so fail fast with the offending count (one cheap agg job)
+      val srcCard = alignedSrc.agg(
+        count(lit(1)).as("n"),
+        countDistinct(struct(keys.map(col).toIndexedSeq: _*)).as("d")).collect().head
+      require(srcCard.getLong(0) == srcCard.getLong(1),
+        s"MERGE source has ${srcCard.getLong(0) - srcCard.getLong(1)} duplicate " +
+          s"rows on key (${keys.mkString(", ")}); deduplicate the source first")
       // 1. which partitions contain matched keys? (column-pruned semi-join)
       val srcKeys = alignedSrc.select(keys.map(col).toIndexedSeq: _*).distinct()
       val affectedParts: Set[Map[String, String]] =

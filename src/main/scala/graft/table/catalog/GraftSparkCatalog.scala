@@ -71,7 +71,14 @@ class GraftSparkCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val meta = metaFor(ident)
-    readOnlyTable(ident, meta, meta.currentSnapshot)
+    // WAP redirect parity with the DataFrame API (reference
+    // WapIceberg.scala:13-15): a session with spark.graft.wap.branch set
+    // reads the staged branch through plain SQL table names too
+    val wap = Option(spark.conf.getOption("spark.graft.wap.branch").orNull)
+      .filter(_ => meta.props.getOrElse("write.wap.enabled", "false") == "true")
+      .filter(meta.refs.contains)
+    val snap = wap.flatMap(meta.snapshotForRef).orElse(meta.currentSnapshot)
+    readOnlyTable(ident, meta, snap)
   }
 
   /** VERSION AS OF — branch name or snapshot id (reference

@@ -217,6 +217,20 @@ class GraftTableSpec extends SparkTestBase {
     assert(got === Map(("a", 1) -> 10.0, ("a", 2) -> 2.0, ("b", 1) -> 3.0, ("c", 9) -> 9.0))
   }
 
+  test("merge rejects a source with duplicate keys") {
+    import spark.implicits._
+    val loc = tmpDir("graft-dupkey")
+    val t = GraftTable.create(spark, loc, "t", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    val dupSrc = ActivityData.day4(spark).unionByName(
+      ActivityData.day4(spark).limit(1))
+    val e = intercept[IllegalArgumentException](
+      t.merge(dupSrc, Seq("txn_id"), ActivityData.updateCols))
+    assert(e.getMessage.contains("duplicate"))
+    assert(t.toDF.count() === 15) // no partial commit
+  }
+
   test("deleteWhere rewrites only affected partitions") {
     val t = fullPipeline()
     t.deleteWhere(col("txn_date") === "2024-03-02" && col("account") === "acc1")

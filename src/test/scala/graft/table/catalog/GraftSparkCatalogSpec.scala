@@ -78,6 +78,22 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("SQL reads honor the WAP branch redirect like the DataFrame API") {
+    warehouse
+    val t = graft.table.GraftTable.load(spark, s"$warehouse/finance/activity")
+    spark.conf.set("spark.graft.wap.branch", "sql_wap")
+    try {
+      t.append(ActivityData.cleanBatch(spark)) // staged on sql_wap
+      assert(spark.sql("SELECT count(*) FROM graft.finance.activity")
+        .collect().head.getLong(0) === 60) // 45 + 15 staged, visible in-session
+    } finally {
+      spark.conf.unset("spark.graft.wap.branch")
+      t.dropBranch("sql_wap")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.finance.activity")
+      .collect().head.getLong(0) === 45) // staged rows never reached main
+  }
+
   test("DDL via the catalog: CREATE TABLE / list / DROP") {
     warehouse
     spark.sql(
