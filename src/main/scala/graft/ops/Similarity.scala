@@ -133,7 +133,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__features")
+    // few iterations suffice: cells only need to partition space sensibly,
+    // not converge — ANN recall comes from nProbe, not centroid precision
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__features")
       .fit(corpusVec)
     val centers = model.clusterCenters
     val assigned = model.transform(corpusVec)
