@@ -153,6 +153,16 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // scalar string functions: LIKE, substring bucketing, concat, length
+    "q15_string_funcs" -> ((s, dir) =>
+      T(s, dir, "part")
+        .filter(col("p_name").like("%gold%") || col("p_type").like("STANDARD%"))
+        .groupBy(substring(col("p_name"), 1, 3).as("name_prefix"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("p_name"))).as("name_chars"),
+          max(upper(concat(col("p_brand"), lit("/"), col("p_type")))).as("max_brand_type"))
+        .orderBy("name_prefix")),
+
     // --- text analysis over documents -----------------------------------
 
     "x_token_stats" -> ((s, dir) =>
@@ -483,6 +493,13 @@ object SparkEntry {
          sum(cast(o_totalprice AS decimal(18,2))) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q15_string_funcs" ->
+      """SELECT substring(p_name, 1, 3) AS name_prefix, count(*) AS n,
+         sum(length(p_name)) AS name_chars,
+         max(upper(p_brand || '/' || p_type)) AS max_brand_type
+         FROM part WHERE p_name LIKE '%gold%' OR p_type LIKE 'STANDARD%'
+         GROUP BY 1 ORDER BY 1""",
 
     "x_token_stats" ->
       """SELECT source, count(*) AS n_docs,

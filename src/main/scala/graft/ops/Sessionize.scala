@@ -44,6 +44,23 @@ object Sessionize {
         round(sum(col(valueCol)), 2).as("total_value"))
   }
 
+  /**
+   * Spark-native variant: `session_window` (gap-merging event-time windows)
+   * — same session boundaries as [[sessionize]] for a given gap, usable in
+   * both batch and streaming with watermarks. One aggregation, no explicit
+   * lag/cumsum plumbing.
+   */
+  def sessionWindowStats(events: DataFrame, gap: String,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Per-user rollup across sessions. */
   def userSessionSummary(events: DataFrame, gapMs: Long,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {

@@ -52,6 +52,16 @@ class SessionizeSpec extends SparkTestBase {
     assert(s(2L) === ((1L, 2L, 1740000L)))
   }
 
+  test("native session_window agrees with the lag/cumsum sessionizer") {
+    val sw = Sessionize.sessionWindowStats(events, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_events"))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val ours = Sessionize.sessionStats(events, gap30m)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_events"))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(sw === ours) // same sessions per user (session_window gap is exclusive-boundary like ours)
+  }
+
   test("exact gap equal to threshold stays in the same session") {
     import spark.implicits._
     val e = Seq(
