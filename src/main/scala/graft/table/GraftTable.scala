@@ -180,25 +180,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
       require(srcCard.getLong(0) == srcCard.getLong(1),
         s"MERGE source has ${srcCard.getLong(0) - srcCard.getLong(1)} duplicate " +
           s"rows on key (${keys.mkString(", ")}); deduplicate the source first")
-      // 1. which partitions contain matched keys? (column-pruned semi-join)
+      // 1. which FILES contain matched keys? File-level copy-on-write: a
+      // column-pruned semi-join tagging each target row with its source
+      // file (input_file_name) finds exactly the files holding matches —
+      // a partition with a thousand files where one file matches rewrites
+      // one file (the same probe Iceberg's CoW MERGE runs over _file).
       val srcKeys = alignedSrc.select(keys.map(col).toIndexedSeq: _*).distinct()
-      val affectedParts: Set[Map[String, String]] =
-        if (m.partitionCols.isEmpty) Set(Map.empty[String, String])
-        else
-          current
-            .join(srcKeys, keys, "left_semi")
-            .select(m.partitionCols.map(col).toIndexedSeq: _*)
-            .distinct()
-            .collect()
-            .map(partitionValuesOf(_, m.partitionCols))
-            .toSet
+      val matchedFilePaths: Set[String] = current
+        .select((keys.map(col) :+ input_file_name().as("__file")).toIndexedSeq: _*)
+        .join(srcKeys, keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
 
       val headFiles = head.map(_.files).getOrElse(Seq.empty)
       val (affectedFiles, untouchedFiles) =
-        if (m.partitionCols.isEmpty) (headFiles, Seq.empty[DataFile])
-        else headFiles.partition(f => affectedParts.contains(f.partitionValues))
+        headFiles.partition(f => matchedFilePaths.exists(p => p.endsWith("/" + f.path)))
 
-      // 2. rewrite affected partitions with merged contents + all inserts
+      // 2. rewrite affected files with merged contents + all inserts
       val target =
         if (affectedFiles.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)

@@ -81,6 +81,33 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.toDF.filter($"txn_date" === "2024-03-02" && $"txn_id" === "txn10").count() === 0)
   }
 
+  test("merge rewrites only the FILES containing matched keys (file-level CoW)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-filecow")
+    val t = GraftTable.create(spark, loc, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))),
+      partitionCols = Seq("part"))
+    // two files in the SAME partition with disjoint key ranges
+    t.append(Seq((1L, "p", 1.0), (2L, "p", 2.0)).toDF("k", "part", "v").coalesce(1))
+    t.append(Seq((10L, "p", 10.0), (11L, "p", 11.0)).toDF("k", "part", "v").coalesce(1))
+    val before = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    assert(before.size === 2)
+    // merge touches only keys of the second file
+    t.merge(Seq((10L, "p", 100.0)).toDF("k", "part", "v"), Seq("k"))
+    val after = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    // the first file survives untouched; the second was rewritten
+    val survivors = before.intersect(after)
+    assert(survivors.size === 1)
+    val survivorRows = spark.read.schema(t.schema).option("basePath", t.dataDir)
+      .parquet(s"${t.dataDir}/${survivors.head}").select("k").collect().map(_.getLong(0)).toSet
+    assert(survivorRows === Set(1L, 2L))
+    assert(t.toDF.count() === 4)
+    assert(t.toDF.filter($"k" === 10L).collect().head.getAs[Double]("v") === 100.0)
+  }
+
   test("merge leaves untouched partitions' files alone (partition-level CoW)") {
     val t = fullPipeline()
     // day5 merge touched only 2024-03-05 (updates) + 2024-03-09 (inserts);
