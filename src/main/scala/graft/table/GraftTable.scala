@@ -26,10 +26,10 @@ import org.apache.spark.sql.types._
  *    partition pruning, column pruning and parquet predicate pushdown.
  *  - Writes land in a staging dir, are moved into hive-style partition dirs,
  *    and become visible only via an atomic metadata commit (SnapshotLog).
- *  - Merge is copy-on-write at partition granularity: only partitions that
- *    contain matched keys are rewritten; inserts append to their target
- *    partitions. Finding affected partitions is a column-pruned semi-join on
- *    the merge key — the same scan Iceberg's RewriteMergeIntoTable pays
+ *  - Merge and delete are copy-on-write at FILE granularity: only the files
+ *    containing matched rows are rewritten (input_file_name probe in a
+ *    column-pruned semi-join); inserts append to their target partitions —
+ *    the same probe-then-rewrite shape as Iceberg's RewriteMergeIntoTable
  *    (reference IcebergLoadActivityTask.scala:68-76).
  */
 class GraftTable(val spark: SparkSession, val location: String) {
@@ -135,10 +135,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
    *    take the source value, others keep the target value;
    *  - unmatched source rows are inserted whole (`WHEN NOT MATCHED INSERT *`).
    *
-   * Copy-on-write at partition granularity: only partitions holding matched
+   * Copy-on-write at file granularity: only the files holding matched
    * target rows are rewritten; pure inserts just add files. Handles merge
    * keys that move a row across partitions (the update rewrites the old
-   * partition and the row lands in its new partition's fresh file).
+   * file and the row lands in its new partition's fresh file).
    *
    * `source` must be unique per key (standard MERGE cardinality rule).
    */
@@ -237,24 +237,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
 
   /** Copy-on-write DELETE (reference tblproperty write.delete.mode=copy-on-write,
-    * IcebergLoadActivityTask.scala:29): rewrite partitions containing matches. */
+    * IcebergLoadActivityTask.scala:29): rewrite only the FILES containing
+    * matching rows (input_file_name probe, same shape as merge). */
   def deleteWhere(cond: Column, branch: Option[String] = None): GraftSnapshot =
     withCommitLock {
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val head = resolveWriteBranchHead(m, branch)
       val current = scan(head, m)
-      val affectedParts: Set[Map[String, String]] =
-        if (m.partitionCols.isEmpty) Set(Map.empty[String, String])
-        else
-          current.filter(cond)
-            .select(m.partitionCols.map(col).toIndexedSeq: _*)
-            .distinct().collect()
-            .map(partitionValuesOf(_, m.partitionCols)).toSet
+      val matchedFilePaths: Set[String] = current.filter(cond)
+        .select(input_file_name().as("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
       val headFiles = head.map(_.files).getOrElse(Seq.empty)
       val (affectedFiles, _) =
-        if (m.partitionCols.isEmpty) (headFiles, Seq.empty[DataFile])
-        else headFiles.partition(f => affectedParts.contains(f.partitionValues))
+        headFiles.partition(f => matchedFilePaths.exists(p => p.endsWith("/" + f.path)))
       if (affectedFiles.isEmpty) {
         commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch)
       } else {
