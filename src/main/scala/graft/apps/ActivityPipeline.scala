@@ -84,7 +84,7 @@ object ActivityPipeline {
     table.rewriteManifests()
     val expired = table.expireSnapshots(System.currentTimeMillis(), retainLast = 3)
     println(s"expired snapshots: ${expired.size}")
-    println(s"orphans after maintenance: ${table.removeOrphanFiles(dryRun = false).size}")
+    println(s"orphans after maintenance: ${table.removeOrphanFiles(dryRun = false, olderThanMs = Long.MaxValue).size}")
 
     // reference :167 — drop the oldest branch
     table.dropBranch("day1")

@@ -184,7 +184,8 @@ object TableFixtures {
       }
       t.rewriteDataFilesSorted(Seq(asc_nulls_last("o_custkey"), desc_nulls_first("o_orderkey")))
       t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 2)
-      t.removeOrphanFiles(dryRun = false)
+      // fixture files are seconds old; lift the in-flight-commit age guard
+      t.removeOrphanFiles(dryRun = false, olderThanMs = Long.MaxValue)
       t.rewriteManifests()
       t
     })

@@ -173,8 +173,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       insertNotMatched: Boolean, branch: Option[String]): GraftSnapshot = {
       // MERGE cardinality rule: a target row must match at most one source
       // row; duplicate source keys would silently multiply rows through the
-      // join, so fail fast with the offending count (one cheap agg job)
-      val srcCard = alignedSrc.agg(
+      // join, so fail fast with the offending count (one cheap agg job).
+      // Null-key source rows can never match (SQL MERGE joins null-unsafely)
+      // so only fully-non-null keys count toward the duplicate check.
+      val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+      val srcCard = alignedSrc.filter(keysNotNull).agg(
         count(lit(1)).as("n"),
         countDistinct(struct(keys.map(col).toIndexedSeq: _*)).as("d")).collect().head
       require(srcCard.getLong(0) == srcCard.getLong(1),
@@ -208,7 +211,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val sFlagged = alignedSrc
         .select(cols.map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
         .withColumn("__src", lit(1))
-      val joinCond = keys.map(k => t(k) <=> sFlagged(s"__s_$k")).reduce(_ && _)
+      // Null-unsafe equality, matching both the file probe above and SQL
+      // MERGE semantics: a null-key target row never matches (kept as-is),
+      // a null-key source row never matches (inserted). A null-safe <=> here
+      // would make the outcome depend on which file a null-key row sits in.
+      val joinCond = keys.map(k => t(k) === sFlagged(s"__s_$k")).reduce(_ && _)
       val joined = t.join(sFlagged, joinCond, "full_outer")
 
       val merged = joined
@@ -254,9 +261,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (affectedFiles.isEmpty) {
         commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch)
       } else {
+        // SQL DELETE removes only rows where cond is TRUE; rows where cond
+        // evaluates to NULL must be KEPT, so the keep-filter is
+        // NOT coalesce(cond, false) — a bare !cond would silently drop them
         val kept = spark.read.schema(tableSchema).option("basePath", dataDir)
           .parquet(affectedFiles.map(f => s"$dataDir/${f.path}"): _*)
-          .filter(!cond)
+          .filter(not(coalesce(cond, lit(false))))
         val newFiles = writeDataFiles(kept, tableSchema, m.partitionCols)
         commitSnapshot(m, newFiles, affectedFiles.map(_.path), "delete", branch)
       }
@@ -380,23 +390,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
   // Maintenance (reference IcebergLoadActivityTask.scala:156-165)
   // ---------------------------------------------------------------------
 
-  /** `remove_orphan_files`: delete data files referenced by no snapshot. */
-  def removeOrphanFiles(dryRun: Boolean): Seq[String] = {
-    val m = meta
-    val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
-    val dd = fs.makeQualified(new Path(dataDir))
-    if (!fs.exists(dd)) return Seq.empty
-    val listed = ArrayBuffer.empty[String]
-    val it = fs.listFiles(dd, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = dd.toUri.relativize(st.getPath.toUri).getPath
-      if (st.isFile && !rel.endsWith("_SUCCESS")) listed += rel
+  /** `remove_orphan_files`: delete data files referenced by no snapshot.
+    *
+    * Only files whose mtime is older than `olderThanMs` are candidates
+    * (Iceberg defaults to 3 days for the same reason): writeDataFiles moves
+    * files into data/ BEFORE the metadata commit, so without an age cutoff a
+    * concurrent cleanup would GC an in-flight commit's files. The listing
+    * also runs under the commit lock so same-process committers can't race.
+    */
+  def removeOrphanFiles(dryRun: Boolean,
+      olderThanMs: Long = System.currentTimeMillis() - GraftTable.OrphanFileDefaultAgeMs): Seq[String] =
+    withCommitLock {
+      val m = meta
+      val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
+      val dd = fs.makeQualified(new Path(dataDir))
+      if (fs.exists(dd)) {
+        val listed = ArrayBuffer.empty[String]
+        val it = fs.listFiles(dd, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = dd.toUri.relativize(st.getPath.toUri).getPath
+          if (st.isFile && !rel.endsWith("_SUCCESS") &&
+              st.getModificationTime < olderThanMs) listed += rel
+        }
+        val orphans = listed.filterNot(referenced.contains).toSeq
+        if (!dryRun) orphans.foreach(o => fs.delete(new Path(dataDir, o), false))
+        orphans
+      } else Seq.empty
     }
-    val orphans = listed.filterNot(referenced.contains).toSeq
-    if (!dryRun) orphans.foreach(o => fs.delete(new Path(dataDir, o), false))
-    orphans
-  }
 
   /** `rewrite_data_files(strategy=>'sort')`: compact the current snapshot
     * into one sorted file per partition (reference sort_order
@@ -525,22 +546,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
            _: DecimalType | StringType => Some(raw)
       case _ => None // timestamps/booleans/complex: not stat-pruned (round 1)
     }
-    val acc = scala.collection.mutable.Map.empty[String, (String, String, Long)]
+    // min/max and null counts accumulate independently: a row group with no
+    // non-null values (or a stringification we can't normalize) still
+    // contributes its null count. nullAcc = -1 means "unknown" — any row
+    // group with unset statistics poisons the count so IsNull pruning can
+    // never skip a file that might contain nulls.
+    val mmAcc = scala.collection.mutable.Map.empty[String, (String, String)]
+    val nullAcc = scala.collection.mutable.Map.empty[String, Long]
     r.getFooter.getBlocks.asScala.foreach { block =>
       block.getColumns.asScala.foreach { col =>
         if (col.getPath.size == 1) {
           val name = col.getPath.toDotString
           val st = col.getStatistics
           types.get(name).foreach { dt =>
+            val nulls =
+              if (st != null && !st.isEmpty && st.isNumNullsSet) st.getNumNulls
+              else -1L
+            nullAcc(name) = (nullAcc.get(name), nulls) match {
+              case (Some(prev), n) if prev >= 0 && n >= 0 => prev + n
+              case (None, n) if n >= 0 => n
+              case _ => -1L
+            }
             if (st != null && !st.isEmpty && st.hasNonNullValue) {
-              val nulls = if (st.isNumNullsSet) st.getNumNulls else 0L
               (normalize(dt, st.minAsString), normalize(dt, st.maxAsString)) match {
-                case (Some(mn), Some(mx)) => acc.get(name) match {
-                  case None => acc(name) = (mn, mx, nulls)
-                  case Some((omn, omx, on)) => acc(name) = (
+                case (Some(mn), Some(mx)) => mmAcc.get(name) match {
+                  case None => mmAcc(name) = (mn, mx)
+                  case Some((omn, omx)) => mmAcc(name) = (
                     if (GraftTable.statLt(dt, mn, omn)) mn else omn,
-                    if (GraftTable.statLt(dt, omx, mx)) mx else omx,
-                    on + nulls)
+                    if (GraftTable.statLt(dt, omx, mx)) mx else omx)
                 }
                 case _ =>
               }
@@ -549,8 +582,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
         }
       }
     }
-    if (acc.isEmpty) None
-    else Some(acc.map { case (k, (mn, mx, n)) => k -> ColumnStats(mn, mx, n) }.toMap)
+    if (mmAcc.isEmpty) None
+    else Some(mmAcc.map { case (k, (mn, mx)) =>
+      k -> ColumnStats(mn, mx, nullAcc.getOrElse(k, -1L))
+    }.toMap)
   }
 
   /**
@@ -616,6 +651,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+  /** Orphan GC ignores files younger than this (Iceberg's older_than default,
+    * 3 days) so in-flight commits' freshly moved files are never collected. */
+  val OrphanFileDefaultAgeMs: Long = 3L * 24 * 60 * 60 * 1000
+
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(location: String): Object =
     locks.computeIfAbsent(location, _ => new Object)
@@ -699,7 +738,9 @@ object GraftTable {
         val n = attrName(a).get
         if (partitionCols.contains(n))
           f.partitionValues.get(n).forall(_ == "__HIVE_DEFAULT_PARTITION__")
-        else f.stats.flatMap(_.get(n)).forall(_.nullCount > 0)
+        else
+          // prune only on a KNOWN zero null count; negative means unknown
+          f.stats.flatMap(_.get(n)).forall(_.nullCount != 0L)
       case IsNotNull(a) if attrName(a).isDefined =>
         val n = attrName(a).get
         if (partitionCols.contains(n))

@@ -188,16 +188,41 @@ object SnapshotLog {
     val dir = new Path(metadataDir(tableDir))
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    val payload = Serialization.write(stamped).getBytes("UTF-8")
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
-    try out.write(Serialization.write(stamped).getBytes("UTF-8"))
+    try out.write(payload)
     finally out.close()
     val target = metadataFile(tableDir, nextV)
+    // CAS step 1: rename refuses an existing target on HDFS, but
+    // RawLocalFileSystem (and object-store adapters) overwrite on rename —
+    // so a pre-check plus a read-back verification backs the rename up.
+    // Cross-process commits on overwrite-on-rename filesystems remain
+    // best-effort (the losing writer is detected, the window between its
+    // rename and read-back is not); same-process writers are fully
+    // serialized by GraftTable's per-location commit lock.
+    if (fs.exists(target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
+    }
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
     }
+    // CAS step 2: read back and verify our bytes are the ones that landed
+    val landed = {
+      val in = fs.open(target)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
+        in.readFully(bytes)
+        bytes
+      } finally in.close()
+    }
+    if (!java.util.Arrays.equals(landed, payload))
+      throw new IllegalStateException(
+        s"Concurrent commit overwrote $tableDir v$nextV; retry on fresh metadata")
     // advisory hint; losing a race here is harmless (readers list the dir)
     val hintTmp = new Path(dir, s".hint-${java.util.UUID.randomUUID()}")
     val h = fs.create(hintTmp, true)

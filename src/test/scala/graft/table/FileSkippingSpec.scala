@@ -72,6 +72,24 @@ class FileSkippingSpec extends SparkTestBase {
       table.toDF.filter(col("v") > 4000.0).count())
   }
 
+  test("IsNull never prunes files whose nulls hide in min/max-less row groups") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("skip-null"), "skipnull", StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType))))
+    // file A: a small parquet page/row-group layout where s has nulls; also
+    // an all-null companion column scenario: write nulls-only then values
+    t.append(Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "s").coalesce(1))
+    t.append(Seq((3L, "x"), (4L, "y")).toDF("id", "s").coalesce(1))
+    // IsNull must find the null rows: the all-null file has no s min/max
+    // (so no stats entry to prune on) and must survive the file filter
+    val nulls = t.scanWhere(col("s").isNull)
+    assert(nulls.count() === 2)
+    // the no-null file carries a KNOWN zero count and is correctly pruned
+    assert(nulls.inputFiles.length === 1)
+    assert(t.scanWhere(col("s").isNotNull).count() === 2)
+  }
+
   test("partitioned tables combine partition-value and stats pruning") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("skip-part"), "skip2", StructType(Seq(

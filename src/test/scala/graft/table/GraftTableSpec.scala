@@ -163,7 +163,7 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.asOf("day5").count() === 50)
     assert(t.toDF.count() === 50)
     // no orphans left dangling beyond expired ones
-    val orphans = t.removeOrphanFiles(dryRun = true)
+    val orphans = t.removeOrphanFiles(dryRun = true, olderThanMs = Long.MaxValue)
     assert(orphans.isEmpty)
   }
 
@@ -172,10 +172,13 @@ class GraftTableSpec extends SparkTestBase {
     // plant an orphan
     val orphan = new java.io.File(s"${t.dataDir}/txn_date=2024-03-02/zz-orphan.parquet")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
-    val dry = t.removeOrphanFiles(dryRun = true)
+    // default age threshold protects fresh files (in-flight commit guard):
+    // a seconds-old orphan must NOT be listed without an explicit cutoff
+    assert(t.removeOrphanFiles(dryRun = true).isEmpty)
+    val dry = t.removeOrphanFiles(dryRun = true, olderThanMs = Long.MaxValue)
     assert(dry === Seq("txn_date=2024-03-02/zz-orphan.parquet"))
     assert(orphan.exists())
-    val real = t.removeOrphanFiles(dryRun = false)
+    val real = t.removeOrphanFiles(dryRun = false, olderThanMs = Long.MaxValue)
     assert(real === dry)
     assert(!orphan.exists())
     assert(t.toDF.count() === 50)
@@ -266,5 +269,41 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.toDF.filter(col("txn_date") === "2024-03-02" && col("account") === "acc1").count() === 0)
     // other partitions untouched
     assert(t.toDF.filter(col("txn_date") === "2024-03-09").count() === 3)
+  }
+
+  test("deleteWhere keeps rows where the predicate evaluates to NULL") {
+    import spark.implicits._
+    val loc = tmpDir("graft-delnull")
+    val t = GraftTable.create(spark, loc, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    // null-valued rows co-located in the same file as a matching row
+    t.append(Seq(("a", java.lang.Double.valueOf(500.0)),
+      ("b", null.asInstanceOf[java.lang.Double]),
+      ("c", java.lang.Double.valueOf(10.0))).toDF("k", "v").coalesce(1))
+    t.deleteWhere(col("v") > 100)
+    // SQL DELETE semantics: only TRUE rows go; NULL-predicate rows stay
+    val kept = t.toDF.collect().map(_.getString(0)).toSet
+    assert(kept === Set("b", "c"))
+  }
+
+  test("merge treats null keys null-unsafely: target kept, source inserted") {
+    import spark.implicits._
+    val loc = tmpDir("graft-nullkey")
+    val t = GraftTable.create(spark, loc, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    // a null-key target row sharing a file with a matched key
+    t.append(Seq(("a", java.lang.Double.valueOf(1.0)),
+      (null.asInstanceOf[String], java.lang.Double.valueOf(2.0))).toDF("k", "v").coalesce(1))
+    val src = Seq(("a", java.lang.Double.valueOf(10.0)),
+      (null.asInstanceOf[String], java.lang.Double.valueOf(20.0))).toDF("k", "v")
+    t.merge(src, Seq("k"))
+    // null keys never match (SQL MERGE): target (null,2.0) kept unchanged,
+    // source (null,20.0) inserted as not-matched, 'a' updated
+    val got = t.toDF.collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toSeq.sorted
+    assert(got === Seq((None, 2.0), (None, 20.0), (Some("a"), 10.0)).sorted)
   }
 }
