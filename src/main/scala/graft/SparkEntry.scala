@@ -429,8 +429,8 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
-         sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
-         sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
+         cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(28,2)) AS sum_qty,
+         cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(28,2)) AS sum_base_price,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
@@ -441,13 +441,13 @@ object SparkEntry {
 
     "q3_join_topk" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,
-         sum(cast(o_totalprice AS decimal(18,2))) AS total_spend
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total_spend
          FROM customer JOIN orders ON c_custkey = o_custkey
          GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey ASC LIMIT 10""",
 
     "q4_multijoin_agg" ->
       """SELECT n_name, count(*) AS n_orders,
-         sum(cast(o_totalprice AS decimal(18,2))) AS revenue
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
@@ -455,8 +455,8 @@ object SparkEntry {
     "q5_window_rank" ->
       """SELECT o_orderstatus, rnk, o_orderkey, o_totalprice FROM (
            SELECT o_orderstatus, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_orderstatus
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+             cast(row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS integer) AS rnk
            FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""",
 
     "q6_distinct" ->
@@ -475,12 +475,12 @@ object SparkEntry {
 
     "q9_conditional_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
-         sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_orders
+         cast(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS bigint) AS big_orders
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q10_events_json" ->
       """SELECT event_type, count(*) AS n,
-         sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k
+         cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "q11_count_distinct" ->
@@ -490,21 +490,21 @@ object SparkEntry {
 
     "q13_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "q15_string_funcs" ->
       """SELECT substring(p_name, 1, 3) AS name_prefix, count(*) AS n,
-         sum(length(p_name)) AS name_chars,
+         cast(sum(length(p_name)) AS bigint) AS name_chars,
          max(upper(p_brand || '/' || p_type)) AS max_brand_type
          FROM part WHERE p_name LIKE '%gold%' OR p_type LIKE 'STANDARD%'
          GROUP BY 1 ORDER BY 1""",
 
     "x_token_stats" ->
       """SELECT source, count(*) AS n_docs,
-         sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS ws_tokens,
-         sum(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens
+         cast(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS bigint) AS ws_tokens,
+         cast(sum(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bigint) AS bpe_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "x_langid" ->
@@ -581,7 +581,7 @@ object SparkEntry {
              FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
            ranked AS (
              SELECT query_id, neighbor_id, sim,
-               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+               cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS integer) AS rank
              FROM scored)
          SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
@@ -604,7 +604,7 @@ object SparkEntry {
            FROM orders GROUP BY 1, 2)
          SELECT e.event_type, count(*) AS n,
            count(o.o_orderkey) AS matched,
-           sum(o.o_orderkey) AS sum_matched_orderkey
+           cast(sum(o.o_orderkey) AS bigint) AS sum_matched_orderkey
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          GROUP BY 1 ORDER BY 1""",
@@ -636,7 +636,8 @@ object SparkEntry {
            SELECT user_id, session_id, count(*) AS n_events,
              max(ms) - min(ms) AS duration_ms
            FROM sessions GROUP BY 1, 2)
-         SELECT user_id, max(session_id) AS n_sessions, sum(n_events) AS n_events,
+         SELECT user_id, cast(max(session_id) AS bigint) AS n_sessions,
+           cast(sum(n_events) AS bigint) AS n_events,
            max(n_events) AS max_session_events, max(duration_ms) AS max_session_ms
          FROM per_session GROUP BY 1 ORDER BY user_id""",
 
@@ -649,12 +650,12 @@ object SparkEntry {
 
     "t_append_read" ->
       """SELECT o_orderstatus, count(*) AS n,
-         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "t_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n,
-         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
          FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1 ORDER BY 1""",
 
     "t_merge_upsert" ->
@@ -678,9 +679,9 @@ object SparkEntry {
                coalesce(t.l_linestatus, s.l_linestatus) AS l_linestatus
              FROM t FULL OUTER JOIN s ON t.l_orderkey = s.l_orderkey)
          SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(cast(l_quantity AS decimal(18,2))) AS qty,
-           sum(cast(l_extendedprice AS decimal(18,2))) AS price,
-           sum(l_linenumber) AS sum_linenumber
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(28,2)) AS qty,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(28,2)) AS price,
+           cast(sum(l_linenumber) AS bigint) AS sum_linenumber
          FROM merged GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "t_wap_publish" ->
@@ -693,18 +694,18 @@ object SparkEntry {
 
     "t_delete_where" ->
       """SELECT o_orderstatus, count(*) AS n,
-         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
          FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
          GROUP BY 1 ORDER BY 1""",
 
     "t_maintenance" ->
       """SELECT o_orderstatus, count(*) AS n,
-         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "t_stat_pruned_scan" ->
       """SELECT o_orderpriority, count(*) AS n,
-         sum(cast(o_totalprice AS decimal(18,2))) AS total
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
          FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
          GROUP BY 1 ORDER BY 1""",
 

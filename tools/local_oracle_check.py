@@ -64,9 +64,11 @@ def main():
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             s_cols = list(spark_rel.columns)
+            s_types = dict(zip(s_cols, (str(t) for t in spark_rel.types)))
             s_rows = spark_rel.fetchall()
             o_rel = con.sql(sql)
             o_cols = list(o_rel.columns)
+            o_types = dict(zip(o_cols, (str(t) for t in o_rel.types)))
             o_rows = o_rel.fetchall()
         except Exception as e:
             print(f"[ERROR] {name}: {e}")
@@ -76,6 +78,14 @@ def main():
         oc, or_ = normalize(o_rows, o_cols)
         if sc != oc:
             print(f"[FAIL] {name}: column mismatch spark={sc} oracle={oc}")
+            n_fail += 1
+            continue
+        # the driver's hash is representation-sensitive (e.g. DuckDB HUGEINT
+        # sums land as float64 in pandas) — exact type equality is required
+        t_diff = {c: (s_types[c], o_types[c]) for c in sc
+                  if s_types[c] != o_types[c]}
+        if t_diff:
+            print(f"[FAIL] {name}: type mismatch {t_diff}")
             n_fail += 1
             continue
         if len(sr) != len(or_):
