@@ -262,10 +262,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF (k-means cell) ANN — the alternative scale path (rows-only check)
+    // IVF (k-means cell) ANN — the alternative scale path. The verification
+    // config probes ALL cells (nProbe = nCells), which makes the inverted-
+    // file pipeline exhaustive and therefore exactly equal to brute-force
+    // top-k (the DuckDB oracle); production tunes nProbe < nCells for the
+    // recall/cost trade.
     "s_ann_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
-      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 16)
         .orderBy("query_id", "rank")
     }),
 

@@ -75,6 +75,12 @@ object Similarity {
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0 // [-1, 1)
   }
 
+  /** The deterministic plane-coefficient table (seed = LSH table id), so an
+    * external oracle can replicate the exact signatures: row p is the
+    * `dim` coefficients of plane p. */
+  def planeCoefficients(seed: Int, planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dim).map(d => planeCoeff(seed, p, d)))
+
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int = 16,
       seed: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
