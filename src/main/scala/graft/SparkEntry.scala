@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOfJoin, Dedup, Sessionize, Similarity, TextAnalysis}
@@ -14,6 +14,19 @@ import graft.queries.TableFixtures
   * doubles to keep cross-engine hashes stable).
   */
 object SparkEntry {
+
+  /** Exact money/quantity sum as integer hundredths: double → decimal(18,2)
+    * (identical half-up rounding in Spark and DuckDB) → ×100 → long per row,
+    * then an exact long sum. bigint is the one output representation the
+    * driver's hash compare is proven stable on — DuckDB decimals reach the
+    * hasher through pandas float64, whose string form drops trailing zero
+    * cents, so final outputs must never be decimal-typed. */
+  private def sumCents(c: Column): Column =
+    sum((c.cast("decimal(18,2)") * 100).cast("long"))
+
+  /** DuckDB-side twin of [[sumCents]]. */
+  private def centsSql(x: String): String =
+    s"cast(sum(cast(cast($x AS decimal(18,2)) * 100 AS bigint)) AS bigint)"
 
   private def T(s: SparkSession, dir: String, t: String): DataFrame =
     if (t == "events") events(s, dir) else s.read.parquet(s"$dir/$t.parquet")
@@ -48,9 +61,13 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("count_order"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          sumCents(col("l_quantity")).as("sum_qty_x100"),
+          sumCents(col("l_extendedprice")).as("base_price_cents"),
+          // revenue stays decimal-exact until the final integer cast:
+          // price(18,2) × (1−discount(18,2)) has scale 4, so ×10000 is integral
+          sum(((col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
+            .cast("long")).as("revenue_x10k"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -67,8 +84,8 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spend"))
-        .orderBy(col("total_spend").desc, col("c_custkey").asc)
+          sumCents(col("o_totalprice")).as("spend_cents"))
+        .orderBy(col("spend_cents").desc, col("c_custkey").asc)
         .limit(10)
     }),
 
@@ -80,7 +97,7 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+          sumCents(col("o_totalprice")).as("revenue_cents"))
         .orderBy("n_name")
     }),
 
@@ -150,7 +167,7 @@ object SparkEntry {
       T(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // scalar string functions: LIKE, substring bucketing, concat, length
