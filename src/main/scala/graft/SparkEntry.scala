@@ -15,18 +15,25 @@ import graft.queries.TableFixtures
   */
 object SparkEntry {
 
-  /** Exact money/quantity sum as integer hundredths: double → decimal(18,2)
-    * (identical half-up rounding in Spark and DuckDB) → ×100 → long per row,
-    * then an exact long sum. bigint is the one output representation the
-    * driver's hash compare is proven stable on — DuckDB decimals reach the
-    * hasher through pandas float64, whose string form drops trailing zero
-    * cents, so final outputs must never be decimal-typed. */
-  private def sumCents(c: Column): Column =
-    sum((c.cast("decimal(18,2)") * 100).cast("long"))
+  /** Exact money/quantity value as integer hundredths: double → decimal(18,2)
+    * (identical rounding in Spark and DuckDB on this data) → ×100 → long. */
+  private def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
 
-  /** DuckDB-side twin of [[sumCents]]. */
+  /** Exact cents sum. Accumulates in decimal(38,0) — a long accumulator can
+    * overflow at the 100 TB design point (~1.5e11 rows × ~6e7-cent totals),
+    * which throws under Spark 4 ANSI mode — and casts the final aggregate to
+    * bigint. bigint is the one output representation the driver's hash
+    * compare is proven stable on — DuckDB decimals reach the hasher through
+    * pandas float64, whose string form drops trailing zero cents, so final
+    * outputs must never be decimal-typed. */
+  private def sumCents(c: Column): Column =
+    sum(cents(c).cast("decimal(38,0)")).cast("long")
+
+  /** DuckDB-side twin of [[sumCents]] — identical per-row cents then an
+    * exact decimal sum cast to bigint. */
   private def centsSql(x: String): String =
-    s"cast(sum(cast(cast($x AS decimal(18,2)) * 100 AS bigint)) AS bigint)"
+    s"cast(sum(cast(cast(cast($x AS decimal(18,2)) * 100 AS bigint) AS decimal(38,0))) AS bigint)"
 
   private def T(s: SparkSession, dir: String, t: String): DataFrame =
     if (t == "events") events(s, dir) else s.read.parquet(s"$dir/$t.parquet")
@@ -63,11 +70,11 @@ object SparkEntry {
           count(lit(1)).as("count_order"),
           sumCents(col("l_quantity")).as("sum_qty_x100"),
           sumCents(col("l_extendedprice")).as("base_price_cents"),
-          // revenue stays decimal-exact until the final integer cast:
-          // price(18,2) × (1−discount(18,2)) has scale 4, so ×10000 is integral
-          sum(((col("l_extendedprice").cast("decimal(18,2)")
-            * (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
-            .cast("long")).as("revenue_x10k"))
+          // revenue ×10⁴ in pure integer arithmetic: price_cents × (100 −
+          // discount_x100); exact in both engines, decimal(38,0) accumulator
+          sum((cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount"))))
+            .cast("decimal(38,0)")).cast("long").as("revenue_x10k"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -339,7 +346,7 @@ object SparkEntry {
       TableFixtures.ordersVersioned(s, dir).toDF
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
     // V1/V2: branch-pinned time travel — state as of v2 (batches 0+1)
@@ -347,7 +354,7 @@ object SparkEntry {
       TableFixtures.ordersVersioned(s, dir).asOf("v2")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
     // Q9: MERGE INTO upsert result
@@ -355,8 +362,8 @@ object SparkEntry {
       TableFixtures.lineitemMerged(s, dir).toDF
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"),
+          sumCents(col("l_quantity")).as("qty_x100"),
+          sumCents(col("l_extendedprice")).as("price_cents"),
           sum(col("l_linenumber")).as("sum_linenumber"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -379,7 +386,7 @@ object SparkEntry {
       TableFixtures.ordersDeleted(s, dir).toDF
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
     // P1/P2/P4: maintenance preserves table contents
@@ -387,7 +394,7 @@ object SparkEntry {
       TableFixtures.ordersMaintained(s, dir).toDF
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
     // V1 via SQL: the DSv2 catalog surface — VERSION AS OF a branch ref
@@ -405,7 +412,7 @@ object SparkEntry {
       t.scanWhere(col("o_orderkey") < 1000 && col("o_orderstatus") === "F")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderpriority")
     }),
 
@@ -450,10 +457,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
-         cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(28,2)) AS sum_qty,
-         cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(28,2)) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+         ${centsSql("l_quantity")} AS sum_qty_x100,
+         ${centsSql("l_extendedprice")} AS base_price_cents,
+         cast(sum(cast(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)
+           * (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint))
+           AS decimal(38,0))) AS bigint) AS revenue_x10k
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q2_filter_point" ->
@@ -462,14 +471,14 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
 
     "q3_join_topk" ->
-      """SELECT c_custkey, c_name, count(*) AS n_orders,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total_spend
+      s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+         ${centsSql("o_totalprice")} AS spend_cents
          FROM customer JOIN orders ON c_custkey = o_custkey
-         GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey ASC LIMIT 10""",
+         GROUP BY 1, 2 ORDER BY spend_cents DESC, c_custkey ASC LIMIT 10""",
 
     "q4_multijoin_agg" ->
-      """SELECT n_name, count(*) AS n_orders,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS revenue
+      s"""SELECT n_name, count(*) AS n_orders,
+         ${centsSql("o_totalprice")} AS revenue_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
@@ -511,8 +520,8 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q13_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
@@ -671,17 +680,17 @@ object SparkEntry {
     // --- table-layer oracles: deterministic recompute from raw parquet ---
 
     "t_append_read" ->
-      """SELECT o_orderstatus, count(*) AS n,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "t_time_travel" ->
-      """SELECT o_orderstatus, count(*) AS n,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1 ORDER BY 1""",
 
     "t_merge_upsert" ->
-      """WITH t AS (SELECT * FROM lineitem WHERE l_linenumber = 1
+      s"""WITH t AS (SELECT * FROM lineitem WHERE l_linenumber = 1
              QUALIFY row_number() OVER (PARTITION BY l_orderkey
                ORDER BY l_partkey DESC, l_suppkey DESC, l_quantity DESC,
                  l_extendedprice DESC, l_discount DESC, l_tax DESC,
@@ -701,8 +710,8 @@ object SparkEntry {
                coalesce(t.l_linestatus, s.l_linestatus) AS l_linestatus
              FROM t FULL OUTER JOIN s ON t.l_orderkey = s.l_orderkey)
          SELECT l_returnflag, l_linestatus, count(*) AS n,
-           cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(28,2)) AS qty,
-           cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(28,2)) AS price,
+           ${centsSql("l_quantity")} AS qty_x100,
+           ${centsSql("l_extendedprice")} AS price_cents,
            cast(sum(l_linenumber) AS bigint) AS sum_linenumber
          FROM merged GROUP BY 1, 2 ORDER BY 1, 2""",
 
@@ -715,19 +724,19 @@ object SparkEntry {
          WHERE o_orderkey % 3 = 0 GROUP BY 1 ORDER BY 1""",
 
     "t_delete_where" ->
-      """SELECT o_orderstatus, count(*) AS n,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
          GROUP BY 1 ORDER BY 1""",
 
     "t_maintenance" ->
-      """SELECT o_orderstatus, count(*) AS n,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "t_stat_pruned_scan" ->
-      """SELECT o_orderpriority, count(*) AS n,
-         cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(28,2)) AS total
+      s"""SELECT o_orderpriority, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
          GROUP BY 1 ORDER BY 1""",
 
