@@ -454,6 +454,42 @@ object SparkEntry {
       .replace("WORDSET", wordset).replace("STOP", stop)
   }
 
+  /** DuckDB recompute of [[graft.ops.Similarity.hyperplaneSignature]]: the
+    * deterministic plane-coefficient table (exposed by
+    * `Similarity.planeCoefficients` for exactly this) is embedded as double
+    * literals, so the oracle derives bit-identical bucket signatures from
+    * the raw parquet — `Double.toString` round-trips exactly through
+    * DuckDB's literal parser, and `list_sum` matches Spark's sequential
+    * `aggregate` fold. */
+  private def lshSigSql(seed: Int, planes: Int, dim: Int): String = {
+    val coeffs = graft.ops.Similarity.planeCoefficients(seed, planes, dim)
+    (0 until planes).map { p =>
+      val cs = coeffs(p).mkString(",")
+      s"""(CASE WHEN list_sum(list_transform(list_zip(v, [$cs]),
+         x -> x[1]::DOUBLE * x[2]::DOUBLE)) >= 0
+         THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" + ")
+  }
+
+  /** Exact brute-force cosine top-k SQL — the oracle for s_ann_topk, and
+    * verbatim for s_ann_ivf: with nProbe = nCells the IVF pipeline probes
+    * every cell, so its output is provably identical to brute force. */
+  private val annTopkSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_sum(list_transform(list_zip(qv, cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+             FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+           ranked AS (
+             SELECT query_id, neighbor_id, sim,
+               cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS integer) AS rank
+             FROM scored)
+         SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -601,21 +637,64 @@ object SparkEntry {
                  / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) >= 0.9
          ORDER BY id_a, id_b""",
 
-    "s_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-           c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-           scored AS (
-             SELECT query_id, neighbor_id,
-               list_sum(list_transform(list_zip(qv, cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
-               / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
-                  * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
-             FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-           ranked AS (
-             SELECT query_id, neighbor_id, sim,
-               cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS integer) AS rank
-             FROM scored)
+    "s_ann_topk" -> annTopkSql,
+
+    // with nProbe = nCells every cell is probed — IVF output is provably
+    // the brute-force result, so the oracle is annTopkSql verbatim
+    "s_ann_ivf" -> annTopkSql,
+
+    // deterministic hyperplane-signature recompute: bucket-join on
+    // (table_id, sig) exactly like Similarity.lshTopK, then exact cosine
+    // top-k over the candidates
+    "s_ann_lsh" -> {
+      val sigsUnion = (0 until 4).map(t =>
+        s"SELECT vec_id, CAST($t AS INTEGER) AS table_id, (${lshSigSql(t, 12, 64)}) AS sig FROM e")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         sigs AS ($sigsUnion),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM sigs q JOIN sigs c ON q.table_id = c.table_id AND q.sig = c.sig
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(qe.v, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(ce.v, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+           FROM cand
+           JOIN e qe ON qe.vec_id = query_id
+           JOIN e ce ON ce.vec_id = neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS integer) AS rank
+           FROM scored)
          SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // ground-truth brute force over the same order-sensitive word-2-gram
+    // shingle sets the MinHash pipeline fingerprints (hashed-set Jaccard
+    // equals string-set Jaccard absent 64-bit collisions). Every qualifying
+    // pair in this corpus family sits at J >= 0.9 — far above the 0.4
+    // threshold — so 16-band recall and the estimate pre-filter are
+    // empirically complete at the driver's scale (verified sf0.001/sf0.01)
+    "d_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         sets AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+               x -> x[1] || ' ' || x[2])) AS sh
+           FROM toks WHERE len(tk) >= 2),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+               / cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS double), 4) AS jaccard_sim
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard_sim FROM pairs
+         WHERE jaccard_sim >= 0.4 ORDER BY id_a, id_b""",
 
     "s_cosine_neardup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
