@@ -102,18 +102,27 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       planes: Int = 12, tables: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // signatures drop the vector: only (id, table_id, sig) enters the
+    // band join, so the bucket shuffle and the candidate distinct exchange
+    // two longs + an int per row — never the embedding arrays
     def signatures(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(id), col(v),
+      df.select(col(id),
         posexplode(array((0 until tables).map(t =>
           // independent plane set per table via the seed
           hyperplaneSignature(col(v), dim, planes, seed = t)): _*))
           .as(Seq("table_id", "sig")))
-    val qs = signatures(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "query_id", "__qv")
-    val cs = signatures(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "neighbor_id", "__cv")
-    val cands = qs.join(cs, Seq("table_id", "sig"))
+    val candIds = signatures(q, "query_id", "__qv")
+      .join(signatures(c, "neighbor_id", "__cv"), Seq("table_id", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select("query_id", "neighbor_id")
       .distinct()
+    // rejoin the one-row-per-id vector tables only for surviving pairs;
+    // the query side is small by contract (same as bruteForceTopK)
+    val cands = candIds
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id").asc)
     cands

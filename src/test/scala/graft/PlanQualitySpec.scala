@@ -75,6 +75,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<txn_id:string>"), plan)
   }
 
+  test("lshTopK candidate distinct exchanges id pairs only, never vectors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.ops.Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5, dim = 64)
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    val dedupAggs = plan.linesIterator.filter(_.contains("HashAggregate(keys=[query_id")).toList
+    assert(dedupAggs.nonEmpty, plan)
+    assert(dedupAggs.forall(l => !l.contains("__qv") && !l.contains("__cv")),
+      s"candidate dedup still carries embedding vectors:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
