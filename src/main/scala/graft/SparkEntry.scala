@@ -266,9 +266,12 @@ object SparkEntry {
         threshold = 0.4, k = 32, bands = 16, shingleN = 2)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup (rows-only check)
+    // SimHash near-dup. maxDist = 7 → 8 x 8-bit segments, where the
+    // pigeonhole recall guarantee holds exactly (DedupSpec proves equality
+    // with the brute-force cross join). Rows-only driver check: DuckDB
+    // cannot recompute the xxhash64-based fingerprint.
     "d_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxDist = 16)
+      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxDist = 7)
         .orderBy("id_a", "id_b")),
 
     // --- similarity search over embeddings -------------------------------

@@ -228,16 +228,31 @@ object Dedup {
 
   /**
    * SimHash near-dups: pairs with hamming distance <= maxDist. Candidate
-   * generation buckets on 4 x 16-bit fingerprint segments (any pair within
-   * distance 3 must agree on at least one segment — pigeonhole), then
-   * verifies exact distance. Avoids the O(n^2) cross join.
+   * generation buckets on `maxDist + 1` fingerprint segments: a pair with
+   * at most `maxDist` differing bits cannot differ in every one of
+   * `maxDist + 1` disjoint segments (pigeonhole), so it must agree on at
+   * least one — recall is GUARANTEED, not heuristic. Exact distance is
+   * verified on the candidates. Avoids the O(n^2) cross join.
+   *
+   * maxDist is capped at 15: more segments mean narrower ones, and a
+   * segment below 4 bits has so few distinct values that every bucket
+   * degenerates toward n^2 — past that point brute force is cheaper.
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist must be in [0, 15] for pigeonhole banding, got $maxDist")
+    val segments = maxDist + 1
+    val base = 64 / segments
+    val rem = 64 % segments
+    val widths = (0 until segments).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val fps = simhash(df, textCol, idCol)
     val banded = fps.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(seg =>
-        shiftright(col("simhash"), seg * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until segments).map { seg =>
+        val mask = if (widths(seg) == 64) -1L else (1L << widths(seg)) - 1L
+        shiftright(col("simhash"), offsets(seg)).bitwiseAND(mask)
+      }: _*))
         .as(Seq("seg", "seg_val")))
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("seg"), col("seg_val"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("seg"), col("seg_val"))

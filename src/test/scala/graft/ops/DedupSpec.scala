@@ -88,4 +88,25 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 5L)))
   }
+
+  test("simhashNearDups equals the brute-force cross join (pigeonhole recall)") {
+    // the recall guarantee is exact: banded output must EQUAL brute force,
+    // not approximate it — checked on real corpus data at two maxDist values
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (maxDist <- Seq(3, 7)) {
+      val banded = Dedup.simhashNearDups(real, "text", "doc_id", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val fps = Dedup.simhash(real, "text", "doc_id")
+      val a = fps.select(col("doc_id").as("id_a"), col("simhash").as("fp_a"))
+      val b = fps.select(col("doc_id").as("id_b"), col("simhash").as("fp_b"))
+      val brute = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.hamming(col("fp_a"), col("fp_b")).as("hamming_dist"))
+        .filter(col("hamming_dist") <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === brute, s"maxDist=$maxDist")
+      assert(brute.nonEmpty, s"maxDist=$maxDist should find near-dups in the corpus")
+    }
+  }
 }
