@@ -38,10 +38,16 @@ object ActivityPipeline {
           "day3" -> ActivityData.day3(spark), "day4" -> ActivityData.day4(spark),
           "day5" -> ActivityData.day5(spark))
       }
+    // reference :45-49 — each batch is staged in a schema-cloned tmp table
+    // (CREATE OR REPLACE … AS SELECT * LIMIT 0), then merged from the stage
+    val stagingLoc = s"$location-tmp"
     days.foreach { case (branch, df) =>
-      table.merge(df, ActivityData.mergeKeys, ActivityData.updateCols)
+      val stage = GraftTable.createLike(table, stagingLoc, "finance.activity_tmp")
+      stage.append(df)
+      table.merge(stage.toDF, ActivityData.mergeKeys, ActivityData.updateCols)
       table.createOrReplaceBranch(branch)
     }
+    GraftTable.drop(spark, stagingLoc)
 
     // reference :84-97 — metadata counts
     println(s"history: ${table.history.count()}")
@@ -50,9 +56,12 @@ object ActivityPipeline {
     println(s"manifests: ${table.manifestsDF.count()}")
     println(s"data files: ${table.filesDF.count()}")
 
-    // reference :107-111 — current table
+    // reference :107-111 — current table, incl. the per-row foreach action
     val activityTable = table.toDF
     println(s"activity count: ${activityTable.count()}")
+    // reference :110 `activityTable.foreach(println)` — the foreach runs on
+    // executors; fine for this bounded demo table, never on a 100 TB scan
+    activityTable.foreach(r => println(r))
     activityTable.show(2, truncate = false)
 
     // reference :113-123 — row counts per version

@@ -770,6 +770,21 @@ object GraftTable {
     create(spark, location, name, schema, partitionCols, props)
   }
 
+  /** Explicit CTAS schema-clone (reference IcebergLoadActivityTask.scala:45-49:
+    * `CREATE OR REPLACE TABLE … AS SELECT * FROM src LIMIT 0`): a new empty
+    * table with the source's schema, partitioning and properties — the
+    * staging-table idiom that precedes a MERGE. `withData = true` is the
+    * full-CTAS variant: the clone's first snapshot holds the source's
+    * current rows. */
+  def createLike(source: GraftTable, location: String, name: String,
+      withData: Boolean = false): GraftTable = {
+    val m = source.meta
+    val t = createOrReplace(source.spark, location, name, source.schema,
+      m.partitionCols, m.props)
+    if (withData) t.append(source.toDF)
+    t
+  }
+
   def load(spark: SparkSession, location: String): GraftTable = {
     val conf = spark.sparkContext.hadoopConfiguration
     require(SnapshotLog.exists(location, conf), s"No graft table at $location")

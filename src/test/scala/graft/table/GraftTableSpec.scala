@@ -36,6 +36,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.toDF.select("txn_date").distinct().count() === 2)
   }
 
+  test("createLike clones schema/partitioning/props, empty or with data (CTAS)") {
+    val loc = tmpDir("graft-ctas-src")
+    val src = GraftTable.create(spark, loc, "src", ActivityData.schema,
+      ActivityData.partitionCols, ActivityData.tableProps)
+    src.append(ActivityData.day1(spark))
+
+    // SELECT * LIMIT 0 shape: structure cloned, zero rows
+    val empty = GraftTable.createLike(src, tmpDir("graft-ctas-empty"), "src_tmp")
+    assert(empty.toDF.count() === 0)
+    assert(empty.schema === src.schema)
+    assert(empty.partitionCols === src.partitionCols)
+    assert(empty.meta.props === src.meta.props)
+    assert(empty.name === "src_tmp")
+
+    // full CTAS: one snapshot holding the source's current rows
+    val full = GraftTable.createLike(src, tmpDir("graft-ctas-full"), "src_copy",
+      withData = true)
+    assert(full.toDF.count() === 15)
+    assert(full.snapshotsDF.count() === 1)
+
+    // createOrReplace semantics: re-clone over an existing table succeeds
+    val again = GraftTable.createLike(src, empty.location, "src_tmp2")
+    assert(again.toDF.count() === 0 && again.name === "src_tmp2")
+  }
+
   test("daily merge pipeline yields reference row-count arithmetic 15/30/45/47/50") {
     val t = fullPipeline()
     assert(t.asOf("day1").count() === 15)

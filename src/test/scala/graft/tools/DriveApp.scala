@@ -35,6 +35,14 @@ object DriveApp {
     println("== probe: partition-pruned scan plan (filter on txn_date):")
     val plan = t.toDF.filter(col("txn_date")===lit("2024-03-02").cast("date")).queryExecution.executedPlan.toString
     println(plan.linesIterator.filter(l => l.contains("Scan") || l.contains("PartitionFilters") || l.contains("PushedFilters")).mkString("\n").take(1200))
+    println("== CTAS schema-clone (createLike) + foreach action")
+    val stage = GraftTable.createLike(t, loc + "-tmp", "finance.activity_tmp")
+    println(s"createLike empty=${stage.toDF.count()} schemaEq=${stage.schema == t.schema} partEq=${stage.partitionCols == t.partitionCols}")
+    stage.append(ActivityData.day1(spark))
+    val fe = spark.sparkContext.longAccumulator("fe")
+    stage.toDF.foreach(r => fe.add(1))
+    println(s"staged=${stage.toDF.count()} foreach-visited=${fe.value}")
+    GraftTable.drop(spark, loc + "-tmp")
     println("== maintenance: expire + orphans + sort compaction")
     t.dropBranch("day1")
     println("expired=" + t.expireSnapshots(System.currentTimeMillis()+1000, 3))
