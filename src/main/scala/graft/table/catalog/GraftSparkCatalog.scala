@@ -5,13 +5,15 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -34,10 +36,12 @@ import graft.table.{GraftSnapshot, GraftTable, SnapshotLog, TableMetadata}
  *
  * Reads resolve a snapshot (driver-side metadata lookup) and expose its
  * live file list through Spark's own vectorized `ParquetTable`, so scans get
- * stock pushdown/pruning/codegen. The catalog is read-only at the SQL layer:
- * writes go through the transactional `GraftTable` API (append/merge commit
- * protocol); `INSERT INTO` is rejected rather than silently bypassing the
- * snapshot log.
+ * stock pushdown/pruning/codegen. `INSERT INTO` appends through the
+ * transactional `GraftTable.append` commit (distributed parquet write, then
+ * one snapshot-log commit — reference IcebergLoadActivityTask.scala:64-76
+ * does all writes through SQL the same way); overwrite modes are rejected
+ * so SQL can never bypass the snapshot log, and time-travel reads stay
+ * read-only.
  */
 class GraftSparkCatalog extends TableCatalog {
 
@@ -78,7 +82,7 @@ class GraftSparkCatalog extends TableCatalog {
       .filter(_ => meta.props.getOrElse("write.wap.enabled", "false") == "true")
       .filter(meta.refs.contains)
     val snap = wap.flatMap(meta.snapshotForRef).orElse(meta.currentSnapshot)
-    readOnlyTable(ident, meta, snap)
+    sqlTable(ident, meta, snap, writable = true)
   }
 
   /** VERSION AS OF — branch name or snapshot id (reference
@@ -87,7 +91,7 @@ class GraftSparkCatalog extends TableCatalog {
     val meta = metaFor(ident)
     val snap = meta.snapshotForRef(version).getOrElse(
       throw new NoSuchTableException(ident))
-    readOnlyTable(ident, meta, Some(snap))
+    sqlTable(ident, meta, Some(snap), writable = false)
   }
 
   /** TIMESTAMP AS OF — latest main-ancestry snapshot at or before ts. */
@@ -99,7 +103,7 @@ class GraftSparkCatalog extends TableCatalog {
       .filter(s => onMain.contains(s.id) && s.timestampMs <= tsMs)
       .sortBy(_.timestampMs).lastOption
       .getOrElse(throw new NoSuchTableException(ident))
-    readOnlyTable(ident, meta, Some(snap))
+    sqlTable(ident, meta, Some(snap), writable = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -134,8 +138,8 @@ class GraftSparkCatalog extends TableCatalog {
     SnapshotLog.read(loc, spark.sparkContext.hadoopConfiguration)
   }
 
-  private def readOnlyTable(ident: Identifier, meta: TableMetadata,
-      snap: Option[GraftSnapshot]): Table = {
+  private def sqlTable(ident: Identifier, meta: TableMetadata,
+      snap: Option[GraftSnapshot], writable: Boolean): Table = {
     val loc = tableLocation(ident)
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[StructType]
@@ -145,12 +149,14 @@ class GraftSparkCatalog extends TableCatalog {
       Map("basePath" -> dataDir).asJava)
     val inner = ParquetTable(ident.toString, spark, options, paths,
       Some(schema), classOf[ParquetFileFormat])
-    new GraftReadOnlyTable(ident.toString, inner, schema)
+    if (writable) new GraftWritableTable(ident.toString, loc, inner, schema)
+    else new GraftReadOnlyTable(ident.toString, inner, schema)
   }
 }
 
-/** Read-only shell around Spark's ParquetTable: exposes BATCH_READ only, so
-  * SQL writes cannot bypass the snapshot-log commit protocol. */
+/** Read-only shell around Spark's ParquetTable: exposes BATCH_READ only.
+  * Time-travel reads (`VERSION/TIMESTAMP AS OF`) resolve to this shape, so a
+  * pinned historical snapshot can never be written through. */
 class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     tableSchema: StructType) extends Table with SupportsRead {
   override def name(): String = tableName
@@ -159,4 +165,33 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.newScanBuilder(options)
+}
+
+/** Current-state SQL table: reads like [[GraftReadOnlyTable]], and accepts
+  * `INSERT INTO` as a V1 append routed through `GraftTable.append` — the
+  * executors write parquet through the normal distributed write path and the
+  * driver commits one snapshot (WAP branch redirect applies, same as the
+  * DataFrame API). Only plain appends are declared: overwrite/truncate have
+  * no `SupportsOverwrite`/`SupportsTruncate` builder, so Spark's analyzer
+  * rejects them before any file is touched. */
+class GraftWritableTable(tableName: String, location: String,
+    inner: ParquetTable, tableSchema: StructType)
+  extends GraftReadOnlyTable(tableName, inner, tableSchema) with SupportsWrite {
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE: use GraftTable.deleteWhere/merge (commit-protocol operations)")
+              GraftTable.load(SparkSession.active, location).append(data)
+            }
+          }
+      }
+    }
 }

@@ -67,11 +67,30 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     assert(df.inputFiles.forall(_.contains("txn_date=2024-03-02")), plan)
   }
 
-  test("SQL writes are rejected (snapshot protocol cannot be bypassed)") {
+  test("INSERT INTO commits append snapshots through the catalog") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE graft.finance.sqlwrite (k STRING, v DOUBLE)
+         USING parquet PARTITIONED BY (k)""")
+    try {
+      spark.sql("INSERT INTO graft.finance.sqlwrite VALUES ('a', 1.0), ('b', 2.0)")
+      spark.sql("INSERT INTO graft.finance.sqlwrite SELECT 'c' AS k, 3.0 AS v")
+      assert(spark.sql("SELECT count(*) FROM graft.finance.sqlwrite")
+        .collect().head.getLong(0) === 3)
+      // each INSERT is one transactional append commit in the snapshot log
+      val t = GraftTable.load(spark, s"$warehouse/finance/sqlwrite")
+      assert(t.snapshotsDF.filter(col("operation") === "append").count() === 2)
+      assert(t.toDF.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        === Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+    } finally spark.sql("DROP TABLE graft.finance.sqlwrite")
+  }
+
+  test("INSERT OVERWRITE is rejected (snapshot protocol cannot be bypassed)") {
     warehouse
     val e = intercept[Exception] {
       spark.sql(
-        """INSERT INTO graft.finance.activity VALUES
+        """INSERT OVERWRITE graft.finance.activity VALUES
            ('acc1', DATE'2024-03-02', 'txnX', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00')""")
     }
     assert(e.getMessage.toLowerCase.matches("(?s).*(does not support|unsupported|not supported).*"),

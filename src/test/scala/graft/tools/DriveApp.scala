@@ -60,6 +60,12 @@ object DriveApp {
     ct.append(ActivityData.day2(spark))
     println("sql current=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0)
       + " asof-d1=" + spark.sql("SELECT count(*) FROM graft.fin.act VERSION AS OF 'd1'").collect().head.getLong(0))
+    println("== SQL write: INSERT INTO commits an append snapshot")
+    spark.sql("INSERT INTO graft.fin.act SELECT 'acc9', DATE'2024-03-02', 'txn99', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00'")
+    println("post-insert count=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0)
+      + " snapshots=" + ct.snapshotsDF.count())
+    try spark.sql("INSERT OVERWRITE graft.fin.act SELECT * FROM graft.fin.act LIMIT 1")
+    catch { case e: Exception => println("overwrite rejected: " + e.getMessage.linesIterator.next()) }
     println("== file skipping: scanWhere input files vs plain filter")
     println("pruned=" + ct.scanWhere(col("txn_id") === "txn20").inputFiles.length
       + " unpruned=" + ct.toDF.filter(col("txn_id") === "txn20").inputFiles.length)
