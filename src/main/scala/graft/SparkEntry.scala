@@ -266,12 +266,15 @@ object SparkEntry {
         threshold = 0.4, k = 32, bands = 16, shingleN = 2)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup. maxDist = 7 → 8 x 8-bit segments, where the
-    // pigeonhole recall guarantee holds exactly (DedupSpec proves equality
-    // with the brute-force cross join). Rows-only driver check: DuckDB
-    // cannot recompute the xxhash64-based fingerprint.
+    // SimHash near-dup at the canonical web-dedup distance k = 3 (Manku,
+    // Jain, Sarma, WWW'07 use exactly this for 64-bit fingerprints):
+    // 4 x 16-bit segments give a GUARANTEED-recall pigeonhole band with
+    // 65536-value buckets that stay small at scale (DedupSpec proves the
+    // output equals the brute-force cross join at maxDist 3 and 7).
+    // Rows-only driver check: DuckDB cannot recompute the xxhash64-based
+    // fingerprint.
     "d_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxDist = 7)
+      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b")),
 
     // --- similarity search over embeddings -------------------------------
