@@ -13,6 +13,9 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -141,8 +144,19 @@ class GraftSparkCatalog extends TableCatalog {
   private def sqlTable(ident: Identifier, meta: TableMetadata,
       snap: Option[GraftSnapshot], writable: Boolean): Table = {
     val loc = tableLocation(ident)
-    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+    val declared = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[StructType]
+    // Hive convention: the SQL surface lists partition columns LAST. This
+    // also makes the relation output identical to the physical scan order
+    // (data columns ++ directory-derived partition columns), so the
+    // optimizer never inserts a reordering Project between a command and
+    // the scan relation — DELETE FROM planning requires the relation to BE
+    // the scan relation. Writes align columns by NAME through
+    // GraftTable.append, so the declared order in table metadata is
+    // unaffected.
+    val schema = StructType(
+      declared.filterNot(f => meta.partitionCols.contains(f.name)) ++
+        declared.filter(f => meta.partitionCols.contains(f.name)))
     val dataDir = s"$loc/data"
     val paths = snap.map(_.files.map(f => s"$dataDir/${f.path}")).getOrElse(Seq.empty)
     val options = new CaseInsensitiveStringMap(
@@ -176,10 +190,26 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   * rejects them before any file is touched. */
 class GraftWritableTable(tableName: String, location: String,
     inner: ParquetTable, tableSchema: StructType)
-  extends GraftReadOnlyTable(tableName, inner, tableSchema) with SupportsWrite {
+  extends GraftReadOnlyTable(tableName, inner, tableSchema)
+  with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  /** `DELETE FROM … WHERE …`: the pushed filters become one Column predicate
+    * and run through `GraftTable.deleteWhere` — the same file-level
+    * copy-on-write commit as the DataFrame API (only files containing
+    * matches are rewritten; NULL-evaluating rows are kept). Predicates that
+    * don't translate make `canDeleteWhere` return false, so Spark raises a
+    * clear analysis error instead of silently deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftWritableTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cond = filters.flatMap(GraftWritableTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    GraftTable.load(SparkSession.active, location).deleteWhere(cond)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -194,4 +224,32 @@ class GraftWritableTable(tableName: String, location: String,
           }
       }
     }
+}
+
+object GraftWritableTable {
+  /** Translate Spark's pushed V1 filters to Column predicates. Returns None
+    * for any shape without an exact Column equivalent — the caller then
+    * declines the whole delete rather than approximating it. */
+  private[catalog] def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case sources.Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case sources.Not(c)                   => filterToColumn(c).map(not)
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
+    case _                                => None
+  }
 }

@@ -73,8 +73,10 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       """CREATE TABLE graft.finance.sqlwrite (k STRING, v DOUBLE)
          USING parquet PARTITIONED BY (k)""")
     try {
-      spark.sql("INSERT INTO graft.finance.sqlwrite VALUES ('a', 1.0), ('b', 2.0)")
-      spark.sql("INSERT INTO graft.finance.sqlwrite SELECT 'c' AS k, 3.0 AS v")
+      // the SQL surface lists partition columns last (Hive convention), so
+      // name the columns explicitly rather than relying on declared order
+      spark.sql("INSERT INTO graft.finance.sqlwrite (k, v) VALUES ('a', 1.0), ('b', 2.0)")
+      spark.sql("INSERT INTO graft.finance.sqlwrite (k, v) SELECT 'c' AS k, 3.0 AS v")
       assert(spark.sql("SELECT count(*) FROM graft.finance.sqlwrite")
         .collect().head.getLong(0) === 3)
       // each INSERT is one transactional append commit in the snapshot log
@@ -86,12 +88,35 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE graft.finance.sqlwrite")
   }
 
+  test("DELETE FROM runs the file-level copy-on-write commit through SQL") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE graft.finance.sqldelete (k STRING, v DOUBLE)
+         USING parquet PARTITIONED BY (k)""")
+    try {
+      spark.sql("INSERT INTO graft.finance.sqldelete (k, v) VALUES ('a', 1.0), ('a', 2.0), ('b', 3.0), ('b', 4.0)")
+      spark.sql("DELETE FROM graft.finance.sqldelete WHERE k = 'a' AND v > 1.5")
+      assert(spark.sql("SELECT k, v FROM graft.finance.sqldelete ORDER BY k, v").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        === Seq(("a", 1.0), ("b", 3.0), ("b", 4.0)))
+      // the commit is a real 'delete' snapshot in the log
+      val t = GraftTable.load(spark, s"$warehouse/finance/sqldelete")
+      assert(t.snapshotsDF.filter(col("operation") === "delete").count() === 1)
+      // DELETE with a non-translatable predicate is refused, not approximated
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft.finance.sqldelete WHERE length(k) > 5")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    } finally spark.sql("DROP TABLE graft.finance.sqldelete")
+  }
+
   test("INSERT OVERWRITE is rejected (snapshot protocol cannot be bypassed)") {
     warehouse
     val e = intercept[Exception] {
+      // values in SQL-surface order: data columns first, txn_date last
       spark.sql(
         """INSERT OVERWRITE graft.finance.activity VALUES
-           ('acc1', DATE'2024-03-02', 'txnX', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00')""")
+           ('acc1', 'txnX', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00', DATE'2024-03-02')""")
     }
     assert(e.getMessage.toLowerCase.matches("(?s).*(does not support|unsupported|not supported).*"),
       e.getMessage)

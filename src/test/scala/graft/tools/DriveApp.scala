@@ -61,7 +61,8 @@ object DriveApp {
     println("sql current=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0)
       + " asof-d1=" + spark.sql("SELECT count(*) FROM graft.fin.act VERSION AS OF 'd1'").collect().head.getLong(0))
     println("== SQL write: INSERT INTO commits an append snapshot")
-    spark.sql("INSERT INTO graft.fin.act SELECT 'acc9', DATE'2024-03-02', 'txn99', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00'")
+    spark.sql("INSERT INTO graft.fin.act (account, txn_date, txn_id, merchant, amount, category, last_updated) " +
+      "SELECT 'acc9', DATE'2024-03-02', 'txn99', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00'")
     println("post-insert count=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0)
       + " snapshots=" + ct.snapshotsDF.count())
     try spark.sql("INSERT OVERWRITE graft.fin.act SELECT * FROM graft.fin.act LIMIT 1")
