@@ -1,0 +1,191 @@
+package graft.table.catalog
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.{asc_nulls_first, asc_nulls_last, desc_nulls_first, desc_nulls_last}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.GraftTable
+
+/**
+ * The reference's maintenance-procedure SQL surface, on Spark 4's native
+ * `ProcedureCatalog` support (`CALL graft.system.<proc>(…)`):
+ *
+ *  - `fast_forward(table, branch, to)`            — reference WapIceberg.scala:81
+ *  - `remove_orphan_files(table, dry_run, older_than)` — IcebergLoadActivityTask.scala:158,163
+ *  - `rewrite_data_files(table, strategy, sort_order)` — IcebergLoadActivityTask.scala:159
+ *  - `rewrite_manifests(table)`                   — IcebergLoadActivityTask.scala:160
+ *  - `expire_snapshots(table, older_than, retain_last)` — IcebergLoadActivityTask.scala:162
+ *
+ * Each call is one driver-side commit-protocol operation on the resolved
+ * `GraftTable` (any distributed work, e.g. the compaction rewrite, runs
+ * through the normal DataFrame write path) and returns its observable result
+ * as a one-shot `LocalScan`, so `spark.sql("CALL …")` yields a result table
+ * exactly like the reference.
+ */
+private[catalog] object GraftProcedures {
+
+  val names: Seq[String] = Seq("fast_forward", "remove_orphan_files",
+    "rewrite_data_files", "rewrite_manifests", "expire_snapshots")
+
+  def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "fast_forward"        => Some(new FastForward(catalog))
+      case "remove_orphan_files" => Some(new RemoveOrphanFiles(catalog))
+      case "rewrite_data_files"  => Some(new RewriteDataFiles(catalog))
+      case "rewrite_manifests"   => Some(new RewriteManifests(catalog))
+      case "expire_snapshots"    => Some(new ExpireSnapshots(catalog))
+      case _                     => None
+    }
+
+  /** Parse an Iceberg-style sort-order string
+    * (`account ASC NULLS LAST, txn_id DESC NULLS FIRST`) into sort Columns. */
+  private[catalog] def parseSortOrder(s: String): Seq[org.apache.spark.sql.Column] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      val tokens = part.split("\\s+").toSeq
+      val name = tokens.head
+      val desc = tokens.map(_.toUpperCase).contains("DESC")
+      val nullsFirst = tokens.map(_.toUpperCase).containsSlice(Seq("NULLS", "FIRST"))
+      (desc, nullsFirst) match {
+        case (false, false) => asc_nulls_last(name)   // ASC defaults NULLS LAST here
+        case (false, true)  => asc_nulls_first(name)
+        case (true, false)  => desc_nulls_last(name)
+        case (true, true)   => desc_nulls_first(name)
+      }
+    }
+
+  private def str(v: String): UTF8String = UTF8String.fromString(v)
+
+  private abstract class GraftProcedure(catalog: GraftSparkCatalog,
+      procName: String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    protected def table(qualified: String): GraftTable = {
+      val parts = qualified.split("\\.")
+      val ident = Identifier.of(parts.init, parts.last)
+      GraftTable.load(SparkSession.active, catalog.tableLocation(ident))
+    }
+
+    protected def result(schema: StructType, resultRows: Seq[InternalRow]): java.util.Iterator[Scan] =
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows.toArray
+        override def readSchema(): StructType = schema
+      }).iterator()
+
+    protected def param(n: String, dt: DataType): ProcedureParameter =
+      ProcedureParameter.in(n, dt).build()
+    protected def param(n: String, dt: DataType, default: String): ProcedureParameter =
+      ProcedureParameter.in(n, dt).defaultValue(default).build()
+  }
+
+  /** `fast_forward(table, branch, to)`: move `branch` up to `to`'s head
+    * (ancestor-checked). Returns the branch and its new snapshot id. */
+  private class FastForward(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "fast_forward") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("branch", StringType), param("to", StringType))
+    private val out = StructType(Seq(
+      StructField("branch_updated", StringType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val branch = input.getUTF8String(1).toString
+      val to = input.getUTF8String(2).toString
+      t.fastForward(branch, to)
+      val head = t.meta.refs(branch)
+      result(out, Seq(new GenericInternalRow(Array[Any](str(branch), head))))
+    }
+  }
+
+  /** `remove_orphan_files(table, dry_run => …, older_than => …)`: list (and
+    * unless dry_run, delete) unreferenced data files older than the cutoff.
+    * One row per orphan, like the reference procedure. */
+  private class RemoveOrphanFiles(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "remove_orphan_files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("dry_run", BooleanType, "false"),
+      param("older_than", TimestampType, "NULL"))
+    private val out = StructType(Seq(
+      StructField("orphan_file_location", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val dryRun = !input.isNullAt(1) && input.getBoolean(1)
+      val orphans =
+        if (input.isNullAt(2)) t.removeOrphanFiles(dryRun)
+        else t.removeOrphanFiles(dryRun, olderThanMs = input.getLong(2) / 1000L)
+      result(out, orphans.map(p => new GenericInternalRow(Array[Any](str(p)))))
+    }
+  }
+
+  /** `rewrite_data_files(table, strategy => 'sort', sort_order => '…')`:
+    * sort-compact the current snapshot. Returns files removed/added. */
+  private class RewriteDataFiles(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "rewrite_data_files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("strategy", StringType, "'sort'"),
+      param("sort_order", StringType, "NULL"))
+    private val out = StructType(Seq(
+      StructField("rewritten_data_files_count", IntegerType, nullable = false),
+      StructField("added_data_files_count", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val strategy =
+        if (input.isNullAt(1)) "sort" else input.getUTF8String(1).toString
+      require(strategy.equalsIgnoreCase("sort"),
+        s"rewrite_data_files: unsupported strategy '$strategy' (only 'sort')")
+      val sortCols =
+        if (input.isNullAt(2)) Seq(asc_nulls_last(t.schema.fieldNames.head))
+        else parseSortOrder(input.getUTF8String(2).toString)
+      val before = t.meta.currentSnapshot.map(_.files.size).getOrElse(0)
+      val snap = t.rewriteDataFilesSorted(sortCols)
+      result(out, Seq(new GenericInternalRow(Array[Any](before, snap.files.size))))
+    }
+  }
+
+  /** `rewrite_manifests(table)`: rebuild the manifest grouping. */
+  private class RewriteManifests(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "rewrite_manifests") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("rewritten_manifests_count", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      t.rewriteManifests()
+      result(out, Seq(new GenericInternalRow(Array[Any](t.manifestsDF.count()))))
+    }
+  }
+
+  /** `expire_snapshots(table, older_than => …, retain_last => …)`: drop
+    * history older than the cutoff, keeping branch pins + the last N.
+    * One row per expired snapshot id. */
+  private class ExpireSnapshots(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "expire_snapshots") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("older_than", TimestampType, "NULL"),
+      param("retain_last", IntegerType, "1"))
+    private val out = StructType(Seq(
+      StructField("expired_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val olderThanMs =
+        if (input.isNullAt(1)) System.currentTimeMillis()
+        else input.getLong(1) / 1000L
+      val retainLast = if (input.isNullAt(2)) 1 else input.getInt(2)
+      val expired = t.expireSnapshots(olderThanMs, retainLast)
+      result(out, expired.map(id => new GenericInternalRow(Array[Any](id))))
+    }
+  }
+}

@@ -46,7 +46,7 @@ import graft.table.{GraftSnapshot, GraftTable, SnapshotLog, TableMetadata}
  * so SQL can never bypass the snapshot log, and time-travel reads stay
  * read-only.
  */
-class GraftSparkCatalog extends TableCatalog {
+class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -132,6 +132,24 @@ class GraftSparkCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.exists(spark, tableLocation(ident))
+
+  // --- maintenance procedures: CALL graft.system.<proc>(…) --------------
+  // (reference IcebergLoadActivityTask.scala:158-163, WapIceberg.scala:81)
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    val proc =
+      if (ident.namespace().toSeq == Seq("system"))
+        GraftProcedures.load(ident.name(), this)
+      else None
+    proc.getOrElse(throw new RuntimeException(
+      s"Procedure $ident not found: known procedures are " +
+        GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // -------------------------------------------------------------------
 

@@ -138,6 +138,54 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       .collect().head.getLong(0) === 45) // staged rows never reached main
   }
 
+  test("CALL system procedures mirror the reference maintenance surface") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE graft.finance.proc (k STRING, v DOUBLE)
+         USING parquet PARTITIONED BY (k)""")
+    try {
+      val t = GraftTable.load(spark, s"$warehouse/finance/proc")
+      spark.sql("INSERT INTO graft.finance.proc (k, v) VALUES ('a', 1.0), ('b', 2.0)")
+      spark.sql("INSERT INTO graft.finance.proc (k, v) VALUES ('a', 3.0)")
+      spark.sql("INSERT INTO graft.finance.proc (k, v) VALUES ('c', 4.0)")
+
+      // rewrite_data_files with the reference's named-arg sort_order
+      val rw = spark.sql(
+        """CALL graft.system.rewrite_data_files(table => 'finance.proc',
+             strategy => 'sort', sort_order => 'k ASC NULLS LAST, v DESC NULLS FIRST')""").collect()
+      assert(rw.head.getInt(0) >= 1 && rw.head.getInt(1) >= 1)
+      assert(t.toDF.count() === 4)
+
+      // expire_snapshots(named): everything but the last 2, branch pins kept
+      val before = t.snapshotsDF.count()
+      val exp = spark.sql(
+        s"""CALL graft.system.expire_snapshots(table => 'finance.proc',
+              older_than => TIMESTAMP '2030-01-01 00:00:00', retain_last => 2)""").collect()
+      assert(exp.nonEmpty && t.snapshotsDF.count() < before)
+
+      // remove_orphan_files dry run then real (reference :158,:163)
+      val dry = spark.sql(
+        "CALL graft.system.remove_orphan_files(table => 'finance.proc', dry_run => true, older_than => TIMESTAMP '2030-01-01 00:00:00')").collect()
+      val real = spark.sql(
+        "CALL graft.system.remove_orphan_files(table => 'finance.proc', older_than => TIMESTAMP '2030-01-01 00:00:00')").collect()
+      assert(dry.map(_.getString(0)).toSet === real.map(_.getString(0)).toSet)
+      assert(t.toDF.count() === 4) // live data untouched
+
+      // rewrite_manifests positional (reference :160)
+      assert(spark.sql("CALL graft.system.rewrite_manifests('finance.proc')")
+        .collect().head.getLong(0) >= 1L)
+
+      // fast_forward positional (reference WapIceberg.scala:81)
+      t.createOrReplaceBranch("main_pin")
+      spark.sql("INSERT INTO graft.finance.proc (k, v) VALUES ('d', 5.0)")
+      t.createOrReplaceBranch("feature2")
+      val ff = spark.sql(
+        "CALL graft.system.fast_forward('finance.proc', 'main_pin', 'feature2')").collect()
+      assert(ff.head.getString(0) === "main_pin")
+      assert(t.meta.refs("main_pin") === t.meta.refs("feature2"))
+    } finally spark.sql("DROP TABLE graft.finance.proc")
+  }
+
   test("DDL via the catalog: CREATE TABLE / list / DROP") {
     warehouse
     spark.sql(

@@ -67,6 +67,18 @@ object DriveApp {
       + " snapshots=" + ct.snapshotsDF.count())
     try spark.sql("INSERT OVERWRITE graft.fin.act SELECT * FROM graft.fin.act LIMIT 1")
     catch { case e: Exception => println("overwrite rejected: " + e.getMessage.linesIterator.next()) }
+    println("== SQL write: DELETE FROM runs the CoW commit")
+    spark.sql("DELETE FROM graft.fin.act WHERE txn_id = 'txn99'")
+    println("post-delete count=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0))
+    println("== CALL maintenance procedures through the catalog")
+    val rw = spark.sql("CALL graft.system.rewrite_data_files(table => 'fin.act', strategy => 'sort', sort_order => 'account ASC NULLS LAST')").collect().head
+    println(s"call-rewrite rewritten=${rw.getInt(0)} added=${rw.getInt(1)} count=${ct.toDF.count()}")
+    println("call-expire expired=" + spark.sql("CALL graft.system.expire_snapshots(table => 'fin.act', older_than => TIMESTAMP '2030-01-01 00:00:00', retain_last => 2)").collect().map(_.getLong(0)).mkString(","))
+    println("call-orphans=" + spark.sql("CALL graft.system.remove_orphan_files(table => 'fin.act', dry_run => true, older_than => TIMESTAMP '2030-01-01 00:00:00')").count()
+      + " call-manifests=" + spark.sql("CALL graft.system.rewrite_manifests('fin.act')").collect().head.getLong(0))
+    ct.createOrReplaceBranch("pin"); ct.append(ActivityData.day3(spark)); ct.createOrReplaceBranch("feat")
+    println("call-fast-forward=" + spark.sql("CALL graft.system.fast_forward('fin.act', 'pin', 'feat')").collect().head.getString(0)
+      + " pinned=" + (ct.meta.refs("pin") == ct.meta.refs("feat")))
     println("== file skipping: scanWhere input files vs plain filter")
     println("pruned=" + ct.scanWhere(col("txn_id") === "txn20").inputFiles.length
       + " unpruned=" + ct.toDF.filter(col("txn_id") === "txn20").inputFiles.length)
