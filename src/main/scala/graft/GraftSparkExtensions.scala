@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.sql.{GraftMergeRule, GraftSqlParser}
+
+/**
+ * Session extensions completing the reference's SQL surface on graft
+ * catalogs (reference IcebergSupport.scala:20 configures Iceberg's
+ * equivalent):
+ *
+ * {{{
+ * spark.sql.extensions = graft.GraftSparkExtensions
+ * }}}
+ *
+ *  - parser: `ALTER TABLE t CREATE [OR REPLACE] BRANCH b` / `DROP BRANCH`
+ *    (reference IcebergLoadActivityTask.scala:78-80);
+ *  - post-hoc resolution: `MERGE INTO` upserts rewritten to the file-level
+ *    copy-on-write [[graft.table.GraftTable.merge]]
+ *    (reference IcebergLoadActivityTask.scala:68-76).
+ *
+ * `INSERT INTO` / `DELETE FROM` / time travel / `CALL` procedures need no
+ * extension — the DSv2 catalog handles them natively.
+ */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectPostHocResolutionRule(_ => GraftMergeRule)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.GraftMergeCommand
+
+import graft.table.catalog.GraftWritableTable
+
+/**
+ * Post-hoc resolution rule translating a resolved `MERGE INTO` over a graft
+ * catalog table (reference IcebergLoadActivityTask.scala:68-76) into
+ * [[GraftMergeCommand]] — Spark's own `RewriteMergeIntoTable` skips tables
+ * without `SupportsRowLevelOperations`, so the resolved `MergeIntoTable`
+ * survives to post-hoc resolution where this rule picks it up before
+ * CheckAnalysis would reject it.
+ *
+ * Supported shape (the upsert MERGE the reference runs, and the common case):
+ *
+ *  - `ON` is a conjunction of `target.key = <expr over source>` equalities;
+ *  - at most one unconditional `WHEN MATCHED THEN UPDATE SET c = <expr over
+ *    source>` (or `UPDATE SET *`); no `WHEN MATCHED` clause means matched
+ *    rows keep their target values;
+ *  - at most one unconditional `WHEN NOT MATCHED THEN INSERT` (star or
+ *    explicit columns; unlisted columns insert NULL);
+ *  - where a column has both an update and an insert value (or is a key with
+ *    an insert value), the two must be the same source expression, because
+ *    the CoW merge reads one projected source column per target column.
+ *
+ * Everything else (conditional actions, DELETE actions, NOT MATCHED BY
+ * SOURCE, target references in SET values) raises a clear analysis-time
+ * error instead of a silent approximation.
+ */
+object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if m.resolved && isGraftTarget(m) => rewrite(m)
+    case p => p
+  }
+
+  private def isGraftTarget(m: MergeIntoTable): Boolean =
+    EliminateSubqueryAliases(m.targetTable) match {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftWritableTable]
+      case _ => false
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"MERGE INTO graft table: $msg")
+
+  private def rewrite(m: MergeIntoTable): LogicalPlan = {
+    val target = EliminateSubqueryAliases(m.targetTable)
+      .asInstanceOf[DataSourceV2Relation]
+    val location = target.table.asInstanceOf[GraftWritableTable].location
+    val targetAttrs = target.outputSet
+    val sourceAttrs = m.sourceTable.outputSet
+
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.withSchemaEvolution)
+      fail("WITH SCHEMA EVOLUTION is not supported")
+
+    // ON: each conjunct pairs one bare target column with one source-only
+    // expression — the merge keys
+    val keyPairs: Seq[(Attribute, Expression)] =
+      splitConjunctivePredicates(m.mergeCondition).map {
+        case EqualTo(l: AttributeReference, r) if targetAttrs.contains(l) &&
+            r.references.subsetOf(sourceAttrs) => l -> r
+        case EqualTo(l, r: AttributeReference) if targetAttrs.contains(r) &&
+            l.references.subsetOf(sourceAttrs) => r -> l
+        case other => fail(s"ON condition must be a conjunction of " +
+          s"target-column = source-expression equalities; got: ${other.sql}")
+      }
+    if (keyPairs.isEmpty) fail("ON condition must reference at least one key")
+    keyPairs.groupBy(_._1.name).collect { case (n, ps) if ps.size > 1 =>
+      fail(s"ON condition equates target column $n more than once") }
+
+    // WHEN MATCHED: nothing, or one unconditional UPDATE SET
+    val updateAssignments: Seq[Assignment] = m.matchedActions match {
+      case Seq() => Seq.empty
+      case Seq(u: UpdateAction) =>
+        if (u.condition.nonEmpty) fail("conditional WHEN MATCHED AND … is not supported")
+        u.assignments
+      case Seq(_: DeleteAction) | Seq(_, _*) =>
+        fail("only a single unconditional WHEN MATCHED THEN UPDATE is supported")
+    }
+    // WHEN NOT MATCHED: nothing, or one unconditional INSERT
+    val insertAssignments: Option[Seq[Assignment]] = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(i: InsertAction) =>
+        if (i.condition.nonEmpty) fail("conditional WHEN NOT MATCHED AND … is not supported")
+        Some(i.assignments)
+      case _ => fail("only a single unconditional WHEN NOT MATCHED THEN INSERT is supported")
+    }
+
+    def toMap(as: Seq[Assignment], clause: String): Map[String, Expression] =
+      as.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
+          case other => fail(s"$clause assigns to non-column ${other.sql}")
+        }
+        if (!a.value.references.subsetOf(sourceAttrs))
+          fail(s"$clause value for $name references target columns: ${a.value.sql}")
+        name -> a.value
+      }.toMap
+
+    val keyMap = keyPairs.map { case (a, e) => a.name -> e }.toMap
+    val updateMap = toMap(updateAssignments, "UPDATE SET")
+    val insertMap = insertAssignments.map(toMap(_, "INSERT")).getOrElse(Map.empty)
+
+    updateMap.keys.foreach { k =>
+      if (keyMap.contains(k)) fail(s"UPDATE SET reassigns merge key $k") }
+
+    // one projected source column per target column: the merge applies it on
+    // insert for every column and on match for the update columns, so where
+    // two clauses bind the same column the expressions must agree
+    def agree(name: String, a: Expression, b: Expression, what: String): Unit =
+      if (!a.semanticEquals(b)) fail(
+        s"$what for $name differ ($a vs $b): the copy-on-write merge reads " +
+          "one source value per column")
+    val projection: Seq[NamedExpression] = target.output.map { attr =>
+      val expr = keyMap.get(attr.name) match {
+        case Some(k) =>
+          insertMap.get(attr.name).foreach(agree(attr.name, k, _, "ON key and INSERT value"))
+          k
+        case None => (updateMap.get(attr.name), insertMap.get(attr.name)) match {
+          case (Some(u), Some(i)) => agree(attr.name, u, i, "UPDATE and INSERT values"); u
+          case (Some(u), None)    => u
+          case (None, Some(i))    => i
+          case (None, None)       => Literal(null, attr.dataType)
+        }
+      }
+      Alias(expr, attr.name)()
+    }
+
+    // no WHEN MATCHED clause: updateCols = keys makes the merge keep every
+    // matched row unchanged (keys are equal by definition on a match), since
+    // GraftTable.merge treats an EMPTY updateCols as update-all-non-keys
+    val updateCols =
+      if (updateAssignments.isEmpty) keyPairs.map(_._1.name)
+      else updateMap.keys.toSeq.sorted
+
+    GraftMergeCommand(location, Project(projection, m.sourceTable),
+      keys = keyPairs.map(_._1.name), updateCols = updateCols,
+      insertNotMatched = insertAssignments.nonEmpty)
+  }
+}

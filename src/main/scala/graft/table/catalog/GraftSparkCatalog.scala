@@ -77,6 +77,13 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    if (!GraftTable.exists(spark, tableLocation(ident))) {
+      // `SELECT * FROM cat.ns.table.history` — the reference reads all its
+      // metadata tables through SQL this way (IcebergLoadActivityTask
+      // .scala:84-97): a trailing metadata-table name resolves against the
+      // parent table when no real table shadows it
+      metadataTable(ident).foreach(return _)
+    }
     val meta = metaFor(ident)
     // WAP redirect parity with the DataFrame API (reference
     // WapIceberg.scala:13-15): a session with spark.graft.wap.branch set
@@ -153,6 +160,28 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
 
   // -------------------------------------------------------------------
 
+  private val metadataTableNames = Set(
+    "history", "snapshots", "manifests", "files", "metadata_log_entries", "refs")
+
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    val name = ident.name().toLowerCase
+    if (ns.isEmpty || !metadataTableNames.contains(name)) return None
+    val parent = Identifier.of(ns.init, ns.last)
+    val loc = tableLocation(parent)
+    if (!GraftTable.exists(spark, loc)) return None
+    val t = GraftTable.load(spark, loc)
+    val df = name match {
+      case "history"              => t.history
+      case "snapshots"            => t.snapshotsDF
+      case "manifests"            => t.manifestsDF
+      case "files"                => t.filesDF
+      case "metadata_log_entries" => t.metadataLogEntries
+      case "refs"                 => t.refsDF
+    }
+    Some(new GraftMetadataTable(s"$parent.$name", df))
+  }
+
   private def metaFor(ident: Identifier): TableMetadata = {
     val loc = tableLocation(ident)
     if (!GraftTable.exists(spark, loc)) throw new NoSuchTableException(ident)
@@ -186,6 +215,25 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   }
 }
 
+/** A metadata table (`history`, `snapshots`, `files`, …) as a SQL-readable
+  * V2 table. Metadata is driver-resident by design (it comes off the
+  * snapshot log, not the data), so the scan is a `LocalScan` — Spark plans a
+  * local table scan with no executor work, same as Iceberg's small metadata
+  * reads. */
+class GraftMetadataTable(tableName: String,
+    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        df.queryExecution.executedPlan.executeCollect()
+      override def readSchema(): StructType = df.schema
+    }
+}
+
 /** Read-only shell around Spark's ParquetTable: exposes BATCH_READ only.
   * Time-travel reads (`VERSION/TIMESTAMP AS OF`) resolve to this shape, so a
   * pinned historical snapshot can never be written through. */
@@ -206,7 +254,7 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   * DataFrame API). Only plain appends are declared: overwrite/truncate have
   * no `SupportsOverwrite`/`SupportsTruncate` builder, so Spark's analyzer
   * rejects them before any file is touched. */
-class GraftWritableTable(tableName: String, location: String,
+class GraftWritableTable(tableName: String, val location: String,
     inner: ParquetTable, tableSchema: StructType)
   extends GraftReadOnlyTable(tableName, inner, tableSchema)
   with SupportsWrite with SupportsDelete {

@@ -1,0 +1,178 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.table.GraftTable
+import graft.table.catalog.GraftSparkCatalog
+
+/** The reference's SQL write surface end-to-end through
+  * `graft.GraftSparkExtensions`: MERGE INTO upserts
+  * (reference IcebergLoadActivityTask.scala:68-76) and branch DDL
+  * (reference IcebergLoadActivityTask.scala:78-80). */
+class GraftSqlExtensionsSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sql-wh").toString
+    spark.conf.set("spark.sql.catalog.gsql", classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    wh
+  }
+
+  private def freshTable(name: String): GraftTable = {
+    warehouse
+    spark.sql(s"""CREATE TABLE gsql.fin.$name
+                  (id BIGINT, amount DOUBLE, category STRING, part STRING)
+                  USING parquet PARTITIONED BY (part)""")
+    spark.sql(s"""INSERT INTO gsql.fin.$name (id, amount, category, part) VALUES
+                  (1, 10.0, 'a', 'p1'), (2, 20.0, 'b', 'p1'), (3, 30.0, 'c', 'p2')""")
+    GraftTable.load(spark, s"$warehouse/fin/$name")
+  }
+
+  test("MERGE INTO upsert: the reference's matched-update + not-matched-insert") {
+    val t = freshTable("m1")
+    spark.range(1).createOrReplaceTempView("dual")
+    spark.sql("""SELECT * FROM (VALUES
+                   (CAST(2 AS BIGINT), 99.0, 'bb', 'p1'),
+                   (CAST(4 AS BIGINT), 40.0, 'd',  'p2'))
+                 AS src(id, amount, category, part)""").createOrReplaceTempView("m1_src")
+    spark.sql("""MERGE INTO gsql.fin.m1 AS target
+                 USING m1_src AS src
+                 ON target.id = src.id
+                 WHEN MATCHED THEN
+                   UPDATE SET target.amount = src.amount, target.category = src.category
+                 WHEN NOT MATCHED THEN
+                   INSERT *""")
+    val rows = t.toDF.orderBy("id")
+      .select("id", "amount", "category", "part").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows(1).getDouble(1) === 99.0 && rows(1).getString(2) === "bb")
+    assert(rows(0).getDouble(1) === 10.0) // unmatched target rows untouched
+    assert(rows(3).getDouble(1) === 40.0) // inserted
+    // the merge committed exactly one new snapshot with operation=merge
+    assert(t.snapshotsDF.filter(col("operation") === "merge").count() === 1)
+  }
+
+  test("MERGE INTO with no WHEN MATCHED keeps matched rows unchanged") {
+    val t = freshTable("m2")
+    spark.sql("""SELECT * FROM (VALUES
+                   (CAST(3 AS BIGINT), 999.0, 'zz', 'p2'),
+                   (CAST(5 AS BIGINT), 50.0, 'e', 'p1'))
+                 AS src(id, amount, category, part)""").createOrReplaceTempView("m2_src")
+    spark.sql("""MERGE INTO gsql.fin.m2 t USING m2_src s ON t.id = s.id
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val byId = t.toDF.orderBy("id").collect()
+    assert(byId.length === 4)
+    assert(byId(2).getDouble(1) === 30.0) // id=3 matched, NOT updated
+    assert(byId(3).getDouble(1) === 50.0) // id=5 inserted
+  }
+
+  test("MERGE INTO with no WHEN NOT MATCHED updates only") {
+    val t = freshTable("m3")
+    spark.sql("""SELECT * FROM (VALUES
+                   (CAST(1 AS BIGINT), 111.0),
+                   (CAST(9 AS BIGINT), 900.0))
+                 AS src(id, amount)""").createOrReplaceTempView("m3_src")
+    spark.sql("""MERGE INTO gsql.fin.m3 t USING m3_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET t.amount = s.amount""")
+    val rows = t.toDF.orderBy("id").collect()
+    assert(rows.length === 3)                // id=9 NOT inserted
+    assert(rows(0).getDouble(1) === 111.0)   // id=1 updated
+    assert(rows(0).getString(2) === "a")     // unlisted column keeps target value
+  }
+
+  test("MERGE INTO explicit INSERT column list: unlisted columns insert NULL") {
+    val t = freshTable("m4")
+    spark.sql("""SELECT * FROM (VALUES (CAST(7 AS BIGINT), 70.0, 'p1'))
+                 AS src(id, amount, part)""").createOrReplaceTempView("m4_src")
+    spark.sql("""MERGE INTO gsql.fin.m4 t USING m4_src s ON t.id = s.id
+                 WHEN NOT MATCHED THEN
+                   INSERT (id, amount, part) VALUES (s.id, s.amount, s.part)""")
+    val r7 = t.toDF.filter(col("id") === 7).collect().head
+    assert(r7.getDouble(1) === 70.0 && r7.isNullAt(2) && r7.getString(3) === "p1")
+  }
+
+  test("unsupported MERGE shapes fail with a clear error, not an approximation") {
+    freshTable("m5")
+    spark.sql("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 1.0, 'x', 'p1'))
+                 AS src(id, amount, category, part)""").createOrReplaceTempView("m5_src")
+    val conditional = intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO gsql.fin.m5 t USING m5_src s ON t.id = s.id
+                   WHEN MATCHED AND s.amount > 0 THEN UPDATE SET t.amount = s.amount""")
+    }
+    assert(conditional.getMessage.contains("conditional WHEN MATCHED"))
+    val delete = intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO gsql.fin.m5 t USING m5_src s ON t.id = s.id
+                   WHEN MATCHED THEN DELETE""")
+    }
+    assert(delete.getMessage.contains("WHEN MATCHED THEN UPDATE"))
+    val nonEquality = intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO gsql.fin.m5 t USING m5_src s ON t.id > s.id
+                   WHEN MATCHED THEN UPDATE SET t.amount = s.amount""")
+    }
+    assert(nonEquality.getMessage.contains("conjunction"))
+  }
+
+  test("MERGE INTO only rewrites files containing matched keys (CoW probe)") {
+    val t = freshTable("m6")
+    val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("""SELECT * FROM (VALUES (CAST(3 AS BIGINT), 33.0, 'cc', 'p2'))
+                 AS src(id, amount, category, part)""").createOrReplaceTempView("m6_src")
+    spark.sql("""MERGE INTO gsql.fin.m6 t USING m6_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET t.amount = s.amount, t.category = s.category""")
+    val filesAfter = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    // p1's files (ids 1,2 — no matches) survive the merge untouched
+    val p1Files = filesBefore.filter(_.contains("part=p1"))
+    assert(p1Files.nonEmpty && p1Files.subsetOf(filesAfter))
+    assert(filesBefore.filter(_.contains("part=p2")).intersect(filesAfter).isEmpty)
+  }
+
+  test("branch DDL: CREATE OR REPLACE BRANCH / DROP BRANCH through SQL") {
+    val t = freshTable("b1")
+    spark.sql("ALTER TABLE gsql.fin.b1 CREATE BRANCH `audit`")
+    assert(t.meta.refs.contains("audit"))
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.fin.b1 CREATE BRANCH audit") }
+    assert(dup.getMessage.contains("already exists"))
+    spark.sql("ALTER TABLE gsql.fin.b1 CREATE BRANCH IF NOT EXISTS audit") // no-op
+    spark.sql("INSERT INTO gsql.fin.b1 (id, amount, category, part) VALUES (10, 1.0, 'z', 'p1')")
+    spark.sql("ALTER TABLE gsql.fin.b1 CREATE OR REPLACE BRANCH audit")
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.b1 VERSION AS OF 'audit'")
+      .collect().head.getLong(0) === 4)
+    spark.sql("ALTER TABLE gsql.fin.b1 DROP BRANCH audit")
+    assert(!t.meta.refs.contains("audit"))
+    val missing = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.fin.b1 DROP BRANCH audit") }
+    assert(missing.getMessage.contains("does not exist"))
+    spark.sql("ALTER TABLE gsql.fin.b1 DROP BRANCH IF EXISTS audit") // no-op
+  }
+
+  test("the parser passes non-branch SQL through untouched") {
+    // ALTER TABLE forms that are NOT branch DDL still reach Spark's grammar
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.fin.nope ADD COLUMNS (x INT)") }
+    assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException])
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
+  }
+
+  test("the reference's full WAP + merge flow, SQL end to end") {
+    // reference WapIceberg.scala: branch, write to branch, audit, fast_forward
+    val t = freshTable("wap")
+    spark.sql("ALTER TABLE gsql.fin.wap CREATE BRANCH feature")
+    spark.sql("""SELECT * FROM (VALUES (CAST(8 AS BIGINT), 80.0, 'h', 'p2'))
+                 AS src(id, amount, category, part)""").createOrReplaceTempView("wap_src")
+    // stage on the feature branch via the WAP redirect
+    spark.conf.set("spark.graft.wap.branch", "feature")
+    try {
+      // wap table has no WAP property -> writes go to main unless enabled;
+      // enable via table prop path instead: stage with the API
+      t.merge(spark.table("wap_src"), Seq("id"), Seq.empty, branch = Some("feature"))
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.wap").collect().head.getLong(0) === 3)
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.wap VERSION AS OF 'feature'")
+      .collect().head.getLong(0) === 4)
+    // audit passed: publish with the fast_forward procedure
+    spark.sql("CALL gsql.system.fast_forward('fin.wap', 'main', 'feature')")
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.wap").collect().head.getLong(0) === 4)
+  }
+}

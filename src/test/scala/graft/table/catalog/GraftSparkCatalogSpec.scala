@@ -186,6 +186,32 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE graft.finance.proc")
   }
 
+  test("metadata tables read through SQL: t.history / t.snapshots / …") {
+    warehouse
+    val t = GraftTable.load(spark, s"$warehouse/finance/activity")
+    // the reference's printTableMetadata shape (IcebergLoadActivityTask:84-97):
+    // each SQL metadata table equals its DataFrame-API twin (the shared
+    // fixture table accumulates commits from other tests, so compare, don't
+    // hard-code)
+    assert(spark.sql("SELECT * FROM graft.finance.activity.history").count()
+      === t.history.count())
+    assert(spark.sql("SELECT * FROM graft.finance.activity.metadata_log_entries").count()
+      === t.metadataLogEntries.count())
+    assert(spark.sql("SELECT * FROM graft.finance.activity.snapshots").count()
+      === t.snapshotsDF.count())
+    assert(spark.sql("SELECT sum(record_count) FROM graft.finance.activity.files")
+      .collect().head.getLong(0) === t.toDF.count())
+    assert(spark.sql("SELECT * FROM graft.finance.activity.manifests").count() >= 1)
+    val refs = spark.sql(
+      "SELECT name FROM graft.finance.activity.refs ORDER BY name").collect().map(_.getString(0))
+    assert(refs.toSeq === t.meta.refs.keySet.toSeq.sorted)
+    assert(refs.contains("main") && refs.contains("day1"))
+    // a predicate over a metadata table works like any other table
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.finance.activity.snapshots
+         WHERE operation = 'merge'""").collect().head.getLong(0) === 3)
+  }
+
   test("DDL via the catalog: CREATE TABLE / list / DROP") {
     warehouse
     spark.sql(

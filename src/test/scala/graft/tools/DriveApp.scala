@@ -8,6 +8,7 @@ object DriveApp {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
+      .config("spark.sql.extensions","graft.GraftSparkExtensions")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val loc = java.nio.file.Files.createTempDirectory("drive").toString + "/activity"
@@ -79,6 +80,24 @@ object DriveApp {
     ct.createOrReplaceBranch("pin"); ct.append(ActivityData.day3(spark)); ct.createOrReplaceBranch("feat")
     println("call-fast-forward=" + spark.sql("CALL graft.system.fast_forward('fin.act', 'pin', 'feat')").collect().head.getString(0)
       + " pinned=" + (ct.meta.refs("pin") == ct.meta.refs("feat")))
+    println("== MERGE INTO + branch DDL through SQL (the reference's write path)")
+    spark.sql("SELECT CAST(2024 AS BIGINT) AS id").createOrReplaceTempView("mrg_ids")
+    spark.sql("""SELECT 'acc1' AS account, DATE'2024-03-01' AS txn_date, 'txn1' AS txn_id,
+                 'M2' AS merchant, 777.0 AS amount, 'Upserted' AS category,
+                 TIMESTAMP'2024-03-09 00:00:00' AS last_updated""").createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO graft.fin.act AS target USING mrg_src AS src
+                 ON target.txn_id = src.txn_id
+                 WHEN MATCHED THEN UPDATE SET target.amount = src.amount, target.category = src.category, target.last_updated = src.last_updated, target.txn_date = src.txn_date
+                 WHEN NOT MATCHED THEN INSERT *""")
+    println("post-merge txn1: " + spark.sql("SELECT category, amount FROM graft.fin.act WHERE txn_id='txn1'").collect().map(r => r.getString(0)+"/"+r.getDouble(1)).mkString)
+    spark.sql("ALTER TABLE graft.fin.act CREATE OR REPLACE BRANCH sqlbranch")
+    println("branch-ddl refs=" + ct.meta.refs.keySet.toSeq.sorted.mkString(","))
+    spark.sql("ALTER TABLE graft.fin.act DROP BRANCH sqlbranch")
+    println("== metadata tables through SQL")
+    println("sql-history=" + spark.sql("SELECT * FROM graft.fin.act.history").count()
+      + " sql-snapshots=" + spark.sql("SELECT * FROM graft.fin.act.snapshots").count()
+      + " sql-files-records=" + spark.sql("SELECT sum(record_count) FROM graft.fin.act.files").collect().head.getLong(0)
+      + " sql-refs=" + spark.sql("SELECT count(*) FROM graft.fin.act.refs").collect().head.getLong(0))
     println("== file skipping: scanWhere input files vs plain filter")
     println("pruned=" + ct.scanWhere(col("txn_id") === "txn20").inputFiles.length
       + " unpruned=" + ct.toDF.filter(col("txn_id") === "txn20").inputFiles.length)
