@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.sql.{GraftMergeRule, GraftSqlParser}
+import graft.sql.{GraftMergeRule, GraftSqlParser, GraftUpdateRule}
 
 /**
  * Session extensions completing the reference's SQL surface on graft
@@ -26,5 +26,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPostHocResolutionRule(_ => GraftMergeRule)
+    ext.injectPostHocResolutionRule(_ => GraftUpdateRule)
   }
 }

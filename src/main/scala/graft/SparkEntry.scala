@@ -395,6 +395,16 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // copy-on-write UPDATE: row-referencing SET expressions, only files
+    // containing TRUE-condition rows rewritten
+    "t_update_where" -> ((s, dir) =>
+      TableFixtures.ordersUpdated(s, dir).toDF
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .orderBy("o_orderpriority")),
+
     // P1/P2/P4: maintenance preserves table contents
     "t_maintenance" -> ((s, dir) =>
       TableFixtures.ordersMaintained(s, dir).toDF
@@ -813,6 +823,17 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
          GROUP BY 1 ORDER BY 1""",
+
+    "t_update_where" ->
+      s"""WITH t AS (
+           SELECT o_totalprice,
+             CASE WHEN o_totalprice > 200000 THEN '0-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_totalprice > 200000 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT o_orderpriority, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents,
+           cast(sum(o_custkey) AS bigint) AS cust_sum
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     "t_maintenance" ->
       s"""SELECT o_orderstatus, count(*) AS n,

@@ -167,6 +167,26 @@ object TableFixtures {
     })
 
   /**
+   * Copy-on-write UPDATE fixture: orders batch 0 loaded, then high-value
+   * rows re-prioritized with row-referencing SET expressions (the SQL
+   * `UPDATE … SET … WHERE …` path). State == orders where o_orderkey%3=0
+   * with o_orderpriority/o_custkey rewritten where o_totalprice > 200000.
+   */
+  def ordersUpdated(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_updated", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_updated"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_updated",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.updateWhere(col("o_totalprice") > 200000, Seq(
+        "o_orderpriority" -> lit("0-UPDATED"),
+        "o_custkey"       -> (col("o_custkey") + 1000000)))
+      t
+    })
+
+  /**
    * Maintenance fixture: ordersVersioned pipeline + sorted compaction +
    * snapshot expiry (branch-pinned v1..v3 survive). Data state == full
    * orders; used to prove maintenance preserves contents.

@@ -1,11 +1,13 @@
 package graft.sql
 
-import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal, NamedExpression, PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.graft.GraftMergeCommand
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.{bridge, GraftMergeCommand, GraftUpdateCommand}
 
 import graft.table.catalog.GraftWritableTable
 
@@ -144,5 +146,59 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     GraftMergeCommand(location, Project(projection, m.sourceTable),
       keys = keyPairs.map(_._1.name), updateCols = updateCols,
       insertNotMatched = insertAssignments.nonEmpty)
+  }
+}
+
+/**
+ * `UPDATE t SET c = <expr> [WHERE cond]` over a graft catalog table →
+ * the file-level copy-on-write [[graft.table.GraftTable.updateWhere]].
+ * Assignment values and the condition may reference any column of the
+ * updated row; resolved attribute references are rewritten back to by-name
+ * lookups so the expressions re-resolve against the CoW rewrite's scan of
+ * the affected files.
+ */
+object GraftUpdateRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u: UpdateTable if u.resolved && isGraftTarget(u.table) => rewrite(u)
+    case p => p
+  }
+
+  private def isGraftTarget(table: LogicalPlan): Boolean =
+    EliminateSubqueryAliases(table) match {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftWritableTable]
+      case _ => false
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"UPDATE graft table: $msg")
+
+  private def rewrite(u: UpdateTable): LogicalPlan = {
+    val target = EliminateSubqueryAliases(u.table).asInstanceOf[DataSourceV2Relation]
+    val targetAttrs = target.outputSet
+
+    def toCol(e: Expression, what: String): Column = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        fail(s"subquery in $what is not supported")
+      if (!e.references.subsetOf(targetAttrs))
+        fail(s"$what references columns outside the target table: ${e.sql}")
+      bridge.column(e.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    }
+
+    val sets = u.assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
+        case other => fail(s"SET assigns to non-column ${other.sql}")
+      }
+      name -> toCol(a.value, s"SET value for $name")
+    }
+    sets.groupBy(_._1).collect { case (n, as) if as.size > 1 =>
+      fail(s"SET assigns $n more than once") }
+    val cond = u.condition.map(toCol(_, "WHERE condition")).getOrElse(lit(true))
+
+    GraftUpdateCommand(
+      target.table.asInstanceOf[GraftWritableTable].location, sets, cond)
   }
 }

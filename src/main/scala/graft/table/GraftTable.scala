@@ -272,6 +272,48 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
     }
 
+  /** Copy-on-write UPDATE (SQL `UPDATE t SET c = expr WHERE cond`): rewrite
+    * only the FILES containing rows where `cond` is TRUE (same
+    * input_file_name probe as merge/delete), replacing each assigned column
+    * with its new value on exactly those rows. Assignment expressions may
+    * reference any column of the same row; rows where `cond` evaluates NULL
+    * are kept unchanged (SQL UPDATE touches only TRUE rows). An update that
+    * moves a row across partitions rewrites the old file and lands the row
+    * in its new partition's fresh file, like merge. */
+  def updateWhere(cond: Column, sets: Seq[(String, Column)],
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      sets.foreach { case (c, _) =>
+        require(tableSchema.fieldNames.contains(c),
+          s"UPDATE references unknown column $c") }
+      val head = resolveWriteBranchHead(m, branch)
+      val current = scan(head, m)
+      val matchedFilePaths: Set[String] = current.filter(cond)
+        .select(input_file_name().as("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val headFiles = head.map(_.files).getOrElse(Seq.empty)
+      val (affectedFiles, _) =
+        headFiles.partition(f => matchedFilePaths.exists(p => p.endsWith("/" + f.path)))
+      if (affectedFiles.isEmpty) {
+        commitSnapshot(m, Seq.empty, Seq.empty, "update", branch)
+      } else {
+        val setMap = sets.toMap
+        val src = spark.read.schema(tableSchema).option("basePath", dataDir)
+          .parquet(affectedFiles.map(f => s"$dataDir/${f.path}"): _*)
+        val hit = coalesce(cond, lit(false))
+        val rewritten = src.select(tableSchema.fields.map { f =>
+          setMap.get(f.name) match {
+            case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None    => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        val newFiles = writeDataFiles(rewritten, tableSchema, m.partitionCols)
+        commitSnapshot(m, newFiles, affectedFiles.map(_.path), "update", branch)
+      }
+    }
+
   // ---------------------------------------------------------------------
   // Branches / WAP (reference IcebergLoadActivityTask.scala:78-80,167;
   // WapIceberg.scala:64-84)

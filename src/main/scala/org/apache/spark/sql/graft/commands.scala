@@ -56,6 +56,18 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
   }
 }
 
+/** `UPDATE t SET … [WHERE …]` rewritten by [[graft.sql.GraftUpdateRule]]:
+  * runs the file-level copy-on-write [[GraftTable.updateWhere]] — only files
+  * containing rows where the condition is TRUE are rewritten. */
+case class GraftUpdateCommand(location: String,
+    sets: Seq[(String, org.apache.spark.sql.Column)],
+    cond: org.apache.spark.sql.Column) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftTable.load(session, location).updateWhere(cond, sets)
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE t CREATE [OR REPLACE] BRANCH [IF NOT EXISTS] b`
   * (reference IcebergLoadActivityTask.scala:78-80). */
 case class GraftCreateBranchCommand(nameParts: Seq[String], branch: String,

@@ -127,6 +127,52 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     assert(filesBefore.filter(_.contains("part=p2")).intersect(filesAfter).isEmpty)
   }
 
+  test("UPDATE SET with row-referencing expressions runs the CoW rewrite") {
+    val t = freshTable("u1")
+    spark.sql("""UPDATE gsql.fin.u1 SET amount = amount * 2, category = upper(category)
+                 WHERE id <= 2""")
+    val rows = t.toDF.orderBy("id").collect()
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(20.0, 40.0, 30.0))
+    assert(rows.map(_.getString(2)).toSeq === Seq("A", "B", "c"))
+    assert(t.snapshotsDF.filter(col("operation") === "update").count() === 1)
+  }
+
+  test("UPDATE only rewrites files containing matched rows") {
+    val t = freshTable("u2")
+    val before = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("UPDATE gsql.fin.u2 SET amount = 0.0 WHERE id = 3") // only p2
+    val after = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    val p1 = before.filter(_.contains("part=p1"))
+    assert(p1.nonEmpty && p1.subsetOf(after))
+    assert(before.filter(_.contains("part=p2")).intersect(after).isEmpty)
+  }
+
+  test("UPDATE moving a row across partitions lands it in the new partition") {
+    val t = freshTable("u3")
+    spark.sql("UPDATE gsql.fin.u3 SET part = 'p9' WHERE id = 1")
+    val parts = t.toDF.orderBy("id").select("part").collect().map(_.getString(0))
+    assert(parts.toSeq === Seq("p9", "p1", "p2"))
+    assert(t.toDF.count() === 3)
+  }
+
+  test("UPDATE with a NULL-evaluating condition keeps those rows unchanged") {
+    val t = freshTable("u4")
+    spark.sql("INSERT INTO gsql.fin.u4 (id, amount, category, part) VALUES (5, NULL, 'e', 'p1')")
+    // amount > 15 is NULL for id=5 -> row must be kept as-is, not updated
+    spark.sql("UPDATE gsql.fin.u4 SET category = 'big' WHERE amount > 15.0")
+    val byId = t.toDF.orderBy("id").collect()
+    assert(byId.map(_.getString(2)).toSeq === Seq("a", "big", "big", "e"))
+  }
+
+  test("UPDATE with a subquery fails clearly") {
+    freshTable("u5")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("""UPDATE gsql.fin.u5 SET amount = 0.0
+                   WHERE id IN (SELECT id FROM gsql.fin.u5 WHERE amount > 15)""")
+    }
+    assert(e.getMessage.contains("subquery"))
+  }
+
   test("branch DDL: CREATE OR REPLACE BRANCH / DROP BRANCH through SQL") {
     val t = freshTable("b1")
     spark.sql("ALTER TABLE gsql.fin.b1 CREATE BRANCH `audit`")

@@ -71,6 +71,9 @@ object DriveApp {
     println("== SQL write: DELETE FROM runs the CoW commit")
     spark.sql("DELETE FROM graft.fin.act WHERE txn_id = 'txn99'")
     println("post-delete count=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0))
+    println("== SQL write: UPDATE SET runs the CoW rewrite")
+    spark.sql("UPDATE graft.fin.act SET amount = amount + 0.5 WHERE account = 'acc1'")
+    println("post-update acc1-sum=" + spark.sql("SELECT round(sum(amount),1) FROM graft.fin.act WHERE account='acc1'").collect().head.getDouble(0))
     println("== CALL maintenance procedures through the catalog")
     val rw = spark.sql("CALL graft.system.rewrite_data_files(table => 'fin.act', strategy => 'sort', sort_order => 'account ASC NULLS LAST')").collect().head
     println(s"call-rewrite rewritten=${rw.getInt(0)} added=${rw.getInt(1)} count=${ct.toDF.count()}")
