@@ -260,6 +260,18 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // near-dup pairs -> connected components -> cluster labels: the step
+    // that turns pair lists into "keep one per cluster" dedup. Pairs come
+    // from the deterministic brute-force Jaccard subsample so the oracle
+    // can recompute components with a recursive CTE.
+    "d_neardup_groups" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(
+          T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", threshold = 0.9),
+        "id_a", "id_b")
+        .orderBy("id")),
+
     // MinHash-LSH near-dup pipeline (scale path; rows-only check)
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
@@ -652,6 +664,25 @@ object SparkEntry {
          WHERE round(cast(len(list_intersect(a.ws, b.ws)) AS double)
                  / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // transitive closure by recursive CTE: component = min reachable id,
+    // exactly connectedComponents' min-label fixpoint
+    "d_neardup_groups" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+           FROM documents WHERE doc_id % 10 = 0),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE round(cast(len(list_intersect(a.ws, b.ws)) AS double)
+                   / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) >= 0.9),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+         SELECT id, min(lbl) AS component FROM reach GROUP BY 1 ORDER BY id""",
 
     "s_ann_topk" -> annTopkSql,
 

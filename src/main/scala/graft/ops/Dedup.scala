@@ -264,4 +264,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming_dist"))
       .distinct()
   }
+
+  // --- near-dup clusters -------------------------------------------------
+
+  /**
+   * Connected components over an undirected pair graph — the step that
+   * turns near-dup PAIRS into dedup CLUSTERS ("keep one doc per cluster").
+   * Returns `(id, component)` for every id appearing in `pairs`, where
+   * `component` is the minimum id reachable through the pair graph.
+   *
+   * Min-label propagation: each iteration is ONE equi-join shuffle on ids
+   * (labels never carry payload columns), and labels strictly decrease
+   * until fixpoint, reached in O(cluster diameter) iterations. Near-dup
+   * clusters are shallow by construction (docs similar to a common ancestor
+   * collide directly), so 2-4 iterations suffice in practice; `maxIter`
+   * bounds adversarial chains, and the method fails loudly rather than
+   * returning half-propagated labels. For graphs with genuinely deep
+   * components the two-phase large-star/small-star variant (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) drops the
+   * round count to O(log n); near-dup graphs don't need it.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // both directions once; reused by every iteration
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    // the loop references each round's labels twice (neighbor lookup +
+    // rejoin), so lineage would double per round — localCheckpoint
+    // materializes the iterate and truncates the plan, the standard
+    // treatment for iterative DataFrame algorithms (a durable checkpoint
+    // dir does the same on a cluster)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min over own label and all neighbors' labels, one shuffle
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "__nid"),
+          edges("dst") === col("__nid"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("__nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
+          (col("__nbr") < col("component")).as("__changed"))
+        .localCheckpoint()
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "iterations: component diameter exceeds the bound; raise maxIter or " +
+      "switch to the large-star/small-star variant")
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * Near-duplicate CLUSTER dedup: MinHash-LSH pairs → connected components
+   * → keep the minimum-id representative of each cluster plus every
+   * unpaired doc. The full pipeline a training corpus runs: only ids flow
+   * through the clustering shuffles; document payloads are joined back
+   * exactly once at the end (broadcast when the cluster map is small).
+   */
+  def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 16,
+      shingleN: Int = 2): DataFrame = {
+    val pairs = minhashNearDups(df, textCol, idCol, threshold, k, bands, shingleN)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comps, df(idCol) === col("__cc_id"), "left")
+      .filter(col("component").isNull || col("component") === df(idCol))
+      .drop("__cc_id", "component")
+  }
 }

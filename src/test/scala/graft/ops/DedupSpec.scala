@@ -109,4 +109,36 @@ class DedupSpec extends SparkTestBase {
       assert(brute.nonEmpty, s"maxDist=$maxDist should find near-dups in the corpus")
     }
   }
+
+  test("connectedComponents labels every node with its min reachable id") {
+    import spark.implicits._
+    // two components: {1,2,3,7} (chain 7-3, 3-2, 2-1) and {10,11}; 20-20 self loop
+    val pairs = Seq((7L, 3L), (3L, 2L), (2L, 1L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain within the bound") {
+    import spark.implicits._
+    // worst-case diameter: a 12-node path; propagation needs ~11 rounds
+    val chain = (1 until 12).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 12 && comps.values.forall(_ == 1L))
+    // and fails loudly when the bound is too small for the diameter
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("nearDupDedup keeps one representative per cluster plus unpaired docs") {
+    val kept = Dedup.nearDupDedup(docs, "text", "doc_id", threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {1,2,3,5} cluster at J>=0.4 -> keep 1; 4 and 6 unpaired -> kept
+    assert(kept === Set(1L, 4L, 6L))
+  }
 }
