@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Corpus, Dedup, Sessionize, Similarity, TextAnalysis}
 import graft.queries.TableFixtures
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -230,6 +230,42 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(countDistinct(graft.functions.GraftFunctions.rolling_hash(
           regexp_replace(trim(lower(col("text"))), "\\s+", " "))).as("distinct_docs"))
+        .orderBy("lang")),
+
+    // PII redaction over deterministically-injected emails/phones: counts
+    // per pattern plus the exact char delta the redaction removes
+    "x_redact" -> ((s, dir) => {
+      val aug = T(s, dir, "documents").withColumn("aug",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      aug.withColumn("red", Corpus.redactPii(col("aug")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Corpus.matchCount(col("aug"), Corpus.emailPattern)).as("emails"),
+          sum(Corpus.matchCount(col("aug"), Corpus.phonePattern)).as("phones"),
+          sum(length(col("aug")) - length(col("red"))).as("chars_removed"))
+        .orderBy("source")
+    }),
+
+    // fixed-size token chunking (context-window packing precursor): one row
+    // per 40-token chunk, aggregated per source
+    "x_chunks" -> ((s, dir) =>
+      Corpus.chunkByTokens(T(s, dir, "documents"), "text", chunkSize = 40)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("chunk_tokens"),
+          sum(length(col("chunk_text"))).as("chunk_chars"),
+          min(col("chunk_tokens")).cast("long").as("min_chunk_tokens"))
+        .orderBy("source")),
+
+    // deterministic stratified corpus mixing: per-lang keep fractions on
+    // mod-buckets of doc_id, pinned by exact kept ids (id_sum)
+    "x_sample" -> ((s, dir) =>
+      Corpus.stratifiedSampleMod(T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.75, "fr" -> 1.0, "zh" -> 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")),
 
     // --- dedup -----------------------------------------------------------
@@ -630,6 +666,50 @@ object SparkEntry {
       """SELECT lang,
          count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS distinct_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "x_redact" -> {
+      val em = Corpus.emailPattern
+      val ph = Corpus.phonePattern
+      s"""WITH aug AS (
+           SELECT source,
+             text || ' contact user' || cast(doc_id AS varchar)
+               || '@example.com or 555-'
+               || lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS aug
+           FROM documents),
+         red AS (
+           SELECT source, aug,
+             regexp_replace(regexp_replace(aug, '$em', '<EMAIL>', 'g'),
+               '$ph', '<PHONE>', 'g') AS red
+           FROM aug)
+         SELECT source, count(*) AS n_docs,
+           cast(sum(len(regexp_extract_all(aug, '$em'))) AS bigint) AS emails,
+           cast(sum(len(regexp_extract_all(aug, '$ph'))) AS bigint) AS phones,
+           cast(sum(length(aug) - length(red)) AS bigint) AS chars_removed
+         FROM red GROUP BY 1 ORDER BY 1"""
+    },
+
+    "x_chunks" ->
+      """WITH toks AS (
+           SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         idx AS (
+           SELECT source, tk,
+             unnest(generate_series(0, cast(floor((len(tk)+39)/40.0) AS int) - 1)) AS i
+           FROM toks),
+         chunks AS (SELECT source, tk[i*40+1 : i*40+40] AS ch FROM idx)
+         SELECT source, count(*) AS n_chunks,
+           cast(sum(len(ch)) AS bigint) AS chunk_tokens,
+           cast(sum(length(array_to_string(ch, ' '))) AS bigint) AS chunk_chars,
+           cast(min(len(ch)) AS bigint) AS min_chunk_tokens
+         FROM chunks GROUP BY 1 ORDER BY 1""",
+
+    "x_sample" ->
+      """SELECT lang, count(*) AS n_kept, cast(sum(doc_id) AS bigint) AS id_sum
+         FROM documents
+         WHERE (doc_id % 1000) < CASE lang
+           WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'es' THEN 750
+           WHEN 'fr' THEN 1000 WHEN 'zh' THEN 100 ELSE 0 END
+         GROUP BY 1 ORDER BY 1""",
 
     "d_exact_groups" ->
       """WITH withdups AS (

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-assembly operators for training-data pipelines: PII redaction,
+ * fixed-size token chunking, and deterministic stratified sampling — the
+ * prepare/split/mix stages that run after dedup and quality filtering.
+ *
+ * Everything is codegen-friendly `Column` work (regexp_replace /
+ * explode+slice / pmod filters): per-row map transforms with no shuffle of
+ * their own, so they pipeline into whatever aggregation or write follows.
+ * Patterns stick to regex features with identical semantics in Java regex
+ * (Spark) and RE2 (DuckDB) so the oracle can mirror them.
+ */
+object Corpus {
+
+  // --- PII redaction -----------------------------------------------------
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, lit(emailPattern), lit("<EMAIL>"))
+
+  def redactPhones(text: Column): Column =
+    regexp_replace(text, lit(phonePattern), lit("<PHONE>"))
+
+  /** Order matters: emails first so their digit runs can't half-match the
+    * phone pattern afterwards. */
+  def redactPii(text: Column): Column = redactPhones(redactEmails(text))
+
+  /** How many matches of `pattern` the redaction would replace. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  // --- fixed-size token chunking ----------------------------------------
+
+  /**
+   * Split each document into consecutive chunks of at most `chunkSize`
+   * whitespace tokens (the context-window packing precursor). One output
+   * row per chunk with `chunk_idx`, `chunk_tokens`, `chunk_text`; every
+   * input column is kept. The explode is narrow — no shuffle — and slices
+   * reference the tokenized array once per row.
+   */
+  def chunkByTokens(df: DataFrame, textCol: String,
+      chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val nChunks = floor(
+      (size(col("__tk")) + lit(chunkSize - 1)) / lit(chunkSize)).cast("int")
+    df.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))))
+      .withColumn("__chunk",
+        slice(col("__tk"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
+      .withColumn("chunk_tokens", size(col("__chunk")))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .drop("__tk", "__chunk")
+  }
+
+  // --- deterministic stratified sampling --------------------------------
+
+  private def fractionFor(strataCol: String,
+      fractions: Map[String, Double], default: Double): Column = {
+    fractions.foreach { case (k, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for $k out of [0,1]: $f") }
+    fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+  }
+
+  /**
+   * Stratified corpus mixing, mod-bucket variant: keep a row iff
+   * `key mod buckets` falls under its stratum's fraction. Fully
+   * deterministic and reproducible from the raw ids (the property corpus
+   * mixes are audited on), and exactly mirrorable in SQL. Use when keys are
+   * assigned independently of the stratum (as synthetic doc ids are);
+   * sequential-id correlation artifacts are what [[stratifiedSample]]'s
+   * hashed buckets remove.
+   */
+  def stratifiedSampleMod(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      buckets: Int = 1000): DataFrame = {
+    val frac = fractionFor(strataCol, fractions, defaultFraction)
+    df.filter(pmod(col(keyCol), lit(buckets)) < frac * buckets)
+  }
+
+  /**
+   * Stratified sampling on hashed buckets (`xxhash64(key, salt)`): the
+   * production variant — bucket assignment is decorrelated from any
+   * structure in the key space, and changing the salt draws an independent
+   * sample. Same determinism guarantees given (key, salt).
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      buckets: Int = 1000, salt: Long = 0L): DataFrame = {
+    val frac = fractionFor(strataCol, fractions, defaultFraction)
+    df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(buckets)) < frac * buckets)
+  }
+}

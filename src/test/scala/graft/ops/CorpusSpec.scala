@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CorpusSpec extends SparkTestBase {
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "reach me at bob.smith+work@corp.example.org or 555-1234 today"),
+      (2L, "no pii in this one at all"),
+      (3L, "two mails a@b.io c@d.net and 555-0000 555-9999"),
+      (4L, "not a phone 12-34 or 1234-5678 or a@b (no tld)")
+    ).toDF("doc_id", "text")
+  }
+
+  test("redactPii replaces emails and phones, leaves near-misses alone") {
+    val red = docs.withColumn("red", Corpus.redactPii(col("text")))
+      .orderBy("doc_id").select("red").collect().map(_.getString(0))
+    assert(red(0) === "reach me at <EMAIL> or <PHONE> today")
+    assert(red(1) === "no pii in this one at all")
+    assert(red(2) === "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>")
+    assert(red(3) === "not a phone 12-34 or 1234-5678 or a@b (no tld)")
+  }
+
+  test("matchCount counts what redaction replaces") {
+    val counts = docs.select(col("doc_id"),
+      Corpus.matchCount(col("text"), Corpus.emailPattern).as("e"),
+      Corpus.matchCount(col("text"), Corpus.phonePattern).as("p"))
+      .orderBy("doc_id").collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(counts.toSeq === Seq((1, 1), (0, 0), (2, 2), (0, 0)))
+  }
+
+  test("chunkByTokens: exact multiple, remainder, and short docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 8).map(i => s"t$i").mkString(" ")), // 8 tokens -> 2 chunks of 4
+      (2L, (1 to 5).map(i => s"t$i").mkString(" ")), // 5 tokens -> 4 + 1
+      (3L, "single")                                 // 1 token  -> 1 chunk
+    ).toDF("doc_id", "text")
+    val chunks = Corpus.chunkByTokens(d, "text", chunkSize = 4)
+      .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(chunks.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ===
+      Seq((1L, 0, 4), (1L, 1, 4), (2L, 0, 4), (2L, 1, 1), (3L, 0, 1)))
+    assert(chunks(0).getString(3) === "t1 t2 t3 t4")
+    assert(chunks(3).getString(3) === "t5")
+    // chunks concatenate back to the normalized document
+    val rebuilt = Corpus.chunkByTokens(d, "text", 4)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("all"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(rebuilt.toSeq === d.orderBy("doc_id").collect()
+      .map(r => r.getString(1).toLowerCase.trim).toSeq)
+  }
+
+  test("stratifiedSampleMod keeps exactly the configured buckets") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val kept = Corpus.stratifiedSampleMod(d, "s", "id",
+      Map("a" -> 0.3, "b" -> 0.6), buckets = 10)
+    val byStratum = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stratum a: even ids with id%10 in {0,2} -> 2 of 5 even residues = 200
+    // stratum b: odd ids with id%10 in {1,3,5} -> 300
+    assert(byStratum === Map("a" -> 200L, "b" -> 300L))
+    // unlisted strata default to dropped
+    assert(Corpus.stratifiedSampleMod(d, "s", "id", Map("a" -> 0.3), buckets = 10)
+      .filter(col("s") === "b").count() === 0)
+  }
+
+  test("hashed stratifiedSample hits fractions approximately and is salt-stable") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, "x")).toDF("id", "s")
+    val n = Corpus.stratifiedSample(d, "s", "id", Map("x" -> 0.5)).count()
+    assert(n > 800 && n < 1200, s"expected ~1000 of 2000, got $n")
+    val again = Corpus.stratifiedSample(d, "s", "id", Map("x" -> 0.5)).count()
+    assert(again === n) // deterministic given (key, salt)
+    val other = Corpus.stratifiedSample(d, "s", "id", Map("x" -> 0.5), salt = 7L).count()
+    assert(other > 800 && other < 1200)
+  }
+}
