@@ -63,6 +63,25 @@ object StreamingOps {
       .start()
 
   /**
+   * Streaming exact dedup: drop re-arrivals of identical (normalized)
+   * content — the streaming analogue of [[graft.ops.Dedup.exactDedup]] for
+   * continuous corpus ingestion. State keeps ONE 32-char digest per unique
+   * document seen inside the watermark horizon and is evicted as the
+   * watermark passes, so state size is bounded by unique-arrival rate ×
+   * watermark, never by stream length (the property that makes this safe
+   * on an unbounded 100 TB/day feed). Duplicates arriving later than the
+   * watermark are the documented trade-off — catch them with a periodic
+   * batch `Dedup.exactDedup` compaction over the sink table.
+   */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__content_key", graft.ops.Dedup.contentKey(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
+
+  /**
    * Continuous gap-based sessionization: emits one SessionUpdate per closed
    * session (event-time gap > gapMs, enforced via processing of later
    * events per key; a production build would add an event-time timeout).

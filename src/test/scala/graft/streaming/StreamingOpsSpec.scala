@@ -54,4 +54,28 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(s.user_id === 1 && s.session_id === 1)
     assert(s.n_events === 2 && s.duration_ms === 600000L && s.total_value === 3.0)
   }
+
+  test("dedupStream drops re-arrivals of identical content across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.dedupStream(
+      input.toDF.toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 10:01:00"), "  The Quick  Brown fox "), // normalized dup
+      (3L, ts("2024-01-01 10:02:00"), "something else entirely"))
+    q.processAllAvailable()
+    // later batch, still within the watermark: dup dropped, new doc kept
+    input.addData(
+      (4L, ts("2024-01-01 10:10:00"), "the quick brown fox"),
+      (5L, ts("2024-01-01 10:11:00"), "a third distinct document"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
 }
