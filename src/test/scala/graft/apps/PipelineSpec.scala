@@ -25,6 +25,30 @@ class PipelineSpec extends SparkTestBase {
     assert(t.removeOrphanFiles(dryRun = true).isEmpty)
   }
 
+  test("ActivitySqlPipeline (pure SQL) reaches the same end state as the API pipeline") {
+    val wh = java.nio.file.Files.createTempDirectory("app-activity-sql").toString
+    spark.conf.set("spark.sql.catalog.app_sql",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.app_sql.warehouse", wh)
+    val tn = ActivitySqlPipeline.run(spark, "app_sql")
+    assert(spark.sql(s"SELECT * FROM $tn").count() === 50)
+    assert(spark.sql(s"SELECT * FROM $tn VERSION AS OF 'day2'").count() === 30)
+    assert(spark.sql(s"SELECT * FROM $tn VERSION AS OF 'day5'").count() === 50)
+    assert(spark.sql(s"SELECT category FROM $tn WHERE txn_id = 'txn10'")
+      .collect().head.getString(0) === "Fashion")
+    // day1 dropped by the pipeline's ALTER TABLE ... DROP BRANCH
+    val refs = spark.sql(s"SELECT name FROM $tn.refs").collect().map(_.getString(0)).toSet
+    assert(refs === Set("main", "day2", "day3", "day4", "day5"))
+    // identical final table contents as the API pipeline run
+    val apiLoc = tmpDir("app-activity-api")
+    ActivityPipeline.run(spark, apiLoc)
+    val api = GraftTable.load(spark, apiLoc).toDF
+      .orderBy("txn_id").collect().map(_.toString).toSeq
+    val sql = spark.sql(s"SELECT account, txn_date, txn_id, merchant, amount, category, last_updated FROM $tn")
+      .orderBy("txn_id").collect().map(_.toString).toSeq
+    assert(sql === api)
+  }
+
   test("WapPipeline publishes clean batch, rejects bad batch") {
     val loc = tmpDir("app-wap")
     WapPipeline.run(spark, loc)
