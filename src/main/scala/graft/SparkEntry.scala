@@ -232,6 +232,22 @@ object SparkEntry {
           regexp_replace(trim(lower(col("text"))), "\\s+", " "))).as("distinct_docs"))
         .orderBy("lang")),
 
+    // top-k frequent word bigrams per language: the corpus-analysis shape
+    // explode -> two-phase count -> per-group window rank
+    "x_top_ngrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram").asc)
+      T(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("bigram"), col("n"))
+        .orderBy("lang", "rank")
+    }),
+
     // PII redaction over deterministically-injected emails/phones: counts
     // per pattern plus the exact char delta the redaction removes
     "x_redact" -> ((s, dir) => {
@@ -666,6 +682,24 @@ object SparkEntry {
       """SELECT lang,
          count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS distinct_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "x_top_ngrams" ->
+      """WITH toks AS (
+           SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         grams AS (
+           SELECT lang,
+             unnest(list_transform(list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+               x -> x[1] || ' ' || x[2])) AS bigram
+           FROM toks WHERE len(tk) >= 2),
+         counted AS (
+           SELECT lang, bigram, count(*) AS n FROM grams GROUP BY 1, 2),
+         ranked AS (
+           SELECT lang, bigram, n,
+             cast(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS integer) AS rank
+           FROM counted)
+         SELECT lang, rank, bigram, n FROM ranked
+         WHERE rank <= 5 ORDER BY lang, rank""",
 
     "x_redact" -> {
       val em = Corpus.emailPattern

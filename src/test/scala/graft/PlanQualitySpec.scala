@@ -86,6 +86,19 @@ class PlanQualitySpec extends SparkTestBase {
       s"candidate dedup still carries embedding vectors:\n$plan")
   }
 
+  test("corpus ops stay narrow: no shuffle in redact/chunk/sample transforms") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pipeline = graft.ops.Corpus.chunkByTokens(
+      graft.ops.Corpus.stratifiedSample(
+        docs.withColumn("red", graft.ops.Corpus.redactPii(col("text"))),
+        "lang", "doc_id", Map("en" -> 0.5), defaultFraction = 1.0),
+      "red", chunkSize = 40)
+    val plan = pipeline.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"redact+sample+chunk must be one narrow stage, found a shuffle:\n$plan")
+    assert(plan.contains("*("), s"expected whole-stage codegen:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
