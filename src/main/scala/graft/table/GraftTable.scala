@@ -314,6 +314,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
     }
 
+  /** Schema evolution: append a nullable column to the declared schema (one
+    * metadata commit, no file rewrite — existing files read the column as
+    * NULL, the inverse of the append-time mergeSchema widen). */
+  def addColumn(name: String, dataType: DataType,
+      comment: Option[String] = None): Unit = withCommitLock {
+    val m = meta
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"Column $name already exists on ${m.name}")
+    val field0 = StructField(name, dataType, nullable = true)
+    val field = comment.fold(field0)(field0.withComment)
+    SnapshotLog.commit(location,
+      m.copy(schemaJson = StructType(schema.fields :+ field).json), conf)
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES`: merge properties in one metadata
+    * commit. */
+  def setProperties(props: Map[String, String]): Unit = withCommitLock {
+    val m = meta
+    SnapshotLog.commit(location, m.copy(props = m.props ++ props), conf)
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES`. */
+  def unsetProperties(keys: Seq[String]): Unit = withCommitLock {
+    val m = meta
+    SnapshotLog.commit(location, m.copy(props = m.props -- keys), conf)
+  }
+
   // ---------------------------------------------------------------------
   // Branches / WAP (reference IcebergLoadActivityTask.scala:78-80,167;
   // WapIceberg.scala:64-84)

@@ -126,9 +126,30 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the GraftTable API (branches/properties are commit-protocol operations)")
+  /** `ALTER TABLE … ADD COLUMNS / SET TBLPROPERTIES / UNSET TBLPROPERTIES`:
+    * each is one metadata commit through the snapshot log (data files are
+    * untouched — added columns read as NULL from existing files, the same
+    * schema evolution contract as the append-time mergeSchema widen).
+    * Column drops/renames/retypes are rejected: against immutable data
+    * files they require a rewrite, not a metadata edit. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, tableLocation(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "ALTER TABLE ADD COLUMNS: nested fields are not supported")
+        t.addColumn(add.fieldNames().head, add.dataType(),
+          Option(add.comment()))
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property() -> set.value()))
+      case unset: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(unset.property()))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE: unsupported change $other (column drop/rename/retype " +
+          "require a data rewrite; use a CoW operation)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     GraftTable.exists(spark, tableLocation(ident)) &&

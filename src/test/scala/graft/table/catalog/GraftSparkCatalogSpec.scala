@@ -212,6 +212,33 @@ class GraftSparkCatalogSpec extends SparkTestBase {
          WHERE operation = 'merge'""").collect().head.getLong(0) === 3)
   }
 
+  test("ALTER TABLE evolves schema and properties as metadata commits") {
+    warehouse
+    spark.sql("CREATE TABLE graft.finance.alt (k STRING, v DOUBLE) USING parquet")
+    try {
+      spark.sql("INSERT INTO graft.finance.alt (k, v) VALUES ('a', 1.0)")
+      val t = GraftTable.load(spark, s"$warehouse/finance/alt")
+      val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+      spark.sql("ALTER TABLE graft.finance.alt ADD COLUMNS (score INT COMMENT 'quality')")
+      // existing rows read NULL for the new column; no file was rewritten
+      val r = spark.sql("SELECT k, v, score FROM graft.finance.alt").collect().head
+      assert(r.getString(0) === "a" && r.isNullAt(2))
+      assert(t.meta.currentSnapshot.get.files.map(_.path).toSet === filesBefore)
+      // writes through the evolved schema round-trip
+      spark.sql("INSERT INTO graft.finance.alt (k, v, score) VALUES ('b', 2.0, 9)")
+      assert(spark.sql("SELECT score FROM graft.finance.alt WHERE k = 'b'")
+        .collect().head.getInt(0) === 9)
+      spark.sql("ALTER TABLE graft.finance.alt SET TBLPROPERTIES ('write.wap.enabled' = 'true')")
+      assert(t.meta.props("write.wap.enabled") === "true")
+      spark.sql("ALTER TABLE graft.finance.alt UNSET TBLPROPERTIES ('write.wap.enabled')")
+      assert(!t.meta.props.contains("write.wap.enabled"))
+      // destructive changes are rejected, not silently approximated
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.finance.alt DROP COLUMN v") }
+      assert(e.getMessage.contains("rewrite"))
+    } finally spark.sql("DROP TABLE graft.finance.alt")
+  }
+
   test("DDL via the catalog: CREATE TABLE / list / DROP") {
     warehouse
     spark.sql(
