@@ -501,7 +501,23 @@ object SparkEntry {
       val t = TableFixtures.ordersVersioned(s, dir)
       t.snapshotsDF.groupBy(col("operation")).agg(count(lit(1)).as("n"))
         .orderBy("operation")
-    })
+    }),
+
+    // incremental (append-only CDC) read: rows added between v1 and v3 are
+    // exactly batches 1 and 2 of the deterministic split
+    "t_incremental" -> ((s, dir) =>
+      TableFixtures.ordersVersioned(s, dir).changesBetween("v1", "v3")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
+    // partitions metadata table: per-partition record totals from
+    // commit-time stats equal a recount over the raw data
+    "t_partitions" -> ((s, dir) =>
+      TableFixtures.ordersVersioned(s, dir).partitionsDF
+        .select(col("partition"), col("record_count"))
+        .orderBy("partition"))
   )
 
   // =====================================================================
@@ -997,6 +1013,17 @@ object SparkEntry {
 
     // ordersVersioned commits exactly 3 append snapshots — a deterministic
     // pipeline makes the metadata table oracle a constant
-    "t_metadata" -> "SELECT 'append' AS operation, cast(3 AS bigint) AS n"
+    "t_metadata" -> "SELECT 'append' AS operation, cast(3 AS bigint) AS n",
+
+    "t_incremental" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders WHERE o_orderkey % 3 IN (1, 2)
+         GROUP BY 1 ORDER BY 1""",
+
+    "t_partitions" ->
+      """SELECT '{o_orderstatus=' || o_orderstatus || '}' AS partition,
+         count(*) AS record_count
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -314,6 +314,47 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
     }
 
+  /**
+   * Incremental (append-only CDC) read: the rows ADDED between two refs —
+   * `fromRef` exclusive, `toRef` inclusive, where `fromRef` must be an
+   * ancestor of `toRef`. The file lists come straight off the snapshot log
+   * (driver-side, O(metadata)), so an incremental consumer reads exactly
+   * the new files and never rescans the table — the pattern that keeps a
+   * downstream pipeline's daily pass proportional to the day's data at
+   * 100 TB, not the table's.
+   *
+   * Only `append` snapshots may appear in the range: a CoW rewrite
+   * (merge/delete/update/replace) re-adds files containing PRE-EXISTING
+   * rows, which would silently duplicate history in an append-only changes
+   * feed, so the method fails loudly and points at the full-snapshot diff.
+   */
+  def changesBetween(fromRef: String, toRef: String): DataFrame = {
+    val m = meta
+    def resolve(r: String): GraftSnapshot = m.snapshotForRef(r).getOrElse(
+      throw new IllegalArgumentException(s"Unknown ref or snapshot '$r' on table ${m.name}"))
+    val from = resolve(fromRef)
+    val to = resolve(toRef)
+    val chain = m.ancestry(to.id)
+    require(chain.contains(from.id),
+      s"$fromRef (snapshot ${from.id}) is not an ancestor of $toRef (snapshot ${to.id})")
+    val rangeIds = chain.takeWhile(_ != from.id)
+    val byId = m.snapshots.map(s => s.id -> s).toMap
+    val range = rangeIds.map(byId)
+    range.filterNot(_.operation == "append") match {
+      case Seq() => ()
+      case nonAppend => throw new IllegalArgumentException(
+        s"changesBetween supports append-only ranges; snapshot(s) " +
+          s"${nonAppend.map(s => s"${s.id}=${s.operation}").mkString(", ")} rewrite " +
+          "existing rows — diff full snapshots instead")
+    }
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val added = range.flatMap(_.addedFiles).map(p => s"$dataDir/$p")
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).option("basePath", dataDir).parquet(added: _*)
+  }
+
   /** Schema evolution: append a nullable column to the declared schema (one
     * metadata commit, no file rewrite — existing files read the column as
     * NULL, the inverse of the append-time mergeSchema widen). */
@@ -446,6 +487,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
       .toDF("path", "length", "partition_spec_id", "added_snapshot_id",
         "added_data_files_count", "existing_data_files_count", "deleted_data_files_count")
+  }
+
+  /** `t.partitions`: per-partition file/record/byte totals of the current
+    * snapshot — all from commit-time stats, no file opens. */
+  def partitionsDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+      .groupBy(_.partitionValues).toSeq
+      .map { case (pv, fl) =>
+        (pv.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"),
+          fl.size.toLong, fl.map(_.records).sum, fl.map(_.sizeBytes).sum)
+      }
+      .sortBy(_._1)
+      .toDF("partition", "file_count", "record_count", "total_size_bytes")
   }
 
   def refsDF: DataFrame = {

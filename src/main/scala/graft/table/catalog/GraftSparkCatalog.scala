@@ -182,7 +182,8 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   // -------------------------------------------------------------------
 
   private val metadataTableNames = Set(
-    "history", "snapshots", "manifests", "files", "metadata_log_entries", "refs")
+    "history", "snapshots", "manifests", "files", "metadata_log_entries",
+    "refs", "partitions")
 
   private def metadataTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
@@ -199,6 +200,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
       case "files"                => t.filesDF
       case "metadata_log_entries" => t.metadataLogEntries
       case "refs"                 => t.refsDF
+      case "partitions"           => t.partitionsDF
     }
     Some(new GraftMetadataTable(s"$parent.$name", df))
   }

@@ -177,6 +177,40 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.refsDF.filter(col("name") === "main").count() === 1)
   }
 
+  test("changesBetween returns exactly the appended rows of an append-only range") {
+    val loc = tmpDir("graft-incr")
+    val t = GraftTable.create(spark, loc, "incr", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark)); t.createOrReplaceBranch("v1")
+    t.append(ActivityData.day2(spark)); t.createOrReplaceBranch("v2")
+    t.append(ActivityData.day3(spark)); t.createOrReplaceBranch("v3")
+    assert(t.changesBetween("v1", "v3").count() === 30)
+    assert(t.changesBetween("v2", "v3").count() === 15)
+    assert(t.changesBetween("v3", "v3").count() === 0)
+    // changes compose: v1->v2 plus v2->v3 equals v1->v3
+    val composed = t.changesBetween("v1", "v2").unionByName(t.changesBetween("v2", "v3"))
+      .select("txn_id").collect().map(_.getString(0)).toSet
+    assert(composed === t.changesBetween("v1", "v3")
+      .select("txn_id").collect().map(_.getString(0)).toSet)
+    // non-ancestor and CoW-in-range both fail loudly
+    assert(intercept[IllegalArgumentException] {
+      t.changesBetween("v3", "v1") }.getMessage.contains("not an ancestor"))
+    t.merge(ActivityData.day4(spark), ActivityData.mergeKeys, ActivityData.updateCols)
+    t.createOrReplaceBranch("v4")
+    assert(intercept[IllegalArgumentException] {
+      t.changesBetween("v3", "v4") }.getMessage.contains("append-only"))
+  }
+
+  test("partitionsDF totals match per-partition recounts") {
+    val t = fullPipeline()
+    val fromMeta = t.partitionsDF.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val recount = t.toDF.groupBy("txn_date").count().collect()
+      .map(r => s"{txn_date=${r.get(0)}}" -> r.getLong(1)).toMap
+    assert(fromMeta === recount)
+    assert(fromMeta.values.sum === 50)
+  }
+
   test("expire_snapshots keeps branch-pinned + last N, deletes exclusive files") {
     val t = fullPipeline()
     t.dropBranch("day1")
