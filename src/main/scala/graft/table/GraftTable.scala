@@ -550,6 +550,49 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * into one sorted file per partition (reference sort_order
     * `account ASC NULLS LAST, txn_id DESC NULLS FIRST`,
     * IcebergLoadActivityTask.scala:159). */
+  /**
+   * Multi-dimensional clustering compaction: rewrite the current snapshot
+   * ordered and range-split by the Morton (Z-order) code of the given
+   * numeric columns, so per-file min-max footer stats become selective on
+   * EVERY z-ordered dimension — `scanWhere` then skips files for
+   * predicates on any of them, where a linear sort only serves its leading
+   * column. The interleave runs on 16-bit ranks normalized from one
+   * column-stats aggregate (a single cheap job); ranking is approximate by
+   * design — clustering quality, not correctness, depends on it.
+   * `targetFiles` bounds the z-range splits per table (each table
+   * partition still writes its own files).
+   */
+  def rewriteDataFilesZOrder(zCols: Seq[String],
+      targetFiles: Int = 8): GraftSnapshot = {
+    require(zCols.nonEmpty && zCols.size <= 4,
+      s"z-order supports 1-4 columns, got ${zCols.size}")
+    val df = toDF
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val statsRow = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val bits = 16
+    val ranks = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = statsRow.getDouble(2 * i)
+      val mx = statsRow.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(greatest(((col(c).cast("double") - lit(mn)) / lit(span) * lit((1 << bits) - 1))
+        .cast("long"), lit(0L)), lit(((1 << bits) - 1).toLong))
+    }
+    // bit-by-bit interleave: z = Σ ((rank_i >> b) & 1) << (b·n + i)
+    val n = ranks.size
+    val morton = (0 until bits).flatMap { b =>
+      ranks.zipWithIndex.map { case (r, i) =>
+        shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    val compacted = df.withColumn("__z", morton)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    overwrite(compacted, operation = "replace")
+  }
+
   def rewriteDataFilesSorted(sortExprs: Seq[Column]): GraftSnapshot = {
     val df = toDF
     val compacted =

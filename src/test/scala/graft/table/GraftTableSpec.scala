@@ -211,6 +211,36 @@ class GraftTableSpec extends SparkTestBase {
     assert(fromMeta.values.sum === 50)
   }
 
+  test("z-order compaction makes file stats selective on every z dimension") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    def build(name: String): GraftTable = {
+      val t = GraftTable.create(spark, tmpDir(s"graft-z-$name"), name, orders.schema)
+      t.append(orders)
+      t
+    }
+    // linear: range-sorted on o_custkey only (single-col z-order degenerates
+    // to a range sort); z: clustered on (o_custkey, o_orderkey)
+    val linear = build("zlin")
+    linear.rewriteDataFilesZOrder(Seq("o_custkey"), targetFiles = 8)
+    val zed = build("zmulti")
+    zed.rewriteDataFilesZOrder(Seq("o_custkey", "o_orderkey"), targetFiles = 8)
+    // contents preserved exactly
+    assert(zed.toDF.count() === orders.count())
+    assert(zed.toDF.agg(org.apache.spark.sql.functions.sum("o_orderkey")).collect().head.getLong(0)
+      === orders.agg(org.apache.spark.sql.functions.sum("o_orderkey")).collect().head.getLong(0))
+    // a predicate on the NON-leading dimension skips files only under z-order
+    val cut = orders.agg(org.apache.spark.sql.functions.expr("percentile_approx(o_orderkey, 0.1)"))
+      .collect().head.getLong(0)
+    val pred = col("o_orderkey") < cut
+    val linFiles = linear.scanWhere(pred).inputFiles.length
+    val zFiles = zed.scanWhere(pred).inputFiles.length
+    assert(linear.meta.currentSnapshot.get.files.size === 8)
+    assert(zFiles < linFiles,
+      s"z-order should prune files on the second dimension: z=$zFiles linear=$linFiles")
+    // and both return identical rows for the predicate
+    assert(zed.scanWhere(pred).count() === orders.filter(pred).count())
+  }
+
   test("expire_snapshots keeps branch-pinned + last N, deletes exclusive files") {
     val t = fullPipeline()
     t.dropBranch("day1")

@@ -156,6 +156,12 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       assert(rw.head.getInt(0) >= 1 && rw.head.getInt(1) >= 1)
       assert(t.toDF.count() === 4)
 
+      // zorder(...) sort_order routes to the z-order rewrite
+      val zw = spark.sql(
+        """CALL graft.system.rewrite_data_files(table => 'finance.proc',
+             strategy => 'sort', sort_order => 'zorder(v, v)')""").collect()
+      assert(zw.head.getInt(1) >= 1 && t.toDF.count() === 4)
+
       // expire_snapshots(named): everything but the last 2, branch pins kept
       val before = t.snapshotsDF.count()
       val exp = spark.sql(
