@@ -459,6 +459,15 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // merge-on-read DELETE: equality-delete file + anti-join read, with the
+    // sequence probe — keys re-appended after the delete are live again
+    "t_mor_delete" -> ((s, dir) =>
+      TableFixtures.ordersMorDeleted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // copy-on-write UPDATE: row-referencing SET expressions, only files
     // containing TRUE-condition rows rewritten
     "t_update_where" -> ((s, dir) =>
@@ -984,6 +993,17 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
          GROUP BY 1 ORDER BY 1""",
+
+    "t_mor_delete" ->
+      s"""WITH state AS (
+           SELECT * FROM orders
+           WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
+           UNION ALL
+           SELECT * FROM orders
+           WHERE o_orderkey % 3 = 0 AND o_totalprice > 400000)
+         SELECT o_orderstatus, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents
+         FROM state GROUP BY 1 ORDER BY 1""",
 
     "t_update_where" ->
       s"""WITH t AS (

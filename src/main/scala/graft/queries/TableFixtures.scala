@@ -187,6 +187,26 @@ object TableFixtures {
     })
 
   /**
+   * Merge-on-read DELETE fixture with the sequence-semantics probe: batch 0
+   * loaded, high-value rows MoR-deleted (equality-delete file, no rewrite),
+   * then the very-high-value subset RE-appended — rows appended after the
+   * delete must be live. State == (batch0 minus >300000) plus (batch0 and
+   * >400000).
+   */
+  def ordersMorDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_mor_deleted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_mor_deleted"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_mor_deleted",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.deleteWhereMoR(col("o_totalprice") > 300000, Seq("o_orderkey"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0 && col("o_totalprice") > 400000))
+      t
+    })
+
+  /**
    * Maintenance fixture: ordersVersioned pipeline + sorted compaction +
    * snapshot expiry (branch-pinned v1..v3 survive). Data state == full
    * orders; used to prove maintenance preserves contents.

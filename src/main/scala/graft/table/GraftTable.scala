@@ -83,21 +83,48 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   def asOfSnapshot(id: Long): DataFrame = asOf(id.toString)
 
-  private def scan(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame = {
+  private def scan(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame =
+    readWithDeletes(snap, m, snap.map(_.files).getOrElse(Seq.empty))
+
+  private def plainRead(s: StructType, files: Seq[DataFile]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    val paths = files.map(f => s"$dataDir/${f.path}")
+    // re-project: the file reader surfaces partition columns last;
+    // keep the declared column order stable for users and oracles
+    spark.read
+      .schema(s)
+      .option("basePath", dataDir)
+      .parquet(paths: _*)
+      .select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Read `subset` of a snapshot's files with its merge-on-read equality
+    * deletes applied. A delete applies only to files ADDED before it
+    * (file-adding snapshot id < delete seq), so files are grouped by their
+    * applicable delete set — each group is one scan anti-joined per delete
+    * file on that delete's key columns, unioned back together. A file whose
+    * adding snapshot was expired from the log predates every retained
+    * delete (seq fallback 0). */
+  private def readWithDeletes(snap: Option[GraftSnapshot], m: TableMetadata,
+      subset: Seq[DataFile]): DataFrame = {
     val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    snap match {
-      case Some(sn) if sn.files.nonEmpty =>
-        val paths = sn.files.map(f => s"$dataDir/${f.path}")
-        // re-project: the file reader surfaces partition columns last;
-        // keep the declared column order stable for users and oracles
-        spark.read
-          .schema(s)
-          .option("basePath", dataDir)
-          .parquet(paths: _*)
-          .select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
-      case _ =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-    }
+    if (snap.isEmpty || subset.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+    if (dels.isEmpty) return plainRead(s, subset)
+    val addSeq: Map[String, Long] = m.snapshots.sortBy(_.id)
+      .flatMap(sn => sn.addedFiles.map(_ -> sn.id))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    subset
+      .groupBy(f => dels.filter(_.seq > addSeq.getOrElse(f.path, 0L)).map(_.path).toSet)
+      .toSeq.sortBy(_._1.size)
+      .map { case (applicable, files) =>
+        dels.filter(d => applicable(d.path)).foldLeft(plainRead(s, files)) { (df, d) =>
+          df.join(spark.read.parquet(s"$dataDir/${d.path}"), d.keyCols, "left_anti")
+        }
+      }
+      .reduce(_.unionByName(_))
   }
 
   // ---------------------------------------------------------------------
@@ -155,7 +182,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
       val head = resolveWriteBranchHead(m, branch)
-      val current = scan(head, m)
+      // plain-files read: the probe's input_file_name() cannot span the
+      // multi-source delete-applying plan; over-approximating affected
+      // files is harmless since the rewrite reads through the deletes
+      val current = plainRead(tableSchema,
+        head.map(_.files).getOrElse(Seq.empty))
 
       if (head.forall(_.files.isEmpty)) {
         // empty target: MERGE degenerates to insert-all
@@ -200,12 +231,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
         headFiles.partition(f => matchedFilePaths.exists(p => p.endsWith("/" + f.path)))
 
       // 2. rewrite affected files with merged contents + all inserts
-      val target =
-        if (affectedFiles.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
-        else
-          spark.read.schema(tableSchema).option("basePath", dataDir)
-            .parquet(affectedFiles.map(f => s"$dataDir/${f.path}"): _*)
+      // (through the delete-applying read: a CoW rewrite of a file with
+      // pending MoR deletes must not resurrect the deleted rows)
+      val target = readWithDeletes(head, m, affectedFiles)
 
       val t = target.withColumn("__tgt", lit(1))
       val sFlagged = alignedSrc
@@ -251,7 +279,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val head = resolveWriteBranchHead(m, branch)
-      val current = scan(head, m)
+      // plain-files read: the probe's input_file_name() cannot span the
+      // multi-source delete-applying plan; over-approximating affected
+      // files is harmless since the rewrite reads through the deletes
+      val current = plainRead(tableSchema,
+        head.map(_.files).getOrElse(Seq.empty))
       val matchedFilePaths: Set[String] = current.filter(cond)
         .select(input_file_name().as("__file")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -264,12 +296,56 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // SQL DELETE removes only rows where cond is TRUE; rows where cond
         // evaluates to NULL must be KEPT, so the keep-filter is
         // NOT coalesce(cond, false) — a bare !cond would silently drop them
-        val kept = spark.read.schema(tableSchema).option("basePath", dataDir)
-          .parquet(affectedFiles.map(f => s"$dataDir/${f.path}"): _*)
+        val kept = readWithDeletes(head, m, affectedFiles)
           .filter(not(coalesce(cond, lit(false))))
         val newFiles = writeDataFiles(kept, tableSchema, m.partitionCols)
         commitSnapshot(m, newFiles, affectedFiles.map(_.path), "delete", branch)
       }
+    }
+
+  /**
+   * Merge-on-read DELETE (tblproperty `write.delete.mode=merge-on-read`,
+   * which the reference sets for update/merge — reference
+   * IcebergLoadActivityTask.scala:29-31): instead of rewriting data files,
+   * commit an equality-delete file of the matched rows' `keyCols` tuples.
+   * The write is O(matched keys) regardless of file sizes — the
+   * high-churn-table trade Iceberg MoR makes — and readers anti-join the
+   * delete file until a compaction (`rewriteDataFiles*`) materializes it.
+   * Keys appended AFTER the delete are live again (sequence semantics).
+   * `keyCols` must uniquely identify rows to delete exactly the matches;
+   * NULL keys never match, like SQL equality.
+   */
+  def deleteWhereMoR(cond: Column, keyCols: Seq[String],
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
+        s"MoR delete references unknown column $k"))
+      val head = resolveWriteBranchHead(m, branch)
+      val keys = scan(head, m).filter(cond)
+        .select(keyCols.map(col).toIndexedSeq: _*).distinct()
+      val commitId = java.util.UUID.randomUUID().toString.take(8)
+      val staging = new Path(s"$location/_staging/del-$commitId")
+      keys.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val staged = fs.listStatus(staging)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val dels = staged.toSeq.map { st =>
+        val rel = s"_deletes/del-$commitId-${st.getPath.getName}"
+        val target = new Path(dataDir, rel)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(st.getPath, target))
+          throw new IllegalStateException(s"Failed to move delete file to $target")
+        val records = {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
+          try r.getRecordCount finally r.close()
+        }
+        DeleteFile(rel, keyCols, records, fs.getFileStatus(target).getLen, seq = -1L)
+      }
+      fs.delete(staging, true)
+      val nonEmpty = dels.filter(_.records > 0)
+      dels.filterNot(_.records > 0).foreach(d => fs.delete(new Path(dataDir, d.path), false))
+      commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch, addedDeletes = nonEmpty)
     }
 
   /** Copy-on-write UPDATE (SQL `UPDATE t SET c = expr WHERE cond`): rewrite
@@ -289,7 +365,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
         require(tableSchema.fieldNames.contains(c),
           s"UPDATE references unknown column $c") }
       val head = resolveWriteBranchHead(m, branch)
-      val current = scan(head, m)
+      // plain-files read: the probe's input_file_name() cannot span the
+      // multi-source delete-applying plan; over-approximating affected
+      // files is harmless since the rewrite reads through the deletes
+      val current = plainRead(tableSchema,
+        head.map(_.files).getOrElse(Seq.empty))
       val matchedFilePaths: Set[String] = current.filter(cond)
         .select(input_file_name().as("__file")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -300,8 +380,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         commitSnapshot(m, Seq.empty, Seq.empty, "update", branch)
       } else {
         val setMap = sets.toMap
-        val src = spark.read.schema(tableSchema).option("basePath", dataDir)
-          .parquet(affectedFiles.map(f => s"$dataDir/${f.path}"): _*)
+        val src = readWithDeletes(head, m, affectedFiles)
         val hit = coalesce(cond, lit(false))
         val rewritten = src.select(tableSchema.fields.map { f =>
           setMap.get(f.name) match {
@@ -529,7 +608,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       olderThanMs: Long = System.currentTimeMillis() - GraftTable.OrphanFileDefaultAgeMs): Seq[String] =
     withCommitLock {
       val m = meta
-      val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
+      val referenced = m.snapshots.flatMap(s =>
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
       val dd = fs.makeQualified(new Path(dataDir))
       if (fs.exists(dd)) {
         val listed = ArrayBuffer.empty[String]
@@ -624,8 +704,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map(_.id).toSet
     val expired = m.snapshots.filterNot(s => keep.contains(s.id))
     val retainedFiles = m.snapshots.filter(s => keep.contains(s.id))
-      .flatMap(_.files.map(_.path)).toSet
-    val toDelete = expired.flatMap(_.files.map(_.path)).distinct.filterNot(retainedFiles.contains)
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val toDelete = expired
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+      .distinct.filterNot(retainedFiles.contains)
     val pruned = m.copy(snapshots = m.snapshots.filter(s => keep.contains(s.id)))
     SnapshotLog.commit(location, pruned, conf)
     toDelete.foreach(p => fs.delete(new Path(dataDir, p), false))
@@ -795,12 +877,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }.toMap
 
   private def commitSnapshot(m: TableMetadata, added: Seq[DataFile],
-      removed: Seq[String], operation: String, branch: Option[String]): GraftSnapshot = {
+      removed: Seq[String], operation: String, branch: Option[String],
+      addedDeletes: Seq[DeleteFile] = Seq.empty): GraftSnapshot = {
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
     val head = m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch)).flatMap(m.snapshot)
     val removedSet = removed.toSet
     val live = head.map(_.files).getOrElse(Seq.empty).filterNot(f => removedSet.contains(f.path)) ++ added
     val id = m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    // MoR delete files: carried forward until a full rewrite materializes
+    // them (replace/overwrite read through the deletes, so new files never
+    // contain logically-deleted rows); new deletes get this commit's id as
+    // their sequence — they apply only to files added before it
+    val liveDeletes =
+      if (operation == "replace" || operation == "overwrite") Seq.empty
+      else head.map(_.deleteFiles).getOrElse(Seq.empty) ++ addedDeletes.map(_.copy(seq = id))
     val snap = GraftSnapshot(
       id = id,
       parentId = head.map(_.id),
@@ -813,7 +903,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "added-data-files" -> added.size.toString,
         "removed-data-files" -> removed.size.toString,
         "added-records" -> added.map(_.records).sum.toString,
-        "branch" -> b))
+        "added-delete-files" -> addedDeletes.size.toString,
+        "branch" -> b),
+      deleteFiles = liveDeletes)
     val newRefs = m.refs + (b -> id)
     SnapshotLog.commit(location, m.copy(refs = newRefs, snapshots = m.snapshots :+ snap), conf)
     snap

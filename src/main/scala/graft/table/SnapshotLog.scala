@@ -45,6 +45,22 @@ case class DataFile(
  * the log is O(snapshots x files) JSON. At 100 TB scale, `files` would
  * become a pointer to a manifest-list file; the API surface is unchanged.
  */
+/**
+ * A merge-on-read equality-delete file: a parquet file of key tuples under
+ * `data/_deletes/` whose rows mark logical deletions (Iceberg's equality
+ * delete files). `seq` is the id of the committing snapshot: the delete
+ * applies only to data files ADDED BEFORE it, so keys re-inserted later
+ * are live again — the sequence-number semantics Iceberg row-level deletes
+ * follow. Readers anti-join on `keyCols`; compaction materializes and
+ * drops the delete files.
+ */
+case class DeleteFile(
+    path: String,
+    keyCols: Seq[String],
+    records: Long,
+    sizeBytes: Long,
+    seq: Long)
+
 case class GraftSnapshot(
     id: Long,
     parentId: Option[Long],
@@ -53,7 +69,8 @@ case class GraftSnapshot(
     files: Seq[DataFile],
     addedFiles: Seq[String],
     removedFiles: Seq[String],
-    summary: Map[String, String]) {
+    summary: Map[String, String],
+    deleteFiles: Seq[DeleteFile] = Seq.empty) {
   def totalRecords: Long = files.map(_.records).sum
   def totalBytes: Long = files.map(_.sizeBytes).sum
 }

@@ -1,0 +1,106 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.json4s.DefaultFormats
+import org.json4s.jackson.Serialization
+
+import graft.SparkTestBase
+import graft.apps.ActivityData
+
+/** Merge-on-read equality deletes: O(matched-keys) writes, anti-join reads,
+  * sequence semantics (re-inserted keys live again), compaction
+  * materialization, CoW interplay and GC safety. */
+class MorDeleteSpec extends SparkTestBase {
+
+  private def fresh(name: String): GraftTable = {
+    val t = GraftTable.create(spark, tmpDir(s"mor-$name"), name,
+      ActivityData.schema, ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark)) // txn1..txn15
+    t
+  }
+
+  test("MoR delete hides rows without touching data files") {
+    val t = fresh("basic")
+    val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    t.deleteWhereMoR(col("txn_id").isin("txn3", "txn7"), Seq("txn_id"))
+    assert(t.toDF.count() === 13)
+    assert(t.toDF.filter(col("txn_id").isin("txn3", "txn7")).count() === 0)
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.files.map(_.path).toSet === filesBefore) // zero rewrites
+    assert(snap.deleteFiles.size === 1 && snap.deleteFiles.head.records === 2)
+    assert(snap.deleteFiles.head.path.startsWith("_deletes/"))
+  }
+
+  test("sequence semantics: keys appended after the delete are live again") {
+    val t = fresh("seq")
+    t.deleteWhereMoR(col("txn_id") === "txn5", Seq("txn_id"))
+    assert(t.toDF.filter(col("txn_id") === "txn5").count() === 0)
+    // re-insert the same key in a later append: the older delete must not
+    // apply to the newer file
+    t.append(ActivityData.day1(spark).filter(col("txn_id") === "txn5"))
+    assert(t.toDF.filter(col("txn_id") === "txn5").count() === 1)
+    assert(t.toDF.count() === 15)
+    // and a NEW delete hides both old and new files' rows
+    t.deleteWhereMoR(col("txn_id") === "txn5", Seq("txn_id"))
+    assert(t.toDF.filter(col("txn_id") === "txn5").count() === 0)
+  }
+
+  test("compaction materializes MoR deletes and drops the delete files") {
+    val t = fresh("compact")
+    t.deleteWhereMoR(col("txn_id").isin("txn1", "txn2"), Seq("txn_id"))
+    t.rewriteDataFilesSorted(Seq(asc_nulls_last("account")))
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.isEmpty)
+    assert(t.toDF.count() === 13)
+    assert(t.toDF.filter(col("txn_id").isin("txn1", "txn2")).count() === 0)
+  }
+
+  test("CoW merge after a MoR delete does not resurrect deleted rows") {
+    val t = fresh("cow")
+    t.deleteWhereMoR(col("txn_id") === "txn4", Seq("txn_id"))
+    // merge touches txn6 (same partition-day as txn4): the affected file is
+    // rewritten through the delete-applying read
+    val upd = ActivityData.day1(spark).filter(col("txn_id") === "txn6")
+      .withColumn("amount", lit(999.0))
+    t.merge(upd, Seq("txn_id"), Seq("amount"))
+    assert(t.toDF.filter(col("txn_id") === "txn4").count() === 0)
+    assert(t.toDF.filter(col("txn_id") === "txn6").collect().head
+      .getAs[Double]("amount") === 999.0)
+    assert(t.toDF.count() === 14)
+  }
+
+  test("time travel before the delete still sees the rows") {
+    val t = fresh("tt")
+    t.createOrReplaceBranch("pre")
+    t.deleteWhereMoR(col("txn_id") === "txn9", Seq("txn_id"))
+    assert(t.asOf("pre").count() === 15)
+    assert(t.toDF.count() === 14)
+  }
+
+  test("GC never collects live delete files; expiry drops orphaned ones") {
+    val t = fresh("gc")
+    t.deleteWhereMoR(col("txn_id") === "txn1", Seq("txn_id"))
+    val delPath = t.meta.currentSnapshot.get.deleteFiles.head.path
+    // the delete file is referenced -> not an orphan even with no age guard
+    assert(!t.removeOrphanFiles(dryRun = true, olderThanMs = Long.MaxValue)
+      .contains(delPath))
+    assert(t.toDF.count() === 14)
+    // compaction drops the reference; expiring the pre-compaction snapshots
+    // then deletes the file from disk
+    t.rewriteDataFilesSorted(Seq(asc_nulls_last("account")))
+    t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(t.location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"${t.location}/data/$delPath")))
+    assert(t.toDF.count() === 14)
+  }
+
+  test("snapshot JSON without deleteFiles still deserializes (log compat)") {
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val legacy =
+      """{"id":1,"parentId":null,"timestampMs":5,"operation":"append",
+         "files":[],"addedFiles":[],"removedFiles":[],"summary":{}}"""
+    val snap = Serialization.read[GraftSnapshot](legacy)
+    assert(snap.deleteFiles === Seq.empty)
+  }
+}
