@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.sql.{GraftMergeRule, GraftSqlParser, GraftUpdateRule}
+import graft.sql.{GraftMergeRule, GraftMorReadRule, GraftSqlParser, GraftUpdateRule}
 
 /**
  * Session extensions completing the reference's SQL surface on graft
@@ -27,5 +27,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPostHocResolutionRule(_ => GraftMergeRule)
     ext.injectPostHocResolutionRule(_ => GraftUpdateRule)
+    // after the row-level rules: only genuine read relations remain
+    ext.injectPostHocResolutionRule(_ => GraftMorReadRule)
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.{bridge, GraftMergeCommand, GraftUpdateCommand}
 
-import graft.table.catalog.GraftWritableTable
+import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
 
 /**
  * Post-hoc resolution rule translating a resolved `MERGE INTO` over a graft
@@ -147,6 +147,42 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
       keys = keyPairs.map(_._1.name), updateCols = updateCols,
       insertNotMatched = insertAssignments.nonEmpty)
   }
+}
+
+/**
+ * Substitutes SQL reads of graft snapshots that carry pending merge-on-read
+ * delete files with the delete-applying read (`GraftTable.asOfSnapshot`,
+ * which anti-joins the equality-delete files) — a plain file scan would
+ * surface logically-deleted rows. Registered AFTER the merge/update rules,
+ * so row-level commands are already rewritten to leaf commands and only
+ * genuine read relations remain; `DELETE FROM` targets and V2 write
+ * targets are explicitly left untouched (their relation identity routes
+ * the write), while a write's SOURCE query is still substituted.
+ */
+object GraftMorReadRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable => d
+    case w: V2WriteCommand  => w.withNewQuery(rewriteReads(w.query))
+    case other              => rewriteReads(other)
+  }
+
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case g: GraftReadOnlyTable if g.morRead.isDefined =>
+            val mr = g.morRead.get
+            val df = graft.table.GraftTable
+              .load(org.apache.spark.sql.SparkSession.active, mr.location)
+              .asOfSnapshot(mr.snapshotId)
+            val inner = org.apache.spark.sql.graft.bridge.analyzedPlan(df)
+            val byName = inner.output.map(a => a.name -> a).toMap
+            Project(r.output.map(o =>
+              Alias(byName(o.name), o.name)(exprId = o.exprId)), inner)
+          case _ => r
+        }
+    }
 }
 
 /**

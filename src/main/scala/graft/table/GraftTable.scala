@@ -121,7 +121,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .toSeq.sortBy(_._1.size)
       .map { case (applicable, files) =>
         dels.filter(d => applicable(d.path)).foldLeft(plainRead(s, files)) { (df, d) =>
-          df.join(spark.read.parquet(s"$dataDir/${d.path}"), d.keyCols, "left_anti")
+          // null-safe equality (Iceberg equality-delete semantics: null
+          // equals null), so a recorded null-key tuple deletes null rows
+          val del = spark.read.parquet(s"$dataDir/${d.path}")
+            .select(d.keyCols.map(k => col(k).as(s"__del_$k")).toIndexedSeq: _*)
+          df.join(del,
+            d.keyCols.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _),
+            "left_anti")
         }
       }
       .reduce(_.unionByName(_))
@@ -313,7 +319,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * delete file until a compaction (`rewriteDataFiles*`) materializes it.
    * Keys appended AFTER the delete are live again (sequence semantics).
    * `keyCols` must uniquely identify rows to delete exactly the matches;
-   * NULL keys never match, like SQL equality.
+   * matching is null-safe (null equals null), Iceberg's equality-delete
+   * contract, so a null-keyed match is recorded and deleted too.
    */
   def deleteWhereMoR(cond: Column, keyCols: Seq[String],
       branch: Option[String] = None): GraftSnapshot =

@@ -233,8 +233,13 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
       Map("basePath" -> dataDir).asJava)
     val inner = ParquetTable(ident.toString, spark, options, paths,
       Some(schema), classOf[ParquetFileFormat])
-    if (writable) new GraftWritableTable(ident.toString, loc, inner, schema)
-    else new GraftReadOnlyTable(ident.toString, inner, schema)
+    // pending merge-on-read deletes can't be served by a plain file scan:
+    // record the (location, snapshot) for GraftMorReadRule to substitute
+    // the delete-applying plan during analysis
+    val mor = snap.filter(_.deleteFiles.nonEmpty)
+      .map(sn => GraftMorRead(loc, sn.id))
+    if (writable) new GraftWritableTable(ident.toString, loc, inner, schema, mor)
+    else new GraftReadOnlyTable(ident.toString, inner, schema, mor)
   }
 }
 
@@ -257,17 +262,29 @@ class GraftMetadataTable(tableName: String,
     }
 }
 
+/** A snapshot with pending merge-on-read deletes, to be read through
+  * `GraftTable.asOfSnapshot` (which applies the equality-delete anti-joins)
+  * instead of the plain file scan. */
+case class GraftMorRead(location: String, snapshotId: Long)
+
 /** Read-only shell around Spark's ParquetTable: exposes BATCH_READ only.
   * Time-travel reads (`VERSION/TIMESTAMP AS OF`) resolve to this shape, so a
   * pinned historical snapshot can never be written through. */
 class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType,
+    val morRead: Option[GraftMorRead] = None) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // refusing beats silently surfacing logically-deleted rows
+    morRead.foreach { _ => throw new UnsupportedOperationException(
+      s"$tableName has pending merge-on-read delete files: SQL reads need " +
+        "spark.sql.extensions=graft.GraftSparkExtensions (or read via the " +
+        "GraftTable API / run a compaction to materialize the deletes)") }
     inner.newScanBuilder(options)
+  }
 }
 
 /** Current-state SQL table: reads like [[GraftReadOnlyTable]], and accepts
@@ -278,26 +295,32 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   * no `SupportsOverwrite`/`SupportsTruncate` builder, so Spark's analyzer
   * rejects them before any file is touched. */
 class GraftWritableTable(tableName: String, val location: String,
-    inner: ParquetTable, tableSchema: StructType)
-  extends GraftReadOnlyTable(tableName, inner, tableSchema)
+    inner: ParquetTable, tableSchema: StructType,
+    morReadInfo: Option[GraftMorRead] = None)
+  extends GraftReadOnlyTable(tableName, inner, tableSchema, morReadInfo)
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
-  /** `DELETE FROM … WHERE …`: the pushed filters become one Column predicate
-    * and run through `GraftTable.deleteWhere` — the same file-level
-    * copy-on-write commit as the DataFrame API (only files containing
-    * matches are rewritten; NULL-evaluating rows are kept). Predicates that
-    * don't translate make `canDeleteWhere` return false, so Spark raises a
-    * clear analysis error instead of silently deleting the wrong rows. */
+  /** `DELETE FROM … WHERE …`: the pushed filters become one Column
+    * predicate. The table's `write.delete.mode` property picks the commit
+    * shape, like Iceberg: `copy-on-write` (default) rewrites only the files
+    * containing matches; `merge-on-read` commits a full-row equality-delete
+    * file instead — O(matched rows) written, zero files rewritten.
+    * NULL-evaluating rows are kept either way. Predicates that don't
+    * translate make `canDeleteWhere` return false, so Spark raises a clear
+    * analysis error instead of silently deleting the wrong rows. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     filters.forall(f => GraftWritableTable.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val cond = filters.flatMap(GraftWritableTable.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    GraftTable.load(SparkSession.active, location).deleteWhere(cond)
+    val t = GraftTable.load(SparkSession.active, location)
+    if (t.properties.get("write.delete.mode").contains("merge-on-read"))
+      t.deleteWhereMoR(cond, t.schema.fieldNames.toSeq)
+    else t.deleteWhere(cond)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

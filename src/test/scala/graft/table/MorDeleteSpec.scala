@@ -95,6 +95,39 @@ class MorDeleteSpec extends SparkTestBase {
     assert(t.toDF.count() === 14)
   }
 
+  test("equality matching is null-safe: a null-keyed tuple deletes null rows") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("mor-null"), "mor_null",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+    t.append(Seq(("a", 1L), (null.asInstanceOf[String], 2L), ("c", 3L)).toDF("k", "v"))
+    // matched row has k = NULL: the recorded null tuple must delete it
+    // (null-unsafe matching would silently keep it forever)
+    t.deleteWhereMoR(col("v") === 2, Seq("k"))
+    assert(t.toDF.count() === 2)
+    assert(t.toDF.select("k").collect().map(_.getString(0)).toSet === Set("a", "c"))
+  }
+
+  test("SQL DELETE FROM honors write.delete.mode=merge-on-read") {
+    val wh = java.nio.file.Files.createTempDirectory("mor-sql-wh").toString
+    spark.conf.set("spark.sql.catalog.morsql",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morsql.warehouse", wh)
+    spark.sql("""CREATE TABLE morsql.fin.mor (k STRING, v DOUBLE)
+                 USING parquet TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    try {
+      spark.sql("INSERT INTO morsql.fin.mor (k, v) VALUES ('a', 1.0), ('b', 2.0), ('c', 3.0)")
+      val t = GraftTable.load(spark, s"$wh/fin/mor")
+      val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+      spark.sql("DELETE FROM morsql.fin.mor WHERE v > 1.5")
+      assert(spark.sql("SELECT count(*) FROM morsql.fin.mor").collect().head.getLong(0) === 1)
+      val snap = t.meta.currentSnapshot.get
+      assert(snap.files.map(_.path).toSet === filesBefore) // no rewrite
+      assert(snap.deleteFiles.nonEmpty && snap.deleteFiles.head.records === 2)
+    } finally spark.sql("DROP TABLE morsql.fin.mor")
+  }
+
   test("snapshot JSON without deleteFiles still deserializes (log compat)") {
     implicit val fmts: org.json4s.Formats = DefaultFormats
     val legacy =
