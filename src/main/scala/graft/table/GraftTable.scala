@@ -332,27 +332,113 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val head = resolveWriteBranchHead(m, branch)
       val keys = scan(head, m).filter(cond)
         .select(keyCols.map(col).toIndexedSeq: _*).distinct()
-      val commitId = java.util.UUID.randomUUID().toString.take(8)
-      val staging = new Path(s"$location/_staging/del-$commitId")
-      keys.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val staged = fs.listStatus(staging)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      val dels = staged.toSeq.map { st =>
-        val rel = s"_deletes/del-$commitId-${st.getPath.getName}"
-        val target = new Path(dataDir, rel)
-        fs.mkdirs(target.getParent)
-        if (!fs.rename(st.getPath, target))
-          throw new IllegalStateException(s"Failed to move delete file to $target")
-        val records = {
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
-          try r.getRecordCount finally r.close()
-        }
-        DeleteFile(rel, keyCols, records, fs.getFileStatus(target).getLen, seq = -1L)
+      commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch,
+        addedDeletes = writeDeleteFiles(keys, keyCols))
+    }
+
+  /** Write a key-tuple DataFrame as equality-delete parquet under
+    * `data/_deletes/`; returns the (seq-unassigned) DeleteFile entries. */
+  private def writeDeleteFiles(keys: DataFrame,
+      keyCols: Seq[String]): Seq[DeleteFile] = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$location/_staging/del-$commitId")
+    keys.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val dels = staged.toSeq.map { st =>
+      val rel = s"_deletes/del-$commitId-${st.getPath.getName}"
+      val target = new Path(dataDir, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(st.getPath, target))
+        throw new IllegalStateException(s"Failed to move delete file to $target")
+      val records = {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
+        try r.getRecordCount finally r.close()
       }
-      fs.delete(staging, true)
-      val nonEmpty = dels.filter(_.records > 0)
-      dels.filterNot(_.records > 0).foreach(d => fs.delete(new Path(dataDir, d.path), false))
-      commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch, addedDeletes = nonEmpty)
+      DeleteFile(rel, keyCols, records, fs.getFileStatus(target).getLen, seq = -1L)
+    }
+    fs.delete(staging, true)
+    dels.filterNot(_.records > 0).foreach(d => fs.delete(new Path(dataDir, d.path), false))
+    dels.filter(_.records > 0)
+  }
+
+  /**
+   * Merge-on-read UPDATE (tblproperty `write.update.mode=merge-on-read`,
+   * reference IcebergLoadActivityTask.scala:30): delete-and-insert in one
+   * snapshot — an equality-delete file hides the matched rows' old versions
+   * and the updated rows append as new data files, so the write is
+   * O(matched rows), never a file rewrite. The delete's sequence equals the
+   * commit id, and the new files are added AT that id, so the delete
+   * applies only to the older files — the appended updates stay live.
+   * `keyCols` must uniquely identify the matched rows.
+   */
+  def updateWhereMoR(cond: Column, sets: Seq[(String, Column)],
+      keyCols: Seq[String], branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      (sets.map(_._1) ++ keyCols).foreach(c =>
+        require(tableSchema.fieldNames.contains(c),
+          s"MoR update references unknown column $c"))
+      val head = resolveWriteBranchHead(m, branch)
+      val setMap = sets.toMap
+      val matched = scan(head, m).filter(cond)
+      val keys = matched.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+      val updated = matched.select(tableSchema.fields.map { f =>
+        setMap.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      }.toIndexedSeq: _*)
+      val newFiles = writeDataFiles(updated, tableSchema, m.partitionCols)
+      commitSnapshot(m, newFiles, Seq.empty, "update", branch,
+        addedDeletes = writeDeleteFiles(keys, keyCols))
+    }
+
+  /**
+   * Merge-on-read MERGE (tblproperty `write.merge.mode=merge-on-read`,
+   * reference IcebergLoadActivityTask.scala:31): same key/update semantics
+   * as [[merge]], committed as delete-and-insert — matched target keys go
+   * to an equality-delete file, and the merged rows (updated versions plus
+   * not-matched inserts) append as new files. O(matched + inserted) written.
+   */
+  def mergeMoR(source: DataFrame, keys: Seq[String],
+      updateCols: Seq[String] = Seq.empty,
+      insertNotMatched: Boolean = true,
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val cols = tableSchema.fields.map(_.name).toSeq
+      val updates = if (updateCols.isEmpty) cols.filterNot(keys.contains) else updateCols
+      val alignedSrc = source.select(tableSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      val head = resolveWriteBranchHead(m, branch)
+      val current = scan(head, m)
+      // same cardinality rule as the CoW merge
+      val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+      val srcCard = alignedSrc.filter(keysNotNull).agg(
+        count(lit(1)).as("n"),
+        countDistinct(struct(keys.map(col).toIndexedSeq: _*)).as("d")).collect().head
+      require(srcCard.getLong(0) == srcCard.getLong(1),
+        s"MERGE source has ${srcCard.getLong(0) - srcCard.getLong(1)} duplicate " +
+          s"rows on key (${keys.mkString(", ")}); deduplicate the source first")
+      val srcKeys = alignedSrc.select(keys.map(col).toIndexedSeq: _*).distinct()
+      val matched = current.join(srcKeys, keys, "left_semi")
+      val sPrefixed = alignedSrc
+        .select(cols.map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
+      val joinCond = keys.map(k => matched(k) === sPrefixed(s"__s_$k")).reduce(_ && _)
+      val updatedRows = matched.join(sPrefixed, joinCond, "inner")
+        .select(cols.map { c =>
+          (if (updates.contains(c)) col(s"__s_$c") else col(c)).as(c)
+        }.toIndexedSeq: _*)
+      val inserts =
+        if (insertNotMatched)
+          alignedSrc.join(current.select(keys.map(col).toIndexedSeq: _*).distinct(),
+            keys, "left_anti")
+        else alignedSrc.limit(0)
+      val out = updatedRows.unionByName(inserts)
+      val matchedKeys = matched.select(keys.map(col).toIndexedSeq: _*).distinct()
+      val newFiles = writeDataFiles(out, tableSchema, m.partitionCols)
+      commitSnapshot(m, newFiles, Seq.empty, "merge", branch,
+        addedDeletes = writeDeleteFiles(matchedKeys, keys))
     }
 
   /** Copy-on-write UPDATE (SQL `UPDATE t SET c = expr WHERE cond`): rewrite

@@ -50,8 +50,12 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val df = Dataset.ofRows(session.asInstanceOf[ClassicSession], source)
-    GraftTable.load(session, location)
-      .merge(df, keys, updateCols, insertNotMatched)
+    val t = GraftTable.load(session, location)
+    // write.merge.mode picks the commit shape, like Iceberg (the reference
+    // sets merge-on-read, IcebergLoadActivityTask.scala:31)
+    if (t.properties.get("write.merge.mode").contains("merge-on-read"))
+      t.mergeMoR(df, keys, updateCols, insertNotMatched)
+    else t.merge(df, keys, updateCols, insertNotMatched)
     Seq.empty
   }
 }
@@ -63,7 +67,12 @@ case class GraftUpdateCommand(location: String,
     sets: Seq[(String, org.apache.spark.sql.Column)],
     cond: org.apache.spark.sql.Column) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    GraftTable.load(session, location).updateWhere(cond, sets)
+    val t = GraftTable.load(session, location)
+    // write.update.mode=merge-on-read → delete-and-insert with full-row
+    // equality keys (duplicate identical rows all update, count preserved)
+    if (t.properties.get("write.update.mode").contains("merge-on-read"))
+      t.updateWhereMoR(cond, sets, t.schema.fieldNames.toSeq)
+    else t.updateWhere(cond, sets)
     Seq.empty
   }
 }

@@ -128,6 +128,59 @@ class MorDeleteSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE morsql.fin.mor")
   }
 
+  test("updateWhereMoR: delete-and-insert, no rewrite, updates live") {
+    val t = fresh("upd")
+    val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    t.updateWhereMoR(col("txn_id") === "txn3",
+      Seq("amount" -> lit(777.0)), Seq("txn_id"))
+    val snap = t.meta.currentSnapshot.get
+    assert(filesBefore.subsetOf(snap.files.map(_.path).toSet)) // old files kept
+    assert(snap.deleteFiles.size === 1)
+    assert(t.toDF.count() === 15)
+    assert(t.toDF.filter(col("txn_id") === "txn3").collect()
+      .head.getAs[Double]("amount") === 777.0)
+  }
+
+  test("mergeMoR matches CoW merge results exactly") {
+    val t1 = fresh("mcow"); val t2 = fresh("mmor")
+    val src = ActivityData.day4(spark) // updates txn10, inserts txn46/txn47
+    t1.merge(src, ActivityData.mergeKeys, ActivityData.updateCols)
+    t2.mergeMoR(src, ActivityData.mergeKeys, ActivityData.updateCols)
+    val a = t1.toDF.orderBy("txn_id").collect().map(_.toString).toSeq
+    val b = t2.toDF.orderBy("txn_id").collect().map(_.toString).toSeq
+    assert(a === b)
+    // and the MoR commit added files + a delete file, removed nothing
+    val snap = t2.meta.currentSnapshot.get
+    assert(snap.removedFiles.isEmpty && snap.deleteFiles.nonEmpty)
+  }
+
+  test("SQL UPDATE and MERGE honor merge-on-read table properties") {
+    val wh = java.nio.file.Files.createTempDirectory("mor-sql2-wh").toString
+    spark.conf.set("spark.sql.catalog.morsq2",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morsq2.warehouse", wh)
+    spark.sql("""CREATE TABLE morsq2.fin.m (id BIGINT, v DOUBLE)
+                 USING parquet TBLPROPERTIES (
+                   'write.update.mode' = 'merge-on-read',
+                   'write.merge.mode' = 'merge-on-read')""")
+    try {
+      spark.sql("INSERT INTO morsq2.fin.m (id, v) VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      val t = GraftTable.load(spark, s"$wh/fin/m")
+      val before = t.meta.currentSnapshot.get.files.map(_.path).toSet
+      spark.sql("UPDATE morsq2.fin.m SET v = v * 10 WHERE id <= 2")
+      assert(before.subsetOf(t.meta.currentSnapshot.get.files.map(_.path).toSet))
+      assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+      assert(spark.sql("SELECT sum(v) FROM morsq2.fin.m").collect().head.getDouble(0) === 33.0)
+      spark.sql("""SELECT * FROM (VALUES (CAST(3 AS BIGINT), 300.0), (CAST(4 AS BIGINT), 4.0))
+                   AS s(id, v)""").createOrReplaceTempView("mor_src")
+      spark.sql("""MERGE INTO morsq2.fin.m t USING mor_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET t.v = s.v
+                   WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql("SELECT sum(v) FROM morsq2.fin.m").collect().head.getDouble(0) === 334.0)
+      assert(spark.sql("SELECT count(*) FROM morsq2.fin.m").collect().head.getLong(0) === 4)
+    } finally spark.sql("DROP TABLE morsq2.fin.m")
+  }
+
   test("snapshot JSON without deleteFiles still deserializes (log compat)") {
     implicit val fmts: org.json4s.Formats = DefaultFormats
     val legacy =
