@@ -36,6 +36,8 @@ object ActivitySqlPipeline {
           TBLPROPERTIES (
             'write.wap.enabled' = 'true',
             'write.delete.mode' = 'copy-on-write',
+            'write.update.mode' = 'merge-on-read',
+            'write.merge.mode' = 'merge-on-read',
             'write.parquet.compression-codec' = 'zstd',
             'comment' = 'Transaction Table')""")
 
