@@ -575,6 +575,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     SnapshotLog.commit(location, m.copy(refs = m.refs - branchName), conf)
   }
 
+  /** `CALL system.rollback_to_snapshot(t, id)` (Iceberg's rollback
+    * procedure): move `main` back to an ANCESTOR snapshot. History is kept —
+    * rolled-back snapshots stay in the log for audit until expiry. */
+  def rollbackToSnapshot(snapshotId: Long): Unit = withCommitLock {
+    val m = meta
+    require(m.snapshot(snapshotId).isDefined,
+      s"Unknown snapshot $snapshotId on table ${m.name}")
+    val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
+      throw new IllegalStateException("Cannot roll back an empty table"))
+    require(m.isAncestorOf(snapshotId, headId),
+      s"Snapshot $snapshotId is not an ancestor of main ($headId): " +
+        "rollback only rewinds, use branches for divergent states")
+    SnapshotLog.commit(location,
+      m.copy(refs = m.refs + (SnapshotLog.MainBranch -> snapshotId)), conf)
+  }
+
   /** `CALL system.fast_forward(t, to, from)` (reference WapIceberg.scala:81):
     * move `to` up to `from`'s head, requiring `to` to be an ancestor. */
   def fastForward(to: String, from: String): Unit = withCommitLock {
@@ -675,6 +691,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
       .sortBy(_._1)
       .toDF("partition", "file_count", "record_count", "total_size_bytes")
+  }
+
+  /** `t.delete_files`: live merge-on-read equality-delete files of the
+    * current snapshot (Iceberg's delete_files metadata table). */
+  def deleteFilesDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    m.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty)
+      .map(d => (s"$dataDir/${d.path}", d.keyCols.mkString(","),
+        d.records, d.sizeBytes, d.seq))
+      .toDF("file_path", "equality_columns", "record_count",
+        "file_size_in_bytes", "sequence_number")
   }
 
   def refsDF: DataFrame = {

@@ -33,7 +33,8 @@ import graft.table.GraftTable
 private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("fast_forward", "remove_orphan_files",
-    "rewrite_data_files", "rewrite_manifests", "expire_snapshots")
+    "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
+    "rollback_to_snapshot")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -42,6 +43,7 @@ private[catalog] object GraftProcedures {
       case "rewrite_data_files"  => Some(new RewriteDataFiles(catalog))
       case "rewrite_manifests"   => Some(new RewriteManifests(catalog))
       case "expire_snapshots"    => Some(new ExpireSnapshots(catalog))
+      case "rollback_to_snapshot" => Some(new RollbackToSnapshot(catalog))
       case _                     => None
     }
 
@@ -171,6 +173,24 @@ private[catalog] object GraftProcedures {
       val t = table(input.getUTF8String(0).toString)
       t.rewriteManifests()
       result(out, Seq(new GenericInternalRow(Array[Any](t.manifestsDF.count()))))
+    }
+  }
+
+  /** `rollback_to_snapshot(table, snapshot_id)`: rewind `main` to an
+    * ancestor snapshot (Iceberg's rollback procedure). */
+  private class RollbackToSnapshot(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "rollback_to_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("snapshot_id", LongType))
+    private val out = StructType(Seq(
+      StructField("previous_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val target = input.getLong(1)
+      val previous = t.meta.refs("main")
+      t.rollbackToSnapshot(target)
+      result(out, Seq(new GenericInternalRow(Array[Any](previous, target))))
     }
   }
 

@@ -183,7 +183,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
 
   private val metadataTableNames = Set(
     "history", "snapshots", "manifests", "files", "metadata_log_entries",
-    "refs", "partitions")
+    "refs", "partitions", "delete_files")
 
   private def metadataTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
@@ -201,6 +201,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
       case "metadata_log_entries" => t.metadataLogEntries
       case "refs"                 => t.refsDF
       case "partitions"           => t.partitionsDF
+      case "delete_files"         => t.deleteFilesDF
     }
     Some(new GraftMetadataTable(s"$parent.$name", df))
   }

@@ -181,6 +181,50 @@ class MorDeleteSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE morsq2.fin.m")
   }
 
+  test("delete_files metadata table lists live MoR delete files") {
+    val t = fresh("dfmeta")
+    t.deleteWhereMoR(col("txn_id") === "txn2", Seq("txn_id"))
+    val rows = t.deleteFilesDF.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("equality_columns") === "txn_id")
+    assert(rows.head.getAs[Long]("record_count") === 1L)
+    assert(rows.head.getAs[Long]("sequence_number") === t.meta.refs("main"))
+  }
+
+  test("the MoR anti-join broadcasts the delete-key side") {
+    val t = fresh("bcast")
+    t.deleteWhereMoR(col("txn_id").isin("txn1", "txn2"), Seq("txn_id"))
+    val df = t.toDF
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"delete keys should broadcast:\n$plan")
+  }
+
+  test("rollback_to_snapshot rewinds main to an ancestor, via API and CALL") {
+    val wh = java.nio.file.Files.createTempDirectory("rb-wh").toString
+    spark.conf.set("spark.sql.catalog.rbsql",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rbsql.warehouse", wh)
+    spark.sql("CREATE TABLE rbsql.fin.rb (k STRING, v DOUBLE) USING parquet")
+    try {
+      spark.sql("INSERT INTO rbsql.fin.rb VALUES ('a', 1.0)")
+      spark.sql("INSERT INTO rbsql.fin.rb VALUES ('b', 2.0)")
+      spark.sql("INSERT INTO rbsql.fin.rb VALUES ('c', 3.0)")
+      val r = spark.sql(
+        "CALL rbsql.system.rollback_to_snapshot('fin.rb', 1)").collect().head
+      assert(r.getLong(0) === 3L && r.getLong(1) === 1L)
+      assert(spark.sql("SELECT count(*) FROM rbsql.fin.rb").collect().head.getLong(0) === 1)
+      // history preserved: roll forward again by id
+      val t = GraftTable.load(spark, s"$wh/fin/rb")
+      assert(t.snapshotsDF.count() === 3)
+      val notAncestor = intercept[Exception] {
+        // snapshot 3 is now a DESCENDANT of main's head, not an ancestor
+        t.rollbackToSnapshot(99) }
+      assert(notAncestor.getMessage.contains("Unknown snapshot"))
+    } finally spark.sql("DROP TABLE rbsql.fin.rb")
+  }
+
   test("snapshot JSON without deleteFiles still deserializes (log compat)") {
     implicit val fmts: org.json4s.Formats = DefaultFormats
     val legacy =
