@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.graft.{GraftCreateBranchCommand, GraftDropBranchCommand}
+import org.apache.spark.sql.graft.{GraftCreateBranchCommand, GraftDropBranchCommand, GraftCreateTagCommand, GraftDropTagCommand}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
@@ -37,6 +37,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case DropBranch(table, ifExists, branch) =>
         Some(GraftDropBranchCommand(
           delegate.parseMultipartIdentifier(table), unquote(branch),
+          ifExists = ifExists != null))
+      case CreateTag(table, orReplace, ifNotExists, tag) =>
+        Some(GraftCreateTagCommand(
+          delegate.parseMultipartIdentifier(table), unquote(tag),
+          replace = orReplace != null, ifNotExists = ifNotExists != null))
+      case DropTag(table, ifExists, tag) =>
+        Some(GraftDropTagCommand(
+          delegate.parseMultipartIdentifier(table), unquote(tag),
           ifExists = ifExists != null))
       case _ => None
     }
@@ -74,4 +82,11 @@ object GraftSqlParser {
   private val DropBranch =
     ("(?is)^ALTER\\s+TABLE\\s+" + Ident +
       "\\s+DROP\\s+BRANCH\\s+(IF\\s+EXISTS\\s+)?" + Branch + "\\s*;?$").r
+  private val CreateTag =
+    ("(?is)^ALTER\\s+TABLE\\s+" + Ident +
+      "\\s+CREATE\\s+(OR\\s+REPLACE\\s+)?TAG\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      Branch + "\\s*;?$").r
+  private val DropTag =
+    ("(?is)^ALTER\\s+TABLE\\s+" + Ident +
+      "\\s+DROP\\s+TAG\\s+(IF\\s+EXISTS\\s+)?" + Branch + "\\s*;?$").r
 }

@@ -564,6 +564,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * head under `name`. */
   def createOrReplaceBranch(branchName: String): Unit = withCommitLock {
     val m = meta
+    require(!m.tags.contains(branchName),
+      s"$branchName is a tag on ${m.name}; tags are immutable")
     val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
       throw new IllegalStateException("Cannot branch an empty table"))
     SnapshotLog.commit(location, m.copy(refs = m.refs + (branchName -> headId)), conf)
@@ -573,6 +575,26 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     require(branchName != SnapshotLog.MainBranch, "cannot drop main")
     SnapshotLog.commit(location, m.copy(refs = m.refs - branchName), conf)
+  }
+
+  /** `ALTER TABLE t CREATE [OR REPLACE] TAG name`: pin the current head as
+    * an IMMUTABLE ref — readable via `asOf`/`VERSION AS OF`, pinned by
+    * snapshot expiry, and never a write target (Iceberg tag semantics). */
+  def createTag(tagName: String, replace: Boolean = false): Unit = withCommitLock {
+    val m = meta
+    require(!m.refs.contains(tagName),
+      s"$tagName is a branch on ${m.name}; tag names must not collide")
+    require(replace || !m.tags.contains(tagName),
+      s"Tag $tagName already exists on ${m.name} (use CREATE OR REPLACE TAG)")
+    val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
+      throw new IllegalStateException("Cannot tag an empty table"))
+    SnapshotLog.commit(location, m.copy(tags = m.tags + (tagName -> headId)), conf)
+  }
+
+  def dropTag(tagName: String): Unit = withCommitLock {
+    val m = meta
+    require(m.tags.contains(tagName), s"Unknown tag $tagName on ${m.name}")
+    SnapshotLog.commit(location, m.copy(tags = m.tags - tagName), conf)
   }
 
   /** `CALL system.rollback_to_snapshot(t, id)` (Iceberg's rollback
@@ -595,6 +617,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * move `to` up to `from`'s head, requiring `to` to be an ancestor. */
   def fastForward(to: String, from: String): Unit = withCommitLock {
     val m = meta
+    require(!m.tags.contains(to), s"$to is a tag; tags cannot be moved")
     val fromId = m.refs.getOrElse(from,
       throw new IllegalArgumentException(s"Unknown ref $from"))
     m.refs.get(to).foreach { toId =>
@@ -710,7 +733,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val sp = spark
     import sp.implicits._
-    m.refs.toSeq.sortBy(_._1).map { case (n, id) => (n, "BRANCH", id) }
+    (m.refs.toSeq.map { case (n, id) => (n, "BRANCH", id) } ++
+      m.tags.toSeq.map { case (n, id) => (n, "TAG", id) })
+      .sortBy(r => (r._1, r._2))
       .toDF("name", "type", "snapshot_id")
   }
 
@@ -820,7 +845,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def expireSnapshots(olderThanMs: Long, retainLast: Int): Seq[Long] = withCommitLock {
     val m = meta
     val mainKeep = m.currentSnapshotId.map(m.ancestry(_).take(retainLast)).getOrElse(Seq.empty)
-    val refHeads = m.refs.values.toSet
+    val refHeads = m.refs.values.toSet ++ m.tags.values
     val keep = m.snapshots.filter(s =>
       s.timestampMs >= olderThanMs || refHeads.contains(s.id) || mainKeep.contains(s.id))
       .map(_.id).toSet
@@ -844,6 +869,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   private def resolveWriteBranchHead(m: TableMetadata, branch: Option[String]): Option[GraftSnapshot] = {
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
+    require(!m.tags.contains(b),
+      s"$b is a tag on ${m.name}; tags are immutable and cannot be written to")
     m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch)).flatMap(m.snapshot)
   }
 
@@ -1002,6 +1029,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       removed: Seq[String], operation: String, branch: Option[String],
       addedDeletes: Seq[DeleteFile] = Seq.empty): GraftSnapshot = {
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
+    require(!m.tags.contains(b),
+      s"$b is a tag on ${m.name}; tags are immutable and cannot be written to")
     val head = m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch)).flatMap(m.snapshot)
     val removedSet = removed.toSet
     val live = head.map(_.files).getOrElse(Seq.empty).filterNot(f => removedSet.contains(f.path)) ++ added

@@ -91,14 +91,16 @@ case class TableMetadata(
     snapshots: Seq[GraftSnapshot],
     version: Int,
     lastUpdatedMs: Long,
-    metadataLog: Seq[MetadataLogEntry]) {
+    metadataLog: Seq[MetadataLogEntry],
+    tags: Map[String, Long] = Map.empty) {
 
   def currentSnapshotId: Option[Long] = refs.get(SnapshotLog.MainBranch)
 
   def snapshot(id: Long): Option[GraftSnapshot] = snapshots.find(_.id == id)
 
+  /** Branches first, then immutable tags, then a raw numeric snapshot id. */
   def snapshotForRef(ref: String): Option[GraftSnapshot] =
-    refs.get(ref).flatMap(snapshot).orElse {
+    refs.get(ref).orElse(tags.get(ref)).flatMap(snapshot).orElse {
       // allow addressing a snapshot directly by its numeric id
       scala.util.Try(ref.toLong).toOption.flatMap(snapshot)
     }

@@ -93,6 +93,33 @@ case class GraftCreateBranchCommand(nameParts: Seq[String], branch: String,
   }
 }
 
+/** `ALTER TABLE t CREATE [OR REPLACE] TAG [IF NOT EXISTS] name`: pin the
+  * current head as an immutable ref (Iceberg tag). */
+case class GraftCreateTagCommand(nameParts: Seq[String], tag: String,
+    replace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, GraftCommands.resolveLocation(session, nameParts))
+    if (t.meta.tags.contains(tag) && !replace) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"Tag $tag already exists on ${nameParts.mkString(".")} " +
+          "(use CREATE OR REPLACE TAG to move it)")
+    } else t.createTag(tag, replace)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP TAG [IF EXISTS] name`. */
+case class GraftDropTagCommand(nameParts: Seq[String], tag: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, GraftCommands.resolveLocation(session, nameParts))
+    if (t.meta.tags.contains(tag)) t.dropTag(tag)
+    else if (!ifExists) throw new IllegalArgumentException(
+      s"Tag $tag does not exist on ${nameParts.mkString(".")}")
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE t DROP BRANCH [IF EXISTS] b`. */
 case class GraftDropBranchCommand(nameParts: Seq[String], branch: String,
     ifExists: Boolean) extends LeafRunnableCommand {

@@ -193,6 +193,37 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     spark.sql("ALTER TABLE gsql.fin.b1 DROP BRANCH IF EXISTS audit") // no-op
   }
 
+  test("TAG refs are immutable, time-travel readable and expiry-pinned") {
+    val t = freshTable("tag1")
+    spark.sql("ALTER TABLE gsql.fin.tag1 CREATE TAG v1_0")
+    spark.sql("INSERT INTO gsql.fin.tag1 (id, amount, category, part) VALUES (9, 9.0, 'z', 'p1')")
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.tag1 VERSION AS OF 'v1_0'")
+      .collect().head.getLong(0) === 3)
+    // immutable: not a branch target, not movable, not writable
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.fin.tag1 CREATE OR REPLACE BRANCH v1_0")
+    }.getMessage.contains("is a tag"))
+    assert(intercept[Exception] {
+      t.append(spark.sql("SELECT 1L id, 1.0 amount, 'x' category, 'p1' part"),
+        branch = Some("v1_0"))
+    }.getMessage.contains("immutable"))
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.fin.tag1 CREATE TAG v1_0") }
+    assert(dup.getMessage.contains("already exists"))
+    spark.sql("ALTER TABLE gsql.fin.tag1 CREATE TAG IF NOT EXISTS v1_0") // no-op
+    // refs metadata table reports the type
+    val types = spark.sql("SELECT name, type FROM gsql.fin.tag1.refs").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("v1_0") === "TAG" && types("main") === "BRANCH")
+    // snapshot expiry pins the tagged snapshot
+    t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.tag1 VERSION AS OF 'v1_0'")
+      .collect().head.getLong(0) === 3)
+    spark.sql("ALTER TABLE gsql.fin.tag1 DROP TAG v1_0")
+    assert(!GraftTable.load(spark, s"$warehouse/fin/tag1").meta.tags.contains("v1_0"))
+    spark.sql("ALTER TABLE gsql.fin.tag1 DROP TAG IF EXISTS v1_0") // no-op
+  }
+
   test("the parser passes non-branch SQL through untouched") {
     // ALTER TABLE forms that are NOT branch DDL still reach Spark's grammar
     val e = intercept[Exception] {
