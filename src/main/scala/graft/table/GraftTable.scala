@@ -99,11 +99,30 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
   }
 
-  /** Read `subset` of a snapshot's files with its merge-on-read equality
-    * deletes applied. A delete applies only to files ADDED before it
-    * (file-adding snapshot id < delete seq), so files are grouped by their
-    * applicable delete set — each group is one scan anti-joined per delete
-    * file on that delete's key columns, unioned back together. A file whose
+  /** [[plainRead]] plus `__file` (data-dir-relative path) and `__pos`
+    * (parquet row index) from the `_metadata` columns — the row identity
+    * position deletes record and match on. */
+  private def plainReadWithPos(s: StructType, files: Seq[DataFile]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(s.fields ++ Seq(StructField("__file", StringType),
+          StructField("__pos", LongType))))
+    val paths = files.map(f => s"$dataDir/${f.path}")
+    spark.read
+      .schema(s)
+      .option("basePath", dataDir)
+      .parquet(paths: _*)
+      .select(s.fields.map(f => col(f.name)) ++ Seq(
+        regexp_replace(col("_metadata.file_path"), "^.*/data/", "").as("__file"),
+        col("_metadata.row_index").as("__pos")).toIndexedSeq: _*)
+  }
+
+  /** Read `subset` of a snapshot's files with its merge-on-read deletes
+    * applied. A delete applies only to files ADDED before it (file-adding
+    * snapshot id < delete seq), so files are grouped by their applicable
+    * delete set — each group is one scan anti-joined per delete file
+    * (null-safely on key columns for equality deletes; on (file, row
+    * index) for position deletes), unioned back together. A file whose
     * adding snapshot was expired from the log predates every retained
     * delete (seq fallback 0). */
   private def readWithDeletes(snap: Option[GraftSnapshot], m: TableMetadata,
@@ -120,15 +139,28 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .groupBy(f => dels.filter(_.seq > addSeq.getOrElse(f.path, 0L)).map(_.path).toSet)
       .toSeq.sortBy(_._1.size)
       .map { case (applicable, files) =>
-        dels.filter(d => applicable(d.path)).foldLeft(plainRead(s, files)) { (df, d) =>
-          // null-safe equality (Iceberg equality-delete semantics: null
-          // equals null), so a recorded null-key tuple deletes null rows
-          val del = spark.read.parquet(s"$dataDir/${d.path}")
-            .select(d.keyCols.map(k => col(k).as(s"__del_$k")).toIndexedSeq: _*)
-          df.join(del,
-            d.keyCols.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _),
-            "left_anti")
+        val appl = dels.filter(d => applicable(d.path))
+        val base =
+          if (appl.exists(_.isPositional)) plainReadWithPos(s, files)
+          else plainRead(s, files)
+        val filtered = appl.foldLeft(base) { (df, d) =>
+          if (d.isPositional) {
+            val del = spark.read.parquet(s"$dataDir/${d.path}")
+              .select(col("__file").as("__delf"), col("__pos").as("__delp"))
+            df.join(del,
+              col("__file") === col("__delf") && col("__pos") === col("__delp"),
+              "left_anti")
+          } else {
+            // null-safe equality (Iceberg equality-delete semantics: null
+            // equals null), so a recorded null-key tuple deletes null rows
+            val del = spark.read.parquet(s"$dataDir/${d.path}")
+              .select(d.keyCols.map(k => col(k).as(s"__del_$k")).toIndexedSeq: _*)
+            df.join(del,
+              d.keyCols.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _),
+              "left_anti")
+          }
         }
+        filtered.select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
       }
       .reduce(_.unionByName(_))
   }
@@ -336,10 +368,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
         addedDeletes = writeDeleteFiles(keys, keyCols))
     }
 
-  /** Write a key-tuple DataFrame as equality-delete parquet under
-    * `data/_deletes/`; returns the (seq-unassigned) DeleteFile entries. */
+  /**
+   * Merge-on-read POSITION delete: mark exact physical rows — identified
+   * by (data-file-relative path, parquet row index) from Spark's
+   * `_metadata` columns — as deleted, without key columns and without
+   * rewriting files. This deletes a single row even among full duplicates,
+   * which no equality predicate can express. Same sequence semantics and
+   * compaction behavior as equality deletes.
+   */
+  def deleteWherePositional(cond: Column,
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val head = resolveWriteBranchHead(m, branch)
+      val positions = plainReadWithPos(tableSchema,
+        head.map(_.files).getOrElse(Seq.empty))
+        .filter(cond)
+        .select(col("__file"), col("__pos"))
+      commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch,
+        addedDeletes = writeDeleteFiles(positions, Seq("__file", "__pos"),
+          kind = "position"))
+    }
+
+  /** Write a delete-content DataFrame (key tuples or positions) as parquet
+    * under `data/_deletes/`; returns the (seq-unassigned) DeleteFile
+    * entries. */
   private def writeDeleteFiles(keys: DataFrame,
-      keyCols: Seq[String]): Seq[DeleteFile] = {
+      keyCols: Seq[String], kind: String = "equality"): Seq[DeleteFile] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$location/_staging/del-$commitId")
     keys.coalesce(1).write.mode("overwrite").parquet(staging.toString)
@@ -355,7 +411,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
         try r.getRecordCount finally r.close()
       }
-      DeleteFile(rel, keyCols, records, fs.getFileStatus(target).getLen, seq = -1L)
+      DeleteFile(rel, keyCols, records, fs.getFileStatus(target).getLen,
+        seq = -1L, kind = kind)
     }
     fs.delete(staging, true)
     dels.filterNot(_.records > 0).foreach(d => fs.delete(new Path(dataDir, d.path), false))

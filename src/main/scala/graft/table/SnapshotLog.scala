@@ -46,20 +46,29 @@ case class DataFile(
  * become a pointer to a manifest-list file; the API surface is unchanged.
  */
 /**
- * A merge-on-read equality-delete file: a parquet file of key tuples under
- * `data/_deletes/` whose rows mark logical deletions (Iceberg's equality
- * delete files). `seq` is the id of the committing snapshot: the delete
- * applies only to data files ADDED BEFORE it, so keys re-inserted later
- * are live again — the sequence-number semantics Iceberg row-level deletes
- * follow. Readers anti-join on `keyCols`; compaction materializes and
- * drops the delete files.
+ * A merge-on-read delete file: a parquet file under `data/_deletes/` whose
+ * rows mark logical deletions. `seq` is the id of the committing snapshot:
+ * the delete applies only to data files ADDED BEFORE it, so rows inserted
+ * later are live again — the sequence-number semantics Iceberg row-level
+ * deletes follow. Two kinds, mirroring Iceberg's delete-file formats:
+ *
+ *  - `equality` (default): rows are key tuples over `keyCols`; readers
+ *    anti-join null-safely on those columns;
+ *  - `position`: rows are `(__file, __pos)` pairs naming exact rows by
+ *    data-file-relative path and parquet row index — deletes a single
+ *    physical row even among full duplicates.
+ *
+ * Compaction materializes and drops delete files of both kinds.
  */
 case class DeleteFile(
     path: String,
     keyCols: Seq[String],
     records: Long,
     sizeBytes: Long,
-    seq: Long)
+    seq: Long,
+    kind: String = "equality") {
+  def isPositional: Boolean = kind == "position"
+}
 
 case class GraftSnapshot(
     id: Long,

@@ -225,6 +225,45 @@ class MorDeleteSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE rbsql.fin.rb")
   }
 
+  test("position delete removes one exact row even among full duplicates") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("mor-pos"), "mor_pos",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+    // two IDENTICAL rows in ONE file (coalesced), plus a distinct one
+    t.append(Seq(("dup", 1L), ("dup", 1L), ("other", 2L)).toDF("k", "v").coalesce(1))
+    val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    // equality-style predicates can't separate the twins; position can:
+    // delete only the row at the lowest row index among the matches
+    t.deleteWherePositional(col("k") === "dup" && col("__pos") === 0)
+    assert(t.toDF.count() === 2)
+    assert(t.toDF.filter(col("k") === "dup").count() === 1) // ONE twin left
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.files.map(_.path).toSet === filesBefore)
+    assert(snap.deleteFiles.head.kind === "position")
+  }
+
+  test("position deletes follow sequence semantics and compaction") {
+    val t = fresh("pos2")
+    t.deleteWherePositional(col("txn_id") === "txn7")
+    assert(t.toDF.count() === 14)
+    // appended rows are untouched by the older position delete
+    t.append(ActivityData.day1(spark).filter(col("txn_id") === "txn7"))
+    assert(t.toDF.filter(col("txn_id") === "txn7").count() === 1)
+    // equality + position deletes compose on the same snapshot
+    t.deleteWhereMoR(col("txn_id") === "txn8", Seq("txn_id"))
+    assert(t.toDF.count() === 14)
+    assert(t.meta.currentSnapshot.get.deleteFiles.map(_.kind).sorted
+      === Seq("equality", "position"))
+    // compaction materializes both kinds
+    t.rewriteDataFilesSorted(Seq(asc_nulls_last("account")))
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    assert(t.toDF.count() === 14)
+    assert(t.toDF.filter(col("txn_id") === "txn8").count() === 0)
+    assert(t.toDF.filter(col("txn_id") === "txn7").count() === 1)
+  }
+
   test("snapshot JSON without deleteFiles still deserializes (log compat)") {
     implicit val fmts: org.json4s.Formats = DefaultFormats
     val legacy =
