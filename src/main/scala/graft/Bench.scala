@@ -40,6 +40,7 @@ object Bench {
       graft.queries.TableFixtures.ordersDeleted(spark, sfDir)
       graft.queries.TableFixtures.ordersUpdated(spark, sfDir)
       graft.queries.TableFixtures.ordersMorDeleted(spark, sfDir)
+      graft.queries.TableFixtures.ordersPosDeleted(spark, sfDir)
     } catch { case _: Throwable => }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -468,6 +468,15 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // merge-on-read POSITION delete: (file, row-index) delete file from
+    // _metadata, matched at read on exact row identity
+    "t_pos_delete" -> ((s, dir) =>
+      TableFixtures.ordersPosDeleted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // copy-on-write UPDATE: row-referencing SET expressions, only files
     // containing TRUE-condition rows rewritten
     "t_update_where" -> ((s, dir) =>
@@ -1004,6 +1013,14 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
            ${centsSql("o_totalprice")} AS total_cents
          FROM state GROUP BY 1 ORDER BY 1""",
+
+    // identical state to t_delete_where by construction — but reached via
+    // the position-delete read path instead of a CoW rewrite
+    "t_pos_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
+         GROUP BY 1 ORDER BY 1""",
 
     "t_update_where" ->
       s"""WITH t AS (

@@ -207,6 +207,23 @@ object TableFixtures {
     })
 
   /**
+   * Position-delete fixture: batch 0 loaded, high-value rows deleted by
+   * POSITION (file + row index recorded from _metadata, no key columns, no
+   * rewrite). State == orders where o_orderkey%3=0 AND NOT(>300000).
+   */
+  def ordersPosDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_pos_deleted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_pos_deleted"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_pos_deleted",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.deleteWherePositional(col("o_totalprice") > 300000)
+      t
+    })
+
+  /**
    * Maintenance fixture: ordersVersioned pipeline + sorted compaction +
    * snapshot expiry (branch-pinned v1..v3 survive). Data state == full
    * orders; used to prove maintenance preserves contents.
