@@ -178,7 +178,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val m = meta
       val widened = maybeWidenSchema(m, df)
       val files = writeDataFiles(df, DataType.fromJson(widened.schemaJson).asInstanceOf[StructType], widened.partitionCols)
-      commitSnapshot(widened, files, removed = Seq.empty, operation = "append", branch)
+      // optimistic-concurrency retry, appends only (Iceberg commit.retry):
+      // an append's read set is just "the branch head", so on a conflicting
+      // foreign commit the already-written files re-commit against fresh
+      // metadata unchanged. CoW/MoR operations propagate the conflict —
+      // their probe results may be stale, so the CALLER must re-run them.
+      var attempt = 0
+      var result: GraftSnapshot = null
+      while (result == null) {
+        try {
+          val base = if (attempt == 0) widened else maybeWidenSchema(meta, df)
+          result = commitSnapshot(base, files, removed = Seq.empty,
+            operation = "append", branch)
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("Concurrent commit") && attempt < 3 =>
+            attempt += 1
+        }
+      }
+      result
     }
 
   /** Replace the entire table contents (CTAS-replace / compaction target). */
@@ -1115,6 +1133,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "branch" -> b),
       deleteFiles = liveDeletes)
     val newRefs = m.refs + (b -> id)
+    GraftTable.onBeforeCommit()
     SnapshotLog.commit(location, m.copy(refs = newRefs, snapshots = m.snapshots :+ snap), conf)
     snap
   }
@@ -1128,6 +1147,11 @@ object GraftTable {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(location: String): Object =
     locks.computeIfAbsent(location, _ => new Object)
+
+  /** Test seam: invoked immediately before each metadata commit, letting
+    * concurrency tests inject a deterministic foreign-process commit into
+    * the window between a writer's metadata read and its CAS. */
+  private[table] var onBeforeCommit: () => Unit = () => ()
 
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
   import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression => CExpr,

@@ -55,4 +55,56 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.toDF.count() === 170) // 100 base + 50 appended + 20 inserted
     assert(t.toDF.filter($"k" === "k10").collect().head.getLong(1) === 1010L)
   }
+
+  test("append retries through a conflicting foreign-process commit") {
+    import graft.apps.ActivityData
+    val loc = tmpDir("conc-retry")
+    val t = GraftTable.create(spark, loc, "retry", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // inject a foreign commit (simulating another JVM, which the per-table
+    // lock cannot see) into the window between our append's metadata read
+    // and its CAS — exactly once
+    var injected = false
+    GraftTable.onBeforeCommit = () => if (!injected) {
+      injected = true
+      val m = SnapshotLog.read(loc, conf)
+      SnapshotLog.commit(loc, m.copy(props = m.props + ("foreign" -> "1")), conf)
+    }
+    try t.append(ActivityData.day2(spark))
+    finally GraftTable.onBeforeCommit = () => ()
+    assert(injected)
+    // both the foreign commit and the retried append survived
+    assert(t.toDF.count() === 30)
+    assert(t.properties("foreign") === "1")
+    // lineage stayed linear: append snapshot's parent is day1's snapshot
+    val snaps = t.meta.snapshots.sortBy(_.id)
+    assert(snaps.map(_.id) === Seq(1L, 2L))
+    assert(snaps.last.parentId === Some(1L))
+  }
+
+  test("a conflicted CoW operation propagates instead of committing stale state") {
+    import graft.apps.ActivityData
+    import org.apache.spark.sql.functions.col
+    val loc = tmpDir("conc-cow")
+    val t = GraftTable.create(spark, loc, "cowretry", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    val conf = spark.sparkContext.hadoopConfiguration
+    var injected = false
+    GraftTable.onBeforeCommit = () => if (!injected) {
+      injected = true
+      val m = SnapshotLog.read(loc, conf)
+      SnapshotLog.commit(loc, m.copy(props = m.props + ("foreign" -> "1")), conf)
+    }
+    // the delete's file probe ran against pre-conflict metadata: committing
+    // anyway could drop rows a foreign writer just changed — must fail
+    val e = intercept[IllegalStateException] {
+      try t.deleteWhere(col("txn_id") === "txn1")
+      finally GraftTable.onBeforeCommit = () => ()
+    }
+    assert(e.getMessage.contains("Concurrent commit"))
+    assert(t.toDF.count() === 15) // nothing was lost or half-committed
+  }
 }
