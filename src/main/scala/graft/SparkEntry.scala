@@ -284,6 +284,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")),
 
+    // the COMPOSED corpus-preparation pipeline: quality-filter ->
+    // exact-dedup -> redact -> stratified-sample -> chunk, one operator
+    "x_pipeline" -> ((s, dir) =>
+      Corpus.prepareCorpus(T(s, dir, "documents"), "text", "doc_id", "lang",
+        minQuality = 0.5,
+        fractions = Map("en" -> 0.6, "de" -> 1.0, "es" -> 0.4,
+          "fr" -> 0.8, "zh" -> 0.5),
+        chunkSize = 40)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("chunk_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("lang")),
+
     // --- dedup -----------------------------------------------------------
 
     // deterministic duplicate injection: every 10th doc re-appears with
@@ -557,16 +571,19 @@ object SparkEntry {
     s"CASE $whens ELSE 'und' END"
   }
 
-  private val qualityExpr: String = {
+  /** DuckDB recompute of TextAnalysis.qualityScore, unrounded — identical
+    * IEEE double arithmetic in the same order, so boundary comparisons
+    * agree bit-for-bit across engines. */
+  private val qualityExprRaw: String = {
     val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
-    """round(
-      least(cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) as double) / 200.0, 1.0) * 0.3
+    """(least(cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) as double) / 200.0, 1.0) * 0.3
       + least((cast(length(text) as double) / greatest(cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) as double), 1.0)) / 8.0, 1.0) * 0.2
       + least((cast(len(list_intersect(WORDSET, [STOP])) as double) / greatest(cast(len(WORDSET) as double), 1.0)) * 3.0, 1.0) * 0.2
-      + (cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) / greatest(cast(length(text) as double), 1.0)) * 0.3
-      , 4)"""
+      + (cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) / greatest(cast(length(text) as double), 1.0)) * 0.3)"""
       .replace("WORDSET", wordset).replace("STOP", stop)
   }
+
+  private val qualityExpr: String = s"round($qualityExprRaw, 4)"
 
   /** DuckDB recompute of [[graft.ops.Similarity.hyperplaneSignature]]: the
     * deterministic plane-coefficient table (exposed by
@@ -778,6 +795,39 @@ object SparkEntry {
            WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'es' THEN 750
            WHEN 'fr' THEN 1000 WHEN 'zh' THEN 100 ELSE 0 END
          GROUP BY 1 ORDER BY 1""",
+
+    "x_pipeline" -> {
+      val em = Corpus.emailPattern
+      val ph = Corpus.phonePattern
+      s"""WITH q AS (
+           SELECT doc_id, lang, text FROM documents WHERE $qualityExprRaw >= 0.5),
+         dedup AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT doc_id, lang, text, row_number() OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id ASC) AS rn FROM q) WHERE rn = 1),
+         red AS (
+           SELECT doc_id, lang,
+             regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+               '$ph', '<PHONE>', 'g') AS text
+           FROM dedup),
+         samp AS (
+           SELECT * FROM red WHERE (doc_id % 1000) < CASE lang
+             WHEN 'en' THEN 600 WHEN 'de' THEN 1000 WHEN 'es' THEN 400
+             WHEN 'fr' THEN 800 WHEN 'zh' THEN 500 ELSE 0 END),
+         toks AS (
+           SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM samp),
+         idx AS (
+           SELECT doc_id, lang, tk,
+             unnest(generate_series(0, cast(floor((len(tk)+39)/40.0) AS int) - 1)) AS i
+           FROM toks),
+         chunks AS (SELECT doc_id, lang, tk[i*40+1 : i*40+40] AS ch FROM idx)
+         SELECT lang, count(*) AS n_chunks,
+           cast(sum(len(ch)) AS bigint) AS chunk_tokens,
+           count(DISTINCT doc_id) AS n_docs
+         FROM chunks GROUP BY 1 ORDER BY 1"""
+    },
 
     "d_exact_groups" ->
       """WITH withdups AS (

@@ -98,4 +98,26 @@ object Corpus {
     val frac = fractionFor(strataCol, fractions, defaultFraction)
     df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(buckets)) < frac * buckets)
   }
+
+  // --- the composed pipeline --------------------------------------------
+
+  /**
+   * The full corpus-preparation pipeline, composed end to end:
+   * quality-filter → exact-dedup → redact → stratified-sample → chunk.
+   * One hash shuffle total (the dedup's digest window); everything else is
+   * narrow map work fused around it, so the pipeline cost is one pass plus
+   * one shuffle of (digest, id) pairs regardless of how many stages run.
+   * Emits chunk rows ready for a training-shard write.
+   */
+  def prepareCorpus(df: DataFrame, textCol: String, idCol: String,
+      strataCol: String, minQuality: Double,
+      fractions: Map[String, Double], chunkSize: Int,
+      sampleBuckets: Int = 1000): DataFrame = {
+    val filtered = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val deduped = Dedup.exactDedup(filtered, textCol, idCol)
+    val redacted = deduped.withColumn(textCol, redactPii(col(textCol)))
+    val sampled = stratifiedSampleMod(redacted, strataCol, idCol,
+      fractions, buckets = sampleBuckets)
+    chunkByTokens(sampled, textCol, chunkSize)
+  }
 }
