@@ -99,6 +99,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("*("), s"expected whole-stage codegen:\n$plan")
   }
 
+  test("prepareCorpus plans exactly one exchange: the dedup digest shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pipeline = graft.ops.Corpus.prepareCorpus(docs, "text", "doc_id",
+      "lang", minQuality = 0.5, fractions = Map("en" -> 0.5),
+      chunkSize = 40)
+    val plan = pipeline.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"five composed stages should cost ONE shuffle, found $exchanges:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
