@@ -177,6 +177,25 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // ordered-set aggregates: exact interpolated percentiles per group
+    "q16_percentiles" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_price"))
+        .orderBy("o_orderstatus")),
+
+    // statistical aggregates: stddev + correlation (rounded — partial-agg
+    // summation order differs across engines in the last float bits)
+    "q17_stats" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+        .orderBy("l_returnflag")),
+
     // scalar string functions: LIKE, substring bucketing, concat, length
     "q15_string_funcs" -> ((s, dir) =>
       T(s, dir, "part")
@@ -691,6 +710,18 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q16_percentiles" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+         round(quantile_cont(o_totalprice, 0.95), 2) AS p95_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q17_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(stddev_samp(l_quantity), 4) AS qty_stddev,
+         round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q15_string_funcs" ->
       """SELECT substring(p_name, 1, 3) AS name_prefix, count(*) AS n,
