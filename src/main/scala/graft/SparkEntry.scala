@@ -196,6 +196,21 @@ object SparkEntry {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
         .orderBy("l_returnflag")),
 
+    // window frames: lag + moving average over an explicit ROWS frame,
+    // verified on a deterministic customer subset
+    "q18_window_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2)
+            .as("moving_avg_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // scalar string functions: LIKE, substring bucketing, concat, length
     "q15_string_funcs" -> ((s, dir) =>
       T(s, dir, "part")
@@ -722,6 +737,15 @@ object SparkEntry {
          round(stddev_samp(l_quantity), 4) AS qty_stddev,
          round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q18_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_orderkey, 1) OVER w AS prev_orderkey,
+         round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+           AS moving_avg_price
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
 
     "q15_string_funcs" ->
       """SELECT substring(p_name, 1, 3) AS name_prefix, count(*) AS n,
