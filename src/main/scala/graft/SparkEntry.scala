@@ -448,6 +448,11 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ordered funnel over user event paths: reach counts per funnel prefix
+    "e_funnel" -> ((s, dir) =>
+      Sessionize.funnelCounts(T(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
     // pivot: events per type per day as a wide table
     "q14_pivot" -> ((s, dir) =>
       T(s, dir, "events")
@@ -1050,6 +1055,17 @@ object SparkEntry {
            cast(sum(n_events) AS bigint) AS n_events,
            max(n_events) AS max_session_events, max(duration_ms) AS max_session_ms
          FROM per_session GROUP BY 1 ORDER BY user_id""",
+
+    "e_funnel" ->
+      """WITH paths AS (
+           SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY 1)
+         SELECT count(*) AS n_users,
+           cast(sum(CASE WHEN regexp_matches(path, 'view') THEN 1 ELSE 0 END) AS bigint) AS users_view,
+           cast(sum(CASE WHEN regexp_matches(path, 'view.*click') THEN 1 ELSE 0 END) AS bigint) AS users_view_click,
+           cast(sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase') THEN 1 ELSE 0 END) AS bigint) AS users_view_click_purchase
+         FROM paths""",
 
     "e_daily" ->
       """SELECT cast(date_trunc('day', ts) AS date) AS day, event_type,

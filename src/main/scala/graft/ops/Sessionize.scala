@@ -72,4 +72,38 @@ object Sessionize {
         max(col("n_events")).as("max_session_events"),
         max(col("duration_ms")).as("max_session_ms"))
   }
+
+  /**
+   * Ordered-funnel analysis: for each user, build the time-ordered event
+   * path and count users whose path contains each funnel prefix as an
+   * ordered (not necessarily adjacent) subsequence — `Seq("view", "click",
+   * "purchase")` counts view-reachers, view→click-reachers and full
+   * converters. One shuffle (the per-user collect); the subsequence test
+   * is a regex over the joined path string, so step names must not be
+   * substrings of one another. Deterministic given a unique `tieBreak`.
+   */
+  def funnelCounts(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieBreak: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    steps.combinations(2).foreach { case Seq(a, b) =>
+      require(!a.contains(b) && !b.contains(a),
+        s"funnel steps must not be substrings of one another: $a / $b") }
+    // array_sort on (ts, tieBreak, type) structs orders by fields in
+    // declaration order — the same (ts, tie) ordering the oracle's
+    // ORDER BY inside string_agg applies
+    val paths = events
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol), col(tieBreak), col(typeCol)))).as("__seq"))
+      .withColumn("__path",
+        concat_ws(",", expr(s"transform(__seq, x -> x.$typeCol)")))
+    val stepCols = steps.inits.toSeq.reverse.drop(1).map { prefix =>
+      val pattern = prefix.mkString(".*")
+      sum(when(col("__path").rlike(pattern), 1).otherwise(0))
+        .as(s"users_${prefix.mkString("_")}")
+    }
+    paths.agg(count(lit(1)).as("n_users"), stepCols: _*)
+  }
 }

@@ -72,4 +72,29 @@ class SessionizeSpec extends SparkTestBase {
       .collect().head.getAs[Long]("n_sessions")
     assert(n === 1) // strictly-greater-than opens a session
   }
+
+  test("funnelCounts: ordered non-adjacent subsequences, per-user") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view -> error -> click -> purchase (full convert, gaps ok)
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "error"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "click"),
+      (4L, 1L, ts("2024-01-01 10:03:00"), "purchase"),
+      // user 2: click BEFORE view -> reaches view only
+      (5L, 2L, ts("2024-01-01 09:00:00"), "click"),
+      (6L, 2L, ts("2024-01-01 09:01:00"), "view"),
+      // user 3: never views
+      (7L, 3L, ts("2024-01-01 08:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = Sessionize.funnelCounts(ev, Seq("view", "click", "purchase")).collect().head
+    assert(r.getLong(0) === 3)                       // n_users
+    assert(r.getLong(1) === 2)                       // users_view (1, 2)
+    assert(r.getLong(2) === 1)                       // view->click (only 1)
+    assert(r.getLong(3) === 1)                       // full funnel (only 1)
+    // substring-colliding step names are rejected
+    assert(intercept[IllegalArgumentException] {
+      Sessionize.funnelCounts(ev, Seq("view", "preview"))
+    }.getMessage.contains("substrings"))
+  }
 }
