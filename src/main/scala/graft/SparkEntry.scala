@@ -611,8 +611,9 @@ object SparkEntry {
   }
 
   /** DuckDB recompute of TextAnalysis.qualityScore, unrounded — identical
-    * IEEE double arithmetic in the same order, so boundary comparisons
-    * agree bit-for-bit across engines. */
+    * IEEE double arithmetic in the same order. qualityScore itself rounds
+    * to 4 decimals, so comparisons against a threshold must go through
+    * [[qualityExpr]] (the rounded form) to mirror the Spark side exactly. */
   private val qualityExprRaw: String = {
     val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
     """(least(cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) as double) / 200.0, 1.0) * 0.3
@@ -860,7 +861,7 @@ object SparkEntry {
       val em = Corpus.emailPattern
       val ph = Corpus.phonePattern
       s"""WITH q AS (
-           SELECT doc_id, lang, text FROM documents WHERE $qualityExprRaw >= 0.5),
+           SELECT doc_id, lang, text FROM documents WHERE $qualityExpr >= 0.5),
          dedup AS (
            SELECT doc_id, lang, text FROM (
              SELECT doc_id, lang, text, row_number() OVER (
@@ -1056,15 +1057,18 @@ object SparkEntry {
            max(n_events) AS max_session_events, max(duration_ms) AS max_session_ms
          FROM per_session GROUP BY 1 ORDER BY user_id""",
 
+    // comma-wrapped paths + boundary-anchored patterns: steps match only
+    // complete tokens, mirroring Sessionize.funnelCounts exactly (an event
+    // type containing a step name as a substring must not count)
     "e_funnel" ->
       """WITH paths AS (
            SELECT user_id,
-             string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+             ',' || string_agg(event_type, ',' ORDER BY ts, event_id) || ',' AS path
            FROM events GROUP BY 1)
          SELECT count(*) AS n_users,
-           cast(sum(CASE WHEN regexp_matches(path, 'view') THEN 1 ELSE 0 END) AS bigint) AS users_view,
-           cast(sum(CASE WHEN regexp_matches(path, 'view.*click') THEN 1 ELSE 0 END) AS bigint) AS users_view_click,
-           cast(sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase') THEN 1 ELSE 0 END) AS bigint) AS users_view_click_purchase
+           cast(sum(CASE WHEN regexp_matches(path, ',view,') THEN 1 ELSE 0 END) AS bigint) AS users_view,
+           cast(sum(CASE WHEN regexp_matches(path, ',view,([^,]*,)*click,') THEN 1 ELSE 0 END) AS bigint) AS users_view_click,
+           cast(sum(CASE WHEN regexp_matches(path, ',view,([^,]*,)*click,([^,]*,)*purchase,') THEN 1 ELSE 0 END) AS bigint) AS users_view_click_purchase
          FROM paths""",
 
     "e_daily" ->

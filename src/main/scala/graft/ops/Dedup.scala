@@ -301,25 +301,26 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      // min over own label and all neighbors' labels, one shuffle
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "__nid"),
-          edges("dst") === col("__nid"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("__nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
-          (col("__nbr") < col("component")).as("__changed"))
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).limit(1).count() == 0
-      labels = next.drop("__changed")
-      iter += 1
-    }
-    require(converged, s"connectedComponents did not converge in $maxIter " +
-      "iterations: component diameter exceeds the bound; raise maxIter or " +
-      "switch to the large-star/small-star variant")
-    edges.unpersist()
+    try {
+      while (!converged && iter < maxIter) {
+        // min over own label and all neighbors' labels, one shuffle
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "__nid"),
+            edges("dst") === col("__nid"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("component")).as("__nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
+            (col("__nbr") < col("component")).as("__changed"))
+          .localCheckpoint()
+        converged = next.filter(col("__changed")).limit(1).count() == 0
+        labels = next.drop("__changed")
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter " +
+        "iterations: component diameter exceeds the bound; raise maxIter or " +
+        "switch to the large-star/small-star variant")
+    } finally edges.unpersist()
     labels
   }
 

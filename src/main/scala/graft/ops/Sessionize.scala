@@ -78,18 +78,18 @@ object Sessionize {
    * path and count users whose path contains each funnel prefix as an
    * ordered (not necessarily adjacent) subsequence — `Seq("view", "click",
    * "purchase")` counts view-reachers, view→click-reachers and full
-   * converters. One shuffle (the per-user collect); the subsequence test
-   * is a regex over the joined path string, so step names must not be
-   * substrings of one another. Deterministic given a unique `tieBreak`.
+   * converters. One shuffle (the per-user collect). The subsequence test
+   * is a regex over the comma-wrapped path string whose steps match only
+   * complete comma-delimited tokens (`,step,` with `([^,]*,)*` between
+   * steps), so event types that merely CONTAIN a step name (e.g.
+   * 'preview' vs 'view') never count, and step names are regex-quoted.
+   * Deterministic given a unique `tieBreak`.
    */
   def funnelCounts(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type",
       tieBreak: String = "event_id"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    steps.combinations(2).foreach { case Seq(a, b) =>
-      require(!a.contains(b) && !b.contains(a),
-        s"funnel steps must not be substrings of one another: $a / $b") }
     // array_sort on (ts, tieBreak, type) structs orders by fields in
     // declaration order — the same (ts, tie) ordering the oracle's
     // ORDER BY inside string_agg applies
@@ -98,9 +98,14 @@ object Sessionize {
       .agg(array_sort(collect_list(
         struct(col(tsCol), col(tieBreak), col(typeCol)))).as("__seq"))
       .withColumn("__path",
-        concat_ws(",", expr(s"transform(__seq, x -> x.$typeCol)")))
+        concat(lit(","),
+          concat_ws(",", expr(s"transform(__seq, x -> x.$typeCol)")), lit(",")))
     val stepCols = steps.inits.toSeq.reverse.drop(1).map { prefix =>
-      val pattern = prefix.mkString(".*")
+      // ,s1,([^,]*,)*s2,… — boundary-anchored ordered-subsequence match
+      // over the wrapped path; avoids lookaround so the same pattern runs
+      // under both Java regex (Spark) and RE2 (the DuckDB oracle)
+      val pattern = prefix.map(java.util.regex.Pattern.quote)
+        .mkString(",", ",([^,]*,)*", ",")
       sum(when(col("__path").rlike(pattern), 1).otherwise(0))
         .as(s"users_${prefix.mkString("_")}")
     }

@@ -85,16 +85,22 @@ class SessionizeSpec extends SparkTestBase {
       (5L, 2L, ts("2024-01-01 09:00:00"), "click"),
       (6L, 2L, ts("2024-01-01 09:01:00"), "view"),
       // user 3: never views
-      (7L, 3L, ts("2024-01-01 08:00:00"), "purchase")
+      (7L, 3L, ts("2024-01-01 08:00:00"), "purchase"),
+      // user 4: 'preview' CONTAINS 'view' but is a different event type —
+      // must not count as a view, despite click+purchase following
+      (8L, 4L, ts("2024-01-01 07:00:00"), "preview"),
+      (9L, 4L, ts("2024-01-01 07:01:00"), "click"),
+      (10L, 4L, ts("2024-01-01 07:02:00"), "purchase")
     ).toDF("event_id", "user_id", "ts", "event_type")
     val r = Sessionize.funnelCounts(ev, Seq("view", "click", "purchase")).collect().head
-    assert(r.getLong(0) === 3)                       // n_users
-    assert(r.getLong(1) === 2)                       // users_view (1, 2)
+    assert(r.getLong(0) === 4)                       // n_users
+    assert(r.getLong(1) === 2)                       // users_view (1, 2; NOT 4)
     assert(r.getLong(2) === 1)                       // view->click (only 1)
     assert(r.getLong(3) === 1)                       // full funnel (only 1)
-    // substring-colliding step names are rejected
-    assert(intercept[IllegalArgumentException] {
-      Sessionize.funnelCounts(ev, Seq("view", "preview"))
-    }.getMessage.contains("substrings"))
+    // substring-colliding step names are fine: boundary-anchored matching
+    // distinguishes 'view' from 'preview', including adjacent steps
+    val r2 = Sessionize.funnelCounts(ev, Seq("preview", "click")).collect().head
+    assert(r2.getLong(1) === 1)                      // preview (only 4)
+    assert(r2.getLong(2) === 1)                      // preview->click (only 4)
   }
 }
