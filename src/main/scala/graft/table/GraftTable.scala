@@ -118,13 +118,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** Read `subset` of a snapshot's files with its merge-on-read deletes
-    * applied. A delete applies only to files ADDED before it (file-adding
-    * snapshot id < delete seq), so files are grouped by their applicable
+    * applied. A delete applies only to files ADDED before it (file
+    * `dataSeq` < delete seq), so files are grouped by their applicable
     * delete set — each group is one scan anti-joined per delete file
     * (null-safely on key columns for equality deletes; on (file, row
-    * index) for position deletes), unioned back together. A file whose
-    * adding snapshot was expired from the log predates every retained
-    * delete (seq fallback 0). */
+    * index) for position deletes), unioned back together. `dataSeq` is
+    * stamped on the file at commit time; only files from pre-dataSeq
+    * metadata fall back to deriving it from the retained snapshot list
+    * (0 — predates every retained delete — when even that is gone). */
   private def readWithDeletes(snap: Option[GraftSnapshot], m: TableMetadata,
       subset: Seq[DataFile]): DataFrame = {
     val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -132,11 +133,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
     if (dels.isEmpty) return plainRead(s, subset)
-    val addSeq: Map[String, Long] = m.snapshots.sortBy(_.id)
+    lazy val addSeq: Map[String, Long] = m.snapshots.sortBy(_.id)
       .flatMap(sn => sn.addedFiles.map(_ -> sn.id))
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    def seqOf(f: DataFile): Long =
+      f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
     subset
-      .groupBy(f => dels.filter(_.seq > addSeq.getOrElse(f.path, 0L)).map(_.path).toSet)
+      .groupBy(f => dels.filter(_.seq > seqOf(f)).map(_.path).toSet)
       .toSeq.sortBy(_._1.size)
       .map { case (applicable, files) =>
         val appl = dels.filter(d => applicable(d.path))
@@ -1108,8 +1111,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
       s"$b is a tag on ${m.name}; tags are immutable and cannot be written to")
     val head = m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch)).flatMap(m.snapshot)
     val removedSet = removed.toSet
-    val live = head.map(_.files).getOrElse(Seq.empty).filterNot(f => removedSet.contains(f.path)) ++ added
     val id = m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    // stamp the adding commit's id on each new file (Iceberg's
+    // data_sequence_number): delete-applicability must not depend on the
+    // adding snapshot staying in the (expirable) snapshot list
+    val stamped = added.map(_.copy(dataSeq = Some(id)))
+    val live = head.map(_.files).getOrElse(Seq.empty).filterNot(f => removedSet.contains(f.path)) ++ stamped
     // MoR delete files: carried forward until a full rewrite materializes
     // them (replace/overwrite read through the deletes, so new files never
     // contain logically-deleted rows); new deletes get this commit's id as

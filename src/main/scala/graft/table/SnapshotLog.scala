@@ -26,13 +26,24 @@ case class ColumnStats(min: String, max: String, nullCount: Long)
  * @param partitionValues identity-partition values parsed/assigned at write
  * @param records         row count (parquet footer)
  * @param sizeBytes       file length
+ * @param dataSeq         id of the snapshot that ADDED this file, stamped at
+ *                        commit time and carried forward unchanged — the
+ *                        data-sequence number merge-on-read delete files
+ *                        compare against (a delete applies iff its seq is
+ *                        greater). Persisted on the file itself, like
+ *                        Iceberg's data_sequence_number, so applicability
+ *                        survives the adding snapshot being expired from the
+ *                        log. `None` only in metadata written before this
+ *                        field existed; readers then fall back to deriving
+ *                        it from the retained snapshot list.
  */
 case class DataFile(
     path: String,
     partitionValues: Map[String, String],
     records: Long,
     sizeBytes: Long,
-    stats: Option[Map[String, ColumnStats]] = None)
+    stats: Option[Map[String, ColumnStats]] = None,
+    dataSeq: Option[Long] = None)
 
 /**
  * One committed table version. Mirrors the reference's Iceberg snapshot

@@ -264,6 +264,24 @@ class MorDeleteSpec extends SparkTestBase {
     assert(t.toDF.filter(col("txn_id") === "txn7").count() === 1)
   }
 
+  test("delete applicability survives expiry of the adding snapshot") {
+    // s1 appends txn1..15; s2 MoR-deletes txn5 (seq 2); s3 re-appends txn5;
+    // s4 is an unrelated append so s3 is expirable. Expiring s1..s3 while
+    // the delete file is still pending must NOT re-apply the old delete to
+    // the re-appended row: its dataSeq (3 > 2) is persisted on the file
+    // itself, not derived from the now-gone snapshot list.
+    val t = fresh("expseq")
+    t.deleteWhereMoR(col("txn_id") === "txn5", Seq("txn_id"))
+    t.append(ActivityData.day1(spark).filter(col("txn_id") === "txn5"))
+    t.append(ActivityData.day1(spark).filter(col("txn_id") === "txn6"))
+    assert(t.toDF.count() === 16) // 15 live + second txn6
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(expired === Seq(1L, 2L, 3L))
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty) // still pending
+    assert(t.toDF.count() === 16)
+    assert(t.toDF.filter(col("txn_id") === "txn5").count() === 1)
+  }
+
   test("snapshot JSON without deleteFiles still deserializes (log compat)") {
     implicit val fmts: org.json4s.Formats = DefaultFormats
     val legacy =
@@ -271,5 +289,11 @@ class MorDeleteSpec extends SparkTestBase {
          "files":[],"addedFiles":[],"removedFiles":[],"summary":{}}"""
     val snap = Serialization.read[GraftSnapshot](legacy)
     assert(snap.deleteFiles === Seq.empty)
+    // pre-dataSeq DataFile JSON: field absent -> None (reader falls back
+    // to deriving the sequence from retained snapshots)
+    val legacyFile =
+      """{"path":"p=1/f.parquet","partitionValues":{"p":"1"},
+         "records":3,"sizeBytes":100}"""
+    assert(Serialization.read[DataFile](legacyFile).dataSeq === None)
   }
 }
