@@ -273,7 +273,11 @@ object SparkEntry {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("bigram").asc)
       T(s, dir, "documents")
-        .select(col("lang"), explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        // tokenize in ITS OWN projection: referencing tokens() inside the
+        // interpreted shingle lambda would re-split the text per bigram
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("lang"),
+          explode(TextAnalysis.shinglesOfTokens(col("__toks"), 2)).as("bigram"))
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rank", row_number().over(w))

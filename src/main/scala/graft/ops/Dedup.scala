@@ -197,13 +197,25 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 1): DataFrame = {
-    val sets = df.select(col(idCol),
-      (if (shingleN == 1) TextAnalysis.wordSet(col(textCol))
-       else array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("__set"))
+    // tokenize in a separate projection so the interpreted shingle lambda
+    // slices a materialized array instead of re-splitting the text per
+    // shingle (higher-order functions get no subexpression elimination)
+    val sets = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        (if (shingleN == 1) array_distinct(col("__toks"))
+         else array_distinct(TextAnalysis.shinglesOfTokens(col("__toks"), shingleN))).as("__set"))
     val a = sets.select(col(idCol).as("id_a"), col("__set").as("__set_a"))
     val b = sets.select(col(idCol).as("id_b"), col("__set").as("__set_b"))
+    // size prefilter: jaccard >= t implies least(|A|,|B|) >= t*greatest
+    // (intersection <= min size, union >= max size), so the O(|A|+|B|)
+    // array intersection runs only on size-compatible pairs — an O(1)
+    // check that prunes the vast majority of a cross join at high
+    // thresholds without changing any result
+    val sizeCompatible =
+      least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b")))
     a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && sizeCompatible)
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("__set_a"), col("__set_b")), 4).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
@@ -286,9 +298,14 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) pair source once: the two union
+    // branches below would otherwise each re-evaluate its full subtree —
+    // for near-dup input that is the candidate-verify pipeline, twice
+    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
     // both directions once; reused by every iteration
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     // the loop references each round's labels twice (neighbor lookup +

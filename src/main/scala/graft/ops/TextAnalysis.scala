@@ -97,9 +97,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles (n consecutive tokens joined by a space).
+    *
+    * Prefer [[shinglesOfTokens]] over a materialized token-array column on
+    * hot paths: higher-order functions are interpreted (no whole-stage
+    * codegen, no cross-lambda subexpression elimination), so a `tokens(...)`
+    * expression inlined here is re-split once per OUTPUT SHINGLE, turning
+    * an O(tokens) row into O(tokens^2) regex work. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-computed token array (cheap to reference
+    * from inside the per-position lambda). */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     // one shingle starting at each position 0..size-n (empty when size < n)
     when(size(toks) >= n,
       transform(
