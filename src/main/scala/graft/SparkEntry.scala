@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Corpus, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, Sessionize, Similarity, TextAnalysis}
 import graft.queries.TableFixtures
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -284,6 +284,19 @@ object SparkEntry {
         .filter(col("rank") <= 5)
         .select(col("lang"), col("rank"), col("bigram"), col("n"))
         .orderBy("lang", "rank")
+    }),
+
+    // test-set decontamination: docs sharing a 5-token window with the
+    // held-out slice (doc_id % 10 = 7 stands in for a benchmark suite).
+    // Probe n-grams broadcast; the corpus side's only shuffle is the final
+    // per-doc aggregation of the (rare) hits.
+    "x_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "text", "doc_id", n = 5, keepCols = Seq("lang"))
+        .orderBy("doc_id")
     }),
 
     // PII redaction over deterministically-injected emails/phones: counts
@@ -816,6 +829,31 @@ object SparkEntry {
            FROM counted)
          SELECT lang, rank, bigram, n FROM ranked
          WHERE rank <= 5 ORDER BY lang, rank""",
+
+    // 5-gram slices all have length len(tk)-4, so list_zip never pads;
+    // the len(tk) >= 5 guard keeps negative slice bounds (DuckDB wraps
+    // them) out and mirrors Spark's empty-below-n shingle semantics
+    "x_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(
+               list_zip(tk[1:len(tk)-4], tk[2:len(tk)-3], tk[3:len(tk)-2],
+                        tk[4:len(tk)-1], tk[5:len(tk)]),
+               x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' || x[5]))) AS g
+           FROM toks WHERE len(tk) >= 5),
+         probes AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+         totals AS (
+           SELECT doc_id, cast(count(*) AS integer) AS n_grams
+           FROM grams GROUP BY 1),
+         hits AS (
+           SELECT g.doc_id, g.lang, count(*) AS n_hits
+           FROM grams g JOIN probes p USING (g)
+           WHERE g.doc_id % 10 <> 7 GROUP BY 1, 2)
+         SELECT h.doc_id, h.lang, t.n_grams, h.n_hits
+         FROM hits h JOIN totals t USING (doc_id) ORDER BY doc_id""",
 
     "x_redact" -> {
       val em = Corpus.emailPattern
