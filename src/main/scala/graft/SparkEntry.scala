@@ -326,6 +326,17 @@ object SparkEntry {
           min(col("chunk_tokens")).cast("long").as("min_chunk_tokens"))
         .orderBy("source")),
 
+    // GPT-style sequence packing: per-shard concat-then-chunk assignment of
+    // docs to fixed 256-token packs (docs straddle pack boundaries). The
+    // mod shard keeps the oracle expressible; production uses the hashed
+    // default. Per-shard windows only — no global sort anywhere.
+    "x_pack" -> ((s, dir) =>
+      Corpus.packAssignments(T(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", budget = 256, nShards = 8,
+        shard = Some(pmod(col("doc_id"), lit(8))))
+        .select("doc_id", "shard", "tokens", "tok_start", "pack_first", "pack_last")
+        .orderBy("doc_id")),
+
     // deterministic stratified corpus mixing: per-lang keep fractions on
     // mod-buckets of doc_id, pinned by exact kept ids (id_sum)
     "x_sample" -> ((s, dir) =>
@@ -890,6 +901,21 @@ object SparkEntry {
            cast(sum(length(array_to_string(ch, ' '))) AS bigint) AS chunk_chars,
            cast(min(len(ch)) AS bigint) AS min_chunk_tokens
          FROM chunks GROUP BY 1 ORDER BY 1""",
+
+    "x_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS integer) AS tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, tokens,
+             cast(coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS tok_start
+           FROM t)
+         SELECT doc_id, shard, tokens, tok_start,
+           cast(floor(tok_start / 256.0) AS bigint) AS pack_first,
+           cast(floor((tok_start + tokens - 1) / 256.0) AS bigint) AS pack_last
+         FROM c ORDER BY doc_id""",
 
     "x_sample" ->
       """SELECT lang, count(*) AS n_kept, cast(sum(doc_id) AS bigint) AS id_sum

@@ -59,6 +59,42 @@ object Corpus {
       .drop("__tk", "__chunk")
   }
 
+  // --- sequence packing --------------------------------------------------
+
+  /**
+   * GPT-style sequence-packing plan: per shard, documents are concatenated
+   * in `idCol` order into one token stream that is cut into fixed
+   * `budget`-token packs; each document's span maps onto the packs it
+   * occupies (documents straddle pack boundaries, exactly like
+   * concat-then-chunk training-data packing). Adds to each row:
+   *
+   *  - `tokens`:     whitespace token count
+   *  - `tok_start`:  the document's start offset in its shard's stream
+   *                  (exclusive running sum)
+   *  - `pack_first` / `pack_last`: first/last pack index the span touches
+   *
+   * Scale: `shard` should hash-assign documents (default
+   * `pmod(xxhash64(id), nShards)`), so the only non-narrow work is one
+   * window per shard — partitionBy(shard).orderBy(id) sorts each shard
+   * independently; no global ordering or single-reducer stage exists. The
+   * writer that materializes packs then partitions by (shard, pack).
+   */
+  def packAssignments(df: DataFrame, textCol: String, idCol: String,
+      budget: Int, nShards: Int, shard: Option[Column] = None): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val shardCol = shard.getOrElse(pmod(xxhash64(col(idCol)), lit(nShards)))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shardCol)
+      .withColumn("tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("tok_start", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("pack_first", floor(col("tok_start") / budget))
+      .withColumn("pack_last",
+        floor((col("tok_start") + col("tokens") - 1) / budget))
+  }
+
   // --- deterministic stratified sampling --------------------------------
 
   private def fractionFor(strataCol: String,

@@ -57,6 +57,52 @@ class CorpusSpec extends SparkTestBase {
       .map(r => r.getString(1).toLowerCase.trim).toSeq)
   }
 
+  test("packAssignments: contiguous per-shard spans, straddling documents") {
+    import spark.implicits._
+    // one shard, budget 10: docs of 4/8/3 tokens -> spans [0,4) [4,12) [12,15)
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val r = Corpus.packAssignments(d, "text", "doc_id", budget = 10,
+      nShards = 1, shard = Some(lit(0L)))
+      .orderBy("doc_id")
+      .select("tokens", "tok_start", "pack_first", "pack_last")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq(
+      (4, 0L, 0L, 0L),   // fits pack 0
+      (8, 4L, 0L, 1L),   // straddles the 10-token boundary
+      (3, 12L, 1L, 1L))) // fits pack 1
+  }
+
+  test("packAssignments: shards pack independently; hashed default is stable") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, ("tok " * (i % 5 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val byMod = Corpus.packAssignments(d, "text", "doc_id", budget = 7,
+      nShards = 4, shard = Some(pmod(col("doc_id"), lit(4))))
+    // each shard's stream starts at 0 and spans are gap-free: within a
+    // shard, every tok_start equals the previous doc's start + tokens
+    val rows = byMod.select("shard", "doc_id", "tokens", "tok_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      assert(sorted.head._4 === 0L)
+      sorted.sliding(2).foreach {
+        case Array((_, _, tok, st), (_, _, _, st2)) => assert(st2 === st + tok)
+        case _ =>
+      }
+    }
+    // hashed default: deterministic across runs, all shards in range
+    val h1 = Corpus.packAssignments(d, "text", "doc_id", budget = 7, nShards = 4)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h2 = Corpus.packAssignments(d, "text", "doc_id", budget = 7, nShards = 4)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h1 === h2)
+    assert(h1.map(_._2).forall(s => s >= 0 && s < 4))
+  }
+
   test("stratifiedSampleMod keeps exactly the configured buckets") {
     import spark.implicits._
     val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
