@@ -46,9 +46,9 @@ object ActivitySqlPipeline {
       "day3" -> ActivityData.day3(spark), "day4" -> ActivityData.day4(spark),
       "day5" -> ActivityData.day5(spark))
     days.foreach { case (branch, df) =>
-      // reference :45-49 — schema-cloned staging table via CTAS LIMIT 0
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      spark.sql(s"CREATE TABLE $tmp AS SELECT * FROM $t LIMIT 0")
+      // reference :45-49 — schema-cloned staging table, the verbatim
+      // CREATE OR REPLACE TABLE … AS SELECT … LIMIT 0 statement
+      spark.sql(s"CREATE OR REPLACE TABLE $tmp AS SELECT * FROM $t LIMIT 0")
       df.createOrReplaceTempView("activity_batch")
       // explicit column list: the SQL surface lists the partition column
       // last (Hive convention), so a positional SELECT * would misalign

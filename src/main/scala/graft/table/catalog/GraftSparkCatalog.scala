@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlread
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.Column
@@ -292,9 +292,14 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   * `INSERT INTO` as a V1 append routed through `GraftTable.append` — the
   * executors write parquet through the normal distributed write path and the
   * driver commits one snapshot (WAP branch redirect applies, same as the
-  * DataFrame API). Only plain appends are declared: overwrite/truncate have
-  * no `SupportsOverwrite`/`SupportsTruncate` builder, so Spark's analyzer
-  * rejects them before any file is touched. */
+  * DataFrame API). Full truncating overwrites (`INSERT OVERWRITE` without a
+  * partition spec, and the write step of `CREATE OR REPLACE TABLE … AS
+  * SELECT` — the reference's staging idiom,
+  * IcebergLoadActivityTask.scala:45-49) commit an `overwrite` snapshot:
+  * nothing is destroyed, prior snapshots stay time-travelable, exactly
+  * Iceberg's RTAS/OVERWRITE behavior. Partition-scoped (dynamic) overwrite
+  * is NOT declared, so Spark's analyzer rejects it before any file is
+  * touched. */
 class GraftWritableTable(tableName: String, val location: String,
     inner: ParquetTable, tableSchema: StructType,
     morReadInfo: Option[GraftMorRead] = None)
@@ -302,7 +307,8 @@ class GraftWritableTable(tableName: String, val location: String,
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** `DELETE FROM … WHERE …`: the pushed filters become one Column
     * predicate. The table's `write.delete.mode` property picks the commit
@@ -325,14 +331,18 @@ class GraftWritableTable(tableName: String, val location: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      // full-table truncate only (INSERT OVERWRITE / RTAS write step);
+      // Spark requests it via the builder, we commit an overwrite snapshot
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "INSERT OVERWRITE: use GraftTable.deleteWhere/merge (commit-protocol operations)")
-              GraftTable.load(SparkSession.active, location).append(data)
+              val t = GraftTable.load(SparkSession.active, location)
+              if (overwrite || truncateFirst) t.overwrite(data)
+              else t.append(data)
             }
           }
       }

@@ -110,16 +110,45 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE graft.finance.sqldelete")
   }
 
-  test("INSERT OVERWRITE is rejected (snapshot protocol cannot be bypassed)") {
+  test("INSERT OVERWRITE commits an overwrite snapshot; history survives") {
     warehouse
-    val e = intercept[Exception] {
-      // values in SQL-surface order: data columns first, txn_date last
-      spark.sql(
-        """INSERT OVERWRITE graft.finance.activity VALUES
-           ('acc1', 'txnX', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00', DATE'2024-03-02')""")
+    spark.sql("CREATE TABLE graft.finance.ow (k STRING, v DOUBLE) USING parquet")
+    try {
+      spark.sql("INSERT INTO graft.finance.ow VALUES ('a', 1.0), ('b', 2.0)")
+      spark.sql("INSERT OVERWRITE graft.finance.ow VALUES ('c', 3.0)")
+      assert(spark.sql("SELECT k FROM graft.finance.ow").collect()
+        .map(_.getString(0)).toSeq === Seq("c"))
+      // versioned, not destructive: the overwrite is one more snapshot and
+      // the pre-overwrite state stays time-travelable
+      val t = GraftTable.load(spark, s"$warehouse/finance/ow")
+      assert(t.snapshotsDF.filter(col("operation") === "overwrite").count() === 1)
+      assert(spark.sql("SELECT count(*) FROM graft.finance.ow VERSION AS OF '1'")
+        .collect().head.getLong(0) === 2)
+    } finally spark.sql("DROP TABLE graft.finance.ow")
+  }
+
+  test("CTAS and CREATE OR REPLACE TABLE AS SELECT (the staging idiom)") {
+    warehouse
+    spark.sql("CREATE TABLE graft.finance.ctsrc (k STRING, v DOUBLE) USING parquet")
+    try {
+      spark.sql("INSERT INTO graft.finance.ctsrc VALUES ('a', 1.0), ('b', 2.0)")
+      // the reference's staging-table idiom, verbatim modulo catalog name
+      // (IcebergLoadActivityTask.scala:45-49): schema clone, zero rows
+      spark.sql("""CREATE OR REPLACE TABLE graft.finance.cttmp AS
+                   SELECT * FROM graft.finance.ctsrc LIMIT 0""")
+      assert(spark.sql("SELECT count(*) FROM graft.finance.cttmp")
+        .collect().head.getLong(0) === 0)
+      assert(spark.table("graft.finance.cttmp").schema ===
+        spark.table("graft.finance.ctsrc").schema)
+      // plain CTAS carries data; re-running OR REPLACE swaps contents
+      spark.sql("""CREATE OR REPLACE TABLE graft.finance.cttmp AS
+                   SELECT * FROM graft.finance.ctsrc WHERE k = 'b'""")
+      assert(spark.sql("SELECT k, v FROM graft.finance.cttmp").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq === Seq(("b", 2.0)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.finance.cttmp")
+      spark.sql("DROP TABLE graft.finance.ctsrc")
     }
-    assert(e.getMessage.toLowerCase.matches("(?s).*(does not support|unsupported|not supported).*"),
-      e.getMessage)
   }
 
   test("SQL reads honor the WAP branch redirect like the DataFrame API") {

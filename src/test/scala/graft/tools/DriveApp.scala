@@ -66,8 +66,15 @@ object DriveApp {
       "SELECT 'acc9', DATE'2024-03-02', 'txn99', 'M', 1.0, 'C', TIMESTAMP'2024-03-02 00:00:00'")
     println("post-insert count=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0)
       + " snapshots=" + ct.snapshotsDF.count())
-    try spark.sql("INSERT OVERWRITE graft.fin.act SELECT * FROM graft.fin.act LIMIT 1")
-    catch { case e: Exception => println("overwrite rejected: " + e.getMessage.linesIterator.next()) }
+    println("== SQL write: CORTAS staging idiom + versioned INSERT OVERWRITE")
+    spark.sql("CREATE OR REPLACE TABLE graft.fin.act_tmp AS SELECT * FROM graft.fin.act LIMIT 0")
+    println("cortas-limit0 rows=" + spark.sql("SELECT count(*) FROM graft.fin.act_tmp").collect().head.getLong(0)
+      + " schemaEq=" + (spark.table("graft.fin.act_tmp").schema == spark.table("graft.fin.act").schema))
+    spark.sql("INSERT OVERWRITE graft.fin.act_tmp SELECT * FROM graft.fin.act LIMIT 1")
+    val tmpT = GraftTable.load(spark, s"$wh/fin/act_tmp")
+    println("overwrite rows=" + spark.sql("SELECT count(*) FROM graft.fin.act_tmp").collect().head.getLong(0)
+      + " ops=" + tmpT.snapshotsDF.orderBy("snapshot_id").collect().map(_.getAs[String]("operation")).mkString(","))
+    spark.sql("DROP TABLE graft.fin.act_tmp")
     println("== SQL write: DELETE FROM runs the CoW commit")
     spark.sql("DELETE FROM graft.fin.act WHERE txn_id = 'txn99'")
     println("post-delete count=" + spark.sql("SELECT count(*) FROM graft.fin.act").collect().head.getLong(0))
