@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.sql.{GraftMergeRule, GraftMorReadRule, GraftSqlParser, GraftUpdateRule}
+import graft.sql.{GraftMergeRule, GraftPlanReadRule, GraftSqlParser, GraftUpdateRule}
 
 /**
  * Session extensions completing the reference's SQL surface on graft
@@ -28,6 +28,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => GraftMergeRule)
     ext.injectPostHocResolutionRule(_ => GraftUpdateRule)
     // after the row-level rules: only genuine read relations remain
-    ext.injectPostHocResolutionRule(_ => GraftMorReadRule)
+    ext.injectPostHocResolutionRule(_ => GraftPlanReadRule)
   }
 }

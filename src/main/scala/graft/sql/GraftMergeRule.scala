@@ -159,7 +159,7 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
  * targets are explicitly left untouched (their relation identity routes
  * the write), while a write's SOURCE query is still substituted.
  */
-object GraftMorReadRule extends Rule[LogicalPlan] {
+object GraftPlanReadRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable => d
@@ -171,8 +171,8 @@ object GraftMorReadRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case r: DataSourceV2Relation =>
         r.table match {
-          case g: GraftReadOnlyTable if g.morRead.isDefined =>
-            val mr = g.morRead.get
+          case g: GraftReadOnlyTable if g.planRead.isDefined =>
+            val mr = g.planRead.get
             val df = graft.table.GraftTable
               .load(org.apache.spark.sql.SparkSession.active, mr.location)
               .asOfSnapshot(mr.snapshotId)

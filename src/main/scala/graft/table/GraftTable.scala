@@ -86,17 +86,30 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def scan(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame =
     readWithDeletes(snap, m, snap.map(_.files).getOrElse(Seq.empty))
 
+  /** Ordered partition-column layout a file was written under, derived
+    * from its path segments. Files written before/after a partition-spec
+    * change carry different layouts; reads group by it so each Spark file
+    * index sees one consistent hive layout. */
+  private def layoutOf(f: DataFile): Seq[String] =
+    f.path.split("/").dropRight(1).toSeq.flatMap(_.split("=", 2) match {
+      case Array(k, _) => Some(k)
+      case _ => None
+    })
+
   private def plainRead(s: StructType, files: Seq[DataFile]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-    val paths = files.map(f => s"$dataDir/${f.path}")
     // re-project: the file reader surfaces partition columns last;
     // keep the declared column order stable for users and oracles
-    spark.read
-      .schema(s)
-      .option("basePath", dataDir)
-      .parquet(paths: _*)
-      .select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    files.groupBy(layoutOf).toSeq.sortBy(_._1.mkString(","))
+      .map { case (_, group) =>
+        spark.read
+          .schema(s)
+          .option("basePath", dataDir)
+          .parquet(group.map(f => s"$dataDir/${f.path}"): _*)
+          .select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      }
+      .reduce(_.unionByName(_))
   }
 
   /** [[plainRead]] plus `__file` (data-dir-relative path) and `__pos`
@@ -107,14 +120,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(s.fields ++ Seq(StructField("__file", StringType),
           StructField("__pos", LongType))))
-    val paths = files.map(f => s"$dataDir/${f.path}")
-    spark.read
-      .schema(s)
-      .option("basePath", dataDir)
-      .parquet(paths: _*)
-      .select(s.fields.map(f => col(f.name)) ++ Seq(
-        regexp_replace(col("_metadata.file_path"), "^.*/data/", "").as("__file"),
-        col("_metadata.row_index").as("__pos")).toIndexedSeq: _*)
+    files.groupBy(layoutOf).toSeq.sortBy(_._1.mkString(","))
+      .map { case (_, group) =>
+        spark.read
+          .schema(s)
+          .option("basePath", dataDir)
+          .parquet(group.map(f => s"$dataDir/${f.path}"): _*)
+          .select(s.fields.map(f => col(f.name)) ++ Seq(
+            regexp_replace(col("_metadata.file_path"), "^.*/data/", "").as("__file"),
+            col("_metadata.row_index").as("__pos")).toIndexedSeq: _*)
+      }
+      .reduce(_.unionByName(_))
   }
 
   /** Read `subset` of a snapshot's files with its merge-on-read deletes
@@ -908,6 +924,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
     overwrite(compacted, operation = "replace")
   }
 
+  /**
+   * Partition-spec evolution (Iceberg `ALTER TABLE … PARTITION FIELD`
+   * semantics): a metadata-only commit switching the spec FOR FUTURE
+   * WRITES. Existing data files keep their layout — reads group files by
+   * the layout they were written under, pruning works per file on
+   * whichever evidence it carries (partition value or footer stats) — and
+   * copy-on-write rewrites plus compactions migrate rows into the new
+   * spec lazily, exactly Iceberg's evolution story. Pass empty `cols` to
+   * make the table unpartitioned going forward.
+   */
+  def updatePartitionSpec(cols: Seq[String]): Unit = withCommitLock {
+    val m = meta
+    val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    cols.foreach(c => require(s.fieldNames.contains(c),
+      s"unknown partition column $c on ${m.name}"))
+    SnapshotLog.commit(location, m.copy(partitionCols = cols), conf)
+  }
+
   /** `rewrite_manifests`: our metadata is a single JSON log, so this is a
     * log-compaction: truncate the metadata-log history (keeping snapshots
     * and refs intact). Kept for API fidelity (SURVEY.md §2.5 P3). */
@@ -1092,7 +1126,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }.headOption.map(GraftTable.splitConjuncts).getOrElse(Seq.empty)
     val files = snap.map(_.files).getOrElse(Seq.empty)
     val kept = files.filter(f =>
-      conjuncts.forall(c => GraftTable.fileMayMatch(c, f, m.partitionCols)))
+      conjuncts.forall(c => GraftTable.fileMayMatch(c, f)))
     if (kept.size == files.size) full.filter(cond)
     else scan(snap.map(s => s.copy(files = kept)), m).filter(cond)
   }
@@ -1204,16 +1238,19 @@ object GraftTable {
   }
 
   /** Conservative may-match: false only when partition values or footer
-    * stats PROVE no row in the file can satisfy the conjunct. */
-  private[table] def fileMayMatch(c: CExpr, f: DataFile,
-      partitionCols: Seq[String]): Boolean = {
+    * stats PROVE no row in the file can satisfy the conjunct. Dispatch is
+    * PER FILE, not per table spec: under partition-spec evolution the same
+    * column is a partition value in files written under one spec and a
+    * data column (footer stats) in files written under another — each file
+    * prunes on whichever evidence it carries. */
+  private[table] def fileMayMatch(c: CExpr, f: DataFile): Boolean = {
     def le(dt: DataType, a: String, b: String) = !statLt(dt, b, a)
     def check(name: String, dt: DataType, statOp: ColumnStats => Boolean,
         partOp: String => Boolean): Boolean =
-      if (partitionCols.contains(name))
-        f.partitionValues.get(name).forall(v =>
-          v == "__HIVE_DEFAULT_PARTITION__" || partOp(v))
-      else f.stats.flatMap(_.get(name)).forall(statOp)
+      f.partitionValues.get(name) match {
+        case Some(v) => v == "__HIVE_DEFAULT_PARTITION__" || partOp(v)
+        case None => f.stats.flatMap(_.get(name)).forall(statOp)
+      }
     def cmp(a: CExpr, l: CExpr)(statOp: (DataType, String, ColumnStats) => Boolean,
         partOp: (DataType, String, String) => Boolean): Boolean =
       (attrName(a), litInfo(l)) match {
@@ -1226,7 +1263,7 @@ object GraftTable {
         cmp(a, l)((dt, v, st) => le(dt, st.min, v) && le(dt, v, st.max),
           (dt, v, pv) => pv == v)
       case EqualTo(l, a) if attrName(a).isDefined =>
-        fileMayMatch(EqualTo(a, l), f, partitionCols)
+        fileMayMatch(EqualTo(a, l), f)
       case GreaterThan(a, l) =>
         cmp(a, l)((dt, v, st) => statLt(dt, v, st.max), (dt, v, pv) => statLt(dt, v, pv))
       case GreaterThanOrEqual(a, l) =>
@@ -1237,16 +1274,17 @@ object GraftTable {
         cmp(a, l)((dt, v, st) => le(dt, st.min, v), (dt, v, pv) => le(dt, pv, v))
       case IsNull(a) if attrName(a).isDefined =>
         val n = attrName(a).get
-        if (partitionCols.contains(n))
-          f.partitionValues.get(n).forall(_ == "__HIVE_DEFAULT_PARTITION__")
-        else
+        f.partitionValues.get(n) match {
+          case Some(v) => v == "__HIVE_DEFAULT_PARTITION__"
           // prune only on a KNOWN zero null count; negative means unknown
-          f.stats.flatMap(_.get(n)).forall(_.nullCount != 0L)
+          case None => f.stats.flatMap(_.get(n)).forall(_.nullCount != 0L)
+        }
       case IsNotNull(a) if attrName(a).isDefined =>
         val n = attrName(a).get
-        if (partitionCols.contains(n))
-          f.partitionValues.get(n).forall(_ != "__HIVE_DEFAULT_PARTITION__")
-        else true
+        f.partitionValues.get(n) match {
+          case Some(v) => v != "__HIVE_DEFAULT_PARTITION__"
+          case None => true
+        }
       case _ => true // unsupported shape: never prune
     }
   }

@@ -34,7 +34,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("fast_forward", "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
-    "rollback_to_snapshot")
+    "rollback_to_snapshot", "set_partition_spec")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -44,6 +44,7 @@ private[catalog] object GraftProcedures {
       case "rewrite_manifests"   => Some(new RewriteManifests(catalog))
       case "expire_snapshots"    => Some(new ExpireSnapshots(catalog))
       case "rollback_to_snapshot" => Some(new RollbackToSnapshot(catalog))
+      case "set_partition_spec"  => Some(new SetPartitionSpec(catalog))
       case _                     => None
     }
 
@@ -191,6 +192,30 @@ private[catalog] object GraftProcedures {
       val previous = t.meta.refs("main")
       t.rollbackToSnapshot(target)
       result(out, Seq(new GenericInternalRow(Array[Any](previous, target))))
+    }
+  }
+
+  /** `set_partition_spec(table, partition_by => 'a, b')`: partition-spec
+    * evolution — future writes use the new spec, existing files keep their
+    * layout, compaction migrates (Iceberg ALTER PARTITION FIELD
+    * semantics). Empty string makes the table unpartitioned. */
+  private class SetPartitionSpec(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "set_partition_spec") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("partition_by", StringType))
+    private val out = StructType(Seq(
+      StructField("previous_spec", StringType, nullable = false),
+      StructField("new_spec", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val cols =
+        if (input.isNullAt(1)) Seq.empty
+        else input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val previous = t.meta.partitionCols.mkString(", ")
+      t.updatePartitionSpec(cols)
+      result(out, Seq(new GenericInternalRow(
+        Array[Any](str(previous), str(cols.mkString(", "))))))
     }
   }
 

@@ -234,13 +234,18 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
       Map("basePath" -> dataDir).asJava)
     val inner = ParquetTable(ident.toString, spark, options, paths,
       Some(schema), classOf[ParquetFileFormat])
-    // pending merge-on-read deletes can't be served by a plain file scan:
-    // record the (location, snapshot) for GraftMorReadRule to substitute
-    // the delete-applying plan during analysis
-    val mor = snap.filter(_.deleteFiles.nonEmpty)
-      .map(sn => GraftMorRead(loc, sn.id))
-    if (writable) new GraftWritableTable(ident.toString, loc, inner, schema, mor)
-    else new GraftReadOnlyTable(ident.toString, inner, schema, mor)
+    // two snapshot shapes can't be served by one plain file scan: pending
+    // merge-on-read deletes (need the anti-join plan) and mixed partition
+    // layouts after a spec evolution (one Spark file index cannot infer two
+    // hive layouts). Record (location, snapshot) for GraftPlanReadRule to
+    // substitute the GraftTable read plan during analysis.
+    val mixedLayout = snap.exists(_.files
+      .map(_.path.split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
+      .distinct.size > 1)
+    val planRead = snap.filter(sn => sn.deleteFiles.nonEmpty || mixedLayout)
+      .map(sn => GraftPlanRead(loc, sn.id))
+    if (writable) new GraftWritableTable(ident.toString, loc, inner, schema, planRead)
+    else new GraftReadOnlyTable(ident.toString, inner, schema, planRead)
   }
 }
 
@@ -263,27 +268,29 @@ class GraftMetadataTable(tableName: String,
     }
 }
 
-/** A snapshot with pending merge-on-read deletes, to be read through
-  * `GraftTable.asOfSnapshot` (which applies the equality-delete anti-joins)
-  * instead of the plain file scan. */
-case class GraftMorRead(location: String, snapshotId: Long)
+/** A snapshot that must be read through `GraftTable.asOfSnapshot` instead
+  * of a plain file scan: it has pending merge-on-read deletes (the read
+  * applies equality/position anti-joins) and/or data files under more than
+  * one partition layout (the read unions one scan per layout). */
+case class GraftPlanRead(location: String, snapshotId: Long)
 
 /** Read-only shell around Spark's ParquetTable: exposes BATCH_READ only.
   * Time-travel reads (`VERSION/TIMESTAMP AS OF`) resolve to this shape, so a
   * pinned historical snapshot can never be written through. */
 class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     tableSchema: StructType,
-    val morRead: Option[GraftMorRead] = None) extends Table with SupportsRead {
+    val planRead: Option[GraftPlanRead] = None) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // refusing beats silently surfacing logically-deleted rows
-    morRead.foreach { _ => throw new UnsupportedOperationException(
-      s"$tableName has pending merge-on-read delete files: SQL reads need " +
+    // refusing beats silently dropping files or surfacing deleted rows
+    planRead.foreach { _ => throw new UnsupportedOperationException(
+      s"$tableName needs the graft read plan (pending merge-on-read deletes " +
+        "or mixed partition layouts): SQL reads need " +
         "spark.sql.extensions=graft.GraftSparkExtensions (or read via the " +
-        "GraftTable API / run a compaction to materialize the deletes)") }
+        "GraftTable API / run a compaction to rewrite the snapshot)") }
     inner.newScanBuilder(options)
   }
 }
@@ -302,8 +309,8 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   * touched. */
 class GraftWritableTable(tableName: String, val location: String,
     inner: ParquetTable, tableSchema: StructType,
-    morReadInfo: Option[GraftMorRead] = None)
-  extends GraftReadOnlyTable(tableName, inner, tableSchema, morReadInfo)
+    planReadInfo: Option[GraftPlanRead] = None)
+  extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo)
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =
