@@ -303,18 +303,24 @@ object Dedup {
     // for near-dup input that is the candidate-verify pipeline, twice
     val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint()
-    // both directions once; reused by every iteration
+    // both directions once; reused by every iteration. No distinct: the
+    // propagation aggregates with min(), which is idempotent, so duplicate
+    // edges change nothing — deduplicating here would cost a full shuffle
+    // of the edge set for zero semantic effect
     val edges = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist()
     // the loop references each round's labels twice (neighbor lookup +
     // rejoin), so lineage would double per round — localCheckpoint
     // materializes the iterate and truncates the plan, the standard
     // treatment for iterative DataFrame algorithms (a durable checkpoint
     // dir does the same on a cluster)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with min(id, direct neighbors) — one aggregation over the
+    // already-partitioned edges performs the whole first propagation round
+    // at a fraction of an iteration's join + checkpoint + action cost
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
       .localCheckpoint()
     var iter = 0
     var converged = false

@@ -110,6 +110,19 @@ class PlanQualitySpec extends SparkTestBase {
       s"five composed stages should cost ONE shuffle, found $exchanges:\n$plan")
   }
 
+  test("packAssignments plans one shard-partitioned window, no global sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = graft.ops.Corpus.packAssignments(docs, "text", "doc_id",
+      budget = 256, nShards = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    // the one exchange hash-partitions by shard; a range/single partition
+    // exchange would mean a global ordering crept in — the 100 TB killer
+    assert(plan.contains("Exchange hashpartitioning(shard"),
+      s"expected a shard-hash exchange:\n$plan")
+    assert(!plan.contains("rangepartitioning") && !plan.contains("SinglePartition"),
+      s"pack windows must never globally order:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
