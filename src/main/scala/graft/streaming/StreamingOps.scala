@@ -42,6 +42,10 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Summary key recording the micro-batch id an append snapshot committed;
+    * the replay check reads it back for exactly-once. */
+  val BatchIdSummaryKey = "streaming-batch-id"
+
   /**
    * Stream into a snapshot-versioned graft table: every micro-batch becomes
    * one atomic snapshot commit (append, or merge-upsert when `mergeKeys` is
@@ -49,6 +53,17 @@ object StreamingOps {
    * WAP work on streaming ingestion exactly as on batch loads. This is the
    * `foreachBatch` idiom — the streaming analogue of the reference's daily
    * micro-ingestion loop.
+   *
+   * Exactly-once: Structured Streaming re-delivers the in-flight batch
+   * after a restart, so append mode stamps each commit with its batch id
+   * ([[BatchIdSummaryKey]] in the snapshot summary) and skips any batch at
+   * or below the last stamped id — the data write and the "already
+   * delivered" marker land in ONE atomic snapshot commit, the idempotent-
+   * sink contract foreachBatch requires. Merge mode is naturally
+   * idempotent (re-upserting the same keyed rows is a no-op) but stamps
+   * and skips too, saving the replayed probe work. The check scans
+   * retained snapshots: expire_snapshots keeps far more history than the
+   * one in-flight batch a restart can replay.
    */
   def writeToGraftTable(df: DataFrame, table: graft.table.GraftTable,
       checkpointDir: String, mergeKeys: Seq[String] = Seq.empty,
@@ -56,11 +71,30 @@ object StreamingOps {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (mergeKeys.isEmpty) { table.append(batch); () }
-        else { table.merge(batch, mergeKeys, updateCols); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitMicroBatch(table, batch, batchId, mergeKeys, updateCols); ()
       }
       .start()
+
+  /** One micro-batch commit with the replay guard; factored out so the
+    * exactly-once behavior is directly testable. Returns true when the
+    * batch committed, false when it was recognized as a replay. */
+  private[streaming] def commitMicroBatch(table: graft.table.GraftTable,
+      batch: DataFrame, batchId: Long, mergeKeys: Seq[String],
+      updateCols: Seq[String]): Boolean = {
+    val lastCommitted = table.meta.snapshots
+      .flatMap(_.summary.get(BatchIdSummaryKey)).map(_.toLong).maxOption
+    if (lastCommitted.exists(_ >= batchId)) false
+    else if (mergeKeys.isEmpty) {
+      table.append(batch,
+        extraSummary = Map(BatchIdSummaryKey -> batchId.toString))
+      true
+    } else {
+      table.merge(batch, mergeKeys, updateCols,
+        extraSummary = Map(BatchIdSummaryKey -> batchId.toString))
+      true
+    }
+  }
 
   /**
    * Streaming exact dedup: drop re-arrivals of identical (normalized)

@@ -192,7 +192,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * `df.writeTo(t).append()`). With `mergeSchema=true` semantics: incoming
     * columns are aligned/cast to the table schema; brand-new columns widen
     * the stored schema (union), missing columns become nulls. */
-  def append(df: DataFrame, branch: Option[String] = None): GraftSnapshot =
+  def append(df: DataFrame, branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
     withCommitLock {
       val m = meta
       val widened = maybeWidenSchema(m, df)
@@ -208,7 +209,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         try {
           val base = if (attempt == 0) widened else maybeWidenSchema(meta, df)
           result = commitSnapshot(base, files, removed = Seq.empty,
-            operation = "append", branch)
+            operation = "append", branch, extraSummary = extraSummary)
         } catch {
           case e: IllegalStateException
               if e.getMessage.contains("Concurrent commit") && attempt < 3 =>
@@ -247,7 +248,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def merge(source: DataFrame, keys: Seq[String],
       updateCols: Seq[String] = Seq.empty,
       insertNotMatched: Boolean = true,
-      branch: Option[String] = None): GraftSnapshot =
+      branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
     withCommitLock {
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -268,15 +270,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val files =
           if (insertNotMatched) writeDataFiles(alignedSrc, tableSchema, m.partitionCols)
           else Seq.empty
-        commitSnapshot(m, files, Seq.empty, "merge", branch)
+        commitSnapshot(m, files, Seq.empty, "merge", branch,
+          extraSummary = extraSummary)
       } else mergeNonEmpty(m, tableSchema, cols, updates, alignedSrc, head, current,
-        keys, insertNotMatched, branch)
+        keys, insertNotMatched, branch, extraSummary)
     }
 
   private def mergeNonEmpty(m: TableMetadata, tableSchema: StructType,
       cols: Seq[String], updates: Seq[String], alignedSrc: DataFrame,
       head: Option[GraftSnapshot], current: DataFrame, keys: Seq[String],
-      insertNotMatched: Boolean, branch: Option[String]): GraftSnapshot = {
+      insertNotMatched: Boolean, branch: Option[String],
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot = {
       // MERGE cardinality rule: a target row must match at most one source
       // row; duplicate source keys would silently multiply rows through the
       // join, so fail fast with the offending count (one cheap agg job).
@@ -343,7 +347,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         }.toIndexedSeq: _*)
 
       val newFiles = writeDataFiles(result, tableSchema, m.partitionCols)
-      commitSnapshot(m, newFiles, affectedFiles.map(_.path), "merge", branch)
+      commitSnapshot(m, newFiles, affectedFiles.map(_.path), "merge", branch,
+        extraSummary = extraSummary)
     }
 
   /** Copy-on-write DELETE (reference tblproperty write.delete.mode=copy-on-write,
@@ -1139,7 +1144,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   private def commitSnapshot(m: TableMetadata, added: Seq[DataFile],
       removed: Seq[String], operation: String, branch: Option[String],
-      addedDeletes: Seq[DeleteFile] = Seq.empty): GraftSnapshot = {
+      addedDeletes: Seq[DeleteFile] = Seq.empty,
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot = {
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
     require(!m.tags.contains(b),
       s"$b is a tag on ${m.name}; tags are immutable and cannot be written to")
@@ -1171,7 +1177,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "removed-data-files" -> removed.size.toString,
         "added-records" -> added.map(_.records).sum.toString,
         "added-delete-files" -> addedDeletes.size.toString,
-        "branch" -> b),
+        "branch" -> b) ++ extraSummary,
       deleteFiles = liveDeletes)
     val newRefs = m.refs + (b -> id)
     GraftTable.onBeforeCommit()

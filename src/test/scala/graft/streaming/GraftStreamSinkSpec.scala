@@ -31,6 +31,33 @@ class GraftStreamSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a replayed micro-batch is skipped: append sink is exactly-once") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("stream-eo"), "s", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    // first delivery commits and stamps the batch id
+    assert(StreamingOps.commitMicroBatch(t, b0, 0L, Seq.empty, Seq.empty))
+    assert(t.toDF.count() === 2)
+    assert(t.meta.currentSnapshot.get.summary(
+      StreamingOps.BatchIdSummaryKey) === "0")
+    // post-restart re-delivery of the same batch id: recognized, skipped
+    assert(!StreamingOps.commitMicroBatch(t, b0, 0L, Seq.empty, Seq.empty))
+    assert(t.toDF.count() === 2)
+    assert(t.meta.snapshots.size === 1)
+    // the next batch commits normally
+    assert(StreamingOps.commitMicroBatch(t,
+      Seq(("c", 3L)).toDF("k", "v"), 1L, Seq.empty, Seq.empty))
+    assert(t.toDF.count() === 3)
+    // merge mode stamps and skips replays the same way
+    assert(!StreamingOps.commitMicroBatch(t, b0, 1L, Seq("k"), Seq.empty))
+    assert(StreamingOps.commitMicroBatch(t,
+      Seq(("a", 9L)).toDF("k", "v"), 2L, Seq("k"), Seq.empty))
+    assert(t.toDF.filter($"k" === "a").collect().head.getLong(1) === 9L)
+    assert(t.meta.currentSnapshot.get.summary(
+      StreamingOps.BatchIdSummaryKey) === "2")
+  }
+
   test("merge-keyed streaming upsert deduplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
