@@ -326,6 +326,13 @@ object SparkEntry {
           min(col("chunk_tokens")).cast("long").as("min_chunk_tokens"))
         .orderBy("source")),
 
+    // Gopher-style repetition quality signals: duplicate-token fraction,
+    // top-token and top-bigram concentration per document — the filters
+    // that kill degenerate/templated docs before training
+    "x_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // GPT-style sequence packing: per-shard concat-then-chunk assignment of
     // docs to fixed 256-token packs (docs straddle pack boundaries). The
     // mod shard keeps the oracle expressible; production uses the hashed
@@ -901,6 +908,32 @@ object SparkEntry {
            cast(sum(length(array_to_string(ch, ' '))) AS bigint) AS chunk_chars,
            cast(min(len(ch)) AS bigint) AS min_chunk_tokens
          FROM chunks GROUP BY 1 ORDER BY 1""",
+
+    "x_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         tok_counts AS (
+           SELECT doc_id, t AS tok, count(*) AS n
+           FROM toks, unnest(tk) AS u(t) GROUP BY 1, 2),
+         tok_stats AS (
+           SELECT doc_id, cast(sum(n) AS bigint) AS n_tokens,
+             round(1.0 - count(*)::DOUBLE / sum(n), 4) AS dup_token_frac,
+             round(max(n)::DOUBLE / sum(n), 4) AS top_token_frac
+           FROM tok_counts GROUP BY 1),
+         big AS (
+           SELECT doc_id,
+             unnest(list_transform(list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+               x -> x[1] || ' ' || x[2])) AS bg
+           FROM toks WHERE len(tk) >= 2),
+         big_counts AS (SELECT doc_id, bg, count(*) AS n FROM big GROUP BY 1, 2),
+         big_stats AS (
+           SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
+           FROM big_counts GROUP BY 1)
+         SELECT t.doc_id, t.n_tokens, t.dup_token_frac, t.top_token_frac,
+           coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+         FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
+         ORDER BY doc_id""",
 
     "x_pack" ->
       """WITH t AS (

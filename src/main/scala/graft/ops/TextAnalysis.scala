@@ -90,6 +90,58 @@ object TextAnalysis {
         alphaRatio * lit(0.3), 4)
   }
 
+  // --- repetition signals (Gopher-style quality filters) -----------------
+
+  /**
+   * Per-document repetition signals — the Gopher/C4 family of quality
+   * filters that kill degenerate (repetitive, template, keyword-stuffed)
+   * documents before training (Rae et al. 2021, "Scaling Language Models",
+   * App. A1.1 uses exactly these duplicate-fraction / top-n-gram-fraction
+   * shapes):
+   *
+   *  - `n_tokens`:        whitespace token count
+   *  - `dup_token_frac`:  1 − distinct/total tokens
+   *  - `top_token_frac`:  most-frequent-token count / total tokens
+   *  - `top_bigram_frac`: most-frequent-bigram count / total bigrams
+   *                       (0.0 for documents below two tokens)
+   *
+   * Scale: two explode→two-level hash aggregations keyed by document plus
+   * one join — partial aggregation collapses each document's counts
+   * map-side, so the shuffles carry per-(doc, gram) counts, never raw
+   * token streams. Everything stays in whole-stage codegen.
+   */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val tokCounts = toks
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__n"))
+    val tokStats = tokCounts.groupBy(col(idCol)).agg(
+      sum("__n").as("n_tokens"),
+      round(lit(1.0) - count(lit(1)).cast("double") / sum("__n"), 4)
+        .as("dup_token_frac"),
+      round(max("__n").cast("double") / sum("__n"), 4).as("top_token_frac"))
+    val bigCounts = toks
+      .select(col(idCol), explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__n"))
+    val bigStats = bigCounts.groupBy(col(idCol)).agg(
+      round(max("__n").cast("double") / sum("__n"), 4).as("top_bigram_frac"))
+    tokStats.join(bigStats, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
+  /** The filtering counterpart: keep documents whose repetition signals
+    * stay under the given caps (defaults near Gopher's published cuts). */
+  def filterRepetitive(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, maxDupTokenFrac: Double = 0.6,
+      maxTopBigramFrac: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val bad = repetitionSignals(df, textCol, idCol)
+      .filter(col("dup_token_frac") > maxDupTokenFrac ||
+        col("top_bigram_frac") > maxTopBigramFrac)
+      .select(col(idCol))
+    df.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.

@@ -70,4 +70,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r("a") === r("b"))
     assert(r("a") !== r("c"))
   }
+
+  test("repetitionSignals: exact fractions on hand-computable docs") {
+    val df = {
+      import spark.implicits._
+      Seq(
+        // 4 tokens, 2 distinct; "spam spam" bigram occurs 2 of 3
+        (1L, "spam spam spam eggs"),
+        // all distinct tokens, every bigram unique
+        (2L, "one two three four"),
+        // single token: no bigrams at all
+        (3L, "solo")
+      ).toDF("doc_id", "text")
+    }
+    val r = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r(0) === ((1L, 4L, 0.5, 0.75, 0.6667)))
+    assert(r(1) === ((2L, 4L, 0.0, 0.25, 0.3333)))
+    assert(r(2) === ((3L, 1L, 0.0, 1.0, 0.0)))
+  }
+
+  test("filterRepetitive drops the degenerate docs, keeps the rest") {
+    val df = {
+      import spark.implicits._
+      Seq(
+        (1L, "spam spam spam spam spam spam spam spam"),
+        (2L, "a perfectly ordinary sentence with distinct words throughout"),
+        (3L, "ok ok ok ok ok go go go go go") // dup_token_frac = 0.8
+      ).toDF("doc_id", "text")
+    }
+    val kept = TextAnalysis.filterRepetitive(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L))
+  }
 }
