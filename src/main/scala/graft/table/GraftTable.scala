@@ -780,6 +780,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("content", "file_path", "file_format", "partition", "record_count", "file_size_in_bytes")
   }
 
+  /** `t.all_files`: data files across ALL retained snapshots (Iceberg's
+    * all_data_files), one row per (snapshot, file) — the view expiry and
+    * orphan-GC audits read. `dataSeq` surfaces as the file's adding
+    * commit. */
+  def allFilesDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    m.snapshots.sortBy(_.id)
+      .flatMap(s => s.files.map(f => (s.id, s"$dataDir/${f.path}",
+        f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"),
+        f.records, f.sizeBytes, f.dataSeq.getOrElse(-1L))))
+      .toDF("snapshot_id", "file_path", "partition", "record_count",
+        "file_size_in_bytes", "data_sequence_number")
+  }
+
   /** `t.manifests`: we have no manifest layer (file lists live in the log);
     * emit one synthetic manifest row per partition of the current snapshot
     * so the introspection surface matches (SURVEY.md §2.4 M4). */

@@ -182,8 +182,8 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   // -------------------------------------------------------------------
 
   private val metadataTableNames = Set(
-    "history", "snapshots", "manifests", "files", "metadata_log_entries",
-    "refs", "partitions", "delete_files")
+    "history", "snapshots", "manifests", "files", "all_files",
+    "metadata_log_entries", "refs", "partitions", "delete_files")
 
   private def metadataTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
@@ -198,6 +198,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
       case "snapshots"            => t.snapshotsDF
       case "manifests"            => t.manifestsDF
       case "files"                => t.filesDF
+      case "all_files"            => t.allFilesDF
       case "metadata_log_entries" => t.metadataLogEntries
       case "refs"                 => t.refsDF
       case "partitions"           => t.partitionsDF

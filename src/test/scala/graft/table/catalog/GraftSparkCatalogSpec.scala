@@ -237,6 +237,15 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT sum(record_count) FROM graft.finance.activity.files")
       .collect().head.getLong(0) === t.toDF.count())
     assert(spark.sql("SELECT * FROM graft.finance.activity.manifests").count() >= 1)
+    // all_files covers every retained snapshot, so it strictly contains
+    // the current snapshot's live files and tags each with its adder
+    val allFiles = spark.sql("SELECT * FROM graft.finance.activity.all_files")
+    assert(allFiles.count() >= t.filesDF.count())
+    assert(spark.sql("""SELECT count(DISTINCT snapshot_id)
+                        FROM graft.finance.activity.all_files""")
+      .collect().head.getLong(0) === t.snapshotsDF.count())
+    assert(!allFiles.filter(col("data_sequence_number") <= 0).collect()
+      .exists(_ => true))
     val refs = spark.sql(
       "SELECT name FROM graft.finance.activity.refs ORDER BY name").collect().map(_.getString(0))
     assert(refs.toSeq === t.meta.refs.keySet.toSeq.sorted)
