@@ -38,22 +38,35 @@ object Corpus {
   // --- fixed-size token chunking ----------------------------------------
 
   /**
-   * Split each document into consecutive chunks of at most `chunkSize`
-   * whitespace tokens (the context-window packing precursor). One output
-   * row per chunk with `chunk_idx`, `chunk_tokens`, `chunk_text`; every
-   * input column is kept. The explode is narrow — no shuffle — and slices
+   * Split each document into chunks of at most `chunkSize` whitespace
+   * tokens (the context-window packing precursor). One output row per
+   * chunk with `chunk_idx`, `chunk_tokens`, `chunk_text`; every input
+   * column is kept. The explode is narrow — no shuffle — and slices
    * reference the tokenized array once per row.
+   *
+   * `stride` sets how far consecutive chunk STARTS are apart: the default
+   * (`chunkSize`) tiles the document with no overlap; `stride < chunkSize`
+   * gives sliding-window chunks overlapping by `chunkSize - stride`
+   * tokens — the retrieval-index shape that keeps a sentence from being
+   * split across chunk boundaries unseen. A last window shorter than the
+   * full size is still emitted (tail coverage), but never one that starts
+   * past the end.
    */
   def chunkByTokens(df: DataFrame, textCol: String,
-      chunkSize: Int): DataFrame = {
+      chunkSize: Int, stride: Int = 0): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
-    val nChunks = floor(
-      (size(col("__tk")) + lit(chunkSize - 1)) / lit(chunkSize)).cast("int")
+    val step = if (stride <= 0) chunkSize else stride
+    require(step <= chunkSize,
+      s"stride ($step) beyond chunkSize ($chunkSize) would skip tokens")
+    // starts at 0, step, 2*step, … while start < size: ceil((size-chunkSize)/step)+1
+    // capped below by 1 so an empty/short doc still yields its single chunk
+    val nChunks = greatest(lit(1), (floor(
+      (size(col("__tk")) - lit(chunkSize) + lit(step - 1)) / lit(step)) + 1).cast("int"))
     df.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .withColumn("chunk_idx",
-        explode(sequence(lit(0), greatest(nChunks - 1, lit(0)))))
+        explode(sequence(lit(0), nChunks - 1)))
       .withColumn("__chunk",
-        slice(col("__tk"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
+        slice(col("__tk"), col("chunk_idx") * step + 1, lit(chunkSize)))
       .withColumn("chunk_tokens", size(col("__chunk")))
       .withColumn("chunk_text", array_join(col("__chunk"), " "))
       .drop("__tk", "__chunk")

@@ -57,6 +57,28 @@ class CorpusSpec extends SparkTestBase {
       .map(r => r.getString(1).toLowerCase.trim).toSeq)
   }
 
+  test("chunkByTokens with stride: sliding windows overlap and cover the tail") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.chunkByTokens(d, "text", chunkSize = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(chunks.toSeq === Seq(
+      (0, "t1 t2 t3 t4"), (1, "t3 t4 t5 t6"),
+      (2, "t5 t6 t7 t8"), (3, "t7 t8 t9 t10")))
+    // 11 tokens: a short tail window is emitted, nothing starts past the end
+    val d11 = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val tail = Corpus.chunkByTokens(d11, "text", chunkSize = 4, stride = 2)
+      .orderBy("chunk_idx").select("chunk_text").collect().map(_.getString(0))
+    assert(tail.last === "t9 t10 t11")
+    assert(tail.length === 5)
+    // stride wider than the window would silently drop tokens: refused
+    assert(intercept[IllegalArgumentException] {
+      Corpus.chunkByTokens(d, "text", chunkSize = 4, stride = 5)
+    }.getMessage.contains("stride"))
+  }
+
   test("packAssignments: contiguous per-shard spans, straddling documents") {
     import spark.implicits._
     // one shard, budget 10: docs of 4/8/3 tokens -> spans [0,4) [4,12) [12,15)

@@ -1,0 +1,126 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/**
+ * Randomized (seeded, reproducible) invariants for the corpus operators:
+ * properties computed independently in plain Scala over the same generated
+ * documents must hold for the distributed implementation on every draw.
+ */
+class OpsInvariantsSpec extends SparkTestBase {
+
+  private val rnd = new Random(20240812L)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "the", "of", "and", "data")
+
+  private def randomDocs(n: Int, maxTokens: Int): Seq[(Long, String)] =
+    (1L to n.toLong).map { id =>
+      val len = 1 + rnd.nextInt(maxTokens)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+
+  test("packAssignments invariants on random corpora") {
+    import spark.implicits._
+    val docs = randomDocs(120, 30)
+    val budget = 17
+    val df = docs.toDF("doc_id", "text")
+    val out = Corpus.packAssignments(df, "text", "doc_id",
+      budget = budget, nShards = 4)
+      .select("doc_id", "shard", "tokens", "tok_start", "pack_first", "pack_last")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length === docs.length)
+    val tokenCountOf = docs.map { case (id, t) => id -> t.split("\\s+").length }.toMap
+    out.foreach { case (id, _, tokens, start, pf, pl) =>
+      assert(tokens === tokenCountOf(id))
+      assert(pf === start / budget)
+      assert(pl === (start + tokens - 1) / budget)
+      assert(pf <= pl && pl - pf <= tokens / budget + 1)
+    }
+    // per shard: doc spans tile [0, shard total) with no gaps or overlaps
+    out.groupBy(_._2).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._1)
+      sorted.foldLeft(0L) { case (expectedStart, (_, _, tokens, start, _, _)) =>
+        assert(start === expectedStart)
+        start + tokens
+      }
+    }
+  }
+
+  test("repetitionSignals invariants on random corpora") {
+    import spark.implicits._
+    val docs = randomDocs(80, 25)
+    val out = TextAnalysis.repetitionSignals(
+      docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.length === docs.length)
+    val byId = docs.toMap
+    out.foreach { case (id, nTokens, dupFrac, topTok, topBg) =>
+      val toks = byId(id).split("\\s+").toSeq
+      assert(nTokens === toks.length)
+      val expectDup = math.rint((1.0 - toks.distinct.length.toDouble / toks.length) * 1e4) / 1e4
+      assert(dupFrac === expectDup)
+      val expectTop = math.rint(
+        toks.groupBy(identity).values.map(_.size).max.toDouble / toks.length * 1e4) / 1e4
+      assert(topTok === expectTop)
+      assert(topBg >= 0.0 && topBg <= 1.0)
+      if (toks.length < 2) assert(topBg === 0.0)
+    }
+  }
+
+  test("chunkByTokens invariants: tiling reconstructs, windows cover") {
+    import spark.implicits._
+    val docs = randomDocs(60, 40)
+    val df = docs.toDF("doc_id", "text")
+    // no-overlap tiling: concatenating a doc's chunks gives back its tokens
+    val tiled = Corpus.chunkByTokens(df, "text", chunkSize = 7)
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val rebuilt = tiled(id).sortBy(_._2).map(_._3).mkString(" ")
+      assert(rebuilt === text.split("\\s+").mkString(" "))
+    }
+    // sliding windows: every token position is inside >= 1 window
+    val slid = Corpus.chunkByTokens(df, "text", chunkSize = 7, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val n = text.split("\\s+").length
+      val covered = slid(id).flatMap { case (_, idx, ct) =>
+        (idx * 3) until (idx * 3 + ct) }.toSet
+      assert(covered === (0 until n).toSet)
+    }
+  }
+
+  test("decontamination partition: flagged + kept = corpus, flags are true") {
+    import spark.implicits._
+    val corpus = randomDocs(60, 12).toDF("doc_id", "text")
+    val probes = randomDocs(100, 12).filter(_._1 % 7 == 0).toDF("doc_id", "text")
+    val n = 2
+    def grams(t: String) = t.split("\\s+").sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSet
+    val probeGrams = probes.collect().flatMap(r => grams(r.getString(1))).toSet
+    val flagged = Decontaminate.ngramOverlap(corpus, probes, "text", "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Decontaminate.removeContaminated(corpus, probes, "text", "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((flagged intersect kept).isEmpty)
+    assert((flagged union kept) === all)
+    // independently recomputed truth
+    corpus.collect().foreach { r =>
+      val hit = grams(r.getString(1)).exists(probeGrams.contains)
+      assert(flagged.contains(r.getLong(0)) === hit,
+        s"doc ${r.getLong(0)} flag mismatch")
+    }
+  }
+}
