@@ -1021,13 +1021,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
       parts: Seq[String]): Seq[DataFile] = {
     val commitId = UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$location/_staging/$commitId")
-    val aligned = df.select(tableSchema.fields.map(f =>
+    val alignedRaw = df.select(tableSchema.fields.map(f =>
       (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    // write.distribution-mode=hash (Iceberg's partitioned-write default):
+    // cluster rows by partition value before the write, so a table
+    // partition receives ONE file per commit instead of one per incoming
+    // task — the small-files guard a 1000-executor append needs. `none`
+    // (our default) keeps incoming partitioning: no shuffle, writer-local
+    // files.
+    val aligned = properties.get("write.distribution-mode") match {
+      case Some("hash") if parts.nonEmpty =>
+        alignedRaw.repartition(parts.map(col).toIndexedSeq: _*)
+      case _ => alignedRaw
+    }
     val writer = aligned.write.mode("overwrite")
     val codec = properties.getOrElse("write.parquet.compression-codec", "zstd")
     val w2 = writer.option("compression", codec)
-    (if (parts.nonEmpty) w2.partitionBy(parts: _*) else w2).parquet(staging.toString)
+    // write.target-file-size-rows caps rows per file (the row-count twin of
+    // Iceberg's write.target-file-size-bytes, which Spark's writer cannot
+    // enforce directly): oversized tasks roll over to additional files
+    val w3 = properties.get("write.target-file-size-rows") match {
+      case Some(rows) => w2.option("maxRecordsPerFile", rows.toLong)
+      case None => w2
+    }
+    (if (parts.nonEmpty) w3.partitionBy(parts: _*) else w3).parquet(staging.toString)
 
     // move staged leaves into data/, collecting partition values + stats
     val out = ArrayBuffer.empty[DataFile]

@@ -61,6 +61,40 @@ class GraftTableSpec extends SparkTestBase {
     assert(again.toDF.count() === 0 && again.name === "src_tmp2")
   }
 
+  test("write.distribution-mode=hash clusters appends: one file per partition") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val none = GraftTable.create(spark, tmpDir("dist-none"), "n", schema, Seq("p"))
+    val hash = GraftTable.create(spark, tmpDir("dist-hash"), "h", schema, Seq("p"),
+      Map("write.distribution-mode" -> "hash"))
+    // 8 incoming tasks x 2 partition values
+    val df = (1L to 64L).map(i => (i, s"p${i % 2}")).toDF("k", "p").repartition(8)
+    none.append(df); hash.append(df)
+    assert(none.toDF.count() === 64 && hash.toDF.count() === 64)
+    val noneFiles = none.meta.currentSnapshot.get.files
+    val hashFiles = hash.meta.currentSnapshot.get.files
+    // default: every task writes into every partition it holds rows for
+    assert(noneFiles.size > 2, s"expected task-local files, got ${noneFiles.size}")
+    // hash mode: rows clustered by partition value first -> 1 file each
+    assert(hashFiles.size === 2, s"expected one file per partition, got ${hashFiles.size}")
+    assert(hashFiles.map(_.partitionValues("p")).sorted === Seq("p0", "p1"))
+  }
+
+  test("write.target-file-size-rows rolls oversized tasks into more files") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val t = GraftTable.create(spark, tmpDir("target-rows"), "t", schema,
+      Seq.empty, Map("write.target-file-size-rows" -> "25"))
+    t.append((1L to 100L).toDF("k").coalesce(1))
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size === 4, s"100 rows / 25 per file, got ${files.size}")
+    assert(files.forall(_.records <= 25))
+    assert(t.toDF.count() === 100)
+  }
+
   test("daily merge pipeline yields reference row-count arithmetic 15/30/45/47/50") {
     val t = fullPipeline()
     assert(t.asOf("day1").count() === 15)
