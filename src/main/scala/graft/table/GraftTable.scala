@@ -626,6 +626,92 @@ class GraftTable(val spark: SparkSession, val location: String) {
       spark.read.schema(schema).option("basePath", dataDir).parquet(added: _*)
   }
 
+  /**
+   * Row-level changelog between two snapshots (Iceberg's changelog-view
+   * semantics): every changed row in the range `(fromRef, toRef]` tagged
+   * with `_change_type` (`INSERT` | `DELETE`) and `_commit_snapshot_id`.
+   * A copy-on-write update surfaces as a DELETE of the pre-image plus an
+   * INSERT of the post-image in the same commit.
+   *
+   *  - `append` commits emit their added files' rows as INSERTs;
+   *  - CoW commits (`merge`/`delete`/`update`/`overwrite`) emit removed
+   *    files' rows as DELETEs and added files' rows as INSERTs;
+   *  - `replace` (compaction) commits are SKIPPED — they rewrite bytes,
+   *    not logical rows;
+   *  - ranges containing merge-on-read delete commits are refused: a
+   *    pending delete file changes rows without moving any data file, so
+   *    the file-granularity diff would be silently wrong. Compact first.
+   *
+   * A file-granularity diff also re-emits the UNCHANGED rows of a
+   * rewritten file as identical DELETE+INSERT pairs ("carryovers");
+   * `removeCarryovers` (default true, matching Iceberg's changelog
+   * procedure) nets them out per commit so only logically-changed rows
+   * remain — a row updated to the same values nets to nothing, which is
+   * the correct changelog answer.
+   *
+   * Cost is bounded by the bytes the range actually rewrote (removed +
+   * added files), never the table size. Files must still be retained
+   * (unexpired) — the changelog reads them.
+   */
+  def changelogBetween(fromRef: String, toRef: String,
+      removeCarryovers: Boolean = true): DataFrame = {
+    val m = meta
+    def resolve(r: String): GraftSnapshot = m.snapshotForRef(r).getOrElse(
+      throw new IllegalArgumentException(s"Unknown ref or snapshot '$r' on table ${m.name}"))
+    val from = resolve(fromRef)
+    val to = resolve(toRef)
+    val chain = m.ancestry(to.id)
+    require(chain.contains(from.id),
+      s"$fromRef (snapshot ${from.id}) is not an ancestor of $toRef (snapshot ${to.id})")
+    val byId = m.snapshots.map(s => s.id -> s).toMap
+    val range = chain.takeWhile(_ != from.id).map(byId).reverse // oldest first
+    val withMorDeletes = range.filter(
+      _.summary.get("added-delete-files").exists(_.toInt > 0))
+    require(withMorDeletes.isEmpty,
+      s"changelog over merge-on-read delete commits (snapshot(s) " +
+        s"${withMorDeletes.map(_.id).mkString(", ")}) would miss row-level " +
+        "deletes; compact the table first")
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .withColumn("_change_type", lit("INSERT"))
+      .withColumn("_commit_snapshot_id", lit(0L))
+    val parts = range.filterNot(_.operation == "replace").flatMap { s =>
+      val parentFiles = s.parentId.flatMap(byId.get).map(_.files).getOrElse(Seq.empty)
+      val removed = parentFiles.filter(f => s.removedFiles.contains(f.path))
+      val addedSet = s.addedFiles.toSet
+      val added = s.files.filter(f => addedSet.contains(f.path))
+      val del =
+        if (removed.isEmpty) None
+        else Some(plainRead(schema, removed)
+          .withColumn("_change_type", lit("DELETE"))
+          .withColumn("_commit_snapshot_id", lit(s.id)))
+      val ins =
+        if (added.isEmpty) None
+        else Some(plainRead(schema, added)
+          .withColumn("_change_type", lit("INSERT"))
+          .withColumn("_commit_snapshot_id", lit(s.id)))
+      del.toSeq ++ ins.toSeq
+    }
+    val raw = parts.foldLeft(empty)(_.unionByName(_))
+    if (!removeCarryovers) raw
+    else {
+      // net out per (row values, commit): equal numbers of DELETE+INSERT
+      // of the same values are carryovers; the sign of the surplus is the
+      // real change. groupBy treats nulls as equal, so null-valued rows
+      // net correctly; multiplicities of genuine duplicates survive.
+      val dataCols = schema.fieldNames.toSeq
+      raw
+        .groupBy((dataCols.map(col) :+ col("_commit_snapshot_id")): _*)
+        .agg(sum(when(col("_change_type") === "INSERT", 1).otherwise(-1)).as("__net"))
+        .filter(col("__net") =!= 0)
+        .withColumn("_change_type",
+          when(col("__net") > 0, "INSERT").otherwise("DELETE"))
+        .withColumn("__dup", explode(sequence(lit(1L), abs(col("__net")))))
+        .select((dataCols.map(col) :+ col("_change_type")
+          :+ col("_commit_snapshot_id")): _*)
+    }
+  }
+
   /** Schema evolution: append a nullable column to the declared schema (one
     * metadata commit, no file rewrite — existing files read the column as
     * NULL, the inverse of the append-time mergeSchema widen). */

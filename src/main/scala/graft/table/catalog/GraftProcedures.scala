@@ -34,7 +34,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("fast_forward", "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
-    "rollback_to_snapshot", "set_partition_spec")
+    "rollback_to_snapshot", "set_partition_spec", "create_changelog_view")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -45,6 +45,7 @@ private[catalog] object GraftProcedures {
       case "expire_snapshots"    => Some(new ExpireSnapshots(catalog))
       case "rollback_to_snapshot" => Some(new RollbackToSnapshot(catalog))
       case "set_partition_spec"  => Some(new SetPartitionSpec(catalog))
+      case "create_changelog_view" => Some(new CreateChangelogView(catalog))
       case _                     => None
     }
 
@@ -216,6 +217,29 @@ private[catalog] object GraftProcedures {
       t.updatePartitionSpec(cols)
       result(out, Seq(new GenericInternalRow(
         Array[Any](str(previous), str(cols.mkString(", "))))))
+    }
+  }
+
+  /** `create_changelog_view(table, from, to, view)`: register the
+    * row-level changelog of `(from, to]` as a temp view (Iceberg's
+    * create_changelog_view procedure). Returns the view name and change
+    * count. */
+  private class CreateChangelogView(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "create_changelog_view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("from", StringType),
+      param("to", StringType), param("view", StringType, "'changelog'"))
+    private val out = StructType(Seq(
+      StructField("view_name", StringType, nullable = false),
+      StructField("change_count", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val view =
+        if (input.isNullAt(3)) "changelog" else input.getUTF8String(3).toString
+      val df = t.changelogBetween(
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      df.createOrReplaceTempView(view)
+      result(out, Seq(new GenericInternalRow(Array[Any](str(view), df.count()))))
     }
   }
 

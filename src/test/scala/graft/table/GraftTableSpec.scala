@@ -235,6 +235,40 @@ class GraftTableSpec extends SparkTestBase {
       t.changesBetween("v3", "v4") }.getMessage.contains("append-only"))
   }
 
+  test("changelogBetween: CoW updates emit net DELETE+INSERT pairs") {
+    val t = GraftTable.create(spark, tmpDir("changelog"), "cl",
+      ActivityData.schema, ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    t.createOrReplaceBranch("base")
+    // day4 updates txn10 (amount/category change) and inserts txn46/txn47
+    t.merge(ActivityData.day4(spark).filter(
+      col("txn_id").isin("txn10", "txn46", "txn47")),
+      ActivityData.mergeKeys, ActivityData.updateCols)
+    t.deleteWhere(col("txn_id") === "txn3")
+    // compaction rewrites bytes, not rows: contributes nothing
+    t.rewriteDataFilesSorted(Seq(asc_nulls_last("account")))
+    val log = t.changelogBetween("base", "main")
+      .select("txn_id", "_change_type", "_commit_snapshot_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = log.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    // carryovers netted out: only the really-changed rows remain
+    assert(byType("INSERT") === Seq("txn10", "txn46", "txn47"))
+    assert(byType("DELETE") === Seq("txn10", "txn3"))
+    // the update's pre-image and post-image share one commit
+    val txn10 = log.filter(_._1 == "txn10")
+    assert(txn10.map(_._3).distinct.length === 1 && txn10.length === 2)
+    // carryovers visible when asked for: strictly more rows, same net
+    val rawLog = t.changelogBetween("base", "main", removeCarryovers = false)
+    assert(rawLog.count() > log.length)
+    // a merge-on-read delete in the range is refused, not silently wrong
+    t.createOrReplaceBranch("pre_mor")
+    t.deleteWhereMoR(col("txn_id") === "txn5", Seq("txn_id"))
+    val e = intercept[IllegalArgumentException] {
+      t.changelogBetween("pre_mor", "main").collect()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
   test("partitionsDF totals match per-partition recounts") {
     val t = fullPipeline()
     val fromMeta = t.partitionsDF.collect()

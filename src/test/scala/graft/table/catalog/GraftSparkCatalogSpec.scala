@@ -127,6 +127,25 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE graft.finance.ow")
   }
 
+  test("CALL create_changelog_view registers the row-level diff as a view") {
+    warehouse
+    spark.sql("CREATE TABLE graft.finance.clv (k STRING, v DOUBLE) USING parquet")
+    try {
+      spark.sql("INSERT INTO graft.finance.clv VALUES ('a', 1.0), ('b', 2.0)")
+      val t = GraftTable.load(spark, s"$warehouse/finance/clv")
+      t.createOrReplaceBranch("base")
+      spark.sql("INSERT INTO graft.finance.clv VALUES ('c', 3.0)")
+      spark.sql("DELETE FROM graft.finance.clv WHERE k = 'a'")
+      val r = spark.sql("""CALL graft.system.create_changelog_view(
+        'finance.clv', 'base', 'main', 'clv_changes')""").collect().head
+      assert(r.getString(0) === "clv_changes" && r.getLong(1) === 2L)
+      val changes = spark.sql(
+        "SELECT k, _change_type FROM clv_changes ORDER BY k").collect()
+        .map(x => (x.getString(0), x.getString(1)))
+      assert(changes.toSeq === Seq(("a", "DELETE"), ("c", "INSERT")))
+    } finally spark.sql("DROP TABLE graft.finance.clv")
+  }
+
   test("CTAS and CREATE OR REPLACE TABLE AS SELECT (the staging idiom)") {
     warehouse
     spark.sql("CREATE TABLE graft.finance.ctsrc (k STRING, v DOUBLE) USING parquet")
