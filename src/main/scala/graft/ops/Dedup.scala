@@ -84,6 +84,12 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, shingleN: Int = 3): DataFrame = {
+    // explode + k codegen'd min() aggregates, NOT k array_min(transform)
+    // folds over a per-row gram array: higher-order functions are
+    // interpreted, and k passes of boxed per-element eval measured ~15x
+    // slower end-to-end than this shuffle of (doc, hash) pairs with
+    // map-side partial mins (22.5s vs 1.5s for d_minhash_lsh at sf0.1).
+    // The shuffle carries 16 bytes/shingle and combines before exchange.
     val exploded = withTokenHashes(df, textCol, idCol)
       .select(col(idCol),
         explode(array_distinct(shingleHashCol(col("__th"), shingleN))).as("__h0"))
