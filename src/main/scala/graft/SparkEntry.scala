@@ -489,6 +489,28 @@ object SparkEntry {
         Seq("view", "click", "purchase"))),
 
     // pivot: events per type per day as a wide table
+    // full CUBE: every grouping-set combination incl. both-null grand total
+    "q19_cube" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // EXISTS-style left-semi join: customers with at least one open order,
+    // the complement of q8's anti join
+    "q20_semijoin" -> ((s, dir) => {
+      val openOrders = T(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      T(s, dir, "customer")
+        .join(openOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sumCents(col("c_acctbal")).as("acctbal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q14_pivot" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
@@ -1124,6 +1146,20 @@ object SparkEntry {
            cast(sum(o.o_orderkey) AS bigint) AS sum_matched_orderkey
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         GROUP BY 1 ORDER BY 1""",
+
+    "q19_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q20_semijoin" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         ${centsSql("c_acctbal")} AS acctbal_cents
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
          GROUP BY 1 ORDER BY 1""",
 
     "q14_pivot" ->
