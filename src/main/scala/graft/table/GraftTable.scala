@@ -226,7 +226,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val m = meta
       val head = resolveWriteBranchHead(m, branch)
       val removed = head.map(_.files.map(_.path)).getOrElse(Seq.empty)
-      val files = writeDataFiles(df, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.partitionCols)
+      // compaction ("replace") arranges its own layout (repartition +
+      // sortWithinPartitions); re-applying the distribution mode would
+      // reshuffle AFTER that sort and silently destroy within-file order
+      val files = writeDataFiles(df, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.partitionCols,
+        applyDistribution = operation != "replace")
       commitSnapshot(m, files, removed, operation, branch)
     }
 
@@ -1014,19 +1018,28 @@ class GraftTable(val spark: SparkSession, val location: String) {
         shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * n + i)
       }
     }.reduce(_.bitwiseOR(_))
+    // partition columns LEAD the local sort: the parquet writer requires
+    // its tasks ordered by the dynamic-partition columns and inserts its
+    // own (order-destroying) sort when the child ordering doesn't already
+    // start with them — which would silently undo the z clustering
     val compacted = df.withColumn("__z", morton)
       .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
+      .sortWithinPartitions(
+        (partitionCols.map(asc_nulls_last) :+ col("__z")).toIndexedSeq: _*)
       .drop("__z")
     overwrite(compacted, operation = "replace")
   }
 
   def rewriteDataFilesSorted(sortExprs: Seq[Column]): GraftSnapshot = {
     val df = toDF
+    // partition columns LEAD the local sort (see rewriteDataFilesZOrder):
+    // otherwise the writer's own dynamic-partition sort reorders rows and
+    // within-file order silently degrades to arbitrary
     val compacted =
       if (partitionCols.nonEmpty)
         df.repartition(partitionCols.map(col).toIndexedSeq: _*)
-          .sortWithinPartitions(sortExprs.toIndexedSeq: _*)
+          .sortWithinPartitions(
+            (partitionCols.map(asc_nulls_last) ++ sortExprs).toIndexedSeq: _*)
       else df.repartition(1).sortWithinPartitions(sortExprs.toIndexedSeq: _*)
     overwrite(compacted, operation = "replace")
   }
@@ -1104,7 +1117,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** Write df into hive-partition-layout files under data/, returning the
     * committed DataFile entries (with footer stats). */
   private def writeDataFiles(df: DataFrame, tableSchema: StructType,
-      parts: Seq[String]): Seq[DataFile] = {
+      parts: Seq[String], applyDistribution: Boolean = true): Seq[DataFile] = {
     val commitId = UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$location/_staging/$commitId")
     val alignedRaw = df.select(tableSchema.fields.map(f =>
@@ -1117,7 +1130,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // (our default) keeps incoming partitioning: no shuffle, writer-local
     // files.
     val aligned = properties.get("write.distribution-mode") match {
-      case Some("hash") if parts.nonEmpty =>
+      case Some("hash") if parts.nonEmpty && applyDistribution =>
         alignedRaw.repartition(parts.map(col).toIndexedSeq: _*)
       case _ => alignedRaw
     }

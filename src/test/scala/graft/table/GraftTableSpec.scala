@@ -82,6 +82,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(hashFiles.map(_.partitionValues("p")).sorted === Seq("p0", "p1"))
   }
 
+  test("sort compaction keeps within-file order on a hash-distribution table") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val t = GraftTable.create(spark, tmpDir("dist-sort"), "ds", schema, Seq("p"),
+      Map("write.distribution-mode" -> "hash"))
+    val rnd = new scala.util.Random(7)
+    t.append(Seq.fill(200)((rnd.nextLong().abs, s"p${rnd.nextInt(2)}"))
+      .toDF("k", "p").repartition(4))
+    t.rewriteDataFilesSorted(Seq(asc_nulls_last("k")))
+    // re-applying the distribution shuffle after sortWithinPartitions
+    // would leave files internally unsorted — read each file alone and
+    // check its k column is non-decreasing
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.schema(schema).option("basePath", s"${t.location}/data")
+        .parquet(s"${t.location}/data/${f.path}")
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted, s"file ${f.path} lost its sort order")
+    }
+    assert(t.toDF.count() === 200)
+  }
+
   test("write.target-file-size-rows rolls oversized tasks into more files") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
