@@ -418,10 +418,14 @@ object SparkEntry {
     // 4 x 16-bit segments give a GUARANTEED-recall pigeonhole band with
     // 65536-value buckets that stay small at scale (DedupSpec proves the
     // output equals the brute-force cross join at maxDist 3 and 7).
-    // Rows-only driver check: DuckDB cannot recompute the xxhash64-based
-    // fingerprint.
+    // Oracle-checked: the reproducible token hash (rolling hash + wrapping
+    // multiply, both mod-2^64) lets DuckDB replay the exact fingerprints
+    // and brute-force the pairs — so the oracle independently verifies the
+    // pigeonhole banding recall, not just the hash plumbing. Production
+    // callers keep the default xxhash64.
     "d_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxDist = 3)
+      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxDist = 3,
+        tokenHash = Dedup.reproducibleTokenHash)
         .orderBy("id_a", "id_b")),
 
     // --- similarity search over embeddings -------------------------------
@@ -1124,6 +1128,45 @@ object SparkEntry {
            FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard_sim FROM pairs
          WHERE jaccard_sim >= 0.4 ORDER BY id_a, id_b""",
+
+    // Replays the reproducible token hash bit-for-bit: rolling poly hash
+    // (mod-2^64 fold over UTF-8 bytes) then the golden-ratio wrapping
+    // multiply, split into 32-bit halves because (2^64)*(2^64) overflows
+    // HUGEINT. Pairs are then brute-forced, so a green row proves the
+    // Spark side's pigeonhole banding lost no pair at maxDist 3.
+    "d_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+             ((((rh >> 32) * 11400714819323198485::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               + (rh & 4294967295::HUGEINT) * 11400714819323198485::HUGEINT)
+               % 18446744073709551616::HUGEINT AS h
+           FROM (
+             SELECT doc_id,
+               list_reduce(list_prepend(0::HUGEINT,
+                   list_transform(range(1, octet_length(encode(t)) + 1),
+                     i -> (('0x' || substr(hex(encode(t)), (i-1)*2 + 1, 2))::INT)::HUGEINT)),
+                 (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT) AS rh
+             FROM tok)),
+         votes AS (
+           SELECT doc_id, bb.b AS b,
+             sum(CASE WHEN ((h >> bb.b) & 1::HUGEINT) = 1::HUGEINT THEN 1 ELSE -1 END) AS v
+           FROM th, (SELECT unnest(range(64)) AS b) bb
+           GROUP BY 1, 2),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN f >= 9223372036854775808::HUGEINT
+                  THEN (f - 18446744073709551616::HUGEINT)::BIGINT ELSE f::BIGINT END AS fp
+           FROM (SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS f
+                 FROM votes GROUP BY 1))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(bit_count(xor(a.fp, b.fp)) AS integer) AS hamming_dist
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY id_a, id_b""",
 
     "s_cosine_neardup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),

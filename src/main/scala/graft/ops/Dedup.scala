@@ -230,16 +230,37 @@ object Dedup {
   // --- SimHash -----------------------------------------------------------
 
   /**
-   * 64-bit SimHash over word tokens: per-token xxhash64, each bit votes
-   * +1/-1, sign of the vote total forms the fingerprint bit. Computed by
-   * the SimHash64 native expression in one codegen'd loop per row — a
-   * narrow map with no explode/shuffle. Output: (idCol, simhash long).
+   * 64-bit SimHash over word tokens: each distinct token's 64-bit hash
+   * votes its bits +1/-1, sign of the vote total forms the fingerprint
+   * bit. Computed by the SimHash64 native expression in one codegen'd
+   * loop per row — a narrow map with no explode/shuffle. Output:
+   * (idCol, simhash long).
+   *
+   * `tokenHash` picks the per-token hash. Default xxhash64 (best
+   * avalanche). Pass [[Dedup.reproducibleTokenHash]] to make the whole
+   * fingerprint reproducible outside Spark (external oracles): a
+   * byte-level polynomial rolling hash whose high bits are then filled by
+   * a wrapping multiply — both steps plain mod-2^64 arithmetic any engine
+   * can replay.
    */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
     df.select(col(idCol),
       graft.functions.GraftFunctions.simhash64(
-        transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
+        transform(array_distinct(TextAnalysis.tokens(col(textCol))), tokenHash))
         .as("simhash"))
+
+  /** Golden-ratio odd multiplier (0x9E3779B97F4A7C15) — spreads the
+    * low-entropy rolling hash of short tokens across all 64 bits so the
+    * high simhash bits still discriminate. */
+  val ReproducibleHashMix: Long = -7046029254386353131L
+
+  /** Engine-independent token hash: rolling_hash then a wrapping multiply.
+    * Every step is mod-2^64 integer arithmetic — see the d_simhash DuckDB
+    * oracle in SparkEntry for the SQL replay. */
+  def reproducibleTokenHash(t: Column): Column =
+    graft.functions.GraftFunctions.wrapping_affine(
+      graft.functions.GraftFunctions.rolling_hash(t), ReproducibleHashMix, 0L)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -257,7 +278,8 @@ object Dedup {
    * degenerates toward n^2 — past that point brute force is cheaper.
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
       s"maxDist must be in [0, 15] for pigeonhole banding, got $maxDist")
     val segments = maxDist + 1
@@ -265,7 +287,7 @@ object Dedup {
     val rem = 64 % segments
     val widths = (0 until segments).map(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val fps = simhash(df, textCol, idCol)
+    val fps = simhash(df, textCol, idCol, tokenHash)
     val banded = fps.select(col(idCol), col("simhash"),
       posexplode(array((0 until segments).map { seg =>
         val mask = if (widths(seg) == 64) -1L else (1L << widths(seg)) - 1L
