@@ -461,6 +461,18 @@ object SparkEntry {
         T(s, dir, "embeddings").filter(col("vec_id") % 4 === 0), threshold = 0.35)
         .orderBy("id_a", "id_b")),
 
+    // nearest-centroid assignment with a FIXED centroid table (the first 8
+    // vectors): deterministic end to end, so the oracle brute-forces the
+    // argmax-cosine assignment and the cluster x label grid must match
+    // exactly
+    "s_cluster_assign" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8))
+        .groupBy(col("cluster_id"), col("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+        .orderBy("cluster_id", "label")
+    }),
+
     // --- events: sessionization + time-windowed aggregation --------------
 
     "e_sessions" -> ((s, dir) =>

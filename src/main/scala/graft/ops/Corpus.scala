@@ -148,6 +148,40 @@ object Corpus {
     df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(buckets)) < frac * buckets)
   }
 
+  // --- domain-mixture balancing ------------------------------------------
+
+  /**
+   * Domain-mixture balancing — the "data mixing" stage of a pretraining
+   * pipeline (The Pile / DoReMi-style per-source weights, here with the
+   * simplest defensible target): derive each domain's keep fraction as
+   * `min_domain_tokens / domain_tokens`, so after sampling every domain
+   * contributes roughly the token mass of the smallest one, then keep rows
+   * by the deterministic mod-bucket rule of [[stratifiedSampleMod]].
+   *
+   * Returns the input rows that survive, plus a `keep_frac` column (the
+   * domain's fraction) for auditability. Fractions and keep decisions are
+   * derived only from the raw table, so the entire mix is replayable in
+   * plain SQL.
+   *
+   * Scale shape: one narrow pass computes token counts; the per-domain
+   * totals are a map-side-combined aggregate that shuffles only
+   * n_domains rows; the global min and the fraction table come back via
+   * broadcast joins — the full corpus is never shuffled.
+   */
+  def balanceToSmallest(df: DataFrame, textCol: String, domainCol: String,
+      keyCol: String, buckets: Int = 1000000): DataFrame = {
+    val tok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val domTokens = df.groupBy(col(domainCol))
+      .agg(sum(tok).as("__dom_tokens"))
+    val minTok = domTokens.agg(min(col("__dom_tokens")).as("__min_tokens"))
+    val fracs = domTokens.crossJoin(broadcast(minTok))
+      .select(col(domainCol),
+        (col("__min_tokens").cast("double") / col("__dom_tokens").cast("double"))
+          .as("keep_frac"))
+    df.join(broadcast(fracs), Seq(domainCol))
+      .filter(pmod(col(keyCol), lit(buckets)) < col("keep_frac") * buckets)
+  }
+
   // --- the composed pipeline --------------------------------------------
 
   /**

@@ -193,4 +193,32 @@ object Similarity {
         round(cosineFast(col("__va"), col("__vb")), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /**
+   * Nearest-centroid assignment — the "online" half of k-means and the
+   * semantic-clustering step of a corpus pipeline (topic bucketing,
+   * cluster-balanced sampling, per-cluster dedup). Every vector is
+   * assigned to its max-cosine centroid (ties broken by lowest centroid
+   * id). Unlike [[ivfTopK]] this takes the centroid table as INPUT, so
+   * assignment is fully deterministic and replayable in SQL.
+   *
+   * Scale shape: centroids are broadcast (k rows), the corpus is scanned
+   * once with a narrow crossJoin + windowless argmax via per-id
+   * row_number on (sim desc, cid asc) — the only shuffle is the window's
+   * hash partition on vector id, which any downstream per-vector work
+   * reuses.
+   */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "vec_id"): DataFrame = {
+    val c = centroids.select(col(centroidIdCol).as("cluster_id"),
+      col(vecCol).as("__centroid"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("cluster_id").asc)
+    vectors.crossJoin(broadcast(c))
+      .withColumn("__sim", cosineFast(col(vecCol), col("__centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__centroid", "__sim")
+  }
 }
