@@ -462,9 +462,9 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // nearest-centroid assignment with a FIXED centroid table (the first 8
-    // vectors): deterministic end to end, so the oracle brute-forces the
-    // argmax-cosine assignment and the cluster x label grid must match
-    // exactly
+    // vectors): deterministic end to end — the DuckDB oracle brute-forces
+    // the same argmax-cosine assignment and the cluster x label grid must
+    // match exactly
     "s_cluster_assign" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8))
@@ -1083,6 +1083,26 @@ object SparkEntry {
          SELECT id, min(lbl) AS component FROM reach GROUP BY 1 ORDER BY id""",
 
     "s_ann_topk" -> annTopkSql,
+
+    // brute-force argmax-cosine assignment against the fixed centroid table
+    // (vec_id < 8), then the cluster x label grid — mirrors
+    // Similarity.assignToCentroids' (sim DESC, cluster_id ASC) tie order
+    "s_cluster_assign" ->
+      """WITH c AS (SELECT vec_id AS cluster_id, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+           scored AS (
+             SELECT e.vec_id, e.label, c.cluster_id,
+               list_sum(list_transform(list_zip(e.embedding, c.cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+             FROM embeddings e CROSS JOIN c),
+           best AS (
+             SELECT vec_id, label, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id ASC) AS rn
+             FROM scored)
+         SELECT cluster_id, label, count(*) AS n_vecs,
+           cast(sum(vec_id) AS bigint) AS id_sum
+         FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // with nProbe = nCells every cell is probed — IVF output is provably
     // the brute-force result, so the oracle is annTopkSql verbatim

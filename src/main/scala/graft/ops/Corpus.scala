@@ -58,7 +58,9 @@ object Corpus {
     val step = if (stride <= 0) chunkSize else stride
     require(step <= chunkSize,
       s"stride ($step) beyond chunkSize ($chunkSize) would skip tokens")
-    // starts at 0, step, 2*step, … while start < size: ceil((size-chunkSize)/step)+1
+    // starts advance by step until a window reaches the document end:
+    // ceil((size-chunkSize)/step)+1 windows — tail-coverage semantics, so
+    // redundant suffix windows fully inside the last one are not emitted;
     // capped below by 1 so an empty/short doc still yields its single chunk
     val nChunks = greatest(lit(1), (floor(
       (size(col("__tk")) - lit(chunkSize) + lit(step - 1)) / lit(step)) + 1).cast("int"))

@@ -69,11 +69,15 @@ object Decontaminate {
   }
 
   /** The filtering counterpart: corpus rows whose document shares NO
-    * n-gram with the probe set (broadcast left-anti on the hit list). */
+    * n-gram with the probe set. The probe-gram join inside
+    * [[ngramOverlap]] stays broadcast (benchmark suites are MB-scale by
+    * contract); the kill-list anti-join here carries no hint — a heavily
+    * contaminated corpus can make the hit list arbitrarily large, so the
+    * strategy is left to AQE's measured-size decision. */
   def removeContaminated(corpus: DataFrame, probes: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
     val hits = ngramOverlap(corpus, probes, textCol, idCol, n)
       .select(col(idCol))
-    corpus.join(broadcast(hits), Seq(idCol), "left_anti")
+    corpus.join(hits, Seq(idCol), "left_anti")
   }
 }

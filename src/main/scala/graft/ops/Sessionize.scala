@@ -84,12 +84,20 @@ object Sessionize {
    * steps), so event types that merely CONTAIN a step name (e.g.
    * 'preview' vs 'view') never count, and step names are regex-quoted.
    * Deterministic given a unique `tieBreak`.
+   *
+   * The comma is the path delimiter, so neither step names nor the
+   * `typeCol` values may contain one — a comma inside an event type would
+   * split it into two phantom tokens and silently mis-count. Steps are
+   * checked eagerly here; event-type values are the caller's contract.
    */
   def funnelCounts(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type",
       tieBreak: String = "event_id"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.forall(!_.contains(",")),
+      s"step names must not contain the ',' path delimiter: " +
+        steps.filter(_.contains(",")).mkString("[", ", ", "]"))
     // array_sort on (ts, tieBreak, type) structs orders by fields in
     // declaration order — the same (ts, tie) ordering the oracle's
     // ORDER BY inside string_agg applies

@@ -131,7 +131,10 @@ object TextAnalysis {
   }
 
   /** The filtering counterpart: keep documents whose repetition signals
-    * stay under the given caps (defaults near Gopher's published cuts). */
+    * stay under the given caps (defaults near Gopher's published cuts).
+    * No broadcast hint on the kill-list anti-join: repetitive docs can be
+    * a large fraction of a raw corpus, so the join strategy is left to
+    * AQE, which broadcasts only when the measured size allows. */
   def filterRepetitive(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, maxDupTokenFrac: Double = 0.6,
       maxTopBigramFrac: Double = 0.2): org.apache.spark.sql.DataFrame = {
@@ -139,7 +142,7 @@ object TextAnalysis {
       .filter(col("dup_token_frac") > maxDupTokenFrac ||
         col("top_bigram_frac") > maxTopBigramFrac)
       .select(col(idCol))
-    df.join(broadcast(bad), Seq(idCol), "left_anti")
+    df.join(bad, Seq(idCol), "left_anti")
   }
 
   // --- fingerprinting ----------------------------------------------------

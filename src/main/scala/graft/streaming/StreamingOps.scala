@@ -46,6 +46,19 @@ object StreamingOps {
     * the replay check reads it back for exactly-once. */
   val BatchIdSummaryKey = "streaming-batch-id"
 
+  /** Summary key recording WHICH stream committed the batch: batch ids are
+    * only unique per checkpoint, so the replay check must never compare ids
+    * across different streams (a recreated checkpoint restarts at 0; a
+    * second writer has its own sequence). */
+  val StreamIdSummaryKey = "streaming-stream-id"
+
+  /** Stable stream identity derived from the checkpoint location — the same
+    * identity Structured Streaming itself uses to resume a query. */
+  private[streaming] def streamId(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   /**
    * Stream into a snapshot-versioned graft table: every micro-batch becomes
    * one atomic snapshot commit (append, or merge-upsert when `mergeKeys` is
@@ -56,42 +69,51 @@ object StreamingOps {
    *
    * Exactly-once: Structured Streaming re-delivers the in-flight batch
    * after a restart, so append mode stamps each commit with its batch id
-   * ([[BatchIdSummaryKey]] in the snapshot summary) and skips any batch at
-   * or below the last stamped id — the data write and the "already
-   * delivered" marker land in ONE atomic snapshot commit, the idempotent-
-   * sink contract foreachBatch requires. Merge mode is naturally
-   * idempotent (re-upserting the same keyed rows is a no-op) but stamps
-   * and skips too, saving the replayed probe work. The check scans
-   * retained snapshots: expire_snapshots keeps far more history than the
-   * one in-flight batch a restart can replay.
+   * AND its stream identity ([[BatchIdSummaryKey]] / [[StreamIdSummaryKey]]
+   * in the snapshot summary — the identity is the checkpoint location, the
+   * same thing that defines a resumable query) and skips any batch at or
+   * below the last id stamped BY THE SAME STREAM — the data write and the
+   * "already delivered" marker land in ONE atomic snapshot commit, the
+   * idempotent-sink contract foreachBatch requires. Scoping the check to
+   * the stream matters: batch ids restart at 0 under a fresh checkpoint
+   * and a second query writing the same table has its own sequence, so a
+   * global max would silently drop fresh batches as "replays". Merge mode
+   * is naturally idempotent (re-upserting the same keyed rows is a no-op)
+   * but stamps and skips too, saving the replayed probe work. The check
+   * scans retained snapshots: expire_snapshots keeps far more history than
+   * the one in-flight batch a restart can replay.
    */
   def writeToGraftTable(df: DataFrame, table: graft.table.GraftTable,
       checkpointDir: String, mergeKeys: Seq[String] = Seq.empty,
-      updateCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.StreamingQuery =
+      updateCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sid = streamId(checkpointDir)
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitMicroBatch(table, batch, batchId, mergeKeys, updateCols); ()
+        commitMicroBatch(table, batch, batchId, mergeKeys, updateCols, sid); ()
       }
       .start()
+  }
 
   /** One micro-batch commit with the replay guard; factored out so the
     * exactly-once behavior is directly testable. Returns true when the
-    * batch committed, false when it was recognized as a replay. */
+    * batch committed, false when it was recognized as a replay of an
+    * earlier commit from the same stream. */
   private[streaming] def commitMicroBatch(table: graft.table.GraftTable,
       batch: DataFrame, batchId: Long, mergeKeys: Seq[String],
-      updateCols: Seq[String]): Boolean = {
+      updateCols: Seq[String], streamId: String): Boolean = {
     val lastCommitted = table.meta.snapshots
+      .filter(_.summary.get(StreamIdSummaryKey).contains(streamId))
       .flatMap(_.summary.get(BatchIdSummaryKey)).map(_.toLong).maxOption
+    val stamp = Map(BatchIdSummaryKey -> batchId.toString,
+      StreamIdSummaryKey -> streamId)
     if (lastCommitted.exists(_ >= batchId)) false
     else if (mergeKeys.isEmpty) {
-      table.append(batch,
-        extraSummary = Map(BatchIdSummaryKey -> batchId.toString))
+      table.append(batch, extraSummary = stamp)
       true
     } else {
-      table.merge(batch, mergeKeys, updateCols,
-        extraSummary = Map(BatchIdSummaryKey -> batchId.toString))
+      table.merge(batch, mergeKeys, updateCols, extraSummary = stamp)
       true
     }
   }

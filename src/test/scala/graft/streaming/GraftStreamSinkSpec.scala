@@ -36,26 +36,50 @@ class GraftStreamSinkSpec extends SparkTestBase {
     val t = GraftTable.create(spark, tmpDir("stream-eo"), "s", StructType(Seq(
       StructField("k", StringType), StructField("v", LongType))))
     val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
-    // first delivery commits and stamps the batch id
-    assert(StreamingOps.commitMicroBatch(t, b0, 0L, Seq.empty, Seq.empty))
+    val s1 = "stream-1"
+    // first delivery commits and stamps the batch id + stream identity
+    assert(StreamingOps.commitMicroBatch(t, b0, 0L, Seq.empty, Seq.empty, s1))
     assert(t.toDF.count() === 2)
     assert(t.meta.currentSnapshot.get.summary(
       StreamingOps.BatchIdSummaryKey) === "0")
+    assert(t.meta.currentSnapshot.get.summary(
+      StreamingOps.StreamIdSummaryKey) === s1)
     // post-restart re-delivery of the same batch id: recognized, skipped
-    assert(!StreamingOps.commitMicroBatch(t, b0, 0L, Seq.empty, Seq.empty))
+    assert(!StreamingOps.commitMicroBatch(t, b0, 0L, Seq.empty, Seq.empty, s1))
     assert(t.toDF.count() === 2)
     assert(t.meta.snapshots.size === 1)
     // the next batch commits normally
     assert(StreamingOps.commitMicroBatch(t,
-      Seq(("c", 3L)).toDF("k", "v"), 1L, Seq.empty, Seq.empty))
+      Seq(("c", 3L)).toDF("k", "v"), 1L, Seq.empty, Seq.empty, s1))
     assert(t.toDF.count() === 3)
     // merge mode stamps and skips replays the same way
-    assert(!StreamingOps.commitMicroBatch(t, b0, 1L, Seq("k"), Seq.empty))
+    assert(!StreamingOps.commitMicroBatch(t, b0, 1L, Seq("k"), Seq.empty, s1))
     assert(StreamingOps.commitMicroBatch(t,
-      Seq(("a", 9L)).toDF("k", "v"), 2L, Seq("k"), Seq.empty))
+      Seq(("a", 9L)).toDF("k", "v"), 2L, Seq("k"), Seq.empty, s1))
     assert(t.toDF.filter($"k" === "a").collect().head.getLong(1) === 9L)
     assert(t.meta.currentSnapshot.get.summary(
       StreamingOps.BatchIdSummaryKey) === "2")
+  }
+
+  test("batch ids are scoped per stream: a fresh checkpoint is not a replay") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("stream-scope"), "s", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    // stream 1 runs through batch 2
+    assert(StreamingOps.commitMicroBatch(t,
+      Seq(("a", 1L)).toDF("k", "v"), 2L, Seq.empty, Seq.empty, "stream-1"))
+    // a recreated checkpoint (ids restart at 0) must NOT be dropped as a
+    // replay of stream 1's batches — this was silent data loss before the
+    // stream identity was stamped
+    assert(StreamingOps.commitMicroBatch(t,
+      Seq(("b", 2L)).toDF("k", "v"), 0L, Seq.empty, Seq.empty, "stream-2"))
+    assert(t.toDF.count() === 2)
+    // each stream's own replay protection still holds independently
+    assert(!StreamingOps.commitMicroBatch(t,
+      Seq(("b", 2L)).toDF("k", "v"), 0L, Seq.empty, Seq.empty, "stream-2"))
+    assert(!StreamingOps.commitMicroBatch(t,
+      Seq(("a", 1L)).toDF("k", "v"), 1L, Seq.empty, Seq.empty, "stream-1"))
+    assert(t.toDF.count() === 2)
   }
 
   test("merge-keyed streaming upsert deduplicates across batches") {
