@@ -141,6 +141,9 @@ object GraftFunctions {
   def array_eq_count(a: Column, b: Column): Column =
     bridge.column(ArrayLongEqCount(bridge.expression(a), bridge.expression(b)))
 
+  def hyperplane_sig(vec: Column, coeffs: Seq[Seq[Double]]): Column =
+    bridge.column(HyperplaneSig(bridge.expression(vec), coeffs))
+
   /** Register the native expressions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -201,6 +204,90 @@ case class ArrayLongEqCount(left: Expression, right: Expression) extends BinaryE
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayLongEqCount =
     copy(left = l, right = r)
+}
+
+/** Multi-plane random-hyperplane LSH signature in ONE pass over the vector:
+  * bit p of the result is set iff `vec · coeffs(p) >= 0`. The coefficient
+  * matrix (planes x dim) is a driver-side constant shipped as a codegen
+  * reference object, so each row costs planes*dim fused multiply-adds with
+  * no intermediate arrays — versus the `planes` separate interpreted
+  * `aggregate(zip_with(...))` folds (each allocating a dim-length array per
+  * row) of the higher-order-function formulation. Each plane's projection
+  * accumulates left-to-right from 0.0 exactly like the sequential fold, so
+  * signatures are bit-identical to the HOF form and to the DuckDB oracle's
+  * `list_sum(list_transform(list_zip(...)))` replay. */
+case class HyperplaneSig(child: Expression, coeffs: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      if (coeffs.nonEmpty && coeffs.size <= 64 &&
+        coeffs.forall(_.size == coeffs.head.size)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig needs 1..64 equal-length coefficient rows, got ${coeffs.size}")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires a float/double array column, got $t")
+  }
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    coeffs.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isD = elemIsDouble
+    var sig = 0L
+    var p = 0
+    while (p < matrix.length) {
+      val row = matrix(p)
+      val n = math.min(row.length, v.numElements())
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isD) v.getDouble(d) else v.getFloat(d).toDouble
+        acc += x * row(d)
+        d += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val get = if (elemIsDouble) "getDouble" else "getFloat"
+      val m = ctx.addReferenceObj("planeCoeffs", matrix, "double[][]")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      s"""
+        long $sig = 0L;
+        for (int $p = 0; $p < $m.length; $p++) {
+          double[] $row = $m[$p];
+          int $n = java.lang.Math.min($row.length, $c.numElements());
+          double $acc = 0.0;
+          for (int $d = 0; $d < $n; $d++) {
+            $acc += ((double) $c.$get($d)) * $row[$d];
+          }
+          if ($acc >= 0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
 }
 
 /** Wrapping affine transform `a*x + b` over longs (Java two's-complement

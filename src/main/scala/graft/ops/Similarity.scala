@@ -81,17 +81,14 @@ object Similarity {
   def planeCoefficients(seed: Int, planes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until planes).map(p => (0 until dim).map(d => planeCoeff(seed, p, d)))
 
+  /** All `planes` sign bits in one native codegen pass
+    * ([[graft.functions.HyperplaneSig]]): per-plane projections accumulate
+    * left-to-right from 0.0, bit-identical to the former
+    * `aggregate(zip_with(...))` formulation (and the DuckDB oracle's
+    * `list_sum` replay) while doing no per-row array allocation. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int = 16,
-      seed: Int = 0): Column = {
-    val bits = (0 until planes).map { p =>
-      val coeffs = typedLit((0 until dim).map(d => planeCoeff(seed, p, d)))
-      val proj = aggregate(
-        zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+      seed: Int = 0): Column =
+    GraftFunctions.hyperplane_sig(vec, planeCoefficients(seed, planes, dim))
 
   /**
    * LSH-bucketed ANN top-k — the scale path: corpus is bucketed by

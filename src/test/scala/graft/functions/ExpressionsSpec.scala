@@ -48,6 +48,37 @@ class ExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("hyperplane_sig equals the aggregate(zip_with) formulation bit-exactly") {
+    import spark.implicits._
+    val dim = 64; val planes = 12; val seed = 3
+    val df = (1 to 80).map { i =>
+      (i.toLong, Seq.tabulate(dim)(d => ((i * 31 + d * 7) % 97 / 97.0f) - 0.5f))
+    }.toDF("id", "v")
+    val coeffs = Similarity.planeCoefficients(seed, planes, dim)
+    // the former higher-order-function formulation, recomputed inline
+    val hofBits = (0 until planes).map { p =>
+      val cs = typedLit(coeffs(p))
+      val proj = aggregate(
+        zip_with(col("v"), cs, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val rows = df.select(
+      GraftFunctions.hyperplane_sig(col("v"), coeffs).as("native"),
+      hofBits.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // and it runs inside whole-stage codegen over a codegen source
+    // (a local Seq collapses to LocalTableScan, so use range)
+    val plan = spark.range(10)
+      .select(transform(sequence(lit(1), lit(dim)),
+        d => (col("id") + d).cast("float")).as("v"))
+      .select(GraftFunctions.hyperplane_sig(col("v"), coeffs))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hyperplanesig") && plan.contains("*(1)"),
+      s"no WSCG in:\n$plan")
+  }
+
   test("SQL registration works") {
     import spark.implicits._
     GraftFunctions.register(spark)
