@@ -326,6 +326,19 @@ object SparkEntry {
           min(col("chunk_tokens")).cast("long").as("min_chunk_tokens"))
         .orderBy("source")),
 
+    // corpus-unigram LM scoring (the CCNet quality-filter shape): mean
+    // token log-probability under the corpus's own unigram distribution
+    "x_lm_score" -> ((s, dir) =>
+      TextAnalysis.unigramLmScore(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // TF-IDF top-5 distinctive terms per language: tf within the language,
+    // document frequency corpus-wide, deterministic (score desc, term asc)
+    "x_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(T(s, dir, "documents"), "text", "lang",
+        "doc_id", k = 5)
+        .orderBy("lang", "rank")),
+
     // Gopher-style repetition quality signals: duplicate-token fraction,
     // top-token and top-bigram concentration per document — the filters
     // that kill degenerate/templated docs before training
@@ -407,6 +420,20 @@ object SparkEntry {
         "id_a", "id_b")
         .orderBy("id")),
 
+    // the dedup TAIL end-to-end: pairs -> connected components -> keep the
+    // min-id representative per cluster plus every unpaired doc. Pairs come
+    // from the deterministic brute-force Jaccard subsample so the oracle
+    // replays components with a recursive CTE and anti-joins the keeps.
+    "d_neardup_kept" -> ((s, dir) => {
+      val sub = T(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      Dedup.keepRepresentatives(sub,
+        Dedup.ngramJaccardPairs(sub, "text", "doc_id", threshold = 0.9),
+        "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // MinHash-LSH near-dup pipeline (scale path; rows-only check)
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
@@ -471,6 +498,15 @@ object SparkEntry {
         .groupBy(col("cluster_id"), col("label"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
         .orderBy("cluster_id", "label")
+    }),
+
+    // one Lloyd k-means iteration: assign to the fixed centroid table then
+    // per-dimension mean update — long-form (cluster, dim) output so the
+    // oracle compares scalars, not arrays
+    "s_kmeans_step" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.kmeansStep(e, e.filter(col("vec_id") < 8))
+        .orderBy("cluster_id", "dim")
     }),
 
     // --- events: sessionization + time-windowed aggregation --------------
@@ -973,6 +1009,35 @@ object SparkEntry {
          FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
          ORDER BY doc_id""",
 
+    "x_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         tot AS (SELECT cast(sum(tf) AS double) AS total FROM vocab)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(ln(v.tf / tot.total)), 4) AS lm_score
+         FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+         GROUP BY 1 ORDER BY 1""",
+
+    "x_tfidf" ->
+      """WITH toks AS (
+           SELECT lang, doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         docfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1),
+         n AS (SELECT cast(count(*) AS double) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.lang, tf.term, tf.tf, d.doc_freq,
+             tf.tf * ln(n.n_docs / d.doc_freq) AS score
+           FROM tf JOIN docfreq d USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT lang, term, tf, doc_freq, score,
+             cast(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS integer) AS rank
+           FROM scored)
+         SELECT lang, rank, term, tf, doc_freq, round(score, 4) AS tfidf
+         FROM ranked WHERE rank <= 5 ORDER BY lang, rank""",
+
     "x_pack" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 8 AS shard,
@@ -1082,7 +1147,55 @@ object SparkEntry {
            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
          SELECT id, min(lbl) AS component FROM reach GROUP BY 1 ORDER BY id""",
 
+    // the same recursive-CTE component replay as d_neardup_groups, with the
+    // keep rule applied: component representative (min id) or unpaired
+    "d_neardup_kept" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+           FROM documents WHERE doc_id % 10 = 0),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE round(cast(len(list_intersect(a.ws, b.ws)) AS double)
+                   / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) >= 0.9),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         comps AS (SELECT id, min(lbl) AS component FROM reach GROUP BY 1)
+         SELECT d.lang, count(*) AS n_kept, cast(sum(d.doc_id) AS bigint) AS id_sum
+         FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+         WHERE d.doc_id % 10 = 0 AND (c.component IS NULL OR c.component = d.doc_id)
+         GROUP BY 1 ORDER BY 1""",
+
     "s_ann_topk" -> annTopkSql,
+
+    // one Lloyd iteration: the s_cluster_assign assignment replay feeding a
+    // per-(cluster, dimension) mean — 1-based DuckDB list index maps to the
+    // 0-based posexplode dim
+    "s_kmeans_step" ->
+      """WITH c AS (SELECT vec_id AS cluster_id, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+           scored AS (
+             SELECT e.vec_id, e.embedding, c.cluster_id,
+               list_sum(list_transform(list_zip(e.embedding, c.cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+             FROM embeddings e CROSS JOIN c),
+           best AS (
+             SELECT vec_id, embedding, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id ASC) AS rn
+             FROM scored),
+           dims AS (
+             SELECT cluster_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS d
+             FROM best WHERE rn = 1)
+         SELECT cluster_id, cast(d - 1 AS integer) AS dim,
+           round(avg(embedding[d]::DOUBLE), 4) + 0.0 AS centroid_val,
+           count(*) AS n_vecs
+         FROM dims GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // brute-force argmax-cosine assignment against the fixed centroid table
     // (vec_id < 8), then the cluster x label grid — mirrors

@@ -384,8 +384,18 @@ object Dedup {
    */
   def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 16,
-      shingleN: Int = 2): DataFrame = {
-    val pairs = minhashNearDups(df, textCol, idCol, threshold, k, bands, shingleN)
+      shingleN: Int = 2): DataFrame =
+    keepRepresentatives(df,
+      minhashNearDups(df, textCol, idCol, threshold, k, bands, shingleN), idCol)
+
+  /** The cluster-keep step of [[nearDupDedup]] on an EXPLICIT pair list:
+    * connected components over `pairs` (columns `id_a`/`id_b`), then keep
+    * each cluster's minimum-id representative plus every unpaired row.
+    * Factored out so any pair source (MinHash, SimHash, brute-force
+    * Jaccard, embedding cosine) feeds the same dedup tail — and so the
+    * tail is oracle-checkable from a deterministic pair source. */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
     val comps = connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "__cc_id")
     df.join(comps, df(idCol) === col("__cc_id"), "left")

@@ -218,4 +218,30 @@ object Similarity {
       .filter(col("__rn") === 1)
       .drop("__rn", "__centroid", "__sim")
   }
+
+  /**
+   * One full (Lloyd) k-means iteration as a DataFrame transform: assign
+   * every vector to its nearest centroid ([[assignToCentroids]]), then
+   * recompute each centroid as the per-dimension mean of its members.
+   * Returns the updated centroids in long form — `(cluster_id, dim,
+   * centroid_val, n_vecs)` — which composes directly into the next
+   * iteration's centroid table (or a convergence check) and keeps the
+   * output oracle-checkable without array-equality comparisons.
+   *
+   * Scale shape: the assignment is a broadcast crossJoin (k centroid rows)
+   * + per-vector window; the mean update is one narrow posexplode and ONE
+   * hash aggregation on (cluster_id, dim) — k*dim output rows — with
+   * map-side partial aggregation collapsing each partition's sums, so the
+   * shuffle carries k*dim partial states per partition, never the vectors.
+   */
+  def kmeansStep(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "vec_id"): DataFrame =
+    assignToCentroids(vectors, centroids, idCol, vecCol, centroidIdCol)
+      .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      // + 0.0 folds IEEE negative zero into +0.0 so engines that round a
+      // tiny negative mean to -0.0 (DuckDB) agree with ones that don't
+      .agg((round(avg(col("__x").cast("double")), 4) + lit(0.0)).as("centroid_val"),
+        count(lit(1)).as("n_vecs"))
 }

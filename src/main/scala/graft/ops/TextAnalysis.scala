@@ -145,6 +145,72 @@ object TextAnalysis {
     df.join(bad, Seq(idCol), "left_anti")
   }
 
+  // --- corpus-statistical scoring ---------------------------------------
+
+  /**
+   * Unigram language-model quality score (the CCNet/CC-100 shape: documents
+   * are scored by a token-level LM and filtered on the score; here the LM
+   * is the corpus's own unigram distribution, so no external model file is
+   * needed). Per document: the mean log-probability of its tokens,
+   * `avg(ln(count(token)/total_tokens))` — degenerate/rare-token documents
+   * score low, fluent ones near the corpus mode score high.
+   *
+   * Output: `(idCol, n_tokens, lm_score)` with `lm_score` rounded to 4
+   * decimals for cross-engine comparison.
+   *
+   * Scale shape: one explode → (token) hash aggregation builds the vocab
+   * (partial map-side combine collapses per-partition counts), the
+   * token→frequency lookup is a plain equi-join ON TOKEN — the vocab of a
+   * 100 TB corpus is far beyond driver memory, so no broadcast; both sides
+   * shuffle-partition by token, then one final per-document aggregation.
+   * The grand total rides along as a broadcast single-row cross join.
+   */
+  def unigramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    val total = vocab.agg(sum(col("__tf")).cast("double").as("__total"))
+    toks.join(vocab, "__tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__tf") / col("__total"))), 4).as("lm_score"))
+  }
+
+  /**
+   * TF-IDF top terms per group (e.g. per language or per source): the
+   * corpus-exploration operator that surfaces what distinguishes one slice
+   * from the rest. `tf` counts ALL occurrences of the term inside the
+   * group; `doc_freq` counts documents (corpus-wide) containing the term;
+   * score = tf * ln(N / doc_freq). Top `k` per group by (score desc, term
+   * asc) — the deterministic tie order.
+   *
+   * Scale shape: two explode → hash aggregations (per-(group, term) tf and
+   * per-term document frequency — both collapse map-side), one equi-join
+   * on term, and a per-group top-k window over the small aggregated set.
+   * The document count N is a broadcast single row.
+   */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol), col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+    val tf = toks.groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col(idCol), col("__tok")).distinct()
+      .groupBy(col("__tok")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n_docs"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__score").desc, col("__tok").asc)
+    tf.join(docFreq, "__tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__score", col("tf") * log(col("__n_docs") / col("doc_freq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("__tok").as("term"),
+        col("tf"), col("doc_freq"), round(col("__score"), 4).as("tfidf"))
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.

@@ -141,4 +141,14 @@ class DedupSpec extends SparkTestBase {
     // {1,2,3,5} cluster at J>=0.4 -> keep 1; 4 and 6 unpaired -> kept
     assert(kept === Set(1L, 4L, 6L))
   }
+
+  test("keepRepresentatives applies the same keep rule to an explicit pair list") {
+    import spark.implicits._
+    val rows = Seq.tabulate(6)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    // components: {0,1,2} (chain) and {4,5}; 3 unpaired
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepRepresentatives(rows, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L, 4L))
+  }
 }

@@ -82,6 +82,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("kmeansStep: per-dimension means of the assigned members") {
+    // centroids 0 and 2 (orthogonal axes): members of 0 = {0,1,4 is closer
+    // to? cos(4,0)=0.707, cos(4,2)=0.707 -> tie broken by lower cluster id
+    // = 0}, 3 is opposite of 0 but still closer to 0 than to 2 (0 > -1? no:
+    // cos(3,0) = -1, cos(3,2) = 0 -> cluster 2)
+    val got = Similarity.kmeansStep(vecs, vecs.filter(col("vec_id") isin (0L, 2L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // cluster 0 members: 0,1,4 -> dim0 mean = (1.0+0.9+0.7)/3
+    assert(got((0L, 0)) === ((math.round((1.0f + 0.9f + 0.7f).toDouble / 3 * 1e4) / 1e4, 3L)))
+    // cluster 2 members: 2,3 -> dim0 mean = (0.0 + -1.0)/2 = -0.5
+    assert(got((2L, 0)) === ((-0.5, 2L)))
+    assert(got((2L, 1)) === ((0.5, 2L)))
+    // every (cluster, dim) row carries the member count; 3 dims per cluster
+    assert(got.keySet === Set((0L, 0), (0L, 1), (0L, 2), (2L, 0), (2L, 1), (2L, 2)))
+  }
+
   test("broadcast hint present in brute-force plan (corpus scanned once, no shuffle on big side)") {
     val plan = Similarity.bruteForceTopK(vecs.limit(2), vecs, k = 2)
       .queryExecution.executedPlan.toString

@@ -92,6 +92,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(2) === ((3L, 1L, 0.0, 1.0, 0.0)))
   }
 
+  test("unigramLmScore: hand-computed mean log-prob on a tiny corpus") {
+    import spark.implicits._
+    // corpus tokens: a a a b  -> p(a)=3/4, p(b)=1/4
+    val df = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = unigramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lnA = math.log(3.0 / 4.0); val lnB = math.log(1.0 / 4.0)
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    assert(got(1L) === ((2L, r4(lnA))))
+    assert(got(2L) === ((2L, r4((lnA + lnB) / 2.0))))
+    // the all-common-token doc outscores the one with a rare token
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("tfidfTopTerms: shared terms score zero, distinctive terms rank first") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "shared alpha alpha"),
+      (2L, "en", "shared alpha"),
+      (3L, "de", "shared beta")).toDF("doc_id", "lang", "text")
+    val rows = tfidfTopTerms(df, "text", "lang", "doc_id", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val en = rows.filter(_._1 == "en").sortBy(_._2)
+    // alpha: tf=3 in en, df=2 of 3 docs -> 3*ln(1.5); shared: ln(1)=0
+    assert(en.head._3 === "alpha" && en.head._4 === 3L && en.head._5 === 2L)
+    assert(math.abs(en.head._6 - math.round(3 * math.log(3.0 / 2.0) * 1e4) / 1e4) < 1e-9)
+    // 'shared' appears in every doc -> idf 0, ranked below alpha
+    val de = rows.filter(_._1 == "de").sortBy(_._2)
+    assert(de.head._3 === "beta")
+    assert(rows.filter(t => t._3 == "shared").forall(_._6 === 0.0))
+  }
+
   test("filterRepetitive drops the degenerate docs, keeps the rest") {
     val df = {
       import spark.implicits._
