@@ -500,6 +500,22 @@ object SparkEntry {
         .orderBy("cluster_id", "label")
     }),
 
+    // int8 embedding quantization: per-vector scale, position-weighted
+    // checksum of the quantized codes (pins every element exactly) and the
+    // max dequantization error
+    "s_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(T(s, dir, "embeddings"))
+      q.select(col("vec_id"), col("scale"), col("embedding"),
+        posexplode(col("qvec")).as(Seq("d", "q")))
+        .select(col("vec_id"), col("scale"), col("d"), col("q"),
+          col("embedding")(col("d")).cast("double").as("x"))
+        .groupBy(col("vec_id"))
+        .agg(round(min(col("scale")), 6).as("scale"),
+          sum(col("q").cast("long") * (col("d") + 1)).as("q_weighted_sum"),
+          round(max(abs(col("q") * col("scale") - col("x"))), 6).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // one Lloyd k-means iteration: assign to the fixed centroid table then
     // per-dimension mean update — long-form (cluster, dim) output so the
     // oracle compares scalars, not arrays
@@ -1171,6 +1187,28 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
 
     "s_ann_topk" -> annTopkSql,
+
+    // exact replay of the int8 quantization: same division, same
+    // half-away-from-zero rounding, same position weights (Spark's 0-based
+    // d+1 equals DuckDB's 1-based index)
+    "s_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+           FROM embeddings),
+         dims AS (
+           SELECT vec_id, scale, embedding,
+             unnest(generate_series(1, len(embedding))) AS d
+           FROM s),
+         qd AS (
+           SELECT vec_id, scale, d,
+             cast(round(embedding[d]::DOUBLE / scale) AS bigint) AS q,
+             embedding[d]::DOUBLE AS x
+           FROM dims)
+         SELECT vec_id, round(min(scale), 6) AS scale,
+           cast(sum(q * d) AS bigint) AS q_weighted_sum,
+           round(max(abs(q * scale - x)), 6) AS max_abs_err
+         FROM qd GROUP BY 1 ORDER BY 1""",
 
     // one Lloyd iteration: the s_cluster_assign assignment replay feeding a
     // per-(cluster, dimension) mean — 1-based DuckDB list index maps to the

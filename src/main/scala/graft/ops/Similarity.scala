@@ -220,6 +220,34 @@ object Similarity {
   }
 
   /**
+   * Symmetric per-vector int8 quantization — the embedding-storage
+   * compression step (4x over float32) of a large-scale vector pipeline.
+   * Adds `scale` (= max|x| / 127) and `qvec` (each element
+   * `clamp(round(x / scale), -127, 127)`) to every row; dequantization is
+   * `q * scale`. All-zero vectors quantize to zeros with scale 0. Every
+   * step is deterministic IEEE double math (division, then half-away-from-
+   * zero rounding — the same rule DuckDB's `round` applies), so the
+   * transform is exactly replayable in the oracle.
+   *
+   * Scale shape: pure narrow per-row map work, no shuffle; the HOF
+   * `transform` allocates one 64-element array per row, acceptable for a
+   * write-once storage-prep pass (unlike the per-candidate join work that
+   * justified the native [[graft.functions.HyperplaneSig]]).
+   */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val maxabs = aggregate(col(vecCol), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    df.withColumn("scale", maxabs / lit(127.0))
+      .withColumn("qvec",
+        when(col("scale") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol), x =>
+            greatest(lit(-127), least(lit(127),
+              round(x.cast("double") / col("scale")).cast("int"))))))
+  }
+
+  /**
    * One full (Lloyd) k-means iteration as a DataFrame transform: assign
    * every vector to its nearest centroid ([[assignToCentroids]]), then
    * recompute each centroid as the per-dimension mean of its members.

@@ -82,6 +82,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("quantizeInt8: round-trip error bounded by scale/2, extremes hit ±127") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero: scale 0, codes 0
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getSeq[Int](3))).toMap
+    val (s0, q0) = rows(0L)
+    assert(s0 === 1.0 / 127.0)
+    assert(q0 === Seq(127, -127, 64, 0)) // 0.5/(1/127) = 63.5 -> HALF_UP 64
+    q0.zip(Seq(1.0, -1.0, 0.5, 0.0)).foreach { case (q, x) =>
+      assert(math.abs(q * s0 - x) <= s0 / 2 + 1e-12)
+    }
+    assert(rows(1L) === ((0.0, Seq(0, 0, 0, 0))))
+  }
+
   test("kmeansStep: per-dimension means of the assigned members") {
     // centroids 0 and 2 (orthogonal axes): members of 0 = {0,1,4 is closer
     // to? cos(4,0)=0.707, cos(4,2)=0.707 -> tie broken by lower cluster id
