@@ -130,6 +130,28 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // INTERSECT set op: customers holding BOTH a finished and an open order
+    "q21_intersect" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // UNION ALL of two differently-filtered branches feeding one aggregate
+    // (the "combine partial extracts" shape): branch tag survives the union
+    "q22_union_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 250000)
+        .select(lit("hi").as("bucket"), col("o_totalprice"))
+      val lo = o.filter(col("o_totalprice") < 50000)
+        .select(lit("lo").as("bucket"), col("o_totalprice"))
+      hi.unionByName(lo)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("bucket")
+    }),
+
     "q8_antijoin" -> ((s, dir) => {
       val c = T(s, dir, "customer")
       val big = T(s, dir, "orders").filter(col("o_totalprice") > 300000)
@@ -835,6 +857,19 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 300000)
          ORDER BY c_custkey""",
+
+    "q21_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+
+    "q22_union_all" ->
+      s"""WITH u AS (
+           SELECT 'hi' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 250000
+           UNION ALL
+           SELECT 'lo' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 50000)
+         SELECT bucket, count(*) AS n, ${centsSql("o_totalprice")} AS total_cents
+         FROM u GROUP BY 1 ORDER BY 1""",
 
     "q9_conditional_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
