@@ -123,6 +123,42 @@ class PlanQualitySpec extends SparkTestBase {
       s"pack windows must never globally order:\n$plan")
   }
 
+  test("unigramLmScore carries no broadcast hint on the vocab join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.TextAnalysis.unigramLmScore(docs, "text", "doc_id")
+    // the vocab of a 100 TB corpus exceeds driver memory, so the token join
+    // must leave strategy to AQE's measured sizes (broadcasting a tiny test
+    // vocab is fine — FORCING broadcast via a hint is the scale bug). The
+    // only hint allowed is the single-row grand total.
+    val analyzed = org.apache.spark.sql.graft.bridge.analyzedPlan(df).toString
+    val hints = analyzed.linesIterator.count(_.contains("ResolvedHint"))
+    assert(hints === 1,
+      s"expected exactly the 1-row-total broadcast hint, got $hints:\n$analyzed")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
+  test("quantizeInt8 is a narrow map: no exchange before the write") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.ops.Similarity.quantizeInt8(e)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization must not shuffle:\n$plan")
+  }
+
+  test("kmeansStep: one aggregation exchange, centroids broadcast") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.ops.Similarity.kmeansStep(e, e.filter(col("vec_id") < 8))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid table must broadcast:\n$plan")
+    // exchanges: the assignment window's hash partition on vec_id and the
+    // final (cluster, dim) aggregation — never a range/global sort
+    assert(!plan.contains("rangepartitioning"),
+      s"mean update must not globally sort:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))

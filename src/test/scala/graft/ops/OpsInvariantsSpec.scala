@@ -52,6 +52,47 @@ class OpsInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("unigramLmScore invariants on random corpora") {
+    import spark.implicits._
+    val docs = randomDocs(100, 25)
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent Scala recompute of the unigram distribution
+    val allToks = docs.flatMap(_._2.split("\\s+"))
+    val freq = allToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = allToks.size.toDouble
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+")
+      val (n, score) = got(id)
+      assert(n === toks.length)
+      val expected = toks.map(t => math.log(freq(t) / total)).sum / toks.length
+      assert(math.abs(score - expected) < 5e-4, s"doc $id: $score vs $expected")
+      // log-probabilities are never positive
+      assert(score <= 0.0)
+    }
+  }
+
+  test("quantizeInt8 invariants on random vectors") {
+    import spark.implicits._
+    val vecs = (1L to 60L).map(id =>
+      id -> Seq.fill(16)((rnd.nextFloat() - 0.5f) * 4.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getSeq[Int](3))).toMap
+    vecs.foreach { case (id, v) =>
+      val (scale, q) = got(id)
+      val maxabs = v.map(x => math.abs(x.toDouble)).max
+      assert(math.abs(scale - maxabs / 127.0) < 1e-12)
+      assert(q.length === v.length)
+      q.foreach(c => assert(c >= -127 && c <= 127))
+      // dequantization error is bounded by half a quantization step
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x.toDouble) <= scale / 2 + 1e-9)
+      }
+    }
+  }
+
   test("repetitionSignals invariants on random corpora") {
     import spark.implicits._
     val docs = randomDocs(80, 25)
