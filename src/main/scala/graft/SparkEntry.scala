@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, Sessionize, Similarity, TextAnalysis}
 import graft.queries.TableFixtures
 
@@ -271,6 +272,22 @@ object SparkEntry {
           round(max(col("q")), 4).as("quality_max"))
         .orderBy("lang")),
 
+    // char-level Shannon entropy quality signal (native one-pass codegen
+    // expression — the degenerate-doc filter that kills low-entropy spam):
+    // per-language entropy profile over the 27-symbol a..z+space alphabet
+    "x_entropy" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("h", GraftFunctions.char_entropy(lower(col("text"))))
+        .withColumn("alpha_chars",
+          length(regexp_replace(lower(col("text")), "[^a-z ]", "")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("alpha_chars")).as("alpha_chars"),
+          round(sum(col("h")), 4).as("entropy_sum"),
+          round(min(col("h")), 4).as("entropy_min"),
+          round(max(col("h")), 4).as("entropy_max"))
+        .orderBy("lang")),
+
     "x_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents")
         .groupBy(col("lang"))
@@ -388,6 +405,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")),
 
+    // domain balancing (the LLaMA/Pile mixture-reweighting shape): every
+    // source downsampled to the token mass of the smallest source, keep
+    // decisions on deterministic doc_id mod-buckets so the whole mix is
+    // replayable in SQL
+    "x_mix" -> ((s, dir) =>
+      Corpus.balanceToSmallest(T(s, dir, "documents"), "text", "source",
+        "doc_id", buckets = 1000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          round(max(col("keep_frac")), 6).as("keep_frac"))
+        .orderBy("source")),
+
     // the COMPOSED corpus-preparation pipeline: quality-filter ->
     // exact-dedup -> redact -> stratified-sample -> chunk, one operator
     "x_pipeline" -> ((s, dir) =>
@@ -412,6 +441,23 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000))
       Dedup.exactDupGroups(withDups, "text", "doc_id")
         .orderBy("content_key")
+    }),
+
+    // sub-document (chunk-level) dedup: segment docs into 20-token windows,
+    // count chunk instances whose text recurs anywhere in the corpus — the
+    // ccnet line-dedup shape at token-window granularity. One hash shuffle
+    // on the chunk content key; the doc text itself never shuffles.
+    "d_chunk_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Corpus.chunkByTokens(
+          T(s, dir, "documents").select("doc_id", "source", "text"),
+          "text", chunkSize = 20)
+        .withColumn("occurrences",
+          count(lit(1)).over(Window.partitionBy(col("chunk_text"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("occurrences") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+        .orderBy("source")
     }),
 
     "d_exact_dedup_kept" -> ((s, dir) => {
@@ -588,6 +634,19 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // explicit GROUPING SETS (the rollup/cube generalization): per
+    // (flag,status) detail plus per-flag and grand totals, skipping the
+    // per-status slice a CUBE would also emit
+    "q23_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumCents(col("l_quantity")).as("qty_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // EXISTS-style left-semi join: customers with at least one open order,
     // the complement of q8's anti join
     "q20_semijoin" -> ((s, dir) => {
@@ -735,7 +794,34 @@ object SparkEntry {
     "t_partitions" -> ((s, dir) =>
       TableFixtures.ordersVersioned(s, dir).partitionsDF
         .select(col("partition"), col("record_count"))
-        .orderBy("partition"))
+        .orderBy("partition")),
+
+    // rollback_to_snapshot: after three appends main is rewound to the
+    // second snapshot — current state must be exactly batches 0+1, with
+    // history retained (rolled-back snapshots stay until expiry)
+    "t_rollback" -> ((s, dir) =>
+      TableFixtures.ordersRolledBack(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
+    // row-level changelog between refs: CoW DELETE + CoW UPDATE commits
+    // surface as DELETE pre-images and INSERT post-images, carried-over
+    // rows net out (Iceberg create_changelog_view semantics)
+    "t_changelog" -> ((s, dir) =>
+      TableFixtures.ordersChangelog(s, dir)
+        .changelogBetween("c1", "c2")
+        .groupBy(col("_change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("_change_type", "o_orderstatus")),
+
+    // refs metadata table: named branches + the immutable release tag
+    "t_refs" -> ((s, dir) =>
+      TableFixtures.ordersVersioned(s, dir).refsDF
+        .select(col("name"), col("type"))
+        .orderBy("name", "type"))
   )
 
   // =====================================================================
@@ -744,6 +830,14 @@ object SparkEntry {
 
   private val wordset =
     "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+
+  /** DuckDB twin of [[graft.functions.CharEntropy]]'s count pass: per-char
+    * occurrence counts over lowered text `t`, in the SAME fixed alphabet
+    * order (a..z then space) so the entropy fold is bit-identical. */
+  private val entropyCountsSql: String =
+    (('a' to 'z').map(_.toString) :+ " ")
+      .map(ch => s"length(t) - length(replace(t, '$ch', ''))")
+      .mkString("[", ", ", "]")
 
   private val langCase: String = {
     val hits = TextAnalysis.langMarkers.map { case (l, m) =>
@@ -944,6 +1038,24 @@ object SparkEntry {
           FROM (SELECT lang, $qualityExpr AS __q FROM documents)
           GROUP BY 1 ORDER BY 1""",
 
+    "x_entropy" ->
+      s"""WITH c AS (SELECT lang, lower(text) AS t FROM documents),
+          k AS (SELECT lang, $entropyCountsSql AS cnt FROM c),
+          tot AS (SELECT lang, cnt, cast(list_sum(cnt) AS double) AS total FROM k),
+          e AS (SELECT lang, total,
+            CASE WHEN total = 0 THEN 0.0 ELSE
+              -list_sum(list_transform(cnt,
+                x -> CASE WHEN x = 0 THEN 0.0
+                     ELSE (x / total) * ln(x / total) END))
+            END AS h
+            FROM tot)
+          SELECT lang, count(*) AS n_docs,
+            cast(sum(total) AS bigint) AS alpha_chars,
+            round(sum(h), 4) AS entropy_sum,
+            round(min(h), 4) AS entropy_min,
+            round(max(h), 4) AS entropy_max
+          FROM e GROUP BY 1 ORDER BY 1""",
+
     "x_fingerprint" ->
       """SELECT lang,
          count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS distinct_fingerprints,
@@ -1112,6 +1224,26 @@ object SparkEntry {
            WHEN 'fr' THEN 1000 WHEN 'zh' THEN 100 ELSE 0 END
          GROUP BY 1 ORDER BY 1""",
 
+    "x_mix" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         dom AS (SELECT source, cast(sum(tok) AS bigint) AS dom_tokens
+                 FROM t GROUP BY 1),
+         m AS (SELECT min(dom_tokens) AS min_tokens FROM dom),
+         fr AS (SELECT source,
+                  cast(min_tokens AS double) / cast(dom_tokens AS double) AS keep_frac
+                FROM dom CROSS JOIN m),
+         kept AS (
+           SELECT t.source, t.doc_id, fr.keep_frac
+           FROM t JOIN fr USING (source)
+           WHERE (t.doc_id % 1000) < fr.keep_frac * 1000)
+         SELECT source, count(*) AS n_kept,
+           cast(sum(doc_id) AS bigint) AS id_sum,
+           round(max(keep_frac), 6) AS keep_frac
+         FROM kept GROUP BY 1 ORDER BY 1""",
+
     "x_pipeline" -> {
       val em = Corpus.emailPattern
       val ph = Corpus.phonePattern
@@ -1144,6 +1276,25 @@ object SparkEntry {
            count(DISTINCT doc_id) AS n_docs
          FROM chunks GROUP BY 1 ORDER BY 1"""
     },
+
+    "d_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         idx AS (
+           SELECT source, tk,
+             unnest(generate_series(0, cast(floor((len(tk)+19)/20.0) AS int) - 1)) AS i
+           FROM toks),
+         chunks AS (
+           SELECT source, array_to_string(tk[i*20+1 : i*20+20], ' ') AS chunk_text
+           FROM idx),
+         occ AS (
+           SELECT source,
+             count(*) OVER (PARTITION BY chunk_text) AS occurrences
+           FROM chunks)
+         SELECT source, count(*) AS n_chunks,
+           cast(sum(CASE WHEN occurrences > 1 THEN 1 ELSE 0 END) AS bigint) AS dup_chunks
+         FROM occ GROUP BY 1 ORDER BY 1""",
 
     "d_exact_groups" ->
       """WITH withdups AS (
@@ -1415,6 +1566,13 @@ object SparkEntry {
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
+    "q23_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         ${centsSql("l_quantity")} AS qty_cents
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
     "q20_semijoin" ->
       s"""SELECT c_mktsegment, count(*) AS n_customers,
          ${centsSql("c_acctbal")} AS acctbal_cents
@@ -1584,6 +1742,34 @@ object SparkEntry {
     "t_partitions" ->
       """SELECT '{o_orderstatus=' || o_orderstatus || '}' AS partition,
          count(*) AS record_count
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // rollback rewound main to the snapshot after batch 1: state = batches 0+1
+    "t_rollback" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
+
+    // DELETEs: every batch-0 row > 200000 (the CoW delete removed > 300000,
+    // the CoW update's pre-images cover (200000, 300000]); INSERTs: the
+    // update's post-images, whose o_totalprice is unchanged
+    "t_changelog" ->
+      s"""WITH b0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         chg AS (
+           SELECT 'DELETE' AS _change_type, o_orderstatus, o_totalprice
+           FROM b0 WHERE o_totalprice > 200000
+           UNION ALL
+           SELECT 'INSERT' AS _change_type, o_orderstatus, o_totalprice
+           FROM b0 WHERE o_totalprice > 200000 AND o_totalprice <= 300000)
+         SELECT _change_type, o_orderstatus, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents
+         FROM chg GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "t_refs" ->
+      """SELECT * FROM (VALUES
+           ('main', 'BRANCH'), ('rel-1', 'TAG'), ('v1', 'BRANCH'),
+           ('v2', 'BRANCH'), ('v3', 'BRANCH')) AS r(name, type)
+         ORDER BY name, type"""
   )
 }

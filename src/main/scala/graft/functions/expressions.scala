@@ -144,6 +144,9 @@ object GraftFunctions {
   def hyperplane_sig(vec: Column, coeffs: Seq[Seq[Double]]): Column =
     bridge.column(HyperplaneSig(bridge.expression(vec), coeffs))
 
+  def char_entropy(c: Column): Column =
+    bridge.column(CharEntropy(bridge.expression(c)))
+
   /** Register the native expressions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -154,6 +157,8 @@ object GraftFunctions {
       "array_eq_count", exprs => ArrayLongEqCount(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
   }
 }
 
@@ -370,5 +375,82 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Shannon entropy (nats) of the character distribution of a string,
+  * restricted to the 27-symbol alphabet `a`..`z` + space (input is expected
+  * pre-lowercased). One codegen'd pass over the bytes replaces an explode +
+  * per-char groupBy, so the quality signal never shuffles. Terms are summed
+  * in fixed alphabet order (`a`..`z`, then space) so the double result is
+  * bit-identical to any oracle that folds counts in the same order. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires a string column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val counts = new Array[Long](27)
+    var total = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') { counts(b - 'a') += 1; total += 1 }
+      else if (b == ' ') { counts(26) += 1; total += 1 }
+      i += 1
+    }
+    if (total == 0L) 0.0
+    else {
+      var h = 0.0
+      var k = 0
+      while (k < 27) {
+        val c = counts(k)
+        if (c > 0L) {
+          val p = c.toDouble / total
+          h -= p * math.log(p)
+        }
+        k += 1
+      }
+      h
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val counts = ctx.freshName("counts")
+      val total = ctx.freshName("total")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val p = ctx.freshName("p")
+      s"""
+        byte[] $bytes = $c.getBytes();
+        long[] $counts = new long[27];
+        long $total = 0L;
+        for (int $i = 0; $i < $bytes.length; $i++) {
+          byte b = $bytes[$i];
+          if (b >= 'a' && b <= 'z') { $counts[b - 'a']++; $total++; }
+          else if (b == ' ') { $counts[26]++; $total++; }
+        }
+        double $h = 0.0;
+        if ($total > 0L) {
+          for (int $k = 0; $k < 27; $k++) {
+            if ($counts[$k] > 0L) {
+              double $p = (double) $counts[$k] / $total;
+              $h -= $p * java.lang.Math.log($p);
+            }
+          }
+        }
+        ${ev.value} = $h;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }

@@ -56,6 +56,50 @@ object TableFixtures {
         t.append(orders.filter(col("o_orderkey") % 3 === i))
         t.createOrReplaceBranch(s"v${i + 1}")
       }
+      // immutable tag on the final state (branch vs tag surface: t_refs)
+      t.createTag("rel-1")
+      t
+    })
+
+  /**
+   * Rollback fixture: three appends, then `rollback_to_snapshot` back to the
+   * state after batch 1 (Iceberg's rollback procedure — history is kept,
+   * main just rewinds). Current state == orders where o_orderkey % 3 <= 1.
+   */
+  def ordersRolledBack(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_rolled_back", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_rolled_back"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_rolled_back",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      val keep = t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      t.rollbackToSnapshot(keep.id)
+      t
+    })
+
+  /**
+   * Changelog fixture: batch 0 appended (branch `c1`), then a CoW DELETE of
+   * o_totalprice > 300000 and a CoW UPDATE re-prioritizing the
+   * 200000..300000 band (branch `c2`). `changelogBetween("c1","c2")` must
+   * emit exactly: DELETEs for the removed rows, DELETE+INSERT pre/post
+   * image pairs for the updated rows, nothing for carried-over rows.
+   */
+  def ordersChangelog(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_changelog", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_changelog"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_changelog",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.createOrReplaceBranch("c1")
+      t.deleteWhere(col("o_totalprice") > 300000)
+      t.updateWhere(col("o_totalprice") > 200000, Seq(
+        "o_orderpriority" -> lit("X-CHANGED")))
+      t.createOrReplaceBranch("c2")
       t
     })
 

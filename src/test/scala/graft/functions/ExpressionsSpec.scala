@@ -79,6 +79,41 @@ class ExpressionsSpec extends SparkTestBase {
       s"no WSCG in:\n$plan")
   }
 
+  test("char_entropy matches a reference implementation, in codegen") {
+    import spark.implicits._
+    def ref(s: String): Double = {
+      val counts = s.getBytes("UTF-8")
+        .filter(b => (b >= 'a' && b <= 'z') || b == ' ')
+        .groupBy(identity).map { case (b, a) => b -> a.length.toLong }
+      val alphabet = ('a' to 'z').map(_.toByte) :+ ' '.toByte
+      val total = counts.values.sum
+      if (total == 0) 0.0
+      else alphabet.foldLeft(0.0) { (h, b) =>
+        counts.get(b).fold(h) { c =>
+          val p = c.toDouble / total; h - p * math.log(p)
+        }
+      }
+    }
+    val inputs = Seq("", "aaaa", "ab", "the quick brown fox", "1234!?", "a1b2")
+    val df = inputs.toDF("s")
+      .select(col("s"), GraftFunctions.char_entropy(col("s")).as("h"))
+    // spark.range is a codegen source: the expression must compile inside a
+    // WholeStageCodegen span (local Seqs constant-fold to LocalTableScan)
+    val ranged = spark.range(10)
+      .select(GraftFunctions.char_entropy(
+        concat(lit("doc "), col("id").cast("string"))).as("h"))
+    assert(ranged.queryExecution.executedPlan.toString
+      .contains("*(1) Project [charentropy"),
+      s"no WSCG in:\n${ranged.queryExecution.executedPlan}")
+    ranged.collect() // and it must actually execute through codegen
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    inputs.foreach(s => assert(got(s) === ref(s), s"input '$s'"))
+    // uniform 2-symbol string: exactly ln(2)
+    assert(math.abs(got("ab") - math.log(2)) < 1e-15)
+    assert(got("aaaa") === 0.0)   // single symbol: zero entropy
+    assert(got("1234!?") === 0.0) // nothing in the alphabet: zero, not NaN
+  }
+
   test("SQL registration works") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -141,6 +141,24 @@ class CorpusSpec extends SparkTestBase {
       .filter(col("s") === "b").count() === 0)
   }
 
+  test("balanceToSmallest downsamples every domain to the smallest's token mass") {
+    import spark.implicits._
+    // domain a: 100 docs x 2 tokens = 200; domain b: 100 docs x 8 tokens = 800
+    val d = (0L until 100L).map(i => (i, "a", "t t")) ++
+      (100L until 200L).map(i => (i, "b", "t t t t t t t t"))
+    val out = Corpus.balanceToSmallest(d.toDF("id", "dom", "text"),
+      "text", "dom", "id", buckets = 100)
+    val fracs = out.select("dom", "keep_frac").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fracs("a") === 1.0)   // the smallest domain keeps everything
+    assert(fracs("b") === 0.25)  // 200/800
+    val counts = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") === 100L)
+    // ids 100..199 -> id%100 < 25 keeps exactly 25 docs
+    assert(counts("b") === 25L)
+  }
+
   test("hashed stratifiedSample hits fractions approximately and is salt-stable") {
     import spark.implicits._
     val d = (0L until 2000L).map(i => (i, "x")).toDF("id", "s")
