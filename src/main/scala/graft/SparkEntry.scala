@@ -444,16 +444,17 @@ object SparkEntry {
     }),
 
     // sub-document (chunk-level) dedup: segment docs into 20-token windows,
-    // count chunk instances whose text recurs anywhere in the corpus — the
-    // ccnet line-dedup shape at token-window granularity. One hash shuffle
-    // on the chunk content key; the doc text itself never shuffles.
+    // count chunk instances whose content recurs anywhere in the corpus —
+    // the ccnet line-dedup shape at token-window granularity. The one hash
+    // shuffle carries a 16-byte md5 content key, never the chunk text.
     "d_chunk_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       Corpus.chunkByTokens(
           T(s, dir, "documents").select("doc_id", "source", "text"),
           "text", chunkSize = 20)
+        .select(col("source"), md5(col("chunk_text")).as("chunk_key"))
         .withColumn("occurrences",
-          count(lit(1)).over(Window.partitionBy(col("chunk_text"))))
+          count(lit(1)).over(Window.partitionBy(col("chunk_key"))))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("occurrences") > 1, 1L).otherwise(0L)).as("dup_chunks"))
@@ -1286,11 +1287,12 @@ object SparkEntry {
              unnest(generate_series(0, cast(floor((len(tk)+19)/20.0) AS int) - 1)) AS i
            FROM toks),
          chunks AS (
-           SELECT source, array_to_string(tk[i*20+1 : i*20+20], ' ') AS chunk_text
+           SELECT source,
+             md5(array_to_string(tk[i*20+1 : i*20+20], ' ')) AS chunk_key
            FROM idx),
          occ AS (
            SELECT source,
-             count(*) OVER (PARTITION BY chunk_text) AS occurrences
+             count(*) OVER (PARTITION BY chunk_key) AS occurrences
            FROM chunks)
          SELECT source, count(*) AS n_chunks,
            cast(sum(CASE WHEN occurrences > 1 THEN 1 ELSE 0 END) AS bigint) AS dup_chunks

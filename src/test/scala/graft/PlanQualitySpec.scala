@@ -159,6 +159,37 @@ class PlanQualitySpec extends SparkTestBase {
       s"mean update must not globally sort:\n$plan")
   }
 
+  test("balanceToSmallest joins the per-domain fractions by broadcast") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Corpus.balanceToSmallest(docs, "text", "source", "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    // the fraction table is n_domains rows — the corpus-side join must be a
+    // broadcast probe, never a sort-merge shuffle of the full corpus
+    assert(plan.contains("BroadcastHashJoin"), s"fractions must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the full corpus must never shuffle for the mix join:\n$plan")
+  }
+
+  test("chunk-dedup window shuffles the md5 content key, not the chunk text") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Corpus.chunkByTokens(
+        docs.select("doc_id", "source", "text"), "text", chunkSize = 20)
+      .select(col("source"), md5(col("chunk_text")).as("chunk_key"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("chunk_key"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(when(col("occ") > 1, 1L).otherwise(0L)).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(chunk_key"),
+      s"expected the window exchange on the content key:\n$plan")
+    // column pruning must drop text/chunk_text before the exchange: the
+    // shuffled row is (source, chunk_key) only
+    val exchangeLine = plan.linesIterator
+      .find(_.contains("Exchange hashpartitioning(chunk_key")).get
+    assert(!exchangeLine.contains("text"),
+      s"chunk text must not ride the dedup shuffle:\n$exchangeLine")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
