@@ -461,6 +461,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // incremental dedup (daily ingestion): the accumulated corpus already
+    // holds every doc_id % 10 == 0 document; the full table arrives as the
+    // new batch — only content not already in the corpus survives
+    "d_incremental" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.incrementalDedup(d, d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     "d_exact_dedup_kept" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val withDups = d.unionByName(
@@ -625,6 +637,12 @@ object SparkEntry {
       Sessionize.funnelCounts(T(s, dir, "events"),
         Seq("view", "click", "purchase"))),
 
+    // cohort retention triangle: distinct users active N days after their
+    // first-event day, one user-keyed shuffle for cohort + activity days
+    "e_retention" -> ((s, dir) =>
+      Sessionize.retentionCohorts(T(s, dir, "events"))
+        .orderBy("cohort", "offset_days")),
+
     // pivot: events per type per day as a wide table
     // full CUBE: every grouping-set combination incl. both-null grand total
     "q19_cube" -> ((s, dir) =>
@@ -647,6 +665,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sumCents(col("l_quantity")).as("qty_cents"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
+
+    // correlated scalar subqueries (Catalyst decorrelates both into one
+    // aggregated self-join): orders strictly above their customer's mean,
+    // compared in exact integer space (price*n > sum) so no float boundary
+    "q24_correlated" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_above
+        FROM orders_v o
+        WHERE cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+              * (SELECT count(*) FROM orders_v i
+                 WHERE i.o_custkey = o.o_custkey)
+            > (SELECT sum(cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint))
+               FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey""")
+    }),
 
     // EXISTS-style left-semi join: customers with at least one open order,
     // the complement of q8's anti join
@@ -822,7 +856,26 @@ object SparkEntry {
     "t_refs" -> ((s, dir) =>
       TableFixtures.ordersVersioned(s, dir).refsDF
         .select(col("name"), col("type"))
-        .orderBy("name", "type"))
+        .orderBy("name", "type")),
+
+    // schema evolution: ADD COLUMN is a metadata commit; pre-evolution
+    // files read the new column as null, post-evolution rows carry values
+    "t_add_column" -> ((s, dir) =>
+      TableFixtures.ordersEvolved(s, dir).toDF
+        .groupBy(col("o_channel"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy(col("o_channel").asc_nulls_first)),
+
+    // two-stage salted aggregation (the hot-key shape AQE does not cover):
+    // must equal the plain one-stage groupBy exactly
+    "e_salted_agg" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("value_cents", cents(col("value")))
+      graft.ops.Skew.saltedSumCount(ev, Seq("event_type"), salts = 32,
+          "value_cents")
+        .orderBy("event_type")
+    })
   )
 
   // =====================================================================
@@ -1307,6 +1360,23 @@ object SparkEntry {
            count(*) AS group_size, min(doc_id) AS keeper_id
          FROM withdups GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key""",
 
+    "d_incremental" ->
+      """WITH existing AS (
+           SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+           FROM documents WHERE doc_id % 10 = 0),
+         fresh AS (
+           SELECT d.lang, d.doc_id,
+             md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS k
+           FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.k =
+             md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')))),
+         kept AS (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id ASC) AS rn
+           FROM fresh)
+         SELECT lang, count(*) AS n_kept, cast(sum(doc_id) AS bigint) AS id_sum
+         FROM kept WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+
     "d_exact_dedup_kept" ->
       """WITH withdups AS (
            SELECT doc_id, text, lang FROM documents
@@ -1575,6 +1645,16 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
+    "q24_correlated" ->
+      """SELECT o_custkey, count(*) AS n_above
+         FROM orders o
+         WHERE cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               * (SELECT count(*) FROM orders i
+                  WHERE i.o_custkey = o.o_custkey)
+             > (SELECT sum(cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint))
+                FROM orders i WHERE i.o_custkey = o.o_custkey)
+         GROUP BY o_custkey ORDER BY o_custkey""",
+
     "q20_semijoin" ->
       s"""SELECT c_mktsegment, count(*) AS n_customers,
          ${centsSql("c_acctbal")} AS acctbal_cents
@@ -1633,6 +1713,17 @@ object SparkEntry {
       """SELECT cast(date_trunc('day', ts) AS date) AS day, event_type,
          count(*) AS n, round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "e_retention" ->
+      """WITH peruser AS (
+           SELECT user_id, min(cast(ts AS date)) AS cohort
+           FROM events GROUP BY 1),
+         userdays AS (
+           SELECT DISTINCT e.user_id, p.cohort, cast(e.ts AS date) AS d
+           FROM events e JOIN peruser p USING (user_id))
+         SELECT cohort, cast(date_diff('day', cohort, d) AS int) AS offset_days,
+           count(*) AS n_users
+         FROM userdays GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // --- table-layer oracles: deterministic recompute from raw parquet ---
 
@@ -1772,6 +1863,18 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            ('main', 'BRANCH'), ('rel-1', 'TAG'), ('v1', 'BRANCH'),
            ('v2', 'BRANCH'), ('v3', 'BRANCH')) AS r(name, type)
-         ORDER BY name, type"""
+         ORDER BY name, type""",
+
+    "t_add_column" ->
+      s"""SELECT CASE WHEN o_orderkey % 3 = 1
+           THEN upper(substr(o_orderpriority, 1, 1)) END AS o_channel,
+         count(*) AS n, ${centsSql("o_totalprice")} AS total_cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    "e_salted_agg" ->
+      s"""SELECT event_type, ${centsSql("value")} AS sum_value_cents,
+         count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

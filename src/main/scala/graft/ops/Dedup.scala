@@ -40,6 +40,30 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
       .filter(col("group_size") > 1)
 
+  /**
+   * Incremental exact dedup — the daily-ingestion shape: drop incoming rows
+   * whose content already exists in the accumulated corpus, then self-dedup
+   * what survives (lowest id wins). `existing` only needs the text column;
+   * in production it is the stored digest column of the corpus table, so
+   * the anti-join shuffles 16-byte keys, never document text.
+   *
+   * Scale: one hash shuffle of (key) on each side for the anti-join — no
+   * broadcast hint, the accumulated corpus is unbounded and AQE can still
+   * choose broadcast while the batch or the corpus key set is small — plus
+   * the self-dedup window on the same key.
+   */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val existingKeys = existing
+      .select(contentKey(col(textCol)).as("__k")).distinct()
+    val fresh = incoming.withColumn("__k", contentKey(col(textCol)))
+      .join(existingKeys, Seq("__k"), "left_anti")
+    val w = Window.partitionBy(col("__k")).orderBy(col(idCol).asc)
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__k")
+  }
+
   // --- MinHash + LSH -----------------------------------------------------
 
   /** splitmix64-derived odd multipliers/offsets for the affine minhash

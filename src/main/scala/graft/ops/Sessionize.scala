@@ -119,4 +119,29 @@ object Sessionize {
     }
     paths.agg(count(lit(1)).as("n_users"), stepCols: _*)
   }
+
+  /**
+   * Cohort retention: assign each user to the calendar-day cohort of their
+   * first event, then count distinct active users per (cohort, day-offset).
+   * The classic product-analytics retention triangle.
+   *
+   * Scale: one shuffle keyed on the user column computes BOTH the cohort
+   * min and the distinct activity days (a self-join on user_id would
+   * shuffle the events twice); the (cohort, offset) rollup then aggregates
+   * the already-distinct user-day pairs.
+   */
+  def retentionCohorts(events: DataFrame,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val day = to_date(col(tsCol))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(day).as("cohort"),
+        collect_set(day).as("__days"))
+    perUser
+      .select(col("cohort"),
+        explode(col("__days")).as("__day"))
+      .withColumn("offset_days", datediff(col("__day"), col("cohort")))
+      .groupBy(col("cohort"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -81,6 +81,27 @@ object TableFixtures {
     })
 
   /**
+   * Schema-evolution fixture: batch 0 written under the original schema,
+   * then `ALTER TABLE ADD COLUMN o_channel string` (one metadata commit, no
+   * file rewrite), then batch 1 appended WITH the new column populated
+   * deterministically. Old files read the column as null.
+   */
+  def ordersEvolved(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_evolved", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_evolved"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_evolved",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.addColumn("o_channel", org.apache.spark.sql.types.StringType,
+        comment = Some("acquisition channel, added in v2"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_channel", upper(substring(col("o_orderpriority"), 1, 1))))
+      t
+    })
+
+  /**
    * Changelog fixture: batch 0 appended (branch `c1`), then a CoW DELETE of
    * o_totalprice > 300000 and a CoW UPDATE re-prioritizing the
    * 200000..300000 band (branch `c2`). `changelogBetween("c1","c2")` must

@@ -190,6 +190,34 @@ class PlanQualitySpec extends SparkTestBase {
       s"chunk text must not ride the dedup shuffle:\n$exchangeLine")
   }
 
+  test("incrementalDedup leaves anti-join strategy to AQE (no broadcast hint)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Dedup.incrementalDedup(
+      docs, docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+    // the accumulated corpus is unbounded at 100 TB — forcing a broadcast
+    // of its key set is the scale bug the advisory flagged on the other
+    // kill-list joins; AQE may still broadcast a measured-small side
+    val analyzed = org.apache.spark.sql.graft.bridge.analyzedPlan(df).toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"no forced strategy on the corpus anti-join:\n$analyzed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+  }
+
+  test("retentionCohorts shuffles the events once, keyed on the user") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+    val plan = graft.ops.Sessionize.retentionCohorts(ev)
+      .queryExecution.executedPlan.toString
+    // cohort min and activity-day set come from ONE user-keyed aggregation;
+    // a second scan-side exchange would mean the self-join shape crept in
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"expected exactly one user-keyed exchange, got $userExchanges:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))

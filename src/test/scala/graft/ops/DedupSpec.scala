@@ -32,6 +32,20 @@ class DedupSpec extends SparkTestBase {
     assert(g.head.getAs[Long]("keeper_id") === 1)
   }
 
+  test("incrementalDedup drops known content, then self-dedups the batch") {
+    import spark.implicits._
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(docs, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 1, 2, 5 are (normalized) dups of corpus content; 3, 4, 6 are fresh
+    assert(kept.toSeq === Seq(3L, 4L, 6L))
+    // an empty corpus degrades to plain exactDedup
+    val noCorpus = Dedup.incrementalDedup(docs, corpus.limit(0), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(noCorpus.toSeq === Seq(1L, 3L, 4L, 6L))
+  }
+
   test("jaccard column math") {
     import spark.implicits._
     val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))

@@ -103,4 +103,29 @@ class SessionizeSpec extends SparkTestBase {
     assert(r2.getLong(1) === 1)                      // preview (only 4)
     assert(r2.getLong(2) === 1)                      // preview->click (only 4)
   }
+
+  test("retentionCohorts counts distinct users per cohort and day offset") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: first seen day 1, returns day 2 (twice -> still one user-day)
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 20:00:00")),
+      // user 2: first seen day 1 only
+      (2L, ts("2024-01-01 12:00:00")),
+      // user 3: first seen day 2, returns day 4
+      (3L, ts("2024-01-02 08:00:00")),
+      (3L, ts("2024-01-04 08:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Sessionize.retentionCohorts(ev)
+      .orderBy("cohort", "offset_days")
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2)))
+    assert(r.toSeq === Seq(
+      ("2024-01-01", 0, 2L), // users 1 and 2 on their cohort day
+      ("2024-01-01", 1, 1L), // user 1 returned next day
+      ("2024-01-02", 0, 1L), // user 3's cohort day
+      ("2024-01-02", 2, 1L)  // user 3 returned two days later
+    ))
+  }
 }
