@@ -164,4 +164,53 @@ class OpsInvariantsSpec extends SparkTestBase {
         s"doc ${r.getLong(0)} flag mismatch")
     }
   }
+
+  test("incrementalDedup invariants on random corpora") {
+    import spark.implicits._
+    // short docs from a tiny vocab -> plenty of cross- and self-duplicates
+    val existing = randomDocs(40, 3)
+    val incoming = randomDocs(80, 3).map { case (id, t) => (id + 1000L, t) }
+    def norm(t: String) = t.trim.toLowerCase.split("\\s+").mkString(" ")
+    val existingKeys = existing.map(d => norm(d._2)).toSet
+    val kept = Dedup.incrementalDedup(
+        incoming.toDF("doc_id", "text"), existing.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // truth: drop known content, keep the lowest id per surviving key
+    val truth = incoming.filterNot(d => existingKeys.contains(norm(d._2)))
+      .groupBy(d => norm(d._2)).values.map(_.map(_._1).min).toSet
+    assert(kept === truth)
+    // idempotence: re-ingesting the kept batch against existing+kept is empty
+    val keptDocs = incoming.filter(d => kept.contains(d._1))
+    val union = (existing ++ keptDocs).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedup(keptDocs.toDF("doc_id", "text"), union,
+      "text", "doc_id").count() === 0L)
+  }
+
+  test("retentionCohorts invariants on random event streams") {
+    import spark.implicits._
+    val days = (1 to 9).map(d => f"2024-02-0$d%d")
+    val events = (1L to 300L).map { i =>
+      val user = 1L + rnd.nextInt(25)
+      val day = days(rnd.nextInt(days.size))
+      (user, java.sql.Timestamp.valueOf(s"$day ${10 + rnd.nextInt(10)}:00:00"))
+    }
+    val out = Sessionize.retentionCohorts(events.toDF("user_id", "ts"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    val firstDay = events.groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2.toString.take(10)).min }
+    val userDays = events.map(e => (e._1, e._2.toString.take(10))).distinct
+    // every (cohort, offset) count equals the independent recount
+    val truth = userDays.groupBy { case (u, d) =>
+      val c = firstDay(u)
+      (c, java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(c), java.time.LocalDate.parse(d)).toInt)
+    }.map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    assert(out.toSet === truth)
+    // offset 0 exists for every cohort and counts its newcomers
+    val newcomers = firstDay.groupBy(_._2).map { case (d, us) => d -> us.size.toLong }
+    newcomers.foreach { case (d, n) =>
+      assert(out.contains((d, 0, n)), s"cohort $d day-0 row")
+    }
+  }
 }
