@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, RangeJoin, Sessionize, Similarity, TextAnalysis}
 import graft.queries.TableFixtures
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -875,6 +875,51 @@ object SparkEntry {
       graft.ops.Skew.saltedSumCount(ev, Seq("event_type"), salts = 32,
           "value_cents")
         .orderBy("event_type")
+    }),
+
+    // range (interval) join via the binning rewrite: shipments landing
+    // inside 7-day promotion windows — an equi-join on the bin id plus an
+    // exact residual filter, never a cross join (see [[RangeJoin]])
+    "q25_range_join" -> ((s, dir) => {
+      val epoch = lit("1992-01-01").cast("date")
+      val promos = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 10 === 0)
+        .select(
+          datediff(col("o_orderdate"), epoch).cast("long").as("promo_start"),
+          (datediff(col("o_orderdate"), epoch) + 6).cast("long").as("promo_end"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("promo_month"))
+      val ships = T(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"),
+          col("l_quantity"))
+      RangeJoin.pointInInterval(ships, promos,
+          "ship_day", "promo_start", "promo_end", binWidth = 7L)
+        .groupBy(col("promo_month"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sumCents(col("l_quantity")).as("qty_cents"))
+        .orderBy("promo_month")
+    }),
+
+    // event-time RANGE window frame (q18 covers ROW frames): per event the
+    // trailing-1-hour count and exact cents sum for its user, aggregated
+    // per event type — one user-keyed shuffle, peers-at-same-instant
+    // semantics identical in Spark and DuckDB
+    "e_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600L * 1000000L
+      val ev = T(s, dir, "events")
+        .withColumn("value_cents", cents(col("value")))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, 0L)
+      ev.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(col("value_cents")).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_1h")).cast("long").as("sum_n_1h"),
+          max(col("n_1h")).cast("long").as("max_n_1h"),
+          sum(col("cents_1h").cast("decimal(38,0)")).cast("long").as("sum_cents_1h"))
+        .orderBy("event_type")
     })
   )
 
@@ -1724,6 +1769,29 @@ object SparkEntry {
          SELECT cohort, cast(date_diff('day', cohort, d) AS int) AS offset_days,
            count(*) AS n_users
          FROM userdays GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // plain theta-join ground truth for the binned range join
+    "q25_range_join" ->
+      s"""SELECT cast(date_trunc('month', o.o_orderdate) AS date) AS promo_month,
+         count(*) AS n_pairs, ${centsSql("l.l_quantity")} AS qty_cents
+         FROM orders o JOIN lineitem l
+           ON date_diff('day', cast(o.o_orderdate AS date),
+                cast(l.l_shipdate AS date)) BETWEEN 0 AND 6
+         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 10 = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "e_rolling" ->
+      """WITH r AS (
+           SELECT event_type,
+             count(*) OVER w AS n_1h,
+             sum(cast(cast(value AS decimal(18,2)) * 100 AS bigint)) OVER w AS cents_1h
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         SELECT event_type, count(*) AS n, cast(sum(n_1h) AS bigint) AS sum_n_1h,
+           cast(max(n_1h) AS bigint) AS max_n_1h,
+           cast(sum(cents_1h) AS bigint) AS sum_cents_1h
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     // --- table-layer oracles: deterministic recompute from raw parquet ---
 

@@ -218,6 +218,21 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected exactly one user-keyed exchange, got $userExchanges:\n$plan")
   }
 
+  test("range join lowers to an equi-join on the bin, never a cross join") {
+    import spark.implicits._
+    val pts = (1L to 100L).map(i => (i, i * 3 % 97)).toDF("p_id", "p")
+    val ivals = (1L to 30L).map(i => (i, i * 2, i * 2 + 10)).toDF("i_id", "lo", "hi")
+    val plan = graft.ops.RangeJoin
+      .pointInInterval(pts, ivals, "p", "lo", "hi", binWidth = 8L)
+      .queryExecution.executedPlan.toString
+    // the binning rewrite's whole point: the quadratic theta-join shapes
+    // must be gone, replaced by a keyed join on __bin
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must not plan a cross join:\n$plan")
+    assert(plan.contains("__bin"), s"expected the bin equi-join key:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))

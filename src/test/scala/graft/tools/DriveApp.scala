@@ -114,6 +114,17 @@ object DriveApp {
     println("== native expressions via SQL")
     graft.functions.GraftFunctions.register(spark)
     spark.sql("SELECT rolling_hash('graft') AS h, vec_cosine(array(1.0F,2.0F), array(2.0F,1.0F)) AS c").show()
+    println("== range join: binned interval join, no cross product")
+    locally {
+      import spark.implicits._
+      val pts = Seq((1L, 5L), (2L, 12L), (3L, 40L)).toDF("p_id", "p")
+      val ivs = Seq((10L, 0L, 10L), (11L, 10L, 20L)).toDF("i_id", "lo", "hi")
+      val rj = graft.ops.RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 8L)
+      val hits = rj.select("p_id", "i_id").collect()
+        .map(r => s"${r.getLong(0)}->${r.getLong(1)}").sorted.mkString(",")
+      val crossFree = !rj.queryExecution.executedPlan.toString.contains("CartesianProduct")
+      println(s"range-join hits=$hits crossFree=$crossFree")
+    }
     spark.stop()
   }
 }

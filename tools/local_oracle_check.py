@@ -60,6 +60,10 @@ def main():
             print(f"[rows-only] {name}: no oracle (weaker check)")
             continue
     for name, sql in sorted(oracle.items()):
+        # targeted SPARK_GRAFT_VERIFY_ONLY runs dump a subset of parquet
+        # dirs; silently skip oracles with nothing to compare against
+        if not os.path.isdir(os.path.join(outdir, name)):
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
