@@ -473,6 +473,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // the same incremental dedup through the Bloom bypass (the large-large
+    // shape where neither side broadcasts): must equal d_incremental
+    // exactly — the exact join removes every Bloom false positive
+    "d_bloom_incremental" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.incrementalDedupBloom(d, d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", expectedItems = 1000000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     "d_exact_dedup_kept" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val withDups = d.unionByName(
@@ -929,6 +941,25 @@ object SparkEntry {
 
   private val wordset =
     "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+
+  /** Shared ground truth for d_incremental and d_bloom_incremental: the
+    * Bloom bypass must not change a single row. */
+  private val incrementalDedupSql =
+    """WITH existing AS (
+         SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+         FROM documents WHERE doc_id % 10 = 0),
+       fresh AS (
+         SELECT d.lang, d.doc_id,
+           md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS k
+         FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.k =
+           md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')))),
+       kept AS (
+         SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY k ORDER BY doc_id ASC) AS rn
+         FROM fresh)
+       SELECT lang, count(*) AS n_kept, cast(sum(doc_id) AS bigint) AS id_sum
+       FROM kept WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
 
   /** DuckDB twin of [[graft.functions.CharEntropy]]'s count pass: per-char
     * occurrence counts over lowered text `t`, in the SAME fixed alphabet
@@ -1405,22 +1436,10 @@ object SparkEntry {
            count(*) AS group_size, min(doc_id) AS keeper_id
          FROM withdups GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key""",
 
-    "d_incremental" ->
-      """WITH existing AS (
-           SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
-           FROM documents WHERE doc_id % 10 = 0),
-         fresh AS (
-           SELECT d.lang, d.doc_id,
-             md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS k
-           FROM documents d
-           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.k =
-             md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')))),
-         kept AS (
-           SELECT lang, doc_id,
-             row_number() OVER (PARTITION BY k ORDER BY doc_id ASC) AS rn
-           FROM fresh)
-         SELECT lang, count(*) AS n_kept, cast(sum(doc_id) AS bigint) AS id_sum
-         FROM kept WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    "d_incremental" -> incrementalDedupSql,
+
+    // byte-identical semantics through the Bloom-prefiltered path
+    "d_bloom_incremental" -> incrementalDedupSql,
 
     "d_exact_dedup_kept" ->
       """WITH withdups AS (

@@ -64,6 +64,31 @@ object Dedup {
       .drop("__rn", "__k")
   }
 
+  /**
+   * [[incrementalDedup]] with a Bloom bypass on the corpus anti-join (see
+   * [[Bloom.antiJoinKeys]]): batch rows whose digest is definitely not in
+   * the accumulated corpus skip the anti-join shuffle entirely; only
+   * might-contain candidates pay it. Output is EXACTLY
+   * [[incrementalDedup]]'s — the exact join removes Bloom false positives.
+   * This is the preferred shape when the batch is mostly-new content and
+   * the corpus key set is far beyond broadcast size.
+   *
+   * @param expectedItems corpus distinct-digest estimate for filter sizing
+   *                      (underestimates cost candidates, never results)
+   */
+  def incrementalDedupBloom(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val existingKeys = existing.select(contentKey(col(textCol)).as("__ek"))
+    val fresh = Bloom.antiJoinKeys(
+      incoming.withColumn("__k", contentKey(col(textCol))), existingKeys,
+      "__k", "__ek", expectedItems, fpp)
+    val w = Window.partitionBy(col("__k")).orderBy(col(idCol).asc)
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__k")
+  }
+
   // --- MinHash + LSH -----------------------------------------------------
 
   /** splitmix64-derived odd multipliers/offsets for the affine minhash

@@ -233,6 +233,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("__bin"), s"expected the bin equi-join key:\n$plan")
   }
 
+  test("bloom anti-join: the definitely-absent branch joins nothing") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    import spark.implicits._
+    val left = (1L to 500L).map(i => (i, i % 97)).toDF("id", "k")
+    val right = (1L to 50L).map(Tuple1(_)).toDF("rk")
+    val df = graft.ops.Bloom.antiJoinKeys(left, right, "k", "rk", expectedItems = 50)
+    val plan = org.apache.spark.sql.graft.bridge.analyzedPlan(df)
+    val union = plan.collectFirst { case u: Union => u }.get
+    val bypass = union.children.head
+    // rows the filter rejects outright must reach the output WITHOUT any
+    // join (and hence without the anti-join shuffle) — that is the entire
+    // point of the prefilter
+    assert(bypass.collectFirst { case j: Join => j }.isEmpty,
+      s"bypass branch must not join:\n$bypass")
+    val probes = bypass.expressions.flatMap(_.collect {
+      case b: BloomFilterMightContain => b
+    })
+    assert(probes.nonEmpty, s"bypass branch must carry the bloom probe:\n$bypass")
+    // and the candidate branch does join (bloom false positives removed)
+    assert(union.children.last.collectFirst { case j: Join => j }.nonEmpty)
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))

@@ -125,6 +125,16 @@ object DriveApp {
       val crossFree = !rj.queryExecution.executedPlan.toString.contains("CartesianProduct")
       println(s"range-join hits=$hits crossFree=$crossFree")
     }
+    println("== bloom-prefiltered anti join: exact result, bypassed shuffle")
+    locally {
+      import spark.implicits._
+      val batch = (1L to 100L).map(i => (i, i % 60)).toDF("id", "k")
+      val corpus = (0L to 29L).map(Tuple1(_)).toDF("ck")
+      val kept = graft.ops.Bloom.antiJoinKeys(batch, corpus, "k", "ck", 30L)
+      val plainKept = batch.join(corpus, col("k") === col("ck"), "left_anti")
+      println(s"bloom-anti kept=${kept.count()} plain=${plainKept.count()} " +
+        s"equal=${kept.count() == plainKept.count()}")
+    }
     spark.stop()
   }
 }
