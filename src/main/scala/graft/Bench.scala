@@ -44,6 +44,7 @@ object Bench {
       graft.queries.TableFixtures.ordersRolledBack(spark, sfDir)
       graft.queries.TableFixtures.ordersChangelog(spark, sfDir)
       graft.queries.TableFixtures.ordersEvolved(spark, sfDir)
+      graft.queries.TableFixtures.bucketedTables(spark, sfDir)
     } catch { case _: Throwable => }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // local-iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those

@@ -889,6 +889,18 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // co-located (bucketed) join: both tables pre-bucketed on the order
+    // key, so the join itself needs NO exchange — only the tiny post-join
+    // aggregation shuffles. Result must equal the plain parquet join.
+    "q26_bucketed_join" -> ((s, dir) => {
+      val (o, l) = TableFixtures.bucketedTables(s, dir)
+      s.table(o).join(s.table(l), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sumCents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // range (interval) join via the binning rewrite: shipments landing
     // inside 7-day promotion windows — an equi-join on the bin id plus an
     // exact residual filter, never a cross join (see [[RangeJoin]])
@@ -1788,6 +1800,13 @@ object SparkEntry {
          SELECT cohort, cast(date_diff('day', cohort, d) AS int) AS offset_days,
            count(*) AS n_users
          FROM userdays GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the bucketed layout must not change a single row
+    "q26_bucketed_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+         ${centsSql("l_extendedprice")} AS price_cents
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
 
     // plain theta-join ground truth for the binned range join
     "q25_range_join" ->

@@ -311,4 +311,29 @@ object TableFixtures {
       t.rewriteManifests()
       t
     })
+
+  private val bucketedCache = TrieMap.empty[String, (String, String)]
+
+  /**
+   * `orders` + `lineitem` written once as BUCKETED catalog tables — 8
+   * buckets on the order key, bucket-sorted — so the orderkey join is
+   * co-located: both scans expose the same hash partitioning and
+   * EnsureRequirements inserts NO exchange (the 100 TB pre-shuffle
+   * technique: pay the layout once at write, join shuffle-free forever;
+   * `PlanQualitySpec` pins the exchange-free plan). Returns the two
+   * qualified table names.
+   */
+  def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
+    bucketedCache.getOrElseUpdate(sfDir, {
+      val db = s"graft_buckets_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$baseDir/$db'")
+      val (o, l) = (s"$db.orders_b", s"$db.lineitem_b")
+      spark.sql(s"DROP TABLE IF EXISTS $o")
+      spark.sql(s"DROP TABLE IF EXISTS $l")
+      read(spark, sfDir, "orders").write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o)
+      read(spark, sfDir, "lineitem").write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(l)
+      (o, l)
+    })
 }

@@ -256,6 +256,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(union.children.last.collectFirst { case j: Join => j }.nonEmpty)
   }
 
+  test("bucketed co-located join needs no exchange on the join key") {
+    val (o, l) = graft.queries.TableFixtures
+      .bucketedTables(spark, "/root/testdata/sf0.001")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (broadcast would hide the co-location)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = spark.table(o)
+        .join(spark.table(l), col("o_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
