@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, RangeJoin, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, RangeJoin, Sessionize, Similarity, TextAnalysis, TimeSeries}
 import graft.queries.TableFixtures
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -888,6 +888,41 @@ object SparkEntry {
           "value_cents")
         .orderBy("event_type")
     }),
+
+    // multiset EXCEPT ALL (q7 covers distinct EXCEPT): per-customer open
+    // orders minus finished orders with multiplicity — survivors keep
+    // open_count - finished_count copies
+    "q27_except_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_excess"))
+        .orderBy("o_custkey")
+    }),
+
+    // multiset INTERSECT ALL (q21 covers distinct INTERSECT): kept
+    // multiplicity = least(open_count, finished_count)
+    "q28_intersect_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersectAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_common"))
+        .orderBy("o_custkey")
+    }),
+
+    // time-series gap fill with LOCF: per-user daily grid between first
+    // and last active day, missing days carry the last observed daily
+    // cents total forward (see [[TimeSeries.dailyLocf]])
+    "e_gapfill" -> ((s, dir) =>
+      TimeSeries.dailyLocf(T(s, dir, "events")
+          .withColumn("value_cents", cents(col("value"))),
+          "user_id", "ts", sum(col("value_cents")))
+        .groupBy(col("day"))
+        .agg(count(col("n")).as("n_active"),
+          (count(lit(1)) - count(col("n"))).as("n_filled"),
+          sum(col("metric_locf").cast("decimal(38,0)")).cast("long")
+            .as("cents_locf_sum"))
+        .orderBy("day")),
 
     // co-located (bucketed) join: both tables pre-bucketed on the order
     // key, so the join itself needs NO exchange — only the tiny post-join
@@ -1800,6 +1835,43 @@ object SparkEntry {
          SELECT cohort, cast(date_diff('day', cohort, d) AS int) AS offset_days,
            count(*) AS n_users
          FROM userdays GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q27_except_all" ->
+      """WITH diff AS (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         SELECT o_custkey, count(*) AS n_excess
+         FROM diff GROUP BY 1 ORDER BY 1""",
+
+    "q28_intersect_all" ->
+      """WITH common AS (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         SELECT o_custkey, count(*) AS n_common
+         FROM common GROUP BY 1 ORDER BY 1""",
+
+    "e_gapfill" ->
+      """WITH daily AS (
+           SELECT user_id, cast(date_trunc('day', ts) AS date) AS day,
+             count(*) AS n,
+             sum(cast(cast(value AS decimal(18,2)) * 100 AS bigint)) AS cents
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         alldays AS (
+           SELECT s.user_id, cast(u.d AS date) AS day
+           FROM spans s, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS u(d)),
+         filled AS (
+           SELECT a.user_id, a.day, d.n,
+             last_value(d.cents IGNORE NULLS) OVER (PARTITION BY a.user_id
+               ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cents_locf
+           FROM alldays a LEFT JOIN daily d USING (user_id, day))
+         SELECT day, count(n) AS n_active, count(*) - count(n) AS n_filled,
+           cast(sum(cents_locf) AS bigint) AS cents_locf_sum
+         FROM filled GROUP BY 1 ORDER BY 1""",
 
     // the bucketed layout must not change a single row
     "q26_bucketed_join" ->

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Regular-grid time-series repair over event streams: aggregate to a daily
+ * grid per key, materialize the missing days, and carry the last observed
+ * value forward (LOCF — the standard gap-fill for metric dashboards and
+ * feature pipelines that expect one row per key per day).
+ *
+ * Scale shape: the daily aggregate, the span bounds, the grid join and the
+ * LOCF window are ALL keyed on the same column, so the whole pipeline is
+ * one hash shuffle of the (small) daily aggregate plus same-key stages
+ * that reuse its partitioning; the raw events shuffle once into the first
+ * aggregate and never again. Grid materialization is `sequence()` +
+ * `explode` on the span row — one output row per (key, day), never a
+ * cross join against a calendar table.
+ */
+object TimeSeries {
+
+  /**
+   * One row per `keyCol` per day between that key's first and last active
+   * day: `(keyCol, day, n, metric, metric_locf)` where `n`/`metric` are
+   * null on gap days and `metric_locf` carries the last observed `metric`
+   * forward (never null — day one is observed by construction).
+   *
+   * @param events  raw rows
+   * @param keyCol  grid key (user, device, document source, …)
+   * @param tsCol   event-time timestamp column
+   * @param metric  per-day aggregate to fill (applied inside the daily
+   *                groupBy, e.g. `sum(value_cents)`)
+   */
+  def dailyLocf(events: DataFrame, keyCol: String, tsCol: String,
+      metric: Column): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), metric.as("metric"))
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val allDays = spans.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allDays.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("metric_locf", last(col("metric"), ignoreNulls = true).over(w))
+  }
+}
