@@ -936,6 +936,43 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // salted fact-dim join (the hot-key join shape when the dimension is
+    // too big to broadcast and AQE's skew split doesn't apply): must equal
+    // the plain join exactly
+    "e_salted_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("value_cents", cents(col("value")))
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(ev, dim, "user_id", salts = 16)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_cents").cast("decimal(38,0)")).cast("long").as("cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // equi-width histogram in exact integer space: bucket = cents DIV 5e6
+    // (truncating integral division on both engines; all values positive)
+    "q29_histogram" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("__c", cents(col("o_totalprice")))
+        .groupBy(expr("__c DIV 5000000").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("bucket")),
+
+    // UNPIVOT (wide -> long), the inverse of q14's pivot
+    "q30_unpivot" -> ((s, dir) => {
+      val wide = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+          count(when(col("o_orderpriority") === "2-HIGH", 1)).as("high"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("other"))
+      wide.unpivot(Array(col("o_orderstatus")),
+          Array(col("urgent"), col("high"), col("other")),
+          "priority_class", "n_orders")
+        .orderBy("o_orderstatus", "priority_class")
+    }),
+
     // range (interval) join via the binning rewrite: shipments landing
     // inside 7-day promotion windows — an equi-join on the bin id plus an
     // exact residual filter, never a cross join (see [[RangeJoin]])
@@ -1835,6 +1872,30 @@ object SparkEntry {
          SELECT cohort, cast(date_diff('day', cohort, d) AS int) AS offset_days,
            count(*) AS n_users
          FROM userdays GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "e_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         cast(sum(cast(cast(cast(value AS decimal(18,2)) * 100 AS bigint)
+           AS decimal(38,0))) AS bigint) AS cents
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q29_histogram" ->
+      s"""SELECT cast(cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+           // 5000000 AS bigint) AS bucket,
+         count(*) AS n, ${centsSql("o_totalprice")} AS total_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q30_unpivot" ->
+      """WITH wide AS (
+           SELECT o_orderstatus,
+             count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+             count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+             count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS other
+           FROM orders GROUP BY 1)
+         SELECT o_orderstatus, priority_class, n_orders
+         FROM wide UNPIVOT (n_orders FOR priority_class IN (urgent, high, other))
+         ORDER BY 1, 2""",
 
     "q27_except_all" ->
       """WITH diff AS (
