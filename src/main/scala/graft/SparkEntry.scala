@@ -575,6 +575,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // euclidean (L2) brute-force top-k — the magnitude-sensitive metric
+    // twin of s_ann_topk, same broadcast-queries single-scan shape
+    "s_ann_l2" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.bruteForceTopKL2(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-space near-duplicate pairs on a deterministic subsample
     "s_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
@@ -1593,6 +1601,24 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
 
     "s_ann_topk" -> annTopkSql,
+
+    // the same fold sequence as VecL2's codegen loop: per-dimension double
+    // subtraction, squared, summed left to right — distances replay
+    // bit-identically, so ranks match exactly
+    "s_ann_l2" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               sqrt(list_sum(list_transform(list_zip(qv, cv),
+                 x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)))) AS dist
+             FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+           ranked AS (
+             SELECT query_id, neighbor_id, dist,
+               cast(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS integer) AS rank
+             FROM scored)
+         SELECT query_id, rank, neighbor_id, round(dist, 4) AS l2_dist
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // exact replay of the int8 quantization: same division, same
     // half-away-from-zero rounding, same position weights (Spark's 0-based

@@ -123,6 +123,71 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Euclidean (L2) distance of two float/double array columns — the metric
+  * twin of [[VecCosine]] with the same sequential left-to-right double fold
+  * (bit-identical to a `list_transform` + `list_sum` recompute, so the
+  * DuckDB oracle can replay distances exactly). */
+case class VecL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(s"VecL2 needs float/double arrays, got $t")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2 requires float/double array columns, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lx = elemIsDouble(left); val ly = elemIsDouble(right)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lx) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (ly) y.getDouble(i) else y.getFloat(i).toDouble
+      val d = xv - yv
+      ss += d * d
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getA = if (elemIsDouble(left)) "getDouble" else "getFloat"
+      val getB = if (elemIsDouble(right)) "getDouble" else "getFloat"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = (double) $a.$getA($i) - (double) $b.$getB($i);
+          $ss += $d * $d;
+        }
+        ${ev.value} = java.lang.Math.sqrt($ss);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2 =
+    copy(left = l, right = r)
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -131,6 +196,9 @@ object GraftFunctions {
 
   def vec_cosine(a: Column, b: Column): Column =
     bridge.column(VecCosine(bridge.expression(a), bridge.expression(b)))
+
+  def vec_l2(a: Column, b: Column): Column =
+    bridge.column(VecL2(bridge.expression(a), bridge.expression(b)))
 
   def wrapping_affine(c: Column, a: Long, b: Long): Column =
     bridge.column(WrappingAffine(bridge.expression(c), a, b))
@@ -153,6 +221,8 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => VecCosine(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2", exprs => VecL2(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_eq_count", exprs => ArrayLongEqCount(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

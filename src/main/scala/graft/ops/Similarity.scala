@@ -57,6 +57,29 @@ object Similarity {
   }
 
   /**
+   * Exact brute-force EUCLIDEAN top-k — [[bruteForceTopK]] with the L2
+   * metric (nearest = smallest distance): the right metric when embedding
+   * magnitude carries signal (cosine ignores it). Same scale shape —
+   * broadcast queries, one corpus scan, no shuffle on the big side.
+   */
+  def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.vec_l2(col("__qv"), col("__cv")).as("__dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("__dist"), 4).as("l2_dist"))
+  }
+
+  /**
    * Deterministic random-hyperplane LSH signature: `planes` sign bits packed
    * into a long. Plane coefficients are pseudo-random derived from
    * xxhash64(dim, plane) — identical across executors with no state.

@@ -169,4 +169,22 @@ object StreamingOps {
           closed.iterator
         })
   }
+
+  /**
+   * Stream-static enrichment join: attach dimension attributes to each
+   * streaming event. The static side is re-planned per micro-batch (Spark's
+   * stream-static join semantics — a dimension refresh is picked up on the
+   * next batch), the join is STATELESS (no watermark, no state store: only
+   * stream-stream joins buffer), and a broadcast-eligible dimension
+   * broadcasts per batch so the stream side never shuffles. Left join keeps
+   * events with no dimension row (null attributes) — dropping them silently
+   * would turn an enrichment into a filter.
+   *
+   * @param dimCols dimension attribute columns to carry (key excluded)
+   */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String, dimCols: Seq[String]): DataFrame =
+    stream.join(dim.select((dimKey +: dimCols).distinct.map(col): _*),
+      col(streamKey) === col(dimKey), "left")
+      .drop(dimKey)
 }

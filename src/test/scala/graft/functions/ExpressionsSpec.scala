@@ -35,6 +35,31 @@ class ExpressionsSpec extends SparkTestBase {
     assert(rows.count(!_.isNullAt(0)) === 90)
   }
 
+  test("vec_l2 matches the sequential-fold reference and handles edge shapes") {
+    import spark.implicits._
+    val df = (1 to 50).map { i =>
+      (Seq.tabulate(64)(d => ((i * 31 + d * 7) % 97 / 97.0f) - 0.5f),
+        Seq.tabulate(64)(d => ((i * 17 + d * 13) % 89 / 89.0f) - 0.5f))
+    }.toDF("a", "b")
+    val rows = df.select(col("a"), col("b"),
+      GraftFunctions.vec_l2(col("a"), col("b")).as("native")).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      var ss = 0.0
+      (0 until 64).foreach { d =>
+        val diff = a(d).toDouble - b(d).toDouble; ss += diff * diff
+      }
+      // exact: the codegen loop folds in the same order as this reference
+      assert(r.getDouble(2) === math.sqrt(ss))
+    }
+    // identical vectors are at distance zero; null propagates
+    val edge = Seq((Seq(1.0f, 2.0f), Option(Seq(1.0f, 2.0f))), (Seq(1.0f, 2.0f), None))
+      .toDF("a", "b")
+      .select(GraftFunctions.vec_l2(col("a"), col("b")).as("d")).collect()
+    assert(edge(0).getDouble(0) === 0.0)
+    assert(edge(1).isNullAt(0))
+  }
+
   test("vec_cosine equals the higher-order-function cosine bit-exactly") {
     import spark.implicits._
     val df = (1 to 50).map { i =>

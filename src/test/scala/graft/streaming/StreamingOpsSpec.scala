@@ -31,6 +31,24 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(rows(("2024-01-01 11:00:00.0", "view")) === ((1L, 3.0)))
   }
 
+  test("enrich stream-static joins dimension attributes per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:02:00"), 9, "view", 3.0)) // no dim row
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
+    val q = StreamingOps.enrich(input.toDF, dim, "user_id", "cust_id", Seq("tier"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    assert(rows === Map(1L -> "GOLD", 2L -> "SILVER", 3L -> null))
+  }
+
   test("streaming sessionize closes sessions on gap and matches batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
