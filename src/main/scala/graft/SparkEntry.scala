@@ -479,7 +479,7 @@ object SparkEntry {
     "d_bloom_incremental" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       Dedup.incrementalDedupBloom(d, d.filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", expectedItems = 1000000L)
+        "text", "doc_id", expectedItems = 100000L)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")

@@ -802,6 +802,40 @@ class GraftTable(val spark: SparkSession, val location: String) {
       m.copy(refs = m.refs + (SnapshotLog.MainBranch -> snapshotId)), conf)
   }
 
+  /**
+   * Iceberg `cherrypick_snapshot`: re-apply an APPEND snapshot's added
+   * files onto the current branch head as a NEW commit. Unlike
+   * [[fastForward]] (which requires ancestry), this publishes staged work
+   * even after the target branch has advanced past the staged snapshot's
+   * base — the WAP publish path for a busy table. Metadata-only: no data
+   * is rewritten, the files are re-referenced and re-stamped with the new
+   * commit's data sequence (so MoR deletes written before the pick do not
+   * apply to them, matching Iceberg's sequence-number semantics).
+   *
+   * Only append snapshots qualify: CoW rewrites / deletes / compactions
+   * encode assumptions about their parent's file set that do not
+   * transplant onto a different head.
+   */
+  def cherryPick(snapshotId: Long, branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val src = m.snapshot(snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"Unknown snapshot $snapshotId on table ${m.name}"))
+      require(src.operation == "append",
+        s"cherry-pick supports append snapshots; " +
+          s"snapshot $snapshotId is '${src.operation}'")
+      val addedSet = src.addedFiles.toSet
+      val picked = src.files.filter(f => addedSet.contains(f.path))
+      val headPaths = resolveWriteBranchHead(m, branch)
+        .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      require(!picked.exists(f => headPaths.contains(f.path)),
+        s"Snapshot $snapshotId is already applied on the target branch")
+      commitSnapshot(m, picked, removed = Seq.empty,
+        operation = "cherrypick", branch,
+        extraSummary = Map("cherry-picked-from" -> snapshotId.toString))
+    }
+
   /** `CALL system.fast_forward(t, to, from)` (reference WapIceberg.scala:81):
     * move `to` up to `from`'s head, requiring `to` to be an ancestor. */
   def fastForward(to: String, from: String): Unit = withCommitLock {

@@ -34,7 +34,8 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("fast_forward", "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
-    "rollback_to_snapshot", "set_partition_spec", "create_changelog_view")
+    "rollback_to_snapshot", "set_partition_spec", "create_changelog_view",
+    "cherrypick_snapshot")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -44,6 +45,7 @@ private[catalog] object GraftProcedures {
       case "rewrite_manifests"   => Some(new RewriteManifests(catalog))
       case "expire_snapshots"    => Some(new ExpireSnapshots(catalog))
       case "rollback_to_snapshot" => Some(new RollbackToSnapshot(catalog))
+      case "cherrypick_snapshot" => Some(new CherrypickSnapshot(catalog))
       case "set_partition_spec"  => Some(new SetPartitionSpec(catalog))
       case "create_changelog_view" => Some(new CreateChangelogView(catalog))
       case _                     => None
@@ -193,6 +195,25 @@ private[catalog] object GraftProcedures {
       val previous = t.meta.refs("main")
       t.rollbackToSnapshot(target)
       result(out, Seq(new GenericInternalRow(Array[Any](previous, target))))
+    }
+  }
+
+  /** `cherrypick_snapshot(table, snapshot_id)`: re-apply an append
+    * snapshot's added files onto the current main head as a new commit
+    * (Iceberg's WAP publish when fast-forward's ancestry requirement
+    * doesn't hold — main moved after staging). */
+  private class CherrypickSnapshot(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "cherrypick_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("snapshot_id", LongType))
+    private val out = StructType(Seq(
+      StructField("source_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val source = input.getLong(1)
+      val snap = t.cherryPick(source)
+      result(out, Seq(new GenericInternalRow(Array[Any](source, snap.id))))
     }
   }
 

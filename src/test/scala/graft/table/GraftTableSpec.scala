@@ -334,6 +334,34 @@ class GraftTableSpec extends SparkTestBase {
     assert(zed.scanWhere(pred).count() === orders.filter(pred).count())
   }
 
+  test("cherryPick publishes a staged append after main advanced") {
+    val loc = tmpDir("graft-cherry")
+    val t = GraftTable.create(spark, loc, "t", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark)) // main: 15 rows
+    // stage day2 on a WAP-style branch (main unaffected)
+    t.createOrReplaceBranch("staged")
+    val stagedSnap = t.append(ActivityData.day2(spark)
+      .filter(col("txn_id").isin("txn16", "txn17")), branch = Some("staged"))
+    // main ADVANCES past the staged snapshot's base: fast-forward is now
+    // impossible (staged is not a descendant), cherry-pick is the publish
+    t.append(ActivityData.day2(spark).filter(col("txn_id") === "txn18"))
+    intercept[IllegalArgumentException](t.fastForward("main", "staged"))
+    val picked = t.cherryPick(stagedSnap.id)
+    assert(picked.operation === "cherrypick")
+    assert(picked.summary("cherry-picked-from") === stagedSnap.id.toString)
+    assert(t.toDF.count() === 18) // 15 + txn18 + the two staged rows
+    assert(t.toDF.filter(col("txn_id").isin("txn16", "txn17")).count() === 2)
+    // picking the same snapshot again is rejected
+    val ex = intercept[IllegalArgumentException](t.cherryPick(stagedSnap.id))
+    assert(ex.getMessage.contains("already applied"))
+    // non-append snapshots do not transplant
+    t.deleteWhere(col("txn_id") === "txn18")
+    val delSnap = t.meta.currentSnapshotId.get
+    assert(intercept[IllegalArgumentException](t.cherryPick(delSnap))
+      .getMessage.contains("append snapshots"))
+  }
+
   test("expire_snapshots keeps branch-pinned + last N, deletes exclusive files") {
     val t = fullPipeline()
     t.dropBranch("day1")

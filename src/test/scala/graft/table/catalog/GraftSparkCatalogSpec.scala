@@ -237,6 +237,18 @@ class GraftSparkCatalogSpec extends SparkTestBase {
         "CALL graft.system.fast_forward('finance.proc', 'main_pin', 'feature2')").collect()
       assert(ff.head.getString(0) === "main_pin")
       assert(t.meta.refs("main_pin") === t.meta.refs("feature2"))
+
+      // cherrypick_snapshot: publish a branch-staged append after main moved
+      t.createOrReplaceBranch("stage3")
+      val staged = t.append(
+        spark.range(1).selectExpr("'z' AS k", "9.0 AS v"), branch = Some("stage3"))
+      spark.sql("INSERT INTO graft.finance.proc (k, v) VALUES ('e', 6.0)")
+      val n = t.toDF.count()
+      val cp = spark.sql(
+        s"CALL graft.system.cherrypick_snapshot('finance.proc', ${staged.id}L)").collect()
+      assert(cp.head.getLong(0) === staged.id)
+      assert(t.toDF.count() === n + 1)
+      assert(t.toDF.filter(col("k") === "z").count() === 1)
     } finally spark.sql("DROP TABLE graft.finance.proc")
   }
 

@@ -90,6 +90,15 @@ object DriveApp {
     ct.createOrReplaceBranch("pin"); ct.append(ActivityData.day3(spark)); ct.createOrReplaceBranch("feat")
     println("call-fast-forward=" + spark.sql("CALL graft.system.fast_forward('fin.act', 'pin', 'feat')").collect().head.getString(0)
       + " pinned=" + (ct.meta.refs("pin") == ct.meta.refs("feat")))
+    // cherry-pick: stage on a branch, advance main, publish the staged append
+    ct.createOrReplaceBranch("cstage")
+    val cstaged = ct.append(ActivityData.day4(spark).filter(col("txn_id") === "txn46"),
+      branch = Some("cstage"))
+    spark.sql("INSERT INTO graft.fin.act (account, txn_date, txn_id, merchant, amount, category, last_updated) " +
+      "SELECT 'acc8', DATE'2024-03-03', 'txn98', 'M', 2.0, 'C', TIMESTAMP'2024-03-03 00:00:00'")
+    val preCherry = ct.toDF.count()
+    val cp = spark.sql(s"CALL graft.system.cherrypick_snapshot('fin.act', ${cstaged.id}L)").collect().head
+    println(s"cherrypick from=${cp.getLong(0)} rows=${ct.toDF.count()} (pre=$preCherry)")
     println("== MERGE INTO + branch DDL through SQL (the reference's write path)")
     spark.sql("SELECT CAST(2024 AS BIGINT) AS id").createOrReplaceTempView("mrg_ids")
     spark.sql("""SELECT 'acc1' AS account, DATE'2024-03-01' AS txn_date, 'txn1' AS txn_id,
