@@ -887,6 +887,16 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy(col("o_channel").asc_nulls_first)),
 
+    // RENAME + DROP COLUMN schema evolution: three file eras (original
+    // name / renamed / renamed+dropped) must union under the current
+    // declared schema with no file rewrite
+    "t_rename_drop" -> ((s, dir) =>
+      TableFixtures.ordersRenamed(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_amount")).as("amount_cents"))
+        .orderBy("o_orderstatus")),
+
     // two-stage salted aggregation (the hot-key shape AQE does not cover):
     // must equal the plain one-stage groupBy exactly
     "e_salted_agg" -> ((s, dir) => {
@@ -1898,6 +1908,12 @@ object SparkEntry {
          SELECT cohort, cast(date_diff('day', cohort, d) AS int) AS offset_days,
            count(*) AS n_users
          FROM userdays GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // recompute over raw orders; o_totalprice IS o_amount post-rename
+    "t_rename_drop" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS amount_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "e_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,

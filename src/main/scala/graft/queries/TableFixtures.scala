@@ -312,6 +312,32 @@ object TableFixtures {
       t
     })
 
+  /**
+   * Schema-evolution fixture: batch 1 written under the original schema,
+   * then RENAME COLUMN o_totalprice -> o_amount (metadata only), batch 2
+   * under the renamed schema, then DROP COLUMN o_orderpriority, batch 3
+   * without it. Reads must union all three file eras under the current
+   * declared schema. Data state == full orders with o_totalprice presented
+   * as o_amount.
+   */
+  def ordersRenamed(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_renamed", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_renamed"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_renamed",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.renameColumn("o_totalprice", "o_amount")
+      t.append(orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumnRenamed("o_totalprice", "o_amount"))
+      t.dropColumn("o_orderpriority")
+      t.append(orders.filter(col("o_orderkey") % 3 === 2)
+        .withColumnRenamed("o_totalprice", "o_amount")
+        .drop("o_orderpriority"))
+      t
+    })
+
   private val bucketedCache = TrieMap.empty[String, (String, String)]
 
   /**

@@ -96,39 +96,71 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case _ => None
     })
 
-  private def plainRead(s: StructType, files: Seq[DataFile]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-    // re-project: the file reader surfaces partition columns last;
-    // keep the declared column order stable for users and oracles
-    files.groupBy(layoutOf).toSeq.sortBy(_._1.mkString(","))
-      .map { case (_, group) =>
-        spark.read
-          .schema(s)
-          .option("basePath", dataDir)
-          .parquet(group.map(f => s"$dataDir/${f.path}"): _*)
-          .select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
-      }
-      .reduce(_.unionByName(_))
-  }
+  /** Adding-commit sequence per live file path (min id wins for a path
+    * re-added across snapshots); fallback evidence for pre-stamp files. */
+  private def addedSeqByPath(m: TableMetadata): Map[String, Long] =
+    m.snapshots.sortBy(_.id)
+      .flatMap(sn => sn.addedFiles.map(_ -> sn.id))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+
+  /** Physical (in-file) name of a declared column for a file added at
+    * commit sequence `seq`: unwind every rename that happened after the
+    * file was written, newest first — the name-based stand-in for
+    * Iceberg's field-id resolution. */
+  private def physicalName(m: TableMetadata, declared: String, seq: Long): String =
+    m.renames.sortBy(-_.afterSeq).foldLeft(declared) { (n, r) =>
+      if (n == r.to && seq <= r.afterSeq) r.from else n
+    }
+
+  /** Current declared name for a column name recorded at commit sequence
+    * `seq` (e.g. an equality-delete key written before later renames). */
+  private def declaredNameNow(m: TableMetadata, recorded: String, seq: Long): String =
+    m.renames.sortBy(_.afterSeq).foldLeft(recorded) { (n, r) =>
+      if (n == r.from && seq <= r.afterSeq) r.to else n
+    }
+
+  private def plainRead(m: TableMetadata, s: StructType, files: Seq[DataFile]): DataFrame =
+    plainReadImpl(m, s, files, withPos = false)
 
   /** [[plainRead]] plus `__file` (data-dir-relative path) and `__pos`
     * (parquet row index) from the `_metadata` columns — the row identity
     * position deletes record and match on. */
-  private def plainReadWithPos(s: StructType, files: Seq[DataFile]): DataFrame = {
+  private def plainReadWithPos(m: TableMetadata, s: StructType, files: Seq[DataFile]): DataFrame =
+    plainReadImpl(m, s, files, withPos = true)
+
+  /** Groups files by (partition layout, physical-name era): each group is
+    * one parquet scan under the era's physical schema, aliased back to the
+    * declared names — renames stay metadata-only. The re-projection also
+    * keeps the declared column order stable (the file reader surfaces
+    * partition columns last). */
+  private def plainReadImpl(m: TableMetadata, s: StructType,
+      files: Seq[DataFile], withPos: Boolean): DataFrame = {
+    val posFields = if (withPos)
+      Seq(StructField("__file", StringType), StructField("__pos", LongType))
+    else Seq.empty
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(s.fields ++ Seq(StructField("__file", StringType),
-          StructField("__pos", LongType))))
-    files.groupBy(layoutOf).toSeq.sortBy(_._1.mkString(","))
-      .map { case (_, group) =>
+        StructType(s.fields ++ posFields))
+    lazy val addSeq = addedSeqByPath(m)
+    def seqOf(f: DataFile): Long = f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
+    def physNames(seq: Long): Seq[String] =
+      s.fields.toSeq.map(f => physicalName(m, f.name, seq))
+    files.groupBy(f => (layoutOf(f), physNames(seqOf(f)))).toSeq
+      .sortBy { case ((layout, names), _) =>
+        (layout.mkString(","), names.mkString(",")) }
+      .map { case ((_, names), group) =>
+        val physSchema = StructType(s.fields.zip(names)
+          .map { case (f, n) => f.copy(name = n) })
+        val posCols = if (withPos) Seq(
+          regexp_replace(col("_metadata.file_path"), "^.*/data/", "").as("__file"),
+          col("_metadata.row_index").as("__pos"))
+        else Seq.empty
         spark.read
-          .schema(s)
+          .schema(physSchema)
           .option("basePath", dataDir)
           .parquet(group.map(f => s"$dataDir/${f.path}"): _*)
-          .select(s.fields.map(f => col(f.name)) ++ Seq(
-            regexp_replace(col("_metadata.file_path"), "^.*/data/", "").as("__file"),
-            col("_metadata.row_index").as("__pos")).toIndexedSeq: _*)
+          .select((s.fields.zip(names).toSeq
+            .map { case (f, n) => col(n).as(f.name) } ++ posCols).toIndexedSeq: _*)
       }
       .reduce(_.unionByName(_))
   }
@@ -148,10 +180,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (snap.isEmpty || subset.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
-    if (dels.isEmpty) return plainRead(s, subset)
-    lazy val addSeq: Map[String, Long] = m.snapshots.sortBy(_.id)
-      .flatMap(sn => sn.addedFiles.map(_ -> sn.id))
-      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    if (dels.isEmpty) return plainRead(m, s, subset)
+    lazy val addSeq: Map[String, Long] = addedSeqByPath(m)
     def seqOf(f: DataFile): Long =
       f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
     subset
@@ -160,8 +190,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map { case (applicable, files) =>
         val appl = dels.filter(d => applicable(d.path))
         val base =
-          if (appl.exists(_.isPositional)) plainReadWithPos(s, files)
-          else plainRead(s, files)
+          if (appl.exists(_.isPositional)) plainReadWithPos(m, s, files)
+          else plainRead(m, s, files)
         val filtered = appl.foldLeft(base) { (df, d) =>
           if (d.isPositional) {
             val del = spark.read.parquet(s"$dataDir/${d.path}")
@@ -171,11 +201,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
               "left_anti")
           } else {
             // null-safe equality (Iceberg equality-delete semantics: null
-            // equals null), so a recorded null-key tuple deletes null rows
+            // equals null), so a recorded null-key tuple deletes null rows.
+            // Key columns were recorded under the names current at the
+            // delete's commit; later renames are mapped forward.
             val del = spark.read.parquet(s"$dataDir/${d.path}")
               .select(d.keyCols.map(k => col(k).as(s"__del_$k")).toIndexedSeq: _*)
             df.join(del,
-              d.keyCols.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _),
+              d.keyCols.map(k =>
+                col(declaredNameNow(m, k, d.seq)) <=> col(s"__del_$k"))
+                .reduce(_ && _),
               "left_anti")
           }
         }
@@ -266,7 +300,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // plain-files read: the probe's input_file_name() cannot span the
       // multi-source delete-applying plan; over-approximating affected
       // files is harmless since the rewrite reads through the deletes
-      val current = plainRead(tableSchema,
+      val current = plainRead(m, tableSchema,
         head.map(_.files).getOrElse(Seq.empty))
 
       if (head.forall(_.files.isEmpty)) {
@@ -366,7 +400,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // plain-files read: the probe's input_file_name() cannot span the
       // multi-source delete-applying plan; over-approximating affected
       // files is harmless since the rewrite reads through the deletes
-      val current = plainRead(tableSchema,
+      val current = plainRead(m, tableSchema,
         head.map(_.files).getOrElse(Seq.empty))
       val matchedFilePaths: Set[String] = current.filter(cond)
         .select(input_file_name().as("__file")).distinct()
@@ -428,7 +462,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val head = resolveWriteBranchHead(m, branch)
-      val positions = plainReadWithPos(tableSchema,
+      val positions = plainReadWithPos(m, tableSchema,
         head.map(_.files).getOrElse(Seq.empty))
         .filter(cond)
         .select(col("__file"), col("__pos"))
@@ -564,7 +598,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // plain-files read: the probe's input_file_name() cannot span the
       // multi-source delete-applying plan; over-approximating affected
       // files is harmless since the rewrite reads through the deletes
-      val current = plainRead(tableSchema,
+      val current = plainRead(m, tableSchema,
         head.map(_.files).getOrElse(Seq.empty))
       val matchedFilePaths: Set[String] = current.filter(cond)
         .select(input_file_name().as("__file")).distinct()
@@ -686,12 +720,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val added = s.files.filter(f => addedSet.contains(f.path))
       val del =
         if (removed.isEmpty) None
-        else Some(plainRead(schema, removed)
+        else Some(plainRead(m, schema, removed)
           .withColumn("_change_type", lit("DELETE"))
           .withColumn("_commit_snapshot_id", lit(s.id)))
       val ins =
         if (added.isEmpty) None
-        else Some(plainRead(schema, added)
+        else Some(plainRead(m, schema, added)
           .withColumn("_change_type", lit("INSERT"))
           .withColumn("_commit_snapshot_id", lit(s.id)))
       del.toSeq ++ ins.toSeq
@@ -725,10 +759,68 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"Column $name already exists on ${m.name}")
+    require(!m.tombstones.exists(_.equalsIgnoreCase(name)),
+      s"Column name $name was renamed or dropped on ${m.name} and cannot be " +
+        "reused: live files may still store the old column's data under it " +
+        "(name-based resolution; Iceberg avoids this with field ids)")
     val field0 = StructField(name, dataType, nullable = true)
     val field = comment.fold(field0)(field0.withComment)
     SnapshotLog.commit(location,
       m.copy(schemaJson = StructType(schema.fields :+ field).json), conf)
+  }
+
+  /**
+   * Schema evolution: RENAME COLUMN as one metadata commit, no file
+   * rewrite. Existing files keep the old physical name; the read path
+   * unwinds the rename history per file era (see [[physicalName]]), so old
+   * and new files union under the new declared name. The old name is
+   * tombstoned — it can never be reused, since name-based resolution would
+   * silently read the renamed column's stale data out of old files.
+   * Partition columns cannot be renamed (the directory layout is
+   * name-keyed). Reads — including time travel — always present the
+   * CURRENT schema. Footer-stats pruning on old files falls back to
+   * keep-the-file for the renamed column (stats keys carry the old name),
+   * which is conservative, never wrong; compaction re-stamps them.
+   */
+  def renameColumn(from: String, to: String): Unit = withCommitLock {
+    val m = meta
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from),
+      s"Unknown column $from on ${m.name}")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"Column $to already exists on ${m.name}")
+    require(!m.tombstones.exists(_.equalsIgnoreCase(to)),
+      s"Column name $to was renamed or dropped on ${m.name} and cannot be reused")
+    require(!m.partitionCols.contains(from),
+      s"Partition column $from cannot be renamed: the directory layout is name-keyed")
+    val afterSeq = m.snapshots.map(_.id).maxOption.getOrElse(0L)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    SnapshotLog.commit(location, m.copy(
+      schemaJson = newSchema.json,
+      renames = m.renames :+ RenameRecord(from, to, afterSeq),
+      tombstones = m.tombstones :+ from), conf)
+  }
+
+  /** Schema evolution: DROP COLUMN as one metadata commit — the column
+    * leaves the declared schema, file data stays in place unread (Iceberg
+    * drop semantics; a compaction rewrite physically sheds it). The name
+    * is tombstoned against reuse, same reasoning as [[renameColumn]]. */
+  def dropColumn(name: String): Unit = withCommitLock {
+    val m = meta
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"Unknown column $name on ${m.name}")
+    require(!m.partitionCols.contains(name),
+      s"Partition column $name cannot be dropped")
+    // at least one non-partition column must remain: parquet cannot write
+    // files whose every column is directory-derived
+    require(schema.fields.exists(f =>
+      f.name != name && !m.partitionCols.contains(f.name)),
+      s"Cannot drop the last data column of ${m.name}")
+    SnapshotLog.commit(location, m.copy(
+      schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
+      tombstones = m.tombstones :+ name), conf)
   }
 
   /** `ALTER TABLE … SET TBLPROPERTIES`: merge properties in one metadata
@@ -1144,6 +1236,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def maybeWidenSchema(m: TableMetadata, df: DataFrame): TableMetadata = {
     val cur = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val newCols = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+    // a widen must never resurrect a renamed/dropped physical name — old
+    // files still store unrelated data under it (see addColumn)
+    val tombed = newCols.filter(f =>
+      m.tombstones.exists(_.equalsIgnoreCase(f.name)))
+    require(tombed.isEmpty,
+      s"Column name(s) ${tombed.map(_.name).mkString(", ")} were renamed or " +
+        s"dropped on ${m.name} and cannot be reintroduced by a widening write")
     if (newCols.isEmpty) m
     else m.copy(schemaJson = StructType(cur.fields ++ newCols).json)
   }

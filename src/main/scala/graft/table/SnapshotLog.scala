@@ -102,6 +102,12 @@ case class GraftSnapshot(
  * time travel exactly like Iceberg branch refs (reference
  * IcebergLoadActivityTask.scala:78-80 CREATE OR REPLACE BRANCH).
  */
+/** One column rename, applied as metadata only: data files whose commit
+  * sequence is <= `afterSeq` still store the column under `from`; the read
+  * path unwinds the history per file era (name-based stand-in for Iceberg's
+  * field-id resolution). */
+case class RenameRecord(from: String, to: String, afterSeq: Long)
+
 case class TableMetadata(
     name: String,
     schemaJson: String,
@@ -112,7 +118,11 @@ case class TableMetadata(
     version: Int,
     lastUpdatedMs: Long,
     metadataLog: Seq[MetadataLogEntry],
-    tags: Map[String, Long] = Map.empty) {
+    tags: Map[String, Long] = Map.empty,
+    renames: Seq[RenameRecord] = Seq.empty,
+    // past physical names (renamed-from / dropped): never reusable, since
+    // live files may still store data under them and resolution is by name
+    tombstones: Seq[String] = Seq.empty) {
 
   def currentSnapshotId: Option[Long] = refs.get(SnapshotLog.MainBranch)
 

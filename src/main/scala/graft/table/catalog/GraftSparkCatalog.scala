@@ -144,9 +144,17 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
         t.setProperties(Map(set.property() -> set.value()))
       case unset: TableChange.RemoveProperty =>
         t.unsetProperties(Seq(unset.property()))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "ALTER TABLE RENAME COLUMN: nested fields are not supported")
+        t.renameColumn(rn.fieldNames().head, rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "ALTER TABLE DROP COLUMN: nested fields are not supported")
+        t.dropColumn(del.fieldNames().head)
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE: unsupported change $other (column drop/rename/retype " +
-          "require a data rewrite; use a CoW operation)")
+        s"ALTER TABLE: unsupported change $other (column retype " +
+          "requires a data rewrite; use a CoW operation)")
     }
     loadTable(ident)
   }
@@ -243,7 +251,15 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
     val mixedLayout = snap.exists(_.files
       .map(_.path.split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
       .distinct.size > 1)
-    val planRead = snap.filter(sn => sn.deleteFiles.nonEmpty || mixedLayout)
+    // a third shape: live files written BEFORE a column rename store the
+    // column under its old physical name — a plain name-resolved parquet
+    // scan would read them as null; the graft read plan unwinds the eras
+    val preRenameFiles = meta.renames.nonEmpty && {
+      val lastRename = meta.renames.map(_.afterSeq).max
+      snap.exists(_.files.exists(_.dataSeq.forall(_ <= lastRename)))
+    }
+    val planRead = snap
+      .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout || preRenameFiles)
       .map(sn => GraftPlanRead(loc, sn.id))
     if (writable) new GraftWritableTable(ident.toString, loc, inner, schema, planRead)
     else new GraftReadOnlyTable(ident.toString, inner, schema, planRead)

@@ -307,10 +307,13 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       assert(t.meta.props("write.wap.enabled") === "true")
       spark.sql("ALTER TABLE graft.finance.alt UNSET TBLPROPERTIES ('write.wap.enabled')")
       assert(!t.meta.props.contains("write.wap.enabled"))
-      // destructive changes are rejected, not silently approximated
+      // drop/rename are metadata-only commits (SchemaEvolutionSpec covers
+      // the era semantics); retype still needs a rewrite and is rejected
+      spark.sql("ALTER TABLE graft.finance.alt DROP COLUMN score")
+      assert(!spark.table("graft.finance.alt").columns.contains("score"))
       val e = intercept[Exception] {
-        spark.sql("ALTER TABLE graft.finance.alt DROP COLUMN v") }
-      assert(e.getMessage.contains("rewrite"))
+        spark.sql("ALTER TABLE graft.finance.alt ALTER COLUMN v TYPE STRING") }
+      assert(e.getMessage.contains("rewrite"), e.getMessage)
     } finally spark.sql("DROP TABLE graft.finance.alt")
   }
 

@@ -134,6 +134,11 @@ object DriveApp {
       val crossFree = !rj.queryExecution.executedPlan.toString.contains("CartesianProduct")
       println(s"range-join hits=$hits crossFree=$crossFree")
     }
+    println("== schema evolution: RENAME/DROP COLUMN, metadata-only eras")
+    spark.sql("ALTER TABLE graft.fin.act RENAME COLUMN merchant TO vendor")
+    spark.sql("ALTER TABLE graft.fin.act DROP COLUMN category")
+    println("rename-drop cols=" + spark.table("graft.fin.act").columns.sorted.mkString(",")
+      + " vendors=" + spark.sql("SELECT count(DISTINCT vendor) FROM graft.fin.act").collect().head.getLong(0))
     println("== bloom-prefiltered anti join: exact result, bypassed shuffle")
     locally {
       import spark.implicits._
