@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
  * value forward (LOCF — the standard gap-fill for metric dashboards and
  * feature pipelines that expect one row per key per day).
  *
- * Scale shape: the daily aggregate, the span bounds, the grid join and the
- * LOCF window are ALL keyed on the same column, so the whole pipeline is
- * one hash shuffle of the (small) daily aggregate plus same-key stages
- * that reuse its partitioning; the raw events shuffle once into the first
- * aggregate and never again. Grid materialization is `sequence()` +
+ * Scale shape: the raw events shuffle exactly ONCE — into the (key, day)
+ * daily aggregate; every later stage (span bounds, grid join, LOCF
+ * window) operates on that aggregate, whose size is bounded by
+ * keys × active days, typically orders of magnitude below the event
+ * count. Those stages do re-exchange the small grid (key vs (key, day)
+ * partitionings differ), which is the right trade — the alternative of
+ * pre-partitioning everything by key alone would forgo map-side partial
+ * aggregation on the wide input. Grid materialization is `sequence()` +
  * `explode` on the span row — one output row per (key, day), never a
  * cross join against a calendar table.
  */
