@@ -97,6 +97,36 @@ class SchemaEvolutionSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.dropColumn("value")) // would leave only k
   }
 
+  test("compaction after a rename re-stamps files into the current era") {
+    import spark.implicits._
+    val t = fresh("compact")
+    t.renameColumn("amount", "value")
+    t.append(Seq(("c", 3.0, "three")).toDF("k", "value", "note"))
+    t.rewriteDataFilesSorted(Seq(asc("value")))
+    // all live files now physically carry the declared name: stats keys
+    // match and file skipping is fully restored on the renamed column
+    val liveStats = t.meta.currentSnapshot.get.files.flatMap(_.stats)
+    assert(liveStats.nonEmpty && liveStats.forall(_.contains("value")))
+    assert(liveStats.forall(s => !s.contains("amount")))
+    assert(t.toDF.agg(sum("value")).head.getDouble(0) === 6.0)
+    assert(t.scanWhere(col("value") === 3.0).inputFiles.length <
+      t.toDF.inputFiles.length)
+  }
+
+  test("changelog spans rename eras under the current schema") {
+    import spark.implicits._
+    val t = fresh("chlog")
+    t.createOrReplaceBranch("c1")
+    t.renameColumn("amount", "value")
+    t.append(Seq(("c", 3.0, "three")).toDF("k", "value", "note"))
+    t.createOrReplaceBranch("c2")
+    val log = t.changelogBetween("c1", "c2")
+    assert(log.columns.contains("value"))
+    val rows = log.select("_change_type", "k", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(("INSERT", "c", 3.0)))
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN route through the catalog") {
     val wh = tmpDir("evolve-cat")
     spark.conf.set("spark.sql.catalog.gevo",
