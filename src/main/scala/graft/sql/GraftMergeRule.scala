@@ -23,17 +23,18 @@ import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
  *
  *  - `ON` is a conjunction of `target.key = <expr over source>` equalities;
  *  - at most one unconditional `WHEN MATCHED THEN UPDATE SET c = <expr over
- *    source>` (or `UPDATE SET *`); no `WHEN MATCHED` clause means matched
- *    rows keep their target values;
+ *    source>` (or `UPDATE SET *`) — or one unconditional `WHEN MATCHED THEN
+ *    DELETE`; no `WHEN MATCHED` clause means matched rows keep their target
+ *    values;
  *  - at most one unconditional `WHEN NOT MATCHED THEN INSERT` (star or
  *    explicit columns; unlisted columns insert NULL);
  *  - where a column has both an update and an insert value (or is a key with
  *    an insert value), the two must be the same source expression, because
  *    the CoW merge reads one projected source column per target column.
  *
- * Everything else (conditional actions, DELETE actions, NOT MATCHED BY
- * SOURCE, target references in SET values) raises a clear analysis-time
- * error instead of a silent approximation.
+ * Everything else (conditional actions, NOT MATCHED BY SOURCE, target
+ * references in SET values) raises a clear analysis-time error instead of a
+ * silent approximation.
  */
 object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -78,15 +79,20 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     keyPairs.groupBy(_._1.name).collect { case (n, ps) if ps.size > 1 =>
       fail(s"ON condition equates target column $n more than once") }
 
-    // WHEN MATCHED: nothing, or one unconditional UPDATE SET
-    val updateAssignments: Seq[Assignment] = m.matchedActions match {
-      case Seq() => Seq.empty
-      case Seq(u: UpdateAction) =>
-        if (u.condition.nonEmpty) fail("conditional WHEN MATCHED AND … is not supported")
-        u.assignments
-      case Seq(_: DeleteAction) | Seq(_, _*) =>
-        fail("only a single unconditional WHEN MATCHED THEN UPDATE is supported")
-    }
+    // WHEN MATCHED: nothing, one unconditional UPDATE SET, or one
+    // unconditional DELETE
+    val (updateAssignments: Seq[Assignment], deleteMatched: Boolean) =
+      m.matchedActions match {
+        case Seq() => (Seq.empty, false)
+        case Seq(u: UpdateAction) =>
+          if (u.condition.nonEmpty) fail("conditional WHEN MATCHED AND … is not supported")
+          (u.assignments, false)
+        case Seq(d: DeleteAction) =>
+          if (d.condition.nonEmpty) fail("conditional WHEN MATCHED AND … is not supported")
+          (Seq.empty, true)
+        case _ =>
+          fail("only a single unconditional WHEN MATCHED THEN UPDATE or DELETE is supported")
+      }
     // WHEN NOT MATCHED: nothing, or one unconditional INSERT
     val insertAssignments: Option[Seq[Assignment]] = m.notMatchedActions match {
       case Seq() => None
@@ -138,14 +144,17 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
 
     // no WHEN MATCHED clause: updateCols = keys makes the merge keep every
     // matched row unchanged (keys are equal by definition on a match), since
-    // GraftTable.merge treats an EMPTY updateCols as update-all-non-keys
+    // GraftTable.merge treats an EMPTY updateCols as update-all-non-keys.
+    // A DELETE clause passes no update columns at all.
     val updateCols =
-      if (updateAssignments.isEmpty) keyPairs.map(_._1.name)
+      if (deleteMatched) Seq.empty
+      else if (updateAssignments.isEmpty) keyPairs.map(_._1.name)
       else updateMap.keys.toSeq.sorted
 
     GraftMergeCommand(location, Project(projection, m.sourceTable),
       keys = keyPairs.map(_._1.name), updateCols = updateCols,
-      insertNotMatched = insertAssignments.nonEmpty)
+      insertNotMatched = insertAssignments.nonEmpty,
+      deleteMatched = deleteMatched)
   }
 }
 

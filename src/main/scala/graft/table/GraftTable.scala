@@ -287,8 +287,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       updateCols: Seq[String] = Seq.empty,
       insertNotMatched: Boolean = true,
       branch: Option[String] = None,
-      extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
+      extraSummary: Map[String, String] = Map.empty,
+      deleteMatched: Boolean = false): GraftSnapshot =
     withCommitLock {
+      require(!(deleteMatched && updateCols.nonEmpty),
+        "MERGE: WHEN MATCHED THEN DELETE and UPDATE SET are mutually exclusive")
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val cols = tableSchema.fields.map(_.name).toSeq
@@ -311,14 +314,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
         commitSnapshot(m, files, Seq.empty, "merge", branch,
           extraSummary = extraSummary)
       } else mergeNonEmpty(m, tableSchema, cols, updates, alignedSrc, head, current,
-        keys, insertNotMatched, branch, extraSummary)
+        keys, insertNotMatched, branch, extraSummary, deleteMatched)
     }
 
   private def mergeNonEmpty(m: TableMetadata, tableSchema: StructType,
       cols: Seq[String], updates: Seq[String], alignedSrc: DataFrame,
       head: Option[GraftSnapshot], current: DataFrame, keys: Seq[String],
       insertNotMatched: Boolean, branch: Option[String],
-      extraSummary: Map[String, String] = Map.empty): GraftSnapshot = {
+      extraSummary: Map[String, String] = Map.empty,
+      deleteMatched: Boolean = false): GraftSnapshot = {
       // MERGE cardinality rule: a target row must match at most one source
       // row; duplicate source keys would silently multiply rows through the
       // join, so fail fast with the offending count (one cheap agg job).
@@ -375,7 +379,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
           out.as(c)
         }.toIndexedSeq: _*)
       val result =
-        if (insertNotMatched) merged
+        if (deleteMatched)
+          // WHEN MATCHED THEN DELETE: matched rows vanish; unmatched target
+          // rows carry over; unmatched source rows insert when requested
+          joined
+            .filter(!(col("__tgt").isNotNull && col("__src").isNotNull))
+            .filter(if (insertNotMatched) lit(true) else col("__tgt").isNotNull)
+            .select(cols.map(c =>
+              when(col("__tgt").isNull, col(s"__s_$c")).otherwise(col(c)).as(c))
+              .toIndexedSeq: _*)
+        else if (insertNotMatched) merged
         else joined.filter(col("__tgt").isNotNull).select(cols.map { c =>
           val out =
             if (updates.contains(c))

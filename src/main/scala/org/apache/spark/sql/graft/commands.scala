@@ -46,14 +46,21 @@ object GraftCommands {
   * [[GraftTable.merge]] — only files holding matched keys are rewritten. */
 case class GraftMergeCommand(location: String, source: LogicalPlan,
     keys: Seq[String], updateCols: Seq[String],
-    insertNotMatched: Boolean) extends LeafRunnableCommand {
+    insertNotMatched: Boolean,
+    deleteMatched: Boolean = false) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val df = Dataset.ofRows(session.asInstanceOf[ClassicSession], source)
     val t = GraftTable.load(session, location)
     // write.merge.mode picks the commit shape, like Iceberg (the reference
     // sets merge-on-read, IcebergLoadActivityTask.scala:31)
-    if (t.properties.get("write.merge.mode").contains("merge-on-read"))
+    val mor = t.properties.get("write.merge.mode").contains("merge-on-read")
+    if (deleteMatched) {
+      if (mor) throw new UnsupportedOperationException(
+        "MERGE … WHEN MATCHED THEN DELETE is copy-on-write only; unset " +
+          "write.merge.mode=merge-on-read (or run the CoW merge via the API)")
+      t.merge(df, keys, updateCols, insertNotMatched, deleteMatched = true)
+    } else if (mor)
       t.mergeMoR(df, keys, updateCols, insertNotMatched)
     else t.merge(df, keys, updateCols, insertNotMatched)
     Seq.empty

@@ -101,16 +101,41 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
                    WHEN MATCHED AND s.amount > 0 THEN UPDATE SET t.amount = s.amount""")
     }
     assert(conditional.getMessage.contains("conditional WHEN MATCHED"))
-    val delete = intercept[UnsupportedOperationException] {
+    val conditionalDelete = intercept[UnsupportedOperationException] {
       spark.sql("""MERGE INTO gsql.fin.m5 t USING m5_src s ON t.id = s.id
-                   WHEN MATCHED THEN DELETE""")
+                   WHEN MATCHED AND s.amount > 0 THEN DELETE""")
     }
-    assert(delete.getMessage.contains("WHEN MATCHED THEN UPDATE"))
+    assert(conditionalDelete.getMessage.contains("conditional WHEN MATCHED"))
     val nonEquality = intercept[UnsupportedOperationException] {
       spark.sql("""MERGE INTO gsql.fin.m5 t USING m5_src s ON t.id > s.id
                    WHEN MATCHED THEN UPDATE SET t.amount = s.amount""")
     }
     assert(nonEquality.getMessage.contains("conjunction"))
+  }
+
+  test("MERGE INTO … WHEN MATCHED THEN DELETE removes matches, inserts the rest") {
+    val t = freshTable("m7")
+    spark.sql("""SELECT * FROM (VALUES (CAST(2 AS BIGINT), 0.0, 'z', 'p1'),
+                   (CAST(9 AS BIGINT), 90.0, 'i', 'p2'))
+                 AS src(id, amount, category, part)""").createOrReplaceTempView("m7_src")
+    spark.sql("""MERGE INTO gsql.fin.m7 t USING m7_src s ON t.id = s.id
+                 WHEN MATCHED THEN DELETE
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val rows = t.toDF.select("id", "amount").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // id 2 deleted, ids 1/3 untouched, id 9 inserted
+    assert(rows.toSeq === Seq(1L -> 10.0, 3L -> 30.0, 9L -> 90.0))
+    assert(t.meta.currentSnapshot.get.operation === "merge")
+  }
+
+  test("MERGE DELETE without an INSERT clause deletes only") {
+    val t = freshTable("m8")
+    spark.sql("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 0.0, 'z', 'p1'),
+                   (CAST(9 AS BIGINT), 90.0, 'i', 'p2'))
+                 AS src(id, amount, category, part)""").createOrReplaceTempView("m8_src")
+    spark.sql("""MERGE INTO gsql.fin.m8 t USING m8_src s ON t.id = s.id
+                 WHEN MATCHED THEN DELETE""")
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
   }
 
   test("MERGE INTO only rewrites files containing matched keys (CoW probe)") {

@@ -443,6 +443,27 @@ class GraftTableSpec extends SparkTestBase {
     assert(columnar === 3 && typed === 3)
   }
 
+  test("merge with deleteMatched removes matched rows at file-level CoW") {
+    val loc = tmpDir("graft-mergedel")
+    val t = GraftTable.create(spark, loc, "t", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark)) // txn1..txn15
+    import spark.implicits._
+    val src = ActivityData.day1(spark).filter(col("txn_id").isin("txn1", "txn2"))
+      .unionByName(ActivityData.day2(spark).filter(col("txn_id") === "txn16"))
+    t.merge(src, ActivityData.mergeKeys, deleteMatched = true)
+    val ids = t.toDF.select("txn_id").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("txn1") && !ids.contains("txn2"))
+    assert(ids.contains("txn16") && t.toDF.count() === 14) // 15 - 2 + 1
+    // delete-only form: drop txn16 again without inserting anything
+    t.merge(ActivityData.day2(spark).filter(col("txn_id") === "txn16"),
+      ActivityData.mergeKeys, insertNotMatched = false, deleteMatched = true)
+    assert(t.toDF.count() === 13)
+    intercept[IllegalArgumentException](
+      t.merge(src, ActivityData.mergeKeys, updateCols = Seq("amount"),
+        deleteMatched = true))
+  }
+
   test("merge on a composite key") {
     import spark.implicits._
     val loc = tmpDir("graft-ck")

@@ -109,6 +109,10 @@ object DriveApp {
                  WHEN MATCHED THEN UPDATE SET target.amount = src.amount, target.category = src.category, target.last_updated = src.last_updated, target.txn_date = src.txn_date
                  WHEN NOT MATCHED THEN INSERT *""")
     println("post-merge txn1: " + spark.sql("SELECT category, amount FROM graft.fin.act WHERE txn_id='txn1'").collect().map(r => r.getString(0)+"/"+r.getDouble(1)).mkString)
+    spark.sql("""MERGE INTO graft.fin.act AS target USING mrg_src AS src
+                 ON target.txn_id = src.txn_id
+                 WHEN MATCHED THEN DELETE""")
+    println("post-merge-delete txn1-count=" + spark.sql("SELECT count(*) FROM graft.fin.act WHERE txn_id='txn1'").collect().head.getLong(0))
     spark.sql("ALTER TABLE graft.fin.act CREATE OR REPLACE BRANCH sqlbranch")
     println("branch-ddl refs=" + ct.meta.refs.keySet.toSeq.sorted.mkString(","))
     spark.sql("ALTER TABLE graft.fin.act DROP BRANCH sqlbranch")
