@@ -171,6 +171,34 @@ object StreamingOps {
   }
 
   /**
+   * Watermarked stream-stream inner join: pair rows from two unbounded
+   * streams whose event times are within `withinMs` of each other (right
+   * time in [left time, left time + withinMs] — e.g. click after
+   * impression). BOTH watermarks plus the time-bound predicate are what
+   * make the state store finite: Spark buffers each side only until the
+   * other side's watermark passes the join window, then evicts — without
+   * the time bound the state would grow with stream length and this
+   * method refuses nothing it should. Late rows beyond the watermark are
+   * dropped by the engine (the standard trade; reconcile with a batch
+   * join over the sink tables).
+   *
+   * Column names must be disjoint apart from the two key/time columns
+   * named here; keys join null-unsafely like any SQL join.
+   */
+  def joinStreams(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      withinMs: Long, watermark: String = "1 hour"): DataFrame = {
+    require(withinMs >= 0, s"withinMs must be non-negative, got $withinMs")
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $withinMs MILLISECONDS"))
+  }
+
+  /**
    * Stream-static enrichment join: attach dimension attributes to each
    * streaming event. The static side is re-planned per micro-batch (Spark's
    * stream-static join semantics — a dimension refresh is picked up on the

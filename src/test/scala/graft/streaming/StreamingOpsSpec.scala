@@ -31,6 +31,33 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(rows(("2024-01-01 11:00:00.0", "view")) === ((1L, 3.0)))
   }
 
+  test("joinStreams pairs impression->click within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    impressions.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (3L, ts("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, ts("2024-01-01 10:04:00")), // within 5 min -> joins
+      (2L, ts("2024-01-01 10:30:00")), // outside the bound -> dropped
+      (9L, ts("2024-01-01 10:01:00"))) // no impression -> dropped
+    val joined = StreamingOps.joinStreams(
+      impressions.toDF.toDF("imp_id", "imp_ts"),
+      clicks.toDF.toDF("click_id", "click_ts"),
+      "imp_id", "click_id", "imp_ts", "click_ts",
+      withinMs = 5 * 60 * 1000L)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ss_join").select("imp_id").collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(1L))
+    // the physical plan must be the stateful symmetric-hash stream join
+    assert(q.lastProgress.stateOperators.nonEmpty)
+  }
+
   test("enrich stream-static joins dimension attributes per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

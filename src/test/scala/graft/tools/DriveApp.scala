@@ -143,6 +143,24 @@ object DriveApp {
     spark.sql("ALTER TABLE graft.fin.act DROP COLUMN category")
     println("rename-drop cols=" + spark.table("graft.fin.act").columns.sorted.mkString(",")
       + " vendors=" + spark.sql("SELECT count(DISTINCT vendor) FROM graft.fin.act").collect().head.getLong(0))
+    println("== streaming: watermarked stream-stream interval join")
+    locally {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val imp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+      val clk = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+      imp.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      clk.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      val q = graft.streaming.StreamingOps.joinStreams(
+          imp.toDF.toDF("imp_id", "imp_ts"), clk.toDF.toDF("click_id", "click_ts"),
+          "imp_id", "click_id", "imp_ts", "click_ts", withinMs = 5 * 60 * 1000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("drive_ssj").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      println("stream-stream-join rows=" + spark.table("drive_ssj").count()
+        + " stateful=" + q.lastProgress.stateOperators.nonEmpty)
+    }
     println("== bloom-prefiltered anti join: exact result, bypassed shuffle")
     locally {
       import spark.implicits._
