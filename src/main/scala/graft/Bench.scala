@@ -45,6 +45,7 @@ object Bench {
       graft.queries.TableFixtures.ordersChangelog(spark, sfDir)
       graft.queries.TableFixtures.ordersEvolved(spark, sfDir)
       graft.queries.TableFixtures.ordersRenamed(spark, sfDir)
+      graft.queries.TableFixtures.ordersMergeDeleted(spark, sfDir)
       graft.queries.TableFixtures.bucketedTables(spark, sfDir)
     } catch { case _: Throwable => }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)

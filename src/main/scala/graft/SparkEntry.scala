@@ -887,6 +887,15 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy(col("o_channel").asc_nulls_first)),
 
+    // MERGE WHEN MATCHED THEN DELETE: matched keys removed, unmatched
+    // source rows inserted, in one file-level CoW commit
+    "t_merge_delete" -> ((s, dir) =>
+      TableFixtures.ordersMergeDeleted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // RENAME + DROP COLUMN schema evolution: three file eras (original
     // name / renamed / renamed+dropped) must union under the current
     // declared schema with no file rewrite
@@ -1908,6 +1917,14 @@ object SparkEntry {
          SELECT cohort, cast(date_diff('day', cohort, d) AS int) AS offset_days,
            count(*) AS n_users
          FROM userdays GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "t_merge_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders
+         WHERE (o_orderkey % 3 < 2 AND o_orderkey % 5 <> 0)
+            OR (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0)
+         GROUP BY 1 ORDER BY 1""",
 
     // recompute over raw orders; o_totalprice IS o_amount post-rename
     "t_rename_drop" ->

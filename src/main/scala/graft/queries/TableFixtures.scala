@@ -338,6 +338,26 @@ object TableFixtures {
       t
     })
 
+  /**
+   * MERGE … WHEN MATCHED THEN DELETE fixture: target = orders with
+   * o_orderkey % 3 < 2, source = orders with o_orderkey % 5 == 0 — matched
+   * source rows delete their target rows, unmatched source rows insert.
+   * Final state == orders where (%3 < 2 AND %5 != 0) OR (%3 = 2 AND %5 = 0),
+   * exactly replayable by the oracle with plain filters.
+   */
+  def ordersMergeDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_merge_deleted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_merge_deleted"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_merge_deleted",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 < 2))
+      t.merge(orders.filter(col("o_orderkey") % 5 === 0),
+        keys = Seq("o_orderkey"), deleteMatched = true)
+      t
+    })
+
   private val bucketedCache = TrieMap.empty[String, (String, String)]
 
   /**

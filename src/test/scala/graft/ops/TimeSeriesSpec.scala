@@ -51,4 +51,41 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(TimeSeries.dailyLocf(events, "user_id", "ts", sum(col("cents")))
       .filter(col("metric_locf").isNull).count() === 0L)
   }
+
+  test("randomized: grid and LOCF match an independent driver-side replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val base = java.time.LocalDate.of(2024, 2, 1)
+    val raw = (1 to 400).map { _ =>
+      val user = rnd.between(1L, 9L)
+      val dt = base.plusDays(rnd.between(0, 40)).atTime(rnd.between(0, 24), 0)
+      (user, Timestamp.valueOf(dt), rnd.between(1L, 500L))
+    }
+    val got = TimeSeries.dailyLocf(raw.toDF("user_id", "ts", "cents"),
+        "user_id", "ts", sum(col("cents")))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        // columns: (user_id, day, n, metric, metric_locf)
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toMap
+    // driver-side reference: group, span, fill, carry forward
+    val daily = raw.groupBy(e => (e._1, e._2.toLocalDateTime.toLocalDate))
+      .map { case ((u, d), es) => (u, d) -> es.map(_._3).sum }
+    val byUser = daily.keys.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, ks) =>
+      val d0 = ks.map(_._2).min
+      val d1 = ks.map(_._2).max
+      var carry = 0L
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).map { d =>
+        val obs = daily.get((u, d))
+        obs.foreach(carry = _)
+        (u, d.toString) -> ((obs.map(_ => daily((u, d))), carry))
+      }.toSeq
+    }
+    assert(got.size === expected.size)
+    expected.foreach { case (k, (obs, locf)) =>
+      val (gotObs, gotLocf) = got(k)
+      assert(gotObs.map(identity) === obs, s"observed metric at $k")
+      assert(gotLocf === locf, s"locf at $k")
+    }
+  }
 }
