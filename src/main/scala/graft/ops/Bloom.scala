@@ -72,6 +72,10 @@ object Bloom {
    * with a Bloom bypass: definitely-absent left rows skip the join, only
    * `mightContain` candidates are joined (removing false positives).
    *
+   * `left` is scanned twice (definitely-absent branch + candidate branch);
+   * it must be deterministic across the two scans, or a row could land in
+   * both or neither branch. Cache a non-deterministic source first.
+   *
    * @param expectedItems build-side distinct-key estimate for sizing; a low
    *                      estimate degrades fpp (more candidates, still
    *                      exact), never correctness
@@ -79,6 +83,8 @@ object Bloom {
   def antiJoinKeys(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(!left.columns.contains("__rk"),
+      "left side already has a column named __rk (reserved by antiJoinKeys)")
     val filter = buildKeyFilter(right, col(rightKey), expectedItems, fpp)
     if (filter == null) return left // empty build side: anti join keeps all
     val maybe = mightContain(filter, col(leftKey))

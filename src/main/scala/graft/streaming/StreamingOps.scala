@@ -190,12 +190,17 @@ object StreamingOps {
       leftTime: String, rightTime: String,
       withinMs: Long, watermark: String = "1 hour"): DataFrame = {
     require(withinMs >= 0, s"withinMs must be non-negative, got $withinMs")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"joinStreams requires disjoint column names; shared: ${overlap.mkString(", ")} " +
+        "(rename one side — shared names make the join condition ambiguous " +
+        "and duplicate output columns)")
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTime) >= col(leftTime) &&
-        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $withinMs MILLISECONDS"))
+      l(leftKey) === r(rightKey) &&
+        r(rightTime) >= l(leftTime) &&
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $withinMs MILLISECONDS"))
   }
 
   /**
@@ -211,8 +216,16 @@ object StreamingOps {
    * @param dimCols dimension attribute columns to carry (key excluded)
    */
   def enrich(stream: DataFrame, dim: DataFrame,
-      streamKey: String, dimKey: String, dimCols: Seq[String]): DataFrame =
-    stream.join(dim.select((dimKey +: dimCols).distinct.map(col): _*),
-      col(streamKey) === col(dimKey), "left")
-      .drop(dimKey)
+      streamKey: String, dimKey: String, dimCols: Seq[String]): DataFrame = {
+    val attrOverlap = dimCols.toSet.intersect(stream.columns.toSet)
+    require(attrOverlap.isEmpty,
+      s"dimension attribute columns collide with stream columns: " +
+        s"${attrOverlap.mkString(", ")} (rename or exclude them)")
+    val dimSel = dim.select((dimKey +: dimCols).distinct.map(col): _*)
+    // dataframe-qualified references: a stream key sharing the dimension
+    // key's name must not make the condition ambiguous, and the drop must
+    // remove only the dimension's copy
+    stream.join(dimSel, stream(streamKey) === dimSel(dimKey), "left")
+      .drop(dimSel(dimKey))
+  }
 }

@@ -108,14 +108,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * file was written, newest first — the name-based stand-in for
     * Iceberg's field-id resolution. */
   private def physicalName(m: TableMetadata, declared: String, seq: Long): String =
-    m.renames.sortBy(-_.afterSeq).foldLeft(declared) { (n, r) =>
+    // renames are appended chronologically; unwind in strict reverse
+    // insertion order (a sort keyed on afterSeq alone is stable, so two
+    // renames issued with no commit between them — same afterSeq — would
+    // unwind forwards and resolve a->b->c to the never-materialized 'b')
+    m.renames.reverse.foldLeft(declared) { (n, r) =>
       if (n == r.to && seq <= r.afterSeq) r.from else n
     }
 
   /** Current declared name for a column name recorded at commit sequence
     * `seq` (e.g. an equality-delete key written before later renames). */
   private def declaredNameNow(m: TableMetadata, recorded: String, seq: Long): String =
-    m.renames.sortBy(_.afterSeq).foldLeft(recorded) { (n, r) =>
+    m.renames.foldLeft(recorded) { (n, r) => // chronological insertion order
       if (n == r.from && seq <= r.afterSeq) r.to else n
     }
 
@@ -936,6 +940,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
       require(!picked.exists(f => headPaths.contains(f.path)),
         s"Snapshot $snapshotId is already applied on the target branch")
+      // The pick re-stamps the files with the NEW commit's data sequence.
+      // If a column rename landed after the source snapshot, the files
+      // physically store the pre-rename name while the re-stamped seq
+      // resolves to the current declared name — the column would read back
+      // as null (Iceberg sidesteps this with field ids; we reject).
+      val schemaNow = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val eraDrift = schemaNow.fields.map(_.name)
+        .filter(n => physicalName(m, n, src.id) != n)
+      require(eraDrift.isEmpty,
+        s"Cannot cherry-pick snapshot $snapshotId: column(s) " +
+          s"${eraDrift.mkString(", ")} were renamed after it was staged; " +
+          "its files store the pre-rename physical name and would be " +
+          "re-stamped past the rename. Re-stage the work instead.")
       commitSnapshot(m, picked, removed = Seq.empty,
         operation = "cherrypick", branch,
         extraSummary = Map("cherry-picked-from" -> snapshotId.toString))

@@ -47,6 +47,46 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(t.toDF.filter(col("value") === 4.0).select("note").head.getString(0) === "four")
   }
 
+  test("back-to-back renames with no intervening commit unwind newest-first") {
+    import spark.implicits._
+    val t = fresh("chain0")
+    // two renames, NO data commit between them: both records share the
+    // same afterSeq, so only strict reverse insertion order resolves the
+    // pre-rename files to 'amount' (a sort on afterSeq alone lands on the
+    // never-materialized intermediate 'amt' and reads nulls)
+    t.renameColumn("amount", "amt")
+    t.renameColumn("amt", "value")
+    val got = t.toDF.select("k", "value").orderBy("value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(("a", 1.0), ("b", 2.0)))
+    assert(t.toDF.agg(sum("value")).head.getDouble(0) === 3.0)
+    // and a post-rename append still unions cleanly
+    t.append(Seq(("c", 4.0, "four")).toDF("k", "value", "note"))
+    assert(t.toDF.agg(sum("value")).head.getDouble(0) === 7.0)
+  }
+
+  test("cherry-pick across a rename era is rejected") {
+    import spark.implicits._
+    val t = fresh("cherryren")
+    t.createOrReplaceBranch("staged")
+    val staged = t.append(
+      Seq(("c", 5.0, "five")).toDF("k", "amount", "note"), branch = Some("staged"))
+    // main advances, then renames: the staged files store 'amount' but a
+    // pick would re-stamp them past the rename — 'value' would read null
+    t.append(Seq(("d", 6.0, "six")).toDF("k", "amount", "note"))
+    t.renameColumn("amount", "value")
+    val ex = intercept[IllegalArgumentException](t.cherryPick(staged.id))
+    assert(ex.getMessage.contains("renamed after"))
+    // without the rename drift, the same-era pick still works
+    val t2 = fresh("cherryok")
+    t2.createOrReplaceBranch("staged")
+    val ok = t2.append(
+      Seq(("c", 5.0, "five")).toDF("k", "amount", "note"), branch = Some("staged"))
+    t2.append(Seq(("d", 6.0, "six")).toDF("k", "amount", "note"))
+    t2.cherryPick(ok.id)
+    assert(t2.toDF.agg(sum("amount")).head.getDouble(0) === 14.0)
+  }
+
   test("rename maps equality-delete keys recorded under the old name") {
     import spark.implicits._
     val t = fresh("rendel")
