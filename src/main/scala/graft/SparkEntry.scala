@@ -878,6 +878,64 @@ object SparkEntry {
         .select(col("name"), col("type"))
         .orderBy("name", "type")),
 
+    // M1 history: the rollback fixture leaves snapshot 3 off the main
+    // ancestry — ids/parents are deterministic (sequential allocation)
+    "t_history" -> ((s, dir) =>
+      TableFixtures.ordersRolledBack(s, dir).history
+        .select(col("snapshot_id"), col("parent_id"), col("is_current_ancestor"))
+        .orderBy("snapshot_id")),
+
+    // M2 metadata_log_entries: one entry per metadata commit (create,
+    // 3 appends, a branch after each, the release tag) — entry counts per
+    // latest-snapshot pointer are a fixture constant
+    "t_metadata_log" -> ((s, dir) =>
+      TableFixtures.ordersVersioned(s, dir).metadataLogEntries
+        .groupBy(col("latest_snapshot_id"))
+        .agg(count(lit(1)).as("entries"))
+        .orderBy(col("latest_snapshot_id").asc_nulls_first)),
+
+    // M5 files: hash-distributed writes land exactly one file per
+    // partition per commit, so per-partition file counts and commit-time
+    // record stats are both oracle-checkable
+    "t_files" -> ((s, dir) =>
+      TableFixtures.ordersHashFiles(s, dir).filesDF
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("files"),
+          sum(col("record_count")).as("record_count"))
+        .orderBy("partition")),
+
+    // M4 manifests: one synthetic manifest row per partition of the
+    // current snapshot, carrying the per-partition live-file count
+    "t_manifests" -> ((s, dir) =>
+      TableFixtures.ordersHashFiles(s, dir).manifestsDF
+        .select(regexp_extract(col("path"), "#(.*)$", 1).as("partition"),
+          col("added_data_files_count").cast("long").as("added_files"),
+          col("existing_data_files_count").cast("long").as("existing_files"),
+          col("deleted_data_files_count").cast("long").as("deleted_files"))
+        .orderBy("partition")),
+
+    // S1 CSV scan with explicit schema: every generated day folder
+    // (including the nullable WAP day) ingested into a partitioned table;
+    // the oracle re-reads the identical CSVs with DuckDB read_csv
+    "t_csv_ingest" -> ((s, dir) => {
+      val t = TableFixtures.activityCsvIngested(s)
+      t.toDF
+        .groupBy(col("txn_date").cast("string").as("txn_date"))
+        .agg(count(lit(1)).as("n"), sumCents(col("amount")).as("amount_cents"))
+        .orderBy("txn_date")
+    }),
+
+    // S4 SQL CTAS through the DSv2 catalog: CREATE OR REPLACE TABLE AS
+    // SELECT from a view over the raw parquet, then query the new table
+    "t_ctas" -> ((s, dir) => {
+      val cat = TableFixtures.sqlCatalog(s, dir)
+      TableFixtures.read(s, dir, "nation").createOrReplaceTempView("ctas_nation_src")
+      s.sql(s"""CREATE OR REPLACE TABLE $cat.ctas_nation AS
+                SELECT n_nationkey, n_name, n_regionkey FROM ctas_nation_src""")
+      s.sql(s"""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+                FROM $cat.ctas_nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }),
+
     // schema evolution: ADD COLUMN is a metadata commit; pre-evolution
     // files read the new column as null, post-evolution rows carry values
     "t_add_column" -> ((s, dir) =>
@@ -2162,6 +2220,50 @@ object SparkEntry {
            ('main', 'BRANCH'), ('rel-1', 'TAG'), ('v1', 'BRANCH'),
            ('v2', 'BRANCH'), ('v3', 'BRANCH')) AS r(name, type)
          ORDER BY name, type""",
+
+    // snapshot ids allocate sequentially and rollback keeps history:
+    // snapshot 3 stays in the log but off the main ancestry
+    "t_history" ->
+      """SELECT * FROM (VALUES
+           (cast(1 AS bigint), cast(NULL AS bigint), true),
+           (cast(2 AS bigint), cast(1 AS bigint), true),
+           (cast(3 AS bigint), cast(2 AS bigint), false))
+           AS h(snapshot_id, parent_id, is_current_ancestor)
+         ORDER BY snapshot_id""",
+
+    // ordersVersioned commits: create (no snapshot), append+branch per
+    // batch, then the tag — 1 entry at NULL, 2 at snapshot 1 and 2, 3 at 3
+    "t_metadata_log" ->
+      """SELECT * FROM (VALUES
+           (cast(NULL AS bigint), cast(1 AS bigint)),
+           (cast(1 AS bigint), cast(2 AS bigint)),
+           (cast(2 AS bigint), cast(2 AS bigint)),
+           (cast(3 AS bigint), cast(3 AS bigint)))
+           AS m(latest_snapshot_id, entries)
+         ORDER BY latest_snapshot_id NULLS FIRST""",
+
+    // hash-distributed appends write exactly one file per partition per
+    // commit; record counts come from commit-time stats
+    "t_files" ->
+      """SELECT '{o_orderstatus=' || o_orderstatus || '}' AS partition,
+         cast(2 AS bigint) AS files, count(*) AS record_count
+         FROM orders GROUP BY o_orderstatus ORDER BY 1""",
+
+    "t_manifests" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+         cast(2 AS bigint) AS added_files, cast(0 AS bigint) AS existing_files,
+         cast(0 AS bigint) AS deleted_files
+         FROM (SELECT DISTINCT o_orderstatus FROM orders) ORDER BY 1""",
+
+    "t_csv_ingest" ->
+      s"""SELECT cast(txn_date AS varchar) AS txn_date, count(*) AS n,
+         ${centsSql("amount")} AS amount_cents
+         FROM read_csv('/root/repo/src/main/resources/input/*/*.csv', header=true)
+         GROUP BY 1 ORDER BY 1""",
+
+    "t_ctas" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+         FROM nation GROUP BY 1 ORDER BY 1""",
 
     "t_add_column" ->
       s"""SELECT CASE WHEN o_orderkey % 3 = 1

@@ -369,6 +369,52 @@ object TableFixtures {
    * `PlanQualitySpec` pins the exchange-free plan). Returns the two
    * qualified table names.
    */
+  /**
+   * Hash-distributed write fixture: `write.distribution-mode=hash` clusters
+   * each append by partition value, so every commit lands exactly ONE file
+   * per partition — the deterministic layout the files/manifests metadata
+   * oracles count on. Two appends (`o_orderkey % 2`) → 2 files per status.
+   */
+  def ordersHashFiles(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_hash_files", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_hash_files"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_hash_files",
+        orders.schema, partitionCols = Seq("o_orderstatus"),
+        props = Map("write.distribution-mode" -> "hash"))
+      (0 until 2).foreach(i => t.append(orders.filter(col("o_orderkey") % 2 === i)))
+      t
+    })
+
+  /**
+   * S1 CSV-source fixture (reference IcebergLoadActivityTask.scala:51-63):
+   * every generated day folder — including the nullable WAP day — scanned
+   * with the explicit 7-column schema and appended into a
+   * txn_date-partitioned table in one commit. The oracle re-reads the same
+   * CSVs with DuckDB `read_csv`.
+   */
+  def activityCsvIngested(spark: SparkSession): GraftTable =
+    cache.getOrElseUpdate(("activity_csv_ingested", "-"), {
+      val loc = s"$baseDir/activity_csv_ingested"
+      GraftTable.drop(spark, loc)
+      // the classpath copy can live inside a packaged jar (unreadable as a
+      // Spark path) — prefer the source-tree directory, then an on-disk
+      // classpath copy
+      val srcTree = new java.io.File(
+        sys.props.getOrElse("user.dir", "."), "src/main/resources/input")
+      val root =
+        if (srcTree.isDirectory) srcTree.getAbsolutePath
+        else graft.apps.ActivityData.csvFixturesDir
+          .filter(p => new java.io.File(p).isDirectory)
+          .getOrElse(sys.error("CSV day fixtures not found on disk"))
+      val days = graft.apps.ActivityData.readDayCsv(spark, s"$root/*")
+      val t = GraftTable.create(spark, loc, "graft.activity_csv",
+        graft.apps.ActivityData.schema, partitionCols = Seq("txn_date"))
+      t.append(days)
+      t
+    })
+
   def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
     bucketedCache.getOrElseUpdate(sfDir, {
       val db = s"graft_buckets_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
