@@ -250,8 +250,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
             operation = "append", branch, extraSummary = extraSummary)
         } catch {
           case e: IllegalStateException
-              if e.getMessage.contains("Concurrent commit") && attempt < 3 =>
+              if e.getMessage.contains("Concurrent commit") && attempt < 12 =>
             attempt += 1
+            // jittered linear backoff so competing processes desynchronize
+            // (Iceberg commit.retry.min-wait-ms equivalent)
+            Thread.sleep(attempt * 20L + scala.util.Random.nextInt(40).toLong)
         }
       }
       result

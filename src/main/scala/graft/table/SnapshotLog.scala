@@ -243,35 +243,56 @@ object SnapshotLog {
     try out.write(payload)
     finally out.close()
     val target = metadataFile(tableDir, nextV)
-    // CAS step 1: rename refuses an existing target on HDFS, but
-    // RawLocalFileSystem (and object-store adapters) overwrite on rename —
-    // so a pre-check plus a read-back verification backs the rename up.
-    // Cross-process commits on overwrite-on-rename filesystems remain
-    // best-effort (the losing writer is detected, the window between its
-    // rename and read-back is not); same-process writers are fully
-    // serialized by GraftTable's per-location commit lock.
-    if (fs.exists(target)) {
+    if (target.toUri.getScheme == "file" ||
+        (target.toUri.getScheme == null && fs.getScheme == "file")) {
+      // Local filesystem: rename OVERWRITES an existing target, so it
+      // cannot carry the CAS. POSIX link(2) can — creating a hard link
+      // fails atomically with EEXIST when the version slot is taken, which
+      // makes cross-PROCESS concurrent commits exactly-one-winner (the
+      // multi-writer protocol CrossProcessCommitSpec exercises with real
+      // competing JVMs). The payload is fully written to tmp first, so the
+      // claimed target is never observable half-written.
+      val tmpLocal = java.nio.file.Paths.get(
+        fs.makeQualified(tmp).toUri.getPath)
+      val targetLocal = java.nio.file.Paths.get(
+        fs.makeQualified(target).toUri.getPath)
+      try java.nio.file.Files.createLink(targetLocal, tmpLocal)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
+      }
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
+    } else {
+      // HDFS (and rename-atomic stores): rename with an existing-target
+      // refusal IS the CAS; a pre-check plus read-back verification backs
+      // up adapters with weaker rename contracts. On object stores without
+      // atomic rename the CAS must live in a catalog service (the
+      // reference delegates to one: IcebergSupport.scala:26-35).
+      if (fs.exists(target)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
+      }
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
+      }
+      // read back and verify our bytes are the ones that landed
+      val landed = {
+        val in = fs.open(target)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
+          in.readFully(bytes)
+          bytes
+        } finally in.close()
+      }
+      if (!java.util.Arrays.equals(landed, payload))
+        throw new IllegalStateException(
+          s"Concurrent commit overwrote $tableDir v$nextV; retry on fresh metadata")
     }
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
-    }
-    // CAS step 2: read back and verify our bytes are the ones that landed
-    val landed = {
-      val in = fs.open(target)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
-        in.readFully(bytes)
-        bytes
-      } finally in.close()
-    }
-    if (!java.util.Arrays.equals(landed, payload))
-      throw new IllegalStateException(
-        s"Concurrent commit overwrote $tableDir v$nextV; retry on fresh metadata")
     // advisory hint; losing a race here is harmless (readers list the dir)
     val hintTmp = new Path(dir, s".hint-${java.util.UUID.randomUUID()}")
     val h = fs.create(hintTmp, true)
