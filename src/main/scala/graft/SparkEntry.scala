@@ -575,6 +575,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the IVF PRODUCTION config (nProbe << nCells — the scale path that
+    // skips 3/4 of the corpus): approximate by construction, so its
+    // correctness contract is the AccuracySpec recall bound (>= 0.55
+    // recall@5 at sf0.01, monotone in nProbe), not a hash oracle —
+    // rows-only BY DESIGN; s_ann_ivf keeps the exhaustive oracle config
+    "s_ann_ivf_probe" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // euclidean (L2) brute-force top-k — the magnitude-sensitive metric
     // twin of s_ann_topk, same broadcast-queries single-scan shape
     "s_ann_l2" -> ((s, dir) => {
