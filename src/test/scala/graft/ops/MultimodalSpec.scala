@@ -7,24 +7,77 @@ class MultimodalSpec extends SparkTestBase {
 
   private lazy val media = syntheticMedia(spark, 90).cache()
 
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/media/$name")
+    assert(in != null, s"missing test resource /media/$name")
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
   test("synthetic media covers all kinds with binary payloads") {
     import spark.implicits._
     val kinds = media.groupByKey(_.kind).count().collect().toMap
     assert(kinds === Map("image" -> 30L, "audio" -> 30L, "video" -> 30L))
-    assert(media.head().content.length === 4096)
+    // video payloads keep the fixed synthetic container size; image/audio
+    // are real encoded containers whose size is codec-dependent
+    assert(media.filter(_.kind == "video").head().content.length === 4096)
   }
 
-  test("image metadata decode: one row per image, plausible header fields") {
+  test("image decode reads real container headers (dims, channels, format)") {
     val metas = decodeImageMeta(media).collect()
-    assert(metas.length === 30)
-    assert(metas.forall(m => m.width >= 64 && m.height >= 64 && m.channels === 3))
-    assert(metas.map(_.format).toSet.subsetOf(Set("jpeg", "png")))
+    assert(metas.length === 30) // no image payload failed to decode
+    val byId = metas.map(m => m.media_id -> m).toMap
+    byId.foreach { case (id, m) =>
+      assert(m.width === 16 + (id % 5).toInt * 8, s"width of image $id")
+      assert(m.height === 16 + (id % 3).toInt * 8, s"height of image $id")
+      assert(m.channels === 3)
+    }
+    // all three JDK-native encoders round-trip through the header reader
+    assert(metas.map(_.format).toSet === Set("png", "jpeg", "bmp"))
   }
 
-  test("audio metadata decode") {
+  test("audio decode parses real RIFF/WAVE headers") {
     val metas = decodeAudioMeta(media).collect()
     assert(metas.length === 30)
-    assert(metas.forall(m => Set(16000, 22050, 44100).contains(m.sample_rate)))
+    metas.foreach { m =>
+      val id = m.media_id
+      assert(m.sample_rate === Seq(16000, 22050, 44100)(((id / 3) % 3).toInt))
+      assert(m.channels === 1 + ((id / 3) % 2).toInt)
+      assert(m.n_samples === 160L + ((id / 3) % 5).toInt * 40)
+    }
+  }
+
+  test("checked-in container fixtures decode to their known shapes") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(0, "image", resource("img-4x6.png"), "fx"),
+      MediaRecord(1, "image", resource("img-8x5.jpg"), "fx"),
+      MediaRecord(2, "image", resource("img-7x3.bmp"), "fx"),
+      MediaRecord(3, "audio", resource("tone-16000-mono.wav"), "fx"),
+      MediaRecord(4, "audio", resource("tone-22050-stereo.wav"), "fx")).toDS()
+    val img = decodeImageMeta(ds).collect()
+      .map(m => m.media_id -> ((m.width, m.height, m.format))).toMap
+    assert(img(0) === ((4, 6, "png")))
+    assert(img(1) === ((8, 5, "jpeg")))
+    assert(img(2) === ((7, 3, "bmp")))
+    val aud = decodeAudioMeta(ds).collect()
+      .map(m => m.media_id -> ((m.sample_rate, m.channels, m.n_samples))).toMap
+    assert(aud(3) === ((16000, 1, 160L)))
+    assert(aud(4) === ((22050, 2, 240L)))
+  }
+
+  test("undecodable payloads are dropped, not failed") {
+    import spark.implicits._
+    val junk = Seq(
+      MediaRecord(0, "image", Array[Byte](1, 2, 3, 4), "junk"),
+      MediaRecord(1, "audio", Array[Byte](1, 2, 3, 4), "junk"),
+      MediaRecord(2, "image", resource("img-4x6.png"), "fx")).toDS()
+    assert(decodeImageMeta(junk).collect().map(_.media_id).toSeq === Seq(2L))
+    assert(decodeAudioMeta(junk).count() === 0)
   }
 
   test("feature extraction: fixed dim, deterministic across runs") {
