@@ -1249,6 +1249,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val pruned = m.copy(snapshots = m.snapshots.filter(s => keep.contains(s.id)))
     SnapshotLog.commit(location, pruned, conf)
     toDelete.foreach(p => fs.delete(new Path(dataDir, p), false))
+    // expired snapshots' manifest files are unreachable once the commit
+    // lands — manifests are per-snapshot, never shared
+    expired.flatMap(_.manifest).foreach(name =>
+      fs.delete(new Path(SnapshotLog.metadataDir(location), name), false))
     expired.map(_.id)
   }
 
@@ -1432,7 +1436,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val kept = files.filter(f =>
       conjuncts.forall(c => GraftTable.fileMayMatch(c, f)))
     if (kept.size == files.size) full.filter(cond)
-    else scan(snap.map(s => s.copy(files = kept)), m).filter(cond)
+    // drop the manifest ref on the pruned copy: the trimmed file list is
+    // inline-only scan input, not a committed snapshot
+    else scan(snap.map(s => s.copy(inlineFiles = kept,
+      inlineDeleteFiles = s.deleteFiles, manifest = None)), m).filter(cond)
   }
 
   private def partitionValuesOf(row: Row, parts: Seq[String]): Map[String, String] =
@@ -1468,7 +1475,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       parentId = head.map(_.id),
       timestampMs = System.currentTimeMillis(),
       operation = operation,
-      files = live,
+      inlineFiles = live,
       addedFiles = added.map(_.path),
       removedFiles = removed,
       summary = Map(
@@ -1477,7 +1484,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "added-records" -> added.map(_.records).sum.toString,
         "added-delete-files" -> addedDeletes.size.toString,
         "branch" -> b) ++ extraSummary,
-      deleteFiles = liveDeletes)
+      inlineDeleteFiles = liveDeletes)
     val newRefs = m.refs + (b -> id)
     GraftTable.onBeforeCommit()
     SnapshotLog.commit(location, m.copy(refs = newRefs, snapshots = m.snapshots :+ snap), conf)

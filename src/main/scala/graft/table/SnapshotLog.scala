@@ -51,10 +51,13 @@ case class DataFile(
  * every append / merge / replace produces a new snapshot whose `files`
  * list fully describes the live data at that version.
  *
- * Storing the full live-file list per snapshot (rather than add/remove
- * deltas resolved through manifest chains) is a deliberate simplification:
- * the log is O(snapshots x files) JSON. At 100 TB scale, `files` would
- * become a pointer to a manifest-list file; the API surface is unchanged.
+ * The file lists are externalized at commit into a per-snapshot manifest
+ * file (`manifest-<id>-<uuid>.json` under `_graft/`) referenced by name
+ * from the root metadata and loaded lazily on first access — reading the
+ * log is O(snapshots), and a commit writes one manifest for the new
+ * snapshot while prior snapshots reuse theirs untouched. Storing the full
+ * live set per snapshot (rather than add/remove deltas resolved through
+ * manifest chains) remains a deliberate simplification.
  */
 /**
  * A merge-on-read delete file: a parquet file under `data/_deletes/` whose
@@ -81,16 +84,46 @@ case class DeleteFile(
   def isPositional: Boolean = kind == "position"
 }
 
+/** A snapshot's externalized file lists — the manifest-list step: the root
+  * metadata stores only the manifest file NAME, and the lists load lazily
+  * on first access, so reading the log is O(snapshots), not O(files). */
+case class ManifestData(
+    files: Seq[DataFile] = Seq.empty,
+    deleteFiles: Seq[DeleteFile] = Seq.empty)
+
 case class GraftSnapshot(
     id: Long,
     parentId: Option[Long],
     timestampMs: Long,
     operation: String, // append | merge | replace | delete | overwrite
-    files: Seq[DataFile],
+    inlineFiles: Seq[DataFile],
     addedFiles: Seq[String],
     removedFiles: Seq[String],
     summary: Map[String, String],
-    deleteFiles: Seq[DeleteFile] = Seq.empty) {
+    inlineDeleteFiles: Seq[DeleteFile] = Seq.empty,
+    // name of the manifest file under _graft/ holding this snapshot's file
+    // lists; when set, inline lists are empty in the serialized log and the
+    // lists load lazily through the reader-attached loader
+    manifest: Option[String] = None) {
+
+  /** Injected by SnapshotLog after read/commit (not a constructor param, so
+    * it never serializes and does not affect case-class equality). */
+  @transient private[table] var manifestLoader: String => ManifestData = _
+
+  private lazy val loaded: ManifestData = manifest match {
+    case Some(mf) if inlineFiles.isEmpty && inlineDeleteFiles.isEmpty =>
+      require(manifestLoader != null,
+        s"Snapshot $id references manifest $mf but no loader is attached")
+      manifestLoader(mf)
+    case _ => ManifestData(inlineFiles, inlineDeleteFiles)
+  }
+
+  /** Live data files at this version (lazily manifest-loaded). */
+  def files: Seq[DataFile] = loaded.files
+
+  /** Live merge-on-read delete files at this version. */
+  def deleteFiles: Seq[DeleteFile] = loaded.deleteFiles
+
   def totalRecords: Long = files.map(_.records).sum
   def totalBytes: Long = files.map(_.sizeBytes).sum
 }
@@ -212,11 +245,32 @@ object SnapshotLog {
     val p = metadataFile(tableDir, v)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
-    try {
+    val m = try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
       Serialization.read[TableMetadata](new String(bytes, "UTF-8"))
     } finally in.close()
+    attachLoaders(m, tableDir, conf)
+  }
+
+  /** Read one snapshot's externalized file lists (the lazy half of the
+    * manifest-list step; called on first `.files` access, never at log
+    * read). */
+  def readManifest(tableDir: String, name: String, conf: Configuration): ManifestData = {
+    val p = new Path(metadataDir(tableDir), name)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      Serialization.read[ManifestData](new String(bytes, "UTF-8"))
+    } finally in.close()
+  }
+
+  private def attachLoaders(m: TableMetadata, tableDir: String,
+      conf: Configuration): TableMetadata = {
+    m.snapshots.foreach(_.manifestLoader = name => readManifest(tableDir, name, conf))
+    m
   }
 
   /**
@@ -226,23 +280,47 @@ object SnapshotLog {
    */
   def commit(tableDir: String, meta: TableMetadata, conf: Configuration): TableMetadata = {
     val nextV = meta.version + 1
+    val dir = new Path(metadataDir(tableDir))
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    // Manifest-list step: externalize any snapshot still carrying inline
+    // file lists into its own immutable manifest file. The root metadata
+    // then stays O(snapshots) regardless of how many data files the table
+    // accumulates — only the NEW snapshot pays a manifest write per
+    // commit; prior snapshots reuse their existing manifests untouched.
+    val newManifests = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val externalized = meta.snapshots.map { s =>
+      if (s.manifest.isDefined ||
+          (s.inlineFiles.isEmpty && s.inlineDeleteFiles.isEmpty)) s
+      else {
+        val name =
+          f"manifest-${s.id}%05d-${java.util.UUID.randomUUID().toString.take(8)}.json"
+        val p = new Path(dir, name)
+        val mOut = fs.create(p, false)
+        try mOut.write(Serialization.write(
+          ManifestData(s.inlineFiles, s.inlineDeleteFiles)).getBytes("UTF-8"))
+        finally mOut.close()
+        newManifests += p
+        s.copy(inlineFiles = Seq.empty, inlineDeleteFiles = Seq.empty,
+          manifest = Some(name))
+      }
+    }
     val stamped = meta.copy(
       version = nextV,
       lastUpdatedMs = System.currentTimeMillis(),
+      snapshots = externalized,
       metadataLog = meta.metadataLog :+ MetadataLogEntry(
         System.currentTimeMillis(),
         f"v$nextV%05d.metadata.json",
         meta.currentSnapshotId)
     )
-    val dir = new Path(metadataDir(tableDir))
-    val fs = dir.getFileSystem(conf)
-    fs.mkdirs(dir)
     val payload = Serialization.write(stamped).getBytes("UTF-8")
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(payload)
     finally out.close()
     val target = metadataFile(tableDir, nextV)
+    try {
     if (target.toUri.getScheme == "file" ||
         (target.toUri.getScheme == null && fs.getScheme == "file")) {
       // Local filesystem: rename OVERWRITES an existing target, so it
@@ -293,6 +371,13 @@ object SnapshotLog {
         throw new IllegalStateException(
           s"Concurrent commit overwrote $tableDir v$nextV; retry on fresh metadata")
     }
+    } catch {
+      case e: Throwable =>
+        // the losing commit's freshly written manifests are orphans —
+        // remove them so conflicts don't leak files into _graft/
+        newManifests.foreach(p => scala.util.Try(fs.delete(p, false)))
+        throw e
+    }
     // advisory hint; losing a race here is harmless (readers list the dir)
     val hintTmp = new Path(dir, s".hint-${java.util.UUID.randomUUID()}")
     val h = fs.create(hintTmp, true)
@@ -300,7 +385,7 @@ object SnapshotLog {
     finally h.close()
     fs.delete(hintFile(tableDir), false)
     fs.rename(hintTmp, hintFile(tableDir))
-    stamped
+    attachLoaders(stamped, tableDir, conf)
   }
 
   def initial(name: String, schemaJson: String, partitionCols: Seq[String],
