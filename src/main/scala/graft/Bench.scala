@@ -58,6 +58,7 @@ object Bench {
       graft.queries.TableFixtures.ordersPosDeleted(spark, sfDir)
       graft.queries.TableFixtures.ordersRolledBack(spark, sfDir)
       graft.queries.TableFixtures.ordersChangelog(spark, sfDir)
+      graft.queries.TableFixtures.ordersChangelogMor(spark, sfDir)
       graft.queries.TableFixtures.ordersEvolved(spark, sfDir)
       graft.queries.TableFixtures.ordersRenamed(spark, sfDir)
       graft.queries.TableFixtures.ordersMergeDeleted(spark, sfDir)

@@ -890,6 +890,17 @@ object SparkEntry {
         .select(col("name"), col("type"))
         .orderBy("name", "type")),
 
+    // changelog across a MERGE-ON-READ delete commit: the delete file
+    // moves no data file, so the commit's effect is a state diff; the
+    // re-append after it proves sequence semantics (new files are live)
+    "t_changelog_mor" -> ((s, dir) =>
+      TableFixtures.ordersChangelogMor(s, dir)
+        .changelogBetween("c1", "c2")
+        .groupBy(col("_change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("_change_type", "o_orderstatus")),
+
     // M1 history: the rollback fixture leaves snapshot 3 off the main
     // ancestry — ids/parents are deterministic (sequential allocation)
     "t_history" -> ((s, dir) =>
@@ -2232,6 +2243,21 @@ object SparkEntry {
            ('main', 'BRANCH'), ('rel-1', 'TAG'), ('v1', 'BRANCH'),
            ('v2', 'BRANCH'), ('v3', 'BRANCH')) AS r(name, type)
          ORDER BY name, type""",
+
+    // DELETEs: the MoR delete file removes every batch-0 row > 300000;
+    // INSERTs: the re-appended > 400000 slice (live again — the delete's
+    // sequence number precedes the new files')
+    "t_changelog_mor" ->
+      s"""WITH b0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         chg AS (
+           SELECT 'DELETE' AS _change_type, o_orderstatus, o_totalprice
+           FROM b0 WHERE o_totalprice > 300000
+           UNION ALL
+           SELECT 'INSERT' AS _change_type, o_orderstatus, o_totalprice
+           FROM b0 WHERE o_totalprice > 400000)
+         SELECT _change_type, o_orderstatus, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents
+         FROM chg GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // snapshot ids allocate sequentially and rollback keeps history:
     // snapshot 3 stays in the log but off the main ancestry

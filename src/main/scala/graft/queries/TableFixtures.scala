@@ -370,6 +370,29 @@ object TableFixtures {
    * qualified table names.
    */
   /**
+   * MoR-changelog fixture: batch 0 appended (branch `c1`), then a
+   * merge-on-read delete of o_totalprice > 300000 (a delete FILE — no data
+   * file moves), then a re-append of the > 400000 slice (branch `c2`).
+   * `changelogBetween("c1","c2")` must emit DELETEs for the MoR-deleted
+   * rows (via the state diff around the delete commit) and INSERTs for the
+   * re-appended rows, proving CDC is uniform across write modes.
+   */
+  def ordersChangelogMor(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_changelog_mor", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_changelog_mor"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_changelog_mor",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.createOrReplaceBranch("c1")
+      t.deleteWhereMoR(col("o_totalprice") > 300000, Seq("o_orderkey"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0 && col("o_totalprice") > 400000))
+      t.createOrReplaceBranch("c2")
+      t
+    })
+
+  /**
    * Hash-distributed write fixture: `write.distribution-mode=hash` clusters
    * each append by partition value, so every commit lands exactly ONE file
    * per partition — the deterministic layout the files/manifests metadata

@@ -696,9 +696,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
    *    files' rows as DELETEs and added files' rows as INSERTs;
    *  - `replace` (compaction) commits are SKIPPED — they rewrite bytes,
    *    not logical rows;
-   *  - ranges containing merge-on-read delete commits are refused: a
-   *    pending delete file changes rows without moving any data file, so
-   *    the file-granularity diff would be silently wrong. Compact first.
+   *  - merge-on-read commits (equality or position delete files) change
+   *    rows without moving data files, so their effect is computed as a
+   *    STATE diff (`exceptAll` of the delete-applied states around that
+   *    commit) — CDC stays uniform across write modes, and CoW commits in
+   *    the same range keep the cheap file-local path.
    *
    * A file-granularity diff also re-emits the UNCHANGED rows of a
    * rewritten file as identical DELETE+INSERT pairs ("carryovers");
@@ -707,9 +709,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * remain — a row updated to the same values nets to nothing, which is
    * the correct changelog answer.
    *
-   * Cost is bounded by the bytes the range actually rewrote (removed +
-   * added files), never the table size. Files must still be retained
-   * (unexpired) — the changelog reads them.
+   * Cost: bounded by the bytes the range actually rewrote for CoW-only
+   * ranges; each MoR commit adds two snapshot reads plus the exceptAll
+   * shuffles. Files must still be retained (unexpired) — the changelog
+   * reads them.
    */
   def changelogBetween(fromRef: String, toRef: String,
       removeCarryovers: Boolean = true): DataFrame = {
@@ -723,32 +726,48 @@ class GraftTable(val spark: SparkSession, val location: String) {
       s"$fromRef (snapshot ${from.id}) is not an ancestor of $toRef (snapshot ${to.id})")
     val byId = m.snapshots.map(s => s.id -> s).toMap
     val range = chain.takeWhile(_ != from.id).map(byId).reverse // oldest first
-    val withMorDeletes = range.filter(
-      _.summary.get("added-delete-files").exists(_.toInt > 0))
-    require(withMorDeletes.isEmpty,
-      s"changelog over merge-on-read delete commits (snapshot(s) " +
-        s"${withMorDeletes.map(_.id).mkString(", ")}) would miss row-level " +
-        "deletes; compact the table first")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .withColumn("_change_type", lit("INSERT"))
       .withColumn("_commit_snapshot_id", lit(0L))
     val parts = range.filterNot(_.operation == "replace").flatMap { s =>
-      val parentFiles = s.parentId.flatMap(byId.get).map(_.files).getOrElse(Seq.empty)
-      val removed = parentFiles.filter(f => s.removedFiles.contains(f.path))
-      val addedSet = s.addedFiles.toSet
-      val added = s.files.filter(f => addedSet.contains(f.path))
-      val del =
-        if (removed.isEmpty) None
-        else Some(plainRead(m, schema, removed)
-          .withColumn("_change_type", lit("DELETE"))
-          .withColumn("_commit_snapshot_id", lit(s.id)))
-      val ins =
-        if (added.isEmpty) None
-        else Some(plainRead(m, schema, added)
-          .withColumn("_change_type", lit("INSERT"))
-          .withColumn("_commit_snapshot_id", lit(s.id)))
-      del.toSeq ++ ins.toSeq
+      if (s.summary.get("added-delete-files").exists(_.toInt > 0)) {
+        // merge-on-read commit: its row-level effect is not expressible as
+        // a file diff (the delete file subtracts rows from files it does
+        // not rewrite), so diff the delete-applied STATES around it. Costs
+        // two snapshot reads + exceptAll shuffles for THIS commit only —
+        // CoW commits in the same range stay file-local below.
+        val pre = s.parentId.flatMap(byId.get)
+          .map(p => scan(Some(p), m))
+          .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+        val post = scan(Some(s), m)
+        Seq(
+          pre.exceptAll(post)
+            .withColumn("_change_type", lit("DELETE"))
+            .withColumn("_commit_snapshot_id", lit(s.id)),
+          post.exceptAll(pre)
+            .withColumn("_change_type", lit("INSERT"))
+            .withColumn("_commit_snapshot_id", lit(s.id)))
+      } else {
+        val parent = s.parentId.flatMap(byId.get)
+        val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
+        val removed = parentFiles.filter(f => s.removedFiles.contains(f.path))
+        val addedSet = s.addedFiles.toSet
+        val added = s.files.filter(f => addedSet.contains(f.path))
+        // read removed files THROUGH the parent's delete files: rows an
+        // older MoR delete already removed must not re-emit as DELETEs
+        val del =
+          if (removed.isEmpty) None
+          else Some(readWithDeletes(parent, m, removed)
+            .withColumn("_change_type", lit("DELETE"))
+            .withColumn("_commit_snapshot_id", lit(s.id)))
+        val ins =
+          if (added.isEmpty) None
+          else Some(readWithDeletes(Some(s), m, added)
+            .withColumn("_change_type", lit("INSERT"))
+            .withColumn("_commit_snapshot_id", lit(s.id)))
+        del.toSeq ++ ins.toSeq
+      }
     }
     val raw = parts.foldLeft(empty)(_.unionByName(_))
     if (!removeCarryovers) raw

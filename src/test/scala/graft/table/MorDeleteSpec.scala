@@ -282,6 +282,26 @@ class MorDeleteSpec extends SparkTestBase {
     assert(t.toDF.filter(col("txn_id") === "txn5").count() === 1)
   }
 
+  test("changelog spans equality and position delete commits (state diff)") {
+    val t = fresh("chglog")
+    t.createOrReplaceBranch("c1")
+    t.deleteWhereMoR(col("txn_id").isin("txn3", "txn7"), Seq("txn_id"))
+    t.deleteWherePositional(col("txn_id") === "txn9")
+    t.append(ActivityData.day1(spark).filter(col("txn_id") === "txn3"))
+    t.createOrReplaceBranch("c2")
+    val chg = t.changelogBetween("c1", "c2")
+    val byType = chg.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("DELETE" -> 3L, "INSERT" -> 1L))
+    val deleted = chg.filter(col("_change_type") === "DELETE")
+      .select("txn_id").collect().map(_.getString(0)).toSet
+    assert(deleted === Set("txn3", "txn7", "txn9"))
+    // the re-append after both delete commits is live again (sequence
+    // semantics) and surfaces as a plain INSERT
+    assert(chg.filter(col("_change_type") === "INSERT")
+      .select("txn_id").head.getString(0) === "txn3")
+  }
+
   test("snapshot JSON without deleteFiles still deserializes (log compat)") {
     implicit val fmts: org.json4s.Formats = DefaultFormats
     val legacy =
