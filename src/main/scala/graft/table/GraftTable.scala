@@ -1240,13 +1240,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
     SnapshotLog.commit(location, m.copy(partitionCols = cols), conf)
   }
 
-  /** `rewrite_manifests`: our metadata is a single JSON log, so this is a
-    * log-compaction: truncate the metadata-log history (keeping snapshots
-    * and refs intact). Kept for API fidelity (SURVEY.md §2.5 P3). */
-  def rewriteManifests(): Unit = withCommitLock {
-    val m = meta
-    SnapshotLog.commit(location, m.copy(metadataLog = m.metadataLog.takeRight(1)), conf)
-  }
+  /** `rewrite_manifests` (reference IcebergLoadActivityTask.scala:160,
+    * SURVEY.md §2.5 P3): live manifests are 1:1 with snapshots and already
+    * minimal, so the useful rewrite work is (a) truncating the unbounded
+    * metadata-log tail (snapshots and refs intact) and (b) collecting
+    * ORPHAN manifests — files a writer left under `_graft/` by dying
+    * between its manifest write and losing the commit race. The age guard
+    * mirrors [[removeOrphanFiles]]: an in-flight commit's just-written
+    * manifest is never collected. */
+  def rewriteManifests(
+      olderThanMs: Long = System.currentTimeMillis() - GraftTable.OrphanFileDefaultAgeMs): Seq[String] =
+    withCommitLock {
+      val m = meta
+      val committed = SnapshotLog.commit(location,
+        m.copy(metadataLog = m.metadataLog.takeRight(1)), conf)
+      val live = committed.snapshots.flatMap(_.manifest).toSet
+      val dir = fs.makeQualified(new Path(SnapshotLog.metadataDir(location)))
+      fs.listStatus(dir)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.startsWith("manifest-") && !live.contains(n) &&
+            st.getModificationTime < olderThanMs
+        }
+        .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+        .toSeq
+    }
 
   /** `expire_snapshots(older_than, retain_last)`: drop old snapshots (keeping
     * ref heads and the last N of main's ancestry) and delete files no

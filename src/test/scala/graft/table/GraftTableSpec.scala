@@ -285,13 +285,14 @@ class GraftTableSpec extends SparkTestBase {
     // carryovers visible when asked for: strictly more rows, same net
     val rawLog = t.changelogBetween("base", "main", removeCarryovers = false)
     assert(rawLog.count() > log.length)
-    // a merge-on-read delete in the range is refused, not silently wrong
+    // a merge-on-read delete in the range resolves through the state diff
+    // (no data file moved, yet the deleted row surfaces as a DELETE)
     t.createOrReplaceBranch("pre_mor")
     t.deleteWhereMoR(col("txn_id") === "txn5", Seq("txn_id"))
-    val e = intercept[IllegalArgumentException] {
-      t.changelogBetween("pre_mor", "main").collect()
-    }
-    assert(e.getMessage.contains("merge-on-read"))
+    val morLog = t.changelogBetween("pre_mor", "main")
+      .select("txn_id", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(morLog.toSeq === Seq(("txn5", "DELETE")))
   }
 
   test("partitionsDF totals match per-partition recounts") {

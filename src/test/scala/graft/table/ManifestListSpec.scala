@@ -60,6 +60,31 @@ class ManifestListSpec extends SparkTestBase {
     assert(manifestsAfter === manifestsBefore)
   }
 
+  test("rewrite_manifests collects aged orphan manifests, never live ones") {
+    import spark.implicits._
+    val loc = tmpDir("manifest-orphan")
+    val t = GraftTable.create(spark, loc, "morph", StructType(Seq(
+      StructField("p", StringType), StructField("v", LongType))),
+      partitionCols = Seq("p"))
+    t.append(Seq(("a", 1L)).toDF("p", "v"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(loc).getFileSystem(conf)
+    // simulate a writer that died after its manifest write, before its CAS
+    val orphan = new Path(s"$loc/_graft/manifest-99999-deadbeef.json")
+    val out = fs.create(orphan, false)
+    try out.write("""{"files":[],"deleteFiles":[]}""".getBytes("UTF-8"))
+    finally out.close()
+    // too young: the age guard protects a possibly in-flight commit
+    assert(t.rewriteManifests() === Seq.empty)
+    assert(fs.exists(orphan))
+    // aged out: collected; the live snapshot's manifest survives
+    val collected = t.rewriteManifests(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(collected === Seq("manifest-99999-deadbeef.json"))
+    assert(!fs.exists(orphan))
+    assert(t.toDF.count() === 1)
+    assert(t.meta.snapshots.forall(_.manifest.isDefined))
+  }
+
   test("expire_snapshots removes the expired snapshot's manifest file") {
     import spark.implicits._
     val loc = tmpDir("manifest-expire")
