@@ -794,18 +794,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * NULL, the inverse of the append-time mergeSchema widen). */
   def addColumn(name: String, dataType: DataType,
       comment: Option[String] = None): Unit = withCommitLock {
-    val m = meta
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"Column $name already exists on ${m.name}")
-    require(!m.tombstones.exists(_.equalsIgnoreCase(name)),
-      s"Column name $name was renamed or dropped on ${m.name} and cannot be " +
-        "reused: live files may still store the old column's data under it " +
-        "(name-based resolution; Iceberg avoids this with field ids)")
-    val field0 = StructField(name, dataType, nullable = true)
-    val field = comment.fold(field0)(field0.withComment)
-    SnapshotLog.commit(location,
-      m.copy(schemaJson = StructType(schema.fields :+ field).json), conf)
+    retryMetaCommit { m =>
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"Column $name already exists on ${m.name}")
+      require(!m.tombstones.exists(_.equalsIgnoreCase(name)),
+        s"Column name $name was renamed or dropped on ${m.name} and cannot be " +
+          "reused: live files may still store the old column's data under it " +
+          "(name-based resolution; Iceberg avoids this with field ids)")
+      val field0 = StructField(name, dataType, nullable = true)
+      val field = comment.fold(field0)(field0.withComment)
+      m.copy(schemaJson = StructType(schema.fields :+ field).json)
+    }
+    ()
   }
 
   /**
@@ -822,23 +823,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * which is conservative, never wrong; compaction re-stamps them.
    */
   def renameColumn(from: String, to: String): Unit = withCommitLock {
-    val m = meta
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(from),
-      s"Unknown column $from on ${m.name}")
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
-      s"Column $to already exists on ${m.name}")
-    require(!m.tombstones.exists(_.equalsIgnoreCase(to)),
-      s"Column name $to was renamed or dropped on ${m.name} and cannot be reused")
-    require(!m.partitionCols.contains(from),
-      s"Partition column $from cannot be renamed: the directory layout is name-keyed")
-    val afterSeq = m.snapshots.map(_.id).maxOption.getOrElse(0L)
-    val newSchema = StructType(schema.fields.map(f =>
-      if (f.name == from) f.copy(name = to) else f))
-    SnapshotLog.commit(location, m.copy(
-      schemaJson = newSchema.json,
-      renames = m.renames :+ RenameRecord(from, to, afterSeq),
-      tombstones = m.tombstones :+ from), conf)
+    retryMetaCommit { m =>
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(from),
+        s"Unknown column $from on ${m.name}")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"Column $to already exists on ${m.name}")
+      require(!m.tombstones.exists(_.equalsIgnoreCase(to)),
+        s"Column name $to was renamed or dropped on ${m.name} and cannot be reused")
+      require(!m.partitionCols.contains(from),
+        s"Partition column $from cannot be renamed: the directory layout is name-keyed")
+      val afterSeq = m.snapshots.map(_.id).maxOption.getOrElse(0L)
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      m.copy(
+        schemaJson = newSchema.json,
+        renames = m.renames :+ RenameRecord(from, to, afterSeq),
+        tombstones = m.tombstones :+ from)
+    }
+    ()
   }
 
   /** Schema evolution: DROP COLUMN as one metadata commit — the column
@@ -846,33 +849,35 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * drop semantics; a compaction rewrite physically sheds it). The name
     * is tombstoned against reuse, same reasoning as [[renameColumn]]. */
   def dropColumn(name: String): Unit = withCommitLock {
-    val m = meta
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(name),
-      s"Unknown column $name on ${m.name}")
-    require(!m.partitionCols.contains(name),
-      s"Partition column $name cannot be dropped")
-    // at least one non-partition column must remain: parquet cannot write
-    // files whose every column is directory-derived
-    require(schema.fields.exists(f =>
-      f.name != name && !m.partitionCols.contains(f.name)),
-      s"Cannot drop the last data column of ${m.name}")
-    SnapshotLog.commit(location, m.copy(
-      schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
-      tombstones = m.tombstones :+ name), conf)
+    retryMetaCommit { m =>
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(name),
+        s"Unknown column $name on ${m.name}")
+      require(!m.partitionCols.contains(name),
+        s"Partition column $name cannot be dropped")
+      // at least one non-partition column must remain: parquet cannot write
+      // files whose every column is directory-derived
+      require(schema.fields.exists(f =>
+        f.name != name && !m.partitionCols.contains(f.name)),
+        s"Cannot drop the last data column of ${m.name}")
+      m.copy(
+        schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
+        tombstones = m.tombstones :+ name)
+    }
+    ()
   }
 
   /** `ALTER TABLE … SET TBLPROPERTIES`: merge properties in one metadata
     * commit. */
   def setProperties(props: Map[String, String]): Unit = withCommitLock {
-    val m = meta
-    SnapshotLog.commit(location, m.copy(props = m.props ++ props), conf)
+    retryMetaCommit(m => m.copy(props = m.props ++ props))
+    ()
   }
 
   /** `ALTER TABLE … UNSET TBLPROPERTIES`. */
   def unsetProperties(keys: Seq[String]): Unit = withCommitLock {
-    val m = meta
-    SnapshotLog.commit(location, m.copy(props = m.props -- keys), conf)
+    retryMetaCommit(m => m.copy(props = m.props -- keys))
+    ()
   }
 
   // ---------------------------------------------------------------------
@@ -883,54 +888,63 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** `ALTER TABLE t CREATE OR REPLACE BRANCH name`: pin the current main
     * head under `name`. */
   def createOrReplaceBranch(branchName: String): Unit = withCommitLock {
-    val m = meta
-    require(!m.tags.contains(branchName),
-      s"$branchName is a tag on ${m.name}; tags are immutable")
-    val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
-      throw new IllegalStateException("Cannot branch an empty table"))
-    SnapshotLog.commit(location, m.copy(refs = m.refs + (branchName -> headId)), conf)
+    retryMetaCommit { m =>
+      require(!m.tags.contains(branchName),
+        s"$branchName is a tag on ${m.name}; tags are immutable")
+      val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
+        throw new IllegalStateException("Cannot branch an empty table"))
+      m.copy(refs = m.refs + (branchName -> headId))
+    }
+    ()
   }
 
   def dropBranch(branchName: String): Unit = withCommitLock {
-    val m = meta
-    require(branchName != SnapshotLog.MainBranch, "cannot drop main")
-    SnapshotLog.commit(location, m.copy(refs = m.refs - branchName), conf)
+    retryMetaCommit { m =>
+      require(branchName != SnapshotLog.MainBranch, "cannot drop main")
+      m.copy(refs = m.refs - branchName)
+    }
+    ()
   }
 
   /** `ALTER TABLE t CREATE [OR REPLACE] TAG name`: pin the current head as
     * an IMMUTABLE ref — readable via `asOf`/`VERSION AS OF`, pinned by
     * snapshot expiry, and never a write target (Iceberg tag semantics). */
   def createTag(tagName: String, replace: Boolean = false): Unit = withCommitLock {
-    val m = meta
-    require(!m.refs.contains(tagName),
-      s"$tagName is a branch on ${m.name}; tag names must not collide")
-    require(replace || !m.tags.contains(tagName),
-      s"Tag $tagName already exists on ${m.name} (use CREATE OR REPLACE TAG)")
-    val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
-      throw new IllegalStateException("Cannot tag an empty table"))
-    SnapshotLog.commit(location, m.copy(tags = m.tags + (tagName -> headId)), conf)
+    retryMetaCommit { m =>
+      require(!m.refs.contains(tagName),
+        s"$tagName is a branch on ${m.name}; tag names must not collide")
+      require(replace || !m.tags.contains(tagName),
+        s"Tag $tagName already exists on ${m.name} (use CREATE OR REPLACE TAG)")
+      val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
+        throw new IllegalStateException("Cannot tag an empty table"))
+      m.copy(tags = m.tags + (tagName -> headId))
+    }
+    ()
   }
 
   def dropTag(tagName: String): Unit = withCommitLock {
-    val m = meta
-    require(m.tags.contains(tagName), s"Unknown tag $tagName on ${m.name}")
-    SnapshotLog.commit(location, m.copy(tags = m.tags - tagName), conf)
+    retryMetaCommit { m =>
+      require(m.tags.contains(tagName), s"Unknown tag $tagName on ${m.name}")
+      m.copy(tags = m.tags - tagName)
+    }
+    ()
   }
 
   /** `CALL system.rollback_to_snapshot(t, id)` (Iceberg's rollback
     * procedure): move `main` back to an ANCESTOR snapshot. History is kept —
     * rolled-back snapshots stay in the log for audit until expiry. */
   def rollbackToSnapshot(snapshotId: Long): Unit = withCommitLock {
-    val m = meta
-    require(m.snapshot(snapshotId).isDefined,
-      s"Unknown snapshot $snapshotId on table ${m.name}")
-    val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
-      throw new IllegalStateException("Cannot roll back an empty table"))
-    require(m.isAncestorOf(snapshotId, headId),
-      s"Snapshot $snapshotId is not an ancestor of main ($headId): " +
-        "rollback only rewinds, use branches for divergent states")
-    SnapshotLog.commit(location,
-      m.copy(refs = m.refs + (SnapshotLog.MainBranch -> snapshotId)), conf)
+    retryMetaCommit { m =>
+      require(m.snapshot(snapshotId).isDefined,
+        s"Unknown snapshot $snapshotId on table ${m.name}")
+      val headId = m.refs.getOrElse(SnapshotLog.MainBranch,
+        throw new IllegalStateException("Cannot roll back an empty table"))
+      require(m.isAncestorOf(snapshotId, headId),
+        s"Snapshot $snapshotId is not an ancestor of main ($headId): " +
+          "rollback only rewinds, use branches for divergent states")
+      m.copy(refs = m.refs + (SnapshotLog.MainBranch -> snapshotId))
+    }
+    ()
   }
 
   /**
@@ -983,15 +997,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** `CALL system.fast_forward(t, to, from)` (reference WapIceberg.scala:81):
     * move `to` up to `from`'s head, requiring `to` to be an ancestor. */
   def fastForward(to: String, from: String): Unit = withCommitLock {
-    val m = meta
-    require(!m.tags.contains(to), s"$to is a tag; tags cannot be moved")
-    val fromId = m.refs.getOrElse(from,
-      throw new IllegalArgumentException(s"Unknown ref $from"))
-    m.refs.get(to).foreach { toId =>
-      require(m.isAncestorOf(toId, fromId),
-        s"Cannot fast-forward $to to $from: $to is not an ancestor")
+    retryMetaCommit { m =>
+      require(!m.tags.contains(to), s"$to is a tag; tags cannot be moved")
+      val fromId = m.refs.getOrElse(from,
+        throw new IllegalArgumentException(s"Unknown ref $from"))
+      m.refs.get(to).foreach { toId =>
+        require(m.isAncestorOf(toId, fromId),
+          s"Cannot fast-forward $to to $from: $to is not an ancestor")
+      }
+      m.copy(refs = m.refs + (to -> fromId))
     }
-    SnapshotLog.commit(location, m.copy(refs = m.refs + (to -> fromId)), conf)
+    ()
   }
 
   // ---------------------------------------------------------------------
@@ -1233,11 +1249,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * make the table unpartitioned going forward.
    */
   def updatePartitionSpec(cols: Seq[String]): Unit = withCommitLock {
-    val m = meta
-    val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    cols.foreach(c => require(s.fieldNames.contains(c),
-      s"unknown partition column $c on ${m.name}"))
-    SnapshotLog.commit(location, m.copy(partitionCols = cols), conf)
+    retryMetaCommit { m =>
+      val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      cols.foreach(c => require(sch.fieldNames.contains(c),
+        s"unknown partition column $c on ${m.name}"))
+      m.copy(partitionCols = cols)
+    }
+    ()
   }
 
   /** `rewrite_manifests` (reference IcebergLoadActivityTask.scala:160,
@@ -1251,9 +1269,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def rewriteManifests(
       olderThanMs: Long = System.currentTimeMillis() - GraftTable.OrphanFileDefaultAgeMs): Seq[String] =
     withCommitLock {
-      val m = meta
-      val committed = SnapshotLog.commit(location,
-        m.copy(metadataLog = m.metadataLog.takeRight(1)), conf)
+      val committed = retryMetaCommit(m =>
+        m.copy(metadataLog = m.metadataLog.takeRight(1)))
       val live = committed.snapshots.flatMap(_.manifest).toSet
       val dir = fs.makeQualified(new Path(SnapshotLog.metadataDir(location)))
       fs.listStatus(dir)
@@ -1298,6 +1315,30 @@ class GraftTable(val spark: SparkSession, val location: String) {
   // ---------------------------------------------------------------------
 
   private def withCommitLock[T](body: => T): T = GraftTable.lockFor(location).synchronized(body)
+
+  /** Optimistic retry for METADATA-ONLY commits (branch/tag/schema/property
+    * ops): `op` re-reads fresh metadata and re-applies on a foreign-commit
+    * conflict — its `require` validations re-run each attempt — so an
+    * interleaved foreign writer costs a bounded retry, not a failure.
+    * Data commits have their own policies: appends retry in [[append]],
+    * CoW conflicts propagate (their file probes are stale). */
+  private def retryMetaCommit(op: TableMetadata => TableMetadata): TableMetadata = {
+    var attempt = 0
+    var out: TableMetadata = null
+    while (out == null) {
+      val m = meta
+      val next = op(m)
+      GraftTable.onBeforeCommit()
+      try out = SnapshotLog.commit(location, next, conf)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("Concurrent commit") && attempt < 12 =>
+          attempt += 1
+          Thread.sleep(attempt * 20L + scala.util.Random.nextInt(40).toLong)
+      }
+    }
+    out
+  }
 
   private def resolveWriteBranchHead(m: TableMetadata, branch: Option[String]): Option[GraftSnapshot] = {
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)

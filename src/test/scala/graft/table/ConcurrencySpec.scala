@@ -84,6 +84,28 @@ class ConcurrencySpec extends SparkTestBase {
     assert(snaps.last.parentId === Some(1L))
   }
 
+  test("metadata-only ops retry through a conflicting foreign-process commit") {
+    import graft.apps.ActivityData
+    val loc = tmpDir("conc-meta")
+    val t = GraftTable.create(spark, loc, "metaretry", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    val conf = spark.sparkContext.hadoopConfiguration
+    var injected = false
+    GraftTable.onBeforeCommit = () => if (!injected) {
+      injected = true
+      val m = SnapshotLog.read(loc, conf)
+      SnapshotLog.commit(loc, m.copy(props = m.props + ("foreign" -> "1")), conf)
+    }
+    // branch creation re-reads fresh metadata and re-applies — both the
+    // foreign property AND the branch must land
+    try t.createOrReplaceBranch("b1")
+    finally GraftTable.onBeforeCommit = () => ()
+    assert(injected)
+    assert(t.properties("foreign") === "1")
+    assert(t.meta.refs.get("b1") === t.meta.currentSnapshotId)
+  }
+
   test("a conflicted CoW operation propagates instead of committing stale state") {
     import graft.apps.ActivityData
     import org.apache.spark.sql.functions.col
