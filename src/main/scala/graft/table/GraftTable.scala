@@ -697,10 +697,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
    *  - `replace` (compaction) commits are SKIPPED — they rewrite bytes,
    *    not logical rows;
    *  - merge-on-read commits (equality or position delete files) change
-   *    rows without moving data files, so their effect is computed as a
-   *    STATE diff (`exceptAll` of the delete-applied states around that
-   *    commit) — CDC stays uniform across write modes, and CoW commits in
-   *    the same range keep the cheap file-local path.
+   *    rows without moving data files; the common single-equality-delete
+   *    commit resolves as a SEMI JOIN of the parent state against the
+   *    delete file's keys (one scan, broadcastable key side), and
+   *    positional/multi-delete commits fall back to a state diff
+   *    (`exceptAll` around the commit) — CDC stays uniform across write
+   *    modes, and CoW commits in the same range keep the file-local path.
    *
    * A file-granularity diff also re-emits the UNCHANGED rows of a
    * rewritten file as identical DELETE+INSERT pairs ("carryovers");
@@ -710,9 +712,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * the correct changelog answer.
    *
    * Cost: bounded by the bytes the range actually rewrote for CoW-only
-   * ranges; each MoR commit adds two snapshot reads plus the exceptAll
-   * shuffles. Files must still be retained (unexpired) — the changelog
-   * reads them.
+   * ranges; an equality-MoR commit adds one parent scan + key semi-join,
+   * a positional/multi-delete MoR commit two snapshot reads plus the
+   * exceptAll shuffles. Files must still be retained (unexpired) — the
+   * changelog reads them.
    */
   def changelogBetween(fromRef: String, toRef: String,
       removeCarryovers: Boolean = true): DataFrame = {
@@ -734,20 +737,52 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (s.summary.get("added-delete-files").exists(_.toInt > 0)) {
         // merge-on-read commit: its row-level effect is not expressible as
         // a file diff (the delete file subtracts rows from files it does
-        // not rewrite), so diff the delete-applied STATES around it. Costs
-        // two snapshot reads + exceptAll shuffles for THIS commit only —
-        // CoW commits in the same range stay file-local below.
-        val pre = s.parentId.flatMap(byId.get)
-          .map(p => scan(Some(p), m))
-          .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
-        val post = scan(Some(s), m)
-        Seq(
-          pre.exceptAll(post)
-            .withColumn("_change_type", lit("DELETE"))
-            .withColumn("_commit_snapshot_id", lit(s.id)),
-          post.exceptAll(pre)
-            .withColumn("_change_type", lit("INSERT"))
-            .withColumn("_commit_snapshot_id", lit(s.id)))
+        // not rewrite). Two resolution shapes:
+        //  - FAST PATH (one equality delete file — what deleteWhereMoR /
+        //    updateWhereMoR / mergeMoR commit): DELETE images are the
+        //    parent state SEMI-JOINED against the delete file's keys (an
+        //    O(matched-keys) join the optimizer can broadcast), INSERT
+        //    images are the commit's added files — one parent scan, no
+        //    exceptAll. This is the shape that survives 100 TB.
+        //  - fallback (positional or multiple delete files): diff the
+        //    delete-applied STATES around the commit via exceptAll.
+        val parent = s.parentId.flatMap(byId.get)
+        val newDels = s.deleteFiles.filter(_.seq == s.id)
+        val emptyState =
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        if (newDels.size == 1 && !newDels.head.isPositional) {
+          val d = newDels.head
+          val parentState = parent
+            .map(p => readWithDeletes(Some(p), m, p.files))
+            .getOrElse(emptyState)
+          val delKeys = spark.read.parquet(s"$dataDir/${d.path}")
+            .select(d.keyCols.map(k => col(k).as(s"__del_$k")).toIndexedSeq: _*)
+          val deleted = parentState.join(delKeys,
+            d.keyCols.map(k =>
+              col(declaredNameNow(m, k, d.seq)) <=> col(s"__del_$k"))
+              .reduce(_ && _),
+            "left_semi")
+          val addedSet = s.addedFiles.toSet
+          val added = s.files.filter(f => addedSet.contains(f.path))
+          Seq(
+            deleted
+              .withColumn("_change_type", lit("DELETE"))
+              .withColumn("_commit_snapshot_id", lit(s.id))) ++
+            (if (added.isEmpty) Seq.empty
+             else Seq(readWithDeletes(Some(s), m, added)
+               .withColumn("_change_type", lit("INSERT"))
+               .withColumn("_commit_snapshot_id", lit(s.id))))
+        } else {
+          val pre = parent.map(p => scan(Some(p), m)).getOrElse(emptyState)
+          val post = scan(Some(s), m)
+          Seq(
+            pre.exceptAll(post)
+              .withColumn("_change_type", lit("DELETE"))
+              .withColumn("_commit_snapshot_id", lit(s.id)),
+            post.exceptAll(pre)
+              .withColumn("_change_type", lit("INSERT"))
+              .withColumn("_commit_snapshot_id", lit(s.id)))
+        }
       } else {
         val parent = s.parentId.flatMap(byId.get)
         val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
