@@ -274,6 +274,24 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("equality-MoR changelog resolves as a semi-join, never a state diff") {
+    val loc = tmpDir("planq-mor")
+    val t = GraftTable.create(spark, loc, "planqmor", ActivityData.schema,
+      ActivityData.partitionCols)
+    t.append(ActivityData.day1(spark))
+    t.createOrReplaceBranch("c1")
+    t.deleteWhereMoR(col("txn_id").isin("txn3", "txn7"), Seq("txn_id"))
+    t.createOrReplaceBranch("c2")
+    val plan = t.changelogBetween("c1", "c2")
+      .queryExecution.executedPlan.toString
+    // the DELETE images come from one parent scan semi-joined against the
+    // O(matched-keys) delete file — two full scans + exceptAll would show
+    // up as an Except/HashAggregate-count shape here
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.toLowerCase.contains("except"),
+      s"equality-MoR changelog must not fall back to the state diff:\n$plan")
+  }
+
   test("time-travel scan reads only the pinned snapshot's files") {
     table.createOrReplaceBranch("pin")
     table.append(ActivityData.day4(spark).filter(col("txn_id").isin("txn46", "txn47")))
