@@ -263,6 +263,115 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL image features: a normalized 8-bin-per-channel RGB histogram
+   * (24 dims) from a full ImageIO pixel decode. The batch shape is what a
+   * model embedding would use (decode once per row inside a partition
+   * iterator, emit a fixed-dim vector on the small projection); the
+   * feature itself is classical but genuinely computed from pixels.
+   * Undecodable payloads are dropped, matching [[decodeImageMeta]].
+   */
+  def imageFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val hist = new Array[Float](24)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              hist(((rgb >> 16) & 0xff) >> 5) += 1f
+              hist(8 + (((rgb >> 8) & 0xff) >> 5)) += 1f
+              hist(16 + ((rgb & 0xff) >> 5)) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (img.getWidth * img.getHeight).toFloat
+          var i = 0
+          while (i < 24) { hist(i) /= n; i += 1 }
+          Some(MediaFeature(r.media_id, "image", hist))
+        }
+      }
+    }
+  }
+
+  /**
+   * REAL audio features from decoded PCM16 samples:
+   * `[rms, zero-crossing rate, mean amplitude, duration_seconds]`.
+   * Same drop-on-undecodable policy as the other decoders.
+   */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      partitionContext()
+      it.flatMap { r =>
+        parseWavSamples(r.content).map { case (rate, channels, samples) =>
+          var sumSq = 0.0
+          var sumAbs = 0.0
+          var zc = 0
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toDouble
+            sumSq += s * s
+            sumAbs += math.abs(s)
+            if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) zc += 1
+            i += 1
+          }
+          val n = math.max(samples.length, 1)
+          MediaFeature(r.media_id, "audio", Array(
+            math.sqrt(sumSq / n).toFloat,
+            zc.toFloat / n,
+            (sumAbs / n).toFloat,
+            samples.length.toFloat / channels / rate))
+        }
+      }
+    }
+  }
+
+  /** Decode a PCM16 WAV's samples (interleaved across channels):
+    * (sample_rate, channels, samples) or None if unparseable. */
+  private[ops] def parseWavSamples(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var rate = -1
+    var channels = -1
+    var bits = -1
+    var dataAt = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (rate < 0 || dataAt < 0)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length) {
+        channels = u16(pos + 10)
+        rate = u32(pos + 12).toInt
+        bits = u16(pos + 22)
+      } else if (id == "data") { dataAt = pos + 8; dataLen = sz }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 || dataAt < 0 ||
+        dataAt + dataLen > b.length) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((b(dataAt + 2 * i) & 0xff) | (b(dataAt + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Some((rate, channels, out))
+  }
+
   /** Join features back to envelope metadata — the only shuffle in the
     * module, on the small (id, feature) projection, never on blobs. */
   def featureTable(media: Dataset[MediaRecord], dim: Int = 16): DataFrame = {

@@ -80,6 +80,56 @@ class MultimodalSpec extends SparkTestBase {
     assert(decodeAudioMeta(junk).count() === 0)
   }
 
+  test("image features are a real pixel histogram") {
+    import spark.implicits._
+    // 2x2 image: two pure-red, one pure-green, one pure-blue pixel
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0xff0000)
+    img.setRGB(0, 1, 0x00ff00); img.setRGB(1, 1, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(MediaRecord(1, "image", bos.toByteArray, "fx")).toDS()
+    val f = imageFeatures(ds).collect().head.feature
+    assert(f.length === 24)
+    // red channel: 2 pixels in top bin (255>>5=7), 2 in bottom (0>>5=0)
+    assert(f(7) === 0.5f && f(0) === 0.5f)
+    // green: 1 pixel at 255, 3 at 0; blue: 1 at 255, 3 at 0
+    assert(f(8 + 7) === 0.25f && f(8) === 0.75f)
+    assert(f(16 + 7) === 0.25f && f(16) === 0.75f)
+    assert(math.abs(f.sum - 3.0f) < 1e-5) // each channel sums to 1
+  }
+
+  test("audio features are computed from real PCM samples") {
+    import spark.implicits._
+    def wav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate)
+        .putInt(rate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val constant = wav(Array.fill[Short](1600)(1000), 16000)   // 0.1 s
+    val alternating = wav(Array.tabulate[Short](1600)(i =>
+      if (i % 2 == 0) 1000 else -1000), 16000)
+    val ds = Seq(
+      MediaRecord(1, "audio", constant, "fx"),
+      MediaRecord(2, "audio", alternating, "fx")).toDS()
+    val f = audioFeatures(ds).collect().map(m => m.media_id -> m.feature).toMap
+    // constant signal: rms = |amplitude|, zero crossings = 0, 0.1 s long
+    assert(math.abs(f(1)(0) - 1000f) < 0.01f)
+    assert(f(1)(1) === 0f)
+    assert(math.abs(f(1)(3) - 0.1f) < 1e-6)
+    // alternating sign flips every sample: zcr -> ~1
+    assert(f(2)(1) > 0.99f)
+    assert(math.abs(f(2)(0) - 1000f) < 0.01f)
+  }
+
   test("feature extraction: fixed dim, deterministic across runs") {
     val f1 = extractFeatures(media, dim = 16).collect()
       .map(f => f.media_id -> f.feature.toSeq).toMap
