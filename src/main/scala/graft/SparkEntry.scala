@@ -255,6 +255,13 @@ object SparkEntry {
           sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"))
         .orderBy("source")),
 
+    // corpus-comparison audit: pairwise source-vocabulary Jaccard on the
+    // distinct (source, token) set — the join runs on dictionary-sized
+    // inputs, never the corpus
+    "x_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(T(s, dir, "documents"))
+        .orderBy("src_a", "src_b")),
+
     "x_langid" -> ((s, dir) =>
       T(s, dir, "documents")
         .withColumn("predicted", TextAnalysis.langId(col("text")))
@@ -1341,6 +1348,25 @@ object SparkEntry {
          cast(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS bigint) AS ws_tokens,
          cast(sum(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bigint) AS bpe_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "x_vocab_overlap" ->
+      """WITH v AS (
+           SELECT DISTINCT source AS g, t.tok
+           FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+           WHERE t.tok <> ''),
+         sizes AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+         i AS (
+           SELECT a.g AS src_a, b.g AS src_b, count(*) AS inter
+           FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
+           GROUP BY 1, 2)
+         SELECT sa.g AS src_a, sb.g AS src_b,
+           COALESCE(i.inter, 0) AS inter,
+           sa.n + sb.n - COALESCE(i.inter, 0) AS union_size,
+           CAST(COALESCE(i.inter, 0) AS double)
+             / (sa.n + sb.n - COALESCE(i.inter, 0)) AS jaccard
+         FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+         LEFT JOIN i ON i.src_a = sa.g AND i.src_b = sb.g
+         ORDER BY 1, 2""",
 
     "x_langid" ->
       s"""SELECT lang, predicted, count(*) AS n FROM (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -209,6 +209,42 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(groupCol), col("rank"), col("__tok").as("term"),
         col("tf"), col("doc_freq"), round(col("__score"), 4).as("tfidf"))
+  }
+
+  /**
+   * Pairwise vocabulary overlap between corpus groups (Jaccard over the
+   * distinct whitespace-token sets) — the corpus-comparison step of a
+   * mixing/contamination audit ("how much of source A's vocabulary does
+   * source B share?"). One tokens shuffle reduces the corpus to the
+   * distinct (group, token) set; the self-join then runs on VOCAB-sized
+   * inputs (dictionary entries, not documents or occurrences), so at
+   * 100 TB the join sides are orders of magnitude below the corpus and
+   * the pair matrix is |groups|² rows.
+   */
+  def vocabOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val vocab = docs
+      .select(col(groupCol).as("g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a")
+      .join(vocab.select(col("g").as("g2"), col("tok")).as("b"), "tok")
+      .filter(col("g") < col("g2"))
+      .groupBy(col("g").as("src_a"), col("g2").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    // pair scaffold from the |groups|-row sizes aggregate, so disjoint
+    // pairs surface with inter=0 instead of silently vanishing
+    sizes.select(col("g").as("src_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("g").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_size"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
   // --- fingerprinting ----------------------------------------------------

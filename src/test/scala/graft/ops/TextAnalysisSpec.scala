@@ -12,6 +12,23 @@ class TextAnalysisSpec extends SparkTestBase {
     Seq(Tuple1(textVal)).toDF("text")
   }
 
+  test("vocabOverlap: pairwise Jaccard over distinct token sets") {
+    import spark.implicits._
+    // A vocab {a b c d}, B vocab {c d e f}, C vocab {a}:
+    // A-B inter 2 union 6; A-C inter 1 union 4; B-C inter 0 union 5
+    val docs = Seq(
+      ("A", "a b c"), ("A", "c d"),
+      ("B", "c d e"), ("B", "e f"),
+      ("C", "a a a")).toDF("source", "text")
+    val got = vocabOverlap(docs).orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("A", "B", 2L, 6L, 2.0 / 6),
+      ("A", "C", 1L, 4L, 1.0 / 4),
+      ("B", "C", 0L, 5L, 0.0)))
+  }
+
   test("tokenCount and bpeTokenCount") {
     val r = one("Hello, world! It's 42 degrees.")
       .select(tokenCount(col("text")).as("ws"), bpeTokenCount(col("text")).as("bpe"))
