@@ -501,6 +501,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // keep-BEST-duplicate policy: the boosted copies must win their
+    // groups (higher score), ties resolve to the lowest id — id sums
+    // prove keeper identity, not just counts
+    "d_dedup_best" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      Dedup.exactDedupBest(d.unionByName(dupes), "text", "n_chars", "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    }),
+
     // brute-force word-set Jaccard ground truth on a 20% subsample
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -1671,6 +1685,21 @@ object SparkEntry {
            FROM withdups)
          SELECT lang, count(*) AS kept FROM kept WHERE rn = 1
          GROUP BY 1 ORDER BY 1""",
+
+    "d_dedup_best" ->
+      """WITH withdups AS (
+           SELECT doc_id, text, source, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text, source, n_chars + 1000
+           FROM documents WHERE doc_id % 10 = 0),
+         kept AS (
+           SELECT source, doc_id, row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM withdups)
+         SELECT source, count(*) AS kept,
+           cast(sum(doc_id) AS bigint) AS id_sum
+         FROM kept WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
 
     "d_ngram_jaccard" ->
       """WITH sets AS (

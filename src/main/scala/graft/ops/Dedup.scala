@@ -34,6 +34,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /**
+   * Exact dedup keeping the BEST duplicate (highest `scoreCol`, ties to
+   * the lowest `idCol`) — the production policy when duplicates differ in
+   * quality metadata (crawl recency, length, quality score) and "first
+   * seen" is the wrong keeper. Same single digest shuffle as
+   * [[exactDedup]]; only the window order changes.
+   */
+  def exactDedupBest(df: DataFrame, textCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol)))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Exact-duplicate groups: digest, group size, keeper id. */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(contentKey(col(textCol)).as("content_key"))

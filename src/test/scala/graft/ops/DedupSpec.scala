@@ -25,6 +25,21 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toSeq === Seq(1L, 3L, 4L, 6L)) // 2 and 5 collapse into 1
   }
 
+  test("exactDedupBest keeps the highest-scored duplicate, ties to lowest id") {
+    import spark.implicits._
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 5L, 10L).otherwise(col("doc_id")))
+    // group {1,2,5}: 5 has the top score and wins; singletons keep themselves
+    val kept = Dedup.exactDedupBest(scored, "text", "score", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(3L, 4L, 5L, 6L))
+    // equal scores fall back to exactDedup's lowest-id policy
+    val tied = Dedup.exactDedupBest(docs.withColumn("score", lit(1L)),
+      "text", "score", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(tied.toSeq === Seq(1L, 3L, 4L, 6L))
+  }
+
   test("exactDupGroups reports group size and keeper") {
     val g = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
     assert(g.length === 1)
