@@ -412,6 +412,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")),
 
+    // deterministic 80/10/10 holdout split: id sums prove membership, not
+    // just counts (a row drifting between splits would break eval hygiene)
+    "x_split" -> ((s, dir) =>
+      // 10 buckets so sequential test-SF ids populate all three splits
+      Corpus.holdoutSplitMod(T(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), buckets = 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")),
+
     // domain balancing (the LLaMA/Pile mixture-reweighting shape): every
     // source downsampled to the token mass of the smallest source, keep
     // decisions on deterministic doc_id mod-buckets so the whole mix is
@@ -1585,6 +1595,13 @@ object SparkEntry {
            WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'es' THEN 750
            WHEN 'fr' THEN 1000 WHEN 'zh' THEN 100 ELSE 0 END
          GROUP BY 1 ORDER BY 1""",
+
+    "x_split" ->
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                     WHEN doc_id % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split,
+         count(*) AS n, cast(sum(doc_id) AS bigint) AS id_sum
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "x_mix" ->
       """WITH t AS (

@@ -150,6 +150,41 @@ object Corpus {
     df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(buckets)) < frac * buckets)
   }
 
+  /**
+   * Deterministic holdout split (train/val/test) on hashed key buckets —
+   * the leakage-safe split: assignment is a pure function of (key, salt),
+   * so re-runs, late-arriving data and different cluster sizes produce
+   * the identical split and no row drifts between splits across runs.
+   * Fractions must sum to <= 1; remainder buckets land in the FIRST
+   * split. Narrow — one projected column, no shuffle.
+   */
+  def holdoutSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      buckets: Int = 1000, salt: Long = 0L): DataFrame =
+    assignSplit(df, pmod(xxhash64(col(keyCol), lit(salt)), lit(buckets)),
+      splits, splitCol, buckets)
+
+  /** [[holdoutSplit]] with plain mod buckets (`key mod buckets`) instead
+    * of hashed ones — exactly mirrorable in SQL for the oracle; use the
+    * hashed variant when key structure could correlate with content. */
+  def holdoutSplitMod(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      buckets: Int = 1000): DataFrame =
+    assignSplit(df, pmod(col(keyCol), lit(buckets)), splits, splitCol, buckets)
+
+  private def assignSplit(df: DataFrame, bucket: Column,
+      splits: Seq[(String, Double)], splitCol: String, buckets: Int): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    val cum = splits.map(_._1).zip(splits.scanLeft(0.0)(_ + _._2).tail)
+    val assign = cum.foldLeft(Option.empty[Column]) {
+      case (None, (name, hi)) => Some(when(bucket < hi * buckets, name))
+      case (Some(c), (name, hi)) => Some(c.when(bucket < hi * buckets, name))
+    }.get.otherwise(splits.head._1)
+    df.withColumn(splitCol, assign)
+  }
+
   // --- domain-mixture balancing ------------------------------------------
 
   /**

@@ -169,4 +169,29 @@ class CorpusSpec extends SparkTestBase {
     val other = Corpus.stratifiedSample(d, "s", "id", Map("x" -> 0.5), salt = 7L).count()
     assert(other > 800 && other < 1200)
   }
+
+  test("holdoutSplit is total, disjoint, deterministic and ~honors fractions") {
+    import spark.implicits._
+    val d = (0L until 3000L).map(i => (i, s"doc$i")).toDF("id", "t")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val assigned = Corpus.holdoutSplit(d, "id", splits)
+    // total + disjoint: every row gets exactly one split value
+    assert(assigned.count() === 3000)
+    val bySplit = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit.values.sum === 3000L)
+    assert(bySplit("train") > 2200 && bySplit("train") < 2600,
+      s"~2400 expected, got ${bySplit("train")}")
+    // identical assignment on re-run (pure function of key+salt)
+    val again = Corpus.holdoutSplit(d, "id", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = assigned.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first === again)
+    // mod variant covers every bucket when fractions sum to 1
+    val mod = Corpus.holdoutSplitMod(d, "id", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mod === Map("train" -> 2400L, "val" -> 300L, "test" -> 300L))
+  }
 }
