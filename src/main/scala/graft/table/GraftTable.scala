@@ -179,12 +179,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * metadata fall back to deriving it from the retained snapshot list
     * (0 — predates every retained delete — when even that is gone). */
   private def readWithDeletes(snap: Option[GraftSnapshot], m: TableMetadata,
-      subset: Seq[DataFile]): DataFrame = {
+      subset: Seq[DataFile], keepPos: Boolean = false): DataFrame = {
     val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val posFields =
+      if (keepPos) Seq(StructField("__file", StringType), StructField("__pos", LongType))
+      else Seq.empty
     if (snap.isEmpty || subset.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(s.fields ++ posFields))
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
-    if (dels.isEmpty) return plainRead(m, s, subset)
+    if (dels.isEmpty)
+      return if (keepPos) plainReadWithPos(m, s, subset) else plainRead(m, s, subset)
     lazy val addSeq: Map[String, Long] = addedSeqByPath(m)
     def seqOf(f: DataFile): Long =
       f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
@@ -194,7 +199,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map { case (applicable, files) =>
         val appl = dels.filter(d => applicable(d.path))
         val base =
-          if (appl.exists(_.isPositional)) plainReadWithPos(m, s, files)
+          if (keepPos || appl.exists(_.isPositional)) plainReadWithPos(m, s, files)
           else plainRead(m, s, files)
         val filtered = appl.foldLeft(base) { (df, d) =>
           if (d.isPositional) {
@@ -217,7 +222,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
               "left_anti")
           }
         }
-        filtered.select(s.fields.map(f => col(f.name)).toIndexedSeq: _*)
+        filtered.select((s.fields.map(f => col(f.name)) ++
+          posFields.map(f => col(f.name))).toIndexedSeq: _*)
       }
       .reduce(_.unionByName(_))
   }
@@ -697,12 +703,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
    *  - `replace` (compaction) commits are SKIPPED — they rewrite bytes,
    *    not logical rows;
    *  - merge-on-read commits (equality or position delete files) change
-   *    rows without moving data files; the common single-equality-delete
-   *    commit resolves as a SEMI JOIN of the parent state against the
-   *    delete file's keys (one scan, broadcastable key side), and
-   *    positional/multi-delete commits fall back to a state diff
-   *    (`exceptAll` around the commit) — CDC stays uniform across write
-   *    modes, and CoW commits in the same range keep the file-local path.
+   *    rows without moving data files; both resolve as a SEMI JOIN of the
+   *    parent state against the commit's delete rows (equality keys, or
+   *    `(__file, __pos)` row identities for positional) — one parent scan
+   *    with a broadcastable delete side. Only a commit MIXING equality and
+   *    positional delete files falls back to a state diff (`exceptAll`).
+   *    CDC stays uniform across write modes, and CoW commits in the same
+   *    range keep the file-local path.
    *
    * A file-granularity diff also re-emits the UNCHANGED rows of a
    * rewritten file as identical DELETE+INSERT pairs ("carryovers");
@@ -712,10 +719,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * the correct changelog answer.
    *
    * Cost: bounded by the bytes the range actually rewrote for CoW-only
-   * ranges; an equality-MoR commit adds one parent scan + key semi-join,
-   * a positional/multi-delete MoR commit two snapshot reads plus the
-   * exceptAll shuffles. Files must still be retained (unexpired) — the
-   * changelog reads them.
+   * ranges; a MoR commit adds one parent scan + delete-row semi-join
+   * (mixed-kind commits: two snapshot reads plus exceptAll). Files must
+   * still be retained (unexpired) — the changelog reads them.
    */
   def changelogBetween(fromRef: String, toRef: String,
       removeCarryovers: Boolean = true): DataFrame = {
@@ -750,6 +756,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val newDels = s.deleteFiles.filter(_.seq == s.id)
         val emptyState =
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        val addedSet = s.addedFiles.toSet
+        val added = s.files.filter(f => addedSet.contains(f.path))
+        def insertPart: Seq[DataFrame] =
+          if (added.isEmpty) Seq.empty
+          else Seq(readWithDeletes(Some(s), m, added)
+            .withColumn("_change_type", lit("INSERT"))
+            .withColumn("_commit_snapshot_id", lit(s.id)))
         if (newDels.size == 1 && !newDels.head.isPositional) {
           val d = newDels.head
           val parentState = parent
@@ -762,16 +775,30 @@ class GraftTable(val spark: SparkSession, val location: String) {
               col(declaredNameNow(m, k, d.seq)) <=> col(s"__del_$k"))
               .reduce(_ && _),
             "left_semi")
-          val addedSet = s.addedFiles.toSet
-          val added = s.files.filter(f => addedSet.contains(f.path))
-          Seq(
-            deleted
-              .withColumn("_change_type", lit("DELETE"))
-              .withColumn("_commit_snapshot_id", lit(s.id))) ++
-            (if (added.isEmpty) Seq.empty
-             else Seq(readWithDeletes(Some(s), m, added)
-               .withColumn("_change_type", lit("INSERT"))
-               .withColumn("_commit_snapshot_id", lit(s.id))))
+          Seq(deleted
+            .withColumn("_change_type", lit("DELETE"))
+            .withColumn("_commit_snapshot_id", lit(s.id))) ++ insertPart
+        } else if (newDels.nonEmpty && newDels.forall(_.isPositional)) {
+          // positional twin of the fast path: the parent state (positions
+          // retained, older deletes applied) semi-joins the new delete
+          // files' (__file, __pos) row identities
+          val parentPos = parent
+            .map(p => readWithDeletes(Some(p), m, p.files, keepPos = true))
+            .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType(schema.fields ++ Seq(
+                StructField("__file", org.apache.spark.sql.types.StringType),
+                StructField("__pos", LongType)))))
+          val delPairs = newDels
+            .map(d => spark.read.parquet(s"$dataDir/${d.path}")
+              .select(col("__file").as("__delf"), col("__pos").as("__delp")))
+            .reduce(_.unionByName(_))
+          val deleted = parentPos.join(delPairs,
+            col("__file") === col("__delf") && col("__pos") === col("__delp"),
+            "left_semi")
+            .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+          Seq(deleted
+            .withColumn("_change_type", lit("DELETE"))
+            .withColumn("_commit_snapshot_id", lit(s.id))) ++ insertPart
         } else {
           val pre = parent.map(p => scan(Some(p), m)).getOrElse(emptyState)
           val post = scan(Some(s), m)

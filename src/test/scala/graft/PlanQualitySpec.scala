@@ -290,6 +290,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("LeftSemi"), plan)
     assert(!plan.toLowerCase.contains("except"),
       s"equality-MoR changelog must not fall back to the state diff:\n$plan")
+    // positional twin: row-identity semi-join, same no-state-diff shape
+    t.createOrReplaceBranch("c3")
+    t.deleteWherePositional(col("txn_id") === "txn9")
+    t.createOrReplaceBranch("c4")
+    val posPlan = t.changelogBetween("c3", "c4")
+      .queryExecution.executedPlan.toString
+    assert(posPlan.contains("LeftSemi"), posPlan)
+    assert(!posPlan.toLowerCase.contains("except"),
+      s"positional-MoR changelog must not fall back to the state diff:\n$posPlan")
   }
 
   test("time-travel scan reads only the pinned snapshot's files") {
