@@ -171,6 +171,38 @@ object DriveApp {
       println(s"bloom-anti kept=${kept.count()} plain=${plainKept.count()} " +
         s"equal=${kept.count() == plainKept.count()}")
     }
+    println("== manifest-list layout: externalized lazy file lists")
+    locally {
+      val m = ct.meta
+      val externalized = m.snapshots.forall(s =>
+        s.manifest.isDefined && s.inlineFiles.isEmpty)
+      println(s"manifests externalized=$externalized snapshots=${m.snapshots.size} "
+        + s"headFiles=${m.currentSnapshot.map(_.files.size).getOrElse(0)}")
+    }
+    println("== MoR changelog: delete-file commit surfaces row-level DELETEs")
+    locally {
+      import spark.implicits._
+      val mt = graft.table.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("drive-morchg").toString + "/t",
+        "morchg", graft.apps.ActivityData.schema,
+        graft.apps.ActivityData.partitionCols)
+      mt.append(graft.apps.ActivityData.day1(spark))
+      mt.createOrReplaceBranch("before")
+      mt.deleteWhereMoR(col("txn_id") === "txn5", Seq("txn_id"))
+      val chg = mt.changelogBetween("before", "main")
+        .select("txn_id", "_change_type").collect()
+        .map(r => s"${r.getString(0)}:${r.getString(1)}").sorted.mkString(",")
+      println(s"mor-changelog $chg")
+    }
+    println("== multimodal: real JDK codec decode")
+    locally {
+      val media = graft.ops.Multimodal.syntheticMedia(spark, 9)
+      val img = graft.ops.Multimodal.decodeImageMeta(media).collect()
+        .map(m => s"${m.width}x${m.height}:${m.format}").sorted.mkString(",")
+      val aud = graft.ops.Multimodal.decodeAudioMeta(media).collect()
+        .map(m => s"${m.sample_rate}hz/${m.channels}ch").sorted.mkString(",")
+      println(s"media-decode img=$img aud=$aud")
+    }
     spark.stop()
   }
 }
