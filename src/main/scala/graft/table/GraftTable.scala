@@ -663,6 +663,62 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * rows, which would silently duplicate history in an append-only changes
    * feed, so the method fails loudly and points at the full-snapshot diff.
    */
+  /**
+   * Incremental change consumption with an atomic checkpoint — the
+   * batch-incremental consumer pattern (the shape of Delta/Iceberg
+   * `startingVersion` reads): each call hands `process` the row-level
+   * changelog between the last checkpointed snapshot and the current
+   * head, advancing the checkpoint ONLY after `process` returns. The
+   * first call delivers the full current state as INSERT images. A
+   * crashed consumer replays its last un-checkpointed range — idempotent
+   * `process` gives end-to-end exactly-once, at-least-once otherwise.
+   * Single consumer per checkpoint dir; snapshot retention must cover
+   * consumer lag (an expired `from` snapshot fails the changelog read).
+   *
+   * @return the `(from, to]` snapshot-id range processed, or None when
+   *         the table has no commits past the checkpoint
+   */
+  def consumeChanges(checkpointDir: String)(process: DataFrame => Unit): Option[(Long, Long)] = {
+    val dir = new Path(checkpointDir)
+    val cpFs = dir.getFileSystem(conf)
+    cpFs.mkdirs(dir)
+    val offsetFile = new Path(dir, "offset")
+    val last: Option[Long] =
+      if (!cpFs.exists(offsetFile)) None
+      else {
+        val in = cpFs.open(offsetFile)
+        try {
+          val bytes = new Array[Byte](cpFs.getFileStatus(offsetFile).getLen.toInt)
+          in.readFully(bytes)
+          Some(new String(bytes, "UTF-8").trim.toLong)
+        } finally in.close()
+      }
+    val m = meta
+    val headId = m.currentSnapshotId.getOrElse(return None)
+    if (last.contains(headId)) return None
+    last.foreach(l => require(m.snapshot(l).isDefined,
+      s"Checkpointed snapshot $l expired from ${m.name}: increase snapshot " +
+        "retention past the consumer lag, or reset the checkpoint"))
+    val batch = last match {
+      case Some(l) => changelogBetween(l.toString, headId.toString)
+      case None => // initial load: the whole current state as INSERT images
+        toDF.withColumn("_change_type", lit("INSERT"))
+          .withColumn("_commit_snapshot_id", lit(headId))
+    }
+    process(batch)
+    // checkpoint AFTER processing: tmp + rename, the same atomic primitive
+    // as the commit CAS (single consumer — last rename wins by design)
+    val tmp = new Path(dir, s".offset-${java.util.UUID.randomUUID()}")
+    val out = cpFs.create(tmp, false)
+    try out.write(headId.toString.getBytes("UTF-8"))
+    finally out.close()
+    cpFs.delete(offsetFile, false)
+    if (!cpFs.rename(tmp, offsetFile))
+      throw new IllegalStateException(
+        s"Failed to advance consumer checkpoint at $offsetFile")
+    Some((last.getOrElse(0L), headId))
+  }
+
   def changesBetween(fromRef: String, toRef: String): DataFrame = {
     val m = meta
     def resolve(r: String): GraftSnapshot = m.snapshotForRef(r).getOrElse(

@@ -193,6 +193,15 @@ object DriveApp {
         .select("txn_id", "_change_type").collect()
         .map(r => s"${r.getString(0)}:${r.getString(1)}").sorted.mkString(",")
       println(s"mor-changelog $chg")
+      // incremental consumer: full load, then caught-up, then a new range
+      val cp = java.nio.file.Files.createTempDirectory("drive-cp").toString
+      var n = -1L
+      mt.consumeChanges(cp)(df => n = df.count())
+      val caughtUp = mt.consumeChanges(cp)(_ => ()).isEmpty
+      mt.append(graft.apps.ActivityData.day2(spark).filter(col("txn_id") === "txn16"))
+      var inc = -1L
+      mt.consumeChanges(cp)(df => inc = df.count())
+      println(s"consume initial=$n caughtUp=$caughtUp incremental=$inc")
     }
     println("== multimodal: real JDK codec decode")
     locally {
