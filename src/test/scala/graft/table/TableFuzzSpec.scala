@@ -1,0 +1,112 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** Model-based randomized testing of the table core: a seeded random
+  * sequence of append / merge / CoW delete / MoR delete / compaction /
+  * rollback commits runs against both the real table and a trivial
+  * in-memory model; after every operation the table must equal the model,
+  * every retained historical snapshot must equal the model's state at
+  * that commit, and structural invariants (manifest externalization,
+  * linear ancestry) must hold. Catches cross-feature interactions no
+  * hand-written scenario covers. */
+class TableFuzzSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("id", LongType),
+    StructField("v", LongType)))
+
+  test("120 random commits: table == model at head and every retained snapshot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xf422)
+    val t = GraftTable.create(spark, tmpDir("fuzz"), "fuzz", schema,
+      partitionCols = Seq("k"))
+
+    // model: rows keyed by id; snapshots of the model per commit id
+    var model = Map.empty[Long, (String, Long)] // id -> (k, v)
+    var history = Map.empty[Long, Map[Long, (String, Long)]]
+    var nextId = 0L
+
+    def df(rows: Seq[(String, Long, Long)]) = rows.toDF("k", "id", "v")
+    def freshRows(n: Int): Seq[(String, Long, Long)] =
+      (0 until n).map { _ =>
+        val id = nextId
+        nextId += 1
+        (s"p${rnd.nextInt(3)}", id, rnd.nextInt(1000).toLong)
+      }
+
+    def checkpoint(): Unit = {
+      t.meta.currentSnapshotId.foreach(id => history += id -> model)
+    }
+
+    def assertState(): Unit = {
+      val got = t.toDF.select("id", "k", "v").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === model, s"head state diverged after ${t.meta.snapshots.size} commits")
+    }
+
+    (1 to 120).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // append 1-5 fresh rows
+          val rows = freshRows(1 + rnd.nextInt(5))
+          t.append(df(rows))
+          model ++= rows.map(r => r._2 -> ((r._1, r._3)))
+          checkpoint()
+        case 2 => // merge: update half of a random sample + insert fresh
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(5)
+            .map(id => (model(id)._1, id, model(id)._2 + 10000L))
+          val inserts = freshRows(rnd.nextInt(3))
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            t.merge(df(src), Seq("id"))
+            model ++= src.map(r => r._2 -> ((r._1, r._3)))
+            checkpoint()
+          }
+        case 3 => // CoW or MoR delete of a random value band
+          val lo = rnd.nextInt(1000).toLong
+          val cond = col("v") >= lo && col("v") < lo + 200
+          if (rnd.nextBoolean()) t.deleteWhere(cond)
+          else t.deleteWhereMoR(cond, Seq("id"))
+          model = model.filterNot { case (_, (_, v)) => v >= lo && v < lo + 200 }
+          checkpoint()
+        case 4 if model.nonEmpty => // compaction: bytes move, rows must not
+          t.rewriteDataFilesSorted(Seq(asc("id")))
+          checkpoint()
+        case 5 if t.meta.snapshots.size > 3 && rnd.nextInt(4) == 0 =>
+          // rollback to a random main ancestor we have a model for
+          val m = t.meta
+          val ancestors = m.currentSnapshotId.map(m.ancestry).getOrElse(Seq.empty)
+          val candidates = ancestors.filter(history.contains)
+          if (candidates.nonEmpty) {
+            val target = candidates(rnd.nextInt(candidates.size))
+            t.rollbackToSnapshot(target)
+            model = history(target)
+          }
+        case _ => ()
+      }
+      assertState()
+    }
+
+    // structural invariants at the end of the run
+    val m = t.meta
+    assert(m.snapshots.forall(s => s.manifest.isDefined && s.inlineFiles.isEmpty),
+      "every committed snapshot must be manifest-externalized")
+    val byId = m.snapshots.map(s => s.id -> s).toMap
+    m.snapshots.foreach(s => s.parentId.foreach(p =>
+      assert(byId.contains(p) || !m.ancestry(m.currentSnapshotId.get).contains(s.id),
+        s"retained main-ancestry snapshot ${s.id} has a missing parent $p")))
+
+    // every retained snapshot we modeled still reads back exactly
+    val retained = m.snapshots.map(_.id).toSet
+    history.filter { case (id, _) => retained.contains(id) }.foreach {
+      case (id, expected) =>
+        val got = t.asOf(id.toString).select("id", "k", "v").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        assert(got === expected, s"time travel to snapshot $id diverged")
+    }
+  }
+}
