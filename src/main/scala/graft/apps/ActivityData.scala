@@ -104,9 +104,18 @@ object ActivityData {
       .schema(schema)
       .load(dir)
 
-  /** Classpath location of the generated CSV day fixtures (dev layout). */
+  /** On-disk location of the generated CSV day fixtures: the classpath
+    * copy when it is a real directory (test runs), else the source tree
+    * (packaged-jar runs, where the resource URL points inside the jar and
+    * cannot be read as a Spark path). */
   def csvFixturesDir: Option[String] =
     Option(getClass.getResource("/input")).map(_.getPath)
+      .filter(p => new java.io.File(p).isDirectory)
+      .orElse {
+        val src = new java.io.File(
+          sys.props.getOrElse("user.dir", "."), "src/main/resources/input")
+        if (src.isDirectory) Some(src.getAbsolutePath) else None
+      }
 
   /** Clean batch for the WAP accept path. */
   def cleanBatch(spark: SparkSession): DataFrame =

@@ -421,16 +421,8 @@ object TableFixtures {
     cache.getOrElseUpdate(("activity_csv_ingested", "-"), {
       val loc = s"$baseDir/activity_csv_ingested"
       GraftTable.drop(spark, loc)
-      // the classpath copy can live inside a packaged jar (unreadable as a
-      // Spark path) — prefer the source-tree directory, then an on-disk
-      // classpath copy
-      val srcTree = new java.io.File(
-        sys.props.getOrElse("user.dir", "."), "src/main/resources/input")
-      val root =
-        if (srcTree.isDirectory) srcTree.getAbsolutePath
-        else graft.apps.ActivityData.csvFixturesDir
-          .filter(p => new java.io.File(p).isDirectory)
-          .getOrElse(sys.error("CSV day fixtures not found on disk"))
+      val root = graft.apps.ActivityData.csvFixturesDir
+        .getOrElse(sys.error("CSV day fixtures not found on disk"))
       val days = graft.apps.ActivityData.readDayCsv(spark, s"$root/*")
       val t = GraftTable.create(spark, loc, "graft.activity_csv",
         graft.apps.ActivityData.schema, partitionCols = Seq("txn_date"))
