@@ -98,11 +98,17 @@ object ActivityData {
   /** S1 CSV scan (reference IcebergLoadActivityTask.scala:51-63): day-folder
     * CSV with header and the explicit 7-column schema. */
   def readDayCsv(spark: SparkSession, dir: String): DataFrame =
+    readDayCsv(spark, Seq(dir))
+
+  /** Multi-directory variant: an explicit path list avoids wildcard globs,
+    * whose listing trips Spark's FileStreamSink metadata probe into a noisy
+    * (harmless but alarming) FileNotFoundException WARN per run. */
+  def readDayCsv(spark: SparkSession, dirs: Seq[String]): DataFrame =
     spark.read.format("csv")
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
       .schema(schema)
-      .load(dir)
+      .load(dirs: _*)
 
   /** On-disk location of the generated CSV day fixtures: the classpath
     * copy when it is a real directory (test runs), else the source tree

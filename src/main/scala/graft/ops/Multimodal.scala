@@ -213,6 +213,10 @@ object Multimodal {
     while (pos + 8 <= b.length && (rate < 0 || dataLen < 0)) {
       val id = tag(pos)
       val sz = u32(pos + 4)
+      // a corrupt u32 size (negative after .toInt, or past the buffer)
+      // would stall or reverse the walk — one bad blob must not hang the
+      // task, so bail to None instead
+      if (sz > b.length) return None
       if (id == "fmt " && pos + 24 <= b.length) {
         channels = u16(pos + 10)
         rate = u32(pos + 12).toInt
@@ -353,6 +357,9 @@ object Multimodal {
     while (pos + 8 <= b.length && (rate < 0 || dataAt < 0)) {
       val id = tag(pos)
       val sz = u32(pos + 4).toInt
+      // corrupt sizes (negative after truncation, or past the buffer)
+      // must not stall or reverse the walk — bail on the blob instead
+      if (sz < 0 || sz > b.length) return None
       if (id == "fmt " && pos + 24 <= b.length) {
         channels = u16(pos + 10)
         rate = u32(pos + 12).toInt
@@ -370,6 +377,32 @@ object Multimodal {
       i += 1
     }
     Some((rate, channels, out))
+  }
+
+  /** The five checked-in container fixtures (real PNG/JPEG/BMP images and
+    * PCM WAVs under `/media` on the classpath, regenerated by
+    * GenMediaFixtures) as a Dataset — the deterministic input of the m_*
+    * oracle queries: every decode output over them is a constant a VALUES
+    * oracle can assert. */
+  def fixtureMedia(spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/media/$name")
+      require(in != null, s"missing classpath resource /media/$name")
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+    Seq(
+      MediaRecord(0, "image", res("img-4x6.png"), "fixture"),
+      MediaRecord(1, "image", res("img-8x5.jpg"), "fixture"),
+      MediaRecord(2, "image", res("img-7x3.bmp"), "fixture"),
+      MediaRecord(3, "audio", res("tone-16000-mono.wav"), "fixture"),
+      MediaRecord(4, "audio", res("tone-22050-stereo.wav"), "fixture")).toDS()
   }
 
   /** Join features back to envelope metadata — the only shuffle in the

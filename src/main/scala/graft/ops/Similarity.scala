@@ -163,7 +163,23 @@ object Similarity {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfSearch(queries, buildIvfIndex(corpus, idCol, vecCol, nCells, seed),
+      k, idCol, vecCol, nProbe)
+
+  /** A fitted IVF index: the tiny centroid table (`__cell`, `__center`)
+    * and the cell-assigned corpus (`neighbor_id`, `__cv`, `__cell`).
+    * Building it (the k-means fit) is the expensive one-time INDEXING
+    * step; [[ivfSearch]] is the per-query-batch step. Callers that issue
+    * many batches against one corpus should build once and reuse — that
+    * is exactly how a production IVF index amortizes. */
+  final case class IvfIndex(centers: DataFrame, assigned: DataFrame)
+
+  /** K-means fit + corpus cell assignment — the indexing half of
+    * [[ivfTopK]], split out so the fit can be done once per corpus. */
+  def buildIvfIndex(corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -176,14 +192,23 @@ object Similarity {
     val centers = model.clusterCenters
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
-    // nProbe nearest centroids per query, computed on the driver-broadcast
-    // centroid table (nCells rows — always tiny)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val sp = queries.sparkSession
+    val sp = corpus.sparkSession
     import sp.implicits._
     val centerRows = centers.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }
       .toSeq.toDF("__cell", "__center")
-    val probes = q.crossJoin(broadcast(centerRows))
+    IvfIndex(centerRows, assigned)
+  }
+
+  /** The query half of [[ivfTopK]]: probe the `nProbe` nearest cells per
+    * query and score only those cells' candidates. */
+  def ivfSearch(queries: DataFrame, index: IvfIndex, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = 4): DataFrame = {
+    val assigned = index.assigned
+    // nProbe nearest centroids per query, computed on the driver-broadcast
+    // centroid table (nCells rows — always tiny)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probes = q.crossJoin(broadcast(index.centers))
       .select(col("query_id"), col("__qv"), col("__cell"),
         cosineFast(col("__qv").cast("array<double>"), col("__center")).as("__csim"))
     val wCell = Window.partitionBy(col("query_id")).orderBy(col("__csim").desc, col("__cell").asc)

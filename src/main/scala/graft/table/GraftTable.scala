@@ -683,16 +683,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cpFs = dir.getFileSystem(conf)
     cpFs.mkdirs(dir)
     val offsetFile = new Path(dir, "offset")
-    val last: Option[Long] =
-      if (!cpFs.exists(offsetFile)) None
-      else {
-        val in = cpFs.open(offsetFile)
-        try {
-          val bytes = new Array[Byte](cpFs.getFileStatus(offsetFile).getLen.toInt)
-          in.readFully(bytes)
-          Some(new String(bytes, "UTF-8").trim.toLong)
-        } finally in.close()
-      }
+    def readLong(p: Path): Option[Long] = scala.util.Try {
+      val in = cpFs.open(p)
+      try {
+        val bytes = new Array[Byte](cpFs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").trim.toLong
+      } finally in.close()
+    }.toOption
+    // The committed offset plus any .offset-* tmps left by a crash in the
+    // advance window (tmps are written only AFTER process() completed, so
+    // their content is always a legitimately-processed head). Taking the
+    // MAX makes a crash between the old offset's delete and the rename
+    // lose nothing: the tmp carries the processed head, so the next run
+    // resumes from it instead of replaying the full state.
+    val last: Option[Long] = {
+      val committed = if (cpFs.exists(offsetFile)) readLong(offsetFile) else None
+      val tmps =
+        if (!cpFs.exists(dir)) Seq.empty
+        else cpFs.listStatus(dir).toSeq
+          .filter(_.getPath.getName.startsWith(".offset-"))
+          .flatMap(st => readLong(st.getPath))
+      (committed.toSeq ++ tmps).maxOption
+    }
     val m = meta
     val headId = m.currentSnapshotId.getOrElse(return None)
     if (last.contains(headId)) return None
@@ -701,13 +714,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "retention past the consumer lag, or reset the checkpoint"))
     val batch = last match {
       case Some(l) => changelogBetween(l.toString, headId.toString)
-      case None => // initial load: the whole current state as INSERT images
-        toDF.withColumn("_change_type", lit("INSERT"))
+      case None => // initial load: the state AS OF the checkpointed head —
+        // a pinned read, NOT toDF: a commit landing between the head
+        // capture above and this read (or an active WAP branch redirect)
+        // would deliver rows beyond the checkpoint, and the next batch
+        // would re-deliver them under a different _commit_snapshot_id,
+        // breaking idempotent replay
+        asOfSnapshot(headId).withColumn("_change_type", lit("INSERT"))
           .withColumn("_commit_snapshot_id", lit(headId))
     }
     process(batch)
-    // checkpoint AFTER processing: tmp + rename, the same atomic primitive
-    // as the commit CAS (single consumer — last rename wins by design)
+    // checkpoint AFTER processing: write tmp, then rename ONTO the offset
+    // file. Hadoop's local/HDFS rename refuses an existing target, so the
+    // old offset is removed first — but a crash in the delete→rename
+    // window must not lose the offset entirely (a lost offset replays the
+    // FULL state, not the last range). Order of protection: the tmp file
+    // with the new head is fully written BEFORE the delete, and recovery
+    // below falls back to the newest .offset-* tmp when the offset file
+    // is missing. (Single consumer — last writer wins by design.)
     val tmp = new Path(dir, s".offset-${java.util.UUID.randomUUID()}")
     val out = cpFs.create(tmp, false)
     try out.write(headId.toString.getBytes("UTF-8"))
@@ -716,6 +740,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (!cpFs.rename(tmp, offsetFile))
       throw new IllegalStateException(
         s"Failed to advance consumer checkpoint at $offsetFile")
+    // sweep tmps a crashed earlier run left behind (their heads are all
+    // <= the offset just committed, so they carry no information now)
+    cpFs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(".offset-"))
+      .foreach(st => cpFs.delete(st.getPath, false))
     Some((last.getOrElse(0L), headId))
   }
 
@@ -819,7 +848,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
           else Seq(readWithDeletes(Some(s), m, added)
             .withColumn("_change_type", lit("INSERT"))
             .withColumn("_commit_snapshot_id", lit(s.id)))
-        if (newDels.size == 1 && !newDels.head.isPositional) {
+        // the fast paths never look at removedFiles, so a commit that BOTH
+        // adds delete files AND removes data files (no current writer
+        // produces one) must take the state-diff fallback, not silently
+        // omit the removed files' rows from the DELETE images
+        if (newDels.size == 1 && !newDels.head.isPositional &&
+            s.removedFiles.isEmpty) {
           val d = newDels.head
           val parentState = parent
             .map(p => readWithDeletes(Some(p), m, p.files))
@@ -834,7 +868,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
           Seq(deleted
             .withColumn("_change_type", lit("DELETE"))
             .withColumn("_commit_snapshot_id", lit(s.id))) ++ insertPart
-        } else if (newDels.nonEmpty && newDels.forall(_.isPositional)) {
+        } else if (newDels.nonEmpty && newDels.forall(_.isPositional) &&
+            s.removedFiles.isEmpty) {
           // positional twin of the fast path: the parent state (positions
           // retained, older deletes applied) semi-joins the new delete
           // files' (__file, __pos) row identities
@@ -1377,19 +1412,35 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** `rewrite_manifests` (reference IcebergLoadActivityTask.scala:160,
-    * SURVEY.md §2.5 P3): live manifests are 1:1 with snapshots and already
-    * minimal, so the useful rewrite work is (a) truncating the unbounded
-    * metadata-log tail (snapshots and refs intact) and (b) collecting
-    * ORPHAN manifests — files a writer left under `_graft/` by dying
-    * between its manifest write and losing the commit race. The age guard
-    * mirrors [[removeOrphanFiles]]: an in-flight commit's just-written
-    * manifest is never collected. */
+    * SURVEY.md §2.5 P3). Three jobs: (a) COMPACT long manifest chains —
+    * every amortized append adds one manifest to its snapshot's list, so a
+    * ref head accumulated over many appends resolves through many small
+    * manifests; heads past `maxManifests` are rewritten to a single full
+    * manifest (Iceberg's rewrite_manifests consolidation); (b) truncate
+    * the unbounded metadata-log tail (snapshots and refs intact); and (c)
+    * collect manifests no retained snapshot references — replaced by
+    * compaction, or left under `_graft/` by a writer dying between its
+    * manifest write and losing the commit race. The age guard mirrors
+    * [[removeOrphanFiles]]: an in-flight commit's just-written manifest is
+    * never collected. */
   def rewriteManifests(
-      olderThanMs: Long = System.currentTimeMillis() - GraftTable.OrphanFileDefaultAgeMs): Seq[String] =
+      olderThanMs: Long = System.currentTimeMillis() - GraftTable.OrphanFileDefaultAgeMs,
+      maxManifests: Int = 8): Seq[String] =
     withCommitLock {
-      val committed = retryMetaCommit(m =>
-        m.copy(metadataLog = m.metadataLog.takeRight(1)))
-      val live = committed.snapshots.flatMap(_.manifest).toSet
+      val committed = retryMetaCommit { m =>
+        val heads = m.refs.values.toSet ++ m.tags.values
+        m.copy(
+          metadataLog = m.metadataLog.takeRight(1),
+          snapshots = m.snapshots.map { s =>
+            if (heads.contains(s.id) && s.manifestRefs.size > maxManifests)
+              // re-inline the full live lists; commit() externalizes them
+              // back out as ONE fresh manifest replacing the whole chain
+              s.copy(inlineFiles = s.files, inlineDeleteFiles = s.deleteFiles,
+                manifest = None, manifests = Seq.empty)
+            else s
+          })
+      }
+      val live = committed.snapshots.flatMap(_.manifestRefs).toSet
       val dir = fs.makeQualified(new Path(SnapshotLog.metadataDir(location)))
       fs.listStatus(dir)
         .filter { st =>
@@ -1421,10 +1472,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val pruned = m.copy(snapshots = m.snapshots.filter(s => keep.contains(s.id)))
     SnapshotLog.commit(location, pruned, conf)
     toDelete.foreach(p => fs.delete(new Path(dataDir, p), false))
-    // expired snapshots' manifest files are unreachable once the commit
-    // lands — manifests are per-snapshot, never shared
-    expired.flatMap(_.manifest).foreach(name =>
-      fs.delete(new Path(SnapshotLog.metadataDir(location), name), false))
+    // manifests are SHARED down append chains (each append references its
+    // parent's manifests), so deletion is reference-counted: an expired
+    // snapshot's manifest goes only when no retained snapshot names it
+    val retainedManifests = m.snapshots.filter(s => keep.contains(s.id))
+      .flatMap(_.manifestRefs).toSet
+    expired.flatMap(_.manifestRefs).distinct
+      .filterNot(retainedManifests.contains)
+      .foreach(name =>
+        fs.delete(new Path(SnapshotLog.metadataDir(location), name), false))
     expired.map(_.id)
   }
 
@@ -1632,10 +1688,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val kept = files.filter(f =>
       conjuncts.forall(c => GraftTable.fileMayMatch(c, f)))
     if (kept.size == files.size) full.filter(cond)
-    // drop the manifest ref on the pruned copy: the trimmed file list is
+    // drop the manifest refs on the pruned copy: the trimmed file list is
     // inline-only scan input, not a committed snapshot
     else scan(snap.map(s => s.copy(inlineFiles = kept,
-      inlineDeleteFiles = s.deleteFiles, manifest = None)), m).filter(cond)
+      inlineDeleteFiles = s.deleteFiles, manifest = None,
+      manifests = Seq.empty)), m).filter(cond)
   }
 
   private def partitionValuesOf(row: Row, parts: Seq[String]): Map[String, String] =
@@ -1658,20 +1715,40 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // data_sequence_number): delete-applicability must not depend on the
     // adding snapshot staying in the (expirable) snapshot list
     val stamped = added.map(_.copy(dataSeq = Some(id)))
-    val live = head.map(_.files).getOrElse(Seq.empty).filterNot(f => removedSet.contains(f.path)) ++ stamped
-    // MoR delete files: carried forward until a full rewrite materializes
-    // them (replace/overwrite read through the deletes, so new files never
-    // contain logically-deleted rows); new deletes get this commit's id as
-    // their sequence — they apply only to files added before it
-    val liveDeletes =
-      if (operation == "replace" || operation == "overwrite") Seq.empty
-      else head.map(_.deleteFiles).getOrElse(Seq.empty) ++ addedDeletes.map(_.copy(seq = id))
+    // Amortized (manifest-list) path — Iceberg's manifest reuse: a commit
+    // that removes nothing inlines ONLY its added entries and references
+    // the parent's manifests untouched, so its metadata write is O(added),
+    // never O(live files). Requires an externalized parent (meta is always
+    // a fresh disk read, so this holds; guarded anyway). Removal/rewrite
+    // commits fall through to materializing the full live list, which
+    // commit() collapses into a single fresh manifest.
+    val clearsDeletes = operation == "replace" || operation == "overwrite"
+    val amortizable = removed.isEmpty && !clearsDeletes &&
+      head.forall(h => h.inlineFiles.isEmpty && h.inlineDeleteFiles.isEmpty)
+    val (inlineF, inlineD, parentManifests) =
+      if (amortizable)
+        (stamped, addedDeletes.map(_.copy(seq = id)),
+          head.map(_.manifestRefs).getOrElse(Seq.empty))
+      else {
+        val live = head.map(_.files).getOrElse(Seq.empty)
+          .filterNot(f => removedSet.contains(f.path)) ++ stamped
+        // MoR delete files: carried forward until a full rewrite
+        // materializes them (replace/overwrite read through the deletes, so
+        // new files never contain logically-deleted rows); new deletes get
+        // this commit's id as their sequence — they apply only to files
+        // added before it
+        val liveDeletes =
+          if (clearsDeletes) Seq.empty
+          else head.map(_.deleteFiles).getOrElse(Seq.empty) ++
+            addedDeletes.map(_.copy(seq = id))
+        (live, liveDeletes, Seq.empty)
+      }
     val snap = GraftSnapshot(
       id = id,
       parentId = head.map(_.id),
       timestampMs = System.currentTimeMillis(),
       operation = operation,
-      inlineFiles = live,
+      inlineFiles = inlineF,
       addedFiles = added.map(_.path),
       removedFiles = removed,
       summary = Map(
@@ -1680,7 +1757,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "added-records" -> added.map(_.records).sum.toString,
         "added-delete-files" -> addedDeletes.size.toString,
         "branch" -> b) ++ extraSummary,
-      inlineDeleteFiles = liveDeletes)
+      inlineDeleteFiles = inlineD,
+      manifests = parentManifests)
+    snap.manifestLoader = name => SnapshotLog.readManifest(location, name, conf)
     val newRefs = m.refs + (b -> id)
     GraftTable.onBeforeCommit()
     SnapshotLog.commit(location, m.copy(refs = newRefs, snapshots = m.snapshots :+ snap), conf)

@@ -51,13 +51,16 @@ case class DataFile(
  * every append / merge / replace produces a new snapshot whose `files`
  * list fully describes the live data at that version.
  *
- * The file lists are externalized at commit into a per-snapshot manifest
- * file (`manifest-<id>-<uuid>.json` under `_graft/`) referenced by name
- * from the root metadata and loaded lazily on first access — reading the
- * log is O(snapshots), and a commit writes one manifest for the new
- * snapshot while prior snapshots reuse theirs untouched. Storing the full
- * live set per snapshot (rather than add/remove deltas resolved through
- * manifest chains) remains a deliberate simplification.
+ * The file lists are externalized at commit into manifest files
+ * (`manifest-<id>-<uuid>.json` under `_graft/`) referenced by name from
+ * the root metadata and loaded lazily on first access — reading the log
+ * is O(snapshots). Each snapshot carries a manifest LIST: an append's new
+ * manifest holds only the files that commit ADDED, and the parent's
+ * manifests are referenced untouched (Iceberg's manifest reuse, surfaced
+ * by the reference's `t.manifests` table,
+ * IcebergLoadActivityTask.scala:92), so commit metadata cost is
+ * O(added files); removal/rewrite commits collapse the chain back to a
+ * single full manifest.
  */
 /**
  * A merge-on-read delete file: a parquet file under `data/_deletes/` whose
@@ -84,8 +87,8 @@ case class DeleteFile(
   def isPositional: Boolean = kind == "position"
 }
 
-/** A snapshot's externalized file lists — the manifest-list step: the root
-  * metadata stores only the manifest file NAME, and the lists load lazily
+/** One externalized file-list fragment — the manifest step: the root
+  * metadata stores only manifest file NAMES, and the lists load lazily
   * on first access, so reading the log is O(snapshots), not O(files). */
 case class ManifestData(
     files: Seq[DataFile] = Seq.empty,
@@ -101,21 +104,38 @@ case class GraftSnapshot(
     removedFiles: Seq[String],
     summary: Map[String, String],
     inlineDeleteFiles: Seq[DeleteFile] = Seq.empty,
-    // name of the manifest file under _graft/ holding this snapshot's file
-    // lists; when set, inline lists are empty in the serialized log and the
-    // lists load lazily through the reader-attached loader
-    manifest: Option[String] = None) {
+    // legacy (pre-r8) single full manifest under _graft/; kept so metadata
+    // written by earlier builds still reads — treated as the head of the
+    // manifest list
+    manifest: Option[String] = None,
+    // manifest LIST (Iceberg-style): the snapshot's live file set is the
+    // UNION of these manifests' lists plus any inline entries. An append
+    // writes ONE manifest holding only its added files and references the
+    // parent's manifests untouched, so commit metadata cost is O(added),
+    // not O(live files); removal/rewrite commits collapse back to a single
+    // full manifest. Manifests are therefore SHARED across snapshots and
+    // garbage-collected by reference counting (expire_snapshots).
+    manifests: Seq[String] = Seq.empty) {
+
+  /** All manifest names this snapshot's live lists resolve through. */
+  def manifestRefs: Seq[String] = manifest.toSeq ++ manifests
 
   /** Injected by SnapshotLog after read/commit (not a constructor param, so
     * it never serializes and does not affect case-class equality). */
   @transient private[table] var manifestLoader: String => ManifestData = _
 
-  private lazy val loaded: ManifestData = manifest match {
-    case Some(mf) if inlineFiles.isEmpty && inlineDeleteFiles.isEmpty =>
+  private lazy val loaded: ManifestData = {
+    val refs = manifestRefs
+    if (refs.isEmpty) ManifestData(inlineFiles, inlineDeleteFiles)
+    else {
       require(manifestLoader != null,
-        s"Snapshot $id references manifest $mf but no loader is attached")
-      manifestLoader(mf)
-    case _ => ManifestData(inlineFiles, inlineDeleteFiles)
+        s"Snapshot $id references manifests $refs but no loader is attached")
+      val parts = refs.map(manifestLoader)
+      // manifest order is parent-first, so files line up with commit order;
+      // inline entries (only present pre-externalization) come last
+      ManifestData(parts.flatMap(_.files) ++ inlineFiles,
+        parts.flatMap(_.deleteFiles) ++ inlineDeleteFiles)
+    }
   }
 
   /** Live data files at this version (lazily manifest-loaded). */
@@ -248,9 +268,32 @@ object SnapshotLog {
     val m = try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
-      Serialization.read[TableMetadata](new String(bytes, "UTF-8"))
+      parseMetadata(new String(bytes, "UTF-8"))
     } finally in.close()
     attachLoaders(m, tableDir, conf)
+  }
+
+  /** Parse root metadata, accepting the legacy snapshot field names
+    * (`files`/`deleteFiles`, pre-manifest-list builds) alongside the
+    * current `inlineFiles`/`inlineDeleteFiles`: json4s silently defaults a
+    * missing Seq field to empty, which would make old tables read back as
+    * EMPTY rather than fail — so the legacy keys are renamed in the JSON
+    * tree before extraction. */
+  private[table] def parseMetadata(json: String): TableMetadata = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val migrated = JsonMethods.parse(json).transformField {
+      case JField("snapshots", JArray(snaps)) =>
+        JField("snapshots", JArray(snaps.map {
+          case JObject(fields) => JObject(fields.map {
+            case JField("files", v) => JField("inlineFiles", v)
+            case JField("deleteFiles", v) => JField("inlineDeleteFiles", v)
+            case f => f
+          })
+          case other => other
+        }))
+    }
+    migrated.extract[TableMetadata]
   }
 
   /** Read one snapshot's externalized file lists (the lazy half of the
@@ -284,14 +327,14 @@ object SnapshotLog {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     // Manifest-list step: externalize any snapshot still carrying inline
-    // file lists into its own immutable manifest file. The root metadata
-    // then stays O(snapshots) regardless of how many data files the table
-    // accumulates — only the NEW snapshot pays a manifest write per
-    // commit; prior snapshots reuse their existing manifests untouched.
+    // entries into an immutable manifest file APPENDED to its manifest
+    // list. An amortized append arrives here with inline = only its ADDED
+    // files plus references to the parent's manifests, so the manifest
+    // written is O(added) and prior manifests are reused untouched; the
+    // root metadata stays O(snapshots) regardless of data file count.
     val newManifests = scala.collection.mutable.ArrayBuffer.empty[Path]
     val externalized = meta.snapshots.map { s =>
-      if (s.manifest.isDefined ||
-          (s.inlineFiles.isEmpty && s.inlineDeleteFiles.isEmpty)) s
+      if (s.inlineFiles.isEmpty && s.inlineDeleteFiles.isEmpty) s
       else {
         val name =
           f"manifest-${s.id}%05d-${java.util.UUID.randomUUID().toString.take(8)}.json"
@@ -302,7 +345,7 @@ object SnapshotLog {
         finally mOut.close()
         newManifests += p
         s.copy(inlineFiles = Seq.empty, inlineDeleteFiles = Seq.empty,
-          manifest = Some(name))
+          manifests = s.manifests :+ name)
       }
     }
     val stamped = meta.copy(

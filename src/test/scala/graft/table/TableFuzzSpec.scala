@@ -93,7 +93,7 @@ class TableFuzzSpec extends SparkTestBase {
 
     // structural invariants at the end of the run
     val m = t.meta
-    assert(m.snapshots.forall(s => s.manifest.isDefined && s.inlineFiles.isEmpty),
+    assert(m.snapshots.forall(s => s.manifestRefs.nonEmpty && s.inlineFiles.isEmpty),
       "every committed snapshot must be manifest-externalized")
     val byId = m.snapshots.map(s => s.id -> s).toMap
     m.snapshots.foreach(s => s.parentId.foreach(p =>

@@ -175,7 +175,7 @@ object DriveApp {
     locally {
       val m = ct.meta
       val externalized = m.snapshots.forall(s =>
-        s.manifest.isDefined && s.inlineFiles.isEmpty)
+        s.manifestRefs.nonEmpty && s.inlineFiles.isEmpty)
       println(s"manifests externalized=$externalized snapshots=${m.snapshots.size} "
         + s"headFiles=${m.currentSnapshot.map(_.files.size).getOrElse(0)}")
     }

@@ -3,9 +3,9 @@ package graft.tools
 import java.io.{ByteArrayOutputStream, File, FileOutputStream}
 
 /** Regenerates the tiny checked-in media fixtures under
-  * `src/test/resources/media/` that MultimodalSpec decodes (real PNG/JPEG/
-  * BMP containers via ImageIO, PCM WAVs via a hand-written RIFF header).
-  * Run manually after changing shapes:
+  * `src/main/resources/media/` that MultimodalSpec and the m_* oracle
+  * queries decode (real PNG/JPEG/BMP containers via ImageIO, PCM WAVs via
+  * a hand-written RIFF header). Run manually after changing shapes:
   * `sbt "Test/runMain graft.tools.GenMediaFixtures"`. */
 object GenMediaFixtures {
 
@@ -35,7 +35,7 @@ object GenMediaFixtures {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = new File("src/test/resources/media")
+    val dir = new File("src/main/resources/media")
     dir.mkdirs()
     val files = Map(
       "img-4x6.png" -> image(4, 6, "png"),
