@@ -1157,7 +1157,51 @@ object SparkEntry {
           max(col("n_1h")).cast("long").as("max_n_1h"),
           sum(col("cents_1h").cast("decimal(38,0)")).cast("long").as("sum_cents_1h"))
         .orderBy("event_type")
-    })
+    }),
+
+    // --- multimodal decode (m_*): REAL JDK codecs over the checked-in ---
+    // container fixtures (src/main/resources/media, regenerated by
+    // GenMediaFixtures). Decode is deterministic, so each query's output
+    // is a constant table the DuckDB oracle asserts as VALUES — computed
+    // independently by GenMediaOracle (plain ImageIO + a from-scratch
+    // PCM16 walk), NOT copied from the operators under test.
+
+    // image container headers: dimensions + color components + format
+    "m_image_meta" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeImageMeta(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("format"))
+        .orderBy("media_id")),
+
+    // RIFF/WAVE headers: sample rate, per-channel sample count, channels
+    "m_audio_meta" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeAudioMeta(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"),
+          col("channels"), col("n_samples"))
+        .orderBy("media_id")),
+
+    // full pixel decode -> normalized 8-bin-per-channel RGB histogram
+    "m_image_features" -> ((s, dir) =>
+      graft.ops.Multimodal.imageFeatures(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"),
+          posexplode(col("feature")).as(Seq("dim", "value")))
+        .select(col("media_id"), col("dim"),
+          round(col("value").cast("double"), 4).as("value"))
+        .orderBy("media_id", "dim")),
+
+    // PCM16 sample decode -> [rms, zero-crossing rate, mean |amplitude|,
+    // duration seconds]
+    "m_audio_features" -> ((s, dir) =>
+      graft.ops.Multimodal.audioFeatures(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"),
+          posexplode(col("feature")).as(Seq("dim", "value")))
+        .select(col("media_id"), col("dim"),
+          round(col("value").cast("double"), 4).as("value"))
+        .orderBy("media_id", "dim"))
   )
 
   // =====================================================================
@@ -2387,6 +2431,60 @@ object SparkEntry {
     "e_salted_agg" ->
       s"""SELECT event_type, ${centsSql("value")} AS sum_value_cents,
          count(*) AS cnt
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // --- multimodal (m_*): the decode outputs over the checked-in
+    // fixtures are deterministic constants, asserted as VALUES tables.
+    // Constants computed by graft.tools.GenMediaOracle — an independent
+    // re-derivation (plain ImageIO + from-scratch PCM16 walk), so the
+    // oracle checks the production operators, not itself.
+
+    "m_image_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height, CAST(channels AS INT) AS channels,
+           format
+         FROM (VALUES (0, 4, 6, 3, 'png'), (1, 8, 5, 3, 'jpeg'),
+           (2, 7, 3, 3, 'bmp')) AS t(media_id, width, height, channels, format)
+         ORDER BY 1""",
+
+    "m_audio_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST(n_samples AS BIGINT) AS n_samples
+         FROM (VALUES (3, 16000, 1, 160), (4, 22050, 2, 240))
+           AS t(media_id, sample_rate, channels, n_samples)
+         ORDER BY 1""",
+
+    "m_image_features" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,
+           CAST(value AS DOUBLE) AS value
+         FROM (VALUES
+           (0, 0, 1), (0, 1, 0), (0, 2, 0), (0, 3, 0), (0, 4, 0), (0, 5, 0),
+           (0, 6, 0), (0, 7, 0), (0, 8, 0), (0, 9, 1), (0, 10, 0), (0, 11, 0),
+           (0, 12, 0), (0, 13, 0), (0, 14, 0), (0, 15, 0),
+           (0, 16, 0.125), (0, 17, 0.125), (0, 18, 0.125), (0, 19, 0.125),
+           (0, 20, 0.0833), (0, 21, 0.1667), (0, 22, 0.125), (0, 23, 0.125),
+           (1, 0, 1), (1, 1, 0), (1, 2, 0), (1, 3, 0), (1, 4, 0), (1, 5, 0),
+           (1, 6, 0), (1, 7, 0), (1, 8, 0), (1, 9, 0.875), (1, 10, 0.125),
+           (1, 11, 0), (1, 12, 0), (1, 13, 0), (1, 14, 0), (1, 15, 0),
+           (1, 16, 0), (1, 17, 0), (1, 18, 0), (1, 19, 0.5), (1, 20, 0.475),
+           (1, 21, 0.025), (1, 22, 0), (1, 23, 0),
+           (2, 0, 1), (2, 1, 0), (2, 2, 0), (2, 3, 0), (2, 4, 0), (2, 5, 0),
+           (2, 6, 0), (2, 7, 0), (2, 8, 0), (2, 9, 1), (2, 10, 0), (2, 11, 0),
+           (2, 12, 0), (2, 13, 0), (2, 14, 0), (2, 15, 0),
+           (2, 16, 0.1429), (2, 17, 0.0952), (2, 18, 0.1429), (2, 19, 0.0952),
+           (2, 20, 0.1429), (2, 21, 0.0952), (2, 22, 0.1429), (2, 23, 0.1429)
+         ) AS t(media_id, dim, value)
+         ORDER BY 1, 2""",
+
+    "m_audio_features" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,
+           CAST(value AS DOUBLE) AS value
+         FROM (VALUES
+           (3, 0, 2274.4294), (3, 1, 0.0188), (3, 2, 1960.825), (3, 3, 0.01),
+           (4, 0, 2334.8008), (4, 1, 0.0229), (4, 2, 2008.8625), (4, 3, 0.0109)
+         ) AS t(media_id, dim, value)
+         ORDER BY 1, 2"""
   )
 }

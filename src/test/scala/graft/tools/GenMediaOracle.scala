@@ -1,0 +1,105 @@
+package graft.tools
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** Prints the expected-constant rows for the m_* oracle queries over the
+  * checked-in media fixtures — computed here INDEPENDENTLY of the
+  * production operators (plain ImageIO reads and a from-scratch PCM16
+  * walk), so the VALUES oracles in SparkEntry are not a copy of the code
+  * under test. Run manually after regenerating fixtures:
+  * `sbt "Test/runMain graft.tools.GenMediaOracle"`. */
+object GenMediaOracle {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/media/$name")
+    require(in != null, s"missing /media/$name")
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Spark round() parity: HALF_UP at 4 decimals on the double value. */
+  private def r4(v: Double): String =
+    new JBigDecimal(v).setScale(4, RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
+
+  def main(args: Array[String]): Unit = {
+    val images = Seq(
+      0L -> "img-4x6.png", 1L -> "img-8x5.jpg", 2L -> "img-7x3.bmp")
+    val audios = Seq(
+      3L -> "tone-16000-mono.wav", 4L -> "tone-22050-stereo.wav")
+
+    println("-- m_image_meta (media_id, width, height, channels, format)")
+    images.foreach { case (id, name) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resource(name)))
+      val fmt = {
+        val it = javax.imageio.ImageIO.getImageReaders(
+          javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(resource(name))))
+        it.next().getFormatName.toLowerCase
+      }
+      println(s"($id, ${img.getWidth}, ${img.getHeight}, " +
+        s"${img.getColorModel.getNumComponents}, '$fmt'),")
+    }
+
+    println("-- m_image_features (media_id, dim, value) — 24-bin rgb histogram")
+    images.foreach { case (id, name) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resource(name)))
+      val hist = new Array[Long](24)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        hist(((rgb >> 16) & 0xff) >> 5) += 1
+        hist(8 + (((rgb >> 8) & 0xff) >> 5)) += 1
+        hist(16 + ((rgb & 0xff) >> 5)) += 1
+      }
+      val n = (img.getWidth * img.getHeight).toFloat
+      hist.zipWithIndex.foreach { case (c, d) =>
+        // production emits Float then casts to double for rounding —
+        // replicate the exact representable value being rounded
+        println(s"($id, $d, ${r4((c / n).toDouble)}),")
+      }
+    }
+
+    println("-- m_audio_meta (media_id, sample_rate, channels, n_samples)")
+    println("-- m_audio_features (media_id, dim, value) — rms/zcr/meanAbs/duration")
+    audios.foreach { case (id, name) =>
+      val b = resource(name)
+      def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+      require(new String(b, 0, 4, "US-ASCII") == "RIFF")
+      val channels = u16(22)
+      val rate = u32(24)
+      var pos = 12
+      var dataAt = -1
+      var dataLen = -1
+      while (dataAt < 0) {
+        val tag = new String(b, pos, 4, "US-ASCII")
+        val sz = u32(pos + 4)
+        if (tag == "data") { dataAt = pos + 8; dataLen = sz }
+        else pos += 8 + sz + (sz & 1)
+      }
+      val n = dataLen / 2
+      val samples = Array.tabulate(n)(i =>
+        ((b(dataAt + 2 * i) & 0xff) | (b(dataAt + 2 * i + 1) << 8)).toShort)
+      println(s"-- meta: ($id, $rate, $channels, ${n / channels}),")
+      var sumSq = 0.0; var sumAbs = 0.0; var zc = 0
+      samples.zipWithIndex.foreach { case (s, i) =>
+        sumSq += s.toDouble * s; sumAbs += math.abs(s.toDouble)
+        if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) zc += 1
+      }
+      val feats = Seq(
+        math.sqrt(sumSq / n).toFloat,
+        zc.toFloat / n,
+        (sumAbs / n).toFloat,
+        n.toFloat / channels / rate)
+      feats.zipWithIndex.foreach { case (f, d) =>
+        println(s"($id, $d, ${r4(f.toDouble)}),")
+      }
+    }
+  }
+}
