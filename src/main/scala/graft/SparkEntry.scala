@@ -1201,7 +1201,21 @@ object SparkEntry {
           posexplode(col("feature")).as(Seq("dim", "value")))
         .select(col("media_id"), col("dim"),
           round(col("value").cast("double"), 4).as("value"))
-        .orderBy("media_id", "dim"))
+        .orderBy("media_id", "dim")),
+
+    // --- streaming (st_*): a Structured Streaming pipeline the oracle ---
+    // can check: the events parquet replayed through a FILE-SOURCE stream
+    // into the exactly-once graft sink (Trigger.AvailableNow = run to
+    // completion), then the materialized table aggregated. Equality with
+    // DuckDB's batch aggregate proves the stream delivered every row
+    // exactly once through the batch-id-stamped snapshot commits.
+    "st_ingest" -> ((s, dir) => {
+      val t = TableFixtures.streamIngested(s, dir)
+      t.toDF
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_cents"))
+        .orderBy("event_type")
+    })
   )
 
   // =====================================================================
@@ -2485,6 +2499,11 @@ object SparkEntry {
            (3, 0, 2274.4294), (3, 1, 0.0188), (3, 2, 1960.825), (3, 3, 0.01),
            (4, 0, 2334.8008), (4, 1, 0.0229), (4, 2, 2008.8625), (4, 3, 0.0109)
          ) AS t(media_id, dim, value)
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+
+    // the streamed-in table must equal the batch source exactly
+    "st_ingest" ->
+      s"""SELECT event_type, count(*) AS n, ${centsSql("value")} AS value_cents
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -448,6 +448,42 @@ object TableFixtures {
       t
     })
 
+  /** The `events` table ingested through Structured Streaming: a file
+    * source over the driver parquet, run to completion with
+    * Trigger.AvailableNow into the exactly-once graft sink
+    * (StreamingOps.writeToGraftTable) — every micro-batch is one atomic
+    * batch-id-stamped snapshot commit. The materialized table equals the
+    * batch `events` table, which is what lets DuckDB oracle a STREAMING
+    * pipeline (st_ingest). */
+  def streamIngested(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_ingested", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_ingested"
+      GraftTable.drop(spark, loc)
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+      // default; stream it as long nanos (same contract as SparkEntry's
+      // batch events reader) — st_ingest aggregates on event_type/value,
+      // so the raw nanos ride through the sink unconverted
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = read(spark, sfDir, "events").schema
+      val t = GraftTable.create(spark, loc, "graft.stream_ingested", schema)
+      // the file stream source monitors a DIRECTORY; the driver testdata is
+      // a single parquet file, so hard-link it into a source dir (no copy)
+      val srcDir = java.nio.file.Paths.get(s"$loc-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        try java.nio.file.Files.createLink(
+          link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+        catch { case _: Exception => java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/events.parquet"), link) }
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = graft.streaming.StreamingOps.writeToGraftTable(
+        stream, t, s"$loc-checkpoint",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      t
+    })
+
   def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
     bucketedCache.getOrElseUpdate(sfDir, {
       val db = s"graft_buckets_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"

@@ -85,15 +85,20 @@ object StreamingOps {
    */
   def writeToGraftTable(df: DataFrame, table: graft.table.GraftTable,
       checkpointDir: String, mergeKeys: Seq[String] = Seq.empty,
-      updateCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.StreamingQuery = {
+      updateCols: Seq[String] = Seq.empty,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val sid = streamId(checkpointDir)
-    df.writeStream
+    val writer = df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitMicroBatch(table, batch, batchId, mergeKeys, updateCols, sid); ()
       }
-      .start()
+    // Trigger.AvailableNow turns the sink into a run-to-completion backfill
+    // (process everything available, then stop) — the shape the st_ingest
+    // oracle query drives synchronously
+    trigger.fold(writer)(writer.trigger).start()
   }
 
   /** One micro-batch commit with the replay guard; factored out so the

@@ -1723,8 +1723,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // commits fall through to materializing the full live list, which
     // commit() collapses into a single fresh manifest.
     val clearsDeletes = operation == "replace" || operation == "overwrite"
+    // bound the manifest chain (write.manifest.max-chain, default 32 —
+    // Iceberg's commit.manifest.min-count-to-merge analogue): when the
+    // parent's chain is at the bound, this commit materializes the full
+    // list into ONE manifest instead of appending a 33rd link, so reads
+    // never resolve through unbounded chains and the collapse cost is
+    // amortized O(live/maxChain) per commit
+    val maxChain = m.props.getOrElse("write.manifest.max-chain", "32").toInt
     val amortizable = removed.isEmpty && !clearsDeletes &&
-      head.forall(h => h.inlineFiles.isEmpty && h.inlineDeleteFiles.isEmpty)
+      head.forall(h => h.inlineFiles.isEmpty && h.inlineDeleteFiles.isEmpty) &&
+      head.map(_.manifestRefs.size).getOrElse(0) < maxChain
     val (inlineF, inlineD, parentManifests) =
       if (amortizable)
         (stamped, addedDeletes.map(_.copy(seq = id)),

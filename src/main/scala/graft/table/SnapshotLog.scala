@@ -223,9 +223,93 @@ case class MetadataLogEntry(timestampMs: Long, file: String, latestSnapshotId: O
  * reference IcebergSupport.scala:26-35); the storage-level protocol here
  * keeps the library self-contained.
  */
+/**
+ * The pluggable atomic-publish step of the commit protocol: install a
+ * fully-written temp metadata file as the immutable `v<N>.metadata.json`
+ * slot such that of all concurrent committers EXACTLY ONE wins and every
+ * loser throws (an `IllegalStateException` mentioning "Concurrent
+ * commit", which the append retry loop recognizes).
+ *
+ * The two storage-level implementations below cover local FS (hard-link
+ * CAS) and rename-atomic stores like HDFS (no-overwrite rename CAS). On
+ * object stores without atomic rename, THIS is the seam where a catalog
+ * service slots in — a REST/JDBC catalog (the reference delegates its
+ * whole commit protocol to one, IcebergSupport.scala:26-35) implements
+ * `publish` as a conditional-update call against the service and the rest
+ * of the table stack is unchanged. Install via [[SnapshotLog.commitGuardFor]].
+ */
+trait CommitGuard {
+  /** Atomically claim `target` with the bytes at `tmp` (already fully
+    * written, length = `payload`). Must delete `tmp` on the loss path and
+    * throw; on success `target` holds exactly `payload`. */
+  def publish(fs: FileSystem, tmp: Path, target: Path, payload: Array[Byte]): Unit
+
+  protected def lost(target: Path): Nothing =
+    throw new IllegalStateException(
+      s"Concurrent commit detected for $target; retry on fresh metadata")
+}
+
+/** Local filesystem: rename OVERWRITES an existing target, so it cannot
+  * carry the CAS. POSIX link(2) can — creating a hard link fails atomically
+  * with EEXIST when the version slot is taken, which makes cross-PROCESS
+  * concurrent commits exactly-one-winner (the multi-writer protocol
+  * CrossProcessCommitSpec exercises with real competing JVMs). The payload
+  * is fully written to tmp first, so the claimed target is never
+  * observable half-written. */
+object HardLinkCommitGuard extends CommitGuard {
+  def publish(fs: FileSystem, tmp: Path, target: Path, payload: Array[Byte]): Unit = {
+    val tmpLocal = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+    val targetLocal = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
+    try java.nio.file.Files.createLink(targetLocal, tmpLocal)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        lost(target)
+    }
+    fs.delete(tmp, false)
+  }
+}
+
+/** HDFS (and rename-atomic stores): rename with an existing-target refusal
+  * IS the CAS; a pre-check plus read-back verification backs up adapters
+  * with weaker rename contracts. */
+object RenameCommitGuard extends CommitGuard {
+  def publish(fs: FileSystem, tmp: Path, target: Path, payload: Array[Byte]): Unit = {
+    if (fs.exists(target)) {
+      fs.delete(tmp, false)
+      lost(target)
+    }
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      lost(target)
+    }
+    // read back and verify our bytes are the ones that landed
+    val landed = {
+      val in = fs.open(target)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
+        in.readFully(bytes)
+        bytes
+      } finally in.close()
+    }
+    if (!java.util.Arrays.equals(landed, payload))
+      lost(target)
+  }
+}
+
 object SnapshotLog {
   val MainBranch = "main"
   implicit val formats: Formats = DefaultFormats
+
+  /** Guard selection by storage scheme — replace to route commits through
+    * a catalog service (see [[CommitGuard]]); the default covers local FS
+    * and rename-atomic distributed stores. */
+  @volatile var commitGuardFor: (FileSystem, Path) => CommitGuard =
+    (fs, target) =>
+      if (target.toUri.getScheme == "file" ||
+          (target.toUri.getScheme == null && fs.getScheme == "file"))
+        HardLinkCommitGuard
+      else RenameCommitGuard
 
   def metadataDir(tableDir: String): String = s"$tableDir/_graft"
 
@@ -296,18 +380,33 @@ object SnapshotLog {
     migrated.extract[TableMetadata]
   }
 
+  // Manifest files are IMMUTABLE (uuid-named, never rewritten in place),
+  // so their parsed contents are safely memoized across the repeated
+  // metadata re-reads every table op performs — without this, resolving a
+  // head whose chain has k manifests would re-open k files per access.
+  // Crude bounded eviction: a full clear past the cap only costs re-reads.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), ManifestData]()
+  private val ManifestCacheMax = 256
+
   /** Read one snapshot's externalized file lists (the lazy half of the
     * manifest-list step; called on first `.files` access, never at log
     * read). */
   def readManifest(tableDir: String, name: String, conf: Configuration): ManifestData = {
+    val key = (tableDir, name)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
     val p = new Path(metadataDir(tableDir), name)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
-    try {
+    val data = try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
       Serialization.read[ManifestData](new String(bytes, "UTF-8"))
     } finally in.close()
+    if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(key, data)
+    data
   }
 
   private def attachLoaders(m: TableMetadata, tableDir: String,
@@ -364,56 +463,7 @@ object SnapshotLog {
     finally out.close()
     val target = metadataFile(tableDir, nextV)
     try {
-    if (target.toUri.getScheme == "file" ||
-        (target.toUri.getScheme == null && fs.getScheme == "file")) {
-      // Local filesystem: rename OVERWRITES an existing target, so it
-      // cannot carry the CAS. POSIX link(2) can — creating a hard link
-      // fails atomically with EEXIST when the version slot is taken, which
-      // makes cross-PROCESS concurrent commits exactly-one-winner (the
-      // multi-writer protocol CrossProcessCommitSpec exercises with real
-      // competing JVMs). The payload is fully written to tmp first, so the
-      // claimed target is never observable half-written.
-      val tmpLocal = java.nio.file.Paths.get(
-        fs.makeQualified(tmp).toUri.getPath)
-      val targetLocal = java.nio.file.Paths.get(
-        fs.makeQualified(target).toUri.getPath)
-      try java.nio.file.Files.createLink(targetLocal, tmpLocal)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false)
-          throw new IllegalStateException(
-            s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
-      }
-      fs.delete(tmp, false)
-    } else {
-      // HDFS (and rename-atomic stores): rename with an existing-target
-      // refusal IS the CAS; a pre-check plus read-back verification backs
-      // up adapters with weaker rename contracts. On object stores without
-      // atomic rename the CAS must live in a catalog service (the
-      // reference delegates to one: IcebergSupport.scala:26-35).
-      if (fs.exists(target)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
-      }
-      if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"Concurrent commit detected for $tableDir v$nextV; retry on fresh metadata")
-      }
-      // read back and verify our bytes are the ones that landed
-      val landed = {
-        val in = fs.open(target)
-        try {
-          val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
-          in.readFully(bytes)
-          bytes
-        } finally in.close()
-      }
-      if (!java.util.Arrays.equals(landed, payload))
-        throw new IllegalStateException(
-          s"Concurrent commit overwrote $tableDir v$nextV; retry on fresh metadata")
-    }
+      commitGuardFor(fs, target).publish(fs, tmp, target, payload)
     } catch {
       case e: Throwable =>
         // the losing commit's freshly written manifests are orphans —

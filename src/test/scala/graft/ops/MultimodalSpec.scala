@@ -80,6 +80,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(decodeAudioMeta(junk).count() === 0)
   }
 
+  test("corrupt RIFF chunk sizes are rejected, not walked forever") {
+    // a chunk size of 0xFFFFFFF8 is -8 after .toInt: an unguarded walk
+    // advances pos by ZERO and spins the task forever. One corrupt blob
+    // must not hang a billion-row decode job — both walks must bail.
+    val b = new Array[Byte](64)
+    "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+    "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+    "junk".getBytes("US-ASCII").copyToArray(b, 12)
+    b(16) = 0xf8.toByte; b(17) = 0xff.toByte
+    b(18) = 0xff.toByte; b(19) = 0xff.toByte // chunk size = 0xFFFFFFF8
+    assert(parseWavHeader(b) === None)
+    assert(parseWavSamples(b) === None)
+    // oversized-but-positive size (past the buffer) also bails
+    val big = b.clone()
+    big(16) = 0xff.toByte; big(17) = 0x7f.toByte; big(18) = 0; big(19) = 0
+    assert(parseWavHeader(big) === None)
+    assert(parseWavSamples(big) === None)
+  }
+
   test("image features are a real pixel histogram") {
     import spark.implicits._
     // 2x2 image: two pure-red, one pure-green, one pure-blue pixel

@@ -31,6 +31,32 @@ class GraftStreamSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow runs a file-source backfill to completion") {
+    import spark.implicits._
+    // the st_ingest shape: parquet files -> file stream -> graft sink,
+    // AvailableNow = process everything then stop, so the materialized
+    // table equals the batch read of the same files
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val t = GraftTable.create(spark, tmpDir("stream-an"), "s", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType))))
+      .parquet(srcDir)
+    val q = StreamingOps.writeToGraftTable(stream, t,
+      java.nio.file.Files.createTempDirectory("ckpt-an").toString,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    assert(t.toDF.count() === 3)
+    assert(t.toDF.as[(String, Long)].collect().toSet ===
+      Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // commits are batch-id-stamped append snapshots (exactly-once sink)
+    assert(t.meta.snapshots.filter(_.operation == "append")
+      .forall(_.summary.contains(StreamingOps.BatchIdSummaryKey)))
+  }
+
   test("a replayed micro-batch is skipped: append sink is exactly-once") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("stream-eo"), "s", StructType(Seq(

@@ -178,6 +178,25 @@ class ManifestListSpec extends SparkTestBase {
     assert(t.toDF.count() === 3)
   }
 
+  test("manifest chains are bounded: the commit at the cap collapses to one") {
+    import spark.implicits._
+    val loc = tmpDir("manifest-chain-cap")
+    val t = GraftTable.create(spark, loc, "cap", StructType(Seq(
+      StructField("p", StringType), StructField("v", LongType))),
+      partitionCols = Seq("p"),
+      props = Map("write.manifest.max-chain" -> "3"))
+    (1 to 8).foreach(i => t.append(Seq(("a", i.toLong)).toDF("p", "v")))
+    val m = t.meta
+    // no snapshot ever resolved through more than max-chain manifests;
+    // the collapse commits show a single-manifest list
+    assert(m.snapshots.forall(_.manifestRefs.size <= 3))
+    assert(m.snapshots.exists(s => s.addedFiles.nonEmpty &&
+      s.manifestRefs.size == 1 && s.files.size > 1),
+      "expected a collapse commit materializing the full list")
+    assert(t.toDF.count() === 8)
+    assert(t.toDF.as[(String, Long)].collect().map(_._2).sorted.toSeq === (1L to 8L))
+  }
+
   test("legacy metadata field names (files/deleteFiles) still read") {
     val loc = tmpDir("manifest-legacy")
     val conf = spark.sparkContext.hadoopConfiguration
