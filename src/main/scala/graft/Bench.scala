@@ -79,6 +79,7 @@ object Bench {
       graft.queries.TableFixtures.activityCsvIngested(spark)
       graft.queries.TableFixtures.bucketedTables(spark, sfDir)
       graft.queries.TableFixtures.streamIngested(spark, sfDir)
+      graft.queries.TableFixtures.streamWindowed(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

@@ -1215,6 +1215,15 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_cents"))
         .orderBy("event_type")
+    }),
+
+    // watermarked hourly tumbling-window aggregation computed BY the
+    // stream (stateful windowed agg, complete-mode graft sink); the final
+    // table must equal DuckDB's batch hourly aggregate — integer-cents
+    // sums make the equality exact regardless of micro-batch order
+    "st_window_agg" -> ((s, dir) => {
+      val t = TableFixtures.streamWindowed(s, dir)
+      t.toDF.orderBy("window_start", "event_type")
     })
   )
 
@@ -2504,6 +2513,12 @@ object SparkEntry {
     // the streamed-in table must equal the batch source exactly
     "st_ingest" ->
       s"""SELECT event_type, count(*) AS n, ${centsSql("value")} AS value_cents
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the stream's hourly windows must equal the batch hourly aggregate
+    "st_window_agg" ->
+      s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type, count(*) AS n, ${centsSql("value")} AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

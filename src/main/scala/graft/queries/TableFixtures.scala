@@ -448,6 +448,27 @@ object TableFixtures {
       t
     })
 
+  /** File-stream source over the driver `events` parquet: the stream
+    * source monitors a DIRECTORY, so the single testdata file is
+    * hard-linked into one (no copy). `events.ts` is parquet
+    * TIMESTAMP(NANOS), which Spark 4 rejects by default — streamed as long
+    * nanos (same contract as SparkEntry's batch events reader). Returns
+    * (schema with ts as long, source dir). */
+  private def eventsStreamSource(spark: SparkSession, sfDir: String): (org.apache.spark.sql.types.StructType, String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = read(spark, sfDir, "events").schema
+    val srcDir = java.nio.file.Paths.get(
+      s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/events_stream_src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      try java.nio.file.Files.createLink(
+        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      catch { case _: Exception => java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), link) }
+    (schema, srcDir.toString)
+  }
+
   /** The `events` table ingested through Structured Streaming: a file
     * source over the driver parquet, run to completion with
     * Trigger.AvailableNow into the exactly-once graft sink
@@ -459,27 +480,47 @@ object TableFixtures {
     cache.getOrElseUpdate(("stream_ingested", sfDir), {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_ingested"
       GraftTable.drop(spark, loc)
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; stream it as long nanos (same contract as SparkEntry's
-      // batch events reader) — st_ingest aggregates on event_type/value,
-      // so the raw nanos ride through the sink unconverted
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = read(spark, sfDir, "events").schema
+      val (schema, srcDir) = eventsStreamSource(spark, sfDir)
       val t = GraftTable.create(spark, loc, "graft.stream_ingested", schema)
-      // the file stream source monitors a DIRECTORY; the driver testdata is
-      // a single parquet file, so hard-link it into a source dir (no copy)
-      val srcDir = java.nio.file.Paths.get(s"$loc-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        try java.nio.file.Files.createLink(
-          link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-        catch { case _: Exception => java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$sfDir/events.parquet"), link) }
-      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
       val q = graft.streaming.StreamingOps.writeToGraftTable(
         stream, t, s"$loc-checkpoint",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      t
+    })
+
+  /** Watermarked tumbling-window aggregation THROUGH a stream: hourly
+    * (window_start epoch-seconds, event_type) counts and exact cents sums,
+    * complete-mode foreachBatch overwriting a graft table, run to
+    * completion with Trigger.AvailableNow. The final table equals the
+    * batch aggregate (integer-cents sums are order-independent), so DuckDB
+    * can oracle a stateful windowed STREAMING aggregation (st_window_agg).
+    * The watermark bounds state exactly as it would on an unbounded feed. */
+  def streamWindowed(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_windowed", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_windowed"
+      GraftTable.drop(spark, loc)
+      val (schema, srcDir) = eventsStreamSource(spark, sfDir)
+      val agg = spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts_t", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+        .withWatermark("ts_t", "2 hours")
+        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long")
+            .cast("decimal(38,0)")).cast("long").as("value_cents"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("value_cents"))
+      val t = GraftTable.create(spark, loc, "graft.stream_windowed",
+        agg.schema)
+      val q = agg.writeStream
+        .option("checkpointLocation", s"$loc-checkpoint")
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          t.overwrite(batch); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
       t
     })
