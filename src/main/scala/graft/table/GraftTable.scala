@@ -1252,6 +1252,32 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "added_data_files_count", "existing_data_files_count", "deleted_data_files_count")
   }
 
+  /** `t.manifest_files`: the PHYSICAL manifest list of the current
+    * snapshot — one row per manifest file the head resolves through, with
+    * its on-disk length and entry counts (Iceberg's `manifests` table
+    * shape, reference IcebergLoadActivityTask.scala:92). Under the
+    * amortized commit scheme each manifest's `added` entries are the files
+    * stamped with the highest data-sequence in that manifest (its writing
+    * commit); `existing` entries were carried in by a collapse/rewrite. */
+  def manifestFilesDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    val metaDir = SnapshotLog.metadataDir(location)
+    m.currentSnapshot.toSeq.flatMap { s =>
+      s.manifestRefs.map { name =>
+        val data = SnapshotLog.readManifest(location, name, conf)
+        val len = fs.getFileStatus(new Path(metaDir, name)).getLen
+        val addedSnap = data.files.flatMap(_.dataSeq).maxOption.getOrElse(s.id)
+        (name, len, addedSnap,
+          data.files.count(_.dataSeq.contains(addedSnap)),
+          data.files.count(!_.dataSeq.contains(addedSnap)),
+          data.deleteFiles.size)
+      }
+    }.toDF("path", "length", "added_snapshot_id", "added_data_files_count",
+      "existing_data_files_count", "delete_files_count")
+  }
+
   /** `t.partitions`: per-partition file/record/byte totals of the current
     * snapshot — all from commit-time stats, no file opens. */
   def partitionsDF: DataFrame = {

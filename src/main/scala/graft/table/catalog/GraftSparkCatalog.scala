@@ -190,8 +190,9 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   // -------------------------------------------------------------------
 
   private val metadataTableNames = Set(
-    "history", "snapshots", "manifests", "files", "all_files",
-    "metadata_log_entries", "refs", "partitions", "delete_files")
+    "history", "snapshots", "manifests", "manifest_files", "files",
+    "all_files", "metadata_log_entries", "refs", "partitions",
+    "delete_files")
 
   private def metadataTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
@@ -205,6 +206,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
       case "history"              => t.history
       case "snapshots"            => t.snapshotsDF
       case "manifests"            => t.manifestsDF
+      case "manifest_files"       => t.manifestFilesDF
       case "files"                => t.filesDF
       case "all_files"            => t.allFilesDF
       case "metadata_log_entries" => t.metadataLogEntries

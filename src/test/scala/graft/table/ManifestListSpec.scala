@@ -197,6 +197,31 @@ class ManifestListSpec extends SparkTestBase {
     assert(t.toDF.as[(String, Long)].collect().map(_._2).sorted.toSeq === (1L to 8L))
   }
 
+  test("manifest_files metadata table reflects the physical manifest list") {
+    import spark.implicits._
+    val loc = tmpDir("manifest-files-df")
+    val t = GraftTable.create(spark, loc, "mfd", StructType(Seq(
+      StructField("p", StringType), StructField("v", LongType))),
+      partitionCols = Seq("p"))
+    t.append(Seq(("a", 1L), ("b", 2L)).toDF("p", "v")) // 2 files (2 parts)
+    t.append(Seq(("a", 3L)).toDF("p", "v"))
+    val rows = t.manifestFilesDF
+      .orderBy("added_snapshot_id")
+      .as[(String, Long, Long, Int, Int, Int)].collect()
+    // two amortized appends -> two add-only manifests, in commit order
+    assert(rows.length === 2)
+    assert(rows.map(_._3).toSeq === Seq(1L, 2L)) // added_snapshot_id
+    assert(rows.map(_._4).toSeq === Seq(2, 1))   // added counts
+    assert(rows.forall(_._5 === 0))              // no carried-in entries
+    assert(rows.forall(r => r._2 > 0 && r._1.startsWith("manifest-")))
+    // a CoW delete collapses the chain: ONE manifest, survivors carried in
+    t.deleteWhere(org.apache.spark.sql.functions.col("v") === 1L)
+    val collapsed = t.manifestFilesDF
+      .as[(String, Long, Long, Int, Int, Int)].collect()
+    assert(collapsed.length === 1)
+    assert(collapsed.head._4 + collapsed.head._5 === t.meta.currentSnapshot.get.files.size)
+  }
+
   test("legacy metadata field names (files/deleteFiles) still read") {
     val loc = tmpDir("manifest-legacy")
     val conf = spark.sparkContext.hadoopConfiguration

@@ -178,6 +178,12 @@ object DriveApp {
         s.manifestRefs.nonEmpty && s.inlineFiles.isEmpty)
       println(s"manifests externalized=$externalized snapshots=${m.snapshots.size} "
         + s"headFiles=${m.currentSnapshot.map(_.files.size).getOrElse(0)}")
+      // the physical manifest list: every head file accounted for across
+      // the (possibly amortized/collapsed) manifest chain
+      val mf = ct.manifestFilesDF.collect()
+      val entries = mf.map(r => r.getInt(3) + r.getInt(4)).sum
+      println(s"manifest-files rows=${mf.length} entries=$entries " +
+        s"headFiles=${m.currentSnapshot.map(_.files.size).getOrElse(0)}")
     }
     println("== MoR changelog: delete-file commit surfaces row-level DELETEs")
     locally {
