@@ -112,8 +112,12 @@ object Bench {
     val total = r3(ok.map(_._2.min).sum)
     val loadJson = s"[${r3(loadBefore)},${r3(loadAfter)}]"
 
-    // full detail — every query: min, raw runs, err (null when green)
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    // full detail — every query: min, raw runs, err (null when green).
+    // Default to the REPO's bench_detail.json (not the cwd) so the artifact
+    // is committed wherever the driver launches the bench from.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_detail.json"
+      else "bench_detail.json")
     val detailRows = results.map { case (k, (ts, err)) =>
       val errJson = err.map(jstr).getOrElse("null")
       s"""    ${jstr(k)}: {"min": ${r3(ts.min)}, "runs": [${ts.mkString(", ")}], "err": $errJson}"""

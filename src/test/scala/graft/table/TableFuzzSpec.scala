@@ -28,6 +28,7 @@ class TableFuzzSpec extends SparkTestBase {
     // model: rows keyed by id; snapshots of the model per commit id
     var model = Map.empty[Long, (String, Long)] // id -> (k, v)
     var history = Map.empty[Long, Map[Long, (String, Long)]]
+    var expiredIds = Set.empty[Long]
     var nextId = 0L
 
     def df(rows: Seq[(String, Long, Long)]) = rows.toDF("k", "id", "v")
@@ -49,7 +50,7 @@ class TableFuzzSpec extends SparkTestBase {
     }
 
     (1 to 120).foreach { step =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // append 1-5 fresh rows
           val rows = freshRows(1 + rnd.nextInt(5))
           t.append(df(rows))
@@ -86,6 +87,17 @@ class TableFuzzSpec extends SparkTestBase {
             t.rollbackToSnapshot(target)
             model = history(target)
           }
+        case 6 => // manifest maintenance: compact chains + GC unreferenced
+          // manifests; purely physical — logical state must not move
+          t.rewriteManifests(
+            olderThanMs = System.currentTimeMillis() + 1000, maxManifests = 2)
+        case 7 if t.meta.snapshots.size > 4 => // expire old snapshots;
+          // shared-manifest refcounting must keep every RETAINED snapshot
+          // readable while dropping expired ids from the model's history
+          val expired = t.expireSnapshots(
+            System.currentTimeMillis() + 1000, retainLast = 3).toSet
+          expiredIds ++= expired
+          history = history.filterNot { case (id, _) => expired.contains(id) }
         case _ => ()
       }
       assertState()
@@ -96,9 +108,11 @@ class TableFuzzSpec extends SparkTestBase {
     assert(m.snapshots.forall(s => s.manifestRefs.nonEmpty && s.inlineFiles.isEmpty),
       "every committed snapshot must be manifest-externalized")
     val byId = m.snapshots.map(s => s.id -> s).toMap
+    // a missing parent is legal ONLY at an expiry truncation point
+    // (Iceberg keeps snapshots whose expired parents dangle the same way)
     m.snapshots.foreach(s => s.parentId.foreach(p =>
-      assert(byId.contains(p) || !m.ancestry(m.currentSnapshotId.get).contains(s.id),
-        s"retained main-ancestry snapshot ${s.id} has a missing parent $p")))
+      assert(byId.contains(p) || expiredIds.contains(p),
+        s"retained snapshot ${s.id} has a missing non-expired parent $p")))
 
     // every retained snapshot we modeled still reads back exactly
     val retained = m.snapshots.map(_.id).toSet
