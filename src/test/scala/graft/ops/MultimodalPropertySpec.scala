@@ -81,5 +81,20 @@ class MultimodalPropertySpec extends SparkTestBase {
     (0 until 44).foreach { n =>
       assert(Multimodal.parseWavHeader(java.util.Arrays.copyOf(full, n)) === None)
     }
+    // adversarial chunk sizes inside a valid RIFF/WAVE envelope: random
+    // u32s (including the 0xFFFFFFF8 class that turns negative after
+    // .toInt and would stall an unguarded walk) must terminate promptly
+    (1 to 200).foreach { _ =>
+      val b = new Array[Byte](64)
+      "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+      "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+      rnd.nextBytes(java.util.Arrays.copyOfRange(b, 12, 64)) // garbage tail
+      val tail = new Array[Byte](52); rnd.nextBytes(tail)
+      tail.copyToArray(b, 12)
+      val t0 = System.nanoTime()
+      Multimodal.parseWavHeader(b)
+      Multimodal.parseWavSamples(b)
+      assert(System.nanoTime() - t0 < 1e9, "corrupt chunk walk did not terminate promptly")
+    }
   }
 }
