@@ -579,6 +579,23 @@ object SparkEntry {
         tokenHash = Dedup.reproducibleTokenHash)
         .orderBy("id_a", "id_b")),
 
+    // the INCREMENTAL-arrival half of SimHash dedup (daily batch /
+    // streaming ingestion vs the accumulated corpus): new docs
+    // (doc_id % 4 == 0) near ANY seen doc, via the cross-variant band
+    // join. The oracle replays the fingerprints in SQL and brute-forces
+    // new-vs-seen pairs — independently verifying the banding recall of
+    // the new-vs-seen shape that nearDupDedupStream commits per batch.
+    "d_simhash_incremental" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.simhashNearDupAgainst(
+        Dedup.simhash(d.filter(col("doc_id") % 4 === 0), "text", "doc_id",
+          Dedup.reproducibleTokenHash),
+        Dedup.simhash(d.filter(col("doc_id") % 4 =!= 0), "text", "doc_id",
+          Dedup.reproducibleTokenHash),
+        "doc_id", maxDist = 3)
+        .orderBy("doc_id")
+    }),
+
     // --- similarity search over embeddings -------------------------------
 
     "s_ann_topk" -> ((s, dir) => {
@@ -2023,6 +2040,40 @@ object SparkEntry {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY id_a, id_b""",
+
+    "d_simhash_incremental" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+             ((((rh >> 32) * 11400714819323198485::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               + (rh & 4294967295::HUGEINT) * 11400714819323198485::HUGEINT)
+               % 18446744073709551616::HUGEINT AS h
+           FROM (
+             SELECT doc_id,
+               list_reduce(list_prepend(0::HUGEINT,
+                   list_transform(range(1, octet_length(encode(t)) + 1),
+                     i -> (('0x' || substr(hex(encode(t)), (i-1)*2 + 1, 2))::INT)::HUGEINT)),
+                 (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT) AS rh
+             FROM tok)),
+         votes AS (
+           SELECT doc_id, bb.b AS b,
+             sum(CASE WHEN ((h >> bb.b) & 1::HUGEINT) = 1::HUGEINT THEN 1 ELSE -1 END) AS v
+           FROM th, (SELECT unnest(range(64)) AS b) bb
+           GROUP BY 1, 2),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN f >= 9223372036854775808::HUGEINT
+                  THEN (f - 18446744073709551616::HUGEINT)::BIGINT ELSE f::BIGINT END AS fp
+           FROM (SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS f
+                 FROM votes GROUP BY 1))
+         SELECT DISTINCT a.doc_id AS doc_id
+         FROM fp a JOIN fp b
+           ON a.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+          AND bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY doc_id""",
 
     "s_cosine_neardup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),

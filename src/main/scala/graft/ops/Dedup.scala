@@ -342,9 +342,13 @@ object Dedup {
    * segment below 4 bits has so few distinct values that every bucket
    * degenerates toward n^2 — past that point brute force is cheaper.
    */
-  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+  /** Pigeonhole banding of (id, simhash) fingerprints: `maxDist + 1`
+    * disjoint bit segments per fingerprint — two fingerprints within
+    * `maxDist` hamming distance MUST agree on at least one whole segment,
+    * so a segment-value equi-join has guaranteed recall. Output:
+    * (idCol, simhash, seg, seg_val). */
+  private[ops] def simhashBanded(fps: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
       s"maxDist must be in [0, 15] for pigeonhole banding, got $maxDist")
     val segments = maxDist + 1
@@ -352,13 +356,18 @@ object Dedup {
     val rem = 64 % segments
     val widths = (0 until segments).map(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val fps = simhash(df, textCol, idCol, tokenHash)
-    val banded = fps.select(col(idCol), col("simhash"),
+    fps.select(col(idCol), col("simhash"),
       posexplode(array((0 until segments).map { seg =>
         val mask = if (widths(seg) == 64) -1L else (1L << widths(seg)) - 1L
         shiftright(col("simhash"), offsets(seg)).bitwiseAND(mask)
       }: _*))
         .as(Seq("seg", "seg_val")))
+  }
+
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val banded = simhashBanded(simhash(df, textCol, idCol, tokenHash), idCol, maxDist)
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("seg"), col("seg_val"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("seg"), col("seg_val"))
     a.join(b, Seq("seg", "seg_val"))
@@ -367,6 +376,27 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         hamming(col("fp_a"), col("fp_b")) <= maxDist)
       .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming_dist"))
+      .distinct()
+  }
+
+  /**
+   * Ids in `newFps` within `maxDist` hamming of ANY fingerprint in
+   * `seenFps` (both `(idCol, simhash)` shaped) — the incremental-arrival
+   * half of [[simhashNearDups]]: new-vs-seen candidates come from the same
+   * guaranteed-recall pigeonhole band join (8-byte keys, never all-pairs,
+   * never text), so a daily/streaming batch checks against an accumulated
+   * corpus at shuffle cost O(batch + collisions), not O(corpus²).
+   */
+  def simhashNearDupAgainst(newFps: DataFrame, seenFps: DataFrame,
+      idCol: String, maxDist: Int = 3): DataFrame = {
+    val a = simhashBanded(newFps, idCol, maxDist)
+      .select(col(idCol), col("simhash").as("fp_a"), col("seg"), col("seg_val"))
+    val b = simhashBanded(seenFps, idCol, maxDist)
+      .select(col(idCol).as("__seen_id"), col("simhash").as("fp_b"),
+        col("seg"), col("seg_val"))
+    a.join(b, Seq("seg", "seg_val"))
+      .filter(hamming(col("fp_a"), col("fp_b")) <= maxDist)
+      .select(col(idCol))
       .distinct()
   }
 

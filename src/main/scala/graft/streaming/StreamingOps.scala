@@ -134,6 +134,65 @@ object StreamingOps {
    * watermark are the documented trade-off — catch them with a periodic
    * batch `Dedup.exactDedup` compaction over the sink table.
    */
+  /**
+   * Streaming NEAR-duplicate filter — the continuous-ingestion form of
+   * [[graft.ops.Dedup.simhashNearDups]]: each micro-batch is SimHash-
+   * fingerprinted, checked against the ACCUMULATED corpus (the sink table
+   * itself, which stores each survivor's fingerprint alongside the row)
+   * via the guaranteed-recall pigeonhole band join, deduplicated within
+   * the batch (lowest id survives a near-dup group), and only novel
+   * documents append — fingerprint and document land in ONE atomic
+   * batch-id-stamped snapshot commit, so the filter inherits the sink's
+   * exactly-once replay guard.
+   *
+   * Scale shape per batch: one column-pruned scan of the corpus table's
+   * (id, simhash) projection + an 8-byte-key band equi-join — cost
+   * O(batch + collisions), never O(corpus²), and document text never
+   * shuffles. State is the corpus itself, so there is no separate
+   * state-store to bound: retention is the table's own lifecycle
+   * (expire_snapshots / compaction).
+   */
+  def nearDupDedupStream(docs: DataFrame, textCol: String, idCol: String,
+      table: graft.table.GraftTable, checkpointDir: String, maxDist: Int = 3,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sid = streamId(checkpointDir)
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitNearDupBatch(table, batch, batchId, textCol, idCol, maxDist, sid); ()
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** One near-dup-filtered micro-batch commit (replay-guarded like
+    * [[commitMicroBatch]]); factored out so the filter semantics are
+    * directly testable. Returns false when the batch is a recognized
+    * replay. */
+  private[streaming] def commitNearDupBatch(table: graft.table.GraftTable,
+      batch: DataFrame, batchId: Long, textCol: String, idCol: String,
+      maxDist: Int, streamId: String): Boolean = {
+    import graft.ops.Dedup
+    val lastCommitted = table.meta.snapshots
+      .filter(_.summary.get(StreamIdSummaryKey).contains(streamId))
+      .flatMap(_.summary.get(BatchIdSummaryKey)).map(_.toLong).maxOption
+    if (lastCommitted.exists(_ >= batchId)) return false
+    val fps = Dedup.simhash(batch, textCol, idCol)
+    // within-batch: a doc near a LOWER-id batch doc is the duplicate
+    val intraDups = Dedup.simhashNearDups(batch, textCol, idCol, maxDist)
+      .select(col("id_b").as(idCol))
+    // vs corpus: band join against the stored fingerprint projection
+    val seen = table.toDF.select(col(idCol), col("simhash"))
+    val crossDups = Dedup.simhashNearDupAgainst(fps, seen, idCol, maxDist)
+    val dupIds = intraDups.union(crossDups).distinct()
+    val survivors = batch.join(fps, Seq(idCol))
+      .join(dupIds, Seq(idCol), "left_anti")
+    table.append(survivors, extraSummary = Map(
+      BatchIdSummaryKey -> batchId.toString, StreamIdSummaryKey -> streamId))
+    true
+  }
+
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     docs

@@ -57,6 +57,42 @@ class GraftStreamSinkSpec extends SparkTestBase {
       .forall(_.summary.contains(StreamingOps.BatchIdSummaryKey)))
   }
 
+  test("streaming near-dup filter: novel docs append, near-dups drop, replays skip") {
+    import spark.implicits._
+    // corpus table stores each survivor's fingerprint alongside the row
+    val t = GraftTable.create(spark, tmpDir("stream-neardup"), "nd", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("simhash", LongType))))
+    val sid = "nd-stream"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // batch 0: an exact-dup pair (lowest id survives) + a distinct doc
+    assert(StreamingOps.commitNearDupBatch(t,
+      batch(1L -> "the quick brown fox jumps over the lazy dog",
+            2L -> "the quick brown fox jumps over the lazy dog",
+            3L -> "completely different content about spark engines"),
+      0L, "text", "doc_id", maxDist = 3, sid))
+    assert(t.toDF.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+
+    // batch 1: a normalized dup of doc 1 (near-dup vs the CORPUS, not the
+    // batch) drops; a novel doc survives
+    assert(StreamingOps.commitNearDupBatch(t,
+      batch(4L -> "  The Quick  Brown Fox jumps over the lazy dog ",
+            5L -> "unrelated text mentioning neither foxes nor dogs at all"),
+      1L, "text", "doc_id", maxDist = 3, sid))
+    assert(t.toDF.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
+
+    // replayed batch id: recognized and skipped (exactly-once inherited)
+    assert(!StreamingOps.commitNearDupBatch(t,
+      batch(6L -> "would be novel but this is a replay"),
+      1L, "text", "doc_id", maxDist = 3, sid))
+    assert(t.toDF.count() === 3)
+
+    // survivors carry their fingerprints: corpus-side join input is real
+    assert(t.toDF.filter(org.apache.spark.sql.functions.col("simhash").isNull)
+      .count() === 0)
+  }
+
   test("a replayed micro-batch is skipped: append sink is exactly-once") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("stream-eo"), "s", StructType(Seq(
