@@ -637,6 +637,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF with QUANTIZED candidate scoring (IVF-PQ-flavored two-stage
+    // retrieval): int8 approximate ranking, exact rescore of the top
+    // shortlist. This config probes all cells with an unbounded shortlist,
+    // which makes the pipeline provably exhaustive-exact (same brute-force
+    // oracle as s_ann_ivf) while exercising the quantize -> approx-rank ->
+    // id-keyed-rescore plumbing end to end; production tunes nProbe and
+    // rescore down (recall bound in AccuracySpec).
+    "s_ann_ivf_pq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfSearchQuantized(e.filter(col("vec_id") < 10),
+        graft.queries.TableFixtures.ivfIndex(s, dir), k = 5,
+        nProbe = 16, rescore = Int.MaxValue)
+        .orderBy("query_id", "rank")
+    }),
+
     // euclidean (L2) brute-force top-k — the magnitude-sensitive metric
     // twin of s_ann_topk, same broadcast-queries single-scan shape
     "s_ann_l2" -> ((s, dir) => {
@@ -1948,6 +1963,11 @@ object SparkEntry {
     // with nProbe = nCells every cell is probed — IVF output is provably
     // the brute-force result, so the oracle is annTopkSql verbatim
     "s_ann_ivf" -> annTopkSql,
+
+    // exhaustive-exact by construction (all cells probed, unbounded
+    // rescore shortlist) — the quantized two-stage pipeline must reproduce
+    // brute force bit-for-bit
+    "s_ann_ivf_pq" -> annTopkSql,
 
     // deterministic hyperplane-signature recompute: bucket-join on
     // (table_id, sig) exactly like Similarity.lshTopK, then exact cosine

@@ -49,4 +49,35 @@ class AccuracySpec extends SparkTestBase {
     info(f"IVF nProbe=8/16 recall@5 = $recall8%.3f")
     assert(recall8 >= recall - 1e-9)
   }
+
+  test("quantized IVF at production shortlist keeps high recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, e, k = 5))
+    val index = Similarity.buildIvfIndex(e, nCells = 16)
+    // production config: 4/16 cells probed AND only a 32-candidate int8
+    // shortlist exactly rescored — both approximations active
+    val pq = pairs(Similarity.ivfSearchQuantized(queries, index, k = 5,
+      nProbe = 4, rescore = 32))
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    info(f"IVF-PQ nProbe=4/16 rescore=32 recall@5 = $recall%.3f")
+    assert(recall >= 0.5,
+      f"recall@5 $recall%.3f collapsed — quantized shortlist or rescore broke")
+    // a larger shortlist must not reduce recall (monotone in rescore)
+    val pq128 = pairs(Similarity.ivfSearchQuantized(queries, index, k = 5,
+      nProbe = 4, rescore = 128))
+    val recall128 = (pq128 intersect exact).size.toDouble / exact.size
+    info(f"IVF-PQ rescore=128 recall@5 = $recall128%.3f")
+    assert(recall128 >= recall - 1e-9)
+    // int8 shortlist ranking is a genuine approximation of the exact
+    // ordering: the same probe budget with unbounded rescore equals the
+    // plain (unquantized) ivfSearch output
+    val unq = pairs(Similarity.ivfSearch(queries, index, k = 5, nProbe = 4))
+    val pqAll = pairs(Similarity.ivfSearchQuantized(queries, index, k = 5,
+      nProbe = 4, rescore = Int.MaxValue))
+    assert(pqAll === unq, "unbounded rescore must equal unquantized search")
+  }
 }
