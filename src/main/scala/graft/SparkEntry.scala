@@ -1256,6 +1256,50 @@ object SparkEntry {
     "st_window_agg" -> ((s, dir) => {
       val t = TableFixtures.streamWindowed(s, dir)
       t.toDF.orderBy("window_start", "event_type")
+    }),
+
+    // gap-based sessionization computed BY the stream across three ordered
+    // micro-batches (flatMapGroupsWithState — open sessions carry in the
+    // state store across batch boundaries); emits CLOSED sessions only, so
+    // the oracle drops each user's final (still-open) session
+    "st_sessionize" -> ((s, dir) => {
+      val t = TableFixtures.streamSessions(s, dir)
+      t.toDF.orderBy("user_id", "session_id")
+    }),
+
+    // watermarked stream-stream interval join (view -> purchase within 30
+    // minutes per user), aggregated per user over the sunk pair table
+    "st_stream_join" -> ((s, dir) => {
+      val t = TableFixtures.streamJoinedPairs(s, dir)
+      t.toDF
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("p_cents").cast("decimal(38,0)")).cast("long").as("p_cents"))
+        .orderBy("user_id")
+    }),
+
+    // stream-static enrichment (per-batch broadcast left join to the
+    // customer dimension); unmatched events keep a null segment
+    "st_enrich" -> ((s, dir) => {
+      val t = TableFixtures.streamEnriched(s, dir)
+      t.toDF
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_cents").cast("decimal(38,0)")).cast("long")
+            .as("value_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("segment")
+    }),
+
+    // stateful streaming exact dedup across three ordered micro-batches:
+    // the kept table must hold exactly ONE row per distinct normalized-
+    // content key (n=1 pins that no duplicate slipped past the state)
+    "st_dedup" -> ((s, dir) => {
+      val t = TableFixtures.streamDeduped(s, dir)
+      t.toDF
+        .select(graft.ops.Dedup.contentKey(col("text")).as("content_key"))
+        .groupBy("content_key").agg(count(lit(1)).as("n"))
+        .orderBy("content_key")
     })
   )
 
@@ -2590,6 +2634,67 @@ object SparkEntry {
     "st_window_agg" ->
       s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
            event_type, count(*) AS n, ${centsSql("value")} AS value_cents
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // batch re-derivation of the streaming sessionizer: same gap rule at
+    // millisecond precision (both windows order by (epoch-ms, event_id),
+    // exactly the per-key sort the stateful fold applies), minus each
+    // user's last session — it is still open at end-of-input, so the
+    // stream never emits it
+    "st_sessionize" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS cents,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS prev_ms
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ms, cents,
+             CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+               THEN 1 ELSE 0 END AS new_s
+           FROM ordered),
+         sessions AS (
+           SELECT user_id, ms, cents,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, cast(session_id AS bigint) AS session_id,
+             count(*) AS n_events, max(ms) - min(ms) AS duration_ms,
+             cast(sum(cents) AS bigint) AS value_cents
+           FROM sessions GROUP BY 1, 2),
+         closed AS (
+           SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_s
+           FROM per_session)
+         SELECT user_id, session_id, n_events, duration_ms, value_cents
+         FROM closed WHERE session_id < last_s
+         ORDER BY user_id, session_id""",
+
+    // the stream-stream interval join's emitted pair set must equal the
+    // batch interval join (millisecond bounds on both engines)
+    "st_stream_join" ->
+      s"""SELECT v.user_id AS user_id, count(*) AS n_pairs,
+           ${centsSql("p.value")} AS p_cents
+         FROM events v JOIN events p
+           ON p.user_id = v.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND epoch_ms(p.ts) >= epoch_ms(v.ts)
+          AND epoch_ms(p.ts) <= epoch_ms(v.ts) + 1800000
+         GROUP BY 1 ORDER BY 1""",
+
+    // stream-static enrichment == batch left join to the dimension
+    "st_enrich" ->
+      s"""SELECT coalesce(c.c_mktsegment, '(none)') AS segment,
+           count(*) AS n, ${centsSql("e.value")} AS value_cents,
+           count(DISTINCT e.user_id) AS n_users
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // every distinct normalized-content key survives exactly once
+    "st_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             AS content_key,
+           cast(1 AS bigint) AS n
+         FROM documents GROUP BY 1 ORDER BY 1"""
   )
 }

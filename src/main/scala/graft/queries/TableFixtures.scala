@@ -525,6 +525,178 @@ object TableFixtures {
       t
     })
 
+  /** A testdata table sorted by `sortCols` and split into `nChunks`
+    * contiguous single-file parquet chunks with strictly increasing
+    * modification times: a `maxFilesPerTrigger=1` file stream replays them
+    * as ORDERED micro-batches (the file source lists oldest-modtime
+    * first), so keyed streaming state genuinely persists across batch
+    * boundaries — sessions opened in batch N close in batch N+1, dedup
+    * keys seen in batch N suppress re-arrivals in batch N+2. The split is
+    * deterministic (global row_number over the stated sort), so replays
+    * are exactly reproducible. Single-partition window + coalesce(1) are
+    * fixture-build cost only, never on a query path. */
+  private def chunkedSource(spark: SparkSession, sfDir: String,
+      table: String, sortCols: Seq[String], nChunks: Int)
+      : (org.apache.spark.sql.types.StructType, String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dirName =
+      s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/${table}_chunked_src"
+    val srcDir = java.nio.file.Paths.get(dirName)
+    val schema = read(spark, sfDir, table).schema
+    if (!java.nio.file.Files.exists(srcDir)) {
+      java.nio.file.Files.createDirectories(srcDir)
+      val df = read(spark, sfDir, table)
+      val n = df.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(sortCols.map(col): _*)
+      val rn = df.withColumn("__rn", row_number().over(w))
+      (0 until nChunks).foreach { i =>
+        val (lo, hi) = (i * n / nChunks, (i + 1) * n / nChunks)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-chunk")
+        rn.filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        val dest = srcDir.resolve(f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // strictly increasing mtimes pin the replay order
+        dest.toFile.setLastModified(1700000000000L + i * 60000L)
+        ()
+      }
+    }
+    (schema, dirName)
+  }
+
+  /** Gap-based sessionization THROUGH a stream (flatMapGroupsWithState):
+    * events replay as three ordered micro-batches ([[chunkedSource]]), so
+    * open sessions genuinely carry across batch boundaries in the state
+    * store before closing. Emitted rows are CLOSED sessions only (closure
+    * needs a later event > gap away); each user's final session is still
+    * open at end-of-input and never emits, which the batch oracle
+    * reproduces by dropping each user's last session. Values enter the
+    * fold as exact integer cents so the double accumulator is exact and
+    * DuckDB's integer sum matches bit-for-bit (st_sessionize). */
+  def streamSessions(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_sessions", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_sessions"
+      GraftTable.drop(spark, loc)
+      val (schema, srcDir) = chunkedSource(spark, sfDir, "events",
+        Seq("ts", "event_id"), nChunks = 3)
+      import spark.implicits._
+      val ev = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .select(col("event_id"),
+          timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")).as("ts"),
+          col("user_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .cast("double").as("value"))
+        .as[graft.streaming.StreamingOps.Event]
+      val sess = graft.streaming.StreamingOps
+        .sessionize(ev, gapMs = 30 * 60 * 1000L).toDF
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("duration_ms"), col("total_value").cast("long").as("value_cents"))
+      val t = GraftTable.create(spark, loc, "graft.stream_sessions", sess.schema)
+      val q = graft.streaming.StreamingOps.writeToGraftTable(
+        sess, t, s"$loc-checkpoint",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      t
+    })
+
+  /** Watermarked stream-stream interval join run to completion: view
+    * events paired with the same user's purchases within 30 minutes, both
+    * sides streaming. The single-file source makes the run one micro-batch,
+    * so the inner join's emitted set is the COMPLETE interval join (the
+    * watermark's state eviction matters only on unbounded feeds and drops
+    * nothing here; StreamingSpec pins eviction separately). Timestamps are
+    * truncated to milliseconds on BOTH sides so the join bound matches the
+    * oracle's epoch-millisecond arithmetic exactly (st_stream_join). */
+  def streamJoinedPairs(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_joined", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_joined"
+      GraftTable.drop(spark, loc)
+      val (schema, srcDir) = eventsStreamSource(spark, sfDir)
+      def side(tpe: String, p: String) = spark.readStream.schema(schema)
+        .parquet(srcDir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${p}_id"),
+          col("user_id").as(s"${p}_user"),
+          timestamp_micros(expr("CAST(ts DIV 1000000 AS LONG) * 1000"))
+            .as(s"${p}_ts"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as(s"${p}_cents"))
+      val joined = graft.streaming.StreamingOps.joinStreams(
+        side("view", "v"), side("purchase", "p"),
+        "v_user", "p_user", "v_ts", "p_ts",
+        withinMs = 30 * 60 * 1000L, watermark = "1 hour")
+      val t = GraftTable.create(spark, loc, "graft.stream_joined", joined.schema)
+      val q = graft.streaming.StreamingOps.writeToGraftTable(
+        joined, t, s"$loc-checkpoint",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      t
+    })
+
+  /** Stream-static enrichment run to completion: streaming events left-
+    * joined per micro-batch to the static `customer` dimension (broadcast,
+    * stateless). Events with no dimension row keep null attributes — the
+    * oracle's LEFT JOIN reproduces the semantics exactly (st_enrich). */
+  def streamEnriched(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_enriched", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_enriched"
+      GraftTable.drop(spark, loc)
+      val (schema, srcDir) = eventsStreamSource(spark, sfDir)
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("value_cents"))
+      val dim = read(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val enriched = graft.streaming.StreamingOps.enrich(
+        stream, dim, "user_id", "c_custkey",
+        Seq("c_mktsegment", "c_nationkey"))
+      val t = GraftTable.create(spark, loc, "graft.stream_enriched",
+        enriched.schema)
+      val q = graft.streaming.StreamingOps.writeToGraftTable(
+        enriched, t, s"$loc-checkpoint",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      t
+    })
+
+  /** Streaming exact dedup run to completion over three ordered document
+    * micro-batches ([[chunkedSource]]): normalized-content keys seen in an
+    * earlier batch suppress identical re-arrivals in later batches through
+    * the state store (dropDuplicatesWithinWatermark). Event time is a
+    * deterministic function of doc_id and the watermark delay exceeds the
+    * synthetic time span, so no state evicts mid-run and the kept set is
+    * exactly one row per distinct key — which is what lets DuckDB oracle a
+    * STATEFUL streaming dedup (st_dedup asserts n=1 per key). */
+  def streamDeduped(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_deduped", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_deduped"
+      GraftTable.drop(spark, loc)
+      val (schema, srcDir) = chunkedSource(spark, sfDir, "documents",
+        Seq("doc_id"), nChunks = 3)
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        // offset keeps every synthetic event time strictly above the
+        // engine's INITIAL watermark (epoch 0) — a doc_id=0 row timed at
+        // exactly 1970-01-01T00:00:00 would be dropped as late
+        .withColumn("__ts",
+          timestamp_micros((col("doc_id") + 1000000L) * 1000000L))
+      val deduped = graft.streaming.StreamingOps.dedupStream(
+        docs, "text", "__ts", watermark = "3650 days").drop("__ts")
+      val t = GraftTable.create(spark, loc, "graft.stream_deduped",
+        deduped.schema)
+      val q = graft.streaming.StreamingOps.writeToGraftTable(
+        deduped, t, s"$loc-checkpoint",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      t
+    })
+
   def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
     bucketedCache.getOrElseUpdate(sfDir, {
       val db = s"graft_buckets_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"

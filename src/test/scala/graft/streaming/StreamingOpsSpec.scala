@@ -123,4 +123,32 @@ class StreamingOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L, 5L))
   }
+
+  test("chunked-source fixtures replay as multiple ordered micro-batches") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def batchIds(t: graft.table.GraftTable): Seq[Long] = t.meta.snapshots
+      .flatMap(_.summary.get(StreamingOps.BatchIdSummaryKey)).map(_.toLong)
+
+    // sessionize: the 3-chunk source must commit >= 2 stamped micro-batch
+    // snapshots (state carried across real batch boundaries, not one big
+    // batch), and every emitted session must be a CLOSED one
+    val sess = graft.queries.TableFixtures.streamSessions(spark, sf)
+    val sessBatches = batchIds(sess).distinct
+    assert(sessBatches.size >= 2,
+      s"expected multiple micro-batches from the 3-chunk source, got $sessBatches")
+    assert(sess.toDF.filter(col("n_events") < 1).count() === 0)
+
+    // dedup: multiple batches AND exactly one survivor per distinct key
+    val dd = graft.queries.TableFixtures.streamDeduped(spark, sf)
+    val ddBatches = batchIds(dd).distinct
+    assert(ddBatches.size >= 2,
+      s"expected multiple micro-batches from the 3-chunk source, got $ddBatches")
+    val keys = dd.toDF.select(
+      graft.ops.Dedup.contentKey(col("text")).as("k"))
+    assert(keys.count() === keys.distinct().count())
+    val srcKeys = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.ops.Dedup.contentKey(col("text")).as("k")).distinct()
+    assert(keys.distinct().count() === srcKeys.count())
+  }
 }
