@@ -1235,6 +1235,25 @@ object SparkEntry {
           round(col("value").cast("double"), 4).as("value"))
         .orderBy("media_id", "dim")),
 
+    // RIFF/AVI container walk: dims, frame count, exact dwRate/dwScale fps
+    "m_video_meta" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeVideoMeta(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), round(col("fps"), 4).as("fps"))
+        .orderBy("media_id")),
+
+    // container-seeked MJPEG frames decoded to pixels -> [n_frames, mean
+    // sampled-frame luma, mean |inter-frame luma delta|, duration seconds]
+    "m_video_features" -> ((s, dir) =>
+      graft.ops.Multimodal.videoFeatures(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"),
+          posexplode(col("feature")).as(Seq("dim", "value")))
+        .select(col("media_id"), col("dim"),
+          round(col("value").cast("double"), 4).as("value"))
+        .orderBy("media_id", "dim")),
+
     // --- streaming (st_*): a Structured Streaming pipeline the oracle ---
     // can check: the events parquet replayed through a FILE-SOURCE stream
     // into the exactly-once graft sink (Trigger.AvailableNow = run to
@@ -2622,6 +2641,23 @@ object SparkEntry {
          FROM (VALUES
            (3, 0, 2274.4294), (3, 1, 0.0188), (3, 2, 1960.825), (3, 3, 0.01),
            (4, 0, 2334.8008), (4, 1, 0.0229), (4, 2, 2008.8625), (4, 3, 0.0109)
+         ) AS t(media_id, dim, value)
+         ORDER BY 1, 2""",
+
+    "m_video_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(n_frames AS INT) AS n_frames, CAST(fps AS DOUBLE) AS fps
+         FROM (VALUES (5, 16, 12, 6, 12.0), (6, 20, 12, 5, 25.0))
+           AS t(media_id, width, height, n_frames, fps)
+         ORDER BY 1""",
+
+    "m_video_features" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,
+           CAST(value AS DOUBLE) AS value
+         FROM (VALUES
+           (5, 0, 6), (5, 1, 51.9584), (5, 2, 0.0934), (5, 3, 0.5),
+           (6, 0, 5), (6, 1, 52.174), (6, 2, 0.1451), (6, 3, 0.2)
          ) AS t(media_id, dim, value)
          ORDER BY 1, 2""",
 

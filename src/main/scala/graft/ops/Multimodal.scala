@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
  * feature-extraction / frame-sampling run as partition-local batch
  * operators.
  *
- * Image and audio decode are REAL: images go through the JDK's
+ * Image, audio AND video decode are REAL: images go through the JDK's
  * `javax.imageio` registry (PNG/JPEG/BMP/GIF ship with every JVM) reading
  * dimensions and color model from container headers WITHOUT decoding pixel
- * data, and audio is a manual RIFF/WAVE chunk walk (PCM WAV is the one
- * audio container the JDK can both produce and parse natively). Video
- * remains a disclosed STUB — the JDK ships no video codec — with the
- * Spark-side plumbing (schemas, encoders, `mapPartitions` batch shape)
- * real and tested.
+ * data; audio is a manual RIFF/WAVE chunk walk (PCM WAV is the one audio
+ * container the JDK can both produce and parse natively); and video is a
+ * manual RIFF/AVI walk over Motion-JPEG clips (each frame a complete JPEG
+ * the JDK's own codec decodes) — header metadata, container-seeked frame
+ * sampling, and pixel-level per-frame features all genuinely computed.
+ * The one disclosed STUB left is [[extractFeatures]]'s learned-embedding
+ * step (no model weights ship in a JDK); its batch plumbing is real.
  *
  * Scale notes:
  *  - blobs never pass through a shuffle unless the caller asks for one;
@@ -60,14 +62,27 @@ object Multimodal {
       frame_index: Int,
       frame_bytes: Array[Byte])
 
-  /** Deterministic payloads for tests/fixtures. Image and audio are REAL
-    * containers (ImageIO-encoded PNG/JPEG/BMP; hand-written PCM WAV) so the
-    * decode path exercises actual codecs; video keeps pseudo-random bytes
-    * behind a fake container (no JDK video codec — disclosed stub). */
+  case class VideoMeta(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      fps: Double)
+
+  /** A parsed MJPEG-AVI clip: header dims/rate + the raw JPEG frame
+    * payloads in stream order. */
+  private[ops] case class AviClip(width: Int, height: Int, fps: Double,
+      frames: Vector[Array[Byte]])
+
+  /** Deterministic payloads for tests/fixtures — ALL real containers
+    * (ImageIO-encoded PNG/JPEG/BMP; hand-written PCM WAV; hand-written
+    * MJPEG AVI with ImageIO-encoded JPEG frames) so every decode path
+    * exercises an actual codec. */
   def syntheticPayload(id: Long, kind: String, size: Int = 4096): Array[Byte] =
     kind match {
       case "image" => syntheticImage(id)
       case "audio" => syntheticWav(id)
+      case "video" => syntheticAvi(id)
       case _ => pseudoBytes(id, kind, size)
     }
 
@@ -128,6 +143,70 @@ object Multimodal {
     while (i < nSamples * channels) {
       bb.putShort((((i * 97 + id * 13) % 8192) - 4096).toShort)
       i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic tiny Motion-JPEG AVI: id-derived dims/rate/length, each
+    * frame an ImageIO-encoded JPEG of a per-frame-shifted gradient (so
+    * inter-frame motion is nonzero). Real RIFF/AVI layout: hdrl (avih +
+    * vids strl) then a movi list of 00dc chunks. */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 16 + (id % 4).toInt * 4
+    val h = 12 + (id % 3).toInt * 4
+    val fps = Seq(10, 12, 25)((id % 3).toInt)
+    val nFrames = 4 + (id % 3).toInt * 2
+    val frames = (0 until nFrames).map { fi =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 29 + y * 13 + fi * 41 + id.toInt * 7) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    encodeAviMjpeg(w, h, fps, frames)
+  }
+
+  /** Serialize JPEG frames into a minimal standards-shaped MJPEG AVI. */
+  def encodeAviMjpeg(w: Int, h: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val maxFrame = frames.foldLeft(0)((m, f) => math.max(m, f.length))
+    def padded(n: Int): Int = n + (n & 1)
+    val moviData = 4 + frames.map(f => 8 + padded(f.length)).sum
+    val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffData = 4 + (8 + hdrlData) + (8 + moviData)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fcc("RIFF"); bb.putInt(riffData); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlData); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.size).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("MJPG")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // dwScale / dwRate: fps = rate/scale
+      .putInt(0).putInt(frames.size).putInt(maxFrame).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    fcc("MJPG")
+    bb.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(moviData); fcc("movi")
+    frames.foreach { f =>
+      fcc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
     }
     bb.array()
   }
@@ -250,21 +329,141 @@ object Multimodal {
   }
 
   /**
-   * Sample every `stride`-th frame from video payloads. Demonstrates the
-   * one-to-many (explode) shape without shuffling blobs. STUB: frames are
-   * fixed-size slices of the payload; a real build seeks the container.
+   * Sample every `stride`-th frame from video payloads by REAL container
+   * seeking: the RIFF/AVI walk locates each Motion-JPEG frame chunk and
+   * emits its complete JPEG bytes (decodable downstream by ImageIO). The
+   * one-to-many explode stays narrow — blobs never shuffle. Unparseable
+   * payloads are dropped, matching the image/audio decoders.
    */
-  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4,
-      frameSize: Int = 256): Dataset[VideoFrame] = {
+  def sampleFrames(media: Dataset[MediaRecord],
+      stride: Int = 4): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
+    media.filter(_.kind == "video").mapPartitions { it =>
       partitionContext()
-      val nFrames = r.content.length / frameSize
-      (0 until nFrames by stride).map { fi =>
-        VideoFrame(r.media_id, fi,
-          java.util.Arrays.copyOfRange(r.content, fi * frameSize, (fi + 1) * frameSize))
+      it.flatMap { r =>
+        parseAviFrames(r.content).toSeq.flatMap { clip =>
+          clip.frames.indices.by(stride).map { fi =>
+            VideoFrame(r.media_id, fi, clip.frames(fi))
+          }
+        }
       }
     }
+  }
+
+  /** Decode MJPEG-AVI container headers: dimensions, frame count, frame
+    * rate. Header + chunk-walk only — no pixel decode. Same drop-on-
+    * undecodable policy as the other decoders. */
+  def decodeVideoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      partitionContext()
+      it.flatMap { r =>
+        parseAviFrames(r.content).map(c =>
+          VideoMeta(r.media_id, c.width, c.height, c.frames.size, c.fps))
+      }
+    }
+  }
+
+  /**
+   * REAL video features from container-seeked, ImageIO-decoded sampled
+   * frames: `[n_frames, mean sampled-frame luma (BT.601), mean |luma
+   * delta| between consecutive sampled frames (a motion proxy),
+   * duration_seconds]`. Batch shape: whole-partition iterator, one codec
+   * configuration per partition, fixed-dim output — blobs never shuffle.
+   */
+  def videoFeatures(media: Dataset[MediaRecord],
+      stride: Int = 2): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        parseAviFrames(r.content).flatMap { clip =>
+          val lumas = clip.frames.indices.by(stride).flatMap { fi =>
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(clip.frames(fi)))
+            catch { case _: java.io.IOException => null }
+            if (img == null) None
+            else {
+              var sum = 0.0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              Some(sum / (img.getWidth.toLong * img.getHeight))
+            }
+          }
+          if (lumas.isEmpty) None
+          else {
+            val meanLuma = lumas.sum / lumas.size
+            val motion =
+              if (lumas.size < 2) 0.0
+              else lumas.iterator.sliding(2).withPartial(false)
+                .map(p => math.abs(p(1) - p(0))).sum / (lumas.size - 1)
+            Some(MediaFeature(r.media_id, "video", Array(
+              clip.frames.size.toFloat, meanLuma.toFloat, motion.toFloat,
+              (clip.frames.size / clip.fps).toFloat)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Walk a RIFF/AVI container: `avih` gives dims, a `vids` `strh` gives
+    * the exact frame rate (dwRate/dwScale), and the `movi` list's
+    * `..dc`/`..db` chunks are the Motion-JPEG frames. Corrupt sizes
+    * (negative after truncation, past the buffer, or non-advancing) bail
+    * out — one bad blob must not stall a billion-row decode job. */
+  private[ops] def parseAviFrames(b: Array[Byte]): Option[AviClip] = {
+    def u32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var width = -1
+    var height = -1
+    var usec = -1L
+    var scale = 0L
+    var rate = 0L
+    val frames = Vector.newBuilder[Array[Byte]]
+    // explicit range stack instead of recursion: nesting depth is
+    // attacker-controlled in a corrupt container
+    var stack = List((12, math.min(b.length.toLong, 8L + u32(4)).toInt))
+    while (stack.nonEmpty) {
+      val (pos, end) = stack.head
+      if (pos + 8 > end) stack = stack.tail
+      else {
+        val sz = u32(pos + 4)
+        if (sz < 0 || pos + 8 + sz > b.length) return None
+        val next = pos + 8 + sz.toInt + (sz.toInt & 1)
+        stack = (next, end) :: stack.tail
+        val id = tag(pos)
+        if (id == "LIST" && sz >= 4) {
+          val lt = tag(pos + 8)
+          if (lt == "hdrl" || lt == "strl" || lt == "movi")
+            stack = (pos + 12, pos + 8 + sz.toInt) :: stack
+        } else if (id == "avih" && sz >= 40) {
+          usec = u32(pos + 8)
+          width = u32(pos + 8 + 32).toInt
+          height = u32(pos + 8 + 36).toInt
+        } else if (id == "strh" && sz >= 56 && tag(pos + 8) == "vids") {
+          scale = u32(pos + 8 + 20)
+          rate = u32(pos + 8 + 24)
+        } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
+            && sz > 0) {
+          frames += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + sz.toInt)
+        }
+      }
+    }
+    val fps = if (scale > 0 && rate > 0) rate.toDouble / scale
+      else if (usec > 0) 1e6 / usec else -1.0
+    if (width <= 0 || height <= 0 || fps <= 0) None
+    else Some(AviClip(width, height, fps, frames.result()))
   }
 
   /**
@@ -379,11 +578,11 @@ object Multimodal {
     Some((rate, channels, out))
   }
 
-  /** The five checked-in container fixtures (real PNG/JPEG/BMP images and
-    * PCM WAVs under `/media` on the classpath, regenerated by
-    * GenMediaFixtures) as a Dataset — the deterministic input of the m_*
-    * oracle queries: every decode output over them is a constant a VALUES
-    * oracle can assert. */
+  /** The seven checked-in container fixtures (real PNG/JPEG/BMP images,
+    * PCM WAVs, and MJPEG AVIs under `/media` on the classpath, regenerated
+    * by GenMediaFixtures) as a Dataset — the deterministic input of the
+    * m_* oracle queries: every decode output over them is a constant a
+    * VALUES oracle can assert. */
   def fixtureMedia(spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     def res(name: String): Array[Byte] = {
@@ -402,7 +601,9 @@ object Multimodal {
       MediaRecord(1, "image", res("img-8x5.jpg"), "fixture"),
       MediaRecord(2, "image", res("img-7x3.bmp"), "fixture"),
       MediaRecord(3, "audio", res("tone-16000-mono.wav"), "fixture"),
-      MediaRecord(4, "audio", res("tone-22050-stereo.wav"), "fixture")).toDS()
+      MediaRecord(4, "audio", res("tone-22050-stereo.wav"), "fixture"),
+      MediaRecord(5, "video", res("clip-16x12-12fps.avi"), "fixture"),
+      MediaRecord(6, "video", res("clip-20x12-25fps.avi"), "fixture")).toDS()
   }
 
   /** Join features back to envelope metadata — the only shuffle in the

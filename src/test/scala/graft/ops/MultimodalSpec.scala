@@ -22,9 +22,11 @@ class MultimodalSpec extends SparkTestBase {
     import spark.implicits._
     val kinds = media.groupByKey(_.kind).count().collect().toMap
     assert(kinds === Map("image" -> 30L, "audio" -> 30L, "video" -> 30L))
-    // video payloads keep the fixed synthetic container size; image/audio
-    // are real encoded containers whose size is codec-dependent
-    assert(media.filter(_.kind == "video").head().content.length === 4096)
+    // all three kinds are REAL containers now (sizes codec-dependent);
+    // video payloads start with the RIFF/AVI magic
+    val v = media.filter(_.kind == "video").head().content
+    assert(new String(v, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(v, 8, 4, "US-ASCII") === "AVI ")
   }
 
   test("image decode reads real container headers (dims, channels, format)") {
@@ -159,12 +161,75 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1 === f2)
   }
 
-  test("frame sampling explodes video payloads without touching other kinds") {
-    val frames = sampleFrames(media, stride = 4, frameSize = 256).collect()
-    // 4096/256 = 16 frames, stride 4 -> 4 per video, 30 videos
-    assert(frames.length === 120)
-    assert(frames.forall(_.frame_bytes.length === 256))
-    assert(frames.map(_.frame_index).toSet === Set(0, 4, 8, 12))
+  test("frame sampling seeks real MJPEG frames out of the AVI container") {
+    val frames = sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    // only video rows explode, at the requested stride
+    assert(frames.forall(_.frame_index % 2 == 0))
+    val byId = frames.groupBy(_.media_id)
+    byId.foreach { case (id, fs) =>
+      val nFrames = 4 + (id % 3).toInt * 2
+      assert(fs.map(_.frame_index).toSet === (0 until nFrames by 2).toSet)
+      // every sampled frame is a complete, decodable JPEG of clip dims
+      fs.foreach { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.frame_bytes))
+        assert(img != null, s"frame ${f.frame_index} of video $id")
+        assert(img.getWidth === 16 + (id % 4).toInt * 4)
+        assert(img.getHeight === 12 + (id % 3).toInt * 4)
+      }
+    }
+  }
+
+  test("video decode parses real RIFF/AVI headers and counts frames") {
+    val metas = decodeVideoMeta(media).collect()
+    assert(metas.length === 30) // no video payload failed to parse
+    metas.foreach { m =>
+      val id = m.media_id
+      assert(m.width === 16 + (id % 4).toInt * 4)
+      assert(m.height === 12 + (id % 3).toInt * 4)
+      assert(m.n_frames === 4 + (id % 3).toInt * 2)
+      assert(m.fps === Seq(10, 12, 25)((id % 3).toInt).toDouble)
+    }
+  }
+
+  test("video features come from decoded frame pixels") {
+    val f = videoFeatures(media, stride = 2).collect()
+      .map(m => m.media_id -> m.feature).toMap
+    assert(f.size === 30)
+    f.foreach { case (id, feat) =>
+      assert(feat.length === 4)
+      assert(feat(0) === (4 + (id % 3).toInt * 2).toFloat) // n_frames
+      assert(feat(1) > 0f && feat(1) < 255f) // mean luma is a real pixel stat
+      // consecutive synthetic frames differ -> nonzero motion proxy
+      assert(feat(2) > 0f)
+      val fps = Seq(10, 12, 25)((id % 3).toInt)
+      assert(math.abs(feat(3) - feat(0) / fps) < 1e-5)
+    }
+  }
+
+  test("corrupt AVI chunk sizes are rejected, not walked forever") {
+    val good = syntheticAvi(2)
+    assert(parseAviFrames(good).nonEmpty)
+    // clobber the first movi-frame chunk size with an overflowing u32
+    val idx = {
+      var i = 12
+      var at = -1
+      while (at < 0 && i < good.length - 4) {
+        if (good(i) == '0' && good(i + 1) == '0' && good(i + 2) == 'd' &&
+          good(i + 3) == 'c') at = i
+        i += 1
+      }
+      at
+    }
+    assert(idx > 0)
+    val bad = good.clone()
+    bad(idx + 4) = 0xf8.toByte; bad(idx + 5) = 0xff.toByte
+    bad(idx + 6) = 0xff.toByte; bad(idx + 7) = 0xff.toByte
+    assert(parseAviFrames(bad).isEmpty) // bails, no infinite loop
+    // truncated container: same policy
+    assert(parseAviFrames(good.take(40)).isEmpty)
+    assert(parseAviFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("featureTable joins envelope metadata on the small projection") {

@@ -217,6 +217,16 @@ object DriveApp {
       val aud = graft.ops.Multimodal.decodeAudioMeta(media).collect()
         .map(m => s"${m.sample_rate}hz/${m.channels}ch").sorted.mkString(",")
       println(s"media-decode img=$img aud=$aud")
+      val vid = graft.ops.Multimodal.decodeVideoMeta(media).collect()
+        .map(m => s"${m.width}x${m.height}@${m.fps}x${m.n_frames}")
+        .sorted.mkString(",")
+      val frames = graft.ops.Multimodal.sampleFrames(media, stride = 2)
+        .collect()
+      val jpegOk = frames.forall { f =>
+        javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.frame_bytes)) != null
+      }
+      println(s"video-decode vid=$vid frames=${frames.length} jpegOk=$jpegOk")
     }
     spark.stop()
   }

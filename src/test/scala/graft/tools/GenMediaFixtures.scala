@@ -34,6 +34,22 @@ object GenMediaFixtures {
     bb.array()
   }
 
+  /** Deterministic JPEG frame: the fixture gradient shifted per frame so
+    * consecutive frames differ (nonzero motion proxy). */
+  private def jpegFrame(w: Int, h: Int, fi: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 40 + y * 70 + fi * 33 + 0x123456) & 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def avi(w: Int, h: Int, fps: Int, nFrames: Int): Array[Byte] =
+    graft.ops.Multimodal.encodeAviMjpeg(
+      w, h, fps, (0 until nFrames).map(jpegFrame(w, h, _)))
+
   def main(args: Array[String]): Unit = {
     val dir = new File("src/main/resources/media")
     dir.mkdirs()
@@ -42,7 +58,9 @@ object GenMediaFixtures {
       "img-8x5.jpg" -> image(8, 5, "jpg"),
       "img-7x3.bmp" -> image(7, 3, "bmp"),
       "tone-16000-mono.wav" -> wav(16000, 1, 160),
-      "tone-22050-stereo.wav" -> wav(22050, 2, 240))
+      "tone-22050-stereo.wav" -> wav(22050, 2, 240),
+      "clip-16x12-12fps.avi" -> avi(16, 12, 12, 6),
+      "clip-20x12-25fps.avi" -> avi(20, 12, 25, 5))
     files.foreach { case (name, bytes) =>
       val out = new FileOutputStream(new File(dir, name))
       try out.write(bytes) finally out.close()

@@ -101,5 +101,59 @@ object GenMediaOracle {
         println(s"($id, $d, ${r4(f.toDouble)}),")
       }
     }
+
+    // Independent AVI re-derivation: a from-scratch sequential RIFF scan
+    // (not the production range-stack walk) + plain ImageIO frame decodes.
+    println("-- m_video_meta (media_id, width, height, n_frames, fps)")
+    println("-- m_video_features (media_id, dim, value) — " +
+      "nFrames/meanLuma/motion/duration (stride 2)")
+    val videos = Seq(
+      5L -> "clip-16x12-12fps.avi", 6L -> "clip-20x12-25fps.avi")
+    videos.foreach { case (id, name) =>
+      val b = resource(name)
+      def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+      def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+      require(tag(0) == "RIFF" && tag(8) == "AVI ")
+      // flat scan: LIST headers are 12 bytes (descend), chunks skip whole
+      var pos = 12
+      var w = -1; var h = -1; var scale = -1; var rate = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      while (pos + 8 <= b.length) {
+        val id4 = tag(pos)
+        val sz = u32(pos + 4)
+        if (id4 == "LIST") pos += 12
+        else {
+          if (id4 == "avih") { w = u32(pos + 8 + 32); h = u32(pos + 8 + 36) }
+          if (id4 == "strh" && tag(pos + 8) == "vids") {
+            scale = u32(pos + 8 + 20); rate = u32(pos + 8 + 24)
+          }
+          if (id4 == "00dc")
+            frames += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + sz)
+          pos += 8 + sz + (sz & 1)
+        }
+      }
+      val fps = rate.toDouble / scale
+      println(s"-- meta: ($id, $w, $h, ${frames.size}, ${r4(fps)}),")
+      val lumas = frames.indices.by(2).map { fi =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frames(fi)))
+        var sum = 0.0
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        }
+        sum / (img.getWidth.toLong * img.getHeight)
+      }
+      val motion =
+        if (lumas.size < 2) 0.0
+        else lumas.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (lumas.size - 1)
+      val feats = Seq(frames.size.toFloat, (lumas.sum / lumas.size).toFloat,
+        motion.toFloat, (frames.size / fps).toFloat)
+      feats.zipWithIndex.foreach { case (f, d) =>
+        println(s"($id, $d, ${r4(f.toDouble)}),")
+      }
+    }
   }
 }
