@@ -666,6 +666,19 @@ object SparkEntry {
         T(s, dir, "embeddings").filter(col("vec_id") % 4 === 0), threshold = 0.35)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup-style semantic dedup: nearest-centroid bucketing (first 8
+    // vectors as the fixed centroid table), within-CELL cosine pairs at
+    // 0.35, min-id representative kept per duplicate component — the
+    // cluster-bounded (never corpus-wide all-pairs) semantic-dedup scale
+    // path; the oracle replays assignment, cell pairs and components
+    "s_semdedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.semDedup(e, e.filter(col("vec_id") < 8), threshold = 0.35)
+        .groupBy(col("cluster_id"), col("label"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+        .orderBy("cluster_id", "label")
+    }),
+
     // nearest-centroid assignment with a FIXED centroid table (the first 8
     // vectors): deterministic end to end — the DuckDB oracle brute-forces
     // the same argmax-cosine assignment and the cluster x label grid must
@@ -2006,6 +2019,44 @@ object SparkEntry {
     // brute-force argmax-cosine assignment against the fixed centroid table
     // (vec_id < 8), then the cluster x label grid — mirrors
     // Similarity.assignToCentroids' (sim DESC, cluster_id ASC) tie order
+    // same argmax-cosine assignment as s_cluster_assign, then pairs only
+    // within a cell (4-decimal-rounded cosine >= 0.35, the Spark rule),
+    // then the recursive min-label components + keep rule of d_neardup_*
+    "s_semdedup" ->
+      """WITH RECURSIVE c AS (SELECT vec_id AS cluster_id, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+           scored AS (
+             SELECT e.vec_id, e.label, e.embedding, c.cluster_id,
+               list_sum(list_transform(list_zip(e.embedding, c.cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+             FROM embeddings e CROSS JOIN c),
+           assigned AS (
+             SELECT vec_id, label, embedding, cluster_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cluster_id ASC) AS rn FROM scored)
+             WHERE rn = 1),
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM assigned a JOIN assigned b
+               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+             WHERE round(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.35),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+           comps AS (SELECT id, min(lbl) AS component FROM reach GROUP BY 1)
+         SELECT a.cluster_id, a.label, count(*) AS n_kept,
+           cast(sum(a.vec_id) AS bigint) AS id_sum
+         FROM assigned a LEFT JOIN comps k ON a.vec_id = k.id
+         WHERE k.component IS NULL OR k.component = a.vec_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "s_cluster_assign" ->
       """WITH c AS (SELECT vec_id AS cluster_id, embedding AS cv
                     FROM embeddings WHERE vec_id < 8),

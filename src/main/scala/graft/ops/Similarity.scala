@@ -300,6 +300,53 @@ object Similarity {
   }
 
   /**
+   * Within-cluster near-identical pairs over a nearest-centroid-assigned
+   * corpus (the candidate step of [[semDedup]]). Input must carry a
+   * `cluster_id` column (from [[assignToCentroids]]); only vectors
+   * sharing a cluster are compared, via a self-equi-join on `cluster_id`
+   * — candidate work is Σ|cell|², never the corpus-wide all-pairs of
+   * [[cosineNearDupPairs]], and cell size is controlled by the centroid
+   * count k. Same rounded-cosine threshold rule as the brute path, so
+   * the two pair sources are directly comparable.
+   */
+  def semDedupPairs(assigned: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = assigned.select(col("cluster_id"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster_id").as("__cb"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("cluster_id") === col("__cb") && col("id_a") < col("id_b"))
+      .select(col("cluster_id"), col("id_a"), col("id_b"),
+        round(cosineFast(col("__va"), col("__vb")), 4).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): assign every embedding to its max-cosine centroid,
+   * detect near-identical pairs ONLY within each cluster cell, then keep
+   * one representative per duplicate component (minimum id, via the same
+   * [[Dedup.keepRepresentatives]] tail every other near-dup source
+   * feeds) plus every unpaired row. Returns the assigned frame
+   * (input columns + `cluster_id`) filtered to the kept rows.
+   *
+   * The cluster bucketing is what makes this the 100 TB path: pairwise
+   * cosine never crosses cells, and with corpus-proportional k the
+   * expected cell stays bounded, so the quadratic term is per-cell, not
+   * per-corpus. Deterministic given a fixed centroid table (argmax ties
+   * break toward the lowest centroid id; the threshold applies to the
+   * 4-decimal-rounded cosine), so exactly replayable by a SQL oracle.
+   */
+  def semDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "vec_id"): DataFrame = {
+    val assigned =
+      assignToCentroids(vectors, centroids, idCol, vecCol, centroidIdCol)
+    Dedup.keepRepresentatives(assigned,
+      semDedupPairs(assigned, threshold, idCol, vecCol), idCol)
+  }
+
+  /**
    * Nearest-centroid assignment — the "online" half of k-means and the
    * semantic-clustering step of a corpus pipeline (topic bucketing,
    * cluster-balanced sampling, per-cluster dedup). Every vector is

@@ -82,6 +82,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("semDedup: within-cluster dups drop, cross-cluster near-pairs survive") {
+    import spark.implicits._
+    // two obvious clusters around +x and +y; 5/6 are dups of 0/1 within
+    // the +x cell; 2/7 land in the +y cell with 7 a dup of 2; 3 is its
+    // own far-out singleton pair-free row
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.95f, 0.05f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 2.0f, 4.0f)), // +y-leaning far-out singleton
+      (5L, Seq(0.99f, 0.01f, 0.0f)),
+      (6L, Seq(0.97f, 0.03f, 0.0f)),
+      (7L, Seq(0.02f, 0.98f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (200L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+
+    val assigned = Similarity.assignToCentroids(corpus, centroids)
+    val byCluster = assigned.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cluster_id")).toMap
+    // 3 leans +y (cos 2/sqrt(21) vs -1/sqrt(21)): strictly closer to 200
+    assert(byCluster === Map(0L -> 100L, 1L -> 100L, 5L -> 100L, 6L -> 100L,
+      2L -> 200L, 7L -> 200L, 3L -> 200L))
+
+    // candidate pairs never cross cells and are a subset of brute force
+    val pairs = Similarity.semDedupPairs(assigned, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosineNearDupPairs(corpus, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(brute))
+    assert(pairs.forall { case (a, b) => byCluster(a) === byCluster(b) })
+    assert(pairs === Set((0L, 1L), (0L, 5L), (0L, 6L), (1L, 5L), (1L, 6L),
+      (5L, 6L), (2L, 7L)))
+
+    // kept = min-id representative per component + the pair-free row
+    val kept = Similarity.semDedup(corpus, centroids, threshold = 0.99)
+    assert(kept.columns.contains("cluster_id"))
+    assert(kept.select("vec_id").as[Long].collect().toSet === Set(0L, 2L, 3L))
+  }
+
+  test("semDedup pair join is an equi-join on cluster_id, never cartesian") {
+    import spark.implicits._
+    val assigned = Similarity.assignToCentroids(vecs, vecs.filter(col("vec_id") < 2))
+    val plan = Similarity.semDedupPairs(assigned, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("quantizeInt8: round-trip error bounded by scale/2, extremes hit ±127") {
     import spark.implicits._
     val df = Seq(
