@@ -39,14 +39,11 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, t: String): DataFrame =
     if (t == "events") events(s, dir) else s.read.parquet(s"$dir/$t.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as long nanos and convert to a microsecond timestamp
-    * (the same truncation Spark applies to micro-precision sources). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
-  }
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) and `timestamp[us]`
+    * across testdata generations; the adaptive reader normalizes either to
+    * a session-zoned micro-precision timestamp. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.queries.EventsReader.read(s, dir)
 
   /** Flagship query on sf=0.001: daily-batch ingestion into a partitioned
     * snapshot-versioned table, then the reference's group-by-count shape

@@ -502,8 +502,9 @@ object TableFixtures {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_windowed"
       GraftTable.drop(spark, loc)
       val (schema, srcDir) = eventsStreamSource(spark, sfDir)
-      val agg = spark.readStream.schema(schema).parquet(srcDir)
-        .withColumn("ts_t", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      val agg = EventsReader.normalizeTs(
+          spark.readStream.schema(schema).parquet(srcDir))
+        .withColumn("ts_t", col("ts"))
         .withWatermark("ts_t", "2 hours")
         .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -584,10 +585,9 @@ object TableFixtures {
       val (schema, srcDir) = chunkedSource(spark, sfDir, "events",
         Seq("ts", "event_id"), nChunks = 3)
       import spark.implicits._
-      val ev = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir)
-        .select(col("event_id"),
-          timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")).as("ts"),
+      val ev = EventsReader.normalizeTs(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir))
+        .select(col("event_id"), col("ts"),
           col("user_id"), col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("long")
             .cast("double").as("value"))
@@ -617,13 +617,12 @@ object TableFixtures {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_joined"
       GraftTable.drop(spark, loc)
       val (schema, srcDir) = eventsStreamSource(spark, sfDir)
-      def side(tpe: String, p: String) = spark.readStream.schema(schema)
-        .parquet(srcDir)
+      def side(tpe: String, p: String) = EventsReader.normalizeTs(
+          spark.readStream.schema(schema).parquet(srcDir))
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${p}_id"),
           col("user_id").as(s"${p}_user"),
-          timestamp_micros(expr("CAST(ts DIV 1000000 AS LONG) * 1000"))
-            .as(s"${p}_ts"),
+          EventsReader.truncToMillis(col("ts")).as(s"${p}_ts"),
           (col("value").cast("decimal(18,2)") * 100).cast("long")
             .as(s"${p}_cents"))
       val joined = graft.streaming.StreamingOps.joinStreams(

@@ -205,9 +205,7 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("retentionCohorts shuffles the events once, keyed on the user") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+    val ev = graft.queries.EventsReader.read(spark, "/root/testdata/sf0.001")
     val plan = graft.ops.Sessionize.retentionCohorts(ev)
       .queryExecution.executedPlan.toString
     // cohort min and activity-day set come from ONE user-keyed aggregation;
