@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run's stdout STRAIGHT to the terminal instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks any caller that parses the program's JSON stdout line
+// (the round driver's bench capture parsed null for four rounds because
+// of exactly this prefix).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -27,8 +27,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string escape: backslash, quote, and ALL control chars — Spark
+    * exception strings embed multi-line plan dumps, and one raw newline
+    * makes the whole detail artifact unparseable (round-8 post-mortem). */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,7 +110,10 @@ object Bench {
             try { fn(spark, sfDir).count() } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] $name failed: $e")
-                if (err.isEmpty) err = Some(e.toString.take(300))
+                // first line only: the rest is a plan dump, useless in a
+                // summary artifact and hostile to log-grepping readers
+                if (err.isEmpty)
+                  err = Some(e.toString.linesIterator.next().take(300))
             }
             (System.nanoTime() - t0) / 1e9
           }
@@ -119,8 +132,13 @@ object Bench {
       if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_detail.json"
       else "bench_detail.json")
     val detailRows = results.map { case (k, (ts, err)) =>
-      val errJson = err.map(jstr).getOrElse("null")
-      s"""    ${jstr(k)}: {"min": ${r3(ts.min)}, "runs": [${ts.mkString(", ")}], "err": $errJson}"""
+      // a failed query gets NO timing: its wall time measures how fast the
+      // failure was, and a reader scanning mins must never mistake it for
+      // a fast success
+      val timing =
+        if (err.isDefined) """"min": null, "runs": []"""
+        else s""""min": ${r3(ts.min)}, "runs": [${ts.mkString(", ")}]"""
+      s"""    ${jstr(k)}: {$timing, "err": ${err.map(jstr).getOrElse("null")}}"""
     }.mkString(",\n")
     val detail =
       s"""{
