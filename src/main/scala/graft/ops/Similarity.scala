@@ -340,6 +340,12 @@ object Similarity {
   def semDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "vec_id"): DataFrame = {
+    // the assignment feeds three consumers (both sides of the pair
+    // self-join and the keep-representatives rejoin); since
+    // assignToCentroids is pure narrow map work over the scan, the three
+    // re-evaluations are cheap re-scans — measured FASTER than
+    // persist/localCheckpoint, whose serialization of the embedding
+    // arrays costs more than the recompute saves
     val assigned =
       assignToCentroids(vectors, centroids, idCol, vecCol, centroidIdCol)
     Dedup.keepRepresentatives(assigned,
@@ -354,24 +360,36 @@ object Similarity {
    * id). Unlike [[ivfTopK]] this takes the centroid table as INPUT, so
    * assignment is fully deterministic and replayable in SQL.
    *
-   * Scale shape: centroids are broadcast (k rows), the corpus is scanned
-   * once with a narrow crossJoin + windowless argmax via per-id
-   * row_number on (sim desc, cid asc) — the only shuffle is the window's
-   * hash partition on vector id, which any downstream per-vector work
-   * reuses.
+   * Scale shape: ZERO shuffle and zero row expansion. The k centroid rows
+   * are collected to the driver (bounded by k — the same legitimacy class
+   * as the table layer's file-list collects, never row data) and unrolled
+   * into k codegen'd [[cosineFast]] calls per corpus row; the argmax is
+   * find-first-max over that similarity array, so ties break toward the
+   * lowest centroid id exactly like the former window's
+   * (sim desc, cid asc) ordering. The previous shape — broadcast
+   * crossJoin + per-id window — shuffled the corpus k-times expanded WITH
+   * the embedding duplicated into every copy; at 100 TB that is a k x
+   * corpus exchange for a result that pure map work produces.
    */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "vec_id"): DataFrame = {
-    val c = centroids.select(col(centroidIdCol).as("cluster_id"),
-      col(vecCol).as("__centroid"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("cluster_id").asc)
-    vectors.crossJoin(broadcast(c))
-      .withColumn("__sim", cosineFast(col(vecCol), col("__centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__centroid", "__sim")
+    val cents = centroids
+      .select(col(centroidIdCol).cast("long").as("cluster_id"),
+        col(vecCol).cast("array<double>").as("__centroid"))
+      .orderBy("cluster_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "assignToCentroids: empty centroid table")
+    val sims = array(cents.map { case (_, v) =>
+      cosineFast(col(vecCol).cast("array<double>"), typedlit(v)) }: _*)
+    val ids = typedlit(cents.map(_._1))
+    vectors
+      .withColumn("__sims", sims)
+      .withColumn("cluster_id",
+        element_at(ids,
+          array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+      .drop("__sims")
   }
 
   /**
