@@ -181,12 +181,19 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    // HLL sketch variant — the O(1)-memory scale path (rows-only check:
-    // approx values are engine-specific by design)
+    // HLL sketch variant — the O(1)-memory scale path. Raw sketch values
+    // are engine-specific, so the FULLY-CHECKED surface is (exact count,
+    // estimate-within-5%-of-exact): each engine runs its OWN sketch and
+    // asserts its own bound in-query, and the hashes compare the exact
+    // counts plus the boolean. rsd 0.02 → 5% is a ~2.5-sigma bound.
     "q12_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("approx_ok"))
         .orderBy("l_returnflag")),
 
     // hierarchical aggregation: ROLLUP over two keys with subtotals
@@ -1505,6 +1512,14 @@ object SparkEntry {
     "q11_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
          count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // each engine asserts its OWN sketch against the shared exact count;
+    // the compared cells are the exact counts + the boolean
+    "q12_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+           <= count(DISTINCT l_partkey) * 0.05 AS approx_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q13_rollup" ->

@@ -146,17 +146,31 @@ class PlanQualitySpec extends SparkTestBase {
       s"quantization must not shuffle:\n$plan")
   }
 
-  test("kmeansStep: one aggregation exchange, centroids broadcast") {
+  test("kmeansStep: assignment is narrow, ONE aggregation exchange total") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = graft.ops.Similarity.kmeansStep(e, e.filter(col("vec_id") < 8))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"centroid table must broadcast:\n$plan")
-    // exchanges: the assignment window's hash partition on vec_id and the
-    // final (cluster, dim) aggregation — never a range/global sort
+    // the nearest-centroid assignment is unrolled per-row cosine work —
+    // no join, no window: the ONLY exchange in the whole step is the
+    // (cluster_id, dim) mean aggregation, and never a range/global sort
+    assert(!plan.contains("Window"), s"assignment must not window:\n$plan")
+    // AQE prints Final + Initial sections; count exchanges in the FINAL one
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected exactly one exchange (the mean agg), got $exchanges:\n$plan")
     assert(!plan.contains("rangepartitioning"),
       s"mean update must not globally sort:\n$plan")
+  }
+
+  test("assignToCentroids plans zero exchanges: pure map over the scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.ops.Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"nearest-centroid assignment must be shuffle-free:\n$plan")
   }
 
   test("balanceToSmallest joins the per-domain fractions by broadcast") {
