@@ -450,10 +450,10 @@ object TableFixtures {
 
   /** File-stream source over the driver `events` parquet: the stream
     * source monitors a DIRECTORY, so the single testdata file is
-    * hard-linked into one (no copy). `events.ts` is parquet
-    * TIMESTAMP(NANOS), which Spark 4 rejects by default — streamed as long
-    * nanos (same contract as SparkEntry's batch events reader). Returns
-    * (schema with ts as long, source dir). */
+    * hard-linked into one (no copy). `ts` streams in whatever vintage the
+    * testdata carries (long nanos or timestamp[us] — see
+    * [[EventsReader]]); consumers normalize via
+    * [[EventsReader.normalizeTs]]. Returns (raw schema, source dir). */
   private def eventsStreamSource(spark: SparkSession, sfDir: String): (org.apache.spark.sql.types.StructType, String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = read(spark, sfDir, "events").schema
