@@ -230,6 +230,19 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected exactly one user-keyed exchange, got $userExchanges:\n$plan")
   }
 
+  test("ts range filter pushes through the events loader's normalization cast") {
+    // the adaptive loader casts TIMESTAMP_NTZ -> session-zoned timestamp;
+    // a time-range scan is THE canonical events access pattern at scale,
+    // so the cast must not strand range predicates above the parquet scan
+    val ev = graft.queries.EventsReader.read(spark, "/root/testdata/sf0.001")
+    val plan = ev
+      .filter(col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      s"ts range predicate must reach the scan:\n$plan")
+  }
+
   test("range join lowers to an equi-join on the bin, never a cross join") {
     import spark.implicits._
     val pts = (1L to 100L).map(i => (i, i * 3 % 97)).toDF("p_id", "p")
