@@ -1241,6 +1241,18 @@ object SparkEntry {
           round(col("value").cast("double"), 4).as("value"))
         .orderBy("media_id", "dim")),
 
+    // training-free JL media embedding over the DECODED per-modality
+    // features (see Multimodal.embedMedia): deterministic, unit-norm,
+    // oracle-checked against independently re-derived constants
+    "m_media_embed" -> ((s, dir) =>
+      graft.ops.Multimodal.embedMedia(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          posexplode(col("feature")).as(Seq("dim", "value")))
+        .select(col("media_id"), col("kind"), col("dim"),
+          round(col("value").cast("double"), 4).as("value"))
+        .orderBy("media_id", "dim")),
+
     // PCM16 sample decode -> [rms, zero-crossing rate, mean |amplitude|,
     // duration seconds]
     "m_audio_features" -> ((s, dir) =>
@@ -2697,6 +2709,51 @@ object SparkEntry {
            (2, 20, 0.1429), (2, 21, 0.0952), (2, 22, 0.1429), (2, 23, 0.1429)
          ) AS t(media_id, dim, value)
          ORDER BY 1, 2""",
+
+    "m_media_embed" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(dim AS INT) AS dim, CAST(value AS DOUBLE) AS value
+         FROM (VALUES
+           (0, 'image', 0, 0.1764), (0, 'image', 1, 0.0212), (0, 'image', 2, -0.1911),
+           (0, 'image', 3, 0.2243), (0, 'image', 4, -0.3875), (0, 'image', 5, -0.1432),
+           (0, 'image', 6, 0.2723), (0, 'image', 7, -0.3776), (0, 'image', 8, -0.0952),
+           (0, 'image', 9, 0.2632), (0, 'image', 10, -0.3296), (0, 'image', 11, -0.0473),
+           (0, 'image', 12, 0.3111), (0, 'image', 13, -0.2817), (0, 'image', 14, 0.0006),
+           (0, 'image', 15, 0.359), (1, 'image', 0, 0.1705), (1, 'image', 1, 0.0547),
+           (1, 'image', 2, -0.1463), (1, 'image', 3, 0.2063), (1, 'image', 4, -0.2928),
+           (1, 'image', 5, -0.1106), (1, 'image', 6, 0.242), (1, 'image', 7, -0.4188),
+           (1, 'image', 8, -0.0748), (1, 'image', 9, 0.2778), (1, 'image', 10, -0.3831),
+           (1, 'image', 11, -0.039), (1, 'image', 12, 0.3136), (1, 'image', 13, -0.3473),
+           (1, 'image', 14, -0.0032), (1, 'image', 15, 0.3493), (2, 'image', 0, 0.1648),
+           (2, 'image', 1, 0.0303), (2, 'image', 2, -0.1901), (2, 'image', 3, 0.2121),
+           (2, 'image', 4, -0.3732), (2, 'image', 5, -0.1427), (2, 'image', 6, 0.2595),
+           (2, 'image', 7, -0.3903), (2, 'image', 8, -0.0954), (2, 'image', 9, 0.2639),
+           (2, 'image', 10, -0.3429), (2, 'image', 11, -0.0481), (2, 'image', 12, 0.3112),
+           (2, 'image', 13, -0.2956), (2, 'image', 14, -0.0007), (2, 'image', 15, 0.3586),
+           (3, 'audio', 0, 0.051), (3, 'audio', 1, -0.0697), (3, 'audio', 2, 0.2832),
+           (3, 'audio', 3, -0.3867), (3, 'audio', 4, -0.0339), (3, 'audio', 5, 0.319),
+           (3, 'audio', 6, -0.3509), (3, 'audio', 7, 0.0019), (3, 'audio', 8, 0.3547),
+           (3, 'audio', 9, -0.3151), (3, 'audio', 10, 0.0377), (3, 'audio', 11, 0.3905),
+           (3, 'audio', 12, -0.2793), (3, 'audio', 13, 0.0735), (3, 'audio', 14, -0.1228),
+           (3, 'audio', 15, -0.2435), (4, 'audio', 0, 0.0506), (4, 'audio', 1, -0.0696),
+           (4, 'audio', 2, 0.2833), (4, 'audio', 3, -0.3866), (4, 'audio', 4, -0.0338),
+           (4, 'audio', 5, 0.3191), (4, 'audio', 6, -0.3508), (4, 'audio', 7, 0.002),
+           (4, 'audio', 8, 0.3548), (4, 'audio', 9, -0.315), (4, 'audio', 10, 0.0378),
+           (4, 'audio', 11, 0.3906), (4, 'audio', 12, -0.2792), (4, 'audio', 13, 0.0736),
+           (4, 'audio', 14, -0.1232), (4, 'audio', 15, -0.2434), (5, 'video', 0, 0.1244),
+           (5, 'video', 1, 0.3417), (5, 'video', 2, -0.1533), (5, 'video', 3, 0.1558),
+           (5, 'video', 4, -0.422), (5, 'video', 5, -0.122), (5, 'video', 6, 0.1871),
+           (5, 'video', 7, -0.3907), (5, 'video', 8, -0.0906), (5, 'video', 9, 0.2185),
+           (5, 'video', 10, -0.3593), (5, 'video', 11, -0.0592), (5, 'video', 12, 0.2499),
+           (5, 'video', 13, -0.3294), (5, 'video', 14, -0.0279), (5, 'video', 15, 0.2812),
+           (6, 'video', 0, 0.1225), (6, 'video', 1, 0.3513), (6, 'video', 2, -0.1522),
+           (6, 'video', 3, 0.1535), (6, 'video', 4, -0.4217), (6, 'video', 5, -0.1212),
+           (6, 'video', 6, 0.1846), (6, 'video', 7, -0.3907), (6, 'video', 8, -0.0902),
+           (6, 'video', 9, 0.2156), (6, 'video', 10, -0.3597), (6, 'video', 11, -0.0592),
+           (6, 'video', 12, 0.2466), (6, 'video', 13, -0.3309), (6, 'video', 14, -0.0282),
+           (6, 'video', 15, 0.2776)
+         ) AS t(media_id, kind, dim, value)
+         ORDER BY media_id, dim""",
 
     "m_audio_features" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,

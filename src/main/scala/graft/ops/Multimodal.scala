@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
  * manual RIFF/AVI walk over Motion-JPEG clips (each frame a complete JPEG
  * the JDK's own codec decodes) — header metadata, container-seeked frame
  * sampling, and pixel-level per-frame features all genuinely computed.
- * The one disclosed STUB left is [[extractFeatures]]'s learned-embedding
- * step (no model weights ship in a JDK); its batch plumbing is real.
+ * Embeddings: [[embedMedia]] is a REAL training-free embedding — the
+ * decoded per-modality features (pixel histogram / PCM stats / frame
+ * features) pushed through a seeded Johnson-Lindenstrauss random
+ * projection and L2-normalized. A LEARNED model still cannot ship in a
+ * JDK-only sandbox; the swap point is documented on [[embedMedia]] and
+ * the byte-fold [[extractFeatures]] stays as the content-hash-style
+ * fallback that needs no decode.
  *
  * Scale notes:
  *  - blobs never pass through a shuffle unless the caller asks for one;
@@ -55,7 +60,7 @@ object Multimodal {
   case class MediaFeature(
       media_id: Long,
       kind: String,
-      feature: Array[Float]) // fixed-dim embedding, model-stubbed
+      feature: Array[Float]) // per-modality features or JL embedding
 
   case class VideoFrame(
       media_id: Long,
@@ -604,6 +609,71 @@ object Multimodal {
       MediaRecord(4, "audio", res("tone-22050-stereo.wav"), "fixture"),
       MediaRecord(5, "video", res("clip-16x12-12fps.avi"), "fixture"),
       MediaRecord(6, "video", res("clip-20x12-25fps.avi"), "fixture")).toDS()
+  }
+
+  /** Deterministic projection coefficient for (modality salt, input dim
+    * `i`, output dim `d`): one LCG step over a mixed seed, mapped to
+    * [-1, 1). Closed-form so an independent oracle can re-derive the
+    * matrix without sharing code. */
+  private[ops] def jlCoef(salt: Int, i: Int, d: Int): Double = {
+    val seed = salt.toLong * 1000003L + i.toLong * 8191L + d.toLong
+    val bits = (seed * 6364136223846793005L + 1442695040888963407L) >>> 11
+    bits.toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private[ops] def modalitySalt(kind: String): Int = kind match {
+    case "image" => 1
+    case "audio" => 2
+    case "video" => 3
+    case _ => 0
+  }
+
+  /**
+   * Fixed-dimension media embedding over the DECODED per-modality
+   * features — a real, training-free embedding, not a stub: classical
+   * features (24-bin pixel histogram / PCM rms-zcr-amplitude-duration /
+   * frame luma-motion) are projected to `dim` by a seeded
+   * Johnson-Lindenstrauss random projection (distance-preserving in
+   * expectation; the classical random-features trick) and L2-normalized,
+   * so cosine over the output is meaningful across rows of one modality.
+   * Every step is deterministic double math, exactly replayable by an
+   * independent oracle ([[graft.tools.GenMediaOracle]] re-derives the
+   * constants from scratch).
+   *
+   * A LEARNED encoder slots in by replacing the projection fold with an
+   * ONNX/JNI session opened per partition at the `partitionContext()`
+   * seam — the batching, schema and partitioning shape stay exactly as
+   * here. Scale shape: narrow end to end (decode + project per
+   * partition); blobs never shuffle.
+   */
+  def embedMedia(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    imageFeatures(media)
+      .union(audioFeatures(media))
+      .union(videoFeatures(media))
+      .map { mf =>
+        val f = mf.feature
+        val salt = modalitySalt(mf.kind)
+        val acc = new Array[Double](dim)
+        var d = 0
+        while (d < dim) {
+          var s = 0.0
+          var i = 0
+          while (i < f.length) { s += f(i).toDouble * jlCoef(salt, i, d); i += 1 }
+          acc(d) = s
+          d += 1
+        }
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += acc(j) * acc(j); j += 1 }
+        norm = math.sqrt(norm)
+        val out = new Array[Float](dim)
+        if (norm > 0) {
+          j = 0
+          while (j < dim) { out(j) = (acc(j) / norm).toFloat; j += 1 }
+        }
+        MediaFeature(mf.media_id, mf.kind, out)
+      }
   }
 
   /** Join features back to envelope metadata — the only shuffle in the

@@ -161,6 +161,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1 === f2)
   }
 
+  test("embedMedia: unit-norm JL embedding over decoded features, all modalities") {
+    val fixtures = Multimodal.fixtureMedia(spark)
+    val e = Multimodal.embedMedia(fixtures).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(e.size === 7) // 3 images + 2 audios + 2 videos all embed
+    e.values.foreach { f =>
+      assert(f.feature.length === 16)
+      val norm = math.sqrt(f.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"${f.media_id} norm=$norm")
+    }
+    // the projection is modality-salted: identical feature vectors under
+    // different salts must embed differently (no cross-modality collisions)
+    assert(Multimodal.jlCoef(1, 0, 0) !== Multimodal.jlCoef(2, 0, 0))
+    // deterministic across runs
+    val e2 = Multimodal.embedMedia(fixtures).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(e.view.mapValues(_.feature.toSeq).toMap === e2)
+    // embeddings separate content within a modality: the two tones (and
+    // the three images) map to distinct vectors — near-parallel inputs
+    // stay near-parallel under JL (distance preservation), so assert
+    // distinctness, not a cosine gap
+    assert(e(3L).feature.toSeq !== e(4L).feature.toSeq)
+    assert(Set(e(0L), e(1L), e(2L)).map(_.feature.toSeq).size === 3)
+  }
+
   test("frame sampling seeks real MJPEG frames out of the AVI container") {
     val frames = sampleFrames(media, stride = 2).collect()
     assert(frames.nonEmpty)

@@ -27,6 +27,10 @@ object GenMediaOracle {
     new JBigDecimal(v).setScale(4, RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
 
   def main(args: Array[String]): Unit = {
+    // (media_id, kind, independently-derived feature vector) accumulated
+    // by each modality section below, consumed by the m_media_embed block
+    val embedInputs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Array[Float])]
     val images = Seq(
       0L -> "img-4x6.png", 1L -> "img-8x5.jpg", 2L -> "img-7x3.bmp")
     val audios = Seq(
@@ -63,6 +67,7 @@ object GenMediaOracle {
         // replicate the exact representable value being rounded
         println(s"($id, $d, ${r4((c / n).toDouble)}),")
       }
+      embedInputs += ((id, "image", hist.map(c => c / n)))
     }
 
     println("-- m_audio_meta (media_id, sample_rate, channels, n_samples)")
@@ -100,6 +105,7 @@ object GenMediaOracle {
       feats.zipWithIndex.foreach { case (f, d) =>
         println(s"($id, $d, ${r4(f.toDouble)}),")
       }
+      embedInputs += ((id, "audio", feats.toArray))
     }
 
     // Independent AVI re-derivation: a from-scratch sequential RIFF scan
@@ -153,6 +159,31 @@ object GenMediaOracle {
         motion.toFloat, (frames.size / fps).toFloat)
       feats.zipWithIndex.foreach { case (f, d) =>
         println(s"($id, $d, ${r4(f.toDouble)}),")
+      }
+      embedInputs += ((id, "video", feats.toArray))
+    }
+
+    // m_media_embed: JL projection + L2 normalization over the feature
+    // vectors independently re-derived above. The projection matrix is
+    // SPEC, restated here from its closed form (one LCG step per
+    // coefficient), not shared code.
+    println("-- m_media_embed (media_id, kind, dim, value) — JL dim 16")
+    def jlCoef(salt: Int, i: Int, d: Int): Double = {
+      val seed = salt.toLong * 1000003L + i.toLong * 8191L + d.toLong
+      val bits = (seed * 6364136223846793005L + 1442695040888963407L) >>> 11
+      bits.toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val salts = Map("image" -> 1, "audio" -> 2, "video" -> 3)
+    embedInputs.sortBy(_._1).foreach { case (id, kind, f) =>
+      val dim = 16
+      val acc = Array.tabulate(dim) { d =>
+        var s = 0.0; var i = 0
+        while (i < f.length) { s += f(i).toDouble * jlCoef(salts(kind), i, d); i += 1 }
+        s
+      }
+      val norm = math.sqrt(acc.map(x => x * x).sum)
+      acc.zipWithIndex.foreach { case (x, d) =>
+        println(s"($id, '$kind', $d, ${r4((x / norm).toFloat.toDouble)}),")
       }
     }
   }
