@@ -213,6 +213,22 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_price"))
         .orderBy("o_orderstatus")),
 
+    // sketch percentiles — the O(1)-memory scale path for quantiles
+    // (exact percentile needs the whole group sorted/held; the sketch is
+    // mergeable map-side). Same own-bound pattern as q12: each engine
+    // bounds its OWN sketch against the shared exact value, and the
+    // hashes compare the exact median + the boolean.
+    "q31_approx_percentiles" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__approx"),
+          expr("percentile(o_totalprice, 0.5)").as("__exact"))
+        .select(col("o_orderstatus"), col("median_price"),
+          (abs(col("__approx") - col("__exact"))
+            <= col("__exact") * 0.05).as("approx_ok"))
+        .orderBy("o_orderstatus")),
+
     // statistical aggregates: stddev + correlation (rounded — partial-agg
     // summation order differs across engines in the last float bits)
     "q17_stats" -> ((s, dir) =>
@@ -1539,6 +1555,14 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    // own-sketch-vs-shared-exact bound, as in q12
+    "q31_approx_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+         abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+           <= quantile_cont(o_totalprice, 0.5) * 0.05 AS approx_ok
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q16_percentiles" ->
       """SELECT o_orderstatus, count(*) AS n,
