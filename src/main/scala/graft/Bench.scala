@@ -90,6 +90,10 @@ object Bench {
       graft.queries.TableFixtures.bucketedTables(spark, sfDir)
       graft.queries.TableFixtures.streamIngested(spark, sfDir)
       graft.queries.TableFixtures.streamWindowed(spark, sfDir)
+      graft.queries.TableFixtures.streamSessions(spark, sfDir)
+      graft.queries.TableFixtures.streamJoinedPairs(spark, sfDir)
+      graft.queries.TableFixtures.streamEnriched(spark, sfDir)
+      graft.queries.TableFixtures.streamDeduped(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")
