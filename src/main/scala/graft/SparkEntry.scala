@@ -229,6 +229,23 @@ object SparkEntry {
             <= col("__exact") * 0.05).as("approx_ok"))
         .orderBy("o_orderstatus")),
 
+    // per-group top-k: the rank-filter shape Spark 4 lowers to
+    // WindowGroupLimit — each map task keeps only its local top-k BEFORE
+    // the shuffle, so the exchange carries O(groups*k), not all rows
+    // (the scale path for per-user/per-domain leaderboards; plan pinned
+    // in PlanQualitySpec). Deterministic tie-break on the order key.
+    "q32_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("o_custkey", "rk")
+    }),
+
     // statistical aggregates: stddev + correlation (rounded — partial-agg
     // summation order differs across engines in the last float bits)
     "q17_stats" -> ((s, dir) =>
@@ -1555,6 +1572,15 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q32_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, price_cents FROM (
+           SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS price_cents,
+             cast(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS integer) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
 
     // own-sketch-vs-shared-exact bound, as in q12
     "q31_approx_percentiles" ->

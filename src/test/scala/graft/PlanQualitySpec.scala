@@ -230,6 +230,23 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected exactly one user-keyed exchange, got $userExchanges:\n$plan")
   }
 
+  test("per-group top-k lowers to WindowGroupLimit: map-side partial top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark 4 rewrites rank-filter windows into WindowGroupLimit with a
+    // Partial mode BEFORE the exchange — each map task ships only its
+    // local top-k, so the shuffle carries O(groups*k) rows, not the table
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-limit pushdown in the plan:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a map-side partial group limit before the exchange:\n$plan")
+  }
+
   test("ts range filter pushes through the events loader's normalization cast") {
     // the adaptive loader casts TIMESTAMP_NTZ -> session-zoned timestamp;
     // a time-range scan is THE canonical events access pattern at scale,
