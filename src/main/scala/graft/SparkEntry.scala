@@ -339,6 +339,23 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    // Unicode NFC canonicalization (native codegen expression with a
+    // zero-copy ASCII fast path). The testdata is pure ASCII, so BOTH
+    // engines append the same decomposed-Unicode suffix ('e'+COMBINING
+    // ACUTE, ANGSTROM SIGN U+212B) in-query; the md5 compare then
+    // genuinely pins JDK-vs-utf8proc canonical-composition parity, and
+    // the 1-codepoint-per-row shrink proves composition actually ran
+    "x_nfc_normalize" -> ((s, dir) => {
+      val suffixed = concat(col("text"), lit(" café Å"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.nfc_normalize(suffixed).as("__n"),
+          length(suffixed).as("len_raw"))
+        .select(col("doc_id"), md5(encode(col("__n"), "UTF-8")).as("nfc_md5"),
+          (col("len_raw") - length(col("__n"))).as("composed_delta"))
+        .orderBy("doc_id").limit(50)
+    }),
+
     // content fingerprinting via the native codegen rolling hash; the
     // distinct-count equals the md5-based count absent 64-bit collisions,
     // which makes the custom expression oracle-checkable
@@ -1684,6 +1701,16 @@ object SparkEntry {
          count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS distinct_fingerprints,
          count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // same decomposed suffix appended on the DuckDB side; nfc_normalize
+    // there is utf8proc — md5 equality IS the cross-engine NFC parity
+    "x_nfc_normalize" ->
+      ("""WITH s AS (
+           SELECT doc_id, text || ' cafe""" + "́ Å" + """' AS raw
+           FROM documents)
+         SELECT doc_id, md5(nfc_normalize(raw)) AS nfc_md5,
+           CAST(length(raw) - length(nfc_normalize(raw)) AS integer) AS composed_delta
+         FROM s ORDER BY doc_id LIMIT 50"""),
 
     "x_rolling_fingerprint" ->
       """SELECT lang,

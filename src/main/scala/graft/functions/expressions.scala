@@ -188,6 +188,47 @@ case class VecL2(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** Unicode NFC canonical normalization of a string column — the first
+  * text-canonicalization step of a web-corpus pipeline (decomposed
+  * accents, compatibility singletons like U+212B ANGSTROM SIGN, and
+  * mixed-form scrapes all collapse to one canonical byte form, so
+  * downstream hashing/dedup/fingerprinting see one representation).
+  *
+  * Why an expression and not a UDF: the fast path. Web corpora are
+  * dominated by pure-ASCII rows, for which NFC is the identity — detected
+  * in O(n) bytes (numBytes == numChars) and returned WITHOUT the
+  * String round-trip or any allocation, inside whole-stage codegen. Only
+  * genuinely non-ASCII rows pay the JDK normalizer. The JDK and DuckDB's
+  * utf8proc implement the same Unicode canonical composition, so results
+  * are oracle-comparable (pinned by the x_nfc_normalize query). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  /** Shared by the interpreted and generated paths. */
+  def normalize(s: UTF8String): UTF8String =
+    // pure ASCII (1 byte per char) is closed under NFC: return as-is
+    if (s.numBytes == s.numChars) s
+    else UTF8String.fromString(java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFC))
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -215,6 +256,9 @@ object GraftFunctions {
   def char_entropy(c: Column): Column =
     bridge.column(CharEntropy(bridge.expression(c)))
 
+  def nfc_normalize(c: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(c)))
+
   /** Register the native expressions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -229,6 +273,8 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
   }
 }
 

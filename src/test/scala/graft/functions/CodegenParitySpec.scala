@@ -89,15 +89,36 @@ class CodegenParitySpec extends SparkTestBase {
       case _ => rnd.nextLong()
     })
 
-  test("rolling_hash and char_entropy: strings incl unicode, empty, null") {
+  test("rolling_hash, char_entropy, nfc_normalize: strings incl unicode, empty, null") {
     import spark.implicits._
     val rows: Seq[Option[String]] =
-      Seq(None, Some(""), Some("a" * 10000)) ++
+      Seq(None, Some(""), Some("a" * 10000),
+        Some("café Å"), Some("́")) ++ // decomposed + lone mark
         (1 to 300).map(_ => Some(randString(80)))
     val df = rows.toDF("s")
       .select(GraftFunctions.rolling_hash(col("s")).as("h"),
-        GraftFunctions.char_entropy(col("s")).as("e"))
-    assertParity(df, "rolling_hash/char_entropy")
+        GraftFunctions.char_entropy(col("s")).as("e"),
+        GraftFunctions.nfc_normalize(col("s")).as("n"))
+    assertParity(df, "rolling_hash/char_entropy/nfc_normalize")
+  }
+
+  test("nfc_normalize: canonical composition vectors + ASCII identity") {
+    import spark.implicits._
+    val rows = Seq(
+      "café", // e + combining acute -> precomposed é
+      "Å", // ANGSTROM SIGN singleton -> U+00C5 Å
+      "Å", // A + combining ring -> Å
+      "ḍ̇", // d-dot-above + dot-below -> reordered/composed
+      "plain ascii stays byte-identical")
+    val out = rows.toDF("s")
+      .select(GraftFunctions.nfc_normalize(col("s")).as("n"))
+      .as[String].collect()
+    assert(out(0) === "café")
+    assert(out(1) === "Å")
+    assert(out(2) === "Å")
+    assert(out(3) === java.text.Normalizer.normalize("ḍ̇",
+      java.text.Normalizer.Form.NFC))
+    assert(out(4) === "plain ascii stays byte-identical")
   }
 
   test("vec_cosine and vec_l2: float and double arrays, specials, mismatched, null") {
