@@ -313,9 +313,12 @@ object Multimodal {
   }
 
   /**
-   * Fixed-dimension feature extraction (the embed step of a training
-   * pipeline). STUB: features are a deterministic byte-fold; a real build
-   * batches rows through an ONNX/JNI model session opened per partition.
+   * Fixed-dimension CONTENT-HASH features: a deterministic byte-fold over
+   * the raw blob, needing no decode — the cheap fallback when payloads
+   * are undecodable or a pipeline only needs a locality-insensitive
+   * content signature. For a decode-aware embedding use [[embedMedia]];
+   * a learned model batches rows through an ONNX/JNI session opened per
+   * partition at the same seam.
    */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
