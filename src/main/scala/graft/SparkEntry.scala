@@ -262,12 +262,18 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
+      // the moving average works in exact integer cents, then floors the
+      // (exact-integer-valued inputs -> identical IEEE division) quotient:
+      // round(double, 2) sat on a .005 boundary at sf0.1 and the two
+      // engines' last-cent rounding disagreed
       T(s, dir, "orders")
         .filter(col("o_custkey") < 50)
         .select(col("o_custkey"), col("o_orderkey"),
           lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
-          round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2)
-            .as("moving_avg_price"))
+          floor(sum(cents(col("o_totalprice"))).over(w.rowsBetween(-2, 0))
+              .cast("double")
+            / count(lit(1)).over(w.rowsBetween(-2, 0)))
+            .cast("long").as("moving_avg_cents"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -1622,8 +1628,11 @@ object SparkEntry {
     "q18_window_frames" ->
       """SELECT o_custkey, o_orderkey,
          lag(o_orderkey, 1) OVER w AS prev_orderkey,
-         round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
-           AS moving_avg_price
+         CAST(floor(
+           CAST(sum(CAST(CAST(o_totalprice AS decimal(18,2)) * 100 AS bigint))
+             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS double)
+           / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+           AS bigint) AS moving_avg_cents
          FROM orders WHERE o_custkey < 50
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
