@@ -490,11 +490,73 @@ object Dedup {
     * Jaccard, embedding cosine) feeds the same dedup tail — and so the
     * tail is oracle-checkable from a deterministic pair source. */
   def keepRepresentatives(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    keepByComponents(df, connectedComponents(pairs, "id_a", "id_b"), idCol)
+
+  /** The representative-keep join on a PRECOMPUTED `(id, component)`
+    * labeling: keep rows that are their component's label (= the minimum
+    * id) plus every unlabeled row. Shared by the iterative and the
+    * grouped component sources. */
+  private[graft] def keepByComponents(df: DataFrame, comps: DataFrame,
       idCol: String): DataFrame = {
-    val comps = connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("id", "__cc_id")
-    df.join(comps, df(idCol) === col("__cc_id"), "left")
+    val c = comps.withColumnRenamed("id", "__cc_id")
+    df.join(c, df(idCol) === col("__cc_id"), "left")
       .filter(col("component").isNull || col("component") === df(idCol))
       .drop("__cc_id", "component")
+  }
+
+  /**
+   * Connected components of a pair graph whose edges are GUARANTEED never
+   * to cross `groupCol` — e.g. [[graft.ops.Similarity.semDedupPairs]],
+   * where every pair shares a centroid cell by construction. Exploiting
+   * that invariant collapses [[connectedComponents]]' iterative join loop
+   * (a localCheckpoint + convergence-count JOB per round — the dominant
+   * cost of the semantic-dedup pipeline at bench scale) into ONE id-only
+   * shuffle followed by an in-task union-find per group.
+   *
+   * Scale shape: the exchange carries `(group, id_a, id_b)` triples —
+   * never payloads — and each task's state is one union-find over a
+   * single group's edge set, bounded by the same per-cell cap that bounds
+   * the quadratic pair join producing the edges (a group whose edges fit
+   * through the pair join by definition fits in memory as id pairs). The
+   * per-group imperative fold is genuine per-partition logic — the
+   * sanctioned mapGroups case — not a row-lambda standing in for a
+   * builtin. Output matches [[connectedComponents]] exactly: one row per
+   * id that appears in `pairs`, labeled with its component's minimum id.
+   */
+  def groupedConnectedComponents(pairs: DataFrame, groupCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    pairs
+      .select(col(groupCol).cast("long").as("g"),
+        col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, edges) =>
+        // union-find with path halving; roots relabeled to component-min id
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp
+            x = p
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        edges.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // roots are already component minima: union always points the
+        // larger root at the smaller, and roots only ever decrease
+        parent.keysIterator.map(id => (id, find(id))).toSeq.iterator
+      }
+      .toDF("id", "component")
   }
 }

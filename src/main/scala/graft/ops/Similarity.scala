@@ -310,12 +310,35 @@ object Similarity {
    * the two pair sources are directly comparable.
    */
   def semDedupPairs(assigned: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = assigned.select(col("cluster_id"), col(idCol).as("id_a"),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
+    // cell-size cap (off by default): a skewed centroid table can
+    // concentrate the corpus into few cells, unbounding the Σ|cell|² pair
+    // work. Cells larger than `maxCellSize` are split into ceil(n/cap)
+    // sub-cells on xxhash64 of the EMBEDDING — deterministic, and exact
+    // duplicates always hash into the same sub-cell, so they are never
+    // missed; genuinely-near (not identical) pairs across a split are the
+    // accepted recall cost of bounding skew, the same trade
+    // Dedup.minhashNearDups' oversized-bucket guard makes. The cell-size
+    // census is k rows — broadcast.
+    val cells =
+      if (maxCellSize == Int.MaxValue) assigned.withColumn("__sub", lit(0L))
+      else {
+        val sizes = assigned.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__splits",
+            ceil(col("__n").cast("double") / maxCellSize).cast("long"))
+          .select(col("cluster_id").as("__sc"), col("__splits"))
+        assigned.join(broadcast(sizes), col("cluster_id") === col("__sc"))
+          .withColumn("__sub", pmod(xxhash64(col(vecCol)), col("__splits")))
+          .drop("__sc", "__splits")
+      }
+    val a = cells.select(col("cluster_id"), col("__sub"), col(idCol).as("id_a"),
       col(vecCol).as("__va"))
-    val b = assigned.select(col("cluster_id").as("__cb"),
+    val b = cells.select(col("cluster_id").as("__cb"), col("__sub").as("__sb"),
       col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, col("cluster_id") === col("__cb") && col("id_a") < col("id_b"))
+    a.join(b, col("cluster_id") === col("__cb") && col("__sub") === col("__sb")
+        && col("id_a") < col("id_b"))
       .select(col("cluster_id"), col("id_a"), col("id_b"),
         round(cosineFast(col("__va"), col("__vb")), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
@@ -333,13 +356,16 @@ object Similarity {
    * The cluster bucketing is what makes this the 100 TB path: pairwise
    * cosine never crosses cells, and with corpus-proportional k the
    * expected cell stays bounded, so the quadratic term is per-cell, not
-   * per-corpus. Deterministic given a fixed centroid table (argmax ties
-   * break toward the lowest centroid id; the threshold applies to the
-   * 4-decimal-rounded cosine), so exactly replayable by a SQL oracle.
+   * per-corpus — with `maxCellSize` as the guard against SKEWED cells
+   * (see [[semDedupPairs]]). Deterministic given a fixed centroid table
+   * (argmax ties break toward the lowest centroid id; the threshold
+   * applies to the 4-decimal-rounded cosine), so exactly replayable by a
+   * SQL oracle.
    */
   def semDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidIdCol: String = "vec_id"): DataFrame = {
+      centroidIdCol: String = "vec_id",
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
     // the assignment feeds three consumers (both sides of the pair
     // self-join and the keep-representatives rejoin); since
     // assignToCentroids is pure narrow map work over the scan, the three
@@ -348,8 +374,14 @@ object Similarity {
     // arrays costs more than the recompute saves
     val assigned =
       assignToCentroids(vectors, centroids, idCol, vecCol, centroidIdCol)
-    Dedup.keepRepresentatives(assigned,
-      semDedupPairs(assigned, threshold, idCol, vecCol), idCol)
+    // semDedup pairs never cross cells, so components are cell-local:
+    // the grouped union-find CC (one id-only shuffle) replaces the
+    // generic iterative loop, whose per-round checkpoint + convergence
+    // jobs dominated the whole pipeline's cost (r10 profile: ~3.5 s of a
+    // 3.7 s total at sf0.1 for a 1081-edge graph)
+    val pairs = semDedupPairs(assigned, threshold, idCol, vecCol, maxCellSize)
+    Dedup.keepByComponents(assigned,
+      Dedup.groupedConnectedComponents(pairs, "cluster_id"), idCol)
   }
 
   /**
@@ -360,37 +392,84 @@ object Similarity {
    * id). Unlike [[ivfTopK]] this takes the centroid table as INPUT, so
    * assignment is fully deterministic and replayable in SQL.
    *
-   * Scale shape: ZERO shuffle and zero row expansion. The k centroid rows
-   * are collected to the driver (bounded by k — the same legitimacy class
-   * as the table layer's file-list collects, never row data) and unrolled
-   * into k codegen'd [[cosineFast]] calls per corpus row; the argmax is
-   * find-first-max over that similarity array, so ties break toward the
-   * lowest centroid id exactly like the former window's
-   * (sim desc, cid asc) ordering. The previous shape — broadcast
-   * crossJoin + per-id window — shuffled the corpus k-times expanded WITH
-   * the embedding duplicated into every copy; at 100 TB that is a k x
-   * corpus exchange for a result that pure map work produces.
+   * Scale shape, small k (k*dim literals ≤ [[UnrolledAssignLimit]]): ZERO
+   * shuffle and zero row expansion. The k centroid rows are collected to
+   * the driver — bounded by the unroll limit, so never unbounded row data
+   * — and unrolled into k codegen'd [[cosineFast]] calls per corpus row;
+   * the argmax is find-first-max over that similarity array, so ties
+   * break toward the lowest centroid id exactly like a
+   * (sim desc, cid asc) window ordering would.
+   *
+   * Above the limit (corpus-proportional k — semDedup's 100 TB design
+   * point), unrolling would blow past JVM/codegen method limits and
+   * driver memory, so assignment falls back to a broadcast-hash-join
+   * argmax: corpus crossJoin broadcast(centroids), then ONE hash
+   * aggregation taking max(struct(sim, -cluster_id)) per id — map-side
+   * partial aggregation collapses each partition to one struct per id, so
+   * the exchange carries id-keyed 16-byte structs, never the k-expanded
+   * embeddings the former window shape shuffled — and an id-keyed rejoin
+   * to the input row. Tie-breaking (max sim, then lowest centroid id) is
+   * identical in both paths.
+   *
+   * Null/empty-embedding contract (both paths): `cluster_id` is NULL.
+   * Such rows are never compared by [[semDedupPairs]] (the cell equi-join
+   * drops null keys) and are always kept by the dedup tail — the caller
+   * filters them explicitly if they should not survive.
    */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "vec_id"): DataFrame = {
-    val cents = centroids
-      .select(col(centroidIdCol).cast("long").as("cluster_id"),
+    val k = centroids.count()
+    require(k > 0, "assignToCentroids: empty centroid table")
+    val vecOk = col(vecCol).isNotNull && size(col(vecCol)) > 0
+    if (k * vectorDim(centroids, vecCol) <= UnrolledAssignLimit) {
+      val cents = centroids
+        .select(col(centroidIdCol).cast("long").as("cluster_id"),
+          col(vecCol).cast("array<double>").as("__centroid"))
+        .orderBy("cluster_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val sims = array(cents.map { case (_, v) =>
+        cosineFast(col(vecCol).cast("array<double>"), typedlit(v)) }: _*)
+      val ids = typedlit(cents.map(_._1))
+      // the outer when() is load-bearing: element_at on a FOLDABLE array
+      // with a null index constant-folds to a non-null element in Spark
+      // 4.1, so null must be forced before the literal lookup
+      vectors
+        .withColumn("__sims", when(vecOk, sims))
+        .withColumn("cluster_id",
+          when(vecOk, element_at(ids,
+            array_position(col("__sims"), array_max(col("__sims"))).cast("int"))))
+        .drop("__sims")
+    } else {
+      val cents = centroids.select(
+        col(centroidIdCol).cast("long").as("__cent_id"),
         col(vecCol).cast("array<double>").as("__centroid"))
-      .orderBy("cluster_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(cents.nonEmpty, "assignToCentroids: empty centroid table")
-    val sims = array(cents.map { case (_, v) =>
-      cosineFast(col(vecCol).cast("array<double>"), typedlit(v)) }: _*)
-    val ids = typedlit(cents.map(_._1))
-    vectors
-      .withColumn("__sims", sims)
-      .withColumn("cluster_id",
-        element_at(ids,
-          array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
-      .drop("__sims")
+      val best = vectors
+        .filter(vecOk)
+        .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(cents))
+        .groupBy(col("__vid"))
+        .agg(max(struct(
+          cosineFast(col("__v").cast("array<double>"), col("__centroid")).as("s"),
+          (-col("__cent_id")).as("negId"))).as("__best"))
+        .select(col("__vid"), (-col("__best.negId")).as("cluster_id"))
+      vectors.join(best, vectors(idCol) === col("__vid"), "left")
+        .drop("__vid")
+    }
   }
+
+  /** Unroll threshold for [[assignToCentroids]]: above ~10k literal
+    * doubles the generated code risks the JVM method-size cliff (silent
+    * interpreted fallback) and the driver collect stops being "bounded by
+    * k". Overridable for tests. */
+  private[graft] var UnrolledAssignLimit: Long = 10000L
+
+  private def vectorDim(df: DataFrame, vecCol: String): Long =
+    df.select(size(col(vecCol))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getInt(0).toLong
+    }
 
   /**
    * Symmetric per-vector int8 quantization — the embedding-storage
@@ -429,11 +508,13 @@ object Similarity {
    * iteration's centroid table (or a convergence check) and keeps the
    * output oracle-checkable without array-equality comparisons.
    *
-   * Scale shape: the assignment is a broadcast crossJoin (k centroid rows)
-   * + per-vector window; the mean update is one narrow posexplode and ONE
-   * hash aggregation on (cluster_id, dim) — k*dim output rows — with
-   * map-side partial aggregation collapsing each partition's sums, so the
-   * shuffle carries k*dim partial states per partition, never the vectors.
+   * Scale shape: the assignment is [[assignToCentroids]]' narrow
+   * zero-exchange map (k unrolled codegen'd cosine calls per row; no
+   * window, no corpus expansion — broadcast-join argmax above the unroll
+   * limit); the mean update is one narrow posexplode and ONE hash
+   * aggregation on (cluster_id, dim) — k*dim output rows — with map-side
+   * partial aggregation collapsing each partition's sums, so the shuffle
+   * carries k*dim partial states per partition, never the vectors.
    */
   def kmeansStep(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -1958,6 +1958,7 @@ object GraftTable {
   def drop(spark: SparkSession, location: String): Boolean = {
     val p = new Path(location)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.invalidate(location)
     fs.delete(p, true)
   }
 }

@@ -345,15 +345,56 @@ object SnapshotLog {
     readVersion(tableDir, v, conf)
   }
 
+  // Committed root-metadata files are immutable (v%05d is written exactly
+  // once, behind the commit guard), so the parsed tree is memoized per
+  // (tableDir, version) — every table op calls `meta`, and without this a
+  // metadata-heavy workload re-reads and re-JSON-parses the (snapshot-
+  // count-proportional) root file per call. At 100x snapshot counts that
+  // per-call reload is a real driver-side metadata bottleneck. A hit is
+  // still validated against the file's (modTime, len) with ONE stat call,
+  // because DROP + recreate reuses version numbers in the same directory.
+  // Access-order LRU, so a fixture population larger than the cap evicts
+  // cold tables instead of clearing everything (the r9 manifest-cache
+  // lesson). Sharing the parsed instance also shares each snapshot's
+  // lazily-resolved manifest contents — resolution happens once per
+  // cached version, not once per read.
+  private case class MetaEntry(modTime: Long, len: Long, meta: TableMetadata)
+  private val MetaCacheMax = 128
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), MetaEntry](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), MetaEntry]): Boolean =
+        size > MetaCacheMax
+    })
+
+  /** Drop all cached metadata/manifest state under `tableDir` — called by
+    * table DROP so a recreate in the same directory can never observe the
+    * old table through the cache (the stat validation would catch it too;
+    * this makes it structural). */
+  private[table] def invalidate(tableDir: String): Unit = {
+    metaCache.synchronized {
+      metaCache.keySet.removeIf(_._1 == tableDir)
+    }
+    manifestCache.synchronized {
+      manifestCache.keySet.removeIf(_._1 == tableDir)
+    }
+  }
+
   def readVersion(tableDir: String, v: Int, conf: Configuration): TableMetadata = {
     val p = metadataFile(tableDir, v)
     val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val key = (tableDir, v)
+    val hit = metaCache.get(key)
+    if (hit != null && hit.modTime == st.getModificationTime && hit.len == st.getLen)
+      return attachLoaders(hit.meta, tableDir, conf)
     val in = fs.open(p)
     val m = try {
-      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val bytes = new Array[Byte](st.getLen.toInt)
       in.readFully(bytes)
       parseMetadata(new String(bytes, "UTF-8"))
     } finally in.close()
+    metaCache.put(key, MetaEntry(st.getModificationTime, st.getLen, m))
     attachLoaders(m, tableDir, conf)
   }
 
@@ -380,14 +421,20 @@ object SnapshotLog {
     migrated.extract[TableMetadata]
   }
 
-  // Manifest files are IMMUTABLE (uuid-named, never rewritten in place),
-  // so their parsed contents are safely memoized across the repeated
-  // metadata re-reads every table op performs — without this, resolving a
-  // head whose chain has k manifests would re-open k files per access.
-  // Crude bounded eviction: a full clear past the cap only costs re-reads.
-  private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), ManifestData]()
+  // Manifest files are IMMUTABLE (uuid-named, never rewritten in place,
+  // names never reused), so their parsed contents are safely memoized
+  // across the repeated metadata re-reads every table op performs —
+  // without this, resolving a head whose chain has k manifests would
+  // re-open k files per access. Access-order LRU: the pre-r10 wholesale
+  // clear() past the cap meant a fixture population larger than the cap
+  // thrashed EVERY table's manifests on every metadata query.
   private val ManifestCacheMax = 256
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), ManifestData](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), ManifestData]): Boolean =
+        size > ManifestCacheMax
+    })
 
   /** Read one snapshot's externalized file lists (the lazy half of the
     * manifest-list step; called on first `.files` access, never at log
@@ -404,7 +451,6 @@ object SnapshotLog {
       in.readFully(bytes)
       Serialization.read[ManifestData](new String(bytes, "UTF-8"))
     } finally in.close()
-    if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
     manifestCache.put(key, data)
     data
   }

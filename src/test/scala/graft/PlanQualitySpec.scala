@@ -173,6 +173,22 @@ class PlanQualitySpec extends SparkTestBase {
       s"nearest-centroid assignment must be shuffle-free:\n$plan")
   }
 
+  test("semDedup's component tail is one pipeline: grouped union-find, no checkpoint scans") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.ops.Similarity.semDedup(e, e.filter(col("vec_id") < 8), 0.35)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the iterative CC materialized localCheckpoints (ExistingRDD scans)
+    // and ran convergence-count jobs per round — at bench scale that loop
+    // was ~3.5 s of semDedup's 3.7 s. Cell-local pairs make components
+    // cell-local, so the tail must be the single-exchange grouped
+    // union-find (FlatMapGroups), with the whole query ONE lazy pipeline.
+    assert(!plan.contains("ExistingRDD"),
+      s"no checkpoint materializations in the semDedup plan:\n$plan")
+    assert(plan.contains("MapGroups"),
+      s"expected the grouped union-find tail:\n$plan")
+  }
+
   test("balanceToSmallest joins the per-domain fractions by broadcast") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.ops.Corpus.balanceToSmallest(docs, "text", "source", "doc_id")

@@ -132,6 +132,82 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("groupedConnectedComponents matches the iterative CC on cell-local pairs") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val assigned = Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8))
+    val pairs = Similarity.semDedupPairs(assigned, 0.35)
+    val iterative = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val grouped = Dedup.groupedConnectedComponents(pairs, "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    assert(grouped.nonEmpty)
+    assert(grouped === iterative)
+  }
+
+  test("semDedupPairs cell-size cap: sub-cell split keeps exact dups paired") {
+    import spark.implicits._
+    // one cell of 6: ids 0/1 exact dups, 2/3 exact dups, 4/5 near 0 —
+    // with cap 2 the cell splits into 3 sub-cells by embedding hash, so
+    // exact-dup pairs (identical embeddings, identical hash) MUST survive
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.9f, 0.1f)),
+      (4L, Seq(0.95f, 0.05f)), (5L, Seq(0.85f, 0.15f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.assignToCentroids(corpus, centroids)
+    val uncapped = Similarity.semDedupPairs(assigned, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Similarity.semDedupPairs(assigned, 0.9, maxCellSize = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((0L, 1L)), "exact dups 0/1 hash to the same sub-cell")
+    assert(capped.contains((2L, 3L)), "exact dups 2/3 hash to the same sub-cell")
+    // the capped semDedup still drops one of each exact-dup pair
+    val kept = Similarity.semDedup(corpus, centroids, threshold = 0.9,
+      maxCellSize = 2).select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(3L))
+    assert(kept.contains(0L) && kept.contains(2L))
+  }
+
+  test("assignToCentroids broadcast fallback matches the unrolled path") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 8)
+    val unrolled = Similarity.assignToCentroids(e, cents)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val saved = Similarity.UnrolledAssignLimit
+    val fallback = try {
+      Similarity.UnrolledAssignLimit = 1L // force the broadcast-join shape
+      Similarity.assignToCentroids(e, cents)
+        .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    } finally Similarity.UnrolledAssignLimit = saved
+    assert(fallback.size === unrolled.size)
+    assert(fallback === unrolled)
+  }
+
+  test("assignToCentroids null/empty embeddings get null cluster_id and survive semDedup") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Some(Seq(1.0f, 0.0f))),
+      (1L, Some(Seq(1.0f, 0.0f))),
+      (2L, None),
+      (3L, Some(Seq.empty[Float]))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.assignToCentroids(corpus, centroids)
+    val byId = assigned.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("cluster_id"))).toMap
+    assert(byId(0L).isDefined && byId(1L).isDefined)
+    assert(byId(2L).isEmpty, "null embedding => null cluster_id")
+    assert(byId(3L).isEmpty, "empty embedding => null cluster_id")
+    // null-cell rows are never compared and always kept
+    val kept = Similarity.semDedup(corpus, centroids, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 3L))
+  }
+
   test("quantizeInt8: round-trip error bounded by scale/2, extremes hit ±127") {
     import spark.implicits._
     val df = Seq(
