@@ -185,7 +185,10 @@ object SparkEntry {
     // are engine-specific, so the FULLY-CHECKED surface is (exact count,
     // estimate-within-5%-of-exact): each engine runs its OWN sketch and
     // asserts its own bound in-query, and the hashes compare the exact
-    // counts plus the boolean. rsd 0.02 → 5% is a ~2.5-sigma bound.
+    // counts plus the boolean. rsd 0.02 → 5% is a ~2.5-sigma bound —
+    // if a future testdata REGENERATION flips approx_ok on one side
+    // here (or in q31), that is sketch variance crossing the bound, not
+    // an engine bug: re-tune the bound, don't chase a regression.
     "q12_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -533,9 +533,14 @@ object TableFixtures {
     * first), so keyed streaming state genuinely persists across batch
     * boundaries — sessions opened in batch N close in batch N+1, dedup
     * keys seen in batch N suppress re-arrivals in batch N+2. The split is
-    * deterministic (global row_number over the stated sort), so replays
-    * are exactly reproducible. Single-partition window + coalesce(1) are
-    * fixture-build cost only, never on a query path. */
+    * deterministic — `sortCols` must be a UNIQUE key (both call sites
+    * pass one), and the global rank is computed scale-honestly as
+    * range-repartition + in-partition sort + zipWithIndex (contiguous
+    * ranges ⇒ partition offsets + local positions ARE the global rank),
+    * never a single-partition global window: at 100x a global
+    * Window.orderBy would serialize the whole table through one task
+    * (and flooded the bench tail with WindowExec warnings). coalesce(1)
+    * per chunk is fixture-build cost only, never on a query path. */
   private def chunkedSource(spark: SparkSession, sfDir: String,
       table: String, sortCols: Seq[String], nChunks: Int)
       : (org.apache.spark.sql.types.StructType, String) = {
@@ -548,9 +553,14 @@ object TableFixtures {
       java.nio.file.Files.createDirectories(srcDir)
       val df = read(spark, sfDir, table)
       val n = df.count()
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(sortCols.map(col): _*)
-      val rn = df.withColumn("__rn", row_number().over(w))
+      val sorted = df
+        .repartitionByRange(math.max(nChunks, 8), sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+      val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L)) }
+      val rn = spark.createDataFrame(ranked,
+          sorted.schema.add("__rn", org.apache.spark.sql.types.LongType))
+        .persist() // rank once; the per-chunk filters below re-read it
       (0 until nChunks).foreach { i =>
         val (lo, hi) = (i * n / nChunks, (i + 1) * n / nChunks)
         val tmp = java.nio.file.Files.createTempDirectory("graft-chunk")
@@ -565,6 +575,7 @@ object TableFixtures {
         dest.toFile.setLastModified(1700000000000L + i * 60000L)
         ()
       }
+      rn.unpersist()
     }
     (schema, dirName)
   }

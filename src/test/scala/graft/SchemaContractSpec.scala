@@ -22,6 +22,13 @@ class SchemaContractSpec extends SparkTestBase {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** The loader each query path actually uses for `t`. */
+  /** getMessage can be null (NPE) or empty (NoSuchElementException on
+    * linesIterator.next) — either would bury the real load failure under a
+    * confusing secondary exception in exactly the scenario this spec
+    * exists to diagnose. */
+  private def firstLine(e: Throwable): String =
+    String.valueOf(e.getMessage).linesIterator.nextOption.getOrElse(e.toString)
+
   private def load(t: String) =
     if (t == "events") EventsReader.read(spark, sf)
     else TableFixtures.read(spark, sf, t)
@@ -31,13 +38,13 @@ class SchemaContractSpec extends SparkTestBase {
       val df =
         try load(t)
         catch { case e: Throwable =>
-          fail(s"testdata contract: table '$t' no longer loads — ${e.getMessage.linesIterator.next()}")
+          fail(s"testdata contract: table '$t' no longer loads — ${firstLine(e)}")
         }
       // force a full-width decode of a few rows: dtype drift that passes
       // analysis can still explode in the vectorized reader
       try df.limit(5).collect()
       catch { case e: Throwable =>
-        fail(s"testdata contract: table '$t' fails to decode — ${e.getMessage.linesIterator.next()}")
+        fail(s"testdata contract: table '$t' fails to decode — ${firstLine(e)}")
       }
     }
   }
