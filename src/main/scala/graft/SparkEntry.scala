@@ -1068,6 +1068,21 @@ object SparkEntry {
           sum(col("record_count")).as("record_count"))
         .orderBy("partition")),
 
+    // all_files through the SQL catalog (`cat.t.all_files`): one row per
+    // (snapshot, file) across ALL retained snapshots — the time-ranged
+    // metadata view expiry/orphan audits read. Grouped on (snapshot,
+    // data-sequence): record sums are fixture-deterministic (batch i of
+    // ordersVersioned = orders where o_orderkey % 3 = i), file counts are
+    // not (write parallelism), so the checked surface is records
+    "t_all_files" -> ((s, dir) => {
+      val cat = TableFixtures.sqlCatalog(s, dir)
+      s.sql(s"""SELECT snapshot_id, data_sequence_number,
+                sum(record_count) AS records
+                FROM $cat.orders_versioned.all_files
+                GROUP BY snapshot_id, data_sequence_number
+                ORDER BY snapshot_id, data_sequence_number""")
+    }),
+
     // M4 manifests: one synthetic manifest row per partition of the
     // current snapshot, carrying the per-partition live-file count
     "t_manifests" -> ((s, dir) =>
@@ -2725,6 +2740,18 @@ object SparkEntry {
       """SELECT '{o_orderstatus=' || o_orderstatus || '}' AS partition,
          cast(2 AS bigint) AS files, count(*) AS record_count
          FROM orders GROUP BY o_orderstatus ORDER BY 1""",
+
+    // snapshot N of ordersVersioned holds the files of batches 1..N; a
+    // file's data-sequence is its adding snapshot, so records per
+    // (snapshot, seq) = count of orders with o_orderkey % 3 = seq - 1
+    "t_all_files" ->
+      """SELECT cast(n.snapshot_id AS bigint) AS snapshot_id,
+           cast(b.m + 1 AS bigint) AS data_sequence_number,
+           cast(b.c AS bigint) AS records
+         FROM (VALUES (1), (2), (3)) AS n(snapshot_id)
+         JOIN (SELECT o_orderkey % 3 AS m, count(*) AS c
+               FROM orders GROUP BY 1) b ON b.m < n.snapshot_id
+         ORDER BY 1, 2""",
 
     "t_manifests" ->
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
