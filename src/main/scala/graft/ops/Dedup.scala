@@ -418,14 +418,37 @@ object Dedup {
    * components the two-phase large-star/small-star variant (Kiveris et al.,
    * "Connected Components in MapReduce and Beyond", SoCC'14) drops the
    * round count to O(log n); near-dup graphs don't need it.
+   *
+   * Small-graph fast path: the edge list is materialized (checkpointed)
+   * before the loop anyway, so its size is known for free — an edge set
+   * of at most `localThreshold` integral-id pairs (16 bytes each; the
+   * default 2M ≈ 32 MB) skips the loop entirely and runs ONE in-task
+   * union-find ([[groupedConnectedComponents]] under a constant group).
+   * This is the AQE move — measured-small inputs take the cheap plan —
+   * and near-dup edge sets are tiny relative to their corpus (only
+   * colliding pairs survive the verify). Every iterative-loop job
+   * (seed, per-round join + checkpoint + convergence count) disappears
+   * for the common case; the loop remains the scale path above the
+   * threshold, and `localThreshold = 0` forces it (spec-pinned
+   * equivalence between the two).
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localThreshold: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) pair source once: the two union
     // branches below would otherwise each re-evaluate its full subtree —
     // for near-dup input that is the candidate-verify pipeline, twice
     val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint()
+    val integralIds = directed.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && directed.count() <= localThreshold) {
+      val idType = directed.schema("src").dataType
+      return groupedConnectedComponents(
+          directed.withColumn("__g", lit(0L)), "__g", "src", "dst")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+    }
     // both directions once; reused by every iteration. No distinct: the
     // propagation aggregates with min(), which is idempotent, so duplicate
     // edges change nothing — deduplicating here would cost a full shuffle

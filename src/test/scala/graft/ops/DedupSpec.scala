@@ -154,14 +154,35 @@ class DedupSpec extends SparkTestBase {
     import spark.implicits._
     // worst-case diameter: a 12-node path; propagation needs ~11 rounds
     val chain = (1 until 12).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 15)
+    // localThreshold = 0 forces the iterative loop — this test pins the
+    // LOOP's convergence behavior, which the small-graph fast path would
+    // otherwise bypass
+    val comps = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 15,
+        localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size === 12 && comps.values.forall(_ == 1L))
     // and fails loudly when the bound is too small for the diameter
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2,
+        localThreshold = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("small-graph fast path matches the iterative loop exactly") {
+    import spark.implicits._
+    // irregular multi-component graph incl. a chain, a star, a self-loop,
+    // and duplicate edges in both orientations
+    val pairs = Seq((7L, 3L), (3L, 2L), (2L, 1L), (1L, 2L), (10L, 11L),
+      (11L, 12L), (12L, 10L), (20L, 20L), (30L, 31L), (30L, 32L), (30L, 33L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val loop = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast.nonEmpty)
+    assert(fast === loop)
   }
 
   test("nearDupDedup keeps one representative per cluster plus unpaired docs") {
