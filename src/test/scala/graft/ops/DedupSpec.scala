@@ -185,6 +185,24 @@ class DedupSpec extends SparkTestBase {
     assert(fast === loop)
   }
 
+  test("fast-path vs loop CC equivalence holds on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val nNodes = 30 + rnd.nextInt(120)
+      val nEdges = 10 + rnd.nextInt(200)
+      val pairs = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val loop = Dedup.connectedComponents(pairs, "id_a", "id_b",
+          maxIter = 50, localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(fast === loop, s"trial $trial: nodes=$nNodes edges=$nEdges")
+    }
+  }
+
   test("nearDupDedup keeps one representative per cluster plus unpaired docs") {
     val kept = Dedup.nearDupDedup(docs, "text", "doc_id", threshold = 0.4)
       .select("doc_id").collect().map(_.getLong(0)).toSet
