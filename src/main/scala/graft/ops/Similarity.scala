@@ -199,12 +199,51 @@ object Similarity {
     IvfIndex(centerRows, assigned)
   }
 
+  /**
+   * Persist a fitted IVF index as two graft tables under `location`:
+   * `centers` (the tiny centroid table) and `assigned`, PARTITIONED BY
+   * CELL — the inverted lists become table partitions, so a probed
+   * search reads only its probe cells' files from storage. This is how a
+   * production IVF index amortizes: [[buildIvfIndex]] (the k-means fit +
+   * corpus assignment) runs once per corpus version; every query batch
+   * after that is [[ivfSearch]] over [[loadIvfIndex]] with
+   * `pruneScan = true`, an O(probed lists) read of a 100 TB corpus.
+   * Table-format versioning comes free: re-indexing is a new snapshot,
+   * and a serving reader can pin the previous one.
+   */
+  def saveIvfIndex(index: IvfIndex, location: String): Unit = {
+    import graft.table.GraftTable
+    val sp = index.centers.sparkSession
+    GraftTable.createOrReplace(sp, s"$location/centers", "graft.ivf_centers",
+      index.centers.schema).append(index.centers)
+    GraftTable.createOrReplace(sp, s"$location/assigned", "graft.ivf_assigned",
+      index.assigned.schema, partitionCols = Seq("__cell"))
+      .append(index.assigned)
+  }
+
+  /** Reload a [[saveIvfIndex]]-persisted index. The assigned side is a
+    * partitioned graft scan, so cell filters prune at the file level. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      location: String): IvfIndex = {
+    import graft.table.GraftTable
+    IvfIndex(
+      GraftTable.load(spark, s"$location/centers").toDF,
+      GraftTable.load(spark, s"$location/assigned").toDF
+        // partition values read back as strings from the hive layout;
+        // restore the cell id's numeric type for the probe equi-join
+        .withColumn("__cell", col("__cell").cast("int")))
+  }
+
   /** The query half of [[ivfTopK]]: probe the `nProbe` nearest cells per
-    * query and score only those cells' candidates. */
+    * query and score only those cells' candidates. With `pruneScan` the
+    * probed cell ids (bounded by nCells — driver-safe) are collected and
+    * pushed into the corpus scan as a partition filter, so a persisted
+    * index ([[saveIvfIndex]]) reads ONLY the probed inverted lists from
+    * storage — without it the cell join still touches every list file. */
   def ivfSearch(queries: DataFrame, index: IvfIndex, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nProbe: Int = 4): DataFrame = {
-    val assigned = index.assigned
+      nProbe: Int = 4, pruneScan: Boolean = false): DataFrame = {
+    val assigned0 = index.assigned
     // nProbe nearest centroids per query, computed on the driver-broadcast
     // centroid table (nCells rows — always tiny)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -215,6 +254,16 @@ object Similarity {
     val probed = probes.withColumn("__cr", row_number().over(wCell))
       .filter(col("__cr") <= nProbe)
       .select("query_id", "__qv", "__cell")
+    val assigned =
+      if (!pruneScan) assigned0
+      else {
+        // collect the probed cell ids (≤ nCells) and push them into the
+        // scan as a static IN-filter: on a saved index this is hive
+        // partition pruning — unprobed list files are never opened
+        val cells = probed.select("__cell").distinct()
+          .collect().map(_.get(0)).toSeq
+        assigned0.filter(col("__cell").isin(cells: _*))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id").asc)
     probed.join(assigned, Seq("__cell"))

@@ -228,6 +228,27 @@ object DriveApp {
       }
       println(s"video-decode vid=$vid frames=${frames.length} jpegOk=$jpegOk")
     }
+    println("== IVF index: persist as partitioned graft tables, pruned serving")
+    locally {
+      import spark.implicits._
+      val corpus = (0 until 120).map { i =>
+        val c = i % 3
+        (i.toLong, Array.tabulate(8)(d =>
+          (if (d == c) 1.0f else 0.0f) + ((i * 31 + d * 7) % 13) / 130.0f).toSeq)
+      }.toDF("vec_id", "embedding")
+      val ivfDir = java.nio.file.Files.createTempDirectory("drive-ivf").toString
+      graft.ops.Similarity.saveIvfIndex(
+        graft.ops.Similarity.buildIvfIndex(corpus, nCells = 5), ivfDir)
+      val loaded = graft.ops.Similarity.loadIvfIndex(spark, ivfDir)
+      val hits = graft.ops.Similarity.ivfSearch(
+        corpus.filter(col("vec_id") === 0), loaded, k = 2, nProbe = 2,
+        pruneScan = true)
+      val rows = hits.collect().length
+      val prunedScan = hits.queryExecution.executedPlan.toString
+        .linesIterator.exists(l =>
+          l.contains("PartitionFilters: [__cell#") && l.contains(" IN ("))
+      println(s"ivf-persist rows=$rows partitionPruned=$prunedScan")
+    }
     spark.stop()
   }
 }
