@@ -541,6 +541,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // substring-level dedup signal: per document, the fraction of its
+    // 8-token sliding windows that also occur in ANOTHER document —
+    // catches pasted boilerplate whole-doc near-dup misses; only 32-char
+    // digests + ids shuffle, never window text
+    "d_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(
+          T(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", window = 8)
+        .orderBy("doc_id")),
+
     // incremental dedup (daily ingestion): the accumulated corpus already
     // holds every doc_id % 10 == 0 document; the full table arrives as the
     // new batch — only content not already in the corpus survives
@@ -1422,6 +1432,15 @@ object SparkEntry {
         .select(graft.ops.Dedup.contentKey(col("text")).as("content_key"))
         .groupBy("content_key").agg(count(lit(1)).as("n"))
         .orderBy("content_key")
+    }),
+
+    // CDC apply through a stream: three ordered micro-batches, each
+    // reduced to its latest row per user_id and MERGE-upserted into the
+    // graft sink — the final table must hold exactly each user's globally
+    // latest event, which the batch argmax oracle pins
+    "st_upsert" -> ((s, dir) => {
+      val t = TableFixtures.streamUpserted(s, dir)
+      t.toDF.orderBy("user_id")
     })
   )
 
@@ -1980,6 +1999,33 @@ object SparkEntry {
          SELECT source, count(*) AS n_chunks,
            cast(sum(CASE WHEN occurrences > 1 THEN 1 ELSE 0 END) AS bigint) AS dup_chunks
          FROM occ GROUP BY 1 ORDER BY 1""",
+
+    // per doc: 8-token sliding windows that also occur in ANOTHER doc
+    // (min(doc)!=max(doc) = "≥2 distinct docs"); docs shorter than the
+    // window keep a 0/0 row
+    "d_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         idx AS (
+           SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - 7)) AS i
+           FROM toks WHERE len(tk) >= 8),
+         wins AS (
+           SELECT doc_id, array_to_string(tk[i : i+7], ' ') AS w
+           FROM idx),
+         dup AS (
+           SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+         per AS (
+           SELECT wi.doc_id, count(*) AS n_windows, count(d.w) AS n_dup_windows
+           FROM wins wi LEFT JOIN dup d USING (w) GROUP BY 1)
+         SELECT t.doc_id,
+           cast(coalesce(p.n_windows, 0) AS bigint) AS n_windows,
+           cast(coalesce(p.n_dup_windows, 0) AS bigint) AS n_dup_windows,
+           CASE WHEN coalesce(p.n_windows, 0) > 0
+                THEN round(cast(p.n_dup_windows AS double) / p.n_windows, 4)
+                ELSE 0.0 END AS dup_frac
+         FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
 
     "d_exact_groups" ->
       """WITH withdups AS (
@@ -2967,6 +3013,20 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
              AS content_key,
            cast(1 AS bigint) AS n
-         FROM documents GROUP BY 1 ORDER BY 1"""
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // batch argmax per user over the raw events = what the streaming
+    // reduce-then-merge CDC apply must converge to (exact-microsecond ts
+    // then event_id orders BOTH the chunk replay and the reduction)
+    "st_upsert" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_us,
+             event_type AS last_type,
+             cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS last_cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, last_event_id, last_us, last_type, last_cents
+         FROM ranked WHERE rn = 1 ORDER BY user_id"""
   )
 }

@@ -582,4 +582,50 @@ object Dedup {
       }
       .toDF("id", "component")
   }
+
+  /**
+   * Cross-document duplicated-SPAN statistics — substring-level dedup
+   * signal (the "dedup the repeated 50-token spans, not whole documents"
+   * idea from the training-data dedup literature; whole-doc near-dup
+   * misses boilerplate/license blocks pasted into otherwise-distinct
+   * documents). For every document: how many of its `window`-token
+   * sliding windows also occur in at least one OTHER document.
+   *
+   * Returns one row per input doc:
+   * `(idCol, n_windows, n_dup_windows, dup_frac)` where `dup_frac` is
+   * `n_dup_windows / n_windows` (0 for docs shorter than the window).
+   *
+   * Scale shape: documents explode to `(md5(window), doc)` pairs — the
+   * shuffled rows carry a fixed 32-char digest + id, never window text
+   * (the chunk-dedup idiom); the duplicated-key set comes from one hash
+   * aggregate (`min(doc) != max(doc)` detects "seen in ≥2 distinct docs"
+   * without a countDistinct), and the verdict joins back on the digest.
+   * Total shuffle is O(corpus tokens × digest width) — inherent to
+   * span-level dedup (suffix-array approaches pay the same) and fully
+   * hash-partitioned; no driver-side state.
+   */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    val wins = df
+      .select(col(idCol),
+        explode_outer(TextAnalysis.shingles(col(textCol), window)).as("__w"))
+      .select(col(idCol), when(col("__w").isNotNull, md5(col("__w"))).as("__k"))
+    // a window key is duplicated when ≥2 DISTINCT docs contain it; the
+    // min!=max trick makes that one cheap partial-aggregatable pass
+    val dupKeys = wins.filter(col("__k").isNotNull)
+      .groupBy(col("__k"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__k"), lit(1).as("__dup"))
+    wins.join(dupKeys, Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__k")).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+          .otherwise(lit(0.0)))
+  }
 }

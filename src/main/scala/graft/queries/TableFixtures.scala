@@ -707,6 +707,39 @@ object TableFixtures {
       t
     })
 
+  /** CDC-style streaming upsert run to completion over three ordered event
+    * micro-batches ([[chunkedSource]]): each batch is reduced to its latest
+    * row per `user_id` (latestBy = exact-microsecond ts, event_id — the
+    * SAME total order the chunk split uses, so the per-batch winner in the
+    * last batch a user appears in is that user's GLOBAL latest event) and
+    * MERGEd into the sink keyed on `user_id`, every batch one atomic
+    * replay-guarded snapshot commit. The final table holds exactly each
+    * user's most recent event, which a batch window query over the raw
+    * events can oracle (st_upsert) — proving the foreachBatch CDC-apply
+    * idiom (reduce-then-merge) end to end through the state carried in the
+    * sink table itself. */
+  def streamUpserted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_upserted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_upserted"
+      GraftTable.drop(spark, loc)
+      val (schema, srcDir) = chunkedSource(spark, sfDir, "events",
+        Seq("ts", "event_id"), nChunks = 3)
+      val ev = EventsReader.normalizeTs(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("last_us"),
+          col("event_type").as("last_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("last_cents"))
+      val t = GraftTable.create(spark, loc, "graft.stream_upserted", ev.schema)
+      val q = graft.streaming.StreamingOps.writeToGraftTable(
+        ev, t, s"$loc-checkpoint", mergeKeys = Seq("user_id"),
+        latestBy = Seq("last_us", "last_event_id"),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      t
+    })
+
   def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
     bucketedCache.getOrElseUpdate(sfDir, {
       val db = s"graft_buckets_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"

@@ -82,18 +82,30 @@ object StreamingOps {
    * but stamps and skips too, saving the replayed probe work. The check
    * scans retained snapshots: expire_snapshots keeps far more history than
    * the one in-flight batch a restart can replay.
+   *
+   * CDC apply: a change feed delivers MANY versions of a key per
+   * micro-batch; pass `latestBy` (ordering columns, descending priority)
+   * with `mergeKeys` to reduce each batch to its latest version per key
+   * before the merge — the reduce-then-merge idiom that turns a change
+   * stream into an always-current table. Without it, multi-version
+   * batches fail fast on the merge cardinality guard rather than
+   * silently multiplying rows.
    */
   def writeToGraftTable(df: DataFrame, table: graft.table.GraftTable,
       checkpointDir: String, mergeKeys: Seq[String] = Seq.empty,
       updateCols: Seq[String] = Seq.empty,
+      latestBy: Seq[String] = Seq.empty,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(latestBy.isEmpty || mergeKeys.nonEmpty,
+      "latestBy is a merge-mode reduction; pass mergeKeys with it")
     val sid = streamId(checkpointDir)
     val writer = df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitMicroBatch(table, batch, batchId, mergeKeys, updateCols, sid); ()
+        commitMicroBatch(table, batch, batchId, mergeKeys, updateCols, sid,
+          latestBy); ()
       }
     // Trigger.AvailableNow turns the sink into a run-to-completion backfill
     // (process everything available, then stop) — the shape the st_ingest
@@ -107,7 +119,8 @@ object StreamingOps {
     * earlier commit from the same stream. */
   private[streaming] def commitMicroBatch(table: graft.table.GraftTable,
       batch: DataFrame, batchId: Long, mergeKeys: Seq[String],
-      updateCols: Seq[String], streamId: String): Boolean = {
+      updateCols: Seq[String], streamId: String,
+      latestBy: Seq[String] = Seq.empty): Boolean = {
     val lastCommitted = table.meta.snapshots
       .filter(_.summary.get(StreamIdSummaryKey).contains(streamId))
       .flatMap(_.summary.get(BatchIdSummaryKey)).map(_.toLong).maxOption
@@ -118,7 +131,24 @@ object StreamingOps {
       table.append(batch, extraSummary = stamp)
       true
     } else {
-      table.merge(batch, mergeKeys, updateCols, extraSummary = stamp)
+      // CDC apply: a change feed carries MANY versions of a key per
+      // micro-batch, but SQL MERGE (and GraftTable.merge's cardinality
+      // guard) requires at most one source row per target row — so reduce
+      // the batch to the latest version per key first, ordered by
+      // `latestBy` (ties broken by its later columns). The window is
+      // partitioned by the merge keys, so the reduction shuffles at most
+      // once on the same keys the merge join needs anyway — no extra
+      // exchange shape at scale, state stays in the sink table itself.
+      val reduced =
+        if (latestBy.isEmpty) batch
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(mergeKeys.map(col): _*)
+            .orderBy(latestBy.map(col(_).desc): _*)
+          batch.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        }
+      table.merge(reduced, mergeKeys, updateCols, extraSummary = stamp)
       true
     }
   }

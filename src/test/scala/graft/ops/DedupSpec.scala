@@ -219,4 +219,42 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(0L, 3L, 4L))
   }
+
+  test("duplicatedSpanStats flags cross-doc spans, not within-doc repeats") {
+    import spark.implicits._
+    val d = Seq(
+      // docs 10/11 share the 4-token span "a b c d" inside distinct text
+      (10L, "a b c d unique tail ten"),
+      (11L, "prefix eleven a b c d"),
+      // doc 12 repeats its own span twice but shares nothing cross-doc:
+      // within-doc repetition must NOT count as duplication
+      (12L, "x1 y1 z1 w1 x1 y1 z1 w1"),
+      // doc 13 is shorter than the window: 0/0 row, dup_frac 0
+      (13L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(d, "text", "doc_id", window = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 10: 4 windows, 1 duplicated ("a b c d")
+    assert(out(0) === ((10L, 4L, 1L, 0.25)))
+    // doc 11: 3 windows, 1 duplicated
+    assert(out(1) === ((11L, 3L, 1L, 0.3333)))
+    // doc 12: 5 windows ("x1 y1 z1 w1" twice, and the 3 wrap spans), none
+    // duplicated cross-doc
+    assert(out(2) === ((12L, 5L, 0L, 0.0)))
+    assert(out(3) === ((13L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpanStats: exact dup docs are 100% covered both sides") {
+    val out = Dedup.duplicatedSpanStats(docs, "text", "doc_id", window = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // 1, 2 and 5 normalize to identical text: every window duplicated
+    assert(out(1L) === 1.0 && out(2L) === 1.0 && out(5L) === 1.0)
+    // 3 differs from 1 only in the last token: all but the dog/cat-bearing
+    // windows are shared, so coverage is strictly between 0 and 1
+    assert(out(3L) > 0.0 && out(3L) < 1.0)
+    assert(out(4L) === 0.0 && out(6L) === 0.0)
+  }
 }

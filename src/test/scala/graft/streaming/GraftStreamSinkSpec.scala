@@ -144,6 +144,39 @@ class GraftStreamSinkSpec extends SparkTestBase {
     assert(t.toDF.count() === 2)
   }
 
+  test("CDC apply: latestBy reduces a multi-version batch before the merge") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("stream-cdc"), "s", StructType(Seq(
+      StructField("k", StringType), StructField("seq", LongType),
+      StructField("v", LongType))))
+    val sid = "cdc-1"
+    // a change-feed batch with THREE versions of key a: without the
+    // reduction the merge cardinality guard would (correctly) refuse it
+    val b0 = Seq(("a", 1L, 10L), ("a", 3L, 30L), ("a", 2L, 20L),
+      ("b", 1L, 100L)).toDF("k", "seq", "v")
+    assert(StreamingOps.commitMicroBatch(t, b0, 0L, Seq("k"), Seq.empty, sid,
+      latestBy = Seq("seq")))
+    val after0 = t.toDF.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(after0 === Map("a" -> 30L, "b" -> 100L)) // highest seq wins
+    // next batch: a newer version of b overwrites, a new key c inserts,
+    // and ties on the first latestBy column break on the second
+    val b1 = Seq(("b", 5L, 500L), ("b", 5L, 501L), ("c", 1L, 7L))
+      .toDF("k", "seq", "v")
+    assert(StreamingOps.commitMicroBatch(t, b1, 1L, Seq("k"), Seq.empty, sid,
+      latestBy = Seq("seq", "v")))
+    val after1 = t.toDF.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(after1 === Map("a" -> 30L, "b" -> 501L, "c" -> 7L))
+    // the reduction inherits the replay guard unchanged
+    assert(!StreamingOps.commitMicroBatch(t, b1, 1L, Seq("k"), Seq.empty, sid,
+      latestBy = Seq("seq", "v")))
+    // un-reduced multi-version batches still fail fast on the cardinality
+    // guard — latestBy is opt-in, not a silent default
+    val dup = Seq(("d", 1L, 1L), ("d", 2L, 2L)).toDF("k", "seq", "v")
+    intercept[Exception] {
+      StreamingOps.commitMicroBatch(t, dup, 2L, Seq("k"), Seq.empty, sid)
+    }
+  }
+
   test("merge-keyed streaming upsert deduplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

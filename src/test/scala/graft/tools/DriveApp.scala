@@ -249,6 +249,43 @@ object DriveApp {
           l.contains("PartitionFilters: [__cell#") && l.contains(" IN ("))
       println(s"ivf-persist rows=$rows partitionPruned=$prunedScan")
     }
+    println("== CDC apply: latestBy reduce-then-merge streaming sink")
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      implicit val sqlCtx = spark.sqlContext
+      val t = graft.table.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("drive-cdc").toString,
+        "drive.cdc", StructType(Seq(StructField("k", StringType),
+          StructField("seq", LongType), StructField("v", LongType))))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)]
+      val q = graft.streaming.StreamingOps.writeToGraftTable(
+        input.toDF.toDF("k", "seq", "v"), t,
+        java.nio.file.Files.createTempDirectory("drive-cdc-ckpt").toString,
+        mergeKeys = Seq("k"), latestBy = Seq("seq"))
+      try {
+        // a multi-version change-feed batch, then a newer batch
+        input.addData(("a", 1L, 10L), ("a", 3L, 30L), ("b", 1L, 100L))
+        q.processAllAvailable()
+        input.addData(("a", 4L, 40L), ("c", 1L, 7L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val st = t.toDF.orderBy("k").collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(",")
+      println(s"cdc-apply state=$st")
+    }
+    println("== duplicated spans: cross-doc substring-level dedup signal")
+    locally {
+      import spark.implicits._
+      val d = Seq((1L, "a b c d tail one"), (2L, "head two a b c d"),
+        (3L, "nothing shared here at all")).toDF("doc_id", "text")
+      val out = graft.ops.Dedup.duplicatedSpanStats(d, "text", "doc_id", 4)
+        .orderBy("doc_id").collect()
+        .map(r => s"${r.getLong(0)}:${r.getLong(2)}/${r.getLong(1)}")
+        .mkString(",")
+      println(s"dup-spans $out")
+    }
     spark.stop()
   }
 }
