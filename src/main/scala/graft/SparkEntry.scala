@@ -551,6 +551,17 @@ object SparkEntry {
           "text", "doc_id", window = 8)
         .orderBy("doc_id")),
 
+    // guaranteed-recall edit-distance similarity self-join (PassJoin
+    // segment partitioning): candidates from (segment, index, length)
+    // equi-join buckets, threshold-bounded Levenshtein verify — never the
+    // O(n²) pair space the all-pairs oracle computes
+    "d_fuzzy_join" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.editDistanceJoin(
+          T(s, dir, "supplier").filter(col("s_suppkey") % 4 === 0)
+            .select(col("s_suppkey").as("id"), col("s_name").as("s")),
+          "s", "id", maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
     // incremental dedup (daily ingestion): the accumulated corpus already
     // holds every doc_id % 10 == 0 document; the full table arrives as the
     // new batch — only content not already in the corpus survives
@@ -1999,6 +2010,18 @@ object SparkEntry {
          SELECT source, count(*) AS n_chunks,
            cast(sum(CASE WHEN occurrences > 1 THEN 1 ELSE 0 END) AS bigint) AS dup_chunks
          FROM occ GROUP BY 1 ORDER BY 1""",
+
+    // all-pairs Levenshtein ground truth for the PassJoin-banded
+    // similarity join — the banding must lose NOTHING vs brute force
+    "d_fuzzy_join" ->
+      """WITH s AS (
+           SELECT s_suppkey AS id, s_name AS name
+           FROM supplier WHERE s_suppkey % 4 = 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.name, b.name) AS dist
+         FROM s a JOIN s b ON a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY id_a, id_b""",
 
     // per doc: 8-token sliding windows that also occur in ANOTHER doc
     // (min(doc)!=max(doc) = "≥2 distinct docs"); docs shorter than the

@@ -220,6 +220,47 @@ class PlanQualitySpec extends SparkTestBase {
       s"chunk text must not ride the dedup shuffle:\n$exchangeLine")
   }
 
+  test("duplicatedSpanStats shuffles window digests + ids, never window text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Dedup.duplicatedSpanStats(docs, "text", "doc_id", 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // every exchange row is (digest, id)-shaped: the projected md5 must be
+    // computed BEFORE the shuffle, so no exchange carries text or the raw
+    // window string
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { l =>
+      assert(!l.contains("text") && !l.contains("__w"),
+        s"window/document text must not ride a dup-span shuffle:\n$l")
+    }
+    // the ≥2-distinct-docs detection is one hash aggregate with a map-side
+    // partial (min/max are partial-aggregatable — that is the point of the
+    // min!=max trick vs a countDistinct expand)
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"expected map-side partial min/max on the dup-key aggregate:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"no countDistinct expand should appear:\n$plan")
+  }
+
+  test("editDistanceJoin candidate shuffle carries segments, not full strings") {
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .select(col("s_suppkey").as("id"), col("s_name").as("s"))
+    val df = graft.ops.FuzzyJoin.editDistanceJoin(sup, "s", "id", 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the (content, index, length) candidate exchanges must not carry the
+    // full string column — only the verify step re-fetches strings by id
+    plan.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning(__c")).foreach { l =>
+      assert(!l.contains("__s#"),
+        s"full strings must not ride the candidate shuffle:\n$l")
+    }
+    assert(plan.contains("Exchange hashpartitioning(__c")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on segment buckets:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy join must never fall back to all-pairs:\n$plan")
+  }
+
   test("incrementalDedup leaves anti-join strategy to AQE (no broadcast hint)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.ops.Dedup.incrementalDedup(

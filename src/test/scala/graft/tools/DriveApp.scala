@@ -275,6 +275,17 @@ object DriveApp {
         .map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(",")
       println(s"cdc-apply state=$st")
     }
+    println("== fuzzy join: PassJoin-banded edit-distance self-join")
+    locally {
+      import spark.implicits._
+      val d = Seq(1L -> "kitten", 2L -> "sitten", 3L -> "xkitten",
+        4L -> "sitting").toDF("id", "s")
+      val pairs = graft.ops.FuzzyJoin.editDistanceJoin(d, "s", "id", 2)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => s"${r.getLong(0)}~${r.getLong(1)}:${r.getLong(2)}")
+        .mkString(",")
+      println(s"fuzzy-join $pairs")
+    }
     println("== duplicated spans: cross-doc substring-level dedup signal")
     locally {
       import spark.implicits._
