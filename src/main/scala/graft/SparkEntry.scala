@@ -437,6 +437,15 @@ object SparkEntry {
 
     // corpus-unigram LM scoring (the CCNet quality-filter shape): mean
     // token log-probability under the corpus's own unigram distribution
+    // perplexity filtering (CCNet-style): corpus-trained interpolated
+    // bigram LM scores each document; high-ppl docs are the curation
+    // rejects — vocab-sized joins only, never corpus×corpus
+    "x_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(
+          T(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", lambda = 0.7)
+        .orderBy("doc_id")),
+
     "x_lm_score" -> ((s, dir) =>
       TextAnalysis.unigramLmScore(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
@@ -1878,6 +1887,39 @@ object SparkEntry {
            coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
          FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
          ORDER BY doc_id""",
+
+    // corpus-trained interpolated bigram LM re-derived in SQL: same
+    // lambda, same MLE counts, same ln — round(,4)/round(,2) absorb
+    // summation-order float drift exactly as x_lm_score does
+    "x_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         uni AS (
+           SELECT doc_id, unnest(tk) AS tok FROM toks),
+         vocab1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+         tot AS (SELECT cast(sum(c1) AS double) AS total FROM vocab1),
+         bg AS (
+           SELECT doc_id,
+             tk[i] AS prev, tk[i+1] AS cur,
+             tk[i] || ' ' || tk[i+1] AS b
+           FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 1)) AS i
+                 FROM toks WHERE len(tk) >= 2)),
+         vocab2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+         scored AS (
+           SELECT g.doc_id,
+             ln(0.7 * (v2.c2 / cast(p.c1 AS double))
+                + 0.3 * (c.c1 / tot.total)) AS logp
+           FROM bg g
+           JOIN vocab2 v2 USING (b)
+           JOIN vocab1 p ON p.tok = g.prev
+           JOIN vocab1 c ON c.tok = g.cur
+           CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(logp), 4) AS lm_score,
+           round(exp(-avg(logp)), 2) AS ppl
+         FROM scored GROUP BY 1 ORDER BY 1""",
 
     "x_lm_score" ->
       """WITH toks AS (

@@ -178,6 +178,62 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated bigram language-model score + perplexity per document —
+   * the perplexity-filtering signal of CCNet-style corpus curation
+   * (documents whose text the corpus LM finds surprising are boilerplate,
+   * gibberish, or off-distribution), one modeling step above
+   * [[unigramLmScore]]. For each in-document bigram `(prev, cur)`:
+   * `P = lambda * c(prev cur)/c(prev) + (1-lambda) * c(cur)/T`
+   * (corpus-trained MLE bigram interpolated with the unigram floor, so
+   * unseen bigrams never zero out), scored as `avg(ln P)` with
+   * `ppl = exp(-avg)`. Documents shorter than 2 tokens have no bigrams
+   * and are omitted.
+   *
+   * The LM trains on `df` itself (every scored bigram therefore has
+   * count >= 1 — scores are always finite). Self-training means a doc
+   * whose vocabulary is UNIQUE to it scores deceptively well (its
+   * bigrams are deterministic in the MLE); the production CCNet setup
+   * trains on a held-out reference corpus instead — score a frame
+   * against a reference by unioning it in as training weight, or use the
+   * per-source [[vocabOverlap]] audit to find isolated-vocab slices
+   * first.
+   *
+   * Scale shape: the corpus explodes once to tokens and once to 2-token
+   * shingles; both count tables collapse map-side to VOCAB-sized
+   * aggregates, the per-bigram probability join runs against those vocab
+   * tables (never corpus × corpus), and the grand total is a broadcast
+   * single row — the same shape class as [[unigramLmScore]], with the
+   * bigram vocabulary as the only larger dictionary.
+   */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val vocab1 = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
+    val total = vocab1.agg(sum(col("__c1")).cast("double").as("__total"))
+    val bgs = df.select(col(idCol),
+        explode(shinglesOfTokens(tokens(col(textCol)), 2)).as("__bg"))
+      // tokens are \s+-split, so the single interior space splits cleanly
+      .withColumn("__prev", substring_index(col("__bg"), " ", 1))
+      .withColumn("__cur", substring_index(col("__bg"), " ", -1))
+    val vocab2 = bgs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    bgs
+      .join(vocab2, "__bg")
+      .join(vocab1.withColumnRenamed("__tok", "__prev")
+        .withColumnRenamed("__c1", "__cprev"), "__prev")
+      .join(vocab1.withColumnRenamed("__tok", "__cur")
+        .withColumnRenamed("__c1", "__ccur"), "__cur")
+      .crossJoin(broadcast(total))
+      .withColumn("__logp",
+        log(lit(lambda) * (col("__c2") / col("__cprev"))
+          + lit(1 - lambda) * (col("__ccur") / col("__total"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__logp")), 4).as("lm_score"),
+        round(exp(-avg(col("__logp"))), 2).as("ppl"))
+  }
+
+  /**
    * TF-IDF top terms per group (e.g. per language or per source): the
    * corpus-exploration operator that surfaces what distinguishes one slice
    * from the rest. `tf` counts ALL occurrences of the term inside the

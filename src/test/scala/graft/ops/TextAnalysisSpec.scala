@@ -155,4 +155,38 @@ class TextAnalysisSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(2L))
   }
+
+  test("bigramLmScore: hand-computed interpolated log-prob; ppl ranks oddballs") {
+    import spark.implicits._
+    // corpus: "a b" twice, "a c" once — T=6 unigrams
+    // c1: a=3, b=2, c=1; c2: "a b"=2, "a c"=1
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df, "text", "doc_id", lambda = 0.7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // doc 1: P(b|a) = 0.7*(2/3) + 0.3*(2/6); ln ≈ ln(0.56667) = -0.5680
+    val pAB = 0.7 * (2.0 / 3.0) + 0.3 * (2.0 / 6.0)
+    assert(out(0)._2 === 1L)
+    assert(math.abs(out(0)._3 - BigDecimal(math.log(pAB))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // doc 3's "a c" is rarer than "a b": lower prob, higher perplexity
+    assert(out(2)._3 < out(0)._3 && out(2)._4 > out(0)._4)
+    // ppl = exp(-lm_score) up to the independent roundings
+    assert(math.abs(out(0)._4 - math.exp(-math.log(pAB))) < 0.01)
+  }
+
+  test("bigramLmScore: unseen-bigram floor is finite; short docs drop out") {
+    import spark.implicits._
+    // docs 1/2 establish vocab; doc 3 pairs tokens never seen adjacent
+    val df = Seq((1L, "x y z"), (2L, "z q"), (3L, "y x"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // "y x" never occurs... except in doc 3 itself — every in-corpus
+    // bigram has c2 >= 1, and the unigram interpolation keeps the prob
+    // strictly positive, so scores are always finite
+    assert(out.forall(r => !r.getDouble(2).isInfinite && !r.getDouble(2).isNaN))
+    // the single-token doc has no bigrams and is omitted
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
 }

@@ -275,6 +275,16 @@ object DriveApp {
         .map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(",")
       println(s"cdc-apply state=$st")
     }
+    println("== perplexity filter: corpus bigram LM scoring")
+    locally {
+      import spark.implicits._
+      val d = Seq((1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+        (3L, "mat the cat on sat the")).toDF("doc_id", "text")
+      val ppl = graft.ops.TextAnalysis.bigramLmScore(d, "text", "doc_id")
+        .orderBy("doc_id").collect()
+        .map(r => s"${r.getLong(0)}:${r.getDouble(3)}").mkString(",")
+      println(s"perplexity $ppl")
+    }
     println("== fuzzy join: PassJoin-banded edit-distance self-join")
     locally {
       import spark.implicits._
