@@ -437,6 +437,18 @@ object SparkEntry {
 
     // corpus-unigram LM scoring (the CCNet quality-filter shape): mean
     // token log-probability under the corpus's own unigram distribution
+    // exact heavy hitters through the native Misra-Gries summary
+    // aggregate: pass 1 builds a k-entry candidate sketch (only k-entry
+    // summaries ride the shuffle, never the vocabulary), pass 2
+    // exact-counts the candidates — output identical to brute-force
+    // GROUP BY + HAVING, which is what the oracle runs
+    "x_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.heavyHitters(
+          T(s, dir, "documents")
+            .select(explode(TextAnalysis.tokens(col("text"))).as("item")),
+          "item", supportDenom = 100)
+        .orderBy(col("cnt").desc, col("item"))),
+
     // perplexity filtering (CCNet-style): corpus-trained interpolated
     // bigram LM scores each document; high-ppl docs are the curation
     // rejects — vocab-sized joins only, never corpus×corpus
@@ -1887,6 +1899,17 @@ object SparkEntry {
            coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
          FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
          ORDER BY doc_id""",
+
+    // brute-force exact GROUP BY + HAVING — the two-pass MG pipeline must
+    // reproduce it exactly (the sketch only prunes, never decides)
+    "x_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS item
+           FROM documents),
+         n AS (SELECT count(*) AS n FROM toks)
+         SELECT item, count(*) AS cnt
+         FROM toks, n GROUP BY item, n.n HAVING count(*) * 100 > n.n
+         ORDER BY cnt DESC, item""",
 
     // corpus-trained interpolated bigram LM re-derived in SQL: same
     // lambda, same MLE counts, same ln — round(,4)/round(,2) absorb

@@ -242,6 +242,22 @@ class PlanQualitySpec extends SparkTestBase {
       s"no countDistinct expand should appear:\n$plan")
   }
 
+  test("heavyHitters: MG summary aggregates map-side; exact pass semi-joins candidates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val items = docs.select(
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("item"))
+    val df = graft.ops.HeavyHitters.heavyHitters(items, "item", 100)
+    val plan = df.queryExecution.executedPlan.toString
+    // the candidate pass must partial-aggregate per task: only k-entry
+    // summaries ride the shuffle, never per-item counts of the vocabulary
+    assert(plan.contains("partial_misra_gries"),
+      s"expected a map-side partial MG summary:\n$plan")
+    // the exact pass touches candidate rows only, via a broadcast-able
+    // k-row semi-join
+    assert(plan.contains("LeftSemi"),
+      s"expected the candidate semi-join before the exact count:\n$plan")
+  }
+
   test("editDistanceJoin candidate shuffle carries segments, not full strings") {
     val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
       .select(col("s_suppkey").as("id"), col("s_name").as("s"))

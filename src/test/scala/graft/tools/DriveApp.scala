@@ -275,6 +275,18 @@ object DriveApp {
         .map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(",")
       println(s"cdc-apply state=$st")
     }
+    println("== heavy hitters: native Misra-Gries aggregate + exact pass")
+    locally {
+      import spark.implicits._
+      val df = (Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+        (0 until 100).map(i => s"t$i")).toDF("item").repartition(6)
+      val hh = graft.ops.HeavyHitters.heavyHitters(df, "item", 10)
+        .orderBy(col("cnt").desc).collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(",")
+      val partial = graft.ops.HeavyHitters.heavyHitters(df, "item", 10)
+        .queryExecution.executedPlan.toString.contains("partial_misra_gries")
+      println(s"heavy-hitters $hh partialAgg=$partial")
+    }
     println("== perplexity filter: corpus bigram LM scoring")
     locally {
       import spark.implicits._
