@@ -249,6 +249,20 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Pareto frontier (skyline) over per-customer (order count, spend):
+    // two-phase prune — each partition computes its own skyline with one
+    // narrow sort+scan, and only the tiny candidate union reaches the
+    // single final task; the full table is never globally sorted or
+    // shuffled. Oracle runs the NOT EXISTS dominance definition.
+    "q33_skyline" -> ((s, dir) => {
+      val pts = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumCents(col("o_totalprice")).as("spend_cents"))
+      graft.ops.Skyline.skyline2D(pts, "n_orders", "spend_cents")
+        .orderBy("o_custkey")
+    }),
+
     // statistical aggregates: stddev + correlation (rounded — partial-agg
     // summation order differs across engines in the last float bits)
     "q17_stats" -> ((s, dir) =>
@@ -448,6 +462,16 @@ object SparkEntry {
             .select(explode(TextAnalysis.tokens(col("text"))).as("item")),
           "item", supportDenom = 100)
         .orderBy(col("cnt").desc, col("item"))),
+
+    // deterministic seeded training-shard shuffle: terasort-style range
+    // sort on md5(id:seed) + partition-offset rank — ntile bucket
+    // semantics with NO single-partition global window anywhere; re-runs
+    // reproduce shard membership and in-shard positions from raw ids
+    "x_shard_shuffle" -> ((s, dir) =>
+      graft.ops.Corpus.shardShuffle(
+          T(s, dir, "documents").select("doc_id", "lang"), "doc_id", "42", 8)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
 
     // perplexity filtering (CCNet-style): corpus-trained interpolated
     // bigram LM scores each document; high-ppl docs are the curation
@@ -811,6 +835,16 @@ object SparkEntry {
           round(max(abs(col("q") * col("scale") - col("x"))), 6).as("max_abs_err"))
         .orderBy("vec_id")
     }),
+
+    // one-pass mergeable Gram matrix Σ v·vᵀ of the embedding corpus via
+    // the native gram_matrix aggregate: O(d²) buffer per task, O(d²)
+    // bytes on the shuffle — the N·d² per-row explosion the oracle runs
+    // never exists in this plan. The PCA fit/project built on it is
+    // spec-covered (PcaSpec); the oracled surface is the matrix itself.
+    "s_gram" -> ((s, dir) =>
+      graft.ops.Pca.gramMatrix(T(s, dir, "embeddings"), "embedding", 64)
+        .select(col("i"), col("j"), (round(col("gram"), 4) + 0.0).as("gram_r"))
+        .orderBy("i", "j")),
 
     // one Lloyd k-means iteration: assign to the fixed centroid table then
     // per-dimension mean update — long-form (cluster, dim) output so the
@@ -1674,6 +1708,20 @@ object SparkEntry {
            FROM orders)
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
 
+    // the dominance definition, verbatim: p survives iff NOT EXISTS a
+    // dominator (>= on both axes, > on at least one)
+    "q33_skyline" ->
+      s"""WITH pts AS (
+           SELECT o_custkey, count(*) AS n_orders,
+             ${centsSql("o_totalprice")} AS spend_cents
+           FROM orders GROUP BY 1)
+         SELECT o_custkey, n_orders, spend_cents FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.n_orders >= p.n_orders AND q.spend_cents >= p.spend_cents
+             AND (q.n_orders > p.n_orders OR q.spend_cents > p.spend_cents))
+         ORDER BY o_custkey""",
+
     // own-sketch-vs-shared-exact bound, as in q12
     "q31_approx_percentiles" ->
       """SELECT o_orderstatus,
@@ -1910,6 +1958,22 @@ object SparkEntry {
          SELECT item, count(*) AS cnt
          FROM toks, n GROUP BY item, n.n HAVING count(*) * 100 > n.n
          ORDER BY cnt DESC, item""",
+
+    // same md5 hex, same lexicographic order, stock ntile/row_number —
+    // the engine reproduces ntile bucket arithmetic from a distributed
+    // range-sort rank instead of one global window
+    "x_shard_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             md5(cast(doc_id AS varchar) || ':42') AS md5h
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang, md5h,
+             ntile(8) OVER (ORDER BY md5h) AS shard
+           FROM h)
+         SELECT doc_id, lang, cast(shard AS integer) AS shard,
+           cast(row_number() OVER (PARTITION BY shard ORDER BY md5h) AS bigint) AS pos
+         FROM s ORDER BY shard, pos""",
 
     // corpus-trained interpolated bigram LM re-derived in SQL: same
     // lambda, same MLE counts, same ln — round(,4)/round(,2) absorb
@@ -2256,6 +2320,20 @@ object SparkEntry {
     // one Lloyd iteration: the s_cluster_assign assignment replay feeding a
     // per-(cluster, dimension) mean — 1-based DuckDB list index maps to the
     // 0-based posexplode dim
+    // brute-force N·d² expansion — the shape the engine's mergeable
+    // aggregate exists to avoid; fine at oracle scale
+    "s_gram" ->
+      """WITH pairs AS (
+           SELECT gi.i, gj.j,
+             sum(embedding[gi.i + 1]::DOUBLE * embedding[gj.j + 1]::DOUBLE) AS gram
+           FROM embeddings, generate_series(0, 63) AS gi(i),
+                generate_series(0, 63) AS gj(j)
+           WHERE gj.j >= gi.i AND embedding IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT cast(i AS integer) AS i, cast(j AS integer) AS j,
+           round(gram, 4) + 0.0 AS gram_r
+         FROM pairs ORDER BY i, j""",
+
     "s_kmeans_step" ->
       """WITH c AS (SELECT vec_id AS cluster_id, embedding AS cv
                     FROM embeddings WHERE vec_id < 8),

@@ -134,7 +134,128 @@ case class MisraGries(child: Expression, k: Int,
   override def prettyName: String = "misra_gries"
 }
 
+/**
+ * One-pass mergeable Gram-matrix accumulator over a vector column:
+ * `G = Σ v·vᵀ`, kept as the upper triangle (row-major, `d*(d+1)/2`
+ * doubles). This is THE distributed-linear-algebra primitive behind PCA /
+ * covariance / whitening: each task folds its partition into one O(d²)
+ * buffer, partial buffers merge by elementwise add (exact — float
+ * products accumulate in doubles), and only O(d²) doubles ever ride the
+ * shuffle — never a per-row d² explosion, which at N rows would shuffle
+ * N·d² cells. Output is an array of (i, j, gram) structs for the upper
+ * triangle, explode-friendly.
+ *
+ * Null vectors are skipped (contract mirrors SQL `sum`); a non-null
+ * vector with the wrong length or a null element fails loudly — silently
+ * zero-filling would corrupt the matrix.
+ */
+case class GramMatrix(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  require(dim >= 1, s"gram_matrix requires dim >= 1, got $dim")
+  private val triLen = dim * (dim + 1) / 2
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType), StructField("j", IntegerType),
+    StructField("gram", DoubleType))))
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case FloatType | DoubleType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"gram_matrix requires array<float|double>, got ${child.dataType}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](triLen)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    require(arr.numElements() == dim,
+      s"gram_matrix(dim=$dim) fed a length-${arr.numElements()} vector")
+    val vec = new Array[Double](dim)
+    val isFloat = elemType == FloatType
+    var i = 0
+    while (i < dim) {
+      require(!arr.isNullAt(i), s"gram_matrix: null element at index $i")
+      vec(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var k = 0
+    i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        buf(k) += vec(i) * vec(j)
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    var k = 0
+    while (k < triLen) { buf(k) += other(k); k += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any = {
+    val out = new Array[Any](triLen)
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        out(k) = InternalRow(i, j, buf(k))
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bytes = new Array[Byte](triLen * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var k = 0
+    while (k < triLen) { bb.putDouble(buf(k)); k += 1 }
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Double](triLen)
+    var k = 0
+    while (k < triLen) { buf(k) = bb.getDouble(); k += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): GramMatrix =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GramMatrix =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramMatrix =
+    copy(child = newChildren.head)
+  override def prettyName: String = "gram_matrix"
+}
+
 object GraftAggregates {
+  /** Upper-triangle Gram matrix Σ v·vᵀ of a vector column as one
+    * array<struct<i,j,gram>> value — O(d²) state per task, O(d²) bytes on
+    * the shuffle, exact double accumulation. */
+  def gram_matrix(c: Column, dim: Int): Column =
+    bridge.column(GramMatrix(bridge.expression(c), dim).toAggregateExpression())
+
   /** Misra-Gries heavy-hitters summary of a string column: at most `k`
     * (item, est) entries; any item with frequency > n/(k+1) is guaranteed
     * present. Estimates are order-dependent — pair with an exact second

@@ -219,6 +219,59 @@ object Corpus {
       .filter(pmod(col(keyCol), lit(buckets)) < col("keep_frac") * buckets)
   }
 
+  // --- deterministic training-shard shuffle ------------------------------
+
+  /**
+   * Deterministic seeded global shuffle into training shards — the
+   * "shuffle the corpus, cut it into N equal shard files" export step
+   * every pretraining run needs, made reproducible: order is the md5 of
+   * `(id, seed)`, so any re-run (or late re-export of one shard) produces
+   * byte-identical shard membership and in-shard positions from the raw
+   * ids alone. Changing the seed draws an independent permutation.
+   *
+   * Adds `shard` (1..nShards, ntile semantics: sizes differ by at most
+   * one, larger shards first) and `pos` (1-based position inside the
+   * shard, in shuffled order).
+   *
+   * Scale shape: the global order is materialized as
+   * `repartitionByRange(hash) + sortWithinPartitions` — a terasort-style
+   * range sort where every task sorts only its slice — and the global
+   * rank falls out of partition offsets + local positions
+   * (`zipWithIndex`), NEVER a single-partition `Window.orderBy`. The
+   * count pass reads parquet metadata only. One range shuffle total; the
+   * downstream shard writer partitions by `shard` and streams each file
+   * in `pos` order.
+   */
+  def shardShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int, parts: Int = 32): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val n = df.count()
+    val hashed = df.withColumn("__h",
+      md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+    val sorted = hashed.repartitionByRange(parts, col("__h"))
+      .sortWithinPartitions(col("__h"))
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L)) }
+    val spark = df.sparkSession
+    val rdf = spark.createDataFrame(ranked,
+      sorted.schema.add("__rank", org.apache.spark.sql.types.LongType))
+    // SQL ntile(n): q = N/n size floor, first r = N%n shards take q+1
+    val q = n / nShards
+    val r = n % nShards
+    val rank = col("__rank")
+    val shard1 =
+      if (q == 0) rank // fewer rows than shards: one row per leading shard
+      else {
+        val firstBlock = r * (q + 1)
+        when(rank <= firstBlock, floor((rank - 1) / (q + 1)))
+          .otherwise(lit(r) + floor((rank - lit(firstBlock) - 1) / q)) + 1
+      }
+    val start0 = (shard1 - 1) * q + least(shard1 - 1, lit(r)) // 0-based
+    rdf.withColumn("shard", shard1.cast("int"))
+      .withColumn("pos", (rank - start0).cast("long"))
+      .drop("__h", "__rank")
+  }
+
   // --- the composed pipeline --------------------------------------------
 
   /**

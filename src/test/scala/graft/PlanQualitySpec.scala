@@ -423,4 +423,50 @@ class PlanQualitySpec extends SparkTestBase {
     val current = table.toDF.inputFiles.toSet
     assert(pinned.subsetOf(current) && pinned.size < current.size)
   }
+
+  test("gramMatrix is one two-stage aggregation: partial gram buffers ride the shuffle, no row explosion") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.ops.Pca.gramMatrix(e, "embedding", 64)
+      .queryExecution.executedPlan.toString
+    // partial_gram_matrix below the exchange = map-side O(d²) buffers;
+    // the explode (Generate) touches the one already-reduced array
+    assert(plan.contains("partial_gram_matrix"),
+      s"expected a map-side partial gram aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("posexplode"),
+      s"gram must never expand corpus rows:\n$plan")
+    val genLines = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(genLines == 1, s"exactly one post-agg explode expected:\n$plan")
+  }
+
+  test("shardShuffle plans no Window and exactly one range exchange over the hash") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => Tuple1(i)).toDF("id")
+    val out = graft.ops.Corpus.shardShuffle(d, "id", "s", 4, parts = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the global rank comes from range-partition offsets + zipWithIndex,
+    // never a single-partition Window.orderBy
+    assert(!plan.contains("Window"),
+      s"shardShuffle must not plan a global window:\n$plan")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.contains("ExistingRDD"), // post-zipWithIndex plans start from the ranked RDD
+      s"expected the range-sort rank pipeline:\n$plan")
+  }
+
+  test("skyline phase 1 is narrow: no exchange before the per-partition prune") {
+    import spark.implicits._
+    val pts = (0L until 1000L).map(i => (i % 97, (i * 31) % 89))
+      .toDF("x", "y")
+    val out = graft.ops.Skyline.skyline2D(pts, "x", "y")
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly one exchange total: the repartition(1) that carries ONLY
+    // phase-1 survivors; the full input maps straight into the local prune
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one exchange (candidates only):\n$plan")
+    val bottomUp = plan.linesIterator.toSeq.reverse // leaf first
+    val scanIdx = bottomUp.indexWhere(_.contains("LocalTableScan"))
+    val pruneIdx = bottomUp.indexWhere(_.contains("MapPartitions"))
+    val exIdx = bottomUp.indexWhere(_.contains("Exchange"))
+    assert(scanIdx >= 0 && scanIdx < pruneIdx && pruneIdx < exIdx,
+      s"local prune must run below the single exchange:\n$plan")
+  }
 }

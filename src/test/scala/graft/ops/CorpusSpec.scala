@@ -194,4 +194,42 @@ class CorpusSpec extends SparkTestBase {
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(mod === Map("train" -> 2400L, "val" -> 300L, "test" -> 300L))
   }
+
+  test("shardShuffle matches window ntile/row_number exactly, with no global window in its plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = (0L until 997L).map(i => (i, s"doc$i")).toDF("id", "t")
+    val got = Corpus.shardShuffle(d, "id", "s1", 8, parts = 5)
+      .select("id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // ground truth: the single-partition window formulation (test-only)
+    val h = d.withColumn("h", md5(concat(col("id").cast("string"), lit(":s1"))))
+    val withShard = h.withColumn("shard", ntile(8).over(Window.orderBy("h")))
+    val want = withShard.withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("h")).cast("long"))
+      .select("id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // sizes differ by at most one, larger shards first (ntile contract)
+    val sizes = got.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.keySet === (1 to 8).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(sizes(1) >= sizes(8))
+  }
+
+  test("shardShuffle is deterministic across partitionings; seed redraws the permutation") {
+    import spark.implicits._
+    val d = (0L until 400L).map(i => (i, i % 7)).toDF("id", "grp")
+    def run(parts: Int, seed: String) =
+      Corpus.shardShuffle(d.repartition(parts), "id", seed, 4)
+        .select("id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(2, "a") === run(9, "a"))
+    assert(run(3, "a") !== run(3, "b"))
+    // q == 0 edge: more shards than rows → one row per leading shard
+    val tiny = (0L until 3L).map(i => Tuple1(i)).toDF("id")
+    val t = Corpus.shardShuffle(tiny, "id", "x", 8)
+      .select("shard", "pos").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(t.map(_._1).sorted.toSeq === Seq(1, 2, 3) && t.forall(_._2 == 1L))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SkylineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sky(pts: Seq[(Long, Long)], parts: Int = 3): Set[(Long, Long)] =
+    Skyline.skyline2D(
+        spark.createDataset(pts).toDF("x", "y").repartition(parts),
+        "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Brute-force dominance check — the oracle definition. */
+  private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long)] =
+    pts.filter { p =>
+      !pts.exists(q => q._1 >= p._1 && q._2 >= p._2 &&
+        (q._1 > p._1 || q._2 > p._2))
+    }.toSet
+
+  test("simple frontier: dominated points drop, frontier survives") {
+    val pts = Seq((1L, 9L), (3L, 7L), (5L, 5L), (2L, 2L), (4L, 4L), (5L, 4L))
+    assert(sky(pts) == Set((1L, 9L), (3L, 7L), (5L, 5L)))
+  }
+
+  test("exact duplicates are mutually non-dominating: all survive") {
+    val pts = Seq((3L, 3L), (3L, 3L), (1L, 5L))
+    val out = Skyline.skyline2D(
+      spark.createDataset(pts).toDF("x", "y").repartition(2), "x", "y")
+    // both (3,3) copies and (1,5) are in the skyline
+    assert(out.count() == 3)
+  }
+
+  test("ties on one axis: same x, only max y survives; same y, only max x") {
+    val pts = Seq((3L, 9L), (3L, 5L), (7L, 2L), (5L, 2L))
+    assert(sky(pts) == Set((3L, 9L), (7L, 2L)))
+  }
+
+  test("null axes are dropped, not kept or dominating") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 9L), (null, 99L), (99L, null), (5L, 5L))
+      .toDF("x", "y")
+    val out = Skyline.skyline2D(df, "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 9L), (5L, 5L)))
+  }
+
+  test("randomized equivalence vs brute-force dominance, across partitionings") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(150)
+      // small value range forces x-ties and exact duplicates
+      val pts = Seq.fill(n)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val parts = 1 + rnd.nextInt(6)
+      assert(sky(pts, parts) == brute(pts), s"trial $trial parts=$parts")
+    }
+  }
+
+  test("non-axis columns ride along unchanged") {
+    val df = Seq(("a", 1L, 9L), ("b", 5L, 5L), ("c", 2L, 2L))
+      .toDF("id", "x", "y")
+    val out = Skyline.skyline2D(df, "x", "y")
+      .select("id").as[String].collect().toSet
+    assert(out == Set("a", "b"))
+  }
+
+  test("non-bigint axes are rejected loudly") {
+    val df = Seq((1, 2)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Skyline.skyline2D(df, "x", "y")
+    }
+    assert(e.getMessage.contains("bigint"))
+  }
+}
