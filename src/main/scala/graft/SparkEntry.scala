@@ -596,6 +596,15 @@ object SparkEntry {
           "text", "doc_id", window = 8)
         .orderBy("doc_id")),
 
+    // directional span novelty: fraction of a doc's 8-token spans never
+    // seen in any earlier doc (by id order) — same single digest shuffle
+    // + in-place window as d_dup_spans, with min(doc) < doc as the test
+    "d_span_novelty" -> ((s, dir) =>
+      Dedup.spanNoveltyStats(
+          T(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", window = 8)
+        .orderBy("doc_id")),
+
     // guaranteed-recall edit-distance similarity self-join (PassJoin
     // segment partitioning): candidates from (segment, index, length)
     // equi-join buckets, threshold-bounded Levenshtein verify — never the
@@ -860,6 +869,14 @@ object SparkEntry {
     "e_sessions" -> ((s, dir) =>
       Sessionize.userSessionSummary(T(s, dir, "events"), gapMs = 30 * 60 * 1000L)
         .orderBy("user_id")),
+
+    // run-length event compression: drop events whose type repeats the
+    // user's previous event — one user-keyed lag window (the same single
+    // exchange every per-user op pays), null-safe comparison
+    "e_dedup_consecutive" -> ((s, dir) =>
+      Sessionize.dedupConsecutive(T(s, dir, "events"), Seq("event_type"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")),
 
     "e_daily" -> ((s, dir) =>
       T(s, dir, "events")
@@ -2179,6 +2196,32 @@ object SparkEntry {
                 ELSE 0.0 END AS dup_frac
          FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
 
+    // first-occurrence test: a span is "seen" iff its corpus-wide min
+    // doc_id precedes this doc
+    "d_span_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         idx AS (
+           SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - 7)) AS i
+           FROM toks WHERE len(tk) >= 8),
+         wins AS (
+           SELECT doc_id, array_to_string(tk[i : i+7], ' ') AS w
+           FROM idx),
+         firsts AS (SELECT w, min(doc_id) AS first_doc FROM wins GROUP BY w),
+         per AS (
+           SELECT wi.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN f.first_doc < wi.doc_id THEN 1 ELSE 0 END) AS n_seen
+           FROM wins wi JOIN firsts f USING (w) GROUP BY 1)
+         SELECT t.doc_id,
+           cast(coalesce(p.n_windows, 0) AS bigint) AS n_windows,
+           cast(coalesce(p.n_seen, 0) AS bigint) AS n_seen_windows,
+           CASE WHEN coalesce(p.n_windows, 0) > 0
+                THEN round(1.0 - cast(p.n_seen AS double) / p.n_windows, 4)
+                ELSE 1.0 END AS novelty_frac
+         FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
+
     "d_exact_groups" ->
       """WITH withdups AS (
            SELECT doc_id, text FROM documents
@@ -2611,6 +2654,19 @@ object SparkEntry {
          count(*) FILTER (event_type = 'signup') AS signup,
          count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // IS DISTINCT FROM = the null-safe <=> the engine uses
+    "e_dedup_consecutive" ->
+      """WITH w AS (
+           SELECT event_id, user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+         SELECT event_id, user_id, event_type FROM w
+         WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+         ORDER BY event_id""",
 
     "e_sessions" ->
       """WITH ordered AS (

@@ -597,32 +597,84 @@ object Dedup {
    *
    * Scale shape: documents explode to `(md5(window), doc)` pairs — the
    * shuffled rows carry a fixed 32-char digest + id, never window text
-   * (the chunk-dedup idiom); the duplicated-key set comes from one hash
-   * aggregate (`min(doc) != max(doc)` detects "seen in ≥2 distinct docs"
-   * without a countDistinct), and the verdict joins back on the digest.
-   * Total shuffle is O(corpus tokens × digest width) — inherent to
-   * span-level dedup (suffix-array approaches pay the same) and fully
-   * hash-partitioned; no driver-side state.
+   * (the chunk-dedup idiom). The corpus rides ONE digest shuffle: after
+   * `repartition(__k)` an unbounded `Window.partitionBy(__k)` computes
+   * `min(doc) != max(doc)` ("seen in ≥2 distinct docs", no
+   * countDistinct) in place with a task-local sort and NO second
+   * exchange — Spark sees the matching partitioning — and the per-doc
+   * verdict aggregate collapses map-side. The previous shape aggregated
+   * the duplicated-key set separately and joined it back, paying a
+   * second corpus-sized digest shuffle plus a recompute of the explode.
+   * Zero-window docs (shorter than `window` tokens) rejoin from the
+   * doc-sized id list at the end. Total shuffle is O(corpus tokens ×
+   * digest width) — inherent to span-level dedup (suffix-array
+   * approaches pay the same) — exactly once; no driver-side state.
    */
-  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+  /**
+   * Per-document span NOVELTY — the directional companion of
+   * [[duplicatedSpanStats]]: processing documents in `idCol` order, what
+   * fraction of a document's `window`-token spans has never appeared in
+   * any EARLIER document? This is the "how much does this doc add"
+   * curation signal (novelty-weighted sampling; dataset-growth audits):
+   * a span is "seen" for doc d iff its corpus-wide first occurrence
+   * (`min(doc)` over the span key) precedes d.
+   *
+   * Returns `(idCol, n_windows, n_seen_windows, novelty_frac)` per input
+   * doc; `novelty_frac = 1 - n_seen/n_windows`, and docs shorter than
+   * the window score 1.0 (nothing repeated).
+   *
+   * Scale shape: identical to [[duplicatedSpanStats]] — digests + ids
+   * ride ONE `repartition(digest)` shuffle, `min(doc)` computes as an
+   * unbounded window over that same partitioning (no second exchange),
+   * and the per-doc aggregate collapses map-side.
+   */
+  def spanNoveltyStats(df: DataFrame, textCol: String, idCol: String,
       window: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(window >= 2, s"window must be >= 2 tokens, got $window")
     val wins = df
       .select(col(idCol),
-        explode_outer(TextAnalysis.shingles(col(textCol), window)).as("__w"))
-      .select(col(idCol), when(col("__w").isNotNull, md5(col("__w"))).as("__k"))
-    // a window key is duplicated when ≥2 DISTINCT docs contain it; the
-    // min!=max trick makes that one cheap partial-aggregatable pass
-    val dupKeys = wins.filter(col("__k").isNotNull)
-      .groupBy(col("__k"))
-      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
-      .filter(col("__mn") =!= col("__mx"))
-      .select(col("__k"), lit(1).as("__dup"))
-    wins.join(dupKeys, Seq("__k"), "left")
+        explode(TextAnalysis.shingles(col(textCol), window)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__k"))
+      .repartition(col("__k"))
+    val byKey = Window.partitionBy(col("__k"))
+    val stats = wins
+      .withColumn("__seen",
+        (min(col(idCol)).over(byKey) < col(idCol)).cast("long"))
       .groupBy(col(idCol))
-      .agg(
-        count(col("__k")).as("n_windows"),
-        count(col("__dup")).as("n_dup_windows"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("__seen")).as("n_seen_windows"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_seen_windows"), lit(0L)).as("n_seen_windows"))
+      .withColumn("novelty_frac",
+        when(col("n_windows") > 0,
+          round(lit(1.0) - col("n_seen_windows").cast("double") / col("n_windows"), 4))
+          .otherwise(lit(1.0)))
+  }
+
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    val wins = df
+      .select(col(idCol),
+        explode(TextAnalysis.shingles(col(textCol), window)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__k"))
+      .repartition(col("__k"))
+    val byKey = Window.partitionBy(col("__k"))
+    val stats = wins
+      .withColumn("__dup",
+        (min(col(idCol)).over(byKey) =!= max(col(idCol)).over(byKey))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"), sum(col("__dup")).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
         when(col("n_windows") > 0,
           round(col("n_dup_windows").cast("double") / col("n_windows"), 4))

@@ -32,6 +32,34 @@ object Sessionize {
       .drop("__prev_ms", "__new_session")
   }
 
+  /**
+   * Drop consecutive duplicate events per key — run-length compression
+   * of an event stream (repeated sensor readings, redundant state
+   * pings): an event survives iff any of `dedupCols` differs from the
+   * previous event of the SAME key in `tsCol` order (the first event of
+   * each key always survives). Null-safe comparison (`<=>`), so
+   * null-to-null counts as equal and null-to-value as a change.
+   *
+   * Scale shape: one user-keyed shuffle (the `lag` window — the same
+   * single exchange every per-user op here pays) and a narrow filter;
+   * output order and all columns preserved. At 100 TB this is the
+   * standard pre-aggregation compressor: it runs BEFORE sessionize /
+   * rolling stats so the expensive windows see runs, not repeats.
+   */
+  def dedupConsecutive(events: DataFrame, dedupCols: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      tieBreak: String = "event_id"): DataFrame = {
+    require(dedupCols.nonEmpty, "at least one dedup column required")
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    val changed = dedupCols.map(c =>
+      !(col(c) <=> lag(col(c), 1).over(byUser)))
+    val isFirst = row_number().over(byUser) === 1
+    events
+      .withColumn("__keep", isFirst || changed.reduce(_ || _))
+      .filter(col("__keep"))
+      .drop("__keep")
+  }
+
   /** Per-session rollup: events, span, value sum. */
   def sessionStats(events: DataFrame, gapMs: Long,
       userCol: String = "user_id", tsCol: String = "ts",

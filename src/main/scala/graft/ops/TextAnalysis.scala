@@ -200,10 +200,14 @@ object TextAnalysis {
    *
    * Scale shape: the corpus explodes once to tokens and once to 2-token
    * shingles; both count tables collapse map-side to VOCAB-sized
-   * aggregates, the per-bigram probability join runs against those vocab
-   * tables (never corpus × corpus), and the grand total is a broadcast
-   * single row — the same shape class as [[unigramLmScore]], with the
-   * bigram vocabulary as the only larger dictionary.
+   * aggregates. Every probability join runs on the DICTIONARY — each
+   * distinct bigram is scored once against the two unigram counts and
+   * the broadcast grand total — and corpus-sized rows ride exactly ONE
+   * shuffle join (bigram instance → its precomputed score) before the
+   * per-document aggregate collapses map-side. The earlier shape joined
+   * the corpus-sized instance table three times; scoring the dictionary
+   * first cuts that to one, which is also the only shape that holds when
+   * instances outnumber dictionary entries by orders of magnitude.
    */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
@@ -212,21 +216,23 @@ object TextAnalysis {
     val vocab1 = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
     val total = vocab1.agg(sum(col("__c1")).cast("double").as("__total"))
     val bgs = df.select(col(idCol),
-        explode(shinglesOfTokens(tokens(col(textCol)), 2)).as("__bg"))
+      explode(shinglesOfTokens(tokens(col(textCol)), 2)).as("__bg"))
+    val vocab2 = bgs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    // dictionary-sized scoring: one row per DISTINCT bigram
+    val bgScore = vocab2
       // tokens are \s+-split, so the single interior space splits cleanly
       .withColumn("__prev", substring_index(col("__bg"), " ", 1))
       .withColumn("__cur", substring_index(col("__bg"), " ", -1))
-    val vocab2 = bgs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
-    bgs
-      .join(vocab2, "__bg")
       .join(vocab1.withColumnRenamed("__tok", "__prev")
         .withColumnRenamed("__c1", "__cprev"), "__prev")
       .join(vocab1.withColumnRenamed("__tok", "__cur")
         .withColumnRenamed("__c1", "__ccur"), "__cur")
       .crossJoin(broadcast(total))
-      .withColumn("__logp",
+      .select(col("__bg"),
         log(lit(lambda) * (col("__c2") / col("__cprev"))
-          + lit(1 - lambda) * (col("__ccur") / col("__total"))))
+          + lit(1 - lambda) * (col("__ccur") / col("__total"))).as("__logp"))
+    bgs
+      .join(bgScore, "__bg")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__logp")), 4).as("lm_score"),

@@ -233,11 +233,15 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!l.contains("text") && !l.contains("__w"),
         s"window/document text must not ride a dup-span shuffle:\n$l")
     }
-    // the ≥2-distinct-docs detection is one hash aggregate with a map-side
-    // partial (min/max are partial-aggregatable — that is the point of the
-    // min!=max trick vs a countDistinct expand)
-    assert(plan.contains("partial_min") && plan.contains("partial_max"),
-      s"expected map-side partial min/max on the dup-key aggregate:\n$plan")
+    // the corpus-sized digest rows ride exactly ONE exchange: the
+    // repartition(__k) whose partitioning the min!=max window then reuses
+    // in place (no second digest shuffle, no join-back of a dup-key set);
+    // remaining exchanges carry doc-sized aggregate/join rows only
+    val digestExchanges = exchanges.count(_.contains("__k"))
+    assert(digestExchanges == 1,
+      s"expected exactly one digest-keyed exchange, got $digestExchanges:\n$plan")
+    assert(plan.contains("Window"),
+      s"expected the in-place min/max window over the digest partitioning:\n$plan")
     assert(!plan.contains("Expand"),
       s"no countDistinct expand should appear:\n$plan")
   }

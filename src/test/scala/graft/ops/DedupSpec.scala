@@ -246,6 +246,23 @@ class DedupSpec extends SparkTestBase {
     assert(out(3) === ((13L, 0L, 0L, 0.0)))
   }
 
+  test("spanNoveltyStats: later doc pays for shared spans, first doc stays novel") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "a b c d unique tail ten"),      // first occurrence of "a b c d"
+      (11L, "prefix eleven a b c d"),        // seen span: min doc 10 < 11
+      (12L, "x1 y1 z1 w1 x1 y1 z1 w1"),      // self-repeats only: fully novel
+      (13L, "too short")                     // 0 windows -> novelty 1.0
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanNoveltyStats(d, "text", "doc_id", window = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((10L, 4L, 0L, 1.0)))      // first doc: nothing earlier
+    assert(out(1) === ((11L, 3L, 1L, 0.6667)))   // one of 3 spans seen in doc 10
+    assert(out(2) === ((12L, 5L, 0L, 1.0)))      // within-doc repeat is not "seen"
+    assert(out(3) === ((13L, 0L, 0L, 1.0)))
+  }
+
   test("duplicatedSpanStats: exact dup docs are 100% covered both sides") {
     val out = Dedup.duplicatedSpanStats(docs, "text", "doc_id", window = 5)
       .orderBy("doc_id").collect()

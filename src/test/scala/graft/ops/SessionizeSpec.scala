@@ -128,4 +128,31 @@ class SessionizeSpec extends SparkTestBase {
       ("2024-01-02", 2, 1L)  // user 3 returned two days later
     ))
   }
+
+  test("dedupConsecutive drops repeats per user, keeps changes, firsts, and null transitions") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "a"),   // repeat -> drop
+      (3L, 1L, ts("2024-01-01 10:02:00"), "b"),   // change -> keep
+      (4L, 1L, ts("2024-01-01 10:03:00"), "b"),   // repeat -> drop
+      (5L, 1L, ts("2024-01-01 10:04:00"), "a"),   // back to a -> keep (run-length, not distinct)
+      (6L, 2L, ts("2024-01-01 10:00:00"), "a"),   // other user's first -> keep
+      (7L, 2L, ts("2024-01-01 10:01:00"), null),  // value -> null = change
+      (8L, 2L, ts("2024-01-01 10:02:00"), null),  // null -> null = repeat (null-safe)
+      (9L, 2L, ts("2024-01-01 10:03:00"), "a")    // null -> value = change
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val kept = Sessionize.dedupConsecutive(ev, Seq("event_type"))
+      .select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L, 6L, 7L, 9L))
+    // multi-column dedup: a change in ANY listed column keeps the row
+    val ev2 = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "a", 2.0), // value changed -> keep
+      (3L, 1L, ts("2024-01-01 10:02:00"), "a", 2.0)  // both same -> drop
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val kept2 = Sessionize.dedupConsecutive(ev2, Seq("event_type", "value"))
+      .select("event_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(1L, 2L))
+  }
 }

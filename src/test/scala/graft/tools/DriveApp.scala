@@ -319,6 +319,31 @@ object DriveApp {
         .mkString(",")
       println(s"dup-spans $out")
     }
+    println("== PCA: one-pass Gram aggregate -> driver eigen -> literal projection")
+    locally {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val model = graft.ops.Pca.fit(e, "embedding", 64, 4)
+      val projected = graft.ops.Pca.project(e, "embedding", model)
+      val k = model.components.length
+      val explained = model.eigenvalues.sum
+      val ordered = model.eigenvalues.sliding(2).forall(p => p(0) >= p(1))
+      println(f"pca k=$k rows=${projected.count()} ordered=$ordered " +
+        f"top-ev=${model.eigenvalues.head}%.3f sum-ev=$explained%.3f")
+    }
+    println("== skyline + shard shuffle: frontier and deterministic export order")
+    locally {
+      import spark.implicits._
+      val pts = Seq((1L, 9L), (3L, 7L), (5L, 5L), (2L, 2L), (5L, 4L))
+        .toDF("x", "y")
+      val sky = graft.ops.Skyline.skyline2D(pts, "x", "y")
+        .orderBy("x").collect().map(r => s"${r.getLong(0)},${r.getLong(1)}")
+        .mkString(" ")
+      val d = (0L until 10L).map(i => Tuple1(i)).toDF("id")
+      val sh = graft.ops.Corpus.shardShuffle(d, "id", "demo", 3)
+      val sizes = sh.groupBy("shard").count().orderBy("shard")
+        .collect().map(_.getLong(1)).mkString(",")
+      println(s"skyline $sky shard-sizes=$sizes")
+    }
     spark.stop()
   }
 }
