@@ -125,6 +125,7 @@ object Bench {
       graft.queries.TableFixtures.wapAccepted(spark, sfDir)
       graft.queries.TableFixtures.wapRejected(spark, sfDir)
       graft.queries.TableFixtures.ordersMaintained(spark, sfDir)
+      graft.queries.TableFixtures.ordersZOrdered(spark, sfDir)
       graft.queries.TableFixtures.ordersDeleted(spark, sfDir)
       graft.queries.TableFixtures.ordersUpdated(spark, sfDir)
       graft.queries.TableFixtures.ordersMorDeleted(spark, sfDir)

@@ -1055,6 +1055,17 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // P2b: z-order compaction (Morton interleave on 2 columns) — the
+    // 2-D range workload the layout exists for; equality with raw orders
+    // proves the replace-rewrite lost and duplicated nothing
+    "t_zorder" -> ((s, dir) =>
+      TableFixtures.ordersZOrdered(s, dir).toDF
+        .filter(col("o_custkey") % 10 === 3 && col("o_totalprice") > 50000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // V1 via SQL: the DSv2 catalog surface — VERSION AS OF a branch ref
     "t_sql_time_travel" -> ((s, dir) => {
       val cat = TableFixtures.sqlCatalog(s, dir)
@@ -1449,6 +1460,19 @@ object SparkEntry {
         .select(col("media_id"), col("dim"),
           round(col("value").cast("double"), 4).as("value"))
         .orderBy("media_id", "dim")),
+
+    // per-frame hard-cut detection (|luma delta| > 0.5, sized to the
+    // fixtures so both flags occur): decode + luma + delta all run
+    // in-task inside each clip's one record — zero shuffle, blobs never
+    // leave their partition. Oracle constants re-derived independently
+    // by GenMediaOracle's flat RIFF scan.
+    "m_video_scene_cuts" -> ((s, dir) =>
+      graft.ops.Multimodal.videoSceneCuts(
+          graft.ops.Multimodal.fixtureMedia(s), threshold = 0.5)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          round(col("luma"), 4).as("luma"), col("is_cut"))
+        .orderBy("media_id", "frame_idx")),
 
     // --- streaming (st_*): a Structured Streaming pipeline the oracle ---
     // can check: the events parquet replayed through a FILE-SOURCE stream
@@ -2913,6 +2937,12 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
 
+    "t_zorder" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders WHERE o_custkey % 10 = 3 AND o_totalprice > 50000
+         GROUP BY 1 ORDER BY 1""",
+
     "t_stat_pruned_scan" ->
       s"""SELECT o_orderpriority, count(*) AS n,
          ${centsSql("o_totalprice")} AS total_cents
@@ -3163,6 +3193,20 @@ object SparkEntry {
            (5, 0, 6), (5, 1, 51.9584), (5, 2, 0.0934), (5, 3, 0.5),
            (6, 0, 5), (6, 1, 52.174), (6, 2, 0.1451), (6, 3, 0.2)
          ) AS t(media_id, dim, value)
+         ORDER BY 1, 2""",
+
+    "m_video_scene_cuts" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(luma AS DOUBLE) AS luma, is_cut
+         FROM (VALUES
+           (5, 0, 52.0763, false), (5, 1, 52.1827, false),
+           (5, 2, 51.8962, false), (5, 3, 52.61, true),
+           (5, 4, 51.9028, true), (5, 5, 52.1643, false),
+           (6, 0, 52.2127, false), (6, 1, 52.3692, false),
+           (6, 2, 52.0773, false), (6, 3, 52.7131, true),
+           (6, 4, 52.2319, false)
+         ) AS t(media_id, frame_idx, luma, is_cut)
          ORDER BY 1, 2""",
 
     // the streamed-in table must equal the batch source exactly

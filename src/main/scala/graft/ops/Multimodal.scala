@@ -74,6 +74,12 @@ object Multimodal {
       n_frames: Int,
       fps: Double)
 
+  case class FrameLuma(
+      media_id: Long,
+      frame_idx: Int,
+      luma: Double,   // BT.601 mean luma of the frame
+      is_cut: Boolean) // |luma - prev luma| > threshold (frame 0: false)
+
   /** A parsed MJPEG-AVI clip: header dims/rate + the raw JPEG frame
     * payloads in stream order. */
   private[ops] case class AviClip(width: Int, height: Int, fps: Double,
@@ -417,6 +423,58 @@ object Multimodal {
             Some(MediaFeature(r.media_id, "video", Array(
               clip.frames.size.toFloat, meanLuma.toFloat, motion.toFloat,
               (clip.frames.size / clip.fps).toFloat)))
+          }
+        }
+      }
+    }
+  }
+
+  /**
+   * Scene-cut detection over EVERY frame of each clip: per-frame BT.601
+   * mean luma, with frame i flagged as a cut when
+   * `|luma(i) - luma(i-1)| > threshold` (the classic hard-cut detector —
+   * luma-delta thresholding; frame 0 is never a cut). Emits one row per
+   * frame so downstream shot segmentation / keyframe sampling can window
+   * over `(media_id, frame_idx)` without re-decoding.
+   *
+   * Scale shape: a clip's frames live inside its ONE record, so the
+   * whole detector — decode, luma, delta — runs in-task per record with
+   * zero shuffle; blobs never leave their input partition and only
+   * (id, idx, luma, flag) rows come out. Same drop-on-undecodable
+   * policy as the other decoders (a frame ImageIO rejects is skipped;
+   * deltas chain across the gap on decoded frames only).
+   */
+  def videoSceneCuts(media: Dataset[MediaRecord],
+      threshold: Double = 10.0): Dataset[FrameLuma] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        parseAviFrames(r.content).toSeq.flatMap { clip =>
+          val decoded = clip.frames.indices.flatMap { fi =>
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(clip.frames(fi)))
+            catch { case _: java.io.IOException => null }
+            if (img == null) None
+            else {
+              var sum = 0.0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              Some(fi -> sum / (img.getWidth.toLong * img.getHeight))
+            }
+          }
+          decoded.zipWithIndex.map { case ((fi, luma), di) =>
+            val cut = di > 0 && math.abs(luma - decoded(di - 1)._2) > threshold
+            FrameLuma(r.media_id, fi, luma, cut)
           }
         }
       }

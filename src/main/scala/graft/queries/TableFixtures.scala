@@ -312,6 +312,23 @@ object TableFixtures {
       t
     })
 
+  /** Z-order compaction fixture: multi-batch appends rewritten into
+    * files Morton-clustered on (o_custkey, o_totalprice) — the layout a
+    * 2-D range workload prunes against. */
+  def ordersZOrdered(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_zorder", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_zorder"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_zorder",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      (0 until 3).foreach { i =>
+        t.append(orders.filter(col("o_orderkey") % 3 === i))
+      }
+      t.rewriteDataFilesZOrder(Seq("o_custkey", "o_totalprice"))
+      t
+    })
+
   /**
    * Schema-evolution fixture: batch 1 written under the original schema,
    * then RENAME COLUMN o_totalprice -> o_amount (metadata only), batch 2

@@ -265,4 +265,35 @@ class MultimodalSpec extends SparkTestBase {
     // blobs themselves are not in the joined output
     assert(!ft.columns.contains("content"))
   }
+
+  test("videoSceneCuts flags luma jumps between consecutive frames, never frame 0") {
+    import spark.implicits._
+    // solid-gray JPEG frames with a deliberate brightness jump at frame 2
+    def solid(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, 16, 12); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = encodeAviMjpeg(16, 12, 10,
+      Seq(solid(40), solid(42), solid(200), solid(198)))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(99L, "video", avi, "spec")))
+    val out = Multimodal.videoSceneCuts(ds, threshold = 20.0)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    // JPEG round-trips solid levels approximately; the 40->200 jump is
+    // the only delta beyond the threshold
+    assert(out.map(_.is_cut).toSeq === Seq(false, false, true, false))
+    assert(out(0).luma < 60 && out(2).luma > 150)
+    // non-video records are ignored entirely
+    val mixed = spark.createDataset(Seq(
+      MediaRecord(1L, "image", syntheticImage(1L), "spec"),
+      MediaRecord(99L, "video", avi, "spec")))
+    assert(Multimodal.videoSceneCuts(mixed).collect().forall(_.media_id == 99L))
+  }
 }

@@ -161,6 +161,27 @@ object GenMediaOracle {
         println(s"($id, $d, ${r4(f.toDouble)}),")
       }
       embedInputs += ((id, "video", feats.toArray))
+
+      // m_video_scene_cuts: EVERY frame's luma + the hard-cut flag
+      // (|delta| > 0.5 — sized to the fixtures so both flags occur),
+      // re-derived from the same flat scan
+      println(s"-- m_video_scene_cuts $id (media_id, frame_idx, luma, is_cut)")
+      val all = frames.indices.map { fi =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frames(fi)))
+        var sum = 0.0
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        }
+        sum / (img.getWidth.toLong * img.getHeight)
+      }
+      all.zipWithIndex.foreach { case (l, fi) =>
+        val cut = fi > 0 && math.abs(l - all(fi - 1)) > 0.5
+        println(s"($id, $fi, ${r4(l)}, $cut),  -- delta=" +
+          (if (fi > 0) r4(math.abs(l - all(fi - 1))) else "-"))
+      }
     }
 
     // m_media_embed: JL projection + L2 normalization over the feature
