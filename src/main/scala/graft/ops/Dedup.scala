@@ -584,32 +584,66 @@ object Dedup {
   }
 
   /**
+   * Shared five-stage plan behind the span statistics: shingle explode
+   * over a PRE-MATERIALIZED token array (inlining `tokens()` into the
+   * shingle lambda would re-split the text once per output shingle —
+   * O(tokens²) regex work, see [[TextAnalysis.shingles]]'s warning),
+   * md5 digest, ONE `repartition(digest)`, an unbounded per-key window
+   * computing the per-instance flag with a task-local sort and NO second
+   * exchange (Spark sees the matching partitioning), and a
+   * map-side-collapsed per-doc aggregate left-joined back onto the
+   * DISTINCT doc ids — one output row per distinct id even if the input
+   * repeats ids, and zero-window docs (shorter than `window` tokens)
+   * rejoin with zero counts. Total shuffle is O(corpus tokens × digest
+   * width) — inherent to span-level work (suffix-array approaches pay
+   * the same) — exactly once; no driver-side state.
+   */
+  private def spanFlagStats(df: DataFrame, textCol: String, idCol: String,
+      window: Int, flagName: String)(
+      flag: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    val wins = df
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol),
+        explode(TextAnalysis.shinglesOfTokens(col("__toks"), window)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__k"))
+      .repartition(col("__k"))
+    val stats = wins
+      .withColumn("__f", flag(Window.partitionBy(col("__k"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"), sum(col("__f")).as(flagName))
+    df.select(col(idCol)).distinct()
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col(flagName), lit(0L)).as(flagName))
+  }
+
+  /**
    * Cross-document duplicated-SPAN statistics — substring-level dedup
    * signal (the "dedup the repeated 50-token spans, not whole documents"
    * idea from the training-data dedup literature; whole-doc near-dup
    * misses boilerplate/license blocks pasted into otherwise-distinct
    * documents). For every document: how many of its `window`-token
-   * sliding windows also occur in at least one OTHER document.
+   * sliding windows also occur in at least one OTHER document —
+   * `min(doc) != max(doc)` over the span key ("seen in ≥2 distinct
+   * docs", no countDistinct).
    *
-   * Returns one row per input doc:
+   * Returns one row per distinct doc id:
    * `(idCol, n_windows, n_dup_windows, dup_frac)` where `dup_frac` is
    * `n_dup_windows / n_windows` (0 for docs shorter than the window).
-   *
-   * Scale shape: documents explode to `(md5(window), doc)` pairs — the
-   * shuffled rows carry a fixed 32-char digest + id, never window text
-   * (the chunk-dedup idiom). The corpus rides ONE digest shuffle: after
-   * `repartition(__k)` an unbounded `Window.partitionBy(__k)` computes
-   * `min(doc) != max(doc)` ("seen in ≥2 distinct docs", no
-   * countDistinct) in place with a task-local sort and NO second
-   * exchange — Spark sees the matching partitioning — and the per-doc
-   * verdict aggregate collapses map-side. The previous shape aggregated
-   * the duplicated-key set separately and joined it back, paying a
-   * second corpus-sized digest shuffle plus a recompute of the explode.
-   * Zero-window docs (shorter than `window` tokens) rejoin from the
-   * doc-sized id list at the end. Total shuffle is O(corpus tokens ×
-   * digest width) — inherent to span-level dedup (suffix-array
-   * approaches pay the same) — exactly once; no driver-side state.
+   * Plan shape: [[spanFlagStats]].
    */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8): DataFrame =
+    spanFlagStats(df, textCol, idCol, window, "n_dup_windows") { byKey =>
+      min(col(idCol)).over(byKey) =!= max(col(idCol)).over(byKey)
+    }.withColumn("dup_frac",
+      when(col("n_windows") > 0,
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+        .otherwise(lit(0.0)))
+
   /**
    * Per-document span NOVELTY — the directional companion of
    * [[duplicatedSpanStats]]: processing documents in `idCol` order, what
@@ -619,65 +653,17 @@ object Dedup {
    * a span is "seen" for doc d iff its corpus-wide first occurrence
    * (`min(doc)` over the span key) precedes d.
    *
-   * Returns `(idCol, n_windows, n_seen_windows, novelty_frac)` per input
-   * doc; `novelty_frac = 1 - n_seen/n_windows`, and docs shorter than
-   * the window score 1.0 (nothing repeated).
-   *
-   * Scale shape: identical to [[duplicatedSpanStats]] — digests + ids
-   * ride ONE `repartition(digest)` shuffle, `min(doc)` computes as an
-   * unbounded window over that same partitioning (no second exchange),
-   * and the per-doc aggregate collapses map-side.
+   * Returns one row per distinct doc id:
+   * `(idCol, n_windows, n_seen_windows, novelty_frac)` with
+   * `novelty_frac = 1 - n_seen/n_windows`; docs shorter than the window
+   * score 1.0 (nothing repeated). Plan shape: [[spanFlagStats]].
    */
   def spanNoveltyStats(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(window >= 2, s"window must be >= 2 tokens, got $window")
-    val wins = df
-      .select(col(idCol),
-        explode(TextAnalysis.shingles(col(textCol), window)).as("__w"))
-      .select(col(idCol), md5(col("__w")).as("__k"))
-      .repartition(col("__k"))
-    val byKey = Window.partitionBy(col("__k"))
-    val stats = wins
-      .withColumn("__seen",
-        (min(col(idCol)).over(byKey) < col(idCol)).cast("long"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"), sum(col("__seen")).as("n_seen_windows"))
-    df.select(col(idCol))
-      .join(stats, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-        coalesce(col("n_seen_windows"), lit(0L)).as("n_seen_windows"))
-      .withColumn("novelty_frac",
-        when(col("n_windows") > 0,
-          round(lit(1.0) - col("n_seen_windows").cast("double") / col("n_windows"), 4))
-          .otherwise(lit(1.0)))
-  }
-
-  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(window >= 2, s"window must be >= 2 tokens, got $window")
-    val wins = df
-      .select(col(idCol),
-        explode(TextAnalysis.shingles(col(textCol), window)).as("__w"))
-      .select(col(idCol), md5(col("__w")).as("__k"))
-      .repartition(col("__k"))
-    val byKey = Window.partitionBy(col("__k"))
-    val stats = wins
-      .withColumn("__dup",
-        (min(col(idCol)).over(byKey) =!= max(col(idCol)).over(byKey))
-          .cast("long"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"), sum(col("__dup")).as("n_dup_windows"))
-    df.select(col(idCol))
-      .join(stats, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
-      .withColumn("dup_frac",
-        when(col("n_windows") > 0,
-          round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
-          .otherwise(lit(0.0)))
-  }
+      window: Int = 8): DataFrame =
+    spanFlagStats(df, textCol, idCol, window, "n_seen_windows") { byKey =>
+      min(col(idCol)).over(byKey) < col(idCol)
+    }.withColumn("novelty_frac",
+      when(col("n_windows") > 0,
+        round(lit(1.0) - col("n_seen_windows").cast("double") / col("n_windows"), 4))
+        .otherwise(lit(1.0)))
 }

@@ -385,6 +385,30 @@ object Multimodal {
    * duration_seconds]`. Batch shape: whole-partition iterator, one codec
    * configuration per partition, fixed-dim output — blobs never shuffle.
    */
+  /** Decode one JPEG frame and return its BT.601 mean luma; None when
+    * ImageIO can't decode it (the shared drop-on-undecodable policy). */
+  private def frameMeanLuma(frame: Array[Byte]): Option[Double] = {
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frame))
+    catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some(sum / (img.getWidth.toLong * img.getHeight))
+    }
+  }
+
   def videoFeatures(media: Dataset[MediaRecord],
       stride: Int = 2): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
@@ -392,27 +416,8 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { r =>
         parseAviFrames(r.content).flatMap { clip =>
-          val lumas = clip.frames.indices.by(stride).flatMap { fi =>
-            val img = try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(clip.frames(fi)))
-            catch { case _: java.io.IOException => null }
-            if (img == null) None
-            else {
-              var sum = 0.0
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  sum += 0.299 * ((rgb >> 16) & 0xff) +
-                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              Some(sum / (img.getWidth.toLong * img.getHeight))
-            }
-          }
+          val lumas = clip.frames.indices.by(stride)
+            .flatMap(fi => frameMeanLuma(clip.frames(fi)))
           if (lumas.isEmpty) None
           else {
             val meanLuma = lumas.sum / lumas.size
@@ -452,25 +457,7 @@ object Multimodal {
       it.flatMap { r =>
         parseAviFrames(r.content).toSeq.flatMap { clip =>
           val decoded = clip.frames.indices.flatMap { fi =>
-            val img = try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(clip.frames(fi)))
-            catch { case _: java.io.IOException => null }
-            if (img == null) None
-            else {
-              var sum = 0.0
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  sum += 0.299 * ((rgb >> 16) & 0xff) +
-                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              Some(fi -> sum / (img.getWidth.toLong * img.getHeight))
-            }
+            frameMeanLuma(clip.frames(fi)).map(fi -> _)
           }
           decoded.zipWithIndex.map { case ((fi, luma), di) =>
             val cut = di > 0 && math.abs(luma - decoded(di - 1)._2) > threshold

@@ -42,13 +42,19 @@ object Pca {
       (count(when(col(vecCol).isNotNull, 1)).as("__n") +: sums): _*)
     // one aggregated row: explode the triangle, subtract n·μᵢμⱼ
     val meanArr = array((0 until dim).map(i => col(s"__s$i") / col("__n")): _*)
+    // the sample covariance needs n >= 2; CASE short-circuits, so the
+    // division never runs on the failing branch — the raise_error fires
+    // instead of an opaque ANSI divide-by-zero
+    val covExpr = (col("__e.gram")
+      - col("__n") * element_at(col("__mu"), col("__e.i") + 1)
+        * element_at(col("__mu"), col("__e.j") + 1)) / (col("__n") - 1)
     agg.withColumn("__mu", meanArr)
       .select(col("__n"), col("__mu"), explode(col("__g")).as("__e"))
       .select(col("__e.i").as("i"), col("__e.j").as("j"),
-        ((col("__e.gram")
-          - col("__n") * element_at(col("__mu"), col("__e.i") + 1)
-            * element_at(col("__mu"), col("__e.j") + 1))
-          / (col("__n") - 1)).as("cov"))
+        when(col("__n") >= 2, covExpr)
+          .otherwise(raise_error(
+            lit("covMatrix requires at least 2 non-null vectors")))
+          .as("cov"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix given as its

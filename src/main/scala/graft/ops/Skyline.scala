@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
  * "The Skyline Operator", ICDE 2001 — public literature). A row survives
  * iff no other row dominates it: `q` dominates `p` iff `q.x >= p.x` and
  * `q.y >= p.y` with at least one strict. Ties on BOTH axes are
- * non-dominating, so exact duplicates all survive — matching the
- * `NOT EXISTS` dominance SQL the oracle runs.
+ * non-dominating, so exact duplicates all survive. Rows with a NULL axis
+ * follow SQL three-valued logic exactly as the `NOT EXISTS` dominance
+ * query would treat them: every comparison against them is unknown, so
+ * they never dominate anything and are never dominated — they pass
+ * through to the output untouched.
  *
  * Scale shape — the classic two-phase prune:
  *   1. **Local phase** (narrow, no shuffle): each input partition computes
@@ -30,8 +33,9 @@ import org.apache.spark.sql.functions._
  * The scan itself: sort (x desc, y desc), walk x-groups in order; a group
  * survives iff its max-y beats the running max-y of all strictly-greater-x
  * groups (equal y there means a higher-x dominator exists), and within the
- * group only max-y rows survive (same x, higher y dominates). Integer or
- * otherwise exactly-ordered axes only — float rounding belongs upstream.
+ * group only max-y rows survive (same x, higher y dominates). Integer
+ * (bigint) axes only — float rounding belongs upstream. The full Long
+ * range is supported (no negation or sentinel tricks).
  */
 object Skyline {
 
@@ -52,28 +56,32 @@ object Skyline {
     local.repartition(1).mapPartitions(prune)(enc)
   }
 
-  /** One sort + linear scan skyline over an in-memory partition. Null
-    * axes never dominate and are never kept (SQL comparison semantics:
-    * a null axis can't win a `NOT EXISTS` dominance check either). */
+  /** One sort + linear scan skyline over an in-memory partition. Rows
+    * with a null axis pass through unpruned (SQL dominance semantics:
+    * they neither dominate nor are dominated). */
   private def localSkyline(rows: Iterator[Row], xi: Int, yi: Int): Iterator[Row] = {
-    val pts = rows.filter(r => !r.isNullAt(xi) && !r.isNullAt(yi)).toArray
-    if (pts.isEmpty) return Iterator.empty
-    val sorted = pts.sortBy(r => (-r.getLong(xi), -r.getLong(yi)))
+    val (nullAxis, valued) = rows.toArray.partition(r => r.isNullAt(xi) || r.isNullAt(yi))
+    if (valued.isEmpty) return nullAxis.iterator
+    // descending on both axes WITHOUT negation: -Long.MinValue overflows
+    val desc = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long.reverse)
+    val sorted = valued.sortBy(r => (r.getLong(xi), r.getLong(yi)))(desc)
     val out = Array.newBuilder[Row]
     var i = 0
-    var bestY = Long.MinValue // max y among strictly-greater-x groups
+    var haveBest = false // "no strictly-greater-x group seen yet" flag, not a sentinel value
+    var bestY = 0L       // max y among strictly-greater-x groups (valid iff haveBest)
     while (i < sorted.length) {
       val x = sorted(i).getLong(xi)
       val groupMaxY = sorted(i).getLong(yi) // sorted y desc within group
+      val groupWins = !haveBest || groupMaxY > bestY
       var j = i
       while (j < sorted.length && sorted(j).getLong(xi) == x) {
-        if (sorted(j).getLong(yi) == groupMaxY && groupMaxY > bestY)
+        if (groupWins && sorted(j).getLong(yi) == groupMaxY)
           out += sorted(j)
         j += 1
       }
-      if (groupMaxY > bestY) bestY = groupMaxY
+      if (!haveBest || groupMaxY > bestY) { bestY = groupMaxY; haveBest = true }
       i = j
     }
-    out.result().iterator
+    out.result().iterator ++ nullAxis.iterator
   }
 }

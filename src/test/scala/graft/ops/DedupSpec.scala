@@ -263,6 +263,23 @@ class DedupSpec extends SparkTestBase {
     assert(out(3) === ((13L, 0L, 0L, 1.0)))
   }
 
+  test("span stats emit one row per DISTINCT id even when the input repeats ids") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),
+      (1L, "a b c d e"), // repeated id: counts combine, row does not multiply
+      (2L, "a b c d f")
+    ).toDF("doc_id", "text")
+    val dup = Dedup.duplicatedSpanStats(d, "text", "doc_id", window = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dup.size === 2)
+    // doc 1 contributes 2x2 windows; "a b c d" is cross-doc duplicated
+    assert(dup(1L) === ((4L, 2L)) && dup(2L) === ((2L, 1L)))
+    val nov = Dedup.spanNoveltyStats(d, "text", "doc_id", window = 4)
+      .collect().map(_.getLong(0))
+    assert(nov.sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("duplicatedSpanStats: exact dup docs are 100% covered both sides") {
     val out = Dedup.duplicatedSpanStats(docs, "text", "doc_id", window = 5)
       .orderBy("doc_id").collect()

@@ -55,6 +55,15 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("covMatrix on fewer than 2 vectors fails loudly, not divide-by-zero") {
+    val one = spark.createDataset(Seq(Seq(1f, 2f))).toDF("embedding")
+    val e = intercept[Exception] {
+      Pca.covMatrix(one, "embedding", 2).collect()
+    }
+    assert(e.getMessage.contains("at least 2") ||
+      Option(e.getCause).exists(_.getMessage.contains("at least 2")))
+  }
+
   test("eigenSym solves a known symmetric system") {
     // [[2,1],[1,2]] has eigenvalues 3 (v=[1,1]/√2) and 1 (v=[1,-1]/√2)
     val (values, vectors) = Pca.eigenSym(Array(2.0, 1.0, 2.0), 2)

@@ -39,13 +39,33 @@ class SkylineSpec extends SparkTestBase {
     assert(sky(pts) == Set((3L, 9L), (7L, 2L)))
   }
 
-  test("null axes are dropped, not kept or dominating") {
+  test("null-axis rows pass through (SQL dominance: never dominated, never dominating)") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
-      (1L, 9L), (null, 99L), (99L, null), (5L, 5L))
+      (1L, 9L), (null, 99L), (99L, null), (5L, 5L), (2L, 2L))
       .toDF("x", "y")
     val out = Skyline.skyline2D(df, "x", "y").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out == Set((1L, 9L), (5L, 5L)))
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    // (2,2) is dominated; the null-axis rows survive exactly as the
+    // NOT EXISTS oracle would keep them, and (99, null) does NOT
+    // dominate (5,5) despite its large x
+    assert(out == Set(
+      (Some(1L), Some(9L)), (Some(5L), Some(5L)),
+      (None, Some(99L)), (Some(99L), None)))
+  }
+
+  test("extreme Long values: no negation overflow, no sentinel collision") {
+    val pts = Seq(
+      (Long.MinValue, 5L),  // min x must sort as SMALLEST x, not largest
+      (1L, 4L),
+      (2L, Long.MinValue),  // a real y equal to the old sentinel must be keepable
+      (Long.MaxValue, Long.MinValue))
+    assert(sky(pts) == brute(pts))
+    // (2, MinValue) is dominated by (MaxValue, MinValue); the rest are
+    // pairwise non-dominating
+    assert(sky(pts) == Set(
+      (Long.MinValue, 5L), (1L, 4L), (Long.MaxValue, Long.MinValue)))
+    // a lone row whose y is Long.MinValue is still a skyline of itself
+    assert(sky(Seq((7L, Long.MinValue))) == Set((7L, Long.MinValue)))
   }
 
   test("randomized equivalence vs brute-force dominance, across partitionings") {
