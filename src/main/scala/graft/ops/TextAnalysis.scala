@@ -212,11 +212,15 @@ object TextAnalysis {
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    // tokenize ONCE into a column; inlining tokens() inside the shingle
+    // lambda re-splits the text per OUTPUT SHINGLE (the O(tokens^2) trap
+    // documented at [[shingles]])
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val toks = base.select(col(idCol), explode(col("__toks")).as("__tok"))
     val vocab1 = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
     val total = vocab1.agg(sum(col("__c1")).cast("double").as("__total"))
-    val bgs = df.select(col(idCol),
-      explode(shinglesOfTokens(tokens(col(textCol)), 2)).as("__bg"))
+    val bgs = base.select(col(idCol),
+      explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
     val vocab2 = bgs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
     // dictionary-sized scoring: one row per DISTINCT bigram
     val bgScore = vocab2
