@@ -556,6 +556,20 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("lang")),
 
+    // budget-constrained data selection: best-quality-first prefix under a
+    // global token budget — the cumulative sum is a terasort-style range
+    // shuffle + partition offsets, never a single-partition Window.orderBy
+    "x_budget_select" -> ((s, dir) =>
+      Corpus.selectToBudget(
+          T(s, dir, "documents")
+            .select(col("doc_id"),
+              TextAnalysis.qualityScore(col("text")).as("quality"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"),
+          budget = 20000L, cumCol = "cum_tokens")
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")),
+
     // --- dedup -----------------------------------------------------------
 
     // deterministic duplicate injection: every 10th doc re-appears with
@@ -2160,6 +2174,21 @@ object SparkEntry {
            count(DISTINCT doc_id) AS n_docs
          FROM chunks GROUP BY 1 ORDER BY 1"""
     },
+
+    // windowed cumulative sum is exact integer arithmetic, so the budget
+    // cut is bit-deterministic; (quality DESC, doc_id) is a total order
+    "x_budget_select" ->
+      s"""WITH q AS (
+           SELECT doc_id, $qualityExpr AS quality,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS bigint) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, quality, n_tokens,
+             cast(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_tokens
+           FROM q)
+         SELECT doc_id, quality, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens <= 20000 ORDER BY cum_tokens""",
 
     "d_chunk_dedup" ->
       """WITH toks AS (

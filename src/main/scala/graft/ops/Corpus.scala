@@ -272,6 +272,72 @@ object Corpus {
       .drop("__h", "__rank")
   }
 
+  // --- scalable global prefix sums / budget selection ---------------------
+
+  /**
+   * Scalable global running total of an integer-valued column under a
+   * total order — the primitive behind budget-constrained selection and
+   * cumulative-coverage curves. `orderCols` MUST be a total order (include
+   * a unique tie-break column) or the cumulative values are
+   * partitioning-dependent.
+   *
+   * Scale shape: terasort-style, like [[shardShuffle]] — ONE
+   * `repartitionByRange(orderCols) + sortWithinPartitions` range shuffle;
+   * per-partition sums (a `parts`-bounded collect of one long each) become
+   * running offsets, and each sorted task adds its offset to a local
+   * running sum. There is NO single-partition `Window.orderBy` anywhere —
+   * the global prefix sum costs one range shuffle regardless of corpus
+   * size. Null values count as 0.
+   */
+  def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      outCol: String = "running_total", parts: Int = 32): DataFrame = {
+    require(parts >= 1, s"parts must be positive, got $parts")
+    val spark = df.sparkSession
+    val withV = df.withColumn("__rt_v", coalesce(valueCol.cast("long"), lit(0L)))
+    val sorted = withV.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__rt_v")
+    // pass 1: one long per partition (reads the same shuffle output the
+    // ranking pass below re-reads — no recomputation of the input scan)
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = sum of partitions < i
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { row =>
+        run += row.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(ranked,
+        sorted.schema.add(outCol, org.apache.spark.sql.types.LongType))
+      .drop("__rt_v")
+  }
+
+  /**
+   * Greedy budget-constrained selection — the "take the best documents
+   * until the token budget is spent" data-selection step (quality-ranked
+   * corpus truncation). Rows are ordered by `orderCols` (best first; the
+   * caller supplies the priority and a unique tie-break) and the PREFIX
+   * whose cumulative `valueCol` stays within `budget` is kept; the first
+   * row that would overflow the budget ends the selection (strict prefix
+   * semantics — later smaller rows are NOT pulled forward, which keeps
+   * the result a pure function of the order and exactly mirrorable as a
+   * windowed cumulative sum in SQL).
+   *
+   * Adds the cumulative column (`cumCol`) for auditability. Same
+   * one-range-shuffle scale shape as [[runningTotal]].
+   */
+  def selectToBudget(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      budget: Long, cumCol: String = "cum_value", parts: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    runningTotal(df, orderCols, valueCol, cumCol, parts)
+      .filter(col(cumCol) <= budget)
+  }
+
   // --- the composed pipeline --------------------------------------------
 
   /**

@@ -456,6 +456,18 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the range-sort rank pipeline:\n$plan")
   }
 
+  test("runningTotal plans no Window: prefix sums come from range-partition offsets") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, i % 9)).toDF("id", "v")
+    val out = graft.ops.Corpus.runningTotal(d, Seq(col("id")), col("v"),
+      "rt", parts = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"runningTotal must not plan a global window:\n$plan")
+    assert(plan.contains("ExistingRDD"), // offsets pass feeds a ranked RDD
+      s"expected the offset-ranked RDD pipeline:\n$plan")
+  }
+
   test("skyline phase 1 is narrow: no exchange before the per-partition prune") {
     import spark.implicits._
     val pts = (0L until 1000L).map(i => (i % 97, (i * 31) % 89))

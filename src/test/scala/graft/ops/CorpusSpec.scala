@@ -217,6 +217,45 @@ class CorpusSpec extends SparkTestBase {
     assert(sizes(1) >= sizes(8))
   }
 
+  test("runningTotal matches the global-window cumulative sum across partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = (0L until 500L).map(i => (i, (i * 37) % 101, (i * 13) % 50))
+      .toDF("id", "prio", "v")
+    // ground truth: single-partition window formulation (test-only)
+    val want = d.withColumn("rt",
+        sum(col("v")).over(Window.orderBy(col("prio").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Corpus.runningTotal(d.repartition(parts),
+          Seq(col("prio").desc, col("id").asc), col("v"), "rt", parts = 4)
+        .select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"mismatch at input parts=$parts")
+    }
+  }
+
+  test("runningTotal counts null values as 0 and keeps every row") {
+    import spark.implicits._
+    val d = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "v")
+    val got = Corpus.runningTotal(d, Seq(col("id")), col("v"), "rt", parts = 2)
+      .select("id", "rt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 5L), (2L, 5L), (3L, 12L)))
+  }
+
+  test("selectToBudget keeps the strict prefix: boundary row in, overflow row out") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 1L)).toDF("id", "v")
+    def ids(budget: Long) =
+      Corpus.selectToBudget(d, Seq(col("id")), col("v"), budget, parts = 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(20L) === Set(1L, 2L)) // exact boundary row kept
+    assert(ids(29L) === Set(1L, 2L)) // id=3 overflows; id=4 (small) NOT pulled forward
+    assert(ids(31L) === Set(1L, 2L, 3L, 4L))
+    assert(ids(0L) === Set.empty[Long])
+  }
+
   test("shardShuffle is deterministic across partitionings; seed redraws the permutation") {
     import spark.implicits._
     val d = (0L until 400L).map(i => (i, i % 7)).toDF("id", "grp")
