@@ -892,6 +892,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy("event_id")),
 
+    // first-order Markov transitions between event types: one user-keyed
+    // lag window collapsing to a |types|^2 aggregate; the probability
+    // normalization windows over that tiny set, never the corpus
+    "e_transitions" -> ((s, dir) =>
+      Sessionize.transitionMatrix(T(s, dir, "events"))
+        .orderBy("prev_type", "next_type")),
+
     "e_daily" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
@@ -2720,6 +2727,19 @@ object SparkEntry {
          SELECT event_id, user_id, event_type FROM w
          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
          ORDER BY event_id""",
+
+    "e_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type, event_type AS next_type, count(*) AS n
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           round(n / cast(sum(n) OVER (PARTITION BY prev_type) AS double), 4) AS p
+         FROM c ORDER BY 1, 2""",
 
     "e_sessions" ->
       """WITH ordered AS (

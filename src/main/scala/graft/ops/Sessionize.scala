@@ -60,6 +60,30 @@ object Sessionize {
       .drop("__keep")
   }
 
+  /**
+   * First-order Markov transition matrix over per-user event sequences —
+   * the "what happens after X" behavioral-analytics primitive (journey
+   * mining, anomaly baselines, next-event prediction features): for every
+   * ordered pair of consecutive events of the same user, count
+   * `(prev_type, next_type)` and normalize by the `prev_type` row total.
+   *
+   * Scale shape: one user-keyed shuffle (the `lag` window) collapses
+   * map-side into a |types|²-row aggregate; the row normalization is a
+   * window over that tiny aggregate, never the corpus.
+   */
+  def transitionMatrix(events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", tieBreak: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    val counts = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    counts.withColumn("p", round(col("n") / sum(col("n")).over(byPrev), 4))
+  }
+
   /** Per-session rollup: events, span, value sum. */
   def sessionStats(events: DataFrame, gapMs: Long,
       userCol: String = "user_id", tsCol: String = "ts",

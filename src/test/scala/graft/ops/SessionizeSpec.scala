@@ -155,4 +155,28 @@ class SessionizeSpec extends SparkTestBase {
       .select("event_id").as[Long].collect().sorted
     assert(kept2.toSeq == Seq(1L, 2L))
   }
+
+  test("transitionMatrix: per-user consecutive pairs only, row-normalized") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a -> b -> a -> c ; user 2: b -> a  (no cross-user pair:
+    // user 1 ends with c, user 2 starts with b — c->b must NOT appear)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "a"),
+      (4L, 1L, ts("2024-01-01 10:03:00"), "c"),
+      (5L, 2L, ts("2024-01-01 10:04:00"), "b"),
+      (6L, 2L, ts("2024-01-01 10:05:00"), "a")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessionize.transitionMatrix(ev)
+      .orderBy("prev_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "a", 2L, 1.0)))
+    // probabilities sum to 1 within every prev_type row
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
 }
