@@ -486,6 +486,13 @@ object SparkEntry {
       TextAnalysis.unigramLmScore(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // windowed PMI collocations: pair generation is per-row expression
+    // work (never a corpus self-join); counts collapse to dictionary-sized
+    // aggregates and scoring joins run dictionary-vs-dictionary
+    "x_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(T(s, dir, "documents"), "text",
+        window = 2, minCount = 5L, k = 30)),
+
     // TF-IDF top-5 distinctive terms per language: tf within the language,
     // document frequency corpus-wide, deterministic (score desc, term asc)
     "x_tfidf" -> ((s, dir) =>
@@ -2080,6 +2087,42 @@ object SparkEntry {
            round(avg(ln(v.tf / tot.total)), 4) AS lm_score
          FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
          GROUP BY 1 ORDER BY 1""",
+
+    // distance-1 and distance-2 pairs as zips of shifted slices (the
+    // x_top_ngrams idiom); pair strings are canonically ordered so the
+    // unordered count matches Spark's array_sort pair key
+    "x_collocations" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         p1 AS (
+           SELECT unnest(list_transform(list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+             x -> CASE WHEN x[1] <= x[2] THEN x[1] || ' ' || x[2]
+                       ELSE x[2] || ' ' || x[1] END)) AS pair
+           FROM toks WHERE len(tk) >= 2),
+         p2 AS (
+           SELECT unnest(list_transform(list_zip(tk[1:len(tk)-2], tk[3:len(tk)]),
+             x -> CASE WHEN x[1] <= x[2] THEN x[1] || ' ' || x[2]
+                       ELSE x[2] || ' ' || x[1] END)) AS pair
+           FROM toks WHERE len(tk) >= 3),
+         pairs AS (SELECT pair FROM p1 UNION ALL SELECT pair FROM p2),
+         pc AS (SELECT pair, count(*) AS n_ab FROM pairs
+                GROUP BY 1 HAVING count(*) >= 5),
+         uni AS (SELECT t.tok, count(*) AS c
+                 FROM toks, unnest(tk) AS t(tok) GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS double) AS t FROM uni),
+         ptot AS (SELECT cast(sum(greatest(len(tk)-1, 0))
+                    + sum(greatest(len(tk)-2, 0)) AS double) AS p FROM toks),
+         scored AS (
+           SELECT string_split(pair, ' ')[1] AS tok_a,
+             string_split(pair, ' ')[2] AS tok_b, n_ab,
+             round(ln((n_ab / ptot.p)
+               / ((ua.c / tot.t) * (ub.c / tot.t))), 4) AS pmi
+           FROM pc CROSS JOIN tot CROSS JOIN ptot
+           JOIN uni ua ON ua.tok = string_split(pair, ' ')[1]
+           JOIN uni ub ON ub.tok = string_split(pair, ' ')[2])
+         SELECT tok_a, tok_b, n_ab, pmi FROM scored
+         ORDER BY pmi DESC, tok_a, tok_b LIMIT 30""",
 
     "x_tfidf" ->
       """WITH toks AS (

@@ -244,6 +244,63 @@ object TextAnalysis {
   }
 
   /**
+   * Windowed PMI collocations — word-association mining (collocation /
+   * phrase extraction, word2vec-style co-occurrence statistics): every
+   * unordered token pair co-occurring within `window` positions is
+   * counted, and pointwise mutual information
+   * `pmi = ln( (n_ab/P) / ((n_a/T)·(n_b/T)) )` scores how much more often
+   * the pair co-occurs than independence predicts (P = total pair slots,
+   * T = total tokens). Pairs below `minCount` are dropped (PMI is
+   * unstable on rare pairs); top `k` by (pmi desc, pair asc) — unique, so
+   * the cut is deterministic.
+   *
+   * Scale shape: pair generation is a per-row expression (O(tokens·window)
+   * per doc, zip of two slices per distance — never a corpus self-join);
+   * pair and unigram counts collapse map-side to DICTIONARY-sized
+   * aggregates; scoring joins run dictionary-vs-dictionary with the two
+   * scalar totals broadcast. The corpus is read once and never shuffled.
+   */
+  def collocations(df: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    require(k >= 1, s"k must be positive, got $k")
+    val base = df.select(tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val perJ: Seq[Column] = (1 to window).map { j =>
+      when(n > j,
+        zip_with(slice(col("__toks"), lit(1), n - j),
+          slice(col("__toks"), lit(j + 1), n - j),
+          (a, b) => concat_ws(" ", array_sort(array(a, b)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val pairs = base.select(explode(concat(perJ: _*)).as("__pair"))
+    val pairCounts = pairs.groupBy(col("__pair"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = base.select(explode(col("__toks")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val totTok = uni.agg(sum(col("__c")).cast("double").as("__t"))
+    // total pair slots from token counts alone — no second pair pass
+    val totPairs = base
+      .select((1 to window).map(j => greatest(n - j, lit(0)).cast("long"))
+        .reduce(_ + _).as("__slots"))
+      .agg(sum(col("__slots")).cast("double").as("__p"))
+    pairCounts
+      .withColumn("tok_a", substring_index(col("__pair"), " ", 1))
+      .withColumn("tok_b", substring_index(col("__pair"), " ", -1))
+      .join(uni.withColumnRenamed("__tok", "tok_a")
+        .withColumnRenamed("__c", "__ca"), "tok_a")
+      .join(uni.withColumnRenamed("__tok", "tok_b")
+        .withColumnRenamed("__c", "__cb"), "tok_b")
+      .crossJoin(broadcast(totTok)).crossJoin(broadcast(totPairs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab") / col("__p"))
+          / ((col("__ca") / col("__t")) * (col("__cb") / col("__t")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
+  /**
    * TF-IDF top terms per group (e.g. per language or per source): the
    * corpus-exploration operator that surfaces what distinguishes one slice
    * from the rest. `tf` counts ALL occurrences of the term inside the

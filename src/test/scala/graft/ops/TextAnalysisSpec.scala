@@ -189,4 +189,34 @@ class TextAnalysisSpec extends SparkTestBase {
     // the single-token doc has no bigrams and is omitted
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("collocations: window semantics, canonical pair order, PMI value, minCount cut") {
+    import spark.implicits._
+    // "b a" occurrences give pair "a b" after canonical sort; "a ? c"
+    // co-occurs only at distance 2 — included at window=2, and "a ... d"
+    // at distance 3 must NOT appear
+    val df = Seq(
+      (1L, "b a x c q d"), // pairs d<=2 incl (a,x),(a,c via distance 2)...
+      (2L, "b a"), (3L, "b a"), (4L, "b a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(df, "text", window = 2,
+      minCount = 4L, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // only ("a","b") survives minCount=4: once in doc1 + three pair docs
+    assert(out.length === 1)
+    val (ta, tb, nab, pmi) = out.head
+    assert((ta, tb, nab) === (("a", "b", 4L)))
+    // hand PMI: T=12 tokens, P=sum over docs of (n-1)+(n-2)=9+0+3*1... doc1:5+4=9, docs2-4: 1+0 each => P=12
+    // n_a=4, n_b=4 => pmi = ln((4/12)/((4/12)*(4/12))) = ln(3)
+    assert(math.abs(pmi - BigDecimal(math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // in doc1 "b a x c q d", q is distance 3 from a: excluded at window=2
+    val all = TextAnalysis.collocations(df, "text", window = 2,
+      minCount = 1L, k = 100).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!all.contains(("a", "q")))
+    // window=3 brings the distance-3 pair in; distance-4 (a,d) still out
+    val w3 = TextAnalysis.collocations(df, "text", window = 3,
+      minCount = 1L, k = 100).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(w3.contains(("a", "q")) && !w3.contains(("a", "d")))
+  }
 }
