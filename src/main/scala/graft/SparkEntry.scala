@@ -926,6 +926,50 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // forward as-of with tolerance: each click joined to the user's NEXT
+    // purchase within 24h (time-to-conversion) — same union+keyed-window
+    // shape, one user shuffle, tolerance as a narrow post-window null-out
+    "e_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = AsOfJoin.dedupRightPerInstant(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_event_id")),
+        "p_user", "p_ts", "p_event_id")
+      AsOfJoin.asofForward(clicks, purchases, "user_id", "p_user",
+          "ts", "p_ts", Seq("p_event_id", "p_ts"),
+          tolerance = Some(86400.0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("p_event_id")).as("converted"),
+          sum(col("p_event_id")).as("sum_purchase_ids"),
+          round(sum(unix_micros(col("p_ts")) - unix_micros(col("ts")))
+            / lit(1e6), 2).as("convert_secs"))
+        .orderBy("user_id")
+    }),
+
+    // backward as-of with tolerance: last-touch attribution — each
+    // purchase joined to the user's most recent click within 1h
+    "e_asof_attrib" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = AsOfJoin.dedupRightPerInstant(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_event_id")),
+        "c_user", "c_ts", "c_event_id")
+      AsOfJoin.asofBackward(purchases, clicks, "user_id", "c_user",
+          "ts", "c_ts", Seq("c_event_id"), tolerance = Some(3600.0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("c_event_id")).as("attributed"),
+          sum(col("c_event_id")).as("sum_click_ids"))
+        .orderBy("user_id")
+    }),
+
     // ordered funnel over user event paths: reach counts per funnel prefix
     "e_funnel" -> ((s, dir) =>
       Sessionize.funnelCounts(T(s, dir, "events"),
@@ -2717,6 +2761,54 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          GROUP BY 1 ORDER BY 1""",
+
+    // epoch_us/1e6 mirrors Spark's cast(timestamp as double) exactly, so
+    // the tolerance boundary is bit-identical on both sides
+    "e_asof_forward" ->
+      """WITH c AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p0 AS (
+           SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS p_event_id
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (
+           SELECT c.user_id, c.ts, p.p_ts, p.p_event_id
+           FROM c ASOF LEFT JOIN p0 p
+             ON c.user_id = p.p_user AND c.ts <= p.p_ts),
+         f AS (
+           SELECT user_id, ts,
+             CASE WHEN p_ts IS NOT NULL
+               AND epoch_us(p_ts)/1000000.0 - epoch_us(ts)/1000000.0 <= 86400.0
+               THEN p_event_id END AS p_event_id,
+             CASE WHEN p_ts IS NOT NULL
+               AND epoch_us(p_ts)/1000000.0 - epoch_us(ts)/1000000.0 <= 86400.0
+               THEN p_ts END AS p_ts
+           FROM j)
+         SELECT user_id, count(*) AS n_clicks,
+           count(p_event_id) AS converted,
+           cast(sum(p_event_id) AS bigint) AS sum_purchase_ids,
+           round(sum(epoch_us(p_ts) - epoch_us(ts)) / 1000000.0, 2) AS convert_secs
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    "e_asof_attrib" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c0 AS (
+           SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS c_event_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         j AS (
+           SELECT p.user_id, p.ts, c.c_ts, c.c_event_id
+           FROM p ASOF LEFT JOIN c0 c
+             ON p.user_id = c.c_user AND p.ts >= c.c_ts),
+         f AS (
+           SELECT user_id,
+             CASE WHEN c_ts IS NOT NULL
+               AND epoch_us(ts)/1000000.0 - epoch_us(c_ts)/1000000.0 <= 3600.0
+               THEN c_event_id END AS c_event_id
+           FROM j)
+         SELECT user_id, count(*) AS n_purchases,
+           count(c_event_id) AS attributed,
+           cast(sum(c_event_id) AS bigint) AS sum_click_ids
+         FROM f GROUP BY 1 ORDER BY 1""",
 
     "q19_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -66,4 +66,54 @@ class AsOfJoinSpec extends SparkTestBase {
       s"as-of join must not degrade to a product join:\n$plan")
     assert(plan.contains("Window"), s"expected window operator:\n$plan")
   }
+
+  test("forward as-of picks the earliest state at or after each event") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"), // next state 11:00
+      (1L, ts("2024-01-01 11:00:00"), "e2"), // tie: same-instant state matches
+      (1L, ts("2024-01-01 14:00:00"), "e3"), // nothing after
+      (2L, ts("2024-01-01 10:00:00"), "e4")  // key without states
+    ).toDF("user_id", "ts", "tag")
+    val states = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (1L, ts("2024-01-01 13:00:00"), 102L)
+    ).toDF("user_id", "state_ts", "state_id")
+    val joined = AsOfJoin.asofForward(events, states,
+      "user_id", "user_id", "ts", "state_ts", Seq("state_id"))
+      .select("tag", "state_id").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(joined("e1") === Some(101L))
+    assert(joined("e2") === Some(101L)) // same instant matches
+    assert(joined("e3") === None)
+    assert(joined("e4") === None)
+  }
+
+  test("tolerance nulls matches outside the bound, boundary inclusive") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "in"),      // state 1h before: on the bound
+      (1L, ts("2024-01-01 12:00:01"), "out")      // state 3h1s before: outside
+    ).toDF("user_id", "ts", "tag")
+    val states = Seq((1L, ts("2024-01-01 09:00:00"), 100L))
+      .toDF("user_id", "state_ts", "state_id")
+    val back = AsOfJoin.asofBackward(events, states,
+      "user_id", "user_id", "ts", "state_ts", Seq("state_id"),
+      tolerance = Some(3600.0))
+      .select("tag", "state_id").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(back("in").isDefined && back("out").isEmpty)
+    // forward symmetric: state 1h after on the bound, 3h1s after outside
+    val fwdEvents = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "in"),
+      (1L, ts("2024-01-01 05:59:59"), "out")
+    ).toDF("user_id", "ts", "tag")
+    val fwd = AsOfJoin.asofForward(fwdEvents, states,
+      "user_id", "user_id", "ts", "state_ts", Seq("state_id"),
+      tolerance = Some(3600.0))
+      .select("tag", "state_id").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(fwd("in").isDefined && fwd("out").isEmpty)
+  }
 }
