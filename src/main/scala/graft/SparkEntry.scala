@@ -899,6 +899,12 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy("event_id")),
 
+    // top session journeys: sessionize (one user shuffle), per-session
+    // first-5 path strings, then a path-dictionary count + small top-N
+    "e_top_paths" -> ((s, dir) =>
+      Sessionize.topPaths(T(s, dir, "events"), gapMs = 30 * 60 * 1000L,
+        pathLen = 5, topN = 15)),
+
     // first-order Markov transitions between event types: one user-keyed
     // lag window collapsing to a |types|^2 aggregate; the probability
     // normalization windows over that tiny set, never the corpus
@@ -2862,6 +2868,34 @@ object SparkEntry {
          SELECT event_id, user_id, event_type FROM w
          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
          ORDER BY event_id""",
+
+    // ordering inside sessions uses full-precision ts (the gap test is on
+    // truncated ms, mirroring Spark's unix_millis, same as e_sessions)
+    "e_top_paths" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, event_type, ts, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, event_type, ts,
+             CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+           FROM ordered),
+         sessions AS (
+           SELECT user_id, event_id, event_type, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         ranked AS (
+           SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS rn
+           FROM sessions),
+         paths AS (
+           SELECT user_id, session_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS path
+           FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions FROM paths
+         GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 15""",
 
     "e_transitions" ->
       """WITH seq AS (

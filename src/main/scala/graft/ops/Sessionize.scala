@@ -84,6 +84,38 @@ object Sessionize {
     counts.withColumn("p", round(col("n") / sum(col("n")).over(byPrev), 4))
   }
 
+  /**
+   * Top session journeys — the "most common user paths" product-analytics
+   * rollup: sessionize, take each session's first `pathLen` event types
+   * in time order, and count identical paths, returning the `topN` most
+   * frequent (ties broken by path asc — deterministic cut).
+   *
+   * Scale shape: the sessionizer's one user-keyed shuffle, a per-session
+   * aggregate whose `collect_list` is bounded by session length (and the
+   * path by `pathLen`), then a path-keyed count that collapses map-side
+   * to the distinct-path dictionary before one small exchange. The top-N
+   * sorts only that dictionary.
+   */
+  def topPaths(events: DataFrame, gapMs: Long, pathLen: Int, topN: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", tieBreak: String = "event_id"): DataFrame = {
+    require(pathLen >= 1, s"pathLen must be positive, got $pathLen")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val sess = sessionize(events, gapMs, userCol, tsCol, tieBreak)
+    val paths = sess
+      .groupBy(col(userCol), col("session_id"))
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(struct(
+            col(tsCol), col(tieBreak), col(typeCol).as("__ty")))), 1, pathLen),
+          e => e.getField("__ty")),
+        " > ").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topN)
+  }
+
   /** Per-session rollup: events, span, value sum. */
   def sessionStats(events: DataFrame, gapMs: Long,
       userCol: String = "user_id", tsCol: String = "ts",

@@ -156,6 +156,32 @@ class SessionizeSpec extends SparkTestBase {
     assert(kept2.toSeq == Seq(1L, 2L))
   }
 
+  test("topPaths: session paths truncate at pathLen, count across users, deterministic cut") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1, one session of 3 events: a > b > c
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "c"),
+      // user 1, second session (2h later): a > b
+      (4L, 1L, ts("2024-01-01 12:30:00"), "a"),
+      (5L, 1L, ts("2024-01-01 12:31:00"), "b"),
+      // user 2, one session: a > b > c (same path as user 1's first)
+      (6L, 2L, ts("2024-01-01 09:00:00"), "a"),
+      (7L, 2L, ts("2024-01-01 09:01:00"), "b"),
+      (8L, 2L, ts("2024-01-01 09:02:00"), "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessionize.topPaths(ev, gapMs = 30 * 60 * 1000L,
+      pathLen = 5, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a > b > c", 2L), ("a > b", 1L)))
+    // pathLen truncation: with pathLen=2 all three sessions share "a > b"
+    val cut = Sessionize.topPaths(ev, gapMs = 30 * 60 * 1000L,
+      pathLen = 2, topN = 10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(cut.toSeq === Seq(("a > b", 3L)))
+  }
+
   test("transitionMatrix: per-user consecutive pairs only, row-normalized") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
