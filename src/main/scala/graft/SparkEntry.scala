@@ -912,6 +912,35 @@ object SparkEntry {
       Sessionize.transitionMatrix(T(s, dir, "events"))
         .orderBy("prev_type", "next_type")),
 
+    // per-group exact-quantile winsorization: |groups|-row percentile
+    // aggregate broadcast back, clip as narrow map work — corpus unshuffled
+    "e_winsorize" -> ((s, dir) =>
+      graft.ops.Stats.winsorize(T(s, dir, "events"), "value",
+          Seq("event_type"), pLo = 0.05, pHi = 0.95)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value_clipped")), 2).as("clipped_sum"),
+          sum(when(col("clipped_low"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_high"))
+        .orderBy("event_type")),
+
+    // navigation + distribution window functions in one frame family:
+    // lead/lag/first/nth_value/percent_rank/cume_dist/ntile
+    "q34_window_nav" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lag(col("event_type"), 2).over(w).as("prev2_type"),
+          first(col("event_type")).over(w).as("first_type"),
+          nth_value(col("event_type"), 3).over(w).as("third_type"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "e_daily" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
@@ -2868,6 +2897,35 @@ object SparkEntry {
          SELECT event_id, user_id, event_type FROM w
          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
          ORDER BY event_id""",
+
+    // quantile_cont mirrors Spark's exact percentile() interpolation (the
+    // q16-established parity); bounds land strictly between the 2-decimal
+    // values, so clip comparisons can't flip on last-ulp differences
+    "e_winsorize" ->
+      """WITH q AS (
+           SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY 1)
+         SELECT e.event_type, count(*) AS n,
+           round(sum(least(greatest(e.value, q.lo), q.hi)), 2) AS clipped_sum,
+           cast(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS bigint) AS n_low,
+           cast(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS bigint) AS n_high
+         FROM events e JOIN q USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q34_window_nav" ->
+      """SELECT user_id, event_id,
+           lead(event_type, 1) OVER w AS next_type,
+           lag(event_type, 2) OVER w AS prev2_type,
+           first_value(event_type) OVER w AS first_type,
+           nth_value(event_type, 3) OVER w AS third_type,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           cast(ntile(4) OVER w AS int) AS quartile
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
 
     // ordering inside sessions uses full-precision ts (the gap test is on
     // truncated ms, mirroring Spark's unix_millis, same as e_sessions)

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class StatsSpec extends SparkTestBase {
+
+  test("winsorize clips to exact per-group quantiles and flags the clipped rows") {
+    import spark.implicits._
+    // group a: values 0..10 — p0.1 = 1.0, p0.9 = 9.0 (integral positions)
+    val df = ((0 to 10).map(i => ("a", i.toDouble)) :+ (("b", 100.0)))
+      .toDF("g", "v")
+    val out = Stats.winsorize(df, "v", Seq("g"), 0.1, 0.9)
+      .filter(col("g") === "a")
+      .select("v", "v_clipped", "clipped_low", "clipped_high")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.head === ((0.0, 1.0, true, false)))
+    assert(out.last === ((10.0, 9.0, false, true)))
+    assert(out(5) === ((5.0, 5.0, false, false)))
+    // boundary values are inside the range: not flagged
+    assert(out(1) === ((1.0, 1.0, false, false)))
+    assert(out(9) === ((9.0, 9.0, false, false)))
+    // single-value group: lo = hi = the value, nothing clipped
+    val b = Stats.winsorize(df, "v", Seq("g"), 0.1, 0.9)
+      .filter(col("g") === "b").select("v_clipped", "clipped_low", "clipped_high")
+      .collect().head
+    assert((b.getDouble(0), b.getBoolean(1), b.getBoolean(2)) === ((100.0, false, false)))
+  }
+
+  test("winsorize with no group columns clips against global quantiles") {
+    import spark.implicits._
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val out = Stats.winsorize(df, "v", Seq.empty, 0.05, 0.95)
+      .agg(sum(when(col("clipped_low"), 1).otherwise(0)).as("lo"),
+        sum(when(col("clipped_high"), 1).otherwise(0)).as("hi"),
+        max(col("v_clipped")).as("mx"), min(col("v_clipped")).as("mn"))
+      .collect().head
+    // p05 = 5.0, p95 = 95.0 over 0..100
+    assert((out.getLong(0), out.getLong(1)) === ((5L, 5L)))
+    assert((out.getDouble(3), out.getDouble(2)) === ((5.0, 95.0)))
+  }
+}
