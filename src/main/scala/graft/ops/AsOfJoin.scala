@@ -90,34 +90,39 @@ object AsOfJoin {
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(leftSide))
-    // the matched-time carrier exists only when a tolerance needs it
-    // (date right-times have no double cast and need none without one)
+    // ALL carried values (matched right time + every payload) ride in ONE
+    // struct: the struct itself is non-null for every right row, so the
+    // ignoreNulls carry always lands on the NEAREST right row — a null
+    // payload VALUE stays null rather than falling through to a farther
+    // row, and all payload columns come from the same matched row. The
+    // matched-time field exists only when a tolerance needs it (date
+    // right-times have no double cast and need none without one).
     val rt: Column =
       if (tolerance.isDefined) col(rightTime).cast("double")
       else lit(null).cast("double")
     val r = right
-      .select((Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
-        lit(rightSide).as("__side"), rt.as("__rt")) ++
-        payload.map(p => col(p).as(s"__p_$p"))): _*)
+      .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(rightSide).as("__side"),
+        struct((rt.as("__rt") +: payload.map(p => col(p).as(s"__p_$p"))): _*)
+          .as("__pkg"))
+    val pkgType = r.schema("__pkg").dataType
     // align schemas for the union
     val lAligned = l.select((Seq(col("__k"), col("__t"), col("__side"),
-      lit(null).cast("double").as("__rt")) ++
-      payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++
+      lit(null).cast(pkgType).as("__pkg")) ++
       leftCols.map(col)): _*)
-    val rAligned = r.select((Seq(col("__k"), col("__t"), col("__side"), col("__rt")) ++
-      payload.map(p => col(s"__p_$p")) ++
+    val rAligned = r.select((Seq(col("__k"), col("__t"), col("__side"), col("__pkg")) ++
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val base = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
     val w =
       if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def carry(c: Column): Column =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
-    val matchedT = carry(col("__rt"))
+    val carried: Column =
+      if (forward) first(col("__pkg"), ignoreNulls = true).over(w)
+      else last(col("__pkg"), ignoreNulls = true).over(w)
     val withinTol: Column = tolerance match {
       case None => lit(true)
       case Some(t) =>
+        val matchedT = carried.getField("__rt")
         val diff =
           if (forward) matchedT - col("__t").cast("double")
           else col("__t").cast("double") - matchedT
@@ -125,7 +130,7 @@ object AsOfJoin {
     }
     lAligned.unionByName(rAligned)
       .select((leftCols.map(col) ++ Seq(col("__side")) ++
-        payload.map(p => when(withinTol, carry(col(s"__p_$p")))
+        payload.map(p => when(withinTol, carried.getField(s"__p_$p"))
           .otherwise(lit(null)).as(p))): _*)
       .filter(col("__side") === leftSide)
       .drop("__side")

@@ -41,11 +41,16 @@ object Stats {
     val joined =
       if (groupCols.nonEmpty) df.join(broadcast(bounds), groupCols)
       else df.crossJoin(broadcast(bounds))
+    // greatest/least skip nulls (a null metric would silently clamp to the
+    // low bound) — null values stay null and are flagged unclipped
     joined
       .withColumn(s"${valueCol}_clipped",
-        least(greatest(v, col("__lo")), col("__hi")))
-      .withColumn("clipped_low", v < col("__lo"))
-      .withColumn("clipped_high", v > col("__hi"))
+        when(v.isNull, lit(null))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .withColumn("clipped_low",
+        v.isNotNull && coalesce(v < col("__lo"), lit(false)))
+      .withColumn("clipped_high",
+        v.isNotNull && coalesce(v > col("__hi"), lit(false)))
       .drop("__lo", "__hi")
   }
 }

@@ -258,7 +258,9 @@ object TextAnalysis {
    * per doc, zip of two slices per distance — never a corpus self-join);
    * pair and unigram counts collapse map-side to DICTIONARY-sized
    * aggregates; scoring joins run dictionary-vs-dictionary with the two
-   * scalar totals broadcast. The corpus is read once and never shuffled.
+   * scalar totals broadcast. The corpus is never shuffled, but it IS
+   * scanned+tokenized by three narrow subtrees (pairs, unigrams, slot
+   * totals) — persist the token column upstream if scan cost dominates.
    */
   def collocations(df: DataFrame, textCol: String, window: Int = 2,
       minCount: Long = 5L, k: Int = 30): DataFrame = {

@@ -67,6 +67,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(plan.contains("Window"), s"expected window operator:\n$plan")
   }
 
+  test("null payload on the nearest right row stays null (no fall-through to farther rows)") {
+    import spark.implicits._
+    val events = Seq((1L, ts("2024-01-01 11:00:00"), "e")).toDF("user_id", "ts", "tag")
+    val states = Seq(
+      (1L, ts("2024-01-01 01:00:00"), Some(5L)),
+      (1L, ts("2024-01-01 10:59:50"), Option.empty[Long]) // nearest, null payload
+    ).toDF("user_id", "state_ts", "state_id")
+    // without tolerance: the matched row IS the nearest one; its null
+    // payload must NOT be replaced by the 01:00 row's value
+    val plain = AsOfJoin.asofBackward(events, states,
+      "user_id", "user_id", "ts", "state_ts", Seq("state_id"))
+      .select("state_id").collect().head
+    assert(plain.isNullAt(0))
+    // with a tolerance that only the nearest row satisfies, still null —
+    // the tolerance is keyed to the same matched row as the payload
+    val tol = AsOfJoin.asofBackward(events, states,
+      "user_id", "user_id", "ts", "state_ts", Seq("state_id"),
+      tolerance = Some(60.0))
+      .select("state_id").collect().head
+    assert(tol.isNullAt(0))
+  }
+
   test("forward as-of picks the earliest state at or after each event") {
     import spark.implicits._
     val events = Seq(

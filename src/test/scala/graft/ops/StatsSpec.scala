@@ -29,6 +29,17 @@ class StatsSpec extends SparkTestBase {
     assert((b.getDouble(0), b.getBoolean(1), b.getBoolean(2)) === ((100.0, false, false)))
   }
 
+  test("winsorize leaves null values null and unflagged") {
+    import spark.implicits._
+    val df = (Seq.tabulate(10)(i => ("a", Some(i.toDouble))) :+ (("a", Option.empty[Double])))
+      .toDF("g", "v")
+    val out = Stats.winsorize(df, "v", Seq("g"), 0.1, 0.9)
+      .filter(col("v").isNull)
+      .select("v_clipped", "clipped_low", "clipped_high").collect().head
+    assert(out.isNullAt(0)) // NOT clamped to the low bound
+    assert(!out.getBoolean(1) && !out.getBoolean(2))
+  }
+
   test("winsorize with no group columns clips against global quantiles") {
     import spark.implicits._
     val df = (0 to 100).map(_.toDouble).toDF("v")
