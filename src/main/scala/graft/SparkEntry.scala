@@ -563,6 +563,18 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("lang")),
 
+    // deterministic weighted sampling (Efraimidis-Spirakis priorities from
+    // md5 uniforms): narrow per-row priority + TakeOrdered top-k — the
+    // quality-weighted corpus subset, reproducible from (key, salt)
+    "x_weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(
+          T(s, dir, "documents").select(col("doc_id"),
+            (TextAnalysis.qualityScore(col("text")) + lit(0.01)).as("weight")),
+          "doc_id", "weight", k = 25, salt = "s42")
+        .select(col("doc_id"), round(col("weight"), 4).as("weight"),
+          round(col("priority"), 6).as("priority"))
+        .orderBy("priority", "doc_id")),
+
     // budget-constrained data selection: best-quality-first prefix under a
     // global token budget — the cumulative sum is a terasort-style range
     // shuffle + partition offsets, never a single-partition Window.orderBy
@@ -2303,6 +2315,19 @@ object SparkEntry {
            count(DISTINCT doc_id) AS n_docs
          FROM chunks GROUP BY 1 ORDER BY 1"""
     },
+
+    // ('0x'||hex)::bigint mirrors Spark's conv(hex,16,10); the uniform,
+    // ln and division run in the same order, so the k-cut set is identical
+    "x_weighted_sample" ->
+      s"""WITH q AS (
+           SELECT doc_id, $qualityExpr + 0.01 AS weight FROM documents),
+         p AS (
+           SELECT doc_id, weight,
+             -ln( (('0x' || substr(md5(doc_id || ':s42'), 1, 8))::bigint + 1)
+               / 4294967297.0 ) / weight AS priority
+           FROM q)
+         SELECT doc_id, round(weight, 4) AS weight, round(priority, 6) AS priority
+         FROM p ORDER BY priority, doc_id LIMIT 25""",
 
     // windowed cumulative sum is exact integer arithmetic, so the budget
     // cut is bit-deterministic; (quality DESC, doc_id) is a total order

@@ -272,6 +272,40 @@ object Corpus {
       .drop("__h", "__rank")
   }
 
+  // --- deterministic weighted sampling ------------------------------------
+
+  /**
+   * Deterministic weighted sampling without replacement
+   * (Efraimidis–Spirakis exponential-clocks form): each row draws a
+   * reproducible uniform `u in (0,1)` from the md5 of `(key, salt)` and
+   * gets priority `-ln(u) / weight`; the `k` SMALLEST priorities are the
+   * sample. Inclusion probability is proportional to weight (quality-
+   * weighted corpus subsetting), yet the draw is a pure function of
+   * (key, salt) — re-runs, re-partitionings and late data reproduce the
+   * identical sample, and changing the salt draws an independent one.
+   *
+   * Scale shape: the priority is narrow per-row expression work and the
+   * top-k lowers to `TakeOrderedAndProject` — per-partition partial top-k,
+   * then a k-row merge on the driver; no shuffle of the corpus. Weights
+   * must be strictly positive (enforced).
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // h in [0, 2^32): u = (h+1)/(2^32+1) lands strictly inside (0,1)
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967297.0)
+    val w = col(weightCol)
+    val priority = -log(u) / w
+    df.withColumn("priority",
+        when(w.isNull || w <= 0,
+          raise_error(concat(lit("weightedSample: non-positive weight for key "),
+            col(keyCol).cast("string")))).otherwise(priority))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   // --- scalable global prefix sums / budget selection ---------------------
 
   /**

@@ -217,6 +217,31 @@ class CorpusSpec extends SparkTestBase {
     assert(sizes(1) >= sizes(8))
   }
 
+  test("weightedSample: deterministic, weight-sensitive, TakeOrdered plan, positive-weight guard") {
+    import spark.implicits._
+    val d = (0L until 400L).map(i => (i, if (i == 7L) 1e6 else 0.5)).toDF("id", "w")
+    def run(parts: Int, salt: String) =
+      Corpus.weightedSample(d.repartition(parts), "id", "w", k = 20, salt)
+        .select("id").as[Long].collect().toSet
+    val s1 = run(2, "a")
+    // the overwhelming-weight item is drawn (priority ~1e-6 of the rest)
+    assert(s1.contains(7L))
+    // deterministic across partitionings; salt redraws
+    assert(s1 === run(9, "a"))
+    assert(s1 !== run(2, "b"))
+    // top-k lowers to TakeOrderedAndProject (per-partition partial top-k)
+    val plan = Corpus.weightedSample(d, "id", "w", 20, "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+    // zero/negative/null weights are loud, not silently prioritized
+    val bad = Seq((1L, 0.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Corpus.weightedSample(bad, "id", "w", 5, "a").collect()
+    }
+    assert(e.getMessage.contains("non-positive weight")
+      || Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+  }
+
   test("runningTotal matches the global-window cumulative sum across partitionings") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
