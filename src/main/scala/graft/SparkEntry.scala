@@ -486,6 +486,11 @@ object SparkEntry {
       TextAnalysis.unigramLmScore(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Zipf/Heaps corpus-law audit: regr_slope fit of ln(freq)~ln(rank)
+    // over the vocab-sized dictionary; corpus pays one explode-aggregate
+    "x_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(T(s, dir, "documents"), "text", topN = 100)),
+
     // windowed PMI collocations: pair generation is per-row expression
     // work (never a corpus self-join); counts collapse to dictionary-sized
     // aggregates and scoring joins run dictionary-vs-dictionary
@@ -2178,6 +2183,32 @@ object SparkEntry {
            round(avg(ln(v.tf / tot.total)), 4) AS lm_score
          FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
          GROUP BY 1 ORDER BY 1""",
+
+    "x_zipf" ->
+      """WITH f AS (
+           SELECT t.tok, count(*) AS freq
+           FROM documents,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+           GROUP BY 1),
+         r AS (
+           SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+           FROM f),
+         top AS (SELECT * FROM r WHERE rank <= 100),
+         fit AS (
+           SELECT count(*) AS n_terms,
+             round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+             round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
+             round(regr_r2(ln(freq), ln(rank)), 4) AS zipf_r2
+           FROM top),
+         h AS (
+           SELECT count(*) AS distinct_terms,
+             cast(sum(freq) AS bigint) AS total_tokens
+           FROM f)
+         SELECT n_terms, zipf_slope, zipf_intercept, zipf_r2,
+           distinct_terms, total_tokens,
+           round(distinct_terms / cast(total_tokens AS double), 6) AS ttr
+         FROM fit CROSS JOIN h""",
 
     // distance-1 and distance-2 pairs as zips of shifted slices (the
     // x_top_ngrams idiom); pair strings are canonically ordered so the

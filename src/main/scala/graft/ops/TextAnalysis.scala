@@ -303,6 +303,41 @@ object TextAnalysis {
   }
 
   /**
+   * Zipf / Heaps corpus-law audit: fits `ln(freq) ~ ln(rank)` by least
+   * squares over the top `topN` terms (natural language sits near slope
+   * -1; template or synthetic text shows up as a flat or kinked fit — a
+   * one-row corpus-health signal), plus the type-token ratio. Returns ONE
+   * row: n_terms, zipf_slope/intercept/r2, distinct_terms, total_tokens,
+   * ttr.
+   *
+   * Scale shape: one explode → map-side-combined term-count aggregate;
+   * ranking and regression run over the VOCAB-sized dictionary (the
+   * single-partition rank window sees dictionary rows, never the corpus)
+   * and the regression is a mergeable `regr_*` aggregate.
+   */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val freq = df.select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
+    val w = Window.orderBy(col("__freq").desc, col("__tok").asc)
+    val top = freq.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topN)
+    val y = log(col("__freq"))
+    val x = log(col("__rank"))
+    val fit = top.agg(
+      count(lit(1)).as("n_terms"),
+      round(regr_slope(y, x), 4).as("zipf_slope"),
+      round(regr_intercept(y, x), 4).as("zipf_intercept"),
+      round(regr_r2(y, x), 4).as("zipf_r2"))
+    val heaps = freq.agg(count(lit(1)).as("distinct_terms"),
+      sum(col("__freq")).as("total_tokens"))
+    fit.crossJoin(broadcast(heaps))
+      .withColumn("ttr",
+        round(col("distinct_terms") / col("total_tokens"), 6))
+  }
+
+  /**
    * TF-IDF top terms per group (e.g. per language or per source): the
    * corpus-exploration operator that surfaces what distinguishes one slice
    * from the rest. `tf` counts ALL occurrences of the term inside the

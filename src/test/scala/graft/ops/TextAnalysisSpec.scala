@@ -190,6 +190,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("zipfFit recovers an exact power law: slope -1, r2 1, exact TTR") {
+    import spark.implicits._
+    // freq(rank r) = 2520/r exactly (2520 divisible by 1..10):
+    // ln(freq) = ln(2520) - ln(rank) -> slope -1, perfect fit
+    val text = (1 to 10).flatMap(r => Seq.fill(2520 / r)(s"w$r")).mkString(" ")
+    val df = Seq(Tuple1(text)).toDF("text")
+    val row = TextAnalysis.zipfFit(df, "text", topN = 10).collect().head
+    assert(row.getAs[Long]("n_terms") === 10L)
+    assert(row.getAs[Double]("zipf_slope") === -1.0)
+    assert(row.getAs[Double]("zipf_r2") === 1.0)
+    assert(math.abs(row.getAs[Double]("zipf_intercept") - math.log(2520.0)) < 1e-3)
+    val total = (1 to 10).map(2520 / _).sum
+    assert(row.getAs[Long]("distinct_terms") === 10L)
+    assert(row.getAs[Long]("total_tokens") === total.toLong)
+    assert(row.getAs[Double]("ttr") ===
+      BigDecimal(10.0 / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("collocations: window semantics, canonical pair order, PMI value, minCount cut") {
     import spark.implicits._
     // "b a" occurrences give pair "a b" after canonical sort; "a ? c"
