@@ -708,6 +708,14 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // sparse TF-IDF cosine over 3-gram shingles: inverted-index join on
+    // df-bounded postings (never doc x doc), idf-weighted so shared rare
+    // shingles dominate — the weighted lexical near-dup companion
+    "d_tfidf_cosine" -> ((s, dir) =>
+      Dedup.tfidfCosinePairs(T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.2, shingleN = 3, maxDf = 20L)
+        .orderBy("id_a", "id_b")),
+
     // near-dup pairs -> connected components -> cluster labels: the step
     // that turns pair lists into "keep one per cluster" dedup. Pairs come
     // from the deterministic brute-force Jaccard subsample so the oracle
@@ -2512,6 +2520,39 @@ object SparkEntry {
          FROM sets a JOIN sets b ON a.doc_id < b.doc_id
          WHERE round(cast(len(list_intersect(a.ws, b.ws)) AS double)
                  / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    // same 3-gram zip idiom as x_decontaminate; arithmetic mirrors the
+    // Spark side operation-for-operation (tf*ln(n/df), sqrt-sum norms,
+    // dot/(na*nb)) so the rounded cosine hash-matches
+    "d_tfidf_cosine" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               list_zip(tk[1:len(tk)-2], tk[2:len(tk)-1], tk[3:len(tk)]),
+               x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS term
+           FROM toks WHERE len(tk) >= 3),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+         vocab AS (SELECT term, count(*) AS df FROM tf
+                   GROUP BY 1 HAVING count(*) <= 20),
+         n AS (SELECT cast(count(*) AS double) AS n FROM documents),
+         w AS (
+           SELECT doc_id, term, tf * ln(n.n / df) AS w
+           FROM tf JOIN vocab USING (term) CROSS JOIN n),
+         norms AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+         dots AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+           FROM w a JOIN w b USING (term)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine_sim
+         FROM dots d
+         JOIN norms na ON na.doc_id = d.id_a
+         JOIN norms nb ON nb.doc_id = d.id_b
+         WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.2
          ORDER BY id_a, id_b""",
 
     // transitive closure by recursive CTE: component = min reachable id,

@@ -292,6 +292,62 @@ object Dedup {
       .filter(col("jaccard_sim") >= threshold)
   }
 
+  /**
+   * Sparse TF-IDF cosine similarity join via an inverted index — the
+   * weighted lexical companion of [[ngramJaccardPairs]] (multiset,
+   * idf-weighted, so shared RARE shingles dominate the score the way
+   * shared common ones never can). Terms are `shingleN`-token shingles;
+   * `w(d,t) = tf(d,t) · ln(N / df(t))`; all pairs (id_a < id_b) with
+   * `cosine >= threshold` are returned.
+   *
+   * Terms with document frequency above `maxDf` are EXCLUDED from the
+   * vocabulary — that is part of the similarity definition (ubiquitous
+   * terms carry no discriminative weight) and simultaneously the scale
+   * guard: candidate pairs meet through per-term postings lists, whose
+   * join cost is bounded by `maxDf · |postings|` products instead of the
+   * df² blowup a stop-shingle would contribute. Documents whose every
+   * term is pruned leave the index (template text has no rare-shingle
+   * identity to compare). Norms are over INDEXED terms, consistently
+   * with the pruned definition.
+   *
+   * Scale shape: one explode → (id, term) tf aggregate; vocab-sized df
+   * filter joined back; the pair join runs postings-vs-postings on term
+   * keys (never doc×doc), collapsing map-side into per-pair dot products;
+   * norms join id-keyed. Everything shuffles ids+terms+doubles, never
+   * text.
+   */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3, maxDf: Long = 20L): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be positive, got $shingleN")
+    require(maxDf >= 2, s"maxDf < 2 can never produce a pair, got $maxDf")
+    val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val terms = base.select(col(idCol),
+        explode(if (shingleN == 1) col("__toks")
+        else TextAnalysis.shinglesOfTokens(col("__toks"), shingleN)).as("__term"))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    val vocab = terms.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
+    val weights = terms.join(vocab, "__term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("__term"),
+        (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
+    val norms = weights.groupBy(col(idCol))
+      .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
+    val dots = weights.select(col(idCol).as("id_a"), col("__term"), col("__w").as("__wa"))
+      .join(weights.select(col(idCol).as("id_b"), col("__term"), col("__w").as("__wb")),
+        "__term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("__norm").as("__na")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("__norm").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("__dot") / (col("__na") * col("__nb")), 4).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /**

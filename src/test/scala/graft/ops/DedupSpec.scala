@@ -291,4 +291,37 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) > 0.0 && out(3L) < 1.0)
     assert(out(4L) === 0.0 && out(6L) === 0.0)
   }
+
+  test("tfidfCosinePairs: idf weighting, maxDf pruning, postings join (no doc x doc)") {
+    import spark.implicits._
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "q r"))
+      .toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(d, "text", "doc_id",
+      threshold = 0.05, shingleN = 1, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs -> cosine 1; doc 4 shares nothing -> absent
+    assert(got((1L, 2L)) === 1.0)
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // hand value for (1,3): only x shared, idf-downweighted vs y/z
+    val (wx, wy, wz) = (math.log(4.0 / 3), math.log(4.0 / 2), math.log(4.0 / 1))
+    val expect13 = wx * wx /
+      (math.sqrt(wx * wx + wy * wy) * math.sqrt(wx * wx + wz * wz))
+    assert(math.abs(got((1L, 3L)) - expect13) < 1e-3)
+    // maxDf=2 prunes x (df=3): (1,3) loses its only shared term; the
+    // identical pair still scores 1 through y
+    val pruned = Dedup.tfidfCosinePairs(d, "text", "doc_id",
+      threshold = 0.05, shingleN = 1, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned === Set((1L, 2L)))
+    // candidate pairs meet through term postings (an equi-join on the
+    // term key), never a doc-product join; the only nested-loop join in
+    // the plan is the single-row broadcast of the N-docs scalar
+    val plan = Dedup.tfidfCosinePairs(d, "text", "doc_id", 0.05, 1, 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"tfidf cosine must not plan a product join:\n$plan")
+    assert(plan.contains("Join [__term") || plan.contains("Join [coalesce(__term")
+      || plan.contains("HashJoin [__term"),
+      s"expected the postings equi-join on the term key:\n$plan")
+  }
 }
