@@ -1541,6 +1541,14 @@ object SparkEntry {
           col("channels"), col("n_samples"))
         .orderBy("media_id")),
 
+    // perceptual image fingerprint: 9x8 luma dHash from a full decode —
+    // the image-dedup primitive (hamming distance ~ visual difference)
+    "m_image_dhash" -> ((s, dir) =>
+      graft.ops.Multimodal.imageDHash(graft.ops.Multimodal.fixtureMedia(s))
+        .toDF()
+        .select(col("media_id"), col("dhash"), col("bits_set"))
+        .orderBy("media_id")),
+
     // full pixel decode -> normalized 8-bin-per-channel RGB histogram
     "m_image_features" -> ((s, dir) =>
       graft.ops.Multimodal.imageFeatures(graft.ops.Multimodal.fixtureMedia(s))
@@ -3474,6 +3482,17 @@ object SparkEntry {
          FROM (VALUES (3, 16000, 1, 160), (4, 22050, 2, 240))
            AS t(media_id, sample_rate, channels, n_samples)
          ORDER BY 1""",
+
+    // constants independently re-derived by GenMediaOracle's own
+    // sampling loop (floorDiv centers + its own bit fold)
+    "m_image_dhash" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(dhash AS BIGINT) AS dhash, CAST(bits_set AS INT) AS bits_set
+         FROM (VALUES
+           (0, 576460752341188608, 4),
+           (1, 868315830220596388, 24),
+           (2, 72340203022327840, 8)) AS t(media_id, dhash, bits_set)
+         ORDER BY media_id""",
 
     "m_image_features" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,

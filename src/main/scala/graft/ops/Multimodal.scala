@@ -519,6 +519,57 @@ object Multimodal {
     else Some(AviClip(width, height, fps, frames.result()))
   }
 
+  /** One row of [[imageDHash]]. */
+  final case class ImageHash(media_id: Long, dhash: Long, bits_set: Int)
+
+  /**
+   * 64-bit difference hash (dHash) — the standard perceptual image-dedup
+   * fingerprint: sample a 9x8 grid of BT.601 luma values by
+   * nearest-neighbor at integer cell centers (`((2c+1)·W)/18`,
+   * `((2r+1)·H)/16` — exact integer index arithmetic any engine can
+   * replay), then bit `r·8+c` = luma(r,c) > luma(r,c+1). Row-adjacent
+   * comparisons make the hash invariant to global brightness shifts;
+   * Hamming distance approximates visual difference, so near-dup
+   * grouping reuses the SimHash machinery ([[Dedup.hamming]] /
+   * pigeonhole banding) on the returned long.
+   *
+   * Scale shape: pure per-row decode+map inside the blob's partition —
+   * zero shuffle, blobs never move (same contract as the other decoders).
+   * Undecodable payloads are dropped, matching [[decodeImageMeta]].
+   */
+  def imageDHash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val grid = Array.tabulate(8, 9) { (row, c) =>
+            val rgb = img.getRGB(((2 * c + 1) * w) / 18, ((2 * row + 1) * h) / 16)
+            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+          }
+          var bits = 0L
+          var row = 0
+          while (row < 8) {
+            var c = 0
+            while (c < 8) {
+              if (grid(row)(c) > grid(row)(c + 1)) bits |= 1L << (row * 8 + c)
+              c += 1
+            }
+            row += 1
+          }
+          Some(ImageHash(r.media_id, bits, java.lang.Long.bitCount(bits)))
+        }
+      }
+    }
+  }
+
   /**
    * REAL image features: a normalized 8-bin-per-channel RGB histogram
    * (24 dims) from a full ImageIO pixel decode. The batch shape is what a

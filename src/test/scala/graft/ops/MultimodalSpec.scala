@@ -296,4 +296,37 @@ class MultimodalSpec extends SparkTestBase {
       MediaRecord(99L, "video", avi, "spec")))
     assert(Multimodal.videoSceneCuts(mixed).collect().forall(_.media_id == 99L))
   }
+
+  test("imageDHash: gradient bits, brightness-shift invariance, byte-identical equality") {
+    import spark.implicits._
+    def png(shade: Int => Int): Array[Byte] = {
+      // 18x16 so every 9x8 cell center hits a distinct column
+      val img = new java.awt.image.BufferedImage(
+        18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val v = math.min(255, math.max(0, shade(x)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // strictly increasing left-to-right luma: every adjacent comparison is
+    // "left < right" -> no bits set
+    val inc = png(x => x * 14)
+    // strictly decreasing: all 64 comparison bits set
+    val dec = png(x => 255 - x * 14)
+    val ds = Seq(
+      MediaRecord(1L, "image", inc, "spec"),
+      MediaRecord(2L, "image", dec, "spec"),
+      MediaRecord(3L, "image", png(x => x * 14 + 30), "spec"), // brightness-shifted inc
+      MediaRecord(4L, "image", inc, "spec")                    // byte-identical to 1
+    ).toDS()
+    val got = Multimodal.imageDHash(ds).collect()
+      .map(h => h.media_id -> ((h.dhash, h.bits_set))).toMap
+    assert(got(1L) === ((0L, 0)))
+    assert(got(2L)._2 === 64)
+    assert(got(3L) === got(1L)) // global brightness shift cannot flip comparisons
+    assert(got(4L) === got(1L))
+  }
 }

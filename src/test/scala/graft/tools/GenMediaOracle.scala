@@ -70,6 +70,26 @@ object GenMediaOracle {
       embedInputs += ((id, "image", hist.map(c => c / n)))
     }
 
+    println("-- m_image_dhash (media_id, dhash, bits_set) — 9x8 luma dHash")
+    images.foreach { case (id, name) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resource(name)))
+      def lumaAt(c: Int, row: Int): Double = {
+        val x = Math.floorDiv((2 * c + 1) * img.getWidth, 18)
+        val y = Math.floorDiv((2 * row + 1) * img.getHeight, 16)
+        val rgb = img.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      val setBits = for {
+        row <- 0 until 8
+        c <- 0 until 8
+        if lumaAt(c, row) > lumaAt(c + 1, row)
+      } yield row * 8 + c
+      val hash = setBits.foldLeft(0L)((acc, b) => acc | (1L << b))
+      println(s"($id, ${hash}, ${setBits.size}),")
+    }
+
     println("-- m_audio_meta (media_id, sample_rate, channels, n_samples)")
     println("-- m_audio_features (media_id, dim, value) — rms/zcr/meanAbs/duration")
     audios.foreach { case (id, name) =>
