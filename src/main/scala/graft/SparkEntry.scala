@@ -937,6 +937,17 @@ object SparkEntry {
       Sessionize.transitionMatrix(T(s, dir, "events"))
         .orderBy("prev_type", "next_type")),
 
+    // robust MAD outlier detection: two |groups|-row percentile aggregates
+    // broadcast back; membership pinned by exact integer id sums
+    "e_anomaly" -> ((s, dir) =>
+      graft.ops.Stats.madOutliers(T(s, dir, "events"), "value",
+          Seq("event_type"), k = 3.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          sum(when(col("is_outlier"), col("event_id"))).as("outlier_id_sum"))
+        .orderBy("event_type")),
+
     // per-group exact-quantile winsorization: |groups|-row percentile
     // aggregate broadcast back, clip as narrow map work — corpus unshuffled
     "e_winsorize" -> ((s, dir) =>
@@ -948,6 +959,18 @@ object SparkEntry {
           sum(when(col("clipped_low"), 1L).otherwise(0L)).as("n_low"),
           sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_high"))
         .orderBy("event_type")),
+
+    // higher-order array functions: filter/aggregate/transform lambdas +
+    // membership/distinct — mirrored by DuckDB's list_* lambda family
+    "q35_array_funcs" -> ((s, dir) =>
+      T(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(filter(col("tk"), t => length(t) > 4)).as("n_long"),
+          aggregate(col("tk"), lit(0), (acc, t) => acc + length(t)).as("total_chars"),
+          array_contains(col("tk"), "the").as("has_the"),
+          size(array_distinct(col("tk"))).as("n_distinct"))
+        .orderBy("doc_id")),
 
     // navigation + distribution window functions in one frame family:
     // lead/lag/first/nth_value/percent_rank/cume_dist/ntile
@@ -3003,6 +3026,27 @@ object SparkEntry {
          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
          ORDER BY event_id""",
 
+    // same formula order as Stats.madOutliers (abs diff / (1.4826*mad));
+    // integer id sums pin outlier MEMBERSHIP, not just counts
+    "e_anomaly" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         mad AS (
+           SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type) GROUP BY 1),
+         z AS (
+           SELECT e.event_type, e.event_id,
+             CASE WHEN d.mad > 0
+               THEN abs(e.value - m.med) / (1.4826 * d.mad) END AS robust_z
+           FROM events e JOIN med m USING (event_type)
+           JOIN mad d USING (event_type))
+         SELECT event_type, count(*) AS n,
+           cast(sum(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) AS bigint) AS n_outliers,
+           cast(sum(CASE WHEN robust_z > 3.0 THEN event_id END) AS bigint) AS outlier_id_sum
+         FROM z GROUP BY 1 ORDER BY 1""",
+
     // quantile_cont mirrors Spark's exact percentile() interpolation (the
     // q16-established parity); bounds land strictly between the 2-decimal
     // values, so clip comparisons can't flip on last-ulp differences
@@ -3018,6 +3062,17 @@ object SparkEntry {
            cast(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS bigint) AS n_high
          FROM events e JOIN q USING (event_type)
          GROUP BY 1 ORDER BY 1""",
+
+    "q35_array_funcs" ->
+      """SELECT doc_id,
+           cast(len(list_filter(tk, t -> length(t) > 4)) AS int) AS n_long,
+           cast(list_sum(list_transform(tk, t -> length(t))) AS int) AS total_chars,
+           list_contains(tk, 'the') AS has_the,
+           cast(len(list_distinct(tk)) AS int) AS n_distinct
+         FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+               FROM documents)
+         WHERE doc_id < 50 ORDER BY doc_id""",
 
     "q34_window_nav" ->
       """SELECT user_id, event_id,

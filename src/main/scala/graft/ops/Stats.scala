@@ -13,6 +13,40 @@ import org.apache.spark.sql.functions._
  */
 object Stats {
 
+  /** Consistency constant making MAD estimate sigma under normality. */
+  val madSigma = 1.4826
+
+  /**
+   * Robust per-group outlier detection via MAD (median absolute
+   * deviation): `robust_z = |v - median| / (1.4826 · MAD)`, flagged when
+   * above `k` — the monitoring/data-quality filter that, unlike
+   * mean/stddev z-scores, is not itself dragged by the outliers it is
+   * hunting. Adds `robust_z` (null when the value is null or the group's
+   * MAD is 0) and `is_outlier` (false in those cases); all input columns
+   * pass through.
+   *
+   * Scale shape: two |groups|-row exact-percentile aggregates (median,
+   * then MAD against the broadcast median), each broadcast back — the
+   * corpus is scanned twice but never shuffled.
+   */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    val v = col(valueCol)
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("robust_z",
+        when(v.isNotNull && col("__mad") > 0,
+          abs(v - col("__med")) / (lit(madSigma) * col("__mad"))))
+      .withColumn("is_outlier", coalesce(col("robust_z") > k, lit(false)))
+      .drop("__med", "__mad")
+  }
+
   /**
    * Per-group winsorization: clip `valueCol` into the exact
    * [pLo, pHi] quantile range of its group — the outlier-taming step

@@ -29,6 +29,24 @@ class StatsSpec extends SparkTestBase {
     assert((b.getDouble(0), b.getBoolean(1), b.getBoolean(2)) === ((100.0, false, false)))
   }
 
+  test("madOutliers flags by robust z; constant groups and nulls are never outliers") {
+    import spark.implicits._
+    val df = (Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", Some(100.0)),
+      ("b", Some(5.0)), ("b", Some(5.0)), ("b", Some(5.0)),
+      ("a", Option.empty[Double]))).toDF("g", "v")
+    val out = Stats.madOutliers(df, "v", Seq("g"), k = 3.0)
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getBoolean(r.fieldIndex("is_outlier")))).toSeq
+    // group a: median 2.5... percentile(0.5) of [1,2,3,4,100] = 3.0
+    val aOut = out.filter(x => x._1 == "a" && x._3).map(_._2)
+    assert(aOut === Seq(Some(100.0))) // only the planted outlier
+    // constant group: mad 0 -> nothing flagged
+    assert(out.filter(_._1 == "b").forall(!_._3))
+    // null value: robust_z null, not an outlier
+    assert(out.exists(x => x._1 == "a" && x._2.isEmpty && !x._3))
+  }
+
   test("winsorize leaves null values null and unflagged") {
     import spark.implicits._
     val df = (Seq.tabulate(10)(i => ("a", Some(i.toDouble))) :+ (("a", Option.empty[Double])))
