@@ -568,6 +568,14 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("lang")),
 
+    // exact-n-per-stratum balanced subset: md5-ranked draw lowering to
+    // WindowGroupLimit (per-task partial top-n before the stratum shuffle)
+    "x_stratified_take" -> ((s, dir) =>
+      Corpus.stratifiedTake(T(s, dir, "documents"), "lang", "doc_id",
+          n = 10, salt = "s7")
+        .select("lang", "draw_rank", "doc_id")
+        .orderBy("lang", "draw_rank")),
+
     // deterministic weighted sampling (Efraimidis-Spirakis priorities from
     // md5 uniforms): narrow per-row priority + TakeOrdered top-k — the
     // quality-weighted corpus subset, reproducible from (key, salt)
@@ -2385,6 +2393,14 @@ object SparkEntry {
            count(DISTINCT doc_id) AS n_docs
          FROM chunks GROUP BY 1 ORDER BY 1"""
     },
+
+    "x_stratified_take" ->
+      """SELECT lang, cast(draw_rank AS int) AS draw_rank, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(doc_id || ':s7') ASC, doc_id ASC) AS draw_rank
+           FROM documents)
+         WHERE draw_rank <= 10 ORDER BY lang, draw_rank""",
 
     // ('0x'||hex)::bigint mirrors Spark's conv(hex,16,10); the uniform,
     // ln and division run in the same order, so the k-cut set is identical

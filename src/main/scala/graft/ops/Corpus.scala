@@ -272,6 +272,33 @@ object Corpus {
       .drop("__h", "__rank")
   }
 
+  // --- exact-count stratified take ----------------------------------------
+
+  /**
+   * Deterministic exact-n-per-stratum subset — the "balanced evaluation
+   * set" draw (fractions give you proportions; this gives you COUNTS):
+   * within each stratum, rows are ranked by the md5 of `(key, salt)` and
+   * the first `n` kept, with the rank exposed as `draw_rank`. Pure
+   * function of (key, salt): re-runs and re-partitionings reproduce the
+   * identical subset; a new salt redraws it. Strata with fewer than `n`
+   * rows keep everything.
+   *
+   * Scale shape: the rank-filter lowers to WindowGroupLimit — each task
+   * keeps at most `n` rows per stratum BEFORE the stratum shuffle, so the
+   * exchange carries O(strata · n · tasks-per-stratum) rows, not the
+   * corpus (same plan family as the q32 per-group top-k).
+   */
+  def stratifiedTake(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val draw = md5(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(draw.asc, col(keyCol).asc)
+    df.withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= n)
+  }
+
   // --- deterministic weighted sampling ------------------------------------
 
   /**

@@ -217,6 +217,24 @@ class CorpusSpec extends SparkTestBase {
     assert(sizes(1) >= sizes(8))
   }
 
+  test("stratifiedTake: exact counts, small strata keep all, deterministic, WindowGroupLimit plan") {
+    import spark.implicits._
+    val d = ((0L until 100L).map(i => (i, "big")) ++ (100L until 103L).map(i => (i, "small")))
+      .toDF("id", "g")
+    def run(parts: Int, salt: String) =
+      Corpus.stratifiedTake(d.repartition(parts), "g", "id", n = 10, salt)
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s = run(3, "a")
+    assert(s.count(_._1 == "big") === 10)
+    assert(s.count(_._1 == "small") === 3) // fewer than n: keep everything
+    assert(s === run(8, "a"))
+    assert(s !== run(3, "b"))
+    // rank-filter lowers to WindowGroupLimit: per-task partial top-n
+    val plan = Corpus.stratifiedTake(d, "g", "id", 10, "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("weightedSample: deterministic, weight-sensitive, TakeOrdered plan, positive-weight guard") {
     import spark.implicits._
     val d = (0L until 400L).map(i => (i, if (i == 7L) 1e6 else 0.5)).toDF("id", "w")
