@@ -330,12 +330,16 @@ object Dedup {
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
     val weights = terms.join(vocab, "__term")
       .crossJoin(broadcast(nDocs))
-      .select(col(idCol), col("__term"),
+      .select(col(idCol), col("__term"), col("__df"),
         (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
     val norms = weights.groupBy(col(idCol))
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
-    val dots = weights.select(col(idCol).as("id_a"), col("__term"), col("__w").as("__wa"))
-      .join(weights.select(col(idCol).as("id_b"), col("__term"), col("__w").as("__wb")),
+    // df=1 terms contribute to norms but can never meet a partner — a
+    // narrow filter drops them before the pair join (most of a shingle
+    // vocabulary is df=1, so this prunes the bulk of the postings)
+    val pairable = weights.filter(col("__df") >= 2)
+    val dots = pairable.select(col(idCol).as("id_a"), col("__term"), col("__w").as("__wa"))
+      .join(pairable.select(col(idCol).as("id_b"), col("__term"), col("__w").as("__wb")),
         "__term")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

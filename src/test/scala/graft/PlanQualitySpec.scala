@@ -456,6 +456,30 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the range-sort rank pipeline:\n$plan")
   }
 
+  test("winsorize joins bounds by broadcast: the corpus never shuffles") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (s"g${i % 3}", (i % 97).toDouble)).toDF("g", "v")
+    val plan = graft.ops.Stats.winsorize(d, "v", Seq("g"), 0.05, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bounds join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"winsorize must not shuffle or product-join the corpus:\n$plan")
+    // the only hash exchange is the |groups|-row percentile aggregate's
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one (aggregate-side) exchange, got $exchanges:\n$plan")
+  }
+
+  test("madOutliers: both stat joins broadcast, corpus side unshuffled") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (s"g${i % 3}", (i % 97).toDouble)).toDF("g", "v")
+    val plan = graft.ops.Stats.madOutliers(d, "v", Seq("g"))
+      .queryExecution.executedPlan.toString
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected broadcast median+MAD joins, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"madOutliers must not shuffle or product-join the corpus:\n$plan")
+  }
+
   test("runningTotal plans no Window: prefix sums come from range-partition offsets") {
     import spark.implicits._
     val d = (0L until 200L).map(i => (i, i % 9)).toDF("id", "v")
