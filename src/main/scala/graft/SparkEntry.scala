@@ -968,6 +968,21 @@ object SparkEntry {
           sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_high"))
         .orderBy("event_type")),
 
+    // correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
+    // customer): Catalyst decorrelates it — no per-row re-execution
+    "q36_lateral" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("__q36_customer")
+      T(s, dir, "orders").createOrReplaceTempView("__q36_orders")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM __q36_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __q36_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, o.o_orderkey""")
+    }),
+
     // higher-order array functions: filter/aggregate/transform lambdas +
     // membership/distinct — mirrored by DuckDB's list_* lambda family
     "q35_array_funcs" -> ((s, dir) =>
@@ -3078,6 +3093,15 @@ object SparkEntry {
            cast(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS bigint) AS n_high
          FROM events e JOIN q USING (event_type)
          GROUP BY 1 ORDER BY 1""",
+
+    "q36_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey < 100
+         ORDER BY c.c_custkey, o.o_orderkey""",
 
     "q35_array_funcs" ->
       """SELECT doc_id,

@@ -456,6 +456,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the range-sort rank pipeline:\n$plan")
   }
 
+  test("lateral top-2 decorrelates to a keyed join: no per-row rescan loop") {
+    val df = SparkEntry.queries("q36_lateral")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral subquery must decorrelate, not product-join:\n$plan")
+    assert(plan.contains("Join") || plan.contains("Window"),
+      s"expected the decorrelated join/window shape:\n$plan")
+  }
+
   test("winsorize joins bounds by broadcast: the corpus never shuffles") {
     import spark.implicits._
     val d = (0L until 500L).map(i => (s"g${i % 3}", (i % 97).toDouble)).toDF("g", "v")

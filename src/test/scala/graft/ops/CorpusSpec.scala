@@ -278,6 +278,14 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("runningTotal on an empty frame returns an empty frame with the added column") {
+    import spark.implicits._
+    val d = Seq.empty[(Long, Long)].toDF("id", "v")
+    val out = Corpus.runningTotal(d, Seq(col("id")), col("v"), "rt", parts = 4)
+    assert(out.columns.toSeq === Seq("id", "v", "rt"))
+    assert(out.count() === 0L)
+  }
+
   test("runningTotal counts null values as 0 and keeps every row") {
     import spark.implicits._
     val d = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))

@@ -190,6 +190,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("collocations matches an independent brute-force recount on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocabWords = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(12))(vocabWords(rnd.nextInt(6))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val window = 2
+    val got = TextAnalysis.collocations(df, "text", window, minCount = 1L, k = 10000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // independent recount: nested loops over the raw token sequences
+    val toks = docs.map(_._2.split("\\s+").toSeq)
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (ts <- toks; i <- ts.indices; j <- (i + 1) to math.min(i + window, ts.size - 1)) {
+      val p = if (ts(i) <= ts(j)) (ts(i), ts(j)) else (ts(j), ts(i))
+      pairCounts(p) = pairCounts.getOrElse(p, 0L) + 1L
+    }
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totTok = toks.map(_.size).sum.toDouble
+    val totPairs = toks.map(ts => (1 to window).map(j => math.max(0, ts.size - j)).sum).sum.toDouble
+    assert(got.keySet === pairCounts.keySet)
+    pairCounts.foreach { case (p, n) =>
+      assert(got(p)._1 === n, s"count mismatch for $p")
+      val pmi = math.log((n / totPairs) / ((uni(p._1) / totTok) * (uni(p._2) / totTok)))
+      assert(math.abs(got(p)._2 - pmi) < 1e-3, s"pmi mismatch for $p")
+    }
+  }
+
   test("zipfFit recovers an exact power law: slope -1, r2 1, exact TTR") {
     import spark.implicits._
     // freq(rank r) = 2520/r exactly (2520 divisible by 1..10):
