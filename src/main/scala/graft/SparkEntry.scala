@@ -582,7 +582,11 @@ object SparkEntry {
     "x_weighted_sample" -> ((s, dir) =>
       Corpus.weightedSample(
           T(s, dir, "documents").select(col("doc_id"),
-            (TextAnalysis.qualityScore(col("text")) + lit(0.01)).as("weight")),
+            // coalesce so a null text degrades to the base weight instead
+            // of tripping the operator's non-positive-weight guard (the
+            // oracle coalesces identically)
+            coalesce(TextAnalysis.qualityScore(col("text")) + lit(0.01),
+              lit(0.01)).as("weight")),
           "doc_id", "weight", k = 25, salt = "s42")
         .select(col("doc_id"), round(col("weight"), 4).as("weight"),
           round(col("priority"), 6).as("priority"))
@@ -2421,14 +2425,15 @@ object SparkEntry {
     // ln and division run in the same order, so the k-cut set is identical
     "x_weighted_sample" ->
       s"""WITH q AS (
-           SELECT doc_id, $qualityExpr + 0.01 AS weight FROM documents),
+           SELECT doc_id, coalesce($qualityExpr + 0.01, 0.01) AS weight
+           FROM documents),
          p AS (
            SELECT doc_id, weight,
              -ln( (('0x' || substr(md5(doc_id || ':s42'), 1, 8))::bigint + 1)
                / 4294967297.0 ) / weight AS priority
            FROM q)
          SELECT doc_id, round(weight, 4) AS weight, round(priority, 6) AS priority
-         FROM p ORDER BY priority, doc_id LIMIT 25""",
+         FROM p ORDER BY p.priority, doc_id LIMIT 25""",
 
     // windowed cumulative sum is exact integer arithmetic, so the budget
     // cut is bit-deterministic; (quality DESC, doc_id) is a total order

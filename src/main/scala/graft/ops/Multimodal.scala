@@ -385,6 +385,12 @@ object Multimodal {
    * duration_seconds]`. Batch shape: whole-partition iterator, one codec
    * configuration per partition, fixed-dim output — blobs never shuffle.
    */
+  /** BT.601 luma of one packed-RGB pixel — the single definition shared
+    * by every image path here ([[imageDHash]], scene-cut mean luma). */
+  private def lumaOf(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+      0.114 * (rgb & 0xff)
+
   /** Decode one JPEG frame and return its BT.601 mean luma; None when
     * ImageIO can't decode it (the shared drop-on-undecodable policy). */
   private def frameMeanLuma(frame: Array[Byte]): Option[Double] = {
@@ -398,9 +404,7 @@ object Multimodal {
       while (y < img.getHeight) {
         var x = 0
         while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          sum += 0.299 * ((rgb >> 16) & 0xff) +
-            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          sum += lumaOf(img.getRGB(x, y))
           x += 1
         }
         y += 1
@@ -550,9 +554,7 @@ object Multimodal {
           val w = img.getWidth
           val h = img.getHeight
           val grid = Array.tabulate(8, 9) { (row, c) =>
-            val rgb = img.getRGB(((2 * c + 1) * w) / 18, ((2 * row + 1) * h) / 16)
-            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
+            lumaOf(img.getRGB(((2 * c + 1) * w) / 18, ((2 * row + 1) * h) / 16))
           }
           var bits = 0L
           var row = 0

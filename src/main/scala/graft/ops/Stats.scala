@@ -26,20 +26,31 @@ object Stats {
    * pass through.
    *
    * Scale shape: two |groups|-row exact-percentile aggregates (median,
-   * then MAD against the broadcast median), each broadcast back — the
-   * corpus is scanned twice but never shuffled.
+   * then MAD against the broadcast median), each broadcast back onto a
+   * corpus scan — three scans total, never a corpus shuffle. The stat
+   * joins are NULL-SAFE on the group keys, so rows in a null group keep
+   * flowing through (flagged against the null group's own stats) instead
+   * of silently vanishing from an inner equi-join.
    */
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
       k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(groupCols.nonEmpty, "madOutliers needs at least one group column")
     val v = col(valueCol)
+    // null-safe broadcast attach of a stats frame keyed by the group cols
+    def attach(base: DataFrame, stats: DataFrame, statCol: String): DataFrame = {
+      val aliased = stats.select(
+        (groupCols.map(c => col(c).as(s"__g_$c")) :+ col(statCol)): _*)
+      val cond = groupCols.map(c => base(c) <=> aliased(s"__g_$c")).reduce(_ && _)
+      base.join(broadcast(aliased), cond, "left")
+        .drop(groupCols.map(c => s"__g_$c"): _*)
+    }
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    val withMed = attach(df, med, "__med")
     val mad = withMed.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
-    withMed.join(broadcast(mad), groupCols)
+    attach(withMed, mad, "__mad")
       .withColumn("robust_z",
         when(v.isNotNull && col("__mad") > 0,
           abs(v - col("__med")) / (lit(madSigma) * col("__mad"))))

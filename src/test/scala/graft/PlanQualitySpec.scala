@@ -456,14 +456,18 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the range-sort rank pipeline:\n$plan")
   }
 
-  test("lateral top-2 decorrelates to a keyed join: no per-row rescan loop") {
+  test("lateral top-2 decorrelates to WindowGroupLimit + keyed equi-join") {
     val df = SparkEntry.queries("q36_lateral")(spark, "/root/testdata/sf0.001")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      s"lateral subquery must decorrelate, not product-join:\n$plan")
-    assert(plan.contains("Join") || plan.contains("Window"),
-      s"expected the decorrelated join/window shape:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral subquery must decorrelate, not loop per row:\n$plan")
+    // the LIMIT 2 lowers to map-side WindowGroupLimit (Partial before the
+    // custkey exchange) and the correlation becomes a hash equi-join
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the per-group limit pushdown:\n$plan")
+    assert(plan.contains("HashJoin [c_custkey") || plan.contains("Join [c_custkey"),
+      s"expected the decorrelated custkey equi-join:\n$plan")
   }
 
   test("winsorize joins bounds by broadcast: the corpus never shuffles") {

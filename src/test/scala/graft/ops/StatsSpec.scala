@@ -47,6 +47,19 @@ class StatsSpec extends SparkTestBase {
     assert(out.exists(x => x._1 == "a" && x._2.isEmpty && !x._3))
   }
 
+  test("madOutliers keeps null-group rows, flagged against the null group's own stats") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 11.0), (None, 12.0), (None, 13.0), (None, 500.0))
+      .toDF("g", "v")
+    val out = Stats.madOutliers(df, "v", Seq("g"), k = 3.0).collect()
+    assert(out.length === 8) // nothing silently dropped by the stat joins
+    val nullGroup = out.filter(_.isNullAt(0))
+      .map(r => r.getDouble(1) -> r.getBoolean(r.fieldIndex("is_outlier"))).toMap
+    assert(nullGroup(500.0)) // flagged within the null group
+    assert(!nullGroup(10.0) && !nullGroup(13.0))
+  }
+
   test("winsorize leaves null values null and unflagged") {
     import spark.implicits._
     val df = (Seq.tabulate(10)(i => ("a", Some(i.toDouble))) :+ (("a", Option.empty[Double])))
