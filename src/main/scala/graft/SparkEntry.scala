@@ -972,6 +972,28 @@ object SparkEntry {
           sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_high"))
         .orderBy("event_type")),
 
+    // mergeable-sketch rollup — THE 100 TB pre-aggregation pattern: daily
+    // HLL sketches materialize once, month uniques come from unioning
+    // sketches (never re-reading raw events); the merged estimate is
+    // bound-checked in-query against the exact count (q12's own-sketch
+    // rule: a regeneration-time failure here means re-tune the bound)
+    "q37_hll_rollup" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val daily = ev
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("__sk"),
+          countDistinct(col("user_id")).as("daily_uniques"))
+      val rolled = daily.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("daily_uniques")).as("sum_daily_uniques"),
+        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_total"))
+      rolled.crossJoin(broadcast(exact))
+        .select(col("n_days"), col("sum_daily_uniques"), col("exact_total"),
+          (abs(col("__est") - col("exact_total"))
+            <= col("exact_total") * lit(0.1)).as("approx_ok"))
+    }),
+
     // correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
     // customer): Catalyst decorrelates it — no per-row re-execution
     "q36_lateral" -> ((s, dir) => {
@@ -3098,6 +3120,19 @@ object SparkEntry {
            cast(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS bigint) AS n_high
          FROM events e JOIN q USING (event_type)
          GROUP BY 1 ORDER BY 1""",
+
+    // the sketch bound is asserted Spark-side (approx_ok); the oracle pins
+    // the exact columns and expects the bound to hold
+    "q37_hll_rollup" ->
+      """WITH d AS (
+           SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS daily_uniques
+           FROM events GROUP BY 1)
+         SELECT count(*) AS n_days,
+           cast(sum(daily_uniques) AS bigint) AS sum_daily_uniques,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_total,
+           true AS approx_ok
+         FROM d""",
 
     "q36_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
