@@ -972,6 +972,25 @@ object SparkEntry {
           sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_high"))
         .orderBy("event_type")),
 
+    // datetime scalar-function family: truncation, arithmetic, clamped
+    // month addition, day diffs, field extraction — all narrow codegen'd
+    // maps with exact DuckDB equivalents
+    "q38_datetime" -> ((s, dir) =>
+      T(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          date_add(col("o_orderdate").cast("date"), 7).as("next_week"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"),
+          trunc(col("o_orderdate").cast("date"), "MM").as("month_start"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus_2_months"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_2002"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"))
+        .orderBy("o_orderkey")),
+
     // mergeable-sketch rollup — THE 100 TB pre-aggregation pattern: daily
     // HLL sketches materialize once, month uniques come from unioning
     // sketches (never re-reading raw events); the merged estimate is
@@ -3120,6 +3139,20 @@ object SparkEntry {
            cast(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS bigint) AS n_high
          FROM events e JOIN q USING (event_type)
          GROUP BY 1 ORDER BY 1""",
+
+    "q38_datetime" ->
+      """SELECT o_orderkey,
+           cast(o_orderdate AS date) AS order_date,
+           cast(cast(o_orderdate AS date) + INTERVAL 7 DAY AS date) AS next_week,
+           last_day(cast(o_orderdate AS date)) AS month_end,
+           cast(date_trunc('month', o_orderdate) AS date) AS month_start,
+           cast(cast(o_orderdate AS date) + INTERVAL 2 MONTH AS date) AS plus_2_months,
+           cast(date_diff('day', cast(o_orderdate AS date), DATE '2002-01-01') AS int) AS days_to_2002,
+           cast(extract(year FROM o_orderdate) AS int) AS yr,
+           cast(extract(quarter FROM o_orderdate) AS int) AS qtr,
+           cast(extract(month FROM o_orderdate) AS int) AS mo,
+           cast(extract(day FROM o_orderdate) AS int) AS dom
+         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
 
     // the sketch bound is asserted Spark-side (approx_ok); the oracle pins
     // the exact columns and expects the bound to hold
