@@ -975,21 +975,22 @@ object SparkEntry {
     // datetime scalar-function family: truncation, arithmetic, clamped
     // month addition, day diffs, field extraction — all narrow codegen'd
     // maps with exact DuckDB equivalents
-    "q38_datetime" -> ((s, dir) =>
+    "q38_datetime" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
       T(s, dir, "orders").filter(col("o_orderkey") < 200)
         .select(col("o_orderkey"),
-          col("o_orderdate").cast("date").as("order_date"),
-          date_add(col("o_orderdate").cast("date"), 7).as("next_week"),
-          last_day(col("o_orderdate").cast("date")).as("month_end"),
-          trunc(col("o_orderdate").cast("date"), "MM").as("month_start"),
-          add_months(col("o_orderdate").cast("date"), 2).as("plus_2_months"),
-          datediff(lit("2002-01-01").cast("date"),
-            col("o_orderdate").cast("date")).as("days_to_2002"),
+          d.as("order_date"),
+          date_add(d, 7).as("next_week"),
+          last_day(d).as("month_end"),
+          trunc(d, "MM").as("month_start"),
+          add_months(d, 2).as("plus_2_months"),
+          datediff(lit("2002-01-01").cast("date"), d).as("days_to_2002"),
           year(col("o_orderdate")).as("yr"),
           quarter(col("o_orderdate")).as("qtr"),
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"))
-        .orderBy("o_orderkey")),
+        .orderBy("o_orderkey")
+    }),
 
     // mergeable-sketch rollup — THE 100 TB pre-aggregation pattern: daily
     // HLL sketches materialize once, month uniques come from unioning
@@ -1009,8 +1010,10 @@ object SparkEntry {
       val exact = ev.agg(countDistinct(col("user_id")).as("exact_total"))
       rolled.crossJoin(broadcast(exact))
         .select(col("n_days"), col("sum_daily_uniques"), col("exact_total"),
-          (abs(col("__est") - col("exact_total"))
-            <= col("exact_total") * lit(0.1)).as("approx_ok"))
+          // empty input: union of zero sketches is null -> vacuously ok
+          coalesce(abs(col("__est") - col("exact_total"))
+              <= col("exact_total") * lit(0.1),
+            col("exact_total") === 0).as("approx_ok"))
     }),
 
     // correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
