@@ -949,6 +949,18 @@ object SparkEntry {
       Sessionize.transitionMatrix(T(s, dir, "events"))
         .orderBy("prev_type", "next_type")),
 
+    // PSI drift monitor: current-half event values bucketed by the
+    // reference half's deciles; equi-depth boundaries broadcast, both
+    // slices collapse map-side to 10-row count tables
+    "e_drift" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      graft.ops.Stats.populationStability(
+          ev.filter(col("ts") < cutoff), ev.filter(col("ts") >= cutoff),
+          "value", buckets = 10)
+        .orderBy("bucket")
+    }),
+
     // robust MAD outlier detection: two |groups|-row percentile aggregates
     // broadcast back; membership pinned by exact integer id sums
     "e_anomaly" -> ((s, dir) =>
@@ -3105,6 +3117,36 @@ object SparkEntry {
          SELECT event_id, user_id, event_type FROM w
          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
          ORDER BY event_id""",
+
+    // same Laplace smoothing (+0.5/bucket) and arithmetic order as
+    // Stats.populationStability, so psi_term hash-matches at 6 decimals
+    "e_drift" ->
+      """WITH ref AS (
+           SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+         cur AS (
+           SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+         b AS (
+           SELECT quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd
+           FROM ref),
+         rb AS (SELECT cast(len(list_filter(b.bnd, x -> x <= value)) AS int) AS bucket
+                FROM ref, b),
+         cb AS (SELECT cast(len(list_filter(b.bnd, x -> x <= value)) AS int) AS bucket
+                FROM cur, b),
+         rn AS (SELECT bucket, count(*) AS ref_n FROM rb GROUP BY 1),
+         cn AS (SELECT bucket, count(*) AS cur_n FROM cb GROUP BY 1),
+         s AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+         j AS (
+           SELECT cast(s.bucket AS int) AS bucket,
+             cast(coalesce(rn.ref_n, 0) AS bigint) AS ref_n,
+             cast(coalesce(cn.cur_n, 0) AS bigint) AS cur_n
+           FROM s LEFT JOIN rn USING (bucket) LEFT JOIN cn USING (bucket)),
+         t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j)
+         SELECT bucket, ref_n, cur_n,
+           round(((ref_n + 0.5) / (rt + 5.0) - (cur_n + 0.5) / (ct + 5.0))
+             * ln(((ref_n + 0.5) / (rt + 5.0))
+               / ((cur_n + 0.5) / (ct + 5.0))), 6) AS psi_term
+         FROM j CROSS JOIN t ORDER BY bucket""",
 
     // same formula order as Stats.madOutliers (abs diff / (1.4826*mad));
     // integer id sums pin outlier MEMBERSHIP, not just counts

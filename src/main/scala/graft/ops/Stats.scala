@@ -59,6 +59,51 @@ object Stats {
   }
 
   /**
+   * Population Stability Index — the standard production drift monitor
+   * between a reference and a current slice of a metric: bucket both by
+   * the REFERENCE deciles (equi-depth on ref, so a stable distribution
+   * puts ~1/buckets mass everywhere), then
+   * `PSI = Σ (p_i - q_i) · ln(p_i / q_i)`. Returns one row per bucket
+   * with counts and the PSI term (sum the column for the headline number;
+   * <0.1 stable, >0.25 action). Laplace smoothing (+0.5 per bucket)
+   * keeps empty current-side buckets finite and fully deterministic —
+   * no epsilon clamps that an oracle can't mirror.
+   *
+   * Scale shape: one |cuts|-row exact-percentile aggregate on the
+   * reference, broadcast onto BOTH slices as a per-row array search
+   * (narrow); each slice collapses map-side to a `buckets`-row count
+   * table; everything after runs on 2·buckets rows. Null values land in
+   * bucket 0 of their slice — filter them first if that skews the story.
+   */
+  def populationStability(ref: DataFrame, cur: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val cuts = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = ref.agg(
+      expr(s"percentile($valueCol, array(${cuts.mkString(", ")}))").as("__b"))
+    def bucketCounts(df: DataFrame, outCol: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(size(filter(col("__b"), b => b <= col(valueCol))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(outCol))
+    val scaffold = ref.sparkSession.range(0, buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = scaffold
+      .join(bucketCounts(ref, "ref_n"), Seq("bucket"), "left")
+      .join(bucketCounts(cur, "cur_n"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val tot = joined.agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
+    val half = lit(0.5)
+    val smoothTot = half * buckets
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        round(((col("ref_n") + half) / (col("__rt") + smoothTot)
+          - (col("cur_n") + half) / (col("__ct") + smoothTot))
+          * log(((col("ref_n") + half) / (col("__rt") + smoothTot))
+            / ((col("cur_n") + half) / (col("__ct") + smoothTot))), 6)
+          .as("psi_term"))
+  }
+
+  /**
    * Per-group winsorization: clip `valueCol` into the exact
    * [pLo, pHi] quantile range of its group — the outlier-taming step
    * before averaging/regression over heavy-tailed metrics. Adds

@@ -71,6 +71,26 @@ class StatsSpec extends SparkTestBase {
     assert(!out.getBoolean(1) && !out.getBoolean(2))
   }
 
+  test("populationStability: zero on identical slices, large and finite under full shift") {
+    import spark.implicits._
+    val base = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Stats.populationStability(base, base, "v", buckets = 10)
+      .select("psi_term").as[Double].collect()
+    assert(same.length === 10)
+    assert(same.forall(_ === 0.0)) // p_i == q_i exactly -> every term 0
+    // current shifted completely out of the reference range: all mass in
+    // the top bucket; terms stay finite thanks to Laplace smoothing
+    val shifted = (0 until 1000).map(i => 1000.0 + i).toDF("v")
+    val drift = Stats.populationStability(base, shifted, "v", buckets = 10)
+      .select("bucket", "ref_n", "cur_n", "psi_term").collect()
+    assert(drift.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    val total = drift.map(_.getDouble(3)).sum
+    assert(total > 1.0, s"full shift must scream (psi=$total)") // >>0.25 action bar
+    // every current row landed in the last bucket
+    assert(drift.filter(_.getInt(0) == 9).head.getLong(2) === 1000L)
+    assert(drift.filter(_.getInt(0) < 9).forall(_.getLong(2) === 0L))
+  }
+
   test("winsorize with no group columns clips against global quantiles") {
     import spark.implicits._
     val df = (0 to 100).map(_.toDouble).toDF("v")
