@@ -588,9 +588,12 @@ object SparkEntry {
             coalesce(TextAnalysis.qualityScore(col("text")) + lit(0.01),
               lit(0.01)).as("weight")),
           "doc_id", "weight", k = 25, salt = "s42")
+        // order on the FULL-precision priority (before the display
+        // rounding) so ties that appear only post-round keep the same row
+        // order as the oracle, which also sorts full precision
+        .orderBy(col("priority"), col("doc_id"))
         .select(col("doc_id"), round(col("weight"), 4).as("weight"),
-          round(col("priority"), 6).as("priority"))
-        .orderBy("priority", "doc_id")),
+          round(col("priority"), 6).as("priority"))),
 
     // budget-constrained data selection: best-quality-first prefix under a
     // global token budget — the cumulative sum is a terasort-style range
@@ -1031,16 +1034,27 @@ object SparkEntry {
     // correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
     // customer): Catalyst decorrelates it — no per-row re-execution
     "q36_lateral" -> ((s, dir) => {
-      T(s, dir, "customer").createOrReplaceTempView("__q36_customer")
-      T(s, dir, "orders").createOrReplaceTempView("__q36_orders")
-      s.sql("""
+      // invocation-unique view names: repeated/concurrent construction in
+      // one SparkSession must not clobber another in-flight q36's views.
+      // sql() analyzes eagerly, so the views can be dropped immediately
+      // after the Dataset is built — execution holds the resolved plan.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val cv = s"__q36_customer_$tag"
+      val ov = s"__q36_orders_$tag"
+      T(s, dir, "customer").createOrReplaceTempView(cv)
+      T(s, dir, "orders").createOrReplaceTempView(ov)
+      try s.sql(s"""
         SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        FROM __q36_customer c, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM __q36_orders
+        FROM $cv c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM $ov
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_custkey < 100
         ORDER BY c.c_custkey, o.o_orderkey""")
+      finally {
+        s.catalog.dropTempView(cv)
+        s.catalog.dropTempView(ov)
+      }
     }),
 
     // higher-order array functions: filter/aggregate/transform lambdas +
@@ -3179,7 +3193,12 @@ object SparkEntry {
              quantile_cont(value, 0.95) AS hi
            FROM events GROUP BY 1)
          SELECT e.event_type, count(*) AS n,
-           round(sum(least(greatest(e.value, q.lo), q.hi)), 2) AS clipped_sum,
+           -- NULL stays NULL/unclipped, mirroring Stats.winsorize's guard
+           -- (DuckDB's least/greatest would otherwise ignore the NULL and
+           -- clamp it to the bound, Postgres-style)
+           round(sum(CASE WHEN e.value IS NULL THEN NULL
+                          ELSE least(greatest(e.value, q.lo), q.hi) END), 2)
+             AS clipped_sum,
            cast(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS bigint) AS n_low,
            cast(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS bigint) AS n_high
          FROM events e JOIN q USING (event_type)

@@ -248,8 +248,14 @@ object Corpus {
     val n = df.count()
     val hashed = df.withColumn("__h",
       md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+    // idCol is the tie-break: duplicate ids hash identically, and without
+    // a secondary key their relative order (hence pos / shard at shard
+    // boundaries) would be nondeterministic across runs. With the id as
+    // tie-break the order is a deterministic total order whenever idCol is
+    // unique (the documented contract); exact duplicate ids remain
+    // interchangeable with each other only.
     val sorted = hashed.repartitionByRange(parts, col("__h"))
-      .sortWithinPartitions(col("__h"))
+      .sortWithinPartitions(col("__h"), col(idCol))
     val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L)) }
     val spark = df.sparkSession

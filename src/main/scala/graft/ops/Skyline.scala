@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed 2-D skyline (Pareto frontier, maximize both axes) — the
@@ -15,20 +17,38 @@ import org.apache.spark.sql.functions._
  * they never dominate anything and are never dominated — they pass
  * through to the output untouched.
  *
- * Scale shape — the classic two-phase prune:
+ * Scale shape — partition prune, then a GRID-PARTITIONED finish (no
+ * single-task phase anywhere, even for adversarial inputs):
  *   1. **Local phase** (narrow, no shuffle): each input partition computes
  *      its own skyline with one sort + one linear scan in
  *      `mapPartitions`. A partition's skyline is a superset filter for the
  *      global one (any globally non-dominated point is locally
- *      non-dominated), and for non-degenerate data it is tiny —
- *      O(log n) expected points per partition under independent axes —
- *      so phase 1 discards essentially the whole table executor-side.
- *   2. **Global phase**: the surviving candidates (hundreds, not
- *      billions) are pulled into ONE task (`repartition(1)`) and pruned
- *      with the same scan. The single task is safe precisely because
- *      phase 1 bounds its input to the union of per-partition skylines —
- *      the one-reducer stage sees O(parts · skyline), never O(n). The
- *      full table is never shuffled, collected, or globally sorted.
+ *      non-dominated) — for independent axes it discards essentially the
+ *      whole table executor-side. The candidate set is cached
+ *      (MEMORY_AND_DISK) because the finish reads it three times (cut
+ *      points, per-bucket maxima, the filter itself) — one input scan
+ *      total, never three.
+ *   2. **Grid prefilter** (declarative, all lazy): `buckets-1` approximate
+ *      percentiles of candidate `x` define x-ordered buckets
+ *      (`__b` = #cuts strictly above x, so equal x always share a bucket
+ *      and every row in a LOWER bucket has STRICTLY greater x). Per-bucket
+ *      `max(y)` rolls into a running prefix max over higher-x buckets
+ *      (a ≤`buckets`-row window), broadcast back: a candidate whose y
+ *      does not beat the prefix max of its bucket is dominated by some
+ *      higher-x candidate and is dropped without any pairwise work. This
+ *      is exact, not approximate — the percentile sketch only steers
+ *      bucket SIZES, never correctness.
+ *   3. **Per-bucket finish**: survivors hash-partition by bucket and each
+ *      task scans only its buckets. Any remaining dominator of a
+ *      surviving row provably shares its bucket (a dropped same-bucket
+ *      dominator would imply a prefix max that drops the row too), so
+ *      per-bucket pruning IS the global skyline. Worst case — fully
+ *      anti-correlated axes where NOTHING is dominated — each task
+ *      materializes O(candidates / buckets), never O(candidates); the
+ *      old `repartition(1)` finish would have funneled the whole
+ *      candidate union (≈ the whole table, for such inputs) through one
+ *      task. The unavoidable residual skew: a single x value with
+ *      millions of ties must share a bucket (its y-ties resolve there).
  *
  * The scan itself: sort (x desc, y desc), walk x-groups in order; a group
  * survives iff its max-y beats the running max-y of all strictly-greater-x
@@ -39,9 +59,22 @@ import org.apache.spark.sql.functions._
  */
 object Skyline {
 
+  /** Local-mode test probe: when set >= 0, every local scan records the
+    * largest row count any single task materialized (shared-JVM
+    * instrumentation for `local[n]` specs; executors on a real cluster
+    * simply never see a non-negative value). */
+  private[ops] val probeMaxTaskRows =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Rows of `df` not dominated on (`xCol`, `yCol`), both maximized.
-    * All other columns ride along unchanged. */
-  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    * All other columns ride along unchanged. `buckets` bounds the finish:
+    * no task materializes more than ~candidates/buckets rows (size it so
+    * that holds in executor memory at your scale; 256 × the default
+    * 128 MB-ish task budget covers frontiers into the tens of billions
+    * of candidate rows). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
     Seq(xi, yi).foreach { i =>
@@ -51,9 +84,54 @@ object Skyline {
     }
     val prune = (rows: Iterator[Row]) => localSkyline(rows, xi, yi)
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
-    val local = df.mapPartitions(prune)(enc)
-    // phase-1 output is small by construction; one task finishes the job
-    local.repartition(1).mapPartitions(prune)(enc)
+    // phase 1: narrow per-partition prune; cached because the grid finish
+    // consumes it three times (cuts, bucket maxima, filter) — the cache is
+    // reclaimed by the context cleaner once the result Dataset is dropped
+    val cand = df.mapPartitions(prune)(enc).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val x = col(xCol)
+    val y = col(yCol)
+    val valued = x.isNotNull && y.isNotNull
+
+    // x-ordered bucket cut points (deterministic sketch — recompute-safe)
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = cand.filter(valued)
+      .agg(expr(s"approx_percentile(`$xCol`, array(${probs.mkString(",")}))")
+        .as("__cuts"))
+    // bucket 0 = highest x range; equal x can never straddle a bucket
+    val bucketed = cand.crossJoin(broadcast(cuts))
+      .withColumn("__b",
+        when(valued, size(filter(col("__cuts"), c => c > x))).cast("int"))
+      .drop("__cuts")
+
+    // exact per-bucket max(y) → running prefix max over strictly-higher-x
+    // buckets. The prefix runs as a tiny triangle self-join over the
+    // ≤ `buckets`-row aggregate (broadcast, no window, no single-partition
+    // stage): prefix(b) = max over buckets b' < b of their max y.
+    val bm = bucketed.filter(col("__b").isNotNull)
+      .groupBy(col("__b")).agg(max(y).as("__bmax"))
+    val prefix = bm.select(col("__b"), col("__bmax"))
+      .join(broadcast(bm.select(col("__b").as("__rb"), col("__bmax").as("__rmax"))),
+        col("__rb") < col("__b"), "left")
+      .groupBy(col("__b")).agg(max(col("__rmax")).as("__pmax"))
+
+    // drop rows beaten by a strictly-higher-x bucket's max y; null-axis
+    // rows (__b null → no join match) and the top bucket (__pmax null)
+    // pass through untouched
+    val kept = bucketed.join(broadcast(prefix), Seq("__b"), "left")
+      .filter(col("__pmax").isNull || y > col("__pmax"))
+      .drop("__pmax")
+
+    // per-bucket finish: all surviving dominators of a row share its
+    // bucket, so bucket-partitioned local scans yield the global skyline
+    val outSchema = kept.schema
+    val bxi = outSchema.fieldIndex(xCol)
+    val byi = outSchema.fieldIndex(yCol)
+    val encB = org.apache.spark.sql.Encoders.row(outSchema)
+    val pruneB = (rows: Iterator[Row]) => localSkyline(rows, bxi, byi)
+    kept.repartition(buckets, col("__b"))
+      .mapPartitions(pruneB)(encB)
+      .drop("__b")
   }
 
   /** One sort + linear scan skyline over an in-memory partition. Rows
@@ -61,6 +139,10 @@ object Skyline {
     * they neither dominate nor are dominated). */
   private def localSkyline(rows: Iterator[Row], xi: Int, yi: Int): Iterator[Row] = {
     val (nullAxis, valued) = rows.toArray.partition(r => r.isNullAt(xi) || r.isNullAt(yi))
+    if (probeMaxTaskRows.get() >= 0L) {
+      val n = (nullAxis.length + valued.length).toLong
+      probeMaxTaskRows.getAndAccumulate(n, math.max)
+    }
     if (valued.isEmpty) return nullAxis.iterator
     // descending on both axes WITHOUT negation: -Long.MinValue overflows
     val desc = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long.reverse)

@@ -311,18 +311,34 @@ object TextAnalysis {
    * ttr.
    *
    * Scale shape: one explode → map-side-combined term-count aggregate;
-   * ranking and regression run over the VOCAB-sized dictionary (the
-   * single-partition rank window sees dictionary rows, never the corpus)
-   * and the regression is a mergeable `regr_*` aggregate.
+   * the top-`topN` cut is `orderBy(...).limit(topN)` — Spark lowers it to
+   * `TakeOrderedAndProject` (each task keeps a local top-N heap, the
+   * driver merges N·parts rows), so the FULL vocabulary is never sorted
+   * or ranked through one task. Only the ≤ topN survivors see a rank
+   * window, and that window carries an explicit (constant) partition key
+   * so no partition-less WindowExec ever appears in the plan. The
+   * regression itself is a mergeable `regr_*` aggregate.
    */
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(topN >= 2, s"topN must be >= 2, got $topN")
     val freq = df.select(explode(tokens(col(textCol))).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
-    val w = Window.orderBy(col("__freq").desc, col("__tok").asc)
-    val top = freq.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= topN)
+    // distributed top-N (TakeOrderedAndProject: each task keeps a local
+    // heap, the driver merges), then rank the ≤ topN survivors by
+    // streaming them through one TINY task in sorted order — no window at
+    // all (a rank window here would either be partition-less, moving the
+    // FULL vocab through one task pre-limit, or have its constant
+    // partition key folded away by Catalyst, which comes to the same)
+    val topSorted = freq.orderBy(col("__freq").desc, col("__tok").asc).limit(topN)
+    val rankedSchema = topSorted.schema
+      .add("__rank", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val top = topSorted
+      .repartition(1)
+      .sortWithinPartitions(col("__freq").desc, col("__tok").asc)
+      .mapPartitions { it =>
+        var r = 0
+        it.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+      }(org.apache.spark.sql.Encoders.row(rankedSchema))
     val y = log(col("__freq"))
     val x = log(col("__rank"))
     val fit = top.agg(

@@ -1403,7 +1403,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     overwrite(compacted, operation = "replace")
   }
 
-  def rewriteDataFilesSorted(sortExprs: Seq[Column]): GraftSnapshot = {
+  def rewriteDataFilesSorted(sortExprs: Seq[Column],
+      targetFiles: Int = 8): GraftSnapshot = {
     val df = toDF
     // partition columns LEAD the local sort (see rewriteDataFilesZOrder):
     // otherwise the writer's own dynamic-partition sort reorders rows and
@@ -1413,7 +1414,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
         df.repartition(partitionCols.map(col).toIndexedSeq: _*)
           .sortWithinPartitions(
             (partitionCols.map(asc_nulls_last) ++ sortExprs).toIndexedSeq: _*)
-      else df.repartition(1).sortWithinPartitions(sortExprs.toIndexedSeq: _*)
+      else {
+        // unpartitioned table: terasort-style GLOBAL order across the
+        // rewritten files — range-partition on the sort key (sampling
+        // picks the split points, SortOrder direction is honored) so
+        // every task sorts only its slice, exactly like the z-order path.
+        // A single-task global sort here would funnel the whole table
+        // through one executor at compaction time. Clamped to the current
+        // file count so compaction never INCREASES the file count (tiny
+        // tables still collapse to one file).
+        val width = math.max(1, math.min(targetFiles,
+          meta.currentSnapshot.map(_.files.size).getOrElse(1)))
+        df.repartitionByRange(width, sortExprs.toIndexedSeq: _*)
+          .sortWithinPartitions(sortExprs.toIndexedSeq: _*)
+      }
     overwrite(compacted, operation = "replace")
   }
 

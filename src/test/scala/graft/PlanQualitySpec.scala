@@ -506,21 +506,36 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the offset-ranked RDD pipeline:\n$plan")
   }
 
-  test("skyline phase 1 is narrow: no exchange before the per-partition prune") {
+  test("zipfFit plans no Window: top-N via TakeOrdered, never a full-vocab sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.TextAnalysis.zipfFit(docs, "text", topN = 100)
+      .queryExecution.executedPlan.toString
+    // a partition-less rank window here would serialize the ENTIRE
+    // vocabulary (10^8+ terms at web scale) through one task before the
+    // top-N cut; the top-N must lower to a distributed TakeOrdered and
+    // only the <= topN survivors may touch a single task
+    assert(!plan.contains("Window"),
+      s"zipfFit must not plan any Window operator:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected the distributed top-N (TakeOrderedAndProject):\n$plan")
+  }
+
+  test("skyline finish is grid-partitioned: no single-partition exchange anywhere") {
     import spark.implicits._
     val pts = (0L until 1000L).map(i => (i % 97, (i * 31) % 89))
       .toDF("x", "y")
-    val out = graft.ops.Skyline.skyline2D(pts, "x", "y")
+    val out = graft.ops.Skyline.skyline2D(pts, "x", "y", buckets = 16)
+    // the old design finished with repartition(1), funneling every
+    // candidate through one task; the grid finish ends bucket-partitioned
+    // (the only SinglePartition exchanges left carry one-row-per-task
+    // aggregate buffers — the percentile cuts — never candidate rows)
+    assert(out.rdd.getNumPartitions > 1,
+      "skyline output must stay bucket-partitioned, not single-task")
     val plan = out.queryExecution.executedPlan.toString
-    // exactly one exchange total: the repartition(1) that carries ONLY
-    // phase-1 survivors; the full input maps straight into the local prune
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"expected one exchange (candidates only):\n$plan")
-    val bottomUp = plan.linesIterator.toSeq.reverse // leaf first
-    val scanIdx = bottomUp.indexWhere(_.contains("LocalTableScan"))
-    val pruneIdx = bottomUp.indexWhere(_.contains("MapPartitions"))
-    val exIdx = bottomUp.indexWhere(_.contains("Exchange"))
-    assert(scanIdx >= 0 && scanIdx < pruneIdx && pruneIdx < exIdx,
-      s"local prune must run below the single exchange:\n$plan")
+    // both scan phases present: the narrow phase-1 prune and the
+    // per-bucket finish are MapPartitions operators
+    val mapPartitions = plan.linesIterator.count(_.contains("MapPartitions"))
+    assert(mapPartitions >= 2,
+      s"expected phase-1 prune + per-bucket finish MapPartitions:\n$plan")
   }
 }

@@ -87,6 +87,43 @@ class SkylineSpec extends SparkTestBase {
     assert(out == Set("a", "b"))
   }
 
+  test("anti-correlated 1e5 rows: exact full frontier, bounded per-task materialization") {
+    // fully anti-correlated axes — NOTHING is dominated, so phase 1 prunes
+    // zero rows and the old repartition(1) finish would have materialized
+    // all 100k candidates in one task. The grid finish must keep every
+    // task's in-memory slice bounded by ~candidates/buckets.
+    val n = 100000L
+    val df = spark.range(n)
+      .select(col("id").as("x"), (lit(n) - col("id")).as("y"))
+      .repartition(16)
+    Skyline.probeMaxTaskRows.set(0L)
+    try {
+      val out = Skyline.skyline2D(df, "x", "y", buckets = 64)
+      assert(out.rdd.getNumPartitions > 1,
+        "grid finish must not collapse to a single partition")
+      assert(out.count() === n) // every point is on the frontier
+      val maxTask = Skyline.probeMaxTaskRows.get()
+      // phase 1: ~n/16 = 6250 per task; finish: ~n/64 per bucket, a few
+      // buckets per hash partition — far below the full candidate set
+      assert(maxTask <= 20000L,
+        s"a task materialized $maxTask rows — the finish is not bounded")
+    } finally Skyline.probeMaxTaskRows.set(-1L)
+  }
+
+  test("grid prefilter correctness under heavy x-ties and mixed dominance") {
+    val rnd = new scala.util.Random(11)
+    // few distinct x values force cut-point ties: equal x must never
+    // straddle buckets, and prefix-max pruning must stay exact
+    val pts = Seq.fill(2000)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    assert(sky(pts, parts = 8) == brute(pts))
+    // buckets > distinct candidates: most buckets empty
+    val tiny = Seq((1L, 9L), (3L, 7L), (2L, 2L))
+    val out = Skyline.skyline2D(
+      spark.createDataset(tiny).toDF("x", "y"), "x", "y", buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 9L), (3L, 7L)))
+  }
+
   test("non-bigint axes are rejected loudly") {
     val df = Seq((1, 2)).toDF("x", "y")
     val e = intercept[IllegalArgumentException] {
