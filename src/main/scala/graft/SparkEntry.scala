@@ -825,14 +825,26 @@ object SparkEntry {
     }),
 
     // the IVF PRODUCTION config (nProbe << nCells — the scale path that
-    // skips 3/4 of the corpus): approximate by construction, so its
-    // correctness contract is the AccuracySpec recall bound (>= 0.55
-    // recall@5 at sf0.01, monotone in nProbe), not a hash oracle —
-    // rows-only BY DESIGN; s_ann_ivf keeps the exhaustive oracle config
+    // skips 3/4 of the corpus): approximate by construction, so the
+    // hash-compared surface follows the q12/q31 own-bound pattern — the
+    // deterministic cells are the EXHAUSTIVE top-5 per query (which DuckDB
+    // replays exactly), and `recall_ok` asserts in-query that the tuned
+    // nProbe=4 IVF run recovers >= 50% of those truth pairs overall
+    // (AccuracySpec measures ~0.6+ and pins monotonicity in nProbe; the
+    // oracle emits literal TRUE, so a recall collapse hash-mismatches)
     "s_ann_ivf_probe" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
-      Similarity.ivfSearch(e.filter(col("vec_id") < 10),
-        graft.queries.TableFixtures.ivfIndex(s, dir), k = 5, nProbe = 4)
+      val q = e.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfSearch(q,
+          graft.queries.TableFixtures.ivfIndex(s, dir), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      val flagged = exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      val recall = flagged.agg(
+        (sum(coalesce(col("__hit"), lit(0L))) / count(lit(1))).as("__recall"))
+      flagged.crossJoin(broadcast(recall))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine_sim"), (col("__recall") >= 0.5).as("recall_ok"))
         .orderBy("query_id", "rank")
     }),
 
@@ -2881,6 +2893,13 @@ object SparkEntry {
     // rescore shortlist) — the quantized two-stage pipeline must reproduce
     // brute force bit-for-bit
     "s_ann_ivf_pq" -> annTopkSql,
+
+    // own-bound pattern (q12/q31): the deterministic cells are the
+    // exhaustive top-5 (identical to annTopkSql); the engine-side boolean
+    // asserts the tuned nProbe=4 IVF recall >= 0.5, and the oracle's
+    // literal TRUE makes a recall collapse a hash mismatch
+    "s_ann_ivf_probe" ->
+      annTopkSql.replace("AS cosine_sim", "AS cosine_sim, TRUE AS recall_ok"),
 
     // deterministic hyperplane-signature recompute: bucket-join on
     // (table_id, sig) exactly like Similarity.lshTopK, then exact cosine

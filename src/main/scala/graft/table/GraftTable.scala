@@ -504,7 +504,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
       keyCols: Seq[String], kind: String = "equality"): Seq[DeleteFile] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$location/_staging/del-$commitId")
-    keys.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    // Size guard: the intended MoR trade is a SMALL delete set (CoW exists
+    // for big deletes), but an unexpectedly huge one must not funnel
+    // through one write task. Count first (one extra pass over the key
+    // scan — trivial next to the delete itself), then fan the write out to
+    // ~4M keys per file, capped at 64 files; the read path already merges
+    // a list of delete files per commit.
+    val total = keys.count()
+    val rowsPerFile = math.max(1L,
+      properties.getOrElse("write.delete.rows-per-file", (4L << 20).toString).toLong)
+    val nFiles = math.max(1L, math.min(64L,
+      (total + rowsPerFile - 1) / rowsPerFile)).toInt
+    val staged0 =
+      if (nFiles == 1) keys.coalesce(1) else keys.repartition(nFiles)
+    staged0.write.mode("overwrite").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val dels = staged.toSeq.map { st =>

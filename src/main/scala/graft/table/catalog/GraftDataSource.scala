@@ -1,0 +1,55 @@
+package graft.table.catalog
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.{GraftTable, SnapshotLog}
+
+/**
+ * The `graft` data-source short name — what makes `USING graft` a valid
+ * provider in DDL (the session-catalog router,
+ * [[GraftSessionCatalog]], dispatches on it exactly like the reference's
+ * `USING iceberg` under its session catalog) and enables path-based
+ * reads of a table directory:
+ *
+ * {{{
+ * spark.read.format("graft").load("/warehouse/finance/activity")
+ * }}}
+ *
+ * A path read serves the CURRENT snapshot through the same DSv2 table the
+ * catalogs build (vectorized parquet scan, pushdown, pruning), read-only:
+ * versioned writes need a table identity for the commit log, so they go
+ * through a catalog or the [[graft.table.GraftTable]] API.
+ */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def location(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft path read needs a table location: spark.read.format(\"graft\").load(dir)"))
+
+  private def table(options: CaseInsensitiveStringMap): Table = {
+    val spark = SparkSession.active
+    val loc = location(options)
+    require(GraftTable.exists(spark, loc), s"no graft table at $loc")
+    val meta = SnapshotLog.read(loc, spark.sparkContext.hadoopConfiguration)
+    GraftSqlTables.forSnapshot(spark, loc, loc, meta,
+      meta.currentSnapshot, writable = false)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    table(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    table(new CaseInsensitiveStringMap(properties))
+}

@@ -224,8 +224,18 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   private def sqlTable(ident: Identifier, meta: TableMetadata,
-      snap: Option[GraftSnapshot], writable: Boolean): Table = {
-    val loc = tableLocation(ident)
+      snap: Option[GraftSnapshot], writable: Boolean): Table =
+    GraftSqlTables.forSnapshot(spark, ident.toString, tableLocation(ident),
+      meta, snap, writable)
+}
+
+/** Builds the DSv2 [[Table]] serving one graft snapshot — shared by the
+  * catalogs and the path-based `graft` [[GraftDataSource]] format. */
+private[catalog] object GraftSqlTables {
+
+  def forSnapshot(spark: SparkSession, name: String, loc: String,
+      meta: TableMetadata, snap: Option[GraftSnapshot],
+      writable: Boolean): Table = {
     val declared = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[StructType]
     // Hive convention: the SQL surface lists partition columns LAST. This
@@ -243,7 +253,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
     val paths = snap.map(_.files.map(f => s"$dataDir/${f.path}")).getOrElse(Seq.empty)
     val options = new CaseInsensitiveStringMap(
       Map("basePath" -> dataDir).asJava)
-    val inner = ParquetTable(ident.toString, spark, options, paths,
+    val inner = ParquetTable(name, spark, options, paths,
       Some(schema), classOf[ParquetFileFormat])
     // two snapshot shapes can't be served by one plain file scan: pending
     // merge-on-read deletes (need the anti-join plan) and mixed partition
@@ -263,8 +273,9 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
     val planRead = snap
       .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout || preRenameFiles)
       .map(sn => GraftPlanRead(loc, sn.id))
-    if (writable) new GraftWritableTable(ident.toString, loc, inner, schema, planRead)
-    else new GraftReadOnlyTable(ident.toString, inner, schema, planRead)
+    if (writable)
+      new GraftWritableTable(name, loc, inner, schema, planRead, meta.props)
+    else new GraftReadOnlyTable(name, inner, schema, planRead, meta.props)
   }
 }
 
@@ -298,9 +309,14 @@ case class GraftPlanRead(location: String, snapshotId: Long)
   * pinned historical snapshot can never be written through. */
 class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     tableSchema: StructType,
-    val planRead: Option[GraftPlanRead] = None) extends Table with SupportsRead {
+    val planRead: Option[GraftPlanRead] = None,
+    tableProps: Map[String, String] = Map.empty) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  // recorded table properties ride the DSv2 surface so SHOW TBLPROPERTIES
+  // round-trips what the DDL declared (including formally-waived ones
+  // like write.delete.format.default — see ActivityData.tableProps)
+  override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -328,8 +344,9 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   * touched. */
 class GraftWritableTable(tableName: String, val location: String,
     inner: ParquetTable, tableSchema: StructType,
-    planReadInfo: Option[GraftPlanRead] = None)
-  extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo)
+    planReadInfo: Option[GraftPlanRead] = None,
+    tableProps: Map[String, String] = Map.empty)
+  extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo, tableProps)
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =

@@ -22,6 +22,40 @@ class GraftTableSpec extends SparkTestBase {
     t
   }
 
+  test("sort compaction of an UNPARTITIONED table: multi-file terasort global order") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val t = GraftTable.create(spark, tmpDir("unpart-sort"), "us", schema, Seq.empty)
+    val rnd = new scala.util.Random(13)
+    // many small files: 6 appends x 2 tasks each
+    (1 to 6).foreach { _ =>
+      t.append(Seq.fill(200)((rnd.nextLong().abs, "v")).toDF("k", "v").repartition(2))
+    }
+    assert(t.meta.currentSnapshot.get.files.size >= 12)
+    t.rewriteDataFilesSorted(Seq(asc_nulls_last("k")), targetFiles = 4)
+    val files = t.meta.currentSnapshot.get.files
+    // compacted AND distributed: more than one task wrote, none saw all rows
+    assert(files.size > 1 && files.size <= 4, s"got ${files.size} files")
+    // global terasort order: each file internally sorted, file key ranges
+    // disjoint — so concatenating files by min-key reads the whole table
+    // in order without any single-task global sort having run
+    val ranges = files.map { f =>
+      val ks = spark.read.schema(schema)
+        .parquet(s"${t.location}/data/${f.path}")
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted, s"file ${f.path} not internally sorted")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(t.toDF.count() === 1200)
+  }
+
   test("create + append + read back round trip") {
     val loc = tmpDir("graft-basic")
     val t = GraftTable.create(spark, loc, "t", ActivityData.schema,

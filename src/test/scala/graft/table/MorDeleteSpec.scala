@@ -31,6 +31,27 @@ class MorDeleteSpec extends SparkTestBase {
     assert(snap.deleteFiles.head.path.startsWith("_deletes/"))
   }
 
+  test("large MoR delete fans out to multiple delete files (size guard)") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val t = GraftTable.create(spark, tmpDir("mor-big"), "morbig", schema,
+      Seq.empty,
+      // tiny rows-per-file so the guard trips at spec scale: the same
+      // threshold defaults to 4M keys per file in production
+      Map("write.delete.rows-per-file" -> "100"))
+    t.append((0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.deleteWhereMoR(col("id") < 450, Seq("id"))
+    val snap = t.meta.currentSnapshot.get
+    // 450 deleted keys / 100 per file = 5 delete files, one commit
+    assert(snap.deleteFiles.size > 1, s"expected multi-file delete, got ${snap.deleteFiles.size}")
+    assert(snap.deleteFiles.map(_.records).sum === 450L)
+    // the anti-join read merges ALL delete files of the commit
+    assert(t.toDF.count() === 550)
+    assert(t.toDF.agg(min(col("id"))).collect().head.getLong(0) === 450L)
+  }
+
   test("sequence semantics: keys appended after the delete are live again") {
     val t = fresh("seq")
     t.deleteWhereMoR(col("txn_id") === "txn5", Seq("txn_id"))

@@ -32,6 +32,18 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     assert(byAccount.map(_.getLong(1)).sum === 45)
   }
 
+  test("SHOW TBLPROPERTIES round-trips declared properties (incl. the waived avro delete format)") {
+    warehouse
+    val props = spark.sql("SHOW TBLPROPERTIES graft.finance.activity")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.wap.enabled").contains("true"))
+    // recorded verbatim from the DDL; behavior is waived — delete files
+    // are written as parquet (GraftTable.writeDeleteFiles), functionally
+    // equivalent to the reference's avro delete files
+    assert(props.get("write.delete.format.default").contains("avro"))
+    assert(props.get("write.parquet.compression-codec").contains("zstd"))
+  }
+
   test("SQL VERSION AS OF resolves branch refs and snapshot ids") {
     warehouse
     assert(spark.sql(
