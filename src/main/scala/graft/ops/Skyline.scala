@@ -68,13 +68,18 @@ object Skyline {
 
   /** Rows of `df` not dominated on (`xCol`, `yCol`), both maximized.
     * All other columns ride along unchanged. `buckets` bounds the finish:
-    * no task materializes more than ~candidates/buckets rows (size it so
-    * that holds in executor memory at your scale; 256 × the default
-    * 128 MB-ish task budget covers frontiers into the tens of billions
-    * of candidate rows). */
+    * no task materializes more than ~candidates/buckets rows. The default
+    * (`spark.sql.shuffle.partitions`, min 2) tracks the session's tuned
+    * parallelism — on a 1000-executor cluster that is thousands of
+    * buckets, while local runs avoid paying hundreds of near-empty
+    * finish tasks; raise it explicitly if the FRONTIER itself may exceed
+    * parallelism × task memory. */
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
-      buckets: Int = 256): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+      buckets: Int = 0): DataFrame = {
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.max(2, df.sparkSession.sessionState.conf.numShufflePartitions)
+    require(nBuckets >= 2, s"buckets must be >= 2, got $nBuckets")
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
     Seq(xi, yi).foreach { i =>
@@ -94,7 +99,7 @@ object Skyline {
     val valued = x.isNotNull && y.isNotNull
 
     // x-ordered bucket cut points (deterministic sketch — recompute-safe)
-    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val cuts = cand.filter(valued)
       .agg(expr(s"approx_percentile(`$xCol`, array(${probs.mkString(",")}))")
         .as("__cuts"))
@@ -129,7 +134,7 @@ object Skyline {
     val byi = outSchema.fieldIndex(yCol)
     val encB = org.apache.spark.sql.Encoders.row(outSchema)
     val pruneB = (rows: Iterator[Row]) => localSkyline(rows, bxi, byi)
-    kept.repartition(buckets, col("__b"))
+    kept.repartition(nBuckets, col("__b"))
       .mapPartitions(pruneB)(encB)
       .drop("__b")
   }
