@@ -344,6 +344,42 @@ object DriveApp {
         .collect().map(_.getLong(1)).mkString(",")
       println(s"skyline $sky shard-sizes=$sizes")
     }
+    println("== session catalog + graft format + JDBC commit CAS")
+    locally {
+      import graft.table.JdbcCommitGuard
+      import graft.table.catalog.GraftSessionCatalog
+      // spark_catalog override: unqualified names resolve versioned tables
+      val wh = java.nio.file.Files.createTempDirectory("drive-sc-wh").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog",
+        classOf[GraftSessionCatalog].getName)
+      s2.conf.set("spark.sql.catalog.spark_catalog.warehouse", wh)
+      s2.sql("CREATE TABLE finance.drive_demo (id BIGINT, v STRING) USING graft")
+      s2.sql("INSERT INTO finance.drive_demo VALUES (1, 'a'), (2, 'b')")
+      s2.sql("ALTER TABLE finance.drive_demo CREATE BRANCH first")
+      s2.sql("INSERT INTO finance.drive_demo VALUES (3, 'c')")
+      val unq = s2.sql("SELECT count(*) FROM finance.drive_demo").collect().head.getLong(0)
+      val asOf = s2.sql("SELECT count(*) FROM finance.drive_demo VERSION AS OF 'first'")
+        .collect().head.getLong(0)
+      // path-based v2 format read of the same table directory
+      val viaFormat = spark.read.format("graft")
+        .load(s"$wh/finance/drive_demo").count()
+      println(s"session-catalog unqualified=$unq asof-branch=$asOf format-read=$viaFormat")
+      // JDBC commit CAS: two guarded commits, one pre-claimed slot healed
+      val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("drive-derby")}/db;create=true"
+      val restore = JdbcCommitGuard.installGlobally(url)
+      try {
+        import spark.implicits._
+        val t = graft.table.GraftTable.create(spark,
+          java.nio.file.Files.createTempDirectory("drive-jdbc").toString + "/t",
+          "jd", org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("i",
+              org.apache.spark.sql.types.LongType))))
+        t.append(Seq(1L, 2L).toDF("i"))
+        t.append(Seq(3L).toDF("i"))
+        println(s"jdbc-guard commits=${t.meta.snapshots.size} rows=${t.toDF.count()}")
+      } finally graft.table.SnapshotLog.commitGuardFor = restore
+    }
     spark.stop()
   }
 }
