@@ -554,6 +554,25 @@ object SparkEntry {
           round(max(col("keep_frac")), 6).as("keep_frac"))
         .orderBy("source")),
 
+    // temperature-weighted mixture (mT5/XLM-R alpha-sampling): share of
+    // domain d ∝ tokens_d^0.5, scaled to a 20k-token budget — alpha=0.5
+    // so the weight is sqrt (IEEE correctly-rounded, bit-identical in
+    // DuckDB); keep decisions on deterministic doc_id mod-buckets
+    "x_temperature_mix" -> ((s, dir) =>
+      Corpus.temperatureMix(T(s, dir, "documents"), "text", "source",
+          "doc_id", alpha = 0.5, tokenBudget = 20000L, buckets = 1000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          round(max(col("keep_frac")), 6).as("keep_frac"))
+        .orderBy("source")),
+
+    // unigram-distribution divergence between two slices (top-200 terms,
+    // Laplace smoothed): KL both directions + bounded Jensen-Shannon —
+    // the lexical drift/mixture-design audit signal
+    "x_kl_divergence" -> ((s, dir) =>
+      TextAnalysis.unigramDivergence(T(s, dir, "documents"), "text", "lang",
+        "en", "de", topN = 200)),
+
     // the COMPOSED corpus-preparation pipeline: quality-filter ->
     // exact-dedup -> redact -> stratified-sample -> chunk, one operator
     "x_pipeline" -> ((s, dir) =>
@@ -2461,6 +2480,59 @@ object SparkEntry {
            cast(sum(doc_id) AS bigint) AS id_sum,
            round(max(keep_frac), 6) AS keep_frac
          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // alpha=0.5 weight is sqrt: IEEE-correctly-rounded in both engines,
+    // so the keep fractions are bit-reproducible
+    "x_temperature_mix" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         dom AS (SELECT source, cast(sum(tok) AS bigint) AS dom_tokens
+                 FROM t GROUP BY 1),
+         tp AS (SELECT sum(sqrt(cast(dom_tokens AS double))) AS tot_pow FROM dom),
+         fr AS (SELECT source,
+                  least(1.0, 20000.0 * sqrt(cast(dom_tokens AS double))
+                    / tot_pow / cast(dom_tokens AS double)) AS keep_frac
+                FROM dom CROSS JOIN tp),
+         kept AS (
+           SELECT t.source, t.doc_id, fr.keep_frac
+           FROM t JOIN fr USING (source)
+           WHERE (t.doc_id % 1000) < fr.keep_frac * 1000)
+         SELECT source, count(*) AS n_kept,
+           cast(sum(doc_id) AS bigint) AS id_sum,
+           round(max(keep_frac), 6) AS keep_frac
+         FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // grid over the deterministic top-200 combined-count terms, Laplace
+    // smoothing over that vocabulary; natural-log KL/JS rounded to 6dp
+    // (sum order touches only the last ulp)
+    "x_kl_divergence" ->
+      """WITH c AS (
+           SELECT lang AS g, t.tok, count(*) AS c
+           FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+           WHERE lang IN ('en', 'de') AND t.tok <> ''
+           GROUP BY 1, 2),
+         top AS (
+           SELECT tok FROM (SELECT tok, sum(c) AS tot FROM c GROUP BY 1)
+           ORDER BY tot DESC, tok LIMIT 200),
+         grid AS (
+           SELECT top.tok, coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+           FROM top
+           LEFT JOIN (SELECT tok, c FROM c WHERE g = 'en') a ON top.tok = a.tok
+           LEFT JOIN (SELECT tok, c FROM c WHERE g = 'de') b ON top.tok = b.tok),
+         tot AS (SELECT cast(sum(ca) AS bigint) AS na,
+                        cast(sum(cb) AS bigint) AS nb,
+                        count(*) AS v FROM grid),
+         pq AS (
+           SELECT (ca + 1.0) / (na + v) AS p, (cb + 1.0) / (nb + v) AS q
+           FROM grid CROSS JOIN tot)
+         SELECT count(*) AS n_terms,
+           round(sum(p * ln(p / q)), 6) AS kl_ab,
+           round(sum(q * ln(q / p)), 6) AS kl_ba,
+           round(sum(p * ln(p / ((p + q) / 2)) / 2
+                   + q * ln(q / ((p + q) / 2)) / 2), 6) AS js
+         FROM pq""",
 
     "x_pipeline" -> {
       val em = Corpus.emailPattern

@@ -219,6 +219,48 @@ object Corpus {
       .filter(pmod(col(keyCol), lit(buckets)) < col("keep_frac") * buckets)
   }
 
+  /**
+   * Temperature-based domain mixture (the mT5 / XLM-R multilingual
+   * sampling formula, public literature: Conneau et al. 2020 §3.1): the
+   * target token share of domain d is `tokens_d^alpha / Σ tokens^alpha`,
+   * scaled to `tokenBudget` — `alpha = 1` keeps the natural distribution,
+   * `alpha → 0` flattens toward uniform, between the two it up-weights
+   * low-resource domains without the hard flatten of
+   * [[balanceToSmallest]]. No upsampling: `keep_frac_d =
+   * min(1, target_d / tokens_d)`, and keep decisions are deterministic
+   * `doc_id mod buckets` thresholds exactly like the other mixers, so the
+   * whole mix replays in plain SQL from the raw table.
+   *
+   * `alpha = 0.5` (the common choice) is computed with `sqrt`, which IEEE
+   * 754 requires to be CORRECTLY rounded — bit-identical across engines —
+   * whereas `pow` is only within 1 ulp on some libms; the verified config
+   * uses 0.5 so the oracle's arithmetic is exactly reproducible.
+   *
+   * Scale shape: identical to [[balanceToSmallest]] — one narrow
+   * token-count pass, an n_domains-row aggregate, fractions broadcast
+   * back; the corpus itself never shuffles.
+   */
+  def temperatureMix(df: DataFrame, textCol: String, domainCol: String,
+      keyCol: String, alpha: Double, tokenBudget: Long,
+      buckets: Int = 1000000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val tok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val domTokens = df.groupBy(col(domainCol))
+      .agg(sum(tok).as("__dom_tokens"))
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double")) else pow(c.cast("double"), alpha)
+    val totPow = domTokens.agg(sum(weight(col("__dom_tokens"))).as("__tot_pow"))
+    val fracs = domTokens.crossJoin(broadcast(totPow))
+      .select(col(domainCol),
+        least(lit(1.0),
+          lit(tokenBudget.toDouble) * weight(col("__dom_tokens"))
+            / col("__tot_pow") / col("__dom_tokens").cast("double"))
+          .as("keep_frac"))
+    df.join(broadcast(fracs), Seq(domainCol))
+      .filter(pmod(col(keyCol), lit(buckets)) < col("keep_frac") * buckets)
+  }
+
   // --- deterministic training-shard shuffle ------------------------------
 
   /**

@@ -354,6 +354,55 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram-distribution divergence between two corpus slices — the
+   * "how different is source/language A from B" audit signal behind
+   * mixture design and drift detection (the lexical sibling of the PSI
+   * drift monitor on events). Restricted to the top `topN` terms by
+   * COMBINED count across the two slices (deterministic `(count desc,
+   * term)` cut), then Laplace-smoothed over that vocabulary:
+   * `p_t = (c_A(t)+1) / (N_A+V)` and likewise `q_t`, so both
+   * distributions are strictly positive and the divergences finite.
+   * Returns ONE row: `n_terms`, `kl_ab` = Σ p ln(p/q), `kl_ba`, and the
+   * symmetric bounded `js` (Jensen–Shannon, natural log), all rounded to
+   * 6 decimals (the Σ over ≤ topN doubles is order-sensitive only at the
+   * last ulp — far below the rounding).
+   *
+   * Scale shape: one explode → map-side-combined per-(slice, term)
+   * dictionary aggregate; the top-N cut is a distributed
+   * `TakeOrderedAndProject`; everything after runs over ≤ topN rows with
+   * broadcast totals. The corpus never shuffles.
+   */
+  def unigramDivergence(df: DataFrame, textCol: String, groupCol: String,
+      groupA: String, groupB: String, topN: Int = 200): DataFrame = {
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val top = counts.groupBy(col("__tok")).agg(sum(col("__c")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__tok").asc).limit(topN)
+      .select(col("__tok"))
+    val a = counts.filter(col("__g") === groupA)
+      .select(col("__tok"), col("__c").as("__ca"))
+    val b = counts.filter(col("__g") === groupB)
+      .select(col("__tok"), col("__c").as("__cb"))
+    val grid = top.join(a, Seq("__tok"), "left").join(b, Seq("__tok"), "left")
+      .select(col("__tok"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = grid.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"), count(lit(1)).as("__v"))
+    val p = (col("__ca") + 1).cast("double") / (col("__na") + col("__v"))
+    val q = (col("__cb") + 1).cast("double") / (col("__nb") + col("__v"))
+    val m = (p + q) / 2
+    grid.crossJoin(broadcast(totals))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(p * log(p / q)), 6).as("kl_ab"),
+        round(sum(q * log(q / p)), 6).as("kl_ba"),
+        round(sum(p * log(p / m) / 2 + q * log(q / m) / 2), 6).as("js"))
+  }
+
+  /**
    * TF-IDF top terms per group (e.g. per language or per source): the
    * corpus-exploration operator that surfaces what distinguishes one slice
    * from the rest. `tf` counts ALL occurrences of the term inside the

@@ -322,4 +322,30 @@ class CorpusSpec extends SparkTestBase {
       .select("shard", "pos").collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(t.map(_._1).sorted.toSeq === Seq(1, 2, 3) && t.forall(_._2 == 1L))
   }
+
+  test("temperatureMix: alpha interpolates natural -> flat; fractions match closed form") {
+    import spark.implicits._
+    // big domain 10x the tokens of the small one
+    val docs = ((0L until 100L).map(i => (i, "a b c d e", "big")) ++
+      (100L until 110L).map(i => (i, "a b c d e", "small"))).toDF("doc_id", "text", "src")
+    def fracs(alpha: Double, budget: Long): Map[String, Double] =
+      Corpus.temperatureMix(docs, "text", "src", "doc_id", alpha, budget)
+        .select("src", "keep_frac").distinct().collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // closed form at alpha=0.5: weights sqrt(500), sqrt(50);
+    // target_d = budget * w_d / (w_big + w_small); frac = min(1, target/tokens)
+    val (wb, ws) = (math.sqrt(500.0), math.sqrt(50.0))
+    // budget small enough that neither domain clamps at 1
+    val f = fracs(0.5, 180L)
+    assert(math.abs(f("big") - 180.0 * wb / (wb + ws) / 500.0) < 1e-12)
+    assert(math.abs(f("small") - 180.0 * ws / (wb + ws) / 50.0) < 1e-12)
+    // alpha=0.5 up-weights the small domain vs its natural (alpha=1) share
+    val natural = fracs(1.0, 180L)
+    assert(f("small") > natural("small"))
+    assert(f("big") < natural("big"))
+    // a budget beyond the corpus clamps at 1 (no upsampling) and keeps all
+    val all = Corpus.temperatureMix(docs, "text", "src", "doc_id", 0.5, 1000000L)
+    assert(all.count() === 110)
+    assert(all.select(min(col("keep_frac"))).collect().head.getDouble(0) === 1.0)
+  }
 }

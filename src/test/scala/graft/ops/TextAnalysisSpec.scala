@@ -237,6 +237,32 @@ class TextAnalysisSpec extends SparkTestBase {
       BigDecimal(10.0 / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("unigramDivergence: zero on identical slices, positive asymmetric KL, hand-checked") {
+    import spark.implicits._
+    val same = Seq((1L, "a b c", "x"), (2L, "a b c", "y")).toDF("doc_id", "text", "g")
+    val zero = TextAnalysis.unigramDivergence(same, "text", "g", "x", "y").collect().head
+    assert(zero.getAs[Long]("n_terms") === 3L)
+    assert(zero.getAs[Double]("kl_ab") === 0.0)
+    assert(zero.getAs[Double]("js") === 0.0)
+
+    // hand-computable: A = {a:2, b:1}, B = {a:1, b:2}; V=2
+    // p = (3/5, 2/5), q = (2/5, 3/5) after +1 smoothing over N+V=5
+    val df = Seq((1L, "a a b", "A"), (2L, "a b b", "B")).toDF("doc_id", "text", "g")
+    val r = TextAnalysis.unigramDivergence(df, "text", "g", "A", "B").collect().head
+    val (p1, p2) = (3.0 / 5, 2.0 / 5)
+    val expected = BigDecimal(p1 * math.log(p1 / p2) + p2 * math.log(p2 / p1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("kl_ab") === expected)
+    assert(r.getAs[Double]("kl_ba") === expected) // symmetric by construction here
+    assert(r.getAs[Double]("js") > 0.0 && r.getAs[Double]("js") < math.log(2.0))
+
+    // disjoint vocab under a tight topN still yields finite positive KLs
+    val disj = Seq((1L, "aa aa aa", "A"), (2L, "zz zz", "B")).toDF("doc_id", "text", "g")
+    val d = TextAnalysis.unigramDivergence(disj, "text", "g", "A", "B", topN = 2).collect().head
+    assert(d.getAs[Long]("n_terms") === 2L)
+    assert(d.getAs[Double]("kl_ab") > 0.0 && !d.getAs[Double]("kl_ab").isInfinite)
+  }
+
   test("collocations: window semantics, canonical pair order, PMI value, minCount cut") {
     import spark.implicits._
     // "b a" occurrences give pair "a b" after canonical sort; "a ? c"
