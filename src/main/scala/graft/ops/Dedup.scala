@@ -310,14 +310,21 @@ object Dedup {
    * identity to compare). Norms are over INDEXED terms, consistently
    * with the pruned definition.
    *
-   * Scale shape: one explode → (id, term) tf aggregate; vocab-sized df
-   * filter joined back; the pair join runs postings-vs-postings on term
+   * Scale shape: one explode → (id, term) tf aggregate; the document
+   * frequency rides a term-partitioned WINDOW over that aggregate rather
+   * than a separate vocab aggregate joined back — so tf, df and the
+   * weight all live in ONE term-partitioned stream, and the df filter /
+   * norm aggregate / postings self-join are all consumers of the SAME
+   * subtree (canonically equal → Spark plans one explode + reused
+   * exchanges, where the vocab-join formulation re-ran the corpus explode
+   * once per consumer). The pair join runs postings-vs-postings on term
    * keys (never doc×doc), collapsing map-side into per-pair dot products;
    * norms join id-keyed. Everything shuffles ids+terms+doubles, never
    * text.
    */
   def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3, maxDf: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(shingleN >= 1, s"shingleN must be positive, got $shingleN")
     require(maxDf >= 2, s"maxDf < 2 can never produce a pair, got $maxDf")
     val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
@@ -325,10 +332,12 @@ object Dedup {
         explode(if (shingleN == 1) col("__toks")
         else TextAnalysis.shinglesOfTokens(col("__toks"), shingleN)).as("__term"))
       .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
-    val vocab = terms.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
-    val weights = terms.join(vocab, "__term")
+    // df via a term-partitioned window: counts (id, term) rows per term —
+    // identical to a vocab aggregate, but keeps everything in one stream
+    val weights = terms
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__term"))))
+      .filter(col("__df") <= maxDf)
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("__term"), col("__df"),
         (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
