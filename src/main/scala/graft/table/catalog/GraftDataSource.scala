@@ -22,10 +22,18 @@ import graft.table.{GraftTable, SnapshotLog}
  * spark.read.format("graft").load("/warehouse/finance/activity")
  * }}}
  *
- * A path read serves the CURRENT snapshot through the same DSv2 table the
- * catalogs build (vectorized parquet scan, pushdown, pruning), read-only:
- * versioned writes need a table identity for the commit log, so they go
- * through a catalog or the [[graft.table.GraftTable]] API.
+ * A path read serves the CURRENT snapshot by default, or a pinned one via
+ * the Iceberg-shaped read options (mutually exclusive):
+ *
+ * {{{
+ * .option("version", "day1")          // branch/tag ref or snapshot id
+ * .option("timestampMs", "1700000…")  // latest main snapshot at/before ts
+ * }}}
+ *
+ * through the same DSv2 table the catalogs build (vectorized parquet scan,
+ * pushdown, pruning), read-only: versioned writes need a table identity
+ * for the commit log, so they go through a catalog or the
+ * [[graft.table.GraftTable]] API.
  */
 class GraftDataSource extends TableProvider with DataSourceRegister {
 
@@ -42,8 +50,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val loc = location(options)
     require(GraftTable.exists(spark, loc), s"no graft table at $loc")
     val meta = SnapshotLog.read(loc, spark.sparkContext.hadoopConfiguration)
-    GraftSqlTables.forSnapshot(spark, loc, loc, meta,
-      meta.currentSnapshot, writable = false)
+    val version = Option(options.get("version"))
+    val tsMs = Option(options.get("timestampMs")).map(_.toLong)
+    require(version.isEmpty || tsMs.isEmpty,
+      "graft read options version and timestampMs are mutually exclusive")
+    val snap = version match {
+      case Some(v) => Some(meta.snapshotForRef(v).getOrElse(
+        throw new IllegalArgumentException(s"no ref or snapshot '$v' on $loc")))
+      case None => tsMs match {
+        case Some(ts) => Some(GraftSqlTables.snapshotAsOf(meta, ts).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot at or before $ts on $loc")))
+        case None => meta.currentSnapshot
+      }
+    }
+    GraftSqlTables.forSnapshot(spark, loc, loc, meta, snap, writable = false)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -107,11 +107,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   /** TIMESTAMP AS OF — latest main-ancestry snapshot at or before ts. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val meta = metaFor(ident)
-    val tsMs = timestampMicros / 1000L
-    val onMain = meta.currentSnapshotId.map(meta.ancestry).getOrElse(Seq.empty).toSet
-    val snap = meta.snapshots
-      .filter(s => onMain.contains(s.id) && s.timestampMs <= tsMs)
-      .sortBy(_.timestampMs).lastOption
+    val snap = GraftSqlTables.snapshotAsOf(meta, timestampMicros / 1000L)
       .getOrElse(throw new NoSuchTableException(ident))
     sqlTable(ident, meta, Some(snap), writable = false)
   }
@@ -232,6 +228,15 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
 /** Builds the DSv2 [[Table]] serving one graft snapshot — shared by the
   * catalogs and the path-based `graft` [[GraftDataSource]] format. */
 private[catalog] object GraftSqlTables {
+
+  /** Latest main-ancestry snapshot at or before `tsMs` (TIMESTAMP AS OF /
+    * the `timestampMs` read option). */
+  def snapshotAsOf(meta: TableMetadata, tsMs: Long): Option[GraftSnapshot] = {
+    val onMain = meta.currentSnapshotId.map(meta.ancestry).getOrElse(Seq.empty).toSet
+    meta.snapshots
+      .filter(s => onMain.contains(s.id) && s.timestampMs <= tsMs)
+      .sortBy(_.timestampMs).lastOption
+  }
 
   def forSnapshot(spark: SparkSession, name: String, loc: String,
       meta: TableMetadata, snap: Option[GraftSnapshot],
