@@ -1788,6 +1788,20 @@ object SparkEntry {
       t.toDF.orderBy("window_start", "event_type")
     }),
 
+    // readStream.format("graft-stream") source end to end: three appends
+    // to a partitioned graft table, an AvailableNow tail run after each
+    // (one shared checkpoint — snapshot-id offsets resume exactly), sink
+    // must reproduce the raw orders table including the partition column
+    "st_source_tail" -> ((s, dir) => {
+      val t = graft.queries.TableFixtures.streamSourceTail(s, dir)
+      t.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // gap-based sessionization computed BY the stream across three ordered
     // micro-batches (flatMapGroupsWithState — open sessions carry in the
     // state store across batch boundaries); emits CLOSED sessions only, so
@@ -3928,6 +3942,14 @@ object SparkEntry {
     "st_ingest" ->
       s"""SELECT event_type, count(*) AS n, ${centsSql("value")} AS value_cents
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the streamed sink must BE the orders table: per-status counts,
+    // cents totals and key checksums all match the raw source
+    "st_source_tail" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents,
+         cast(sum(o_orderkey) AS bigint) AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the stream's hourly windows must equal the batch hourly aggregate
     "st_window_agg" ->

@@ -514,6 +514,46 @@ object TableFixtures {
     * batch aggregate (integer-cents sums are order-independent), so DuckDB
     * can oracle a stateful windowed STREAMING aggregation (st_window_agg).
     * The watermark bounds state exactly as it would on an unbounded feed. */
+  /**
+   * `readStream.format("graft-stream")` end to end: `orders` lands in a
+   * PARTITIONED graft source table as three deterministic appends
+   * (o_orderkey % 3), and after EACH append an AvailableNow run of the
+   * graft-stream source (same checkpoint — offsets are snapshot ids, so
+   * every run resumes exactly after the last one) appends the new rows to
+   * a sink table. Exercises incremental offset planning, restart-resume,
+   * and snapshot-log partition-value attachment; the sink must equal the
+   * raw `orders` table exactly.
+   */
+  def streamSourceTail(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_source_tail", sfDir), {
+      val dir = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val srcLoc = s"$dir/stream_src_orders"
+      val sinkLoc = s"$dir/stream_tail_sink"
+      GraftTable.drop(spark, srcLoc)
+      GraftTable.drop(spark, sinkLoc)
+      val orders = read(spark, sfDir, "orders")
+      val src = GraftTable.create(spark, srcLoc, "graft.stream_src_orders",
+        orders.schema, Seq("o_orderstatus"))
+      // streamed rows surface partition columns LAST
+      val streamedSchema = org.apache.spark.sql.types.StructType(
+        orders.schema.filterNot(_.name == "o_orderstatus") ++
+          orders.schema.filter(_.name == "o_orderstatus"))
+      val sink = GraftTable.create(spark, sinkLoc, "graft.stream_tail_sink",
+        streamedSchema)
+      val cp = s"$sinkLoc-checkpoint"
+      (0 until 3).foreach { b =>
+        src.append(orders.filter(col("o_orderkey") % 3 === b))
+        val q = spark.readStream.format("graft-stream").load(srcLoc)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: DataFrame, _: Long) => sink.append(batch); () }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sink
+    })
+
   def streamWindowed(spark: SparkSession, sfDir: String): GraftTable =
     cache.getOrElseUpdate(("stream_windowed", sfDir), {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_windowed"

@@ -1,0 +1,77 @@
+package graft.table.catalog
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.graft.GraftMicroBatchStream
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.{GraftTable, SnapshotLog}
+
+/**
+ * `spark.readStream.format("graft-stream").load(tableDir)` — Structured
+ * Streaming over a graft table's append log (the Iceberg
+ * `readStream.format("iceberg")` capability, re-expressed on the graft
+ * snapshot log; see [[org.apache.spark.sql.graft.GraftMicroBatchStream]]
+ * for offsets, exactly-once and append-only semantics, and the
+ * `fromSnapshotId` / `skipOverwriteSnapshots` options).
+ *
+ * A separate short name from the batch `graft` format keeps the batch
+ * table's scan builder (with its full parquet pushdown surface) entirely
+ * untouched — this table declares MICRO_BATCH_READ only, so a batch
+ * `spark.read.format("graft-stream")` fails at analysis instead of
+ * silently scanning.
+ */
+class GraftStreamSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-stream"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def location(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-stream needs a table location: spark.readStream.format(\"graft-stream\").load(dir)"))
+
+  private def tableAt(loc: String): GraftStreamTable = {
+    val spark = SparkSession.active
+    require(GraftTable.exists(spark, loc), s"no graft table at $loc")
+    val meta = SnapshotLog.read(loc, spark.sparkContext.hadoopConfiguration)
+    val declared = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    // partition columns LAST, matching every batch read surface
+    val schema = StructType(
+      declared.filterNot(f => meta.partitionCols.contains(f.name)) ++
+        declared.filter(f => meta.partitionCols.contains(f.name)))
+    new GraftStreamTable(loc, schema, meta.partitionCols)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableAt(location(options)).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    tableAt(location(new CaseInsensitiveStringMap(properties)))
+}
+
+class GraftStreamTable(loc: String, tableSchema: StructType,
+    partitionCols: Seq[String]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-stream `$loc`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def description(): String = name()
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftMicroBatchStream(SparkSession.active, loc, tableSchema,
+          partitionCols, options)
+    }
+}

@@ -1,0 +1,172 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.SnapshotLog
+
+/**
+ * Micro-batch streaming read of a graft table's APPEND LOG — the Iceberg
+ * streaming-read shape (`spark.readStream.format("iceberg")`,
+ * public Iceberg docs) re-expressed for the graft snapshot log:
+ *
+ *  - An offset is a main-branch snapshot id high-water mark; a batch is
+ *    the data files ADDED by the append snapshots in `(start, end]`.
+ *    Offsets ride the sink checkpoint, so restart resumes exactly after
+ *    the last committed snapshot — exactly-once into any checkpointed
+ *    sink.
+ *  - `replace` snapshots (compaction) are row-preserving rewrites of
+ *    already-streamed rows and are always skipped. Row-CHANGING
+ *    snapshots (`overwrite`/`delete`/`merge`) violate append-only stream
+ *    semantics and fail loudly, unless
+ *    `.option("skipOverwriteSnapshots", true)` opts into ignoring them
+ *    (mirroring Iceberg's `streaming-skip-overwrite-snapshots`); use the
+ *    batch `changelogBetween` CDC read for row-level diffs instead.
+ *  - `.option("fromSnapshotId", id)` starts the FIRST run after snapshot
+ *    `id` (default 0 = the full history).
+ *
+ * Scale shape: planning is driver-side metadata only (O(snapshots in
+ * range)); each added file becomes one input partition read by the
+ * stock v1 parquet record reader (row mode — a streaming source hands
+ * Spark `InternalRow`s, so the vectorized batch reader does not apply),
+ * with hive partition values attached driver-side from the snapshot
+ * log's own per-file partition map — no directory listing, ever.
+ *
+ * Lives under `org.apache.spark.sql` for the same `private[sql]` access
+ * the [[bridge]] uses (`buildReaderWithPartitionValues`, `cloneSession`,
+ * `PartitionedFile`).
+ */
+class GraftMicroBatchStream(spark: SparkSession, location: String,
+    declaredSchema: StructType, partitionCols: Seq[String],
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def meta = SnapshotLog.read(location, hadoopConf)
+
+  private def offsetOf(o: Offset): Long = o match {
+    case GraftStreamOffset(id) => id
+    case other => other.json().toLong
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(
+    Option(options.get("fromSnapshotId")).map(_.toLong).getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(meta.currentSnapshotId.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (offsetOf(start), offsetOf(end))
+    if (e <= s) return Array.empty
+    val m = meta
+    val onMain = m.currentSnapshotId.map(m.ancestry).getOrElse(Seq.empty).toSet
+    val range = m.snapshots
+      .filter(sn => onMain.contains(sn.id) && sn.id > s && sn.id <= e)
+      .sortBy(_.id)
+    val skipOverwrites =
+      Option(options.get("skipOverwriteSnapshots")).exists(_.toBoolean)
+    val added = range.flatMap { sn =>
+      sn.operation match {
+        case "append" =>
+          val addedSet = sn.addedFiles.toSet
+          sn.files.filter(f => addedSet.contains(f.path))
+        case "replace" => Seq.empty // row-preserving compaction: already streamed
+        case _ if skipOverwrites => Seq.empty
+        case other => throw new UnsupportedOperationException(
+          s"graft streaming read hit a row-changing '$other' snapshot ${sn.id} on " +
+            s"$location: an append-only stream cannot represent it. Use " +
+            "changelogBetween for CDC, or .option(\"skipOverwriteSnapshots\", true) " +
+            "to stream appends only.")
+      }
+    }
+    if (added.isEmpty) return Array.empty
+    // rename-era guard: the one batch-read subtlety this reader does not
+    // re-implement. Streamed files written BEFORE a column rename store
+    // old physical names; refuse rather than read silent nulls.
+    if (m.renames.nonEmpty) {
+      val lastRename = m.renames.map(_.afterSeq).max
+      val stale = added.filter(_.dataSeq.forall(_ <= lastRename))
+      require(stale.isEmpty,
+        s"graft streaming read: ${stale.size} streamed file(s) predate a column " +
+          "rename; read that range with the batch API (era-aware) instead")
+    }
+
+    val dataCols = StructType(
+      declaredSchema.filterNot(f => partitionCols.contains(f.name)))
+    val partSchema = StructType(
+      partitionCols.map(c => declaredSchema(declaredSchema.fieldIndex(c))))
+    // row-mode parquet record reader (a MicroBatchStream hands Spark
+    // InternalRows, so the vectorized ColumnarBatch path cannot be used)
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    ss.sessionState.conf.setConfString(
+      "spark.sql.parquet.enableVectorizedReader", "false")
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      ss, dataCols, partSchema, dataCols, Nil, Map.empty,
+      ss.sessionState.newHadoopConf())
+    val zone = Some(ss.sessionState.conf.sessionLocalTimeZone)
+    val fs = new org.apache.hadoop.fs.Path(location)
+      .getFileSystem(hadoopConf)
+    added.map { f =>
+      val pvals = new GenericInternalRow(partSchema.fields.map { pf =>
+        f.partitionValues.get(pf.name)
+          .filterNot(_ == "__HIVE_DEFAULT_PARTITION__") match {
+          case Some(raw) =>
+            Cast(Literal(UTF8String.fromString(raw), StringType),
+              pf.dataType, zone).eval(null)
+          case None => null
+        }
+      }.asInstanceOf[Array[Any]])
+      val full = new org.apache.hadoop.fs.Path(s"$location/data/${f.path}")
+      val len =
+        if (f.sizeBytes > 0) f.sizeBytes else fs.getFileStatus(full).getLen
+      GraftFilePartition(readFunc,
+        PartitionedFile(pvals, SparkPath.fromPath(full), 0, len))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStreamReaderFactory
+}
+
+/** Offset = highest main-branch snapshot id fully emitted. */
+case class GraftStreamOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** One added data file + the (broadcast-conf, serializable) v1 parquet
+  * read closure that materializes it. */
+case class GraftFilePartition(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile) extends InputPartition
+
+class GraftStreamReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftFilePartition]
+    val it = gp.readFunc(gp.file)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = it match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
+    }
+  }
+}

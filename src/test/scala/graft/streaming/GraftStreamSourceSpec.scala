@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.table.GraftTable
+
+/**
+ * `readStream.format("graft-stream")`: micro-batch tailing of the
+ * append log — incremental batches within a run, exactly-once across
+ * restarts via checkpointed snapshot-id offsets, partition values from
+ * the snapshot log, compaction invisibility, and the append-only
+ * contract on row-changing snapshots.
+ */
+class GraftStreamSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(name: String, parts: Seq[String] = Seq.empty): GraftTable =
+    GraftTable.create(spark, tmpDir(s"gss-$name"), name, StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType))), parts)
+
+  test("incremental micro-batches within one run; memory sink sees each append once") {
+    val t = freshTable("inc")
+    t.append(Seq((1L, "a"), (2L, "a")).toDF("id", "grp"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_inc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_inc").count() === 2)
+      t.append(Seq((3L, "b")).toDF("id", "grp"))
+      q.processAllAvailable()
+      val rows = spark.table("gss_inc").orderBy("id").as[(Long, String)].collect()
+      assert(rows.toSeq === Seq((1L, "a"), (2L, "a"), (3L, "b")))
+    } finally q.stop()
+  }
+
+  test("exactly-once across restarts: checkpointed offsets resume after the last snapshot") {
+    val t = freshTable("restart")
+    t.append((1L to 5L).map((_, "x")).toDF("id", "grp"))
+    val out = tmpDir("gss-out")
+    val cp = tmpDir("gss-cp")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-stream").load(t.location)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 5)
+    t.append((6L to 8L).map((_, "y")).toDF("id", "grp"))
+    runOnce()
+    // 5 + 3, nothing re-emitted
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (1L to 8L))
+    // no new data -> a third run emits nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 8)
+  }
+
+  test("partition values come from the snapshot log, typed") {
+    val t = GraftTable.create(spark, tmpDir("gss-part"), "gp", StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType))), Seq("d"))
+    val day = java.sql.Date.valueOf("2024-03-05")
+    val day2 = java.sql.Date.valueOf("2024-03-06")
+    t.append(Seq((1L, day), (2L, day2)).toDF("id", "d"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_part").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gss_part").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString))
+      assert(got.toSeq === Seq((1L, "2024-03-05"), (2L, "2024-03-06")))
+    } finally q.stop()
+  }
+
+  test("compaction is invisible; row-changing snapshots fail unless opted out") {
+    val t = freshTable("compact")
+    t.append(Seq((1L, "a")).toDF("id", "grp"))
+    t.append(Seq((2L, "a")).toDF("id", "grp"))
+    t.rewriteDataFilesSorted(Seq(asc("id"))) // replace snapshot: skipped
+    t.append(Seq((3L, "a")).toDF("id", "grp"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_cpt").start()
+    try {
+      q.processAllAvailable()
+      // the compaction re-wrote rows 1,2 but the stream must not re-emit them
+      assert(spark.table("gss_cpt").select("id").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 3L))
+    } finally q.stop()
+
+    t.deleteWhere(col("id") === 1L) // row-changing overwrite commit
+    t.append(Seq((4L, "b")).toDF("id", "grp"))
+    val fail = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_fail").start()
+    try {
+      val e = intercept[Exception](fail.processAllAvailable())
+      assert(e.getMessage != null)
+    } finally fail.stop()
+    // opted out: delete ignored, appends stream through
+    val skip = spark.readStream.format("graft-stream")
+      .option("skipOverwriteSnapshots", "true").load(t.location)
+      .writeStream.format("memory").queryName("gss_skip").start()
+    try {
+      skip.processAllAvailable()
+      assert(spark.table("gss_skip").select("id").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 3L, 4L))
+    } finally skip.stop()
+  }
+
+  test("fromSnapshotId starts the stream mid-history; batch read of the stream format is refused") {
+    val t = freshTable("from")
+    t.append(Seq((1L, "a")).toDF("id", "grp"))
+    val firstSnap = t.meta.currentSnapshotId.get
+    t.append(Seq((2L, "a")).toDF("id", "grp"))
+    val q = spark.readStream.format("graft-stream")
+      .option("fromSnapshotId", firstSnap.toString).load(t.location)
+      .writeStream.format("memory").queryName("gss_from").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_from").select("id").as[Long].collect().toSeq === Seq(2L))
+    } finally q.stop()
+    intercept[Exception](
+      spark.read.format("graft-stream").load(t.location).collect())
+  }
+}

@@ -380,6 +380,25 @@ object DriveApp {
         println(s"jdbc-guard commits=${t.meta.snapshots.size} rows=${t.toDF.count()}")
       } finally graft.table.SnapshotLog.commitGuardFor = restore
     }
+    println("== graft-stream: micro-batch tail of the append log")
+    locally {
+      import spark.implicits._
+      val loc = java.nio.file.Files.createTempDirectory("drive-gs").toString + "/t"
+      val t = graft.table.GraftTable.create(spark, loc, "gs",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      t.append(Seq(1L, 2L).toDF("id"))
+      val q = spark.readStream.format("graft-stream").load(loc)
+        .writeStream.format("memory").queryName("drive_gs").start()
+      q.processAllAvailable()
+      val first = spark.table("drive_gs").count()
+      t.append(Seq(3L).toDF("id"))
+      q.processAllAvailable()
+      val second = spark.table("drive_gs").count()
+      q.stop()
+      println(s"graft-stream initial=$first afterAppend=$second")
+    }
     spark.stop()
   }
 }
