@@ -33,6 +33,8 @@ import graft.table.SnapshotLog
  *    batch `changelogBetween` CDC read for row-level diffs instead.
  *  - `.option("fromSnapshotId", id)` starts the FIRST run after snapshot
  *    `id` (default 0 = the full history).
+ *  - `.option("branch", name)` tails that branch's head instead of main —
+ *    e.g. a continuous audit of a WAP staging branch while it is written.
  *
  * Scale shape: planning is driver-side metadata only (O(snapshots in
  * range)); each added file becomes one input partition read by the
@@ -52,6 +54,17 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private def meta = SnapshotLog.read(location, hadoopConf)
 
+  private val branch = Option(options.get("branch"))
+
+  /** Streamed head: main's current snapshot, or the named branch's. */
+  private def headId(m: graft.table.TableMetadata): Option[Long] =
+    branch match {
+      case Some(b) => Some(m.refs.getOrElse(b, throw new IllegalArgumentException(
+        s"graft streaming read: no branch '$b' on $location " +
+          s"(refs: ${m.refs.keys.toSeq.sorted.mkString(", ")})")))
+      case None => m.currentSnapshotId
+    }
+
   private def offsetOf(o: Offset): Long = o match {
     case GraftStreamOffset(id) => id
     case other => other.json().toLong
@@ -61,7 +74,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     Option(options.get("fromSnapshotId")).map(_.toLong).getOrElse(0L))
 
   override def latestOffset(): Offset =
-    GraftStreamOffset(meta.currentSnapshotId.getOrElse(0L))
+    GraftStreamOffset(headId(meta).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.toLong)
@@ -73,9 +86,9 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     val (s, e) = (offsetOf(start), offsetOf(end))
     if (e <= s) return Array.empty
     val m = meta
-    val onMain = m.currentSnapshotId.map(m.ancestry).getOrElse(Seq.empty).toSet
+    val onHead = headId(m).map(m.ancestry).getOrElse(Seq.empty).toSet
     val range = m.snapshots
-      .filter(sn => onMain.contains(sn.id) && sn.id > s && sn.id <= e)
+      .filter(sn => onHead.contains(sn.id) && sn.id > s && sn.id <= e)
       .sortBy(_.id)
     val skipOverwrites =
       Option(options.get("skipOverwriteSnapshots")).exists(_.toBoolean)

@@ -110,6 +110,68 @@ class GraftStreamSourceSpec extends SparkTestBase {
     } finally skip.stop()
   }
 
+  test("fuzz: random append/compaction interleavings stream exactly the table contents") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val t = freshTable(s"fuzz$trial")
+      val out = tmpDir(s"gss-fuzz-out$trial")
+      val cp = tmpDir(s"gss-fuzz-cp$trial")
+      def tail(): Unit = {
+        val q = spark.readStream.format("graft-stream").load(t.location)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      var nextId = 0L
+      (1 to 6).foreach { _ =>
+        if (rnd.nextInt(4) == 0 && t.meta.currentSnapshot.exists(_.files.size > 1))
+          t.rewriteDataFilesSorted(Seq(asc("id"))) // replace: must stay invisible
+        else {
+          val k = 1 + rnd.nextInt(5)
+          t.append((nextId until nextId + k).map((_, s"g${rnd.nextInt(3)}"))
+            .toDF("id", "grp").repartition(1 + rnd.nextInt(3)))
+          nextId += k
+        }
+        if (rnd.nextBoolean()) tail() // interleave restarts mid-history
+      }
+      tail()
+      val streamed = spark.read.parquet(out).select("id").as[Long].collect().sorted
+      assert(streamed.toSeq === (0L until nextId),
+        s"trial $trial: stream diverged from the append log")
+    }
+  }
+
+  test("branch option tails a staging branch head, not main (continuous WAP audit)") {
+    val t = freshTable("branch")
+    t.append(Seq((1L, "pub")).toDF("id", "grp"))
+    // stage rows on a branch; main does not move
+    t.createOrReplaceBranch("staging")
+    t.append(Seq((2L, "staged")).toDF("id", "grp"), branch = Some("staging"))
+    t.append(Seq((3L, "staged")).toDF("id", "grp"), branch = Some("staging"))
+    val q = spark.readStream.format("graft-stream")
+      .option("branch", "staging").load(t.location)
+      .writeStream.format("memory").queryName("gss_branch").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_branch").select("id").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // main stream sees only the published row
+    val qm = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_main").start()
+    try {
+      qm.processAllAvailable()
+      assert(spark.table("gss_main").select("id").as[Long].collect().toSeq === Seq(1L))
+    } finally qm.stop()
+    // unknown branch fails loudly
+    val bad = spark.readStream.format("graft-stream")
+      .option("branch", "nope").load(t.location)
+      .writeStream.format("memory").queryName("gss_bad").start()
+    try intercept[Exception](bad.processAllAvailable())
+    finally bad.stop()
+  }
+
   test("fromSnapshotId starts the stream mid-history; batch read of the stream format is refused") {
     val t = freshTable("from")
     t.append(Seq((1L, "a")).toDF("id", "grp"))
