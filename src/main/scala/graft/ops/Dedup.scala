@@ -231,13 +231,23 @@ object Dedup {
           (0 until rowsPerBand).map(r => col("minhash_sig")(b * rowsPerBand + r)): _*))): _*))
         .as(Seq("band", "band_hash")))
     // scale guard: degenerate buckets (stop-shingle collisions) would
-    // square; drop them via a broadcast anti-join against the (tiny) list
-    // of oversized buckets — cheaper than a window (no sort of the banded
-    // rows). Recall for capped keys is covered by the other bands.
-    val oversized = bandedRaw.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
-      .select("band", "band_hash")
-    val banded = bandedRaw.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+    // square; cap them with a bucket-count WINDOW over the same
+    // (band, band_hash) partitioning the pair join shuffles on — the
+    // guard rides the join's own exchange instead of re-running the
+    // whole signature pipeline for a separate bucket-count aggregate
+    // (the previous anti-join formulation planned the explode + k-min
+    // aggregation three times: once per join side plus once for the
+    // oversized list; the windowed subtree is canonically identical on
+    // both join sides, so it plans/executes once). The per-partition
+    // sort the window adds is over docs x bands rows — orders of
+    // magnitude cheaper than a second pass over corpus shingles. Recall
+    // for capped keys is covered by the other bands.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val banded = bandedRaw
+      .withColumn("__bn", count(lit(1)).over(wBucket))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
     val a = banded.select(col(idCol).as("id_a"), col("minhash_sig").as("__sig_a"),
       col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("minhash_sig").as("__sig_b"),

@@ -367,10 +367,12 @@ object TextAnalysis {
    * 6 decimals (the Σ over ≤ topN doubles is order-sensitive only at the
    * last ulp — far below the rounding).
    *
-   * Scale shape: one explode → map-side-combined per-(slice, term)
-   * dictionary aggregate; the top-N cut is a distributed
-   * `TakeOrderedAndProject`; everything after runs over ≤ topN rows with
-   * broadcast totals. The corpus never shuffles.
+   * Scale shape: ONE explode → ONE map-side-combined per-term aggregate
+   * carrying both slices' counts as conditional sums (a pivot, so the
+   * term dictionary is built once — not once per slice per consumer);
+   * the top-N cut is a distributed `TakeOrderedAndProject`; everything
+   * after runs over ≤ topN rows with broadcast totals. The corpus never
+   * shuffles.
    */
   def unigramDivergence(df: DataFrame, textCol: String, groupCol: String,
       groupA: String, groupB: String, topN: Int = 200): DataFrame = {
@@ -378,18 +380,11 @@ object TextAnalysis {
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
       .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__tok"))
       .filter(col("__tok") =!= "")
-      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
-    val top = counts.groupBy(col("__tok")).agg(sum(col("__c")).as("__tot"))
-      .orderBy(col("__tot").desc, col("__tok").asc).limit(topN)
-      .select(col("__tok"))
-    val a = counts.filter(col("__g") === groupA)
-      .select(col("__tok"), col("__c").as("__ca"))
-    val b = counts.filter(col("__g") === groupB)
-      .select(col("__tok"), col("__c").as("__cb"))
-    val grid = top.join(a, Seq("__tok"), "left").join(b, Seq("__tok"), "left")
-      .select(col("__tok"),
-        coalesce(col("__ca"), lit(0L)).as("__ca"),
-        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .groupBy(col("__tok"))
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    val grid = counts
+      .orderBy((col("__ca") + col("__cb")).desc, col("__tok").asc).limit(topN)
     val totals = grid.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"), count(lit(1)).as("__v"))
     val p = (col("__ca") + 1).cast("double") / (col("__na") + col("__v"))
