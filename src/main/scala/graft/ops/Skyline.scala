@@ -89,10 +89,16 @@ object Skyline {
     }
     val prune = (rows: Iterator[Row]) => localSkyline(rows, xi, yi)
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
-    // phase 1: narrow per-partition prune; cached because the grid finish
-    // consumes it three times (cuts, bucket maxima, filter) — the cache is
-    // reclaimed by the context cleaner once the result Dataset is dropped
-    val cand = df.mapPartitions(prune)(enc).persist(StorageLevel.MEMORY_AND_DISK)
+    // phase 1: narrow per-partition prune, cached at the RDD level because
+    // the grid finish consumes it three times (cuts, bucket maxima, the
+    // filter itself). RDD persist — NOT Dataset.persist — on purpose: the
+    // ContextCleaner unpersists an RDD cache automatically once the result
+    // plan is garbage-collected, whereas CacheManager entries from
+    // Dataset.persist would accumulate across calls until an explicit
+    // unpersist this lazy-returning operator has no place to issue.
+    val candRdd = df.mapPartitions(prune)(enc).rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = df.sparkSession.createDataFrame(candRdd, df.schema)
 
     val x = col(xCol)
     val y = col(yCol)

@@ -532,10 +532,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(out.rdd.getNumPartitions > 1,
       "skyline output must stay bucket-partitioned, not single-task")
     val plan = out.queryExecution.executedPlan.toString
-    // both scan phases present: the narrow phase-1 prune and the
-    // per-bucket finish are MapPartitions operators
-    val mapPartitions = plan.linesIterator.count(_.contains("MapPartitions"))
-    assert(mapPartitions >= 2,
-      s"expected phase-1 prune + per-bucket finish MapPartitions:\n$plan")
+    // phase 1 (narrow prune) is the CACHED candidate RDD every grid pass
+    // scans (ExistingRDD — computed once, ContextCleaner-reclaimed); the
+    // per-bucket finish is a MapPartitions above the bucket exchange
+    assert(plan.contains("ExistingRDD"),
+      s"expected the cached phase-1 candidate RDD:\n$plan")
+    assert(plan.linesIterator.exists(_.contains("MapPartitions")),
+      s"expected the per-bucket finish MapPartitions:\n$plan")
   }
 }
