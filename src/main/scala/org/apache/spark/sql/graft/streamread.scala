@@ -35,6 +35,11 @@ import graft.table.SnapshotLog
  *    `id` (default 0 = the full history).
  *  - `.option("branch", name)` tails that branch's head instead of main —
  *    e.g. a continuous audit of a WAP staging branch while it is written.
+ *  - History rewrites UNDER a running stream (rollback, branch replace)
+ *    are out of contract, as in Iceberg: snapshots popped off the
+ *    streamed ancestry after their offset was committed are simply gone
+ *    from the log the stream reads — restart from an explicit
+ *    `fromSnapshotId` after such surgery.
  *
  * Scale shape: planning is driver-side metadata only (O(snapshots in
  * range)); each added file becomes one input partition read by the
