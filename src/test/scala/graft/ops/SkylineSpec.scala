@@ -110,6 +110,19 @@ class SkylineSpec extends SparkTestBase {
     } finally Skyline.probeMaxTaskRows.set(-1L)
   }
 
+  test("randomized equivalence across bucket counts (grid boundaries move, result never does)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4; buckets <- Seq(2, 3, 8, 64)) {
+      val n = 100 + rnd.nextInt(300)
+      val pts = Seq.fill(n)((rnd.nextInt(40).toLong - 20, rnd.nextInt(40).toLong - 20))
+      val out = Skyline.skyline2D(
+          spark.createDataset(pts).toDF("x", "y").repartition(1 + rnd.nextInt(5)),
+          "x", "y", buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == brute(pts), s"trial $trial buckets=$buckets")
+    }
+  }
+
   test("grid prefilter correctness under heavy x-ties and mixed dominance") {
     val rnd = new scala.util.Random(11)
     // few distinct x values force cut-point ties: equal x must never
