@@ -87,6 +87,26 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  private lazy val dataCols = StructType(
+    declaredSchema.filterNot(f => partitionCols.contains(f.name)))
+  private lazy val partSchema = StructType(
+    partitionCols.map(c => declaredSchema(declaredSchema.fieldIndex(c))))
+  private lazy val zone =
+    Some(spark.sessionState.conf.sessionLocalTimeZone)
+  // row-mode parquet record reader (a MicroBatchStream hands Spark
+  // InternalRows, so the vectorized ColumnarBatch path cannot be used);
+  // built ONCE per stream — the schema is fixed, so every micro-batch
+  // reuses the same broadcast-conf read closure
+  private lazy val readFunc: PartitionedFile => Iterator[InternalRow] = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    ss.sessionState.conf.setConfString(
+      "spark.sql.parquet.enableVectorizedReader", "false")
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      ss, dataCols, partSchema, dataCols, Nil, Map.empty,
+      ss.sessionState.newHadoopConf())
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (offsetOf(start), offsetOf(end))
     if (e <= s) return Array.empty
@@ -123,20 +143,6 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
           "rename; read that range with the batch API (era-aware) instead")
     }
 
-    val dataCols = StructType(
-      declaredSchema.filterNot(f => partitionCols.contains(f.name)))
-    val partSchema = StructType(
-      partitionCols.map(c => declaredSchema(declaredSchema.fieldIndex(c))))
-    // row-mode parquet record reader (a MicroBatchStream hands Spark
-    // InternalRows, so the vectorized ColumnarBatch path cannot be used)
-    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .cloneSession()
-    ss.sessionState.conf.setConfString(
-      "spark.sql.parquet.enableVectorizedReader", "false")
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      ss, dataCols, partSchema, dataCols, Nil, Map.empty,
-      ss.sessionState.newHadoopConf())
-    val zone = Some(ss.sessionState.conf.sessionLocalTimeZone)
     val fs = new org.apache.hadoop.fs.Path(location)
       .getFileSystem(hadoopConf)
     added.map { f =>
