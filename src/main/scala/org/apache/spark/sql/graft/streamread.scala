@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -35,6 +35,14 @@ import graft.table.SnapshotLog
  *    `id` (default 0 = the full history).
  *  - `.option("branch", name)` tails that branch's head instead of main —
  *    e.g. a continuous audit of a WAP staging branch while it is written.
+ *  - `.option("maxSnapshotsPerTrigger", n)` / `.option("maxFilesPerTrigger",
+ *    n)` bound each micro-batch (admission control, mirroring Iceberg's
+ *    streaming rate limits): the batch's end offset advances through at
+ *    most n snapshots / until the added-file budget is spent — always at
+ *    least one snapshot, so the stream can never stall. Backlog catch-up
+ *    after downtime then proceeds in bounded bites instead of one giant
+ *    batch (under `Trigger.AvailableNow` Spark's wrapper loops these
+ *    bounded batches until it reaches the captured head).
  *  - History rewrites UNDER a running stream (rollback, branch replace)
  *    are out of contract, as in Iceberg: snapshots popped off the
  *    streamed ancestry after their offset was committed are simply gone
@@ -54,7 +62,8 @@ import graft.table.SnapshotLog
  */
 class GraftMicroBatchStream(spark: SparkSession, location: String,
     declaredSchema: StructType, partitionCols: Seq[String],
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private def meta = SnapshotLog.read(location, hadoopConf)
@@ -79,6 +88,59 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     Option(options.get("fromSnapshotId")).map(_.toLong).getOrElse(0L))
 
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
+  private val maxSnapshotsPerTrigger =
+    Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt)
+  private val maxFilesPerTrigger =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+
+  /** Trigger.AvailableNow contract: pin the head ONCE at query start; the
+    * engine then loops (rate-limited) batches until the stream reaches
+    * exactly this offset, ignoring concurrent appends. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headId(meta).getOrElse(0L))
+
+  /** Admission control: advance through at most `maxSnapshotsPerTrigger`
+    * snapshots and (soft) `maxFilesPerTrigger` added files — always at
+    * least one snapshot so the stream cannot stall; `addedFiles.size` is
+    * an O(1) metadata count, no manifest resolution. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val m = meta
+    val head = availableNowCap match {
+      case Some(cap) => math.min(cap, headId(m).getOrElse(0L))
+      case None => headId(m).getOrElse(0L)
+    }
+    if (maxSnapshotsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      return GraftStreamOffset(head)
+    val s = offsetOf(start)
+    val onHead = Some(head).filter(_ > 0).map(m.ancestry).getOrElse(Seq.empty).toSet
+    val pending = m.snapshots
+      .filter(sn => onHead.contains(sn.id) && sn.id > s && sn.id <= head)
+      .sortBy(_.id)
+    var taken = 0
+    var files = 0L
+    var end = s
+    pending.foreach { sn =>
+      val withinLimits = maxSnapshotsPerTrigger.forall(taken < _) &&
+        maxFilesPerTrigger.forall(files < _)
+      // taken == 0 guarantees progress past a single over-budget snapshot;
+      // once a snapshot is skipped the budgets only shrink, so the taken
+      // prefix stays contiguous
+      if (withinLimits || taken == 0) {
+        taken += 1
+        files += sn.addedFiles.size
+        end = sn.id
+      }
+    }
+    GraftStreamOffset(end)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
     GraftStreamOffset(headId(meta).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =

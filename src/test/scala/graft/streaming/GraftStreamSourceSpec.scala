@@ -110,6 +110,27 @@ class GraftStreamSourceSpec extends SparkTestBase {
     } finally skip.stop()
   }
 
+  test("maxSnapshotsPerTrigger bounds each micro-batch; catch-up proceeds in bites") {
+    val t = freshTable("rate")
+    (1L to 3L).foreach(i => t.append(Seq((i, "a")).toDF("id", "grp")))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-stream")
+      .option("maxSnapshotsPerTrigger", "1").load(t.location)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select("id").collect().map(_.getLong(0))
+        // one snapshot per batch = exactly one row here
+        assert(ids.length === 1, s"batch carried ${ids.length} snapshots of rows")
+        ids.foreach(rows.add)
+        batches.incrementAndGet(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.get() === 3, s"expected 3 rate-limited batches, got ${batches.get()}")
+    assert(rows.toArray.map(_.asInstanceOf[Long]).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("fuzz: random append/compaction interleavings stream exactly the table contents") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 3) {
