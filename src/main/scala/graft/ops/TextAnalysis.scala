@@ -219,9 +219,17 @@ object TextAnalysis {
     val toks = base.select(col(idCol), explode(col("__toks")).as("__tok"))
     val vocab1 = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
     val total = vocab1.agg(sum(col("__c1")).cast("double").as("__total"))
-    val bgs = base.select(col(idCol),
-      explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
-    val vocab2 = bgs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    // pre-aggregate per (doc, bigram): every downstream consumer — the
+    // bigram dictionary AND the per-doc scoring join — now builds on this
+    // ONE canonically-shared (id, bg) exchange, so the corpus shingle
+    // explode plans/executes once (deriving the dictionary straight from
+    // `bgs` pruned its columns differently per branch and re-ran the
+    // explode); the map-side combine also shrinks the shuffle by the
+    // within-doc repeat factor
+    val perDoc = base.select(col(idCol),
+        explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__n"))
+    val vocab2 = perDoc.groupBy(col("__bg")).agg(sum(col("__n")).as("__c2"))
     // dictionary-sized scoring: one row per DISTINCT bigram
     val bgScore = vocab2
       // tokens are \s+-split, so the single interior space splits cleanly
@@ -235,12 +243,14 @@ object TextAnalysis {
       .select(col("__bg"),
         log(lit(lambda) * (col("__c2") / col("__cprev"))
           + lit(1 - lambda) * (col("__ccur") / col("__total"))).as("__logp"))
-    bgs
+    // instance-weighted mean over the per-(doc, bigram) counts — exactly
+    // the avg over bigram instances, without re-exploding them
+    perDoc
       .join(bgScore, "__bg")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("__logp")), 4).as("lm_score"),
-        round(exp(-avg(col("__logp"))), 2).as("ppl"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        round(sum(col("__n") * col("__logp")) / sum(col("__n")), 4).as("lm_score"),
+        round(exp(-(sum(col("__n") * col("__logp")) / sum(col("__n")))), 2).as("ppl"))
   }
 
   /**
