@@ -543,13 +543,13 @@ object TableFixtures {
       val cp = s"$sinkLoc-checkpoint"
       (0 until 3).foreach { b =>
         src.append(orders.filter(col("o_orderkey") % 3 === b))
-        val q = spark.readStream.format("graft-stream").load(srcLoc)
-          .writeStream
-          .option("checkpointLocation", cp)
-          .foreachBatch { (batch: DataFrame, _: Long) => sink.append(batch); () }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // the replay-guarded exactly-once sink (batch-id stamped in the
+        // snapshot summary), so a retried micro-batch can never double rows
+        graft.streaming.StreamingOps.writeToGraftTable(
+          spark.readStream.format("graft-stream").load(srcLoc),
+          sink, cp,
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
       }
       sink
     })
