@@ -1357,6 +1357,22 @@ object SparkEntry {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
+    // hidden partitioning (Iceberg partition transforms): events laid out
+    // under (days(ts), bucket(8, user_id)); a predicate on the SOURCE
+    // columns prunes to one day x one bucket of files BEFORE Spark's file
+    // index, while ts/user_id read back at full fidelity from the data
+    // files (the dirs hold only the derived day/bucket values). The oracle
+    // replays the same filter over the raw events parquet — any rounding of
+    // ts through the layout, or a file wrongly pruned, hash-mismatches.
+    "t_hidden_partitioning" -> ((s, dir) => {
+      val t = graft.queries.TableFixtures.eventsHiddenPartitioned(s, dir)
+      t.scanWhere(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp")
+          && col("user_id") === 42L)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
+
     // file skipping: scanWhere prunes files via footer stats + partition
     // values before the scan; result must equal the plain filtered read
     "t_stat_pruned_scan" -> ((s, dir) => {
@@ -3666,6 +3682,14 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
          GROUP BY 1 ORDER BY 1""",
+
+    // hidden partitioning: the transform-pruned read must equal a plain
+    // filter over the raw events — full-precision ts included
+    "t_hidden_partitioning" ->
+      """SELECT event_id, ts, event_type, round(value, 4) AS value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND user_id = 42
+         ORDER BY event_id""",
 
     "t_sql_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders

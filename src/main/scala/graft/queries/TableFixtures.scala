@@ -330,6 +330,25 @@ object TableFixtures {
     })
 
   /**
+   * Hidden-partitioning fixture (Iceberg partition transforms): the events
+   * table laid out under `(days(ts), bucket(8, user_id))`. The ts and
+   * user_id SOURCE columns stay in the data files at full fidelity — only
+   * the derived day / murmur3-bucket values become directories, and
+   * predicates on ts/user_id prune whole files through the transforms.
+   */
+  def eventsHiddenPartitioned(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("events_hidden", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/events_hidden"
+      GraftTable.drop(spark, loc)
+      val ev = EventsReader.read(spark, sfDir)
+      val t = GraftTable.create(spark, loc, "graft.events_hidden", ev.schema,
+        partitionCols = Seq("days(ts)", "bucket(8,user_id)"),
+        props = Map("write.distribution-mode" -> "hash"))
+      t.append(ev)
+      t
+    })
+
+  /**
    * Schema-evolution fixture: batch 1 written under the original schema,
    * then RENAME COLUMN o_totalprice -> o_amount (metadata only), batch 2
    * under the renamed schema, then DROP COLUMN o_orderpriority, batch 3

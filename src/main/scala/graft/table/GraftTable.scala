@@ -1407,13 +1407,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // partition columns LEAD the local sort: the parquet writer requires
     // its tasks ordered by the dynamic-partition columns and inserts its
     // own (order-destroying) sort when the child ordering doesn't already
-    // start with them — which would silently undo the z clustering
+    // start with them — which would silently undo the z clustering. For
+    // transform specs the leading keys are the SAME derived expressions
+    // writeDataFiles aliases as the directory columns, so the alias chain
+    // preserves the ordering through the write.
     val compacted = df.withColumn("__z", morton)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(
-        (partitionCols.map(asc_nulls_last) :+ col("__z")).toIndexedSeq: _*)
+        (partitionClusterExprs.map(_.asc_nulls_last) :+ col("__z")).toIndexedSeq: _*)
       .drop("__z")
     overwrite(compacted, operation = "replace")
+  }
+
+  /** Cluster/sort expressions matching the physical partition layout:
+    * identity fields are the column itself, transform fields the derived
+    * directory expression (days/bucket/truncate of the source). */
+  private def partitionClusterExprs: Seq[Column] = {
+    val sch = schema
+    PartitionSpec.parse(partitionCols)
+      .map(f => if (f.isIdentity) col(f.source) else f.writeExpr(sch))
   }
 
   def rewriteDataFilesSorted(sortExprs: Seq[Column],
@@ -1424,9 +1436,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // within-file order silently degrades to arbitrary
     val compacted =
       if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(col).toIndexedSeq: _*)
+        df.repartition(partitionClusterExprs.toIndexedSeq: _*)
           .sortWithinPartitions(
-            (partitionCols.map(asc_nulls_last) ++ sortExprs).toIndexedSeq: _*)
+            (partitionClusterExprs.map(_.asc_nulls_last) ++ sortExprs).toIndexedSeq: _*)
       else {
         // unpartitioned table: terasort-style GLOBAL order across the
         // rewritten files — range-partition on the sort key (sampling
@@ -1457,8 +1469,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def updatePartitionSpec(cols: Seq[String]): Unit = withCommitLock {
     retryMetaCommit { m =>
       val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-      cols.foreach(c => require(sch.fieldNames.contains(c),
-        s"unknown partition column $c on ${m.name}"))
+      PartitionSpec.validated(cols, sch)
       m.copy(partitionCols = cols)
     }
     ()
@@ -1598,6 +1609,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val alignedRaw = df.select(tableSchema.fields.map(f =>
       (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    // Hidden partitioning: transform fields (days(ts), bucket(n,id), …)
+    // add a DERIVED directory column; partitionBy consumes it, so the
+    // derived value becomes the path segment while the SOURCE column stays
+    // in the data file — Iceberg's hidden-partitioning contract. Identity
+    // fields keep the hive behavior (source column pulled into the path).
+    val spec = PartitionSpec.validated(parts, tableSchema)
+    val withDirs = spec.filterNot(_.isIdentity).foldLeft(alignedRaw) {
+      (d, f) => d.withColumn(f.dirName, f.writeExpr(tableSchema))
+    }
+    val dirNames = spec.map(_.dirName)
     // write.distribution-mode=hash (Iceberg's partitioned-write default):
     // cluster rows by partition value before the write, so a table
     // partition receives ONE file per commit instead of one per incoming
@@ -1606,8 +1627,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // files.
     val aligned = properties.get("write.distribution-mode") match {
       case Some("hash") if parts.nonEmpty && applyDistribution =>
-        alignedRaw.repartition(parts.map(col).toIndexedSeq: _*)
-      case _ => alignedRaw
+        withDirs.repartition(dirNames.map(col).toIndexedSeq: _*)
+      case _ => withDirs
     }
     val writer = aligned.write.mode("overwrite")
     val codec = properties.getOrElse("write.parquet.compression-codec", "zstd")
@@ -1619,7 +1640,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case Some(rows) => w2.option("maxRecordsPerFile", rows.toLong)
       case None => w2
     }
-    (if (parts.nonEmpty) w3.partitionBy(parts: _*) else w3).parquet(staging.toString)
+    (if (parts.nonEmpty) w3.partitionBy(dirNames: _*) else w3).parquet(staging.toString)
 
     // move staged leaves into data/, collecting partition values + stats
     val out = ArrayBuffer.empty[DataFile]
@@ -1738,8 +1759,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.headOption.map(GraftTable.splitConjuncts).getOrElse(Seq.empty)
     val files = snap.map(_.files).getOrElse(Seq.empty)
+    // transform partition fields prune through the source->directory
+    // mapping (days(ts): ts >= X skips whole days; bucket(n,id): id = v
+    // reads 1/n of the files). Files written under an older spec simply
+    // lack the dir key and fall through to footer stats — conservative.
+    val tfFields = PartitionSpec.parse(m.partitionCols).filterNot(_.isIdentity)
+    val schemaForPrune = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val kept = files.filter(f =>
-      conjuncts.forall(c => GraftTable.fileMayMatch(c, f)))
+      conjuncts.forall(c => GraftTable.fileMayMatch(c, f) &&
+        tfFields.forall(tf =>
+          PartitionSpec.fileMayMatch(c, tf, schemaForPrune, f.partitionValues))))
     if (kept.size == files.size) full.filter(cond)
     // drop the manifest refs on the pruned copy: the trimmed file list is
     // inline-only scan input, not a committed snapshot
@@ -1943,8 +1972,7 @@ object GraftTable {
       props: Map[String, String] = Map.empty): GraftTable = {
     val conf = spark.sparkContext.hadoopConfiguration
     require(!SnapshotLog.exists(location, conf), s"Table already exists at $location")
-    partitionCols.foreach(p => require(schema.fieldNames.contains(p),
-      s"Partition column $p not in schema"))
+    PartitionSpec.validated(partitionCols, schema)
     SnapshotLog.commit(location,
       SnapshotLog.initial(name, schema.json, partitionCols, props), conf)
     new GraftTable(spark, location)

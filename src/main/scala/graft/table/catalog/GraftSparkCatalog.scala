@@ -116,7 +116,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val loc = tableLocation(ident)
     if (GraftTable.exists(spark, loc)) throw new TableAlreadyExistsException(Seq(ident.toString))
-    val partCols = partitions.toSeq.map(_.references().head.fieldNames().mkString("."))
+    val partCols = partitions.toSeq.map(GraftSqlTables.transformToEntry)
     GraftTable.create(spark, loc, ident.toString, schema, partCols,
       properties.asScala.toMap)
     loadTable(ident)
@@ -229,6 +229,68 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
   * catalogs and the path-based `graft` [[GraftDataSource]] format. */
 private[catalog] object GraftSqlTables {
 
+  import org.apache.spark.sql.connector.expressions.{
+    Expressions, Literal => VLiteral, NamedReference}
+
+  /** DSv2 partition [[Transform]] → snapshot-log spec entry
+    * (`PARTITIONED BY (days(ts), bucket(8, id), truncate(4, name))` works
+    * verbatim, like the reference's `USING iceberg` DDL). Matched through
+    * the public Transform interface (name/arguments) — the concrete case
+    * classes are private[sql]. */
+  private[catalog] def transformToEntry(t: Transform): String = {
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference => Some(r.fieldNames.mkString("."))
+        case _ => None
+      }
+    def litValue(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: VLiteral[_] => Some(l.value)
+        case _ => None
+      }
+    val args = t.arguments.toSeq
+    t.name.toLowerCase match {
+      case "identity" =>
+        refName(args.head).getOrElse(
+          throw new UnsupportedOperationException(s"identity needs a column: $t"))
+      case n @ ("years" | "months" | "days" | "hours") =>
+        s"$n(${refName(args.head).getOrElse(
+          throw new UnsupportedOperationException(s"$n needs a column: $t"))})"
+      case "bucket" =>
+        val cols = args.flatMap(refName)
+        val ns = args.flatMap(litValue)
+        require(cols.size == 1 && ns.size == 1,
+          s"bucket needs (n, one column), got $t")
+        s"bucket(${ns.head},${cols.head})"
+      case "truncate" =>
+        val cols = args.flatMap(refName)
+        val ws = args.flatMap(litValue)
+        require(cols.size == 1 && ws.size == 1,
+          s"truncate needs (width, one column), got $t")
+        s"truncate(${ws.head},${cols.head})"
+      case other => throw new UnsupportedOperationException(
+        s"Unsupported partition transform $other — supported: identity, " +
+          "years, months, days, hours, bucket(n, col), truncate(w, col)")
+    }
+  }
+
+  /** Spec entry → DSv2 [[Transform]] for `Table.partitioning()` (DESCRIBE /
+    * SHOW CREATE round-trip). */
+  private[catalog] def entryToTransform(entry: String): Transform = {
+    val f = graft.table.PartitionSpec.parseField(entry)
+    import graft.table.PartitionSpec._
+    f.transform match {
+      case Identity => Expressions.identity(f.source)
+      case Years => Expressions.years(f.source)
+      case Months => Expressions.months(f.source)
+      case Days => Expressions.days(f.source)
+      case Hours => Expressions.hours(f.source)
+      case Bucket(n) => Expressions.bucket(n, f.source)
+      case Truncate(w) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(f.source))
+    }
+  }
+
   /** Latest main-ancestry snapshot at or before `tsMs` (TIMESTAMP AS OF /
     * the `timestampMs` read option). */
   def snapshotAsOf(meta: TableMetadata, tsMs: Long): Option[GraftSnapshot] = {
@@ -279,8 +341,10 @@ private[catalog] object GraftSqlTables {
       .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout || preRenameFiles)
       .map(sn => GraftPlanRead(loc, sn.id))
     if (writable)
-      new GraftWritableTable(name, loc, inner, schema, planRead, meta.props)
-    else new GraftReadOnlyTable(name, inner, schema, planRead, meta.props)
+      new GraftWritableTable(name, loc, inner, schema, planRead, meta.props,
+        meta.partitionCols)
+    else new GraftReadOnlyTable(name, inner, schema, planRead, meta.props,
+      meta.partitionCols)
   }
 }
 
@@ -315,9 +379,14 @@ case class GraftPlanRead(location: String, snapshotId: Long)
 class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     tableSchema: StructType,
     val planRead: Option[GraftPlanRead] = None,
-    tableProps: Map[String, String] = Map.empty) extends Table with SupportsRead {
+    tableProps: Map[String, String] = Map.empty,
+    partitionEntries: Seq[String] = Seq.empty) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  // hidden-partitioning spec surfaces through DESCRIBE EXTENDED /
+  // SHOW CREATE TABLE exactly as declared
+  override def partitioning(): Array[Transform] =
+    partitionEntries.map(GraftSqlTables.entryToTransform).toArray
   // recorded table properties ride the DSv2 surface so SHOW TBLPROPERTIES
   // round-trips what the DDL declared (including formally-waived ones
   // like write.delete.format.default — see ActivityData.tableProps)
@@ -350,8 +419,10 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
 class GraftWritableTable(tableName: String, val location: String,
     inner: ParquetTable, tableSchema: StructType,
     planReadInfo: Option[GraftPlanRead] = None,
-    tableProps: Map[String, String] = Map.empty)
-  extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo, tableProps)
+    tableProps: Map[String, String] = Map.empty,
+    partitionEntries: Seq[String] = Seq.empty)
+  extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo,
+    tableProps, partitionEntries)
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =

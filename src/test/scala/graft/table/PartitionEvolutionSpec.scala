@@ -84,7 +84,7 @@ class PartitionEvolutionSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       t.updatePartitionSpec(Seq("nope"))
     }
-    assert(e.getMessage.contains("unknown partition column"))
+    assert(e.getMessage.contains("not in schema"))
   }
 
   test("merge-on-read deletes apply across mixed layouts") {
