@@ -399,6 +399,26 @@ object DriveApp {
       q.stop()
       println(s"graft-stream initial=$first afterAppend=$second")
     }
+    println("== hidden partitioning: transform layout + source-predicate pruning")
+    locally {
+      import spark.implicits._
+      val loc = java.nio.file.Files.createTempDirectory("drive-hp").toString + "/t"
+      val df = (0 until 48).map(i => (i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-05-01T00:00:00Z")
+          .plusSeconds(i * 3600L)))).toDF("id", "ts")
+      val t = graft.table.GraftTable.create(spark, loc, "hp", df.schema,
+        partitionCols = Seq("days(ts)", "bucket(4,id)"))
+      t.append(df)
+      val dirs = t.meta.currentSnapshot.get.files
+        .flatMap(_.partitionValues.keys).toSet.toSeq.sorted.mkString(",")
+      val all = t.toDF.inputFiles.length
+      val pruned = t.scanWhere(
+        org.apache.spark.sql.functions.col("ts") >=
+          org.apache.spark.sql.functions.lit("2024-05-02 00:00:00").cast("timestamp")
+          && org.apache.spark.sql.functions.col("id") === 30L)
+      println(s"hidden-partitioning dirs=$dirs files=$all " +
+        s"prunedFiles=${pruned.inputFiles.length} rows=${pruned.count()}")
+    }
     spark.stop()
   }
 }
