@@ -573,6 +573,18 @@ object SparkEntry {
       TextAnalysis.unigramDivergence(T(s, dir, "documents"), "text", "lang",
         "en", "de", topN = 200)),
 
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram multinomial
+    // fit on target (lang='en') vs the raw pool, per-doc log importance
+    // weight — the distribution-shifting selection signal; output limited
+    // to a deterministic doc slice, the FIT always runs over the full pool
+    "x_dsir" -> ((s, dir) =>
+      Corpus.dsirScores(T(s, dir, "documents"), "text", "doc_id",
+          isTarget = col("lang") === "en", buckets = 2048)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dsir_logweight"), 4).as("dsir_logweight"))
+        .orderBy("doc_id")),
+
     // the COMPOSED corpus-preparation pipeline: quality-filter ->
     // exact-dedup -> redact -> stratified-sample -> chunk, one operator
     "x_pipeline" -> ((s, dir) =>
@@ -2533,6 +2545,35 @@ object SparkEntry {
            cast(sum(doc_id) AS bigint) AS id_sum,
            round(max(keep_frac), 6) AS keep_frac
          FROM kept GROUP BY 1 ORDER BY 1""",
+
+    // hashed-feature replay: md5-derived slot ids are engine-neutral, the
+    // smoothed log-ratio fit and per-doc sums replay exactly; round(4)
+    // absorbs summation-order ulps
+    "x_dsir" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 8))::bigint % 2048 AS f
+           FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                 FROM documents)
+           WHERE tok <> ''),
+         c AS (
+           SELECT f,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+             count(*) AS rc
+           FROM toks GROUP BY 1),
+         tot AS (SELECT cast(sum(tc) AS double) AS t_total,
+                        cast(sum(rc) AS double) AS r_total FROM c),
+         r AS (
+           SELECT f,
+             ln((tc + 0.5) / (t_total + 0.5 * 2048))
+               - ln((rc + 0.5) / (r_total + 0.5 * 2048)) AS lr
+           FROM c CROSS JOIN tot)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round(sum(r.lr), 4) AS dsir_logweight
+         FROM toks t JOIN r USING (f)
+         WHERE t.doc_id < 300
+         GROUP BY 1 ORDER BY 1""",
 
     // grid over the deterministic top-200 combined-count terms, Laplace
     // smoothing over that vocabulary; natural-log KL/JS rounded to 6dp

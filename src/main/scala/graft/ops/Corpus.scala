@@ -447,6 +447,63 @@ object Corpus {
       .filter(col(cumCol) <= budget)
   }
 
+  // --- DSIR importance resampling -----------------------------------------
+
+  /**
+   * DSIR (Data Selection via Importance Resampling — Xie et al. 2023,
+   * public literature) log importance weights over hashed unigram
+   * features. The method: hash every token into `buckets` feature slots,
+   * fit two smoothed multinomials over the slots — `p` from the TARGET
+   * subset (the distribution you want more of, e.g. high-quality English)
+   * and `q` from the RAW pool — then score each document by
+   * `log w(x) = Σ_tokens [ log p_f − log q_f ]`. Resampling the corpus
+   * proportionally to `w` (e.g. via [[weightedSample]] on `exp` of a
+   * temperature-scaled weight, or a Gumbel top-k) shifts the pool toward
+   * the target distribution.
+   *
+   * Feature hashing uses the first 8 hex chars of md5 — the repo-wide
+   * deterministic-hash convention (same value in any engine, so re-runs
+   * and cross-engine replays agree; Spark's murmur3 would be private to
+   * Spark). Laplace smoothing `prior` keeps unseen-slot ratios finite.
+   *
+   * Scale shape: one explode over tokens; the feature-distribution fit is
+   * a `buckets`-bounded hash aggregate (map-side combine does almost all
+   * of it); the per-slot log-ratios broadcast back (`buckets` rows); the
+   * per-document sum is the ONE data-sized exchange (doc-keyed, partially
+   * aggregated map-side). Nothing is ever keyed by raw vocabulary, so a
+   * 10^8-term web corpus costs the same metadata as this fixture.
+   */
+  def dsirScores(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 2048, prior: Double = 0.5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(prior > 0.0, s"prior must be positive, got $prior")
+    val toks = df
+      .select(col(idCol), isTarget.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val feat = pmod(
+      conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val featured = toks.select(col(idCol), col("__t"), feat.as("__f"))
+    // one pass fits BOTH distributions: target occurrences and raw
+    // occurrences per feature slot
+    val counts = featured.groupBy(col("__f"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+        count(lit(1)).as("__rc"))
+    val totals = counts.agg(
+      sum(col("__tc")).cast("double").as("__T"),
+      sum(col("__rc")).cast("double").as("__R"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("__f"),
+        (log((col("__tc") + lit(prior)) / (col("__T") + lit(prior * buckets))) -
+          log((col("__rc") + lit(prior)) / (col("__R") + lit(prior * buckets))))
+          .as("__lr"))
+    featured.join(broadcast(ratios), Seq("__f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lr")).as("dsir_logweight"))
+  }
+
   // --- the composed pipeline --------------------------------------------
 
   /**

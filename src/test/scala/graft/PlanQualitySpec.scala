@@ -110,6 +110,20 @@ class PlanQualitySpec extends SparkTestBase {
       s"five composed stages should cost ONE shuffle, found $exchanges:\n$plan")
   }
 
+  test("dsirScores: slot ratios broadcast; no vocabulary-keyed exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = graft.ops.Corpus.dsirScores(docs, "text", "doc_id",
+      isTarget = col("lang") === "en", buckets = 256)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 256-slot log-ratio table must broadcast back:\n$plan")
+    // exchanges: the slot-count aggregate (bounded at `buckets` rows after
+    // map-side combine), its broadcast, the totals fold and the final
+    // doc-keyed aggregate — nothing keyed by raw token strings
+    assert(!plan.contains("SortMergeJoin"),
+      s"dsir must never sort-merge on token-derived keys:\n$plan")
+  }
+
   test("packAssignments plans one shard-partitioned window, no global sort") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val packed = graft.ops.Corpus.packAssignments(docs, "text", "doc_id",

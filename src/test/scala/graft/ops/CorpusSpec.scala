@@ -348,4 +348,33 @@ class CorpusSpec extends SparkTestBase {
     assert(all.count() === 110)
     assert(all.select(min(col("keep_frac"))).collect().head.getDouble(0) === 1.0)
   }
+
+  test("dsirScores: target-like documents carry higher importance weights") {
+    import spark.implicits._
+    // target speaks {alpha beta}, the rest of the pool speaks {gamma delta};
+    // a raw doc written in target vocabulary must out-score a raw doc
+    // written in pool vocabulary, and every empty doc drops out
+    val docs = (
+      (0L until 20L).map(i => (i, "alpha beta alpha beta", true)) ++
+      (20L until 60L).map(i => (i, "gamma delta gamma delta", false)) ++
+      Seq((100L, "alpha beta", false), (101L, "gamma delta", false),
+        (102L, "   ", false), (103L, "alpha beta alpha beta", false))
+    ).toDF("doc_id", "text", "is_t")
+    val scored = Corpus.dsirScores(docs, "text", "doc_id", col("is_t"),
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!scored.contains(102L), "whitespace-only doc has no tokens")
+    val (nT, wTargetLike) = scored(100L)
+    val (nP, wPoolLike) = scored(101L)
+    assert(nT === 2 && nP === 2)
+    assert(wTargetLike > wPoolLike,
+      s"target-vocabulary doc must out-score pool-vocabulary doc: $wTargetLike vs $wPoolLike")
+    assert(wTargetLike > 0.0 && wPoolLike < 0.0,
+      "log-ratio sign tracks which distribution the doc resembles")
+    // weights are per-token sums UNDER ONE FIT: doc 103 repeats doc 100's
+    // text twice, so its log weight is exactly double within the same run
+    val (n2, w2) = scored(103L)
+    assert(n2 === 4)
+    assert(math.abs(w2 - 2.0 * wTargetLike) < 1e-9)
+  }
 }
