@@ -754,6 +754,16 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // EXACT Jaccard join by prefix filtering (AllPairs/PPJoin) over the
+    // FULL table — no subsample needed: candidates come from an inverted
+    // index over each set's rarest-first prefix, never a cross join. Same
+    // answer as brute force (the oracle IS brute force), inverted-index
+    // cost
+    "d_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixJoin(T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8, shingleN = 3)
+        .orderBy("id_a", "id_b")),
+
     // sparse TF-IDF cosine over 3-gram shingles: inverted-index join on
     // df-bounded postings (never doc x doc), idf-weighted so shared rare
     // shingles dominate — the weighted lexical near-dup companion
@@ -2813,6 +2823,27 @@ object SparkEntry {
          WHERE round(cast(len(list_intersect(a.ws, b.ws)) AS double)
                  / cast(len(list_distinct(list_concat(a.ws, b.ws))) AS double), 4) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // the oracle is BRUTE FORCE — the prefix-filtered engine join must
+    // reproduce it exactly (prefix filtering is a lossless candidate
+    // generator, not an approximation)
+    "d_jaccard_prefix" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         sets AS (
+           SELECT doc_id, list_distinct(list_transform(
+             list_zip(tk[1:len(tk)-2], tk[2:len(tk)-1], tk[3:len(tk)]),
+             x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS s
+           FROM toks WHERE len(tk) >= 3),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(cast(len(list_intersect(a.s, b.s)) AS double)
+               / cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double),
+               4) AS jaccard_sim
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard_sim FROM p
+         WHERE jaccard_sim >= 0.8 ORDER BY id_a, id_b""",
 
     // same 3-gram zip idiom as x_decontaminate; arithmetic mirrors the
     // Spark side operation-for-operation (tf*ln(n/df), sqrt-sum norms,

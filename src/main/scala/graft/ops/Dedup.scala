@@ -292,11 +292,82 @@ object Dedup {
     // array intersection runs only on size-compatible pairs — an O(1)
     // check that prunes the vast majority of a cross join at high
     // thresholds without changing any result
+    // epsilon guard: when t*maxSize is exactly integral (t=0.9, |B|=10)
+    // the double product can land a hair ABOVE the integer and wrongly
+    // prune a pair sitting exactly at the threshold — 1e-9 re-admits the
+    // boundary without admitting anything below it (set sizes << 1e9)
     val sizeCompatible =
       least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
-        lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b")))
+        lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b"))) - lit(1e-9)
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b") && sizeCompatible)
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("__set_a"), col("__set_b")), 4).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  /**
+   * EXACT Jaccard similarity self-join via prefix filtering — the
+   * AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08;
+   * public literature). Same output as [[ngramJaccardPairs]] (every pair
+   * with shingle-set Jaccard >= threshold, no approximation), but instead
+   * of a cross join the candidate generation is an inverted-index
+   * equi-join over each document's PREFIX:
+   *
+   *  - order all shingles by ascending document frequency (rarest first,
+   *    shingle text as tie-break) — one GLOBAL total order;
+   *  - a set of size s keeps only its first `s - ceil(t*s) + 1` shingles
+   *    in that order. Two sets with Jaccard >= t MUST share at least one
+   *    prefix shingle (dropping the suffix discards fewer elements than
+   *    the minimum required overlap), so joining on prefix shingles loses
+   *    nothing — and prefixes are by construction the RAREST shingles, so
+   *    postings stay short and frequent-shingle skew prunes itself;
+   *  - candidates pass the size-ratio filter, then verify with one exact
+   *    array intersection per pair.
+   *
+   * Scale shape: posting-list equi-joins keyed by shingle + one doc-keyed
+   * window for the prefix ranks; never doc x doc. This is the exact-answer
+   * scale path next to MinHash-LSH's approximate one — same inverted-index
+   * economics, zero recall loss.
+   */
+  def jaccardPrefixJoin(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sets = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        (if (shingleN == 1) array_distinct(col("__toks"))
+         else array_distinct(TextAnalysis.shinglesOfTokens(col("__toks"), shingleN))).as("__set"))
+      .filter(size(col("__set")) >= 1)
+    val sized = sets.select(col(idCol).as("__id"), col("__set"),
+      size(col("__set")).as("__sz"))
+    val posts = sized.select(col("__id"), col("__sz"),
+      explode(col("__set")).as("__tok"))
+    val dfreq = posts.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // prefix length s - ceil(t*s) + 1; the 1e-9 nudge keeps an integral
+    // t*s from float-rounding UP (a too-long prefix only adds candidates,
+    // a too-short one silently loses pairs)
+    val prefixLen = (col("__sz") -
+      ceil(lit(threshold) * col("__sz") - lit(1e-9)) + lit(1)).cast("int")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("__tok").asc)
+    val prefixes = posts.join(dfreq, Seq("__tok"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= prefixLen)
+      .select(col("__id"), col("__sz"), col("__tok"))
+    val sizeCompatible =
+      least(col("__sza"), col("__szb")).cast("double") >=
+        lit(threshold) * greatest(col("__sza"), col("__szb")) - lit(1e-9)
+    val cand = prefixes.select(col("__id").as("id_a"), col("__sz").as("__sza"),
+        col("__tok"))
+      .join(prefixes.select(col("__id").as("id_b"), col("__sz").as("__szb"),
+        col("__tok")), Seq("__tok"))
+      .filter(col("id_a") < col("id_b") && sizeCompatible)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sized.select(col("__id").as("id_a"), col("__set").as("__set_a")),
+        Seq("id_a"))
+      .join(sized.select(col("__id").as("id_b"), col("__set").as("__set_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("__set_a"), col("__set_b")), 4).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)

@@ -324,4 +324,52 @@ class DedupSpec extends SparkTestBase {
       || plan.contains("HashJoin [__term"),
       s"expected the postings equi-join on the term key:\n$plan")
   }
+
+  test("jaccardPrefixJoin equals brute force at several thresholds (lossless prefix filter)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8, 0.9); n <- Seq(1, 3)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", t, n)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val prefix = Dedup.jaccardPrefixJoin(docs, "text", "doc_id", t, n)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(prefix === exact,
+        s"prefix join must reproduce brute force at t=$t n=$n: " +
+          s"${prefix.size} vs ${exact.size} pairs")
+    }
+  }
+
+  test("jaccardPrefixJoin: randomized equivalence incl. threshold-boundary sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1207)
+    // small vocab forces heavy overlap; sizes 9/10 sit exactly on the
+    // t=0.9 size-ratio boundary the epsilon guard protects
+    val base = (0L until 120L).map { i =>
+      val len = 9 + rnd.nextInt(3)
+      (i, Seq.fill(len)(s"w${rnd.nextInt(18)}").mkString(" "))
+    }
+    // planted near-dups: exact copy (J=1) and a 9-of-10-token overlap pair
+    // whose sizes 9/10 sit exactly on the t=0.9 size-ratio boundary the
+    // epsilon guard protects
+    val planted = Seq(
+      (200L, base.head._2), // dup of doc 0
+      (201L, (1 to 10).map(i => s"p$i").mkString(" ")),
+      (202L, (1 to 9).map(i => s"p$i").mkString(" ")))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.9)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", t, 1)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val prefix = Dedup.jaccardPrefixJoin(docs, "text", "doc_id", t, 1)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(prefix === exact, s"t=$t: ${prefix.size} vs ${exact.size}")
+      assert(exact.nonEmpty, s"fuzz should generate qualifying pairs at t=$t")
+    }
+  }
+
+  test("jaccardPrefixJoin candidate generation never plans a cartesian product") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.jaccardPrefixJoin(docs, "text", "doc_id", 0.8, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"prefix join must stay an equi-join on shingles:\n$plan")
+  }
 }
