@@ -1826,6 +1826,15 @@ object SparkEntry {
       t.toDF.orderBy("window_start", "event_type")
     }),
 
+    // the full streaming-lakehouse LOOP: versioned table -> graft-stream
+    // source -> watermarked windowed aggregation -> keyed MERGE into a
+    // graft sink, three incremental AvailableNow runs on one checkpoint;
+    // final sink must equal the batch aggregate exactly
+    "st_source_agg" -> ((s, dir) => {
+      val t = TableFixtures.streamSourceAgg(s, dir)
+      t.toDF.orderBy("window_start", "event_type")
+    }),
+
     // readStream.format("graft-stream") source end to end: three appends
     // to a partitioned graft table, an AvailableNow tail run after each
     // (one shared checkpoint — snapshot-id offsets resume exactly), sink
@@ -4049,6 +4058,13 @@ object SparkEntry {
 
     // the stream's hourly windows must equal the batch hourly aggregate
     "st_window_agg" ->
+      s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type, count(*) AS n, ${centsSql("value")} AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same batch re-derivation: the source->agg->merge-sink loop must land
+    // on the identical final aggregate
+    "st_source_agg" ->
       s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
            event_type, count(*) AS n, ${centsSql("value")} AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -573,6 +573,54 @@ object TableFixtures {
       sink
     })
 
+  /**
+   * The FULL streaming-lakehouse loop: graft table -> `graft-stream`
+   * source -> watermarked stateful aggregation -> keyed MERGE back into a
+   * graft sink, exactly-once at both ends. Events append to the source
+   * table as three ts-CONTIGUOUS ranges (so nothing ever arrives later
+   * than the 2h watermark), and after each append an AvailableNow run on
+   * one shared checkpoint resumes the aggregation state and upserts the
+   * updated (window, event_type) rows. The final sink equals the batch
+   * windowed aggregate exactly — which is what lets DuckDB oracle a
+   * watermark-bounded streaming aggregation fed BY a versioned table
+   * (st_source_agg).
+   */
+  def streamSourceAgg(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("stream_source_agg", sfDir), {
+      val dir = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val srcLoc = s"$dir/stream_agg_src"
+      val sinkLoc = s"$dir/stream_agg_sink"
+      GraftTable.drop(spark, srcLoc)
+      GraftTable.drop(spark, sinkLoc)
+      val ev = EventsReader.read(spark, sfDir)
+      val src = GraftTable.create(spark, srcLoc, "graft.stream_agg_src", ev.schema)
+      def agg = spark.readStream.format("graft-stream").load(srcLoc)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long")
+            .cast("decimal(38,0)")).cast("long").as("value_cents"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("value_cents"))
+      val sink = GraftTable.create(spark, sinkLoc, "graft.stream_agg_sink",
+        agg.schema)
+      val cp = s"$sinkLoc-checkpoint"
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      Seq(col("ts") < cut1,
+        col("ts") >= cut1 && col("ts") < cut2,
+        col("ts") >= cut2).foreach { range =>
+        src.append(ev.filter(range))
+        graft.streaming.StreamingOps.writeToGraftTable(
+          agg, sink, cp,
+          mergeKeys = Seq("window_start", "event_type"),
+          outputMode = "update",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+      }
+      sink
+    })
+
   def streamWindowed(spark: SparkSession, sfDir: String): GraftTable =
     cache.getOrElseUpdate(("stream_windowed", sfDir), {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/stream_windowed"

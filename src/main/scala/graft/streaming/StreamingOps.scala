@@ -95,14 +95,22 @@ object StreamingOps {
       checkpointDir: String, mergeKeys: Seq[String] = Seq.empty,
       updateCols: Seq[String] = Seq.empty,
       latestBy: Seq[String] = Seq.empty,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      outputMode: String = "append")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(latestBy.isEmpty || mergeKeys.nonEmpty,
       "latestBy is a merge-mode reduction; pass mergeKeys with it")
+    // `update` pairs a stateful aggregation with a keyed MERGE sink: each
+    // trigger emits the CUMULATIVE state of every touched key, so the
+    // upsert leaves the sink holding final values without waiting for the
+    // watermark to finalize windows (append mode would never deliver the
+    // tail windows of a bounded backfill)
+    require(outputMode == "append" || (outputMode == "update" && mergeKeys.nonEmpty),
+      s"outputMode=$outputMode needs mergeKeys (update rows must upsert, not append)")
     val sid = streamId(checkpointDir)
     val writer = df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitMicroBatch(table, batch, batchId, mergeKeys, updateCols, sid,
           latestBy); ()
