@@ -1738,6 +1738,15 @@ object SparkEntry {
         .select(col("media_id"), col("dhash"), col("bits_set"))
         .orderBy("media_id")),
 
+    // perceptual image near-dup: real PNG decode -> dHash -> pigeonhole
+    // band join over the 64-bit hashes (the simhash machinery reused on a
+    // visual fingerprint); the synthetic set plants single-sample-pixel
+    // variants, and the oracle re-derives every hash + pair independently
+    "m_phash_neardup" -> ((s, dir) =>
+      graft.ops.Multimodal.imageNearDups(
+        graft.ops.Multimodal.neardupMedia(s), maxDist = 4)
+        .orderBy("id_a", "id_b")),
+
     // full pixel decode -> normalized 8-bin-per-channel RGB histogram
     "m_image_features" -> ((s, dir) =>
       graft.ops.Multimodal.imageFeatures(graft.ops.Multimodal.fixtureMedia(s))
@@ -3935,6 +3944,18 @@ object SparkEntry {
            (1, 868315830220596388, 24),
            (2, 72340203022327840, 8)) AS t(media_id, dhash, bits_set)
          ORDER BY media_id""",
+
+    // independently re-derived by GenMediaOracle (own luma/grid dHash over
+    // the shared synthetic PNGs, brute-force hamming <= 4)
+    "m_phash_neardup" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming_dist AS INT) AS hamming_dist
+         FROM (VALUES
+           (100, 101, 1),
+           (100, 102, 2),
+           (101, 102, 1),
+           (103, 104, 1)) AS t(id_a, id_b, hamming_dist)
+         ORDER BY id_a, id_b""",
 
     "m_image_features" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,

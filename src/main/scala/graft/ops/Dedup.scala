@@ -516,8 +516,21 @@ object Dedup {
 
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val banded = simhashBanded(simhash(df, textCol, idCol, tokenHash), idCol, maxDist)
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    fingerprintNearDups(simhash(df, textCol, idCol, tokenHash), idCol,
+      "simhash", maxDist)
+
+  /**
+   * All pairs within `maxDist` Hamming over ANY 64-bit fingerprint column
+   * — the banding machinery of [[simhashNearDups]] factored out so other
+   * perceptual fingerprints ride it unchanged (image dHash, audio
+   * fingerprints, rolling-hash sketches). Guaranteed recall via pigeonhole
+   * segments; shuffle carries 8-byte keys + ids, never payloads.
+   */
+  def fingerprintNearDups(fps: DataFrame, idCol: String, fpCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val banded = simhashBanded(
+      fps.select(col(idCol), col(fpCol).as("simhash")), idCol, maxDist)
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("seg"), col("seg_val"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("seg"), col("seg_val"))
     a.join(b, Seq("seg", "seg_val"))

@@ -689,6 +689,62 @@ object Multimodal {
     * by GenMediaFixtures) as a Dataset — the deterministic input of the
     * m_* oracle queries: every decode output over them is a constant a
     * VALUES oracle can assert. */
+  /**
+   * Perceptual near-duplicate image pairs: dHash each image, then the
+   * guaranteed-recall pigeonhole band join over the 64-bit hashes
+   * ([[graft.ops.Dedup.fingerprintNearDups]]) — image dedup at corpus
+   * scale without ever comparing pixels across rows. Blobs never shuffle
+   * (the hash is computed in the blob's partition); the join moves 8-byte
+   * keys + ids only.
+   */
+  def imageNearDups(media: Dataset[MediaRecord], maxDist: Int = 4)
+      : org.apache.spark.sql.DataFrame =
+    graft.ops.Dedup.fingerprintNearDups(
+      imageDHash(media).toDF(), "media_id", "dhash", maxDist)
+
+  /**
+   * Deterministic synthetic near-dup image set: two groups of gradient
+   * images whose variants bump a single dHash SAMPLE PIXEL (the 9x8 grid
+   * samples odd coordinates at 18x16, so one bumped pixel flips exactly
+   * one comparison bit), plus two structurally distinct patterns. Pure
+   * pixel formulas — any independent implementation regenerates the same
+   * pixels, so the oracle can re-derive every hash and pair from scratch.
+   */
+  def neardupImageBytes: Seq[(Long, Array[Byte])] = {
+    val W = 18; val H = 16
+    def png(v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(W, H,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until H; x <- 0 until W) {
+        val g = math.max(0, math.min(255, v(x, y)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def asc(x: Int, y: Int): Int = x * 14
+    def desc(x: Int, y: Int): Int = 250 - x * 14
+    def bump(base: (Int, Int) => Int, pts: Set[(Int, Int)], d: Int)(
+        x: Int, y: Int): Int = if (pts((x, y))) base(x, y) + d else base(x, y)
+    Seq(
+      100L -> png(asc),
+      101L -> png(bump(asc, Set((7, 5)), 90)),            // grid (r=2,c=3)
+      102L -> png(bump(asc, Set((7, 5), (11, 13)), 90)),  // + grid (r=6,c=5)
+      103L -> png(desc),
+      104L -> png(bump(desc, Set((5, 3)), -90)),          // grid (r=1,c=2)
+      105L -> png((x, _) => if ((x / 3) % 2 == 0) 230 else 10),
+      106L -> png((x, y) => if (((x + y) / 3) % 2 == 0) 10 else 230))
+  }
+
+  /** [[neardupImageBytes]] as a [[MediaRecord]] dataset. */
+  def neardupMedia(spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    neardupImageBytes.map { case (id, bytes) =>
+      MediaRecord(id, "image", bytes, "synthetic")
+    }.toDS()
+  }
+
   def fixtureMedia(spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     def res(name: String): Array[Byte] = {

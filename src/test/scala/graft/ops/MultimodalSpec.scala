@@ -329,4 +329,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(3L) === got(1L)) // global brightness shift cannot flip comparisons
     assert(got(4L) === got(1L))
   }
+
+  test("imageNearDups: planted variants pair within their group, groups never cross") {
+    val pairs = Multimodal.imageNearDups(Multimodal.neardupMedia(spark), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((100L, 101L, 1), (100L, 102L, 2), (101L, 102L, 1),
+      (103L, 104L, 1)))
+    // banding recall guarantee: every pair found by brute force is found by
+    // the band join (here: brute force over the 7 hashes)
+    val hs = Multimodal.imageDHash(Multimodal.neardupMedia(spark)).collect()
+      .map(h => h.media_id -> h.dhash)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (ia, ib, d)).toSet
+    assert(pairs === brute)
+  }
 }

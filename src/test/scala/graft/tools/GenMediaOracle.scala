@@ -227,5 +227,30 @@ object GenMediaOracle {
         println(s"($id, '$kind', $d, ${r4((x / norm).toFloat.toDouble)}),")
       }
     }
+
+    println("-- m_phash_neardup (id_a, id_b, hamming_dist) @ maxDist=4")
+    // independent re-derivation: decode the synthetic set's PNG bytes (the
+    // INPUT is shared, as with the resource files), recompute each dHash
+    // with this file's own luma/grid arithmetic, brute-force all pairs
+    val hashes = graft.ops.Multimodal.neardupImageBytes.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      def lumaAt(c: Int, row: Int): Double = {
+        val x = Math.floorDiv((2 * c + 1) * img.getWidth, 18)
+        val y = Math.floorDiv((2 * row + 1) * img.getHeight, 16)
+        val rgb = img.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      val hash = (for {
+        row <- 0 until 8
+        c <- 0 until 8
+        if lumaAt(c, row) > lumaAt(c + 1, row)
+      } yield row * 8 + c).foldLeft(0L)((acc, b) => acc | (1L << b))
+      id -> hash
+    }
+    for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } println(s"($ia, $ib, $d),")
   }
 }
