@@ -978,6 +978,16 @@ object SparkEntry {
         .orderBy("cluster_id", "dim")
     }),
 
+    // the full Lloyd TRAINING LOOP: 3 assignment+update rounds with a
+    // driver centroid sync between them (quantized 4dp updates make the
+    // whole iterative float pipeline engine-reproducible — the oracle
+    // chains three identical rounded CTE rounds)
+    "s_kmeans_train" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.kmeansTrain(e, e.filter(col("vec_id") < 8), iters = 3)
+        .orderBy("cluster_id", "dim")
+    }),
+
     // --- events: sessionization + time-windowed aggregation --------------
 
     "e_sessions" -> ((s, dir) =>
@@ -1988,6 +1998,45 @@ object SparkEntry {
          x -> x[1]::DOUBLE * x[2]::DOUBLE)) >= 0
          THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
     }.mkString(" + ")
+  }
+
+  /** N chained Lloyd rounds as CTEs — the s_kmeans_train oracle. Each
+    * round replays s_kmeans_step's assignment (argmax cosine, ties to the
+    * lowest cluster_id) and 4dp-rounded mean update, then rebuilds the
+    * centroid lists for the next round — the same quantized driver sync
+    * the engine loop performs. */
+  private def kmeansTrainSql(iters: Int, k: Int): String = {
+    val cosine =
+      """list_sum(list_transform(list_zip(e.embedding, c.cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))"""
+    val init =
+      s"""c0 AS (SELECT vec_id AS cluster_id,
+            list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings WHERE vec_id < $k)"""
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+            SELECT vec_id, embedding, cluster_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id ASC) AS rn
+            FROM (SELECT e.vec_id, e.embedding, c.cluster_id, $cosine AS sim
+                  FROM embeddings e CROSS JOIN c${i - 1} c)),
+          d$i AS (
+            SELECT cluster_id, embedding,
+              unnest(generate_series(1, len(embedding))) AS d
+            FROM a$i WHERE rn = 1),
+          s$i AS (
+            SELECT cluster_id, cast(d - 1 AS integer) AS dim,
+              round(avg(embedding[d]::DOUBLE), 4) + 0.0 AS centroid_val,
+              count(*) AS n_vecs
+            FROM d$i GROUP BY 1, 2),
+          c$i AS (
+            SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
+            FROM s$i GROUP BY 1)"""
+    }
+    s"""WITH $init,
+        ${rounds.mkString(",\n")}
+        SELECT cluster_id, dim, centroid_val, n_vecs
+        FROM s$iters ORDER BY cluster_id, dim"""
   }
 
   /** Exact brute-force cosine top-k SQL — the oracle for s_ann_topk, and
@@ -3018,6 +3067,10 @@ object SparkEntry {
            round(avg(embedding[d]::DOUBLE), 4) + 0.0 AS centroid_val,
            count(*) AS n_vecs
          FROM dims GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // three chained Lloyd rounds with the same 4dp-quantized centroid sync
+    // the engine loop performs between iterations
+    "s_kmeans_train" -> kmeansTrainSql(iters = 3, k = 8),
 
     // brute-force argmax-cosine assignment against the fixed centroid table
     // (vec_id < 8), then the cluster x label grid — mirrors

@@ -575,4 +575,46 @@ object Similarity {
       // tiny negative mean to -0.0 (DuckDB) agree with ones that don't
       .agg((round(avg(col("__x").cast("double")), 4) + lit(0.0)).as("centroid_val"),
         count(lit(1)).as("n_vecs"))
+
+  /**
+   * Full Lloyd's k-means TRAINING LOOP: `iters` [[kmeansStep]] rounds with
+   * a driver sync between them — after every step the k·dim centroid rows
+   * (metadata-sized by definition) are collected and rebuilt as a fresh
+   * local centroid relation, exactly the Spark MLlib iteration pattern.
+   * The driver sync is load-bearing twice over: it RESETS THE LINEAGE
+   * (chaining the step transform symbolically would double the plan per
+   * iteration), and it materializes each round's centroids at the same
+   * 4-decimal quantization the step emits, so an independent engine
+   * replaying the loop (the DuckDB oracle chains the same rounded CTEs)
+   * lands on bit-identical centroids every round — quantized updates are
+   * what make an iterative float pipeline cross-engine reproducible.
+   *
+   * Per-iteration cost is one corpus pass: the narrow unrolled assignment
+   * + one (cluster, dim)-keyed aggregation whose map-side partials bound
+   * the shuffle at k·dim rows per partition. Clusters that lose all
+   * members drop out (both engines agree). Returns the FINAL round's long
+   * form `(cluster_id, dim, centroid_val, n_vecs)`.
+   */
+  def kmeansTrain(vectors: DataFrame, initCentroids: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "vec_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents = initCentroids.select(
+      col(centroidIdCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("embedding"))
+    var lastRows: Array[org.apache.spark.sql.Row] = Array.empty
+    for (_ <- 0 until iters) {
+      lastRows = kmeansStep(vectors, cents, idCol, vecCol, "vec_id")
+        .collect()
+      cents = lastRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toDF("vec_id", "embedding")
+    }
+    lastRows.toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toDF("cluster_id", "dim", "centroid_val", "n_vecs")
+  }
 }

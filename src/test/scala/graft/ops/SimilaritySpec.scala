@@ -249,4 +249,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join in plan:\n$plan")
   }
+
+  test("kmeansTrain: one iteration == kmeansStep; separated groups converge to group means") {
+    import spark.implicits._
+    // two tight clusters around orthogonal directions
+    def vec(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + (if (d == i % 4) 0.01f else 0f) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val vecs = ((0 until 10).map(i => (i.toLong, vec(a, i))) ++
+      (10 until 24).map(i => (i.toLong, vec(b, i))))
+      .toDF("vec_id", "embedding")
+    val init = vecs.filter(col("vec_id").isin(0L, 10L))
+    val one = graft.ops.Similarity.kmeansTrain(vecs, init, iters = 1)
+      .orderBy("cluster_id", "dim").collect().toSeq
+    val step = graft.ops.Similarity.kmeansStep(vecs, init)
+      .orderBy("cluster_id", "dim").collect().toSeq
+    assert(one === step)
+    val trained = graft.ops.Similarity.kmeansTrain(vecs, init, iters = 3)
+    val sizes = trained.select("cluster_id", "n_vecs").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(0L -> 10L, 10L -> 14L))
+    // centroid of cluster 0 dominated by dim 0, cluster 10 by dim 1
+    val c0 = trained.filter(col("cluster_id") === 0L).orderBy("dim")
+      .collect().map(_.getDouble(2))
+    val c1 = trained.filter(col("cluster_id") === 10L).orderBy("dim")
+      .collect().map(_.getDouble(2))
+    assert(c0(0) > 0.9 && c0(1) < 0.1)
+    assert(c1(1) > 0.9 && c1(0) < 0.1)
+  }
 }
