@@ -1635,6 +1635,21 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // storage-partitioned join over VERSIONED tables: orders/lineitem as
+    // graft tables co-bucketed bucket(8, orderkey); under the SPJ confs the
+    // join plans with zero input shuffles (spec-pinned) — here the oracle
+    // checks the bucket-grouped scan path end to end
+    "t_spj_join" -> ((s, dir) => {
+      val cat = TableFixtures.spjBucketedTables(s, dir)
+      s.table(s"$cat.orders_spj")
+        .join(s.table(s"$cat.lineitem_spj"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sumCents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // salted fact-dim join (the hot-key join shape when the dimension is
     // too big to broadcast and AQE's skew split doesn't apply): must equal
     // the plain join exactly
@@ -3699,6 +3714,13 @@ object SparkEntry {
 
     // the bucketed layout must not change a single row
     "q26_bucketed_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+         ${centsSql("l_extendedprice")} AS price_cents
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // the storage-partitioned join must produce exactly the plain join
+    "t_spj_join" ->
       s"""SELECT o_orderstatus, count(*) AS n_items,
          ${centsSql("l_extendedprice")} AS price_cents
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey

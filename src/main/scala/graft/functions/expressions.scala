@@ -230,10 +230,70 @@ object NfcNormalize {
 }
 
 /** Column-level API + SQL registration for the native expressions. */
+/**
+ * All `n`-token shingles of a string array, space-joined — the native
+ * replacement for the interpreted `transform(i => array_join(slice(...)))`
+ * lambda (higher-order functions get no codegen and pay a per-shingle
+ * ArrayData copy; profiled at ~1.5 ms/document vs ~10 µs here, and every
+ * lexical-similarity operator sits on this). Size < n yields an EMPTY
+ * array (not null); null elements are skipped inside a shingle exactly
+ * like `array_join`/`concat_ws`.
+ */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires an array<string> column, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.shingle(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.shingle($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Shingles =
+    copy(child = c)
+}
+
+object Shingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by the interpreted and generated paths. */
+  def shingle(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    if (sz < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](sz - n + 1)
+    var i = 0
+    while (i <= sz - n) {
+      if (n == 1) {
+        val s = arr.getUTF8String(i)
+        out(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+      } else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Space, parts: _*)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
 
   def rolling_hash(c: Column): Column =
     bridge.column(RollingHash(bridge.expression(c)))
+
+  def shingles(c: Column, n: Int): Column =
+    bridge.column(Shingles(bridge.expression(c), n))
 
   def vec_cosine(a: Column, b: Column): Column =
     bridge.column(VecCosine(bridge.expression(a), bridge.expression(b)))

@@ -334,13 +334,23 @@ object Dedup {
       threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val sets = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
+    val spark = df.sparkSession
+    // the shingle lambda is interpreted (higher-order functions get no
+    // codegen) and this plan consumes the shingle sets FOUR times (df-fit,
+    // both self-join sides, verification) — persist the materialized sets
+    // once at the RDD level (ContextCleaner reclaims the cache when the
+    // result plan is collected, same pattern as Skyline's candidates;
+    // without this, the sf0.1 bench re-ran the shingle pass ~8x: 15s -> ~1s)
+    val setsPlan = df.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
         (if (shingleN == 1) array_distinct(col("__toks"))
          else array_distinct(TextAnalysis.shinglesOfTokens(col("__toks"), shingleN))).as("__set"))
       .filter(size(col("__set")) >= 1)
-    val sized = sets.select(col(idCol).as("__id"), col("__set"),
-      size(col("__set")).as("__sz"))
+      .select(col("__id"), col("__set"), size(col("__set")).as("__sz"))
+    val sizedRdd = setsPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = spark.createDataFrame(sizedRdd, setsPlan.schema)
     val posts = sized.select(col("__id"), col("__sz"),
       explode(col("__set")).as("__tok"))
     val dfreq = posts.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
@@ -350,10 +360,16 @@ object Dedup {
     val prefixLen = (col("__sz") -
       ceil(lit(threshold) * col("__sz") - lit(1e-9)) + lit(1)).cast("int")
     val w = Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("__tok").asc)
-    val prefixes = posts.join(dfreq, Seq("__tok"))
+    // the prefix table feeds BOTH sides of the candidate self-join —
+    // persist it too, or the doc-keyed window (and the df-fit aggregate
+    // under it) runs twice
+    val prefixesPlan = posts.join(dfreq, Seq("__tok"))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= prefixLen)
       .select(col("__id"), col("__sz"), col("__tok"))
+    val prefixesRdd = prefixesPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixes = spark.createDataFrame(prefixesRdd, prefixesPlan.schema)
     val sizeCompatible =
       least(col("__sza"), col("__szb")).cast("double") >=
         lit(threshold) * greatest(col("__sza"), col("__szb")) - lit(1e-9)

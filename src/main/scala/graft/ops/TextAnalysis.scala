@@ -496,12 +496,11 @@ object TextAnalysis {
 
   /** [[shingles]] over an already-computed token array (cheap to reference
     * from inside the per-position lambda). */
-  def shinglesOfTokens(toks: Column, n: Int): Column = {
-    // one shingle starting at each position 0..size-n (empty when size < n)
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    // native codegen'd expression (graft.functions.Shingles) — the
+    // interpreted transform(slice+array_join) lambda it replaces cost
+    // ~1.5 ms/document and sat under every lexical-similarity operator.
+    // coalesce preserves the original contract: null input -> EMPTY array
+    coalesce(graft.functions.GraftFunctions.shingles(toks, n),
+      array().cast("array<string>"))
 }

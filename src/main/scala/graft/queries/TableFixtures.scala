@@ -864,6 +864,31 @@ object TableFixtures {
       t
     })
 
+  private val spjCache = TrieMap.empty[String, String]
+
+  /**
+   * Storage-partitioned-join fixture: orders and lineitem as graft tables
+   * bucketed `bucket(8, orderkey)` on BOTH sides — with
+   * `spark.sql.sources.v2.bucketing.enabled` the SQL join of the two
+   * plans with NO shuffle on either input (the scans report aligned
+   * KeyGroupedPartitioning through the catalog's bucket function; pinned
+   * in StoragePartitionedJoinSpec). Returns the catalog name.
+   */
+  def spjBucketedTables(spark: SparkSession, sfDir: String): String =
+    spjCache.getOrElseUpdate(sfDir, {
+      val cat = sqlCatalog(spark, sfDir) // registers graft_fx over the wh
+      val wh = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val o = read(spark, sfDir, "orders")
+      val l = read(spark, sfDir, "lineitem")
+      val ot = GraftTable.createOrReplace(spark, s"$wh/orders_spj",
+        s"$cat.orders_spj", o.schema, Seq("bucket(8,o_orderkey)"))
+      ot.append(o)
+      val lt = GraftTable.createOrReplace(spark, s"$wh/lineitem_spj",
+        s"$cat.lineitem_spj", l.schema, Seq("bucket(8,l_orderkey)"))
+      lt.append(l)
+      cat
+    })
+
   def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
     bucketedCache.getOrElseUpdate(sfDir, {
       val db = s"graft_buckets_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"

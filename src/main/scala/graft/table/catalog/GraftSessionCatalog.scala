@@ -136,8 +136,10 @@ class GraftSessionCatalog extends GraftSparkCatalog with CatalogExtension {
     delegateFunctions.listFunctions(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    delegateFunctions.loadFunction(ident)
+    // graft's SPJ bucket function first; everything else is the session's
+    if (ident.name().equalsIgnoreCase("bucket")) super.loadFunction(ident)
+    else delegateFunctions.loadFunction(ident)
 
   override def functionExists(ident: Identifier): Boolean =
-    delegateFunctions.functionExists(ident)
+    ident.name().equalsIgnoreCase("bucket") || delegateFunctions.functionExists(ident)
 }

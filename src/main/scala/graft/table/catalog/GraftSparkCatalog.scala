@@ -46,7 +46,8 @@ import graft.table.{GraftSnapshot, GraftTable, SnapshotLog, TableMetadata}
  * so SQL can never bypass the snapshot log, and time-travel reads stay
  * read-only.
  */
-class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
+class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -182,6 +183,21 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog {
     if (namespace.toSeq == Seq("system"))
       GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
+
+  // --- functions: the SPJ `bucket` transform function -------------------
+  // Spark's storage-partitioned-join machinery resolves a scan's reported
+  // bucket(n, col) clustering through the relation's FunctionCatalog; the
+  // canonicalName ties both join sides to the SAME hash.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket"))
+      org.apache.spark.sql.graft.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // -------------------------------------------------------------------
 
@@ -400,7 +416,30 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
         "or mixed partition layouts): SQL reads need " +
         "spark.sql.extensions=graft.GraftSparkExtensions (or read via the " +
         "GraftTable API / run a compaction to rewrite the snapshot)") }
-    inner.newScanBuilder(options)
+    val base = inner.newScanBuilder(options)
+    // bucket-transformed tables scan through the SPJ-aware wrapper: one
+    // input partition per bucket, keyed, so co-bucketed joins skip the
+    // shuffle (reaching here with planRead empty implies a single layout —
+    // every live file carries the bucket directory)
+    bucketField match {
+      case Some(graft.table.PartitionSpec.Field(src,
+          graft.table.PartitionSpec.Bucket(n))) =>
+        base match {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+            new org.apache.spark.sql.graft.GraftBucketedScanBuilder(p, n, src,
+              graft.table.PartitionSpec.Field(src,
+                graft.table.PartitionSpec.Bucket(n)).dirName)
+          case other => other
+        }
+      case _ => base
+    }
+  }
+
+  /** The spec's bucket field, if the CURRENT spec has exactly one. */
+  private def bucketField: Option[graft.table.PartitionSpec.Field] = {
+    val bucketFields = graft.table.PartitionSpec.parse(partitionEntries)
+      .filter(_.transform.isInstanceOf[graft.table.PartitionSpec.Bucket])
+    if (bucketFields.size == 1) bucketFields.headOption else None
   }
 }
 

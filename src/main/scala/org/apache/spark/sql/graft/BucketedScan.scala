@@ -1,0 +1,154 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr, GenericInternalRow, Literal, Murmur3Hash, Pmod}
+import org.apache.spark.sql.connector.expressions.{Expressions, Expression => VExpr}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Storage-partitioned join (SPJ) support for graft tables bucketed with the
+ * hidden-partitioning `bucket(n, col)` transform: the scan groups the
+ * snapshot's files by their bucket directory value, exposes one input
+ * partition per bucket with its bucket id as the partition key, and reports
+ * `KeyGroupedPartitioning(bucket(n, col))`. Two graft tables bucketed the
+ * same way then join WITHOUT ANY SHUFFLE — Spark's `EnsureRequirements`
+ * recognizes both sides as co-partitioned (via the catalog's `bucket`
+ * function, [[GraftBucketFunction]]) and zips bucket i with bucket i. At
+ * 100 TB that converts the dominant exchange of a fact-fact join into a
+ * metadata no-op, exactly like Iceberg's SPJ.
+ *
+ * Lives under `org.apache.spark.sql` because filter pushdown on file scans
+ * goes through the `private[sql]` `SupportsPushDownCatalystFilters` seam —
+ * same access pattern as [[bridge]].
+ *
+ * Requires `spark.sql.sources.v2.bucketing.enabled=true` (Spark's SPJ
+ * gate). Partition-value alignment for buckets EMPTY on one side rides
+ * Spark's `v2.bucketing.pushPartValues.enabled` (default on in Spark 4).
+ *
+ * Delegation note: column pruning and catalyst filter pushdown forward to
+ * the inner [[ParquetScanBuilder]]; aggregate/variant pushdown (rarely
+ * applicable to a join input) is intentionally not forwarded — losing an
+ * optional pushdown only costs performance, never correctness.
+ */
+class GraftBucketedScanBuilder(inner: ParquetScanBuilder,
+    nBuckets: Int, sourceCol: String, dirName: String)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def pushFilters(filters: Seq[CExpr]): Seq[CExpr] =
+    inner.pushFilters(filters)
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def build(): Scan =
+    new GraftBucketedScan(inner.build().asInstanceOf[ParquetScan],
+      nBuckets, sourceCol, dirName)
+}
+
+/** One bucket's files as a Spark [[FilePartition]] that also carries its
+  * bucket id as the SPJ partition key. */
+class KeyedFilePartition(idx: Int, fs: Array[PartitionedFile],
+    key: InternalRow) extends FilePartition(idx, fs) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+class GraftBucketedScan(inner: ParquetScan,
+    nBuckets: Int, sourceCol: String, dirName: String)
+  extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = inner.readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftBucketedScan(bucket($nBuckets, $sourceCol)) ${inner.description()}"
+
+  private lazy val innerBatch: Batch = inner.toBatch
+
+  /** The inner parquet batch's size-packed [[FilePartition]]s, regrouped
+    * into ONE partition per bucket directory value. The bucket id comes
+    * from the file PATH's `dirName=<id>` segment — partition-values rows
+    * are projection-pruned (a query that doesn't select the derived dir
+    * column gets an empty readPartitionSchema), but the path always
+    * carries the layout. Splits of one file share a path, so regrouping
+    * keeps every split exactly once; empty buckets simply have no
+    * partition (Spark's push-part-values alignment handles a bucket
+    * present on only one join side). */
+  private lazy val grouped: Array[InputPartition] = {
+    val files = innerBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"unexpected parquet input partition ${other.getClass}")
+    }
+    val marker = s"/$dirName="
+    def bucketIdOf(f: PartitionedFile): Int = {
+      val p = f.filePath.toString
+      val at = p.indexOf(marker)
+      require(at >= 0, s"file outside the bucket layout: $p")
+      val from = at + marker.length
+      val to = p.indexOf('/', from)
+      p.substring(from, if (to < 0) p.length else to).toInt
+    }
+    files.groupBy(bucketIdOf).toSeq
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((bucket, fs), i) =>
+        new KeyedFilePartition(i, fs.toArray,
+          new GenericInternalRow(Array[Any](bucket))): InputPartition
+      }
+      .toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = grouped
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    innerBatch.createReaderFactory()
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array[VExpr](Expressions.bucket(nBuckets, sourceCol)), grouped.length)
+}
+
+/**
+ * The catalog-served `bucket` function — how Spark's SPJ machinery checks
+ * that two scans' `bucket(n, col)` transforms mean the SAME function
+ * (`canonicalName` equality) and evaluates bucket ids when aligning
+ * partition values. MUST agree exactly with the write path
+ * (`PartitionSpec`: `pmod(murmur3(col, seed 42), n)` — `functions.hash`).
+ */
+object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col, 42), n) — graft's hidden-partitioning bucket"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, col), got $inputType")
+    new Bound(inputType.fields(0).dataType, inputType.fields(1).dataType)
+  }
+
+  private final class Bound(numType: DataType, colType: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(numType, colType)
+    override def resultType(): DataType = org.apache.spark.sql.types.IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v = input.get(1, colType)
+      Pmod(Murmur3Hash(Seq(Literal.create(v, colType)), 42), Literal(n))
+        .eval().asInstanceOf[Int]
+    }
+  }
+}

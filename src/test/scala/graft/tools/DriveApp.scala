@@ -419,6 +419,31 @@ object DriveApp {
       println(s"hidden-partitioning dirs=$dirs files=$all " +
         s"prunedFiles=${pruned.inputFiles.length} rows=${pruned.count()}")
     }
+    println("== storage-partitioned join: co-bucketed tables, no shuffle")
+    locally {
+      import spark.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("drive-spj").toString
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spj",
+        classOf[graft.table.catalog.GraftSparkCatalog].getName)
+      s2.conf.set("spark.sql.catalog.spj.warehouse", wh)
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val a = graft.table.GraftTable.create(s2, s"$wh/db/a", "spj.db.a",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))),
+        Seq("bucket(4,k)"))
+      a.append { import s2.implicits._; (0L until 100L).map(i => (i, i * 2)).toDF("k", "v") }
+      val b = graft.table.GraftTable.create(s2, s"$wh/db/b", "spj.db.b",
+        a.schema, Seq("bucket(4,k)"))
+      b.append { import s2.implicits._; (0L until 50L).map(i => (i, i * 3)).toDF("k", "v") }
+      val j = s2.sql("SELECT a.k FROM spj.db.a a JOIN spj.db.b b ON a.k = b.k")
+      val shuffles = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      println(s"spj-join rows=${j.count()} shuffles=$shuffles")
+    }
     spark.stop()
   }
 }
