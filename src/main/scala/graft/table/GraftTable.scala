@@ -1640,7 +1640,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case Some(rows) => w2.option("maxRecordsPerFile", rows.toLong)
       case None => w2
     }
-    (if (parts.nonEmpty) w3.partitionBy(dirNames: _*) else w3).parquet(staging.toString)
+    // Iceberg's parquet bloom-filter property family, honored via
+    // parquet-mr's writer options: per-column bloom filters give the
+    // reader row-group skipping on EQUALITY predicates over
+    // high-cardinality non-partition columns — the point-lookup
+    // complement to min/max stats (which only bound ranges). Pure write
+    // cost is one bitset per row group; reads need no code at all
+    // (parquet-mr's row-group filter consults blooms automatically when
+    // Spark pushes the predicate).
+    val BloomPrefix = "write.parquet.bloom-filter-enabled.column."
+    val w4 = properties.foldLeft(w3) {
+      case (w, (k, v)) if k.startsWith(BloomPrefix) =>
+        w.option(s"parquet.bloom.filter.enabled#${k.stripPrefix(BloomPrefix)}", v)
+      case (w, ("write.parquet.bloom-filter-max-bytes", v)) =>
+        w.option("parquet.bloom.filter.max.bytes", v)
+      case (w, _) => w
+    }
+    (if (parts.nonEmpty) w4.partitionBy(dirNames: _*) else w4).parquet(staging.toString)
 
     // move staged leaves into data/, collecting partition values + stats
     val out = ArrayBuffer.empty[DataFile]

@@ -101,4 +101,39 @@ class FileSkippingSpec extends SparkTestBase {
     assert(df.inputFiles.length === 1)
     assert(df.count() === 50)
   }
+
+  test("write.parquet.bloom-filter-enabled.column.X writes parquet bloom filters") {
+    import spark.implicits._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val t = GraftTable.create(spark, tmpDir("bloom"), "bloomt", StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType))),
+      props = Map("write.parquet.bloom-filter-enabled.column.tag" -> "true"))
+    t.append((0 until 2000).map(i => (i.toLong, s"tag-$i")).toDF("id", "tag").coalesce(1))
+    def bloomCols(path: String): Set[String] = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration))
+      try {
+        val block = r.getFooter.getBlocks.get(0)
+        val br = r.getBloomFilterDataReader(block)
+        import scala.jdk.CollectionConverters._
+        block.getColumns.asScala
+          .filter(c => br.readBloomFilter(c) != null)
+          .map(_.getPath.toDotString).toSet
+      } finally r.close()
+    }
+    val file = s"${t.dataDir}/${t.meta.currentSnapshot.get.files.head.path}"
+    // bloom present exactly on the configured column
+    assert(bloomCols(file) === Set("tag"))
+    // equality reads through the bloom-filtered path stay correct
+    assert(t.toDF.filter(col("tag") === "tag-777").count() === 1)
+    assert(t.toDF.filter(col("tag") === "absent").count() === 0)
+    // a table without the property writes no blooms
+    val p = GraftTable.create(spark, tmpDir("nobloom"), "nb", StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType))))
+    p.append(Seq((1L, "a")).toDF("id", "tag"))
+    val f2 = s"${p.dataDir}/${p.meta.currentSnapshot.get.files.head.path}"
+    assert(bloomCols(f2) === Set.empty)
+  }
 }

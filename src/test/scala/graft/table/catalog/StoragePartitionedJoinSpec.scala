@@ -70,6 +70,33 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("aggregation on the bucket column rides the reported partitioning") {
+    import spark.implicits._
+    val wh = tmpDir("spj-agg-wh")
+    spark.conf.set("spark.sql.catalog.spjagg",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjagg.warehouse", wh)
+    try {
+      val t = GraftTable.create(spark, s"$wh/db/t", "spjagg.db.t",
+        StructType(Seq(StructField("k", LongType), StructField("v", LongType))),
+        Seq("bucket(4,k)"))
+      t.append((0L until 200L).map(i => (i % 40, i)).toDF("k", "v"))
+      withSpjConfs {
+        val agg = spark.sql(
+          "SELECT k, sum(v) AS s FROM spjagg.db.t GROUP BY k")
+        val plan = agg.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"group-by on the bucket key must not shuffle:\n$plan")
+        val rows = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rows.size === 40)
+        assert(rows(0L) === (0L until 200L by 40).sum)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjagg")
+      spark.conf.unset("spark.sql.catalog.spjagg.warehouse")
+    }
+  }
+
   test("SPJ survives appends (multiple files per bucket) and filter pushdown") {
     import spark.implicits._
     val wh = tmpDir("spj-wh2")
