@@ -339,6 +339,22 @@ object SparkEntry {
           round(max(col("q")), 4).as("quality_max"))
         .orderBy("lang")),
 
+    // the Gopher rule-bundle admission gate as per-rule flags: per-language
+    // counts of rule kills + overall pass rate — the audit view a curation
+    // run reads before committing to a filter config (all narrow per-row
+    // expression work, exact integer outputs)
+    "x_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(T(s, dir, "documents"), "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r_word_count"), 0L).otherwise(1L)).as("kill_word_count"),
+          sum(when(col("r_word_len"), 0L).otherwise(1L)).as("kill_word_len"),
+          sum(when(col("r_symbol"), 0L).otherwise(1L)).as("kill_symbol"),
+          sum(when(col("r_alpha"), 0L).otherwise(1L)).as("kill_alpha"),
+          sum(when(col("r_stopwords"), 0L).otherwise(1L)).as("kill_stopwords"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("lang")),
+
     // char-level Shannon entropy quality signal (native one-pass codegen
     // expression — the degenerate-doc filter that kills low-entropy spam):
     // per-language entropy profile over the 27-symbol a..z+space alphabet
@@ -1092,6 +1108,38 @@ object SparkEntry {
           coalesce(abs(col("__est") - col("exact_total"))
               <= col("exact_total") * lit(0.1),
             col("exact_total") === 0).as("approx_ok"))
+    }),
+
+    // mergeable QUANTILE sketch rollup — the latency-percentile twin of
+    // q37's HLL pattern: daily KLL sketches materialize once, the month's
+    // p50/p99 come from MERGING sketches (never re-reading raw events);
+    // the merged estimates are bound-checked in-query against the exact
+    // percentiles (own-sketch rule: a regeneration failure = re-tune)
+    "q39_quantile_rollup" -> ((s, dir) => {
+      val ev = T(s, dir, "events").filter(col("value").isNotNull)
+      val daily = ev
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(kll_sketch_agg_double(col("value")).as("__sk"),
+          count(lit(1)).as("n"))
+      val rolled = daily.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("n_values"),
+        kll_sketch_get_quantile_double(
+          kll_merge_agg_double(col("__sk")), lit(0.5)).as("__p50"),
+        kll_sketch_get_quantile_double(
+          kll_merge_agg_double(col("__sk")), lit(0.99)).as("__p99"))
+      val exact = ev.agg(
+        expr("percentile(value, 0.5)").as("__e50"),
+        expr("percentile(value, 0.99)").as("__e99"),
+        (max(col("value")) - min(col("value"))).as("__span"))
+      rolled.crossJoin(broadcast(exact))
+        .select(col("n_days"), col("n_values"),
+          // KLL rank error at default k is ~1.7%; bound the VALUE error by
+          // 5% of the observed span — generous, deterministic, and a
+          // sketch-merge regression still trips it
+          (abs(col("__p50") - col("__e50")) <= col("__span") * 0.05 &&
+            abs(col("__p99") - col("__e99")) <= col("__span") * 0.05)
+            .as("quantile_ok"))
     }),
 
     // correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
@@ -2638,6 +2686,48 @@ object SparkEntry {
            round(max(keep_frac), 6) AS keep_frac
          FROM kept GROUP BY 1 ORDER BY 1""",
 
+    // rule-for-rule replay: token/char/line arithmetic is exact, boolean
+    // flags aggregate to integer counts — nothing to round
+    "x_gopher_rules" ->
+      """WITH d AS (
+           SELECT lang, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         m AS (
+           SELECT lang,
+             len(toks)::DOUBLE AS n,
+             list_sum(list_transform(toks, w -> length(w)))::DOUBLE AS chars,
+             (length(text) - length(replace(text, '#', '')))::DOUBLE AS hashes,
+             (len(string_split(text, '...')) - 1)::DOUBLE AS ell,
+             len(lines)::DOUBLE AS nl,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE AS bl,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$')))::DOUBLE AS el,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS al,
+             len(list_intersect(list_distinct(toks),
+               ['the','be','to','of','and','that','have','with']))::DOUBLE AS st
+           FROM d),
+         r AS (
+           SELECT lang,
+             (n >= 50 AND n <= 100000) AS r_word_count,
+             (chars / greatest(n,1) >= 3.0 AND chars / greatest(n,1) <= 10.0) AS r_word_len,
+             ((hashes + ell) / greatest(n,1) < 0.1) AS r_symbol,
+             (bl / greatest(nl,1) < 0.9) AS r_bullet,
+             (el / greatest(nl,1) < 0.3) AS r_ellipsis,
+             (al / greatest(n,1) >= 0.8) AS r_alpha,
+             (st >= 2) AS r_stopwords
+           FROM m)
+         SELECT lang, count(*) AS n_docs,
+           cast(sum(CASE WHEN r_word_count THEN 0 ELSE 1 END) AS bigint) AS kill_word_count,
+           cast(sum(CASE WHEN r_word_len THEN 0 ELSE 1 END) AS bigint) AS kill_word_len,
+           cast(sum(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS bigint) AS kill_symbol,
+           cast(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS bigint) AS kill_alpha,
+           cast(sum(CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS bigint) AS kill_stopwords,
+           cast(sum(CASE WHEN r_word_count AND r_word_len AND r_symbol AND r_bullet
+                     AND r_ellipsis AND r_alpha AND r_stopwords
+               THEN 1 ELSE 0 END) AS bigint) AS n_pass
+         FROM r GROUP BY 1 ORDER BY 1""",
+
     // hashed-feature replay: md5-derived slot ids are engine-neutral, the
     // smoothed log-ratio fit and per-doc sums replay exactly; round(4)
     // absorbs summation-order ulps
@@ -3499,6 +3589,17 @@ object SparkEntry {
 
     // the sketch bound is asserted Spark-side (approx_ok); the oracle pins
     // the exact columns and expects the bound to hold
+    // deterministic cells replay exactly; the sketch-vs-exact bound is the
+    // engine's own assertion (oracle emits literal TRUE — q37's pattern)
+    "q39_quantile_rollup" ->
+      """WITH d AS (
+           SELECT date_trunc('day', ts) AS day, count(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+         SELECT count(*) AS n_days,
+           cast(sum(n) AS bigint) AS n_values,
+           true AS quantile_ok
+         FROM d""",
+
     "q37_hll_rollup" ->
       """WITH d AS (
            SELECT date_trunc('day', ts) AS day,

@@ -90,6 +90,59 @@ object TextAnalysis {
         alphaRatio * lit(0.3), 4)
   }
 
+  /**
+   * The Gopher rule-bundle quality filter (Rae et al. 2021, App. A1.1) as
+   * per-document boolean flags plus the conjunction — the standard
+   * pretraining-corpus admission gate, kept as FLAGS (not a silent filter)
+   * so curation can audit which rule kills which slice:
+   *
+   *  - `r_word_count`:  50 <= tokens <= 100000
+   *  - `r_word_len`:    3 <= mean token length <= 10
+   *  - `r_symbol`:      ('#' chars + '...' occurrences) / tokens < 0.1
+   *  - `r_bullet`:      < 90% of lines start with a bullet (- * •)
+   *  - `r_ellipsis`:    < 30% of lines end with '...'
+   *  - `r_alpha`:       >= 80% of tokens contain an alphabetic character
+   *  - `r_stopwords`:   >= 2 distinct common stopwords present
+   *  - `gopher_pass`:   all of the above
+   *
+   * Everything is narrow per-row expression work (regex counts + one
+   * token pass) — zero shuffles; the flags ride whatever aggregation the
+   * caller composes on top.
+   */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val tokChars = aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double")
+    val meanLen = tokChars / greatest(nTok, lit(1.0))
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipses = (size(split(t, "\\.\\.\\.", -1)) - 1).cast("double")
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines,
+      l => trim(l).rlike("\\.\\.\\.$"))).cast("double")
+    val alphaToks = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stops.map(lit): _*))).cast("double")
+    df
+      .withColumn("n_words", nTok.cast("long"))
+      .withColumn("r_word_count", nTok >= 50 && nTok <= 100000)
+      .withColumn("r_word_len", meanLen >= 3.0 && meanLen <= 10.0)
+      .withColumn("r_symbol", (hashes + ellipses) / greatest(nTok, lit(1.0)) < 0.1)
+      .withColumn("r_bullet", bulletLines / greatest(nLines, lit(1.0)) < 0.9)
+      .withColumn("r_ellipsis", ellipsisLines / greatest(nLines, lit(1.0)) < 0.3)
+      .withColumn("r_alpha", alphaToks / greatest(nTok, lit(1.0)) >= 0.8)
+      .withColumn("r_stopwords", stopHits >= 2.0)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopwords"))
+  }
+
   // --- repetition signals (Gopher-style quality filters) -----------------
 
   /**
