@@ -356,11 +356,18 @@ private[catalog] object GraftSqlTables {
     val planRead = snap
       .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout || preRenameFiles)
       .map(sn => GraftPlanRead(loc, sn.id))
+    // metadata-only COUNT(*): exact when no merge-on-read delete can drop
+    // rows at read time (the planRead guard already refuses those scans,
+    // but stay explicit); empty tables count 0
+    val metaCount: Option[Long] =
+      if (snap.forall(_.deleteFiles.isEmpty))
+        Some(snap.map(_.files.map(_.records).sum).getOrElse(0L))
+      else None
     if (writable)
       new GraftWritableTable(name, loc, inner, schema, planRead, meta.props,
-        meta.partitionCols)
+        meta.partitionCols, metaCount)
     else new GraftReadOnlyTable(name, inner, schema, planRead, meta.props,
-      meta.partitionCols)
+      meta.partitionCols, metaCount)
   }
 }
 
@@ -396,7 +403,8 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     tableSchema: StructType,
     val planRead: Option[GraftPlanRead] = None,
     tableProps: Map[String, String] = Map.empty,
-    partitionEntries: Seq[String] = Seq.empty) extends Table with SupportsRead {
+    partitionEntries: Seq[String] = Seq.empty,
+    metadataCount: Option[Long] = None) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   // hidden-partitioning spec surfaces through DESCRIBE EXTENDED /
@@ -417,21 +425,20 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
         "spark.sql.extensions=graft.GraftSparkExtensions (or read via the " +
         "GraftTable API / run a compaction to rewrite the snapshot)") }
     val base = inner.newScanBuilder(options)
-    // bucket-transformed tables scan through the SPJ-aware wrapper: one
-    // input partition per bucket, keyed, so co-bucketed joins skip the
-    // shuffle (reaching here with planRead empty implies a single layout —
-    // every live file carries the bucket directory)
-    bucketField match {
-      case Some(graft.table.PartitionSpec.Field(src,
-          graft.table.PartitionSpec.Bucket(n))) =>
-        base match {
-          case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
-            new org.apache.spark.sql.graft.GraftBucketedScanBuilder(p, n, src,
-              graft.table.PartitionSpec.Field(src,
-                graft.table.PartitionSpec.Bucket(n)).dirName)
-          case other => other
-        }
-      case _ => base
+    // every graft scan goes through the delegating wrapper: bucket specs
+    // get the SPJ-keyed partitioning (one input partition per bucket, so
+    // co-bucketed joins skip the shuffle — reaching here with planRead
+    // empty implies a single layout, every live file carries the bucket
+    // dir), and unfiltered COUNT(*) answers from snapshot-log record
+    // counts (metadata-only, any table size)
+    base match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+        val bucket = bucketField.map(f =>
+          (f.transform.asInstanceOf[graft.table.PartitionSpec.Bucket].n,
+            f.source, f.dirName))
+        new org.apache.spark.sql.graft.GraftBucketedScanBuilder(p, bucket,
+          metadataCount)
+      case other => other
     }
   }
 
@@ -441,6 +448,8 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
       .filter(_.transform.isInstanceOf[graft.table.PartitionSpec.Bucket])
     if (bucketFields.size == 1) bucketFields.headOption else None
   }
+
+
 }
 
 /** Current-state SQL table: reads like [[GraftReadOnlyTable]], and accepts
@@ -459,9 +468,10 @@ class GraftWritableTable(tableName: String, val location: String,
     inner: ParquetTable, tableSchema: StructType,
     planReadInfo: Option[GraftPlanRead] = None,
     tableProps: Map[String, String] = Map.empty,
-    partitionEntries: Seq[String] = Seq.empty)
+    partitionEntries: Seq[String] = Seq.empty,
+    metadataCount: Option[Long] = None)
   extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo,
-    tableProps, partitionEntries)
+    tableProps, partitionEntries, metadataCount)
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =

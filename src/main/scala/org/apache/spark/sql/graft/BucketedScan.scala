@@ -36,23 +36,66 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * optional pushdown only costs performance, never correctness.
  */
 class GraftBucketedScanBuilder(inner: ParquetScanBuilder,
-    nBuckets: Int, sourceCol: String, dirName: String)
+    bucket: Option[(Int, String, String)],
+    metadataCount: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownCatalystFilters {
+  with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private var sawFilters = false
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
 
-  override def pushFilters(filters: Seq[CExpr]): Seq[CExpr] =
+  override def pushFilters(filters: Seq[CExpr]): Seq[CExpr] = {
+    // ANY filter — pushed into parquet or not — still removes rows, so a
+    // metadata-only count would over-count; disable it outright
+    if (filters.nonEmpty) sawFilters = true
     inner.pushFilters(filters)
+  }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
+  /** `SELECT COUNT(*) FROM t` answered from the snapshot log's per-file
+    * record counts — a driver-side metadata lookup at ANY table size
+    * (Iceberg answers the same query from manifest stats). Only when no
+    * filter exists and the snapshot carries no merge-on-read deletes
+    * (`metadataCount` is None otherwise). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataCount.isDefined && !sawFilters &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countPushed = supportCompletePushDown(agg)
+    countPushed
+  }
+
   override def build(): Scan =
-    new GraftBucketedScan(inner.build().asInstanceOf[ParquetScan],
-      nBuckets, sourceCol, dirName)
+    if (countPushed) new GraftMetaCountScan(metadataCount.get)
+    else bucket match {
+      case Some((n, src, dir)) =>
+        new GraftBucketedScan(inner.build().asInstanceOf[ParquetScan], n, src, dir)
+      case None => inner.build()
+    }
+}
+
+/** The pushed-down COUNT(*) as a driver-local one-row scan. */
+class GraftMetaCountScan(total: Long)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(Array[Any](total)))
+  override def description(): String = s"GraftMetaCountScan($total)"
 }
 
 /** One bucket's files as a Spark [[FilePartition]] that also carries its

@@ -345,4 +345,32 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft.finance.scratch")
     assert(!GraftTable.exists(spark, s"$warehouse/finance/scratch"))
   }
+
+  test("unfiltered COUNT(*) is a metadata-only local scan; filters fall back") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.finance.cnt (k STRING, v DOUBLE) USING graft")
+    val t = GraftTable.load(spark, s"$warehouse/finance/cnt")
+    t.append((0 until 500).map(i => (s"k$i", i * 1.0)).toDF("k", "v"))
+    t.append((500 until 800).map(i => (s"k$i", i * 1.0)).toDF("k", "v"))
+    val q = spark.sql("SELECT count(*) FROM graft.finance.cnt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan")
+      && !plan.contains("BatchScan"),
+      s"unfiltered COUNT(*) must come from the snapshot log:\n$plan")
+    assert(q.collect().head.getLong(0) === 800L)
+    // time travel counts from the pinned snapshot's metadata
+    val firstSnap = t.meta.snapshots.map(_.id).min
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.finance.cnt VERSION AS OF $firstSnap")
+      .collect().head.getLong(0) === 500L)
+    // any filter disables the metadata answer (rows would be removed)
+    val f = spark.sql("SELECT count(*) FROM graft.finance.cnt WHERE v < 100")
+    assert(!f.queryExecution.executedPlan.toString.contains("GraftMetaCountScan"))
+    assert(f.collect().head.getLong(0) === 100L)
+    // grouped aggregates are never served from metadata
+    val g = spark.sql("SELECT k, count(*) FROM graft.finance.cnt GROUP BY k")
+    assert(!g.queryExecution.executedPlan.toString.contains("GraftMetaCountScan"))
+    assert(g.count() === 800L)
+    spark.sql("DROP TABLE graft.finance.cnt")
+  }
 }
