@@ -205,6 +205,37 @@ class HiddenPartitioningSpec extends SparkTestBase {
     assert(t.toDF.count() === 64)
   }
 
+  test("CoW delete/update/merge preserve the transform layout") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("hp-cow"), "hp_cow", schema,
+      partitionCols = Seq("days(ts)", "bucket(4,id)"))
+    t.append(rows(96))
+    // CoW delete rewrites only matched files, into the same layout
+    t.deleteWhere(col("id") < 10L)
+    assert(t.toDF.count() === 86)
+    assert(t.meta.currentSnapshot.get.files
+      .flatMap(_.partitionValues.keys).toSet === Set("ts_day", "id_bucket_4"))
+    // update rewrites keep the layout and the hidden ts fidelity
+    t.updateWhere(col("id") === 50L, Seq("v" -> lit(999.9)))
+    val r = t.toDF.filter(col("id") === 50L).collect().head
+    assert(r.getAs[Double]("v") === 999.9)
+    assert(t.toDF.select(countDistinct(col("ts"))).collect().head.getLong(0) >= 70)
+    // merge-upsert: update one row, insert a new one; layout still intact
+    val src = Seq(
+      (50L, "name50", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-02T10:00:00Z")), 1.0),
+      (2000L, "new", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-09T00:30:00Z")), 2.0))
+      .toDF("id", "name", "ts", "v")
+    t.merge(src, Seq("id"))
+    assert(t.toDF.count() === 87)
+    val dirs = t.meta.currentSnapshot.get.files.flatMap(_.partitionValues.toSeq)
+    assert(dirs.exists { case (k, v) => k == "ts_day" && v == "2024-03-09" })
+    // pruning still sound after the rewrites
+    val pruned = t.scanWhere(col("ts") >= lit("2024-03-09 00:00:00").cast("timestamp"))
+    assert(pruned.count() === 1 && pruned.inputFiles.length === 1)
+  }
+
   test("bad specs are rejected at create time") {
     intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpDir("hp-bad1"), "b1", schema,
