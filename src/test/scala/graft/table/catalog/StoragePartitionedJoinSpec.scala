@@ -97,6 +97,49 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("runtime filtering prunes whole buckets through the transform (DPP)") {
+    import spark.implicits._
+    val wh = tmpDir("spj-dpp-wh")
+    spark.conf.set("spark.sql.catalog.spjdpp",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjdpp.warehouse", wh)
+    try {
+      val t = GraftTable.create(spark, s"$wh/db/fact", "spjdpp.db.fact",
+        StructType(Seq(StructField("k", LongType), StructField("v", LongType))),
+        Seq("bucket(16,k)"))
+      t.append((0L until 2000L).map(i => (i % 200, i)).toDF("k", "v"))
+      // the dim must be a REAL scan with a selective filter: a local
+      // relation's filter constant-folds away and DPP requires a selective
+      // predicate on the filtering side
+      val dimDir = tmpDir("spj-dpp-dim")
+      (0L until 200L).map(i => (i, if (i < 9) "hot" else s"l$i"))
+        .toDF("k", "label").write.mode("overwrite").parquet(dimDir)
+      spark.read.parquet(dimDir).createOrReplaceTempView("__dpp_dim")
+      org.apache.spark.sql.graft.GraftBucketedScan.lastPlannedPartitions.set(-1)
+      val j = spark.sql(
+        """SELECT f.k, count(*) AS n FROM spjdpp.db.fact f
+           JOIN __dpp_dim d ON f.k = d.k
+           WHERE d.label = 'hot' GROUP BY f.k""")
+      val rows = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows === (0L until 9L).map(_ -> 10L).toMap)
+      val planned = org.apache.spark.sql.graft.GraftBucketedScan
+        .lastPlannedPartitions.get()
+      // 9 hot keys hash into at most 9 of the 16 buckets; whole buckets
+      // drop before any task launches
+      assert(planned >= 1 && planned <= 9,
+        s"runtime filter should drop unprobed buckets, planned=$planned")
+      // correctness safety: a non-selective join keeps everything
+      val jAll = spark.sql(
+        """SELECT count(*) FROM spjdpp.db.fact f
+           JOIN __dpp_dim d ON f.k = d.k""")
+      assert(jAll.collect().head.getLong(0) === 2000L)
+    } finally {
+      spark.catalog.dropTempView("__dpp_dim")
+      spark.conf.unset("spark.sql.catalog.spjdpp")
+      spark.conf.unset("spark.sql.catalog.spjdpp.warehouse")
+    }
+  }
+
   test("SPJ survives appends (multiple files per bucket) and filter pushdown") {
     import spark.implicits._
     val wh = tmpDir("spj-wh2")
