@@ -20,10 +20,20 @@ class TableFuzzSpec extends SparkTestBase {
     StructField("v", LongType)))
 
   test("120 random commits: table == model at head and every retained snapshot") {
+    fuzzRun("fuzz", Seq("k"), seed = 0xf422, steps = 120)
+  }
+
+  test("transform-spec fuzz: bucket+truncate layout, mid-run re-bucketing evolution") {
+    fuzzRun("fuzz-hp", Seq("bucket(4,id)", "truncate(2,k)"), seed = 0x11b,
+      steps = 80, evolveAt = Some(40 -> Seq("bucket(8,id)")))
+  }
+
+  private def fuzzRun(name: String, partitionCols: Seq[String], seed: Int,
+      steps: Int, evolveAt: Option[(Int, Seq[String])] = None): Unit = {
     import spark.implicits._
-    val rnd = new scala.util.Random(0xf422)
-    val t = GraftTable.create(spark, tmpDir("fuzz"), "fuzz", schema,
-      partitionCols = Seq("k"))
+    val rnd = new scala.util.Random(seed)
+    val t = GraftTable.create(spark, tmpDir(name), name, schema,
+      partitionCols = partitionCols)
 
     // model: rows keyed by id; snapshots of the model per commit id
     var model = Map.empty[Long, (String, Long)] // id -> (k, v)
@@ -49,7 +59,10 @@ class TableFuzzSpec extends SparkTestBase {
       assert(got === model, s"head state diverged after ${t.meta.snapshots.size} commits")
     }
 
-    (1 to 120).foreach { step =>
+    (1 to steps).foreach { step =>
+      evolveAt.filter(_._1 == step).foreach { case (_, spec) =>
+        t.updatePartitionSpec(spec)
+      }
       rnd.nextInt(8) match {
         case 0 | 1 => // append 1-5 fresh rows
           val rows = freshRows(1 + rnd.nextInt(5))
