@@ -1471,6 +1471,14 @@ object SparkEntry {
         .orderBy("operation")
     }),
 
+    // incremental materialized-rollup maintenance: the summary table kept
+    // current from the append log (checkpointed delta consumer + additive
+    // MERGE, O(delta)+O(groups) per refresh) must equal the full batch
+    // aggregate bit-exactly
+    "t_incremental_rollup" -> ((s, dir) =>
+      TableFixtures.ordersIncrementalRollup(s, dir).toDF
+        .orderBy("o_orderstatus")),
+
     // incremental (append-only CDC) read: rows added between v1 and v3 are
     // exactly batches 1 and 2 of the deterministic split
     "t_incremental" -> ((s, dir) =>
@@ -3970,6 +3978,12 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey % 3 IN (1, 2)
          GROUP BY 1 ORDER BY 1""",
+
+    // incremental view maintenance lands on the full aggregate
+    "t_incremental_rollup" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "t_partitions" ->
       """SELECT '{o_orderstatus=' || o_orderstatus || '}' AS partition,

@@ -864,6 +864,58 @@ object TableFixtures {
       t
     })
 
+  /**
+   * Incremental materialized-rollup maintenance: a per-status summary
+   * table kept current from the source's APPEND LOG, never a full
+   * re-aggregation. `orders` lands in a source table as three
+   * deterministic appends; after each, the checkpointed change consumer
+   * ([[GraftTable.consumeChanges]]) reads exactly the delta, aggregates
+   * it, and MERGEs additive updates into the rollup (read-modify-write on
+   * the grouped rows — the rollup is aggregate-sized by definition). The
+   * final rollup must equal the full batch aggregate, which is what lets
+   * DuckDB oracle incremental view maintenance (t_incremental_rollup).
+   * At 100 TB the per-refresh cost is O(delta) + O(groups), the exact
+   * economics that make nightly full refreshes obsolete.
+   */
+  def ordersIncrementalRollup(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_inc_rollup", sfDir), {
+      val dir = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val srcLoc = s"$dir/inc_rollup_src"
+      val rollLoc = s"$dir/inc_rollup"
+      GraftTable.drop(spark, srcLoc)
+      GraftTable.drop(spark, rollLoc)
+      val orders = read(spark, sfDir, "orders")
+      val src = GraftTable.create(spark, srcLoc, "graft.inc_rollup_src",
+        orders.schema)
+      val rollSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total_cents",
+          org.apache.spark.sql.types.LongType)))
+      val roll = GraftTable.create(spark, rollLoc, "graft.inc_rollup", rollSchema)
+      val cp = s"$rollLoc-checkpoint"
+      (0 until 3).foreach { b =>
+        src.append(orders.filter(col("o_orderkey") % 3 === b))
+        src.consumeChanges(cp) { delta =>
+          val agg = delta.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("__dn"),
+              sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                .cast("decimal(38,0)")).cast("long").as("__dc"))
+          val current = roll.toDF.select(col("o_orderstatus"),
+            col("n").as("__cn"), col("total_cents").as("__cc"))
+          val next = agg.join(current, Seq("o_orderstatus"), "left")
+            .select(col("o_orderstatus"),
+              (col("__dn") + coalesce(col("__cn"), lit(0L))).as("n"),
+              (col("__dc") + coalesce(col("__cc"), lit(0L))).as("total_cents"))
+          roll.merge(next, Seq("o_orderstatus"))
+          ()
+        }
+      }
+      roll
+    })
+
   private val spjCache = TrieMap.empty[String, String]
 
   /**
