@@ -1628,6 +1628,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val aligned = properties.get("write.distribution-mode") match {
       case Some("hash") if parts.nonEmpty && applyDistribution =>
         withDirs.repartition(dirNames.map(col).toIndexedSeq: _*)
+      // range mode (Iceberg's third distribution): range-partition on the
+      // partition values so output files are additionally ORDERED across
+      // the partition space — fewer writer-side open files when the
+      // partition count far exceeds parallelism, and downstream range
+      // scans read consecutive files
+      case Some("range") if parts.nonEmpty && applyDistribution =>
+        withDirs.repartitionByRange(dirNames.map(col).toIndexedSeq: _*)
       case _ => withDirs
     }
     val writer = aligned.write.mode("overwrite")

@@ -116,6 +116,22 @@ class GraftTableSpec extends SparkTestBase {
     assert(hashFiles.map(_.partitionValues("p")).sorted === Seq("p0", "p1"))
   }
 
+  test("write.distribution-mode=range clusters appends by partition-value ranges") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val range = GraftTable.create(spark, tmpDir("dist-range"), "r", schema, Seq("p"),
+      Map("write.distribution-mode" -> "range"))
+    val df = (1L to 64L).map(i => (i, s"p${i % 4}")).toDF("k", "p").repartition(8)
+    range.append(df)
+    assert(range.toDF.count() === 64)
+    // each partition value lands in exactly one range slice -> one file
+    val files = range.meta.currentSnapshot.get.files
+    assert(files.map(_.partitionValues("p")).distinct.size === 4)
+    assert(files.size === 4, s"expected one file per partition value, got ${files.size}")
+  }
+
   test("sort compaction keeps within-file order on a hash-distribution table") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
