@@ -1428,6 +1428,39 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map(f => if (f.isIdentity) col(f.source) else f.writeExpr(sch))
   }
 
+  /**
+   * Binpack compaction — Iceberg's DEFAULT rewrite strategy and the
+   * routine small-files maintenance op: coalesce ONLY the files smaller
+   * than `minFileSizeBytes` into per-partition files; full-sized files
+   * are untouched (no read, no write, none of their rows move). At scale
+   * this is the difference between compaction cost O(small-file bytes)
+   * and a full-table rewrite. Merge-on-read deletes are applied to the
+   * rows being rewritten and PRESERVED for the untouched files (the
+   * rewritten files' data-sequence stamps keep old deletes from
+   * re-applying to them) — partial rewrites must never clear deletes the
+   * remaining files still need.
+   */
+  def rewriteDataFilesBinpack(minFileSizeBytes: Long = 32L << 20)
+      : GraftSnapshot = withCommitLock {
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"${m.name}: no snapshot to compact"))
+    val small = snap.files.filter(_.sizeBytes < minFileSizeBytes)
+    if (small.size <= 1) snap // nothing to coalesce
+    else {
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val rows = readWithDeletes(Some(snap), m, small)
+      val clustered =
+        if (m.partitionCols.nonEmpty)
+          rows.repartition(partitionClusterExprs.toIndexedSeq: _*)
+        else rows.coalesce(1)
+      val newFiles = writeDataFiles(clustered, tableSchema, m.partitionCols,
+        applyDistribution = false)
+      commitSnapshot(m, newFiles, removed = small.map(_.path).toSeq,
+        operation = "replace", branch = None, preserveDeletes = true)
+    }
+  }
+
   def rewriteDataFilesSorted(sortExprs: Seq[Column],
       targetFiles: Int = 8): GraftSnapshot = {
     val df = toDF
@@ -1809,7 +1842,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def commitSnapshot(m: TableMetadata, added: Seq[DataFile],
       removed: Seq[String], operation: String, branch: Option[String],
       addedDeletes: Seq[DeleteFile] = Seq.empty,
-      extraSummary: Map[String, String] = Map.empty): GraftSnapshot = {
+      extraSummary: Map[String, String] = Map.empty,
+      preserveDeletes: Boolean = false): GraftSnapshot = {
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
     require(!m.tags.contains(b),
       s"$b is a tag on ${m.name}; tags are immutable and cannot be written to")
@@ -1827,7 +1861,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // a fresh disk read, so this holds; guarded anyway). Removal/rewrite
     // commits fall through to materializing the full live list, which
     // commit() collapses into a single fresh manifest.
-    val clearsDeletes = operation == "replace" || operation == "overwrite"
+    // a PARTIAL rewrite (binpack) must keep delete files alive for the
+    // untouched files it did not read through
+    val clearsDeletes = !preserveDeletes &&
+      (operation == "replace" || operation == "overwrite")
     // bound the manifest chain (write.manifest.max-chain, default 32 —
     // Iceberg's commit.manifest.min-count-to-merge analogue): when the
     // parent's chain is at the bound, this commit materializes the full

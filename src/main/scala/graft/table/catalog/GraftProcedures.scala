@@ -148,20 +148,24 @@ private[catalog] object GraftProcedures {
       val t = table(input.getUTF8String(0).toString)
       val strategy =
         if (input.isNullAt(1)) "sort" else input.getUTF8String(1).toString
-      require(strategy.equalsIgnoreCase("sort"),
-        s"rewrite_data_files: unsupported strategy '$strategy' (only 'sort')")
+      require(strategy.equalsIgnoreCase("sort") ||
+          strategy.equalsIgnoreCase("binpack"),
+        s"rewrite_data_files: unsupported strategy '$strategy' " +
+          "(supported: 'sort', 'binpack')")
       val order =
         if (input.isNullAt(2)) null else input.getUTF8String(2).toString.trim
       val before = t.meta.currentSnapshot.map(_.files.size).getOrElse(0)
       // Iceberg's zorder(...) sort-order form routes to the z-order rewrite
       val ZOrder = "(?i)^zorder\\s*\\(([^)]*)\\)$".r
-      val snap = order match {
-        case null => t.rewriteDataFilesSorted(
-          Seq(asc_nulls_last(t.schema.fieldNames.head)))
-        case ZOrder(cols) => t.rewriteDataFilesZOrder(
-          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        case s => t.rewriteDataFilesSorted(parseSortOrder(s))
-      }
+      val snap =
+        if (strategy.equalsIgnoreCase("binpack")) t.rewriteDataFilesBinpack()
+        else order match {
+          case null => t.rewriteDataFilesSorted(
+            Seq(asc_nulls_last(t.schema.fieldNames.head)))
+          case ZOrder(cols) => t.rewriteDataFilesZOrder(
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          case s => t.rewriteDataFilesSorted(parseSortOrder(s))
+        }
       result(out, Seq(new GenericInternalRow(Array[Any](before, snap.files.size))))
     }
   }

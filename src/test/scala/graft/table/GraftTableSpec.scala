@@ -132,6 +132,39 @@ class GraftTableSpec extends SparkTestBase {
     assert(files.size === 4, s"expected one file per partition value, got ${files.size}")
   }
 
+  test("binpack compaction coalesces only small files; MoR deletes survive for untouched files") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val t = GraftTable.create(spark, tmpDir("binpack"), "bp", schema)
+    // one "big" file (by row count; threshold set between the sizes below)
+    t.append((0L until 5000L).map(i => (i, i)).toDF("id", "v").coalesce(1))
+    val bigPath = t.meta.currentSnapshot.get.files.head.path
+    val bigSize = t.meta.currentSnapshot.get.files.head.sizeBytes
+    // five small files
+    (0 until 5).foreach { b =>
+      t.append((10000L + b * 10 until 10000L + b * 10 + 10)
+        .map(i => (i, i)).toDF("id", "v").coalesce(1))
+    }
+    // a MoR delete that hits the BIG (untouched) file
+    t.deleteWhereMoR(col("id") === 42L, Seq("id"))
+    assert(t.toDF.count() === 5049)
+    val snap = t.rewriteDataFilesBinpack(minFileSizeBytes = bigSize)
+    // big file untouched; smalls coalesced into one
+    val paths = snap.files.map(_.path)
+    assert(paths.contains(bigPath), "full-sized file must not be rewritten")
+    assert(paths.size === 2, s"5 small files should coalesce to 1, got $paths")
+    // delete still applies to the untouched big file
+    assert(snap.deleteFiles.nonEmpty, "partial rewrite must keep delete files")
+    assert(t.toDF.count() === 5049)
+    assert(t.toDF.filter(col("id") === 42L).count() === 0)
+    assert(t.toDF.filter(col("id") >= 10000L).count() === 50)
+    // idempotent: nothing left to coalesce
+    val again = t.rewriteDataFilesBinpack(minFileSizeBytes = bigSize)
+    assert(again.id === snap.id, "no-op binpack must not commit")
+  }
+
   test("sort compaction keeps within-file order on a hash-distribution table") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
