@@ -1429,6 +1429,17 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // binpack compaction (Iceberg's default strategy): small files
+    // coalesced, full-sized file untouched, merge-on-read delete preserved
+    // across the partial rewrite — the read must equal orders minus the
+    // deleted band, byte-for-byte on the aggregate
+    "t_binpack" -> ((s, dir) =>
+      TableFixtures.ordersBinpacked(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // V1 via SQL: the DSv2 catalog surface — VERSION AS OF a branch ref
     "t_sql_time_travel" -> ((s, dir) => {
       val cat = TableFixtures.sqlCatalog(s, dir)
@@ -3955,6 +3966,16 @@ object SparkEntry {
       s"""SELECT o_orderpriority, count(*) AS n,
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY 1""",
+
+    // the fixture lands ALL of orders (two complementary mod-classes of
+    // appends), MoR-deletes the %10=3 band, then binpacks — state must be
+    // exactly orders minus that band
+    "t_binpack" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         cast(sum(o_orderkey) AS bigint) AS key_sum,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders WHERE o_orderkey % 10 <> 3
          GROUP BY 1 ORDER BY 1""",
 
     // hidden partitioning: the transform-pruned read must equal a plain

@@ -293,6 +293,28 @@ object TableFixtures {
    * snapshot expiry (branch-pinned v1..v3 survive). Data state == full
    * orders; used to prove maintenance preserves contents.
    */
+  /**
+   * Binpack fixture: one full-sized batch, then many small appends, then a
+   * MoR delete hitting the big file, then binpack — only the small files
+   * coalesce, the delete must survive for the untouched big file, and the
+   * table must still read exactly (orders minus the deleted band).
+   */
+  def ordersBinpacked(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_binpacked", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_binpacked"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_binpacked", orders.schema)
+      t.append(orders.filter(col("o_orderkey") % 4 =!= 0).coalesce(1))
+      val bigSize = t.meta.currentSnapshot.get.files.map(_.sizeBytes).max
+      (0 until 4).foreach { b =>
+        t.append(orders.filter(col("o_orderkey") % 16 === (b * 4)).coalesce(1))
+      }
+      t.deleteWhereMoR(col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+      t.rewriteDataFilesBinpack(minFileSizeBytes = bigSize)
+      t
+    })
+
   def ordersMaintained(spark: SparkSession, sfDir: String): GraftTable =
     cache.getOrElseUpdate(("orders_maintained", sfDir), {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_maintained"
