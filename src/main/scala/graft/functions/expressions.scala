@@ -335,6 +335,9 @@ object GraftFunctions {
       "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => Shingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }
 

@@ -102,6 +102,23 @@ class CodegenParitySpec extends SparkTestBase {
     assertParity(df, "rolling_hash/char_entropy/nfc_normalize")
   }
 
+  test("shingles: widths 1-4 over random token arrays incl empty, unicode, null") {
+    import spark.implicits._
+    val rows: Seq[Option[Seq[String]]] =
+      Seq(None, Some(Seq.empty), Some(Seq("one")),
+        Some(Seq("a", "b", "c", "d", "e")),
+        Some(Seq("café", "Å", "", "𝒳"))) ++
+        (1 to 200).map(_ => Some(Seq.fill(rnd.nextInt(12))(randString(6))))
+    val df = rows.toDF("t")
+      .select((1 to 4).map(n =>
+        GraftFunctions.shingles(col("t"), n).as(s"s$n")): _*)
+    assertParity(df, "shingles")
+    // semantic pin vs the textbook definition on one concrete case
+    val got = Seq(Seq("a", "b", "c", "d")).toDF("t")
+      .select(GraftFunctions.shingles(col("t"), 2)).collect().head.getSeq[String](0)
+    assert(got === Seq("a b", "b c", "c d"))
+  }
+
   test("nfc_normalize: canonical composition vectors + ASCII identity") {
     import spark.implicits._
     val rows = Seq(
