@@ -58,10 +58,9 @@ final class JdbcCommitGuard(url: String) extends CommitGuard {
           case e: SQLException if isDuplicateKey(e) => false
         }
       if (claimed) {
-        // we own the slot: install the bytes (uncontended, idempotent)
-        val out = fs.create(target, true)
-        try out.write(payload) finally out.close()
-        fs.delete(tmp, false)
+        // we own the slot: move the fully-written tmp into place (atomic —
+        // a racing reader never observes a half-written metadata file)
+        installOwned(fs, tmp, target)
       } else {
         fs.delete(tmp, false)
         // heal: if the winning committer died between claim and install,
@@ -74,9 +73,7 @@ final class JdbcCommitGuard(url: String) extends CommitGuard {
             ps.setString(1, slot)
             val rs = ps.executeQuery()
             if (rs.next()) {
-              val winner = rs.getBytes(1)
-              val out = fs.create(target, true)
-              try out.write(winner) finally out.close()
+              installBytes(fs, target, rs.getBytes(1))
             }
             rs.close()
           } finally ps.close()

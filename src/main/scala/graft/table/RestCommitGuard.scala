@@ -44,16 +44,13 @@ final class RestCommitGuard(url: String) extends CommitGuard {
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
       case 200 =>
-        val out = fs.create(target, true)
-        try out.write(payload) finally out.close()
-        fs.delete(tmp, false)
+        installOwned(fs, tmp, target)
       case 409 =>
         fs.delete(tmp, false)
         if (!fs.exists(target)) {
           // heal from the service's copy of the WINNER's bytes
           RestCommitGuard.extractPayload(resp.body()).foreach { winner =>
-            val out = fs.create(target, true)
-            try out.write(winner) finally out.close()
+            installBytes(fs, target, winner)
           }
         }
         lost(target)

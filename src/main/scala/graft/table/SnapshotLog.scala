@@ -247,6 +247,29 @@ trait CommitGuard {
   protected def lost(target: Path): Nothing =
     throw new IllegalStateException(
       s"Concurrent commit detected for $target; retry on fresh metadata")
+
+  /** Slot-owner install for service-adjudicated guards (REST/JDBC): the
+    * already-fully-written `tmp` is MOVED onto `target` so a concurrent
+    * reader only ever sees the file absent or complete — never the empty
+    * window a `create(target)`+write install exposes (which crashed a
+    * racing reader JVM with "No content to map" mid-commit). Ownership of
+    * the slot was already decided by the service, so an overwrite is safe:
+    * any pre-existing content is a loser's heal copy of these SAME winning
+    * bytes. A store that refuses the rename (target exists) therefore
+    * already holds the payload — just drop `tmp`. */
+  protected def installOwned(fs: FileSystem, tmp: Path, target: Path): Unit = {
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
+  /** Heal-path install: materialize the service's copy of the winning
+    * `bytes` at `target` atomically (fresh sibling tmp + move), for the
+    * same no-partial-read guarantee as [[installOwned]]. */
+  protected def installBytes(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent, s".heal-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
 }
 
 /** Local filesystem: rename OVERWRITES an existing target, so it cannot
