@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.sql.{GraftMergeRule, GraftPlanReadRule, GraftSqlParser, GraftUpdateRule}
+import graft.sql.{GraftMergeRule, GraftMetadataColumnRule, GraftPlanReadRule, GraftSqlParser, GraftUpdateRule}
 
 /**
  * Session extensions completing the reference's SQL surface on graft
@@ -27,7 +27,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPostHocResolutionRule(_ => GraftMergeRule)
     ext.injectPostHocResolutionRule(_ => GraftUpdateRule)
-    // after the row-level rules: only genuine read relations remain
+    // metadata-column refs first (their read plan is also delete-correct),
+    // then the MoR/mixed-layout substitution for the remaining relations
+    ext.injectPostHocResolutionRule(_ => GraftMetadataColumnRule)
     ext.injectPostHocResolutionRule(_ => GraftPlanReadRule)
   }
 }

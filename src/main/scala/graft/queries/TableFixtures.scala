@@ -470,6 +470,25 @@ object TableFixtures {
    * per partition — the deterministic layout the files/manifests metadata
    * oracles count on. Two appends (`o_orderkey % 2`) → 2 files per status.
    */
+  /**
+   * Metadata-columns fixture: one single-task append of the `%3 == 0`
+   * order slice into an o_orderstatus-partitioned table — exactly ONE
+   * data file per partition, so `_pos` within each file is a permutation
+   * of 0..n-1 and per-partition aggregates of the metadata columns are
+   * fully deterministic (intra-file row order is writer-defined and NOT
+   * relied on).
+   */
+  def ordersMetaCols(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_meta_cols", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_meta_cols"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_meta_cols",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1))
+      t
+    })
+
   def ordersHashFiles(spark: SparkSession, sfDir: String): GraftTable =
     cache.getOrElseUpdate(("orders_hash_files", sfDir), {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_hash_files"

@@ -195,6 +195,52 @@ object GraftPlanReadRule extends Rule[LogicalPlan] {
 }
 
 /**
+ * Serves the Iceberg reserved metadata columns (`_file`, `_pos`,
+ * `_partition`) in SQL / catalog reads: the DSv2 tables DECLARE them
+ * (`SupportsMetadataColumns`, so the analyzer's own `AddMetadataColumns`
+ * resolves the references), and this rule substitutes any graft relation
+ * whose output actually carries one with the provenance-bearing graft read
+ * plan (`GraftTable.metadataAsOf` pinned to the relation's snapshot — MoR
+ * deletes applied, on-file row positions preserved). Relations that never
+ * reference a metadata column are left for the plain (or plan-read) scan —
+ * `SELECT *` stays a pure parquet scan. Runs BEFORE [[GraftPlanReadRule]]
+ * so a MoR snapshot with metadata refs resolves here (the metadata read is
+ * delete-correct) instead of through the positionless plan-read
+ * substitution.
+ */
+object GraftMetadataColumnRule extends Rule[LogicalPlan] {
+
+  private val MetaNames = Set("_file", "_pos", "_partition")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable => d
+    case w: V2WriteCommand  => w.withNewQuery(rewriteReads(w.query))
+    case other              => rewriteReads(other)
+  }
+
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case r: DataSourceV2Relation if r.output.exists(a => MetaNames(a.name)) =>
+        r.table match {
+          case g: GraftReadOnlyTable =>
+            g.provenance match {
+              case Some(pr) =>
+                val df = graft.table.GraftTable
+                  .load(org.apache.spark.sql.SparkSession.active, pr.location)
+                  .metadataAsOf(pr.snapshotId.toString)
+                val inner = bridge.analyzedPlan(df)
+                val byName = inner.output.map(a => a.name -> a).toMap
+                Project(r.output.map(o =>
+                  Alias(byName(o.name), o.name)(exprId = o.exprId)), inner)
+              case None => // empty table: no snapshot, no rows, any schema
+                LocalRelation(r.output)
+            }
+          case _ => r
+        }
+    }
+}
+
+/**
  * `UPDATE t SET c = <expr> [WHERE cond]` over a graft catalog table →
  * the file-level copy-on-write [[graft.table.GraftTable.updateWhere]].
  * Assignment values and the condition may reference any column of the

@@ -83,6 +83,53 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   def asOfSnapshot(id: Long): DataFrame = asOf(id.toString)
 
+  /** Iceberg's reserved per-row metadata columns (`_file`, `_pos`,
+    * `_partition` — the runtime's MetadataColumns surface): every current
+    * row plus its physical provenance. `_file` is the absolute data-file
+    * path exactly as `files.file_path` renders it; `_pos` the parquet row
+    * index of the row inside that file (the identity position deletes
+    * record and match on — merge-on-read deletes are applied BEFORE this
+    * projection, so surviving rows keep their ON-FILE positions, gaps
+    * included, like Iceberg); `_partition` the file's partition tuple in
+    * the `files.partition` rendering (`{k=v, …}` — transform specs show
+    * the DERIVED dir values, e.g. `{id_bucket_4=3}`).
+    *
+    * Scale shape: `_file`/`_pos` ride the scan itself (parquet row-index
+    * metadata — no shuffle, no widening of the exchange); `_partition`
+    * joins from the snapshot log's driver-resident file list, explicitly
+    * broadcast (table metadata ≪ data by construction). */
+  def metadataDF: DataFrame = {
+    val m = meta
+    val ref = wapBranch.filter(m.refs.contains).getOrElse(SnapshotLog.MainBranch)
+    metadataRead(m.snapshotForRef(ref), m)
+  }
+
+  /** [[metadataDF]] as of a branch/snapshot ref — time travel with
+    * provenance columns. */
+  def metadataAsOf(ref: String): DataFrame = {
+    val m = meta
+    val snap = m.snapshotForRef(ref).getOrElse(
+      throw new IllegalArgumentException(s"Unknown ref or snapshot '$ref' on table ${m.name}"))
+    metadataRead(Some(snap), m)
+  }
+
+  private def metadataRead(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame = {
+    val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val base = readWithDeletes(snap, m, snap.map(_.files).getOrElse(Seq.empty),
+      keepPos = true)
+    val sp = spark
+    import sp.implicits._
+    val fileDf = snap.map(_.files).getOrElse(Seq.empty)
+      .map(f => (f.path,
+        f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")))
+      .toDF("__file", "_partition")
+    base.join(broadcast(fileDf), Seq("__file"))
+      .select((s.fields.toSeq.map(f => col(f.name)) ++ Seq(
+        concat(lit(s"$dataDir/"), col("__file")).as("_file"),
+        col("__pos").as("_pos"),
+        col("_partition"))).toIndexedSeq: _*)
+  }
+
   private def scan(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame =
     readWithDeletes(snap, m, snap.map(_.files).getOrElse(Seq.empty))
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.{GraftSnapshot, GraftTable, SnapshotLog, TableMetadata}
@@ -363,11 +363,12 @@ private[catalog] object GraftSqlTables {
       if (snap.forall(_.deleteFiles.isEmpty))
         Some(snap.map(_.files.map(_.records).sum).getOrElse(0L))
       else None
+    val prov = snap.map(sn => GraftPlanRead(loc, sn.id))
     if (writable)
       new GraftWritableTable(name, loc, inner, schema, planRead, meta.props,
-        meta.partitionCols, metaCount)
+        meta.partitionCols, metaCount, prov)
     else new GraftReadOnlyTable(name, inner, schema, planRead, meta.props,
-      meta.partitionCols, metaCount)
+      meta.partitionCols, metaCount, prov)
   }
 }
 
@@ -396,6 +397,17 @@ class GraftMetadataTable(tableName: String,
   * one partition layout (the read unions one scan per layout). */
 case class GraftPlanRead(location: String, snapshotId: Long)
 
+/** One Iceberg-style reserved metadata column as the DSv2 catalog declares
+  * it ([[org.apache.spark.sql.connector.catalog.MetadataColumn]]). */
+case class GraftMetaColumn(colName: String,
+    colType: org.apache.spark.sql.types.DataType,
+    colComment: String) extends MetadataColumn {
+  override def name(): String = colName
+  override def dataType(): org.apache.spark.sql.types.DataType = colType
+  override def isNullable: Boolean = false
+  override def comment(): String = colComment
+}
+
 /** Read-only shell around Spark's ParquetTable: exposes BATCH_READ only.
   * Time-travel reads (`VERSION/TIMESTAMP AS OF`) resolve to this shape, so a
   * pinned historical snapshot can never be written through. */
@@ -404,7 +416,24 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     val planRead: Option[GraftPlanRead] = None,
     tableProps: Map[String, String] = Map.empty,
     partitionEntries: Seq[String] = Seq.empty,
-    metadataCount: Option[Long] = None) extends Table with SupportsRead {
+    metadataCount: Option[Long] = None,
+    // (location, snapshot) this relation reads — lets GraftMetadataColumnRule
+    // rebuild the same read WITH provenance columns when `_file`/`_pos`/
+    // `_partition` are referenced (always populated for non-empty tables,
+    // unlike planRead which flags only plan-requiring snapshots)
+    val provenance: Option[GraftPlanRead] = None)
+  extends Table with SupportsRead with SupportsMetadataColumns {
+
+  /** Iceberg's reserved metadata columns. The analyzer resolves references
+    * through this surface (`SELECT _file, … FROM t` / DataFrame attribute);
+    * the scan itself is substituted by `GraftMetadataColumnRule` with the
+    * provenance-bearing graft read plan (requires
+    * spark.sql.extensions=graft.GraftSparkExtensions, same contract as
+    * merge-on-read reads). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    GraftMetaColumn("_file", StringType, "absolute data file path"),
+    GraftMetaColumn("_pos", LongType, "row position in the data file"),
+    GraftMetaColumn("_partition", StringType, "partition tuple {k=v, ...}"))
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   // hidden-partitioning spec surfaces through DESCRIBE EXTENDED /
@@ -469,9 +498,10 @@ class GraftWritableTable(tableName: String, val location: String,
     planReadInfo: Option[GraftPlanRead] = None,
     tableProps: Map[String, String] = Map.empty,
     partitionEntries: Seq[String] = Seq.empty,
-    metadataCount: Option[Long] = None)
+    metadataCount: Option[Long] = None,
+    prov: Option[GraftPlanRead] = None)
   extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo,
-    tableProps, partitionEntries, metadataCount)
+    tableProps, partitionEntries, metadataCount, prov)
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =

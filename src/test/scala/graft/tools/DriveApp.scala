@@ -365,6 +365,14 @@ object DriveApp {
       val viaFormat = spark.read.format("graft")
         .load(s"$wh/finance/drive_demo").count()
       println(s"session-catalog unqualified=$unq asof-branch=$asOf format-read=$viaFormat")
+      // Iceberg reserved metadata columns through SQL and the API
+      val mdSql = s2.sql(
+        """SELECT _partition, count(*) AS n, max(_pos) AS maxp
+           FROM finance.drive_demo GROUP BY _partition""").collect()
+      val mdApi = graft.table.GraftTable.load(spark, s"$wh/finance/drive_demo")
+        .metadataDF.select("_file").distinct().count()
+      println(s"metadata-cols sql-rows=${mdSql.map(_.getLong(1)).sum} " +
+        s"distinct-files=$mdApi")
       // JDBC commit CAS: two guarded commits, one pre-claimed slot healed
       val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("drive-derby")}/db;create=true"
       val restore = JdbcCommitGuard.installGlobally(url)
