@@ -521,6 +521,23 @@ object SparkEntry {
         "doc_id", k = 5)
         .orderBy("lang", "rank")),
 
+    // BM25 top-5 retrieval: every 101st document's first five tokens as
+    // the query workload; query terms broadcast into the term-keyed
+    // postings so all downstream cost is bounded by queried postings —
+    // the classic lexical retrieval ranking next to x_tfidf's
+    // corpus-analysis one
+    "x_bm25" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 5), " ").as("qtext"))
+      TextAnalysis.bm25TopK(docs, "text", "doc_id",
+          queries, "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Gopher-style repetition quality signals: duplicate-token fraction,
     // top-token and top-bigram concentration per document — the filters
     // that kill degenerate/templated docs before training
@@ -1563,6 +1580,23 @@ object SparkEntry {
     // M5 files: hash-distributed writes land exactly one file per
     // partition per commit, so per-partition file counts and commit-time
     // record stats are both oracle-checkable
+    // Iceberg reserved metadata columns (_file, _pos, _partition — the
+    // runtime's per-row provenance surface, also served in SQL through
+    // SupportsMetadataColumns + GraftMetadataColumnRule): per-partition
+    // aggregates over a one-file-per-partition fixture — row counts, ONE
+    // distinct file, and the 0..n-1 row-index identity (min/max/sum of
+    // _pos) — all invariant to the writer's intra-file row order
+    "t_metadata_cols" -> ((s, dir) =>
+      TableFixtures.ordersMetaCols(s, dir).metadataDF
+        .groupBy(col("_partition"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_file")).as("n_files"),
+          min(col("_pos")).as("min_pos"),
+          max(col("_pos")).as("max_pos"),
+          sum(col("_pos")).as("pos_sum"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("_partition")),
+
     "t_files" -> ((s, dir) =>
       TableFixtures.ordersHashFiles(s, dir).filesDF
         .groupBy(col("partition"))
@@ -2613,6 +2647,50 @@ object SparkEntry {
            JOIN uni ub ON ub.tok = string_split(pair, ' ')[2])
          SELECT tok_a, tok_b, n_ab, pmi FROM scored
          ORDER BY pmi DESC, tok_a, tok_b LIMIT 30""",
+
+    // same tokenizer everywhere; df of a term == its postings count (one
+    // tf row per (doc, term)); ranks break float ties at 6dp then doc_id,
+    // mirroring the Spark window exactly
+    "x_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dlen AS (
+           SELECT doc_id,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS double) AS dl
+           FROM documents),
+         stats AS (
+           SELECT cast(count(*) AS double) AS n,
+             avg(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS avgdl
+           FROM documents),
+         q AS (
+           SELECT doc_id AS query_id,
+             array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS qtext
+           FROM documents WHERE doc_id % 101 = 0),
+         qterms AS (
+           SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term
+           FROM q),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+           FROM qterms qt
+           JOIN tf USING (term)
+           JOIN dfq d USING (term)
+           JOIN dlen l ON l.doc_id = tf.doc_id
+           CROSS JOIN stats s),
+         scored AS (
+           SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, doc_id, score,
+             cast(row_number() OVER (PARTITION BY query_id
+               ORDER BY round(score, 6) DESC, doc_id ASC) AS integer) AS rank
+           FROM scored)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "x_tfidf" ->
       """WITH toks AS (
@@ -4074,6 +4152,19 @@ object SparkEntry {
            (cast(3 AS bigint), cast(3 AS bigint)))
            AS m(latest_snapshot_id, entries)
          ORDER BY latest_snapshot_id NULLS FIRST""",
+
+    // one single-task append => one file per partition; _pos within a
+    // file is a permutation of 0..n-1, so min/max/sum are closed-form
+    "t_metadata_cols" ->
+      """SELECT '{o_orderstatus=' || o_orderstatus || '}' AS _partition,
+         count(*) AS n_rows,
+         cast(1 AS bigint) AS n_files,
+         cast(0 AS bigint) AS min_pos,
+         count(*) - 1 AS max_pos,
+         cast(count(*) * (count(*) - 1) // 2 AS bigint) AS pos_sum,
+         cast(sum(o_orderkey) AS bigint) AS key_sum
+         FROM orders WHERE o_orderkey % 3 = 0
+         GROUP BY o_orderstatus ORDER BY 1""",
 
     // hash-distributed appends write exactly one file per partition per
     // commit; record counts come from commit-time stats

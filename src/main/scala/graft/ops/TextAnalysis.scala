@@ -537,6 +537,67 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /**
+   * BM25 top-k retrieval (Robertson & Walker's Okapi BM25, the Lucene
+   * `ln(1 + (N-df+0.5)/(df+0.5))` idf variant — public literature): for
+   * each query, the `k` highest-scoring documents with
+   * `score(q,d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·|d|/avgdl))`.
+   * Query terms are DISTINCT (standard bag-of-words query semantics);
+   * ties break on ascending doc id, so the cut is deterministic.
+   *
+   * Scale shape: the corpus becomes a term-keyed postings aggregate (one
+   * explode → (doc, term, tf)); the QUERY term table — tiny by contract —
+   * broadcasts into the postings first, so only postings of queried terms
+   * survive into every later stage; document frequency joins
+   * term-keyed against those survivors, per-document length joins
+   * doc-keyed, and the two corpus scalars (N, avgdl) ride a broadcast
+   * 1-row cross join. The per-query top-k window partitions on query id —
+   * O(queries) parallel, never a global sort. The corpus is never joined
+   * doc×doc or query×doc; cost is bounded by the postings of queried
+   * terms.
+   */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__term"))
+    val tf = toks.groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dlen = docs.select(col(idCol),
+      tokenCount(col(textCol)).cast("double").as("__dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      avg(tokenCount(col(textCol))).as("__avgdl"))
+    val qterms = queries.select(col(queryIdCol),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
+    // postings of queried terms only — the broadcast prune that keeps
+    // every downstream stage proportional to the QUERY workload
+    val hit = tf.join(broadcast(qterms), Seq("__term"))
+    val dfreq = hit.select(col(idCol), col("__term")).distinct()
+      .groupBy(col("__term")).agg(count(lit(1)).as("__df_hit"))
+    // df must count the FULL corpus, not just queried postings — but the
+    // queried-term prune keeps them identical (df of term t = number of
+    // docs containing t = postings of t, all of which survive the prune)
+    val contrib = hit
+      .join(dfreq, Seq("__term"))
+      .join(dlen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col(idCol),
+        (log(lit(1.0) + (col("__n") - col("__df_hit") + lit(0.5)) /
+            (col("__df_hit") + lit(0.5))) *
+          (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__contrib"))
+    val scored = contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__contrib")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(round(col("score"), 6).desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+  }
+
   /** Word n-gram shingles (n consecutive tokens joined by a space).
     *
     * Prefer [[shinglesOfTokens]] over a materialized token-array column on

@@ -292,4 +292,47 @@ class TextAnalysisSpec extends SparkTestBase {
       minCount = 1L, k = 100).collect().map(r => (r.getString(0), r.getString(1)))
     assert(w3.contains(("a", "q")) && !w3.contains(("a", "d")))
   }
+
+  test("bm25TopK: hand-checked score, self-retrieval, rank determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple banana"),
+      (3L, "durian elderberry fig grape"),
+      (4L, "apple durian")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple"), (30L, "durian fig")).toDF("qid", "qtext")
+    val got = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        queries, "qid", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // hand score for query "apple", doc 4 ("apple durian"): N=4, df=3,
+    // idf = ln(1 + 1.5/3.5); tf=1, dl=2, avgdl=3 =>
+    // denom = 1 + 1.2*(0.25 + 0.75*2/3) = 1.9, contrib = idf*2.2/1.9
+    val idf = math.log(1.0 + 1.5 / 3.5)
+    val expected4 = idf * 2.2 / 1.9
+    val d4 = got.find(r => r._1 == 10L && r._3 == 4L).get._4
+    assert(math.abs(d4 - expected4) < 1e-9)
+
+    // "apple" ranks doc2 (tf=2) above docs 1 and 4 (tf=1); shorter doc 4
+    // beats the longer doc 1 at equal tf (length normalization)
+    val q10 = got.filter(_._1 == 10L).sortBy(_._2).map(_._3).toSeq
+    assert(q10 === Seq(2L, 4L, 1L))
+
+    // multi-term query: doc3 matches both terms and must rank first;
+    // doc4 (durian only) second; nothing else matches
+    val q30 = got.filter(_._1 == 30L).sortBy(_._2).map(_._3).toSeq
+    assert(q30 === Seq(3L, 4L))
+
+    // deterministic across re-runs
+    val again = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        queries, "qid", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+
+    // duplicated query terms collapse (bag-of-words query semantics)
+    val dup = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        Seq((10L, "apple apple apple")).toDF("qid", "qtext"), "qid", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(dup.toSeq === got.filter(_._1 == 10L).toSeq)
+  }
 }
