@@ -1048,6 +1048,25 @@ object SparkEntry {
       Sessionize.transitionMatrix(T(s, dir, "events"))
         .orderBy("prev_type", "next_type")),
 
+    // PageRank centrality over the event-type transition graph (edges =
+    // consecutive events per user, weighted by transition count): 3 damped
+    // power iterations, dangling mass redistributed uniformly — each
+    // iteration one src-keyed join + dst-keyed aggregate, rank state never
+    // on the driver
+    "e_pagerank" -> ((s, dir) => {
+      val edges = T(s, dir, "events")
+        .withColumn("__prev", lag(col("event_type"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .filter(col("__prev").isNotNull)
+        .groupBy(col("__prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", Some("w"),
+          iters = 3, damping = 0.85)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy("node")
+    }),
+
     // PSI drift monitor: current-half event values bucketed by the
     // reference half's deciles; equi-depth boundaries broadcast, both
     // slices collapse map-side to 10-row count tables
@@ -3781,6 +3800,50 @@ object SparkEntry {
          SELECT prev_type, next_type, n,
            round(n / cast(sum(n) OVER (PARTITION BY prev_type) AS double), 4) AS p
          FROM c ORDER BY 1, 2""",
+
+    // the 3 power iterations unrolled as CTE triples (contrib / dangling
+    // mass / next rank), replaying Graph.pageRank's update rule exactly
+    "e_pagerank" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         e AS (
+           SELECT prev_type AS src, event_type AS dst,
+             cast(count(*) AS double) AS w
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+         trans AS (SELECT e.src, e.dst, e.w / o.outw AS p
+                   FROM e JOIN outw o USING (src)),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+         r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT t.dst AS node, sum(r.r * t.p) AS c
+                FROM r0 r JOIN trans t ON r.node = t.src GROUP BY 1),
+         d1 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r0 r
+                LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+         r1 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(c.c, 0) + d1.dm / nn.n) AS r
+                FROM nodes LEFT JOIN c1 c ON nodes.node = c.node
+                CROSS JOIN nn CROSS JOIN d1),
+         c2 AS (SELECT t.dst AS node, sum(r.r * t.p) AS c
+                FROM r1 r JOIN trans t ON r.node = t.src GROUP BY 1),
+         d2 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r1 r
+                LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+         r2 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(c.c, 0) + d2.dm / nn.n) AS r
+                FROM nodes LEFT JOIN c2 c ON nodes.node = c.node
+                CROSS JOIN nn CROSS JOIN d2),
+         c3 AS (SELECT t.dst AS node, sum(r.r * t.p) AS c
+                FROM r2 r JOIN trans t ON r.node = t.src GROUP BY 1),
+         d3 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r2 r
+                LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+         r3 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(c.c, 0) + d3.dm / nn.n) AS r
+                FROM nodes LEFT JOIN c3 c ON nodes.node = c.node
+                CROSS JOIN nn CROSS JOIN d3)
+         SELECT node, round(r, 6) AS pagerank FROM r3 ORDER BY node""",
 
     "e_sessions" ->
       """WITH ordered AS (
