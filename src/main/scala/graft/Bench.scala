@@ -137,6 +137,7 @@ object Bench {
       graft.queries.TableFixtures.ordersRenamed(spark, sfDir)
       graft.queries.TableFixtures.ordersMergeDeleted(spark, sfDir)
       graft.queries.TableFixtures.ordersHashFiles(spark, sfDir)
+      graft.queries.TableFixtures.ordersMetaCols(spark, sfDir)
       graft.queries.TableFixtures.activityCsvIngested(spark)
       graft.queries.TableFixtures.bucketedTables(spark, sfDir)
       graft.queries.TableFixtures.streamIngested(spark, sfDir)
