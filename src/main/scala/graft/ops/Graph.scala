@@ -56,7 +56,9 @@ object Graph {
     val nodes = pin(trans.select(col("__src").as("__node"))
       .union(trans.select(col("__dst").as("__node"))).distinct())
     val nDf = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    val srcSet = trans.select(col("__src")).distinct()
+    // consumed by every iteration's dangling-mass anti join — pin it, or
+    // the final plan re-runs the distinct over the edge list `iters` times
+    val srcSet = pin(trans.select(col("__src")).distinct())
 
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("__node"), (lit(1.0) / col("__n")).as("__rank"))

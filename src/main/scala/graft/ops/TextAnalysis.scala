@@ -572,11 +572,13 @@ object TextAnalysis {
     // postings of queried terms only — the broadcast prune that keeps
     // every downstream stage proportional to the QUERY workload
     val hit = tf.join(broadcast(qterms), Seq("__term"))
-    val dfreq = hit.select(col(idCol), col("__term")).distinct()
+    // df of term t = its postings count (tf has ONE row per (doc, term)),
+    // computed from tf pruned to the distinct queried terms — never from
+    // the query-expanded `hit` rows, whose volume multiplies by the number
+    // of queries sharing a term
+    val dfreq = tf
+      .join(broadcast(qterms.select(col("__term")).distinct()), Seq("__term"))
       .groupBy(col("__term")).agg(count(lit(1)).as("__df_hit"))
-    // df must count the FULL corpus, not just queried postings — but the
-    // queried-term prune keeps them identical (df of term t = number of
-    // docs containing t = postings of t, all of which survive the prune)
     val contrib = hit
       .join(dfreq, Seq("__term"))
       .join(dlen, Seq(idCol))

@@ -170,28 +170,58 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
  */
 object GraftPlanReadRule extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GraftReadSubstitution.rewrite(plan) { r =>
+      r.table match {
+        case g: GraftReadOnlyTable if g.planRead.isDefined =>
+          val mr = g.planRead.get
+          val df = graft.table.GraftTable
+            .load(org.apache.spark.sql.SparkSession.active, mr.location)
+            .asOfSnapshot(mr.snapshotId)
+          Some(GraftReadSubstitution.bindByName(r, df))
+        case _ => None
+      }
+    }
+}
+
+/**
+ * Shared scaffolding for the read-substitution rules
+ * ([[GraftPlanReadRule]], [[GraftMetadataColumnRule]]): one dispatch that
+ * leaves `DELETE FROM` targets and V2 write TARGETS untouched (their
+ * relation identity routes the write) while rewriting read relations
+ * everywhere else — INCLUDING inside subquery expressions (IN / EXISTS /
+ * scalar subqueries), which a plain `transformUp` never descends into. A
+ * merge-on-read-deleted row must not resurrect through a subquery, and a
+ * metadata-column reference inside one must not survive to physical
+ * planning unserved.
+ */
+private[sql] object GraftReadSubstitution {
+
+  /** Apply `sub` to every read relation of `plan` (subqueries included);
+    * `None` leaves a relation untouched. */
+  def rewrite(plan: LogicalPlan)(
+      sub: DataSourceV2Relation => Option[LogicalPlan]): LogicalPlan = plan match {
     case d: DeleteFromTable => d
-    case w: V2WriteCommand  => w.withNewQuery(rewriteReads(w.query))
-    case other              => rewriteReads(other)
+    case w: V2WriteCommand  => w.withNewQuery(rewriteReads(w.query)(sub))
+    case other              => rewriteReads(other)(sub)
   }
 
-  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
-      case r: DataSourceV2Relation =>
-        r.table match {
-          case g: GraftReadOnlyTable if g.planRead.isDefined =>
-            val mr = g.planRead.get
-            val df = graft.table.GraftTable
-              .load(org.apache.spark.sql.SparkSession.active, mr.location)
-              .asOfSnapshot(mr.snapshotId)
-            val inner = org.apache.spark.sql.graft.bridge.analyzedPlan(df)
-            val byName = inner.output.map(a => a.name -> a).toMap
-            Project(r.output.map(o =>
-              Alias(byName(o.name), o.name)(exprId = o.exprId)), inner)
-          case _ => r
-        }
+  private def rewriteReads(plan: LogicalPlan)(
+      sub: DataSourceV2Relation => Option[LogicalPlan]): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case r: DataSourceV2Relation => sub(r).getOrElse(r)
     }
+
+  /** Substitute relation `r` with the analyzed plan of `df`, re-binding
+    * `r`'s output attributes by name (exprIds preserved so every
+    * downstream reference stays resolved). */
+  def bindByName(r: DataSourceV2Relation,
+      df: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val inner = org.apache.spark.sql.graft.bridge.analyzedPlan(df)
+    val byName = inner.output.map(a => a.name -> a).toMap
+    Project(r.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId)), inner)
+  }
 }
 
 /**
@@ -212,31 +242,28 @@ object GraftMetadataColumnRule extends Rule[LogicalPlan] {
 
   private val MetaNames = Set("_file", "_pos", "_partition")
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case d: DeleteFromTable => d
-    case w: V2WriteCommand  => w.withNewQuery(rewriteReads(w.query))
-    case other              => rewriteReads(other)
-  }
-
-  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
-      case r: DataSourceV2Relation if r.output.exists(a => MetaNames(a.name)) =>
-        r.table match {
-          case g: GraftReadOnlyTable =>
-            g.provenance match {
-              case Some(pr) =>
-                val df = graft.table.GraftTable
-                  .load(org.apache.spark.sql.SparkSession.active, pr.location)
-                  .metadataAsOf(pr.snapshotId.toString)
-                val inner = bridge.analyzedPlan(df)
-                val byName = inner.output.map(a => a.name -> a).toMap
-                Project(r.output.map(o =>
-                  Alias(byName(o.name), o.name)(exprId = o.exprId)), inner)
-              case None => // empty table: no snapshot, no rows, any schema
-                LocalRelation(r.output)
-            }
-          case _ => r
-        }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GraftReadSubstitution.rewrite(plan) { r =>
+      // a DATA column that happens to be named _file/_pos/_partition keeps
+      // plain-column semantics (Spark itself hides conflicting metadata
+      // columns from metadataOutput) — only a genuine metadata attribute,
+      // i.e. one NOT in the table's data schema, triggers the substitution
+      val dataNames = r.table.schema().fieldNames.toSet
+      val wantsMeta = r.output.exists(a => MetaNames(a.name) && !dataNames(a.name))
+      if (!wantsMeta) None
+      else r.table match {
+        case g: GraftReadOnlyTable =>
+          g.provenance match {
+            case Some(pr) =>
+              val df = graft.table.GraftTable
+                .load(org.apache.spark.sql.SparkSession.active, pr.location)
+                .metadataAsOf(pr.snapshotId.toString)
+              Some(GraftReadSubstitution.bindByName(r, df))
+            case None => // empty table: no snapshot, no rows, any schema
+              Some(LocalRelation(r.output))
+          }
+        case _ => None
+      }
     }
 }
 

@@ -258,7 +258,25 @@ trait CommitGuard {
     * bytes. A store that refuses the rename (target exists) therefore
     * already holds the payload — just drop `tmp`. */
   protected def installOwned(fs: FileSystem, tmp: Path, target: Path): Unit = {
-    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, target)) {
+      // Hadoop rename returns false (not throws) for several precondition
+      // failures. Target present => a loser's heal already materialized
+      // these same winning bytes; target ABSENT => the install must not be
+      // lost (the service recorded this committer as the slot owner), so
+      // fall back to copying the bytes in place — the brief
+      // visible-but-incomplete window is strictly better than a committed
+      // version whose metadata file never appears.
+      if (!fs.exists(target)) {
+        val in = fs.open(tmp)
+        val bytes = try {
+          val b = new Array[Byte](fs.getFileStatus(tmp).getLen.toInt)
+          in.readFully(b); b
+        } finally in.close()
+        val out = fs.create(target, true)
+        try out.write(bytes) finally out.close()
+      }
+      fs.delete(tmp, false)
+    }
   }
 
   /** Heal-path install: materialize the service's copy of the winning

@@ -115,6 +115,61 @@ class MetadataColumnsSpec extends SparkTestBase {
     assert(got === Seq((1L, 0L), (3L, 0L)), "id=2 dropped; survivors keep file positions")
   }
 
+  test("metadata column inside a subquery expression is served (rule descends into subqueries)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-metacols-wh4").toString
+    spark.conf.set("spark.sql.catalog.graft_mc4",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mc4.warehouse", wh)
+    import spark.implicits._
+    val t = GraftTable.create(spark, s"$wh/ns/mt4", "ns.mt4",
+      StructType(Seq(StructField("id", LongType), StructField("cat", StringType))),
+      partitionCols = Seq("cat"))
+    t.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat").repartition(1))
+    // _pos referenced ONLY inside the IN-subquery: first row of each file
+    val got = spark.sql(
+      """SELECT id FROM graft_mc4.ns.mt4
+         WHERE id IN (SELECT id FROM graft_mc4.ns.mt4 WHERE _pos = 0)
+         ORDER BY id""").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("a DATA column named _file keeps plain-column semantics (no silent reroute)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-metacols-wh5").toString
+    spark.conf.set("spark.sql.catalog.graft_mc5",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mc5.warehouse", wh)
+    import spark.implicits._
+    val t = GraftTable.create(spark, s"$wh/ns/mt5", "ns.mt5",
+      StructType(Seq(StructField("id", LongType), StructField("_file", StringType))))
+    t.append(Seq((1L, "user-value-a"), (2L, "user-value-b")).toDF("id", "_file"))
+    val got = spark.sql("SELECT id, _file FROM graft_mc5.ns.mt5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "user-value-a"), (2L, "user-value-b")))
+  }
+
+  test("merge-on-read deleted rows do not resurrect through a subquery (plan-read rule descends too)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-metacols-wh6").toString
+    spark.conf.set("spark.sql.catalog.graft_mc6",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mc6.warehouse", wh)
+    import spark.implicits._
+    val t = GraftTable.create(spark, s"$wh/ns/mt6", "ns.mt6",
+      StructType(Seq(StructField("id", LongType), StructField("cat", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "cat"))
+    t.deleteWhereMoR(col("id") === 2L, Seq("id"))
+    import org.apache.spark.sql.Row
+    val probe = Seq(1L, 2L, 3L).toDF("k")
+    probe.createOrReplaceTempView("__mc6_probe")
+    // the MoR table appears ONLY inside the subquery; a positionless
+    // parquet scan there would surface the deleted id=2
+    val got = spark.sql(
+      """SELECT k FROM __mc6_probe
+         WHERE k IN (SELECT id FROM graft_mc6.ns.mt6) ORDER BY k""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 3L))
+    spark.catalog.dropTempView("__mc6_probe")
+  }
+
   test("empty table: metadata columns resolve to zero rows") {
     val wh = java.nio.file.Files.createTempDirectory("graft-metacols-wh3").toString
     spark.conf.set("spark.sql.catalog.graft_mc3",
