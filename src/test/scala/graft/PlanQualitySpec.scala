@@ -554,4 +554,49 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.linesIterator.exists(_.contains("MapPartitions")),
       s"expected the per-bucket finish MapPartitions:\n$plan")
   }
+
+  test("bm25: query terms broadcast into the postings; no cartesian beyond 1-row scalars") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"tok${i % 7} tok${i % 11} filler$i"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "tok3 tok5")).toDF("qid", "qt")
+    val out = graft.ops.TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      qs, "qid", "qt", k = 5)
+    out.collect() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    // the query-side prune and the scalar cross joins must all broadcast;
+    // a shuffled or nested-loop join against the corpus postings would
+    // scale with the corpus instead of the query workload
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 must never plan a cartesian product:\n$plan")
+  }
+
+  test("pageRank iteration state is pinned RDDs; no cartesian products") {
+    import spark.implicits._
+    val edges = (0L until 300L).map(i => (s"n${i % 23}", s"n${(i * 7) % 23}"))
+      .toDF("src", "dst")
+    val out = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // per-iteration ranks / transition table / dangling-source set are
+    // RDD-level pins (ExistingRDD): without them the 3-consumer lineage
+    // re-executes upstream exponentially in the iteration count
+    assert(plan.contains("ExistingRDD"),
+      s"expected pinned iteration state (ExistingRDD):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pageRank must never plan a cartesian product:\n$plan")
+  }
+
+  test("metadataDF: _file/_pos ride the scan; only the partition lookup joins, by broadcast") {
+    val out = table.metadataDF
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"_partition must join from the broadcast file list:\n$plan")
+    // no shuffle exchange: provenance must not re-partition the data read
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"metadataDF must not shuffle the scan:\n$plan")
+    assert(plan.contains("file_path") || plan.contains("_metadata"),
+      s"_file/_pos must come from parquet scan metadata:\n$plan")
+  }
 }
