@@ -1157,13 +1157,16 @@ object SparkEntry {
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
         .agg(kll_sketch_agg_double(col("value")).as("__sk"),
           count(lit(1)).as("n"))
+      // merge the daily sketches ONCE; both quantile lookups read the
+      // same merged sketch (two kll_merge_agg aggregations over identical
+      // input would double the merge work for identical results)
       val rolled = daily.agg(
-        count(lit(1)).as("n_days"),
-        sum(col("n")).as("n_values"),
-        kll_sketch_get_quantile_double(
-          kll_merge_agg_double(col("__sk")), lit(0.5)).as("__p50"),
-        kll_sketch_get_quantile_double(
-          kll_merge_agg_double(col("__sk")), lit(0.99)).as("__p99"))
+          count(lit(1)).as("n_days"),
+          sum(col("n")).as("n_values"),
+          kll_merge_agg_double(col("__sk")).as("__merged"))
+        .select(col("n_days"), col("n_values"),
+          kll_sketch_get_quantile_double(col("__merged"), lit(0.5)).as("__p50"),
+          kll_sketch_get_quantile_double(col("__merged"), lit(0.99)).as("__p99"))
       val exact = ev.agg(
         expr("percentile(value, 0.5)").as("__e50"),
         expr("percentile(value, 0.99)").as("__e99"),

@@ -336,8 +336,25 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles", exprs => Shingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+      "shingles", exprs => {
+        // validate here: the builder runs during analysis, so bad calls
+        // must surface as analysis errors, not IndexOutOfBounds /
+        // ClassCastException internals. n must be a foldable integral —
+        // the shingle width is part of the expression's identity
+        require(exprs.length == 2,
+          s"shingles(tokens, n) takes exactly 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "shingles(tokens, n): n must be a literal (foldable) integer")
+        val n = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingles(tokens, n): n must be an integer literal, got $other")
+        }
+        Shingles(exprs.head, n)
+      }, "built-in")
   }
 }
 

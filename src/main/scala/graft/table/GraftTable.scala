@@ -1490,7 +1490,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def rewriteDataFilesBinpack(minFileSizeBytes: Long = 32L << 20)
       : GraftSnapshot = withCommitLock {
     val m = meta
-    val snap = m.currentSnapshot.getOrElse(
+    // resolve the SAME ref commitSnapshot(branch = None) will write to:
+    // under an active WAP branch the compaction must read the branch's
+    // files — reading main would graft main's rows into the staged branch
+    // (sorted/z-order avoid this via the WAP-aware toDF + overwrite)
+    val ref = wapBranch.filter(m.refs.contains).getOrElse(SnapshotLog.MainBranch)
+    val snap = m.snapshotForRef(ref).getOrElse(
       throw new IllegalStateException(s"${m.name}: no snapshot to compact"))
     val small = snap.files.filter(_.sizeBytes < minFileSizeBytes)
     if (small.size <= 1) snap // nothing to coalesce

@@ -100,11 +100,20 @@ object PartitionSpec {
             case other => throw new IllegalArgumentException(
               s"${transform.name}($source): needs date/timestamp, got ${other.simpleString}")
           }
-        case Bucket(n) => pmod(hash(src), lit(n))
+        // null guard: Spark's murmur3 of NULL returns the SEED (42), which
+        // would silently file null-source rows under pmod(42, n) — a
+        // regular bucket dir — while IsNull pruning (correctly) looks only
+        // at the null dir. Mapping null -> null keeps every transform
+        // null-preserving, like Iceberg's bucket
+        case Bucket(n) => when(src.isNotNull, pmod(hash(src), lit(n)))
         case Truncate(w) => dt match {
           case StringType => substring(src, 1, w)
           case ByteType | ShortType | IntegerType | LongType =>
-            src - pmod(src, lit(w)) // pmod >= 0, so this floors
+            // compute in Long: 32-bit `src - pmod(src, w)` wraps near
+            // Int.MinValue under non-ANSI eval while the prune-side
+            // applyToLiteral floors in Long — write and prune must share
+            // one arithmetic domain or boundary files mis-prune
+            src.cast("long") - pmod(src.cast("long"), lit(w.toLong))
           case other => throw new IllegalArgumentException(
             s"truncate($w,$source): needs string/integral, got ${other.simpleString}")
         }
@@ -130,9 +139,13 @@ object PartitionSpec {
           case _ => None
         }
       case Bucket(n) =>
-        // evaluate the EXACT write-side expression on the literal
-        val h = Pmod(Murmur3Hash(Seq(Literal.create(v, dt)), 42), Literal(n)).eval()
-        Option(h).map(_.toString)
+        // evaluate the EXACT write-side expression on the literal (null
+        // maps to the null dir on the write side, never to pmod(seed, n))
+        if (v == null) None
+        else {
+          val h = Pmod(Murmur3Hash(Seq(Literal.create(v, dt)), 42), Literal(n)).eval()
+          Option(h).map(_.toString)
+        }
       case Truncate(w) => dt match {
         case StringType =>
           // code-point truncation — matches Spark's substring (UTF8String

@@ -41,6 +41,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  // Spark calls inferSchema then getTable on the SAME provider instance
+  // for one read; resolve the snapshot ONCE and serve both — re-reading
+  // the log twice costs a metadata round trip and, worse, lets a commit
+  // landing between the calls serve a snapshot whose schema differs from
+  // the one already inferred
+  @volatile private var resolved: (java.util.Map[String, String], Table) = _
+
+  private def tableFor(options: CaseInsensitiveStringMap): Table = {
+    val cached = resolved
+    if (cached != null && cached._1 == options.asCaseSensitiveMap()) cached._2
+    else {
+      val t = table(options)
+      resolved = (options.asCaseSensitiveMap(), t)
+      t
+    }
+  }
+
   private def location(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft path read needs a table location: spark.read.format(\"graft\").load(dir)"))
@@ -67,9 +84,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    table(options).schema()
+    tableFor(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    table(new CaseInsensitiveStringMap(properties))
+    tableFor(new CaseInsensitiveStringMap(properties))
 }

@@ -136,10 +136,12 @@ class GraftSessionCatalog extends GraftSparkCatalog with CatalogExtension {
     delegateFunctions.listFunctions(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    // graft's SPJ bucket function first; everything else is the session's
-    if (ident.name().equalsIgnoreCase("bucket")) super.loadFunction(ident)
+    // graft's SPJ bucket function — root/system namespaces only, so a
+    // user's own `ns.bucket` function is never shadowed; everything else
+    // is the session's
+    if (GraftSparkCatalog.isBucketIdent(ident)) super.loadFunction(ident)
     else delegateFunctions.loadFunction(ident)
 
   override def functionExists(ident: Identifier): Boolean =
-    ident.name().equalsIgnoreCase("bucket") || delegateFunctions.functionExists(ident)
+    GraftSparkCatalog.isBucketIdent(ident) || delegateFunctions.functionExists(ident)
 }

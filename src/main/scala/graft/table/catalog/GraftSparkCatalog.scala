@@ -195,7 +195,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket"))
+    if (GraftSparkCatalog.isBucketIdent(ident))
       org.apache.spark.sql.graft.GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
@@ -239,6 +239,16 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
       snap: Option[GraftSnapshot], writable: Boolean): Table =
     GraftSqlTables.forSnapshot(spark, ident.toString, tableLocation(ident),
       meta, snap, writable)
+}
+
+object GraftSparkCatalog {
+  /** The SPJ `bucket` function is served only from the namespaces Spark
+    * (and Iceberg) resolve transform functions in — the catalog root and
+    * `system` — so a same-named function in a user namespace is never
+    * shadowed and `functionExists` never lies about arbitrary namespaces. */
+  private[catalog] def isBucketIdent(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase("bucket") &&
+      (ident.namespace().isEmpty || ident.namespace().toSeq == Seq("system"))
 }
 
 /** Builds the DSv2 [[Table]] serving one graft snapshot — shared by the
@@ -471,11 +481,29 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     }
   }
 
-  /** The spec's bucket field, if the CURRENT spec has exactly one. */
+  /** The spec's bucket field, if the CURRENT spec has exactly one AND
+    * every live file sits in a numeric bucket dir. A null-source file
+    * (`..._bucket_n=__HIVE_DEFAULT_PARTITION__`) has no bucket id, so the
+    * key-grouped SPJ layout cannot represent it — fall back to the plain
+    * scan (correct, just not exchange-free) rather than mis-keying it. */
   private def bucketField: Option[graft.table.PartitionSpec.Field] = {
     val bucketFields = graft.table.PartitionSpec.parse(partitionEntries)
       .filter(_.transform.isInstanceOf[graft.table.PartitionSpec.Bucket])
-    if (bucketFields.size == 1) bucketFields.headOption else None
+    bucketFields match {
+      case Seq(f) =>
+        val marker = s"/${f.dirName}="
+        val allNumeric = inner.paths.forall { p =>
+          val at = p.indexOf(marker)
+          at >= 0 && {
+            val from = at + marker.length
+            val to = p.indexOf('/', from)
+            val v = p.substring(from, if (to < 0) p.length else to)
+            v.nonEmpty && v.forall(_.isDigit)
+          }
+        }
+        if (allNumeric) Some(f) else None
+      case _ => None
+    }
   }
 
 

@@ -151,8 +151,15 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
 
   private lazy val dataCols = StructType(
     declaredSchema.filterNot(f => partitionCols.contains(f.name)))
+  // only IDENTITY spec entries are hive-style partition columns (source
+  // column lives in the directory, not the data file); transform entries
+  // (days(ts), bucket(n,id), truncate(w,c)) keep their source column in
+  // the file at full fidelity and their derived dirs carry nothing a row
+  // needs — skip them instead of crashing fieldIndex("days(ts)")
   private lazy val partSchema = StructType(
-    partitionCols.map(c => declaredSchema(declaredSchema.fieldIndex(c))))
+    graft.table.PartitionSpec.parse(partitionCols)
+      .filter(_.transform == graft.table.PartitionSpec.Identity)
+      .map(f => declaredSchema(declaredSchema.fieldIndex(f.source))))
   private lazy val zone =
     Some(spark.sessionState.conf.sessionLocalTimeZone)
   // row-mode parquet record reader (a MicroBatchStream hands Spark

@@ -208,4 +208,25 @@ class GraftStreamSourceSpec extends SparkTestBase {
     intercept[Exception](
       spark.read.format("graft-stream").load(t.location).collect())
   }
+
+  test("streams a transform-partitioned table (source columns live in the files)") {
+    import java.sql.Timestamp
+    val t = GraftTable.create(spark, tmpDir("gss-hp"), "gss_hp", StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType))),
+      Seq("days(ts)", "bucket(4, id)"))
+    def ts(h: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(h * 3600L))
+    t.append(Seq((1L, ts(0)), (2L, ts(30))).toDF("id", "ts"))
+    // transform dirs (ts_day=..., id_bucket_4=...) are DERIVED — the
+    // source columns are in the data files; the stream must not try to
+    // resolve 'days(ts)' as a schema field
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_hp").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gss_hp").orderBy("id")
+        .as[(Long, Timestamp)].collect().toSeq
+      assert(got === Seq((1L, ts(0)), (2L, ts(30))))
+    } finally q.stop()
+  }
 }

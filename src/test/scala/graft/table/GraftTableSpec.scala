@@ -165,6 +165,36 @@ class GraftTableSpec extends SparkTestBase {
     assert(again.id === snap.id, "no-op binpack must not commit")
   }
 
+  test("binpack under an active WAP branch compacts the BRANCH's files, not main's") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val t = GraftTable.create(spark, tmpDir("binpack-wap"), "bpw", schema,
+      props = Map("write.wap.enabled" -> "true"))
+    t.append((1L to 3L).toDF("id").coalesce(1))
+    t.createOrReplaceBranch("audit")
+    // main advances past the branch point
+    t.append((100L to 102L).toDF("id").coalesce(1))
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      // two small staged appends on the branch, then binpack while the
+      // WAP redirect is active: the rewrite must read the BRANCH snapshot
+      // (reading main would graft rows 100-102 into the staged branch)
+      t.append((10L to 11L).toDF("id").coalesce(1))
+      t.append((12L to 13L).toDF("id").coalesce(1))
+      val branchRows = t.toDF.orderBy("id").as[Long].collect().toSeq
+      assert(branchRows === Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L))
+      t.rewriteDataFilesBinpack(minFileSizeBytes = 1L << 20)
+      assert(t.toDF.orderBy("id").as[Long].collect().toSeq === branchRows,
+        "branch content must be unchanged by compaction")
+      assert(!t.toDF.as[Long].collect().contains(100L),
+        "main's rows must never leak into the staged branch")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // main unchanged by the branch compaction
+    assert(t.toDF.orderBy("id").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 3L, 100L, 101L, 102L))
+  }
+
   test("sort compaction keeps within-file order on a hash-distribution table") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -151,6 +151,46 @@ class HiddenPartitioningSpec extends SparkTestBase {
       notNulls.inputFiles.length === t.toDF.inputFiles.length - 1)
   }
 
+  test("bucket(n, col): NULL source rows land in the null dir and IsNull/IsNotNull prune soundly") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("hp-bnull"), "hp_bnull", schema,
+      partitionCols = Seq("bucket(4, id)"))
+    t.append(rows(16))
+    t.append(Seq((null.asInstanceOf[java.lang.Long], "n",
+        Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")), 0.0))
+      .toDF("id", "name", "ts", "v"))
+    // murmur3(null) = the seed (42) — without the write-side null guard
+    // the null row would file under pmod(42,4)=2 while IsNull pruning
+    // looks only at the null dir, silently losing the row
+    val nullDirs = t.meta.currentSnapshot.get.files
+      .filter(_.partitionValues.values.exists(_ == "__HIVE_DEFAULT_PARTITION__"))
+    assert(nullDirs.size === 1, "null row must land in the default dir")
+    val nulls = t.scanWhere(col("id").isNull)
+    assert(nulls.count() === 1)
+    assert(nulls.inputFiles.length === 1)
+    val notNulls = t.scanWhere(col("id").isNotNull)
+    assert(notNulls.count() === 16)
+    assert(notNulls.inputFiles.length === t.toDF.inputFiles.length - 1)
+    // equality pruning through the bucket still works alongside nulls
+    val eq = t.scanWhere(col("id") === 3L)
+    assert(eq.count() === 1)
+  }
+
+  test("truncate(w, int) write/prune agree at Int.MinValue (Long-domain floor)") {
+    import spark.implicits._
+    val intSchema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, tmpDir("hp-tmin"), "hp_tmin", intSchema,
+      partitionCols = Seq("truncate(10, k)"))
+    t.append(Seq((Int.MinValue, 1.0), (7, 2.0)).toDF("k", "v"))
+    // 32-bit src - pmod(src, w) wraps at Int.MinValue; the floor must be
+    // computed in Long on BOTH sides or this file mis-prunes
+    val hit = t.scanWhere(col("k") === Int.MinValue)
+    assert(hit.count() === 1)
+    val other = t.scanWhere(col("k") === 7)
+    assert(other.count() === 1 && other.inputFiles.length === 1)
+  }
+
   test("SQL DDL: PARTITIONED BY (days(ts), bucket(4, id)) via the catalog") {
     val wh = tmpDir("hp-sql-wh")
     spark.conf.set("spark.sql.catalog.hpcat",

@@ -49,6 +49,22 @@ class GraftSessionCatalogSpec extends SparkTestBase {
     assert(!s2.catalog.tableExists("sc_plain"))
   }
 
+  test("the SPJ bucket function claims only root/system namespaces; user namespaces delegate") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    // shared claim predicate used by BOTH catalogs' loadFunction/
+    // functionExists: root and system serve graft's bucket, any other
+    // namespace falls through (so a user's own ns.bucket is never
+    // shadowed and functionExists never lies about arbitrary namespaces)
+    val wh = java.nio.file.Files.createTempDirectory("fncat-wh").toString
+    val cat = new GraftSparkCatalog
+    cat.initialize("fncat", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    assert(cat.loadFunction(Identifier.of(Array.empty, "bucket")) ne null)
+    assert(cat.loadFunction(Identifier.of(Array("system"), "bucket")) ne null)
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException](
+      cat.loadFunction(Identifier.of(Array("some_ns"), "bucket")))
+  }
+
   test("the golden SQL pipeline runs verbatim with spark_catalog as the catalog") {
     val tn = ActivitySqlPipeline.run(s2, "spark_catalog", provider = "graft")
     assert(tn === "spark_catalog.finance.activity_sql")

@@ -180,4 +180,33 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.catalog.spjcat2.warehouse")
     }
   }
+
+  test("a null-bucket file disables SPJ key grouping but the read stays correct") {
+    import spark.implicits._
+    val wh = tmpDir("spj-null-wh")
+    spark.conf.set("spark.sql.catalog.spjcat3",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat3.warehouse", wh)
+    try {
+      val t = GraftTable.create(spark, s"$wh/db/nb", "spjcat3.db.nb",
+        StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))),
+        Seq("bucket(4,k)"))
+      t.append((0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v"))
+      t.append(Seq((null.asInstanceOf[java.lang.Long], -1.0)).toDF("k", "v"))
+      // the null row's file sits in the __HIVE_DEFAULT_PARTITION__ dir —
+      // no bucket id exists for it, so the scan must fall back to plain
+      // partitioning instead of mis-keying (or crashing on) that file
+      val df = spark.sql("SELECT k, v FROM spjcat3.db.nb")
+      assert(df.count() === 21)
+      assert(df.filter(col("k").isNull).count() === 1)
+      withSpjConfs {
+        val agg = spark.sql(
+          "SELECT k, count(*) AS n FROM spjcat3.db.nb GROUP BY k")
+        assert(agg.count() === 21) // 20 keys + the null group
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjcat3")
+      spark.conf.unset("spark.sql.catalog.spjcat3.warehouse")
+    }
+  }
 }
