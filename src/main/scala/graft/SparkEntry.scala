@@ -951,6 +951,21 @@ object SparkEntry {
         T(s, dir, "embeddings").filter(col("vec_id") % 4 === 0), threshold = 0.35)
         .orderBy("id_a", "id_b")),
 
+    // margin-based bitext mining (Artetxe & Schwenk ratio margin): best
+    // cross-set match per vector, kept only when mutually exceptional
+    // relative to both points' k-NN neighborhoods — the parallel-corpus
+    // alignment filter; deterministic slices stand in for the two
+    // languages, exact form over the slice product (production runs it
+    // per candidate bucket)
+    "s_bitext_margin" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.marginMinePairs(
+          e.filter(col("vec_id") % 4 === 0),
+          e.filter(col("vec_id") % 4 === 1),
+          k = 4, minMargin = 1.05)
+        .orderBy("id_a")
+    }),
+
     // SemDeDup-style semantic dedup: nearest-centroid bucketing (first 8
     // vectors as the fixed centroid table), within-CELL cosine pairs at
     // 0.35, min-id representative kept per duplicate component — the
@@ -3507,6 +3522,33 @@ object SparkEntry {
              FROM s a JOIN s b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, cosine_sim FROM pairs
          WHERE cosine_sim >= 0.35 ORDER BY id_a, id_b""",
+
+    // same cosine fold as s_cosine_neardup; both ranks and both k-NN
+    // averages read off one scored cross join, margin rounded at 4dp on
+    // BOTH engines before the threshold compare
+    "s_bitext_margin" ->
+      """WITH sa AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id % 4 = 0),
+           sb AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE vec_id % 4 = 1),
+           scored AS (
+             SELECT id_a, id_b,
+               list_sum(list_transform(list_zip(va, vb), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(va, x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(vb, x -> x::DOUBLE * x::DOUBLE)))) AS c
+             FROM sa CROSS JOIN sb),
+           ranked AS (
+             SELECT id_a, id_b, c,
+               row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b ASC) AS ra,
+               row_number() OVER (PARTITION BY id_b ORDER BY c DESC, id_a ASC) AS rb
+             FROM scored),
+           avga AS (SELECT id_a, avg(c) AS avg_a FROM ranked WHERE ra <= 4 GROUP BY 1),
+           avgb AS (SELECT id_b, avg(c) AS avg_b FROM ranked WHERE rb <= 4 GROUP BY 1),
+           best AS (SELECT id_a, id_b, c FROM ranked WHERE ra = 1)
+         SELECT best.id_a, best.id_b,
+           round(best.c, 4) AS cosine_sim,
+           round(best.c / ((avg_a + avg_b) / 2), 4) AS margin
+         FROM best JOIN avga USING (id_a) JOIN avgb USING (id_b)
+         WHERE round(best.c / ((avg_a + avg_b) / 2), 4) >= 1.05
+         ORDER BY id_a""",
 
     "e_asof_join" ->
       """WITH o AS (

@@ -349,6 +349,57 @@ object Similarity {
   }
 
   /**
+   * Margin-based cross-set nearest-neighbor mining — the bitext-mining
+   * criterion of Artetxe & Schwenk 2019 (LASER / CCMatrix parallel-corpus
+   * mining; ratio margin — public literature): for every vector `a` of
+   * set A, its single best match `b` in set B by cosine, scored by
+   * `margin(a,b) = cos(a,b) / ((avgK(a→B) + avgK(b→A)) / 2)` where
+   * `avgK(x→S)` is the mean cosine of x's k nearest neighbors in S. The
+   * margin divides out each point's local "hubness" — a pair survives
+   * only if it is MUTUALLY exceptional, not merely close to a vector
+   * that is close to everything — which is what makes this the standard
+   * alignment-mining filter. Pairs below `minMargin` are dropped; ties
+   * rank by ascending neighbor id, so the output is deterministic.
+   *
+   * This is the EXACT form: one cross join scores every (a, b) once, and
+   * both ranks, both k-NN averages and the best-match selection are read
+   * off that single scored pass (RDD-pinned — three consumers). Cost is
+   * |A|·|B| cosines, the ground-truth shape: production mining runs it
+   * per candidate bucket (IVF cell / LSH band — the [[semDedupPairs]]
+   * economics), where |A|·|B| is the BUCKET product, never the corpus's.
+   */
+  def marginMinePairs(a: DataFrame, b: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = a.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val pa = a.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val pb = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val scoredPlan = pa.crossJoin(pb)
+      .select(col("id_a"), col("id_b"),
+        cosineFast(col("__va"), col("__vb")).as("__cos"))
+      .withColumn("__ra", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("__cos").desc, col("id_b").asc)))
+      .withColumn("__rb", row_number().over(
+        Window.partitionBy(col("id_b")).orderBy(col("__cos").desc, col("id_a").asc)))
+    val rankedRdd = scoredPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = spark.createDataFrame(rankedRdd, scoredPlan.schema)
+    val avgA = ranked.filter(col("__ra") <= k)
+      .groupBy(col("id_a")).agg(avg(col("__cos")).as("__avga"))
+    val avgB = ranked.filter(col("__rb") <= k)
+      .groupBy(col("id_b")).agg(avg(col("__cos")).as("__avgb"))
+    ranked.filter(col("__ra") === 1)
+      .join(avgA, Seq("id_a"))
+      .join(avgB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__cos"), 4).as("cosine_sim"),
+        round(col("__cos") / ((col("__avga") + col("__avgb")) / 2), 4).as("margin"))
+      .filter(col("margin") >= minMargin)
+  }
+
+  /**
    * Within-cluster near-identical pairs over a nearest-centroid-assigned
    * corpus (the candidate step of [[semDedup]]). Input must carry a
    * `cluster_id` column (from [[assignToCentroids]]); only vectors

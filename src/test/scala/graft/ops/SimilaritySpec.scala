@@ -278,4 +278,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(c0(0) > 0.9 && c0(1) < 0.1)
     assert(c1(1) > 0.9 && c1(0) < 0.1)
   }
+
+  test("marginMinePairs: equals an independent driver-side reference; hubs are suppressed") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(8)(rng.nextGaussian().toFloat)
+    val aVecs = (0L until 12L).map(i => (i, vec()))
+    // B: near-copies of some A vectors (true pairs), plus a HUB close to
+    // the centroid of everything (should score high cosine with many A's
+    // but a margin near 1)
+    val centroid = {
+      val c = new Array[Float](8)
+      aVecs.foreach(v => (0 until 8).foreach(d => c(d) += v._2(d)))
+      c.map(_ / aVecs.size)
+    }
+    val bVecs = aVecs.take(4).map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    } ++ Seq((200L, centroid)) ++ (0 until 6).map(j => (300L + j, vec()))
+    val a = aVecs.toDF("vec_id", "embedding")
+    val b = bVecs.toDF("vec_id", "embedding")
+    val k = 3
+    val got = graft.ops.Similarity.marginMinePairs(a, b, k = k, minMargin = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+    // independent reference
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      (0 until 8).foreach { d =>
+        dot += x(d).toDouble * y(d); nx += x(d).toDouble * x(d); ny += y(d).toDouble * y(d)
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val scores = for { (ia, va) <- aVecs; (ib, vb) <- bVecs } yield (ia, ib, cos(va, vb))
+    def topAvg(xs: Seq[Double]): Double = {
+      val t = xs.sorted.reverse.take(k); t.sum / t.size
+    }
+    val avgA = aVecs.map { case (ia, _) =>
+      ia -> topAvg(scores.filter(_._1 == ia).map(_._3)) }.toMap
+    val avgB = bVecs.map { case (ib, _) =>
+      ib -> topAvg(scores.filter(_._2 == ib).map(_._3)) }.toMap
+    val expect = aVecs.flatMap { case (ia, _) =>
+      val best = scores.filter(_._1 == ia).maxBy(s => (s._3, -s._2))
+      val margin = best._3 / ((avgA(ia) + avgB(best._2)) / 2)
+      if (BigDecimal(margin).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 1.05)
+        Some((ia, best._2,
+          BigDecimal(best._3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(margin).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    assert(got.sortBy(_._1).toSeq === expect.sortBy(_._1))
+    // every planted near-copy pair must survive, matched to its source
+    (0L until 4L).foreach { i =>
+      assert(got.exists(r => r._1 == i && r._2 == 100L + i), s"planted pair $i")
+    }
+    // the hub is nobody's kept match: its margin is ~1 by construction
+    assert(!got.exists(_._2 == 200L), "hub must be margin-suppressed")
+  }
 }
