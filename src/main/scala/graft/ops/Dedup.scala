@@ -335,22 +335,29 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val spark = df.sparkSession
-    // the shingle lambda is interpreted (higher-order functions get no
-    // codegen) and this plan consumes the shingle sets FOUR times (df-fit,
-    // both self-join sides, verification) — persist the materialized sets
-    // once at the RDD level (ContextCleaner reclaims the cache when the
-    // result plan is collected, same pattern as Skyline's candidates;
-    // without this, the sf0.1 bench re-ran the shingle pass ~8x: 15s -> ~1s)
-    val setsPlan = df.select(col(idCol).as("__id"),
+    // pin only LARGE inputs: at corpus scale, re-running the scan+shingle
+    // subtree for every consumer (sized has 3, prefixes 2) is the dominant
+    // cost and materializing once wins; below the threshold the RDD
+    // round-trip (row conversion, no codegen over ExistingRDD) costs more
+    // than recomputing the codegen'd Shingles subtree ever could
+    // (sf0.1: 2.3 s pinned vs 1.6 s recomputed — same 100 TB plan, sized
+    // by the optimizer's scan estimate)
+    val pinLarge = df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      (256L << 20)
+    def maybePin(plan: DataFrame): DataFrame =
+      if (!pinLarge) plan
+      else {
+        val rdd = plan.rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        spark.createDataFrame(rdd, plan.schema)
+      }
+    val sized = maybePin(df.select(col(idCol).as("__id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("__id"),
         (if (shingleN == 1) array_distinct(col("__toks"))
          else array_distinct(TextAnalysis.shinglesOfTokens(col("__toks"), shingleN))).as("__set"))
       .filter(size(col("__set")) >= 1)
-      .select(col("__id"), col("__set"), size(col("__set")).as("__sz"))
-    val sizedRdd = setsPlan.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sized = spark.createDataFrame(sizedRdd, setsPlan.schema)
+      .select(col("__id"), col("__set"), size(col("__set")).as("__sz")))
     val posts = sized.select(col("__id"), col("__sz"),
       explode(col("__set")).as("__tok"))
     val dfreq = posts.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
@@ -363,13 +370,10 @@ object Dedup {
     // the prefix table feeds BOTH sides of the candidate self-join —
     // persist it too, or the doc-keyed window (and the df-fit aggregate
     // under it) runs twice
-    val prefixesPlan = posts.join(dfreq, Seq("__tok"))
+    val prefixes = maybePin(posts.join(dfreq, Seq("__tok"))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= prefixLen)
-      .select(col("__id"), col("__sz"), col("__tok"), col("__rank"))
-    val prefixesRdd = prefixesPlan.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefixes = spark.createDataFrame(prefixesRdd, prefixesPlan.schema)
+      .select(col("__id"), col("__sz"), col("__tok"), col("__rank")))
     val sizeCompatible =
       least(col("__sza"), col("__szb")).cast("double") >=
         lit(threshold) * greatest(col("__sza"), col("__szb")) - lit(1e-9)
