@@ -1182,18 +1182,22 @@ object SparkEntry {
         .select(col("n_days"), col("n_values"),
           kll_sketch_get_quantile_double(col("__merged"), lit(0.5)).as("__p50"),
           kll_sketch_get_quantile_double(col("__merged"), lit(0.99)).as("__p99"))
-      val exact = ev.agg(
-        expr("percentile(value, 0.5)").as("__e50"),
-        expr("percentile(value, 0.99)").as("__e99"),
-        (max(col("value")) - min(col("value"))).as("__span"))
-      rolled.crossJoin(broadcast(exact))
+      // KLL guarantees RANK error (~1.7% at default k, and compaction is
+      // randomized — a value-error bound flakes on heavy tails where a
+      // 2%-rank miss jumps far in value). Bound what the sketch promises:
+      // the realized rank of each merged-sketch estimate, measured with
+      // one pass over the events and a ±4% tolerance (>6σ of the k=200
+      // rank-error distribution) — deterministic-in-practice, and a
+      // sketch-merge regression still trips it
+      ev.crossJoin(broadcast(rolled)).agg(
+          first(col("n_days")).as("n_days"),
+          first(col("n_values")).as("n_values"),
+          avg((col("value") <= col("__p50")).cast("double")).as("__r50"),
+          avg((col("value") <= col("__p99")).cast("double")).as("__r99"))
         .select(col("n_days"), col("n_values"),
-          // KLL rank error at default k is ~1.7%; bound the VALUE error by
-          // 5% of the observed span — generous, deterministic, and a
-          // sketch-merge regression still trips it
-          (abs(col("__p50") - col("__e50")) <= col("__span") * 0.05 &&
-            abs(col("__p99") - col("__e99")) <= col("__span") * 0.05)
-            .as("quantile_ok"))
+          coalesce(abs(col("__r50") - 0.5) <= 0.04 &&
+              abs(col("__r99") - 0.99) <= 0.04,
+            col("n_values").isNull).as("quantile_ok"))
     }),
 
     // correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per

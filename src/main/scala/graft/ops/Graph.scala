@@ -18,12 +18,14 @@ import org.apache.spark.storage.StorageLevel
  * `Σ r = 1` an exact invariant every iteration — spec-pinned).
  *
  * Scale shape: one edge-keyed aggregate builds the transition table (and
- * is reused — persisted — across every iteration); each iteration is ONE
- * src-keyed join + dst-keyed aggregate over the edges, plus two 1-row
- * aggregates (dangling mass, node count) that ride broadcast cross
- * joins — no driver-side rank state ever, so billion-node graphs only
- * shuffle (node, double) pairs. Per-iteration results persist at the RDD
- * level to truncate the exponential re-computation a 3-consumer lazy
+ * is reused — persisted — across every iteration); each node is stamped
+ * ONCE with a has-out-edges flag, so each iteration is ONE src-keyed
+ * join + dst-keyed aggregate over the edges plus two 1-row aggregates
+ * (dangling mass — a filter+sum over the rank state, never a per-round
+ * anti join; node count) that ride broadcast cross joins — no
+ * driver-side rank state ever, so billion-node graphs only shuffle
+ * (node, flag, double) tuples. Per-iteration results persist at the RDD
+ * level to truncate the exponential re-computation a multi-consumer lazy
  * lineage would otherwise pay (ContextCleaner reclaims the caches once
  * the result's references drop, the same pattern as Skyline/Dedup).
  */
@@ -56,22 +58,26 @@ object Graph {
     val nodes = pin(trans.select(col("__src").as("__node"))
       .union(trans.select(col("__dst").as("__node"))).distinct())
     val nDf = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    // consumed by every iteration's dangling-mass anti join — pin it, or
-    // the final plan re-runs the distinct over the edge list `iters` times
-    val srcSet = pin(trans.select(col("__src")).distinct())
+    // stamp each node once with "has outgoing edges": the dangling-mass
+    // scalar then reads off the rank state as a filter+sum instead of an
+    // anti join against the edge list EVERY iteration
+    val srcSet = trans.select(col("__src").as("__node")).distinct()
+      .withColumn("__hasOut", lit(true))
+    val flagged = pin(nodes.join(srcSet, Seq("__node"), "left")
+      .select(col("__node"), coalesce(col("__hasOut"), lit(false)).as("__hasOut")))
 
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("__node"), (lit(1.0) / col("__n")).as("__rank"))
+    var ranks = flagged.crossJoin(broadcast(nDf))
+      .select(col("__node"), col("__hasOut"), (lit(1.0) / col("__n")).as("__rank"))
     (1 to iters).foreach { _ =>
       val r = pin(ranks)
       val contribs = r.join(trans, r("__node") === trans("__src"))
         .groupBy(col("__dst").as("__node"))
         .agg(sum(col("__rank") * col("__p")).as("__c"))
-      val dangling = r.join(srcSet, r("__node") === srcSet("__src"), "left_anti")
+      val dangling = r.filter(!col("__hasOut"))
         .agg(coalesce(sum(col("__rank")), lit(0.0)).as("__dm"))
-      ranks = nodes.join(contribs, Seq("__node"), "left")
+      ranks = flagged.join(contribs, Seq("__node"), "left")
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nDf))
-        .select(col("__node"),
+        .select(col("__node"), col("__hasOut"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dm") / col("__n"))).as("__rank"))
