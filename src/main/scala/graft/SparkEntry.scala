@@ -355,6 +355,26 @@ object SparkEntry {
           sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"))
         .orderBy("lang")),
 
+    // distributed training of a linear quality classifier: 3 full-batch
+    // logistic-GD steps, each ONE d+1-scalar aggregate over the feature
+    // table (map-side combined — rows never shuffle, only gradients reach
+    // the driver); 6dp weight quantization per step makes the trajectory
+    // engine-independent, so the oracle replays the unrolled steps exactly
+    "x_logreg_train" -> ((s, dir) => {
+      val feats = T(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("lang").isNotNull)
+        .select((col("lang") === "en").cast("double").as("y"),
+          (log(lit(1.0) + length(col("text"))) / 10.0).as("x1"),
+          ((length(col("text")) - length(replace(col("text"), lit(" "))))
+            .cast("double") / length(col("text"))).as("x2"))
+      val w = graft.ops.Classifier.logisticFit(feats, Seq("x1", "x2"), "y",
+        iters = 3, lr = 1.0, roundDp = 6)
+      import s.implicits._
+      Seq((feats.count(), w(0), w(1), w(2)))
+        .toDF("n_docs", "w0", "w1", "w2")
+    }),
+
     // char-level Shannon entropy quality signal (native one-pass codegen
     // expression — the degenerate-doc filter that kills low-entropy spam):
     // per-language entropy profile over the 27-symbol a..z+space alphabet
@@ -1005,6 +1025,18 @@ object SparkEntry {
           sum(col("q").cast("long") * (col("d") + 1)).as("q_weighted_sum"),
           round(max(abs(col("q") * col("scale") - col("x"))), 6).as("max_abs_err"))
         .orderBy("vec_id")
+    }),
+
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): top-12
+    // relevance pool per query off ONE corpus scan, then the greedy
+    // λ·rel − (1−λ)·maxsim rerank per query inside a single task —
+    // O(pool²·d) flops per query, constant by construction. The oracle
+    // unrolls all four greedy rounds as CTEs over the same pool
+    "s_mmr_select" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.mmrSelect(e.filter(col("vec_id") < 3), e,
+          poolSize = 12, k = 4, lambda = 0.7)
+        .orderBy("query_id", "rank")
     }),
 
     // one-pass mergeable Gram matrix Σ v·vᵀ of the embedding corpus via
@@ -2215,6 +2247,52 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** DuckDB list-cosine between two embedding columns — the sequential
+    * left-to-right fold twin of `Similarity.cosine` (same formula as
+    * annTopkSql's inline expression). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+       / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"""
+
+  /** One unrolled MMR greedy round for the s_mmr_select oracle: the
+    * argmax of `0.7·rel − (1−0.7)·max sim-to-selected` over the pool rows
+    * not yet in `selCte`, ties broken by neighbor id — exactly the Spark
+    * in-task trajectory. `(1.0 - 0.7)` is spelled as the subtraction so
+    * both engines use the identical IEEE double. */
+  private def mmrRoundSql(selCte: String, outCte: String): String =
+    s"""$outCte AS (SELECT query_id, neighbor_id, score FROM (
+           SELECT m.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rn FROM (
+             SELECT p.query_id, p.neighbor_id,
+               0.7 * p.rel - (1.0 - 0.7) * max(ps.sim) AS score
+             FROM pool p
+             JOIN psim ps ON ps.query_id = p.query_id
+               AND ps.a_id = p.neighbor_id
+             JOIN $selCte s ON s.query_id = ps.query_id
+               AND s.neighbor_id = ps.b_id
+             WHERE NOT EXISTS (SELECT 1 FROM $selCte x
+               WHERE x.query_id = p.query_id
+                 AND x.neighbor_id = p.neighbor_id)
+             GROUP BY 1, 2, p.rel) m) WHERE rn = 1)"""
+
+  /** One unrolled full-batch logistic-GD step for the x_logreg_train
+    * oracle: gradient averages over the feature CTE `f` at the weights in
+    * `wCte`, then the 6dp-quantized weight update — the exact driver-loop
+    * trajectory of `Classifier.logisticFit` (lr = 1.0). */
+  private def logregRoundSql(wCte: String, gCte: String,
+      outCte: String): String =
+    s"""$gCte AS (
+           SELECT avg(p - y) AS g0, avg((p - y) * x1) AS ga,
+             avg((p - y) * x2) AS gb
+           FROM (SELECT f.y, f.x1, f.x2,
+                   1.0 / (1.0 + exp(-(w.w0 + w.wa * f.x1 + w.wb * f.x2))) AS p
+                 FROM f CROSS JOIN $wCte w)),
+         $outCte AS (
+           SELECT round(w.w0 - g.g0, 6) AS w0, round(w.wa - g.ga, 6) AS wa,
+             round(w.wb - g.gb, 6) AS wb
+           FROM $wCte w CROSS JOIN $gCte g)"""
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -2866,6 +2944,26 @@ object SparkEntry {
                THEN 1 ELSE 0 END) AS bigint) AS n_pass
          FROM r GROUP BY 1 ORDER BY 1""",
 
+    // the same three full-batch logistic-GD steps unrolled as CTE rounds:
+    // identical features, identical (w0 + wa·x1) + wb·x2 fold order,
+    // identical sigmoid, and the 6dp weight quantization after every step
+    // absorbs cross-engine summation-order ulps in the gradient averages
+    "x_logreg_train" ->
+      s"""WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             ln(1.0 + length(text)) / 10.0 AS x1,
+             (length(text) - length(replace(text, ' ', ''))) * 1.0
+               / length(text) AS x2
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0
+             AND lang IS NOT NULL),
+         wt0 AS (SELECT 0.0 AS w0, 0.0 AS wa, 0.0 AS wb),
+         ${logregRoundSql("wt0", "gr1", "wt1")},
+         ${logregRoundSql("wt1", "gr2", "wt2")},
+         ${logregRoundSql("wt2", "gr3", "wt3")}
+         SELECT (SELECT count(*) FROM f) AS n_docs,
+           w0, wa AS w1, wb AS w2 FROM wt3""",
+
     // hashed-feature replay: md5-derived slot ids are engine-neutral, the
     // smoothed log-ratio fit and per-doc sums replay exactly; round(4)
     // absorbs summation-order ulps
@@ -3314,6 +3412,44 @@ object SparkEntry {
     // three chained Lloyd rounds with the same 4dp-quantized centroid sync
     // the engine loop performs between iterations
     "s_kmeans_train" -> kmeansTrainSql(iters = 3, k = 8),
+
+    // the same top-12 relevance pool, then all four greedy MMR rounds
+    // unrolled as CTEs — each round the (0.7·rel − 0.3·maxsim, id) argmax
+    // over the not-yet-selected pool, exactly the engine's trajectory
+    "s_mmr_select" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 3),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                 FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS rel, cv
+             FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+           pool AS (SELECT query_id, neighbor_id, rel, cv FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, neighbor_id ASC) AS rn
+             FROM scored) WHERE rn <= 12),
+           psim AS (
+             SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+               ${cosSql("a.cv", "b.cv")} AS sim
+             FROM pool a JOIN pool b ON a.query_id = b.query_id
+               AND a.neighbor_id <> b.neighbor_id),
+           sel1 AS (SELECT query_id, neighbor_id, 0.7 * rel AS score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, neighbor_id ASC) AS rn
+             FROM pool) WHERE rn = 1),
+           ${mmrRoundSql("sel1", "sel2")},
+           selu2 AS (SELECT query_id, neighbor_id FROM sel1
+             UNION ALL SELECT query_id, neighbor_id FROM sel2),
+           ${mmrRoundSql("selu2", "sel3")},
+           selu3 AS (SELECT query_id, neighbor_id FROM selu2
+             UNION ALL SELECT query_id, neighbor_id FROM sel3),
+           ${mmrRoundSql("selu3", "sel4")}
+         SELECT query_id, 1 AS rank, neighbor_id,
+           round(score, 4) AS mmr_score FROM sel1
+         UNION ALL SELECT query_id, 2, neighbor_id, round(score, 4) FROM sel2
+         UNION ALL SELECT query_id, 3, neighbor_id, round(score, 4) FROM sel3
+         UNION ALL SELECT query_id, 4, neighbor_id, round(score, 4) FROM sel4
+         ORDER BY query_id, rank""",
 
     // brute-force argmax-cosine assignment against the fixed centroid table
     // (vec_id < 8), then the cluster x label grid — mirrors

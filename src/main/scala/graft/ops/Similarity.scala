@@ -668,4 +668,106 @@ object Similarity {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
       .toDF("cluster_id", "dim", "centroid_val", "n_vecs")
   }
+
+  /** sequential left-to-right cosine over plain arrays — the in-task twin
+    * of [[cosine]], same fold order so both produce identical doubles */
+  private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /**
+   * Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+   * 1998 — public literature; the reference ships no retrieval ops, this
+   * is mandated LLM-pipeline surface): greedily pick `k` of each query's
+   * `poolSize` most-relevant candidates, each round maximizing
+   * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard rerank
+   * that keeps retrieval results (or per-topic training-data picks) from
+   * collapsing onto near-duplicates of one hit.
+   *
+   * Scale shape: relevance is ONE corpus scan against broadcast queries
+   * (bruteForceTopK's shape — swap [[ivfSearch]] in as the pool source at
+   * ANN scale); the greedy rerank then runs per query over its ≤poolSize
+   * pool inside a single task (`flatMapGroups`) — O(poolSize²·d) flops
+   * per query, constant by construction, perfectly parallel across
+   * queries — so candidate vectors shuffle exactly once, keyed by query.
+   * Ties rank by (score desc, neighbor id asc) so the greedy trajectory
+   * is deterministic and independently replayable (the DuckDB oracle
+   * unrolls the rounds).
+   */
+  def mmrSelect(queries: DataFrame, corpus: DataFrame, poolSize: Int, k: Int,
+      lambda: Double = 0.7, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need poolSize >= k >= 1, got poolSize=$poolSize k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1], got $lambda")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__rel"), col("__cv"))
+      // zero-magnitude vectors cosine to NaN — excluded, or the greedy
+      // argmax below would have no total order to pick from
+      .filter(!isnan(col("__rel")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rel").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= poolSize)
+      .select(col("query_id"), col("neighbor_id"), col("__rel"), col("__cv"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = cand.length
+        val vecs = cand.map(_._4.toArray)
+        val picked = new Array[Boolean](n)
+        // max cosine from each candidate to the selected set so far.
+        // -Inf marks "never read" — round 1 scores λ·rel directly, and the
+        // post-pick update overwrites every unpicked slot, so a NEGATIVE
+        // best cosine to the selected set stays a (diversity-rewarding)
+        // negative penalty instead of silently flooring at zero
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var r = 0
+        while (r < math.min(k, n)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val s = if (r == 0) lambda * cand(i)._3
+                else lambda * cand(i)._3 - (1 - lambda) * maxSim(i)
+              if (s > bestScore ||
+                  (s == bestScore && cand(i)._2 < cand(best)._2)) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += ((qid, r + 1, cand(best)._2, bestScore))
+          i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val s = cosineArr(vecs(i), vecs(best))
+              if (s > maxSim(i)) maxSim(i) = s
+            }
+            i += 1
+          }
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "__score")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("__score"), 4).as("mmr_score"))
+  }
 }

@@ -578,13 +578,38 @@ class PlanQualitySpec extends SparkTestBase {
       .toDF("src", "dst")
     val out = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 2)
     val plan = out.queryExecution.executedPlan.toString
-    // per-iteration ranks / transition table / dangling-source set are
-    // RDD-level pins (ExistingRDD): without them the 3-consumer lineage
-    // re-executes upstream exponentially in the iteration count
+    // per-iteration ranks / transition table / flagged node set are
+    // RDD-level pins (ExistingRDD): without them the multi-consumer
+    // lineage re-executes upstream exponentially in the iteration count
     assert(plan.contains("ExistingRDD"),
       s"expected pinned iteration state (ExistingRDD):\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"pageRank must never plan a cartesian product:\n$plan")
+  }
+
+  test("mmrSelect: queries broadcast into one corpus scan; rerank is MapGroups over the pooled rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 200L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.mmrSelect(
+      corpus.filter(col("vec_id") < 2), corpus, poolSize = 8, k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // relevance pass: corpus scanned once against broadcast queries —
+    // never a shuffled join or cartesian of corpus rows
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast into the corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"no unbroadcast join of corpus rows:\n$plan")
+    // greedy rerank runs per query inside a task over ≤poolSize rows
+    assert(plan.contains("MapGroups"),
+      s"rerank must be the in-task greedy pass:\n$plan")
+    // only the window cut and the per-query regroup repartition — the
+    // O(pool²·d) work never adds exchanges proportional to corpus size
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges:\n$plan")
   }
 
   test("metadataDF: _file/_pos ride the scan; only the partition lookup joins, by broadcast") {

@@ -334,4 +334,88 @@ class SimilaritySpec extends SparkTestBase {
     // the hub is nobody's kept match: its margin is ~1 by construction
     assert(!got.exists(_._2 == 200L), "hub must be margin-suppressed")
   }
+
+  test("mmrSelect defers an exact duplicate of the top hit when λ < 0.5") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // top hit (rel = 1, tie with id 1 → id asc)
+      (1L, Seq(1.0f, 0.0f)),  // exact duplicate of 0
+      (2L, Seq(0.8f, 0.6f))   // rel = 0.8, diverse
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(q, corpus, poolSize = 3, k = 3,
+      lambda = 0.4).orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    // round 2: dup scores 0.4·1 − 0.6·1 = −0.2, diverse 0.4·0.8 − 0.6·0.8
+    // = −0.16 → the duplicate drops to rank 3
+    assert(got.toSeq === Seq((1, 0L), (2, 2L), (3, 1L)))
+  }
+
+  test("mmrSelect: negative cosine to the selected set is a bonus, not floored at 0") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Seq(0.8f, 0.0f, -0.6f)),              // rel 0.8 → picked first
+      (1L, Seq(0.0f, 0.0f, 1.0f)),               // rel 0, sim to 0 = −0.6
+      (2L, Seq(0.3f, math.sqrt(0.91).toFloat, 0.0f)) // rel 0.3, sim ≈ 0.24
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(q, corpus, poolSize = 3, k = 2,
+      lambda = 0.7).orderBy("rank").collect()
+      .map(_.getAs[Long]("neighbor_id"))
+    // true round-2 scores: id1 = 0 − 0.3·(−0.6) = 0.18 beats
+    // id2 ≈ 0.21 − 0.3·0.24 ≈ 0.138; a zero-floored penalty would flip it
+    assert(got.toSeq === Seq(0L, 1L))
+  }
+
+  test("mmrSelect matches an independent driver-side greedy reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val dim = 8
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val lambda = 0.7; val pool = 10; val k = 5
+    val got = Similarity.mmrSelect(
+        corpusDf.filter(col("vec_id") < 3), corpusDf, pool, k, lambda)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("mmr_score")))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (0L until 3L).flatMap { qid =>
+      val qv = corpus(qid.toInt)._2
+      val cands = corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, v, cos(qv, v)) }
+        .sortBy(t => (-t._3, t._1)).take(pool).toArray
+      var selected = List.empty[Int]
+      (1 to k).map { rank =>
+        val remaining = cands.indices.filterNot(selected.contains)
+        val best = remaining.minBy { i =>
+          val pen = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(cands(i)._2, cands(s)._2)).max
+          val score = if (selected.isEmpty) lambda * cands(i)._3
+            else lambda * cands(i)._3 - (1 - lambda) * pen
+          (-score, cands(i)._1)
+        }
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(cands(best)._2, cands(s)._2)).max
+        val score = if (selected.isEmpty) lambda * cands(best)._3
+          else lambda * cands(best)._3 - (1 - lambda) * pen
+        selected ::= best
+        (qid, rank, cands(best)._1, r4(score))
+      }
+    }
+    assert(got === expect.sortBy(t => (t._1, t._2)))
+  }
 }
