@@ -163,6 +163,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (n == r.to && seq <= r.afterSeq) r.from else n
     }
 
+  /** Physical (in-file) type of a declared column for a file added at
+    * commit sequence `seq`: unwind every type promotion that happened
+    * after the file was written, newest first — same era logic as
+    * [[physicalName]] (records are keyed by the current declared name;
+    * [[renameColumn]] rewrites them on rename). */
+  private def physicalType(m: TableMetadata, declared: String,
+      declaredType: DataType, seq: Long): DataType =
+    m.typeChanges.reverse.foldLeft(declaredType) { (t, tc) =>
+      if (tc.column == declared && seq <= tc.afterSeq)
+        DataType.fromJson(tc.fromJson) else t
+    }
+
   /** Current declared name for a column name recorded at commit sequence
     * `seq` (e.g. an equality-delete key written before later renames). */
   private def declaredNameNow(m: TableMetadata, recorded: String, seq: Long): String =
@@ -196,12 +208,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
     def seqOf(f: DataFile): Long = f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
     def physNames(seq: Long): Seq[String] =
       s.fields.toSeq.map(f => physicalName(m, f.name, seq))
-    files.groupBy(f => (layoutOf(f), physNames(seqOf(f)))).toSeq
-      .sortBy { case ((layout, names), _) =>
-        (layout.mkString(","), names.mkString(",")) }
-      .map { case ((_, names), group) =>
-        val physSchema = StructType(s.fields.zip(names)
-          .map { case (f, n) => f.copy(name = n) })
+    // type-promotion eras: a file written before an ALTER COLUMN … TYPE
+    // stores the narrower physical type; its era scans under that type and
+    // upcasts — parquet readers cannot read e.g. INT32 pages as longs
+    def physTypes(seq: Long): Seq[DataType] =
+      s.fields.toSeq.map(f => physicalType(m, f.name, f.dataType, seq))
+    files.groupBy(f => (layoutOf(f), physNames(seqOf(f)), physTypes(seqOf(f))))
+      .toSeq
+      .sortBy { case ((layout, names, types), _) =>
+        (layout.mkString(","), names.mkString(","),
+          types.map(_.simpleString).mkString(",")) }
+      .map { case ((_, names, types), group) =>
+        val physSchema = StructType(s.fields.zip(names).zip(types)
+          .map { case ((f, n), t) => f.copy(name = n, dataType = t) })
         val posCols = if (withPos) Seq(
           regexp_replace(col("_metadata.file_path"), "^.*/data/", "").as("__file"),
           col("_metadata.row_index").as("__pos"))
@@ -210,8 +229,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .schema(physSchema)
           .option("basePath", dataDir)
           .parquet(group.map(f => s"$dataDir/${f.path}"): _*)
-          .select((s.fields.zip(names).toSeq
-            .map { case (f, n) => col(n).as(f.name) } ++ posCols).toIndexedSeq: _*)
+          .select((s.fields.zip(names).zip(types).toSeq
+            .map { case ((f, n), t) =>
+              if (t == f.dataType) col(n).as(f.name)
+              else col(n).cast(f.dataType).as(f.name)
+            } ++ posCols).toIndexedSeq: _*)
       }
       .reduce(_.unionByName(_))
   }
@@ -828,11 +850,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
           "existing rows — diff full snapshots instead")
     }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val added = range.flatMap(_.addedFiles).map(p => s"$dataDir/$p")
+    // resolve the added paths back to their DataFile entries and read
+    // era-aware (plainRead): range files written before a later column
+    // rename / type promotion store old physical names / narrower types —
+    // a plain current-schema scan would return silent nulls or fail to
+    // decode the pages
+    val added = range.flatMap { s =>
+      val addedSet = s.addedFiles.toSet
+      s.files.filter(f => addedSet.contains(f.path))
+    }
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).option("basePath", dataDir).parquet(added: _*)
+      plainRead(m, schema, added)
   }
 
   /**
@@ -1052,7 +1082,53 @@ class GraftTable(val spark: SparkSession, val location: String) {
       m.copy(
         schemaJson = newSchema.json,
         renames = m.renames :+ RenameRecord(from, to, afterSeq),
-        tombstones = m.tombstones :+ from)
+        tombstones = m.tombstones :+ from,
+        // type-promotion eras are keyed by the CURRENT declared name
+        // ([[physicalType]]); follow the rename so they keep resolving
+        typeChanges = m.typeChanges.map(tc =>
+          if (tc.column == from) tc.copy(column = to) else tc))
+    }
+    ()
+  }
+
+  /**
+   * Schema evolution: `ALTER COLUMN … TYPE` as one metadata commit, no
+   * file rewrite — Iceberg's safe type promotions only (int→long,
+   * float→double, decimal precision widen at fixed scale; anything else
+   * would corrupt or truncate already-written values). Existing files
+   * keep the narrower physical type; the read path scans each era under
+   * its written type and upcasts to the declared one (see
+   * [[physicalType]]), so old and new files union losslessly. Partition
+   * columns cannot be promoted: `bucket(n, col)` hashes ints and longs
+   * differently, so the existing directory layout would become
+   * un-prunable — and mis-prunable — under the new type. Compaction
+   * rewrites migrate old files to the declared type lazily.
+   */
+  def updateColumnType(name: String, to: DataType): Unit = withCommitLock {
+    retryMetaCommit { m =>
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val field = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"Unknown column $name on ${m.name}"))
+      val ok = (field.dataType, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (d1: DecimalType, d2: DecimalType) =>
+          d2.precision > d1.precision && d2.scale == d1.scale
+        case _ => false
+      }
+      require(ok, s"Unsupported type change on ${m.name}.$name: " +
+        s"${field.dataType.simpleString} -> ${to.simpleString} (allowed: " +
+        "int -> bigint, float -> double, decimal(p,s) -> decimal(p',s) with p' > p)")
+      require(!m.partitionCols.exists(e =>
+          PartitionSpec.parseField(e).source == name),
+        s"Partition column $name cannot be promoted: the directory layout " +
+          "(and any bucket hash) is keyed on the written type")
+      val afterSeq = m.snapshots.map(_.id).maxOption.getOrElse(0L)
+      m.copy(
+        schemaJson = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)).json,
+        typeChanges = m.typeChanges :+
+          TypeChangeRecord(name, field.dataType.json, to.json, afterSeq))
     }
     ()
   }
@@ -1202,6 +1278,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
           s"${eraDrift.mkString(", ")} were renamed after it was staged; " +
           "its files store the pre-rename physical name and would be " +
           "re-stamped past the rename. Re-stage the work instead.")
+      // same drift for type promotions: the re-stamped seq would resolve
+      // the picked files to the declared (wide) type they do not store
+      val typeDrift = schemaNow.fields
+        .filter(f => physicalType(m, f.name, f.dataType, src.id) != f.dataType)
+        .map(_.name)
+      require(typeDrift.isEmpty,
+        s"Cannot cherry-pick snapshot $snapshotId: column(s) " +
+          s"${typeDrift.mkString(", ")} were type-promoted after it was " +
+          "staged; its files store the narrower physical type and would be " +
+          "re-stamped past the promotion. Re-stage the work instead.")
       commitSnapshot(m, picked, removed = Seq.empty,
         operation = "cherrypick", branch,
         extraSummary = Map("cherry-picked-from" -> snapshotId.toString))

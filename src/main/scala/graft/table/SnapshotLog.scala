@@ -161,6 +161,14 @@ case class GraftSnapshot(
   * field-id resolution). */
 case class RenameRecord(from: String, to: String, afterSeq: Long)
 
+/** One column type promotion (Iceberg `ALTER COLUMN … TYPE` — int→long,
+  * float→double, decimal precision widen), applied as metadata only: data
+  * files whose commit sequence is <= `afterSeq` still store the column
+  * under the narrower physical type (`fromJson`); the read path scans each
+  * era under its physical type and upcasts to the declared one. */
+case class TypeChangeRecord(column: String, fromJson: String, toJson: String,
+    afterSeq: Long)
+
 case class TableMetadata(
     name: String,
     schemaJson: String,
@@ -175,7 +183,8 @@ case class TableMetadata(
     renames: Seq[RenameRecord] = Seq.empty,
     // past physical names (renamed-from / dropped): never reusable, since
     // live files may still store data under them and resolution is by name
-    tombstones: Seq[String] = Seq.empty) {
+    tombstones: Seq[String] = Seq.empty,
+    typeChanges: Seq[TypeChangeRecord] = Seq.empty) {
 
   def currentSnapshotId: Option[Long] = refs.get(SnapshotLog.MainBranch)
 

@@ -123,12 +123,14 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS / SET TBLPROPERTIES / UNSET TBLPROPERTIES`:
-    * each is one metadata commit through the snapshot log (data files are
-    * untouched — added columns read as NULL from existing files, the same
-    * schema evolution contract as the append-time mergeSchema widen).
-    * Column drops/renames/retypes are rejected: against immutable data
-    * files they require a rewrite, not a metadata edit. */
+  /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN / ALTER
+    * COLUMN TYPE / SET TBLPROPERTIES / UNSET TBLPROPERTIES`: each is one
+    * metadata commit through the snapshot log (data files are untouched —
+    * added columns read as NULL from existing files, renamed/promoted
+    * columns resolve per file era; the same schema evolution contract as
+    * the append-time mergeSchema widen). Type changes accept Iceberg's
+    * safe promotions only — int→bigint, float→double, decimal precision
+    * widen — anything lossy is rejected. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = GraftTable.load(spark, tableLocation(ident))
     changes.foreach {
@@ -149,9 +151,12 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
         require(del.fieldNames().length == 1,
           "ALTER TABLE DROP COLUMN: nested fields are not supported")
         t.dropColumn(del.fieldNames().head)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "ALTER TABLE ALTER COLUMN TYPE: nested fields are not supported")
+        t.updateColumnType(upd.fieldNames().head, upd.newDataType())
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE: unsupported change $other (column retype " +
-          "requires a data rewrite; use a CoW operation)")
+        s"ALTER TABLE: unsupported change $other")
     }
     loadTable(ident)
   }
@@ -363,8 +368,17 @@ private[catalog] object GraftSqlTables {
       val lastRename = meta.renames.map(_.afterSeq).max
       snap.exists(_.files.exists(_.dataSeq.forall(_ <= lastRename)))
     }
+    // a fourth shape: live files written BEFORE a type promotion store the
+    // column under its narrower physical type — a plain scan with the
+    // declared schema cannot read e.g. INT32 pages as longs; the graft
+    // read plan scans each era under its written type and upcasts
+    val preTypeChangeFiles = meta.typeChanges.nonEmpty && {
+      val lastChange = meta.typeChanges.map(_.afterSeq).max
+      snap.exists(_.files.exists(_.dataSeq.forall(_ <= lastChange)))
+    }
     val planRead = snap
-      .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout || preRenameFiles)
+      .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout ||
+        preRenameFiles || preTypeChangeFiles)
       .map(sn => GraftPlanRead(loc, sn.id))
     // metadata-only COUNT(*): exact when no merge-on-read delete can drop
     // rows at read time (the planRead guard already refuses those scans,

@@ -211,6 +211,16 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
         s"graft streaming read: ${stale.size} streamed file(s) predate a column " +
           "rename; read that range with the batch API (era-aware) instead")
     }
+    // same guard for type-promotion eras: pre-promotion files store the
+    // narrower physical type, which this reader's declared schema cannot
+    // decode (parquet INT32 pages are not longs)
+    if (m.typeChanges.nonEmpty) {
+      val lastChange = m.typeChanges.map(_.afterSeq).max
+      val stale = added.filter(_.dataSeq.forall(_ <= lastChange))
+      require(stale.isEmpty,
+        s"graft streaming read: ${stale.size} streamed file(s) predate a column " +
+          "type promotion; read that range with the batch API (era-aware) instead")
+    }
 
     val fs = new org.apache.hadoop.fs.Path(location)
       .getFileSystem(hadoopConf)

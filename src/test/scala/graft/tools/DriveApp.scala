@@ -143,6 +143,21 @@ object DriveApp {
     spark.sql("ALTER TABLE graft.fin.act DROP COLUMN category")
     println("rename-drop cols=" + spark.table("graft.fin.act").columns.sorted.mkString(",")
       + " vendors=" + spark.sql("SELECT count(DISTINCT vendor) FROM graft.fin.act").collect().head.getLong(0))
+    println("== schema evolution: ALTER COLUMN TYPE (int->long era upcast)")
+    locally {
+      import spark.implicits._
+      val promoteLoc = loc + "-promote"
+      val pt = graft.table.GraftTable.create(spark, promoteLoc, "promote",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType))))
+      pt.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"))
+      pt.updateColumnType("n", org.apache.spark.sql.types.LongType)
+      pt.append(Seq(("c", 1L + Int.MaxValue)).toDF("k", "n"))
+      println("type-promotion sum=" + pt.toDF.agg(sum(col("n"))).head.getLong(0)
+        + " dtype=" + pt.schema("n").dataType.simpleString
+        + " eras=" + pt.toDF.inputFiles.length)
+    }
     println("== streaming: watermarked stream-stream interval join")
     locally {
       import spark.implicits._
