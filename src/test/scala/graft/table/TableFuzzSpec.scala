@@ -28,12 +28,26 @@ class TableFuzzSpec extends SparkTestBase {
       steps = 80, evolveAt = Some(40 -> Seq("bucket(8,id)")))
   }
 
+  test("type-promotion fuzz: v starts int, promotes to long mid-run, then overflows Int") {
+    // every op class (merge, CoW/MoR delete, compaction, rollback across
+    // the promotion boundary, expiry) must hold table == model while the
+    // table carries BOTH physical eras of `v`
+    fuzzRun("fuzz-prom", Seq("k"), seed = 0x9a7, steps = 80,
+      narrowV = true, promoteAt = Some(40))
+  }
+
   private def fuzzRun(name: String, partitionCols: Seq[String], seed: Int,
-      steps: Int, evolveAt: Option[(Int, Seq[String])] = None): Unit = {
+      steps: Int, evolveAt: Option[(Int, Seq[String])] = None,
+      narrowV: Boolean = false, promoteAt: Option[Int] = None): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
-    val t = GraftTable.create(spark, tmpDir(name), name, schema,
+    val runSchema = if (narrowV)
+      StructType(schema.fields.map(f =>
+        if (f.name == "v") f.copy(dataType = IntegerType) else f))
+    else schema
+    val t = GraftTable.create(spark, tmpDir(name), name, runSchema,
       partitionCols = partitionCols)
+    var promoted = false
 
     // model: rows keyed by id; snapshots of the model per commit id
     var model = Map.empty[Long, (String, Long)] // id -> (k, v)
@@ -41,12 +55,19 @@ class TableFuzzSpec extends SparkTestBase {
     var expiredIds = Set.empty[Long]
     var nextId = 0L
 
+    // writes always cast v to the table's CURRENT declared type, so the
+    // narrow-v run writes real INT32 files pre-promotion and longs after
     def df(rows: Seq[(String, Long, Long)]) = rows.toDF("k", "id", "v")
+      .withColumn("v", col("v").cast(t.schema("v").dataType))
     def freshRows(n: Int): Seq[(String, Long, Long)] =
       (0 until n).map { _ =>
         val id = nextId
         nextId += 1
-        (s"p${rnd.nextInt(3)}", id, rnd.nextInt(1000).toLong)
+        // post-promotion, a quarter of fresh rows overflow Int on purpose
+        val v = if (promoted && rnd.nextInt(4) == 0)
+          Int.MaxValue.toLong + 1L + rnd.nextInt(1000)
+        else rnd.nextInt(1000).toLong
+        (s"p${rnd.nextInt(3)}", id, v)
       }
 
     def checkpoint(): Unit = {
@@ -54,14 +75,20 @@ class TableFuzzSpec extends SparkTestBase {
     }
 
     def assertState(): Unit = {
+      // v reads as int pre-promotion and long after — compare numerically
       val got = t.toDF.select("id", "k", "v").collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getAs[Number](2).longValue()))).toMap
       assert(got === model, s"head state diverged after ${t.meta.snapshots.size} commits")
     }
 
     (1 to steps).foreach { step =>
       evolveAt.filter(_._1 == step).foreach { case (_, spec) =>
         t.updatePartitionSpec(spec)
+      }
+      promoteAt.filter(_ == step).foreach { _ =>
+        t.updateColumnType("v", LongType)
+        promoted = true
       }
       rnd.nextInt(8) match {
         case 0 | 1 => // append 1-5 fresh rows
@@ -132,7 +159,8 @@ class TableFuzzSpec extends SparkTestBase {
     history.filter { case (id, _) => retained.contains(id) }.foreach {
       case (id, expected) =>
         val got = t.asOf(id.toString).select("id", "k", "v").collect()
-          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+          .map(r => r.getLong(0) ->
+            ((r.getString(1), r.getAs[Number](2).longValue()))).toMap
         assert(got === expected, s"time travel to snapshot $id diverged")
     }
   }
