@@ -1752,6 +1752,18 @@ object SparkEntry {
           sumCents(col("o_amount")).as("amount_cents"))
         .orderBy("o_orderstatus")),
 
+    // ALTER COLUMN TYPE schema evolution: o_custkey written as INT32 in
+    // the first era, promoted to BIGINT (metadata only), long eras after —
+    // the read scans each era under its physical type and upcasts, so the
+    // exact key sum over all eras must equal raw orders
+    "t_type_promotion" -> ((s, dir) =>
+      TableFixtures.ordersPromoted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("cust_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // two-stage salted aggregation (the hot-key shape AQE does not cover):
     // must equal the plain one-stage groupBy exactly
     "e_salted_agg" -> ((s, dir) => {
@@ -4095,6 +4107,14 @@ object SparkEntry {
     "t_rename_drop" ->
       s"""SELECT o_orderstatus, count(*) AS n,
          ${centsSql("o_totalprice")} AS amount_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // recompute over raw orders: int→long promotion is lossless, so the
+    // era-upcast read must reproduce the full key sum exactly
+    "t_type_promotion" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         cast(sum(o_custkey) AS bigint) AS cust_sum,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "e_salted_join" ->

@@ -397,6 +397,29 @@ object TableFixtures {
     })
 
   /**
+   * Type-promotion fixture (`ALTER COLUMN … TYPE`): batch 1 written with
+   * o_custkey declared INT (values fit — the testdata keys are small),
+   * then the column promotes to BIGINT (metadata only, no rewrite),
+   * batches 2 and 3 written as longs. Reads must scan the INT32 era under
+   * its physical type and upcast, so data state == full orders with
+   * o_custkey long — the DuckDB oracle is a plain read of raw orders.
+   */
+  def ordersPromoted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_promoted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_promoted"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val narrow = orders.withColumn("o_custkey", col("o_custkey").cast("int"))
+      val t = GraftTable.create(spark, loc, "graft.orders_promoted",
+        narrow.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(narrow.filter(col("o_orderkey") % 3 === 0))
+      t.updateColumnType("o_custkey", org.apache.spark.sql.types.LongType)
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      t
+    })
+
+  /**
    * MERGE … WHEN MATCHED THEN DELETE fixture: target = orders with
    * o_orderkey % 3 < 2, source = orders with o_orderkey % 5 == 0 — matched
    * source rows delete their target rows, unmatched source rows insert.
