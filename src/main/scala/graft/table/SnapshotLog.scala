@@ -574,6 +574,28 @@ object SnapshotLog {
     finally h.close()
     fs.delete(hintFile(tableDir), false)
     fs.rename(hintTmp, hintFile(tableDir))
+    // Iceberg's metadata-version retention (opt-in, identical property
+    // names): after a successful commit, drop root-metadata files older
+    // than the last `previous-versions-max` versions. Snapshots/time
+    // travel are unaffected — history lives in the CURRENT metadata; only
+    // superseded v*.metadata.json roots go. metadata_log_entries keeps
+    // listing them (Iceberg does the same after deletion). Opt-in because
+    // a reader pinned to a deleted old root would fail — the same caveat
+    // Iceberg documents.
+    if (stamped.props.get("write.metadata.delete-after-commit.enabled")
+        .exists(_.equalsIgnoreCase("true"))) {
+      val keep = math.max(1,
+        stamped.props.get("write.metadata.previous-versions-max")
+          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(100))
+      val pattern = """v(\d+)\.metadata\.json""".r
+      fs.listStatus(dir).foreach { st =>
+        st.getPath.getName match {
+          case pattern(v) if v.toInt < nextV - keep =>
+            fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
     attachLoaders(stamped, tableDir, conf)
   }
 

@@ -97,4 +97,37 @@ class TableInvariantsSpec extends SparkTestBase {
     assert(contentHash(t.asOf("b2")) === b2)
     assert(t.asOf("b5").count() === 250)
   }
+
+  test("metadata-version retention honors write.metadata.delete-after-commit") {
+    import org.apache.spark.sql.types._
+    def metaFiles(t: GraftTable): Seq[String] = {
+      val dir = new java.io.File(t.location, "_graft")
+      dir.listFiles().map(_.getName).filter(_.matches("v\\d+\\.metadata\\.json"))
+        .sorted.toSeq
+    }
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("amount", DoubleType)))
+    // opt-in: only the current + 2 previous metadata roots survive commits
+    val t = GraftTable.create(spark, tmpDir("metaret"), "metaret", schema,
+      props = Map("write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "2"))
+    import spark.implicits._
+    val firstId = {
+      t.append(Seq(("a", 1.0)).toDF("key", "amount"))
+      t.meta.currentSnapshotId.get
+    }
+    (2 to 6).foreach(i => t.append(Seq((s"k$i", i.toDouble)).toDF("key", "amount")))
+    val files = metaFiles(t)
+    assert(files.size === 3, s"expected current + 2 previous, got $files")
+    // history and time travel live in the CURRENT metadata — unaffected
+    assert(t.meta.snapshots.size === 6)
+    assert(t.asOf(firstId.toString).count() === 1)
+    assert(t.toDF.count() === 6)
+    // metadata_log_entries still lists the full lineage (Iceberg behavior)
+    assert(t.metadataLogEntries.count() >= 6)
+    // default (no property): every root version is retained
+    val t2 = GraftTable.create(spark, tmpDir("metaret2"), "metaret2", schema)
+    (1 to 5).foreach(i => t2.append(Seq((s"k$i", i.toDouble)).toDF("key", "amount")))
+    assert(metaFiles(t2).size === 6) // v0 create + 5 appends
+  }
 }
