@@ -35,7 +35,15 @@ object Classifier {
    * the trained weights, intercept first: `w(0) + Σ w(j+1)·x_j`.
    */
   def logisticFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
-      iters: Int = 3, lr: Double = 1.0, roundDp: Int = 6): Array[Double] = {
+      iters: Int = 3, lr: Double = 1.0, roundDp: Int = 6): Array[Double] =
+    logisticFitCounted(df, featureCols, labelCol, iters, lr, roundDp)._1
+
+  /** [[logisticFit]] plus the number of rows actually trained on, counted
+    * off the checkpointed feature projection — free relative to a fresh
+    * re-derivation scan, and structurally in sync with the fit. */
+  def logisticFitCounted(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, iters: Int = 3, lr: Double = 1.0,
+      roundDp: Int = 6): (Array[Double], Long) = {
     require(featureCols.nonEmpty, "at least one feature column required")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val d = featureCols.length
@@ -63,6 +71,6 @@ object Classifier {
       val g = data.agg(gradAggs.head, gradAggs.tail: _*).collect()(0)
       for (j <- 0 to d) w(j) = quantize(w(j) - lr * g.getDouble(j))
     }
-    w
+    (w, data.count())
   }
 }

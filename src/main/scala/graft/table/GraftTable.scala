@@ -313,15 +313,35 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val files = writeDataFiles(df, DataType.fromJson(widened.schemaJson).asInstanceOf[StructType], widened.partitionCols)
       // optimistic-concurrency retry, appends only (Iceberg commit.retry):
       // an append's read set is just "the branch head", so on a conflicting
-      // foreign commit the already-written files re-commit against fresh
-      // metadata unchanged. CoW/MoR operations propagate the conflict —
-      // their probe results may be stale, so the CALLER must re-run them.
+      // foreign DATA commit the already-written files re-commit against
+      // fresh metadata unchanged. A foreign SCHEMA/SPEC commit (type
+      // promotion, rename, spec evolution — possible from another process;
+      // withCommitLock only covers this JVM) is different: the staged
+      // files carry the pre-change physical schema/layout, but a re-commit
+      // would stamp them with a post-change dataSeq, so era resolution
+      // would read them under the wrong physical type/name — rewrite them
+      // under the fresh schema before re-committing. CoW/MoR operations
+      // propagate the conflict — their probe results may be stale, so the
+      // CALLER must re-run them.
       var attempt = 0
       var result: GraftSnapshot = null
+      var base = widened
+      var staged = files
       while (result == null) {
         try {
-          val base = if (attempt == 0) widened else maybeWidenSchema(meta, df)
-          result = commitSnapshot(base, files, removed = Seq.empty,
+          if (attempt > 0) {
+            val fresh = maybeWidenSchema(meta, df)
+            if (fresh.schemaJson != base.schemaJson ||
+                fresh.partitionCols != base.partitionCols) {
+              staged.foreach(f =>
+                scala.util.Try(fs.delete(new Path(dataDir, f.path), false)))
+              staged = writeDataFiles(df,
+                DataType.fromJson(fresh.schemaJson).asInstanceOf[StructType],
+                fresh.partitionCols)
+            }
+            base = fresh
+          }
+          result = commitSnapshot(base, staged, removed = Seq.empty,
             operation = "append", branch, extraSummary = extraSummary)
         } catch {
           case e: IllegalStateException

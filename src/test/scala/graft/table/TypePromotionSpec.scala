@@ -136,6 +136,31 @@ class TypePromotionSpec extends SparkTestBase {
     assert(changes.select("n").collect().map(_.getLong(0)).toSeq === Seq(4L))
   }
 
+  test("append retry across a foreign type promotion rewrites its staged files") {
+    import spark.implicits._
+    val loc = tmpDir("prom-race")
+    val t = GraftTable.create(spark, loc, "prom_race", schema)
+    t.append(Seq(("a", 1, 1.0f)).toDF("k", "n", "x"))
+    // inject a foreign promotion (simulating another JVM, invisible to the
+    // per-table lock) between the append's file write and its CAS: the
+    // staged INT32 files would otherwise commit with a post-promotion
+    // dataSeq and become undecodable under the long era
+    var injected = false
+    GraftTable.onBeforeCommit = () => if (!injected) {
+      injected = true
+      GraftTable.load(spark, loc).updateColumnType("n", LongType)
+    }
+    try t.append(Seq(("b", 2, 2.0f)).toDF("k", "n", "x"))
+    finally GraftTable.onBeforeCommit = () => ()
+    assert(injected)
+    val reloaded = GraftTable.load(spark, loc)
+    assert(reloaded.schema("n").dataType === LongType)
+    // decoding both eras proves the raced append's files were rewritten
+    // long (without the rewrite this read throws on INT32 pages)
+    assert(reloaded.toDF.agg(sum("n")).head.getLong(0) === 3L)
+    assert(reloaded.toDF.count() === 2L)
+  }
+
   test("SQL ALTER COLUMN TYPE routes through the catalog; SQL reads span eras") {
     val wh = tmpDir("prom-cat")
     spark.conf.set("spark.sql.catalog.promcat",

@@ -156,7 +156,7 @@ object DriveApp {
       pt.append(Seq(("c", 1L + Int.MaxValue)).toDF("k", "n"))
       println("type-promotion sum=" + pt.toDF.agg(sum(col("n"))).head.getLong(0)
         + " dtype=" + pt.schema("n").dataType.simpleString
-        + " eras=" + pt.toDF.inputFiles.length)
+        + " typeEras=" + pt.meta.typeChanges.size.+(1))
     }
     println("== streaming: watermarked stream-stream interval join")
     locally {
