@@ -320,12 +320,14 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       spark.sql("ALTER TABLE graft.finance.alt UNSET TBLPROPERTIES ('write.wap.enabled')")
       assert(!t.meta.props.contains("write.wap.enabled"))
       // drop/rename are metadata-only commits (SchemaEvolutionSpec covers
-      // the era semantics); retype still needs a rewrite and is rejected
+      // the era semantics); only Iceberg's SAFE promotions are accepted —
+      // a lossy retype (double -> string) is rejected
+      // (TypePromotionSpec covers the allowed set)
       spark.sql("ALTER TABLE graft.finance.alt DROP COLUMN score")
       assert(!spark.table("graft.finance.alt").columns.contains("score"))
       val e = intercept[Exception] {
         spark.sql("ALTER TABLE graft.finance.alt ALTER COLUMN v TYPE STRING") }
-      assert(e.getMessage.contains("rewrite"), e.getMessage)
+      assert(e.getMessage.contains("Unsupported type change"), e.getMessage)
     } finally spark.sql("DROP TABLE graft.finance.alt")
   }
 
