@@ -374,6 +374,15 @@ object SparkEntry {
       Seq((n, w(0), w(1), w(2))).toDF("n_docs", "w0", "w1", "w2")
     }),
 
+    // distributed BPE merge training (Sennrich et al. 2016): ONE corpus
+    // pass builds the word-frequency dictionary; each of the 6 rounds is
+    // a dictionary-keyed pair-count aggregate + distributed top-1 +
+    // per-row literal merge — only the winning pairs touch the driver.
+    // The oracle unrolls the same 6 rounds verbatim
+    "x_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.bpeTrain(T(s, dir, "documents"), "text", merges = 6)
+        .orderBy("step")),
+
     // char-level Shannon entropy quality signal (native one-pass codegen
     // expression — the degenerate-doc filter that kills low-entropy spam):
     // per-language entropy profile over the 27-symbol a..z+space alphabet
@@ -2291,6 +2300,24 @@ object SparkEntry {
                  AND x.neighbor_id = p.neighbor_id)
              GROUP BY 1, 2, p.rel) m) WHERE rn = 1)"""
 
+  /** One unrolled BPE round for the x_bpe_train oracle: the weighted
+    * pair-count argmax over the packed dictionary `wCte` (ties by
+    * freq desc, left, right — the engine's exact order), then the
+    * bracket-literal merge applied via plain replace. */
+  private def bpeRoundSql(wCte: String, mCte: String,
+      outCte: String): String =
+    s"""$mCte AS (
+           SELECT l[i] AS a, l[i + 1] AS b,
+             cast(sum(cnt) AS bigint) AS freq
+           FROM (SELECT string_split(sym[2:len(sym) - 1], ')(') AS l, cnt
+                 FROM $wCte),
+                unnest(generate_series(1, len(l) - 1)) AS t(i)
+           GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1),
+         $outCte AS (
+           SELECT replace(w.sym, '(' || m.a || ')(' || m.b || ')',
+                          '(' || m.a || m.b || ')') AS sym, w.cnt
+           FROM $wCte w CROSS JOIN $mCte m)"""
+
   /** One unrolled full-batch logistic-GD step for the x_logreg_train
     * oracle: gradient averages over the feature CTE `f` at the weights in
     * `wCte`, then the 6dp-quantized weight update — the exact driver-loop
@@ -2958,6 +2985,30 @@ object SparkEntry {
                      AND r_ellipsis AND r_alpha AND r_stopwords
                THEN 1 ELSE 0 END) AS bigint) AS n_pass
          FROM r GROUP BY 1 ORDER BY 1""",
+
+    // the same six BPE rounds unrolled as CTEs over the identical packed
+    // dictionary; exact integer pair counts make the trajectory
+    // engine-independent, "left"/"right" quoted (SQL keywords)
+    "x_bpe_train" ->
+      s"""WITH w0 AS (
+           SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS sym,
+             cast(count(*) AS bigint) AS cnt
+           FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                   '[^a-z]+')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w),
+         ${bpeRoundSql("w0", "m1", "w1")},
+         ${bpeRoundSql("w1", "m2", "w2")},
+         ${bpeRoundSql("w2", "m3", "w3")},
+         ${bpeRoundSql("w3", "m4", "w4")},
+         ${bpeRoundSql("w4", "m5", "w5")},
+         ${bpeRoundSql("w5", "m6", "w6")}
+         SELECT 1 AS step, a AS "left", b AS "right", freq FROM m1
+         UNION ALL SELECT 2, a, b, freq FROM m2
+         UNION ALL SELECT 3, a, b, freq FROM m3
+         UNION ALL SELECT 4, a, b, freq FROM m4
+         UNION ALL SELECT 5, a, b, freq FROM m5
+         UNION ALL SELECT 6, a, b, freq FROM m6
+         ORDER BY step""",
 
     // the same three full-batch logistic-GD steps unrolled as CTE rounds:
     // identical features, identical (w0 + wa·x1) + wb·x2 fold order,
