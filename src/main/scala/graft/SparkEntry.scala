@@ -383,6 +383,23 @@ object SparkEntry {
       graft.ops.Bpe.bpeTrain(T(s, dir, "documents"), "text", merges = 6)
         .orderBy("step")),
 
+    // BPE encode with the 6 learned merges: per-language word and token
+    // totals. The merge chain runs over the distinct-word dictionary
+    // only; per-doc counts are a (doc, word) aggregate joined word-keyed
+    "x_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val m = graft.ops.Bpe.bpeTrain(docs, "text", merges = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.encodeTokenCounts(docs, "doc_id", "text", m)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_tokens")).as("bpe_tokens"))
+        .orderBy("lang")
+    }),
+
     // char-level Shannon entropy quality signal (native one-pass codegen
     // expression — the degenerate-doc filter that kills low-entropy spam):
     // per-language entropy profile over the 27-symbol a..z+space alphabet
@@ -2304,8 +2321,9 @@ object SparkEntry {
     * pair-count argmax over the packed dictionary `wCte` (ties by
     * freq desc, left, right — the engine's exact order), then the
     * bracket-literal merge applied via plain replace. */
-  private def bpeRoundSql(wCte: String, mCte: String,
-      outCte: String): String =
+  private def bpeRoundSql(wCte: String, mCte: String, outCte: String,
+      carryWord: Boolean = false): String = {
+    val wc = if (carryWord) "w.w, " else ""
     s"""$mCte AS (
            SELECT l[i] AS a, l[i + 1] AS b,
              cast(sum(cnt) AS bigint) AS freq
@@ -2314,9 +2332,10 @@ object SparkEntry {
                 unnest(generate_series(1, len(l) - 1)) AS t(i)
            GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1),
          $outCte AS (
-           SELECT replace(w.sym, '(' || m.a || ')(' || m.b || ')',
+           SELECT ${wc}replace(w.sym, '(' || m.a || ')(' || m.b || ')',
                           '(' || m.a || m.b || ')') AS sym, w.cnt
            FROM $wCte w CROSS JOIN $mCte m)"""
+  }
 
   /** One unrolled full-batch logistic-GD step for the x_logreg_train
     * oracle: gradient averages over the feature CTE `f` at the weights in
@@ -3009,6 +3028,40 @@ object SparkEntry {
          UNION ALL SELECT 5, a, b, freq FROM m5
          UNION ALL SELECT 6, a, b, freq FROM m6
          ORDER BY step""",
+
+    // the same 6 rounds carrying the word key, then the per-word token
+    // counts join back onto per-(doc, word) occurrences
+    "x_bpe_encode" ->
+      s"""WITH w0 AS (
+           SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS sym,
+             cast(count(*) AS bigint) AS cnt
+           FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                   '[^a-z]+')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w),
+         ${bpeRoundSql("w0", "m1", "w1", carryWord = true)},
+         ${bpeRoundSql("w1", "m2", "w2", carryWord = true)},
+         ${bpeRoundSql("w2", "m3", "w3", carryWord = true)},
+         ${bpeRoundSql("w3", "m4", "w4", carryWord = true)},
+         ${bpeRoundSql("w4", "m5", "w5", carryWord = true)},
+         ${bpeRoundSql("w5", "m6", "w6", carryWord = true)},
+         tok AS (SELECT w,
+             cast(len(string_split(sym[2:len(sym) - 1], ')(')) AS bigint)
+               AS w_tokens
+           FROM w6),
+         occ AS (
+           SELECT doc_id, lang, w, cast(count(*) AS bigint) AS occ
+           FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2, 3),
+         per AS (
+           SELECT o.doc_id, o.lang, sum(o.occ) AS n_words,
+             sum(o.occ * t.w_tokens) AS n_tokens
+           FROM occ o JOIN tok t USING (w) GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs,
+           cast(sum(n_words) AS bigint) AS words,
+           cast(sum(n_tokens) AS bigint) AS bpe_tokens
+         FROM per GROUP BY 1 ORDER BY 1""",
 
     // the same three full-batch logistic-GD steps unrolled as CTE rounds:
     // identical features, identical (w0 + wa·x1) + wb·x2 fold order,

@@ -89,4 +89,38 @@ object Bpe {
     }
     out.result().toDF("step", "left", "right", "freq")
   }
+
+  /**
+   * Apply an ordered merge list and return per-document BPE token counts:
+   * (`idCol`, `n_words`, `n_tokens`). Documents with no [a-z]+ word drop
+   * out (nothing to tokenize).
+   *
+   * Scale shape: the merge chain runs over the DISTINCT-word dictionary
+   * (K narrow per-row replaces, no shuffle), never the corpus; per-doc
+   * counts come from one (doc, word)-keyed aggregate joined word-keyed
+   * against the dictionary's token counts — the join strategy is left to
+   * AQE (broadcast for pipeline-sized vocabularies, shuffle join at
+   * web-corpus vocab sizes).
+   */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val occ = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__occ"))
+    val packed = merges.foldLeft(
+      occ.select(col("w")).distinct()
+        .withColumn("sym", regexp_replace(col("w"), "(.)", "($1)"))) {
+      case (d, (a, b)) =>
+        d.withColumn("sym", replace(col("sym"),
+          lit(s"($a)($b)"), lit(s"($a$b)")))
+    }
+    val toks = packed.select(col("w"),
+      size(split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\("))
+        .cast("long").as("__wtok"))
+    occ.join(toks, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_words"),
+        sum(col("__occ") * col("__wtok")).as("n_tokens"))
+  }
 }

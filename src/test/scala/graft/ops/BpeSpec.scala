@@ -93,6 +93,21 @@ class BpeSpec extends SparkTestBase {
     assert(got === refBpe(words, 8))
   }
 
+  test("encodeTokenCounts applies merges in order; counts match by hand") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab banana"), (2L, "ab ab aaab"), (3L, "..!!.."))
+      .toDF("doc_id", "text")
+    // merges learned on the hand-traced corpus: aa, then ab
+    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text",
+        Seq(("a", "a"), ("a", "b")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // aaab → [aa, ab] (2 tokens); banana → 6; ab → [ab] (1)
+    assert(got.toSeq === Seq((1L, 2L, 8L), (2L, 3L, 4L)))
+    // doc 3 has no [a-z] words and drops out entirely
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("early exhaustion: single-letter corpus stops after zero merges") {
     import spark.implicits._
     val docs = Seq("a a a b b").toDF("text")
