@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed graph centrality — PageRank (Brin & Page 1998; the damped
@@ -25,7 +24,7 @@ import org.apache.spark.storage.StorageLevel
  * anti join; node count) that ride broadcast cross joins — no
  * driver-side rank state ever, so billion-node graphs only shuffle
  * (node, flag, double) tuples. Per-iteration results persist at the RDD
- * level to truncate the exponential re-computation a multi-consumer lazy
+ * level (localCheckpoint) to truncate the exponential re-computation a multi-consumer lazy
  * lineage would otherwise pay (ContextCleaner reclaims the caches once
  * the result's references drop, the same pattern as Skyline/Dedup).
  */
@@ -42,10 +41,7 @@ object Graph {
       s"damping must be in (0,1), got $damping")
     val spark = edges.sparkSession
 
-    def pin(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      spark.createDataFrame(rdd, df.schema)
-    }
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
 
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edges
