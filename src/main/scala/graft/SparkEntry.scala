@@ -1781,6 +1781,17 @@ object SparkEntry {
           sumCents(col("o_amount")).as("amount_cents"))
         .orderBy("o_orderstatus")),
 
+    // add_files onboarding: the raw orders parquet adopted by reference
+    // (zero-copy hard link, footer stats, one append snapshot) — the
+    // versioned read must equal the raw file it references
+    "t_add_files" -> ((s, dir) =>
+      TableFixtures.ordersImported(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("cust_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // ALTER COLUMN TYPE schema evolution: o_custkey written as INT32 in
     // the first era, promoted to BIGINT (metadata only), long eras after —
     // the read scans each era under its physical type and upcasts, so the
@@ -4214,6 +4225,13 @@ object SparkEntry {
     "t_rename_drop" ->
       s"""SELECT o_orderstatus, count(*) AS n,
          ${centsSql("o_totalprice")} AS amount_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the adopted file IS raw orders — recompute over it directly
+    "t_add_files" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         cast(sum(o_custkey) AS bigint) AS cust_sum,
+         ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     // recompute over raw orders: int→long promotion is lossless, so the

@@ -397,6 +397,22 @@ object TableFixtures {
     })
 
   /**
+   * `add_files` onboarding fixture: an empty unpartitioned table adopts
+   * the raw driver-provided orders parquet by reference (hard link or
+   * copy, zero rewrite) — the read must equal the raw file exactly.
+   */
+  def ordersImported(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_imported", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_imported"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_imported",
+        orders.schema)
+      t.addFiles(s"$sfDir/orders.parquet")
+      t
+    })
+
+  /**
    * Type-promotion fixture (`ALTER COLUMN … TYPE`): batch 1 written with
    * o_custkey declared INT (values fit — the testdata keys are small),
    * then the column promotes to BIGINT (metadata only, no rewrite),

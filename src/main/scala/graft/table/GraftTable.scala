@@ -1666,6 +1666,104 @@ class GraftTable(val spark: SparkSession, val location: String) {
     ()
   }
 
+  /**
+   * `CALL system.add_files(table, source_dir)` — Iceberg's data-lake
+   * onboarding procedure: commit EXISTING parquet files into the table as
+   * one append snapshot without rewriting their bytes. Files hard-link
+   * into `data/` (zero-copy on a local/same filesystem; falls back to a
+   * byte copy when the link primitive is unavailable), footers supply
+   * record counts + pruning stats, and compatibility is validated before
+   * anything moves: every declared data column must exist in the source
+   * with the IDENTICAL type (referenced files cannot be cast — that is
+   * what a rewriting append is for), identity-partitioned tables require
+   * the same hive `k=v` layout in the source paths, and a source file
+   * physically containing a partition column is rejected (our layout
+   * derives those from directories; silently shadowing file bytes with
+   * dir values would corrupt reads). Transform specs need a rewrite.
+   */
+  def addFiles(sourceDir: String): GraftSnapshot = withCommitLock {
+    val m = meta
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(PartitionSpec.parse(m.partitionCols).forall(_.isIdentity),
+      "add_files supports identity partition specs only; transform " +
+        "layouts derive directory values the source cannot carry — " +
+        "import through a rewriting append instead")
+    val srcQ = fs.makeQualified(new Path(sourceDir))
+    require(fs.exists(srcQ), s"add_files: no such directory $sourceDir")
+    // unified (files + hive dirs) schema, footer-only driver read
+    val srcSchema = spark.read.parquet(sourceDir).schema
+    schema.fields.filterNot(f => m.partitionCols.contains(f.name))
+      .foreach { f =>
+        val sf = srcSchema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"add_files: source lacks column ${f.name}"))
+        require(sf.dataType == f.dataType,
+          s"add_files: column ${f.name} is ${sf.dataType.simpleString} in " +
+            s"the source but ${f.dataType.simpleString} on ${m.name} — " +
+            "referenced files cannot be cast")
+      }
+    m.partitionCols.foreach(p =>
+      require(srcSchema.fieldNames.contains(p),
+        s"add_files: partitioned table needs hive-style $p=... source dirs"))
+
+    val commitId = UUID.randomUUID().toString.take(8)
+    val out = ArrayBuffer.empty[DataFile]
+    val it = fs.listFiles(srcQ, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rel = srcQ.toUri.relativize(st.getPath.toUri).getPath
+        val partSegs = rel.split("/").toSeq.dropRight(1)
+          .filter(_.contains("="))
+        val pv = partSegs.flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> ExternalCatalogUtils.unescapePathName(v))
+          case _ => None
+        }).toMap
+        require(pv.keySet == m.partitionCols.toSet,
+          s"add_files: $rel carries partition dirs ${pv.keySet.mkString(",")} " +
+            s"but ${m.name} is partitioned by ${m.partitionCols.mkString(",")}")
+        val (records, stats, physCols) = {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            (r.getRecordCount, footerColumnStats(r, schema),
+              r.getFooter.getFileMetaData.getSchema.getFields.asScala
+                .map(_.getName).toSet)
+          } finally r.close()
+        }
+        m.partitionCols.foreach(p => require(!physCols.contains(p),
+          s"add_files: $rel physically stores partition column $p; the " +
+            "table derives it from the directory — import via a " +
+            "rewriting append instead"))
+        val relTarget = (partSegs :+ s"$commitId-${st.getPath.getName}")
+          .mkString("/")
+        val target = new Path(dataDir, relTarget)
+        fs.mkdirs(target.getParent)
+        def local(p: Path): Option[java.nio.file.Path] = {
+          val u = fs.makeQualified(p).toUri
+          if (u.getScheme == null || u.getScheme == "file")
+            Some(java.nio.file.Paths.get(u.getPath))
+          else None
+        }
+        val linked = (local(target), local(st.getPath)) match {
+          case (Some(dst), Some(srcP)) => scala.util.Try {
+            java.nio.file.Files.createLink(dst, srcP); true
+          }.getOrElse(false)
+          case _ => false
+        }
+        if (!linked)
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, target,
+            false, conf)
+        out += DataFile(relTarget, pv, records,
+          fs.getFileStatus(target).getLen, stats)
+      }
+    }
+    require(out.nonEmpty, s"add_files: no parquet files under $sourceDir")
+    commitSnapshot(m, out.toSeq, removed = Seq.empty, operation = "append",
+      branch = None,
+      extraSummary = Map("add-files-source" -> sourceDir))
+  }
+
   /** `rewrite_manifests` (reference IcebergLoadActivityTask.scala:160,
     * SURVEY.md §2.5 P3). Three jobs: (a) COMPACT long manifest chains —
     * every amortized append adds one manifest to its snapshot's list, so a

@@ -32,13 +32,15 @@ import graft.table.GraftTable
  */
 private[catalog] object GraftProcedures {
 
-  val names: Seq[String] = Seq("fast_forward", "remove_orphan_files",
+  val names: Seq[String] = Seq("add_files", "fast_forward",
+    "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
     "rollback_to_snapshot", "set_partition_spec", "create_changelog_view",
     "cherrypick_snapshot")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
+      case "add_files"           => Some(new AddFiles(catalog))
       case "fast_forward"        => Some(new FastForward(catalog))
       case "remove_orphan_files" => Some(new RemoveOrphanFiles(catalog))
       case "rewrite_data_files"  => Some(new RewriteDataFiles(catalog))
@@ -130,6 +132,27 @@ private[catalog] object GraftProcedures {
         if (input.isNullAt(2)) t.removeOrphanFiles(dryRun)
         else t.removeOrphanFiles(dryRun, olderThanMs = input.getLong(2) / 1000L)
       result(out, orphans.map(p => new GenericInternalRow(Array[Any](str(p)))))
+    }
+  }
+
+  /** `add_files(table, source_dir)` — Iceberg's data-lake onboarding
+    * procedure: reference existing parquet files as one append snapshot
+    * (hard-linked, zero byte copy; see [[GraftTable.addFiles]] for the
+    * compatibility contract). Returns added file/record counts. */
+  private class AddFiles(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "add_files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("source_dir", StringType))
+    private val out = StructType(Seq(
+      StructField("added_files_count", IntegerType, nullable = false),
+      StructField("added_records_count", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val snap = t.addFiles(input.getUTF8String(1).toString)
+      result(out, Seq(new GenericInternalRow(Array[Any](
+        snap.addedFiles.size,
+        snap.summary.get("added-records").map(_.toLong).getOrElse(0L)))))
     }
   }
 

@@ -158,6 +158,21 @@ object DriveApp {
         + " dtype=" + pt.schema("n").dataType.simpleString
         + " typeEras=" + pt.meta.typeChanges.size.+(1))
     }
+    println("== add_files: zero-copy onboarding of existing parquet")
+    locally {
+      import spark.implicits._
+      val srcDir = loc + "-afsrc"
+      (1L to 20L).map(i => (s"k$i", i)).toDF("k", "n")
+        .coalesce(2).write.mode("overwrite").parquet(srcDir)
+      val at = graft.table.GraftTable.create(spark, loc + "-aft", "af",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
+      val snap = at.addFiles(srcDir)
+      println("add-files files=" + snap.addedFiles.size
+        + " sum=" + at.toDF.agg(sum(col("n"))).head.getLong(0)
+        + " op=" + snap.operation)
+    }
     println("== streaming: watermarked stream-stream interval join")
     locally {
       import spark.implicits._
