@@ -34,10 +34,38 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column = GraftFunctions.vec_cosine(a, b)
 
   /**
+   * Salted two-phase per-query top-k over a scored candidate set. A
+   * single `Window.partitionBy(query_id)` funnels the ENTIRE scored set
+   * (|corpus| × |queries| rows) into `|queries|` tasks — with a handful
+   * of queries against a 100 TB corpus that is a single-task-class
+   * bottleneck. Phase 1 takes the top-k within (query, salt-of-candidate)
+   * — `salts`× the parallelism, each group provably containing any global
+   * top-k member — and phase 2 ranks only the ≤ salts·k survivors per
+   * query. Ties order identically in both phases, so the result is
+   * bit-equal to the single-window plan.
+   */
+  private def saltedTopK(scored: DataFrame, k: Int, orderCols: Seq[Column],
+      salts: Int = 64): DataFrame = {
+    val local = Window
+      .partitionBy(col("query_id"),
+        pmod(hash(col("neighbor_id")), lit(salts)))
+      .orderBy(orderCols: _*)
+    val global = Window.partitionBy(col("query_id")).orderBy(orderCols: _*)
+    scored
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("__lr")
+  }
+
+  /**
    * Exact brute-force cosine top-k: for each query vector, the k nearest
    * corpus vectors (self-match excluded). `queries` should be small — it is
    * broadcast so the corpus is scanned exactly once with no shuffle on the
-   * big side.
+   * big side; the per-query cut is the salted two-phase top-k
+   * ([[saltedTopK]]), so a small query workload never serializes the
+   * scored set through a handful of window tasks.
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -47,11 +75,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFast(col("__qv"), col("__cv")).as("__sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    saltedTopK(scored, k, Seq(col("__sim").desc, col("neighbor_id").asc))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("__sim"), 4).as("cosine_sim"))
   }
@@ -60,7 +84,8 @@ object Similarity {
    * Exact brute-force EUCLIDEAN top-k — [[bruteForceTopK]] with the L2
    * metric (nearest = smallest distance): the right metric when embedding
    * magnitude carries signal (cosine ignores it). Same scale shape —
-   * broadcast queries, one corpus scan, no shuffle on the big side.
+   * broadcast queries, one corpus scan, no shuffle on the big side,
+   * salted two-phase per-query cut.
    */
   def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -70,11 +95,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         GraftFunctions.vec_l2(col("__qv"), col("__cv")).as("__dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__dist").asc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    saltedTopK(scored, k, Seq(col("__dist").asc, col("neighbor_id").asc))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("__dist"), 4).as("l2_dist"))
   }
@@ -718,10 +739,8 @@ object Similarity {
       // zero-magnitude vectors cosine to NaN — excluded, or the greedy
       // argmax below would have no total order to pick from
       .filter(!isnan(col("__rel")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__rel").desc, col("neighbor_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= poolSize)
+    saltedTopK(scored, poolSize,
+        Seq(col("__rel").desc, col("neighbor_id").asc))
       .select(col("query_id"), col("neighbor_id"), col("__rel"), col("__cv"))
       .as[(Long, Long, Double, Seq[Double])]
       .groupByKey(_._1)

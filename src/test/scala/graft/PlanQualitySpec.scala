@@ -605,11 +605,15 @@ class PlanQualitySpec extends SparkTestBase {
     // greedy rerank runs per query inside a task over ≤poolSize rows
     assert(plan.contains("MapGroups"),
       s"rerank must be the in-task greedy pass:\n$plan")
-    // only the window cut and the per-query regroup repartition — the
-    // O(pool²·d) work never adds exchanges proportional to corpus size
+    // the salted two-phase pool cut (salt window + per-query window) and
+    // the per-query regroup — the O(pool²·d) work never adds exchanges
+    // proportional to corpus size, and no window ever funnels the full
+    // scored set into |queries| tasks
     val exchanges = "Exchange hashpartitioning".r
       .findAllIn(plan).length
-    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges:\n$plan")
+    assert(exchanges <= 3, s"expected ≤3 hash exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("pmod(hash(neighbor_id"),
+      s"pool cut must be the salted two-phase top-k:\n$plan")
   }
 
   test("metadataDF: _file/_pos ride the scan; only the partition lookup joins, by broadcast") {
