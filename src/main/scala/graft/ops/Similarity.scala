@@ -164,12 +164,9 @@ object Similarity {
     val cands = candIds
       .join(broadcast(q), Seq("query_id"))
       .join(c, Seq("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("neighbor_id").asc)
-    cands
-      .select(col("query_id"), col("neighbor_id"), cosineFast(col("__qv"), col("__cv")).as("__sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      cosineFast(col("__qv"), col("__cv")).as("__sim"))
+    saltedTopK(scored, k, Seq(col("__sim").desc, col("neighbor_id").asc))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("__sim"), 4).as("cosine_sim"))
   }
@@ -285,13 +282,11 @@ object Similarity {
           .collect().map(_.get(0)).toSeq
         assigned0.filter(col("__cell").isin(cells: _*))
       }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("__cell"))
+    val scored = probed.join(assigned, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosineFast(col("__qv"), col("__cv")).as("__sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("__qv"), col("__cv")).as("__sim"))
+    saltedTopK(scored, k, Seq(col("__sim").desc, col("neighbor_id").asc))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("__sim"), 4).as("cosine_sim"))
   }
@@ -330,9 +325,7 @@ object Similarity {
       index.assigned.select(col("neighbor_id"), col("__cell"), col("__cv")),
       "neighbor_id", "__cv")
       .select(col("neighbor_id"), col("__cell"), col("qvec").as("__cq"))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("__asim").desc, col("neighbor_id").asc)
-    val shortlist = qQuant.join(cQuant, Seq("__cell"))
+    val approxScored = qQuant.join(cQuant, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("__qv"), col("neighbor_id"),
         // int arrays cast for the native expression; the 4x shuffle saving
@@ -340,8 +333,8 @@ object Similarity {
         // runs in double either way
         cosineFast(col("__qq").cast("array<double>"),
           col("__cq").cast("array<double>")).as("__asim"))
-      .withColumn("__ar", row_number().over(wApprox))
-      .filter(col("__ar") <= rescore)
+    val shortlist = saltedTopK(approxScored, rescore,
+        Seq(col("__asim").desc, col("neighbor_id").asc))
       .select("query_id", "__qv", "neighbor_id")
     // exact rescore: fetch full-precision vectors by id (id-keyed join)
     val full = index.assigned.select(col("neighbor_id"), col("__cv"))
