@@ -591,11 +591,21 @@ object TextAnalysis {
           .as("__contrib"))
     val scored = contrib.groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryIdCol))
-      .orderBy(round(col("score"), 6).desc, col(idCol).asc)
+    // salted two-phase top-k (the Similarity.saltedTopK shape): a single
+    // per-query window would funnel every scored posting of a small query
+    // workload through a handful of tasks; phase 1 cuts within
+    // (query, salt-of-doc) at 64x the parallelism, phase 2 ranks only the
+    // <= 64k survivors — identical tie order, bit-equal result
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(round(col("score"), 6).desc, col(idCol).asc)
+    val local = Window
+      .partitionBy(col(queryIdCol), pmod(hash(col(idCol)), lit(64)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col(queryIdCol)).orderBy(order: _*)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
   }
