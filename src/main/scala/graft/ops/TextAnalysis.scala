@@ -483,12 +483,20 @@ object TextAnalysis {
     val docFreq = toks.select(col(idCol), col("__tok")).distinct()
       .groupBy(col("__tok")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n_docs"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__score").desc, col("__tok").asc)
+    // salted two-phase per-group cut: |groups| is small (languages,
+    // sources) while a group's vocabulary is web-scale — a plain
+    // per-group window would rank one group's whole vocab in one task
+    val order = Seq(col("__score").desc, col("__tok").asc)
+    val local = Window
+      .partitionBy(col(groupCol), pmod(hash(col("__tok")), lit(64)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     tf.join(docFreq, "__tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("__score", col("tf") * log(col("__n_docs") / col("doc_freq")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
       .select(col(groupCol), col("rank"), col("__tok").as("term"),
         col("tf"), col("doc_freq"), round(col("__score"), 4).as("tfidf"))

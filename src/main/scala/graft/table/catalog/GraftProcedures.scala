@@ -32,7 +32,7 @@ import graft.table.GraftTable
  */
 private[catalog] object GraftProcedures {
 
-  val names: Seq[String] = Seq("add_files", "fast_forward",
+  val names: Seq[String] = Seq("add_files", "ancestors_of", "fast_forward",
     "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
     "rollback_to_snapshot", "set_partition_spec", "create_changelog_view",
@@ -41,6 +41,7 @@ private[catalog] object GraftProcedures {
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "add_files"           => Some(new AddFiles(catalog))
+      case "ancestors_of"        => Some(new AncestorsOf(catalog))
       case "fast_forward"        => Some(new FastForward(catalog))
       case "remove_orphan_files" => Some(new RemoveOrphanFiles(catalog))
       case "rewrite_data_files"  => Some(new RewriteDataFiles(catalog))
@@ -153,6 +154,32 @@ private[catalog] object GraftProcedures {
       result(out, Seq(new GenericInternalRow(Array[Any](
         snap.addedFiles.size,
         snap.summary.get("added-records").map(_.toLong).getOrElse(0L)))))
+    }
+  }
+
+  /** `ancestors_of(table, snapshot_id => NULL)` — Iceberg's lineage
+    * procedure: the ancestry chain of the given snapshot (default: the
+    * current main head), newest first. */
+  private class AncestorsOf(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "ancestors_of") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("snapshot_id", LongType, "NULL"))
+    private val out = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val m = t.meta
+      val head =
+        if (input.isNullAt(1)) m.currentSnapshotId.getOrElse(
+          throw new IllegalArgumentException(
+            s"ancestors_of: ${m.name} has no current snapshot"))
+        else input.getLong(1)
+      require(m.snapshot(head).isDefined,
+        s"ancestors_of: unknown snapshot $head on ${m.name}")
+      result(out, m.ancestry(head).flatMap(m.snapshot).map(s =>
+        new GenericInternalRow(Array[Any](s.id, s.timestampMs))))
     }
   }
 

@@ -250,6 +250,23 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       assert(ff.head.getString(0) === "main_pin")
       assert(t.meta.refs("main_pin") === t.meta.refs("feature2"))
 
+      // ancestors_of: the current head's RETAINED lineage, newest first
+      // (an expired parent id dangles in ancestry() but has no snapshot
+      // row to report — Iceberg's procedure likewise lists only ancestors
+      // that still exist in the metadata)
+      val anc = spark.sql(
+        "CALL graft.system.ancestors_of(table => 'finance.proc')").collect()
+      val headId = t.meta.currentSnapshotId.get
+      assert(anc.head.getLong(0) === headId)
+      assert(anc.map(_.getLong(0)).toSeq ===
+        t.meta.ancestry(headId).filter(id => t.meta.snapshot(id).isDefined))
+      // explicit snapshot_id: lineage of an older snapshot
+      val mid = anc.last.getLong(0)
+      val anc2 = spark.sql(
+        s"CALL graft.system.ancestors_of(table => 'finance.proc', snapshot_id => $mid)").collect()
+      assert(anc2.map(_.getLong(0)).toSeq ===
+        t.meta.ancestry(mid).filter(id => t.meta.snapshot(id).isDefined))
+
       // cherrypick_snapshot: publish a branch-staged append after main moved
       t.createOrReplaceBranch("stage3")
       val staged = t.append(
