@@ -1052,6 +1052,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // hard-negative mining (DPR-style contrastive training data): per
+    // query the top-3 most similar corpus vectors EXCLUDING its known
+    // positive — the anti join runs before the salted top-k cut, so
+    // every returned row is a true negative at full rank depth
+    "s_hard_negatives" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val pos = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          (col("vec_id") + 1).as("positive_id"))
+      Similarity.hardNegatives(e.filter(col("vec_id") < 5), e, pos, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // MMR diversified retrieval (Carbonell & Goldstein 1998): top-12
     // relevance pool per query off ONE corpus scan, then the greedy
     // λ·rel − (1−λ)·maxsim rerank per query inside a single task —
@@ -3542,6 +3555,30 @@ object SparkEntry {
     // three chained Lloyd rounds with the same 4dp-quantized centroid sync
     // the engine loop performs between iterations
     "s_kmeans_train" -> kmeansTrainSql(iters = 3, k = 8),
+
+    // the same scored pass minus the (query, positive) pairs, then the
+    // per-query top-3 — exclusion BEFORE the rank cut, like the engine
+    "s_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                 FROM embeddings),
+           pos AS (SELECT vec_id AS pq, vec_id + 1 AS pp
+                   FROM embeddings WHERE vec_id < 5),
+           scored AS (
+             SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+             FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+           neg AS (
+             SELECT s.* FROM scored s
+             WHERE NOT EXISTS (SELECT 1 FROM pos
+               WHERE pos.pq = s.query_id AND pos.pp = s.neighbor_id)),
+           ranked AS (
+             SELECT query_id, neighbor_id, sim,
+               cast(row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS integer) AS rank
+             FROM neg)
+         SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
+         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // the same top-12 relevance pool, then all four greedy MMR rounds
     // unrolled as CTEs — each round the (0.7·rel − 0.3·maxsim, id) argmax

@@ -349,6 +349,42 @@ object Similarity {
         round(col("__sim"), 4).as("cosine_sim"))
   }
 
+  /**
+   * Hard-negative mining for contrastive training (the in-batch-negatives
+   * upgrade every dense-retriever pipeline runs — e.g. DPR, Karpukhin et
+   * al. 2020; public literature): for each query, the top-k most similar
+   * corpus items that are NOT its known positives — maximally confusing
+   * negatives. `positives` is a (query id, positive id) relation; known
+   * pairs are excluded BEFORE the cut, so every returned row is a true
+   * negative at full rank depth.
+   *
+   * Scale shape: one corpus scan against broadcast queries (the
+   * bruteForceTopK economics; swap [[ivfSearch]] candidates in at ANN
+   * scale), an anti join against the positives keyed on
+   * (query, candidate) — strategy left to AQE: broadcast for
+   * pipeline-sized pair sets, shuffle join when positives are
+   * dataset-sized — then the salted two-phase top-k.
+   */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      positives: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      posQueryCol: String = "query_id", posIdCol: String = "positive_id")
+      : DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val pos = positives.select(col(posQueryCol).as("__pq"),
+      col(posIdCol).as("__pp"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("__qv"), col("__cv")).as("__sim"))
+      .join(pos, col("query_id") === col("__pq") &&
+        col("neighbor_id") === col("__pp"), "left_anti")
+    saltedTopK(scored, k, Seq(col("__sim").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup detection),
     * brute force over a small/sampled input. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

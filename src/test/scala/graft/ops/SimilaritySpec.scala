@@ -335,6 +335,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(!got.exists(_._2 == 200L), "hub must be margin-suppressed")
   }
 
+  test("hardNegatives excludes positives before the rank cut") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // the known positive: most similar, excluded
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.8f, 0.2f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pos = Seq((100L, 0L)).toDF("query_id", "positive_id")
+    val got = Similarity.hardNegatives(q, corpus, pos, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    // the positive (id 0) never appears, even though it ranks first by
+    // similarity — exclusion happens before the cut, so rank 1-2 are the
+    // two hardest true negatives
+    assert(got.toSeq === Seq((1, 1L), (2, 2L)))
+  }
+
   test("mmrSelect defers an exact duplicate of the top hit when λ < 0.5") {
     import spark.implicits._
     val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
