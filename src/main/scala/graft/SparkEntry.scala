@@ -1607,6 +1607,23 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // manifest-bloom file skipping: the fixture interleaves o_orderkey mod 4
+    // across four files, so every file's [min,max] contains every key and
+    // footer stats prune NOTHING — any inputFiles count below the file
+    // total is bloom-driven. The own-bound column (q12 pattern) makes the
+    // pruning itself hash-comparable: bloom_pruned is computed from the
+    // actual pruned scan and the oracle asserts it true.
+    "t_bloom_skip" -> ((s, dir) => {
+      val t = TableFixtures.ordersBloomed(s, dir)
+      val probe = t.toDF.agg(min(col("o_orderkey"))).head.getLong(0)
+      val total = t.meta.currentSnapshot.get.files.size
+      val hit = t.scanWhere(col("o_orderkey") === probe)
+      val prunedFlag = hit.inputFiles.length < total
+      hit.groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .agg(sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("bloom_pruned", lit(prunedFlag))
+    }),
+
     // M1-M5: metadata introspection — snapshot operations on the log
     "t_metadata" -> ((s, dir) => {
       val t = TableFixtures.ordersVersioned(s, dir)
@@ -4475,6 +4492,14 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
          GROUP BY 1 ORDER BY 1""",
+
+    // the matched row must be the min-key order; bloom_pruned is the
+    // Spark-side own-bound (inputFiles < total files) asserted true here
+    "t_bloom_skip" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         ${centsSql("o_totalprice")} AS total_cents, true AS bloom_pruned
+         FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+         GROUP BY 1, 2, 3""",
 
     // the fixture lands ALL of orders (two complementary mod-classes of
     // appends), MoR-deletes the %10=3 band, then binpacks — state must be

@@ -68,6 +68,46 @@ object Bloom {
       bridge.expression(xxhash64(key))))
 
   /**
+   * One Bloom filter PER GROUP per key column — the per-file manifest-stats
+   * builder behind `write.metadata.bloom-filter.column.X` (GraftTable).
+   * A single map-side-combining aggregate job: rows hash with `xxhash64`
+   * (seed 42, Spark's SQL function) and OR into the group's bitset, so the
+   * output is `groupCol` plus one nullable binary column per key (null when
+   * the group had only null keys). The serialized form round-trips through
+   * [[probeSerialized]] on the driver.
+   */
+  def buildGroupedFilters(df: DataFrame, groupCol: Column,
+      keys: Seq[(String, Column)], expectedItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    require(keys.nonEmpty, "buildGroupedFilters needs at least one key column")
+    val bits = optimalNumBits(expectedItems, fpp)
+    val aggs = keys.map { case (name, key) =>
+      bridge.column(new BloomFilterAggregate(
+        bridge.expression(xxhash64(key)),
+        Literal(expectedItems), Literal(bits)).toAggregateExpression())
+        .as(name)
+    }
+    df.groupBy(groupCol.as("__group"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Driver-side `xxhash64(string)` — bit-identical to the SQL function the
+    * build side hashes with (seed 42 over UTF-8 bytes), so a driver probe
+    * against a task-built filter is sound. */
+  def hashString(v: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+
+  /** Driver-side membership probe on a serialized filter: false ⇒ the value
+    * was definitely never inserted; true ⇒ maybe (fpp-bounded). */
+  def probeSerialized(filterBytes: Array[Byte], hash: Long): Boolean =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(filterBytes))
+      .mightContainLong(hash)
+
+  /**
    * Exact `left LEFT ANTI JOIN right ON left(leftKey) = right(rightKey)`
    * with a Bloom bypass: definitely-absent left rows skip the join, only
    * `mightContain` candidates are joined (removing false positives).

@@ -41,6 +41,33 @@ object TableFixtures {
     spark.read.parquet(s"$sfDir/$t.parquet")
 
   /**
+   * Manifest-bloom fixture: unpartitioned, o_orderkey interleaved mod 4
+   * across four single-file appends, so every file's [min, max] straddles
+   * every probe key and footer min/max stats can never skip a file — only
+   * the per-file manifest bloom (`write.metadata.bloom-filter.column.
+   * o_orderkey`) lets a point lookup prune. The scale story this fixture
+   * pins: on a 100 TB table whose lookup key is high-cardinality and
+   * unsorted, range stats are useless and a point query degenerates to a
+   * full file listing; per-file blooms bound it to O(matching files).
+   */
+  def ordersBloomed(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_bloomed", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_bloomed"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_bloomed",
+        orders.schema,
+        props = Map(
+          "write.metadata.bloom-filter.column.o_orderkey" -> "true",
+          "write.metadata.bloom-filter.expected-items" -> "65536",
+          "write.metadata.bloom-filter.fpp" -> "0.01"))
+      (0 until 4).foreach { i =>
+        t.append(orders.filter(col("o_orderkey") % 4 === i).coalesce(1))
+      }
+      t
+    })
+
+  /**
    * `orders` loaded as three deterministic batches (o_orderkey % 3 == 0/1/2)
    * with a branch pinned after each append: v1, v2, v3.
    * State at vN == orders where o_orderkey % 3 < N.

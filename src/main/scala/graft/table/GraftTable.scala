@@ -1957,10 +1957,48 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // move staged leaves into data/, collecting partition values + stats
     val out = ArrayBuffer.empty[DataFile]
     val stagingQ = fs.makeQualified(staging)
+    val staged = ArrayBuffer.empty[FileStatus]
     val it = fs.listFiles(staging, true)
     while (it.hasNext) {
       val st: FileStatus = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) staged += st
+    }
+    // Manifest-level Bloom filters (write.metadata.bloom-filter.column.X):
+    // one grouped aggregate job over the STAGED commit (column-pruned to
+    // the configured columns, never a table re-read) builds a per-file
+    // bitset that scanWhere consults for equality predicates — the
+    // point-lookup complement of footer min/max, which prunes nothing on
+    // high-cardinality unsorted columns. On a real cluster the write tasks
+    // would fold the bitset inline; one extra narrow scan of the fresh
+    // commit is the local-mode equivalent and stays O(commit), not
+    // O(table). Values hash through their stat-string rendering
+    // (cast-to-string) so the driver probe in fileMayMatch can reproduce
+    // the hash from a typed literal.
+    val bloomCols = GraftTable.bloomColumns(properties, tableSchema,
+      spec.filter(_.isIdentity).map(_.source).toSet)
+    val fileBlooms: Map[String, Map[String, String]] =
+      if (bloomCols.isEmpty || staged.isEmpty) Map.empty
+      else {
+        val expected = properties
+          .getOrElse("write.metadata.bloom-filter.expected-items", "20000").toLong
+        val fpp = properties
+          .getOrElse("write.metadata.bloom-filter.fpp", "0.03").toDouble
+        val keys = bloomCols.map(c => c -> col(c).cast("string"))
+        graft.ops.Bloom.buildGroupedFilters(
+            spark.read.parquet(staging.toString),
+            org.apache.spark.sql.functions.input_file_name(),
+            keys, expected, fpp)
+          .collect().map { r =>
+            val fname = r.getString(0).split('/').last
+            fname -> bloomCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(i + 1)) None
+              else Some(c -> java.util.Base64.getEncoder
+                .encodeToString(r.getAs[Array[Byte]](i + 1)))
+            }.toMap
+          }.toMap
+      }
+    staged.foreach { st =>
+      {
         val rel = stagingQ.toUri.relativize(st.getPath.toUri).getPath
         val segs = rel.split("/").toSeq
         val partSegs = segs.dropRight(1)
@@ -1980,7 +2018,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
           val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
           try (r.getRecordCount, footerColumnStats(r, tableSchema)) finally r.close()
         }
-        out += DataFile(relTarget, pv, records, fs.getFileStatus(target).getLen, stats)
+        out += DataFile(relTarget, pv, records, fs.getFileStatus(target).getLen,
+          stats,
+          blooms = fileBlooms.get(st.getPath.getName).filter(_.nonEmpty))
       }
     }
     fs.delete(staging, true)
@@ -2078,7 +2118,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val tfFields = PartitionSpec.parse(m.partitionCols).filterNot(_.isIdentity)
     val schemaForPrune = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val kept = files.filter(f =>
-      conjuncts.forall(c => GraftTable.fileMayMatch(c, f) &&
+      conjuncts.forall(c => GraftTable.fileMayMatch(c, f, schemaForPrune) &&
         tfFields.forall(tf =>
           PartitionSpec.fileMayMatch(c, tf, schemaForPrune, f.partitionValues))))
     if (kept.size == files.size) full.filter(cond)
@@ -2230,13 +2270,71 @@ object GraftTable {
     case _ => None
   }
 
-  /** Conservative may-match: false only when partition values or footer
-    * stats PROVE no row in the file can satisfy the conjunct. Dispatch is
-    * PER FILE, not per table spec: under partition-spec evolution the same
-    * column is a partition value in files written under one spec and a
-    * data column (footer stats) in files written under another — each file
-    * prunes on whichever evidence it carries. */
-  private[table] def fileMayMatch(c: CExpr, f: DataFile): Boolean = {
+  private[table] val BloomMetaPrefix = "write.metadata.bloom-filter.column."
+
+  /** Bloom-statable column types: the cast-to-string rendering these types
+    * produce at write time is reproduced exactly by [[litInfo]]'s rendering
+    * of a typed literal at prune time, so hashes line up. Fractional and
+    * decimal types are excluded — "1" vs "1.0" style formatting drift
+    * between a column rendering and a literal rendering would turn a
+    * false-negative probe into a WRONG prune. */
+  private[table] def bloomableType(dt: DataType): Boolean = dt match {
+    case StringType | BT | ShT | IT | LT2 | DateType => true
+    case _ => false
+  }
+
+  /** Columns to build manifest blooms for: configured via
+    * `write.metadata.bloom-filter.column.X=true`, restricted to bloomable
+    * schema types, excluding identity-partition sources (those prune
+    * exactly via partition values; their values are not in the data file). */
+  private[table] def bloomColumns(props: Map[String, String],
+      schema: StructType, identityParts: Set[String]): Seq[String] =
+    props.collect {
+      case (k, v) if k.startsWith(BloomMetaPrefix) &&
+        v.trim.equalsIgnoreCase("true") => k.stripPrefix(BloomMetaPrefix)
+    }.toSeq.sorted.filter(n =>
+      !identityParts.contains(n) &&
+        schema.fields.exists(f => f.name == n && bloomableType(f.dataType)))
+
+  /** Literal/column type agreement for a bloom probe: the probe hashes the
+    * literal's stat-string rendering, which must match what the column's
+    * values rendered to at build time. Identical types always agree;
+    * integral upcasts (int column probed by a long literal) agree because
+    * integral toString is canonical across widths. Anything else (e.g. an
+    * int column compared to a double literal — "1" built vs "1.0" probed)
+    * skips the bloom, keeping the file conservatively. */
+  private def bloomProbeCompatible(fieldDt: DataType, litDt: DataType): Boolean =
+    (fieldDt, litDt) match {
+      case (StringType, StringType) => true
+      case (DateType, DateType) => true
+      case (BT | ShT | IT | LT2, BT | ShT | IT | LT2) => true
+      case _ => false
+    }
+
+  /** May the file contain `name == v`? False only when the file carries a
+    * bloom for the column, the literal's rendering is hash-compatible with
+    * the build-side rendering, and the bitset PROVES absence. */
+  private def bloomMayMatch(f: DataFile, schema: StructType, name: String,
+      li: Option[(String, DataType)]): Boolean = {
+    val verdict = for {
+      (v, dt) <- li
+      b64 <- f.blooms.flatMap(_.get(name))
+      fieldDt <- schema.fields.find(_.name == name).map(_.dataType)
+      if bloomProbeCompatible(fieldDt, dt)
+    } yield graft.ops.Bloom.probeSerialized(
+      java.util.Base64.getDecoder.decode(b64), graft.ops.Bloom.hashString(v))
+    verdict.getOrElse(true)
+  }
+
+  /** Conservative may-match: false only when partition values, footer
+    * stats or a manifest bloom PROVE no row in the file can satisfy the
+    * conjunct. Dispatch is PER FILE, not per table spec: under
+    * partition-spec evolution the same column is a partition value in
+    * files written under one spec and a data column (footer stats) in
+    * files written under another — each file prunes on whichever evidence
+    * it carries. */
+  private[table] def fileMayMatch(c: CExpr, f: DataFile,
+      schema: StructType): Boolean = {
     def le(dt: DataType, a: String, b: String) = !statLt(dt, b, a)
     def check(name: String, dt: DataType, statOp: ColumnStats => Boolean,
         partOp: String => Boolean): Boolean =
@@ -2254,9 +2352,10 @@ object GraftTable {
     c match {
       case EqualTo(a, l) if attrName(a).isDefined =>
         cmp(a, l)((dt, v, st) => le(dt, st.min, v) && le(dt, v, st.max),
-          (dt, v, pv) => pv == v)
+          (dt, v, pv) => pv == v) &&
+          bloomMayMatch(f, schema, attrName(a).get, litInfo(l))
       case EqualTo(l, a) if attrName(a).isDefined =>
-        fileMayMatch(EqualTo(a, l), f)
+        fileMayMatch(EqualTo(a, l), f, schema)
       case GreaterThan(a, l) =>
         cmp(a, l)((dt, v, st) => statLt(dt, v, st.max), (dt, v, pv) => statLt(dt, v, pv))
       case GreaterThanOrEqual(a, l) =>

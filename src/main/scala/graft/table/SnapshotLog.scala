@@ -43,7 +43,17 @@ case class DataFile(
     records: Long,
     sizeBytes: Long,
     stats: Option[Map[String, ColumnStats]] = None,
-    dataSeq: Option[Long] = None)
+    dataSeq: Option[Long] = None,
+    // per-column Bloom filters over the file's values (base64 of Spark's
+    // sketch format), written when `write.metadata.bloom-filter.column.X`
+    // is set — the POINT-LOOKUP complement of min/max stats: on a
+    // high-cardinality unsorted column every file's [min,max] straddles
+    // every probe value and range stats prune nothing, while a ~2-20 KB
+    // bloom per file lets the driver skip files for equality predicates
+    // without opening them (Iceberg reaches the same shape with Puffin
+    // blob stats). Keys are column names; values hash the column rendered
+    // to its stat-string domain (see GraftTable.bloomProbeRendering).
+    blooms: Option[Map[String, String]] = None)
 
 /**
  * One committed table version. Mirrors the reference's Iceberg snapshot

@@ -136,4 +136,84 @@ class FileSkippingSpec extends SparkTestBase {
     val f2 = s"${p.dataDir}/${p.meta.currentSnapshot.get.files.head.path}"
     assert(bloomCols(f2) === Set.empty)
   }
+
+  // manifest-level blooms: every file's [min,max] straddles every probe
+  // value (values interleave mod 4 across the appends), so footer stats
+  // prune NOTHING — only the per-file bitset can skip files
+  private lazy val bloomTable: GraftTable = {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("mbloom"), "mbloom", StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType),
+      StructField("v", DoubleType))),
+      props = Map(
+        "write.metadata.bloom-filter.column.tag" -> "true",
+        "write.metadata.bloom-filter.column.id" -> "true",
+        "write.metadata.bloom-filter.column.v" -> "true", // double: ignored
+        "write.metadata.bloom-filter.expected-items" -> "4096",
+        "write.metadata.bloom-filter.fpp" -> "0.001"))
+    for (b <- 0 until 4) {
+      val df = (0 until 250).map { i =>
+        val k = i * 4 + b
+        (k.toLong, f"v$k%04d", k * 1.5)
+      }.toDF("id", "tag", "v")
+      t.append(df.coalesce(1))
+    }
+    t
+  }
+
+  test("manifest blooms: commit records filters for configured bloomable columns only") {
+    val files = bloomTable.meta.currentSnapshot.get.files
+    assert(files.size === 4)
+    files.foreach { f =>
+      val b = f.blooms.getOrElse(fail(s"no blooms on ${f.path}"))
+      assert(b.keySet === Set("id", "tag")) // v is double: not bloomable
+      // stats overlap across every file: min/max alone could never skip
+      val st = f.stats.get("tag")
+      assert(st.min <= "v0004" && st.max >= "v0993")
+    }
+  }
+
+  test("manifest blooms skip files min/max stats cannot") {
+    // tag 'v0005' lives only in batch 1 (5 = 4*1+1); all four files'
+    // [min,max] contain it, so any pruning below 4 is bloom-driven
+    val df = bloomTable.scanWhere(col("tag") === "v0005")
+    assert(df.inputFiles.length < 4)
+    assert(df.count() === 1)
+    // long column probes prune too (literal renders through the same
+    // stat-string domain the build side hashed)
+    val byId = bloomTable.scanWhere(col("id") === 6L)
+    assert(byId.inputFiles.length < 4)
+    assert(byId.count() === 1)
+    // absent values: typically zero files read, and always zero rows
+    assert(bloomTable.scanWhere(col("tag") === "nope").count() === 0)
+  }
+
+  test("manifest blooms stay conservative on incompatible probes and other predicates") {
+    // double literal against the long column: rendering domains differ
+    // ("6" built vs "6.0" probed) — bloom must be SKIPPED, not mis-prune;
+    // stats cannot help either (ranges overlap), so all files are read
+    val df = bloomTable.scanWhere(col("id") === lit(6.5d))
+    assert(df.inputFiles.length === 4)
+    assert(df.count() === 0)
+    // range predicates never consult blooms; results stay exact
+    assert(bloomTable.scanWhere(col("id") >= 990L).count() === 10)
+    // conjunction: bloom prunes through its conjunct
+    val conj = bloomTable.scanWhere(col("tag") === "v0005" && col("id") >= 0L)
+    assert(conj.inputFiles.length < 4)
+    assert(conj.count() === 1)
+  }
+
+  test("manifest blooms survive the metadata round trip and rename conservatively") {
+    // reload from disk: blooms come back through the manifest JSON
+    val re = GraftTable.load(spark, bloomTable.location)
+    val f = re.meta.currentSnapshot.get.files.head
+    assert(f.blooms.exists(_.contains("tag")))
+    assert(re.scanWhere(col("tag") === "v0005").inputFiles.length < 4)
+    // rename: blooms stay keyed by the old name, probes under the new
+    // name fall back to keep-the-file — and results stay correct
+    re.renameColumn("tag", "label")
+    val renamed = re.scanWhere(col("label") === "v0005")
+    assert(renamed.inputFiles.length === 4)
+    assert(renamed.count() === 1)
+  }
 }

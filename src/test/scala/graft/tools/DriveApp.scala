@@ -124,6 +124,25 @@ object DriveApp {
     println("== file skipping: scanWhere input files vs plain filter")
     println("pruned=" + ct.scanWhere(col("txn_id") === "txn20").inputFiles.length
       + " unpruned=" + ct.toDF.filter(col("txn_id") === "txn20").inputFiles.length)
+
+    // manifest blooms: interleaved keys make every file's [min,max] cover
+    // every probe, so any skipping below the file total is bloom-driven
+    {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import spark.implicits._
+      val bloomLoc = java.nio.file.Files.createTempDirectory("drive_bloom").toString + "/t"
+      val bt = GraftTable.create(spark, bloomLoc, "drive_bloom",
+        StructType(Seq(StructField("k", LongType), StructField("s", StringType))),
+        props = Map("write.metadata.bloom-filter.column.k" -> "true",
+          "write.metadata.bloom-filter.expected-items" -> "4096",
+          "write.metadata.bloom-filter.fpp" -> "0.001"))
+      for (b <- 0 until 3)
+        bt.append((0 until 200).map(i => (i.toLong * 3 + b, s"r$b-$i"))
+          .toDF("k", "s").coalesce(1))
+      val probe = bt.scanWhere(col("k") === 4L) // only in batch 1
+      println(s"manifest-bloom files=${bt.meta.currentSnapshot.get.files.size}" +
+        s" probed=${probe.inputFiles.length} rows=${probe.count()}")
+    }
     println("== native expressions via SQL")
     graft.functions.GraftFunctions.register(spark)
     spark.sql("SELECT rolling_hash('graft') AS h, vec_cosine(array(1.0F,2.0F), array(2.0F,1.0F)) AS c").show()
