@@ -501,6 +501,14 @@ object SparkEntry {
 
     // fixed-size token chunking (context-window packing precursor): one row
     // per 40-token chunk, aggregated per source
+    // cross-doc boilerplate strip: rewrite every document, dropping 8-token
+    // segments that repeat verbatim in >= 3 distinct docs (CCNet-style
+    // chrome removal — the rewrite companion of chunk dedup)
+    "x_boilerplate_strip" -> ((s, dir) =>
+      Corpus.stripBoilerplate(T(s, dir, "documents"), "text", "doc_id",
+          segTokens = 8, maxDocFreq = 3L)
+        .orderBy("doc_id")),
+
     "x_chunks" -> ((s, dir) =>
       Corpus.chunkByTokens(T(s, dir, "documents"), "text", chunkSize = 40)
         .groupBy(col("source"))
@@ -2694,6 +2702,31 @@ object SparkEntry {
            cast(sum(length(aug) - length(red)) AS bigint) AS chars_removed
          FROM red GROUP BY 1 ORDER BY 1"""
     },
+
+    "x_boilerplate_strip" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         idx AS (
+           SELECT doc_id, tk,
+             unnest(generate_series(0,
+               greatest(1, cast(floor((len(tk)+7)/8.0) AS int)) - 1)) AS i
+           FROM toks),
+         segs AS (
+           SELECT doc_id, i, len(tk[i*8+1 : i*8+8]) AS n,
+             array_to_string(tk[i*8+1 : i*8+8], ' ') AS seg
+           FROM idx),
+         freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+         tagged AS (
+           SELECT s.doc_id, s.i, s.seg, s.n, f.df >= 3 AS b
+           FROM segs s JOIN freq f USING (seg))
+         SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE NOT b), '')
+             AS clean_text,
+           count(*) FILTER (WHERE NOT b) AS kept_segments,
+           count(*) FILTER (WHERE b) AS dropped_segments,
+           cast(coalesce(sum(n) FILTER (WHERE b), 0) AS bigint) AS dropped_tokens
+         FROM tagged GROUP BY 1 ORDER BY 1""",
 
     "x_chunks" ->
       """WITH toks AS (

@@ -74,6 +74,65 @@ object Corpus {
       .drop("__tk", "__chunk")
   }
 
+  // --- cross-document boilerplate removal --------------------------------
+
+  /**
+   * CCNet/RefinedWeb-style boilerplate strip: REWRITE each document,
+   * dropping every `segTokens`-token segment whose exact normalized text
+   * occurs in at least `maxDocFreq` distinct documents (navigation chrome,
+   * cookie banners, license footers — the content that repeats verbatim
+   * across a crawl and poisons LM training if left in). This is the
+   * rewrite companion of the chunk-level DEDUP ops ([[chunkByTokens]] +
+   * Dedup): those pick one representative per duplicate chunk; this one
+   * cleans the documents themselves and keeps them all.
+   *
+   * Output: one row per input document — `idCol`, `clean_text` (surviving
+   * segments rejoined in order; empty string when everything was
+   * boilerplate), `kept_segments`, `dropped_segments`, `dropped_tokens`.
+   *
+   * Scale shape: tile into segments (narrow explode), count distinct-doc
+   * frequency per segment (one segment-keyed exchange with map-side
+   * partial distinct), anti-tag against the >=maxDocFreq set (a
+   * dictionary-sized join side at web scale — boilerplate is by
+   * definition the heavy tail's head — so AQE broadcasts it), then one
+   * doc-keyed exchange rebuilds the text (per-doc state is bounded by the
+   * document's own length). Never doc x doc, never a global window; at
+   * 1000 executors every stage is fully parallel.
+   */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+      segTokens: Int = 8, maxDocFreq: Long = 3L): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val nSegs = (floor((size(col("__tk")) + lit(segTokens - 1)) / lit(segTokens))).cast("int")
+    val segs = df
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__i", explode(sequence(lit(0), greatest(lit(1), nSegs) - 1)))
+      .select(col(idCol),
+        col("__i"),
+        array_join(slice(col("__tk"), col("__i") * segTokens + 1, lit(segTokens)), " ").as("__seg"),
+        size(slice(col("__tk"), col("__i") * segTokens + 1, lit(segTokens))).as("__n"))
+    // distinct-doc frequency; keep only the boilerplate survivors (the
+    // join side stays dictionary-sized — segments above the threshold)
+    val boiler = segs.select(col("__seg"), col(idCol)).distinct()
+      .groupBy(col("__seg")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDocFreq)
+      .select(col("__seg"), lit(true).as("__boiler"))
+    val tagged = segs.join(boiler, Seq("__seg"), "left")
+      .withColumn("__b", coalesce(col("__boiler"), lit(false)))
+    tagged.groupBy(col(idCol))
+      .agg(
+        // collect_list skips nulls: only kept segments enter the array;
+        // array_sort on struct(__i, __seg) restores document order
+        array_join(transform(
+          array_sort(collect_list(when(!col("__b"),
+            struct(col("__i"), col("__seg"))))),
+          s => s.getField("__seg")), " ").as("clean_text"),
+        count(when(!col("__b"), lit(1))).as("kept_segments"),
+        count(when(col("__b"), lit(1))).as("dropped_segments"),
+        coalesce(sum(when(col("__b"), col("__n"))), lit(0L))
+          .cast("long").as("dropped_tokens"))
+  }
+
   // --- sequence packing --------------------------------------------------
 
   /**

@@ -377,4 +377,62 @@ class CorpusSpec extends SparkTestBase {
     assert(n2 === 4)
     assert(math.abs(w2 - 2.0 * wTargetLike) < 1e-9)
   }
+
+  test("stripBoilerplate drops cross-doc repeated segments, keeps order, keeps all docs") {
+    import spark.implicits._
+    // seg=2 tokens; "cookie banner" tiles appear verbatim in docs 1-3
+    // (df=3 >= 3) at different positions; unique content stays
+    val d = Seq(
+      (1L, "cookie banner alpha beta gamma delta"),
+      (2L, "epsilon zeta cookie banner eta theta"),
+      (3L, "iota kappa lam mu cookie banner"),
+      (4L, "nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(d, "text", "doc_id",
+        segTokens = 2, maxDocFreq = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) === ((1L, "alpha beta gamma delta", 2L, 1L, 2L)))
+    // doc 2's banner sits MID-document: surviving segments rejoin in order
+    assert(out(1) === ((2L, "epsilon zeta eta theta", 2L, 1L, 2L)))
+    assert(out(2) === ((3L, "iota kappa lam mu", 2L, 1L, 2L)))
+    // untouched doc passes through whole
+    assert(out(3) === ((4L, "nu xi omicron pi", 2L, 0L, 0L)))
+  }
+
+  test("stripBoilerplate: fully-boilerplate doc yields empty text; sub-threshold repeats survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "legal footer"), (2L, "legal footer"), (3L, "legal footer"),
+      (4L, "twice only"), (5L, "twice only")
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(d, "text", "doc_id",
+        segTokens = 2, maxDocFreq = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out(0) === ((1L, "", 1L)))
+    assert(out(1) === ((2L, "", 1L)))
+    assert(out(2) === ((3L, "", 1L)))
+    // df=2 < maxDocFreq: kept verbatim
+    assert(out(3) === ((4L, "twice only", 0L)))
+    assert(out(4) === ((5L, "twice only", 0L)))
+  }
+
+  test("stripBoilerplate counts within-doc repeats once for df but drops every occurrence") {
+    import spark.implicits._
+    // "spam spam" occurs twice inside docs 1 and 2 — distinct-doc df is 2,
+    // so with maxDocFreq=2 it IS boilerplate and BOTH occurrences drop
+    val d = Seq(
+      (1L, "spam spam aaaa bbbb spam spam"),
+      (2L, "cccc dddd spam spam spam spam"),
+      (3L, "eeee ffff")
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(d, "text", "doc_id",
+        segTokens = 2, maxDocFreq = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, "aaaa bbbb", 1L, 2L)))
+    assert(out(1) === ((2L, "cccc dddd", 1L, 2L)))
+    assert(out(2) === ((3L, "eeee ffff", 1L, 0L)))
+  }
 }
