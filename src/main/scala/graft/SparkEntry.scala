@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, RangeJoin, Sessionize, Similarity, TextAnalysis, TimeSeries}
+import graft.ops.{AsOfJoin, Corpus, Decontaminate, Dedup, Eval, RangeJoin, Sessionize, Similarity, TextAnalysis, TimeSeries}
 import graft.queries.TableFixtures
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1073,6 +1073,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // retrieval-quality eval: per-query RR / nDCG@10 / P@10 / R@10 of the
+    // exact cosine top-10 against same-label relevance — the audit a
+    // hard-negative-mining or embedding-regression gate runs. Metrics
+    // shuffle only the |queries|·k ranked rows; DCG folds hit ranks in
+    // ascending order so the oracle replays the double math bit-exactly
+    "s_retrieval_metrics" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val truth = q.select(col("vec_id").as("query_id"), col("label"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")), "label")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      Eval.retrievalMetrics(Similarity.bruteForceTopK(q, e, k = 10), truth, 10)
+        .orderBy("query_id")
+    }),
+
     // MMR diversified retrieval (Carbonell & Goldstein 1998): top-12
     // relevance pool per query off ONE corpus scan, then the greedy
     // λ·rel − (1−λ)·maxsim rerank per query inside a single task —
@@ -1609,6 +1625,21 @@ object SparkEntry {
     "t_stat_pruned_scan" -> ((s, dir) => {
       val t = TableFixtures.ordersVersioned(s, dir)
       t.scanWhere(col("o_orderkey") < 1000 && col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // partition-spec evolution: era 0 written under PARTITIONED BY
+    // (o_orderstatus), era 1 under months(o_orderdate) after a
+    // metadata-only spec switch — the same predicate prunes era-0 files
+    // via partition values and era-1 files via footer stats, and the date
+    // predicate exercises the hidden month-dir mapping on era 1 only
+    "t_spec_evolution" -> ((s, dir) => {
+      val t = TableFixtures.ordersSpecEvolved(s, dir)
+      t.scanWhere(col("o_orderstatus") === "F" &&
+          col("o_orderdate") >= lit("1994-01-01").cast("date"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sumCents(col("o_totalprice")).as("total_cents"))
@@ -3608,6 +3639,49 @@ object SparkEntry {
 
     // the same scored pass minus the (query, positive) pairs, then the
     // per-query top-3 — exclusion BEFORE the rank cut, like the engine
+    // same cosine fold + rank as annTopkSql at k=10, then the metric
+    // formulas: DCG/IDCG fold sorted rank lists left-to-right exactly as
+    // the Spark aggregate() does
+    "s_retrieval_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                    FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS clabel
+                 FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id, qlabel, clabel,
+               list_sum(list_transform(list_zip(qv, cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+             FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+           ranked AS (
+             SELECT query_id, neighbor_id, qlabel = clabel AS rel,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+             FROM scored),
+           nrel AS (
+             SELECT query_id, count(*) AS n_rel FROM scored
+             WHERE qlabel = clabel GROUP BY 1),
+           agg AS (
+             SELECT query_id,
+               count(*) FILTER (WHERE rel) AS hits,
+               coalesce(max(CASE WHEN rel THEN 1.0 / rank END), 0.0) AS rr,
+               coalesce(list_sum(list_transform(
+                 list_sort(list(rank::DOUBLE) FILTER (WHERE rel)),
+                 r -> 1.0 / log2(r + 1))), 0.0) AS dcg
+             FROM ranked WHERE rank <= 10 GROUP BY 1),
+           idcg AS (
+             SELECT a.query_id,
+               coalesce(list_sum(list_transform(
+                 generate_series(1, least(10, coalesce(n.n_rel, 0))),
+                 i -> 1.0 / log2(i + 1.0))), 0.0) AS idcg,
+               coalesce(n.n_rel, 0) AS n_rel
+             FROM agg a LEFT JOIN nrel n USING (query_id))
+         SELECT a.query_id, i.n_rel, a.hits,
+           round(a.rr, 4) AS rr,
+           round(CASE WHEN i.idcg > 0 THEN a.dcg / i.idcg ELSE 0.0 END, 4) AS ndcg,
+           round(a.hits / 10.0, 4) AS precision_k,
+           round(CASE WHEN i.n_rel > 0 THEN a.hits::DOUBLE / i.n_rel ELSE 0.0 END, 4) AS recall_k
+         FROM agg a JOIN idcg i USING (query_id) ORDER BY 1""",
+
     "s_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                      FROM embeddings WHERE vec_id < 5),
@@ -4524,6 +4598,13 @@ object SparkEntry {
       s"""SELECT o_orderpriority, count(*) AS n,
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY 1""",
+
+    "t_spec_evolution" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents
+         FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderdate >= DATE '1994-01-01'
          GROUP BY 1 ORDER BY 1""",
 
     // the matched row must be the min-key order; bloom_pruned is the

@@ -68,6 +68,32 @@ object TableFixtures {
     })
 
   /**
+   * Partition-spec evolution fixture (Iceberg `ALTER TABLE … PARTITION
+   * FIELD`): batch 0 written under `PARTITIONED BY (o_orderstatus)`
+   * (hive-layout directories, status prunes via partition values), then a
+   * metadata-only spec switch to `months(o_orderdate)` hidden
+   * partitioning (months, not days — orders spans ~7 years and a per-day
+   * layout at ~3 rows/day is the small-files anti-pattern this library
+   * documents against), then batch 1 written under the NEW spec (status
+   * stays in the file, prunes via footer stats; the month dir prunes date
+   * predicates). Reads union both eras; no data file was rewritten at the
+   * switch. o_orderdate is TIMESTAMP_NTZ in the testdata — the transform
+   * renders it zone-free (wall-clock), spec'd in HiddenPartitioningSpec.
+   */
+  def ordersSpecEvolved(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_spec_evolved", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_spec_evolved"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_spec_evolved",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 2 === 0))
+      t.updatePartitionSpec(Seq("months(o_orderdate)"))
+      t.append(orders.filter(col("o_orderkey") % 2 === 1))
+      t
+    })
+
+  /**
    * `orders` loaded as three deterministic batches (o_orderkey % 3 == 0/1/2)
    * with a branch pinned after each append: v1, v2, v3.
    * State at vN == orders where o_orderkey % 3 < N.

@@ -97,6 +97,18 @@ object PartitionSpec {
               bridge.column(
                 org.apache.spark.sql.catalyst.expressions.DateFormatClass(
                   bridge.expression(src), Literal(fmt), Some("UTC")))
+            case TimestampNTZType =>
+              // NTZ is wall-clock time with no instant semantics: the date
+              // part extracts zone-free via the ntz->date cast, and the
+              // hour via field extraction — never through date_format,
+              // whose ntz->ltz input cast would drag the session TZ into
+              // the directory layout
+              transform match {
+                case Hours => concat(
+                  date_format(src.cast(DateType), "yyyy-MM-dd"), lit("-"),
+                  lpad(hour(src).cast(StringType), 2, "0"))
+                case _ => date_format(src.cast(DateType), fmt)
+              }
             case other => throw new IllegalArgumentException(
               s"${transform.name}($source): needs date/timestamp, got ${other.simpleString}")
           }
@@ -136,6 +148,14 @@ object PartitionSpec {
             val inst = java.time.Instant.ofEpochSecond(
               Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
             Some(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC).format(fmt))
+          case TimestampNTZType =>
+            // ntz micros encode the WALL-CLOCK datetime against the UTC
+            // epoch (Spark's localDateTimeToMicros) — decode the same way
+            val micros = v.asInstanceOf[Long]
+            Some(java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC).format(fmt))
           case _ => None
         }
       case Bucket(n) =>
@@ -246,12 +266,12 @@ object PartitionSpec {
       val dt = schema(schema.fieldIndex(f.source)).dataType
       f.transform match {
         case Years | Months | Days | Hours =>
-          require(dt == DateType || dt == TimestampType,
+          require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
             s"${f.entry}: temporal transform needs date/timestamp, got ${dt.simpleString}")
         case Bucket(n) =>
           require(n > 0, s"${f.entry}: bucket count must be positive")
           require(isIntegral(dt) || dt == StringType ||
-            dt == DateType || dt == TimestampType,
+            dt == DateType || dt == TimestampType || dt == TimestampNTZType,
             s"${f.entry}: bucket needs integral/string/date/timestamp, got ${dt.simpleString}")
         case Truncate(w) =>
           require(w > 0, s"${f.entry}: truncate width must be positive")

@@ -99,6 +99,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("*("), s"expected whole-stage codegen:\n$plan")
   }
 
+  test("stripBoilerplate: no cross join, no global window; boilerplate side broadcasts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Corpus.stripBoilerplate(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"boilerplate strip must never plan doc x doc:\n$plan")
+    assert(!plan.contains("Window"),
+      s"rebuild must be an aggregate, not a global window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the >=threshold boilerplate set is dictionary-sized and must broadcast:\n$plan")
+  }
+
   test("prepareCorpus plans exactly one exchange: the dedup digest shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pipeline = graft.ops.Corpus.prepareCorpus(docs, "text", "doc_id",

@@ -65,6 +65,39 @@ class HiddenPartitioningSpec extends SparkTestBase {
     assert(eq.inputFiles.length === 1)
   }
 
+  test("days/hours on TIMESTAMP_NTZ: zone-free dirs, session TZ cannot leak, prune agrees") {
+    import spark.implicits._
+    val ntzSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampNTZType)))
+    def ntzRows = (0 until 48).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 3, 1, 0, 0).plusHours(i.toLong))
+    }.toDF("id", "ts")
+    val t = GraftTable.create(spark, tmpDir("hp-ntz"), "hp_ntz", ntzSchema,
+      partitionCols = Seq("days(ts)"))
+    // write under a hostile session TZ: NTZ is wall-clock, the layout must
+    // not shift by the zone offset
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati") // UTC+14
+      t.append(ntzRows)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    val days = t.meta.currentSnapshot.get.files
+      .flatMap(_.partitionValues.values).toSet
+    assert(days === Set("2024-03-01", "2024-03-02"))
+    // prune-side literal maps through the same zone-free rendering
+    val cut = lit("2024-03-02T00:00:00").cast("timestamp_ntz")
+    val pruned = t.scanWhere(col("ts") >= cut)
+    assert(pruned.inputFiles.length < t.toDF.inputFiles.length)
+    assert(pruned.count() === 24)
+    // hours transform: dir carries the wall-clock hour
+    val h = GraftTable.create(spark, tmpDir("hp-ntz-h"), "hp_ntz_h", ntzSchema,
+      partitionCols = Seq("hours(ts)"))
+    h.append(ntzRows.limit(3).coalesce(1))
+    val hourDirs = h.meta.currentSnapshot.get.files
+      .flatMap(_.partitionValues.values).toSet
+    assert(hourDirs === Set("2024-03-01-00", "2024-03-01-01", "2024-03-01-02"))
+  }
+
   test("bucket(n, id): equality on the source reads one bucket") {
     val t = GraftTable.create(spark, tmpDir("hp-bucket"), "hp_bucket", schema,
       partitionCols = Seq("bucket(4,id)"))
