@@ -1089,6 +1089,29 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // hybrid retrieval: BM25 lexical top-10 + dense cosine top-10 per
+    // query, fused by reciprocal-rank fusion (score = sum 1/(60+rank)) —
+    // no score calibration needed since only ranks enter; fusion shuffles
+    // only the two |queries|*10 ranked sets. documents/embeddings share
+    // the id space, so the lists fuse over real corpus ids
+    "s_hybrid_rrf" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val q = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 5), " ").as("qtext"))
+      val lex = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+          q, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 101 === 0), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), k = 5)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"), col("rrf_score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // MMR diversified retrieval (Carbonell & Goldstein 1998): top-12
     // relevance pool per query off ONE corpus scan, then the greedy
     // λ·rel − (1−λ)·maxsim rerank per query inside a single task —
@@ -3639,6 +3662,76 @@ object SparkEntry {
 
     // the same scored pass minus the (query, positive) pairs, then the
     // per-query top-3 — exclusion BEFORE the rank cut, like the engine
+    // lexical leg = x_bm25's scoring at k=10; dense leg = annTopkSql's
+    // cosine fold at k=10; fusion sums 1/(60+rank) over both lists (at
+    // most two doubles per (query, doc) — commutative, so the unordered
+    // sums agree bit-exactly) and ranks (score desc, doc asc)
+    "s_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dlen AS (
+           SELECT doc_id,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS double) AS dl
+           FROM documents),
+         stats AS (
+           SELECT cast(count(*) AS double) AS n,
+             avg(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS avgdl
+           FROM documents),
+         q AS (
+           SELECT doc_id AS query_id,
+             array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS qtext
+           FROM documents WHERE doc_id % 101 = 0),
+         qterms AS (
+           SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term
+           FROM q),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         lcontrib AS (
+           SELECT qt.query_id, tf.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+           FROM qterms qt
+           JOIN tf USING (term)
+           JOIN dfq d USING (term)
+           JOIN dlen l ON l.doc_id = tf.doc_id
+           CROSS JOIN stats s),
+         lscored AS (
+           SELECT query_id, doc_id, sum(c) AS score FROM lcontrib GROUP BY 1, 2),
+         lex AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id,
+               cast(row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(score, 6) DESC, doc_id ASC) AS integer) AS rank
+             FROM lscored) WHERE rank <= 10),
+         eq AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 101 = 0),
+         ec AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         escored AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qv, cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+           FROM eq CROSS JOIN ec WHERE query_id <> neighbor_id),
+         den AS (
+           SELECT query_id, neighbor_id AS doc_id, rank FROM (
+             SELECT query_id, neighbor_id,
+               cast(row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS integer) AS rank
+             FROM escored) WHERE rank <= 10),
+         fused AS (
+           SELECT query_id, doc_id, sum(1.0 / (60 + rank)) AS rrf_score
+           FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+           GROUP BY 1, 2),
+         franked AS (
+           SELECT query_id, doc_id, rrf_score,
+             cast(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS integer) AS rank
+           FROM fused)
+         SELECT query_id, rank, doc_id, round(rrf_score, 6) AS rrf_score
+         FROM franked WHERE rank <= 5 ORDER BY 1, 2""",
+
     // same cosine fold + rank as annTopkSql at k=10, then the metric
     // formulas: DCG/IDCG fold sorted rank lists left-to-right exactly as
     // the Spark aggregate() does

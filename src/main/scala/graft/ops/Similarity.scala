@@ -101,6 +101,38 @@ object Similarity {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+   * public literature): combine several ranked lists per query into one
+   * ranking by `score(d) = Σ_lists 1/(c + rank_list(d))` — the standard
+   * hybrid-retrieval merge (BM25 lexical + dense embedding ranks fuse
+   * without any score calibration, since only RANKS enter the formula).
+   * Docs absent from a list simply contribute nothing. Ties (same
+   * contribution set from different lists) break on the doc id, so the
+   * output is deterministic.
+   *
+   * Scale shape: inputs are already |queries|·k rows each (the corpus
+   * work happened upstream); fusion is a union + one (query,doc)-keyed
+   * aggregate + the salted per-query top-k cut — shuffle bounded by the
+   * ranked sets, never the corpus.
+   */
+  def rrfFuse(rankedLists: Seq[DataFrame], k: Int, c: Int = 60,
+      queryCol: String = "query_id", docCol: String = "neighbor_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankedLists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, s"k must be positive, got $k")
+    require(c >= 0, s"rrf constant must be non-negative, got $c")
+    val contribs = rankedLists.map(_.select(
+      col(queryCol).as("query_id"), col(docCol).as("neighbor_id"),
+      (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double"))).as("__contrib")))
+    val scored = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__contrib")).as("rrf_score"))
+    saltedTopK(scored, k, Seq(col("rrf_score").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rrf_score"), 6).as("rrf_score"))
+  }
+
+  /**
    * Deterministic random-hyperplane LSH signature: `planes` sign bits packed
    * into a long. Plane coefficients are pseudo-random derived from
    * xxhash64(dim, plane) — identical across executors with no state.

@@ -437,4 +437,25 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(got === expect.sortBy(t => (t._1, t._2)))
   }
+
+  test("rrfFuse: both-list docs outrank single-list docs; ties break on doc id; lists stay per-query") {
+    import spark.implicits._
+    // q1: doc 10 is rank 1 in A and rank 3 in B; doc 11 only in A (rank 2);
+    // doc 12 only in B (rank 1); doc 13 only in B (rank 2)
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 12L, 1), (1L, 13L, 2), (1L, 10L, 3), (2L, 21L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // q1 scores: 10 -> 1/61 + 1/63 = 0.032266...; 12 -> 1/61 = 0.016393;
+    // 11 -> 1/62 = 0.016129; 13 -> 1/62 = 0.016129 (tie with 11 -> id asc)
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq ===
+      Seq((1, 10L), (2, 12L), (3, 11L), (4, 13L)))
+    val s10 = got.find(t => t._1 == 1L && t._3 == 10L).get._4
+    assert(math.abs(s10 - (1.0 / 61 + 1.0 / 63)) < 1e-6)
+    // q2: fusion never leaks across queries
+    assert(got.filter(_._1 == 2L).map(_._3).toSet === Set(20L, 21L))
+  }
 }
