@@ -501,6 +501,23 @@ object SparkEntry {
 
     // fixed-size token chunking (context-window packing precursor): one row
     // per 40-token chunk, aggregated per source
+    // content-defined chunking: variable-size chunks whose boundaries
+    // depend only on local token content (md5-threshold markers), so a
+    // prefix edit re-aligns after the first boundary — the shift-resistant
+    // dedup granularity fixed chunking lacks. Stats per lang; the
+    // boundary rule replays marker-for-marker in DuckDB
+    "d_cdc_chunks" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.contentDefinedChunks(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_text")).as("distinct_chunks"),
+          round(avg(col("chunk_tokens")), 2).as("avg_chunk_tokens"),
+          max(col("chunk_tokens")).as("max_chunk_tokens"))
+        .orderBy("lang")
+    }),
+
     // cross-doc boilerplate strip: rewrite every document, dropping 8-token
     // segments that repeat verbatim in >= 3 distinct docs (CCNet-style
     // chrome removal — the rewrite companion of chunk dedup)
@@ -2756,6 +2773,36 @@ object SparkEntry {
            cast(sum(length(aug) - length(red)) AS bigint) AS chars_removed
          FROM red GROUP BY 1 ORDER BY 1"""
     },
+
+    // same marker rule (md5 first-2-hex lexical compare, '20' = 1/8
+    // boundary probability) and the same prefix-sum chunk ids
+    "d_cdc_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         pos AS (
+           SELECT doc_id, lang, unnest(tk) AS tok,
+             generate_subscripts(tk, 1) AS pos
+           FROM toks),
+         m AS (
+           SELECT doc_id, lang, tok, pos,
+             CASE WHEN substring(md5(tok), 1, 2) < '20' THEN 1 ELSE 0 END AS marker
+           FROM pos),
+         cid AS (
+           SELECT doc_id, lang, tok, pos,
+             coalesce(sum(marker) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+           FROM m),
+         chunks AS (
+           SELECT doc_id, lang, chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+             count(*) AS n
+           FROM cid GROUP BY 1, 2, 3)
+         SELECT lang, count(*) AS n_chunks,
+           count(DISTINCT chunk_text) AS distinct_chunks,
+           round(avg(n), 2) AS avg_chunk_tokens,
+           cast(max(n) AS bigint) AS max_chunk_tokens
+         FROM chunks GROUP BY 1 ORDER BY 1""",
 
     "x_boilerplate_strip" ->
       """WITH toks AS (

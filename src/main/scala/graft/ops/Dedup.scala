@@ -24,6 +24,54 @@ object Dedup {
   def contentKey(text: Column): Column = TextAnalysis.fingerprint(text)
 
   /**
+   * Content-defined chunking (the CDC family behind rsync/LBFS and
+   * shift-resistant corpus dedup — public literature): split each document
+   * into variable-size token chunks whose BOUNDARIES depend only on local
+   * token content, never on absolute position. A boundary falls AFTER any
+   * token whose md5's first two hex chars compare below a threshold
+   * derived from `avgTokens` (probability 1/avgTokens per token), so
+   * inserting or deleting a prefix shifts at most the chunks up to the
+   * first boundary — every later chunk re-aligns bit-identically. That is
+   * the property fixed-size chunking ([[graft.ops.Corpus.chunkByTokens]])
+   * fundamentally lacks: one leading token added to a crawl re-shingles
+   * every fixed chunk, but leaves CDC chunks (and therefore chunk-level
+   * dedup against yesterday's corpus) intact.
+   *
+   * Output: one row per chunk — `idCol`, `chunk_idx` (0-based, in order),
+   * `chunk_text`, `chunk_tokens`. Chunk sizes are geometric with mean
+   * ~`avgTokens`; production CDC adds min/max clamps, which break the
+   * pure prefix-sum form (each boundary would depend on the previous) —
+   * the unclamped form keeps the plan one doc-keyed window and is what
+   * the DuckDB oracle replays marker-for-marker (lowercase-hex string
+   * comparison is identical in both engines).
+   *
+   * Scale shape: tokenize + posexplode + marker are narrow; chunk ids are
+   * one prefix sum over a (doc)-keyed window (state = one running count
+   * per doc, bounded); the rebuild groups on (doc, chunk) under the same
+   * doc-keyed distribution. Never a corpus-wide aggregate.
+   */
+  def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
+      avgTokens: Int = 8): DataFrame = {
+    require(avgTokens >= 2 && avgTokens <= 256,
+      s"avgTokens must be in [2, 256], got $avgTokens")
+    val thr = f"${256 / avgTokens}%02x" // lexical hex compare == numeric
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val marked = toks.withColumn("__marker",
+      when(substring(md5(col("__tok")), 1, 2) < thr, lit(1)).otherwise(lit(0)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .withColumn("chunk_idx", coalesce(sum(col("__marker")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("__pos"), col("__tok")))), s => s.getField("__tok")), " ")
+          .as("chunk_text"),
+        count(lit(1)).as("chunk_tokens"))
+  }
+
+  /**
    * Exact dedup: keep the lowest-`idCol` row per identical (normalized)
    * text. One shuffle on the digest; deterministic keeper choice.
    */

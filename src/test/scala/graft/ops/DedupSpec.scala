@@ -372,4 +372,51 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"prefix join must stay an equi-join on shingles:\n$plan")
   }
+
+  test("contentDefinedChunks: lossless reconstruction, consecutive ids, boundary rule matches md5") {
+    import spark.implicits._
+    val text = (1 to 400).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Dedup.contentDefinedChunks(d, "text", "doc_id", avgTokens = 8)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    // chunk ids are consecutive from 0 and the chunks concatenate back to
+    // the normalized text — nothing lost, nothing reordered
+    assert(chunks.map(_._1).toSeq === chunks.indices.map(_.toLong))
+    assert(chunks.map(_._2).mkString(" ") === text)
+    assert(chunks.map(_._3).sum === 400L)
+    assert(chunks.length > 1, "400 tokens at 1/8 boundary rate must split")
+    // boundary rule: a chunk ends exactly where its last token's md5
+    // starts below the threshold (except the final tail chunk)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def marker(tok: String): Boolean = {
+      val hex = mdig.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.substring(0, 2) < "20"
+    }
+    chunks.dropRight(1).foreach { case (_, txt, _) =>
+      assert(marker(txt.split(" ").last), s"non-tail chunk must end at a marker: '$txt'") }
+    chunks.dropRight(1).foreach { case (_, txt, _) =>
+      assert(!txt.split(" ").dropRight(1).exists(marker),
+        s"no interior marker allowed inside a chunk: '$txt'") }
+  }
+
+  test("contentDefinedChunks are shift-resistant: a prefix edit re-aligns after one boundary") {
+    import spark.implicits._
+    val base = (1 to 300).map(i => s"tok$i")
+    val d = Seq(
+      (1L, base.mkString(" ")),
+      (2L, ("injected " + base.mkString(" ")))
+    ).toDF("doc_id", "text")
+    val byDoc = Dedup.contentDefinedChunks(d, "text", "doc_id", avgTokens = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(2)).toSet }
+    val a = byDoc(1L)
+    val b = byDoc(2L)
+    // every chunk of the original except (at most) the first survives the
+    // prefix insertion verbatim — fixed-size chunking would share NONE
+    assert((a -- b).size <= 1,
+      s"at most the leading chunk may differ, got ${(a -- b).size} missing")
+    assert(a.size > 3, "enough chunks for the property to be meaningful")
+  }
 }
