@@ -1061,6 +1061,21 @@ object SparkEntry {
         .orderBy("cluster_id", "label")
     }),
 
+    // simplified centroid silhouette against the same fixed centroid
+    // table: per-cluster size + mean/min silhouette, rounded to the ANN
+    // queries' 4-dp cosine precision. Zero-exchange per-row scoring (the
+    // k centroids are codegen literals); the only shuffle is the k-row
+    // hash aggregate
+    "s_silhouette" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.silhouette(e, e.filter(col("vec_id") < 8))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("silhouette")), 4).as("mean_sil"),
+          round(min(col("silhouette")), 4).as("min_sil"))
+        .orderBy("cluster_id")
+    }),
+
     // int8 embedding quantization: per-vector scale, position-weighted
     // checksum of the quantized codes (pins every element exactly) and the
     // max dequantization error
@@ -1250,6 +1265,26 @@ object SparkEntry {
           sum(when(col("clipped_low"), 1L).otherwise(0L)).as("n_low"),
           sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_high"))
         .orderBy("event_type")),
+
+    // A/B experiment readout with CUPED variance reduction: variant =
+    // user_id % 2, metric = per-user value sum over Jan 16-30, covariate =
+    // the same sum over the Jan 1-15 pre-period. Per-user sums are rounded
+    // BEFORE the pooled theta/variance stage so every downstream double is
+    // partition-order independent. Scale shape: one user-keyed aggregate
+    // of the event log, then scalar + 2-row aggregates with broadcast
+    // attach — the log itself is shuffled once, on its natural unit key
+    "e_ab_cuped" -> ((s, dir) => {
+      val split = lit("2024-01-16").cast("timestamp")
+      val perUser = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(when(col("ts") < split, col("value")).otherwise(0d)), 6)
+            .as("x_pre"),
+          round(sum(when(col("ts") >= split, col("value")).otherwise(0d)), 6)
+            .as("y_post"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      graft.ops.Stats.cupedAbTest(perUser, "variant", "y_post", "x_pre")
+    }),
 
     // datetime scalar-function family: truncation, arithmetic, clamped
     // month addition, day diffs, field extraction — all narrow codegen'd
@@ -3940,6 +3975,35 @@ object SparkEntry {
            cast(sum(vec_id) AS bigint) AS id_sum
          FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // simplified silhouette replay: the rn=1 row is (cluster, a), rn=2 is
+    // b; argmin ties break to the lowest cluster_id exactly like the
+    // engine's first-position array_position on the sorted centroid array
+    "s_silhouette" ->
+      """WITH c AS (SELECT vec_id AS cluster_id, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id, c.cluster_id,
+             1.0 - list_sum(list_transform(list_zip(e.embedding, c.cv), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS d
+           FROM embeddings e CROSS JOIN c
+           WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0),
+         ranked AS (
+           SELECT vec_id, cluster_id, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rn
+           FROM scored),
+         sil AS (
+           SELECT r1.vec_id, r1.cluster_id,
+             CASE WHEN greatest(r1.d, r2.d) = 0 THEN 0.0
+                  ELSE (r2.d - r1.d) / greatest(r1.d, r2.d) END AS s
+           FROM ranked r1
+           JOIN ranked r2 ON r1.vec_id = r2.vec_id AND r2.rn = 2
+           WHERE r1.rn = 1)
+         SELECT cluster_id, count(*) AS n_vecs,
+           round(avg(s), 4) AS mean_sil,
+           round(min(s), 4) AS min_sil
+         FROM sil GROUP BY 1 ORDER BY 1""",
+
     // with nProbe = nCells every cell is probed — IVF output is provably
     // the brute-force result, so the oracle is annTopkSql verbatim
     "s_ann_ivf" -> annTopkSql,
@@ -4304,6 +4368,44 @@ object SparkEntry {
            cast(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS bigint) AS n_high
          FROM events e JOIN q USING (event_type)
          GROUP BY 1 ORDER BY 1""",
+
+    // CUPED A/B readout: per-user pre/post sums rounded to 6 dp BEFORE the
+    // pooled theta stage (both engines), so every downstream double is
+    // order-independent; outputs rounded at the usual display precision
+    "e_ab_cuped" ->
+      """WITH u AS (
+           SELECT user_id,
+             round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END), 6) AS x_pre,
+             round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END), 6) AS y_post,
+             cast(user_id % 2 AS int) AS variant
+           FROM events GROUP BY 1),
+         pooled AS (
+           SELECT covar_pop(y_post, x_pre) / var_pop(x_pre) AS theta,
+             avg(x_pre) AS x_mean
+           FROM u),
+         adj AS (
+           SELECT u.*, p.theta,
+             u.y_post - p.theta * (u.x_pre - p.x_mean) AS y_adj
+           FROM u CROSS JOIN pooled p),
+         v AS (
+           SELECT variant, count(*) AS n_units,
+             avg(y_post) AS mean_y, var_samp(y_post) AS var_y,
+             avg(y_adj) AS mean_adj, var_samp(y_adj) AS var_adj,
+             min(theta) AS theta
+           FROM adj GROUP BY 1),
+         t AS (
+           SELECT (arg_max(mean_adj, variant) - arg_min(mean_adj, variant))
+                    / sqrt(sum(var_adj / n_units)) AS t_cuped
+           FROM v)
+         SELECT v.variant, v.n_units,
+           round(v.mean_y, 6) AS mean_y,
+           round(v.mean_adj, 6) AS mean_cuped,
+           round(v.var_y, 6) AS var_y,
+           round(v.var_adj, 6) AS var_cuped,
+           round(v.theta, 6) AS theta,
+           round((1.0 - v.var_adj / v.var_y) * 100, 4) AS var_reduction_pct,
+           round(t.t_cuped, 4) AS t_cuped
+         FROM v CROSS JOIN t ORDER BY v.variant""",
 
     "q38_datetime" ->
       """SELECT o_orderkey,

@@ -850,4 +850,76 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("__score"), 4).as("mmr_score"))
   }
+
+  /**
+   * Simplified (centroid-based) silhouette — the cluster-quality
+   * diagnostic that is actually computable at corpus scale. The classic
+   * silhouette needs all pairwise point distances (O(n²), a non-starter
+   * at 100 TB); the simplified variant (Hruschka et al.) scores each
+   * point against CENTROIDS only, in cosine dissimilarity:
+   * `a = 1 - cos(x, nearest centroid)`, `b = 1 - cos(x, second nearest)`,
+   * `s = (b - a) / max(a, b)` (0 when both are 0). Adds `cluster_id`
+   * (nearest centroid, ties to the lowest id) and `silhouette` to every
+   * non-null-vector row.
+   *
+   * Scale shape mirrors [[assignToCentroids]]: below the unroll limit the
+   * k centroids become codegen literals and the whole score is narrow
+   * zero-exchange map work; above it, a broadcast cross join with a
+   * per-id two-smallest aggregate (k-bounded `sort_array(collect_list)`)
+   * — either way the corpus is never shuffled against itself.
+   */
+  def silhouette(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "vec_id"): DataFrame = {
+    val vecOk = col(vecCol).isNotNull && size(col(vecCol)) > 0
+    val k = centroids.count()
+    require(k >= 2, s"silhouette needs >= 2 centroids, got $k")
+    if (k * vectorDim(centroids, vecCol) <= UnrolledAssignLimit) {
+      val cents = centroids
+        .select(col(centroidIdCol).cast("long").as("cluster_id"),
+          col(vecCol).cast("array<double>").as("__centroid"))
+        .orderBy("cluster_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val dis = array(cents.map { case (_, v) =>
+        lit(1.0) -
+          cosineFast(col(vecCol).cast("array<double>"), typedlit(v)) }: _*)
+      val ids = typedlit(cents.map(_._1))
+      vectors.filter(vecOk)
+        .withColumn("__dis", dis)
+        // array_position takes the FIRST index of the min — with cents
+        // sorted, a distance tie assigns the lowest cluster_id, matching
+        // the fallback's min(struct(d, id)) and the oracle's
+        // ORDER BY d, cluster_id
+        .withColumn("cluster_id", element_at(ids,
+          array_position(col("__dis"), array_min(col("__dis"))).cast("int")))
+        .withColumn("__srt", sort_array(col("__dis")))
+        .withColumn("silhouette", silhouetteOf(
+          col("__srt")(0), col("__srt")(1)))
+        .drop("__dis", "__srt")
+    } else {
+      val cents = broadcast(centroids.select(
+        col(centroidIdCol).cast("long").as("__cid"),
+        col(vecCol).cast("array<double>").as("__centroid")))
+      val scored = vectors.filter(vecOk)
+        .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+        .crossJoin(cents)
+        .withColumn("__d", lit(1.0) -
+          cosineFast(col("__v").cast("array<double>"), col("__centroid")))
+      val perVec = scored
+        .groupBy(col("__vid"))
+        .agg(min(struct(col("__d"), col("__cid"))).as("__best"),
+          sort_array(collect_list(col("__d"))).as("__srt"))
+        .select(col("__vid"), col("__best").getField("__cid").as("cluster_id"),
+          silhouetteOf(col("__srt")(0), col("__srt")(1)).as("silhouette"))
+      vectors.filter(vecOk)
+        .join(perVec, col(idCol) === col("__vid"))
+        .drop("__vid")
+    }
+  }
+
+  /** `(b - a) / max(a, b)`, 0 when the max is 0 (point == both centroids). */
+  private def silhouetteOf(a: Column, b: Column): Column =
+    when(greatest(a, b) === 0d, lit(0d))
+      .otherwise((b - a) / greatest(a, b))
 }

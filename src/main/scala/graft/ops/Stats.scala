@@ -143,4 +143,61 @@ object Stats {
         v.isNotNull && coalesce(v > col("__hi"), lit(false)))
       .drop("__lo", "__hi")
   }
+
+  /**
+   * A/B experiment readout with CUPED variance reduction (Deng et al.,
+   * WSDM'13): per-unit metric `y` over the experiment period, pre-period
+   * covariate `x`, adjustment `y_cuped = y - theta * (x - mean(x))` with
+   * `theta = cov(y, x) / var(x)` estimated on the pooled population, and a
+   * Welch t statistic on the adjusted means. The pre-period covariate is
+   * unaffected by treatment, so the adjustment removes the between-user
+   * variance it explains without biasing the treatment delta.
+   *
+   * Input `perUnit` must carry one row per experiment unit with columns
+   * `variantCol` (two distinct values, compared in ascending order),
+   * `yCol` and `xCol` (nulls treated as 0 upstream by the caller).
+   * Returns one row per variant — `variant, n_units, mean_y, mean_cuped,
+   * var_y, var_cuped` — plus the pooled scalars `theta`,
+   * `var_reduction_pct` and `t_cuped` repeated on each row.
+   *
+   * Scale shape: the unit table is already the |units|-row reduction of
+   * the raw event log (caller aggregates); this adds one scalar aggregate
+   * (theta / mean — mergeable partials), a broadcast of that single row
+   * back onto the unit table, and a 2-row variant aggregate. The event
+   * corpus is never shuffled here.
+   */
+  def cupedAbTest(perUnit: DataFrame, variantCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    val pooled = perUnit.agg(
+      (covar_pop(y, x) / var_pop(x)).as("__theta"),
+      avg(x).as("__x_mean"))
+    val adjusted = perUnit.crossJoin(broadcast(pooled))
+      .withColumn("__y_adj",
+        y - col("__theta") * (x - col("__x_mean")))
+    val byVariant = adjusted
+      .groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        avg(y).as("__mean_y"), variance(y).as("__var_y"),
+        avg(col("__y_adj")).as("__mean_adj"),
+        variance(col("__y_adj")).as("__var_adj"),
+        first(col("__theta")).as("__theta"))
+    // Welch t on the adjusted means: 2-row self-aggregate, driver-free
+    val t = byVariant.agg(
+      ((max(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj")
+        - min(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj"))
+        / sqrt(sum(col("__var_adj") / col("n_units")))).as("__t_cuped"))
+    byVariant.crossJoin(broadcast(t))
+      .select(col("variant"), col("n_units"),
+        round(col("__mean_y"), 6).as("mean_y"),
+        round(col("__mean_adj"), 6).as("mean_cuped"),
+        round(col("__var_y"), 6).as("var_y"),
+        round(col("__var_adj"), 6).as("var_cuped"),
+        round(col("__theta"), 6).as("theta"),
+        round((lit(1.0) - col("__var_adj") / col("__var_y")) * 100, 4)
+          .as("var_reduction_pct"),
+        round(col("__t_cuped"), 4).as("t_cuped"))
+      .orderBy("variant")
+  }
 }

@@ -458,4 +458,51 @@ class SimilaritySpec extends SparkTestBase {
     // q2: fusion never leaks across queries
     assert(got.filter(_._1 == 2L).map(_._3).toSet === Set(20L, 21L))
   }
+
+  test("silhouette: geometry fixture — on-centroid 1, equidistant 0, ties to lowest id; nulls dropped") {
+    import spark.implicits._
+    val r = math.sqrt(0.5).toFloat
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),        // == centroid 0: a=0, b=1, s=1
+      (1L, Array(0f, 1f)),        // == centroid 1: s=1, cluster 1
+      (2L, Array(r, r)),          // equidistant: a=b -> s=0, tie -> cluster 100
+      (3L, null.asInstanceOf[Array[Float]])) // excluded
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.silhouette(vecs, cents)
+      .select("vec_id", "cluster_id", "silhouette")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got(0)._2 === 100L && math.abs(got(0)._3 - 1.0) < 1e-9)
+    assert(got(1)._2 === 101L && math.abs(got(1)._3 - 1.0) < 1e-9)
+    assert(got(2)._2 === 100L && math.abs(got(2)._3) < 1e-9)
+  }
+
+  test("silhouette: broadcast-join fallback matches the unrolled path exactly") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 17) % 23 - 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 3).map { c =>
+      (c.toLong, Array.tabulate(4)(d => ((c * 7 + d * 5) % 9 - 4).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(): Seq[(Long, Long, Double)] =
+      Similarity.silhouette(vecs, cents)
+        .select("vec_id", "cluster_id", "silhouette")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val unrolled = run()
+    val saved = Similarity.UnrolledAssignLimit
+    val fallback = try {
+      Similarity.UnrolledAssignLimit = 1L
+      run()
+    } finally Similarity.UnrolledAssignLimit = saved
+    assert(unrolled.size === 40)
+    unrolled.zip(fallback).foreach { case ((ida, ca, sa), (idb, cb, sb)) =>
+      assert(ida === idb && ca === cb)
+      assert(math.abs(sa - sb) < 1e-12, s"vec $ida: $sa vs $sb")
+    }
+  }
 }

@@ -103,4 +103,33 @@ class StatsSpec extends SparkTestBase {
     assert((out.getLong(0), out.getLong(1)) === ((5L, 5L)))
     assert((out.getDouble(3), out.getDouble(2)) === ((5.0, 95.0)))
   }
+
+  test("cupedAbTest: pre-period covariate strips the between-unit variance; matches a driver-side reference") {
+    import spark.implicits._
+    // y = 2x + 5*variant + deterministic noise: almost all outcome variance
+    // is the pre-period covariate, so CUPED should collapse it and the
+    // Welch t should scream while the raw means barely separate
+    val units = (0 until 100).map { i =>
+      val x = i.toDouble
+      val v = i % 2
+      val noise = ((i * 7) % 13 - 6) * 0.5
+      (v, x, 2.0 * x + 5.0 * v + noise)
+    }.toDF("variant", "x_pre", "y_post")
+    val got = Stats.cupedAbTest(units, "variant", "y_post", "x_pre")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))
+    assert(got.map(_._1).toSeq === Seq(0, 1))
+    val Array(v0, v1) = got
+    // driver-side reference (python-checked): theta ≈ slope 2, adjusted
+    // variance collapses from ~3.4e3 to ~3.5, t ≈ 13.58 on a true effect 5
+    assert(math.abs(v0._7 - 2.002772) < 1e-4, s"theta ${v0._7}")
+    assert(math.abs(v0._3 - 97.89) < 1e-6 && math.abs(v1._3 - 105.01) < 1e-6)
+    assert(math.abs(v0._4 - 98.891386) < 1e-4 && math.abs(v1._4 - 104.008614) < 1e-4)
+    assert(math.abs(v0._6 - 3.347289) < 1e-3 && math.abs(v1._6 - 3.753917) < 1e-3)
+    assert(v0._8 > 99.0 && v1._8 > 99.0, "variance reduction must exceed 99%")
+    assert(math.abs(v0._9 - 13.5786) < 1e-3, s"t ${v0._9}")
+    assert(v0._9 === v1._9, "pooled t repeats on both rows")
+    assert(v0._2 === 50L && v1._2 === 50L)
+  }
 }
