@@ -1671,6 +1671,27 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // rewrite_position_delete_files: after a binpack leaves a fully
+    // dangling position-delete file and a second positional delete lands
+    // on the compacted file, the rewrite must drop the dangling entries,
+    // compact to ONE delete file, and leave the read state untouched. The
+    // metadata assertions ride as columns: file count (exactly 1) and the
+    // live record count, which the oracle recomputes as the second
+    // delete's matched-row count
+    "t_rewrite_pos_deletes" -> ((s, dir) => {
+      val t = TableFixtures.ordersPosRewritten(s, dir)
+      val dels = t.meta.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty)
+      val posDels = dels.filter(_.isPositional)
+      t.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("n_pos_delete_files", lit(posDels.size))
+        .withColumn("live_delete_records", lit(posDels.map(_.records).sum))
+        .orderBy("o_orderstatus")
+    }),
+
     // V1 via SQL: the DSv2 catalog surface — VERSION AS OF a branch ref
     "t_sql_time_travel" -> ((s, dir) => {
       val cat = TableFixtures.sqlCatalog(s, dir)
@@ -4866,6 +4887,23 @@ object SparkEntry {
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey % 10 <> 3
          GROUP BY 1 ORDER BY 1""",
+
+    // content = both appended thirds minus the two positional delete
+    // bands; the metadata columns pin the rewrite: exactly one surviving
+    // position-delete file whose record count equals the SECOND delete's
+    // matched rows (the first delete's entries all dangled after binpack)
+    "t_rewrite_pos_deletes" ->
+      s"""WITH base AS (
+           SELECT * FROM orders
+           WHERE o_orderkey % 3 IN (0, 1) AND NOT o_totalprice > 300000),
+         finalt AS (SELECT * FROM base WHERE o_orderkey % 10 <> 7),
+         d2 AS (SELECT count(*) AS cnt FROM base WHERE o_orderkey % 10 = 7)
+         SELECT o_orderstatus, count(*) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           ${centsSql("o_totalprice")} AS total_cents,
+           1 AS n_pos_delete_files,
+           (SELECT cnt FROM d2) AS live_delete_records
+         FROM finalt GROUP BY 1 ORDER BY 1""",
 
     // hidden partitioning: the transform-pruned read must equal a plain
     // filter over the raw events — full-precision ts included

@@ -342,6 +342,31 @@ object TableFixtures {
     })
 
   /**
+   * Position-delete MAINTENANCE fixture: two small files, a positional
+   * delete spanning both, then a binpack — which materializes those rows
+   * away but must carry the delete file for safety (now 100% dangling) —
+   * a second positional delete against the compacted file, and
+   * `rewrite_position_delete_files`. End state: ONE position-delete file
+   * holding exactly the second delete's entries, table content unchanged
+   * == (keys %3 in {0,1}) minus both delete bands.
+   */
+  def ordersPosRewritten(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_pos_rewritten", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_pos_rewritten"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_pos_rewritten",
+        orders.schema)
+      t.append(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1))
+      t.append(orders.filter(col("o_orderkey") % 3 === 1).coalesce(1))
+      t.deleteWherePositional(col("o_totalprice") > 300000)
+      t.rewriteDataFilesBinpack(minFileSizeBytes = Long.MaxValue)
+      t.deleteWherePositional(col("o_orderkey") % 10 === 7)
+      t.rewritePositionDeleteFiles()
+      t
+    })
+
+  /**
    * Maintenance fixture: ordersVersioned pipeline + sorted compaction +
    * snapshot expiry (branch-pinned v1..v3 survive). Data state == full
    * orders; used to prove maintenance preserves contents.

@@ -1648,6 +1648,54 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /**
+   * `CALL system.rewrite_position_delete_files(table)` — Iceberg's MoR
+   * delete-maintenance procedure (reference relies on the runtime's
+   * SparkActions equivalent): union-read every position-delete file in the
+   * head snapshot, DROP DANGLING entries — positions naming data files no
+   * longer live, left behind when a partial compaction (binpack)
+   * materialized their rows away but had to carry the delete file for the
+   * files it did not touch — dedup, and commit the survivors back as a
+   * compacted file set (writeDeleteFiles' usual rows-per-file fan-out).
+   * Equality deletes are carried untouched: re-sequencing an equality
+   * delete over files added after it would delete rows it never matched,
+   * while a position entry names an exact (file, row index), so widening
+   * its sequence over live files is a no-op by construction.
+   *
+   * Scale shape: one distributed scan of the delete files, a broadcast
+   * semi-join against the live-path list (driver-held metadata either
+   * way), one distinct on (file, pos); the data files themselves are
+   * never read or rewritten. Returns the new head snapshot (unchanged if
+   * the table holds no position deletes).
+   */
+  def rewritePositionDeleteFiles(): GraftSnapshot = withCommitLock {
+    val m = meta
+    val ref = wapBranch.filter(m.refs.contains).getOrElse(SnapshotLog.MainBranch)
+    val snap = m.snapshotForRef(ref).getOrElse(
+      throw new IllegalStateException(s"${m.name}: no snapshot to rewrite"))
+    val posDels = snap.deleteFiles.filter(_.isPositional)
+    if (posDels.isEmpty) snap
+    else {
+      val live = spark.createDataset(snap.files.map(_.path))(
+        org.apache.spark.sql.Encoders.STRING).toDF("__livef")
+      val entries = spark.read
+        .parquet(posDels.map(d => s"$dataDir/${d.path}"): _*)
+        .select(col("__file"), col("__pos"))
+        .join(broadcast(live), col("__file") === col("__livef"), "left_semi")
+        .distinct()
+      val newDels = writeDeleteFiles(entries, Seq("__file", "__pos"),
+        kind = "position")
+      commitSnapshot(m, Seq.empty, Seq.empty, "replace", branch = None,
+        addedDeletes = newDels,
+        extraSummary = Map(
+          "rewritten-delete-files" -> posDels.size.toString,
+          "removed-delete-records" ->
+            (posDels.map(_.records).sum - newDels.map(_.records).sum).toString),
+        preserveDeletes = true,
+        removedDeletes = posDels.map(_.path).toSet)
+    }
+  }
+
+  /**
    * Partition-spec evolution (Iceberg `ALTER TABLE … PARTITION FIELD`
    * semantics): a metadata-only commit switching the spec FOR FUTURE
    * WRITES. Existing data files keep their layout — reads group files by
@@ -2139,7 +2187,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       removed: Seq[String], operation: String, branch: Option[String],
       addedDeletes: Seq[DeleteFile] = Seq.empty,
       extraSummary: Map[String, String] = Map.empty,
-      preserveDeletes: Boolean = false): GraftSnapshot = {
+      preserveDeletes: Boolean = false,
+      removedDeletes: Set[String] = Set.empty): GraftSnapshot = {
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
     require(!m.tags.contains(b),
       s"$b is a tag on ${m.name}; tags are immutable and cannot be written to")
@@ -2168,7 +2217,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // never resolve through unbounded chains and the collapse cost is
     // amortized O(live/maxChain) per commit
     val maxChain = m.props.getOrElse("write.manifest.max-chain", "32").toInt
-    val amortizable = removed.isEmpty && !clearsDeletes &&
+    val amortizable = removed.isEmpty && removedDeletes.isEmpty && !clearsDeletes &&
       head.forall(h => h.inlineFiles.isEmpty && h.inlineDeleteFiles.isEmpty) &&
       head.map(_.manifestRefs.size).getOrElse(0) < maxChain
     val (inlineF, inlineD, parentManifests) =
@@ -2185,7 +2234,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // added before it
         val liveDeletes =
           if (clearsDeletes) Seq.empty
-          else head.map(_.deleteFiles).getOrElse(Seq.empty) ++
+          else head.map(_.deleteFiles).getOrElse(Seq.empty)
+            .filterNot(d => removedDeletes(d.path)) ++
             addedDeletes.map(_.copy(seq = id))
         (live, liveDeletes, Seq.empty)
       }

@@ -36,7 +36,7 @@ private[catalog] object GraftProcedures {
     "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
     "rollback_to_snapshot", "set_partition_spec", "create_changelog_view",
-    "cherrypick_snapshot")
+    "cherrypick_snapshot", "rewrite_position_delete_files")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -46,6 +46,8 @@ private[catalog] object GraftProcedures {
       case "remove_orphan_files" => Some(new RemoveOrphanFiles(catalog))
       case "rewrite_data_files"  => Some(new RewriteDataFiles(catalog))
       case "rewrite_manifests"   => Some(new RewriteManifests(catalog))
+      case "rewrite_position_delete_files" =>
+        Some(new RewritePositionDeleteFiles(catalog))
       case "expire_snapshots"    => Some(new ExpireSnapshots(catalog))
       case "rollback_to_snapshot" => Some(new RollbackToSnapshot(catalog))
       case "cherrypick_snapshot" => Some(new CherrypickSnapshot(catalog))
@@ -231,6 +233,32 @@ private[catalog] object GraftProcedures {
       val t = table(input.getUTF8String(0).toString)
       t.rewriteManifests()
       result(out, Seq(new GenericInternalRow(Array[Any](t.manifestsDF.count()))))
+    }
+  }
+
+  /** `rewrite_position_delete_files(table)`: compact the head snapshot's
+    * position-delete files and drop dangling entries (Iceberg's
+    * rewrite_position_delete_files procedure). */
+  private class RewritePositionDeleteFiles(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "rewrite_position_delete_files") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("rewritten_delete_files_count", LongType, nullable = false),
+      StructField("added_delete_files_count", LongType, nullable = false),
+      StructField("removed_delete_records", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val snap = t.rewritePositionDeleteFiles()
+      // a no-op (no position deletes) returns the unchanged head, whose
+      // summary carries none of the rewrite keys — report zeros
+      val rewritten =
+        snap.summary.get("rewritten-delete-files").map(_.toLong).getOrElse(0L)
+      val added = if (rewritten == 0L) 0L
+        else snap.summary.get("added-delete-files").map(_.toLong).getOrElse(0L)
+      result(out, Seq(new GenericInternalRow(Array[Any](
+        rewritten, added,
+        snap.summary.get("removed-delete-records").map(_.toLong).getOrElse(0L)))))
     }
   }
 

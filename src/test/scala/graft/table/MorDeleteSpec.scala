@@ -337,4 +337,50 @@ class MorDeleteSpec extends SparkTestBase {
          "records":3,"sizeBytes":100}"""
     assert(Serialization.read[DataFile](legacyFile).dataSeq === None)
   }
+
+  test("rewrite_position_delete_files drops dangling entries, compacts files, keeps equality deletes") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("pos-rewrite"), "pos_rw",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    t.append((10L until 20L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    t.deleteWherePositional(col("k") % 5 === 0)          // 4 entries, 2 files
+    t.deleteWhereMoR(col("k") === 7, Seq("k"))           // equality, must survive
+    // binpack rewrites both files; the position delete file dangles 100%
+    t.rewriteDataFilesBinpack(minFileSizeBytes = Long.MaxValue)
+    t.deleteWherePositional(col("k") === 11)             // 1 live entry
+    val before = t.meta.currentSnapshot.get.deleteFiles
+    assert(before.count(_.isPositional) === 2)
+    assert(before.filter(_.isPositional).map(_.records).sum === 5)
+    val contentBefore = t.toDF.orderBy("k").collect().toSeq
+
+    val snap = t.rewritePositionDeleteFiles()
+    val after = snap.deleteFiles
+    // ONE compacted position file holding only the live entry; the
+    // equality delete is untouched (same path, same seq)
+    assert(after.count(_.isPositional) === 1)
+    assert(after.filter(_.isPositional).map(_.records).sum === 1)
+    assert(after.filter(_.kind == "equality").map(d => (d.path, d.seq))
+      === before.filter(_.kind == "equality").map(d => (d.path, d.seq)))
+    assert(snap.summary("removed-delete-records") === "4")
+    assert(t.toDF.orderBy("k").collect().toSeq === contentBefore)
+    assert(t.toDF.count() === 14) // 20 - 4 (%5) - 1 (k=7) - 1 (k=11)
+
+    // idempotent no-op shape: a second rewrite still reads correctly and
+    // keeps a single compacted file
+    val again = t.rewritePositionDeleteFiles()
+    assert(again.deleteFiles.count(_.isPositional) === 1)
+    assert(t.toDF.count() === 14)
+  }
+
+  test("rewrite_position_delete_files is a no-op without position deletes") {
+    val t = fresh("pos-rw-noop")
+    t.deleteWhereMoR(col("txn_id") === "txn3", Seq("txn_id"))
+    val head = t.meta.currentSnapshot.get
+    val snap = t.rewritePositionDeleteFiles()
+    assert(snap.id === head.id, "must not commit a new snapshot")
+    assert(t.toDF.count() === 14)
+  }
 }

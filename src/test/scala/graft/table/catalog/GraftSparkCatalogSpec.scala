@@ -278,6 +278,19 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       assert(cp.head.getLong(0) === staged.id)
       assert(t.toDF.count() === n + 1)
       assert(t.toDF.filter(col("k") === "z").count() === 1)
+
+      // rewrite_position_delete_files: dangle a pos delete via binpack,
+      // then compact — one file left, the dangling record reported removed
+      val total = t.toDF.count()
+      t.deleteWherePositional(col("k") === "z") // 1 entry
+      t.rewriteDataFilesBinpack(minFileSizeBytes = Long.MaxValue)
+      t.deleteWherePositional(col("k") === "e") // 1 live entry
+      val pr = spark.sql(
+        "CALL graft.system.rewrite_position_delete_files('finance.proc')").collect()
+      assert(pr.head.getLong(0) === 2L, "two position files rewritten")
+      assert(pr.head.getLong(1) === 1L, "compacted to one")
+      assert(pr.head.getLong(2) === 1L, "the dangled entry dropped")
+      assert(t.toDF.count() === total - 2)
     } finally spark.sql("DROP TABLE graft.finance.proc")
   }
 
