@@ -170,8 +170,11 @@ object Stats {
       xCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val x = col(xCol).cast("double")
+    // a constant covariate carries no information: theta degrades to 0
+    // (no adjustment) instead of an ANSI divide-by-zero
     val pooled = perUnit.agg(
-      (covar_pop(y, x) / var_pop(x)).as("__theta"),
+      when(var_pop(x) === 0d, lit(0d))
+        .otherwise(covar_pop(y, x) / var_pop(x)).as("__theta"),
       avg(x).as("__x_mean"))
     val adjusted = perUnit.crossJoin(broadcast(pooled))
       .withColumn("__y_adj",
@@ -183,11 +186,17 @@ object Stats {
         avg(col("__y_adj")).as("__mean_adj"),
         variance(col("__y_adj")).as("__var_adj"),
         first(col("__theta")).as("__theta"))
-    // Welch t on the adjusted means: 2-row self-aggregate, driver-free
-    val t = byVariant.agg(
-      ((max(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj")
-        - min(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj"))
-        / sqrt(sum(col("__var_adj") / col("n_units")))).as("__t_cuped"))
+    // Welch t on the adjusted means: 2-row self-aggregate, driver-free.
+    // Zero pooled standard error (the covariate explains the outcome
+    // exactly) leaves t undefined — null, not a division error
+    val t = {
+      val se = sqrt(sum(col("__var_adj") / col("n_units")))
+      val diff =
+        max(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj") -
+        min(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj")
+      byVariant.agg(
+        when(se === 0d, lit(null)).otherwise(diff / se).as("__t_cuped"))
+    }
     byVariant.crossJoin(broadcast(t))
       .select(col("variant"), col("n_units"),
         round(col("__mean_y"), 6).as("mean_y"),
@@ -195,7 +204,8 @@ object Stats {
         round(col("__var_y"), 6).as("var_y"),
         round(col("__var_adj"), 6).as("var_cuped"),
         round(col("__theta"), 6).as("theta"),
-        round((lit(1.0) - col("__var_adj") / col("__var_y")) * 100, 4)
+        round(when(col("__var_y") === 0d, lit(null))
+          .otherwise((lit(1.0) - col("__var_adj") / col("__var_y")) * 100), 4)
           .as("var_reduction_pct"),
         round(col("__t_cuped"), 4).as("t_cuped"))
       .orderBy("variant")

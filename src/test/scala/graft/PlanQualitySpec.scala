@@ -640,4 +640,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("file_path") || plan.contains("_metadata"),
       s"_file/_pos must come from parquet scan metadata:\n$plan")
   }
+
+  test("silhouette (unrolled): zero-exchange map work — centroids are codegen literals") {
+    import spark.implicits._
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i + d).toFloat))).toDF("vec_id", "embedding")
+    val cents = (0 until 3).map(c =>
+      (c.toLong, Array.tabulate(4)(d => (c * 2 + d).toFloat))).toDF("vec_id", "embedding")
+    val plan = graft.ops.Similarity.silhouette(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"per-row silhouette must not shuffle or join the corpus:\n$plan")
+  }
+
+  test("cupedAbTest: scalar stats broadcast back; only nested-loop joins against 1-row sides") {
+    import spark.implicits._
+    val units = (0 until 200).map(i =>
+      (i % 2, i.toDouble, i * 2.0 + (i * 7 % 13))).toDF("variant", "x_pre", "y_post")
+    val out = graft.ops.Stats.cupedAbTest(units, "variant", "y_post", "x_pre")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the theta/mean and t attach are 1-row broadcasts; no shuffle join,
+    // no cartesian against anything wider than a scalar row
+    assert(!plan.contains("SortMergeJoin"),
+      s"cupedAbTest must not shuffle-join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"scalar stats must attach by broadcast:\n$plan")
+  }
 }

@@ -132,4 +132,21 @@ class StatsSpec extends SparkTestBase {
     assert(v0._9 === v1._9, "pooled t repeats on both rows")
     assert(v0._2 === 50L && v1._2 === 50L)
   }
+
+  test("cupedAbTest degenerate inputs: constant covariate -> theta 0; exact fit -> null t, no ANSI error") {
+    import spark.implicits._
+    // constant x: no covariate information — theta 0, adjustment a no-op
+    val constX = (0 until 20).map(i => (i % 2, 5.0, i.toDouble))
+      .toDF("variant", "x_pre", "y_post")
+    val c = Stats.cupedAbTest(constX, "variant", "y_post", "x_pre").collect()
+    assert(c.forall(_.getDouble(6) === 0.0), "theta must be 0 for constant x")
+    c.foreach(r => assert(r.getDouble(3) === r.getDouble(2),
+      "no-op adjustment must keep the raw mean"))
+    // perfect fit: y = 2x exactly — adjusted variance 0, t undefined (null)
+    val exact = (0 until 20).map(i => (i % 2, i.toDouble, i * 2.0))
+      .toDF("variant", "x_pre", "y_post")
+    val e = Stats.cupedAbTest(exact, "variant", "y_post", "x_pre").collect()
+    assert(e.forall(_.isNullAt(8)), "zero standard error must yield null t")
+    assert(e.forall(_.getDouble(5) === 0.0), "adjusted variance must be 0")
+  }
 }
