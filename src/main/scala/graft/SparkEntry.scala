@@ -1231,6 +1231,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // exact triangle counting on the user co-occurrence graph (users
+    // active in the same event_type × hour cell are linked): the
+    // community-density probe of behavioral analytics. Degree-ordered
+    // orientation bounds every node's wedge work by O(√m) — hubs never
+    // explode the self-join — and the oracle replays orientation, wedge
+    // and closure joins verbatim
+    "e_triangles" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .distinct()
+      val a = ev.select(col("user_id").as("u"), col("event_type"), col("hr"))
+      val b = ev.select(col("user_id").as("v"), col("event_type"), col("hr"))
+      val edges = a.join(b, Seq("event_type", "hr"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.ops.Graph.triangleCount(edges, "u", "v")
+        .orderBy("node")
+    }),
+
     // PSI drift monitor: current-half event values bucketed by the
     // reference half's deciles; equi-depth boundaries broadcast, both
     // slices collapse map-side to 10-row count tables
@@ -4317,6 +4337,45 @@ object SparkEntry {
          SELECT event_id, user_id, event_type FROM w
          WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
          ORDER BY event_id""",
+
+    // degree-ordered triangle replay: same orientation (degree, node)
+    // total order, same wedge/closure joins — pure set logic, exact match
+    "e_triangles" ->
+      """WITH occ AS (
+           SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+           FROM events),
+         edges AS (
+           SELECT DISTINCT x.user_id AS a, y.user_id AS b
+           FROM occ x JOIN occ y
+             ON x.event_type = y.event_type AND x.hr = y.hr
+              AND x.user_id < y.user_id),
+         deg AS (
+           SELECT n, count(*) AS d FROM (
+             SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges) t
+           GROUP BY 1),
+         o AS (
+           SELECT
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN db.d ELSE da.d END AS dd
+           FROM edges e
+           JOIN deg da ON e.a = da.n
+           JOIN deg db ON e.b = db.n),
+         wedge AS (
+           SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+           FROM o e1 JOIN o e2 ON e1.src = e2.src
+           WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+         tri AS (
+           SELECT wg.u, wg.v, wg.w
+           FROM wedge wg JOIN o e3 ON e3.src = wg.v AND e3.dst = wg.w)
+         SELECT node, count(*) AS n_triangles FROM (
+           SELECT u AS node FROM tri
+           UNION ALL SELECT v AS node FROM tri
+           UNION ALL SELECT w AS node FROM tri) x
+         GROUP BY 1 ORDER BY 1""",
 
     // same Laplace smoothing (+0.5/bucket) and arithmetic order as
     // Stats.populationStability, so psi_term hash-matches at 6 decimals

@@ -80,4 +80,59 @@ object Graph {
     }
     ranks.select(col("__node").as("node"), col("__rank").as("pagerank"))
   }
+
+  /**
+   * Exact per-node triangle counting via degree-ordered orientation (the
+   * distributed classic — Suri & Vassilvitskii WWW'11; public
+   * literature). Input is an arbitrary edge list: direction and
+   * multiplicity are ignored, self-loops dropped. Returns (`node`,
+   * `n_triangles`) for every node in at least one triangle.
+   *
+   * Scale shape: each undirected edge is oriented from its lower to its
+   * higher endpoint in the (degree, node) total order, which bounds every
+   * out-degree by O(√m) on ANY graph — wedge generation Σ outdeg² stays
+   * near-linear on power-law degree distributions where a naive adjacency
+   * self-join explodes on the hubs. The plan is one node-keyed degree
+   * aggregate, two degree-stamp joins (|nodes|-row side), one src-keyed
+   * wedge self-join, one (v,w)-keyed closure join, and a 3-endpoint
+   * explode + node-keyed count — every shuffle is keyed, nothing is
+   * quadratic in a node's raw degree.
+   */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set: (a, b) with a < b, no loops, distinct
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .distinct()
+    val deg = und.select(col("__a").as("__n"))
+      .unionAll(und.select(col("__b").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    // stamp both endpoint degrees; orient by the (degree, node) total
+    // order — ties on degree fall back to the node id, so the order is
+    // strict and the orientation acyclic
+    val stamped = und
+      .join(deg.select(col("__n").as("__a"), col("__d").as("__da")), Seq("__a"))
+      .join(deg.select(col("__n").as("__b"), col("__d").as("__db")), Seq("__b"))
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("__a") < col("__b"))
+    val oriented = stamped.select(
+      when(aFirst, col("__a")).otherwise(col("__b")).as("__src"),
+      when(aFirst, col("__b")).otherwise(col("__a")).as("__dst"),
+      struct(when(aFirst, col("__db")).otherwise(col("__da")).as("d"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("n")).as("__dk"))
+    // wedges u→v, u→w with key(v) < key(w); the closing edge, if the
+    // triangle exists, is oriented v→w by the same order
+    val e1 = oriented.select(col("__src").as("__u"), col("__dst").as("__v"),
+      col("__dk").as("__kv"))
+    val e2 = oriented.select(col("__src").as("__u"), col("__dst").as("__w"),
+      col("__dk").as("__kw"))
+    val wedges = e1.join(e2, Seq("__u")).filter(col("__kv") < col("__kw"))
+    val closing = oriented.select(col("__src").as("__v"), col("__dst").as("__w"))
+    val tris = wedges.join(closing, Seq("__v", "__w"))
+    tris.select(explode(array(col("__u"), col("__v"), col("__w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

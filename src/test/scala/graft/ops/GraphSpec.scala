@@ -69,4 +69,36 @@ class GraphSpec extends SparkTestBase {
       assert(math.abs(got(v) - rank(idx(v))) < 1e-9, s"node $v")
     }
   }
+
+  test("triangleCount: K4 + square + pendant, robust to duplicates/reversal/self-loops") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, each node in 3), square 10-11-12-13 (none),
+    // pendant 4-20 (none); plus noise: duplicate, reversed and self edges
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val noise = Seq((2L, 1L), (1L, 2L), (3L, 3L), (4L, 20L))
+    val edges = (k4 ++ square ++ noise).toDF("s", "d")
+    val got = Graph.triangleCount(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangleCount matches a driver-side brute force on a random-ish graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph on 30 nodes
+    val edges = (for {
+      a <- 0 until 30; b <- 0 until 30
+      if a < b && ((a * 31 + b * 17) % 7) < 2
+    } yield (a.toLong, b.toLong))
+    val adj = edges.toSet
+    def linked(x: Long, y: Long) = adj((math.min(x, y), math.max(x, y)))
+    val expected = (for {
+      a <- 0L until 30L; b <- a + 1 until 30L; c <- b + 1 until 30L
+      if linked(a, b) && linked(b, c) && linked(a, c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }
+    val got = Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+  }
 }
