@@ -549,6 +549,30 @@ object SparkEntry {
           "item", supportDenom = 100)
         .orderBy(col("cnt").desc, col("item"))),
 
+    // count-min sketch point estimates (q12's own-bound pattern): the
+    // deterministic cells are the exact top-20 token counts; the sketch
+    // estimate — itself deterministic, counters are order-independent
+    // sums — must sit in [exact, exact + 8·n/width], asserted in-query,
+    // literal TRUE oracle-side. One corpus pass builds the 64 KB grid;
+    // probing is a narrow codegen map over the grid literal
+    "x_cms_counts" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+        .filter(length(col("item")) > 0)
+      val probes = toks.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("item")).limit(20)
+      val width = 2048
+      val margin = toks.agg(
+        ceil(count(lit(1)) * 8.0 / width).cast("long").as("__m"))
+      graft.ops.Sketch.cmsEstimates(toks, "item", probes, "item",
+          depth = 4, width = width)
+        .crossJoin(broadcast(margin))
+        .select(col("item"), col("cnt"),
+          (col("cms_est") >= col("cnt") &&
+            col("cms_est") <= col("cnt") + col("__m")).as("bound_ok"))
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+
     // deterministic seeded training-shard shuffle: terasort-style range
     // sort on md5(id:seed) + partition-offset rank — ntile bucket
     // semantics with NO single-partition global window anywhere; re-runs
@@ -2956,6 +2980,17 @@ object SparkEntry {
          SELECT item, count(*) AS cnt
          FROM toks, n GROUP BY item, n.n HAVING count(*) * 100 > n.n
          ORDER BY cnt DESC, item""",
+
+    // deterministic cells = exact top-20 token counts; the CMS bound is
+    // the engine's own assertion (literal TRUE — a sketch overshoot
+    // becomes a hash mismatch)
+    "x_cms_counts" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS item
+           FROM documents)
+         SELECT item, count(*) AS cnt, TRUE AS bound_ok
+         FROM toks WHERE length(item) > 0
+         GROUP BY item ORDER BY cnt DESC, item LIMIT 20""",
 
     // same md5 hex, same lexicographic order, stock ntile/row_number —
     // the engine reproduces ntile bucket arithmetic from a distributed

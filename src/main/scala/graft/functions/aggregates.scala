@@ -249,6 +249,100 @@ case class GramMatrix(child: Expression, dim: Int,
   override def prettyName: String = "gram_matrix"
 }
 
+/**
+ * Count-min sketch (Cormode & Muthukrishnan 2005 — public literature): a
+ * `depth × width` grid of counters; each item increments one counter per
+ * row, chosen by an independent hash, and a point estimate is the MINIMUM
+ * over its `depth` counters — always ≥ the true count, and ≤ true +
+ * O(n/width) with probability `1 - 2^-depth` per probe. Unlike Misra-Gries
+ * the state is pure sums, so the final sketch is bit-identical under ANY
+ * partitioning/merge order — fully deterministic for a fixed input set.
+ *
+ * Row hash for depth `d`: `xxhash64(item-bytes ++ byte(d+1))` with SQL's
+ * seed 42 — reproducible from SQL as `xxhash64(concat(item, chr(d+1)))`,
+ * which is what lets [[graft.ops.Sketch.cmsEstimates]] probe the sketch
+ * in a distributed codegen'd expression rather than a UDF.
+ *
+ * Scale shape: O(depth·width) fixed memory per task, map-side partials,
+ * only sketch grids (64 KB at 4×2048) ride the shuffle — never per-item
+ * counts. Output: array<long> of length depth·width (row-major).
+ */
+case class CountMin(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, s"count_min depth must be in [1,16], got $depth")
+  require(width >= 2, s"count_min width must be >= 2, got $width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"count_min requires a string column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val item = v.asInstanceOf[UTF8String].getBytes
+    var d = 0
+    while (d < depth) {
+      buf(d * width + CountMin.bucket(item, d, width)) += 1L
+      d += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(Long.box).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMin =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMin =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMin =
+    copy(child = newChildren.head)
+  override def prettyName: String = "count_min"
+}
+
+object CountMin {
+  /** Bucket of `item` at depth row `d`: xxhash64 (SQL seed 42) of the
+    * UTF-8 bytes suffixed with the single byte `d+1`, mod width. Matches
+    * `pmod(xxhash64(concat(item, chr(d+1))), width)` in SQL exactly. */
+  def bucket(itemUtf8: Array[Byte], d: Int, width: Int): Int = {
+    val bytes = java.util.Arrays.copyOf(itemUtf8, itemUtf8.length + 1)
+    bytes(itemUtf8.length) = (d + 1).toByte
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
+    (((h % width) + width) % width).toInt
+  }
+}
+
 object GraftAggregates {
   /** Upper-triangle Gram matrix Σ v·vᵀ of a vector column as one
     * array<struct<i,j,gram>> value — O(d²) state per task, O(d²) bytes on
@@ -262,4 +356,11 @@ object GraftAggregates {
     * pass for deterministic output ([[graft.ops.HeavyHitters]]). */
   def misra_gries(c: Column, k: Int): Column =
     bridge.column(MisraGries(bridge.expression(c), k).toAggregateExpression())
+
+  /** Count-min sketch of a string column: depth×width counter grid as one
+    * array<long> value. Pure sums — the sketch is bit-identical under any
+    * partitioning. Probe with [[graft.ops.Sketch.cmsEstimates]]. */
+  def count_min(c: Column, depth: Int, width: Int): Column =
+    bridge.column(CountMin(bridge.expression(c), depth, width)
+      .toAggregateExpression())
 }

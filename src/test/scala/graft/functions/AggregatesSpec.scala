@@ -69,4 +69,55 @@ class AggregatesSpec extends SparkTestBase {
       HeavyHitters.heavyHitters(df, "item", supportDenom = 50, k = 10)
     }
   }
+
+  test("count_min: estimates >= exact, exact on a collision-free input, partition-order invariant") {
+    import spark.implicits._
+    val rows = (Seq.fill(40)("hot") ++ Seq.fill(15)("warm") ++
+      (0 until 50).map(i => s"t$i")).toList
+    val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    def run(parts: Int): Map[String, Long] = {
+      val items = rows.toDF("item").repartition(parts)
+      val probes = exact.keys.toSeq.toDF("item")
+      graft.ops.Sketch.cmsEstimates(items, "item", probes, "item",
+          depth = 4, width = 4096)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    val got = run(8)
+    // overestimate-only, and with 105 rows vs 4×4096 counters the min
+    // over 4 independent rows is overwhelmingly exact — assert the CMS
+    // bound est <= exact + n/width-ish slack (here: tiny)
+    exact.foreach { case (k, c) =>
+      assert(got(k) >= c, s"$k: est ${got(k)} < exact $c")
+      assert(got(k) <= c + 2, s"$k: est ${got(k)} too loose vs $c")
+    }
+    // counters are sums: the sketch — hence every estimate — must be
+    // bit-identical under a different partitioning
+    assert(run(1) === got)
+  }
+
+  test("count_min hash matches SQL xxhash64(concat(item, chr(d+1))) bit-exactly") {
+    val item = "tokén"
+    (0 until 4).foreach { d =>
+      val sqlBucket = spark.sql(
+        s"SELECT pmod(xxhash64(concat('$item', chr(${d + 1}))), 2048)")
+        .head().getLong(0).toInt
+      val jvmBucket = CountMin.bucket(
+        item.getBytes(java.nio.charset.StandardCharsets.UTF_8), d, 2048)
+      assert(jvmBucket === sqlBucket, s"depth $d")
+    }
+  }
+
+  test("count_min ignores nulls and rejects non-string input") {
+    import spark.implicits._
+    val withNulls = Seq(Some("a"), None, Some("a")).toDF("item")
+    val grid = withNulls.agg(
+      GraftAggregates.count_min(col("item"), 2, 64).as("g"))
+      .head().getSeq[Long](0)
+    assert(grid.sum === 4L, "two rows x two depths")
+    val bad = Seq(1, 2).toDF("item")
+    val e = intercept[Exception] {
+      bad.agg(GraftAggregates.count_min(col("item"), 2, 64)).collect()
+    }
+    assert(e.getMessage.contains("string"))
+  }
 }
