@@ -1255,12 +1255,14 @@ object SparkEntry {
         .orderBy("node")
     }),
 
-    // exact triangle counting on the user co-occurrence graph (users
-    // active in the same event_type × hour cell are linked): the
-    // community-density probe of behavioral analytics. Degree-ordered
-    // orientation bounds every node's wedge work by O(√m) — hubs never
-    // explode the self-join — and the oracle replays orientation, wedge
-    // and closure joins verbatim
+    // exact triangle counting on the repeated-co-occurrence user graph:
+    // two users tie only when they were active in >= 3 distinct
+    // event_type × hour cells together — one coincidence is noise, a
+    // repeated pattern is a community edge (and, at scale, the threshold
+    // is what keeps a co-occurrence graph from densifying toward a
+    // clique as the population grows). Degree-ordered orientation bounds
+    // every node's wedge work by O(√m); the oracle replays threshold,
+    // orientation, wedge and closure joins verbatim
     "e_triangles" -> ((s, dir) => {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("event_type"),
@@ -1270,7 +1272,9 @@ object SparkEntry {
       val b = ev.select(col("user_id").as("v"), col("event_type"), col("hr"))
       val edges = a.join(b, Seq("event_type", "hr"))
         .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 3)
+        .select(col("u"), col("v"))
       graft.ops.Graph.triangleCount(edges, "u", "v")
         .orderBy("node")
     }),
@@ -4380,10 +4384,11 @@ object SparkEntry {
            SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
            FROM events),
          edges AS (
-           SELECT DISTINCT x.user_id AS a, y.user_id AS b
+           SELECT x.user_id AS a, y.user_id AS b
            FROM occ x JOIN occ y
              ON x.event_type = y.event_type AND x.hr = y.hr
-              AND x.user_id < y.user_id),
+              AND x.user_id < y.user_id
+           GROUP BY 1, 2 HAVING count(*) >= 3),
          deg AS (
            SELECT n, count(*) AS d FROM (
              SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges) t
