@@ -34,11 +34,44 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
+  /** Local-mode test probe: when set >= 0, [[bpeTrain]] adds one per
+    * distributed round — so a spec can pin that batching actually
+    * compresses K merges into far fewer blocking rounds. */
+  private[ops] val probeRounds =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /**
    * Learn the first `merges` BPE merges from the corpus. Returns one row
    * per merge: (step, left, right, freq) — step is 1-based rank, freq the
    * weighted pair count that won the round. Stops early if the
    * dictionary runs out of pairs (tiny corpora).
+   *
+   * Round batching (round-12 scale fix — a realistic tokenizer is
+   * 30-50 k merges, and one blocking Spark round PER merge would mean
+   * 30-50 k jobs + checkpoint materializations): each distributed round
+   * collects the top-256 ranked pairs and accepts the longest ranked
+   * prefix that provably replays sequential greedy BPE EXACTLY:
+   *
+   *  - the accepted pairs must be pairwise SYMBOL-DISJOINT: merging
+   *    (a,b) cannot change the count of any pair touching neither a nor
+   *    b (the merged token ab still sits between its neighbours), so
+   *    every accepted pair's recorded count is its true count at its own
+   *    sequential sub-round;
+   *  - every accepted pair after the first must have count STRICTLY
+   *    above the first non-accepted count (`bound`): non-accepted
+   *    existing pairs only lose count, and any NEW pair created by an
+   *    earlier accepted merge (x,ab) satisfies count(x,ab) <=
+   *    count(x,a), where (x,a) shares symbol a and is therefore
+   *    non-accepted — so everything outside the accepted prefix stays
+   *    <= bound < the accepted counts, and sequential greedy (including
+   *    its count-desc/left-asc/right-asc tiebreak, which only matters on
+   *    EQUAL counts) must pick the accepted pairs in exactly this order.
+   *
+   * Natural-language corpora accept a handful of merges early (top pairs
+   * share letters) and long runs later (longer tokens rarely collide),
+   * so driver rounds drop from K to a small multiple of the collision
+   * chains — with bit-exact output (spec-pinned against a driver-side
+   * sequential reference at K=80).
    */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
@@ -54,13 +87,16 @@ object Bpe {
       .select(regexp_replace(col("w"), "(.)", "($1)").as("sym"), col("cnt"))
       .localCheckpoint()
 
+    val topT = 256
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
+      if (probeRounds.get() >= 0L) probeRounds.incrementAndGet()
       // adjacent symbol pairs, weighted by word frequency: one
-      // dictionary-keyed aggregate, then a distributed top-1
-      val best = dict
+      // dictionary-keyed aggregate, then a distributed top-T (lowers to
+      // TakeOrderedAndProject — never a global sort)
+      val top = dict
         .select(split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\(")
           .as("l"), col("cnt"))
         .filter(size(col("l")) > 1)
@@ -71,20 +107,50 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("a").asc, col("b").asc)
-        .limit(1)
+        .limit(topT)
         .collect()
-      if (best.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, f) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        out += ((step, a, b, f))
-        // literal replace — bracketed occurrences never share characters,
-        // so "replace all" IS the BPE leftmost non-overlapping fold
+        // longest ranked prefix that is pairwise symbol-disjoint (the
+        // round winner is always safe); `bound` = the count of the first
+        // item left out, the ceiling on everything non-accepted
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val symbols = scala.collection.mutable.HashSet[String]()
+        var i = 0
+        var stopped = false
+        val room = merges - step + 1
+        while (i < top.length && !stopped && accepted.length < room) {
+          val (a, b, f) = top(i)
+          if (i == 0 || (!symbols.contains(a) && !symbols.contains(b))) {
+            accepted += ((a, b, f)); symbols += a; symbols += b
+          } else stopped = true
+          i += 1
+        }
+        val bound: Long =
+          if (stopped) top(i - 1)._3 // the sharing item that ended the scan
+          else if (i < top.length) top(i)._3 // room cap: first item left out
+          else if (top.length == topT) top.last._3 // truncated: unseen <= last
+          else Long.MinValue // list exhausted: nothing exists outside
+        // strict-dominance shrink: drop trailing accepted pairs whose
+        // count does not strictly beat the outside ceiling (ties could
+        // let a newly-created pair win the sequential tiebreak)
+        while (accepted.length > 1 && accepted.last._3 <= bound)
+          accepted.dropRightInPlace(1)
+        accepted.foreach { case (a, b, f) =>
+          out += ((step, a, b, f))
+          step += 1
+        }
+        // literal replaces — bracketed occurrences never share characters,
+        // so "replace all" IS the BPE leftmost non-overlapping fold; the
+        // batch applies in accepted order (disjointness makes the order
+        // irrelevant to the outcome) with ONE checkpoint per round
         dict = dict
-          .withColumn("sym", replace(col("sym"),
-            lit(s"($a)($b)"), lit(s"($a$b)")))
+          .withColumn("sym", accepted.foldLeft(col("sym")) {
+            case (c, (a, b, _)) =>
+              replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
+          })
           .localCheckpoint()
-        step += 1
       }
     }
     out.result().toDF("step", "left", "right", "freq")

@@ -135,4 +135,46 @@ object Graph {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * Guarded co-occurrence edge builder: units that share at least
+   * `minCells` distinct cells become an undirected edge (`u`, `v`) with
+   * `u < v`. The standard co-occurrence-graph construction (market
+   * baskets, user sessions), with the standard hot-cell guard: cells
+   * holding more than `maxCellSize` units are EXCLUDED from pairing —
+   * the stop-word rule. A popular cell carries negligible per-pair
+   * signal but |cell|² pair cost; one 10⁵-unit cell alone would emit
+   * 10¹⁰ join rows in an unguarded self-join, the classic quadratic
+   * scale-killer of co-occurrence pipelines.
+   *
+   * Scale shape: one cell-keyed count aggregate sizes every cell
+   * (mergeable — never materializes members), a cell-keyed join keeps
+   * only cells in [2, maxCellSize], and pair generation runs per-cell
+   * over a sorted, BOUNDED member array (collect_list is safe only
+   * because the size filter runs BEFORE it) — per-row work is at most
+   * C(maxCellSize, 2), codegen'd higher-order functions, no self-join.
+   * The final (u, v) count aggregate is a keyed shuffle of pair rows.
+   */
+  def coOccurrenceEdges(occ: DataFrame, unitCol: String,
+      cellCols: Seq[String], minCells: Int = 1,
+      maxCellSize: Int = 1000): DataFrame = {
+    require(minCells >= 1, s"minCells must be >= 1, got $minCells")
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    val cells = cellCols.map(col)
+    val d = occ.select((col(unitCol).as("__u") +: cells): _*).distinct()
+    val sizes = d.groupBy(cells: _*).agg(count(lit(1)).as("__c"))
+      .filter(col("__c").between(2L, maxCellSize.toLong))
+      .drop("__c")
+    d.join(sizes, cellCols)
+      .groupBy(cells: _*)
+      .agg(array_sort(collect_list(col("__u"))).as("__us"))
+      .select(explode(expr(
+        "flatten(transform(__us, (x, i) -> " +
+          "transform(slice(__us, i + 2, size(__us) - i - 1), " +
+          "y -> struct(x AS u, y AS v))))")).as("__p"))
+      .groupBy(col("__p.u").as("u"), col("__p.v").as("v"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCells.toLong)
+      .select(col("u"), col("v"))
+  }
 }

@@ -194,8 +194,16 @@ object Stats {
       val diff =
         max(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj") -
         min(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj")
+      // the documented contract is exactly two variants; with 3+ the
+      // max-mean minus min-mean Welch t would silently pool var/n over
+      // ALL groups — a statistically meaningless number. Enforce inside
+      // the same 2-row aggregate (no extra driver job): raise, don't pool
       byVariant.agg(
-        when(se === 0d, lit(null)).otherwise(diff / se).as("__t_cuped"))
+        when(count(lit(1)) =!= 2, raise_error(concat(
+            lit(s"cupedAbTest: '$variantCol' must have exactly 2 distinct " +
+              "values, got "), count(lit(1)).cast("string"))))
+          .otherwise(when(se === 0d, lit(null)).otherwise(diff / se))
+          .as("__t_cuped"))
     }
     byVariant.crossJoin(broadcast(t))
       .select(col("variant"), col("n_units"),

@@ -56,6 +56,14 @@ final class JdbcCommitGuard(url: String) extends CommitGuard {
           true
         } catch {
           case e: SQLException if isDuplicateKey(e) => false
+          case e: SQLException =>
+            // NOT a duplicate key: the connection may have died after the
+            // autocommitted INSERT became durable but before the ack — the
+            // commit state is ambiguous. Re-query on a FRESH connection
+            // and adjudicate instead of reporting a clean failure.
+            adjudicateAmbiguousClaim(fs, tmp, target, payload, e,
+              () => querySlot(url, slot))
+            return
         }
       if (claimed) {
         // we own the slot: move the fully-written tmp into place (atomic —
@@ -101,6 +109,20 @@ object JdbcCommitGuard {
     val c = DriverManager.getConnection(url)
     try f(c) finally c.close()
   }
+
+  /** State re-query for the ambiguous-claim path: the slot's recorded
+    * payload on a FRESH connection (the claim connection is suspect). */
+  private def querySlot(url: String, slot: String): Option[Array[Byte]] =
+    withConnection(url) { c =>
+      val ps = c.prepareStatement(
+        s"SELECT payload FROM $TableName WHERE slot = ?")
+      try {
+        ps.setString(1, slot)
+        val rs = ps.executeQuery()
+        try if (rs.next()) Some(rs.getBytes(1)) else None
+        finally rs.close()
+      } finally ps.close()
+    }
 
   /** Derby has no CREATE TABLE IF NOT EXISTS; the already-exists SQLState
     * (X0Y32, or 42S01 on other engines) is the success path here. */

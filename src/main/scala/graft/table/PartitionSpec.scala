@@ -268,6 +268,12 @@ object PartitionSpec {
         case Years | Months | Days | Hours =>
           require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
             s"${f.entry}: temporal transform needs date/timestamp, got ${dt.simpleString}")
+          // a DATE has no hour component: Iceberg rejects hours(date) too.
+          // Accepting it would create the table fine and then crash every
+          // pruned scan (applyToLiteral formats LocalDate with an HH
+          // pattern -> UnsupportedTemporalTypeException)
+          require(!(f.transform == Hours && dt == DateType),
+            s"${f.entry}: hours() needs a timestamp source, got date")
         case Bucket(n) =>
           require(n > 0, s"${f.entry}: bucket count must be positive")
           require(isIntegral(dt) || dt == StringType ||

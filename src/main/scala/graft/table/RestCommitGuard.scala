@@ -41,7 +41,20 @@ final class RestCommitGuard(url: String) extends CommitGuard {
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp =
+      try client.send(req, HttpResponse.BodyHandlers.ofString())
+      catch {
+        // transport failure AFTER the request may have reached the
+        // service: the claim state is ambiguous — re-query and
+        // adjudicate instead of reporting a clean failure (which would
+        // invite a duplicate-data re-commit)
+        case e @ (_: java.io.IOException | _: InterruptedException) =>
+          if (e.isInstanceOf[InterruptedException])
+            Thread.currentThread().interrupt()
+          adjudicateAmbiguousClaim(fs, tmp, target, payload, e,
+            () => querySlot(slot))
+          return
+      }
     resp.statusCode() match {
       case 200 =>
         installOwned(fs, tmp, target)
@@ -56,6 +69,23 @@ final class RestCommitGuard(url: String) extends CommitGuard {
         lost(target)
       case other => throw new IllegalStateException(
         s"catalog service $url returned HTTP $other for $slot: ${resp.body()}")
+    }
+  }
+
+  /** State re-query for the ambiguous-claim path: `POST /v1/commits/slot`
+    * returns 200 + the recorded payload, or 404 when the slot is free. */
+  private def querySlot(slot: String): Option[Array[Byte]] = {
+    val req = HttpRequest.newBuilder(URI.create(s"$url/v1/commits/slot"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"""{"slot": ${RestCommitGuard.quote(slot)}}""", StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 => RestCommitGuard.extractPayload(resp.body())
+      case 404 => None
+      case other => throw new IllegalStateException(
+        s"catalog service $url returned HTTP $other for slot query $slot")
     }
   }
 }
@@ -118,6 +148,20 @@ final class RestCatalogServer {
         if (prior == null) respond(ex, 200, """{"claimed": true}""")
         else respond(ex, 409,
           s"""{"claimed": false, "payload": "${Base64.getEncoder.encodeToString(prior)}"}""")
+      }
+    })
+    // commit-state re-query (the ambiguous-claim adjudication route):
+    // 200 + recorded payload when the slot is taken, 404 when free
+    server.createContext("/v1/commits/slot", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val slot = """"slot"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+        slots.get(slot) match {
+          case null => respond(ex, 404, """{"claimed": false}""")
+          case prior => respond(ex, 200,
+            s"""{"claimed": true, "payload": "${Base64.getEncoder.encodeToString(prior)}"}""")
+        }
       }
     })
     server.start()

@@ -307,7 +307,66 @@ trait CommitGuard {
     try out.write(bytes) finally out.close()
     if (!fs.rename(tmp, target)) fs.delete(tmp, false)
   }
+
+  /** Commit-state-unknown resolution for service-adjudicated guards
+    * (REST/JDBC): a transport failure during the claim is AMBIGUOUS — the
+    * service may have durably recorded this committer's claim before the
+    * ack was lost. Treating it as a plain failure would let the caller
+    * (or the user's job retry) re-stage and re-commit the same rows
+    * against fresh metadata: duplicate data. Instead the guard re-queries
+    * the service for the slot's recorded payload and adjudicates:
+    *
+    *  - recorded == ours   → the claim LANDED: this committer won;
+    *    install and return success.
+    *  - recorded == theirs → a clean loss; heal storage if the winner
+    *    died pre-install, then raise the normal "Concurrent commit"
+    *    (callers' retry loops recognize it — retrying on fresh metadata
+    *    is safe because OUR claim provably never landed).
+    *  - slot absent        → the claim provably never landed; rethrow the
+    *    transport failure (a retry is safe).
+    *
+    * Only if the RE-QUERY also fails does the guard give up and raise
+    * [[CommitStateUnknownException]] — the one outcome a caller must NOT
+    * blindly retry (mirroring Iceberg's CommitStateUnknownException
+    * contract, public Iceberg API).
+    */
+  protected def adjudicateAmbiguousClaim(fs: FileSystem, tmp: Path,
+      target: Path, payload: Array[Byte], transportFailure: Throwable,
+      queryRecorded: () => Option[Array[Byte]]): Unit = {
+    val recorded =
+      try queryRecorded()
+      catch {
+        case scala.util.control.NonFatal(q) =>
+          fs.delete(tmp, false)
+          val e = new CommitStateUnknownException(
+            s"Commit state UNKNOWN for $target: the claim transport failed " +
+              s"(${transportFailure.getMessage}) and the state re-query also " +
+              s"failed (${q.getMessage}). The service may or may not have " +
+              "recorded this commit — do NOT blindly retry; inspect the " +
+              "catalog service before re-committing.", transportFailure)
+          e.addSuppressed(q)
+          throw e
+      }
+    recorded match {
+      case Some(winner) if java.util.Arrays.equals(winner, payload) =>
+        installOwned(fs, tmp, target) // our claim landed before the ack was lost
+      case Some(winner) =>
+        fs.delete(tmp, false)
+        if (!fs.exists(target)) installBytes(fs, target, winner)
+        lost(target)
+      case None =>
+        fs.delete(tmp, false)
+        throw transportFailure // claim provably never landed: retry is safe
+    }
+  }
 }
+
+/** The claim transport failed AND the follow-up state query failed: the
+  * service may or may not hold this committer's claim. Callers must not
+  * treat this as a clean failure and re-commit — that is exactly the
+  * duplicate-data path the service guards exist to prevent. */
+final class CommitStateUnknownException(msg: String, cause: Throwable)
+  extends IllegalStateException(msg, cause)
 
 /** Local filesystem: rename OVERWRITES an existing target, so it cannot
   * carry the CAS. POSIX link(2) can — creating a hard link fails atomically

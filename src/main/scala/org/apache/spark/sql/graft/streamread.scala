@@ -156,10 +156,17 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   // (days(ts), bucket(n,id), truncate(w,c)) keep their source column in
   // the file at full fidelity and their derived dirs carry nothing a row
   // needs — skip them instead of crashing fieldIndex("days(ts)")
-  private lazy val partSchema = StructType(
-    graft.table.PartitionSpec.parse(partitionCols)
+  // MUST follow declaredSchema field order, not spec-entry order: the
+  // reader emits rows positionally as dataCols ++ partSchema, and
+  // GraftStreamTable orders the table schema by the DECLARED schema —
+  // PARTITIONED BY (b, a) on schema (…, a, b) would otherwise swap the
+  // two appended columns (silently, when same-typed)
+  private lazy val partSchema = {
+    val identitySources = graft.table.PartitionSpec.parse(partitionCols)
       .filter(_.transform == graft.table.PartitionSpec.Identity)
-      .map(f => declaredSchema(declaredSchema.fieldIndex(f.source))))
+      .map(_.source).toSet
+    StructType(declaredSchema.filter(f => identitySources.contains(f.name)))
+  }
   private lazy val zone =
     Some(spark.sessionState.conf.sessionLocalTimeZone)
   // row-mode parquet record reader (a MicroBatchStream hands Spark

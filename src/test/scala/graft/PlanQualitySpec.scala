@@ -667,4 +667,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"scalar stats must attach by broadcast:\n$plan")
   }
+
+  test("coOccurrenceEdges sizes cells BEFORE collecting members (hot-cell guard)") {
+    import spark.implicits._
+    val occ = (1L to 100L).map(u => (u, "c" + (u % 7))).toDF("u", "cell")
+    val df = graft.ops.Graph.coOccurrenceEdges(occ, "u", Seq("cell"),
+      minCells = 1, maxCellSize = 50)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the member-collecting aggregate must sit ABOVE the cell-size
+    // filter in the plan tree: collect_list over unguarded cells is
+    // exactly the |cell|^2 hazard the guard exists to bound. The size
+    // aggregate itself is count-only — it must never collect members.
+    val collectIdx = plan.indexOf("collect_list")
+    assert(collectIdx >= 0, s"expected a bounded collect_list:\n$plan")
+    val filterIdx = plan.indexOf("__c")
+    assert(filterIdx > collectIdx,
+      s"cell-size guard must be below (downstream input of) the member " +
+        s"collection:\n$plan")
+    assert(plan.indexOf("collect_list", collectIdx + 1) < 0,
+      s"only ONE member-collecting aggregate expected:\n$plan")
+  }
 }

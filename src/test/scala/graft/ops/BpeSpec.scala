@@ -108,6 +108,33 @@ class BpeSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("batched rounds replay sequential greedy exactly at K=80, in fewer rounds") {
+    import spark.implicits._
+    // larger random corpus with a wider alphabet so 80 merges exist; the
+    // batched trainer must be BIT-EXACT vs the sequential driver-side
+    // reference (merge order, tie-breaks, recorded freqs) while issuing
+    // strictly fewer distributed rounds than merges
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 300).map(_ =>
+      (1 to (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(12)).toChar)
+        .mkString)
+    val docs = (1 to 400).map(_ =>
+      (1 to (4 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")).toDF("text")
+    val words = docs.collect().map(_.getString(0))
+      .flatMap(_.split("[^a-z]+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    Bpe.probeRounds.set(0L)
+    try {
+      val got = collectMerges(Bpe.bpeTrain(docs, "text", merges = 80))
+      val rounds = Bpe.probeRounds.get()
+      assert(got === refBpe(words, 80))
+      assert(got.size === 80)
+      assert(rounds < 80,
+        s"batching should compress 80 merges into < 80 rounds, got $rounds")
+    } finally Bpe.probeRounds.set(-1L)
+  }
+
   test("early exhaustion: single-letter corpus stops after zero merges") {
     import spark.implicits._
     val docs = Seq("a a a b b").toDF("text")

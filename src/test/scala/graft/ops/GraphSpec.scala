@@ -83,6 +83,40 @@ class GraphSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("coOccurrenceEdges matches an unguarded pair join below the cap") {
+    import spark.implicits._
+    // (unit, cell) memberships; duplicates must collapse (set semantics)
+    val occ = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (1L, "a"),
+      (1L, "b"), (2L, "b"),
+      (1L, "c"), (2L, "c"), (4L, "c"),
+      (5L, "d")).toDF("u", "cell")
+    val got = Graph.coOccurrenceEdges(occ, "u", Seq("cell"),
+        minCells = 2, maxCellSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs sharing >= 2 cells: (1,2) shares a,b,c — nothing else repeats
+    assert(got === Set((1L, 2L)))
+    // minCells = 1 is the raw co-occurrence graph (every in-cell pair)
+    val all = Graph.coOccurrenceEdges(occ, "u", Seq("cell"),
+        minCells = 1, maxCellSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("coOccurrenceEdges excludes planted hot cells before any pairing") {
+    import spark.implicits._
+    // hot cell "hot" holds 50 units (> cap 10): the stop-word guard must
+    // drop it entirely — no pair may survive on its evidence alone
+    val hot = (1L to 50L).map(u => (u, "hot"))
+    val cold = Seq((1L, "c1"), (2L, "c1"), (1L, "c2"), (2L, "c2"))
+    val occ = (hot ++ cold).toDF("u", "cell")
+    val got = Graph.coOccurrenceEdges(occ, "u", Seq("cell"),
+        minCells = 1, maxCellSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)),
+      "hot-cell-only pairs (e.g. (3,4): C(50,2)=1225 of them) must not appear")
+  }
+
   test("triangleCount matches a driver-side brute force on a random-ish graph") {
     import spark.implicits._
     // deterministic pseudo-random graph on 30 nodes

@@ -149,4 +149,17 @@ class StatsSpec extends SparkTestBase {
     assert(e.forall(_.isNullAt(8)), "zero standard error must yield null t")
     assert(e.forall(_.getDouble(5) === 0.0), "adjusted variance must be 0")
   }
+
+  test("cupedAbTest rejects 3+ variants instead of pooling a meaningless t") {
+    import spark.implicits._
+    val three = (0 until 30).map(i => (i % 3, i.toDouble, i * 2.0 + (i % 7)))
+      .toDF("variant", "x_pre", "y_post")
+    val e = intercept[Exception] {
+      Stats.cupedAbTest(three, "variant", "y_post", "x_pre").collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("exactly 2 distinct") ||
+        Option(e.getCause).exists(_.getMessage.contains("exactly 2 distinct"))),
+      s"expected the 2-variant contract error, got: $e")
+  }
 }

@@ -76,6 +76,31 @@ class GraftStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("identity partition columns align with the declared schema when spec order differs") {
+    // PARTITIONED BY (grp, d) on schema (id, d, v, grp): the reader emits
+    // rows positionally as dataCols ++ partSchema — if partSchema followed
+    // SPEC order (grp, d) while the table schema follows DECLARED order
+    // (d, grp), the same-typed columns would swap silently
+    val t = GraftTable.create(spark, tmpDir("gss-order"), "gorder",
+      StructType(Seq(
+        StructField("id", LongType), StructField("d", StringType),
+        StructField("v", LongType), StructField("grp", StringType))),
+      Seq("grp", "d"))
+    t.append(Seq((1L, "day1", 10L, "alpha"), (2L, "day2", 20L, "beta"))
+      .toDF("id", "d", "v", "grp"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_order").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gss_order").orderBy("id")
+        .collect().map(r => (r.getLong(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("d")), r.getLong(r.fieldIndex("v")),
+          r.getString(r.fieldIndex("grp"))))
+      assert(got.toSeq === Seq((1L, "day1", 10L, "alpha"),
+        (2L, "day2", 20L, "beta")))
+    } finally q.stop()
+  }
+
   test("compaction is invisible; row-changing snapshots fail unless opted out") {
     val t = freshTable("compact")
     t.append(Seq((1L, "a")).toDF("id", "grp"))

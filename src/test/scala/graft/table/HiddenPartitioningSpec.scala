@@ -326,5 +326,17 @@ class HiddenPartitioningSpec extends SparkTestBase {
       GraftTable.create(spark, tmpDir("hp-bad4"), "b4", schema,
         partitionCols = Seq("wibble(id)"))
     }
+    // hours() on a DATE column: Iceberg rejects it too — accepting it
+    // would create/write fine and then crash every pruned scan at
+    // applyToLiteral time (LocalDate has no HH field)
+    val dateSchema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType)))
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("hp-bad5"), "b5", dateSchema,
+        partitionCols = Seq("hours(d)"))
+    }
+    // days(date) stays legal
+    GraftTable.create(spark, tmpDir("hp-ok-days"), "bok", dateSchema,
+      partitionCols = Seq("days(d)"))
   }
 }
