@@ -812,6 +812,17 @@ object SparkEntry {
           "text", "doc_id", window = 8)
         .orderBy("doc_id")),
 
+    // exact long-substring dedup (Lee et al. 2022 ExactSubstr): the
+    // MAXIMAL verbatim repeated spans of >= 20 tokens a dedup pass would
+    // cut — duplicated 20-token window digests merged to maximal runs
+    // (gaps-and-islands), so a 93-token repeat surfaces as ONE span, not
+    // 74 windows. Two keyed exchanges: digest shuffle + per-doc merge
+    "d_substring_dedup" -> ((s, dir) =>
+      Dedup.maximalRepeatedSpans(
+          T(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", k = 20)
+        .orderBy("doc_id", "start_pos")),
+
     // directional span novelty: fraction of a doc's 8-token spans never
     // seen in any earlier doc (by id order) — same single digest shuffle
     // + in-place window as d_dup_spans, with min(doc) < doc as the test
@@ -3570,6 +3581,31 @@ object SparkEntry {
                 THEN round(cast(p.n_dup_windows AS double) / p.n_windows, 4)
                 ELSE 0.0 END AS dup_frac
          FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
+
+    // maximal-span replay: duplicated 20-token windows (count >= 2 over
+    // ALL occurrences, same-doc repeats included) merged by the same
+    // gaps-and-islands (position - row_number) rule
+    "d_substring_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+         idx AS (
+           SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - 19)) AS i
+           FROM toks WHERE len(tk) >= 20),
+         wins AS (
+           SELECT doc_id, i, array_to_string(tk[i : i+19], ' ') AS w
+           FROM idx),
+         dupk AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+         dpos AS (
+           SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+           FROM wins JOIN dupk USING (w))
+         SELECT doc_id,
+           cast(min(i) AS bigint) AS start_pos,
+           cast(max(i) + 19 AS bigint) AS end_pos,
+           cast(max(i) - min(i) + 20 AS bigint) AS n_tokens
+         FROM dpos GROUP BY doc_id, g ORDER BY doc_id, start_pos""",
 
     // first-occurrence test: a span is "seen" iff its corpus-wide min
     // doc_id precedes this doc

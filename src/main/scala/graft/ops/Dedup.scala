@@ -914,4 +914,62 @@ object Dedup {
       when(col("n_windows") > 0,
         round(lit(1.0) - col("n_seen_windows").cast("double") / col("n_windows"), 4))
         .otherwise(lit(1.0)))
+
+  /**
+   * Exact long-substring dedup at MAXIMAL match granularity (Lee et al.
+   * 2022, "Deduplicating Training Data Makes Language Models Better" —
+   * the ExactSubstr operation: flag every verbatim substring of >= k
+   * tokens that occurs more than once in the corpus, merged to maximal
+   * spans rather than fixed windows; public literature). The companion
+   * of [[duplicatedSpanStats]] (which only COUNTS fixed windows): this
+   * returns the actual spans a dedup pass would cut.
+   *
+   * Definition (the distributed anchored-extension equivalent of Lee's
+   * suffix-array pass): a token position p of document d is COVERED iff
+   * the k-token window starting at p occurs >= 2 times corpus-wide
+   * (any document, including d itself). Maximal runs of consecutive
+   * covered positions [p..q] become one span `[p, q + k - 1]` — a
+   * repeat of length L >= k covers exactly L - k + 1 consecutive
+   * windows, so maximal repeats reassemble exactly, however many window
+   * boundaries they straddle (spec-pinned).
+   *
+   * Returns one row per maximal span:
+   * `(idCol, start_pos, end_pos, n_tokens)` (1-based token positions,
+   * inclusive). Docs with no repeated >= k substring produce no rows.
+   *
+   * Scale shape: two keyed exchanges, nothing else — (1) the window
+   * DIGEST shuffle (16-byte md5 + doc + pos; window text never leaves
+   * the map side) where an in-place `count over (partition by digest)`
+   * flags duplicated windows, and (2) a doc-keyed window for the
+   * gaps-and-islands merge (per-doc partitions, bounded by document
+   * length). No self-join, no suffix array materialization: the
+   * suffix-array construction of the paper is a single-machine
+   * formulation — window digests + run merging compute the same covered
+   * set with corpus-linear shuffled bytes.
+   */
+  def maximalRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2 tokens, got $k")
+    val wins = df
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol),
+        posexplode(TextAnalysis.shinglesOfTokens(col("__toks"), k)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("__p"),
+        md5(col("col")).as("__k"))
+      .repartition(col("__k"))
+    val covered = wins
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .filter(col("__n") >= 2)
+      .select(col(idCol), col("__p"))
+    // gaps-and-islands: consecutive covered positions share (p - rank)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    covered
+      .withColumn("__g", col("__p") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__p")).as("start_pos"),
+        (max(col("__p")) + lit(k - 1)).as("end_pos"))
+      .select(col(idCol), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("n_tokens"))
+  }
 }

@@ -419,4 +419,47 @@ class DedupSpec extends SparkTestBase {
       s"at most the leading chunk may differ, got ${(a -- b).size} missing")
     assert(a.size > 3, "enough chunks for the property to be meaningful")
   }
+
+  test("maximalRepeatedSpans: repeats straddling window boundaries merge to ONE maximal span") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // a 10-token verbatim repeat planted at different offsets in two docs
+    // (k=4 → it covers 7 consecutive windows in each; the merge must
+    // reassemble exactly [start, start+9] — no fixed-window fragments)
+    val repeat = toks("r", 10)
+    val d = Seq(
+      (1L, s"${toks("a", 3)} $repeat ${toks("b", 5)}"), // repeat at pos 4..13
+      (2L, s"${toks("c", 6)} $repeat"),                 // repeat at pos 7..16
+      // doc 3: within-doc repeat of a 5-token run, twice back to back
+      // with a separator — BOTH occurrences are maximal spans (ExactSubstr
+      // counts any second occurrence, same-doc included)
+      (3L, s"${toks("s", 5)} mid ${toks("s", 5)}"),     // pos 1..5 and 7..11
+      (4L, toks("u", 30))                                // all unique: no rows
+    ).toDF("doc_id", "text")
+    val got = Dedup.maximalRepeatedSpans(d, "text", "doc_id", k = 4)
+      .orderBy("doc_id", "start_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 13L, 10L), (2L, 7L, 16L, 10L),
+      (3L, 1L, 5L, 5L), (3L, 7L, 11L, 5L)))
+  }
+
+  test("maximalRepeatedSpans: two separate repeats in one doc stay two spans") {
+    import spark.implicits._
+    // shared runs A (6 tokens) and B (5 tokens) both appear in doc 1 and
+    // doc 2, separated by unique text — islands must not bridge the gap
+    val a = "a1 a2 a3 a4 a5 a6"
+    val b = "b1 b2 b3 b4 b5"
+    val d = Seq(
+      (1L, s"$a x1 x2 x3 $b"),      // A at 1..6, B at 10..14
+      (2L, s"y1 $b y2 y3 $a")       // B at 2..6, A at 9..14
+    ).toDF("doc_id", "text")
+    val got = Dedup.maximalRepeatedSpans(d, "text", "doc_id", k = 4)
+      .orderBy("doc_id", "start_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 6L, 6L), (1L, 10L, 14L, 5L),
+      (2L, 2L, 6L, 5L), (2L, 9L, 14L, 6L)))
+  }
 }
