@@ -146,6 +146,7 @@ object Bench {
       graft.queries.TableFixtures.streamJoinedPairs(spark, sfDir)
       graft.queries.TableFixtures.streamEnriched(spark, sfDir)
       graft.queries.TableFixtures.streamDeduped(spark, sfDir)
+      graft.queries.TableFixtures.ivfRefreshed(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

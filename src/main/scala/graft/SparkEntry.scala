@@ -1032,6 +1032,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // incremental ANN index maintenance: after three corpus appends
+    // folded into the persisted IVF index as DELTA assignments (narrow
+    // map + one snapshot each — never a rebuild), every row's stored
+    // cell must equal what a FULL reassignment through the same frozen
+    // centers produces, with no row lost or duplicated. Centroids are
+    // k-means output (not oracle-replayable), so the hash surface is the
+    // own-bound pattern: per-vector refresh_ok flags that the oracle
+    // emits as literal TRUE over the exact corpus id set — any drift,
+    // loss, or duplication hash-mismatches
+    "s_ann_ivf_refresh" -> ((s, dir) => {
+      val loc = graft.queries.TableFixtures.ivfRefreshed(s, dir)
+      val idx = Similarity.loadIvfIndex(s, loc)
+      val stored = idx.assigned
+        .select(col("neighbor_id").as("vec_id"), col("__cell").as("__got"))
+      val full = Similarity.assignIvfCells(T(s, dir, "embeddings"), idx.centers)
+        .select(col("neighbor_id").as("vec_id"), col("__cell").as("__want"))
+      stored.join(full, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          (col("__got").isNotNull && col("__want").isNotNull &&
+            col("__got") === col("__want")).as("refresh_ok"))
+        .orderBy("vec_id")
+    }),
+
     // IVF with QUANTIZED candidate scoring (IVF-PQ-flavored two-stage
     // retrieval): int8 approximate ranking, exact rescore of the top
     // shortlist. This config probes all cells with an unbounded shortlist,
@@ -4138,6 +4161,14 @@ object SparkEntry {
     // rescore shortlist) — the quantized two-stage pipeline must reproduce
     // brute force bit-for-bit
     "s_ann_ivf_pq" -> annTopkSql,
+
+    // own-bound pattern: delta-refresh assignments must equal a full
+    // reassignment through the same frozen centers for EVERY corpus id —
+    // the oracle pins the exact id set with literal TRUE flags, so any
+    // cell drift, lost row, or duplicate hash-mismatches
+    "s_ann_ivf_refresh" ->
+      """SELECT vec_id, TRUE AS refresh_ok
+         FROM embeddings ORDER BY vec_id""",
 
     // own-bound pattern (q12/q31): the deterministic cells are the
     // exhaustive top-5 (identical to annTopkSql); the engine-side boolean

@@ -271,6 +271,60 @@ object Similarity {
       .append(index.assigned)
   }
 
+  /**
+   * Euclidean argmin assignment to FROZEN IVF centers — the maintenance
+   * half of a persisted index: centers (<= nCells rows, driver-safe) are
+   * collected into codegen'd literal expressions, so assignment is a
+   * NARROW MAP over the vectors, zero exchange (plan-pinned for the
+   * cosine twin in PlanQualitySpec; same shape). Deterministic ties:
+   * first minimum in ascending `__cell` order. Output matches the
+   * persisted `assigned` schema (`neighbor_id`, `__cv`, `__cell`).
+   */
+  def assignIvfCells(vectors: DataFrame, centers: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centers
+      .select(col("__cell").cast("int").as("__cell"), col("__center"))
+      .orderBy("__cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "assignIvfCells: empty centers table")
+    val v = col("__cv").cast("array<double>")
+    val d2s = array(cents.map { case (_, c) =>
+      aggregate(
+        zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val ids = typedlit(cents.map(_._1))
+    vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__d2", d2s)
+      .withColumn("__cell", element_at(ids,
+        array_position(col("__d2"), array_min(col("__d2"))).cast("int")))
+      .drop("__d2")
+  }
+
+  /**
+   * Incremental maintenance of a [[saveIvfIndex]]-persisted index: on a
+   * corpus append, assign ONLY the delta through the frozen centers
+   * ([[assignIvfCells]] — a narrow map over the delta) and append the
+   * result to the `assigned` table as one snapshot. At 100 TB the full
+   * index rebuild is the cost center — the table format exists precisely
+   * to make the delta cheap: O(|delta|) compute, one commit, probed
+   * partitions gain files without rewriting the inverted lists, and
+   * serving readers can pin the pre-refresh snapshot for as long as they
+   * need. Delta assignment provably equals what a full reassignment
+   * against the same centers would produce for every row (the
+   * assignment is per-row in frozen literals — s_ann_ivf_refresh
+   * hash-pins the equality corpus-wide across three appends).
+   */
+  def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      location: String, delta: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.table.GraftTable
+    val centers = GraftTable.load(spark, s"$location/centers").toDF
+    GraftTable.load(spark, s"$location/assigned")
+      .append(assignIvfCells(delta, centers, idCol, vecCol))
+  }
+
   /** Reload a [[saveIvfIndex]]-persisted index. The assigned side is a
     * partitioned graft scan, so cell filters prune at the file level. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,

@@ -549,6 +549,36 @@ object TableFixtures {
       cached
     })
 
+  private val ivfRefreshCache = TrieMap.empty[String, String]
+
+  /**
+   * Incrementally-maintained persisted IVF index: centers fit by k-means
+   * on the `vec_id % 4 == 0` BASE slice only, base assignments written
+   * through the same frozen-center assignment the refresh path uses
+   * ([[graft.ops.Similarity.assignIvfCells]] — one uniform assignment
+   * function), then THREE corpus appends (`% 4 == 1, 2, 3`) folded in via
+   * [[graft.ops.Similarity.refreshIvfIndex]] — each a narrow delta
+   * assignment + one snapshot append, never a rebuild. Returns the index
+   * location; the assigned table ends at 4 append snapshots.
+   */
+  def ivfRefreshed(spark: SparkSession, sfDir: String): String =
+    ivfRefreshCache.getOrElseUpdate(sfDir, {
+      import graft.ops.Similarity
+      val e = read(spark, sfDir, "embeddings")
+      val base = e.filter(col("vec_id") % 4 === 0)
+      val centers = Similarity.buildIvfIndex(base, nCells = 16).centers
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/ivf_refresh"
+      GraftTable.createOrReplace(spark, s"$loc/centers", "graft.ivfr_centers",
+        centers.schema).append(centers)
+      val baseAssigned = Similarity.assignIvfCells(base, centers)
+      GraftTable.createOrReplace(spark, s"$loc/assigned", "graft.ivfr_assigned",
+        baseAssigned.schema, partitionCols = Seq("__cell")).append(baseAssigned)
+      (1 to 3).foreach { r =>
+        Similarity.refreshIvfIndex(spark, loc, e.filter(col("vec_id") % 4 === r))
+      }
+      loc
+    })
+
   /**
    * `orders` + `lineitem` written once as BUCKETED catalog tables — 8
    * buckets on the order key, bucket-sorted — so the orderkey join is

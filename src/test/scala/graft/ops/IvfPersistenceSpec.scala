@@ -60,4 +60,43 @@ class IvfPersistenceSpec extends SparkTestBase {
     assert(filterLine.isDefined,
       s"expected a static __cell IN partition filter:\n$plan")
   }
+
+  test("incremental refresh: delta assignment across 3 appends equals a full reassignment") {
+    val base = corpus.filter(col("vec_id") % 4 === 0)
+    val centers = Similarity.buildIvfIndex(base, nCells = 6).centers
+    val dir = tmpDir("ivfrefresh")
+    // persist with the refresh path's own assignment function for the base
+    val baseAssigned = Similarity.assignIvfCells(base, centers)
+    graft.table.GraftTable.createOrReplace(spark, s"$dir/centers",
+      "ivfr_c", centers.schema).append(centers)
+    graft.table.GraftTable.createOrReplace(spark, s"$dir/assigned",
+      "ivfr_a", baseAssigned.schema, partitionCols = Seq("__cell"))
+      .append(baseAssigned)
+    (1 to 3).foreach { r =>
+      Similarity.refreshIvfIndex(spark, dir, corpus.filter(col("vec_id") % 4 === r))
+    }
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // every corpus row present exactly once, in the cell a full
+    // reassignment through the SAME centers would choose
+    val stored = loaded.assigned
+      .select(col("neighbor_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(stored.length === corpus.count(),
+      "no row may be lost or duplicated across refreshes")
+    val want = Similarity.assignIvfCells(corpus, loaded.centers)
+      .select(col("neighbor_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    stored.foreach { case (id, cell) =>
+      assert(want(id) === cell, s"vec $id drifted: stored $cell, want ${want(id)}")
+    }
+    // each refresh was ONE snapshot append on the assigned table
+    assert(graft.table.GraftTable.load(spark, s"$dir/assigned")
+      .meta.snapshots.size === 4)
+    // the delta-assignment plan is a narrow map: no exchange, no join
+    val deltaPlan = Similarity.assignIvfCells(
+        corpus.filter(col("vec_id") % 4 === 1), loaded.centers)
+      .queryExecution.executedPlan.toString
+    assert(!deltaPlan.contains("Exchange") && !deltaPlan.contains("Join"),
+      s"delta assignment must not shuffle or join:\n$deltaPlan")
+  }
 }
