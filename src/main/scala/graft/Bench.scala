@@ -147,6 +147,7 @@ object Bench {
       graft.queries.TableFixtures.streamEnriched(spark, sfDir)
       graft.queries.TableFixtures.streamDeduped(spark, sfDir)
       graft.queries.TableFixtures.ivfRefreshed(spark, sfDir)
+      graft.queries.TableFixtures.ordersCloned(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

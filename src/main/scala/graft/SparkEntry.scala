@@ -2043,6 +2043,25 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // CALL system.snapshot: zero-copy clone independence — the clone
+    // pins the pre-clone state (%3 in 0,1) through a LATER source append
+    // AND full maintenance on both tables (compaction, expire, orphan
+    // collection); the source keeps all three slices through the clone's
+    // maintenance. Both sides read in one result, oracle-replayed with
+    // plain filters
+    "t_snapshot_clone" -> ((s, dir) => {
+      val (src, clone) = TableFixtures.ordersCloned(s, dir)
+      def agg(t: graft.table.GraftTable, side: String) = t.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("cust_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("side", lit(side))
+      agg(clone, "clone").unionByName(agg(src, "source"))
+        .select("side", "o_orderstatus", "n", "cust_sum", "total_cents")
+        .orderBy("side", "o_orderstatus")
+    }),
+
     // ALTER COLUMN TYPE schema evolution: o_custkey written as INT32 in
     // the first era, promoted to BIGINT (metadata only), long eras after —
     // the read scans each era under its physical type and upcasts, so the
@@ -4839,6 +4858,22 @@ object SparkEntry {
          cast(sum(o_custkey) AS bigint) AS cust_sum,
          ${centsSql("o_totalprice")} AS total_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // clone = the pre-clone slices, source = everything: independence
+    // replayed with plain modulo filters
+    "t_snapshot_clone" ->
+      s"""WITH agg AS (
+           SELECT 'clone' AS side, o_orderstatus, count(*) AS n,
+             cast(sum(o_custkey) AS bigint) AS cust_sum,
+             ${centsSql("o_totalprice")} AS total_cents
+           FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1, 2
+           UNION ALL
+           SELECT 'source' AS side, o_orderstatus, count(*) AS n,
+             cast(sum(o_custkey) AS bigint) AS cust_sum,
+             ${centsSql("o_totalprice")} AS total_cents
+           FROM orders GROUP BY 1, 2)
+         SELECT side, o_orderstatus, n, cust_sum, total_cents
+         FROM agg ORDER BY side, o_orderstatus""",
 
     // recompute over raw orders: int→long promotion is lossless, so the
     // era-upcast read must reproduce the full key sum exactly

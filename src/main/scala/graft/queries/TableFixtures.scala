@@ -549,6 +549,38 @@ object TableFixtures {
       cached
     })
 
+  private val cloneCache = TrieMap.empty[String, (GraftTable, GraftTable)]
+
+  /**
+   * snapshot-clone fixture (`CALL system.snapshot`): source holds the
+   * `o_orderkey % 3 IN (0, 1)` slices when the zero-copy clone is taken;
+   * the source then appends the `% 3 == 2` slice (the clone must not see
+   * it) and BOTH tables run full maintenance — compaction rewrite,
+   * expire to one snapshot, orphan collection — which must not cost the
+   * other table a byte (hard links are distinct directory entries over
+   * shared inodes). Returns (mutated source, maintained clone).
+   */
+  def ordersCloned(spark: SparkSession, sfDir: String): (GraftTable, GraftTable) =
+    cloneCache.getOrElseUpdate(sfDir, {
+      val base = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val orders = read(spark, sfDir, "orders")
+      GraftTable.drop(spark, s"$base/orders_clone_src")
+      GraftTable.drop(spark, s"$base/orders_clone")
+      val src = GraftTable.create(spark, s"$base/orders_clone_src",
+        "graft.orders_clone_src", orders.schema)
+      src.append(orders.filter(col("o_orderkey") % 3 === 0))
+      src.append(orders.filter(col("o_orderkey") % 3 === 1))
+      val clone = src.snapshotTo(s"$base/orders_clone", "graft.orders_clone")
+      src.append(orders.filter(col("o_orderkey") % 3 === 2))
+      val horizon = System.currentTimeMillis() + 3600000L
+      Seq(clone, src).foreach { t =>
+        t.rewriteDataFilesSorted(Seq(org.apache.spark.sql.functions.asc("o_orderkey")))
+        t.expireSnapshots(horizon, retainLast = 1)
+        t.removeOrphanFiles(dryRun = false, olderThanMs = horizon)
+      }
+      (src, clone)
+    })
+
   private val ivfRefreshCache = TrieMap.empty[String, String]
 
   /**

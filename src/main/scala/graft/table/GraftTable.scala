@@ -1812,6 +1812,66 @@ class GraftTable(val spark: SparkSession, val location: String) {
       extraSummary = Map("add-files-source" -> sourceDir))
   }
 
+  /**
+   * `CALL system.snapshot(source, table)` — zero-copy clone of this
+   * table's CURRENT state as a new, fully independent table at
+   * `targetLocation` (the third member of Iceberg's onboarding trio next
+   * to `add_files` and `register_table`). Every current data file
+   * hard-links into the clone's `data/` at its existing relative path
+   * (no bytes move on a link-capable filesystem; byte-copy fallback
+   * otherwise) and commits as ONE append snapshot reusing the source's
+   * per-file stats — no footer re-reads, no scan.
+   *
+   * Independence is physical: links are distinct directory entries over
+   * shared inodes, so clone maintenance (expire, remove_orphan_files,
+   * compaction rewrites, even DROP) deletes only the CLONE's entries —
+   * the source never loses a byte (spec-pinned), and vice versa.
+   *
+   * Scope: the clone starts history afresh from the current snapshot
+   * (time travel into pre-clone history stays with the source — Iceberg's
+   * snapshot tables behave the same). Sources with live MoR delete files
+   * or rename/type-promotion eras are refused: their files need era-aware
+   * or anti-join reads the clone's fresh metadata cannot express — run
+   * `rewrite_position_delete_files` / a rewriting compaction first.
+   */
+  def snapshotTo(targetLocation: String, targetName: String): GraftTable = {
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(throw new IllegalStateException(
+      s"snapshot: ${m.name} has no current snapshot to clone"))
+    require(snap.deleteFiles.isEmpty,
+      s"snapshot: ${m.name} carries live MoR delete files; run " +
+        "rewrite_position_delete_files (or a compaction) first")
+    require(m.renames.isEmpty && m.typeChanges.isEmpty,
+      s"snapshot: ${m.name} has rename/type-promotion eras; pre-era files " +
+        "store old physical names/types the clone's fresh metadata cannot " +
+        "resolve — rewrite_data_files first")
+    val t = GraftTable.create(spark, targetLocation, targetName, schema,
+      m.partitionCols, m.props)
+    snap.files.foreach { f =>
+      val src = fs.makeQualified(new Path(dataDir, f.path))
+      val dst = fs.makeQualified(new Path(t.dataDir, f.path))
+      fs.mkdirs(dst.getParent)
+      def local(p: Path): Option[java.nio.file.Path] = {
+        val u = p.toUri
+        if (u.getScheme == null || u.getScheme == "file")
+          Some(java.nio.file.Paths.get(u.getPath))
+        else None
+      }
+      val linked = (local(dst), local(src)) match {
+        case (Some(d), Some(s)) => scala.util.Try {
+          java.nio.file.Files.createLink(d, s); true
+        }.getOrElse(false)
+        case _ => false
+      }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+    t.commitSnapshot(t.meta, snap.files.map(_.copy(dataSeq = None)),
+      removed = Seq.empty, operation = "append", branch = None,
+      extraSummary = Map("snapshot-source" -> location))
+    t
+  }
+
   /** `rewrite_manifests` (reference IcebergLoadActivityTask.scala:160,
     * SURVEY.md §2.5 P3). Three jobs: (a) COMPACT long manifest chains —
     * every amortized append adds one manifest to its snapshot's list, so a

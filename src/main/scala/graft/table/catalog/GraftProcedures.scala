@@ -36,11 +36,14 @@ private[catalog] object GraftProcedures {
     "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
     "rollback_to_snapshot", "set_partition_spec", "create_changelog_view",
-    "cherrypick_snapshot", "rewrite_position_delete_files")
+    "cherrypick_snapshot", "rewrite_position_delete_files",
+    "snapshot", "register_table")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "add_files"           => Some(new AddFiles(catalog))
+      case "snapshot"            => Some(new SnapshotTable(catalog))
+      case "register_table"      => Some(new RegisterTable(catalog))
       case "ancestors_of"        => Some(new AncestorsOf(catalog))
       case "fast_forward"        => Some(new FastForward(catalog))
       case "remove_orphan_files" => Some(new RemoveOrphanFiles(catalog))
@@ -156,6 +159,56 @@ private[catalog] object GraftProcedures {
       result(out, Seq(new GenericInternalRow(Array[Any](
         snap.addedFiles.size,
         snap.summary.get("added-records").map(_.toLong).getOrElse(0L)))))
+    }
+  }
+
+  /** `snapshot(source_table, table)` — zero-copy clone of the source's
+    * current state as a NEW independent table under the target catalog
+    * name (hard-linked files, one append snapshot; independence and scope
+    * contract in [[GraftTable.snapshotTo]]). */
+  private class SnapshotTable(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("source_table", StringType),
+      param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("imported_files_count", IntegerType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = table(input.getUTF8String(0).toString)
+      val targetName = input.getUTF8String(1).toString
+      val parts = targetName.split("\\.")
+      val loc = catalog.tableLocation(Identifier.of(parts.init, parts.last))
+      val t = src.snapshotTo(loc, targetName)
+      val m = t.meta
+      result(out, Seq(new GenericInternalRow(Array[Any](
+        str(targetName),
+        m.currentSnapshot.map(_.files.size).getOrElse(0),
+        m.currentSnapshotId.getOrElse(0L)))))
+    }
+  }
+
+  /** `register_table(table, location)` — serve an EXISTING graft table
+    * under a catalog name: the catalog slot holds only a pointer, nothing
+    * moves, and dropping the name unregisters without touching the table. */
+  private class RegisterTable(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "register_table") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("location", StringType))
+    private val out = StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false),
+      StructField("location", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val name = input.getUTF8String(0).toString
+      val loc = input.getUTF8String(1).toString
+      val parts = name.split("\\.")
+      catalog.registerTable(Identifier.of(parts.init, parts.last), loc)
+      val m = GraftTable.load(SparkSession.active, loc).meta
+      result(out, Seq(new GenericInternalRow(Array[Any](
+        str(name), m.currentSnapshotId.getOrElse(0L), str(loc)))))
     }
   }
 

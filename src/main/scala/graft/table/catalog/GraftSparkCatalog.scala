@@ -63,17 +63,60 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
 
   override def name(): String = catalogName
 
-  def tableLocation(ident: Identifier): String =
+  /** Catalog slot on disk for `ident` — BEFORE `graft.ref` indirection. */
+  private def rawLocation(ident: Identifier): String =
     (ident.namespace().toSeq :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  /** Physical table location: the catalog slot itself, or — when the slot
+    * holds a `graft.ref` pointer written by `CALL system.register_table` —
+    * the existing table location it points at (Iceberg's register_table:
+    * serve a table that lives elsewhere under a catalog name, no data or
+    * metadata movement). */
+  def tableLocation(ident: Identifier): String = {
+    val raw = rawLocation(ident)
+    registeredTarget(raw).getOrElse(raw)
+  }
+
+  private def registeredTarget(raw: String): Option[String] = {
+    val ref = new Path(raw, GraftSparkCatalog.RefFileName)
+    val fs = ref.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ref)) None
+    else {
+      val in = fs.open(ref)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** `register_table`: point the catalog slot at an existing graft table.
+    * The slot holds ONLY the pointer — dropTable unregisters the name
+    * without touching the table it points at. */
+  private[catalog] def registerTable(ident: Identifier, location: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(SnapshotLog.exists(location, conf),
+      s"register_table: no graft table at $location")
+    val raw = rawLocation(ident)
+    require(!SnapshotLog.exists(raw, conf) && registeredTarget(raw).isEmpty,
+      s"register_table: $ident already exists")
+    val ref = new Path(raw, GraftSparkCatalog.RefFileName)
+    val fs = ref.getFileSystem(conf)
+    fs.mkdirs(ref.getParent)
+    val out = fs.create(ref, false)
+    try out.write(location.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((Seq(warehouse) ++ namespace).mkString("/"))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => SnapshotLog.exists(
-        (Seq(warehouse) ++ namespace :+ n).mkString("/"),
-        spark.sparkContext.hadoopConfiguration))
+      .filter { n =>
+        val raw = (Seq(warehouse) ++ namespace :+ n).mkString("/")
+        SnapshotLog.exists(raw, spark.sparkContext.hadoopConfiguration) ||
+          registeredTarget(raw).isDefined
+      }
       .map(n => Identifier.of(namespace, n))
   }
 
@@ -161,9 +204,16 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    GraftTable.exists(spark, tableLocation(ident)) &&
-      GraftTable.drop(spark, tableLocation(ident))
+  override def dropTable(ident: Identifier): Boolean = {
+    val raw = rawLocation(ident)
+    if (registeredTarget(raw).isDefined) {
+      // a registered name is a POINTER: dropping it unregisters the name
+      // and must never touch the table it points at
+      val p = new Path(raw)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } else
+      GraftTable.exists(spark, raw) && GraftTable.drop(spark, raw)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
@@ -247,6 +297,10 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
 }
 
 object GraftSparkCatalog {
+  /** Marker file a `register_table` catalog slot holds: its UTF-8 body is
+    * the registered table's physical location. */
+  private[catalog] val RefFileName = "graft.ref"
+
   /** The SPJ `bucket` function is served only from the namespaces Spark
     * (and Iceberg) resolve transform functions in — the catalog root and
     * `system` — so a same-named function in a user namespace is never

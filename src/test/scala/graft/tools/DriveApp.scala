@@ -191,6 +191,13 @@ object DriveApp {
       println("add-files files=" + snap.addedFiles.size
         + " sum=" + at.toDF.agg(sum(col("n"))).head.getLong(0)
         + " op=" + snap.operation)
+      // snapshot clone: zero-copy, independent — source survives clone DROP
+      val ct = at.snapshotTo(loc + "-clone", "af_clone")
+      ct.append(Seq(("z", 100L)).toDF("k", "n"))
+      val cloneSum = ct.toDF.agg(sum(col("n"))).head.getLong(0)
+      graft.table.GraftTable.drop(spark, ct.location)
+      println("snapshot-clone cloneSum=" + cloneSum
+        + " srcAfterCloneDrop=" + at.toDF.count())
     }
     println("== streaming: watermarked stream-stream interval join")
     locally {
