@@ -66,6 +66,7 @@ final class JdbcCommitGuard(url: String) extends CommitGuard {
             return
         }
       if (claimed) {
+        CommitGuard.maybeCrashAfterClaim()
         // we own the slot: move the fully-written tmp into place (atomic —
         // a racing reader never observes a half-written metadata file)
         installOwned(fs, tmp, target)

@@ -57,6 +57,7 @@ final class RestCommitGuard(url: String) extends CommitGuard {
       }
     resp.statusCode() match {
       case 200 =>
+        CommitGuard.maybeCrashAfterClaim()
         installOwned(fs, tmp, target)
       case 409 =>
         fs.delete(tmp, false)
@@ -171,6 +172,13 @@ final class RestCatalogServer {
   def stop(): Unit = if (server != null) server.stop(0)
 
   def claimedSlots: Int = slots.size()
+
+  /** The claimed slot keys (qualified target paths) — lets a fuzz
+    * campaign assert every recorded claim ended up installed/healed. */
+  def slotKeys: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    slots.keySet().asScala.toSeq
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

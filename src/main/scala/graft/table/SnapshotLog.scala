@@ -368,6 +368,31 @@ trait CommitGuard {
 final class CommitStateUnknownException(msg: String, cause: Throwable)
   extends IllegalStateException(msg, cause)
 
+object CommitGuard {
+  /** Crash-injection point for the service guards' claim→install window —
+    * the exact gap the heal path exists for. Test-only (never set in
+    * production): when system property `graft.test.crashAfterClaim` is a
+    * probability > 0, a claim-WINNING committer dies before installing —
+    * `graft.test.crashAfterClaim.mode=halt` kills the whole JVM
+    * (multi-process campaigns), `=throw` aborts just this commit
+    * (thread-level campaigns against embedded databases). */
+  private[table] def maybeCrashAfterClaim(): Unit = {
+    val p = sys.props.get("graft.test.crashAfterClaim")
+      .flatMap(_.toDoubleOption).getOrElse(0.0)
+    if (p > 0.0 && scala.util.Random.nextDouble() < p) {
+      sys.props.getOrElse("graft.test.crashAfterClaim.mode", "halt") match {
+        case "throw" => throw new InjectedCommitCrash
+        case _ => Runtime.getRuntime.halt(137)
+      }
+    }
+  }
+}
+
+/** Thrown by the `throw`-mode crash injection: the commit was CLAIMED but
+  * never installed — storage heals on the next contender. */
+final class InjectedCommitCrash
+  extends RuntimeException("injected crash between claim and install")
+
 /** Local filesystem: rename OVERWRITES an existing target, so it cannot
   * carry the CAS. POSIX link(2) can — creating a hard link fails atomically
   * with EEXIST when the version slot is taken, which makes cross-PROCESS
