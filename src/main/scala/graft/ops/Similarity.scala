@@ -282,24 +282,48 @@ object Similarity {
    */
   def assignIvfCells(vectors: DataFrame, centers: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centers
-      .select(col("__cell").cast("int").as("__cell"), col("__center"))
-      .orderBy("__cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    require(cents.nonEmpty, "assignIvfCells: empty centers table")
+    val nCells = centers.count()
+    require(nCells > 0, "assignIvfCells: empty centers table")
+    val base = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val v = col("__cv").cast("array<double>")
-    val d2s = array(cents.map { case (_, c) =>
-      aggregate(
-        zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-    val ids = typedlit(cents.map(_._1))
-    vectors
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__d2", d2s)
-      .withColumn("__cell", element_at(ids,
-        array_position(col("__d2"), array_min(col("__d2"))).cast("int")))
-      .drop("__d2")
+    def d2(center: Column) = aggregate(
+      zip_with(v, center, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val vecOk = col("__cv").isNotNull && size(col("__cv")) > 0
+    if (nCells * vectorDim(centers, "__center") <= UnrolledAssignLimit) {
+      val cents = centers
+        .select(col("__cell").cast("int").as("__cell"), col("__center"))
+        .orderBy("__cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val d2s = array(cents.map { case (_, c) => d2(typedlit(c)) }: _*)
+      val ids = typedlit(cents.map(_._1))
+      // the when() guard is load-bearing (the assignToCentroids lesson):
+      // element_at on a FOLDABLE array with a null index constant-folds to
+      // a non-null element in Spark 4.1, so a null/empty vector must be
+      // forced to a NULL cell before the literal lookup
+      base
+        .withColumn("__d2", when(vecOk, d2s))
+        .withColumn("__cell", when(vecOk, element_at(ids,
+          array_position(col("__d2"), array_min(col("__d2"))).cast("int"))))
+        .drop("__d2")
+    } else {
+      // Above the unroll limit the nCells literal expressions per row hit
+      // the JVM/codegen method-size cliff (the assignToCentroids lesson):
+      // fall back to a broadcast-join argmin. Same per-pair IEEE double
+      // math (zip_with/aggregate in identical operation order) and the
+      // same deterministic tie rule — min over (d2, __cell) structs picks
+      // the smallest distance, then the smallest cell id. Null/empty
+      // vectors get a NULL cell, matching the unrolled path's guard.
+      val cents = centers
+        .select(col("__cell").cast("int").as("__cell"), col("__center"))
+      val best = base.filter(vecOk)
+        .crossJoin(broadcast(cents))
+        .groupBy(col("neighbor_id"))
+        .agg(min(struct(d2(col("__center")).as("__d2"), col("__cell"))).as("__best"))
+        .select(col("neighbor_id").as("__nid"), col("__best.__cell").as("__cell"))
+      base.join(best, col("neighbor_id") === col("__nid"), "left")
+        .drop("__nid")
+    }
   }
 
   /**

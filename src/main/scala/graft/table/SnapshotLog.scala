@@ -655,10 +655,25 @@ object SnapshotLog {
     try {
       commitGuardFor(fs, target).publish(fs, tmp, target, payload)
     } catch {
-      case e: Throwable =>
-        // the losing commit's freshly written manifests are orphans —
-        // remove them so conflicts don't leak files into _graft/
+      case e: IllegalStateException
+          if !e.isInstanceOf[CommitStateUnknownException] &&
+            Option(e.getMessage).exists(_.contains("Concurrent commit")) =>
+        // PROVEN clean loss: the guard only raises "Concurrent commit" when
+        // this committer's claim verifiably never landed (a straight CAS
+        // loss, or adjudication found another writer's payload in the
+        // slot). Nothing references the freshly written manifests, so
+        // remove them — conflicts must not leak files into _graft/.
         newManifests.foreach(p => scala.util.Try(fs.delete(p, false)))
+        throw e
+      case e: Throwable =>
+        // Ambiguous/unknown/crash outcome (CommitStateUnknownException,
+        // an injected post-claim crash, any transport failure): the
+        // service may have durably recorded this claim, and the committed
+        // metadata references these manifests BY NAME — deleting them
+        // would permanently corrupt a landed commit (the next contender's
+        // heal path installs the winning metadata, whose manifest file is
+        // gone). Leave them on disk; a genuinely lost commit's manifests
+        // are exactly what remove_orphan_files collects later.
         throw e
     }
     // advisory hint; losing a race here is harmless (readers list the dir)

@@ -99,4 +99,32 @@ class IvfPersistenceSpec extends SparkTestBase {
     assert(!deltaPlan.contains("Exchange") && !deltaPlan.contains("Join"),
       s"delta assignment must not shuffle or join:\n$deltaPlan")
   }
+
+  test("assignIvfCells broadcast fallback matches the unrolled path (incl. null/empty vectors)") {
+    import spark.implicits._
+    val centers = Similarity.buildIvfIndex(corpus, nCells = 6).centers
+    val withBad = corpus
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Seq(
+        (9000L, Option.empty[Seq[Float]]),
+        (9001L, Some(Seq.empty[Float]))).toDF("vec_id", "embedding"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    val unrolled = cells(Similarity.assignIvfCells(withBad, centers))
+    val saved = Similarity.UnrolledAssignLimit
+    val (fallback, fallbackPlan) = try {
+      Similarity.UnrolledAssignLimit = 1L // force the broadcast-join argmin
+      val df = Similarity.assignIvfCells(withBad, centers)
+      (cells(df), df.queryExecution.executedPlan.toString)
+    } finally Similarity.UnrolledAssignLimit = saved
+    assert(fallbackPlan.contains("BroadcastHashJoin") ||
+      fallbackPlan.contains("BroadcastNestedLoopJoin"),
+      s"fallback must broadcast the centers, not shuffle the corpus:\n$fallbackPlan")
+    assert(unrolled(9000L).isEmpty && unrolled(9001L).isEmpty,
+      "null/empty vectors must get a NULL cell")
+    assert(fallback.size === unrolled.size)
+    assert(fallback === unrolled)
+  }
 }
