@@ -77,6 +77,34 @@ object Bench {
       r3((System.nanoTime() - t0) / 1e9)
     }
 
+  /** Small-file filesystem probe: create + stat + read + delete 1000 tiny
+    * files under java.io.tmpdir. The FS-metadata complement of [[cpuProbe]]
+    * and [[sparkProbe]]: the r12 sweep inflated the metadata-heavy t_*
+    * family 2-8x (t_hidden_partitioning 3.24 s vs a 0.74 s idle re-run on
+    * identical code) and NEITHER existing probe saw it — small-file
+    * create/stat/unlink contention is a third, independent resource on a
+    * shared sandbox. Fixed work every round; min is the machine constant. */
+  private def fsProbe(runs: Int): Seq[Double] = {
+    val dir = java.nio.file.Files.createTempDirectory("bench-fsprobe")
+    val out = (1 to runs).map { r =>
+      val t0 = System.nanoTime()
+      var i = 0
+      var bytes = 0L
+      while (i < 1000) {
+        val p = dir.resolve(s"f-$r-$i")
+        java.nio.file.Files.write(p, Array.fill[Byte](64)(i.toByte))
+        bytes += java.nio.file.Files.size(p)
+        bytes += java.nio.file.Files.readAllBytes(p).length
+        java.nio.file.Files.delete(p)
+        i += 1
+      }
+      if (bytes == 42L) System.err.println("[bench] improbable probe value")
+      r3((System.nanoTime() - t0) / 1e9)
+    }
+    java.nio.file.Files.deleteIfExists(dir)
+    out
+  }
+
   /** JSON string escape: backslash, quote, and ALL control chars — Spark
     * exception strings embed multi-line plan dumps, and one raw newline
     * makes the whole detail artifact unparseable (round-8 post-mortem). */
@@ -164,6 +192,7 @@ object Bench {
     val gcBefore = gcMs
     val calibCpuStart = cpuProbe(3)
     val calibSparkStart = sparkProbe(spark, 3)
+    val calibFsStart = fsProbe(3)
     val sweepT0 = System.nanoTime()
     // local-iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
     // queries; unset (the driver's configuration) runs the full set
@@ -195,6 +224,7 @@ object Bench {
     val loadAfter = loadAvg
     val calibCpuEnd = cpuProbe(3)
     val calibSparkEnd = sparkProbe(spark, 3)
+    val calibFsEnd = fsProbe(3)
     val gcSweepMs = gcMs - gcBefore
     val ok = results.collect { case (k, (ts, None, _)) => k -> ts }
     val failed = results.collect { case (k, (_, Some(_), _)) => k }
@@ -206,7 +236,8 @@ object Bench {
          |    "jvm_uptime_ms_at_sweep": $jvmUptimeMs,
          |    "gc_ms_during_sweep": $gcSweepMs,
          |    "calib_cpu_single_sec": {"start": ${arr(calibCpuStart)}, "end": ${arr(calibCpuEnd)}},
-         |    "calib_spark_shuffle_sec": {"start": ${arr(calibSparkStart)}, "end": ${arr(calibSparkEnd)}}
+         |    "calib_spark_shuffle_sec": {"start": ${arr(calibSparkStart)}, "end": ${arr(calibSparkEnd)}},
+         |    "calib_fs_smallfile_sec": {"start": ${arr(calibFsStart)}, "end": ${arr(calibFsEnd)}}
          |  }""".stripMargin
 
     // full detail — every query: min, raw runs, err (null when green).
@@ -257,7 +288,7 @@ object Bench {
     val errList = failed.take(10).map(jstr).mkString("[", ",", "]")
     // calib mins on stdout: the judge's first-glance contention check —
     // reference values (idle sandbox) live in BASELINE.md
-    val calibJson = s"""{"cpu":${calibCpuStart.min},"cpu_end":${calibCpuEnd.min},"spark":${calibSparkStart.min},"spark_end":${calibSparkEnd.min},"gc_ms":$gcSweepMs}"""
+    val calibJson = s"""{"cpu":${calibCpuStart.min},"cpu_end":${calibCpuEnd.min},"spark":${calibSparkStart.min},"spark_end":${calibSparkEnd.min},"fs":${calibFsStart.min},"fs_end":${calibFsEnd.min},"gc_ms":$gcSweepMs}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
