@@ -836,29 +836,39 @@ object Dedup {
    * over a PRE-MATERIALIZED token array (inlining `tokens()` into the
    * shingle lambda would re-split the text once per output shingle —
    * O(tokens²) regex work, see [[TextAnalysis.shingles]]'s warning),
-   * md5 digest, ONE `repartition(digest)`, an unbounded per-key window
-   * computing the per-instance flag with a task-local sort and NO second
-   * exchange (Spark sees the matching partitioning), and a
-   * map-side-collapsed per-doc aggregate left-joined back onto the
-   * DISTINCT doc ids — one output row per distinct id even if the input
-   * repeats ids, and zero-window docs (shorter than `window` tokens)
-   * rejoin with zero counts. Total shuffle is O(corpus tokens × digest
-   * width) — inherent to span-level work (suffix-array approaches pay
-   * the same) — exactly once; no driver-side state.
+   * md5 digest, a TWO-LEVEL per-digest aggregate (map-side partial
+   * min/max collapse every digest to one row per input partition before
+   * the exchange, so no task ever buffers a digest's full occurrence
+   * list — a viral boilerplate window with 10⁸ corpus-wide occurrences
+   * costs its reduce task ≤ #map-partitions partial rows, where the
+   * window-over-digest shape this replaced materialized all 10⁸ in one
+   * WindowExec group), a streaming shuffled-hash join of the instances
+   * against the per-digest stats (build side = the digest stats, probe
+   * side streams — a hot digest's instances concentrate in one join
+   * partition but are never buffered, and AQE's skew-join split can
+   * further divide that partition), and a map-side-collapsed per-doc
+   * aggregate left-joined back onto the DISTINCT doc ids — one output
+   * row per distinct id even if the input repeats ids, and zero-window
+   * docs (shorter than `window` tokens) rejoin with zero counts. The
+   * corpus-sized digest rows ride two exchanges (agg partials + join) —
+   * O(corpus tokens × digest width) either way, the price of deleting
+   * the unbounded hot-digest group; no driver-side state.
    */
   private def spanFlagStats(df: DataFrame, textCol: String, idCol: String,
       window: Int, flagName: String)(
-      flag: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      flag: (Column, Column) => Column): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
     val wins = df
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         explode(TextAnalysis.shinglesOfTokens(col("__toks"), window)).as("__w"))
       .select(col(idCol), md5(col("__w")).as("__k"))
-      .repartition(col("__k"))
+    val keyStats = wins
+      .groupBy(col("__k"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
     val stats = wins
-      .withColumn("__f", flag(Window.partitionBy(col("__k"))).cast("long"))
+      .join(keyStats.hint("shuffle_hash"), Seq("__k"))
+      .withColumn("__f", flag(col("__mn"), col("__mx")).cast("long"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"), sum(col("__f")).as(flagName))
     df.select(col(idCol)).distinct()
@@ -885,8 +895,8 @@ object Dedup {
    */
   def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
       window: Int = 8): DataFrame =
-    spanFlagStats(df, textCol, idCol, window, "n_dup_windows") { byKey =>
-      min(col(idCol)).over(byKey) =!= max(col(idCol)).over(byKey)
+    spanFlagStats(df, textCol, idCol, window, "n_dup_windows") { (mn, mx) =>
+      mn =!= mx
     }.withColumn("dup_frac",
       when(col("n_windows") > 0,
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
@@ -908,8 +918,8 @@ object Dedup {
    */
   def spanNoveltyStats(df: DataFrame, textCol: String, idCol: String,
       window: Int = 8): DataFrame =
-    spanFlagStats(df, textCol, idCol, window, "n_seen_windows") { byKey =>
-      min(col(idCol)).over(byKey) < col(idCol)
+    spanFlagStats(df, textCol, idCol, window, "n_seen_windows") { (mn, _) =>
+      mn < col(idCol)
     }.withColumn("novelty_frac",
       when(col("n_windows") > 0,
         round(lit(1.0) - col("n_seen_windows").cast("double") / col("n_windows"), 4))
@@ -937,15 +947,23 @@ object Dedup {
    * `(idCol, start_pos, end_pos, n_tokens)` (1-based token positions,
    * inclusive). Docs with no repeated >= k substring produce no rows.
    *
-   * Scale shape: two keyed exchanges, nothing else — (1) the window
-   * DIGEST shuffle (16-byte md5 + doc + pos; window text never leaves
-   * the map side) where an in-place `count over (partition by digest)`
-   * flags duplicated windows, and (2) a doc-keyed window for the
-   * gaps-and-islands merge (per-doc partitions, bounded by document
-   * length). No self-join, no suffix array materialization: the
-   * suffix-array construction of the paper is a single-machine
-   * formulation — window digests + run merging compute the same covered
-   * set with corpus-linear shuffled bytes.
+   * Scale shape: only digest-keyed exchanges and one doc-keyed window —
+   * window text never leaves the map side (16-byte md5 + doc + pos ride
+   * the shuffles). The duplicate test is a TWO-LEVEL count: map-side
+   * partial counts collapse every digest to one row per input partition,
+   * so a viral boilerplate window with 10⁸ corpus-wide occurrences costs
+   * its reduce task ≤ #map-partitions partial rows — the
+   * count-over-digest window this replaced buffered all 10⁸ occurrences
+   * in a single WindowExec group (straggler + spill). The duplicated-key
+   * set then flags instances through a streaming left-semi shuffled-hash
+   * join (build side = the duplicated digests, probe side streams
+   * unbuffered; AQE's skew-join split can further divide a hot probe
+   * partition). Finally a doc-keyed window does the gaps-and-islands
+   * merge (per-doc partitions, bounded by document length). No
+   * self-join, no suffix array materialization: the suffix-array
+   * construction of the paper is a single-machine formulation — window
+   * digests + run merging compute the same covered set with
+   * corpus-linear shuffled bytes.
    */
   def maximalRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 20): DataFrame = {
@@ -957,10 +975,13 @@ object Dedup {
         posexplode(TextAnalysis.shinglesOfTokens(col("__toks"), k)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("__p"),
         md5(col("col")).as("__k"))
-      .repartition(col("__k"))
-    val covered = wins
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+    val dupKeys = wins
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
+      .select(col("__k"))
+    val covered = wins
+      .join(dupKeys.hint("shuffle_hash"), Seq("__k"), "leftsemi")
       .select(col(idCol), col("__p"))
     // gaps-and-islands: consecutive covered positions share (p - rank)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))

@@ -259,15 +259,17 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!l.contains("text") && !l.contains("__w"),
         s"window/document text must not ride a dup-span shuffle:\n$l")
     }
-    // the corpus-sized digest rows ride exactly ONE exchange: the
-    // repartition(__k) whose partitioning the min!=max window then reuses
-    // in place (no second digest shuffle, no join-back of a dup-key set);
-    // remaining exchanges carry doc-sized aggregate/join rows only
-    val digestExchanges = exchanges.count(_.contains("__k"))
-    assert(digestExchanges == 1,
-      s"expected exactly one digest-keyed exchange, got $digestExchanges:\n$plan")
-    assert(plan.contains("Window"),
-      s"expected the in-place min/max window over the digest partitioning:\n$plan")
+    // the hot-digest-safe shape (round 13): a two-level per-digest
+    // aggregate whose MAP-SIDE partial min/max collapses every digest to
+    // one row per input partition before the exchange (no WindowExec
+    // group ever buffers a digest's full occurrence list), then a
+    // streaming shuffled-hash join of the instances against the stats
+    assert(!plan.contains("Window"),
+      s"no window over the digest key — a hot digest would buffer its full occurrence list in one group:\n$plan")
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"expected map-side partial min/max collapsing digests before the exchange:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a streaming shuffled-hash join of instances vs digest stats (sort-merge would re-buffer the hot partition in its sort):\n$plan")
     assert(!plan.contains("Expand"),
       s"no countDistinct expand should appear:\n$plan")
   }

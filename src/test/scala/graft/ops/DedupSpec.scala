@@ -462,4 +462,34 @@ class DedupSpec extends SparkTestBase {
       (1L, 1L, 6L, 6L), (1L, 10L, 14L, 5L),
       (2L, 2L, 6L, 5L), (2L, 9L, 14L, 6L)))
   }
+
+  test("maximalRepeatedSpans: a 1e5-occurrence hot digest never buffers in a digest group") {
+    // one viral 4-token boilerplate pasted into 100k docs (the r12
+    // advisory: `count over (partition by digest)` landed all occurrences
+    // of a hot digest in ONE WindowExec group — straggler + spill). The
+    // two-level count collapses the hot digest map-side, and the
+    // instance flags stream through a shuffled-hash semi join.
+    val docs = spark.range(100000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("lorem ipsum dolor sit unique"),
+          col("id").cast("string")).as("text"))
+    val out = Dedup.maximalRepeatedSpans(docs, "text", "doc_id", k = 4)
+    // every doc: tokens (lorem ipsum dolor sit uniqueN) → hot window at
+    // pos 1 (100k occurrences), unique window at pos 2 → one span 1..4
+    assert(out.count() === 100000L)
+    val sample = out.filter(col("doc_id") === 12345L).collect()
+    assert(sample.length === 1)
+    assert(sample.head.getLong(1) === 1L && sample.head.getLong(2) === 4L)
+    val plan = out.queryExecution.executedPlan.toString
+    // bounded per-task materialization, by construction: the duplicate
+    // test is a map-side-partial count (each task contributes ONE partial
+    // row per digest), and no window ever partitions by the digest key
+    assert(plan.contains("partial_count"),
+      s"expected a map-side partial count of digests:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Window"))
+        .forall(!_.contains("__k")),
+      s"no window may partition by the digest key:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+      s"instance flags must stream through a shuffled-hash semi join:\n$plan")
+  }
 }
