@@ -99,13 +99,18 @@ object Graph {
    * quadratic in a node's raw degree.
    */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set: (a, b) with a < b, no loops, distinct
+    // canonical undirected edge set: (a, b) with a < b, no loops, distinct.
+    // PINNED (localCheckpoint, as in pageRank): the lazy lineage consumes
+    // `und` three ways (degree agg twice via the stamp joins + the stamped
+    // edge set) and `oriented` three ways (both wedge legs + the closure),
+    // which would recompute the full upstream edge builder ~6x
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("__a"),
         greatest(col(srcCol), col(dstCol)).as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("__a").as("__n"))
       .unionAll(und.select(col("__b").as("__n")))
       .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
@@ -118,10 +123,11 @@ object Graph {
     val aFirst = col("__da") < col("__db") ||
       (col("__da") === col("__db") && col("__a") < col("__b"))
     val oriented = stamped.select(
-      when(aFirst, col("__a")).otherwise(col("__b")).as("__src"),
-      when(aFirst, col("__b")).otherwise(col("__a")).as("__dst"),
-      struct(when(aFirst, col("__db")).otherwise(col("__da")).as("d"),
-        when(aFirst, col("__b")).otherwise(col("__a")).as("n")).as("__dk"))
+        when(aFirst, col("__a")).otherwise(col("__b")).as("__src"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("__dst"),
+        struct(when(aFirst, col("__db")).otherwise(col("__da")).as("d"),
+          when(aFirst, col("__b")).otherwise(col("__a")).as("n")).as("__dk"))
+      .localCheckpoint()
     // wedges u→v, u→w with key(v) < key(w); the closing edge, if the
     // triangle exists, is oriented v→w by the same order
     val e1 = oriented.select(col("__src").as("__u"), col("__dst").as("__v"),
@@ -161,7 +167,12 @@ object Graph {
     require(minCells >= 1, s"minCells must be >= 1, got $minCells")
     require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
     val cells = cellCols.map(col)
+    // pinned: both the size aggregate and the pairing join consume the
+    // distinct occurrence set — unpinned, the distinct's full exchange
+    // runs twice (ContextCleaner reclaims the checkpoint blocks once the
+    // result's references drop, the pageRank/Skyline pattern)
     val d = occ.select((col(unitCol).as("__u") +: cells): _*).distinct()
+      .localCheckpoint()
     val sizes = d.groupBy(cells: _*).agg(count(lit(1)).as("__c"))
       .filter(col("__c").between(2L, maxCellSize.toLong))
       .drop("__c")
