@@ -570,7 +570,8 @@ object TableFixtures {
         "graft.orders_clone_src", orders.schema)
       src.append(orders.filter(col("o_orderkey") % 3 === 0))
       src.append(orders.filter(col("o_orderkey") % 3 === 1))
-      val clone = src.snapshotTo(s"$base/orders_clone", "graft.orders_clone")
+      val clone = src.snapshotTo(s"$base/orders_clone", "graft.orders_clone",
+        link = true)
       src.append(orders.filter(col("o_orderkey") % 3 === 2))
       val horizon = System.currentTimeMillis() + 3600000L
       Seq(clone, src).foreach { t =>

@@ -39,6 +39,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   def dataDir: String = s"$location/data"
 
+  /** Physical location of a data-file entry: entries with an absolute
+    * `base` (metadata-only snapshot clones) live under it; everything
+    * else under this table's own data/ dir. */
+  private def fileLoc(f: DataFile): String =
+    s"${f.base.getOrElse(dataDir)}/${f.path}"
+
   /** Always read fresh metadata — commits from this or other sessions are
     * immediately visible (metadata reads are a driver-side local file). */
   def meta: TableMetadata = SnapshotLog.read(location, conf)
@@ -120,12 +126,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val sp = spark
     import sp.implicits._
     val fileDf = snap.map(_.files).getOrElse(Seq.empty)
-      .map(f => (f.path,
+      .map(f => (f.path, fileLoc(f),
         f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")))
-      .toDF("__file", "_partition")
+      .toDF("__file", "_file", "_partition")
     base.join(broadcast(fileDf), Seq("__file"))
       .select((s.fields.toSeq.map(f => col(f.name)) ++ Seq(
-        concat(lit(s"$dataDir/"), col("__file")).as("_file"),
+        col("_file"),
         col("__pos").as("_pos"),
         col("_partition"))).toIndexedSeq: _*)
   }
@@ -213,12 +219,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // upcasts — parquet readers cannot read e.g. INT32 pages as longs
     def physTypes(seq: Long): Seq[DataType] =
       s.fields.toSeq.map(f => physicalType(m, f.name, f.dataType, seq))
-    files.groupBy(f => (layoutOf(f), physNames(seqOf(f)), physTypes(seqOf(f))))
+    files.groupBy(f =>
+        (f.base, layoutOf(f), physNames(seqOf(f)), physTypes(seqOf(f))))
       .toSeq
-      .sortBy { case ((layout, names, types), _) =>
-        (layout.mkString(","), names.mkString(","),
+      .sortBy { case ((base, layout, names, types), _) =>
+        (base.getOrElse(""), layout.mkString(","), names.mkString(","),
           types.map(_.simpleString).mkString(",")) }
-      .map { case ((_, names, types), group) =>
+      .map { case ((base, _, names, types), group) =>
         val physSchema = StructType(s.fields.zip(names).zip(types)
           .map { case ((f, n), t) => f.copy(name = n, dataType = t) })
         val posCols = if (withPos) Seq(
@@ -227,8 +234,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
         else Seq.empty
         spark.read
           .schema(physSchema)
-          .option("basePath", dataDir)
-          .parquet(group.map(f => s"$dataDir/${f.path}"): _*)
+          // per-group base: hive partition recovery resolves against the
+          // group's own data root (a clone's external entries recover
+          // partition values from the SOURCE's directory layout)
+          .option("basePath", base.getOrElse(dataDir))
+          .parquet(group.map(fileLoc): _*)
           .select((s.fields.zip(names).zip(types).toSeq
             .map { case ((f, n), t) =>
               if (t == f.dataType) col(n).as(f.name)
@@ -1377,7 +1387,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val sp = spark
     import sp.implicits._
     m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
-      .map(f => (0, s"$dataDir/${f.path}", "PARQUET",
+      .map(f => (0, fileLoc(f), "PARQUET",
         f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"),
         f.records, f.sizeBytes))
       .toDF("content", "file_path", "file_format", "partition", "record_count", "file_size_in_bytes")
@@ -1392,7 +1402,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val sp = spark
     import sp.implicits._
     m.snapshots.sortBy(_.id)
-      .flatMap(s => s.files.map(f => (s.id, s"$dataDir/${f.path}",
+      .flatMap(s => s.files.map(f => (s.id, fileLoc(f),
         f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"),
         f.records, f.sizeBytes, f.dataSeq.getOrElse(-1L))))
       .toDF("snapshot_id", "file_path", "partition", "record_count",
@@ -1814,27 +1824,44 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /**
    * `CALL system.snapshot(source, table)` — zero-copy clone of this
-   * table's CURRENT state as a new, fully independent table at
+   * table's CURRENT state as a new, independently-evolving table at
    * `targetLocation` (the third member of Iceberg's onboarding trio next
-   * to `add_files` and `register_table`). Every current data file
-   * hard-links into the clone's `data/` at its existing relative path
-   * (no bytes move on a link-capable filesystem; byte-copy fallback
-   * otherwise) and commits as ONE append snapshot reusing the source's
-   * per-file stats — no footer re-reads, no scan.
+   * to `add_files` and `register_table`). Commits ONE append snapshot
+   * reusing the source's per-file stats — no footer re-reads, no scan.
    *
-   * Independence is physical: links are distinct directory entries over
-   * shared inodes, so clone maintenance (expire, remove_orphan_files,
-   * compaction rewrites, even DROP) deletes only the CLONE's entries —
-   * the source never loses a byte (spec-pinned), and vice versa.
+   * Two physical modes:
    *
-   * Scope: the clone starts history afresh from the current snapshot
-   * (time travel into pre-clone history stays with the source — Iceberg's
-   * snapshot tables behave the same). Sources with live MoR delete files
-   * or rename/type-promotion eras are refused: their files need era-aware
-   * or anti-join reads the clone's fresh metadata cannot express — run
-   * `rewrite_position_delete_files` / a rewriting compaction first.
+   *  - `link = false` (default — Iceberg parity): METADATA-ONLY. The
+   *    clone's manifest entries carry the source's data dir as an
+   *    absolute `base` (Iceberg manifests reference absolute paths for
+   *    exactly this), so cloning a million-file table is O(metadata)
+   *    driver work — zero per-file filesystem calls. The clone's own
+   *    maintenance (expire, remove_orphan_files, compaction, DROP) never
+   *    deletes a based entry's bytes — physical deletion belongs to the
+   *    owner. CAVEAT (Iceberg's snapshot-table caveat, verbatim): the
+   *    clone depends on the source's files staying put; source-side
+   *    expire_snapshots / remove_orphan_files after source rewrites can
+   *    delete files the clone still references. Use `link = true` when
+   *    the source will be maintained independently.
+   *
+   *  - `link = true`: every current data file hard-links into the
+   *    clone's `data/` at its existing relative path (no bytes move on a
+   *    link-capable filesystem; byte-copy fallback otherwise).
+   *    Independence is then physical — links are distinct directory
+   *    entries over shared inodes, so EITHER side's maintenance deletes
+   *    only its own entries (spec-pinned mutual immunity) — at the cost
+   *    of O(files) driver-side link calls.
+   *
+   * Scope (both modes): the clone starts history afresh from the current
+   * snapshot (time travel into pre-clone history stays with the source —
+   * Iceberg's snapshot tables behave the same). Sources with live MoR
+   * delete files or rename/type-promotion eras are refused: their files
+   * need era-aware or anti-join reads the clone's fresh metadata cannot
+   * express — run `rewrite_position_delete_files` / a rewriting
+   * compaction first.
    */
-  def snapshotTo(targetLocation: String, targetName: String): GraftTable = {
+  def snapshotTo(targetLocation: String, targetName: String,
+      link: Boolean = false): GraftTable = {
     val m = meta
     val snap = m.currentSnapshot.getOrElse(throw new IllegalStateException(
       s"snapshot: ${m.name} has no current snapshot to clone"))
@@ -1847,26 +1874,35 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "resolve — rewrite_data_files first")
     val t = GraftTable.create(spark, targetLocation, targetName, schema,
       m.partitionCols, m.props)
-    snap.files.foreach { f =>
-      val src = fs.makeQualified(new Path(dataDir, f.path))
-      val dst = fs.makeQualified(new Path(t.dataDir, f.path))
-      fs.mkdirs(dst.getParent)
-      def local(p: Path): Option[java.nio.file.Path] = {
-        val u = p.toUri
-        if (u.getScheme == null || u.getScheme == "file")
-          Some(java.nio.file.Paths.get(u.getPath))
-        else None
+    val entries =
+      if (!link) {
+        // metadata-only: reference the files where they live (a clone of
+        // a clone keeps pointing at the ORIGINAL owner's data dir)
+        snap.files.map(f =>
+          f.copy(dataSeq = None, base = Some(f.base.getOrElse(dataDir))))
+      } else {
+        snap.files.foreach { f =>
+          val src = fs.makeQualified(new Path(fileLoc(f)))
+          val dst = fs.makeQualified(new Path(t.dataDir, f.path))
+          fs.mkdirs(dst.getParent)
+          def local(p: Path): Option[java.nio.file.Path] = {
+            val u = p.toUri
+            if (u.getScheme == null || u.getScheme == "file")
+              Some(java.nio.file.Paths.get(u.getPath))
+            else None
+          }
+          val linked = (local(dst), local(src)) match {
+            case (Some(d), Some(s)) => scala.util.Try {
+              java.nio.file.Files.createLink(d, s); true
+            }.getOrElse(false)
+            case _ => false
+          }
+          if (!linked)
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        }
+        snap.files.map(_.copy(dataSeq = None, base = None))
       }
-      val linked = (local(dst), local(src)) match {
-        case (Some(d), Some(s)) => scala.util.Try {
-          java.nio.file.Files.createLink(d, s); true
-        }.getOrElse(false)
-        case _ => false
-      }
-      if (!linked)
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
-    }
-    t.commitSnapshot(t.meta, snap.files.map(_.copy(dataSeq = None)),
+    t.commitSnapshot(t.meta, entries,
       removed = Seq.empty, operation = "append", branch = None,
       extraSummary = Map("snapshot-source" -> location))
     t
@@ -1927,8 +1963,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val expired = m.snapshots.filterNot(s => keep.contains(s.id))
     val retainedFiles = m.snapshots.filter(s => keep.contains(s.id))
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    // entries with an absolute base are another table's files referenced
+    // by a metadata-only snapshot clone: expiring the referencing snapshot
+    // drops the REFERENCE only — physical deletion belongs to the owner
     val toDelete = expired
-      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+      .flatMap(s => s.files.filter(_.base.isEmpty).map(_.path) ++
+        s.deleteFiles.map(_.path))
       .distinct.filterNot(retainedFiles.contains)
     val pruned = m.copy(snapshots = m.snapshots.filter(s => keep.contains(s.id)))
     SnapshotLog.commit(location, pruned, conf)

@@ -53,7 +53,17 @@ case class DataFile(
     // without opening them (Iceberg reaches the same shape with Puffin
     // blob stats). Keys are column names; values hash the column rendered
     // to its stat-string domain (see GraftTable.bloomProbeRendering).
-    blooms: Option[Map[String, String]] = None)
+    blooms: Option[Map[String, String]] = None,
+    // Absolute data-root URI when the file lives OUTSIDE this table's own
+    // data/ directory (Iceberg manifests reference absolute paths for
+    // exactly this): the physical location is `$base/$path`, and `path`
+    // keeps carrying the hive partition layout. Set by the metadata-only
+    // `CALL system.snapshot` clone; None (the default, and what every
+    // pre-existing metadata file deserializes to) means the file is owned
+    // by this table under its data/ dir. Files with a base are NEVER
+    // physically deleted by this table's maintenance — the owner (or its
+    // remove_orphan_files) is the only legitimate deleter.
+    base: Option[String] = None)
 
 /**
  * One committed table version. Mirrors the reference's Iceberg snapshot

@@ -163,8 +163,10 @@ private[catalog] object GraftProcedures {
   }
 
   /** `snapshot(source_table, table)` — zero-copy clone of the source's
-    * current state as a NEW independent table under the target catalog
-    * name (hard-linked files, one append snapshot; independence and scope
+    * current state as a NEW independently-evolving table under the target
+    * catalog name (metadata-only: one append snapshot whose entries
+    * reference the source files by absolute base, Iceberg parity — O(1)
+    * filesystem work however many files; independence, caveat and scope
     * contract in [[GraftTable.snapshotTo]]). */
   private class SnapshotTable(catalog: GraftSparkCatalog)
     extends GraftProcedure(catalog, "snapshot") {

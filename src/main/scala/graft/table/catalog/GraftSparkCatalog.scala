@@ -402,7 +402,8 @@ private[catalog] object GraftSqlTables {
       declared.filterNot(f => meta.partitionCols.contains(f.name)) ++
         declared.filter(f => meta.partitionCols.contains(f.name)))
     val dataDir = s"$loc/data"
-    val paths = snap.map(_.files.map(f => s"$dataDir/${f.path}")).getOrElse(Seq.empty)
+    val paths = snap.map(_.files.map(f =>
+      s"${f.base.getOrElse(dataDir)}/${f.path}")).getOrElse(Seq.empty)
     val options = new CaseInsensitiveStringMap(
       Map("basePath" -> dataDir).asJava)
     val inner = ParquetTable(name, spark, options, paths,
@@ -430,9 +431,14 @@ private[catalog] object GraftSqlTables {
       val lastChange = meta.typeChanges.map(_.afterSeq).max
       snap.exists(_.files.exists(_.dataSeq.forall(_ <= lastChange)))
     }
+    // a fifth shape: external (based) entries from a metadata-only
+    // snapshot clone — one plain file index cannot recover hive partition
+    // values against two different data roots; the graft read plan groups
+    // scans per base
+    val externalFiles = snap.exists(_.files.exists(_.base.isDefined))
     val planRead = snap
       .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout ||
-        preRenameFiles || preTypeChangeFiles)
+        preRenameFiles || preTypeChangeFiles || externalFiles)
       .map(sn => GraftPlanRead(loc, sn.id))
     // metadata-only COUNT(*): exact when no merge-on-read delete can drop
     // rows at read time (the planRead guard already refuses those scans,

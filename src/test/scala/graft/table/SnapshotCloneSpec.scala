@@ -30,10 +30,10 @@ class SnapshotCloneSpec extends SparkTestBase {
     java.nio.file.Files.readAttributes(p,
       classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
 
-  test("snapshotTo: zero-copy clone, then full mutual maintenance immunity") {
+  test("snapshotTo(link=true): zero-copy clone, then full mutual maintenance immunity") {
     import spark.implicits._
     val src = fresh(90, "sc_src", parts = Seq("k"))
-    val clone = src.snapshotTo(tmpDir("sc-clone"), "sc_clone")
+    val clone = src.snapshotTo(tmpDir("sc-clone"), "sc_clone", link = true)
 
     // identical contents + layout; files are hard links (shared inodes)
     assert(clone.toDF.count() === 90)
@@ -71,13 +71,70 @@ class SnapshotCloneSpec extends SparkTestBase {
     assert(src.toDF.count() === 90)
 
     // source maintenance never touches a (second) clone either
-    val clone2 = src.snapshotTo(tmpDir("sc-clone2"), "sc_clone2")
+    val clone2 = src.snapshotTo(tmpDir("sc-clone2"), "sc_clone2", link = true)
     src.append(Seq(("y", 2000L, 1.0)).toDF("k", "n", "v"))
     src.rewriteDataFilesSorted(Seq(asc("n")))
     src.expireSnapshots(System.currentTimeMillis() + 100000, retainLast = 1)
     src.removeOrphanFiles(dryRun = false, olderThanMs = System.currentTimeMillis() + 100000)
     assert(clone2.toDF.count() === 90)
     assert(clone2.toDF.agg(sum("n")).head.getLong(0) === 4095L)
+  }
+
+  test("snapshotTo (metadata-only default): O(metadata) clone via absolute-base entries") {
+    import spark.implicits._
+    val src = fresh(90, "sc_ref_src", parts = Seq("k"))
+    val clone = src.snapshotTo(tmpDir("sc-refclone"), "sc_refclone")
+
+    // METADATA-ONLY: the clone's data dir holds zero files — the entries
+    // reference the source's files by absolute base (no per-file driver
+    // filesystem work, however many files the source holds)
+    def parquetFilesUnder(dir: String) = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) Array.empty[java.io.File]
+      else d.listFiles.flatMap(x => Option(x.listFiles).getOrElse(Array(x)))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFilesUnder(clone.location + "/data").isEmpty,
+      "a metadata-only clone must not materialize files under its data dir")
+    assert(clone.meta.currentSnapshot.get.files.forall(_.base.isDefined))
+
+    // identical contents, partition layout, and stat pruning
+    assert(clone.toDF.count() === 90)
+    assert(clone.toDF.agg(sum("n")).head.getLong(0) === 4095L)
+    assert(clone.meta.partitionCols === Seq("k"))
+    assert(clone.toDF.filter(col("k") === "p1").count() ===
+      src.toDF.filter(col("k") === "p1").count())
+    assert(clone.scanWhere(col("n") === 1L).inputFiles.length
+      < clone.toDF.inputFiles.length)
+
+    // the clone evolves independently: local appends + CoW delete
+    clone.append(Seq(("x", 1000L, 9.9)).toDF("k", "n", "v"))
+    clone.deleteWhere(col("n") <= 30L)
+    assert(clone.toDF.count() === 61)
+    assert(src.toDF.count() === 90, "clone writes must not leak into the source")
+
+    // clone maintenance never deletes a based entry's bytes: compaction
+    // rewrites externals into local files, then expire + orphan GC of the
+    // clone must not cross the table boundary into the source
+    clone.rewriteDataFilesSorted(Seq(asc("n")))
+    clone.expireSnapshots(System.currentTimeMillis() + 100000, retainLast = 1)
+    val collected = clone.removeOrphanFiles(dryRun = false,
+      olderThanMs = System.currentTimeMillis() + 100000)
+    assert(src.toDF.count() === 90,
+      s"clone maintenance deleted source bytes (orphans collected: $collected)")
+    assert(src.toDF.agg(sum("n")).head.getLong(0) === 4095L)
+    assert(clone.toDF.count() === 61)
+
+    // ... and DROP of a (fresh, still-external) clone leaves the source whole
+    val clone2 = src.snapshotTo(tmpDir("sc-refclone2"), "sc_refclone2")
+    // a clone of a CLONE keeps pointing at the original owner's data dir
+    val clone3 = clone2.snapshotTo(tmpDir("sc-refclone3"), "sc_refclone3")
+    assert(clone3.meta.currentSnapshot.get.files.forall(
+      _.base.contains(src.dataDir)))
+    GraftTable.drop(spark, clone2.location)
+    GraftTable.drop(spark, clone3.location)
+    assert(src.toDF.count() === 90)
+    assert(src.toDF.agg(sum("n")).head.getLong(0) === 4095L)
   }
 
   test("snapshot refuses MoR-delete and era-bearing sources") {
