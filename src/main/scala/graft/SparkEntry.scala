@@ -1055,6 +1055,28 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // IVF staleness signal: each refresh batch's mean squared distance to
+    // its frozen assigned center, ratioed against the fit-time baseline
+    // batch — the documented refit trigger for the refresh path (rebuild
+    // when drift_ratio exceeds the bound instead of refreshing again).
+    // Centers are k-means output (not oracle-replayable), so the hash
+    // surface is the own-bound pattern: deterministic batch ids + counts,
+    // plus drift_ok flags the oracle emits as literal TRUE — the test
+    // corpus batches are i.i.d. slices of one distribution, so a healthy
+    // signal sits near ratio 1 and any distance blow-up, lost batch, or
+    // false refit trips the hash
+    "s_ann_ivf_drift" -> ((s, dir) => {
+      val loc = graft.queries.TableFixtures.ivfRefreshed(s, dir)
+      val idx = Similarity.loadIvfIndex(s, loc)
+      Similarity.ivfDriftStats(
+          T(s, dir, "embeddings")
+            .withColumn("batch", (col("vec_id") % 4).cast("int")),
+          idx.centers, "batch", baselineBatch = lit(0))
+        .select(col("batch"), col("n_vectors"),
+          (!col("refit_due")).as("drift_ok"))
+        .orderBy("batch")
+    }),
+
     // IVF with QUANTIZED candidate scoring (IVF-PQ-flavored two-stage
     // retrieval): int8 approximate ranking, exact rescore of the top
     // shortlist. This config probes all cells with an unbounded shortlist,
@@ -4188,6 +4210,16 @@ object SparkEntry {
     "s_ann_ivf_refresh" ->
       """SELECT vec_id, TRUE AS refresh_ok
          FROM embeddings ORDER BY vec_id""",
+
+    // own-bound pattern: batch ids and sizes are deterministic (vec_id %
+    // 4 slices); the engine-side drift_ok asserts each batch's mean
+    // assigned-center distance stays within the refit bound of the
+    // fit-time baseline — literal TRUE makes a drift blow-up, a lost
+    // batch, or a spurious refit signal a hash mismatch
+    "s_ann_ivf_drift" ->
+      """SELECT CAST(vec_id % 4 AS INTEGER) AS batch,
+                count(*) AS n_vectors, TRUE AS drift_ok
+         FROM embeddings GROUP BY 1 ORDER BY 1""",
 
     // own-bound pattern (q12/q31): the deterministic cells are the
     // exhaustive top-5 (identical to annTopkSql); the engine-side boolean

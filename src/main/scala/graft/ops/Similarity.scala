@@ -281,10 +281,24 @@ object Similarity {
    * persisted `assigned` schema (`neighbor_id`, `__cv`, `__cell`).
    */
   def assignIvfCells(vectors: DataFrame, centers: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignIvfCellsImpl(vectors, centers, idCol, vecCol).drop("__d2")
+
+  /** [[assignIvfCells]] plus `__d2` — the squared euclidean distance to
+    * the assigned center (NULL for null/empty vectors). The staleness
+    * signal [[ivfDriftStats]] reads it; same guarded unrolled/joined
+    * paths, same tie rule. */
+  def assignIvfCellsWithDist(vectors: DataFrame, centers: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignIvfCellsImpl(vectors, centers, idCol, vecCol)
+
+  private def assignIvfCellsImpl(vectors: DataFrame, centers: DataFrame,
+      idCol: String, vecCol: String,
+      passthrough: Seq[String] = Seq.empty): DataFrame = {
     val nCells = centers.count()
     require(nCells > 0, "assignIvfCells: empty centers table")
-    val base = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val base = vectors.select((Seq(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv")) ++ passthrough.map(col)): _*)
     val v = col("__cv").cast("array<double>")
     def d2(center: Column) = aggregate(
       zip_with(v, center, (x, y) => (x - y) * (x - y)),
@@ -302,10 +316,11 @@ object Similarity {
       // a non-null element in Spark 4.1, so a null/empty vector must be
       // forced to a NULL cell before the literal lookup
       base
-        .withColumn("__d2", when(vecOk, d2s))
+        .withColumn("__d2s", when(vecOk, d2s))
         .withColumn("__cell", when(vecOk, element_at(ids,
-          array_position(col("__d2"), array_min(col("__d2"))).cast("int"))))
-        .drop("__d2")
+          array_position(col("__d2s"), array_min(col("__d2s"))).cast("int"))))
+        .withColumn("__d2", when(vecOk, array_min(col("__d2s"))))
+        .drop("__d2s")
     } else {
       // Above the unroll limit the nCells literal expressions per row hit
       // the JVM/codegen method-size cliff (the assignToCentroids lesson):
@@ -320,10 +335,50 @@ object Similarity {
         .crossJoin(broadcast(cents))
         .groupBy(col("neighbor_id"))
         .agg(min(struct(d2(col("__center")).as("__d2"), col("__cell"))).as("__best"))
-        .select(col("neighbor_id").as("__nid"), col("__best.__cell").as("__cell"))
+        .select(col("neighbor_id").as("__nid"),
+          col("__best.__cell").as("__cell"), col("__best.__d2").as("__d2"))
       base.join(best, col("neighbor_id") === col("__nid"), "left")
         .drop("__nid")
     }
+  }
+
+  /**
+   * IVF staleness signal for the [[refreshIvfIndex]] path: after enough
+   * delta refreshes the FROZEN centers stop describing the corpus, and
+   * probed-cell recall quietly decays. For each value of `batchCol`
+   * (e.g. an ingest-round id), assign the batch through the frozen
+   * centers and compare its mean squared assigned-center distance to the
+   * fit-time baseline batch's: a growing ratio means the new data lands
+   * ever farther from every center — the documented REFIT TRIGGER is
+   * `refit_due` (ratio > `refitRatio`), at which point rebuild with
+   * [[buildIvfIndex]] + [[saveIvfIndex]] instead of refreshing again.
+   *
+   * Returns one row per batch:
+   * `(batch, n_vectors, mean_d2, baseline_d2, drift_ratio, refit_due)`;
+   * null/empty vectors are excluded from the means. Every distance is
+   * deterministic IEEE double math through the same guarded assignment
+   * as the refresh path itself.
+   *
+   * Scale shape: one narrow guarded assignment over the vectors, a
+   * batch-keyed partial-aggregated mean (|batches| rows), and a 1-row
+   * broadcast of the baseline — nothing corpus-sized shuffles.
+   */
+  def ivfDriftStats(vectors: DataFrame, centers: DataFrame,
+      batchCol: String, baselineBatch: Column,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitRatio: Double = 2.0): DataFrame = {
+    val stats = assignIvfCellsImpl(vectors, centers, idCol, vecCol,
+        passthrough = Seq(batchCol))
+      .filter(col("__d2").isNotNull)
+      .groupBy(col(batchCol).as("batch"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_d2"))
+    val baseline = stats.filter(col("batch") === baselineBatch)
+      .select(col("mean_d2").as("baseline_d2"))
+    stats.crossJoin(broadcast(baseline))
+      .select(col("batch"), col("n_vectors"), col("mean_d2"),
+        col("baseline_d2"),
+        (col("mean_d2") / col("baseline_d2")).as("drift_ratio"),
+        (col("mean_d2") / col("baseline_d2") > lit(refitRatio)).as("refit_due"))
   }
 
   /**
@@ -339,6 +394,10 @@ object Similarity {
    * against the same centers would produce for every row (the
    * assignment is per-row in frozen literals — s_ann_ivf_refresh
    * hash-pins the equality corpus-wide across three appends).
+   *
+   * Staleness: deltas assigned through frozen centers decay recall as
+   * the corpus distribution moves — monitor each refresh with
+   * [[ivfDriftStats]] and REBUILD (not refresh) once `refit_due` fires.
    */
   def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
       location: String, delta: DataFrame,

@@ -100,6 +100,33 @@ class IvfPersistenceSpec extends SparkTestBase {
       s"delta assignment must not shuffle or join:\n$deltaPlan")
   }
 
+  test("ivfDriftStats: in-distribution batches stay healthy, a shifted batch trips refit_due") {
+    import spark.implicits._
+    val centers = Similarity.buildIvfIndex(corpus, nCells = 6).centers
+    // batch 0 = the fit corpus (baseline), batch 1 = an i.i.d. re-draw
+    // (healthy), batch 2 = the same vectors shifted far outside every
+    // cell (stale centers — must fire the refit trigger)
+    val b0 = corpus.withColumn("batch", lit(0))
+    val b1 = corpus.withColumn("vec_id", col("vec_id") + 1000L)
+      .withColumn("batch", lit(1))
+    val b2 = corpus.withColumn("vec_id", col("vec_id") + 2000L)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(50.0f)))
+      .withColumn("batch", lit(2))
+    val out = Similarity.ivfDriftStats(b0.unionByName(b1).unionByName(b2),
+        centers, "batch", baselineBatch = lit(0))
+      .orderBy("batch").collect()
+    assert(out.length === 3)
+    val byBatch = out.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(byBatch(0)._1 === 300L)
+    assert(math.abs(byBatch(0)._2 - 1.0) < 1e-12, "baseline ratio must be exactly 1")
+    assert(!byBatch(0)._3 && !byBatch(1)._3,
+      "in-distribution batches must not demand a refit")
+    assert(math.abs(byBatch(1)._2 - 1.0) < 1e-9, "identical re-draw drifts nowhere")
+    assert(byBatch(2)._3, s"a +50-shifted batch must fire refit_due, ratio ${byBatch(2)._2}")
+    assert(byBatch(2)._2 > 100.0)
+  }
+
   test("assignIvfCells broadcast fallback matches the unrolled path (incl. null/empty vectors)") {
     import spark.implicits._
     val centers = Similarity.buildIvfIndex(corpus, nCells = 6).centers
