@@ -405,6 +405,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // distributed unigram-LM tokenizer training (Kudo 2018 / SentencePiece
+    // — the probabilistic companion of x_bpe_train): ONE corpus pass
+    // builds the word dictionary; each EM round is a narrow
+    // forward/backward lattice map over the dictionary (current vocab as
+    // one broadcast map literal), a bounded occurrence explode, and a
+    // piece-keyed expected-count aggregate — only the vocab-sized count
+    // table reaches the driver. Per-round quantization (9dp, floored at
+    // one quantum) makes the EM trajectory engine-independent; the oracle
+    // unrolls seed + both rounds verbatim as chained lattice CTEs
+    "x_unigram_lm" -> ((s, dir) =>
+      graft.ops.UnigramLm.train(T(s, dir, "documents"), "text",
+          vocabSize = 45, rounds = 2, maxPieceLen = 4, maxWordLen = 12,
+          seedMultis = 60)
+        .orderBy("piece")),
+
     // char-level Shannon entropy quality signal (native one-pass codegen
     // expression — the degenerate-doc filter that kills low-entropy spam):
     // per-language entropy profile over the 27-symbol a..z+space alphabet
@@ -2663,6 +2678,87 @@ object SparkEntry {
              round(w.wb - g.gb, 6) AS wb
            FROM $wCte w CROSS JOIN $gCte g)"""
 
+  /** DuckDB replay of [[graft.ops.UnigramLm.train]] — seed + `rounds` EM
+    * rounds unrolled verbatim. The per-word forward/backward lattices
+    * become chained CTEs (one column per position, recurrence terms in
+    * the same l-ascending left-associated order as the engine's HOF
+    * fold), piece probabilities come from scalar-subquery lookups, and
+    * every round quantizes with the same floored 9dp rounding — so the
+    * whole EM trajectory replays bit-for-bit (the x_logreg_train
+    * pattern). */
+  private def unigramLmSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, seedMultis: Int): String = {
+    val (big_l, n) = (maxPieceLen, maxWordLen)
+    def pl(vin: String, arg: String) =
+      s"coalesce((SELECT p FROM $vin WHERE piece = $arg), 0.0)"
+    def qExpr(x: String) = s"greatest(round($x, 9), 0.000000001)"
+    def roundCtes(r: Int): String = {
+      val vin = s"v${r - 1}"
+      val pre = s"r$r"
+      val f0 = s"${pre}f0 AS MATERIALIZED (SELECT w, freq, 1.0 AS f0 FROM words)"
+      val fs = (1 to n).map { i =>
+        val terms = (1 to math.min(big_l, i)).map { l =>
+          s"(f${i - l} * ${pl(vin, s"substr(w, ${i - l + 1}, $l)")})"
+        }.mkString(" + ")
+        s"${pre}f$i AS MATERIALIZED (SELECT *, CASE WHEN $i <= length(w) THEN $terms ELSE NULL END AS f$i FROM ${pre}f${i - 1})"
+      }
+      val b0 = s"${pre}b0 AS MATERIALIZED (SELECT *, 1.0 AS b0 FROM ${pre}f$n)"
+      val bs = (1 to n).map { j =>
+        val terms = (1 to math.min(big_l, j)).map { l =>
+          s"(${pl(vin, s"substr(w, length(w) - $j + 1, $l)")} * b${j - l})"
+        }.mkString(" + ")
+        s"${pre}b$j AS MATERIALIZED (SELECT *, CASE WHEN $j <= length(w) THEN $terms ELSE NULL END AS b$j FROM ${pre}b${j - 1})"
+      }
+      val fv = (1 to n).map(i => s"WHEN $i THEN f${i - 1}").mkString(" ")
+      val bv = (0 until n).map(k => s"WHEN $k THEN b$k").mkString(" ")
+      val ft = (1 to n).map(i => s"WHEN $i THEN f$i").mkString(" ")
+      val occ =
+        s"""${pre}occ AS MATERIALIZED (
+             SELECT substr(w, s, l) AS piece,
+               freq * (((CASE s $fv END)
+                 * ${pl(vin, "substr(w, s, l)")}
+                 * (CASE length(w) - s - l + 1 $bv END))
+                 / (CASE length(w) $ft END)) AS contrib
+             FROM ${pre}b$n, range(1, ${n + 1}) rs(s), range(1, ${big_l + 1}) rl(l)
+             WHERE s + l - 1 <= length(w))"""
+      val agg =
+        s"""${pre}E AS MATERIALIZED (SELECT piece, sum(contrib) AS E FROM ${pre}occ
+               WHERE contrib > 0 GROUP BY piece),
+           v$r AS MATERIALIZED (
+             SELECT piece, p FROM (
+               SELECT piece, p, CASE WHEN length(piece) = 1 THEN 0 ELSE
+                   row_number() OVER (PARTITION BY (length(piece) = 1)
+                     ORDER BY p DESC, piece) END AS rn
+               FROM (SELECT piece,
+                       ${qExpr(s"E / (SELECT sum(E) FROM ${pre}E)")} AS p
+                     FROM ${pre}E) q) t
+             WHERE length(piece) = 1
+                OR rn <= $vocabSize -
+                   (SELECT count(*) FROM ${pre}E WHERE length(piece) = 1))"""
+      (Seq(f0) ++ fs ++ Seq(b0) ++ bs ++ Seq(occ, agg)).mkString(",\n")
+    }
+    s"""WITH words AS MATERIALIZED (
+         SELECT word AS w, count(*) AS freq FROM (
+           SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           FROM documents) t
+         WHERE word <> '' AND length(word) <= $n GROUP BY 1),
+       cand AS MATERIALIZED (
+         SELECT substr(w, s, l) AS piece, sum(freq) AS cnt
+         FROM words, range(1, ${n + 1}) rs(s), range(1, ${big_l + 1}) rl(l)
+         WHERE s + l - 1 <= length(w) GROUP BY 1),
+       sel AS MATERIALIZED (
+         SELECT piece, cnt FROM (
+           SELECT piece, cnt, CASE WHEN length(piece) = 1 THEN 0 ELSE
+               row_number() OVER (PARTITION BY (length(piece) = 1)
+                 ORDER BY cnt DESC, piece) END AS rn
+           FROM cand) t
+         WHERE length(piece) = 1 OR rn <= $seedMultis),
+       v0 AS MATERIALIZED (SELECT piece,
+           ${qExpr("cnt * 1.0 / (SELECT sum(cnt) FROM sel)")} AS p FROM sel),
+       ${(1 to rounds).map(roundCtes).mkString(",\n")}
+       SELECT piece, p AS prob FROM v$rounds ORDER BY piece"""
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -3379,6 +3475,14 @@ object SparkEntry {
                      AND r_ellipsis AND r_alpha AND r_stopwords
                THEN 1 ELSE 0 END) AS bigint) AS n_pass
          FROM r GROUP BY 1 ORDER BY 1""",
+
+    // the unigram-LM EM replay: seed vocabulary from exact integer
+    // substring counts, then both EM rounds unrolled as chained
+    // forward/backward lattice CTEs with floored-9dp quantization after
+    // every normalization — the same trajectory-quantization argument as
+    // x_logreg_train, so the hash matches bit-for-bit
+    "x_unigram_lm" -> unigramLmSql(vocabSize = 45, rounds = 2,
+      maxPieceLen = 4, maxWordLen = 12, seedMultis = 60),
 
     // the same six BPE rounds unrolled as CTEs over the identical packed
     // dictionary; exact integer pair counts make the trajectory
