@@ -420,6 +420,30 @@ object SparkEntry {
           seedMultis = 60)
         .orderBy("piece")),
 
+    // unigram-LM Viterbi encode with the trained 45-piece vocabulary:
+    // per-language word and token totals (the x_bpe_encode companion).
+    // The Viterbi lattice runs over the distinct-word dictionary only
+    // (narrow map, vocab as one broadcast literal); tie rule
+    // (prob-max, piece-count-min, first-l) is total, and path
+    // probabilities are exact IEEE products of the quantized piece probs
+    // — the oracle replays training AND the lattice verbatim. Vocab
+    // memoized per corpus dir (a production pipeline encodes with a
+    // persisted tokenizer artifact; x_unigram_lm itself times training)
+    "x_unigram_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val vocab = unigramVocabCache.computeIfAbsent(dir, _ =>
+        graft.ops.UnigramLm.train(docs, "text", vocabSize = 45, rounds = 2,
+            maxPieceLen = 4, maxWordLen = 12, seedMultis = 60)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+      graft.ops.UnigramLm.encodeTokenCounts(docs, "doc_id", "text", vocab)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_tokens")).as("uni_tokens"))
+        .orderBy("lang")
+    }),
+
     // char-level Shannon entropy quality signal (native one-pass codegen
     // expression — the degenerate-doc filter that kills low-entropy spam):
     // per-language entropy profile over the 27-symbol a..z+space alphabet
@@ -2480,6 +2504,11 @@ object SparkEntry {
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
+  /** Trained unigram-LM vocabularies keyed by corpus dir (same memo
+    * rationale as [[bpeMergeCache]]). */
+  private val unigramVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
   private val wordset =
     "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
 
@@ -2687,6 +2716,14 @@ object SparkEntry {
     * whole EM trajectory replays bit-for-bit (the x_logreg_train
     * pattern). */
   private def unigramLmSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, seedMultis: Int): String =
+    s"""WITH ${unigramTrainCtes(vocabSize, rounds, maxPieceLen, maxWordLen, seedMultis)}
+       SELECT piece, p AS prob FROM v$rounds ORDER BY piece"""
+
+  /** The WITH-body of the unigram-LM training replay (words → seed →
+    * `rounds` EM rounds ending at CTE `v<rounds>`), shared by
+    * [[unigramLmSql]] and [[unigramEncodeSql]]. */
+  private def unigramTrainCtes(vocabSize: Int, rounds: Int, maxPieceLen: Int,
       maxWordLen: Int, seedMultis: Int): String = {
     val (big_l, n) = (maxPieceLen, maxWordLen)
     def pl(vin: String, arg: String) =
@@ -2737,7 +2774,7 @@ object SparkEntry {
                    (SELECT count(*) FROM ${pre}E WHERE length(piece) = 1))"""
       (Seq(f0) ++ fs ++ Seq(b0) ++ bs ++ Seq(occ, agg)).mkString(",\n")
     }
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
          SELECT word AS w, count(*) AS freq FROM (
            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
            FROM documents) t
@@ -2755,8 +2792,61 @@ object SparkEntry {
          WHERE length(piece) = 1 OR rn <= $seedMultis),
        v0 AS MATERIALIZED (SELECT piece,
            ${qExpr("cnt * 1.0 / (SELECT sum(cnt) FROM sel)")} AS p FROM sel),
-       ${(1 to rounds).map(roundCtes).mkString(",\n")}
-       SELECT piece, p AS prob FROM v$rounds ORDER BY piece"""
+       ${(1 to rounds).map(roundCtes).mkString(",\n")}"""
+  }
+
+  /** DuckDB replay of [[graft.ops.UnigramLm.encodeTokenCounts]] over the
+    * [[unigramTrainCtes]] vocabulary: the per-word Viterbi lattice
+    * unrolls into one chained CTE per position whose generated pick
+    * chain applies the engine's exact candidate order (l ascending,
+    * strict replace on (prob desc, piece-count asc)) — path probabilities
+    * are exact IEEE products of the quantized piece probs, so the
+    * cross-engine comparisons are exact, not approximate. */
+  private def unigramEncodeSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, seedMultis: Int): String = {
+    val (big_l, n) = (maxPieceLen, maxWordLen)
+    val vin = s"v$rounds"
+    def pl(arg: String) =
+      s"coalesce((SELECT p FROM $vin WHERE piece = $arg), 0.0)"
+    val e0 =
+      "e0 AS MATERIALIZED (SELECT w, 1.0 AS p0, 0 AS c0 FROM (SELECT DISTINCT w FROM docw) dw)"
+    val es = (1 to n).map { i =>
+      val m = math.min(big_l, i)
+      val candCols = (1 to m).map { l =>
+        s"p${i - l} * ${pl(s"substr(w, ${i - l + 1}, $l)")} AS cp$l, c${i - l} + 1 AS cc$l"
+      }.mkString(", ")
+      var inner = s"SELECT *, $candCols FROM e${i - 1}"
+      inner = s"SELECT *, cp1 AS b1p, cc1 AS b1c FROM ($inner) z1"
+      for (l <- 2 to m) {
+        val cond = s"cp$l > b${l - 1}p OR (cp$l = b${l - 1}p AND cc$l < b${l - 1}c)"
+        inner = s"SELECT *, CASE WHEN $cond THEN cp$l ELSE b${l - 1}p END AS b${l}p, " +
+          s"CASE WHEN $cond THEN cc$l ELSE b${l - 1}c END AS b${l}c FROM ($inner) z$l"
+      }
+      val keep = (0 until i).map(k => s"p$k, c$k").mkString(", ")
+      s"""e$i AS MATERIALIZED (SELECT w, $keep,
+           CASE WHEN $i <= length(w) THEN b${m}p ELSE NULL END AS p$i,
+           CASE WHEN $i <= length(w) THEN b${m}c ELSE NULL END AS c$i
+           FROM ($inner) zz)"""
+    }
+    val wt = (1 to n).map(i => s"WHEN $i THEN p$i").mkString(" ")
+    val ct = (1 to n).map(i => s"WHEN $i THEN c$i").mkString(" ")
+    s"""WITH ${unigramTrainCtes(vocabSize, rounds, big_l, n, seedMultis)},
+       docw AS MATERIALIZED (
+         SELECT doc_id, lang, word AS w, count(*) AS occ FROM (
+           SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           FROM documents) t
+         WHERE word <> '' AND length(word) <= $n GROUP BY 1, 2, 3),
+       $e0,
+       ${es.mkString(",\n")},
+       etok AS MATERIALIZED (SELECT w,
+         (CASE length(w) $wt END) AS wpr,
+         (CASE length(w) $ct END) AS wtok FROM e$n)
+       SELECT lang, count(DISTINCT doc_id) AS n_docs,
+         cast(sum(occ) AS bigint) AS words,
+         cast(sum(occ * wtok) AS bigint) AS uni_tokens
+       FROM docw JOIN etok USING (w)
+       WHERE wpr > 0 GROUP BY lang ORDER BY lang"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3482,6 +3572,12 @@ object SparkEntry {
     // every normalization — the same trajectory-quantization argument as
     // x_logreg_train, so the hash matches bit-for-bit
     "x_unigram_lm" -> unigramLmSql(vocabSize = 45, rounds = 2,
+      maxPieceLen = 4, maxWordLen = 12, seedMultis = 60),
+
+    // the Viterbi-encode replay over the same trained vocabulary: per-word
+    // lattice as chained position CTEs with the engine's exact pick order;
+    // exact products of quantized probs make float comparisons replayable
+    "x_unigram_encode" -> unigramEncodeSql(vocabSize = 45, rounds = 2,
       maxPieceLen = 4, maxWordLen = 12, seedMultis = 60),
 
     // the same six BPE rounds unrolled as CTEs over the identical packed

@@ -149,4 +149,64 @@ object UnigramLm {
     }
     vocab.toSeq.sortBy(_._1).toDF("piece", "prob")
   }
+
+  /**
+   * Viterbi encoding with a trained vocabulary — SentencePiece's default
+   * decode: segment each word into the maximum-probability piece
+   * sequence and return per-document token counts
+   * (`idCol`, `n_words`, `n_tokens`), the [[Bpe.encodeTokenCounts]]
+   * companion. Ties (equal path probability — exact IEEE products of the
+   * quantized piece probs, so cross-engine comparisons are exact) prefer
+   * FEWER pieces, then the shorter candidate piece at the boundary
+   * (l-ascending first-wins) — a total, replayable order. Words longer
+   * than `maxWordLen` or with an unsegmentable character are excluded
+   * (training saw every character of its own corpus, so self-encoding
+   * always covers).
+   *
+   * Scale shape: the Viterbi lattice runs over the DISTINCT-word
+   * dictionary as a narrow map (vocab as one broadcast map literal, no
+   * shuffle); per-doc counts are one (doc, word) aggregate joined
+   * word-keyed against the dictionary's token counts — AQE picks
+   * broadcast vs shuffle by vocabulary size.
+   */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Double], maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(vocab.nonEmpty, "encodeTokenCounts: empty vocabulary")
+    val occ = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__occ"))
+    // dp[i+1] = best (prob-max, then piece-count-min, then first-l) path
+    // over positions; candidates fold l = 1..maxPieceLen with a strict
+    // replace rule, so ties keep the smallest l — replayed verbatim by
+    // the oracle's generated pick chain
+    val cands = (1 to maxPieceLen).map { l =>
+      s"""(CASE WHEN i >= $l THEN named_struct(
+            'pr', (element_at(acc, i - $l + 1)).pr *
+              coalesce(try_element_at(V, substring(w, i - $l + 1, $l)), 0.0D),
+            'cnt', (element_at(acc, i - $l + 1)).cnt + 1)
+          ELSE named_struct('pr', -1.0D, 'cnt', 0) END)"""
+    }
+    val best = cands.reduceLeft { (a, b) =>
+      s"""(CASE WHEN ($b).pr > ($a).pr OR
+             (($b).pr = ($a).pr AND ($b).cnt < ($a).cnt)
+           THEN $b ELSE $a END)"""
+    }
+    val words = occ.select(col("w")).distinct()
+      .withColumn("V", typedlit(vocab))
+      .withColumn("__dp", expr(
+        s"""aggregate(sequence(1, length(w)),
+            array(named_struct('pr', 1.0D, 'cnt', 0)),
+            (acc, i) -> concat(acc, array($best)))"""))
+      .select(col("w"),
+        expr("(element_at(__dp, length(w) + 1)).pr").as("__pr"),
+        expr("(element_at(__dp, length(w) + 1)).cnt").cast("long").as("__wtok"))
+      .filter(col("__pr") > 0.0)
+      .select(col("w"), col("__wtok"))
+    occ.join(words, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_words"),
+        sum(col("__occ") * col("__wtok")).as("n_tokens"))
+  }
 }

@@ -100,6 +100,45 @@ class UnigramLmSpec extends SparkTestBase {
     assert(out.values.forall(p => p > 0.0 && p <= 1.0))
   }
 
+  test("encodeTokenCounts matches a sequential Viterbi reference") {
+    import spark.implicits._
+    val sentences = Seq(
+      (1L, "the fast table scan beats the slow table scan"),
+      (2L, "fast hash join beats slow sort merge join"),
+      (3L, "the scanner scans the tables fast and faster"))
+    val docs = sentences.toDF("doc_id", "text")
+    val vocab = UnigramLm.train(docs, "text", vocabSize = 25, rounds = 2,
+        maxPieceLen = 4, maxWordLen = 12, seedMultis = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    def viterbi(w: String): Option[Int] = {
+      // (prob, count), ties prefer fewer pieces then smaller l (first wins)
+      val n = w.length
+      val dp = Array.fill(n + 1)((0.0, 0)); dp(0) = (1.0, 0)
+      for (i <- 1 to n) {
+        var best = (-1.0, 0)
+        for (l <- 1 to math.min(4, i)) {
+          val c = (dp(i - l)._1 * vocab.getOrElse(w.substring(i - l, i), 0.0),
+            dp(i - l)._2 + 1)
+          if (c._1 > best._1 || (c._1 == best._1 && c._2 < best._2)) best = c
+        }
+        dp(i) = best
+      }
+      if (dp(n)._1 > 0.0) Some(dp(n)._2) else None
+    }
+    val want = sentences.map { case (id, text) =>
+      val ws = text.toLowerCase.split("[^a-z]+").filter(w => w.nonEmpty && w.length <= 12)
+        .flatMap(w => viterbi(w).map(t => (1L, t.toLong)))
+      id -> (ws.map(_._1).sum, ws.map(_._2).sum)
+    }.toMap
+
+    val got = UnigramLm.encodeTokenCounts(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+    // singles always cover, so every word segments and tokens >= words
+    got.foreach { case (_, (w, t)) => assert(t >= w && w > 0) }
+  }
+
   test("quantized trajectory is partition-order independent") {
     import spark.implicits._
     val docs = (1 to 50).map(i => s"stream window state store $i th batch")
