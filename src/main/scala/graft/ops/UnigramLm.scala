@@ -180,20 +180,30 @@ object UnigramLm {
     // dp[i+1] = best (prob-max, then piece-count-min, then first-l) path
     // over positions; candidates fold l = 1..maxPieceLen with a strict
     // replace rule, so ties keep the smallest l — replayed verbatim by
-    // the oracle's generated pick chain
-    val cands = (1 to maxPieceLen).map { l =>
-      s"""(CASE WHEN i >= $l THEN named_struct(
-            'pr', (element_at(acc, i - $l + 1)).pr *
-              coalesce(try_element_at(V, substring(w, i - $l + 1, $l)), 0.0D),
-            'cnt', (element_at(acc, i - $l + 1)).cnt + 1)
-          ELSE named_struct('pr', -1.0D, 'cnt', 0) END)"""
-    }
-    val best = cands.reduceLeft { (a, b) =>
-      s"""(CASE WHEN ($b).pr > ($a).pr OR
-             (($b).pr = ($a).pr AND ($b).cnt < ($a).cnt)
-           THEN $b ELSE $a END)"""
-    }
-    val words = occ.select(col("w")).distinct()
+    // the oracle's generated pick chain. The fold is a NESTED aggregate
+    // with l as a lambda variable, not an unrolled pick chain: an
+    // unrolled reduce duplicates each candidate subtree ~3× per level
+    // (exponential in maxPieceLen), which ballooned driver-side plan
+    // optimization to ~40 s per run before this shape
+    val cand =
+      s"""named_struct(
+            'pr', (element_at(acc, i - l + 1)).pr *
+              coalesce(try_element_at(V, substring(w, i - l + 1, l)), 0.0D),
+            'cnt', (element_at(acc, i - l + 1)).cnt + 1)"""
+    val best =
+      s"""aggregate(sequence(1, $maxPieceLen),
+          named_struct('pr', -1.0D, 'cnt', 0),
+          (bst, l) -> CASE
+            WHEN l > i THEN bst
+            WHEN ($cand).pr > bst.pr OR
+                 (($cand).pr = bst.pr AND ($cand).cnt < bst.cnt) THEN $cand
+            ELSE bst END)"""
+    // the checkpoint is load-bearing: without the lineage break the
+    // optimizer pushes the __pr filter (and the whole lattice projection
+    // with it) BELOW the distinct, evaluating the per-word DP once per
+    // corpus occurrence instead of once per dictionary word (measured
+    // ~25x on sf0.1)
+    val words = occ.select(col("w")).distinct().localCheckpoint()
       .withColumn("V", typedlit(vocab))
       .withColumn("__dp", expr(
         s"""aggregate(sequence(1, length(w)),
