@@ -1765,57 +1765,77 @@ class GraftTable(val spark: SparkSession, val location: String) {
         s"add_files: partitioned table needs hive-style $p=... source dirs"))
 
     val commitId = UUID.randomUUID().toString.take(8)
-    val out = ArrayBuffer.empty[DataFile]
+    // gather once, sort for a deterministic manifest order, then do the
+    // per-file work (footer stats read + mkdirs + link/copy) on a bounded
+    // pool — the loop is IO-bound driver work and was the onboarding
+    // bottleneck at large file counts when sequential
+    val listed = ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
     val it = fs.listFiles(srcQ, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val rel = srcQ.toUri.relativize(st.getPath.toUri).getPath
-        val partSegs = rel.split("/").toSeq.dropRight(1)
-          .filter(_.contains("="))
-        val pv = partSegs.flatMap(_.split("=", 2) match {
-          case Array(k, v) => Some(k -> ExternalCatalogUtils.unescapePathName(v))
-          case _ => None
-        }).toMap
-        require(pv.keySet == m.partitionCols.toSet,
-          s"add_files: $rel carries partition dirs ${pv.keySet.mkString(",")} " +
-            s"but ${m.name} is partitioned by ${m.partitionCols.mkString(",")}")
-        val (records, stats, physCols) = {
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-          try {
-            import scala.jdk.CollectionConverters._
-            (r.getRecordCount, footerColumnStats(r, schema),
-              r.getFooter.getFileMetaData.getSchema.getFields.asScala
-                .map(_.getName).toSet)
-          } finally r.close()
-        }
-        m.partitionCols.foreach(p => require(!physCols.contains(p),
-          s"add_files: $rel physically stores partition column $p; the " +
-            "table derives it from the directory — import via a " +
-            "rewriting append instead"))
-        val relTarget = (partSegs :+ s"$commitId-${st.getPath.getName}")
-          .mkString("/")
-        val target = new Path(dataDir, relTarget)
-        fs.mkdirs(target.getParent)
-        def local(p: Path): Option[java.nio.file.Path] = {
-          val u = fs.makeQualified(p).toUri
-          if (u.getScheme == null || u.getScheme == "file")
-            Some(java.nio.file.Paths.get(u.getPath))
-          else None
-        }
-        val linked = (local(target), local(st.getPath)) match {
-          case (Some(dst), Some(srcP)) => scala.util.Try {
-            java.nio.file.Files.createLink(dst, srcP); true
-          }.getOrElse(false)
-          case _ => false
-        }
-        if (!linked)
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, target,
-            false, conf)
-        out += DataFile(relTarget, pv, records,
-          fs.getFileStatus(target).getLen, stats)
-      }
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) listed += st
     }
+    val sorted = listed.sortBy(st =>
+      srcQ.toUri.relativize(st.getPath.toUri).getPath)
+    def importOne(st: org.apache.hadoop.fs.FileStatus): DataFile = {
+      val rel = srcQ.toUri.relativize(st.getPath.toUri).getPath
+      val partSegs = rel.split("/").toSeq.dropRight(1)
+        .filter(_.contains("="))
+      val pv = partSegs.flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> ExternalCatalogUtils.unescapePathName(v))
+        case _ => None
+      }).toMap
+      require(pv.keySet == m.partitionCols.toSet,
+        s"add_files: $rel carries partition dirs ${pv.keySet.mkString(",")} " +
+          s"but ${m.name} is partitioned by ${m.partitionCols.mkString(",")}")
+      val (records, stats, physCols) = {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          (r.getRecordCount, footerColumnStats(r, schema),
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet)
+        } finally r.close()
+      }
+      m.partitionCols.foreach(p => require(!physCols.contains(p),
+        s"add_files: $rel physically stores partition column $p; the " +
+          "table derives it from the directory — import via a " +
+          "rewriting append instead"))
+      val relTarget = (partSegs :+ s"$commitId-${st.getPath.getName}")
+        .mkString("/")
+      val target = new Path(dataDir, relTarget)
+      fs.mkdirs(target.getParent)
+      def local(p: Path): Option[java.nio.file.Path] = {
+        val u = fs.makeQualified(p).toUri
+        if (u.getScheme == null || u.getScheme == "file")
+          Some(java.nio.file.Paths.get(u.getPath))
+        else None
+      }
+      val linked = (local(target), local(st.getPath)) match {
+        case (Some(dst), Some(srcP)) => scala.util.Try {
+          java.nio.file.Files.createLink(dst, srcP); true
+        }.getOrElse(false)
+        case _ => false
+      }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, target,
+          false, conf)
+      DataFile(relTarget, pv, records,
+        fs.getFileStatus(target).getLen, stats)
+    }
+    val out: Seq[DataFile] =
+      if (sorted.size <= 1) sorted.map(importOne).toSeq
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, sorted.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            sorted.toSeq.map(st => scala.concurrent.Future(importOne(st)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
     require(out.nonEmpty, s"add_files: no parquet files under $sourceDir")
     commitSnapshot(m, out.toSeq, removed = Seq.empty, operation = "append",
       branch = None,
