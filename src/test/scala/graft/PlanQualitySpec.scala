@@ -246,6 +246,47 @@ class PlanQualitySpec extends SparkTestBase {
       s"chunk text must not ride the dedup shuffle:\n$exchangeLine")
   }
 
+  test("unigram encode evaluates the Viterbi lattice per dictionary word, not per occurrence") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = graft.ops.UnigramLm.train(docs, "text", vocabSize = 30,
+        rounds = 1, seedMultis = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val df = graft.ops.UnigramLm.encodeTokenCounts(docs, "doc_id", "text", vocab)
+    val plan = df.queryExecution.executedPlan.toString
+    // the distinct word set is checkpointed before the lattice projection:
+    // without the lineage break, PushDownPredicates moves the __pr filter
+    // (and the whole DP with it) below the distinct, evaluating the
+    // lattice once per corpus occurrence instead of once per word
+    // (measured ~25x on sf0.1 — round-13 regression)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the lattice must sit on the checkpointed dictionary, not the corpus lineage:\n$plan")
+    val latticeLines = plan.linesIterator.filter(_.contains("lambdafunction")).toSeq
+    assert(latticeLines.nonEmpty, s"expected the HOF lattice in the plan:\n$plan")
+    assert(!plan.contains("Generate explode") ||
+      latticeLines.forall(!_.contains("explode")),
+      s"the lattice must never ride an exploded-occurrence subtree:\n$plan")
+  }
+
+  test("ivfDriftStats: narrow assignment + batch-keyed partial agg + 1-row baseline broadcast") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centers = graft.ops.Similarity.buildIvfIndex(e, nCells = 4).centers
+    val df = graft.ops.Similarity.ivfDriftStats(
+      e.withColumn("batch", (col("vec_id") % 3).cast("int")),
+      centers, "batch", baselineBatch = lit(0))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-vector assignment is the guarded narrow map — nothing
+    // corpus-sized may shuffle before the batch-keyed aggregate, and the
+    // aggregate must partial-combine map-side
+    assert(plan.contains("partial_avg") || plan.contains("partial_count"),
+      s"expected a map-side partial batch aggregate:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row baseline must attach by broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the drift plan:\n$plan")
+  }
+
   test("duplicatedSpanStats shuffles window digests + ids, never window text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.ops.Dedup.duplicatedSpanStats(docs, "text", "doc_id", 8)

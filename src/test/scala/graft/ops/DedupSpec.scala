@@ -463,6 +463,40 @@ class DedupSpec extends SparkTestBase {
       (2L, 2L, 6L, 5L), (2L, 9L, 14L, 6L)))
   }
 
+  test("maximalRepeatedSpans: randomized equivalence vs a brute-force reference") {
+    import spark.implicits._
+    // small alphabet forces plenty of genuine repeats; brute force marks
+    // covered positions by direct window comparison, then merges runs
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 4) {
+      val k = 2 + rnd.nextInt(3) // 2..4
+      val docs = (1L to 6L).map { id =>
+        val len = 4 + rnd.nextInt(12)
+        id -> Seq.fill(len)("abc" (rnd.nextInt(3)).toString).mkString(" ")
+      }
+      val allWins: Map[Seq[String], Int] = docs
+        .flatMap { case (_, t) => t.split(" ").toSeq.sliding(k).filter(_.size == k) }
+        .groupBy(identity).map { case (w, xs) => w -> xs.size }
+      val want = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val covered = (1 to math.max(0, toks.size - k + 1))
+          .filter(p => allWins(toks.slice(p - 1, p - 1 + k)) >= 2)
+        // gaps-and-islands merge
+        val spans = covered.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+        spans.map { case (s, e) => (id, s.toLong, (e + k - 1).toLong,
+          (e + k - 1 - s + 1).toLong) }
+      }.toSet
+      val got = Dedup.maximalRepeatedSpans(
+          docs.toDF("doc_id", "text"), "text", "doc_id", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === want, s"trial $trial k=$k docs=$docs")
+    }
+  }
+
   test("maximalRepeatedSpans: a 1e5-occurrence hot digest never buffers in a digest group") {
     // one viral 4-token boilerplate pasted into 100k docs (the r12
     // advisory: `count over (partition by digest)` landed all occurrences
