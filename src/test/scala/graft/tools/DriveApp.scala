@@ -191,13 +191,49 @@ object DriveApp {
       println("add-files files=" + snap.addedFiles.size
         + " sum=" + at.toDF.agg(sum(col("n"))).head.getLong(0)
         + " op=" + snap.operation)
-      // snapshot clone: zero-copy, independent — source survives clone DROP
+      // snapshot clone (metadata-only default): entries reference the
+      // source by absolute base, clone data dir stays empty until its own
+      // appends; independent — source survives clone DROP
       val ct = at.snapshotTo(loc + "-clone", "af_clone")
+      val extern = ct.meta.currentSnapshot.get.files.count(_.base.isDefined)
       ct.append(Seq(("z", 100L)).toDF("k", "n"))
       val cloneSum = ct.toDF.agg(sum(col("n"))).head.getLong(0)
       graft.table.GraftTable.drop(spark, ct.location)
       println("snapshot-clone cloneSum=" + cloneSum
-        + " srcAfterCloneDrop=" + at.toDF.count())
+        + " srcAfterCloneDrop=" + at.toDF.count()
+        + " externalEntries=" + extern)
+    }
+    println("== unigram-LM tokenizer: soft-EM train + Viterbi encode")
+    locally {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "the fast table scan beats the slow table scan"),
+        (2L, "fast hash join beats slow sort merge join")).toDF("doc_id", "text")
+      val vocabDf = graft.ops.UnigramLm.train(docs, "text", vocabSize = 25,
+        rounds = 2, seedMultis = 30)
+      val vocab = vocabDf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val enc = graft.ops.UnigramLm.encodeTokenCounts(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id").collect()
+      println("unigram vocab=" + vocab.size
+        + " multis=" + vocab.keys.count(_.length > 1)
+        + " enc=" + enc.map(r => r.getLong(0) + ":" + r.getLong(1) + "w/" +
+          r.getLong(2) + "t").mkString(","))
+    }
+    println("== IVF drift: staleness signal over frozen centers")
+    locally {
+      import spark.implicits._
+      val vecs = (0 until 120).map { i =>
+        val shift = if (i >= 80) 40.0f else 0.0f // batch 2 drifts far away
+        (i.toLong, Seq.tabulate(4)(d => shift + ((i * 7 + d) % 5).toFloat))
+      }.toDF("vec_id", "embedding")
+      val centers = graft.ops.Similarity.buildIvfIndex(
+        vecs.filter(col("vec_id") < 40), nCells = 3).centers
+      val drift = graft.ops.Similarity.ivfDriftStats(
+          vecs.withColumn("batch", (col("vec_id") / lit(40)).cast("int")),
+          centers, "batch", baselineBatch = lit(0))
+        .orderBy("batch").collect()
+      println("ivf-drift batches=" + drift.length
+        + " refits=" + drift.map(r => r.getInt(0) + ":" + r.getBoolean(5)).mkString(","))
     }
     println("== streaming: watermarked stream-stream interval join")
     locally {
