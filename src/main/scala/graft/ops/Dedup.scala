@@ -157,6 +157,22 @@ object Dedup {
 
   /** splitmix64-derived odd multipliers/offsets for the affine minhash
     * family h_i(x) = a_i * xxhash64(x) + b_i (wrapping arithmetic). */
+  /** Pin a multiply-consumed subtree when the SOURCE is large: at corpus
+    * scale, re-running a scan+tokenize+digest subtree per consumer is the
+    * dominant cost and materializing once wins; below the threshold the
+    * RDD round-trip (row conversion, no codegen over ExistingRDD) costs
+    * more than recomputing the codegen'd subtree. RDD-level persist so
+    * the ContextCleaner reclaims the cache once the result plan is
+    * garbage-collected (the jaccardPrefixJoin/Skyline pattern). */
+  private def pinIfLarge(source: DataFrame, plan: DataFrame): DataFrame =
+    if (source.queryExecution.optimizedPlan.stats.sizeInBytes <= (256L << 20))
+      plan
+    else {
+      val rdd = plan.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      source.sparkSession.createDataFrame(rdd, plan.schema)
+    }
+
   private def mixConst(i: Int): (Long, Long) = {
     def sm(x0: Long): Long = {
       var z = x0 + 0x9e3779b97f4a7c15L
@@ -858,11 +874,14 @@ object Dedup {
       window: Int, flagName: String)(
       flag: (Column, Column) => Column): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
-    val wins = df
+    // both the per-digest aggregate and the join probe consume the
+    // tokenize+shingle+md5 subtree — pin it for large corpora so the
+    // regex/digest map work runs once, not twice
+    val wins = pinIfLarge(df, df
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         explode(TextAnalysis.shinglesOfTokens(col("__toks"), window)).as("__w"))
-      .select(col(idCol), md5(col("__w")).as("__k"))
+      .select(col(idCol), md5(col("__w")).as("__k")))
     val keyStats = wins
       .groupBy(col("__k"))
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
@@ -969,12 +988,14 @@ object Dedup {
       k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2 tokens, got $k")
-    val wins = df
+    // pinned for large corpora: the duplicate-key aggregate and the
+    // semi-join probe both consume the tokenize+shingle+md5 subtree
+    val wins = pinIfLarge(df, df
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         posexplode(TextAnalysis.shinglesOfTokens(col("__toks"), k)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("__p"),
-        md5(col("col")).as("__k"))
+        md5(col("col")).as("__k")))
     val dupKeys = wins
       .groupBy(col("__k"))
       .agg(count(lit(1)).as("__n"))

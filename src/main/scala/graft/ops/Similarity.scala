@@ -284,14 +284,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     assignIvfCellsImpl(vectors, centers, idCol, vecCol).drop("__d2")
 
-  /** [[assignIvfCells]] plus `__d2` — the squared euclidean distance to
-    * the assigned center (NULL for null/empty vectors). The staleness
-    * signal [[ivfDriftStats]] reads it; same guarded unrolled/joined
-    * paths, same tie rule. */
-  def assignIvfCellsWithDist(vectors: DataFrame, centers: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    assignIvfCellsImpl(vectors, centers, idCol, vecCol)
-
+  /** [[assignIvfCells]] plus `__d2` (the squared euclidean distance to
+    * the assigned center, NULL for null/empty vectors) and optional
+    * passthrough columns — the staleness signal [[ivfDriftStats]]'
+    * entry point; same guarded unrolled/joined paths, same tie rule. */
   private def assignIvfCellsImpl(vectors: DataFrame, centers: DataFrame,
       idCol: String, vecCol: String,
       passthrough: Seq[String] = Seq.empty): DataFrame = {
@@ -329,16 +325,23 @@ object Similarity {
       // same deterministic tie rule — min over (d2, __cell) structs picks
       // the smallest distance, then the smallest cell id. Null/empty
       // vectors get a NULL cell, matching the unrolled path's guard.
+      // Keyed on (id, vector), NOT id alone: duplicate ids carrying
+      // different vectors must each keep their own per-row answer, as the
+      // unrolled path does (spec-pinned) — map-side partial min still
+      // collapses the nCells expansion before the exchange.
       val cents = centers
         .select(col("__cell").cast("int").as("__cell"), col("__center"))
       val best = base.filter(vecOk)
+        .select(col("neighbor_id"), col("__cv"))
         .crossJoin(broadcast(cents))
-        .groupBy(col("neighbor_id"))
+        .groupBy(col("neighbor_id"), col("__cv"))
         .agg(min(struct(d2(col("__center")).as("__d2"), col("__cell"))).as("__best"))
-        .select(col("neighbor_id").as("__nid"),
+        .select(col("neighbor_id").as("__nid"), col("__cv").as("__nv"),
           col("__best.__cell").as("__cell"), col("__best.__d2").as("__d2"))
-      base.join(best, col("neighbor_id") === col("__nid"), "left")
-        .drop("__nid")
+      base.join(best,
+          col("neighbor_id") === col("__nid") && col("__cv") <=> col("__nv"),
+          "left")
+        .drop("__nid", "__nv")
     }
   }
 
@@ -367,14 +370,26 @@ object Similarity {
       batchCol: String, baselineBatch: Column,
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitRatio: Double = 2.0): DataFrame = {
+    // |batches|-row frame, pinned: both the baseline extraction and the
+    // final projection consume it — unpinned, the corpus-wide assignment
+    // and aggregation would execute twice
     val stats = assignIvfCellsImpl(vectors, centers, idCol, vecCol,
         passthrough = Seq(batchCol))
       .filter(col("__d2").isNotNull)
       .groupBy(col(batchCol).as("batch"))
       .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_d2"))
-    val baseline = stats.filter(col("batch") === baselineBatch)
-      .select(col("mean_d2").as("baseline_d2"))
+      .localCheckpoint()
+    // 1-row aggregate (never empty) + raise_error: a missing or all-null
+    // baseline batch must fail loudly — a silently empty result would read
+    // as "no batches to check" in a monitoring pipeline
+    val baseline = stats.agg(
+      min(when(col("batch") === baselineBatch, col("mean_d2")))
+        .as("baseline_d2"))
     stats.crossJoin(broadcast(baseline))
+      .withColumn("baseline_d2",
+        when(col("baseline_d2").isNull, raise_error(lit(
+          "ivfDriftStats: the baseline batch is absent or has no valid vectors")))
+          .otherwise(col("baseline_d2")))
       .select(col("batch"), col("n_vectors"), col("mean_d2"),
         col("baseline_d2"),
         (col("mean_d2") / col("baseline_d2")).as("drift_ratio"),

@@ -1830,11 +1830,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
           math.min(16, sorted.size))
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        // fail fast: on the first failure, queued tasks must not keep
+        // linking files into data/ after add_files has already thrown —
+        // the flag stops tasks the pool has dequeued but not started, and
+        // awaiting full termination means no import races a caller that
+        // inspects or cleans the table right after the failure
+        val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def one(st: org.apache.hadoop.fs.FileStatus): DataFile = {
+          if (failed.get()) throw new InterruptedException("add_files aborted")
+          try importOne(st)
+          catch { case e: Throwable => failed.set(true); throw e }
+        }
         try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(
-            sorted.toSeq.map(st => scala.concurrent.Future(importOne(st)))),
+            sorted.toSeq.map(st => scala.concurrent.Future(one(st)))),
           scala.concurrent.duration.Duration.Inf)
-        finally pool.shutdown()
+        finally {
+          pool.shutdown()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        }
       }
     require(out.nonEmpty, s"add_files: no parquet files under $sourceDir")
     commitSnapshot(m, out.toSeq, removed = Seq.empty, operation = "append",

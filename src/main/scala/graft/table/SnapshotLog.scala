@@ -683,7 +683,9 @@ object SnapshotLog {
         // would permanently corrupt a landed commit (the next contender's
         // heal path installs the winning metadata, whose manifest file is
         // gone). Leave them on disk; a genuinely lost commit's manifests
-        // are exactly what remove_orphan_files collects later.
+        // live under _graft/ and are collected by rewriteManifests'
+        // unreferenced-manifest sweep (remove_orphan_files only walks the
+        // data/ dir).
         throw e
     }
     // advisory hint; losing a race here is harmless (readers list the dir)

@@ -477,8 +477,11 @@ class GraftMetadataTable(tableName: String,
 
 /** A snapshot that must be read through `GraftTable.asOfSnapshot` instead
   * of a plain file scan: it has pending merge-on-read deletes (the read
-  * applies equality/position anti-joins) and/or data files under more than
-  * one partition layout (the read unions one scan per layout). */
+  * applies equality/position anti-joins), data files under more than one
+  * partition layout (the read unions one scan per layout), pre-rename/
+  * pre-promotion physical eras, and/or external absolute-base entries
+  * from a metadata-only snapshot clone (partition recovery needs one
+  * file index per data root). */
 case class GraftPlanRead(location: String, snapshotId: Long)
 
 /** One Iceberg-style reserved metadata column as the DSv2 catalog declares
@@ -533,8 +536,9 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // refusing beats silently dropping files or surfacing deleted rows
     planRead.foreach { _ => throw new UnsupportedOperationException(
-      s"$tableName needs the graft read plan (pending merge-on-read deletes " +
-        "or mixed partition layouts): SQL reads need " +
+      s"$tableName needs the graft read plan (pending merge-on-read deletes, " +
+        "mixed partition layouts, rename/type-promotion eras, or external " +
+        "entries from a metadata-only snapshot clone): SQL reads need " +
         "spark.sql.extensions=graft.GraftSparkExtensions (or read via the " +
         "GraftTable API / run a compaction to rewrite the snapshot)") }
     val base = inner.newScanBuilder(options)

@@ -276,15 +276,19 @@ class PlanQualitySpec extends SparkTestBase {
       centers, "batch", baselineBatch = lit(0))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the per-vector assignment is the guarded narrow map — nothing
-    // corpus-sized may shuffle before the batch-keyed aggregate, and the
-    // aggregate must partial-combine map-side
-    assert(plan.contains("partial_avg") || plan.contains("partial_count"),
-      s"expected a map-side partial batch aggregate:\n$plan")
+    // the |batches|-row stats are checkpointed (the assignment + batch
+    // aggregate ran ONCE, eagerly), so the returned plan reads the pinned
+    // frame twice and attaches the 1-row baseline by broadcast — a
+    // SortMergeJoin or a re-derivation of the corpus subtree would mean
+    // the pin regressed
+    assert(plan.contains("Scan ExistingRDD"),
+      s"stats must be pinned — both consumers read the checkpoint:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"the 1-row baseline must attach by broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join in the drift plan:\n$plan")
+    assert(!plan.contains("parquet"),
+      s"the corpus subtree must not be re-derived after the checkpoint:\n$plan")
   }
 
   test("duplicatedSpanStats shuffles window digests + ids, never window text") {

@@ -134,11 +134,17 @@ class IvfPersistenceSpec extends SparkTestBase {
       .select(col("vec_id"), col("embedding"))
       .unionByName(Seq(
         (9000L, Option.empty[Seq[Float]]),
-        (9001L, Some(Seq.empty[Float]))).toDF("vec_id", "embedding"))
+        (9001L, Some(Seq.empty[Float])),
+        // duplicated id carrying two DIFFERENT vectors: both paths must
+        // keep per-row answers (an id-keyed join-back would collapse them
+        // to one global minimum — the round-13 review finding)
+        (9002L, Some(Seq.tabulate(8)(d => if (d == 0) 1.2f else 0.05f))),
+        (9002L, Some(Seq.tabulate(8)(d => if (d == 2) 1.3f else 0.01f))))
+        .toDF("vec_id", "embedding"))
     def cells(df: org.apache.spark.sql.DataFrame) = df
       .select(col("neighbor_id"), col("__cell")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
-      .toMap
+      .sortBy(p => (p._1, p._2.getOrElse(-1))).toSeq
     val unrolled = cells(Similarity.assignIvfCells(withBad, centers))
     val saved = Similarity.UnrolledAssignLimit
     val (fallback, fallbackPlan) = try {
@@ -149,8 +155,11 @@ class IvfPersistenceSpec extends SparkTestBase {
     assert(fallbackPlan.contains("BroadcastHashJoin") ||
       fallbackPlan.contains("BroadcastNestedLoopJoin"),
       s"fallback must broadcast the centers, not shuffle the corpus:\n$fallbackPlan")
-    assert(unrolled(9000L).isEmpty && unrolled(9001L).isEmpty,
+    val byId = unrolled.toMap // (dup ids collapse here, checked separately)
+    assert(byId(9000L).isEmpty && byId(9001L).isEmpty,
       "null/empty vectors must get a NULL cell")
+    assert(unrolled.count(_._1 == 9002L) === 2,
+      "duplicate-id rows must both survive")
     assert(fallback.size === unrolled.size)
     assert(fallback === unrolled)
   }
