@@ -155,24 +155,30 @@ object Dedup {
 
   // --- MinHash + LSH -----------------------------------------------------
 
-  /** splitmix64-derived odd multipliers/offsets for the affine minhash
-    * family h_i(x) = a_i * xxhash64(x) + b_i (wrapping arithmetic). */
   /** Pin a multiply-consumed subtree when the SOURCE is large: at corpus
     * scale, re-running a scan+tokenize+digest subtree per consumer is the
     * dominant cost and materializing once wins; below the threshold the
     * RDD round-trip (row conversion, no codegen over ExistingRDD) costs
-    * more than recomputing the codegen'd subtree. RDD-level persist so
-    * the ContextCleaner reclaims the cache once the result plan is
-    * garbage-collected (the jaccardPrefixJoin/Skyline pattern). */
-  private def pinIfLarge(source: DataFrame, plan: DataFrame): DataFrame =
-    if (source.queryExecution.optimizedPlan.stats.sizeInBytes <= (256L << 20))
-      plan
+    * more than recomputing the codegen'd subtree. A source with NO
+    * statistics reports the `defaultSizeInBytes` sentinel (Long.MaxValue
+    * unless tuned) — treated as unknown, never as large, so tiny
+    * RDD-backed inputs are not force-pinned. RDD-level persist so the
+    * ContextCleaner reclaims the cache once the result plan is
+    * garbage-collected (the Skyline pattern). */
+  private[ops] def pinIfLarge(source: DataFrame, plan: DataFrame): DataFrame = {
+    val sz = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown = BigInt(
+      source.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (sz <= (256L << 20) || sz >= unknown) plan
     else {
       val rdd = plan.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       source.sparkSession.createDataFrame(rdd, plan.schema)
     }
+  }
 
+  /** splitmix64-derived odd multipliers/offsets for the affine minhash
+    * family h_i(x) = a_i * xxhash64(x) + b_i (wrapping arithmetic). */
   private def mixConst(i: Int): (Long, Long) = {
     def sm(x0: Long): Long = {
       var z = x0 + 0x9e3779b97f4a7c15L
@@ -398,23 +404,12 @@ object Dedup {
       threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val spark = df.sparkSession
-    // pin only LARGE inputs: at corpus scale, re-running the scan+shingle
-    // subtree for every consumer (sized has 3, prefixes 2) is the dominant
-    // cost and materializing once wins; below the threshold the RDD
-    // round-trip (row conversion, no codegen over ExistingRDD) costs more
-    // than recomputing the codegen'd Shingles subtree ever could
+    // pin only LARGE inputs (shared [[pinIfLarge]] gate): at corpus scale,
+    // re-running the scan+shingle subtree for every consumer (sized has 3,
+    // prefixes 2) is the dominant cost and materializing once wins
     // (sf0.1: 2.3 s pinned vs 1.6 s recomputed — same 100 TB plan, sized
     // by the optimizer's scan estimate)
-    val pinLarge = df.queryExecution.optimizedPlan.stats.sizeInBytes >
-      (256L << 20)
-    def maybePin(plan: DataFrame): DataFrame =
-      if (!pinLarge) plan
-      else {
-        val rdd = plan.rdd
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        spark.createDataFrame(rdd, plan.schema)
-      }
+    def maybePin(plan: DataFrame): DataFrame = pinIfLarge(df, plan)
     val sized = maybePin(df.select(col(idCol).as("__id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("__id"),

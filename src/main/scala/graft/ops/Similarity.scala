@@ -372,13 +372,18 @@ object Similarity {
       refitRatio: Double = 2.0): DataFrame = {
     // |batches|-row frame, pinned: both the baseline extraction and the
     // final projection consume it — unpinned, the corpus-wide assignment
-    // and aggregation would execute twice
+    // and aggregation would execute twice. The checkpoint is EAGER by
+    // design: a drift call exists to be consumed, and eagerness lets the
+    // no-valid-vectors case fail at the call site instead of returning a
+    // silently empty monitoring frame.
     val stats = assignIvfCellsImpl(vectors, centers, idCol, vecCol,
         passthrough = Seq(batchCol))
       .filter(col("__d2").isNotNull)
       .groupBy(col(batchCol).as("batch"))
       .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_d2"))
       .localCheckpoint()
+    require(!stats.isEmpty,
+      "ivfDriftStats: no batch contains a valid (non-null, non-empty) vector")
     // 1-row aggregate (never empty) + raise_error: a missing or all-null
     // baseline batch must fail loudly — a silently empty result would read
     // as "no batches to check" in a monitoring pipeline

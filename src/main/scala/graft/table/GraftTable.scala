@@ -1847,7 +1847,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
           scala.concurrent.duration.Duration.Inf)
         finally {
           pool.shutdown()
-          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          // best-effort quiescence; must never mask the real import error
+          // (an InterruptedException here would replace it) and a timeout
+          // only means late imports become orphans for remove_orphan_files
+          try {
+            if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES))
+              System.err.println("[add_files] importer pool did not quiesce " +
+                "within 10 minutes; late imports become orphans " +
+                "(remove_orphan_files collects them)")
+          } catch {
+            case _: InterruptedException => Thread.currentThread().interrupt()
+          }
         }
       }
     require(out.nonEmpty, s"add_files: no parquet files under $sourceDir")

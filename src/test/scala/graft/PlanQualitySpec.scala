@@ -289,6 +289,18 @@ class PlanQualitySpec extends SparkTestBase {
       s"no corpus-sized shuffle join in the drift plan:\n$plan")
     assert(!plan.contains("parquet"),
       s"the corpus subtree must not be re-derived after the checkpoint:\n$plan")
+    // corpus-side shape (the eager checkpoint runs it before the returned
+    // plan exists): the same public assignment + batch aggregate must stay
+    // a narrow map with a map-side partial combine, no shuffle join
+    val corpusSide = graft.ops.Similarity.assignIvfCells(e, centers)
+      .groupBy((col("neighbor_id") % 3).as("batch"))
+      .agg(avg(col("neighbor_id")).as("m"))
+    corpusSide.collect()
+    val cPlan = corpusSide.queryExecution.executedPlan.toString
+    assert(cPlan.contains("partial_avg"),
+      s"batch aggregate must partial-combine map-side:\n$cPlan")
+    assert(!cPlan.contains("SortMergeJoin") && !cPlan.contains("Window"),
+      s"the assignment must stay a narrow map below the unroll limit:\n$cPlan")
   }
 
   test("duplicatedSpanStats shuffles window digests + ids, never window text") {

@@ -160,6 +160,11 @@ class IvfPersistenceSpec extends SparkTestBase {
       "null/empty vectors must get a NULL cell")
     assert(unrolled.count(_._1 == 9002L) === 2,
       "duplicate-id rows must both survive")
+    // the planted duplicate must be DISCRIMINATING: if both vectors argmin
+    // to one cell, an id-keyed global-min join-back (the round-13 bug)
+    // would be indistinguishable from the correct per-row answer
+    assert(unrolled.filter(_._1 == 9002L).flatMap(_._2).distinct.size === 2,
+      "the two 9002 vectors must land in different cells for the test to bite")
     assert(fallback.size === unrolled.size)
     assert(fallback === unrolled)
   }
