@@ -86,23 +86,31 @@ object Bench {
     * shared sandbox. Fixed work every round; min is the machine constant. */
   private def fsProbe(runs: Int): Seq[Double] = {
     val dir = java.nio.file.Files.createTempDirectory("bench-fsprobe")
-    val out = (1 to runs).map { r =>
-      val t0 = System.nanoTime()
-      var i = 0
-      var bytes = 0L
-      while (i < 1000) {
-        val p = dir.resolve(s"f-$r-$i")
-        java.nio.file.Files.write(p, Array.fill[Byte](64)(i.toByte))
-        bytes += java.nio.file.Files.size(p)
-        bytes += java.nio.file.Files.readAllBytes(p).length
-        java.nio.file.Files.delete(p)
-        i += 1
+    try {
+      (1 to runs).map { r =>
+        val t0 = System.nanoTime()
+        var i = 0
+        var bytes = 0L
+        while (i < 1000) {
+          val p = dir.resolve(s"f-$r-$i")
+          java.nio.file.Files.write(p, Array.fill[Byte](64)(i.toByte))
+          bytes += java.nio.file.Files.size(p)
+          bytes += java.nio.file.Files.readAllBytes(p).length
+          java.nio.file.Files.delete(p)
+          i += 1
+        }
+        if (bytes == 42L) System.err.println("[bench] improbable probe value")
+        r3((System.nanoTime() - t0) / 1e9)
       }
-      if (bytes == 42L) System.err.println("[bench] improbable probe value")
-      r3((System.nanoTime() - t0) / 1e9)
+    } finally {
+      // a mid-probe IO failure must not leak the partial run's files
+      try {
+        val s = java.nio.file.Files.list(dir)
+        try s.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally s.close()
+        java.nio.file.Files.deleteIfExists(dir)
+      } catch { case _: java.io.IOException => () }
     }
-    java.nio.file.Files.deleteIfExists(dir)
-    out
   }
 
   /** JSON string escape: backslash, quote, and ALL control chars — Spark

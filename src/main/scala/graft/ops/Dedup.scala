@@ -160,16 +160,17 @@ object Dedup {
     * dominant cost and materializing once wins; below the threshold the
     * RDD round-trip (row conversion, no codegen over ExistingRDD) costs
     * more than recomputing the codegen'd subtree. A source with NO
-    * statistics reports the `defaultSizeInBytes` sentinel (Long.MaxValue
-    * unless tuned) — treated as unknown, never as large, so tiny
-    * RDD-backed inputs are not force-pinned. RDD-level persist so the
-    * ContextCleaner reclaims the cache once the result plan is
-    * garbage-collected (the Skyline pattern). */
+    * statistics propagates the `defaultSizeInBytes` sentinel
+    * (Long.MaxValue unless tuned, possibly scaled down by projections) —
+    * estimates in the top quarter of the Long range are physically
+    * impossible sizes and treated as UNKNOWN, never as large, so
+    * stat-less inputs are not force-pinned; a deployment that tunes the
+    * sentinel low keeps correct gating because real estimates stay real.
+    * RDD-level persist so the ContextCleaner reclaims the cache once the
+    * result plan is garbage-collected (the Skyline pattern). */
   private[ops] def pinIfLarge(source: DataFrame, plan: DataFrame): DataFrame = {
     val sz = source.queryExecution.optimizedPlan.stats.sizeInBytes
-    val unknown = BigInt(
-      source.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (sz <= (256L << 20) || sz >= unknown) plan
+    if (sz <= (256L << 20) || sz >= BigInt(Long.MaxValue >> 2)) plan
     else {
       val rdd = plan.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

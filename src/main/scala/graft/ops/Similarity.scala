@@ -291,8 +291,17 @@ object Similarity {
   private def assignIvfCellsImpl(vectors: DataFrame, centers: DataFrame,
       idCol: String, vecCol: String,
       passthrough: Seq[String] = Seq.empty): DataFrame = {
-    val nCells = centers.count()
-    require(nCells > 0, "assignIvfCells: empty centers table")
+    // ONE action over the centers plan: collect, then derive the unroll
+    // gate (nCells · dim) and both paths' inputs from the rows — centers
+    // are driver-safe by contract (buildIvfIndex collects them too), and
+    // the previous count() + head() + collect() tripled the index read
+    // on every delta refresh
+    val cents = centers
+      .select(col("__cell").cast("int").as("__cell"), col("__center"))
+      .orderBy("__cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "assignIvfCells: empty centers table")
+    val dim = cents.headOption.map(_._2.size.toLong).getOrElse(0L)
     val base = vectors.select((Seq(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv")) ++ passthrough.map(col)): _*)
     val v = col("__cv").cast("array<double>")
@@ -300,11 +309,7 @@ object Similarity {
       zip_with(v, center, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
     val vecOk = col("__cv").isNotNull && size(col("__cv")) > 0
-    if (nCells * vectorDim(centers, "__center") <= UnrolledAssignLimit) {
-      val cents = centers
-        .select(col("__cell").cast("int").as("__cell"), col("__center"))
-        .orderBy("__cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    if (cents.length * dim <= UnrolledAssignLimit) {
       val d2s = array(cents.map { case (_, c) => d2(typedlit(c)) }: _*)
       val ids = typedlit(cents.map(_._1))
       // the when() guard is load-bearing (the assignToCentroids lesson):
@@ -328,12 +333,15 @@ object Similarity {
       // Keyed on (id, vector), NOT id alone: duplicate ids carrying
       // different vectors must each keep their own per-row answer, as the
       // unrolled path does (spec-pinned) — map-side partial min still
-      // collapses the nCells expansion before the exchange.
-      val cents = centers
-        .select(col("__cell").cast("int").as("__cell"), col("__center"))
+      // collapses the nCells expansion before the exchange. The broadcast
+      // side is rebuilt from the already-collected rows: no second read
+      // of the centers table.
+      val sp = vectors.sparkSession
+      import sp.implicits._
+      val centsDf = cents.toSeq.toDF("__cell", "__center")
       val best = base.filter(vecOk)
         .select(col("neighbor_id"), col("__cv"))
-        .crossJoin(broadcast(cents))
+        .crossJoin(broadcast(centsDf))
         .groupBy(col("neighbor_id"), col("__cv"))
         .agg(min(struct(d2(col("__center")).as("__d2"), col("__cell"))).as("__best"))
         .select(col("neighbor_id").as("__nid"), col("__cv").as("__nv"),

@@ -2005,15 +2005,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
       s.timestampMs >= olderThanMs || refHeads.contains(s.id) || mainKeep.contains(s.id))
       .map(_.id).toSet
     val expired = m.snapshots.filterNot(s => keep.contains(s.id))
+    // retained files are keyed by (base, path): a relative path under a
+    // DIFFERENT data root (an external clone entry) must never shield —
+    // or be shielded by — a local file that happens to share the name
     val retainedFiles = m.snapshots.filter(s => keep.contains(s.id))
-      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      .flatMap(s => s.files.map(f => (f.base, f.path)) ++
+        s.deleteFiles.map(d => (None, d.path))).toSet
     // entries with an absolute base are another table's files referenced
     // by a metadata-only snapshot clone: expiring the referencing snapshot
     // drops the REFERENCE only — physical deletion belongs to the owner
     val toDelete = expired
       .flatMap(s => s.files.filter(_.base.isEmpty).map(_.path) ++
         s.deleteFiles.map(_.path))
-      .distinct.filterNot(retainedFiles.contains)
+      .distinct.filterNot(p => retainedFiles.contains((None, p)))
     val pruned = m.copy(snapshots = m.snapshots.filter(s => keep.contains(s.id)))
     SnapshotLog.commit(location, pruned, conf)
     toDelete.foreach(p => fs.delete(new Path(dataDir, p), false))

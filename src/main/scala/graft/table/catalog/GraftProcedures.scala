@@ -162,17 +162,21 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  /** `snapshot(source_table, table)` — zero-copy clone of the source's
-    * current state as a NEW independently-evolving table under the target
-    * catalog name (metadata-only: one append snapshot whose entries
-    * reference the source files by absolute base, Iceberg parity — O(1)
-    * filesystem work however many files; independence, caveat and scope
-    * contract in [[GraftTable.snapshotTo]]). */
+  /** `snapshot(source_table, table, link => false)` — zero-copy clone of
+    * the source's current state as a NEW independently-evolving table
+    * under the target catalog name. Default is METADATA-ONLY (one append
+    * snapshot whose entries reference the source files by absolute base,
+    * Iceberg parity — O(1) filesystem work however many files, with
+    * Iceberg's source-dependence caveat); pass `link => true` for the
+    * hard-link mode whose physical mutual maintenance immunity the spec
+    * pins. Independence, caveat and scope contract in
+    * [[GraftTable.snapshotTo]]. */
   private class SnapshotTable(catalog: GraftSparkCatalog)
     extends GraftProcedure(catalog, "snapshot") {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("source_table", StringType),
-      param("table", StringType))
+      param("table", StringType),
+      param("link", BooleanType, "false"))
     private val out = StructType(Seq(
       StructField("table_name", StringType, nullable = false),
       StructField("imported_files_count", IntegerType, nullable = false),
@@ -180,9 +184,10 @@ private[catalog] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val src = table(input.getUTF8String(0).toString)
       val targetName = input.getUTF8String(1).toString
+      val link = !input.isNullAt(2) && input.getBoolean(2)
       val parts = targetName.split("\\.")
       val loc = catalog.tableLocation(Identifier.of(parts.init, parts.last))
-      val t = src.snapshotTo(loc, targetName)
+      val t = src.snapshotTo(loc, targetName, link = link)
       val m = t.meta
       result(out, Seq(new GenericInternalRow(Array[Any](
         str(targetName),

@@ -181,6 +181,16 @@ class SnapshotCloneSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM sccat.ns.reg").head.getLong(0) === 41)
     spark.sql("DROP TABLE sccat.ns.clone")
     assert(src.toDF.count() === 41)
+    // link => true from SQL: the physical-immunity escape hatch — the
+    // clone carries NO external entries and hard-links into its own data/
+    spark.sql(
+      "CALL sccat.system.snapshot('ns.reg', 'ns.linkclone', link => true)")
+    val lc = GraftTable.load(spark, s"$wh/ns/linkclone")
+    assert(lc.meta.currentSnapshot.get.files.forall(_.base.isEmpty),
+      "a link-mode clone must own its files (no absolute-base entries)")
+    assert(spark.sql("SELECT count(*) FROM sccat.ns.linkclone")
+      .head.getLong(0) === 41)
+    spark.sql("DROP TABLE sccat.ns.linkclone")
     // dropping the REGISTERED name unregisters the pointer only
     spark.sql("DROP TABLE sccat.ns.reg")
     assert(GraftTable.exists(spark, src.location),
