@@ -103,13 +103,16 @@ object Bench {
         r3((System.nanoTime() - t0) / 1e9)
       }
     } finally {
-      // a mid-probe IO failure must not leak the partial run's files
+      // a mid-probe IO failure must not leak the partial run's files —
+      // and a cleanup failure must never mask the probe's own exception
+      // (stream iteration surfaces as UncheckedIOException, not
+      // IOException, so catch NonFatal)
       try {
         val s = java.nio.file.Files.list(dir)
         try s.forEach(p => java.nio.file.Files.deleteIfExists(p))
         finally s.close()
         java.nio.file.Files.deleteIfExists(dir)
-      } catch { case _: java.io.IOException => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

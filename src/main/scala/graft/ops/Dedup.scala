@@ -160,17 +160,21 @@ object Dedup {
     * dominant cost and materializing once wins; below the threshold the
     * RDD round-trip (row conversion, no codegen over ExistingRDD) costs
     * more than recomputing the codegen'd subtree. A source with NO
-    * statistics propagates the `defaultSizeInBytes` sentinel
-    * (Long.MaxValue unless tuned, possibly scaled down by projections) —
-    * estimates in the top quarter of the Long range are physically
-    * impossible sizes and treated as UNKNOWN, never as large, so
-    * stat-less inputs are not force-pinned; a deployment that tunes the
-    * sentinel low keeps correct gating because real estimates stay real.
-    * RDD-level persist so the ContextCleaner reclaims the cache once the
-    * result plan is garbage-collected (the Skyline pattern). */
+    * statistics propagates the `defaultSizeInBytes` sentinel — any
+    * estimate at or above the session's sentinel is treated as UNKNOWN,
+    * never as large, so stat-less inputs are not force-pinned. The
+    * deliberately conservative consequence: a deployment that tunes the
+    * sentinel low also stops pinning genuinely-large sources above it
+    * (recompute instead of materialize — a perf choice, never a
+    * correctness one; sizes cannot be told apart from the sentinel at
+    * equal values). RDD-level persist so the ContextCleaner reclaims the
+    * cache once the result plan is garbage-collected (the Skyline
+    * pattern). */
   private[ops] def pinIfLarge(source: DataFrame, plan: DataFrame): DataFrame = {
     val sz = source.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sz <= (256L << 20) || sz >= BigInt(Long.MaxValue >> 2)) plan
+    val sentinel = BigInt(
+      source.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (sz <= (256L << 20) || sz >= sentinel) plan
     else {
       val rdd = plan.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -301,7 +301,9 @@ object Similarity {
       .orderBy("__cell").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     require(cents.nonEmpty, "assignIvfCells: empty centers table")
-    val dim = cents.headOption.map(_._2.size.toLong).getOrElse(0L)
+    require(cents.forall(_._2 != null),
+      "assignIvfCells: centers table contains a NULL center vector")
+    val dim = cents.head._2.size.toLong
     val base = vectors.select((Seq(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv")) ++ passthrough.map(col)): _*)
     val v = col("__cv").cast("array<double>")
@@ -346,8 +348,11 @@ object Similarity {
         .agg(min(struct(d2(col("__center")).as("__d2"), col("__cell"))).as("__best"))
         .select(col("neighbor_id").as("__nid"), col("__cv").as("__nv"),
           col("__best.__cell").as("__cell"), col("__best.__d2").as("__d2"))
+      // null-safe on BOTH keys: a NULL-id row with a valid vector gets a
+      // real cell in the unrolled path, so === on the id (NULL === NULL
+      // -> no match) would silently diverge between the two gates
       base.join(best,
-          col("neighbor_id") === col("__nid") && col("__cv") <=> col("__nv"),
+          col("neighbor_id") <=> col("__nid") && col("__cv") <=> col("__nv"),
           "left")
         .drop("__nid", "__nv")
     }

@@ -141,10 +141,16 @@ class IvfPersistenceSpec extends SparkTestBase {
         (9002L, Some(Seq.tabulate(8)(d => if (d == 0) 1.2f else 0.05f))),
         (9002L, Some(Seq.tabulate(8)(d => if (d == 2) 1.3f else 0.01f))))
         .toDF("vec_id", "embedding"))
+      // a NULL id carrying a VALID vector must still be assigned a cell by
+      // both paths (the fallback join-back must be null-safe on the id)
+      .unionByName(Seq((Option.empty[Long],
+        Option(Seq.tabulate(8)(d => if (d == 1) 1.1f else 0.02f))))
+        .toDF("vec_id", "embedding"))
     def cells(df: org.apache.spark.sql.DataFrame) = df
       .select(col("neighbor_id"), col("__cell")).collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
-      .sortBy(p => (p._1, p._2.getOrElse(-1))).toSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(p => (p._1.getOrElse(Long.MinValue), p._2.getOrElse(-1))).toSeq
     val unrolled = cells(Similarity.assignIvfCells(withBad, centers))
     val saved = Similarity.UnrolledAssignLimit
     val (fallback, fallbackPlan) = try {
@@ -156,14 +162,16 @@ class IvfPersistenceSpec extends SparkTestBase {
       fallbackPlan.contains("BroadcastNestedLoopJoin"),
       s"fallback must broadcast the centers, not shuffle the corpus:\n$fallbackPlan")
     val byId = unrolled.toMap // (dup ids collapse here, checked separately)
-    assert(byId(9000L).isEmpty && byId(9001L).isEmpty,
+    assert(byId(Some(9000L)).isEmpty && byId(Some(9001L)).isEmpty,
       "null/empty vectors must get a NULL cell")
-    assert(unrolled.count(_._1 == 9002L) === 2,
+    assert(unrolled.count(_._1.contains(9002L)) === 2,
       "duplicate-id rows must both survive")
+    assert(byId(None).isDefined,
+      "a NULL-id row with a valid vector must still be assigned a cell")
     // the planted duplicate must be DISCRIMINATING: if both vectors argmin
     // to one cell, an id-keyed global-min join-back (the round-13 bug)
     // would be indistinguishable from the correct per-row answer
-    assert(unrolled.filter(_._1 == 9002L).flatMap(_._2).distinct.size === 2,
+    assert(unrolled.filter(_._1.contains(9002L)).flatMap(_._2).distinct.size === 2,
       "the two 9002 vectors must land in different cells for the test to bite")
     assert(fallback.size === unrolled.size)
     assert(fallback === unrolled)
