@@ -1,0 +1,132 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/**
+ * Model-based randomized fuzz of the table layer: seed-fixed random
+ * sequences of the full mutation surface (append, CoW delete/update,
+ * MoR equality delete, MERGE upsert/delete, rollback) interleaved with
+ * maintenance (sort/binpack compaction, snapshot expiry, orphan GC) run
+ * against an in-memory MULTISET reference model. After every operation
+ * the table's full content must equal the model exactly, and at the end
+ * every still-retained snapshot must time-travel to the exact state the
+ * model had when that snapshot was committed — the readers-never-lie
+ * invariant under arbitrary op interleavings that no single-scenario
+ * spec can pin.
+ */
+class TableModelFuzzSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType),
+    StructField("p", StringType)))
+
+  private type Row3 = (Long, Double, String)
+
+  test("randomized op sequences match the multiset model (3 seeds x 40 ops)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val t = GraftTable.create(spark, tmpDir(s"fuzz-model-$seed"),
+        s"fzm$seed", schema, partitionCols = Seq("p"))
+      var model = Vector.empty[Row3]
+      // snapshot id -> exact model state when that snapshot was committed
+      val states = scala.collection.mutable.LinkedHashMap.empty[Long, Vector[Row3]]
+
+      def fresh(n: Int): Seq[Row3] = Seq.fill(n)((
+        rnd.nextInt(200).toLong, rnd.nextInt(1000).toDouble,
+        "p" + rnd.nextInt(4)))
+      def sortedModel(m: Vector[Row3]) = m.sorted
+      def check(ctx: String): Unit = {
+        val got = t.toDF.select("k", "v", "p").as[Row3].collect().toVector.sorted
+        assert(got === sortedModel(model), s"seed $seed after $ctx")
+        t.meta.currentSnapshotId.foreach(id => states(id) = model)
+      }
+
+      val init = fresh(30)
+      t.append(init.toDF("k", "v", "p"))
+      model ++= init
+      check("init")
+
+      (1 to 40).foreach { i =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 => // append (duplicate keys allowed: multiset)
+            val rows = fresh(5 + rnd.nextInt(10))
+            t.append(rows.toDF("k", "v", "p"))
+            model ++= rows
+            check(s"op$i append")
+          case 3 => // CoW delete by predicate
+            val m0 = 2 + rnd.nextInt(5); val r = rnd.nextInt(m0)
+            t.deleteWhere(col("k") % m0 === r)
+            model = model.filterNot { case (k, _, _) => k % m0 == r }
+            check(s"op$i deleteWhere(k % $m0 == $r)")
+          case 4 => // MoR equality delete keyed on k
+            val m0 = 3 + rnd.nextInt(4); val r = rnd.nextInt(m0)
+            t.deleteWhereMoR(col("k") % m0 === r, keyCols = Seq("k"))
+            model = model.filterNot { case (k, _, _) => k % m0 == r }
+            check(s"op$i deleteWhereMoR(k % $m0 == $r)")
+          case 5 => // CoW update: bump v where predicate
+            val m0 = 2 + rnd.nextInt(5); val r = rnd.nextInt(m0)
+            t.updateWhere(col("k") % m0 === r, Seq("v" -> (col("v") + 1.0)))
+            model = model.map { case row @ (k, v, p) =>
+              if (k % m0 == r) (k, v + 1.0, p) else row }
+            check(s"op$i updateWhere(k % $m0 == $r)")
+          case 6 => // MERGE upsert on k (source keys unique; updates ALL matches)
+            val src = fresh(6 + rnd.nextInt(6))
+              .groupBy(_._1).map(_._2.head).toSeq
+            t.merge(src.toDF("k", "v", "p"), keys = Seq("k"))
+            val byK = src.map(s => s._1 -> s).toMap
+            val matchedKeys = model.map(_._1).toSet
+            model = model.map { case row @ (k, _, _) =>
+              byK.get(k).map(s => (k, s._2, s._3)).getOrElse(row) } ++
+              src.filterNot(s => matchedKeys.contains(s._1))
+            check(s"op$i merge upsert")
+          case 7 => // MERGE ... WHEN MATCHED THEN DELETE
+            val src = fresh(4).groupBy(_._1).map(_._2.head).toSeq
+            t.merge(src.toDF("k", "v", "p"), keys = Seq("k"),
+              insertNotMatched = false, deleteMatched = true)
+            val del = src.map(_._1).toSet
+            model = model.filterNot { case (k, _, _) => del.contains(k) }
+            check(s"op$i merge delete")
+          case 8 => // maintenance: content no-ops
+            rnd.nextInt(3) match {
+              case 0 => t.rewriteDataFilesSorted(Seq(asc("k")))
+              case 1 => t.rewriteDataFilesBinpack(minFileSizeBytes = 1L << 20)
+              case 2 =>
+                t.expireSnapshots(System.currentTimeMillis() + 3600000L,
+                  retainLast = 3)
+                t.removeOrphanFiles(dryRun = false,
+                  olderThanMs = System.currentTimeMillis() + 3600000L)
+            }
+            check(s"op$i maintenance")
+          case 9 => // rollback to a random snapshot on main's ancestry
+            val m = t.meta
+            val retained = m.currentSnapshotId
+              .map(m.ancestry(_)).getOrElse(Seq.empty)
+              .filter(states.contains)
+            if (retained.nonEmpty) {
+              val target = retained(rnd.nextInt(retained.size))
+              t.rollbackToSnapshot(target)
+              model = states(target)
+              check(s"op$i rollback to $target")
+            }
+        }
+      }
+
+      // every still-retained recorded snapshot time-travels to the exact
+      // state the model had at its commit
+      val live = t.meta.snapshots.map(_.id).toSet
+      val checked = states.filter { case (id, _) => live.contains(id) }
+      assert(checked.nonEmpty, s"seed $seed: no retained snapshots to check")
+      checked.foreach { case (id, st) =>
+        val got = t.asOfSnapshot(id).select("k", "v", "p")
+          .as[Row3].collect().toVector.sorted
+        assert(got === sortedModel(st), s"seed $seed time travel to $id")
+      }
+      info(s"seed $seed: ${states.size} states recorded, " +
+        s"${checked.size} retained snapshots time-travel-verified")
+    }
+  }
+}
