@@ -2761,14 +2761,19 @@ object SparkEntry {
       val agg =
         s"""${pre}E AS MATERIALIZED (SELECT piece, sum(contrib) AS E FROM ${pre}occ
                WHERE contrib > 0 GROUP BY piece),
+           ${pre}Eq AS MATERIALIZED (
+             -- integer 1e-6 quanta: the normalizer sum(eq) is exact BIGINT
+             -- arithmetic, order-independent, matching the engine's Long sum
+             SELECT piece, CAST(round(E * 1000000.0, 0) AS BIGINT) AS eq
+             FROM ${pre}E),
            v$r AS MATERIALIZED (
              SELECT piece, p FROM (
                SELECT piece, p, CASE WHEN length(piece) = 1 THEN 0 ELSE
                    row_number() OVER (PARTITION BY (length(piece) = 1)
                      ORDER BY p DESC, piece) END AS rn
                FROM (SELECT piece,
-                       ${qExpr(s"E / (SELECT sum(E) FROM ${pre}E)")} AS p
-                     FROM ${pre}E) q) t
+                       ${qExpr(s"eq * 1.0 / (SELECT sum(eq) FROM ${pre}Eq)")} AS p
+                     FROM ${pre}Eq) q) t
              WHERE length(piece) = 1
                 OR rn <= $vocabSize -
                    (SELECT count(*) FROM ${pre}E WHERE length(piece) = 1))"""

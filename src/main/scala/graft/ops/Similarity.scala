@@ -371,7 +371,9 @@ object Similarity {
    *
    * Returns one row per batch:
    * `(batch, n_vectors, mean_d2, baseline_d2, drift_ratio, refit_due)`;
-   * null/empty vectors are excluded from the means. Every distance is
+   * null/empty vectors are excluded from the means, and a batch whose
+   * vectors are ALL invalid still emits its row (n_vectors=0, null
+   * mean_d2/drift_ratio/refit_due) rather than vanishing. Every distance is
    * deterministic IEEE double math through the same guarded assignment
    * as the refresh path itself.
    *
@@ -389,13 +391,17 @@ object Similarity {
     // design: a drift call exists to be consumed, and eagerness lets the
     // no-valid-vectors case fail at the call site instead of returning a
     // silently empty monitoring frame.
+    // Aggregate over ALL rows of every batch (no pre-filter): a batch
+    // whose vectors are ALL null/empty must still surface as a row with
+    // n_vectors=0 / null mean_d2 — a fully-corrupt ingest batch vanishing
+    // from the monitoring output would defeat the monitor. Only the MEAN
+    // excludes invalid vectors (avg skips nulls natively).
     val stats = assignIvfCellsImpl(vectors, centers, idCol, vecCol,
         passthrough = Seq(batchCol))
-      .filter(col("__d2").isNotNull)
       .groupBy(col(batchCol).as("batch"))
-      .agg(count(lit(1)).as("n_vectors"), avg(col("__d2")).as("mean_d2"))
+      .agg(count(col("__d2")).as("n_vectors"), avg(col("__d2")).as("mean_d2"))
       .localCheckpoint()
-    require(!stats.isEmpty,
+    require(!stats.filter(col("n_vectors") > 0).isEmpty,
       "ivfDriftStats: no batch contains a valid (non-null, non-empty) vector")
     // 1-row aggregate (never empty) + raise_error: a missing or all-null
     // baseline batch must fail loudly — a silently empty result would read

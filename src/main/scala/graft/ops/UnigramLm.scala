@@ -139,8 +139,17 @@ object UnigramLm {
         .groupBy(col("piece")).agg(sum(col("contrib")).as("E"))
         .as[(String, Double)].collect()
         .sortBy(_._1)
-      val eTotal = expected.map(_._2).sum
-      val probs = expected.map { case (p, e) => (p, q(e / eTotal, roundDp)) }
+      // Quantize each expected count to an integer number of 1e-6 quanta
+      // BEFORE normalizing: the total then sums exactly (Long arithmetic
+      // is associative), so the normalizer is independent of summation
+      // order — the DuckDB replay's arbitrary-order sum(eq) lands on the
+      // same Long bit-for-bit, where a float sum over ~vocab terms could
+      // drift a value sitting near a rounding boundary across a quantum.
+      // Scale bound: eq ≤ corpus-occurrences × 1e6, far under 2^63.
+      val expectedQ = expected.map { case (p, e) => (p, math.round(e * 1e6)) }
+      val eTotal = expectedQ.map(_._2).sum
+      val probs = expectedQ.map { case (p, eq) =>
+        (p, q(eq.toDouble / eTotal.toDouble, roundDp)) }
       val nSingles = probs.count(_._1.length == 1)
       val keptMultis = probs.filter(_._1.length > 1)
         .sortBy { case (p, pr) => (-pr, p) }

@@ -354,8 +354,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           result = commitSnapshot(base, staged, removed = Seq.empty,
             operation = "append", branch, extraSummary = extraSummary)
         } catch {
-          case e: IllegalStateException
-              if e.getMessage.contains("Concurrent commit") && attempt < 12 =>
+          case _: CommitLostException if attempt < 12 =>
             attempt += 1
             // jittered linear backoff so competing processes desynchronize
             // (Iceberg commit.retry.min-wait-ms equivalent)
@@ -1918,6 +1917,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "resolve — rewrite_data_files first")
     val t = GraftTable.create(spark, targetLocation, targetName, schema,
       m.partitionCols, m.props)
+    if (!link)
+      // Surfaced caveat (and in the procedure's `storage` output column):
+      // a metadata-only clone's entries point into the SOURCE's data dir,
+      // and the source keeps no back-reference — the source's
+      // expire_snapshots / remove_orphan_files / DROP can delete files
+      // this clone still reads. Pass link = true for physical immunity.
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftTable]).warn(
+        s"snapshot clone '$targetName' is METADATA-ONLY: it shares " +
+          s"'${m.name}''s data files and stays dependent on the source's " +
+          "retention/DROP lifecycle; use link = true for a physically " +
+          "independent clone")
     val entries =
       if (!link) {
         // metadata-only: reference the files where they live (a clone of
@@ -2054,8 +2064,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       GraftTable.onBeforeCommit()
       try out = SnapshotLog.commit(location, next, conf)
       catch {
-        case e: IllegalStateException
-            if e.getMessage.contains("Concurrent commit") && attempt < 12 =>
+        case _: CommitLostException if attempt < 12 =>
           attempt += 1
           Thread.sleep(attempt * 20L + scala.util.Random.nextInt(40).toLong)
       }

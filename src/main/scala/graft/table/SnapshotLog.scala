@@ -274,7 +274,7 @@ trait CommitGuard {
   def publish(fs: FileSystem, tmp: Path, target: Path, payload: Array[Byte]): Unit
 
   protected def lost(target: Path): Nothing =
-    throw new IllegalStateException(
+    throw new CommitLostException(
       s"Concurrent commit detected for $target; retry on fresh metadata")
 
   /** Slot-owner install for service-adjudicated guards (REST/JDBC): the
@@ -370,6 +370,19 @@ trait CommitGuard {
     }
   }
 }
+
+/** A PROVEN clean loss of the commit race: this committer's claim
+  * verifiably never landed (straight CAS loss, or service adjudication
+  * found another writer's payload in the slot). Retrying on fresh
+  * metadata is always safe. Typed so dispatch sites match on the class
+  * rather than the "Concurrent commit" message substring — a guard that
+  * wraps/translates messages can no longer misroute a clean loss into
+  * the keep-manifests branch, and an unrelated IllegalStateException
+  * that happens to contain the phrase can no longer trigger manifest
+  * deletion. Extends IllegalStateException with the same message shape
+  * for source compatibility with existing catch sites. */
+final class CommitLostException(msg: String)
+  extends IllegalStateException(msg)
 
 /** The claim transport failed AND the follow-up state query failed: the
   * service may or may not hold this committer's claim. Callers must not
@@ -665,10 +678,8 @@ object SnapshotLog {
     try {
       commitGuardFor(fs, target).publish(fs, tmp, target, payload)
     } catch {
-      case e: IllegalStateException
-          if !e.isInstanceOf[CommitStateUnknownException] &&
-            Option(e.getMessage).exists(_.contains("Concurrent commit")) =>
-        // PROVEN clean loss: the guard only raises "Concurrent commit" when
+      case e: CommitLostException =>
+        // PROVEN clean loss: the guard only raises CommitLostException when
         // this committer's claim verifiably never landed (a straight CAS
         // loss, or adjudication found another writer's payload in the
         // slot). Nothing references the freshly written manifests, so

@@ -180,7 +180,11 @@ private[catalog] object GraftProcedures {
     private val out = StructType(Seq(
       StructField("table_name", StringType, nullable = false),
       StructField("imported_files_count", IntegerType, nullable = false),
-      StructField("current_snapshot_id", LongType, nullable = false)))
+      StructField("current_snapshot_id", LongType, nullable = false),
+      // the caveat, in-band: a metadata-only clone depends on the source's
+      // retention/DROP lifecycle (its entries point into the source's data
+      // dir); `link => true` clones are physically independent
+      StructField("storage", StringType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val src = table(input.getUTF8String(0).toString)
       val targetName = input.getUTF8String(1).toString
@@ -192,7 +196,10 @@ private[catalog] object GraftProcedures {
       result(out, Seq(new GenericInternalRow(Array[Any](
         str(targetName),
         m.currentSnapshot.map(_.files.size).getOrElse(0),
-        m.currentSnapshotId.getOrElse(0L)))))
+        m.currentSnapshotId.getOrElse(0L),
+        str(if (link) "linked (physically independent)"
+            else "metadata-only (shares source data files; source "
+              + "expire/GC/DROP can remove them)")))))
     }
   }
 

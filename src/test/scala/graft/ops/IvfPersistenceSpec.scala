@@ -112,11 +112,23 @@ class IvfPersistenceSpec extends SparkTestBase {
     val b2 = corpus.withColumn("vec_id", col("vec_id") + 2000L)
       .withColumn("embedding", transform(col("embedding"), x => x + lit(50.0f)))
       .withColumn("batch", lit(2))
-    val out = Similarity.ivfDriftStats(b0.unionByName(b1).unionByName(b2),
+    // batch 3 = a fully-corrupt ingest (every vector null): it must still
+    // appear in the monitoring output as n_vectors=0 / null mean_d2, not
+    // silently vanish from the per-batch report
+    val b3 = corpus.withColumn("vec_id", col("vec_id") + 3000L)
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .withColumn("batch", lit(3))
+    val out = Similarity.ivfDriftStats(
+        b0.unionByName(b1).unionByName(b2).unionByName(b3),
         centers, "batch", baselineBatch = lit(0))
       .orderBy("batch").collect()
-    assert(out.length === 3)
-    val byBatch = out.map(r => r.getInt(0) ->
+    assert(out.length === 4)
+    val corrupt = out(3)
+    assert(corrupt.getInt(0) === 3)
+    assert(corrupt.getLong(1) === 0L, "all-invalid batch must report n_vectors=0")
+    assert(corrupt.isNullAt(2) && corrupt.isNullAt(4) && corrupt.isNullAt(5),
+      "all-invalid batch must carry null mean/ratio/refit, not fabricated numbers")
+    val byBatch = out.take(3).map(r => r.getInt(0) ->
       (r.getLong(1), r.getDouble(4), r.getBoolean(5))).toMap
     assert(byBatch(0)._1 === 300L)
     assert(math.abs(byBatch(0)._2 - 1.0) < 1e-12, "baseline ratio must be exactly 1")
