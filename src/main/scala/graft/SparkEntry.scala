@@ -1131,6 +1131,55 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // TRUE product quantization, training trajectory: m=8 sub-space
+    // codebooks (16 entries each) after 2 quantized Lloyd rounds —
+    // 4dp-rounded driver syncs make the whole iterative fit bit-replayable
+    // (the kmeansTrain pattern), so the oracle chains the same rounded CTE
+    // rounds and compares every codeword scalar
+    "s_pq_train" -> ((s, dir) =>
+      graft.queries.TableFixtures.pqCodebooks(s, dir)
+        .select(col("__sub").as("sub"), col("__code").as("code"),
+          posexplode(col("__codeword")).as(Seq("dim", "cw_val")))
+        .orderBy("sub", "code", "dim")),
+
+    // PQ search by asymmetric-distance lookup tables: encode the corpus to
+    // m one-byte codes, ADC-rank every candidate (9dp-rounded approx
+    // cosine — the quantized-codebook trajectory makes it replayable),
+    // exact-rescore the top 32, emit top-5 with BOTH sims. recall_ok is
+    // the own-bound recall assertion vs brute force (oracle: literal TRUE)
+    "s_ann_pq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cbs = graft.queries.TableFixtures.pqCodebooks(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val enc = Similarity.pqEncode(e, cbs)
+      val res = Similarity.pqSearch(q, enc, cbs, e, k = 5, rescore = 32)
+      val exact = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val flagged = res.join(exact, Seq("query_id", "neighbor_id"), "left")
+      val recall = flagged.agg(
+        (sum(coalesce(col("__hit"), lit(0L))) / count(lit(1))).as("__recall"))
+      flagged.crossJoin(broadcast(recall))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_sim"), col("cosine_sim"),
+          (col("__recall") >= 0.5).as("recall_ok"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF + PQ composed (the full FAISS IVFPQ serving stack). This config
+    // probes all cells with an unbounded rescore, which makes the pipeline
+    // provably exhaustive-exact (same brute-force oracle as s_ann_ivf)
+    // while exercising probe -> ADC-rank -> id-keyed-rescore end to end;
+    // production tunes nProbe/rescore down (recall bound in PqSpec)
+    "s_ann_ivfpq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfSearchPq(e.filter(col("vec_id") < 10),
+        graft.queries.TableFixtures.ivfIndex(s, dir),
+        graft.queries.TableFixtures.pqCodebooks(s, dir), k = 5,
+        nProbe = 16, rescore = Int.MaxValue)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    }),
+
     // euclidean (L2) brute-force top-k — the magnitude-sensitive metric
     // twin of s_ann_topk, same broadcast-queries single-scan shape
     "s_ann_l2" -> ((s, dir) => {
@@ -2620,6 +2669,55 @@ object SparkEntry {
         ${rounds.mkString(",\n")}
         SELECT cluster_id, dim, centroid_val, n_vecs
         FROM s$iters ORDER BY cluster_id, dim"""
+  }
+
+  /** Chained PQ codebook-training CTEs — the s_pq_train / s_ann_pq
+    * oracle: replay [[graft.ops.Similarity.pqTrain]]'s quantized
+    * trajectory (first-ksub-by-id init, per-sub L2 argmin with
+    * lowest-code ties, 4dp-rounded mean updates, dropped codes keep
+    * their previous codeword) ending at wide codebooks `pqcb<iters>`
+    * (s, code, cw) plus the exploded sub-vector frame `pqsub`. */
+  private def pqTrainCtes(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val dim = m * dsub
+    val d2 =
+      "list_sum(list_transform(list_zip(p.sv, c.cw), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    val init =
+      s"""pqinit AS MATERIALIZED (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+                  ORDER BY vec_id LIMIT $ksub)),
+          pqsub AS MATERIALIZED (
+            SELECT vec_id, s,
+              list_transform(embedding[s*$dsub+1 : s*$dsub+$dsub], x -> x::DOUBLE) AS sv
+            FROM embeddings, range(0, $m) rs(s)
+            WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+          pqcb0 AS MATERIALIZED (
+            SELECT s, code,
+              list_transform(embedding[s*$dsub+1 : s*$dsub+$dsub], x -> x::DOUBLE) AS cw
+            FROM pqinit, range(0, $m) rs(s))"""
+    val rounds = (1 to iters).map { r =>
+      s"""pqa$r AS MATERIALIZED (
+            SELECT vec_id, s, sv, code FROM (
+              SELECT p.vec_id, p.s, p.sv, c.code,
+                row_number() OVER (PARTITION BY p.vec_id, p.s
+                  ORDER BY $d2 ASC, c.code ASC) AS rn
+              FROM pqsub p JOIN pqcb${r - 1} c ON c.s = p.s)
+            WHERE rn = 1),
+          pqe$r AS MATERIALIZED (
+            SELECT s, code, cast(d - 1 AS integer) AS dim,
+              round(avg(sv[d]), 4) + 0.0 AS v
+            FROM (SELECT s, code, sv, unnest(generate_series(1, $dsub)) AS d
+                  FROM pqa$r)
+            GROUP BY 1, 2, 3),
+          pqcb$r AS MATERIALIZED (
+            SELECT p.s, p.code, list(coalesce(e.v, p.cw[pd.d]) ORDER BY pd.d) AS cw
+            FROM pqcb${r - 1} p
+            CROSS JOIN range(1, ${dsub + 1}) pd(d)
+            LEFT JOIN pqe$r e ON e.s = p.s AND e.code = p.code AND e.dim = pd.d - 1
+            GROUP BY 1, 2)"""
+    }
+    (Seq(init) ++ rounds).mkString(",\n")
   }
 
   /** Exact brute-force cosine top-k SQL — the oracle for s_ann_topk, and
@@ -4425,6 +4523,85 @@ object SparkEntry {
       """SELECT CAST(vec_id % 4 AS INTEGER) AS batch,
                 count(*) AS n_vectors, TRUE AS drift_ok
          FROM embeddings GROUP BY 1 ORDER BY 1""",
+
+    // full quantized-trajectory replay of the PQ codebook fit: same init,
+    // same per-sub L2 argmin (lowest-code ties on exact doubles), same
+    // 4dp-rounded mean syncs — every codeword scalar compares
+    "s_pq_train" ->
+      s"""WITH ${pqTrainCtes(m = 8, dsub = 8, ksub = 16, iters = 2)}
+          SELECT cast(s AS integer) AS sub, cast(code AS integer) AS code,
+            cast(d - 1 AS integer) AS dim, cw[d] AS cw_val
+          FROM pqcb2, range(1, 9) rd(d)
+          ORDER BY sub, code, dim""",
+
+    // end-to-end PQ ADC search replay: encode every corpus vector against
+    // the replayed codebooks (argmin per sub-space), rebuild each query's
+    // ADC inner-product terms for the CHOSEN codewords, 9dp-round the
+    // approx cosine (absorbing sub-ulp summation drift so both engines
+    // select the identical shortlist), rescore the top 32 exactly, emit
+    // top-5. recall_ok is literal TRUE (own-bound: engine asserts >= 0.5
+    // recall vs brute force — a PQ quality collapse hash-mismatches)
+    "s_ann_pq" -> {
+      val ctes = pqTrainCtes(m = 8, dsub = 8, ksub = 16, iters = 2)
+      s"""WITH $ctes,
+          pqn AS (SELECT s, code, cw,
+              list_sum(list_transform(cw, x -> x * x)) AS n2
+            FROM pqcb2),
+          pqenc AS MATERIALIZED (
+            SELECT vec_id, s, code, n2, cw FROM (
+              SELECT p.vec_id, p.s, c.code, c.n2, c.cw,
+                row_number() OVER (PARTITION BY p.vec_id, p.s
+                  ORDER BY list_sum(list_transform(list_zip(p.sv, c.cw),
+                    x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.code ASC) AS rn
+              FROM pqsub p JOIN pqn c ON c.s = p.s)
+            WHERE rn = 1),
+          pqrn AS (SELECT vec_id, sqrt(list_sum(list(n2 ORDER BY s))) AS rnorm
+            FROM pqenc GROUP BY vec_id),
+          pqq AS (SELECT vec_id AS query_id, embedding AS qv,
+              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
+            FROM embeddings WHERE vec_id < 10),
+          pqterm AS MATERIALIZED (
+            SELECT q.query_id, e.vec_id AS neighbor_id, e.s,
+              list_sum(list_transform(list_zip(q.qv[e.s*8+1 : e.s*8+8], e.cw),
+                x -> x[1]::DOUBLE * x[2]::DOUBLE)) AS t
+            FROM pqq q, pqenc e
+            WHERE q.query_id <> e.vec_id),
+          pqasim AS (
+            SELECT t.query_id, t.neighbor_id,
+              round(CASE WHEN q.qn > 0 AND r.rnorm > 0
+                THEN list_sum(list(t ORDER BY s)) / (q.qn * r.rnorm)
+                ELSE 0.0 END, 9) AS asim
+            FROM pqterm t
+            JOIN pqq q ON q.query_id = t.query_id
+            JOIN pqrn r ON r.vec_id = t.neighbor_id
+            GROUP BY t.query_id, t.neighbor_id, q.qn, r.rnorm),
+          pqshort AS (
+            SELECT query_id, neighbor_id, asim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY asim DESC, neighbor_id ASC) AS rn FROM pqasim)
+            WHERE rn <= 32),
+          pqex AS (
+            SELECT s.query_id, s.neighbor_id, s.asim,
+              ${cosSql("qe.embedding", "ce.embedding")} AS sim
+            FROM pqshort s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ce ON ce.vec_id = s.neighbor_id),
+          pqranked AS (
+            SELECT query_id, neighbor_id, asim, sim,
+              cast(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS integer) AS rank
+            FROM pqex)
+          SELECT query_id, rank, neighbor_id,
+            round(asim, 4) AS adc_sim, round(sim, 4) AS cosine_sim,
+            TRUE AS recall_ok
+          FROM pqranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // exhaustive-exact IVFPQ config (nProbe = nCells, unbounded rescore):
+    // the exact rescore of an all-candidate shortlist recovers brute
+    // force regardless of the ADC approximation, so the oracle is the
+    // same brute-force top-5 as s_ann_ivf
+    "s_ann_ivfpq" -> annTopkSql,
 
     // own-bound pattern (q12/q31): the deterministic cells are the
     // exhaustive top-5 (identical to annTopkSql); the engine-side boolean

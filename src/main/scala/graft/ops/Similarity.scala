@@ -557,6 +557,297 @@ object Similarity {
         round(col("__sim"), 4).as("cosine_sim"))
   }
 
+  // ─────────────── product quantization (the FAISS IVF-PQ shape) ───────────
+
+  /** Driver-side left-to-right Σ x² — the quantized-codeword norm table
+    * entry; the fold order matches DuckDB's `list_sum(list_transform(cw,
+    * x -> x*x))`, so both engines hold the identical IEEE double. */
+  private def norm2Seq(xs: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < xs.length) { s += xs(i) * xs(i); i += 1 }
+    s
+  }
+
+  /** Upper bound on the m·ksub·dsub literal codebook payload (doubles):
+    * the FAISS defaults (m=8..64, ksub=256) stay far under it; beyond it
+    * the codebook belongs in a broadcast join, not a plan literal. */
+  private val PqLiteralLimit = 4 * 1000 * 1000
+
+  private def collectCodebooks(codebooks: DataFrame)
+      : Array[Array[Array[Double]]] = {
+    val rows = codebooks
+      .select(col("__sub").cast("int"), col("__code").cast("int"),
+        col("__codeword"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "pq: empty codebooks table")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    require(rows.length == m * ksub,
+      s"pq: codebooks must be dense over sub [0,$m) x code [0,$ksub); " +
+        s"got ${rows.length} rows")
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (s, c, w) => cb(s)(c) = w }
+    cb
+  }
+
+  /**
+   * Train product-quantization codebooks — the public FAISS PQ shape
+   * (Jégou et al., "Product quantization for nearest neighbor search",
+   * TPAMI 2011): split the embedding space into `m` contiguous sub-spaces
+   * of dim/m, and fit an independent `ksub`-entry L2 k-means codebook in
+   * each, so that a vector compresses to m codes of ⌈log2 ksub⌉ bits
+   * ([[pqEncode]]) and search scores candidates via per-query
+   * asymmetric-distance lookup tables ([[pqSearch]] / [[ivfSearchPq]]).
+   *
+   * Training follows the [[kmeansTrain]] quantized-trajectory pattern:
+   * codebooks initialize from the first `ksub` vectors in `idCol` order
+   * (exact float→double values), and every Lloyd round assigns each
+   * sub-vector to its nearest codeword (first minimum in ascending code
+   * order) then replaces codewords with their member means ROUNDED to
+   * `roundDp` decimals at the driver sync — quantized updates make the
+   * whole iterative float pipeline bit-replayable by an independent
+   * engine (the s_pq_train / s_ann_pq DuckDB oracles chain the same
+   * rounded CTE rounds). A codeword that loses all members keeps its
+   * previous round's value (ids must stay stable — codes are storage).
+   *
+   * Scale shape: per round, ONE corpus pass — a narrow explode into m
+   * sub-vectors (total element count unchanged), nearest-codeword
+   * assignment against the driver-literal codebooks (a lambda over a
+   * runtime array: no per-code codegen unrolling, no method-size cliff),
+   * and one (sub, code, dim)-keyed aggregation whose map-side partials
+   * bound the shuffle at dim·ksub rows per partition. Driver state is
+   * m·ksub·(dim/m) = dim·ksub doubles — 128 KB at the FAISS defaults.
+   *
+   * Returns wide codebooks `(__sub, __code, __codeword)`.
+   */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 256,
+      iters: Int = 3, idCol: String = "vec_id", vecCol: String = "embedding",
+      roundDp: Int = 4): DataFrame = {
+    require(m >= 1 && iters >= 1, s"pqTrain: m=$m, iters=$iters")
+    require(ksub >= 1 && ksub <= 256,
+      s"pqTrain: ksub must be in [1,256] (codes are stored as offset " +
+        s"tinyint bytes), got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = vectorDim(corpus, vecCol).toInt
+    require(dim > 0 && dim % m == 0,
+      s"pqTrain: dim=$dim must be a positive multiple of m=$m")
+    val dsub = dim / m
+    require(m.toLong * ksub * dsub <= PqLiteralLimit,
+      s"pqTrain: codebook payload m*ksub*dsub=${m.toLong * ksub * dsub} " +
+        s"exceeds the plan-literal bound $PqLiteralLimit")
+    val v = col(vecCol).cast("array<double>")
+    val vecOk = col(vecCol).isNotNull && size(col(vecCol)) === dim
+    // deterministic init: sub-slices of the first ksub vectors in id order
+    val initRows = corpus.filter(vecOk).orderBy(col(idCol)).limit(ksub)
+      .select(v.as("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.nonEmpty, "pqTrain: no valid vectors to train on")
+    val k0 = initRows.length // adapts below ksub on tiny corpora
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+    // one exploded (id, sub, sub-vector) frame reused every round
+    val subs = corpus.filter(vecOk).select(
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(v, s * lit(dsub) + lit(1), lit(dsub))))
+          .as(Seq("__sub", "__sv")))
+    for (_ <- 1 to iters) {
+      val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+      val d2s = transform(element_at(cbLit, col("__sub") + 1), cw =>
+        aggregate(zip_with(col("__sv"), cw, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      val updated = subs
+        .withColumn("__d2s", d2s)
+        .withColumn("__codep",
+          array_position(col("__d2s"), array_min(col("__d2s"))).cast("int"))
+        .select(col("__sub"), (col("__codep") - 1).as("__code"),
+          posexplode(col("__sv")).as(Seq("__dim", "__x")))
+        .groupBy("__sub", "__code", "__dim")
+        // + 0.0 folds IEEE -0.0 into +0.0 (the kmeansStep rule) so both
+        // engines' rounded means agree on sign
+        .agg((round(avg(col("__x")), roundDp) + lit(0.0)).as("__v"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      cb = Array.tabulate(m)(s => Array.tabulate(k0)(c =>
+        Array.tabulate(dsub)(d => updated.getOrElse((s, c, d), cb(s)(c)(d)))))
+    }
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+    }.toSeq.toDF("__sub", "__code", "__codeword")
+  }
+
+  /**
+   * Encode vectors against trained PQ codebooks: each row gains
+   * `__codes` — m ONE-BYTE codes (`array<tinyint>`, stored with the
+   * standard −128 offset so ksub=256 fits a signed byte) — and
+   * `__rnorm`, the reconstruction norm √Σₛ‖cw[s][codeₛ]‖² (sub-spaces are
+   * disjoint coordinate ranges, so the identity is exact), which is all
+   * the cosine ADC scorer needs besides the codes. Null/wrong-dim
+   * vectors encode to NULL codes. Compression: dim·4 float bytes → m
+   * code bytes — 32× at the dim=64/m=8 shape (spec-asserted).
+   *
+   * Scale shape: a pure narrow per-row map — codebooks ride as one plan
+   * literal (dim·ksub doubles), assignment is the same
+   * first-minimum-in-code-order rule as training, and nothing shuffles.
+   */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      passthrough: Seq[String] = Seq.empty): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val dim = m * dsub
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val normLit = typedlit(cb.map(_.map(norm2Seq).toSeq).toSeq)
+    val v = col("__cv").cast("array<double>")
+    val vecOk = col("__cv").isNotNull && size(col("__cv")) === dim
+    val d2ss = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cbLit, s + 1), cw =>
+        aggregate(
+          zip_with(slice(v, s * lit(dsub) + lit(1), lit(dsub)), cw,
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)))
+    vectors.select((Seq(col(idCol).as("neighbor_id")) ++
+        passthrough.map(col) :+ col(vecCol).as("__cv")): _*)
+      .withColumn("__d2ss", when(vecOk, d2ss))
+      .withColumn("__codes", transform(col("__d2ss"), d2s =>
+        (array_position(d2s, array_min(d2s)).cast("int") - 129)
+          .cast("tinyint")))
+      .withColumn("__rnorm", sqrt(aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0.0), (acc, s) => acc + element_at(element_at(normLit, s + 1),
+          element_at(col("__codes"), s + 1).cast("int") + 129))))
+      .drop("__d2ss")
+  }
+
+  /**
+   * PQ search by asymmetric distance computation (ADC) over an encoded
+   * corpus: per query, build the m×ksub inner-product lookup table
+   * ⟨q-sub, codeword⟩ ONCE (a narrow map against the literal codebooks),
+   * rank every candidate by the table-summed approximate cosine
+   * Σₛ ADC[s][codeₛ] / (‖q‖·rnorm) — m one-byte lookups per pair instead
+   * of a dim-wide float walk, and the candidate side carries m code
+   * bytes instead of dim·4 vector bytes — then exact-rescore only the
+   * top `rescore` per query through an id-keyed join to the
+   * full-precision vectors.
+   *
+   * The approximate ordering is rounded to 9 decimals before ranking
+   * (ties then break by id): the quantized-codebook trajectory makes
+   * every ADC value engine-reproducible, and the rounding absorbs
+   * sub-ulp summation drift so an independent replay (the s_ann_pq
+   * DuckDB oracle) selects the identical shortlist.
+   *
+   * Scale shape: queries (with their ADC tables and full vectors)
+   * broadcast twice — probe rows and payloads separately, so the
+   * per-query table never rides the per-pair exchange — the encoded
+   * corpus streams map-side, and both cuts are the salted two-phase
+   * top-k. `encoded` is [[pqEncode]] output; persist it once per corpus
+   * version (the [[saveIvfIndex]] economics) and every batch after that
+   * reads code bytes, never vectors, until the rescore.
+   */
+  def pqSearch(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      full: DataFrame, k: Int, rescore: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // every (query, candidate) pair: the probe relation is the full
+    // broadcast query-id set (the brute-ADC semantics)
+    val cand = encoded
+      .select(col("neighbor_id"), col("__codes"), col("__rnorm"))
+      .crossJoin(broadcast(q.select(col("query_id").as("__pq"))))
+    pqSearchOver(q, cand, codebooks, full, k, rescore, idCol, vecCol)
+  }
+
+  /**
+   * IVF + PQ — the full FAISS IVFPQ serving stack: probe the `nProbe`
+   * nearest inverted lists (hive-partition-pruned on a
+   * [[saveIvfIndex]]-persisted index), ADC-rank ONLY the probed cells'
+   * PQ codes, exact-rescore the top `rescore`. With `nProbe = nCells`
+   * and unbounded `rescore` the pipeline is provably exhaustive-exact
+   * (the s_ann_ivfpq oracle config — the exact rescore of an
+   * all-candidate shortlist recovers brute force regardless of the
+   * approximation); production tunes both down and reads m bytes per
+   * candidate instead of dim·4.
+   */
+  def ivfSearchPq(queries: DataFrame, index: IvfIndex, codebooks: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = 4, rescore: Int = 32): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probes = q.crossJoin(broadcast(index.centers))
+      .select(col("query_id"), col("__cell"),
+        cosineFast(col("__qv").cast("array<double>"), col("__center")).as("__csim"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__cell").asc)
+    val probed = probes.withColumn("__cr", row_number().over(wCell))
+      .filter(col("__cr") <= nProbe)
+      .select("query_id", "__cell")
+    val encoded = pqEncode(
+      index.assigned.select(col("neighbor_id").as("vec_id"), col("__cell"),
+        col("__cv").as(vecCol)),
+      codebooks, idCol = "vec_id", vecCol = vecCol,
+      passthrough = Seq("__cell"))
+    // probed-cell candidates only: the (query, cell) probe rows broadcast,
+    // the encoded lists stream — the corpus never shuffles
+    val cand = encoded
+      .select(col("neighbor_id"), col("__cell"), col("__codes"), col("__rnorm"))
+      .join(broadcast(probed), Seq("__cell"))
+      .select(col("query_id").as("__pq"), col("neighbor_id"),
+        col("__codes"), col("__rnorm"))
+    val fullVecs = index.assigned
+      .select(col("neighbor_id").as(idCol), col("__cv").as(vecCol))
+    pqSearchOver(q, cand, codebooks, fullVecs, k, rescore, idCol, vecCol)
+  }
+
+  /** [[pqSearch]] over a PRE-JOINED (query, candidate-codes) pair set —
+    * the IVF-probed variant's scorer; `cand` carries `__pq` (the probe's
+    * query id), `neighbor_id`, `__codes`, `__rnorm`. */
+  private def pqSearchOver(q: DataFrame, cand: DataFrame,
+      codebooks: DataFrame, full: DataFrame, k: Int, rescore: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val qv = col("__qv").cast("array<double>")
+    val adc = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cbLit, s + 1), cw =>
+        aggregate(
+          zip_with(slice(qv, s * lit(dsub) + lit(1), lit(dsub)), cw,
+            (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)))
+    val qpay = q.select(col("query_id"), col("__qv"), adc.as("__adc"),
+      norm(col("__qv")).as("__qn"))
+    val asum = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(col("__adc"), s + 1),
+        element_at(col("__codes"), s + 1).cast("int") + 129))
+    val scored = cand
+      .filter(col("__codes").isNotNull)
+      .join(broadcast(qpay), col("__pq") === col("query_id") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__asim", round(
+        when(col("__qn") > 0.0 && col("__rnorm") > 0.0,
+          asum / (col("__qn") * col("__rnorm"))).otherwise(lit(0.0)), 9))
+      // project BEFORE the top-k exchanges: the per-query ADC table and
+      // vectors must never ride the per-pair shuffle — that would undo
+      // the m-bytes-per-candidate economics
+      .select(col("query_id"), col("neighbor_id"), col("__asim"))
+    val shortlist = saltedTopK(scored, rescore,
+        Seq(col("__asim").desc, col("neighbor_id").asc))
+      .select("query_id", "neighbor_id", "__asim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(full.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(qpay.select(col("query_id"), col("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__asim"),
+        cosineFast(col("__qv"), col("__cv")).as("__sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("__asim"), 4).as("adc_sim"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
   /**
    * Hard-negative mining for contrastive training (the in-batch-negatives
    * upgrade every dense-retriever pipeline runs — e.g. DPR, Karpukhin et

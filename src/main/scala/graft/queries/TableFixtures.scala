@@ -549,6 +549,20 @@ object TableFixtures {
       cached
     })
 
+  private val pqCache = TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** Trained PQ codebooks over the sf `embeddings` table (m=8 sub-spaces,
+    * 16-entry codebooks, 2 quantized Lloyd rounds) — shared by the
+    * s_pq_train / s_ann_pq / s_ann_ivfpq rows so the trajectory trains
+    * once per process. */
+  def pqCodebooks(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    pqCache.getOrElseUpdate(sfDir, {
+      val cb = graft.ops.Similarity.pqTrain(
+        read(spark, sfDir, "embeddings"), m = 8, ksub = 16, iters = 2).cache()
+      cb.count()
+      cb
+    })
+
   private val cloneCache = TrieMap.empty[String, (GraftTable, GraftTable)]
 
   /**

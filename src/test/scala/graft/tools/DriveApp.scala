@@ -235,6 +235,27 @@ object DriveApp {
       println("ivf-drift batches=" + drift.length
         + " refits=" + drift.map(r => r.getInt(0) + ":" + r.getBoolean(5)).mkString(","))
     }
+    println("== product quantization: codebooks, 1-byte codes, ADC search")
+    locally {
+      import spark.implicits._
+      val vecs = (0 until 160).map { i =>
+        val c = i % 2
+        (i.toLong, Seq.tabulate(8)(d =>
+          (if (d % 2 == c) 1.0f else 0.1f) + ((i * 13 + d * 3) % 11) / 110.0f))
+      }.toDF("vec_id", "embedding")
+      val cb = graft.ops.Similarity.pqTrain(vecs, m = 4, ksub = 8, iters = 2)
+      val enc = graft.ops.Similarity.pqEncode(vecs, cb)
+      val codeBytes = enc.select(col("__codes")).head.getSeq[Byte](0).length
+      val res = graft.ops.Similarity.pqSearch(
+        vecs.filter(col("vec_id") < 2), enc, cb, vecs, k = 3, rescore = 10)
+        .collect()
+      val exact = graft.ops.Similarity.bruteForceTopK(
+          vecs.filter(col("vec_id") < 2), vecs, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val hits = res.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+      println(s"pq codebooks=${cb.count()} codeBytes=$codeBytes " +
+        s"compression=${8 * 4 / codeBytes}x topk=${res.length} recall=$hits/${exact.size}")
+    }
     println("== streaming: watermarked stream-stream interval join")
     locally {
       import spark.implicits._
