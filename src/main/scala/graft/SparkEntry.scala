@@ -1827,6 +1827,29 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // DELETION VECTORS surfaced (Iceberg v3 position-delete format): the
+    // same fixture's delete commit stores per-file run-length bitsets —
+    // the metadata columns pin the representation (one dv-kind file,
+    // records = covered positions = the oracle's recomputed matched-row
+    // count, RLE payload never exceeding 2 longs per deleted position)
+    "t_dv_delete" -> ((s, dir) => {
+      val t = TableFixtures.ordersPosDeleted(s, dir)
+      val dvs = t.meta.currentSnapshot.map(_.deleteFiles)
+        .getOrElse(Seq.empty).filter(_.isDv)
+      val runLongs = if (dvs.isEmpty) 0L else
+        s.read.parquet(dvs.map(d => s"${t.dataDir}/${d.path}"): _*)
+          .agg(sum(size(col("__runs"))).cast("long")).head.getLong(0)
+      t.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("dv_files", lit(dvs.size))
+        .withColumn("deleted_records", lit(dvs.map(_.records).sum))
+        .withColumn("rle_within_positions",
+          lit(runLongs > 0 && runLongs <= 2 * dvs.map(_.records).sum))
+        .orderBy("o_orderstatus")
+    }),
+
     // copy-on-write UPDATE: row-referencing SET expressions, only files
     // containing TRUE-condition rows rewritten
     "t_update_where" -> ((s, dir) =>
@@ -1877,7 +1900,9 @@ object SparkEntry {
     "t_rewrite_pos_deletes" -> ((s, dir) => {
       val t = TableFixtures.ordersPosRewritten(s, dir)
       val dels = t.meta.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty)
-      val posDels = dels.filter(_.isPositional)
+      // post-migration these are DELETION VECTORS (kind=dv); records
+      // still counts covered positions, so the oracle math is unchanged
+      val posDels = dels.filter(d => d.isPositional || d.isDv)
       t.toDF
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -5463,6 +5488,20 @@ object SparkEntry {
     "t_pos_delete" ->
       s"""SELECT o_orderstatus, count(*) AS n,
          ${centsSql("o_totalprice")} AS total_cents
+         FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
+         GROUP BY 1 ORDER BY 1""",
+
+    // content re-derived; the representation columns are literals the
+    // engine must EARN: exactly one dv-kind delete file, its records
+    // equal to the independently recomputed matched-row count, and the
+    // run-length payload bounded by the position count
+    "t_dv_delete" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents,
+         1 AS dv_files,
+         (SELECT count(*) FROM orders
+          WHERE o_orderkey % 3 = 0 AND o_totalprice > 300000) AS deleted_records,
+         TRUE AS rle_within_positions
          FROM orders WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
          GROUP BY 1 ORDER BY 1""",
 

@@ -298,6 +298,9 @@ object GraftFunctions {
   def vec_cosine(a: Column, b: Column): Column =
     bridge.column(VecCosine(bridge.expression(a), bridge.expression(b)))
 
+  def dv_contains(runs: Column, pos: Column): Column =
+    bridge.column(DvContains(bridge.expression(runs), bridge.expression(pos)))
+
   def vec_l2(a: Column, b: Column): Column =
     bridge.column(VecL2(bridge.expression(a), bridge.expression(b)))
 
@@ -404,6 +407,65 @@ case class ArrayLongEqCount(left: Expression, right: Expression) extends BinaryE
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayLongEqCount =
+    copy(left = l, right = r)
+}
+
+/** Deletion-vector membership: is row index `pos` covered by the sorted
+  * run-length encoding `runs` = [start0, len0, start1, len1, …]? Binary
+  * search over the run STARTS (even indices), then a bounds check against
+  * the candidate run — O(log #runs) per row, versus the O(#runs) linear
+  * `exists()` HOF scan, on the merge-on-read hot read path where every
+  * surviving data row of a DV-bearing file pays one membership probe. */
+case class DvContains(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dv_contains requires (array<bigint>, bigint), got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val runs = a.asInstanceOf[ArrayData]
+    val pos = b.asInstanceOf[Long]
+    val n = runs.numElements() / 2
+    var lo = 0; var hi = n - 1; var hit = false
+    while (lo <= hi && !hit) {
+      val mid = (lo + hi) >>> 1
+      val start = runs.getLong(2 * mid)
+      if (pos < start) hi = mid - 1
+      else if (pos >= start + runs.getLong(2 * mid + 1)) lo = mid + 1
+      else hit = true
+    }
+    hit
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val start = ctx.freshName("start")
+      val hit = ctx.freshName("hit")
+      s"""
+        int $lo = 0;
+        int $hi = $a.numElements() / 2 - 1;
+        boolean $hit = false;
+        while ($lo <= $hi && !$hit) {
+          int $mid = ($lo + $hi) >>> 1;
+          long $start = $a.getLong(2 * $mid);
+          if ($b < $start) $hi = $mid - 1;
+          else if ($b >= $start + $a.getLong(2 * $mid + 1)) $lo = $mid + 1;
+          else $hit = true;
+        }
+        ${ev.value} = $hit;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DvContains =
     copy(left = l, right = r)
 }
 

@@ -334,10 +334,16 @@ object TableFixtures {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_pos_deleted"
       GraftTable.drop(spark, loc)
       val orders = read(spark, sfDir, "orders")
+      // DELETION-VECTOR representation (round 14): the positional delete
+      // commits per-file run-length bitsets, read back as a membership
+      // probe — same rows deleted, same oracle
       val t = GraftTable.create(spark, loc, "graft.orders_pos_deleted",
-        orders.schema, partitionCols = Seq("o_orderstatus"))
+        orders.schema, partitionCols = Seq("o_orderstatus"),
+        props = Map("write.delete.vector.enabled" -> "true"))
       t.append(orders.filter(col("o_orderkey") % 3 === 0))
       t.deleteWherePositional(col("o_totalprice") > 300000)
+      require(t.meta.currentSnapshot.get.deleteFiles.forall(_.isDv),
+        "t_pos_delete fixture must exercise the DV representation")
       t
     })
 
@@ -355,6 +361,8 @@ object TableFixtures {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_pos_rewritten"
       GraftTable.drop(spark, loc)
       val orders = read(spark, sfDir, "orders")
+      // starts in legacy row-list mode, flips to DV mode before the
+      // rewrite: the maintenance pass is also the list->DV MIGRATION
       val t = GraftTable.create(spark, loc, "graft.orders_pos_rewritten",
         orders.schema)
       t.append(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1))
@@ -362,7 +370,10 @@ object TableFixtures {
       t.deleteWherePositional(col("o_totalprice") > 300000)
       t.rewriteDataFilesBinpack(minFileSizeBytes = Long.MaxValue)
       t.deleteWherePositional(col("o_orderkey") % 10 === 7)
+      t.setProperties(Map("write.delete.vector.enabled" -> "true"))
       t.rewritePositionDeleteFiles()
+      require(t.meta.currentSnapshot.get.deleteFiles.forall(_.isDv),
+        "t_rewrite_pos_deletes fixture must migrate row lists to DVs")
       t
     })
 

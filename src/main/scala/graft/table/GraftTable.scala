@@ -278,10 +278,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map { case (applicable, files) =>
         val appl = dels.filter(d => applicable(d.path))
         val base =
-          if (keepPos || appl.exists(_.isPositional)) plainReadWithPos(m, s, files)
+          if (keepPos || appl.exists(d => d.isPositional || d.isDv))
+            plainReadWithPos(m, s, files)
           else plainRead(m, s, files)
         val filtered = appl.foldLeft(base) { (df, d) =>
-          if (d.isPositional) {
+          if (d.isDv) {
+            // deletion vector: per-file run-length bitsets merge into a
+            // per-row membership probe — a broadcast of one compact row
+            // per affected data file and an O(log runs) binary search per
+            // scanned row (native DvContains), never a row-list anti-join
+            val dv = spark.read.parquet(s"$dataDir/${d.path}")
+              .select(col("__file").as("__delf"), col("__runs"))
+            df.join(broadcast(dv), col("__file") === col("__delf"), "left_outer")
+              .filter(col("__runs").isNull ||
+                !graft.functions.GraftFunctions.dv_contains(
+                  col("__runs"), col("__pos")))
+              .drop("__delf", "__runs")
+          } else if (d.isPositional) {
             val del = spark.read.parquet(s"$dataDir/${d.path}")
               .select(col("__file").as("__delf"), col("__pos").as("__delp"))
             df.join(del,
@@ -591,9 +604,88 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .filter(cond)
         .select(col("__file"), col("__pos"))
       commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch,
-        addedDeletes = writeDeleteFiles(positions, Seq("__file", "__pos"),
-          kind = "position"))
+        addedDeletes =
+          if (dvEnabled) writeDvFiles(positions)
+          else writeDeleteFiles(positions, Seq("__file", "__pos"),
+            kind = "position"))
     }
+
+  /** Iceberg-v3 deletion-vector mode: position deletes are written as
+    * per-data-file run-length bitsets (`write.delete.vector.enabled`),
+    * read back as a membership filter instead of a row-list anti-join. */
+  private def dvEnabled: Boolean =
+    properties.getOrElse("write.delete.vector.enabled", "false") == "true"
+
+  /** Collapse a `(__file, __pos)` position frame into DELETION VECTORS —
+    * one row per data file, deleted indexes as a sorted run-length
+    * `__runs` array — and write them under `data/_deletes/` with kind
+    * `dv`. Run construction is the gaps-and-islands identity over each
+    * file's sorted position list (a start opens wherever the previous
+    * index isn't adjacent), all in builtin HOFs: one (file)-keyed
+    * aggregation, a narrow map, no driver materialization. A file whose
+    * delete pattern collapses to few runs (range deletes, full-file
+    * deletes) stores O(runs) longs however many rows died. */
+  private def writeDvFiles(positions: DataFrame): Seq[DeleteFile] = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$location/_staging/del-$commitId")
+    val ps = col("__ps")
+    // 1-based element_at over the sorted 0-based parquet row indexes
+    val starts = filter(sequence(lit(0), size(ps) - 1), i =>
+      (i === 0) || (element_at(ps, i + 1) =!= element_at(ps, i) + 1))
+    val runs = flatten(transform(sequence(lit(0), size(col("__starts")) - 1),
+      j => array(
+        element_at(ps, element_at(col("__starts"), j + 1).cast("int") + 1),
+        (when(j < size(col("__starts")) - 1,
+          element_at(col("__starts"), (j + 2).cast("int")))
+          .otherwise(size(ps)).cast("long")
+          - element_at(col("__starts"), j + 1)))))
+    val dv = positions
+      .groupBy(col("__file"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
+      .withColumn("__starts", starts)
+      .select(col("__file"), runs.as("__runs"), size(ps).cast("long").as("__n"))
+    dv.cache()
+    val nFiles = dv.count()
+    if (nFiles == 0) { dv.unpersist(); return Seq.empty }
+    // fan-out bound: DV rows are per-FILE (already compact); a commit
+    // touching millions of files still writes a handful of vector files
+    val rowsPerFile = math.max(1L,
+      properties.getOrElse("write.delete.dv-files-per-file", (1L << 16).toString).toLong)
+    val outFiles = math.max(1L, math.min(64L,
+      (nFiles + rowsPerFile - 1) / rowsPerFile)).toInt
+    val deleted = dv.agg(org.apache.spark.sql.functions.sum(col("__n")))
+      .head.getLong(0)
+    val staged0 = if (outFiles == 1) dv.drop("__n").coalesce(1)
+      else dv.drop("__n").repartition(outFiles)
+    staged0.write.mode("overwrite").parquet(staging.toString)
+    dv.unpersist()
+    val staged = fs.listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val dels = staged.toSeq.map { st =>
+      val rel = s"_deletes/dv-$commitId-${st.getPath.getName}"
+      val target = new Path(dataDir, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(st.getPath, target))
+        throw new IllegalStateException(s"Failed to move delete file to $target")
+      val vecRows = {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
+        try r.getRecordCount finally r.close()
+      }
+      (DeleteFile(rel, Seq("__file", "__runs"), 0L,
+        fs.getFileStatus(target).getLen, seq = -1L, kind = "dv"), vecRows)
+    }
+    fs.delete(staging, true)
+    dels.filter(_._2 == 0L).foreach(d => fs.delete(new Path(dataDir, d._1.path), false))
+    val kept = dels.filter(_._2 > 0L).map(_._1)
+    // records = covered positions, apportioned exactly on the single-file
+    // path (the common case); multi-file fan-outs share the total evenly
+    // with the remainder on the first (accounting only — read semantics
+    // never consult records)
+    kept.zipWithIndex.map { case (d, i) =>
+      val share = deleted / kept.size + (if (i < (deleted % kept.size)) 1L else 0L)
+      d.copy(records = share)
+    }
+  }
 
   /** Write a delete-content DataFrame (key tuples or positions) as parquet
     * under `data/_deletes/`; returns the (seq-unassigned) DeleteFile
@@ -972,7 +1064,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // produces one) must take the state-diff fallback, not silently
         // omit the removed files' rows from the DELETE images
         if (newDels.size == 1 && !newDels.head.isPositional &&
-            s.removedFiles.isEmpty) {
+            !newDels.head.isDv && s.removedFiles.isEmpty) {
           val d = newDels.head
           val parentState = parent
             .map(p => readWithDeletes(Some(p), m, p.files))
@@ -987,11 +1079,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
           Seq(deleted
             .withColumn("_change_type", lit("DELETE"))
             .withColumn("_commit_snapshot_id", lit(s.id))) ++ insertPart
-        } else if (newDels.nonEmpty && newDels.forall(_.isPositional) &&
+        } else if (newDels.nonEmpty &&
+            newDels.forall(d => d.isPositional || d.isDv) &&
             s.removedFiles.isEmpty) {
           // positional twin of the fast path: the parent state (positions
           // retained, older deletes applied) semi-joins the new delete
-          // files' (__file, __pos) row identities
+          // files' (__file, __pos) row identities; deletion vectors
+          // expand to the same pairs (per-commit delta — list-sized)
           val parentPos = parent
             .map(p => readWithDeletes(Some(p), m, p.files, keepPos = true))
             .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -999,8 +1093,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
                 StructField("__file", org.apache.spark.sql.types.StringType),
                 StructField("__pos", LongType)))))
           val delPairs = newDels
-            .map(d => spark.read.parquet(s"$dataDir/${d.path}")
-              .select(col("__file").as("__delf"), col("__pos").as("__delp")))
+            .map { d =>
+              val raw = spark.read.parquet(s"$dataDir/${d.path}")
+              if (d.isDv)
+                raw.select(col("__file").as("__delf"),
+                  explode(flatten(transform(
+                    sequence(lit(0), (size(col("__runs")) / 2).cast("int") - 1),
+                    i => sequence(
+                      element_at(col("__runs"), i * 2 + 1),
+                      element_at(col("__runs"), i * 2 + 1)
+                        + element_at(col("__runs"), i * 2 + 2) - 1))))
+                    .as("__delp"))
+              else raw.select(col("__file").as("__delf"),
+                col("__pos").as("__delp"))
+            }
             .reduce(_.unionByName(_))
           val deleted = parentPos.join(delPairs,
             col("__file") === col("__delf") && col("__pos") === col("__delp"),
@@ -1681,18 +1787,39 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val ref = wapBranch.filter(m.refs.contains).getOrElse(SnapshotLog.MainBranch)
     val snap = m.snapshotForRef(ref).getOrElse(
       throw new IllegalStateException(s"${m.name}: no snapshot to rewrite"))
-    val posDels = snap.deleteFiles.filter(_.isPositional)
+    val posDels = snap.deleteFiles.filter(d => d.isPositional || d.isDv)
     if (posDels.isEmpty) snap
     else {
       val live = spark.createDataset(snap.files.map(_.path))(
         org.apache.spark.sql.Encoders.STRING).toDF("__livef")
-      val entries = spark.read
-        .parquet(posDels.map(d => s"$dataDir/${d.path}"): _*)
-        .select(col("__file"), col("__pos"))
+      val lists = posDels.filter(_.isPositional)
+      val vecs = posDels.filter(_.isDv)
+      // old-format row lists, plus deletion vectors expanded back to
+      // positions (runs → sequence per run) so both representations merge
+      val listEntries = if (lists.isEmpty) None else Some(spark.read
+        .parquet(lists.map(d => s"$dataDir/${d.path}"): _*)
+        .select(col("__file"), col("__pos")))
+      val vecEntries = if (vecs.isEmpty) None else Some(spark.read
+        .parquet(vecs.map(d => s"$dataDir/${d.path}"): _*)
+        .select(col("__file"), explode(flatten(transform(
+          sequence(lit(0), (size(col("__runs")) / 2).cast("int") - 1),
+          i => sequence(
+            element_at(col("__runs"), i * 2 + 1),
+            element_at(col("__runs"), i * 2 + 1)
+              + element_at(col("__runs"), i * 2 + 2) - 1))))
+          .as("__pos")))
+      val entries = (listEntries.toSeq ++ vecEntries.toSeq)
+        .reduce(_.unionByName(_))
         .join(broadcast(live), col("__file") === col("__livef"), "left_semi")
+        .select(col("__file"), col("__pos"))
         .distinct()
-      val newDels = writeDeleteFiles(entries, Seq("__file", "__pos"),
-        kind = "position")
+      // migration direction follows the table's declared representation:
+      // DV mode compacts EVERYTHING (old row lists included) into
+      // deletion vectors; legacy mode keeps emitting row lists
+      val newDels =
+        if (dvEnabled) writeDvFiles(entries)
+        else writeDeleteFiles(entries, Seq("__file", "__pos"),
+          kind = "position")
       commitSnapshot(m, Seq.empty, Seq.empty, "replace", branch = None,
         addedDeletes = newDels,
         extraSummary = Map(

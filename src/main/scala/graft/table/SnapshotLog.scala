@@ -93,9 +93,17 @@ case class DataFile(
  *    anti-join null-safely on those columns;
  *  - `position`: rows are `(__file, __pos)` pairs naming exact rows by
  *    data-file-relative path and parquet row index — deletes a single
- *    physical row even among full duplicates.
+ *    physical row even among full duplicates;
+ *  - `dv`: DELETION VECTORS (Iceberg v3's position-delete format): one
+ *    row PER DATA FILE holding the file's deleted row indexes as a
+ *    sorted run-length encoding `__runs` = [start0, len0, start1,
+ *    len1, …] — readers merge the vector into a per-row membership
+ *    probe (O(log runs) binary search) instead of a row-list anti-join,
+ *    and the delete payload is O(runs), not O(deleted rows). `records`
+ *    counts the DELETED POSITIONS the vector covers (Σ len), matching
+ *    the position-list accounting.
  *
- * Compaction materializes and drops delete files of both kinds.
+ * Compaction materializes and drops delete files of all kinds.
  */
 case class DeleteFile(
     path: String,
@@ -105,6 +113,7 @@ case class DeleteFile(
     seq: Long,
     kind: String = "equality") {
   def isPositional: Boolean = kind == "position"
+  def isDv: Boolean = kind == "dv"
 }
 
 /** One externalized file-list fragment — the manifest step: the root

@@ -26,11 +26,26 @@ class TableModelFuzzSpec extends SparkTestBase {
   private type Row3 = (Long, Double, String)
 
   test("randomized op sequences match the multiset model (3 seeds x 40 ops)") {
+    for (seed <- Seq(11, 42, 97)) campaign(seed, dvMode = false)
+  }
+
+  /** Deletion-vector campaign: same model fuzz with the table in
+    * `write.delete.vector.enabled=true` mode, POSITIONAL deletes mixed
+    * into the op set (they commit run-length deletion vectors), and
+    * `rewrite_position_delete_files` joining the maintenance pool so
+    * list->DV migration and DV compaction run mid-history. */
+  test("DV-mode campaign: positional deletes as deletion vectors (2 seeds x 40 ops)") {
+    for (seed <- Seq(7, 59)) campaign(seed, dvMode = true)
+  }
+
+  private def campaign(seed: Int, dvMode: Boolean): Unit = {
     import spark.implicits._
-    for (seed <- Seq(11, 42, 97)) {
+    locally {
       val rnd = new scala.util.Random(seed)
-      val t = GraftTable.create(spark, tmpDir(s"fuzz-model-$seed"),
-        s"fzm$seed", schema, partitionCols = Seq("p"))
+      val t = GraftTable.create(spark, tmpDir(s"fuzz-model-$seed-$dvMode"),
+        s"fzm$seed", schema, partitionCols = Seq("p"),
+        props = if (dvMode) Map("write.delete.vector.enabled" -> "true")
+          else Map.empty)
       var model = Vector.empty[Row3]
       // snapshot id -> exact model state when that snapshot was committed
       val states = scala.collection.mutable.LinkedHashMap.empty[Long, Vector[Row3]]
@@ -51,7 +66,7 @@ class TableModelFuzzSpec extends SparkTestBase {
       check("init")
 
       (1 to 40).foreach { i =>
-        rnd.nextInt(10) match {
+        rnd.nextInt(if (dvMode) 11 else 10) match {
           case 0 | 1 | 2 => // append (duplicate keys allowed: multiset)
             val rows = fresh(5 + rnd.nextInt(10))
             t.append(rows.toDF("k", "v", "p"))
@@ -91,7 +106,7 @@ class TableModelFuzzSpec extends SparkTestBase {
             model = model.filterNot { case (k, _, _) => del.contains(k) }
             check(s"op$i merge delete")
           case 8 => // maintenance: content no-ops
-            rnd.nextInt(3) match {
+            rnd.nextInt(if (dvMode) 4 else 3) match {
               case 0 => t.rewriteDataFilesSorted(Seq(asc("k")))
               case 1 => t.rewriteDataFilesBinpack(minFileSizeBytes = 1L << 20)
               case 2 =>
@@ -99,6 +114,7 @@ class TableModelFuzzSpec extends SparkTestBase {
                   retainLast = 3)
                 t.removeOrphanFiles(dryRun = false,
                   olderThanMs = System.currentTimeMillis() + 3600000L)
+              case 3 => t.rewritePositionDeleteFiles()
             }
             check(s"op$i maintenance")
           case 9 => // rollback to a random snapshot on main's ancestry
@@ -112,6 +128,14 @@ class TableModelFuzzSpec extends SparkTestBase {
               model = states(target)
               check(s"op$i rollback to $target")
             }
+          case 10 => // positional delete -> a deletion-vector commit
+            val m0 = 3 + rnd.nextInt(4); val r = rnd.nextInt(m0)
+            t.deleteWherePositional(col("k") % m0 === r)
+            model = model.filterNot { case (k, _, _) => k % m0 == r }
+            val head = t.meta.currentSnapshot.get
+            assert(head.deleteFiles.filter(_.seq == head.id).forall(_.isDv),
+              s"seed $seed op$i: DV mode must commit dv-kind delete files")
+            check(s"op$i deleteWherePositional(k % $m0 == $r)")
         }
       }
 

@@ -235,6 +235,25 @@ object DriveApp {
       println("ivf-drift batches=" + drift.length
         + " refits=" + drift.map(r => r.getInt(0) + ":" + r.getBoolean(5)).mkString(","))
     }
+    println("== deletion vectors: run-length position deletes, membership-probe reads")
+    locally {
+      import spark.implicits._
+      val t = graft.table.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("drive-dv").toString + "/t",
+        "dvdrive", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))),
+        props = Map("write.delete.vector.enabled" -> "true"))
+      t.append((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+      t.deleteWherePositional(col("id").between(10, 29))
+      val dels = t.meta.currentSnapshot.get.deleteFiles
+      val runs = spark.read.parquet(s"${t.dataDir}/${dels.head.path}")
+        .select(col("__runs")).head.getSeq[Long](0)
+      println(s"dv kind=${dels.head.kind} records=${dels.head.records} " +
+        s"runs=${runs.mkString(",")} live=${t.toDF.count()}")
+    }
     println("== product quantization: codebooks, 1-byte codes, ADC search")
     locally {
       import spark.implicits._
