@@ -1423,7 +1423,11 @@ object SparkEntry {
           date_trunc("hour", col("ts")).as("hr"))
       val edges = graft.ops.Graph.coOccurrenceEdges(ev, "user_id",
         Seq("event_type", "hr"), minCells = 3, maxCellSize = 1000)
-      graft.ops.Graph.triangleCount(edges, "u", "v")
+      // coOccurrenceEdges output is distinct-(u,v)-with-u<v by
+      // construction, and the node domain is the bounded user set — both
+      // fast-path preconditions hold (parity spec-pinned in GraphSpec)
+      graft.ops.Graph.triangleCount(edges, "u", "v",
+        assumeCanonical = true, broadcastDegrees = true)
         .orderBy("node")
     }),
 

@@ -97,23 +97,41 @@ object Graph {
    * wedge self-join, one (v,w)-keyed closure join, and a 3-endpoint
    * explode + node-keyed count — every shuffle is keyed, nothing is
    * quadratic in a node's raw degree.
+   *
+   * Fast-path knobs (round 14, both default OFF — the general contract
+   * is unchanged):
+   *  - `assumeCanonical`: the input is ALREADY a distinct undirected
+   *    edge set with src < dst and no nulls/loops (e.g.
+   *    [[coOccurrenceEdges]] output, distinct-(u,v)-with-u<v by
+   *    construction) — skips the canonicalization distinct, one full
+   *    exchange + pin fewer;
+   *  - `broadcastDegrees`: the degree table (|nodes| rows) broadcasts
+   *    into both stamp joins instead of shuffling the edge set twice.
+   *    Correct only when |nodes| is driver/executor-memory-sized — true
+   *    for bounded-entity graphs (users, SKUs), NOT for open-world
+   *    graphs at 100 TB; hence opt-in.
    */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+      assumeCanonical: Boolean = false,
+      broadcastDegrees: Boolean = false): DataFrame = {
     // canonical undirected edge set: (a, b) with a < b, no loops, distinct.
     // PINNED (localCheckpoint, as in pageRank): the lazy lineage consumes
     // `und` three ways (degree agg twice via the stamp joins + the stamped
     // edge set) and `oriented` three ways (both wedge legs + the closure),
     // which would recompute the full upstream edge builder ~6x
-    val und = edges.select(
-        least(col(srcCol), col(dstCol)).as("__a"),
-        greatest(col(srcCol), col(dstCol)).as("__b"))
-      .filter(col("__a").isNotNull && col("__b").isNotNull &&
-        col("__a") =!= col("__b"))
-      .distinct()
+    val und = (if (assumeCanonical)
+        edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      else edges.select(
+          least(col(srcCol), col(dstCol)).as("__a"),
+          greatest(col(srcCol), col(dstCol)).as("__b"))
+        .filter(col("__a").isNotNull && col("__b").isNotNull &&
+          col("__a") =!= col("__b"))
+        .distinct())
       .localCheckpoint()
-    val deg = und.select(col("__a").as("__n"))
+    val deg0 = und.select(col("__a").as("__n"))
       .unionAll(und.select(col("__b").as("__n")))
       .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val deg = if (broadcastDegrees) broadcast(deg0) else deg0
     // stamp both endpoint degrees; orient by the (degree, node) total
     // order — ties on degree fall back to the node id, so the order is
     // strict and the orientation acyclic

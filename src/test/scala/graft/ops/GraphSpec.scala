@@ -135,4 +135,27 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === expected)
   }
+
+  test("fast-path flags (canonical input + broadcast degrees) match the general path") {
+    import spark.implicits._
+    // canonical input: distinct (a, b) with a < b — the coOccurrenceEdges
+    // output contract the assumeCanonical flag encodes
+    val edges = (for {
+      a <- 0 until 40; b <- 0 until 40
+      if a < b && ((a * 13 + b * 29) % 11) < 3
+    } yield (a.toLong, b.toLong)).toDF("s", "d")
+    val general = Graph.triangleCount(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Graph.triangleCount(edges, "s", "d",
+        assumeCanonical = true, broadcastDegrees = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === general)
+    assert(fast.nonEmpty)
+    // the broadcast flag must actually plan broadcast stamp joins
+    val plan = Graph.triangleCount(edges, "s", "d",
+        assumeCanonical = true, broadcastDegrees = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"degree stamps must broadcast under the flag:\n$plan")
+  }
 }
