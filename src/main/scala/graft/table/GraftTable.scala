@@ -2062,7 +2062,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         snap.files.map(f =>
           f.copy(dataSeq = None, base = Some(f.base.getOrElse(dataDir))))
       } else {
-        snap.files.foreach { f =>
+        def linkOne(f: DataFile): Unit = {
           val src = fs.makeQualified(new Path(fileLoc(f)))
           val dst = fs.makeQualified(new Path(t.dataDir, f.path))
           fs.mkdirs(dst.getParent)
@@ -2080,6 +2080,39 @@ class GraftTable(val spark: SparkSession, val location: String) {
           }
           if (!linked)
             org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        }
+        // the add_files importer-pool pattern: per-file hard-link/copy is
+        // IO-bound driver work — a 10k-file clone serially is the same
+        // latency wall add_files had. Fail-fast flag + full quiescence;
+        // manifest order stays deterministic because entries derive from
+        // snap.files below, not from task completion order.
+        if (snap.files.size <= 1) snap.files.foreach(linkOne)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, snap.files.size))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+          def one(f: DataFile): Unit = {
+            if (failed.get()) throw new InterruptedException("snapshot aborted")
+            try linkOne(f)
+            catch { case e: Throwable => failed.set(true); throw e }
+          }
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              snap.files.map(f => scala.concurrent.Future(one(f)))),
+            scala.concurrent.duration.Duration.Inf)
+          finally {
+            pool.shutdown()
+            try {
+              if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES))
+                System.err.println("[snapshot] linker pool did not quiesce " +
+                  "within 10 minutes; late links become orphans of the " +
+                  "target (its remove_orphan_files collects them)")
+            } catch {
+              case _: InterruptedException => Thread.currentThread().interrupt()
+            }
+          }
         }
         snap.files.map(_.copy(dataSeq = None, base = None))
       }

@@ -80,6 +80,36 @@ class SnapshotCloneSpec extends SparkTestBase {
     assert(clone2.toDF.agg(sum("n")).head.getLong(0) === 4095L)
   }
 
+  test("snapshotTo(link=true): a many-file clone links in parallel, in seconds, inode-proven") {
+    import spark.implicits._
+    // thousands of REAL files: one tiny parquet per commit would be slow,
+    // so write a heavily fragmented frame in a handful of appends
+    val t = GraftTable.create(spark, tmpDir("sc-many"), "sc_many", schema)
+    (0 until 4).foreach { b =>
+      t.append((1L to 640L).map(i => (s"p${i % 3}", b * 1000L + i, i * 0.5))
+        .toDF("k", "n", "v").repartition(640))
+    }
+    val nFiles = t.meta.currentSnapshot.get.files.size
+    assert(nFiles >= 1500, s"fixture must be file-fragmented, got $nFiles")
+    val t0 = System.nanoTime()
+    val clone = t.snapshotTo(tmpDir("sc-many-clone"), "sc_many_clone",
+      link = true)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"parallel linker took $secs s for $nFiles files")
+    assert(clone.meta.currentSnapshot.get.files.size === nFiles,
+      "deterministic manifest: every source entry, exactly once")
+    assert(clone.toDF.count() === t.toDF.count())
+    // zero-copy proof: a clone file shares its inode with a source file
+    def parquets(dir: String) = new java.io.File(dir)
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toPath)
+    val srcInos = parquets(t.dataDir).map(ino).toSet
+    val cloneFiles = parquets(clone.dataDir)
+    assert(cloneFiles.nonEmpty && cloneFiles.forall(p => srcInos.contains(ino(p))),
+      "every linked clone file must share an inode with a source file")
+    GraftTable.drop(spark, clone.location)
+    assert(t.toDF.count() === 4 * 640, "dropping the clone leaves the source whole")
+  }
+
   test("snapshotTo (metadata-only default): O(metadata) clone via absolute-base entries") {
     import spark.implicits._
     val src = fresh(90, "sc_ref_src", parts = Seq("k"))
