@@ -232,6 +232,7 @@ object Bench {
           }
           name -> (times.map(r3), err, t0Off)
         }
+    val sweepDurSec = (System.nanoTime() - sweepT0) / 1e9
     val loadAfter = loadAvg
     val calibCpuEnd = cpuProbe(3)
     val calibSparkEnd = sparkProbe(spark, 3)
@@ -240,6 +241,34 @@ object Bench {
     val ok = results.collect { case (k, (ts, None, _)) => k -> ts }
     val failed = results.collect { case (k, (_, Some(_), _)) => k }
     val total = r3(ok.map(_._2.min).sum)
+    // Self-discounting (round 14): the probes are a pure machine-speed
+    // yardstick (identical code + input every round; idle references in
+    // BASELINE.md), so ambient contention is directly measurable as
+    // probe-min / reference. Each green query's min is divided by the
+    // contention factor of the probe block NEAREST IN TIME to its first
+    // run (start block for the sweep's first half, end block for the
+    // second), clamped at 1.0 — a fast sandbox never inflates. The
+    // FS-metadata probe joins the factor only for the fixture-backed
+    // t_*/st_* families (the r12 incident: small-file contention inflated
+    // exactly those 2-8x while cpu/spark probes sat at reference).
+    // `value` stays the raw headline; `value_discounted` is the
+    // round-over-round comparable.
+    val (cpuRef, sparkRef, fsRef) = (0.21, 0.20, 0.03)
+    def core(cpu: Seq[Double], sp: Seq[Double]): Double =
+      math.max(1.0, math.max(cpu.min / cpuRef, sp.min / sparkRef))
+    val fStartCore = core(calibCpuStart, calibSparkStart)
+    val fEndCore = core(calibCpuEnd, calibSparkEnd)
+    val fStartFs = math.max(fStartCore, math.max(1.0, calibFsStart.min / fsRef))
+    val fEndFs = math.max(fEndCore, math.max(1.0, calibFsEnd.min / fsRef))
+    val t0OffByQ = results.collect { case (k, (_, None, off)) => k -> off }.toMap
+    val totalDiscounted = r3(ok.map { case (k, ts) =>
+      val nearEnd = t0OffByQ.getOrElse(k, 0.0) > sweepDurSec / 2
+      val fsBound = k.startsWith("t_") || k.startsWith("st_")
+      val f =
+        if (fsBound) { if (nearEnd) fEndFs else fStartFs }
+        else { if (nearEnd) fEndCore else fStartCore }
+      ts.min / f
+    }.sum)
     val loadJson = s"[${r3(loadBefore)},${r3(loadAfter)}]"
     def arr(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
     val envJson =
@@ -266,10 +295,14 @@ object Bench {
         else s""""min": ${r3(ts.min)}, "runs": [${ts.mkString(", ")}]"""
       s"""    ${jstr(k)}: {$timing, "t0_off": $t0Off, "err": ${err.map(jstr).getOrElse("null")}}"""
     }.mkString(",\n")
+    val discJson =
+      s"""{"start_core": ${r3(fStartCore)}, "end_core": ${r3(fEndCore)}, "start_fs": ${r3(fStartFs)}, "end_fs": ${r3(fEndFs)}}"""
     val detail =
       s"""{
          |  "metric": "total",
          |  "value": $total,
+         |  "value_discounted": $totalDiscounted,
+         |  "discount_factors": $discJson,
          |  "unit": "sec",
          |  "sf": ${jstr(sfDir)},
          |  "runs_per_query": $runs,
@@ -300,7 +333,7 @@ object Bench {
     // calib mins on stdout: the judge's first-glance contention check —
     // reference values (idle sandbox) live in BASELINE.md
     val calibJson = s"""{"cpu":${calibCpuStart.min},"cpu_end":${calibCpuEnd.min},"spark":${calibSparkStart.min},"spark_end":${calibSparkEnd.min},"fs":${calibFsStart.min},"fs_end":${calibFsEnd.min},"gc_ms":$gcSweepMs}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"value_discounted":$totalDiscounted,"discount_factors":$discJson,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
