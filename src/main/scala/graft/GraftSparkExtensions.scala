@@ -25,6 +25,12 @@ import graft.sql.{GraftMergeRule, GraftMetadataColumnRule, GraftPlanReadRule, Gr
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // graft-catalog SQL views: relations naming a stored view expand to
+    // its current-version SQL during resolution (Spark 4.1 defines the
+    // DSv2 ViewCatalog interface but does not consume it yet)
+    ext.injectResolutionRule(session =>
+      org.apache.spark.sql.graft.GraftViewRule(
+        session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
     ext.injectPostHocResolutionRule(_ => GraftMergeRule)
     ext.injectPostHocResolutionRule(_ => GraftUpdateRule)
     // metadata-column refs first (their read plan is also delete-correct),

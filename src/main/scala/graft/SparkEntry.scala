@@ -1917,6 +1917,15 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // SQL views on the graft catalog (Spark 4 ViewCatalog + extension
+    // wiring): the fixture CREATEs the view, then appends to the base —
+    // a view is stored SQL, not a snapshot, so the read must aggregate
+    // BOTH slices; the oracle recomputes the expanded query
+    "t_view" -> ((s, dir) => {
+      val v = TableFixtures.ordersView(s, dir)
+      s.sql(s"SELECT o_orderstatus, n, cust_sum FROM $v ORDER BY o_orderstatus")
+    }),
+
     // V1 via SQL: the DSv2 catalog surface — VERSION AS OF a branch ref
     "t_sql_time_travel" -> ((s, dir) => {
       val cat = TableFixtures.sqlCatalog(s, dir)
@@ -5489,6 +5498,14 @@ object SparkEntry {
 
     // identical state to t_delete_where by construction — but reached via
     // the position-delete read path instead of a CoW rewrite
+    // the view's expanded query over both slices (the fixture appends
+    // the %3=1 slice AFTER creating the view — stored SQL must see it)
+    "t_view" ->
+      """SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+         cast(sum(o_custkey) AS bigint) AS cust_sum
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
+
     "t_pos_delete" ->
       s"""SELECT o_orderstatus, count(*) AS n,
          ${centsSql("o_totalprice")} AS total_cents

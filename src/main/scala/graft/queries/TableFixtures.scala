@@ -40,6 +40,34 @@ object TableFixtures {
   def read(spark: SparkSession, sfDir: String, t: String): DataFrame =
     spark.read.parquet(s"$sfDir/$t.parquet")
 
+  private val viewCache = TrieMap.empty[String, String]
+
+  /**
+   * SQL-view fixture (round 14, Spark 4 ViewCatalog on the graft
+   * catalog): a base table loaded with the `%3 == 0` order slice, a
+   * status-rollup view CREATEd over it, then the `%3 == 1` slice
+   * appended AFTER view creation — a view is stored SQL, not a pinned
+   * snapshot, so reads through it MUST see the later commit (the oracle
+   * aggregates both slices). Returns the catalog-qualified view name.
+   */
+  def ordersView(spark: SparkSession, sfDir: String): String =
+    viewCache.getOrElseUpdate(sfDir, {
+      val cat = sqlCatalog(spark, sfDir)
+      val wh = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val loc = s"$wh/orders_view_base"
+      GraftTable.drop(spark, loc)
+      spark.sql(s"DROP VIEW IF EXISTS $cat.orders_status_v")
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, s"$cat.orders_view_base",
+        orders.schema)
+      t.append(orders.filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 === 0))
+      spark.sql(s"""CREATE VIEW $cat.orders_status_v AS
+        SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS cust_sum
+        FROM $cat.orders_view_base GROUP BY o_orderstatus""")
+      t.append(orders.filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 === 1))
+      s"$cat.orders_status_v"
+    })
+
   /**
    * Manifest-bloom fixture: unpartitioned, o_orderkey interleaved mod 4
    * across four single-file appends, so every file's [min, max] straddles

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.graft.{GraftCreateBranchCommand, GraftDropBranchCommand, GraftCreateTagCommand, GraftDropTagCommand}
+import org.apache.spark.sql.graft.{GraftAlterViewPropsCommand, GraftCreateBranchCommand, GraftCreateTagCommand, GraftCreateViewCommand, GraftDropBranchCommand, GraftDropTagCommand, GraftDropViewCommand, GraftShowViewsCommand}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
@@ -46,8 +46,38 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftDropTagCommand(
           delegate.parseMultipartIdentifier(table), unquote(tag),
           ifExists = ifExists != null))
+      // view DDL routes to the graft ViewCatalog ONLY when the target
+      // catalog is a graft catalog (Spark 4.1's own analyzer has no v2
+      // view routing yet); everything else — temp views, session-catalog
+      // views — delegates untouched
+      case CreateView(orReplace, ifNotExists, name, query)
+          if graftTarget(name) =>
+        Some(GraftCreateViewCommand(
+          delegate.parseMultipartIdentifier(name), query.trim,
+          replace = orReplace != null, ifNotExists = ifNotExists != null))
+      case DropView(ifExists, name) if graftTarget(name) =>
+        Some(GraftDropViewCommand(
+          delegate.parseMultipartIdentifier(name),
+          ifExists = ifExists != null))
+      case ShowViews(ns) if graftTarget(ns) =>
+        Some(GraftShowViewsCommand(delegate.parseMultipartIdentifier(ns)))
+      case AlterViewSet(name, props) if graftTarget(name) =>
+        Some(GraftAlterViewPropsCommand(
+          delegate.parseMultipartIdentifier(name),
+          sets = PropPair.findAllMatchIn(props)
+            .map(m => m.group(1) -> m.group(2)).toSeq,
+          unsets = Seq.empty))
+      case AlterViewUnset(name, props) if graftTarget(name) =>
+        Some(GraftAlterViewPropsCommand(
+          delegate.parseMultipartIdentifier(name),
+          sets = Seq.empty,
+          unsets = PropKey.findAllMatchIn(props).map(_.group(1)).toSeq))
       case _ => None
     }
+
+  private def graftTarget(name: String): Boolean =
+    scala.util.Try(delegate.parseMultipartIdentifier(name)).toOption
+      .exists(org.apache.spark.sql.graft.GraftViewCommands.targetsGraftCatalog)
 
   private def unquote(ident: String): String =
     if (ident.startsWith("`")) ident.stripPrefix("`").stripSuffix("`").replace("``", "`")
@@ -89,4 +119,23 @@ object GraftSqlParser {
   private val DropTag =
     ("(?is)^ALTER\\s+TABLE\\s+" + Ident +
       "\\s+DROP\\s+TAG\\s+(IF\\s+EXISTS\\s+)?" + Branch + "\\s*;?$").r
+
+  // view DDL (round 14): intercepted only for graft-catalog targets.
+  // The AS body is captured raw and re-parsed by the delegate at run
+  // time, so any SELECT the engine supports is a valid view body.
+  private val CreateView =
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      Ident + "\\s+AS\\s+(.+?)\\s*;?$").r
+  private val DropView =
+    ("(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?" + Ident + "\\s*;?$").r
+  private val ShowViews =
+    ("(?is)^SHOW\\s+VIEWS\\s+(?:IN|FROM)\\s+" + Ident + "\\s*;?$").r
+  private val AlterViewSet =
+    ("(?is)^ALTER\\s+VIEW\\s+" + Ident +
+      "\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?$").r
+  private val AlterViewUnset =
+    ("(?is)^ALTER\\s+VIEW\\s+" + Ident +
+      "\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?$").r
+  private val PropPair = "'([^']*)'\\s*=\\s*'([^']*)'".r
+  private val PropKey = "'([^']*)'".r
 }

@@ -47,7 +47,8 @@ import graft.table.{GraftSnapshot, GraftTable, SnapshotLog, TableMetadata}
  * read-only.
  */
 class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog
+  with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -160,6 +161,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val loc = tableLocation(ident)
     if (GraftTable.exists(spark, loc)) throw new TableAlreadyExistsException(Seq(ident.toString))
+    require(!viewExists(ident), s"createTable: a view already occupies $ident")
     val partCols = partitions.toSeq.map(GraftSqlTables.transformToEntry)
     GraftTable.create(spark, loc, ident.toString, schema, partCols,
       properties.asScala.toMap)
@@ -220,6 +222,140 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.exists(spark, tableLocation(ident))
+
+  // --- SQL views (Spark 4 ViewCatalog; Iceberg-REST-views parity) -------
+  // CREATE/ALTER/DROP/SHOW VIEW against this catalog persist a VERSIONED
+  // view log per slot (GraftViews); reads substitute the stored SQL into
+  // the plan, so Catalyst optimizes straight through the view — filters
+  // and column pruning reach the underlying graft scans untouched, and
+  // VERSION AS OF on the underlying table composes with views normally.
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private final class GraftV2View(v: GraftViewMeta) extends View {
+    private def c = v.current
+    override def name(): String = v.name
+    override def query(): String = c.sql
+    override def currentCatalog(): String = c.currentCatalog
+    override def currentNamespace(): Array[String] = c.currentNamespace.toArray
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] = c.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = c.columnAliases.toArray
+    override def columnComments(): Array[String] =
+      c.columnComments.map(x => if (x.isEmpty) null else x).toArray
+    override def properties(): java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      c.properties.foreach { case (k, x) => m.put(k, x) }
+      m
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(rawLocation(ident), hconf)
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = new Path((Seq(warehouse) ++ ns).mkString("/"))
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => GraftViews.exists(
+        (Seq(warehouse) ++ ns :+ n).mkString("/"), hconf))
+      .map(n => Identifier.of(ns, n))
+  }
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.load(rawLocation(ident), hconf)
+      .map(new GraftV2View(_))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  private def versionFrom(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      version: Int): GraftViewVersion =
+    GraftViewVersion(
+      version = version,
+      timestampMs = System.currentTimeMillis(),
+      sql = info.sql(),
+      currentCatalog = info.currentCatalog(),
+      currentNamespace = info.currentNamespace().toSeq,
+      schemaJson = info.schema().json,
+      queryColumnNames = info.queryColumnNames().toSeq,
+      columnAliases = info.columnAliases().toSeq,
+      columnComments = info.columnComments().map(c =>
+        if (c == null) "" else c).toSeq,
+      properties = info.properties().asScala.toMap)
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): View = {
+    val slot = rawLocation(info.ident())
+    if (viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    require(!tableExists(info.ident()),
+      s"createView: a table already occupies ${info.ident()}")
+    val meta = GraftViewMeta(info.ident().toString,
+      Seq(versionFrom(info, version = 1)))
+    GraftViews.save(slot, meta, hconf)
+    new GraftV2View(meta)
+  }
+
+  /** CREATE OR REPLACE VIEW: appends a new version to the existing log
+    * (the Iceberg-view versioned-replace semantics — history retained)
+    * or starts a fresh log under `orCreate`. */
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): View = {
+    val slot = rawLocation(info.ident())
+    GraftViews.load(slot, hconf) match {
+      case Some(old) =>
+        val meta = old.copy(versions =
+          old.versions :+ versionFrom(info, old.current.version + 1))
+        GraftViews.save(slot, meta, hconf)
+        new GraftV2View(meta)
+      case None if orCreate => createView(info)
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(info.ident())
+    }
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val slot = rawLocation(ident)
+    val old = GraftViews.load(slot, hconf).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = changes.foldLeft(old.current.properties) { (p, ch) =>
+      ch match {
+        case s: ViewChange.SetProperty => p + (s.property() -> s.value())
+        case r: ViewChange.RemoveProperty => p - r.property()
+        case other => throw new IllegalArgumentException(
+          s"Unsupported view change: $other")
+      }
+    }
+    val meta = old.copy(versions = old.versions :+ old.current.copy(
+      version = old.current.version + 1,
+      timestampMs = System.currentTimeMillis(),
+      properties = props))
+    GraftViews.save(slot, meta, hconf)
+    new GraftV2View(meta)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(rawLocation(ident), hconf)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val old = GraftViews.load(rawLocation(oldIdent), hconf).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent))
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    GraftViews.save(rawLocation(newIdent),
+      old.copy(name = newIdent.toString), hconf)
+    GraftViews.drop(rawLocation(oldIdent), hconf)
+  }
 
   // --- maintenance procedures: CALL graft.system.<proc>(…) --------------
   // (reference IcebergLoadActivityTask.scala:158-163, WapIceberg.scala:81)

@@ -1,0 +1,95 @@
+package graft.table.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/**
+ * Versioned SQL-view metadata persisted in the graft catalog — the
+ * Iceberg-REST-views capability (Iceberg view spec: a view is a log of
+ * immutable versions, each recording the SQL, the name-resolution
+ * context it was authored in, and the expected schema; the current
+ * version is the log's tail). A view slot is a warehouse directory
+ * holding ONE `graft.view.json`; every CREATE OR REPLACE / ALTER
+ * appends a [[GraftViewVersion]] and rewrites the file via tmp + atomic
+ * rename, so readers only ever see a complete version log and the full
+ * history stays inspectable.
+ *
+ * Views are metadata-sized by definition (SQL text + schema), so the
+ * whole log rides in one file however many versions accumulate — the
+ * 100 TB concern is the referenced TABLES, which resolve through the
+ * normal catalog path at query time (a view adds zero scan overhead:
+ * Spark substitutes the parsed SQL into the plan and Catalyst optimizes
+ * straight through it, pushdown and pruning included).
+ */
+final case class GraftViewVersion(
+    version: Int,
+    timestampMs: Long,
+    sql: String,
+    currentCatalog: String,
+    currentNamespace: Seq[String],
+    schemaJson: String,
+    queryColumnNames: Seq[String],
+    columnAliases: Seq[String],
+    columnComments: Seq[String], // empty string = no comment (JSON-safe)
+    properties: Map[String, String])
+
+final case class GraftViewMeta(
+    name: String,
+    versions: Seq[GraftViewVersion]) {
+  def current: GraftViewVersion = versions.last
+}
+
+object GraftViews {
+  private implicit val formats: Formats = DefaultFormats
+  val FileName = "graft.view.json"
+
+  def exists(slot: String, conf: Configuration): Boolean = {
+    val p = new Path(slot, FileName)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  def load(slot: String, conf: Configuration): Option[GraftViewMeta] = {
+    val p = new Path(slot, FileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(Serialization.read[GraftViewMeta](
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
+  /** Atomic install: full version log to a fresh tmp, rename over the
+    * slot file — a concurrent reader sees the old or the new log, never
+    * a torn write. */
+  def save(slot: String, meta: GraftViewMeta, conf: Configuration): Unit = {
+    val dir = new Path(slot)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".view-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.write(meta)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(dir, FileName)
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"Failed to install view metadata at $target")
+  }
+
+  def drop(slot: String, conf: Configuration): Boolean = {
+    val p = new Path(slot, FileName)
+    val fs = p.getFileSystem(conf)
+    val existed = fs.exists(p)
+    if (existed) {
+      fs.delete(p, false)
+      // remove the slot dir if the view file was its only content
+      val dir = new Path(slot)
+      if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+    }
+    existed
+  }
+}

@@ -138,3 +138,148 @@ case class GraftDropBranchCommand(nameParts: Seq[String], branch: String,
     Seq.empty
   }
 }
+
+// --- SQL views on graft catalogs (round 14) ---------------------------
+// Spark 4.1 ships the DSv2 ViewCatalog INTERFACE but its analyzer does
+// not yet route view DDL/resolution to plugins (`CREATE VIEW cat.ns.v`
+// raises MISSING_CATALOG_ABILITY.VIEWS) — so the graft extensions wire
+// the SQL surface themselves: the parser intercepts view DDL whose
+// target is a graft catalog (everything else delegates untouched), and
+// GraftViewRule expands stored view SQL at analysis time. The catalog
+// methods themselves implement the standard ViewCatalog contract, so
+// when Spark's analyzer learns to consume it these commands retire.
+
+object GraftViewCommands {
+  /** Resolve a SQL multipart name to (graft catalog plugin, identifier);
+    * None when the target catalog is not a [[GraftSparkCatalog]]. */
+  def resolve(session: SparkSession, nameParts: Seq[String])
+      : Option[(GraftSparkCatalog, Identifier)] = {
+    val cm = session.asInstanceOf[ClassicSession].sessionState.catalogManager
+    val (catalog, parts) =
+      if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
+        (cm.catalog(nameParts.head), nameParts.tail)
+      else (cm.currentCatalog, nameParts)
+    catalog match {
+      case g: GraftSparkCatalog if parts.nonEmpty =>
+        Some((g, Identifier.of(parts.init.toArray, parts.last)))
+      case _ => None
+    }
+  }
+
+  /** Parse-time gate for the parser's view-DDL intercepts. */
+  def targetsGraftCatalog(nameParts: Seq[String]): Boolean =
+    try resolve(SparkSession.active, nameParts).isDefined
+    catch { case _: Throwable => false }
+
+  /** Stored current-version SQL when `nameParts` names a graft view. */
+  def lookupSql(session: SparkSession, nameParts: Seq[String]): Option[String] =
+    try resolve(session, nameParts).flatMap { case (cat, ident) =>
+      if (cat.viewExists(ident))
+        Some(cat.loadView(ident).query())
+      else None
+    } catch { case _: Throwable => None }
+}
+
+/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] cat.ns.v AS <query>` on a
+  * graft catalog: persists a new version in the slot's view log. */
+case class GraftCreateViewCommand(nameParts: Seq[String], viewSql: String,
+    replace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftViewCommands.resolve(session, nameParts).getOrElse(
+      throw new UnsupportedOperationException(
+        s"${nameParts.mkString(".")} is not in a graft catalog"))
+    if (!replace && ifNotExists && cat.viewExists(ident)) return Seq.empty
+    val classic = session.asInstanceOf[ClassicSession]
+    // analyze the view body NOW: a CREATE must fail on a broken query,
+    // and the stored schema is the authored-time contract
+    val schema = Dataset.ofRows(classic,
+      classic.sessionState.sqlParser.parsePlan(viewSql)).schema
+    val cm = classic.sessionState.catalogManager
+    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+      ident, viewSql, cm.currentCatalog.name(), cm.currentNamespace,
+      schema, schema.fieldNames, Array.empty[String], Array.empty[String],
+      java.util.Collections.emptyMap[String, String]())
+    if (replace) cat.replaceView(info, orCreate = true)
+    else cat.createView(info)
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW [IF EXISTS] cat.ns.v` on a graft catalog. */
+case class GraftDropViewCommand(nameParts: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftViewCommands.resolve(session, nameParts).getOrElse(
+      throw new UnsupportedOperationException(
+        s"${nameParts.mkString(".")} is not in a graft catalog"))
+    if (!cat.dropView(ident) && !ifExists)
+      throw new IllegalArgumentException(
+        s"View ${nameParts.mkString(".")} does not exist")
+    Seq.empty
+  }
+}
+
+/** `SHOW VIEWS IN cat.ns` — Spark's native output shape
+  * (namespace, viewName, isTemporary). */
+case class GraftShowViewsCommand(nsParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference("namespace",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference("viewName",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference("isTemporary",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val cm = session.asInstanceOf[ClassicSession].sessionState.catalogManager
+    val (catalog, ns) =
+      if (nsParts.nonEmpty && cm.isCatalogRegistered(nsParts.head))
+        (cm.catalog(nsParts.head), nsParts.tail)
+      else (cm.currentCatalog, nsParts)
+    catalog match {
+      case g: GraftSparkCatalog =>
+        g.listViews(ns: _*).toSeq.map(id =>
+          Row(id.namespace().mkString("."), id.name(), false))
+      case other => throw new UnsupportedOperationException(
+        s"SHOW VIEWS extension applies to graft catalogs only, got ${other.name()}")
+    }
+  }
+}
+
+/** `ALTER VIEW cat.ns.v SET/UNSET TBLPROPERTIES (…)` — appends a version
+  * with the updated property map. */
+case class GraftAlterViewPropsCommand(nameParts: Seq[String],
+    sets: Seq[(String, String)], unsets: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val (cat, ident) = GraftViewCommands.resolve(session, nameParts).getOrElse(
+      throw new UnsupportedOperationException(
+        s"${nameParts.mkString(".")} is not in a graft catalog"))
+    val changes: Seq[ViewChange] =
+      sets.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        unsets.map(ViewChange.removeProperty)
+    cat.alterView(ident, changes: _*)
+    Seq.empty
+  }
+}
+
+/** Analysis-time view expansion: an [[UnresolvedRelation]] naming a graft
+  * view is substituted with its stored current-version SQL (parsed by the
+  * session parser and wrapped in a SubqueryAlias), exactly how Spark
+  * expands session-catalog views — Catalyst then optimizes straight
+  * through, so filters/pruning reach the underlying graft scans and a
+  * VERSION AS OF inside the view body time-travels normally. */
+case class GraftViewRule(session: ClassicSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation =>
+        GraftViewCommands.lookupSql(session, u.multipartIdentifier) match {
+          case Some(sql) =>
+            SubqueryAlias(u.multipartIdentifier.last,
+              session.sessionState.sqlParser.parsePlan(sql))
+          case None => u
+        }
+    }
+}

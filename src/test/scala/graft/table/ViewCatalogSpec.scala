@@ -1,0 +1,107 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** SQL views persisted in the graft catalog (Spark 4 ViewCatalog —
+  * the Iceberg-REST-views capability): CREATE/REPLACE/ALTER/DROP/SHOW
+  * VIEW as versioned metadata, reads expanding through Catalyst. */
+class ViewCatalogSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("n", LongType)))
+
+  private lazy val cat: String = {
+    val wh = tmpDir("viewcat-wh")
+    spark.conf.set("spark.sql.catalog.vcat",
+      "graft.table.catalog.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.vcat.warehouse", wh)
+    import spark.implicits._
+    val t = GraftTable.create(spark, s"$wh/ns/base", "vcat.ns.base", schema)
+    t.append((1L to 40L).map(i => (s"p${i % 4}", i)).toDF("k", "n"))
+    "vcat"
+  }
+
+  test("CREATE VIEW persists; SELECT expands; view tracks source appends") {
+    import spark.implicits._
+    spark.sql(s"CREATE VIEW $cat.ns.v_even AS " +
+      s"SELECT k, count(*) AS c, sum(n) AS s FROM $cat.ns.base " +
+      "WHERE n % 2 = 0 GROUP BY k")
+    val got = spark.sql(s"SELECT * FROM $cat.ns.v_even ORDER BY k")
+      .as[(String, Long, Long)].collect().toSeq
+    val want = spark.sql(
+      s"SELECT k, count(*) AS c, sum(n) AS s FROM $cat.ns.base " +
+        "WHERE n % 2 = 0 GROUP BY k ORDER BY k")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want && got.nonEmpty)
+    // a view is SQL, not a snapshot: it sees subsequent source commits
+    val t = GraftTable.load(spark,
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/ns/base")
+    t.append(Seq(("p9", 100L)).toDF("k", "n"))
+    assert(spark.sql(s"SELECT sum(c) FROM $cat.ns.v_even").head.getLong(0) ===
+      21L, "the view must see the appended even row")
+  }
+
+  test("SHOW VIEWS lists; DROP VIEW removes; name clashes refused") {
+    spark.sql(s"CREATE VIEW $cat.ns.v_tmp AS SELECT k FROM $cat.ns.base")
+    val listed = spark.sql(s"SHOW VIEWS IN $cat.ns").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("v_tmp"))
+    // a view name cannot shadow a table, nor a table a view
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.ns.base AS SELECT 1 AS one")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.v_tmp (x INT)")
+    }
+    spark.sql(s"DROP VIEW $cat.ns.v_tmp")
+    assert(!spark.sql(s"SHOW VIEWS IN $cat.ns").collect()
+      .map(_.getString(1)).contains("v_tmp"))
+  }
+
+  test("CREATE OR REPLACE appends a version; the full log is retained on disk") {
+    spark.sql(s"CREATE VIEW $cat.ns.v_ver AS SELECT k FROM $cat.ns.base")
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.ns.v_ver AS " +
+      s"SELECT k, n FROM $cat.ns.base WHERE n > 35")
+    assert(spark.sql(s"SELECT * FROM $cat.ns.v_ver").columns.toSeq ===
+      Seq("k", "n"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.v_ver").head.getLong(0) === 6L)
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val meta = graft.table.catalog.GraftViews.load(s"$wh/ns/v_ver",
+      spark.sparkContext.hadoopConfiguration).get
+    assert(meta.versions.map(_.version) === Seq(1, 2),
+      "replace must append a version, not erase history")
+    assert(meta.versions.head.sql.contains("SELECT k FROM"))
+  }
+
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES version the property map") {
+    spark.sql(s"CREATE VIEW $cat.ns.v_props AS SELECT k FROM $cat.ns.base")
+    spark.sql(s"ALTER VIEW $cat.ns.v_props SET TBLPROPERTIES ('team'='data')")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    def meta = graft.table.catalog.GraftViews.load(s"$wh/ns/v_props",
+      spark.sparkContext.hadoopConfiguration).get
+    assert(meta.current.properties.get("team") === Some("data"))
+    spark.sql(s"ALTER VIEW $cat.ns.v_props UNSET TBLPROPERTIES ('team')")
+    assert(meta.current.properties.get("team") === None)
+    assert(meta.versions.size === 3)
+  }
+
+  test("time travel composes through a view (VERSION AS OF on the base table)") {
+    import spark.implicits._
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = GraftTable.create(spark, s"$wh/ns/tt", "vcat.ns.tt", schema)
+    t.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"))
+    t.createOrReplaceBranch("v1")
+    t.append(Seq(("c", 3L)).toDF("k", "n"))
+    // a view whose SQL pins VERSION AS OF resolves the branch at read time
+    spark.sql(s"CREATE VIEW $cat.ns.v_pinned AS " +
+      s"SELECT sum(n) AS s FROM $cat.ns.tt VERSION AS OF 'v1'")
+    assert(spark.sql(s"SELECT s FROM $cat.ns.v_pinned").head.getLong(0) === 3L)
+    // while an unpinned view over the same table sees the current head
+    spark.sql(s"CREATE VIEW $cat.ns.v_head AS " +
+      s"SELECT sum(n) AS s FROM $cat.ns.tt")
+    assert(spark.sql(s"SELECT s FROM $cat.ns.v_head").head.getLong(0) === 6L)
+  }
+}

@@ -235,6 +235,28 @@ object DriveApp {
       println("ivf-drift batches=" + drift.length
         + " refits=" + drift.map(r => r.getInt(0) + ":" + r.getBoolean(5)).mkString(","))
     }
+    println("== SQL views: versioned graft-catalog views through the extensions")
+    locally {
+      import spark.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("drive-views").toString
+      spark.conf.set("spark.sql.catalog.dvcat", "graft.table.catalog.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.dvcat.warehouse", wh)
+      val t = graft.table.GraftTable.create(spark, s"$wh/ns/vb", "dvcat.ns.vb",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      t.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"))
+      spark.sql("CREATE VIEW dvcat.ns.v1 AS SELECT k, sum(n) AS s FROM dvcat.ns.vb GROUP BY k")
+      t.append(Seq(("a", 10L)).toDF("k", "n"))
+      spark.sql("CREATE OR REPLACE VIEW dvcat.ns.v1 AS SELECT sum(n) AS s FROM dvcat.ns.vb")
+      val s1 = spark.sql("SELECT s FROM dvcat.ns.v1").head.getLong(0)
+      val versions = graft.table.catalog.GraftViews.load(s"$wh/ns/v1",
+        spark.sparkContext.hadoopConfiguration).get.versions.size
+      val listed = spark.sql("SHOW VIEWS IN dvcat.ns").collect().map(_.getString(1)).mkString(",")
+      println(s"views sum=$s1 versions=$versions listed=$listed")
+    }
     println("== deletion vectors: run-length position deletes, membership-probe reads")
     locally {
       import spark.implicits._
