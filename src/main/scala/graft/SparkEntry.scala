@@ -1917,6 +1917,31 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // CALL system.compute_table_stats: per-column HLL-sketch NDV + exact
+    // null counts persisted in snapshot metadata and served through the
+    // DSv2 Statistics surface. Row counts and null counts are exact in
+    // both engines; the sketch NDV is own-bound (engine asserts within 5%
+    // of the exact distinct count it recomputes itself; oracle emits
+    // literal TRUE — an estimator collapse hash-mismatches)
+    "t_table_stats" -> ((s, dir) => {
+      val t = TableFixtures.ordersStats(s, dir)
+      val rec = t.meta.columnStats.get
+      val cols = rec.cols.keys.toSeq.sorted
+      val exactRow = t.toDF
+        .select(cols.map(c => countDistinct(col(c)).as(s"__d_$c")): _*).head
+      val sp = s
+      import sp.implicits._
+      cols.map { c =>
+        val exact = exactRow.getLong(exactRow.fieldIndex(s"__d_$c"))
+        val n = rec.cols(c)
+        val ok =
+          if (exact == 0L) n.ndv == 0L
+          else math.abs(n.ndv.toDouble / exact - 1.0) <= 0.05
+        (c, rec.rowCount, n.nullCount, ok)
+      }.toDF("column_name", "row_count", "null_count", "ndv_ok")
+        .orderBy("column_name")
+    }),
+
     // SQL views on the graft catalog (Spark 4 ViewCatalog + extension
     // wiring): the fixture CREATEs the view, then appends to the base —
     // a view is stored SQL, not a snapshot, so the read must aggregate
@@ -5498,6 +5523,20 @@ object SparkEntry {
 
     // identical state to t_delete_where by construction — but reached via
     // the position-delete read path instead of a CoW rewrite
+    // exact row/null counts recomputed over the same slice; ndv_ok is the
+    // own-bound literal (the engine asserts its HLL estimate within 5% of
+    // the exact distinct count)
+    "t_table_stats" -> {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+            (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS row_count,
+            (SELECT count(*) - count($c) FROM orders WHERE o_orderkey % 3 = 0) AS null_count,
+            TRUE AS ndv_ok""")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
     // the view's expanded query over both slices (the fixture appends
     // the %3=1 slice AFTER creating the view — stored SQL must see it)
     "t_view" ->

@@ -40,6 +40,20 @@ object TableFixtures {
   def read(spark: SparkSession, sfDir: String, t: String): DataFrame =
     spark.read.parquet(s"$sfDir/$t.parquet")
 
+  /** Column-stats fixture: the `%3 == 0` order slice with
+    * `compute_table_stats` run — per-column HLL NDV + null counts pinned
+    * to the head snapshot. */
+  def ordersStats(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_stats", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_stats"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_stats", orders.schema)
+      t.append(orders.filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 === 0))
+      t.computeTableStats()
+      t
+    })
+
   private val viewCache = TrieMap.empty[String, String]
 
   /**

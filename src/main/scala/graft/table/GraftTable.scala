@@ -374,6 +374,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
             Thread.sleep(attempt * 20L + scala.util.Random.nextInt(40).toLong)
         }
       }
+      // opt-in incremental NDV maintenance: sketch ONLY the delta (one
+      // O(columns) aggregation over df) and hll_union it into the stored
+      // sketches — the mergeability that makes write-time stats O(delta),
+      // never a table rescan. Best-effort: a stats failure must not fail
+      // the committed append.
+      if (branch.isEmpty &&
+          properties.getOrElse("write.stats.ndv.enabled", "false") == "true")
+        scala.util.Try(advanceColumnStats(df, result.id)).failed
+          .foreach(e => System.err.println(
+            s"[graft] incremental stats update failed (recompute via " +
+              s"CALL compute_table_stats): $e"))
       result
     }
 
@@ -1829,6 +1840,104 @@ class GraftTable(val spark: SparkSession, val location: String) {
         preserveDeletes = true,
         removedDeletes = posDels.map(_.path).toSet)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Column-level NDV statistics (CALL system.compute_table_stats)
+  // ---------------------------------------------------------------------
+
+  /** Columns eligible for NDV sketching: atomic types, rendered through a
+    * string cast so one sketch implementation covers every type (a value's
+    * NDV equals its rendering's NDV for Spark's injective casts). */
+  private def sketchableCols(schema: StructType): Seq[String] =
+    schema.fields.filterNot(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+      case _ => false
+    }).map(_.name).toSeq
+
+  /** One O(columns) aggregation pass over `df`: per column the
+    * datasketches HLL sketch (unioned with `prior`'s sketch when
+    * present), its NDV estimate, and the non-null count. */
+  private def statsRow(df: DataFrame, cols: Seq[String],
+      prior: Map[String, ColumnNdv]): (Long, Map[String, ColumnNdv]) = {
+    def sk(c: String): Column = {
+      val fresh = hll_sketch_agg(col(c).cast("string"))
+      prior.get(c).map(_.sketchB64).filter(_.nonEmpty) match {
+        case Some(b64) => coalesce(
+          hll_union(lit(java.util.Base64.getDecoder.decode(b64)), fresh),
+          lit(java.util.Base64.getDecoder.decode(b64)))
+        case None => fresh
+      }
+    }
+    val aggs = cols.flatMap(c => Seq(
+      sk(c).as(s"__sk_$c"),
+      count(col(c)).as(s"__nn_$c")))
+    val row = df.agg(count(lit(1)).as("__rc"), aggs: _*).head()
+    val rc = row.getLong(row.fieldIndex("__rc"))
+    val colStats = cols.map { c =>
+      val skBytes = Option(row.get(row.fieldIndex(s"__sk_$c")))
+        .map(_.asInstanceOf[Array[Byte]])
+      val nn = row.getLong(row.fieldIndex(s"__nn_$c"))
+      val priorC = prior.get(c)
+      val nulls = (rc - nn) + priorC.map(_.nullCount).getOrElse(0L)
+      val (ndv, b64) = skBytes match {
+        case Some(b) =>
+          val est = df.sparkSession.range(1)
+            .select(hll_sketch_estimate(lit(b))).head.getLong(0)
+          (est, java.util.Base64.getEncoder.encodeToString(b))
+        case None => (0L, "")
+      }
+      c -> ColumnNdv(ndv, nulls, b64)
+    }.toMap
+    (rc, colStats)
+  }
+
+  /**
+   * `CALL system.compute_table_stats` — one full pass over the CURRENT
+   * snapshot computing per-column HLL-sketch NDV + exact null counts,
+   * persisted in table metadata pinned to the snapshot id (Iceberg's
+   * statistics-file model). The DSv2 scan serves these through Spark's
+   * `Statistics`/`ColumnStatistics` surface, so CBO filter/join
+   * estimation at 100 TB sees real cardinalities instead of raw file
+   * sizes (the inner ParquetScan reports sizes only) — spec-pinned to
+   * flip a join strategy. Sketches are MERGEABLE: with
+   * `write.stats.ndv.enabled=true` every subsequent append advances them
+   * with an O(columns) pass over the delta alone.
+   */
+  def computeTableStats(): ColumnStatsRecord = withCommitLock {
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(throw new IllegalStateException(
+      s"compute_table_stats: ${m.name} has no current snapshot"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val cols = sketchableCols(schema)
+    require(cols.nonEmpty, s"compute_table_stats: no sketchable columns in ${m.name}")
+    val (rc, colStats) = statsRow(scan(Some(snap), m), cols, prior = Map.empty)
+    val rec = ColumnStatsRecord(snap.id, System.currentTimeMillis(), rc, colStats)
+    retryMetaCommit(mm => mm.copy(columnStats = Some(rec)))
+    rec
+  }
+
+  /** Incremental stats advance after an append: union the DELTA's
+    * sketches into the stored ones and re-pin to the new snapshot —
+    * valid only when the stored stats were current at the append's
+    * parent (an interleaved foreign commit leaves them stale; the scan's
+    * snapshot gate then simply stops serving them until the next
+    * compute_table_stats). */
+  private def advanceColumnStats(delta: DataFrame, newSnapshotId: Long): Unit = {
+    val m = meta
+    val snap = m.snapshot(newSnapshotId)
+    val stored = m.columnStats
+    if (stored.isEmpty || snap.isEmpty) return
+    if (!snap.get.parentId.contains(stored.get.snapshotId)) return
+    val s = stored.get
+    val cols = s.cols.keys.toSeq.sorted
+    val (deltaRc, merged) = statsRow(delta, cols, prior = s.cols)
+    val rec = ColumnStatsRecord(newSnapshotId, System.currentTimeMillis(),
+      s.rowCount + deltaRc, merged)
+    retryMetaCommit(mm =>
+      if (mm.columnStats.map(_.snapshotId) == Some(s.snapshotId))
+        mm.copy(columnStats = Some(rec))
+      else mm)
   }
 
   /**

@@ -198,6 +198,23 @@ case class RenameRecord(from: String, to: String, afterSeq: Long)
 case class TypeChangeRecord(column: String, fromJson: String, toJson: String,
     afterSeq: Long)
 
+/** Table-level column statistics for one column: the HLL-sketch NDV
+  * estimate, the exact null count, and the base64 datasketches HLL
+  * payload itself — kept because HLL sketches are MERGEABLE (hll_union),
+  * which is what makes incremental maintenance O(columns) per append
+  * instead of a table rescan. */
+case class ColumnNdv(ndv: Long, nullCount: Long, sketchB64: String)
+
+/** One `compute_table_stats` result pinned to the snapshot it was
+  * computed at (Iceberg's statistics-file model: stats reference a
+  * snapshot id; readers serve them only for that snapshot unless
+  * incrementally advanced). Metadata-sized: O(columns) sketches. */
+case class ColumnStatsRecord(
+    snapshotId: Long,
+    computedAtMs: Long,
+    rowCount: Long,
+    cols: Map[String, ColumnNdv])
+
 case class TableMetadata(
     name: String,
     schemaJson: String,
@@ -213,7 +230,10 @@ case class TableMetadata(
     // past physical names (renamed-from / dropped): never reusable, since
     // live files may still store data under them and resolution is by name
     tombstones: Seq[String] = Seq.empty,
-    typeChanges: Seq[TypeChangeRecord] = Seq.empty) {
+    typeChanges: Seq[TypeChangeRecord] = Seq.empty,
+    // column-level NDV/null statistics (CALL system.compute_table_stats);
+    // None on pre-stats metadata and whenever stats were never computed
+    columnStats: Option[ColumnStatsRecord] = None) {
 
   def currentSnapshotId: Option[Long] = refs.get(SnapshotLog.MainBranch)
 

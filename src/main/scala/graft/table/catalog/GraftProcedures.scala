@@ -37,7 +37,7 @@ private[catalog] object GraftProcedures {
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
     "rollback_to_snapshot", "set_partition_spec", "create_changelog_view",
     "cherrypick_snapshot", "rewrite_position_delete_files",
-    "snapshot", "register_table")
+    "snapshot", "register_table", "compute_table_stats")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -56,6 +56,7 @@ private[catalog] object GraftProcedures {
       case "cherrypick_snapshot" => Some(new CherrypickSnapshot(catalog))
       case "set_partition_spec"  => Some(new SetPartitionSpec(catalog))
       case "create_changelog_view" => Some(new CreateChangelogView(catalog))
+      case "compute_table_stats" => Some(new ComputeTableStats(catalog))
       case _                     => None
     }
 
@@ -326,6 +327,26 @@ private[catalog] object GraftProcedures {
       result(out, Seq(new GenericInternalRow(Array[Any](
         rewritten, added,
         snap.summary.get("removed-delete-records").map(_.toLong).getOrElse(0L)))))
+    }
+  }
+
+  /** `compute_table_stats(table)` — Iceberg's procedure of the same name:
+    * one pass over the current snapshot computing per-column HLL-sketch
+    * NDV + exact null counts, persisted in table metadata pinned to the
+    * snapshot id and served through the DSv2 scan's `Statistics` for CBO
+    * join/filter estimation. */
+  private class ComputeTableStats(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "compute_table_stats") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("columns_analyzed", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rec = table(input.getUTF8String(0).toString).computeTableStats()
+      result(out, Seq(new GenericInternalRow(Array[Any](
+        rec.snapshotId, rec.rowCount, rec.cols.size))))
     }
   }
 

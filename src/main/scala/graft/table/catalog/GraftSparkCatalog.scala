@@ -584,11 +584,18 @@ private[catalog] object GraftSqlTables {
         Some(snap.map(_.files.map(_.records).sum).getOrElse(0L))
       else None
     val prov = snap.map(sn => GraftPlanRead(loc, sn.id))
+    // computed column stats are served ONLY for the exact snapshot they
+    // were pinned to (compute_table_stats, or an incremental write-time
+    // advance) — stale stats are silently not reported, never wrong
+    val ndvStats = meta.columnStats
+      .filter(cs => snap.exists(_.id == cs.snapshotId))
+      .map(cs => org.apache.spark.sql.graft.GraftNdvStats(cs.rowCount,
+        cs.cols.map { case (c, n) => c -> (n.ndv, n.nullCount) }))
     if (writable)
       new GraftWritableTable(name, loc, inner, schema, planRead, meta.props,
-        meta.partitionCols, metaCount, prov)
+        meta.partitionCols, metaCount, prov, ndvStats)
     else new GraftReadOnlyTable(name, inner, schema, planRead, meta.props,
-      meta.partitionCols, metaCount, prov)
+      meta.partitionCols, metaCount, prov, ndvStats)
   }
 }
 
@@ -644,7 +651,8 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     // rebuild the same read WITH provenance columns when `_file`/`_pos`/
     // `_partition` are referenced (always populated for non-empty tables,
     // unlike planRead which flags only plan-requiring snapshots)
-    val provenance: Option[GraftPlanRead] = None)
+    val provenance: Option[GraftPlanRead] = None,
+    ndvStats: Option[org.apache.spark.sql.graft.GraftNdvStats] = None)
   extends Table with SupportsRead with SupportsMetadataColumns {
 
   /** Iceberg's reserved metadata columns. The analyzer resolves references
@@ -690,7 +698,7 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
           (f.transform.asInstanceOf[graft.table.PartitionSpec.Bucket].n,
             f.source, f.dirName))
         new org.apache.spark.sql.graft.GraftBucketedScanBuilder(p, bucket,
-          metadataCount)
+          metadataCount, ndvStats)
       case other => other
     }
   }
@@ -741,9 +749,10 @@ class GraftWritableTable(tableName: String, val location: String,
     tableProps: Map[String, String] = Map.empty,
     partitionEntries: Seq[String] = Seq.empty,
     metadataCount: Option[Long] = None,
-    prov: Option[GraftPlanRead] = None)
+    prov: Option[GraftPlanRead] = None,
+    ndvStats: Option[org.apache.spark.sql.graft.GraftNdvStats] = None)
   extends GraftReadOnlyTable(tableName, inner, tableSchema, planReadInfo,
-    tableProps, partitionEntries, metadataCount, prov)
+    tableProps, partitionEntries, metadataCount, prov, ndvStats)
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =

@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
  */
 class GraftBucketedScanBuilder(inner: ParquetScanBuilder,
     bucket: Option[(Int, String, String)],
-    metadataCount: Option[Long] = None)
+    metadataCount: Option[Long] = None,
+    ndvStats: Option[GraftNdvStats] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -82,8 +83,16 @@ class GraftBucketedScanBuilder(inner: ParquetScanBuilder,
     if (countPushed) new GraftMetaCountScan(metadataCount.get)
     else bucket match {
       case Some((n, src, dir)) =>
-        new GraftBucketedScan(inner.build().asInstanceOf[ParquetScan], n, src, dir)
-      case None => inner.build()
+        new GraftBucketedScan(inner.build().asInstanceOf[ParquetScan], n, src, dir,
+          ndvStats)
+      case None => ndvStats match {
+        // computed column stats ride the scan's Statistics surface —
+        // numRows + NDV/null counts for CBO, sizeInBytes still the file
+        // scan's pruning-aware estimate
+        case Some(st) =>
+          new GraftStatsScan(inner.build().asInstanceOf[ParquetScan], st)
+        case None => inner.build()
+      }
     }
 }
 
@@ -106,9 +115,18 @@ class KeyedFilePartition(idx: Int, fs: Array[PartitionedFile],
 }
 
 class GraftBucketedScan(inner: ParquetScan,
-    nBuckets: Int, sourceCol: String, dirName: String)
+    nBuckets: Int, sourceCol: String, dirName: String,
+    ndvStats: Option[GraftNdvStats] = None)
   extends Scan with Batch with SupportsReportPartitioning
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    ndvStats match {
+      case Some(st) => st.toV2(inner.estimateStatistics().sizeInBytes())
+      case None => inner.estimateStatistics()
+    }
 
   override def readSchema(): StructType = inner.readSchema
   override def toBatch: Batch = this
@@ -241,4 +259,62 @@ object GraftBucketFunction
         .eval().asInstanceOf[Int]
     }
   }
+}
+
+/** NDV/null-count column statistics served through Spark's DSv2
+  * `ColumnStatistics` surface. */
+case class GraftColStats(ndvVal: Long, nullsVal: Long)
+  extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  override def distinctCount(): java.util.OptionalLong =
+    java.util.OptionalLong.of(ndvVal)
+  override def nullCount(): java.util.OptionalLong =
+    java.util.OptionalLong.of(nullsVal)
+}
+
+/** The serveable slice of a stored [[graft.table.ColumnStatsRecord]]:
+  * exact live row count plus per-column (ndv, nullCount). */
+case class GraftNdvStats(rowCount: Long, cols: Map[String, (Long, Long)]) {
+  def toV2(size: java.util.OptionalLong)
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowCount)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        cols.foreach { case (c, (ndv, nulls)) =>
+          m.put(Expressions.column(c), GraftColStats(ndv, nulls))
+        }
+        m
+      }
+    }
+}
+
+/** Stats-reporting wrapper around the inner [[ParquetScan]] (the plain,
+  * non-bucketed path): sizeInBytes stays the file scan's own estimate
+  * (pruning-aware), while numRows and per-column NDV/null counts come
+  * from the table's computed statistics — the CBO inputs a 100 TB join
+  * planner needs (filter selectivity via NDV → broadcast-vs-shuffle
+  * decisions on real cardinalities). Delegates Batch/metadata so EXPLAIN
+  * and execution are unchanged. */
+class GraftStatsScan(inner: ParquetScan, stats: GraftNdvStats)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.internal.connector.SupportsMetadata {
+  override def readSchema(): StructType = inner.readSchema
+  override def toBatch: Batch = this
+  private lazy val innerBatch = inner.toBatch
+  override def planInputPartitions(): Array[InputPartition] =
+    innerBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    innerBatch.createReaderFactory()
+  override def description(): String = s"GraftStatsScan ${inner.description()}"
+  override def getMetaData(): Map[String, String] = inner.getMetaData()
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    stats.toV2(inner.estimateStatistics().sizeInBytes())
 }

@@ -235,6 +235,21 @@ object DriveApp {
       println("ivf-drift batches=" + drift.length
         + " refits=" + drift.map(r => r.getInt(0) + ":" + r.getBoolean(5)).mkString(","))
     }
+    println("== column stats: compute_table_stats -> scan Statistics for CBO")
+    locally {
+      import spark.implicits._
+      val t = graft.table.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("drive-stats").toString + "/t",
+        "dstats", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType))))
+      t.append((0 until 5000).map(i => (i.toLong, s"g${i % 40}")).toDF("id", "g"))
+      val rec = t.computeTableStats()
+      println(s"stats rows=${rec.rowCount} gNdv=${rec.cols("g").ndv} " +
+        s"idNulls=${rec.cols("id").nullCount} pinned=${rec.snapshotId == t.meta.currentSnapshotId.get}")
+    }
     println("== SQL views: versioned graft-catalog views through the extensions")
     locally {
       import spark.implicits._
