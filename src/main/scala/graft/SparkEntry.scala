@@ -2538,6 +2538,25 @@ object SparkEntry {
       t.toDF.orderBy("window_start", "event_type")
     }),
 
+    // CDC changelog stream: the graft-stream source in changelog mode
+    // replays a DV table's append -> MoR equality delete -> append -> DV
+    // positional delete history into a sink via replayChangelog (one
+    // checkpoint, an AvailableNow run per commit). The sink must equal
+    // the source's batch state; replay_matches_batch is the engine-side
+    // full-equality assertion (oracle: literal TRUE)
+    "st_changelog" -> ((s, dir) => {
+      val (src, sink) = TableFixtures.streamChangelogReplayed(s, dir)
+      val matches = sink.toDF.exceptAll(src.toDF).isEmpty &&
+        src.toDF.exceptAll(sink.toDF).isEmpty
+      sink.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("replay_matches_batch", lit(matches))
+        .orderBy("o_orderstatus")
+    }),
+
     // readStream.format("graft-stream") source end to end: three appends
     // to a partitioned graft table, an AvailableNow tail run after each
     // (one shared checkpoint — snapshot-id offsets resume exactly), sink
@@ -5963,6 +5982,22 @@ object SparkEntry {
       s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
            event_type, count(*) AS n, ${centsSql("value")} AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the replayed CDC state: slice 0 minus the equality-deleted band,
+    // union slice 1 (appended AFTER the delete — its high-value rows are
+    // live), minus the positional band deleted from the combined state
+    "st_changelog" ->
+      s"""WITH state AS (
+           SELECT * FROM orders
+           WHERE o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000)
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderkey % 3 = 1)
+         SELECT o_orderstatus, count(*) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           ${centsSql("o_totalprice")} AS total_cents,
+           TRUE AS replay_matches_batch
+         FROM state WHERE NOT (o_orderkey % 10 = 7)
+         GROUP BY 1 ORDER BY 1""",
 
     // same batch re-derivation: the source->agg->merge-sink loop must land
     // on the identical final aggregate

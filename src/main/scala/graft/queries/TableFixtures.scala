@@ -862,6 +862,46 @@ object TableFixtures {
     })
 
   /**
+   * CDC changelog-stream fixture (round 14 — the Iceberg CDC-read gap):
+   * a deletion-vector source table mutated by append → MoR equality
+   * delete → append → DV positional delete, with an AvailableNow
+   * changelog-stream run after EACH commit (one shared checkpoint)
+   * replaying the change images into a sink via
+   * `StreamingOps.replayChangelog`. The sink must equal the source's
+   * batch state exactly — which is what lets DuckDB oracle a streamed
+   * MERGE/delete replay (st_changelog).
+   */
+  def streamChangelogReplayed(spark: SparkSession, sfDir: String): (GraftTable, GraftTable) =
+    changelogCache.getOrElseUpdate(sfDir, {
+      val dir = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val srcLoc = s"$dir/stream_cdc_src"
+      val sinkLoc = s"$dir/stream_cdc_sink"
+      GraftTable.drop(spark, srcLoc)
+      GraftTable.drop(spark, sinkLoc)
+      val orders = read(spark, sfDir, "orders")
+      val src = GraftTable.create(spark, srcLoc, "graft.stream_cdc_src",
+        orders.schema, props = Map("write.delete.vector.enabled" -> "true"))
+      val sink = GraftTable.create(spark, sinkLoc, "graft.stream_cdc_sink",
+        orders.schema)
+      val cp = s"$sinkLoc-checkpoint"
+      def run(): Unit = spark.readStream.format("graft-stream")
+        .option("changelog", "true").load(srcLoc)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.StreamingOps.replayChangelog(b, sink))
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      src.append(orders.filter(col("o_orderkey") % 3 === 0)); run()
+      src.deleteWhereMoR(col("o_totalprice") > 300000, Seq("o_orderkey")); run()
+      src.append(orders.filter(col("o_orderkey") % 3 === 1)); run()
+      src.deleteWherePositional(col("o_orderkey") % 10 === 7); run()
+      (src, sink)
+    })
+
+  private val changelogCache = TrieMap.empty[String, (GraftTable, GraftTable)]
+
+  /**
    * The FULL streaming-lakehouse loop: graft table -> `graft-stream`
    * source -> watermarked stateful aggregation -> keyed MERGE back into a
    * graft sink, exactly-once at both ends. Events append to the source

@@ -330,4 +330,51 @@ object StreamingOps {
     stream.join(dimSel, stream(streamKey) === dimSel(dimKey), "left")
       .drop(dimSel(dimKey))
   }
+
+  /**
+   * Replay one changelog micro-batch (a `graft-stream` read with
+   * `.option("changelog", true)`) into a graft sink table — the Iceberg
+   * CDC-consume shape: snapshots apply IN COMMIT ORDER, each as
+   * retractions first, then inserts (merge-on-read sequence semantics:
+   * a snapshot's deletes never touch its own inserts).
+   *
+   *  - `DELETE_KEY` images (equality-delete commits) retract by their
+   *    key tuple — the key set is the image's non-null columns;
+   *  - `DELETE` images (deletion-vector commits) are full rows and
+   *    retract by whole-row equality (exact when rows are unique — a DV
+   *    names ONE physical row, whole-row replay removes all duplicates;
+   *    deduplicate upstream or key the table if that matters);
+   *  - `INSERT` images append.
+   *
+   * Used from `foreachBatch` with the stream checkpoint providing
+   * at-least-once delivery; a RETRIED micro-batch re-applies (the
+   * retractions are idempotent, the inserts are not) — wrap with the
+   * batch-id replay guard of [[writeToGraftTable]] when the sink needs
+   * exactly-once under mid-batch crashes.
+   */
+  def replayChangelog(batch: DataFrame,
+      sink: graft.table.GraftTable): Unit = {
+    val cols = batch.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_snapshot_id")
+    val snaps = batch.select(col("_commit_snapshot_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    snaps.foreach { sid =>
+      val b = batch.filter(col("_commit_snapshot_id") === sid).cache()
+      try {
+        val delKeys = b.filter(col("_change_type") === "DELETE_KEY")
+        if (!delKeys.isEmpty) {
+          val keys = cols.filter(c =>
+            !delKeys.filter(col(c).isNotNull).isEmpty)
+          sink.merge(delKeys.select(cols.map(col): _*).distinct(),
+            keys, insertNotMatched = false, deleteMatched = true)
+        }
+        val delRows = b.filter(col("_change_type") === "DELETE")
+        if (!delRows.isEmpty)
+          sink.merge(delRows.select(cols.map(col): _*).distinct(),
+            cols, insertNotMatched = false, deleteMatched = true)
+        val ins = b.filter(col("_change_type") === "INSERT")
+        if (!ins.isEmpty) sink.append(ins.select(cols.map(col): _*))
+      } finally b.unpersist()
+    }
+  }
 }

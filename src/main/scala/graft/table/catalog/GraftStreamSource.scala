@@ -38,24 +38,37 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-stream needs a table location: spark.readStream.format(\"graft-stream\").load(dir)"))
 
-  private def tableAt(loc: String): GraftStreamTable = {
+  private def tableAt(loc: String, changelog: Boolean): GraftStreamTable = {
     val spark = SparkSession.active
     require(GraftTable.exists(spark, loc), s"no graft table at $loc")
     val meta = SnapshotLog.read(loc, spark.sparkContext.hadoopConfiguration)
     val declared = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     // partition columns LAST, matching every batch read surface
-    val schema = StructType(
+    val base = StructType(
       declared.filterNot(f => meta.partitionCols.contains(f.name)) ++
         declared.filter(f => meta.partitionCols.contains(f.name)))
+    // CDC mode appends the change-image columns (Iceberg changelog shape)
+    val schema =
+      if (changelog) StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      else base
     new GraftStreamTable(loc, schema, meta.partitionCols)
   }
 
+  private def changelogOpt(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changelog")).exists(_.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    tableAt(location(options)).schema()
+    tableAt(location(options), changelogOpt(options)).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    tableAt(location(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    tableAt(location(opts), changelogOpt(opts))
+  }
 }
 
 class GraftStreamTable(loc: String, tableSchema: StructType,

@@ -68,6 +68,20 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private def meta = SnapshotLog.read(location, hadoopConf)
 
+  /** CDC mode (`.option("changelog", true)`): instead of refusing
+    * row-changing snapshots, each micro-batch carries change IMAGES —
+    * `_change_type` (INSERT / DELETE full-row images for deletion-vector
+    * commits / DELETE_KEY key-tuple retractions for equality-delete
+    * commits, non-key columns null) and `_commit_snapshot_id`, so a sink
+    * can replay MERGE/delete commits in snapshot order (the Iceberg
+    * CDC-read gap; Flink-style keyed upsert/retract stream). */
+  private val changelog = Option(options.get("changelog")).exists(_.toBoolean)
+
+  /** Table columns only — in changelog mode `declaredSchema` carries the
+    * two appended change columns, which no data file stores. */
+  private val baseSchema: StructType =
+    if (changelog) StructType(declaredSchema.dropRight(2)) else declaredSchema
+
   private val branch = Option(options.get("branch"))
 
   /** Streamed head: main's current snapshot, or the named branch's. */
@@ -150,7 +164,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   override def stop(): Unit = ()
 
   private lazy val dataCols = StructType(
-    declaredSchema.filterNot(f => partitionCols.contains(f.name)))
+    baseSchema.filterNot(f => partitionCols.contains(f.name)))
   // only IDENTITY spec entries are hive-style partition columns (source
   // column lives in the directory, not the data file); transform entries
   // (days(ts), bucket(n,id), truncate(w,c)) keep their source column in
@@ -165,7 +179,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     val identitySources = graft.table.PartitionSpec.parse(partitionCols)
       .filter(_.transform == graft.table.PartitionSpec.Identity)
       .map(_.source).toSet
-    StructType(declaredSchema.filter(f => identitySources.contains(f.name)))
+    StructType(baseSchema.filter(f => identitySources.contains(f.name)))
   }
   private lazy val zone =
     Some(spark.sessionState.conf.sessionLocalTimeZone)
@@ -173,14 +187,114 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   // InternalRows, so the vectorized ColumnarBatch path cannot be used);
   // built ONCE per stream — the schema is fixed, so every micro-batch
   // reuses the same broadcast-conf read closure
-  private lazy val readFunc: PartitionedFile => Iterator[InternalRow] = {
+  private def readerFor(fileSchema: StructType,
+      parts: StructType): PartitionedFile => Iterator[InternalRow] = {
     val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .cloneSession()
     ss.sessionState.conf.setConfString(
       "spark.sql.parquet.enableVectorizedReader", "false")
     new ParquetFileFormat().buildReaderWithPartitionValues(
-      ss, dataCols, partSchema, dataCols, Nil, Map.empty,
+      ss, fileSchema, parts, fileSchema, Nil, Map.empty,
       ss.sessionState.newHadoopConf())
+  }
+
+  private lazy val readFunc: PartitionedFile => Iterator[InternalRow] =
+    readerFor(dataCols, partSchema)
+
+  /** (partition-values row, PartitionedFile) for one snapshot-log entry. */
+  private def partitionedFileOf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      f: graft.table.DataFile): PartitionedFile = {
+    val pvals = new GenericInternalRow(partSchema.fields.map { pf =>
+      f.partitionValues.get(pf.name)
+        .filterNot(_ == "__HIVE_DEFAULT_PARTITION__") match {
+        case Some(raw) =>
+          Cast(Literal(UTF8String.fromString(raw), StringType),
+            pf.dataType, zone).eval(null)
+        case None => null
+      }
+    }.asInstanceOf[Array[Any]])
+    val full = new org.apache.hadoop.fs.Path(s"$location/data/${f.path}")
+    val len =
+      if (f.sizeBytes > 0) f.sizeBytes else fs.getFileStatus(full).getLen
+    PartitionedFile(pvals, SparkPath.fromPath(full), 0, len)
+  }
+
+  /** Changelog planning: per snapshot, DELETE images first (deletion
+    * vectors expand to full-row images by reading the parent file and
+    * keeping the vector's positions — a sequential whole-file read's row
+    * order IS the parquet row index; equality deletes emit their key
+    * tuples as DELETE_KEY retractions straight from the delete parquet),
+    * then the snapshot's INSERT images. Position-LIST delete commits are
+    * refused — migrate to deletion vectors via
+    * rewrite_position_delete_files under write.delete.vector.enabled. */
+  private def planChangelog(range: Seq[graft.table.GraftSnapshot],
+      m: graft.table.TableMetadata,
+      skipOverwrites: Boolean): Array[InputPartition] = {
+    require(m.renames.isEmpty && m.typeChanges.isEmpty,
+      "graft changelog stream: rename/type-promotion eras need the " +
+        "era-aware batch API (changelogBetween)")
+    val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(hadoopConf)
+    val width = dataCols.size + partSchema.size
+    def insertParts(sn: graft.table.GraftSnapshot): Seq[InputPartition] = {
+      val addedSet = sn.addedFiles.toSet
+      sn.files.filter(f => addedSet.contains(f.path)).map(f =>
+        ChangeImagePartition(readFunc, partitionedFileOf(fs, f),
+          "INSERT", sn.id, runs = null))
+    }
+    range.flatMap { sn =>
+      val newDels = sn.deleteFiles.filter(_.seq == sn.id)
+      sn.operation match {
+        case "replace" => Seq.empty
+        case "append" => insertParts(sn)
+        case "delete" | "merge" if sn.removedFiles.isEmpty && newDels.nonEmpty =>
+          val byPath = sn.files.map(f => f.path -> f).toMap
+          val delParts: Seq[InputPartition] = newDels.flatMap { d =>
+            if (d.isDv) {
+              // one driver-side read of the per-FILE vector rows (small)
+              spark.read.parquet(s"$location/data/${d.path}")
+                .collect().toSeq.flatMap { r =>
+                  byPath.get(r.getString(0)).map { f =>
+                    ChangeImagePartition(readFunc, partitionedFileOf(fs, f),
+                      "DELETE", sn.id, runs = r.getSeq[Long](1).toArray)
+                  }
+                }
+            } else if (d.isPositional) {
+              throw new UnsupportedOperationException(
+                s"graft changelog stream: snapshot ${sn.id} carries a " +
+                  "position-LIST delete file; migrate to deletion vectors " +
+                  "(write.delete.vector.enabled + " +
+                  "rewrite_position_delete_files) or use changelogBetween")
+            } else {
+              // equality delete: the delete parquet's rows ARE the key
+              // tuples — emit them as DELETE_KEY retractions mapped into
+              // the full-width row (non-key columns null)
+              val keyIdx = d.keyCols.map { k =>
+                val i = dataCols.fieldIndex(k)
+                i // equality keys are data columns (partition cols refused below)
+              }
+              d.keyCols.foreach(k => require(!partitionCols.contains(k),
+                s"changelog stream: equality-delete key $k is a partition column"))
+              val keySchema = StructType(d.keyCols.map(k => dataCols(k)))
+              val delPath = new org.apache.hadoop.fs.Path(s"$location/data/${d.path}")
+              val delFile = PartitionedFile(
+                new GenericInternalRow(Array.empty[Any]),
+                SparkPath.fromPath(delPath), 0,
+                fs.getFileStatus(delPath).getLen)
+              Seq(KeyDeletePartition(
+                readerFor(keySchema, new StructType()), delFile,
+                keyIdx.toArray, keySchema.fields.map(_.dataType), width, sn.id))
+            }
+          }
+          delParts ++ insertParts(sn)
+        case _ if skipOverwrites => Seq.empty
+        case other => throw new UnsupportedOperationException(
+          s"graft changelog stream: snapshot ${sn.id} is a '$other' commit " +
+            s"with removed files on $location — its images need a state " +
+            "diff; use changelogBetween, or " +
+            ".option(\"skipOverwriteSnapshots\", true) to skip it")
+      }
+    }.toArray
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -193,6 +307,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       .sortBy(_.id)
     val skipOverwrites =
       Option(options.get("skipOverwriteSnapshots")).exists(_.toBoolean)
+    if (changelog) return planChangelog(range, m, skipOverwrites)
     val added = range.flatMap { sn =>
       sn.operation match {
         case "append" =>
@@ -264,10 +379,30 @@ case class GraftFilePartition(
     readFunc: PartitionedFile => Iterator[InternalRow],
     file: PartitionedFile) extends InputPartition
 
+/** A changelog image partition: the file's rows tagged with
+  * (_change_type, _commit_snapshot_id); for DELETE images of a deletion
+  * vector, `runs` restricts to the vector's row indexes (a sequential
+  * whole-file read's row order IS the parquet row index). */
+case class ChangeImagePartition(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile,
+    changeType: String,
+    snapshotId: Long,
+    runs: Array[Long]) extends InputPartition
+
+/** Equality-delete key tuples as DELETE_KEY retraction images: the delete
+  * parquet's columns map into `keyIdx` positions of the full-width row,
+  * everything else null. */
+case class KeyDeletePartition(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile,
+    keyIdx: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    width: Int,
+    snapshotId: Long) extends InputPartition
+
 class GraftStreamReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftFilePartition]
-    val it = gp.readFunc(gp.file)
+  private def drain(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -278,5 +413,40 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
         case _ => ()
       }
     }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case gp: GraftFilePartition => drain(gp.readFunc(gp.file))
+    case cp: ChangeImagePartition =>
+      val tag = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(cp.changeType), cp.snapshotId))
+      val base = cp.readFunc(cp.file)
+      val selected =
+        if (cp.runs == null) base
+        else {
+          // sorted runs walked in lockstep with the row index
+          var pos = -1L
+          var ri = 0
+          base.filter { _ =>
+            pos += 1
+            while (ri < cp.runs.length / 2 &&
+                pos >= cp.runs(2 * ri) + cp.runs(2 * ri + 1)) ri += 1
+            ri < cp.runs.length / 2 && pos >= cp.runs(2 * ri)
+          }
+        }
+      drain(selected.map(r =>
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, tag)))
+    case kp: KeyDeletePartition =>
+      val it = kp.readFunc(kp.file).map { r =>
+        val out = new Array[Any](kp.width + 2)
+        var i = 0
+        while (i < kp.keyIdx.length) {
+          out(kp.keyIdx(i)) = r.get(i, kp.keyTypes(i))
+          i += 1
+        }
+        out(kp.width) = UTF8String.fromString("DELETE_KEY")
+        out(kp.width + 1) = kp.snapshotId
+        new GenericInternalRow(out): InternalRow
+      }
+      drain(it)
   }
 }

@@ -235,6 +235,36 @@ object DriveApp {
       println("ivf-drift batches=" + drift.length
         + " refits=" + drift.map(r => r.getInt(0) + ":" + r.getBoolean(5)).mkString(","))
     }
+    println("== changelog stream: CDC images replayed into a sink")
+    locally {
+      import spark.implicits._
+      val src = graft.table.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("drive-cdc").toString + "/s",
+        "dcdcs", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))),
+        props = Map("write.delete.vector.enabled" -> "true"))
+      val sink = graft.table.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("drive-cdc").toString + "/k",
+        "dcdck", src.schema)
+      val cp = java.nio.file.Files.createTempDirectory("drive-cdc-cp").toString
+      def run(): Unit = spark.readStream.format("graft-stream")
+        .option("changelog", "true").load(src.location)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.StreamingOps.replayChangelog(b, sink))
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      src.append((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")); run()
+      src.deleteWherePositional(col("id") < 5); run()
+      src.deleteWhereMoR(col("id") >= 18, Seq("id")); run()
+      val match_ = sink.toDF.exceptAll(src.toDF).isEmpty &&
+        src.toDF.exceptAll(sink.toDF).isEmpty
+      println(s"st-changelog sink=${sink.toDF.count()} src=${src.toDF.count()} equal=$match_")
+    }
     println("== column stats: compute_table_stats -> scan Statistics for CBO")
     locally {
       import spark.implicits._
