@@ -247,7 +247,12 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       sn.operation match {
         case "replace" => Seq.empty
         case "append" => insertParts(sn)
-        case "delete" | "merge" if sn.removedFiles.isEmpty && newDels.nonEmpty =>
+        // a no-op row-level commit (e.g. a delete/update that matched
+        // nothing): no images
+        case _ if sn.removedFiles.isEmpty && newDels.isEmpty &&
+            sn.addedFiles.isEmpty => Seq.empty
+        case "delete" | "merge" | "update"
+            if sn.removedFiles.isEmpty && newDels.nonEmpty =>
           val byPath = sn.files.map(f => f.path -> f).toMap
           val delParts: Seq[InputPartition] = newDels.flatMap { d =>
             if (d.isDv) {

@@ -57,8 +57,11 @@ class UnigramLmSpec extends SparkTestBase {
         }
       }
       val sorted = e.toSeq.sortBy(_._1)
-      val tot = sorted.map(_._2).sum
-      val probs = sorted.map { case (p, ev) => (p, q(ev / tot, dp)) }
+      // the round-14 order-independent normalizer: expected counts
+      // quantized to integer 1e-6 quanta, summed exactly in Long space
+      val eq = sorted.map { case (p, ev) => (p, math.round(ev * 1e6)) }
+      val tot = eq.map(_._2).sum
+      val probs = eq.map { case (p, v) => (p, q(v.toDouble / tot.toDouble, dp)) }
       val nS = probs.count(_._1.length == 1)
       vocab = (probs.filter(_._1.length == 1) ++
         probs.filter(_._1.length > 1).sortBy { case (p, pr) => (-pr, p) }

@@ -72,6 +72,10 @@ class ChangelogStreamSpec extends SparkTestBase {
     src.append(rows(0 until 40)); run()
     src.deleteWhereMoR(col("id") % 7 === 3, Seq("id")); run()
     src.append(rows(100 until 120)); run()
+    // MoR UPDATE: DELETE_KEY old versions + INSERT new ones in one commit
+    src.updateWhereMoR(col("id") === 101L, Seq("v" -> lit(999.0)), Seq("id")); run()
+    // a no-op delete (matches nothing) must stream as zero images
+    src.deleteWhereMoR(col("id") === -1L, Seq("id")); run()
     src.deleteWherePositional(col("grp") === "g1"); run()
     def state(t: GraftTable) =
       t.toDF.as[(Long, String, Double)].collect().toSeq.sorted
