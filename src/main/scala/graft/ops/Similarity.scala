@@ -581,6 +581,7 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     require(rows.nonEmpty, "pq: empty codebooks table")
+    require(rows.forall(_._3 != null), "pq: null codeword in codebooks table")
     val m = rows.map(_._1).max + 1
     val ksub = rows.map(_._2).max + 1
     require(rows.length == m * ksub,

@@ -630,31 +630,46 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** Collapse a `(__file, __pos)` position frame into DELETION VECTORS —
     * one row per data file, deleted indexes as a sorted run-length
     * `__runs` array — and write them under `data/_deletes/` with kind
-    * `dv`. Run construction is the gaps-and-islands identity over each
-    * file's sorted position list (a start opens wherever the previous
-    * index isn't adjacent), all in builtin HOFs: one (file)-keyed
-    * aggregation, a narrow map, no driver materialization. A file whose
-    * delete pattern collapses to few runs (range deletes, full-file
-    * deletes) stores O(runs) longs however many rows died. */
+    * `dv`. Run construction is a STREAMING gaps-and-islands fold over a
+    * file-keyed sort (`mapPartitions` is justified here: the fold is
+    * genuinely per-partition imperative and its working memory is
+    * O(runs) per file — a full-file delete of 10⁷ rows builds ONE run
+    * with constant memory, where a collect-then-encode aggregation would
+    * buffer every position). Duplicate positions collapse in the fold. */
   private def writeDvFiles(positions: DataFrame): Seq[DeleteFile] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$location/_staging/del-$commitId")
-    val ps = col("__ps")
-    // 1-based element_at over the sorted 0-based parquet row indexes
-    val starts = filter(sequence(lit(0), size(ps) - 1), i =>
-      (i === 0) || (element_at(ps, i + 1) =!= element_at(ps, i) + 1))
-    val runs = flatten(transform(sequence(lit(0), size(col("__starts")) - 1),
-      j => array(
-        element_at(ps, element_at(col("__starts"), j + 1).cast("int") + 1),
-        (when(j < size(col("__starts")) - 1,
-          element_at(col("__starts"), (j + 2).cast("int")))
-          .otherwise(size(ps)).cast("long")
-          - element_at(col("__starts"), j + 1)))))
+    val sp = positions.sparkSession
+    import sp.implicits._
     val dv = positions
-      .groupBy(col("__file"))
-      .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
-      .withColumn("__starts", starts)
-      .select(col("__file"), runs.as("__runs"), size(ps).cast("long").as("__n"))
+      .select(col("__file").cast("string"), col("__pos").cast("long"))
+      .as[(String, Long)]
+      .repartition(col("__file"))
+      .sortWithinPartitions(col("__file"), col("__pos"))
+      .mapPartitions { it =>
+        new Iterator[(String, Seq[Long], Long)] {
+          private val in = it.buffered
+          override def hasNext: Boolean = in.hasNext
+          override def next(): (String, Seq[Long], Long) = {
+            val file = in.head._1
+            val runs = ArrayBuffer.empty[Long]
+            var n = 0L
+            var lastPos = Long.MinValue
+            while (in.hasNext && in.head._1 == file) {
+              val pos = in.next()._2
+              if (pos != lastPos) { // duplicates collapse
+                if (runs.nonEmpty && pos == lastPos + 1)
+                  runs(runs.size - 1) += 1 // adjacent: extend the open run
+                else { runs += pos; runs += 1L }
+                n += 1
+                lastPos = pos
+              }
+            }
+            (file, runs.toSeq, n)
+          }
+        }
+      }
+      .toDF("__file", "__runs", "__n")
     dv.cache()
     val nFiles = dv.count()
     if (nFiles == 0) { dv.unpersist(); return Seq.empty }

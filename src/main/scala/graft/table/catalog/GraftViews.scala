@@ -62,9 +62,13 @@ object GraftViews {
     }
   }
 
-  /** Atomic install: full version log to a fresh tmp, rename over the
-    * slot file — a concurrent reader sees the old or the new log, never
-    * a torn write. */
+  /** Install: full version log to a fresh tmp, delete + rename into the
+    * slot — a reader sees a complete old or new log, never a torn write
+    * (a sub-millisecond absent window exists on stores without
+    * rename-over). Concurrent WRITERS are last-write-wins: view DDL is
+    * rare metadata work and carries no data, so it does not ride the
+    * table commit CAS; a REST/JDBC catalog deployment would CAS view
+    * metadata server-side exactly like Iceberg REST views. */
   def save(slot: String, meta: GraftViewMeta, conf: Configuration): Unit = {
     val dir = new Path(slot)
     val fs = dir.getFileSystem(conf)

@@ -274,12 +274,9 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               // equality delete: the delete parquet's rows ARE the key
               // tuples — emit them as DELETE_KEY retractions mapped into
               // the full-width row (non-key columns null)
-              val keyIdx = d.keyCols.map { k =>
-                val i = dataCols.fieldIndex(k)
-                i // equality keys are data columns (partition cols refused below)
-              }
               d.keyCols.foreach(k => require(!partitionCols.contains(k),
                 s"changelog stream: equality-delete key $k is a partition column"))
+              val keyIdx = d.keyCols.map(dataCols.fieldIndex)
               val keySchema = StructType(d.keyCols.map(k => dataCols(k)))
               val delPath = new org.apache.hadoop.fs.Path(s"$location/data/${d.path}")
               val delFile = PartitionedFile(
