@@ -1165,6 +1165,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the PERSISTED IVFPQ serving path: codebooks + cell-partitioned code
+    // bytes saved as graft tables (encode-once), search reads codes from
+    // the probed partitions only (static __cell IN pruning) and rescores
+    // through the id-keyed vector join. Exhaustive-exact config — same
+    // brute-force oracle as s_ann_ivfpq
+    "s_ann_pq_served" -> ((s, dir) => {
+      val (_, cbL, encL) = graft.queries.TableFixtures.pqServing(s, dir)
+      Similarity.ivfSearchPq(
+        T(s, dir, "embeddings").filter(col("vec_id") < 10),
+        graft.queries.TableFixtures.ivfIndex(s, dir), cbL, k = 5,
+        nProbe = 16, rescore = Int.MaxValue,
+        encoded = Some(encL), pruneScan = true)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF + PQ composed (the full FAISS IVFPQ serving stack). This config
     // probes all cells with an unbounded rescore, which makes the pipeline
     // provably exhaustive-exact (same brute-force oracle as s_ann_ivf)
@@ -4684,6 +4700,9 @@ object SparkEntry {
     // force regardless of the ADC approximation, so the oracle is the
     // same brute-force top-5 as s_ann_ivf
     "s_ann_ivfpq" -> annTopkSql,
+
+    // same exhaustive-exact argument over the PERSISTED serving tables
+    "s_ann_pq_served" -> annTopkSql,
 
     // own-bound pattern (q12/q31): the deterministic cells are the
     // exhaustive top-5 (identical to annTopkSql); the engine-side boolean

@@ -759,6 +759,39 @@ object Similarity {
   }
 
   /**
+   * Persist a trained PQ serving set as graft tables under `location`:
+   * `pq_codebooks` (m·ksub codeword rows — metadata-sized) and
+   * `pq_encoded`, the corpus's code bytes + reconstruction norms
+   * PARTITIONED BY CELL — the [[saveIvfIndex]] economics applied to
+   * codes: encoding runs ONCE per corpus version, every query batch
+   * after that reads m code bytes per candidate from only the probed
+   * cells' partitions, and the full-precision vectors are touched only
+   * by the id-keyed rescore. Re-encoding is a new snapshot; serving
+   * readers can pin the previous one.
+   */
+  def savePqIndex(codebooks: DataFrame, encoded: DataFrame,
+      location: String): Unit = {
+    import graft.table.GraftTable
+    val sp = codebooks.sparkSession
+    GraftTable.createOrReplace(sp, s"$location/pq_codebooks",
+      "graft.pq_codebooks", codebooks.schema).append(codebooks)
+    val partCols =
+      if (encoded.columns.contains("__cell")) Seq("__cell") else Seq.empty
+    GraftTable.createOrReplace(sp, s"$location/pq_encoded",
+      "graft.pq_encoded", encoded.schema, partitionCols = partCols)
+      .append(encoded)
+  }
+
+  /** Load a [[savePqIndex]]-persisted serving set:
+    * (codebooks, encoded). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      location: String): (DataFrame, DataFrame) = {
+    import graft.table.GraftTable
+    (GraftTable.load(spark, s"$location/pq_codebooks").toDF,
+      GraftTable.load(spark, s"$location/pq_encoded").toDF)
+  }
+
+  /**
    * IVF + PQ — the full FAISS IVFPQ serving stack: probe the `nProbe`
    * nearest inverted lists (hive-partition-pruned on a
    * [[saveIvfIndex]]-persisted index), ADC-rank ONLY the probed cells'
@@ -771,7 +804,9 @@ object Similarity {
    */
   def ivfSearchPq(queries: DataFrame, index: IvfIndex, codebooks: DataFrame,
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
-      nProbe: Int = 4, rescore: Int = 32): DataFrame = {
+      nProbe: Int = 4, rescore: Int = 32,
+      encoded: Option[DataFrame] = None,
+      pruneScan: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probes = q.crossJoin(broadcast(index.centers))
       .select(col("query_id"), col("__cell"),
@@ -781,14 +816,27 @@ object Similarity {
     val probed = probes.withColumn("__cr", row_number().over(wCell))
       .filter(col("__cr") <= nProbe)
       .select("query_id", "__cell")
-    val encoded = pqEncode(
+    // encoded codes: the persisted table ([[savePqIndex]] — the serving
+    // path, encode-once) or an inline encode of the assigned corpus
+    val enc0 = encoded.getOrElse(pqEncode(
       index.assigned.select(col("neighbor_id").as("vec_id"), col("__cell"),
         col("__cv").as(vecCol)),
       codebooks, idCol = "vec_id", vecCol = vecCol,
-      passthrough = Seq("__cell"))
+      passthrough = Seq("__cell")))
+    val enc =
+      if (!pruneScan) enc0
+      else {
+        // the saveIvfIndex pruning idiom: probed cell ids pushed as a
+        // static IN-filter — on a persisted cell-partitioned encoded
+        // table this is hive partition pruning, unprobed code files are
+        // never opened
+        val cells = probed.select("__cell").distinct()
+          .collect().map(_.get(0)).toSeq
+        enc0.filter(col("__cell").isin(cells: _*))
+      }
     // probed-cell candidates only: the (query, cell) probe rows broadcast,
     // the encoded lists stream — the corpus never shuffles
-    val cand = encoded
+    val cand = enc
       .select(col("neighbor_id"), col("__cell"), col("__codes"), col("__rnorm"))
       .join(broadcast(probed), Seq("__cell"))
       .select(col("query_id").as("__pq"), col("neighbor_id"),

@@ -616,6 +616,29 @@ object TableFixtures {
       cb
     })
 
+  private val pqIdxCache = TrieMap.empty[String, (String,
+    org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  /** Persisted PQ serving set over the IVF fixture: codebooks + the
+    * cell-partitioned encoded corpus saved as graft tables
+    * (encode-once serving). Returns (location, codebooks, encoded). */
+  def pqServing(spark: SparkSession, sfDir: String)
+      : (String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pqIdxCache.getOrElseUpdate(sfDir, {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/pq_index"
+      val cb = pqCodebooks(spark, sfDir)
+      val idx = ivfIndex(spark, sfDir)
+      val encoded = graft.ops.Similarity.pqEncode(
+        idx.assigned.select(col("neighbor_id").as("vec_id"), col("__cell"),
+          col("__cv").as("embedding")),
+        cb, passthrough = Seq("__cell"))
+      graft.table.GraftTable.drop(spark, s"$loc/pq_codebooks")
+      graft.table.GraftTable.drop(spark, s"$loc/pq_encoded")
+      graft.ops.Similarity.savePqIndex(cb, encoded, loc)
+      val (cbL, encL) = graft.ops.Similarity.loadPqIndex(spark, loc)
+      (loc, cbL, encL)
+    })
+
   private val cloneCache = TrieMap.empty[String, (GraftTable, GraftTable)]
 
   /**

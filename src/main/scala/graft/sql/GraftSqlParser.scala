@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.graft.{GraftAlterViewPropsCommand, GraftCreateBranchCommand, GraftCreateTagCommand, GraftCreateViewCommand, GraftDropBranchCommand, GraftDropTagCommand, GraftDropViewCommand, GraftShowViewsCommand}
+import org.apache.spark.sql.graft.{GraftAlterViewPropsCommand, GraftAnalyzeTableCommand, GraftCreateBranchCommand, GraftCreateTagCommand, GraftCreateViewCommand, GraftDropBranchCommand, GraftDropTagCommand, GraftDropViewCommand, GraftShowViewsCommand}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
@@ -72,6 +72,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           delegate.parseMultipartIdentifier(name),
           sets = Seq.empty,
           unsets = PropKey.findAllMatchIn(props).map(_.group(1)).toSeq))
+      // ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS] — Spark's
+      // stats DDL routed to compute_table_stats on graft tables (the
+      // session catalog's ANALYZE cannot see v2 tables)
+      case AnalyzeTable(name, _) if graftTarget(name) =>
+        Some(GraftAnalyzeTableCommand(delegate.parseMultipartIdentifier(name)))
       case _ => None
     }
 
@@ -138,4 +143,7 @@ object GraftSqlParser {
       "\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?$").r
   private val PropPair = "'([^']*)'\\s*=\\s*'([^']*)'".r
   private val PropKey = "'([^']*)'".r
+  private val AnalyzeTable =
+    ("(?is)^ANALYZE\\s+TABLE\\s+" + Ident +
+      "\\s+COMPUTE\\s+STATISTICS(\\s+FOR\\s+ALL\\s+COLUMNS)?\\s*;?$").r
 }

@@ -283,3 +283,17 @@ case class GraftViewRule(session: ClassicSession)
         }
     }
 }
+
+/** `ANALYZE TABLE cat.ns.t COMPUTE STATISTICS [FOR ALL COLUMNS]` on a
+  * graft table: runs [[GraftTable.computeTableStats]] — per-column
+  * HLL-sketch NDV + null counts pinned to the current snapshot, served
+  * through the scan's Statistics surface for CBO. */
+case class GraftAnalyzeTableCommand(nameParts: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session,
+      GraftCommands.resolveLocation(session, nameParts))
+    t.computeTableStats()
+    Seq.empty
+  }
+}

@@ -129,6 +129,42 @@ class PqSpec extends SparkTestBase {
       s"tuned IVFPQ recall ${hits.toDouble / exact.size} below bound")
   }
 
+  test("persisted PQ index: save/load round-trips; pruned serving equals inline") {
+    val queries = corpus.filter(col("vec_id") < 4)
+    val index = Similarity.buildIvfIndex(corpus, nCells = 6)
+    val encoded = Similarity.pqEncode(
+      index.assigned.select(col("neighbor_id").as("vec_id"), col("__cell"),
+        col("__cv").as("embedding")),
+      cb, passthrough = Seq("__cell"))
+    val dir = tmpDir("pqidx")
+    Similarity.savePqIndex(cb, encoded, dir)
+    val (cbL, encL) = Similarity.loadPqIndex(spark, dir)
+    assert(cbL.count() === cb.count())
+    assert(encL.count() === corpus.count())
+    def res(enc: Option[org.apache.spark.sql.DataFrame], prune: Boolean) =
+      Similarity.ivfSearchPq(queries, index, cbL, k = 3, nProbe = 3,
+          rescore = 12, encoded = enc, pruneScan = prune)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+        .toSet
+    val inline = res(None, prune = false)
+    assert(inline.nonEmpty)
+    assert(res(Some(encL), prune = false) === inline,
+      "the persisted encode must serve identical results")
+    assert(res(Some(encL), prune = true) === inline,
+      "partition-pruned serving must not change results")
+    // the encoded table is CELL-partitioned: the pruned search's scan
+    // carries a static __cell IN partition filter (the saveIvfIndex
+    // pruning idiom — unprobed code files are never opened)
+    val prunedPlan = Similarity.ivfSearchPq(queries, index, cbL, k = 3,
+        nProbe = 2, rescore = 12, encoded = Some(encL), pruneScan = true)
+      .queryExecution.executedPlan.toString
+    val filterLine = prunedPlan.linesIterator.find(l =>
+      l.contains("PartitionFilters: [__cell#") && l.contains(" IN ("))
+    assert(filterLine.isDefined,
+      s"expected a static __cell IN partition filter:\n$prunedPlan")
+  }
+
   test("plan shape: ADC scoring broadcasts queries; corpus never shuffles pre-topk") {
     val queries = corpus.filter(col("vec_id") < 3)
     val enc = Similarity.pqEncode(corpus, cb)

@@ -85,6 +85,19 @@ class TableStatsSpec extends SparkTestBase {
       s"unioned grp ndv ${rec.cols("grp").ndv}")
   }
 
+  test("ANALYZE TABLE ... COMPUTE STATISTICS routes to compute_table_stats") {
+    val t = mkTable("stats-analyze")
+    val wh = new java.io.File(t.location).getParent
+    spark.conf.set("spark.sql.catalog.acat", "graft.table.catalog.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.acat.warehouse", wh)
+    spark.sql(s"CALL acat.system.register_table('analyze_t', '${t.location}')")
+    assert(t.meta.columnStats.isEmpty)
+    spark.sql("ANALYZE TABLE acat.analyze_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val rec = GraftTable.load(spark, t.location).meta.columnStats.get
+    assert(rec.rowCount === 20000L)
+    assert(rec.cols.contains("grp"))
+  }
+
   test("the stats flip a join strategy: CBO shrinks a selective filter below the broadcast bar") {
     import spark.implicits._
     val big = mkTable("stats-join-big")
