@@ -188,6 +188,11 @@ object Bench {
       graft.queries.TableFixtures.streamDeduped(spark, sfDir)
       graft.queries.TableFixtures.ivfRefreshed(spark, sfDir)
       graft.queries.TableFixtures.ordersCloned(spark, sfDir)
+      graft.queries.TableFixtures.ordersPosRewritten(spark, sfDir)
+      graft.queries.TableFixtures.ordersStats(spark, sfDir)
+      graft.queries.TableFixtures.ordersView(spark, sfDir)
+      graft.queries.TableFixtures.pqServing(spark, sfDir)
+      graft.queries.TableFixtures.streamChangelogReplayed(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")
