@@ -192,8 +192,24 @@ case class GraftCreateViewCommand(nameParts: Seq[String], viewSql: String,
     val classic = session.asInstanceOf[ClassicSession]
     // analyze the view body NOW: a CREATE must fail on a broken query,
     // and the stored schema is the authored-time contract
-    val schema = Dataset.ofRows(classic,
-      classic.sessionState.sqlParser.parsePlan(viewSql)).schema
+    val parsed = classic.sessionState.sqlParser.parsePlan(viewSql)
+    // direct self-reference guard: `CREATE OR REPLACE VIEW v AS … FROM v`
+    // analyzes fine against the OLD stored version but the stored SQL
+    // would then expand into itself forever on read (indirect cycles are
+    // bounded by the analyzer's max-iterations failure; the direct case
+    // deserves a clear error at DDL time, like Spark's own views)
+    parsed.foreach {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if GraftViewCommands.resolve(session, u.multipartIdentifier)
+            .exists(r => (r._1 eq cat) && r._2 == ident) =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "RECURSIVE_VIEW",
+          messageParameters = Map(
+            "viewIdent" -> ident.toString,
+            "newPath" -> ident.toString))
+      case _ =>
+    }
+    val schema = Dataset.ofRows(classic, parsed).schema
     val cm = classic.sessionState.catalogManager
     val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
       ident, viewSql, cm.currentCatalog.name(), cm.currentNamespace,

@@ -88,6 +88,18 @@ class ViewCatalogSpec extends SparkTestBase {
     assert(meta.versions.size === 3)
   }
 
+  test("a direct self-referencing REPLACE is refused at DDL time") {
+    spark.sql(s"CREATE VIEW $cat.ns.v_self AS SELECT k FROM $cat.ns.base")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"CREATE OR REPLACE VIEW $cat.ns.v_self AS " +
+        s"SELECT k FROM $cat.ns.v_self")
+    }
+    assert(e.getErrorClass == "RECURSIVE_VIEW" ||
+      e.getMessage.toLowerCase.contains("recursive"))
+    // the old version is untouched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.v_self").head.getLong(0) === 41L)
+  }
+
   test("time travel composes through a view (VERSION AS OF on the base table)") {
     import spark.implicits._
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
