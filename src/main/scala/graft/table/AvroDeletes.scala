@@ -1,0 +1,231 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Avro physical format for merge-on-read DELETE FILES — the reference's
+ * `write.delete.format.default = avro` (IcebergLoadActivityTask.scala:34)
+ * honored for real: Iceberg writes row-level delete files as Avro by
+ * default, and this module does the same with the raw Avro container
+ * API (`avro-1.12` is on every Spark classpath; the spark-avro
+ * DataSource is not needed — delete files have tiny flat schemas).
+ *
+ * Write shape: the delete frame's partitions each stream one Avro
+ * container file into the staging dir (`foreachPartition` — executor-
+ * side, no driver materialization, deflate-compressed). Read shape: one
+ * task per delete file decoding `GenericRecord`s back to rows
+ * (`mapPartitions` over the file list). Delete files are the SMALL side
+ * of the MoR trade by design, so per-file tasks are the right
+ * granularity.
+ *
+ * Type coverage matches what delete files can carry: the atomic Spark
+ * types, with timestamps as Avro `timestamp-micros` and dates as
+ * `date` logical types — same physical encodings Iceberg uses.
+ * Unsupported key types fail loudly at write time (unset the property
+ * to fall back to parquet delete files).
+ */
+object AvroDeletes {
+
+  val Extension = ".avro"
+
+  private def avroFieldType(dt: DataType): Schema = {
+    val base = dt match {
+      case StringType => Schema.create(Schema.Type.STRING)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case TimestampType | TimestampNTZType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case other => throw new UnsupportedOperationException(
+        s"avro delete files do not support key type $other " +
+          "(unset write.delete.format.default to use parquet delete files)")
+    }
+    Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+  }
+
+  def avroSchemaFor(schema: StructType): Schema = {
+    val fields = schema.fields.map { f =>
+      new Schema.Field(f.name, avroFieldType(f.dataType),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord("graft_delete", null, "graft", false,
+      fields.toList.asJava)
+  }
+
+  private def toAvro(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case s: String => s
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    case l: java.time.LocalDateTime =>
+      val inst = l.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case other => other // long, int, double, float, boolean
+  }
+
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, _) => u.toString
+    case (s: String, _) => s
+    case (l: java.lang.Long, TimestampType | TimestampNTZType) =>
+      val ts = new java.sql.Timestamp(l / 1000L)
+      ts.setNanos(((l % 1000000L + 1000000L) % 1000000L).toInt * 1000)
+      ts
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (i: java.lang.Integer, ShortType) => i.shortValue()
+    case (i: java.lang.Integer, ByteType) => i.byteValue()
+    case (other, _) => other
+  }
+
+  /** Write `df` as Avro container files under `stagingDir` (one per
+    * non-empty partition); returns nothing — callers list the dir. */
+  def write(df: DataFrame, stagingDir: Path, conf: Configuration): Unit = {
+    val schema = df.schema
+    val avroJson = avroSchemaFor(schema).toString
+    val dir = stagingDir.toString
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val avroSchema = new Schema.Parser().parse(avroJson)
+        val p = new Path(dir,
+          s"part-${java.util.UUID.randomUUID().toString.take(12)}$Extension")
+        val fs = p.getFileSystem(serConf.value)
+        val out = fs.create(p, false)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        writer.create(avroSchema, out)
+        try {
+          it.foreach { row =>
+            val rec = new GenericData.Record(avroSchema)
+            var i = 0
+            while (i < schema.length) {
+              rec.put(schema(i).name, toAvro(row.get(i), schema(i).dataType))
+              i += 1
+            }
+            writer.append(rec)
+          }
+        } finally writer.close() // closes the stream
+      }
+    }
+  }
+
+  /** Record count of one Avro container file (block headers only — no
+    * record decode). */
+  def countRecords(path: Path, conf: Configuration): Long = {
+    val in = path.getFileSystem(conf).open(path)
+    val stream = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      var n = 0L
+      while (stream.hasNext) {
+        val inBlock = stream.getBlockCount
+        if (inBlock > 0) { n += inBlock; stream.nextBlock() }
+        else { stream.next(); n += 1 }
+      }
+      n
+    } finally stream.close()
+  }
+
+  /** Invert [[avroFieldType]]: the Spark type a stored field decodes to
+    * (the file header is the source of truth, exactly like the parquet
+    * path's file-defined schema — era-correct by construction). */
+  private def sparkTypeOf(s: Schema): DataType = {
+    val base = s.getType match {
+      case Schema.Type.UNION =>
+        return sparkTypeOf(s.getTypes.asScala
+          .find(_.getType != Schema.Type.NULL).get)
+      case Schema.Type.STRING => StringType
+      case Schema.Type.LONG =>
+        if (s.getLogicalType != null &&
+            s.getLogicalType.getName == "timestamp-micros") TimestampType
+        else LongType
+      case Schema.Type.INT =>
+        if (s.getLogicalType != null && s.getLogicalType.getName == "date")
+          DateType
+        else IntegerType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new UnsupportedOperationException(
+        s"unexpected avro type $other in a graft delete file")
+    }
+    base
+  }
+
+  /** Self-describing read: the schema comes from the FIRST file's Avro
+    * header (all files of one delete commit share it). */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "avro delete read: no files")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val head = new Path(paths.head)
+    val in = head.getFileSystem(conf).open(head)
+    val stream = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    val avroSchema = try stream.getSchema finally stream.close()
+    val sparkSchema = StructType(avroSchema.getFields.asScala.toSeq.map(f =>
+      StructField(f.name(), sparkTypeOf(f.schema()), nullable = true)))
+    read(spark, paths, sparkSchema)
+  }
+
+  /** Read one-or-more Avro delete files as a DataFrame with `schema` —
+    * one task per file (delete files are the small MoR side). */
+  def read(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val fieldNames = schema.fields.map(_.name)
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val path = new Path(p)
+        val fs = path.getFileSystem(conf.value)
+        val in = fs.open(path)
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        // streamed, closing on exhaustion — a delete file can carry
+        // millions of keys and must not buffer in one task
+        new Iterator[Row] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            if (closed) return false
+            val h = stream.hasNext
+            if (!h) { stream.close(); closed = true }
+            h
+          }
+          override def next(): Row = {
+            val rec = stream.next()
+            Row.fromSeq(fieldNames.zip(fieldTypes).map {
+              case (n, dt) => fromAvro(rec.get(n), dt)
+            }.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -295,7 +295,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
                   col("__runs"), col("__pos")))
               .drop("__delf", "__runs")
           } else if (d.isPositional) {
-            val del = spark.read.parquet(s"$dataDir/${d.path}")
+            val del = readDeleteContent(d)
               .select(col("__file").as("__delf"), col("__pos").as("__delp"))
             df.join(del,
               col("__file") === col("__delf") && col("__pos") === col("__delp"),
@@ -305,7 +305,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
             // equals null), so a recorded null-key tuple deletes null rows.
             // Key columns were recorded under the names current at the
             // delete's commit; later renames are mapped forward.
-            val del = spark.read.parquet(s"$dataDir/${d.path}")
+            val del = readDeleteContent(d)
               .select(d.keyCols.map(k => col(k).as(s"__del_$k")).toIndexedSeq: _*)
             df.join(del,
               d.keyCols.map(k =>
@@ -733,19 +733,33 @@ class GraftTable(val spark: SparkSession, val location: String) {
       (total + rowsPerFile - 1) / rowsPerFile)).toInt
     val staged0 =
       if (nFiles == 1) keys.coalesce(1) else keys.repartition(nFiles)
-    staged0.write.mode("overwrite").parquet(staging.toString)
+    // physical format: the reference's `write.delete.format.default = avro`
+    // (Iceberg's default row-level delete format) is honored for real —
+    // Avro container files written with the raw Avro API; anything else
+    // (or unset) writes parquet. Deletion vectors have their own format
+    // and ignore this property.
+    val avro = properties.get("write.delete.format.default").contains("avro")
+    val ext = if (avro) AvroDeletes.Extension else ".parquet"
+    if (avro) {
+      // an all-empty delete frame writes no file at all — the staging dir
+      // must still exist for the listing (parquet's committer creates it)
+      fs.mkdirs(staging)
+      AvroDeletes.write(staged0, staging, conf)
+    } else staged0.write.mode("overwrite").parquet(staging.toString)
     val staged = fs.listStatus(staging)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(ext))
     val dels = staged.toSeq.map { st =>
       val rel = s"_deletes/del-$commitId-${st.getPath.getName}"
       val target = new Path(dataDir, rel)
       fs.mkdirs(target.getParent)
       if (!fs.rename(st.getPath, target))
         throw new IllegalStateException(s"Failed to move delete file to $target")
-      val records = {
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
-        try r.getRecordCount finally r.close()
-      }
+      val records =
+        if (avro) AvroDeletes.countRecords(target, conf)
+        else {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
+          try r.getRecordCount finally r.close()
+        }
       DeleteFile(rel, keyCols, records, fs.getFileStatus(target).getLen,
         seq = -1L, kind = kind)
     }
@@ -753,6 +767,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     dels.filterNot(_.records > 0).foreach(d => fs.delete(new Path(dataDir, d.path), false))
     dels.filter(_.records > 0)
   }
+
+  /** Delete-file CONTENT read dispatching on the physical format (the
+    * file extension records it): Avro container files or parquet. */
+  private def readDeleteContent(d: DeleteFile): DataFrame =
+    if (d.path.endsWith(AvroDeletes.Extension))
+      AvroDeletes.read(spark, Seq(s"$dataDir/${d.path}"))
+    else spark.read.parquet(s"$dataDir/${d.path}")
 
   /**
    * Merge-on-read UPDATE (tblproperty `write.update.mode=merge-on-read`,
@@ -1095,7 +1116,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           val parentState = parent
             .map(p => readWithDeletes(Some(p), m, p.files))
             .getOrElse(emptyState)
-          val delKeys = spark.read.parquet(s"$dataDir/${d.path}")
+          val delKeys = readDeleteContent(d)
             .select(d.keyCols.map(k => col(k).as(s"__del_$k")).toIndexedSeq: _*)
           val deleted = parentState.join(delKeys,
             d.keyCols.map(k =>
@@ -1120,7 +1141,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
                 StructField("__pos", LongType)))))
           val delPairs = newDels
             .map { d =>
-              val raw = spark.read.parquet(s"$dataDir/${d.path}")
+              val raw = readDeleteContent(d)
               if (d.isDv)
                 raw.select(col("__file").as("__delf"),
                   explode(flatten(transform(
@@ -1822,9 +1843,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val vecs = posDels.filter(_.isDv)
       // old-format row lists, plus deletion vectors expanded back to
       // positions (runs → sequence per run) so both representations merge
-      val listEntries = if (lists.isEmpty) None else Some(spark.read
-        .parquet(lists.map(d => s"$dataDir/${d.path}"): _*)
-        .select(col("__file"), col("__pos")))
+      val listEntries = if (lists.isEmpty) None else Some(lists
+        .map(d => readDeleteContent(d).select(col("__file"), col("__pos")))
+        .reduce(_.unionByName(_)))
       val vecEntries = if (vecs.isEmpty) None else Some(spark.read
         .parquet(vecs.map(d => s"$dataDir/${d.path}"): _*)
         .select(col("__file"), explode(flatten(transform(

@@ -274,6 +274,10 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               // equality delete: the delete parquet's rows ARE the key
               // tuples — emit them as DELETE_KEY retractions mapped into
               // the full-width row (non-key columns null)
+              require(!d.path.endsWith(".avro"),
+                s"changelog stream: snapshot ${sn.id}'s equality delete is " +
+                  "an Avro file; the stream's columnar reader is parquet — " +
+                  "use changelogBetween (format-dispatching) for this range")
               d.keyCols.foreach(k => require(!partitionCols.contains(k),
                 s"changelog stream: equality-delete key $k is a partition column"))
               val keyIdx = d.keyCols.map(dataCols.fieldIndex)
