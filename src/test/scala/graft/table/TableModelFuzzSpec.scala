@@ -38,14 +38,25 @@ class TableModelFuzzSpec extends SparkTestBase {
     for (seed <- Seq(7, 59)) campaign(seed, dvMode = true)
   }
 
-  private def campaign(seed: Int, dvMode: Boolean): Unit = {
+  /** Avro-delete-file campaign: same model fuzz with
+    * `write.delete.format.default=avro` — every MoR equality delete and
+    * positional row list lands as an Avro container file, read back
+    * through the format-dispatching paths. */
+  test("avro-delete campaign: MoR deletes as Avro container files (1 seed x 40 ops)") {
+    campaign(31, dvMode = false, avroMode = true)
+  }
+
+  private def campaign(seed: Int, dvMode: Boolean,
+      avroMode: Boolean = false): Unit = {
     import spark.implicits._
     locally {
       val rnd = new scala.util.Random(seed)
-      val t = GraftTable.create(spark, tmpDir(s"fuzz-model-$seed-$dvMode"),
+      val t = GraftTable.create(spark, tmpDir(s"fuzz-model-$seed-$dvMode-$avroMode"),
         s"fzm$seed", schema, partitionCols = Seq("p"),
-        props = if (dvMode) Map("write.delete.vector.enabled" -> "true")
-          else Map.empty)
+        props = (if (dvMode) Map("write.delete.vector.enabled" -> "true")
+          else Map.empty[String, String]) ++
+          (if (avroMode) Map("write.delete.format.default" -> "avro")
+          else Map.empty))
       var model = Vector.empty[Row3]
       // snapshot id -> exact model state when that snapshot was committed
       val states = scala.collection.mutable.LinkedHashMap.empty[Long, Vector[Row3]]
@@ -66,7 +77,7 @@ class TableModelFuzzSpec extends SparkTestBase {
       check("init")
 
       (1 to 40).foreach { i =>
-        rnd.nextInt(if (dvMode) 11 else 10) match {
+        rnd.nextInt(if (dvMode || avroMode) 11 else 10) match {
           case 0 | 1 | 2 => // append (duplicate keys allowed: multiset)
             val rows = fresh(5 + rnd.nextInt(10))
             t.append(rows.toDF("k", "v", "p"))
@@ -106,7 +117,7 @@ class TableModelFuzzSpec extends SparkTestBase {
             model = model.filterNot { case (k, _, _) => del.contains(k) }
             check(s"op$i merge delete")
           case 8 => // maintenance: content no-ops
-            rnd.nextInt(if (dvMode) 4 else 3) match {
+            rnd.nextInt(if (dvMode || avroMode) 4 else 3) match {
               case 0 => t.rewriteDataFilesSorted(Seq(asc("k")))
               case 1 => t.rewriteDataFilesBinpack(minFileSizeBytes = 1L << 20)
               case 2 =>
@@ -133,8 +144,13 @@ class TableModelFuzzSpec extends SparkTestBase {
             t.deleteWherePositional(col("k") % m0 === r)
             model = model.filterNot { case (k, _, _) => k % m0 == r }
             val head = t.meta.currentSnapshot.get
-            assert(head.deleteFiles.filter(_.seq == head.id).forall(_.isDv),
-              s"seed $seed op$i: DV mode must commit dv-kind delete files")
+            if (dvMode)
+              assert(head.deleteFiles.filter(_.seq == head.id).forall(_.isDv),
+                s"seed $seed op$i: DV mode must commit dv-kind delete files")
+            else if (avroMode)
+              assert(head.deleteFiles.filter(_.seq == head.id)
+                .forall(_.path.endsWith(".avro")),
+                s"seed $seed op$i: avro mode must commit .avro delete files")
             check(s"op$i deleteWherePositional(k % $m0 == $r)")
         }
       }
