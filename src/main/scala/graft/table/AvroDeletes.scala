@@ -88,8 +88,9 @@ object AvroDeletes {
     case (u: org.apache.avro.util.Utf8, _) => u.toString
     case (s: String, _) => s
     case (l: java.lang.Long, TimestampType | TimestampNTZType) =>
-      val ts = new java.sql.Timestamp(l / 1000L)
-      ts.setNanos(((l % 1000000L + 1000000L) % 1000000L).toInt * 1000)
+      // floor semantics so pre-1970 micros land on the right millisecond
+      val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(l, 1000L))
+      ts.setNanos(java.lang.Math.floorMod(l, 1000000L).toInt * 1000)
       ts
     case (i: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
@@ -110,14 +111,21 @@ object AvroDeletes {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val avroSchema = new Schema.Parser().parse(avroJson)
-        val p = new Path(dir,
-          s"part-${java.util.UUID.randomUUID().toString.take(12)}$Extension")
-        val fs = p.getFileSystem(serConf.value)
-        val out = fs.create(p, false)
+        // poor-man's task commit: write under a tmp name invisible to the
+        // staging listing (no $Extension suffix), rename only on task
+        // SUCCESS — a failed/retried task's torn container can never be
+        // listed as a delete file (a torn Avro file reads as silently
+        // truncated delete keys, a correctness hole, not just waste)
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        val tmp = new Path(dir, s".inflight-$id")
+        val fin = new Path(dir, s"part-$id$Extension")
+        val fs = tmp.getFileSystem(serConf.value)
+        val out = fs.create(tmp, false)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avroSchema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
         writer.create(avroSchema, out)
+        var ok = false
         try {
           it.foreach { row =>
             val rec = new GenericData.Record(avroSchema)
@@ -128,7 +136,13 @@ object AvroDeletes {
             }
             writer.append(rec)
           }
-        } finally writer.close() // closes the stream
+          ok = true
+        } finally {
+          writer.close() // closes the stream
+          if (ok && !fs.rename(tmp, fin))
+            throw new java.io.IOException(s"could not publish $fin")
+          if (!ok) fs.delete(tmp, false)
+        }
       }
     }
   }
