@@ -45,6 +45,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def fileLoc(f: DataFile): String =
     s"${f.base.getOrElse(dataDir)}/${f.path}"
 
+  /** Resolve a physical file reference — an `input_file_name()` URI or a
+    * manifest location — to its decoded scheme-less absolute path, the
+    * canonical form both sides of a matched-file probe normalize to. */
+  private def decodedPath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Split head files into (affected, untouched) given the distinct
+    * `input_file_name()` URIs of the rows a CoW merge/update/delete
+    * matched. O(|headFiles| + |matchedPaths|): both sides normalize to a
+    * decoded absolute path once and the test is hash-set membership. (The
+    * naive `endsWith` suffix scan is O(|headFiles| × |matchedPaths|) — a
+    * driver-side quadratic that at 10⁶ files × 10⁵ matches would burn
+    * ~10¹¹ comparisons before any task launches.) */
+  private[table] def partitionAffected(headFiles: Seq[DataFile],
+      matchedPaths: Set[String]): (Seq[DataFile], Seq[DataFile]) = {
+    val matched: Set[String] = matchedPaths.map(decodedPath)
+    val filesystem = fs
+    // Path.toUri.getPath is already the decoded scheme-less form
+    headFiles.partition(f => matched.contains(
+      filesystem.makeQualified(new Path(fileLoc(f))).toUri.getPath))
+  }
+
   /** Always read fresh metadata — commits from this or other sessions are
     * immediately visible (metadata reads are a driver-side local file). */
   def meta: TableMetadata = SnapshotLog.read(location, conf)
@@ -483,8 +508,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .collect().map(_.getString(0)).toSet
 
       val headFiles = head.map(_.files).getOrElse(Seq.empty)
-      val (affectedFiles, untouchedFiles) =
-        headFiles.partition(f => matchedFilePaths.exists(p => p.endsWith("/" + f.path)))
+      val (affectedFiles, _) = partitionAffected(headFiles, matchedFilePaths)
 
       // 2. rewrite affected files with merged contents + all inserts
       // (through the delete-applying read: a CoW rewrite of a file with
@@ -554,8 +578,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .select(input_file_name().as("__file")).distinct()
         .collect().map(_.getString(0)).toSet
       val headFiles = head.map(_.files).getOrElse(Seq.empty)
-      val (affectedFiles, _) =
-        headFiles.partition(f => matchedFilePaths.exists(p => p.endsWith("/" + f.path)))
+      val (affectedFiles, _) = partitionAffected(headFiles, matchedFilePaths)
       if (affectedFiles.isEmpty) {
         commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch)
       } else {
@@ -880,8 +903,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .select(input_file_name().as("__file")).distinct()
         .collect().map(_.getString(0)).toSet
       val headFiles = head.map(_.files).getOrElse(Seq.empty)
-      val (affectedFiles, _) =
-        headFiles.partition(f => matchedFilePaths.exists(p => p.endsWith("/" + f.path)))
+      val (affectedFiles, _) = partitionAffected(headFiles, matchedFilePaths)
       if (affectedFiles.isEmpty) {
         commitSnapshot(m, Seq.empty, Seq.empty, "update", branch)
       } else {
