@@ -2211,6 +2211,25 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // general SQL MERGE clause surface (round 15): conditional clauses,
+    // three MATCHED clauses first-true-wins, conditional INSERT — the
+    // rule's general path (conditional-cascade CoW rewrite)
+    "t_merge_conditional" -> ((s, dir) =>
+      TableFixtures.ordersMergeConditional(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .orderBy("o_orderstatus")),
+
+    // WHEN NOT MATCHED BY SOURCE UPDATE/DELETE through SQL
+    "t_merge_not_matched_by_source" -> ((s, dir) =>
+      TableFixtures.ordersMergeNmbs(s, dir).toDF
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority")),
+
     // RENAME + DROP COLUMN schema evolution: three file eras (original
     // name / renamed / renamed+dropped) must union under the current
     // declared schema with no file rewrite
@@ -5360,6 +5379,56 @@ object SparkEntry {
          WHERE (o_orderkey % 3 < 2 AND o_orderkey % 5 <> 0)
             OR (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0)
          GROUP BY 1 ORDER BY 1""",
+
+    // the general-clause MERGE replayed as a CASE cascade over the same
+    // full-outer join, first-true-wins clause order preserved
+    "t_merge_conditional" ->
+      s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 < 2),
+           s AS (SELECT o_orderkey AS sk, o_totalprice * 2 AS p,
+                   o_custkey AS sc
+                 FROM orders WHERE o_orderkey % 4 = 0),
+           j AS (SELECT t.*, s.sk, s.p, s.sc
+                 FROM t FULL OUTER JOIN s ON t.o_orderkey = s.sk),
+           merged AS (
+             SELECT
+               CASE WHEN o_orderkey IS NOT NULL AND sk IS NOT NULL THEN
+                      CASE WHEN p > 300000 THEN o_orderstatus ELSE 'M' END
+                    WHEN o_orderkey IS NULL THEN 'N'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey IS NOT NULL AND sk IS NOT NULL THEN
+                      CASE WHEN p > 300000 THEN p ELSE o_totalprice END
+                    WHEN o_orderkey IS NULL THEN p
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey IS NULL THEN sc
+                    ELSE o_custkey END AS o_custkey
+             FROM j
+             WHERE NOT (o_orderkey IS NOT NULL AND sk IS NOT NULL
+                        AND NOT (p > 300000) AND sc % 2 = 0)
+               AND NOT (o_orderkey IS NULL AND NOT (p < 100000)))
+         SELECT o_orderstatus, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents,
+           cast(sum(o_custkey) AS bigint) AS cust_sum
+         FROM merged GROUP BY 1 ORDER BY 1""",
+
+    // NMBS: matched rows accumulate, unreferenced rows delete or go stale;
+    // source-only rows are ignored (no NOT MATCHED clause) -> LEFT JOIN
+    "t_merge_not_matched_by_source" ->
+      s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 < 2),
+           s AS (SELECT o_orderkey AS sk, o_totalprice AS sp
+                 FROM orders WHERE o_orderkey % 5 = 0),
+           j AS (SELECT t.*, s.sk, s.sp
+                 FROM t LEFT JOIN s ON t.o_orderkey = s.sk),
+           merged AS (
+             SELECT
+               CASE WHEN sk IS NOT NULL THEN o_totalprice + sp
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN sk IS NOT NULL THEN o_orderpriority
+                    ELSE 'STALE' END AS o_orderpriority
+             FROM j
+             WHERE NOT (sk IS NULL AND o_totalprice > 200000))
+         SELECT o_orderpriority, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents
+         FROM merged GROUP BY 1 ORDER BY 1""",
 
     // recompute over raw orders; o_totalprice IS o_amount post-rename
     "t_rename_drop" ->

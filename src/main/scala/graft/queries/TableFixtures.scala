@@ -586,6 +586,58 @@ object TableFixtures {
       t
     })
 
+  /** General-clause SQL MERGE fixture (round 15): conditional `WHEN MATCHED
+    * AND …`, three MATCHED clauses first-true-wins, and a conditional
+    * INSERT — through the SQL rule's general path (the conditional-cascade
+    * CoW rewrite). Base = the `%3 < 2` order slice; source = the `%4 == 0`
+    * slice with doubled prices. */
+  def ordersMergeConditional(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_merge_cond", sfDir), {
+      val cat = sqlCatalog(spark, sfDir)
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_merge_cond"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_merge_cond", orders.schema)
+      t.append(orders.filter(col("o_orderkey") % 3 < 2))
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"),
+          col("o_custkey"))
+        .createOrReplaceTempView("merge_cond_src")
+      spark.sql(s"""MERGE INTO $cat.orders_merge_cond t USING merge_cond_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.p > 300000
+          THEN UPDATE SET t.o_totalprice = s.p, t.o_orderpriority = 'BUMP'
+        WHEN MATCHED AND s.o_custkey % 2 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.o_orderstatus = 'M'
+        WHEN NOT MATCHED AND s.p < 100000 THEN
+          INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+          VALUES (s.o_orderkey, s.o_custkey, 'N', s.p)""")
+      t
+    })
+
+  /** `WHEN NOT MATCHED BY SOURCE` SQL MERGE fixture (round 15): matched
+    * rows accumulate, unreferenced expensive rows delete, the rest are
+    * marked stale — the anti-join clause Iceberg's RewriteMergeIntoTable
+    * supports and the simple upsert path cannot express. */
+  def ordersMergeNmbs(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_merge_nmbs", sfDir), {
+      val cat = sqlCatalog(spark, sfDir)
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_merge_nmbs"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_merge_nmbs", orders.schema)
+      t.append(orders.filter(col("o_orderkey") % 3 < 2))
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("sp"))
+        .createOrReplaceTempView("merge_nmbs_src")
+      spark.sql(s"""MERGE INTO $cat.orders_merge_nmbs t USING merge_nmbs_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET t.o_totalprice = t.o_totalprice + s.sp
+        WHEN NOT MATCHED BY SOURCE AND t.o_totalprice > 200000 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.o_orderpriority = 'STALE'""")
+      t
+    })
+
   private val bucketedCache = TrieMap.empty[String, (String, String)]
   private val ivfCache = TrieMap.empty[String, graft.ops.Similarity.IvfIndex]
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{bridge, GraftMergeCommand, GraftUpdateCommand}
+import org.apache.spark.sql.graft.{bridge, GraftMergeCommand, GraftMergeIntoCommand, GraftUpdateCommand}
 
 import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
 
@@ -32,14 +32,26 @@ import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
  *    an insert value), the two must be the same source expression, because
  *    the CoW merge reads one projected source column per target column.
  *
- * Everything else (conditional actions, NOT MATCHED BY SOURCE, target
- * references in SET values) raises a clear analysis-time error instead of a
- * silent approximation.
+ * MERGE shapes beyond the simple one — conditional `WHEN MATCHED AND …`,
+ * several MATCHED / NOT MATCHED clauses evaluated in order, `WHEN NOT
+ * MATCHED BY SOURCE THEN UPDATE/DELETE`, clause values referencing target
+ * columns, per-column update/insert expressions that differ — route to the
+ * general [[GraftMergeIntoCommand]] ([[graft.table.GraftTable.mergeInto]]'s
+ * conditional-cascade CoW rewrite, Iceberg's `RewriteMergeIntoTable`
+ * shape). Genuinely unsupported inputs (non-equality ON conjuncts,
+ * subqueries inside clauses, WITH SCHEMA EVOLUTION) still raise clear
+ * analysis-time errors instead of a silent approximation.
  */
 object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Control-flow marker: the merge is well-formed but outside the simple
+    * single-unconditional-clause shape — re-plan via the general rewrite. */
+  private object NeedsGeneralPath
+    extends Exception with scala.util.control.NoStackTrace
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: MergeIntoTable if m.resolved && isGraftTarget(m) => rewrite(m)
+    case m: MergeIntoTable if m.resolved && isGraftTarget(m) =>
+      try rewrite(m) catch { case NeedsGeneralPath => rewriteGeneral(m) }
     case p => p
   }
 
@@ -59,8 +71,7 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     val targetAttrs = target.outputSet
     val sourceAttrs = m.sourceTable.outputSet
 
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.notMatchedBySourceActions.nonEmpty) throw NeedsGeneralPath
     if (m.withSchemaEvolution)
       fail("WITH SCHEMA EVOLUTION is not supported")
 
@@ -85,21 +96,20 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
       m.matchedActions match {
         case Seq() => (Seq.empty, false)
         case Seq(u: UpdateAction) =>
-          if (u.condition.nonEmpty) fail("conditional WHEN MATCHED AND … is not supported")
+          if (u.condition.nonEmpty) throw NeedsGeneralPath
           (u.assignments, false)
         case Seq(d: DeleteAction) =>
-          if (d.condition.nonEmpty) fail("conditional WHEN MATCHED AND … is not supported")
+          if (d.condition.nonEmpty) throw NeedsGeneralPath
           (Seq.empty, true)
-        case _ =>
-          fail("only a single unconditional WHEN MATCHED THEN UPDATE or DELETE is supported")
+        case _ => throw NeedsGeneralPath
       }
     // WHEN NOT MATCHED: nothing, or one unconditional INSERT
     val insertAssignments: Option[Seq[Assignment]] = m.notMatchedActions match {
       case Seq() => None
       case Seq(i: InsertAction) =>
-        if (i.condition.nonEmpty) fail("conditional WHEN NOT MATCHED AND … is not supported")
+        if (i.condition.nonEmpty) throw NeedsGeneralPath
         Some(i.assignments)
-      case _ => fail("only a single unconditional WHEN NOT MATCHED THEN INSERT is supported")
+      case _ => throw NeedsGeneralPath
     }
 
     def toMap(as: Seq[Assignment], clause: String): Map[String, Expression] =
@@ -108,8 +118,9 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
           case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
           case other => fail(s"$clause assigns to non-column ${other.sql}")
         }
-        if (!a.value.references.subsetOf(sourceAttrs))
-          fail(s"$clause value for $name references target columns: ${a.value.sql}")
+        // a value referencing target columns is fine — in the general
+        // rewrite's joined namespace, not in the simple projected source
+        if (!a.value.references.subsetOf(sourceAttrs)) throw NeedsGeneralPath
         name -> a.value
       }.toMap
 
@@ -118,15 +129,14 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     val insertMap = insertAssignments.map(toMap(_, "INSERT")).getOrElse(Map.empty)
 
     updateMap.keys.foreach { k =>
-      if (keyMap.contains(k)) fail(s"UPDATE SET reassigns merge key $k") }
+      if (keyMap.contains(k)) throw NeedsGeneralPath }
 
     // one projected source column per target column: the merge applies it on
     // insert for every column and on match for the update columns, so where
-    // two clauses bind the same column the expressions must agree
+    // two clauses bind the same column the expressions must agree — where
+    // they don't, the general rewrite evaluates each clause's own expression
     def agree(name: String, a: Expression, b: Expression, what: String): Unit =
-      if (!a.semanticEquals(b)) fail(
-        s"$what for $name differ ($a vs $b): the copy-on-write merge reads " +
-          "one source value per column")
+      if (!a.semanticEquals(b)) throw NeedsGeneralPath
     val projection: Seq[NamedExpression] = target.output.map { attr =>
       val expr = keyMap.get(attr.name) match {
         case Some(k) =>
@@ -155,6 +165,101 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
       keys = keyPairs.map(_._1.name), updateCols = updateCols,
       insertNotMatched = insertAssignments.nonEmpty,
       deleteMatched = deleteMatched)
+  }
+
+  /** General-shape rewrite: conditional clauses, several clauses in order,
+    * NOT MATCHED BY SOURCE, clause values over both sides — translated to
+    * [[graft.table.MergeClause]]s under the mergeInto namespace (target
+    * columns bare, source columns `__s_`-prefixed) and executed by
+    * [[GraftMergeIntoCommand]] as one conditional-cascade CoW rewrite. */
+  private def rewriteGeneral(m: MergeIntoTable): LogicalPlan = {
+    import graft.table.MergeClause
+
+    val target = EliminateSubqueryAliases(m.targetTable)
+      .asInstanceOf[DataSourceV2Relation]
+    val location = target.table.asInstanceOf[GraftWritableTable].location
+    val targetAttrs = target.outputSet
+    val sourceAttrs = m.sourceTable.outputSet
+
+    if (m.withSchemaEvolution)
+      fail("WITH SCHEMA EVOLUTION is not supported")
+
+    // same ON contract as the simple path: a conjunction of
+    // target-column = source-expression equalities
+    val keyPairs: Seq[(Attribute, Expression)] =
+      splitConjunctivePredicates(m.mergeCondition).map {
+        case EqualTo(l: AttributeReference, r) if targetAttrs.contains(l) &&
+            r.references.subsetOf(sourceAttrs) => l -> r
+        case EqualTo(l, r: AttributeReference) if targetAttrs.contains(r) &&
+            l.references.subsetOf(sourceAttrs) => r -> l
+        case other => fail(s"ON condition must be a conjunction of " +
+          s"target-column = source-expression equalities; got: ${other.sql}")
+      }
+    if (keyPairs.isEmpty) fail("ON condition must reference at least one key")
+    keyPairs.groupBy(_._1.name).collect { case (n, ps) if ps.size > 1 =>
+      fail(s"ON condition equates target column $n more than once") }
+
+    /** Rebind a clause expression into the mergeInto namespace: target
+      * attrs -> bare names, source attrs -> `__s_` names (or bare when the
+      * expression is evaluated against the RAW source, i.e. ON keys). */
+    def toCol(e: Expression, what: String, srcPrefix: Boolean = true): Column = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        fail(s"subquery in $what is not supported")
+      if (!e.references.subsetOf(targetAttrs ++ sourceAttrs))
+        fail(s"$what references columns outside the merge: ${e.sql}")
+      bridge.column(e.transform {
+        case a: AttributeReference if sourceAttrs.contains(a) =>
+          UnresolvedAttribute.quoted(if (srcPrefix) s"__s_${a.name}" else a.name)
+        case a: AttributeReference if targetAttrs.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+      })
+    }
+
+    def assignName(a: Assignment, clause: String): String = a.key match {
+      case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
+      case other => fail(s"$clause assigns to non-column ${other.sql}")
+    }
+
+    def convert(a: MergeAction, clause: String,
+        allowed: Set[String]): MergeClause = {
+      def checkRefs(e: Expression, what: String): Unit = {
+        if (allowed == Set("target") && !e.references.subsetOf(targetAttrs))
+          fail(s"$clause $what may only reference target columns: ${e.sql}")
+        if (allowed == Set("source") && !e.references.subsetOf(sourceAttrs))
+          fail(s"$clause $what may only reference source columns: ${e.sql}")
+      }
+      a match {
+        case u: UpdateAction =>
+          u.condition.foreach(checkRefs(_, "condition"))
+          MergeClause.Update(u.condition.map(toCol(_, s"$clause condition")),
+            u.assignments.map { asn =>
+              checkRefs(asn.value, "value")
+              assignName(asn, clause) -> toCol(asn.value, s"$clause value")
+            })
+        case d: DeleteAction =>
+          d.condition.foreach(checkRefs(_, "condition"))
+          MergeClause.Delete(d.condition.map(toCol(_, s"$clause condition")))
+        case i: InsertAction =>
+          i.condition.foreach(checkRefs(_, "condition"))
+          MergeClause.Insert(i.condition.map(toCol(_, s"$clause condition")),
+            i.assignments.map { asn =>
+              checkRefs(asn.value, "value")
+              assignName(asn, clause) -> toCol(asn.value, s"$clause value")
+            })
+        case other => fail(s"unsupported $clause action: $other")
+      }
+    }
+
+    val matched = m.matchedActions.map(convert(_, "WHEN MATCHED", Set("both")))
+    val notMatched =
+      m.notMatchedActions.map(convert(_, "WHEN NOT MATCHED", Set("source")))
+    val nmbs = m.notMatchedBySourceActions
+      .map(convert(_, "WHEN NOT MATCHED BY SOURCE", Set("target")))
+
+    GraftMergeIntoCommand(location, m.sourceTable,
+      keys = keyPairs.map { case (a, e) =>
+        a.name -> toCol(e, "ON key", srcPrefix = false) },
+      matched = matched, notMatched = notMatched, notMatchedBySource = nmbs)
   }
 }
 

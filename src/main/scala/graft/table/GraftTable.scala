@@ -561,6 +561,135 @@ class GraftTable(val spark: SparkSession, val location: String) {
         extraSummary = extraSummary)
     }
 
+  /**
+   * General copy-on-write MERGE with the full Spark-4 / Iceberg clause
+   * surface (Iceberg's `RewriteMergeIntoTable` shape): conditional
+   * `WHEN MATCHED AND …`, several MATCHED / NOT MATCHED clauses evaluated
+   * in order (first whose condition holds wins), and `WHEN NOT MATCHED BY
+   * SOURCE THEN UPDATE/DELETE`. The rewrite is one conditional-cascade
+   * projection over the same full-outer join [[merge]] runs — no extra
+   * shuffles versus the unconditional form.
+   *
+   * `keys` maps each target ON column to its source expression (over the
+   * RAW source columns). Clause conditions and values follow the
+   * [[MergeClause]] namespace contract: target columns by bare name,
+   * source columns via [[MergeClause.src]].
+   *
+   * File-level CoW: without NOT-MATCHED-BY-SOURCE clauses only the files
+   * holding key-matched rows rewrite (same `input_file_name` probe as
+   * [[merge]]); with them every target row must be inspected, so all head
+   * files rewrite — exactly Iceberg's cost model for that clause.
+   */
+  def mergeInto(source: DataFrame, keys: Seq[(String, Column)],
+      matched: Seq[MergeClause] = Seq.empty,
+      notMatched: Seq[MergeClause] = Seq.empty,
+      notMatchedBySource: Seq[MergeClause] = Seq.empty,
+      branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
+    withCommitLock {
+      require(keys.nonEmpty, "MERGE requires at least one ON key")
+      matched.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
+        "WHEN MATCHED clauses must UPDATE or DELETE"))
+      notMatched.foreach(c => require(c.isInstanceOf[MergeClause.Insert],
+        "WHEN NOT MATCHED clauses must INSERT"))
+      notMatchedBySource.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
+        "WHEN NOT MATCHED BY SOURCE clauses must UPDATE or DELETE"))
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val cols = tableSchema.fields.map(_.name).toSeq
+      (matched ++ notMatched ++ notMatchedBySource).foreach {
+        case MergeClause.Update(_, set) => set.foreach { case (c, _) =>
+          require(cols.contains(c), s"MERGE assigns unknown column $c") }
+        case MergeClause.Insert(_, vs) => vs.foreach { case (c, _) =>
+          require(cols.contains(c), s"MERGE inserts unknown column $c") }
+        case _: MergeClause.Delete =>
+      }
+      keys.foreach { case (k, _) => require(cols.contains(k),
+        s"MERGE ON references unknown target column $k") }
+
+      val keyNames = keys.map(_._1)
+      val srcCols = source.columns.toSeq
+      require(srcCols.distinct.size == srcCols.size,
+        "MERGE source has duplicate column names; alias them apart first")
+      // source projected ONCE: evaluated key expressions + every raw source
+      // column under the clause namespace's __s_ prefix
+      val prepared = source.select(
+        (keys.map { case (k, e) => e.as(s"__k_$k") } ++
+          srcCols.map(c => col(c).as(s"__s_$c"))).toIndexedSeq: _*)
+
+      // MERGE cardinality rule, as in [[merge]]: null-keyed source rows can
+      // never match, so only fully-non-null key tuples count as duplicates
+      val keysNotNull = keyNames.map(k => col(s"__k_$k").isNotNull).reduce(_ && _)
+      val srcCard = prepared.filter(keysNotNull).agg(
+        count(lit(1)).as("n"),
+        countDistinct(struct(keyNames.map(k => col(s"__k_$k")).toIndexedSeq: _*)).as("d"))
+        .collect().head
+      require(srcCard.getLong(0) == srcCard.getLong(1),
+        s"MERGE source has ${srcCard.getLong(0) - srcCard.getLong(1)} duplicate " +
+          s"rows on key (${keyNames.mkString(", ")}); deduplicate the source first")
+
+      val head = resolveWriteBranchHead(m, branch)
+      val headFiles = head.map(_.files).getOrElse(Seq.empty)
+      val affectedFiles =
+        if (notMatchedBySource.nonEmpty) headFiles
+        else {
+          val current = plainRead(m, tableSchema, headFiles)
+          val srcKeys = prepared
+            .select(keyNames.map(k => col(s"__k_$k").as(k)).toIndexedSeq: _*).distinct()
+          val matchedFilePaths: Set[String] = current
+            .select((keyNames.map(col) :+ input_file_name().as("__file")).toIndexedSeq: _*)
+            .join(srcKeys, keyNames, "left_semi")
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+          partitionAffected(headFiles, matchedFilePaths)._1
+        }
+
+      val target = readWithDeletes(head, m, affectedFiles).withColumn("__tgt", lit(1))
+      val s = prepared.withColumn("__src", lit(1))
+      // null-unsafe key equality, matching both the file probe and SQL MERGE
+      val joinCond = keyNames.map(k => target(k) === s(s"__k_$k")).reduce(_ && _)
+      val joined = target.join(s, joinCond, "full_outer")
+
+      val isMatched = col("__tgt").isNotNull && col("__src").isNotNull
+      val isSrcOnly = col("__tgt").isNull
+
+      // first-true-wins cascade: `when(c1,…).when(c2,…)` already evaluates
+      // conditions in clause order, SQL MERGE's clause semantics exactly
+      // (a NULL condition, like SQL, does not fire the clause)
+      def keepChain(clauses: Seq[MergeClause], default: Boolean): Column =
+        clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
+          val keeps = lit(!cl.isInstanceOf[MergeClause.Delete])
+          val cond = cl.condition.getOrElse(lit(true))
+          Some(acc.fold(when(cond, keeps))(_.when(cond, keeps)))
+        }.fold(lit(default))(_.otherwise(lit(default)))
+
+      def valChain(clauses: Seq[MergeClause], c: String, default: Column): Column =
+        clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
+          val v: Column = cl match {
+            case MergeClause.Update(_, set) => set.toMap.getOrElse(c, default)
+            case MergeClause.Insert(_, vs)  => vs.toMap.getOrElse(c, lit(null))
+            case _: MergeClause.Delete      => default // row dropped by keepChain
+          }
+          val cond = cl.condition.getOrElse(lit(true))
+          Some(acc.fold(when(cond, v))(_.when(cond, v)))
+        }.fold(default)(_.otherwise(default))
+
+      val keep = when(isMatched, keepChain(matched, default = true))
+        .when(isSrcOnly, keepChain(notMatched, default = false))
+        .otherwise(keepChain(notMatchedBySource, default = true))
+      val outCols = tableSchema.fields.map { f =>
+        when(isMatched, valChain(matched, f.name, col(f.name)))
+          .when(isSrcOnly, valChain(notMatched, f.name, lit(null)))
+          .otherwise(valChain(notMatchedBySource, f.name, col(f.name)))
+          .cast(f.dataType).as(f.name)
+      }
+      val result = joined.filter(keep).select(outCols.toIndexedSeq: _*)
+
+      val newFiles = writeDataFiles(result, tableSchema, m.partitionCols)
+      commitSnapshot(m, newFiles, affectedFiles.map(_.path), "merge", branch,
+        extraSummary = extraSummary)
+    }
+
   /** Copy-on-write DELETE (reference tblproperty write.delete.mode=copy-on-write,
     * IcebergLoadActivityTask.scala:29): rewrite only the FILES containing
     * matching rows (input_file_name probe, same shape as merge). */

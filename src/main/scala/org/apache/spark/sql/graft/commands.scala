@@ -67,6 +67,29 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
   }
 }
 
+/** General-shape `MERGE INTO` rewritten by [[graft.sql.GraftMergeRule]]
+  * (conditional clauses, several clauses in order, NOT MATCHED BY SOURCE):
+  * runs [[GraftTable.mergeInto]]'s conditional-cascade copy-on-write
+  * rewrite. `write.merge.mode=merge-on-read` governs the physical commit
+  * shape, not semantics — the general clause surface ships CoW only, so
+  * MoR-mode tables fall back to the CoW rewrite for these shapes (the
+  * simple unconditional upsert keeps its MoR route in
+  * [[GraftMergeCommand]]). */
+case class GraftMergeIntoCommand(location: String, source: LogicalPlan,
+    keys: Seq[(String, org.apache.spark.sql.Column)],
+    matched: Seq[graft.table.MergeClause],
+    notMatched: Seq[graft.table.MergeClause],
+    notMatchedBySource: Seq[graft.table.MergeClause])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = Dataset.ofRows(session.asInstanceOf[ClassicSession], source)
+    GraftTable.load(session, location)
+      .mergeInto(df, keys, matched, notMatched, notMatchedBySource)
+    Seq.empty
+  }
+}
+
 /** `UPDATE t SET … [WHERE …]` rewritten by [[graft.sql.GraftUpdateRule]]:
   * runs the file-level copy-on-write [[GraftTable.updateWhere]] — only files
   * containing rows where the condition is TRUE are rewritten. */

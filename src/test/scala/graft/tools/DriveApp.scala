@@ -651,6 +651,34 @@ object DriveApp {
         .linesIterator.count(_.contains("Exchange"))
       println(s"spj-join rows=${j.count()} shuffles=$shuffles")
     }
+    println("== general MERGE clause surface: conditional/multi/NMBS cascade")
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.table.MergeClause
+      import graft.table.MergeClause.src
+      val loc = java.nio.file.Files.createTempDirectory("drive-gm").toString + "/t"
+      val t = graft.table.GraftTable.create(spark, loc, "gm",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
+      t.append(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "n"))
+      t.mergeInto(Seq((1L, 100L), (2L, 0L), (8L, 80L)).toDF("sid", "sn"),
+        keys = Seq("id" -> col("sid")),
+        matched = Seq(
+          MergeClause.Delete(Some(src("sn") === 0L)),
+          MergeClause.Update(Some(src("sn") > col("n")), Seq("n" -> src("sn")))),
+        notMatched = Seq(MergeClause.Insert(Some(src("sn") > 50L),
+          Seq("id" -> src("sid"), "n" -> src("sn")))),
+        notMatchedBySource = Seq(
+          MergeClause.Delete(Some(col("n") >= 40L)),
+          MergeClause.Update(None, Seq("n" -> (col("n") + 1L)))))
+      // expect: 1->100 (updated), 2 deleted (sn=0), 3->31 (NMBS +1),
+      // 4 deleted (NMBS n>=40), 8->80 inserted
+      val state = t.toDF.orderBy("id").as[(Long, Long)].collect()
+        .map { case (i, n) => s"$i:$n" }.mkString(",")
+      println(s"merge-into state=$state op=${t.meta.currentSnapshot.get.operation}")
+    }
     spark.stop()
   }
 }
