@@ -287,6 +287,329 @@ object Shingles {
   }
 }
 
+/**
+ * Per-query PQ asymmetric-distance lookup table, flattened: entry
+ * `s*ksub + c` is the inner product of the query's s-th sub-vector with
+ * codeword `c` of sub-space `s` — `m*ksub` doubles per query row.
+ * Replaces the interpreted `transform(transform(aggregate(zip_with(…))))`
+ * HOF chain with one codegen'd loop nest; each dot product accumulates
+ * left-to-right in ascending element order, bit-identical to the
+ * sequential `zip_with`+`aggregate` fold (and the DuckDB oracle replay).
+ * A query vector whose length differs from m·dsub yields NULL, like the
+ * HOF chain's null-padded zip.
+ */
+case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      if (codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+        codebooks.forall(_.forall(_.size == codebooks.head.head.size)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "pq_adc_table needs non-empty equal-dsub codebooks")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_table requires a float/double array column, got $t")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  private def m: Int = codebooks.size
+  private def ksub: Int = codebooks.head.size
+  private def dsub: Int = codebooks.head.head.size
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dsub) return null
+    val isD = elemIsDouble
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val sub = cb(s)
+      var c = 0
+      while (c < sub.length) {
+        val cw = sub(c)
+        var acc = 0.0
+        var d = 0
+        while (d < cw.length) {
+          val x = if (isD) v.getDouble(s * dsub + d)
+                  else v.getFloat(s * dsub + d).toDouble
+          acc += x * cw(d)
+          d += 1
+        }
+        out(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val get = if (elemIsDouble) "getDouble" else "getFloat"
+      val cbRef = ctx.addReferenceObj("pqCodebooks", cb, "double[][][]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val cw = ctx.freshName("cw")
+      s"""
+        if ($c.numElements() != ${m * dsub}) {
+          ${ev.isNull} = true;
+        } else {
+          double[] $out = new double[${m * ksub}];
+          for (int $s = 0; $s < $m; $s++) {
+            for (int $cc = 0; $cc < ${ksub}; $cc++) {
+              double[] $cw = $cbRef[$s][$cc];
+              double $acc = 0.0;
+              for (int $d = 0; $d < $cw.length; $d++) {
+                $acc += ((double) $c.$get($s * $dsub + $d)) * $cw[$d];
+              }
+              $out[$s * $ksub + $cc] = $acc;
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+/**
+ * PQ encode: nearest-codeword assignment of each sub-vector — m one-byte
+ * codes (`array<tinyint>`, the standard −128 offset) per input vector.
+ * One codegen'd loop nest replacing the interpreted
+ * `transform(transform(aggregate(zip_with(…))))` + `array_min` +
+ * `array_position` HOF chain of the encode path: per sub-space the d²
+ * fold accumulates left-to-right in ascending element order and the
+ * FIRST code attaining the minimum wins (strict `<` scan), bit-identical
+ * to `array_position(d2s, array_min(d2s))`. Wrong-dim vectors yield NULL
+ * codes, like the `when(vecOk, …)` guard it replaces.
+ */
+case class PqEncodeCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      if (codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+        codebooks.forall(_.size <= 256) &&
+        codebooks.forall(_.forall(_.size == codebooks.head.head.size)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "pq_encode needs non-empty equal-dsub codebooks with ksub <= 256")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires a float/double array column, got $t")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  private def m: Int = codebooks.size
+  private def dsub: Int = codebooks.head.head.size
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dsub) return null
+    val isD = elemIsDouble
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val sub = cb(s)
+      var best = 0
+      var bestD2 = Double.PositiveInfinity
+      var c = 0
+      while (c < sub.length) {
+        val cw = sub(c)
+        var acc = 0.0
+        var d = 0
+        while (d < cw.length) {
+          val x = if (isD) v.getDouble(s * dsub + d)
+                  else v.getFloat(s * dsub + d).toDouble
+          val diff = x - cw(d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestD2) { bestD2 = acc; best = c }
+        c += 1
+      }
+      out(s) = (best - 128).toByte
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val get = if (elemIsDouble) "getDouble" else "getFloat"
+      val cbRef = ctx.addReferenceObj("pqEncCodebooks", cb, "double[][][]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val cw = ctx.freshName("cw")
+      val best = ctx.freshName("best")
+      val bestD2 = ctx.freshName("bestD2")
+      val diff = ctx.freshName("diff")
+      s"""
+        if ($c.numElements() != ${m * dsub}) {
+          ${ev.isNull} = true;
+        } else {
+          byte[] $out = new byte[$m];
+          for (int $s = 0; $s < $m; $s++) {
+            int $best = 0;
+            double $bestD2 = Double.POSITIVE_INFINITY;
+            for (int $cc = 0; $cc < $cbRef[$s].length; $cc++) {
+              double[] $cw = $cbRef[$s][$cc];
+              double $acc = 0.0;
+              for (int $d = 0; $d < $cw.length; $d++) {
+                double $diff = ((double) $c.$get($s * $dsub + $d)) - $cw[$d];
+                $acc += $diff * $diff;
+              }
+              if ($acc < $bestD2) { $bestD2 = $acc; $best = $cc; }
+            }
+            $out[$s] = (byte) ($best - 128);
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
+/**
+ * PQ reconstruction norm: √Σₛ norms[s][codesₛ+128] over a row's m codes
+ * and the per-codeword SQUARED norms — the ascending-s left-to-right
+ * fold + sqrt of the encode path, codegen'd.
+ */
+case class PqReconNorm(child: Expression, norms: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) if norms.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_recon_norm requires an array<tinyint> codes column, got $t")
+  }
+
+  @transient private lazy val nrm: Array[Array[Double]] =
+    norms.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += nrm(s)(codes.getByte(s) + 128)
+      s += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.addReferenceObj("pqNorms", nrm, "double[][]")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $m = $c.numElements();
+        double $acc = 0.0;
+        for (int $s = 0; $s < $m; $s++) {
+          $acc += $n[$s][((int) $c.getByte($s)) + 128];
+        }
+        ${ev.value} = java.lang.Math.sqrt($acc);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconNorm =
+    copy(child = newChild)
+}
+
+/**
+ * PQ ADC score: Σₛ table[s·ksub + (codesₛ+128)] over a candidate's m
+ * one-byte codes and a query's flattened [[PqAdcTable]] — the per-pair
+ * hot loop of PQ search, m array reads + adds per pair in one codegen'd
+ * loop instead of an interpreted per-element `aggregate`/`element_at`
+ * chain. Sums in ascending sub-space order, bit-identical to the
+ * sequential HOF fold.
+ */
+case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) if ksub >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_sum requires (array<tinyint> codes, array<double> table), got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += table.getDouble(s * ksub + codes.getByte(s) + 128)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $m = $a.numElements();
+        double $acc = 0.0;
+        for (int $s = 0; $s < $m; $s++) {
+          $acc += $b.getDouble($s * $ksub + ((int) $a.getByte($s)) + 128);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcSum =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
 
   def rolling_hash(c: Column): Column =
@@ -321,6 +644,18 @@ object GraftFunctions {
 
   def nfc_normalize(c: Column): Column =
     bridge.column(NfcNormalize(bridge.expression(c)))
+
+  def pq_adc_table(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    bridge.column(PqAdcTable(bridge.expression(qv), codebooks))
+
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    bridge.column(PqEncodeCodes(bridge.expression(vec), codebooks))
+
+  def pq_recon_norm(codes: Column, norms: Seq[Seq[Double]]): Column =
+    bridge.column(PqReconNorm(bridge.expression(codes), norms))
+
+  def pq_adc_sum(codes: Column, table: Column, ksub: Int): Column =
+    bridge.column(PqAdcSum(bridge.expression(codes), bridge.expression(table), ksub))
 
   /** Register the native expressions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {

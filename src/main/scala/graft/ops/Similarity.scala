@@ -696,29 +696,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       passthrough: Seq[String] = Seq.empty): DataFrame = {
     val cb = collectCodebooks(codebooks)
-    val m = cb.length
-    val dsub = cb(0)(0).length
-    val dim = m * dsub
-    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val normLit = typedlit(cb.map(_.map(norm2Seq).toSeq).toSeq)
-    val v = col("__cv").cast("array<double>")
-    val vecOk = col("__cv").isNotNull && size(col("__cv")) === dim
-    val d2ss = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(element_at(cbLit, s + 1), cw =>
-        aggregate(
-          zip_with(slice(v, s * lit(dsub) + lit(1), lit(dsub)), cw,
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)))
+    val cbSeq = cb.map(_.map(_.toSeq).toSeq).toSeq
+    val normSeq = cb.map(_.map(norm2Seq).toSeq).toSeq
+    // native codegen'd assignment (expressions.scala PqEncodeCodes /
+    // PqReconNorm): same ascending-order d² folds, first-minimum-in-code-
+    // order rule, and squared-norm fold + sqrt as the HOF chain it
+    // replaced — PqAdcSpec pins bit-parity, so the oracle replay and any
+    // previously persisted code table stay valid
     vectors.select((Seq(col(idCol).as("neighbor_id")) ++
         passthrough.map(col) :+ col(vecCol).as("__cv")): _*)
-      .withColumn("__d2ss", when(vecOk, d2ss))
-      .withColumn("__codes", transform(col("__d2ss"), d2s =>
-        (array_position(d2s, array_min(d2s)).cast("int") - 129)
-          .cast("tinyint")))
-      .withColumn("__rnorm", sqrt(aggregate(sequence(lit(0), lit(m - 1)),
-        lit(0.0), (acc, s) => acc + element_at(element_at(normLit, s + 1),
-          element_at(col("__codes"), s + 1).cast("int") + 129))))
-      .drop("__d2ss")
+      .withColumn("__codes",
+        GraftFunctions.pq_encode(col("__cv").cast("array<double>"), cbSeq))
+      .withColumn("__rnorm",
+        GraftFunctions.pq_recon_norm(col("__codes"), normSeq))
   }
 
   /**
@@ -853,21 +843,18 @@ object Similarity {
       codebooks: DataFrame, full: DataFrame, k: Int, rescore: Int,
       idCol: String, vecCol: String): DataFrame = {
     val cb = collectCodebooks(codebooks)
-    val m = cb.length
-    val dsub = cb(0)(0).length
-    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val ksub = cb(0).length
     val qv = col("__qv").cast("array<double>")
-    val adc = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(element_at(cbLit, s + 1), cw =>
-        aggregate(
-          zip_with(slice(qv, s * lit(dsub) + lit(1), lit(dsub)), cw,
-            (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)))
+    // native codegen'd ADC (expressions.scala PqAdcTable/PqAdcSum):
+    // bit-identical to the interpreted transform/aggregate/element_at HOF
+    // chain it replaced (same ascending-order left-to-right double folds,
+    // PqAdcSpec pins parity), ~one tight loop per query row for the table
+    // and m byte-indexed reads per candidate pair for the sum
+    val adc = GraftFunctions.pq_adc_table(qv,
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
     val qpay = q.select(col("query_id"), col("__qv"), adc.as("__adc"),
       norm(col("__qv")).as("__qn"))
-    val asum = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => acc + element_at(element_at(col("__adc"), s + 1),
-        element_at(col("__codes"), s + 1).cast("int") + 129))
+    val asum = GraftFunctions.pq_adc_sum(col("__codes"), col("__adc"), ksub)
     val scored = cand
       .filter(col("__codes").isNotNull)
       .join(broadcast(qpay), col("__pq") === col("query_id") &&

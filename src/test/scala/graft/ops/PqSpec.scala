@@ -42,7 +42,7 @@ class PqSpec extends SparkTestBase {
     val enc = Similarity.pqEncode(corpus, cb)
     import org.apache.spark.sql.types._
     val codesField = enc.schema("__codes").dataType
-    assert(codesField === ArrayType(ByteType, containsNull = true),
+    assert(codesField === ArrayType(ByteType, containsNull = false),
       s"codes must be 1-byte storage, got $codesField")
     val rows = enc.select(col("neighbor_id"), col("__codes"), col("__rnorm"))
       .collect()
