@@ -339,12 +339,20 @@ object StreamingOps {
    * a snapshot's deletes never touch its own inserts).
    *
    *  - `DELETE_KEY` images (equality-delete commits) retract by their
-   *    key tuple — the key set is the image's non-null columns;
+   *    RECORDED key tuple — the `_change_key` metadata column carries the
+   *    delete file's actual key-column list, so an all-null recorded key
+   *    column still participates (batches without `_change_key` fall back
+   *    to inferring keys from non-null columns, with that caveat);
    *  - `DELETE` images (deletion-vector commits) are full rows and
    *    retract by whole-row equality (exact when rows are unique — a DV
    *    names ONE physical row, whole-row replay removes all duplicates;
    *    deduplicate upstream or key the table if that matters);
    *  - `INSERT` images append.
+   *
+   * All retractions match NULL-SAFELY (`<=>`, the equality-delete
+   * contract of the batch read path): a deleted row carrying nulls — in a
+   * key column or anywhere in a DV full-row image — is still removed from
+   * the sink.
    *
    * Used from `foreachBatch` with the stream checkpoint providing
    * at-least-once delivery; a RETRIED micro-batch re-applies (the
@@ -354,8 +362,9 @@ object StreamingOps {
    */
   def replayChangelog(batch: DataFrame,
       sink: graft.table.GraftTable): Unit = {
-    val cols = batch.columns.toSeq
-      .filterNot(c => c == "_change_type" || c == "_commit_snapshot_id")
+    val hasKeyCol = batch.columns.contains("_change_key")
+    val cols = batch.columns.toSeq.filterNot(c =>
+      c == "_change_type" || c == "_commit_snapshot_id" || c == "_change_key")
     val snaps = batch.select(col("_commit_snapshot_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     snaps.foreach { sid =>
@@ -363,15 +372,30 @@ object StreamingOps {
       try {
         val delKeys = b.filter(col("_change_type") === "DELETE_KEY")
         if (!delKeys.isEmpty) {
-          val keys = cols.filter(c =>
-            !delKeys.filter(col(c).isNotNull).isEmpty)
-          sink.merge(delKeys.select(cols.map(col): _*).distinct(),
-            keys, insertNotMatched = false, deleteMatched = true)
+          // one delete commit can carry several delete files with
+          // DIFFERENT key sets: retract each recorded key list separately
+          val keyLists: Seq[Seq[String]] =
+            if (hasKeyCol)
+              delKeys.select(col("_change_key")).distinct().collect()
+                .map(_.getString(0)).toSeq.sorted
+                .map(_.split(",").toSeq)
+            else Seq(cols.filter(c =>
+              !delKeys.filter(col(c).isNotNull).isEmpty))
+          keyLists.foreach { keys =>
+            val group =
+              if (hasKeyCol)
+                delKeys.filter(col("_change_key") === keys.mkString(","))
+              else delKeys
+            sink.merge(group.select(cols.map(col): _*).distinct(),
+              keys, insertNotMatched = false, deleteMatched = true,
+              nullSafeKeys = true)
+          }
         }
         val delRows = b.filter(col("_change_type") === "DELETE")
         if (!delRows.isEmpty)
           sink.merge(delRows.select(cols.map(col): _*).distinct(),
-            cols, insertNotMatched = false, deleteMatched = true)
+            cols, insertNotMatched = false, deleteMatched = true,
+            nullSafeKeys = true)
         val ins = b.filter(col("_change_type") === "INSERT")
         if (!ins.isEmpty) sink.append(ins.select(cols.map(col): _*))
       } finally b.unpersist()

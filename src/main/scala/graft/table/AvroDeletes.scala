@@ -191,6 +191,59 @@ object AvroDeletes {
     base
   }
 
+  /** Avro record value → CATALYST value (UTF8String / micros-long /
+    * epoch-days-int …) for the streaming changelog reader, which builds
+    * InternalRows directly. Timestamp micros and date days pass through
+    * unconverted — they ARE Catalyst's physical encodings. */
+  private def fromAvroCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, _) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(u.toString)
+    case (s: String, _) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (i: java.lang.Integer, ShortType) => i.shortValue()
+    case (i: java.lang.Integer, ByteType) => i.byteValue()
+    case (other, _) => other // long, int, double, float, boolean,
+                             // timestamp-micros long, date-days int
+  }
+
+  /** Executor-side streamed read of ONE Avro delete container as Catalyst
+    * value arrays in `keyCols` order — the changelog stream's DELETE_KEY
+    * source (no DataFrame machinery on the hot path; a delete file can
+    * carry millions of keys and streams without buffering). */
+  def catalystIterator(path: String, conf: Configuration,
+      keyCols: Seq[String], keyTypes: Seq[DataType]): Iterator[Array[Any]] = {
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val stream = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    val names = keyCols.toArray
+    val types = keyTypes.toArray
+    new Iterator[Array[Any]] with AutoCloseable {
+      private var closed = false
+      override def hasNext: Boolean = {
+        if (closed) return false
+        val h = stream.hasNext
+        if (!h) close()
+        h
+      }
+      override def next(): Array[Any] = {
+        val rec = stream.next()
+        val out = new Array[Any](names.length)
+        var i = 0
+        while (i < names.length) {
+          out(i) = fromAvroCatalyst(rec.get(names(i)), types(i))
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit =
+        if (!closed) { stream.close(); closed = true }
+    }
+  }
+
   /** Self-describing read: the schema comes from the FIRST file's Avro
     * header (all files of one delete commit share it). */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {

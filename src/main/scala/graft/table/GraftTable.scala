@@ -448,7 +448,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       insertNotMatched: Boolean = true,
       branch: Option[String] = None,
       extraSummary: Map[String, String] = Map.empty,
-      deleteMatched: Boolean = false): GraftSnapshot =
+      deleteMatched: Boolean = false,
+      nullSafeKeys: Boolean = false): GraftSnapshot =
     withCommitLock {
       require(!(deleteMatched && updateCols.nonEmpty),
         "MERGE: WHEN MATCHED THEN DELETE and UPDATE SET are mutually exclusive")
@@ -474,7 +475,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         commitSnapshot(m, files, Seq.empty, "merge", branch,
           extraSummary = extraSummary)
       } else mergeNonEmpty(m, tableSchema, cols, updates, alignedSrc, head, current,
-        keys, insertNotMatched, branch, extraSummary, deleteMatched)
+        keys, insertNotMatched, branch, extraSummary, deleteMatched, nullSafeKeys)
     }
 
   private def mergeNonEmpty(m: TableMetadata, tableSchema: StructType,
@@ -482,13 +483,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
       head: Option[GraftSnapshot], current: DataFrame, keys: Seq[String],
       insertNotMatched: Boolean, branch: Option[String],
       extraSummary: Map[String, String] = Map.empty,
-      deleteMatched: Boolean = false): GraftSnapshot = {
+      deleteMatched: Boolean = false,
+      nullSafeKeys: Boolean = false): GraftSnapshot = {
       // MERGE cardinality rule: a target row must match at most one source
       // row; duplicate source keys would silently multiply rows through the
       // join, so fail fast with the offending count (one cheap agg job).
       // Null-key source rows can never match (SQL MERGE joins null-unsafely)
-      // so only fully-non-null keys count toward the duplicate check.
-      val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+      // so only fully-non-null keys count toward the duplicate check —
+      // unless nullSafeKeys (the changelog-retraction mode, Iceberg
+      // equality-delete <=> semantics), where null keys DO match and count.
+      val keysNotNull =
+        if (nullSafeKeys) lit(true)
+        else keys.map(col(_).isNotNull).reduce(_ && _)
       val srcCard = alignedSrc.filter(keysNotNull).agg(
         count(lit(1)).as("n"),
         countDistinct(struct(keys.map(col).toIndexedSeq: _*)).as("d")).collect().head
@@ -500,10 +506,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // file (input_file_name) finds exactly the files holding matches —
       // a partition with a thousand files where one file matches rewrites
       // one file (the same probe Iceberg's CoW MERGE runs over _file).
-      val srcKeys = alignedSrc.select(keys.map(col).toIndexedSeq: _*).distinct()
+      val srcKeys = alignedSrc
+        .select(keys.map(k => col(k).as(s"__sk_$k")).toIndexedSeq: _*).distinct()
+      val probeCond = keys.map(k =>
+        if (nullSafeKeys) col(k) <=> col(s"__sk_$k")
+        else col(k) === col(s"__sk_$k")).reduce(_ && _)
       val matchedFilePaths: Set[String] = current
         .select((keys.map(col) :+ input_file_name().as("__file")).toIndexedSeq: _*)
-        .join(srcKeys, keys, "left_semi")
+        .join(srcKeys, probeCond, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
 
@@ -522,8 +532,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // Null-unsafe equality, matching both the file probe above and SQL
       // MERGE semantics: a null-key target row never matches (kept as-is),
       // a null-key source row never matches (inserted). A null-safe <=> here
-      // would make the outcome depend on which file a null-key row sits in.
-      val joinCond = keys.map(k => t(k) === sFlagged(s"__s_$k")).reduce(_ && _)
+      // would make the outcome depend on which file a null-key row sits in —
+      // except under nullSafeKeys, where the probe is <=> too, so every
+      // file holding a null-key row IS in the rewrite set and the outcome
+      // is file-placement-independent.
+      val joinCond = keys.map(k =>
+        if (nullSafeKeys) t(k) <=> sFlagged(s"__s_$k")
+        else t(k) === sFlagged(s"__s_$k")).reduce(_ && _)
       val joined = t.join(sFlagged, joinCond, "full_outer")
 
       val merged = joined

@@ -47,13 +47,19 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
     val base = StructType(
       declared.filterNot(f => meta.partitionCols.contains(f.name)) ++
         declared.filter(f => meta.partitionCols.contains(f.name)))
-    // CDC mode appends the change-image columns (Iceberg changelog shape)
+    // CDC mode appends the change-image columns (Iceberg changelog shape);
+    // _change_key carries a DELETE_KEY image's RECORDED key-column list
+    // (comma-joined, null on other images) so a replayer retracts on the
+    // delete file's actual keys instead of inferring them from non-null
+    // values — an all-null recorded key column must still be a key
     val schema =
       if (changelog) StructType(base.fields ++ Seq(
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("_commit_snapshot_id",
-          org.apache.spark.sql.types.LongType, nullable = false)))
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_change_key",
+          org.apache.spark.sql.types.StringType, nullable = true)))
       else base
     new GraftStreamTable(loc, schema, meta.partitionCols)
   }

@@ -47,13 +47,33 @@ object GraftViews {
 
   def exists(slot: String, conf: Configuration): Boolean = {
     val p = new Path(slot, FileName)
-    p.getFileSystem(conf).exists(p)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) || recoverAside(slot, fs)
+  }
+
+  /** Crash recovery: a [[save]] interrupted between its aside and install
+    * renames leaves the newest complete log under an `.view-old-*` name —
+    * promote it back to the live slot. Returns whether a live file exists
+    * after the attempt. */
+  private def recoverAside(slot: String,
+      fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val dir = new Path(slot)
+    val target = new Path(dir, FileName)
+    if (!fs.exists(dir)) return false
+    val asides = fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith(AsidePrefix))
+      .sortBy(_.getPath.getName)
+    if (asides.isEmpty) return false
+    // newest aside becomes live; older ones are superseded debris
+    if (!fs.rename(asides.last.getPath, target)) return fs.exists(target)
+    asides.init.foreach(a => fs.delete(a.getPath, false))
+    true
   }
 
   def load(slot: String, conf: Configuration): Option[GraftViewMeta] = {
     val p = new Path(slot, FileName)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p) && !recoverAside(slot, fs)) None
     else {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
@@ -62,13 +82,18 @@ object GraftViews {
     }
   }
 
-  /** Install: full version log to a fresh tmp, delete + rename into the
-    * slot — a reader sees a complete old or new log, never a torn write
-    * (a sub-millisecond absent window exists on stores without
-    * rename-over). Concurrent WRITERS are last-write-wins: view DDL is
-    * rare metadata work and carries no data, so it does not ride the
-    * table commit CAS; a REST/JDBC catalog deployment would CAS view
-    * metadata server-side exactly like Iceberg REST views. */
+  private val AsidePrefix = ".view-old-"
+
+  /** Install: full version log to a fresh tmp, then swap into the slot
+    * WITHOUT a delete-first window — rename-over where the FS supports
+    * it; otherwise the live file renames ASIDE, the tmp renames in, the
+    * aside deletes. Every intermediate state keeps a complete log on
+    * disk (live, aside, or tmp), and [[load]] recovers an aside file
+    * left by a crash mid-swap, so no step can permanently lose the view.
+    * Concurrent WRITERS remain last-write-wins: view DDL is rare
+    * metadata work and carries no data, so it does not ride the table
+    * commit CAS; a REST/JDBC catalog deployment would CAS view metadata
+    * server-side exactly like Iceberg REST views. */
   def save(slot: String, meta: GraftViewMeta, conf: Configuration): Unit = {
     val dir = new Path(slot)
     val fs = dir.getFileSystem(conf)
@@ -79,9 +104,22 @@ object GraftViews {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(dir, FileName)
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"Failed to install view metadata at $target")
+    if (!fs.rename(tmp, target)) {
+      // the FS refuses rename-over (the same semantics the table commit
+      // CAS relies on): stage the live file aside, install, clean up
+      val aside = new Path(dir,
+        s"$AsidePrefix${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.json")
+      val hadOld = fs.exists(target)
+      if (hadOld && !fs.rename(target, aside))
+        throw new IllegalStateException(
+          s"Failed to stage current view metadata aside at $target")
+      if (!fs.rename(tmp, target)) {
+        if (hadOld) fs.rename(aside, target) // restore; install failed
+        throw new IllegalStateException(
+          s"Failed to install view metadata at $target")
+      }
+      if (hadOld) fs.delete(aside, false)
+    }
   }
 
   def drop(slot: String, conf: Configuration): Boolean = {

@@ -88,9 +88,16 @@ class GraftBucketedScanBuilder(inner: ParquetScanBuilder,
       case None => ndvStats match {
         // computed column stats ride the scan's Statistics surface —
         // numRows + NDV/null counts for CBO, sizeInBytes still the file
-        // scan's pruning-aware estimate
+        // scan's pruning-aware estimate. Pushed DATA filters stay in the
+        // logical plan, where FilterEstimation shrinks the whole-table
+        // numbers by NDV selectivity (the CBO join-flip this feature
+        // exists for); pushed PARTITION filters are fully consumed by the
+        // scan with no compensating Filter node, so a partition-pruned
+        // scan suppresses the whole-table numbers instead of overstating.
         case Some(st) =>
-          new GraftStatsScan(inner.build().asInstanceOf[ParquetScan], st)
+          val built = inner.build().asInstanceOf[ParquetScan]
+          new GraftStatsScan(built, st,
+            filtered = built.partitionFilters.nonEmpty)
         case None => inner.build()
       }
     }
@@ -218,6 +225,13 @@ class GraftBucketedScan(inner: ParquetScan,
       Array[VExpr](Expressions.bucket(nBuckets, sourceCol)), grouped.length)
 }
 
+object GraftStatsScan {
+  /** Shared-JVM test probe (local mode): data-file count the last
+    * planInputPartitions produced — how specs observe runtime pruning. */
+  val lastPlannedFiles =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+}
+
 object GraftBucketedScan {
   /** Shared-JVM test probe (local mode): bucket count the last
     * planInputPartitions produced — how specs observe runtime pruning. */
@@ -300,21 +314,69 @@ case class GraftNdvStats(rowCount: Long, cols: Map[String, (Long, Long)]) {
   * from the table's computed statistics — the CBO inputs a 100 TB join
   * planner needs (filter selectivity via NDV → broadcast-vs-shuffle
   * decisions on real cardinalities). Delegates Batch/metadata so EXPLAIN
-  * and execution are unchanged. */
-class GraftStatsScan(inner: ParquetScan, stats: GraftNdvStats)
+  * and execution are unchanged.
+  *
+  * `filtered` scans (any pushed data/partition predicate) suppress the
+  * whole-table numbers and fall back to the inner scan's pruning-aware
+  * estimate — a whole-table numRows under a selective filter would
+  * mislead CBO the other way.
+  *
+  * Implements runtime (DPP) filtering so computing table stats never
+  * COSTS a table dynamic partition pruning: an `In` runtime filter on a
+  * partition column re-plans the inner scan with the extra partition
+  * predicate before tasks launch. */
+class GraftStatsScan(inner: ParquetScan, stats: GraftNdvStats,
+    filtered: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.internal.connector.SupportsMetadata {
   override def readSchema(): StructType = inner.readSchema
   override def toBatch: Batch = this
-  private lazy val innerBatch = inner.toBatch
-  override def planInputPartitions(): Array[InputPartition] =
-    innerBatch.planInputPartitions()
+
+  // --- runtime (DPP) partition pruning ----------------------------------
+  private var runtimeScan: ParquetScan = inner
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner.readPartitionSchema.fields.map(f => Expressions.column(f.name))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val partCols = inner.readPartitionSchema
+    val exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      filters.toSeq.flatMap {
+        case org.apache.spark.sql.sources.In(attr, values)
+            if partCols.fieldNames.contains(attr) =>
+          val f = partCols(attr)
+          // null join keys never match an equi-join; dropping them keeps
+          // the pruning predicate three-valued-logic-safe
+          val lits = values.filter(_ != null).map(v =>
+            Literal.create(org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToCatalyst(v), f.dataType)).toSeq
+          Some(org.apache.spark.sql.catalyst.expressions.In(
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(
+              f.name, f.dataType, f.nullable)(), lits))
+        case _ => None
+      }
+    if (exprs.nonEmpty)
+      runtimeScan = inner.copy(
+        partitionFilters = inner.partitionFilters ++ exprs)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = runtimeScan.toBatch.planInputPartitions()
+    GraftStatsScan.lastPlannedFiles.set(parts.collect {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.length
+    }.sum)
+    parts
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    innerBatch.createReaderFactory()
+    runtimeScan.toBatch.createReaderFactory()
   override def description(): String = s"GraftStatsScan ${inner.description()}"
   override def getMetaData(): Map[String, String] = inner.getMetaData()
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    stats.toV2(inner.estimateStatistics().sizeInBytes())
+    if (filtered) inner.estimateStatistics()
+    else stats.toV2(inner.estimateStatistics().sizeInBytes())
 }

@@ -196,10 +196,18 @@ object GraftViewCommands {
 
   /** Stored current-version SQL when `nameParts` names a graft view. */
   def lookupSql(session: SparkSession, nameParts: Seq[String]): Option[String] =
+    lookupView(session, nameParts).map(_._1)
+
+  /** Stored (SQL, authoring catalog, authoring namespace) when `nameParts`
+    * names a graft view — the name-resolution context the Iceberg view
+    * spec says the body must expand under. */
+  def lookupView(session: SparkSession, nameParts: Seq[String])
+      : Option[(String, String, Seq[String])] =
     try resolve(session, nameParts).flatMap { case (cat, ident) =>
-      if (cat.viewExists(ident))
-        Some(cat.loadView(ident).query())
-      else None
+      if (cat.viewExists(ident)) {
+        val v = cat.loadView(ident)
+        Some((v.query(), v.currentCatalog(), v.currentNamespace().toSeq))
+      } else None
     } catch { case _: Throwable => None }
 }
 
@@ -230,6 +238,18 @@ case class GraftCreateViewCommand(nameParts: Seq[String], viewSql: String,
           messageParameters = Map(
             "viewIdent" -> ident.toString,
             "newPath" -> ident.toString))
+      // a persisted view outlives the session; a body referencing a
+      // session-local temp view would analyze here but break (or resolve
+      // to the WRONG relation after the stored-context rewrite) on read —
+      // reject at DDL time like Spark's own persisted views
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if classic.sessionState.catalog.isTempView(u.multipartIdentifier) =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INVALID_TEMP_OBJ_REFERENCE",
+          messageParameters = Map(
+            "obj" -> "VIEW", "objName" -> ident.toString,
+            "tempObj" -> "VIEW",
+            "tempObjName" -> u.multipartIdentifier.mkString(".")))
       case _ =>
     }
     val schema = Dataset.ofRows(classic, parsed).schema
@@ -306,21 +326,53 @@ case class GraftAlterViewPropsCommand(nameParts: Seq[String],
   * session parser and wrapped in a SubqueryAlias), exactly how Spark
   * expands session-catalog views — Catalyst then optimizes straight
   * through, so filters/pruning reach the underlying graft scans and a
-  * VERSION AS OF inside the view body time-travels normally. */
+  * VERSION AS OF inside the view body time-travels normally.
+  *
+  * Name-resolution context (Iceberg view spec): the body expands under
+  * the AUTHORING session's catalog + namespace, which every
+  * [[GraftViewVersion]] records — un-catalog-qualified relations in the
+  * stored SQL are rewritten against that context before substitution, so
+  * a reader in a different current catalog/namespace resolves the same
+  * tables the author did. Names bound by the body's own CTEs are left
+  * untouched (they shadow table resolution). */
 case class GraftViewRule(session: ClassicSession)
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-  import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+  import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation =>
-        GraftViewCommands.lookupSql(session, u.multipartIdentifier) match {
-          case Some(sql) =>
+        GraftViewCommands.lookupView(session, u.multipartIdentifier) match {
+          case Some((sql, cat, ns)) =>
+            val parsed = session.sessionState.sqlParser.parsePlan(sql)
             SubqueryAlias(u.multipartIdentifier.last,
-              session.sessionState.sqlParser.parsePlan(sql))
+              qualifyRelations(parsed, cat, ns))
           case None => u
         }
     }
+
+  /** Rewrite relations that carry no catalog qualifier against the view's
+    * stored (catalog, namespace): single-part names gain both, multi-part
+    * names whose head is not a registered catalog gain the catalog. */
+  private def qualifyRelations(parsed: LogicalPlan, cat: String,
+      ns: Seq[String]): LogicalPlan = {
+    val cteNames: Set[String] = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1)
+    }.flatten.toSet
+    val cm = session.sessionState.catalogManager
+    parsed.transformUpWithSubqueries {
+      case u: UnresolvedRelation =>
+        u.multipartIdentifier match {
+          case Seq(single) if cteNames.contains(single) => u
+          case Seq(single) =>
+            u.copy(multipartIdentifier = (cat +: ns) :+ single)
+          case parts if !cm.isCatalogRegistered(parts.head) =>
+            u.copy(multipartIdentifier = cat +: parts)
+          case _ => u
+        }
+    }
+  }
 }
 
 /** `ANALYZE TABLE cat.ns.t COMPUTE STATISTICS [FOR ALL COLUMNS]` on a

@@ -78,9 +78,9 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   private val changelog = Option(options.get("changelog")).exists(_.toBoolean)
 
   /** Table columns only — in changelog mode `declaredSchema` carries the
-    * two appended change columns, which no data file stores. */
+    * three appended change columns, which no data file stores. */
   private val baseSchema: StructType =
-    if (changelog) StructType(declaredSchema.dropRight(2)) else declaredSchema
+    if (changelog) StructType(declaredSchema.dropRight(3)) else declaredSchema
 
   private val branch = Option(options.get("branch"))
 
@@ -271,25 +271,35 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
                   "(write.delete.vector.enabled + " +
                   "rewrite_position_delete_files) or use changelogBetween")
             } else {
-              // equality delete: the delete parquet's rows ARE the key
+              // equality delete: the delete file's rows ARE the key
               // tuples — emit them as DELETE_KEY retractions mapped into
-              // the full-width row (non-key columns null)
-              require(!d.path.endsWith(".avro"),
-                s"changelog stream: snapshot ${sn.id}'s equality delete is " +
-                  "an Avro file; the stream's columnar reader is parquet — " +
-                  "use changelogBetween (format-dispatching) for this range")
+              // the full-width row (non-key columns null), tagged with the
+              // RECORDED key-column list in _change_key. The reference's
+              // write.delete.format.default='avro' commits dispatch to a
+              // streamed executor-side Avro container reader; parquet
+              // deletes go through the columnar reader.
               d.keyCols.foreach(k => require(!partitionCols.contains(k),
                 s"changelog stream: equality-delete key $k is a partition column"))
               val keyIdx = d.keyCols.map(dataCols.fieldIndex)
               val keySchema = StructType(d.keyCols.map(k => dataCols(k)))
-              val delPath = new org.apache.hadoop.fs.Path(s"$location/data/${d.path}")
-              val delFile = PartitionedFile(
-                new GenericInternalRow(Array.empty[Any]),
-                SparkPath.fromPath(delPath), 0,
-                fs.getFileStatus(delPath).getLen)
-              Seq(KeyDeletePartition(
-                readerFor(keySchema, new StructType()), delFile,
-                keyIdx.toArray, keySchema.fields.map(_.dataType), width, sn.id))
+              val keyList = d.keyCols.mkString(",")
+              if (d.path.endsWith(graft.table.AvroDeletes.Extension))
+                Seq(AvroKeyDeletePartition(
+                  s"$location/data/${d.path}",
+                  new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+                  d.keyCols.toArray, keyIdx.toArray,
+                  keySchema.fields.map(_.dataType), width, sn.id, keyList))
+              else {
+                val delPath = new org.apache.hadoop.fs.Path(s"$location/data/${d.path}")
+                val delFile = PartitionedFile(
+                  new GenericInternalRow(Array.empty[Any]),
+                  SparkPath.fromPath(delPath), 0,
+                  fs.getFileStatus(delPath).getLen)
+                Seq(KeyDeletePartition(
+                  readerFor(keySchema, new StructType()), delFile,
+                  keyIdx.toArray, keySchema.fields.map(_.dataType), width, sn.id,
+                  keyList))
+              }
             }
           }
           delParts ++ insertParts(sn)
@@ -398,14 +408,30 @@ case class ChangeImagePartition(
 
 /** Equality-delete key tuples as DELETE_KEY retraction images: the delete
   * parquet's columns map into `keyIdx` positions of the full-width row,
-  * everything else null. */
+  * everything else null; `keyList` (the recorded key-column names,
+  * comma-joined) rides in the _change_key metadata column. */
 case class KeyDeletePartition(
     readFunc: PartitionedFile => Iterator[InternalRow],
     file: PartitionedFile,
     keyIdx: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
     width: Int,
-    snapshotId: Long) extends InputPartition
+    snapshotId: Long,
+    keyList: String) extends InputPartition
+
+/** [[KeyDeletePartition]]'s Avro twin — the reference's
+  * `write.delete.format.default='avro'` commits: the executor streams the
+  * container file directly (graft.table.AvroDeletes field decoding), no
+  * parquet reader involved. */
+case class AvroKeyDeletePartition(
+    path: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    keyCols: Array[String],
+    keyIdx: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    width: Int,
+    snapshotId: Long,
+    keyList: String) extends InputPartition
 
 class GraftStreamReaderFactory extends PartitionReaderFactory {
   private def drain(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
@@ -424,7 +450,7 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
     case gp: GraftFilePartition => drain(gp.readFunc(gp.file))
     case cp: ChangeImagePartition =>
       val tag = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(cp.changeType), cp.snapshotId))
+        UTF8String.fromString(cp.changeType), cp.snapshotId, null))
       val base = cp.readFunc(cp.file)
       val selected =
         if (cp.runs == null) base
@@ -443,7 +469,7 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
         new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, tag)))
     case kp: KeyDeletePartition =>
       val it = kp.readFunc(kp.file).map { r =>
-        val out = new Array[Any](kp.width + 2)
+        val out = new Array[Any](kp.width + 3)
         var i = 0
         while (i < kp.keyIdx.length) {
           out(kp.keyIdx(i)) = r.get(i, kp.keyTypes(i))
@@ -451,8 +477,25 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
         }
         out(kp.width) = UTF8String.fromString("DELETE_KEY")
         out(kp.width + 1) = kp.snapshotId
+        out(kp.width + 2) = UTF8String.fromString(kp.keyList)
         new GenericInternalRow(out): InternalRow
       }
+      drain(it)
+    case ap: AvroKeyDeletePartition =>
+      val it = graft.table.AvroDeletes.catalystIterator(
+          ap.path, ap.conf.value, ap.keyCols.toSeq, ap.keyTypes.toSeq)
+        .map { keyVals =>
+          val out = new Array[Any](ap.width + 3)
+          var i = 0
+          while (i < ap.keyIdx.length) {
+            out(ap.keyIdx(i)) = keyVals(i)
+            i += 1
+          }
+          out(ap.width) = UTF8String.fromString("DELETE_KEY")
+          out(ap.width + 1) = ap.snapshotId
+          out(ap.width + 2) = UTF8String.fromString(ap.keyList)
+          new GenericInternalRow(out): InternalRow
+        }
       drain(it)
   }
 }

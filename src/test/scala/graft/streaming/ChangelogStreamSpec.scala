@@ -83,6 +83,97 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(state(sink).nonEmpty)
   }
 
+  test("Avro equality-delete commits stream as DELETE_KEY images (round 15)") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("cdc-avro"), "cdcavro", schema,
+      props = Map("write.delete.format.default" -> "avro"))
+    val sink = GraftTable.create(spark, tmpDir("cdc-avro-sink"), "cas", schema)
+    val cp = tmpDir("cdc-avro-cp")
+    def run(): Unit = spark.readStream.format("graft-stream")
+      .option("changelog", "true").load(src.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    src.append(rows(0 until 20)); run()
+    src.deleteWhereMoR(col("id") % 5 === 0, Seq("id")); run()
+    // the delete file is REALLY avro — the reference's declared default
+    val dels = src.meta.currentSnapshot.get.deleteFiles
+    assert(dels.nonEmpty && dels.forall(_.path.endsWith(".avro")), dels.map(_.path))
+    src.updateWhereMoR(col("id") === 7L, Seq("v" -> lit(-1.0)), Seq("id")); run()
+    def state(t: GraftTable) =
+      t.toDF.as[(Long, String, Double)].collect().toSeq.sorted
+    assert(state(sink) === state(src))
+    assert(state(sink).nonEmpty)
+  }
+
+  test("null-safe retraction: null key values and all-null key columns replay exactly") {
+    import spark.implicits._
+    val nschema = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", StringType),
+      StructField("v", DoubleType)))
+    val src = GraftTable.create(spark, tmpDir("cdc-null"), "cdcnull", nschema,
+      props = Map("write.delete.vector.enabled" -> "true"))
+    val sink = GraftTable.create(spark, tmpDir("cdc-null-sink"), "cns", nschema)
+    val cp = tmpDir("cdc-null-cp")
+    def run(): Unit = spark.readStream.format("graft-stream")
+      .option("changelog", "true").load(src.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val data = Seq(
+      (Some(1L), Some("a"), 1.0), (Some(2L), Option.empty[String], 2.0),
+      (Some(3L), Some("c"), 3.0), (Option.empty[Long], Some("d"), 4.0),
+      (Some(5L), Option.empty[String], 5.0))
+      .toDF("k1", "k2", "v")
+    src.append(data); run()
+    // equality delete keyed on (k1, k2) matching a NULL k2 tuple: the
+    // batch read removes row (2, null); the replayed sink must too
+    src.deleteWhereMoR(col("k1") === 2L, Seq("k1", "k2")); run()
+    // DV delete of a row with a null KEYLESS column: full-row image with
+    // a null inside — whole-row null-safe match must remove it
+    src.deleteWherePositional(col("v") === 5.0); run()
+    def state(t: GraftTable) = t.toDF
+      .select(col("k1"), col("k2"), col("v"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getDouble(2)))
+      .toSeq.sortBy(_._3)
+    assert(state(sink) === state(src))
+    assert(state(src).map(_._3) === Seq(1.0, 3.0, 4.0))
+  }
+
+  test("_change_key carries the recorded key set even when a key column is all-null") {
+    import spark.implicits._
+    val nschema = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", StringType),
+      StructField("v", DoubleType)))
+    val src = GraftTable.create(spark, tmpDir("cdc-ak"), "cdcak", nschema)
+    val sink = GraftTable.create(spark, tmpDir("cdc-ak-sink"), "cak", nschema)
+    val cp = tmpDir("cdc-ak-cp")
+    def run(): Unit = spark.readStream.format("graft-stream")
+      .option("changelog", "true").load(src.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    src.append(Seq((Some(1L), Some("x"), 1.0), (Some(1L), Option.empty[String], 2.0),
+      (Some(2L), Option.empty[String], 3.0)).toDF("k1", "k2", "v"))
+    run()
+    // the matched tuple is (1, null): k2 is all-null in the RECORDED keys.
+    // Key inference from non-null columns would retract on k1 alone and
+    // over-delete (1,'x'); the recorded key list must keep it
+    src.deleteWhereMoR(col("k1") === 1L && col("k2").isNull, Seq("k1", "k2"))
+    run()
+    def state(t: GraftTable) = t.toDF
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getDouble(2)))
+      .toSeq.sortBy(_._3)
+    assert(state(sink) === state(src))
+    assert(state(src).map(_._3) === Seq(1.0, 3.0))
+  }
+
   test("position-LIST delete commits are refused in changelog mode; CoW needs skipOverwriteSnapshots") {
     val t = GraftTable.create(spark, tmpDir("cdc-ref"), "cdcref", schema)
     t.append(rows(0 until 10))

@@ -72,7 +72,7 @@ class AvroDeleteSpec extends SparkTestBase {
       rows(0 until 30).filter(col("ts") === cut).count())
   }
 
-  test("changelog batch reads avro delete files; the stream refuses with a pointer") {
+  test("changelog batch AND stream read avro delete files (round 15: refusal lifted)") {
     val t = mkTable("avdel-chg", avro = true)
     t.append(rows(0 until 20))
     t.createOrReplaceBranch("b0")
@@ -81,18 +81,20 @@ class AvroDeleteSpec extends SparkTestBase {
     val ch = t.changelogBetween("b0", "b1")
       .filter(col("_change_type") === "DELETE").count()
     assert(ch === 5L)
-    val e = intercept[Exception] {
-      spark.readStream.format("graft-stream").option("changelog", "true")
-        .load(t.location)
-        .writeStream.format("memory").queryName("avdel_chg_q")
-        .option("checkpointLocation", tmpDir("avdel-chg-cp"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-    }
-    def msgs(x: Throwable): Seq[String] =
-      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("Avro")),
-      s"expected the avro refusal, got $e")
+    // the stream now emits DELETE_KEY images straight off the avro
+    // container (the reference's default delete format composes with CDC)
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .load(t.location)
+      .writeStream.format("memory").queryName("avdel_chg_q")
+      .option("checkpointLocation", tmpDir("avdel-chg-cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val images = spark.table("avdel_chg_q")
+    assert(images.filter(col("_change_type") === "DELETE_KEY").count() === 5L)
+    assert(images.filter(col("_change_type") === "DELETE_KEY")
+      .select("_change_key").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("id"))
+    assert(images.filter(col("_change_type") === "INSERT").count() === 20L)
   }
 
   test("DV mode takes precedence: positional deletes stay run-length parquet") {

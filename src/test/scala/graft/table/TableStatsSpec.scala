@@ -68,6 +68,46 @@ class TableStatsSpec extends SparkTestBase {
       "stale stats must not be served for a later snapshot")
   }
 
+  test("partition-pruned scans suppress whole-table stats; DPP still applies (round 15)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("stats-part"), "statspart", schema,
+      partitionCols = Seq("grp"))
+    t.append((0 until 4000).map(i => (i.toLong, s"g${i % 8}", s"v$i"))
+      .toDF("k", "grp", "v"))
+    t.computeTableStats()
+    val wh = new java.io.File(t.location).getParent
+    spark.conf.set("spark.sql.catalog.statpcat",
+      "graft.table.catalog.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.statpcat.warehouse", wh)
+    spark.sql(s"CALL statpcat.system.register_table('stats_part_t', '${t.location}')")
+    // unfiltered: the stored whole-table rowCount serves
+    val full = spark.table("statpcat.stats_part_t")
+      .queryExecution.optimizedPlan.stats
+    assert(full.rowCount === Some(BigInt(4000)))
+    // partition filter consumed by the scan, no compensating Filter node:
+    // the whole-table rowCount must NOT be served (it would overstate 8x)
+    val pruned = spark.table("statpcat.stats_part_t").filter(col("grp") === "g3")
+      .queryExecution.optimizedPlan.stats
+    assert(!pruned.rowCount.contains(BigInt(4000)),
+      s"partition-pruned scan served whole-table rowCount: $pruned")
+
+    // runtime (DPP) filtering: a selective dim joined on the partition
+    // column prunes partitions before tasks launch
+    val dimDir = tmpDir("stats-dpp-dim")
+    (0L until 8L).map(i => (s"g$i", if (i == 3) "hot" else s"l$i"))
+      .toDF("grp", "label").write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("__stats_dim")
+    org.apache.spark.sql.graft.GraftStatsScan.lastPlannedFiles.set(-1)
+    val totalFiles = t.meta.currentSnapshot.get.files.size
+    val j = spark.sql(
+      """SELECT count(*) FROM statpcat.stats_part_t f
+         JOIN __stats_dim d ON f.grp = d.grp WHERE d.label = 'hot'""")
+    assert(j.collect().head.getLong(0) === 500L)
+    val planned = org.apache.spark.sql.graft.GraftStatsScan.lastPlannedFiles.get()
+    assert(planned >= 1 && planned < totalFiles,
+      s"runtime filter should prune partitions: planned=$planned of $totalFiles")
+  }
+
   test("write.stats.ndv.enabled: appends advance the sketches O(delta)") {
     import spark.implicits._
     val t = mkTable("stats-incr")

@@ -100,6 +100,59 @@ class ViewCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.v_self").head.getLong(0) === 41L)
   }
 
+  test("view body resolves in its AUTHORING catalog/namespace, not the reader's") {
+    cat
+    val prevCat = spark.catalog.currentCatalog()
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      // author inside vcat.ns: an UNQUALIFIED base reference is legal and
+      // must be pinned to the authoring context
+      spark.sql(s"USE $cat.ns")
+      spark.sql(s"CREATE VIEW $cat.ns.v_ctx AS SELECT k, n FROM base WHERE n <= 10")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.v_ctx").head.getLong(0) === 10L)
+      // reader in a DIFFERENT context — a session catalog holding its own
+      // table named `base` with a different shape
+      spark.sql(s"USE spark_catalog.default")
+      spark.sql("CREATE TABLE IF NOT EXISTS base_decoy (x INT) USING parquet")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.v_ctx").head.getLong(0) === 10L,
+        "view must keep resolving `base` against vcat.ns from anywhere")
+    } finally {
+      spark.sql(s"USE $prevCat.$prevDb")
+    }
+  }
+
+  test("a view referencing a temp view is refused at DDL time") {
+    cat
+    import spark.implicits._
+    Seq((1, "t")).toDF("a", "b").createOrReplaceTempView("v_tmp_src")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"CREATE VIEW $cat.ns.v_over_tmp AS SELECT * FROM v_tmp_src")
+    }
+    assert(e.getMessage.toLowerCase.contains("temp"))
+  }
+
+  test("save() never loses the view: aside-file crash window recovers on read") {
+    cat
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    spark.sql(s"CREATE VIEW $cat.ns.v_crash AS SELECT k FROM $cat.ns.base")
+    val expected =
+      spark.sql(s"SELECT count(*) FROM $cat.ns.v_crash").head.getLong(0)
+    val slot = s"$wh/ns/v_crash"
+    val fs = new org.apache.hadoop.fs.Path(slot).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(slot, "graft.view.json")
+    // simulate a crash between the aside rename and the install rename:
+    // the live file is gone, only the aside copy remains
+    val aside = new org.apache.hadoop.fs.Path(slot, ".view-old-999-crash.json")
+    assert(fs.rename(live, aside))
+    assert(!fs.exists(live))
+    // the next read recovers the aside copy transparently
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.v_crash").head.getLong(0)
+      === expected)
+    assert(fs.exists(live), "recovery must reinstall the live file")
+    assert(!fs.exists(aside))
+  }
+
   test("time travel composes through a view (VERSION AS OF on the base table)") {
     import spark.implicits._
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
