@@ -247,32 +247,49 @@ object Bench {
     val ok = results.collect { case (k, (ts, None, _)) => k -> ts }
     val failed = results.collect { case (k, (_, Some(_), _)) => k }
     val total = r3(ok.map(_._2.min).sum)
-    // Self-discounting (round 14): the probes are a pure machine-speed
-    // yardstick (identical code + input every round; idle references in
-    // BASELINE.md), so ambient contention is directly measurable as
-    // probe-min / reference. Each green query's min is divided by the
-    // contention factor of the probe block NEAREST IN TIME to its first
-    // run (start block for the sweep's first half, end block for the
-    // second), clamped at 1.0 — a fast sandbox never inflates. The
-    // FS-metadata probe joins the factor only for the fixture-backed
-    // t_*/st_* families (the r12 incident: small-file contention inflated
-    // exactly those 2-8x while cpu/spark probes sat at reference).
-    // `value` stays the raw headline; `value_discounted` is the
-    // round-over-round comparable.
+    // Self-discounting (round 14, ATTRIBUTION FIXED round 15): the probes
+    // are a pure machine-speed yardstick (identical code + input every
+    // round; idle references re-derived in BASELINE.md), so ambient
+    // contention is directly measurable as probe-min / reference, using
+    // the probe block NEAREST IN TIME to each query's first run and
+    // clamped at 1.0 (a fast sandbox never inflates). Attribution is
+    // PER-RESOURCE — r14 applied max(cpu, shuffle) to every query, which
+    // let one inflated shuffle probe self-award 1.6x on CPU-bound rows:
+    //  - every query gets the CPU factor (compute contention slows all);
+    //  - the fixture-backed t_*/st_* families ALSO get the FS-metadata
+    //    factor (the r12 incident: small-file contention inflated exactly
+    //    those 2-8x while cpu sat at reference);
+    //  - the SHUFFLE factor is never blanket-applied: `value_discounted`
+    //    stays conservative (cpu/fs only), and the shuffle-adjusted total
+    //    is reported separately as `value_discounted_shuffle` for readers
+    //    who want the aggressive bound.
+    // `value` stays the raw headline; per-query factors ride in
+    // bench_detail.json.
     val (cpuRef, sparkRef, fsRef) = (0.21, 0.20, 0.03)
-    def core(cpu: Seq[Double], sp: Seq[Double]): Double =
-      math.max(1.0, math.max(cpu.min / cpuRef, sp.min / sparkRef))
-    val fStartCore = core(calibCpuStart, calibSparkStart)
-    val fEndCore = core(calibCpuEnd, calibSparkEnd)
-    val fStartFs = math.max(fStartCore, math.max(1.0, calibFsStart.min / fsRef))
-    val fEndFs = math.max(fEndCore, math.max(1.0, calibFsEnd.min / fsRef))
+    def clamp(f: Double): Double = math.max(1.0, f)
+    val fCpu = (clamp(calibCpuStart.min / cpuRef), clamp(calibCpuEnd.min / cpuRef))
+    val fShuf = (
+      math.max(fCpu._1, clamp(calibSparkStart.min / sparkRef)),
+      math.max(fCpu._2, clamp(calibSparkEnd.min / sparkRef)))
+    val fFs = (
+      math.max(fCpu._1, clamp(calibFsStart.min / fsRef)),
+      math.max(fCpu._2, clamp(calibFsEnd.min / fsRef)))
     val t0OffByQ = results.collect { case (k, (_, None, off)) => k -> off }.toMap
-    val totalDiscounted = r3(ok.map { case (k, ts) =>
+    def pick(pair: (Double, Double), nearEnd: Boolean): Double =
+      if (nearEnd) pair._2 else pair._1
+    /** The conservative per-query factor `value_discounted` divides by. */
+    def factorOf(k: String): Double = {
       val nearEnd = t0OffByQ.getOrElse(k, 0.0) > sweepDurSec / 2
-      val fsBound = k.startsWith("t_") || k.startsWith("st_")
+      if (k.startsWith("t_") || k.startsWith("st_")) pick(fFs, nearEnd)
+      else pick(fCpu, nearEnd)
+    }
+    val totalDiscounted = r3(ok.map { case (k, ts) => ts.min / factorOf(k) }.sum)
+    val totalDiscountedShuffle = r3(ok.map { case (k, ts) =>
+      val nearEnd = t0OffByQ.getOrElse(k, 0.0) > sweepDurSec / 2
       val f =
-        if (fsBound) { if (nearEnd) fEndFs else fStartFs }
-        else { if (nearEnd) fEndCore else fStartCore }
+        if (k.startsWith("t_") || k.startsWith("st_"))
+          math.max(pick(fFs, nearEnd), pick(fShuf, nearEnd))
+        else pick(fShuf, nearEnd)
       ts.min / f
     }.sum)
     val loadJson = s"[${r3(loadBefore)},${r3(loadAfter)}]"
@@ -298,16 +315,17 @@ object Bench {
       // a fast success
       val timing =
         if (err.isDefined) """"min": null, "runs": []"""
-        else s""""min": ${r3(ts.min)}, "runs": [${ts.mkString(", ")}]"""
+        else s""""min": ${r3(ts.min)}, "runs": [${ts.mkString(", ")}], "factor": ${r3(factorOf(k))}"""
       s"""    ${jstr(k)}: {$timing, "t0_off": $t0Off, "err": ${err.map(jstr).getOrElse("null")}}"""
     }.mkString(",\n")
     val discJson =
-      s"""{"start_core": ${r3(fStartCore)}, "end_core": ${r3(fEndCore)}, "start_fs": ${r3(fStartFs)}, "end_fs": ${r3(fEndFs)}}"""
+      s"""{"start_cpu": ${r3(fCpu._1)}, "end_cpu": ${r3(fCpu._2)}, "start_shuffle": ${r3(fShuf._1)}, "end_shuffle": ${r3(fShuf._2)}, "start_fs": ${r3(fFs._1)}, "end_fs": ${r3(fFs._2)}}"""
     val detail =
       s"""{
          |  "metric": "total",
          |  "value": $total,
          |  "value_discounted": $totalDiscounted,
+         |  "value_discounted_shuffle": $totalDiscountedShuffle,
          |  "discount_factors": $discJson,
          |  "unit": "sec",
          |  "sf": ${jstr(sfDir)},
@@ -339,7 +357,7 @@ object Bench {
     // calib mins on stdout: the judge's first-glance contention check —
     // reference values (idle sandbox) live in BASELINE.md
     val calibJson = s"""{"cpu":${calibCpuStart.min},"cpu_end":${calibCpuEnd.min},"spark":${calibSparkStart.min},"spark_end":${calibSparkEnd.min},"fs":${calibFsStart.min},"fs_end":${calibFsEnd.min},"gc_ms":$gcSweepMs}"""
-    println(s"""{"metric":"total","value":$total,"value_discounted":$totalDiscounted,"discount_factors":$discJson,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"value_discounted":$totalDiscounted,"value_discounted_shuffle":$totalDiscountedShuffle,"discount_factors":$discJson,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
