@@ -193,6 +193,10 @@ object Bench {
       graft.queries.TableFixtures.ordersView(spark, sfDir)
       graft.queries.TableFixtures.pqServing(spark, sfDir)
       graft.queries.TableFixtures.streamChangelogReplayed(spark, sfDir)
+      graft.queries.TableFixtures.ordersMergeConditional(spark, sfDir)
+      graft.queries.TableFixtures.ordersMergeNmbs(spark, sfDir)
+      graft.queries.TableFixtures.ordersWapId(spark, sfDir)
+      graft.queries.TableFixtures.ordersRefRetention(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

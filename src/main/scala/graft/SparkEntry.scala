@@ -2230,6 +2230,43 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderpriority")),
 
+    // WAP by id (round 15): batch-42 staged + published via cherry-pick
+    // lands on main; the unpublished batch-43 stays off it; the publish
+    // commit carries published-wap-id
+    "t_wap_id" -> ((s, dir) => {
+      val t = TableFixtures.ordersWapId(s, dir)
+      val published = t.meta.currentSnapshot
+        .flatMap(_.summary.get("published-wap-id")).getOrElse("MISSING")
+      t.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("published_wap_id", lit(published))
+        .orderBy("o_orderstatus")
+    }),
+
+    // per-ref retention on expire_snapshots (round 15): the aged tag is
+    // gone, the middle main snapshot expired, and the pinned branch's
+    // min-snapshots-to-keep=2 preserves its head AND parent — readable
+    // as three states off one table
+    "t_ref_retention" -> ((s, dir) => {
+      val t = TableFixtures.ordersRefRetention(s, dir)
+      val m = t.meta
+      def slice(df: org.apache.spark.sql.DataFrame, src: String) = df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("src", lit(src))
+      val pinnedParent = m.ancestry(m.refs("pinned"))(1) // alive via min=2 only
+      slice(t.toDF, "main")
+        .unionByName(slice(t.asOf("pinned"), "pinned"))
+        .unionByName(slice(t.asOf(pinnedParent.toString), "pinned_parent"))
+        .withColumn("aged_tag",
+          lit(if (m.tags.contains("aged")) "present" else "expired"))
+        .withColumn("n_snapshots", lit(m.snapshots.size))
+        .select("src", "o_orderstatus", "n", "total_cents", "aged_tag", "n_snapshots")
+        .orderBy("src", "o_orderstatus")
+    }),
+
     // RENAME + DROP COLUMN schema evolution: three file eras (original
     // name / renamed / renamed+dropped) must union under the current
     // declared schema with no file rewrite
@@ -5409,6 +5446,32 @@ object SparkEntry {
            ${centsSql("o_totalprice")} AS total_cents,
            cast(sum(o_custkey) AS bigint) AS cust_sum
          FROM merged GROUP BY 1 ORDER BY 1""",
+
+    // main after the id-route publish = base + the published batch only
+    "t_wap_id" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents,
+         'batch-42' AS published_wap_id
+         FROM orders WHERE o_orderkey % 3 < 2
+         GROUP BY 1 ORDER BY 1""",
+
+    // the surviving states replayed as slices: main = all four quarters,
+    // pinned = A+B, pinned's parent (alive via min-snapshots-to-keep) = A;
+    // the aged tag and the expired middle snapshot ride as constants the
+    // engine must reproduce from live metadata
+    "t_ref_retention" ->
+      s"""WITH states AS (
+           SELECT 'main' AS src, o_orderstatus, o_totalprice FROM orders
+           UNION ALL
+           SELECT 'pinned', o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 4 < 2
+           UNION ALL
+           SELECT 'pinned_parent', o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 4 = 0)
+         SELECT src, o_orderstatus, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents,
+           'expired' AS aged_tag, 3 AS n_snapshots
+         FROM states GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // NMBS: matched rows accumulate, unreferenced rows delete or go stale;
     // source-only rows are ignored (no NOT MATCHED clause) -> LEFT JOIN

@@ -638,6 +638,57 @@ object TableFixtures {
       t
     })
 
+  /** WAP-by-id fixture (round 15, Iceberg's `spark.wap.id` staging mode):
+    * base slice on main; one batch staged under wap id `batch-42`
+    * (snapshot in the log, main untouched), audited via the stamped
+    * summary, published by cherry-pick; a second batch staged under
+    * `batch-43` is never published — its rows must not reach main. */
+  def ordersWapId(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_wap_id", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_wap_id"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_wap_id",
+        orders.schema, props = Map("write.wap.enabled" -> "true"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      spark.conf.set("spark.graft.wap.id", "batch-42")
+      try t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      finally spark.conf.unset("spark.graft.wap.id")
+      spark.conf.set("spark.graft.wap.id", "batch-43")
+      try t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      finally spark.conf.unset("spark.graft.wap.id")
+      val staged = t.snapshotForWapId("batch-42").getOrElse(
+        sys.error("wap id batch-42 not staged"))
+      t.cherryPick(staged.id) // publish the audited batch; batch-43 never lands
+      t
+    })
+
+  /** Per-ref retention fixture (round 15): four appends A/B/C/D on main,
+    * branch `pinned` at B with min-snapshots-to-keep=2, tag `aged` at B
+    * with max-ref-age-ms=1s. An expire pass dated 1h in the future with
+    * retain_last=1 must: drop the aged tag, expire snapshot C (shielded
+    * by nothing), and keep A+B alive solely through the pinned branch's
+    * retention policy. */
+  def ordersRefRetention(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_ref_retention", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_ref_retention"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_ref_retention",
+        orders.schema)
+      t.append(orders.filter(col("o_orderkey") % 4 === 0)) // A
+      t.append(orders.filter(col("o_orderkey") % 4 === 1)) // B
+      t.createOrReplaceBranch("pinned")
+      t.setRefRetention("pinned", minSnapshotsToKeep = Some(2))
+      t.createTag("aged")
+      t.setRefRetention("aged", maxRefAgeMs = Some(1000L))
+      t.append(orders.filter(col("o_orderkey") % 4 === 2)) // C — expires
+      t.append(orders.filter(col("o_orderkey") % 4 === 3)) // D — main head
+      val future = System.currentTimeMillis() + 3600L * 1000
+      t.expireSnapshots(olderThanMs = future, retainLast = 1, nowMs = future)
+      t
+    })
+
   private val bucketedCache = TrieMap.empty[String, (String, String)]
   private val ivfCache = TrieMap.empty[String, graft.ops.Similarity.IvfIndex]
 

@@ -95,6 +95,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
       Option(spark.conf.getOption("spark.graft.wap.branch").orNull).filter(_.nonEmpty)
     else None
 
+  /** WAP by id (Iceberg's second staging mode, `spark.wap.id`): when the
+    * session sets a wap id and the table enables WAP, data commits land in
+    * the snapshot log STAMPED `wap.id` in their summary but NO ref moves —
+    * main is untouched until an audit passes and [[cherryPick]] publishes
+    * the staged snapshot (stamping `published-wap-id`). Unlike the branch
+    * mode, plain reads never redirect: audits address the staged snapshot
+    * explicitly via [[snapshotForWapId]]. */
+  private def wapId: Option[String] =
+    if (properties.getOrElse("write.wap.enabled", "false") == "true")
+      spark.conf.getOption("spark.graft.wap.id")
+        .orElse(spark.conf.getOption("spark.wap.id")).filter(_.nonEmpty)
+    else None
+
+  /** The staged snapshot carrying `wap.id = id` in its summary, if any. */
+  def snapshotForWapId(id: String): Option[GraftSnapshot] =
+    meta.snapshots.find(_.summary.get("wap.id").contains(id))
+
   /** Current table contents (WAP-aware, see `wapBranch`). */
   def toDF: DataFrame = {
     val m = meta
@@ -1636,9 +1653,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
           s"${typeDrift.mkString(", ")} were type-promoted after it was " +
           "staged; its files store the narrower physical type and would be " +
           "re-stamped past the promotion. Re-stage the work instead.")
+      // WAP-by-id publish: a staged wap snapshot may publish ONCE — a
+      // second pick of the same wap id would double-apply the batch
+      val srcWap = src.summary.get("wap.id")
+      srcWap.foreach { w =>
+        require(!m.snapshots.exists(
+            _.summary.get("published-wap-id").contains(w)),
+          s"wap id '$w' is already published on ${m.name}")
+      }
       commitSnapshot(m, picked, removed = Seq.empty,
         operation = "cherrypick", branch,
-        extraSummary = Map("cherry-picked-from" -> snapshotId.toString))
+        extraSummary = Map("cherry-picked-from" -> snapshotId.toString) ++
+          srcWap.map("published-wap-id" -> _),
+        allowWapStage = false)
     }
 
   /** `CALL system.fast_forward(t, to, from)` (reference WapIceberg.scala:81):
@@ -2478,12 +2505,71 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * ref heads and the last N of main's ancestry) and delete files no
     * retained snapshot references. Branch-pinned snapshots always survive
     * (SURVEY.md §7.4 risk 3). */
-  def expireSnapshots(olderThanMs: Long, retainLast: Int): Seq[Long] = withCommitLock {
-    val m = meta
+  /** Attach an Iceberg-style retention policy to a ref (see
+    * [[RefRetention]]): `minSnapshotsToKeep` / `maxSnapshotAgeMs` are
+    * branch-only (how much ancestry [[expireSnapshots]] preserves);
+    * `maxRefAgeMs` applies to branches AND tags (the ref itself expires
+    * once its pointed snapshot is older). Passing all-None clears the
+    * policy back to table defaults. */
+  def setRefRetention(ref: String, minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Unit = withCommitLock {
+    retryMetaCommit { m =>
+      require(m.refs.contains(ref) || m.tags.contains(ref),
+        s"No ref '$ref' on ${m.name}")
+      require(!(m.tags.contains(ref) &&
+          (minSnapshotsToKeep.isDefined || maxSnapshotAgeMs.isDefined)),
+        s"'$ref' is a tag: tags pin one snapshot, only max-ref-age-ms applies")
+      require(ref != SnapshotLog.MainBranch || maxRefAgeMs.isEmpty,
+        "main never ages out; set min-snapshots/max-snapshot-age only")
+      val policy = RefRetention(minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs)
+      m.copy(refRetention =
+        if (policy == RefRetention()) m.refRetention - ref
+        else m.refRetention + (ref -> policy))
+    }
+    ()
+  }
+
+  def expireSnapshots(olderThanMs: Long, retainLast: Int,
+      nowMs: Long = System.currentTimeMillis()): Seq[Long] = withCommitLock {
+    val m0 = meta
+    // 1. ref aging (Iceberg history.expire.max-ref-age-ms + per-ref
+    //    override): a non-main ref whose pointed snapshot is older than
+    //    the limit expires WITH this maintenance pass — without it every
+    //    branch/tag pin is immortal and metadata grows without bound on
+    //    long-lived WAP/tag refs. Ref age derives from the pointed
+    //    snapshot's commit timestamp, Iceberg's rule.
+    val defaultRefAge = m0.props.get("history.expire.max-ref-age-ms").map(_.toLong)
+    def refAged(ref: String, sid: Long): Boolean =
+      ref != SnapshotLog.MainBranch &&
+        m0.refRetention.get(ref).flatMap(_.maxRefAgeMs).orElse(defaultRefAge)
+          .exists(lim => m0.snapshot(sid).exists(s => nowMs - s.timestampMs > lim))
+    val liveRefs = m0.refs.filterNot { case (r, sid) => refAged(r, sid) }
+    val liveTags = m0.tags.filterNot { case (r, sid) => refAged(r, sid) }
+    val m = m0.copy(refs = liveRefs, tags = liveTags,
+      refRetention = m0.refRetention.filter { case (r, _) =>
+        liveRefs.contains(r) || liveTags.contains(r) })
+
     val mainKeep = m.currentSnapshotId.map(m.ancestry(_).take(retainLast)).getOrElse(Seq.empty)
     val refHeads = m.refs.values.toSet ++ m.tags.values
+    // 2. per-branch ancestry retention: each surviving non-main branch
+    //    keeps min-snapshots-to-keep ancestors (default 1 = the head,
+    //    which refHeads already shields) plus every ancestor younger than
+    //    its max-snapshot-age-ms when set — so a pinned branch can retain
+    //    MORE history than the table-wide olderThan horizon
+    val branchKeep: Set[Long] = m.refs.toSeq.collect {
+      case (r, sid) if r != SnapshotLog.MainBranch &&
+          m.refRetention.contains(r) =>
+        val pol = m.refRetention(r)
+        val anc = m.ancestry(sid)
+        val byCount = anc.take(pol.minSnapshotsToKeep.getOrElse(1))
+        val byAge = pol.maxSnapshotAgeMs.map(a => anc.filter(id =>
+          m.snapshot(id).exists(_.timestampMs >= nowMs - a))).getOrElse(Seq.empty)
+        byCount ++ byAge
+    }.flatten.toSet
     val keep = m.snapshots.filter(s =>
-      s.timestampMs >= olderThanMs || refHeads.contains(s.id) || mainKeep.contains(s.id))
+      s.timestampMs >= olderThanMs || refHeads.contains(s.id) ||
+        mainKeep.contains(s.id) || branchKeep.contains(s.id))
       .map(_.id).toSet
     val expired = m.snapshots.filterNot(s => keep.contains(s.id))
     // retained files are keyed by (base, path): a relative path under a
@@ -2816,7 +2902,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
       addedDeletes: Seq[DeleteFile] = Seq.empty,
       extraSummary: Map[String, String] = Map.empty,
       preserveDeletes: Boolean = false,
-      removedDeletes: Set[String] = Set.empty): GraftSnapshot = {
+      removedDeletes: Set[String] = Set.empty,
+      allowWapStage: Boolean = true): GraftSnapshot = {
+    // WAP by id: the commit is written to the log (parented on the target
+    // head) but no ref advances; a later cherry-pick publishes it
+    val stagingId: Option[String] =
+      if (allowWapStage && branch.isEmpty) wapId else None
+    stagingId.foreach { w =>
+      require(wapBranch.isEmpty,
+        "both spark.graft.wap.branch and a wap id are set; pick one staging mode")
+      require(!m.snapshots.exists(_.summary.get("wap.id").contains(w)),
+        s"wap id '$w' already has a staged snapshot on ${m.name}")
+    }
     val b = branch.orElse(wapBranch).getOrElse(SnapshotLog.MainBranch)
     require(!m.tags.contains(b),
       s"$b is a tag on ${m.name}; tags are immutable and cannot be written to")
@@ -2880,11 +2977,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "removed-data-files" -> removed.size.toString,
         "added-records" -> added.map(_.records).sum.toString,
         "added-delete-files" -> addedDeletes.size.toString,
-        "branch" -> b) ++ extraSummary,
+        "branch" -> b) ++ extraSummary ++
+        stagingId.map("wap.id" -> _),
       inlineDeleteFiles = inlineD,
       manifests = parentManifests)
     snap.manifestLoader = name => SnapshotLog.readManifest(location, name, conf)
-    val newRefs = m.refs + (b -> id)
+    val newRefs = if (stagingId.isDefined) m.refs else m.refs + (b -> id)
     GraftTable.onBeforeCommit()
     SnapshotLog.commit(location, m.copy(refs = newRefs, snapshots = m.snapshots :+ snap), conf)
     snap

@@ -215,6 +215,20 @@ case class ColumnStatsRecord(
     rowCount: Long,
     cols: Map[String, ColumnNdv])
 
+/** Per-ref snapshot-retention policy (Iceberg's SnapshotRef retention
+  * fields): `minSnapshotsToKeep` / `maxSnapshotAgeMs` govern how much of
+  * a BRANCH's ancestry `expire_snapshots` preserves (branch-only, like
+  * Iceberg); `maxRefAgeMs` ages the ref itself out — branch or tag —
+  * relative to its pointed snapshot's commit time. Unset fields fall back
+  * to the table-wide defaults (`history.expire.max-ref-age-ms` property;
+  * min-snapshots-to-keep default 1). Without these knobs every branch pin
+  * is immortal, which at 100x means unbounded metadata growth on
+  * long-lived WAP/tag refs. */
+case class RefRetention(
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
+
 case class TableMetadata(
     name: String,
     schemaJson: String,
@@ -226,6 +240,9 @@ case class TableMetadata(
     lastUpdatedMs: Long,
     metadataLog: Seq[MetadataLogEntry],
     tags: Map[String, Long] = Map.empty,
+    // per-ref retention policies keyed by ref name (empty on pre-r15
+    // metadata: json4s defaults the field on deserialization)
+    refRetention: Map[String, RefRetention] = Map.empty,
     renames: Seq[RenameRecord] = Seq.empty,
     // past physical names (renamed-from / dropped): never reusable, since
     // live files may still store data under them and resolution is by name
