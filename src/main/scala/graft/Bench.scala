@@ -194,6 +194,7 @@ object Bench {
       graft.queries.TableFixtures.pqServing(spark, sfDir)
       graft.queries.TableFixtures.streamChangelogReplayed(spark, sfDir)
       graft.queries.TableFixtures.ordersMergeConditional(spark, sfDir)
+      graft.queries.TableFixtures.ordersMergeConditionalMor(spark, sfDir)
       graft.queries.TableFixtures.ordersMergeNmbs(spark, sfDir)
       graft.queries.TableFixtures.ordersWapId(spark, sfDir)
       graft.queries.TableFixtures.ordersRefRetention(spark, sfDir)

@@ -36,6 +36,37 @@ object SparkEntry {
   private def centsSql(x: String): String =
     s"cast(sum(cast(cast(cast($x AS decimal(18,2)) * 100 AS bigint) AS decimal(38,0))) AS bigint)"
 
+  /** Shared DuckDB replay of the general-clause conditional MERGE —
+    * t_merge_conditional (CoW) and t_merge_conditional_mor (merge-on-read)
+    * must land on the identical state, so both hash against this. */
+  private lazy val mergeConditionalOracle: String =
+    s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 < 2),
+           s AS (SELECT o_orderkey AS sk, o_totalprice * 2 AS p,
+                   o_custkey AS sc
+                 FROM orders WHERE o_orderkey % 4 = 0),
+           j AS (SELECT t.*, s.sk, s.p, s.sc
+                 FROM t FULL OUTER JOIN s ON t.o_orderkey = s.sk),
+           merged AS (
+             SELECT
+               CASE WHEN o_orderkey IS NOT NULL AND sk IS NOT NULL THEN
+                      CASE WHEN p > 300000 THEN o_orderstatus ELSE 'M' END
+                    WHEN o_orderkey IS NULL THEN 'N'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey IS NOT NULL AND sk IS NOT NULL THEN
+                      CASE WHEN p > 300000 THEN p ELSE o_totalprice END
+                    WHEN o_orderkey IS NULL THEN p
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey IS NULL THEN sc
+                    ELSE o_custkey END AS o_custkey
+             FROM j
+             WHERE NOT (o_orderkey IS NOT NULL AND sk IS NOT NULL
+                        AND NOT (p > 300000) AND sc % 2 = 0)
+               AND NOT (o_orderkey IS NULL AND NOT (p < 100000)))
+         SELECT o_orderstatus, count(*) AS n,
+           ${centsSql("o_totalprice")} AS total_cents,
+           cast(sum(o_custkey) AS bigint) AS cust_sum
+         FROM merged GROUP BY 1 ORDER BY 1"""
+
   private def T(s: SparkSession, dir: String, t: String): DataFrame =
     if (t == "events") events(s, dir) else s.read.parquet(s"$dir/$t.parquet")
 
@@ -2216,6 +2247,16 @@ object SparkEntry {
     // rule's general path (conditional-cascade CoW rewrite)
     "t_merge_conditional" -> ((s, dir) =>
       TableFixtures.ordersMergeConditional(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .orderBy("o_orderstatus")),
+
+    // the SAME general merge under merge-on-read: equality-delete commit
+    // + append, identical final state (cross-mode pin)
+    "t_merge_conditional_mor" -> ((s, dir) =>
+      TableFixtures.ordersMergeConditionalMor(s, dir).toDF
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sumCents(col("o_totalprice")).as("total_cents"),
@@ -5419,33 +5460,8 @@ object SparkEntry {
 
     // the general-clause MERGE replayed as a CASE cascade over the same
     // full-outer join, first-true-wins clause order preserved
-    "t_merge_conditional" ->
-      s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 < 2),
-           s AS (SELECT o_orderkey AS sk, o_totalprice * 2 AS p,
-                   o_custkey AS sc
-                 FROM orders WHERE o_orderkey % 4 = 0),
-           j AS (SELECT t.*, s.sk, s.p, s.sc
-                 FROM t FULL OUTER JOIN s ON t.o_orderkey = s.sk),
-           merged AS (
-             SELECT
-               CASE WHEN o_orderkey IS NOT NULL AND sk IS NOT NULL THEN
-                      CASE WHEN p > 300000 THEN o_orderstatus ELSE 'M' END
-                    WHEN o_orderkey IS NULL THEN 'N'
-                    ELSE o_orderstatus END AS o_orderstatus,
-               CASE WHEN o_orderkey IS NOT NULL AND sk IS NOT NULL THEN
-                      CASE WHEN p > 300000 THEN p ELSE o_totalprice END
-                    WHEN o_orderkey IS NULL THEN p
-                    ELSE o_totalprice END AS o_totalprice,
-               CASE WHEN o_orderkey IS NULL THEN sc
-                    ELSE o_custkey END AS o_custkey
-             FROM j
-             WHERE NOT (o_orderkey IS NOT NULL AND sk IS NOT NULL
-                        AND NOT (p > 300000) AND sc % 2 = 0)
-               AND NOT (o_orderkey IS NULL AND NOT (p < 100000)))
-         SELECT o_orderstatus, count(*) AS n,
-           ${centsSql("o_totalprice")} AS total_cents,
-           cast(sum(o_custkey) AS bigint) AS cust_sum
-         FROM merged GROUP BY 1 ORDER BY 1""",
+    "t_merge_conditional" -> mergeConditionalOracle,
+
 
     // main after the id-route publish = base + the published batch only
     "t_wap_id" ->
@@ -5472,6 +5488,10 @@ object SparkEntry {
            ${centsSql("o_totalprice")} AS total_cents,
            'expired' AS aged_tag, 3 AS n_snapshots
          FROM states GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical state to t_merge_conditional: the commit SHAPE differs
+    // (merge-on-read), the semantics must not
+    "t_merge_conditional_mor" -> mergeConditionalOracle,
 
     // NMBS: matched rows accumulate, unreferenced rows delete or go stale;
     // source-only rows are ignored (no NOT MATCHED clause) -> LEFT JOIN

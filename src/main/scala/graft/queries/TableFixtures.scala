@@ -615,6 +615,40 @@ object TableFixtures {
       t
     })
 
+  /** [[ordersMergeConditional]]'s merge-on-read twin: the SAME general
+    * SQL MERGE on a `write.merge.mode=merge-on-read` table — one
+    * equality-delete commit + append instead of a file rewrite; the final
+    * state (and hence the oracle) is identical. */
+  def ordersMergeConditionalMor(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_merge_cond_mor", sfDir), {
+      val cat = sqlCatalog(spark, sfDir)
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_merge_cond_mor"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_merge_cond_mor",
+        orders.schema, props = Map("write.merge.mode" -> "merge-on-read"))
+      t.append(orders.filter(col("o_orderkey") % 3 < 2))
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"),
+          col("o_custkey"))
+        .createOrReplaceTempView("merge_cond_mor_src")
+      spark.sql(s"""MERGE INTO $cat.orders_merge_cond_mor t
+        USING merge_cond_mor_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.p > 300000
+          THEN UPDATE SET t.o_totalprice = s.p, t.o_orderpriority = 'BUMP'
+        WHEN MATCHED AND s.o_custkey % 2 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.o_orderstatus = 'M'
+        WHEN NOT MATCHED AND s.p < 100000 THEN
+          INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+          VALUES (s.o_orderkey, s.o_custkey, 'N', s.p)""")
+      val snap = t.meta.currentSnapshot.get
+      assert(snap.removedFiles.isEmpty &&
+        snap.deleteFiles.exists(_.seq == snap.id),
+        "merge-on-read general merge must commit deletes, not rewrites")
+      t
+    })
+
   /** `WHEN NOT MATCHED BY SOURCE` SQL MERGE fixture (round 15): matched
     * rows accumulate, unreferenced expensive rows delete, the rest are
     * marked stale — the anti-join clause Iceberg's RewriteMergeIntoTable

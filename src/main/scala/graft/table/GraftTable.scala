@@ -684,27 +684,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
       val isMatched = col("__tgt").isNotNull && col("__src").isNotNull
       val isSrcOnly = col("__tgt").isNull
-
-      // first-true-wins cascade: `when(c1,…).when(c2,…)` already evaluates
-      // conditions in clause order, SQL MERGE's clause semantics exactly
-      // (a NULL condition, like SQL, does not fire the clause)
-      def keepChain(clauses: Seq[MergeClause], default: Boolean): Column =
-        clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
-          val keeps = lit(!cl.isInstanceOf[MergeClause.Delete])
-          val cond = cl.condition.getOrElse(lit(true))
-          Some(acc.fold(when(cond, keeps))(_.when(cond, keeps)))
-        }.fold(lit(default))(_.otherwise(lit(default)))
-
-      def valChain(clauses: Seq[MergeClause], c: String, default: Column): Column =
-        clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
-          val v: Column = cl match {
-            case MergeClause.Update(_, set) => set.toMap.getOrElse(c, default)
-            case MergeClause.Insert(_, vs)  => vs.toMap.getOrElse(c, lit(null))
-            case _: MergeClause.Delete      => default // row dropped by keepChain
-          }
-          val cond = cl.condition.getOrElse(lit(true))
-          Some(acc.fold(when(cond, v))(_.when(cond, v)))
-        }.fold(default)(_.otherwise(default))
+      import GraftTable.MergeCascade.{keepChain, valChain}
 
       val keep = when(isMatched, keepChain(matched, default = true))
         .when(isSrcOnly, keepChain(notMatched, default = false))
@@ -719,6 +699,103 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
       val newFiles = writeDataFiles(result, tableSchema, m.partitionCols)
       commitSnapshot(m, newFiles, affectedFiles.map(_.path), "merge", branch,
+        extraSummary = extraSummary)
+    }
+
+  /**
+   * Merge-on-read twin of [[mergeInto]] (tblproperty
+   * `write.merge.mode=merge-on-read`, the reference's own setting —
+   * IcebergLoadActivityTask.scala:31): the same full general clause
+   * surface, committed as ONE equality-delete file (the keys of every row
+   * a clause actually fired on) plus an append of the post-clause rows —
+   * O(changed rows) regardless of file sizes, never a file rewrite.
+   * Matched rows where NO clause fires are untouched (not deleted, not
+   * rewritten). `keys` must uniquely identify target rows, the standing
+   * MoR-merge contract. Without NOT-MATCHED-BY-SOURCE clauses only
+   * key-matched target rows join; with them every target row is
+   * inspected (the delete file is still O(rows a clause fired on)).
+   */
+  def mergeIntoMoR(source: DataFrame, keys: Seq[(String, Column)],
+      matched: Seq[MergeClause] = Seq.empty,
+      notMatched: Seq[MergeClause] = Seq.empty,
+      notMatchedBySource: Seq[MergeClause] = Seq.empty,
+      branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
+    withCommitLock {
+      require(keys.nonEmpty, "MERGE requires at least one ON key")
+      matched.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
+        "WHEN MATCHED clauses must UPDATE or DELETE"))
+      notMatched.foreach(c => require(c.isInstanceOf[MergeClause.Insert],
+        "WHEN NOT MATCHED clauses must INSERT"))
+      notMatchedBySource.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
+        "WHEN NOT MATCHED BY SOURCE clauses must UPDATE or DELETE"))
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val cols = tableSchema.fields.map(_.name).toSeq
+      keys.foreach { case (k, _) => require(cols.contains(k),
+        s"MERGE ON references unknown target column $k") }
+      val keyNames = keys.map(_._1)
+      val srcCols = source.columns.toSeq
+      require(srcCols.distinct.size == srcCols.size,
+        "MERGE source has duplicate column names; alias them apart first")
+      val prepared = source.select(
+        (keys.map { case (k, e) => e.as(s"__k_$k") } ++
+          srcCols.map(c => col(c).as(s"__s_$c"))).toIndexedSeq: _*)
+      val keysNotNull = keyNames.map(k => col(s"__k_$k").isNotNull).reduce(_ && _)
+      val srcCard = prepared.filter(keysNotNull).agg(
+        count(lit(1)).as("n"),
+        countDistinct(struct(keyNames.map(k => col(s"__k_$k")).toIndexedSeq: _*)).as("d"))
+        .collect().head
+      require(srcCard.getLong(0) == srcCard.getLong(1),
+        s"MERGE source has ${srcCard.getLong(0) - srcCard.getLong(1)} duplicate " +
+          s"rows on key (${keyNames.mkString(", ")}); deduplicate the source first")
+
+      val head = resolveWriteBranchHead(m, branch)
+      val current = scan(head, m) // delete-applied live state
+      // without NMBS clauses only key-matched target rows can change, so
+      // the join's target side pre-shrinks to them (a broadcast-able
+      // semi-join against the source keys, never the whole table)
+      val target0 =
+        if (notMatchedBySource.nonEmpty) current
+        else {
+          val srcKeys = prepared
+            .select(keyNames.map(k => col(s"__k_$k").as(k)).toIndexedSeq: _*).distinct()
+          current.join(srcKeys, keyNames, "left_semi")
+        }
+      val target = target0.withColumn("__tgt", lit(1))
+      val s = prepared.withColumn("__src", lit(1))
+      val joinCond = keyNames.map(k => target(k) === s(s"__k_$k")).reduce(_ && _)
+      val joined = target.join(s, joinCond, "full_outer")
+
+      val isMatched = col("__tgt").isNotNull && col("__src").isNotNull
+      val isSrcOnly = col("__tgt").isNull
+      import GraftTable.MergeCascade.{keepChain, touchedChain, valChain}
+
+      // a row enters the DELETE FILE iff a clause fired on it (update =
+      // delete-then-reinsert; delete = delete only); untouched rows never
+      // pay a delete entry
+      val touched = when(isMatched, touchedChain(matched))
+        .when(isSrcOnly, lit(false))
+        .otherwise(touchedChain(notMatchedBySource))
+      // a row is APPENDED iff it survives with a fired Update (matched /
+      // NMBS) or a fired Insert (source-only)
+      val appendRow = when(isMatched, touchedChain(matched) && keepChain(matched, default = true))
+        .when(isSrcOnly, keepChain(notMatched, default = false))
+        .otherwise(touchedChain(notMatchedBySource) &&
+          keepChain(notMatchedBySource, default = true))
+      val outCols = tableSchema.fields.map { f =>
+        when(isMatched, valChain(matched, f.name, col(f.name)))
+          .when(isSrcOnly, valChain(notMatched, f.name, lit(null)))
+          .otherwise(valChain(notMatchedBySource, f.name, col(f.name)))
+          .cast(f.dataType).as(f.name)
+      }
+      val delKeys = joined.filter(touched)
+        .select(keyNames.map(col).toIndexedSeq: _*).distinct()
+      val appended = joined.filter(appendRow).select(outCols.toIndexedSeq: _*)
+
+      val newFiles = writeDataFiles(appended, tableSchema, m.partitionCols)
+      commitSnapshot(m, newFiles, Seq.empty, "merge", branch,
+        addedDeletes = writeDeleteFiles(delKeys, keyNames),
         extraSummary = extraSummary)
     }
 
@@ -2993,6 +3070,44 @@ object GraftTable {
   /** Orphan GC ignores files younger than this (Iceberg's older_than default,
     * 3 days) so in-flight commits' freshly moved files are never collected. */
   val OrphanFileDefaultAgeMs: Long = 3L * 24 * 60 * 60 * 1000
+
+  /** First-true-wins clause-cascade column builders shared by the CoW
+    * ([[GraftTable.mergeInto]]) and MoR ([[GraftTable.mergeIntoMoR]])
+    * general-merge rewrites: `when(c1,…).when(c2,…)` already evaluates
+    * conditions in clause order, SQL MERGE's clause semantics exactly
+    * (a NULL condition, like SQL, does not fire the clause). */
+  private[table] object MergeCascade {
+    import org.apache.spark.sql.functions.{lit, when}
+
+    /** TRUE when the row survives: Update/Insert keep, Delete drops,
+      * no-clause-fires falls to `default`. */
+    def keepChain(clauses: Seq[MergeClause], default: Boolean): Column =
+      clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
+        val keeps = lit(!cl.isInstanceOf[MergeClause.Delete])
+        val cond = cl.condition.getOrElse(lit(true))
+        Some(acc.fold(when(cond, keeps))(_.when(cond, keeps)))
+      }.fold(lit(default))(_.otherwise(lit(default)))
+
+    /** TRUE when ANY clause fires on the row (the row is touched —
+      * updated or deleted — as opposed to carried over untouched). */
+    def touchedChain(clauses: Seq[MergeClause]): Column =
+      clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
+        val cond = cl.condition.getOrElse(lit(true))
+        Some(acc.fold(when(cond, lit(true)))(_.when(cond, lit(true))))
+      }.fold(lit(false))(_.otherwise(lit(false)))
+
+    /** The value column `c` takes under the first firing clause. */
+    def valChain(clauses: Seq[MergeClause], c: String, default: Column): Column =
+      clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
+        val v: Column = cl match {
+          case MergeClause.Update(_, set) => set.toMap.getOrElse(c, default)
+          case MergeClause.Insert(_, vs)  => vs.toMap.getOrElse(c, lit(null))
+          case _: MergeClause.Delete      => default // row dropped by keepChain
+        }
+        val cond = cl.condition.getOrElse(lit(true))
+        Some(acc.fold(when(cond, v))(_.when(cond, v)))
+      }.fold(default)(_.otherwise(default))
+  }
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(location: String): Object =

@@ -69,12 +69,11 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
 
 /** General-shape `MERGE INTO` rewritten by [[graft.sql.GraftMergeRule]]
   * (conditional clauses, several clauses in order, NOT MATCHED BY SOURCE):
-  * runs [[GraftTable.mergeInto]]'s conditional-cascade copy-on-write
-  * rewrite. `write.merge.mode=merge-on-read` governs the physical commit
-  * shape, not semantics — the general clause surface ships CoW only, so
-  * MoR-mode tables fall back to the CoW rewrite for these shapes (the
-  * simple unconditional upsert keeps its MoR route in
-  * [[GraftMergeCommand]]). */
+  * runs the conditional-cascade rewrite in the commit shape
+  * `write.merge.mode` selects — the file-level copy-on-write
+  * [[GraftTable.mergeInto]] by default, the O(changed-rows)
+  * equality-delete-plus-append [[GraftTable.mergeIntoMoR]] under
+  * merge-on-read (the reference's own setting). */
 case class GraftMergeIntoCommand(location: String, source: LogicalPlan,
     keys: Seq[(String, org.apache.spark.sql.Column)],
     matched: Seq[graft.table.MergeClause],
@@ -84,8 +83,10 @@ case class GraftMergeIntoCommand(location: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val df = Dataset.ofRows(session.asInstanceOf[ClassicSession], source)
-    GraftTable.load(session, location)
-      .mergeInto(df, keys, matched, notMatched, notMatchedBySource)
+    val t = GraftTable.load(session, location)
+    if (t.properties.get("write.merge.mode").contains("merge-on-read"))
+      t.mergeIntoMoR(df, keys, matched, notMatched, notMatchedBySource)
+    else t.mergeInto(df, keys, matched, notMatched, notMatchedBySource)
     Seq.empty
   }
 }
