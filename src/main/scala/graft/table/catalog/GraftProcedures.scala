@@ -37,13 +37,15 @@ private[catalog] object GraftProcedures {
     "rewrite_data_files", "rewrite_manifests", "expire_snapshots",
     "rollback_to_snapshot", "set_partition_spec", "create_changelog_view",
     "cherrypick_snapshot", "rewrite_position_delete_files",
-    "snapshot", "register_table", "compute_table_stats")
+    "snapshot", "register_table", "compute_table_stats",
+    "set_ref_retention")
 
   def load(name: String, catalog: GraftSparkCatalog): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "add_files"           => Some(new AddFiles(catalog))
       case "snapshot"            => Some(new SnapshotTable(catalog))
       case "register_table"      => Some(new RegisterTable(catalog))
+      case "set_ref_retention"   => Some(new SetRefRetention(catalog))
       case "ancestors_of"        => Some(new AncestorsOf(catalog))
       case "fast_forward"        => Some(new FastForward(catalog))
       case "remove_orphan_files" => Some(new RemoveOrphanFiles(catalog))
@@ -437,6 +439,36 @@ private[catalog] object GraftProcedures {
   /** `expire_snapshots(table, older_than => …, retain_last => …)`: drop
     * history older than the cutoff, keeping branch pins + the last N.
     * One row per expired snapshot id. */
+  /** `set_ref_retention(table, ref, min_snapshots_to_keep,
+    * max_snapshot_age_ms, max_ref_age_ms)` — attach an Iceberg-style
+    * retention policy to a branch or tag (round 15); all-NULL knobs clear
+    * the policy back to table defaults. */
+  private class SetRefRetention(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "set_ref_retention") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("ref", StringType),
+      param("min_snapshots_to_keep", IntegerType, "NULL"),
+      param("max_snapshot_age_ms", LongType, "NULL"),
+      param("max_ref_age_ms", LongType, "NULL"))
+    private val out = StructType(Seq(
+      StructField("ref", StringType, nullable = false),
+      StructField("policy", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val ref = input.getUTF8String(1).toString
+      val minKeep = if (input.isNullAt(2)) None else Some(input.getInt(2))
+      val maxAge = if (input.isNullAt(3)) None else Some(input.getLong(3))
+      val maxRefAge = if (input.isNullAt(4)) None else Some(input.getLong(4))
+      t.setRefRetention(ref, minKeep, maxAge, maxRefAge)
+      val policy = t.meta.refRetention.get(ref)
+        .map(_.toString).getOrElse("cleared")
+      result(out, Seq(new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(ref),
+        org.apache.spark.unsafe.types.UTF8String.fromString(policy)))))
+    }
+  }
+
   private class ExpireSnapshots(catalog: GraftSparkCatalog)
     extends GraftProcedure(catalog, "expire_snapshots") {
     override def parameters(): Array[ProcedureParameter] = Array(

@@ -120,6 +120,26 @@ class RefRetentionSpec extends SparkTestBase {
     assert(!t.meta.refRetention.contains("tg"))
   }
 
+  test("CALL system.set_ref_retention routes to the API") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("rr-sql-wh").toString
+    spark.conf.set("spark.sql.catalog.rrcat",
+      classOf[graft.table.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rrcat.warehouse", wh)
+    val t = GraftTable.create(spark, s"$wh/ns/t", "rrcat.ns.t", schema)
+    app(t, 1)
+    t.createOrReplaceBranch("b")
+    val row = spark.sql(
+      """CALL rrcat.system.set_ref_retention('ns.t', 'b',
+         min_snapshots_to_keep => 2, max_ref_age_ms => 86400000)""").head
+    assert(row.getString(0) === "b")
+    assert(t.meta.refRetention("b") ===
+      RefRetention(Some(2), None, Some(86400000L)))
+    // all-NULL knobs clear the policy
+    spark.sql("CALL rrcat.system.set_ref_retention('ns.t', 'b')")
+    assert(!t.meta.refRetention.contains("b"))
+  }
+
   test("policies round-trip through metadata persistence") {
     val t = mk("rr-persist")
     app(t, 1)
