@@ -1270,7 +1270,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val rangeIds = chain.takeWhile(_ != from.id)
     val byId = m.snapshots.map(s => s.id -> s).toMap
     val range = rangeIds.map(byId)
-    range.filterNot(_.operation == "append") match {
+    range.filterNot(s =>
+        s.operation == "append" || s.operation == "cherrypick") match {
       case Seq() => ()
       case nonAppend => throw new IllegalArgumentException(
         s"changesBetween supports append-only ranges; snapshot(s) " +

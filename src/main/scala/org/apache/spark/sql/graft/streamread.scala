@@ -246,7 +246,9 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       val newDels = sn.deleteFiles.filter(_.seq == sn.id)
       sn.operation match {
         case "replace" => Seq.empty
-        case "append" => insertParts(sn)
+        // cherrypick (a WAP publish) is an insert-only commit: the picked
+        // rows land on this branch HERE, so they stream as INSERT images
+        case "append" | "cherrypick" => insertParts(sn)
         // a no-op row-level commit (e.g. a delete/update that matched
         // nothing): no images
         case _ if sn.removedFiles.isEmpty && newDels.isEmpty &&
@@ -326,7 +328,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     if (changelog) return planChangelog(range, m, skipOverwrites)
     val added = range.flatMap { sn =>
       sn.operation match {
-        case "append" =>
+        case "append" | "cherrypick" => // cherrypick = insert-only publish
           val addedSet = sn.addedFiles.toSet
           sn.files.filter(f => addedSet.contains(f.path))
         case "replace" => Seq.empty // row-preserving compaction: already streamed

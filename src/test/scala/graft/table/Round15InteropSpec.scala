@@ -1,0 +1,131 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.table.MergeClause.src
+
+/** Round-15 cross-feature interop pins: the new surfaces must compose —
+  * WAP-by-id with the streaming read, the general MoR merge with the
+  * Avro delete format and the CDC stream, staged snapshots with
+  * expire_snapshots' retention pass. */
+class Round15InteropSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("n", LongType)))
+
+  private def rows(r: Range) = {
+    import spark.implicits._
+    r.map(i => (i.toLong, s"v$i", i.toLong * 10)).toDF("id", "v", "n")
+  }
+
+  test("WAP-by-id x streaming: staged rows never stream; the publish streams as INSERTs") {
+    val t = GraftTable.create(spark, tmpDir("r15-wapstream"), "ws", schema,
+      props = Map("write.wap.enabled" -> "true"))
+    t.append(rows(0 until 5))
+    spark.conf.set("spark.graft.wap.id", "wb1")
+    try t.append(rows(10 until 13))
+    finally spark.conf.unset("spark.graft.wap.id")
+    def drain(cp: String): Seq[Long] = {
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      spark.readStream.format("graft-stream").load(t.location)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => out.add(r.getLong(0))))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      import scala.jdk.CollectionConverters._
+      out.asScala.toSeq.sorted
+    }
+    val cp = tmpDir("r15-wapstream-cp")
+    assert(drain(cp) === (0L until 5L),
+      "a staged (unpublished) wap snapshot must not stream")
+    t.cherryPick(t.snapshotForWapId("wb1").get.id)
+    assert(drain(cp) === (10L until 13L),
+      "the publish (cherrypick) must stream its rows exactly once")
+  }
+
+  test("WAP-by-id x changelog stream: the publish emits INSERT images with the publish snapshot id") {
+    val t = GraftTable.create(spark, tmpDir("r15-wapcdc"), "wc", schema,
+      props = Map("write.wap.enabled" -> "true"))
+    t.append(rows(0 until 3))
+    spark.conf.set("spark.graft.wap.id", "wb2")
+    try t.append(rows(20 until 22))
+    finally spark.conf.unset("spark.graft.wap.id")
+    val pub = t.cherryPick(t.snapshotForWapId("wb2").get.id)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .load(t.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("_change_type"), col("_commit_snapshot_id"), col("id"))
+          .collect().foreach(r =>
+            out.add((r.getString(0), r.getLong(1), r.getLong(2)))))
+      .option("checkpointLocation", tmpDir("r15-wapcdc-cp"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val images = out.asScala.toSeq
+    assert(images.forall(_._1 == "INSERT"))
+    val published = images.filter(_._2 == pub.id).map(_._3).sorted
+    assert(published === (20L until 22L),
+      "publish images must carry the PUBLISH snapshot id, not the staged one")
+    assert(images.map(_._3).sorted === Seq(0L, 1L, 2L, 20L, 21L))
+  }
+
+  test("general MoR merge x avro delete format x CDC replay lands on the batch state") {
+    import spark.implicits._
+    val srcT = GraftTable.create(spark, tmpDir("r15-mor-avro"), "ma", schema,
+      props = Map("write.merge.mode" -> "merge-on-read",
+        "write.delete.format.default" -> "avro"))
+    val sink = GraftTable.create(spark, tmpDir("r15-mor-avro-sink"), "mas", schema)
+    srcT.append(rows(0 until 8))
+    srcT.mergeIntoMoR(
+      Seq((1L, 100L), (2L, 0L), (12L, 120L)).toDF("sid", "sn"),
+      keys = Seq("id" -> col("sid")),
+      matched = Seq(
+        MergeClause.Delete(Some(src("sn") === 0L)),
+        MergeClause.Update(None, Seq("n" -> src("sn")))),
+      notMatched = Seq(MergeClause.Insert(None,
+        Seq("id" -> src("sid"), "v" -> lit("new"), "n" -> src("sn")))))
+    // the merge's delete file is genuinely avro (the table's declared format)
+    val snap = srcT.meta.currentSnapshot.get
+    val dels = snap.deleteFiles.filter(_.seq == snap.id)
+    assert(dels.nonEmpty && dels.forall(_.path.endsWith(".avro")), dels.map(_.path))
+    // CDC stream replays the avro-delete merge commit into the sink
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .load(srcT.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", tmpDir("r15-mor-avro-cp"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def state(t: GraftTable) =
+      t.toDF.as[(Long, String, Long)].collect().toSeq.sorted
+    assert(state(sink) === state(srcT))
+    assert(state(srcT).map(_._1) === Seq(0L, 1L, 3L, 4L, 5L, 6L, 7L, 12L))
+  }
+
+  test("expire_snapshots garbage-collects an unpublished staged wap snapshot") {
+    val t = GraftTable.create(spark, tmpDir("r15-wapexp"), "we", schema,
+      props = Map("write.wap.enabled" -> "true"))
+    t.append(rows(0 until 3))
+    spark.conf.set("spark.graft.wap.id", "wb3")
+    try t.append(rows(30 until 32))
+    finally spark.conf.unset("spark.graft.wap.id")
+    val staged = t.snapshotForWapId("wb3").get
+    val future = System.currentTimeMillis() + 3600L * 1000
+    val expired = t.expireSnapshots(olderThanMs = future, retainLast = 1,
+      nowMs = future)
+    assert(expired.contains(staged.id),
+      "an abandoned staged snapshot is exactly what expire must collect")
+    assert(t.snapshotForWapId("wb3").isEmpty)
+    assert(t.toDF.count() === 3L, "main is untouched")
+    // its exclusive data files are physically gone
+    val stagedOnly = staged.addedFiles
+    val live = t.meta.snapshots.flatMap(_.files.map(_.path)).toSet
+    assert(stagedOnly.forall(p => !live.contains(p)))
+  }
+}
