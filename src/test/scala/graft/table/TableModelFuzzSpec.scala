@@ -53,7 +53,8 @@ class TableModelFuzzSpec extends SparkTestBase {
       val rnd = new scala.util.Random(seed)
       val t = GraftTable.create(spark, tmpDir(s"fuzz-model-$seed-$dvMode-$avroMode"),
         s"fzm$seed", schema, partitionCols = Seq("p"),
-        props = (if (dvMode) Map("write.delete.vector.enabled" -> "true")
+        props = Map("write.wap.enabled" -> "true") ++ // op 13 stages by wap id
+          (if (dvMode) Map("write.delete.vector.enabled" -> "true")
           else Map.empty[String, String]) ++
           (if (avroMode) Map("write.delete.format.default" -> "avro")
           else Map.empty))
@@ -77,7 +78,13 @@ class TableModelFuzzSpec extends SparkTestBase {
       check("init")
 
       (1 to 40).foreach { i =>
-        rnd.nextInt(if (dvMode || avroMode) 11 else 10) match {
+        // ops 11-13 (round 15: general merge CoW/MoR, WAP-by-id) run in
+        // every mode; op 10 (positional delete) only in dv/avro campaigns
+        val opCode = {
+          val x = rnd.nextInt(if (dvMode || avroMode) 14 else 13)
+          if (!(dvMode || avroMode) && x >= 10) x + 1 else x
+        }
+        opCode match {
           case 0 | 1 | 2 => // append (duplicate keys allowed: multiset)
             val rows = fresh(5 + rnd.nextInt(10))
             t.append(rows.toDF("k", "v", "p"))
@@ -117,7 +124,7 @@ class TableModelFuzzSpec extends SparkTestBase {
             model = model.filterNot { case (k, _, _) => del.contains(k) }
             check(s"op$i merge delete")
           case 8 => // maintenance: content no-ops
-            rnd.nextInt(if (dvMode || avroMode) 4 else 3) match {
+            rnd.nextInt(if (dvMode || avroMode) 5 else 4) match {
               case 0 => t.rewriteDataFilesSorted(Seq(asc("k")))
               case 1 => t.rewriteDataFilesBinpack(minFileSizeBytes = 1L << 20)
               case 2 =>
@@ -125,7 +132,11 @@ class TableModelFuzzSpec extends SparkTestBase {
                   retainLast = 3)
                 t.removeOrphanFiles(dryRun = false,
                   olderThanMs = System.currentTimeMillis() + 3600000L)
-              case 3 => t.rewritePositionDeleteFiles()
+              case 3 => // round 15: pin a branch with a retention policy so
+                // later expire passes must preserve its ancestry
+                t.createOrReplaceBranch("fzpin")
+                t.setRefRetention("fzpin", minSnapshotsToKeep = Some(3))
+              case 4 => t.rewritePositionDeleteFiles()
             }
             check(s"op$i maintenance")
           case 9 => // rollback to a random snapshot on main's ancestry
@@ -152,6 +163,44 @@ class TableModelFuzzSpec extends SparkTestBase {
                 .forall(_.path.endsWith(".avro")),
                 s"seed $seed op$i: avro mode must commit .avro delete files")
             check(s"op$i deleteWherePositional(k % $m0 == $r)")
+          case 11 | 12 => // round 15: general conditional MERGE, CoW / MoR
+            import graft.table.MergeClause.src
+            val srcRows = fresh(5 + rnd.nextInt(5))
+              .groupBy(_._1).map(_._2.head).toSeq
+            val x = rnd.nextInt(1000).toDouble
+            val srcDF = srcRows.toDF("sk", "sv", "sp")
+            val keys = Seq("k" -> col("sk"))
+            // source-only conditions so duplicate-k target rows all take
+            // the SAME action (the MoR key contract under multisets)
+            val matched = Seq(
+              MergeClause.Delete(Some(src("sv") < x)),
+              MergeClause.Update(None, Seq("v" -> src("sv"))))
+            val notMatched = Seq(MergeClause.Insert(Some(src("sv") >= x / 2),
+              Seq("k" -> src("sk"), "v" -> src("sv"), "p" -> src("sp"))))
+            if (opCode == 11) t.mergeInto(srcDF, keys, matched, notMatched)
+            else t.mergeIntoMoR(srcDF, keys, matched, notMatched)
+            val byK = srcRows.map(s => s._1 -> s).toMap
+            val matchedKeys = model.map(_._1).toSet
+            model = model.flatMap { case row @ (k, _, p) =>
+              byK.get(k) match {
+                case Some(s) => if (s._2 < x) None else Some((k, s._2, p))
+                case None => Some(row)
+              }
+            } ++ srcRows
+              .filter(s => !matchedKeys.contains(s._1) && s._2 >= x / 2)
+            check(s"op$i mergeInto${if (opCode == 12) "MoR" else ""} x=$x")
+          case 13 => // round 15: WAP-by-id stage (main untouched) + publish
+            val rows = fresh(3 + rnd.nextInt(4))
+            val wid = s"fz$seed-$i"
+            val mainBefore = t.meta.currentSnapshotId
+            spark.conf.set("spark.graft.wap.id", wid)
+            try t.append(rows.toDF("k", "v", "p"))
+            finally spark.conf.unset("spark.graft.wap.id")
+            assert(t.meta.currentSnapshotId === mainBefore,
+              s"seed $seed op$i: staging moved main")
+            t.cherryPick(t.snapshotForWapId(wid).get.id)
+            model ++= rows
+            check(s"op$i wap-id stage+publish")
         }
       }
 

@@ -679,6 +679,38 @@ object DriveApp {
         .map { case (i, n) => s"$i:$n" }.mkString(",")
       println(s"merge-into state=$state op=${t.meta.currentSnapshot.get.operation}")
     }
+    println("== WAP by id + per-ref retention (round 15)")
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val loc = java.nio.file.Files.createTempDirectory("drive-wapid").toString + "/t"
+      val t = graft.table.GraftTable.create(spark, loc, "dwi",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))),
+        props = Map("write.wap.enabled" -> "true"))
+      t.append((1L to 4L).map(i => (i, i * 10)).toDF("id", "v"))
+      spark.conf.set("spark.graft.wap.id", "drive-batch")
+      try t.append(Seq((9L, 90L)).toDF("id", "v"))
+      finally spark.conf.unset("spark.graft.wap.id")
+      val mainDuringStage = t.toDF.count()
+      val staged = t.snapshotForWapId("drive-batch").get
+      val audit = t.asOfSnapshot(staged.id).count()
+      t.cherryPick(staged.id)
+      val pub = t.meta.currentSnapshot.get.summary("published-wap-id")
+      // retention: branch pinned with min=2, aged tag expires on the pass
+      t.createOrReplaceBranch("pin")
+      t.setRefRetention("pin", minSnapshotsToKeep = Some(2))
+      t.createTag("aged")
+      t.setRefRetention("aged", maxRefAgeMs = Some(1000L))
+      t.append(Seq((5L, 50L)).toDF("id", "v"))
+      val future = System.currentTimeMillis() + 3600L * 1000
+      t.expireSnapshots(olderThanMs = future, retainLast = 1, nowMs = future)
+      val m = t.meta
+      val pinAnc = m.ancestry(m.refs("pin")).size
+      println(s"wap-id staged=$audit mainDuringStage=$mainDuringStage " +
+        s"published=$pub pinAncestors=$pinAnc agedTag=${m.tags.contains("aged")}")
+    }
     spark.stop()
   }
 }
