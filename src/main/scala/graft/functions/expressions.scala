@@ -288,6 +288,68 @@ object Shingles {
 }
 
 /**
+ * Windowed co-occurrence pairs for PMI collocations: every unordered
+ * token pair within `window` positions as `"min max"` strings (the two
+ * tokens sorted by UTF8 byte order, space-joined) — the native
+ * replacement for a per-distance `zip_with(slice, slice,
+ * concat_ws(array_sort(…)))` chain that Catalyst interprets per element.
+ * Output order matches the HOF form exactly: all distance-1 pairs in
+ * position order, then distance-2, … (order is irrelevant to the
+ * downstream count but the parity spec pins it anyway).
+ */
+case class TokenPairs(child: Expression, window: Int) extends UnaryExpression {
+
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_pairs requires an array<string> column, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenPairs.pairs(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenPairs.pairs($c, $window)")
+
+  override protected def withNewChildInternal(c: Expression): TokenPairs =
+    copy(child = c)
+}
+
+object TokenPairs {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by the interpreted and generated paths. */
+  def pairs(arr: ArrayData, window: Int): ArrayData = {
+    val n = arr.numElements()
+    var total = 0
+    var j = 1
+    while (j <= window) { if (n > j) total += n - j; j += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    j = 1
+    while (j <= window) {
+      var i = 0
+      val lim = n - j
+      while (i < lim) {
+        val a = arr.getUTF8String(i)
+        val b = arr.getUTF8String(i + j)
+        // UTF8String binary order, array_sort's comparator for strings
+        val (lo, hi) = if (a.compareTo(b) <= 0) (a, b) else (b, a)
+        out(k) = UTF8String.concatWs(Space, lo, hi)
+        k += 1
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * Per-query PQ asymmetric-distance lookup table, flattened: entry
  * `s*ksub + c` is the inner product of the query's s-th sub-vector with
  * codeword `c` of sub-space `s` — `m*ksub` doubles per query row.
@@ -647,6 +709,9 @@ object GraftFunctions {
 
   def pq_adc_table(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     bridge.column(PqAdcTable(bridge.expression(qv), codebooks))
+
+  def token_pairs(tokens: Column, window: Int): Column =
+    bridge.column(TokenPairs(bridge.expression(tokens), window))
 
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     bridge.column(PqEncodeCodes(bridge.expression(vec), codebooks))

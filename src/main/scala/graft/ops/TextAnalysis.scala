@@ -331,14 +331,13 @@ object TextAnalysis {
     require(k >= 1, s"k must be positive, got $k")
     val base = df.select(tokens(col(textCol)).as("__toks"))
     val n = size(col("__toks"))
-    val perJ: Seq[Column] = (1 to window).map { j =>
-      when(n > j,
-        zip_with(slice(col("__toks"), lit(1), n - j),
-          slice(col("__toks"), lit(j + 1), n - j),
-          (a, b) => concat_ws(" ", array_sort(array(a, b)))))
-        .otherwise(array().cast("array<string>"))
-    }
-    val pairs = base.select(explode(concat(perJ: _*)).as("__pair"))
+    // native codegen'd pair emitter (expressions.scala TokenPairs) —
+    // bit-identical to the per-distance zip_with/array_sort/concat_ws HOF
+    // chain it replaced (UTF8 byte-order min/max, same output order;
+    // TokenPairsSpec pins parity)
+    val pairs = base.select(explode(
+      graft.functions.GraftFunctions.token_pairs(col("__toks"), window))
+      .as("__pair"))
     val pairCounts = pairs.groupBy(col("__pair"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
