@@ -198,6 +198,7 @@ object Bench {
       graft.queries.TableFixtures.ordersMergeNmbs(spark, sfDir)
       graft.queries.TableFixtures.ordersWapId(spark, sfDir)
       graft.queries.TableFixtures.ordersRefRetention(spark, sfDir)
+      graft.queries.TableFixtures.ordersWriteOrdered(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

@@ -2271,6 +2271,21 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderpriority")),
 
+    // write.sort-order (round 15): shuffled input lands key-clustered, a
+    // key-range scan opens a strict subset of files (ordered_pruned is
+    // the Spark-side own-bound, asserted true in-query like t_bloom_skip)
+    "t_write_ordered" -> ((s, dir) => {
+      val t = TableFixtures.ordersWriteOrdered(s, dir)
+      val total = t.meta.currentSnapshot.get.files.size
+      val scan = t.scanWhere(col("o_orderkey") <= 500)
+      val pruned = scan.inputFiles.length < total
+      scan.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("ordered_pruned", lit(pruned))
+        .orderBy("o_orderstatus")
+    }),
+
     // WAP by id (round 15): batch-42 staged + published via cherry-pick
     // lands on main; the unpublished batch-43 stays off it; the publish
     // commit carries published-wap-id
@@ -5462,6 +5477,13 @@ object SparkEntry {
     // full-outer join, first-true-wins clause order preserved
     "t_merge_conditional" -> mergeConditionalOracle,
 
+
+    "t_write_ordered" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         ${centsSql("o_totalprice")} AS total_cents,
+         true AS ordered_pruned
+         FROM orders WHERE o_orderkey <= 500
+         GROUP BY 1 ORDER BY 1""",
 
     // main after the id-route publish = base + the published batch only
     "t_wap_id" ->

@@ -672,6 +672,26 @@ object TableFixtures {
       t
     })
 
+  /** write.sort-order fixture (round 15, Iceberg's WRITE ORDERED BY):
+    * orders loaded SHUFFLED into a table declaring
+    * `write.sort-order=o_orderkey ASC` + range distribution + a row-count
+    * file cap — every data file lands with a tight, disjoint o_orderkey
+    * range, so a key-range scan opens a strict subset of files. */
+  def ordersWriteOrdered(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_write_ordered", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_write_ordered"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_write_ordered",
+        orders.schema,
+        props = Map("write.sort-order" -> "o_orderkey ASC NULLS LAST",
+          "write.distribution-mode" -> "range",
+          "write.target-file-size-rows" -> "2000"))
+      // shuffled input: only the declared write order produces clustering
+      t.append(orders.repartition(8, col("o_custkey")))
+      t
+    })
+
   /** WAP-by-id fixture (round 15, Iceberg's `spark.wap.id` staging mode):
     * base slice on main; one batch staged under wap id `batch-42`
     * (snapshot in the log, main untouched), audited via the stamped

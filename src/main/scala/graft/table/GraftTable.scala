@@ -2754,19 +2754,36 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // task — the small-files guard a 1000-executor append needs. `none`
     // (our default) keeps incoming partitioning: no shuffle, writer-local
     // files.
+    // write.sort-order (Iceberg's WRITE ORDERED BY): rows cluster by the
+    // declared order inside every written file, so each file carries
+    // TIGHT min/max footer ranges on the sort columns — the scan-side
+    // file/row-group skipping a 100 TB range query lives on. Combined
+    // with write.distribution-mode=range the order also range-partitions
+    // ACROSS tasks (Iceberg's range distribution uses the sort order),
+    // making per-commit file key ranges disjoint, not just narrow.
+    val sortOrder: Seq[Column] =
+      if (applyDistribution)
+        properties.get("write.sort-order")
+          .map(GraftTable.parseSortOrder).getOrElse(Seq.empty)
+      else Seq.empty
     val aligned = properties.get("write.distribution-mode") match {
       case Some("hash") if parts.nonEmpty && applyDistribution =>
         withDirs.repartition(dirNames.map(col).toIndexedSeq: _*)
       // range mode (Iceberg's third distribution): range-partition on the
-      // partition values so output files are additionally ORDERED across
-      // the partition space — fewer writer-side open files when the
-      // partition count far exceeds parallelism, and downstream range
-      // scans read consecutive files
-      case Some("range") if parts.nonEmpty && applyDistribution =>
-        withDirs.repartitionByRange(dirNames.map(col).toIndexedSeq: _*)
+      // partition values (+ the declared write order) so output files are
+      // additionally ORDERED across the partition space — fewer
+      // writer-side open files when the partition count far exceeds
+      // parallelism, and downstream range scans read consecutive files
+      case Some("range") if applyDistribution &&
+          (parts.nonEmpty || sortOrder.nonEmpty) =>
+        withDirs.repartitionByRange(
+          (dirNames.map(col) ++ sortOrder).toIndexedSeq: _*)
       case _ => withDirs
     }
-    val writer = aligned.write.mode("overwrite")
+    val clustered =
+      if (sortOrder.isEmpty) aligned
+      else aligned.sortWithinPartitions(sortOrder.toIndexedSeq: _*)
+    val writer = clustered.write.mode("overwrite")
     val codec = properties.getOrElse("write.parquet.compression-codec", "zstd")
     val w2 = writer.option("compression", codec)
     // write.target-file-size-rows caps rows per file (the row-count twin of
@@ -3071,6 +3088,24 @@ object GraftTable {
   /** Orphan GC ignores files younger than this (Iceberg's older_than default,
     * 3 days) so in-flight commits' freshly moved files are never collected. */
   val OrphanFileDefaultAgeMs: Long = 3L * 24 * 60 * 60 * 1000
+
+  /** Parse an Iceberg-style sort-order string
+    * (`account ASC NULLS LAST, txn_id DESC NULLS FIRST`) into sort
+    * Columns — shared by the rewrite_data_files procedure and the
+    * `write.sort-order` write-path clustering. */
+  private[graft] def parseSortOrder(s: String): Seq[Column] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      val tokens = part.split("\\s+").toSeq
+      val name = tokens.head
+      val descO = tokens.map(_.toUpperCase).contains("DESC")
+      val nullsFirst = tokens.map(_.toUpperCase).containsSlice(Seq("NULLS", "FIRST"))
+      (descO, nullsFirst) match {
+        case (false, false) => asc_nulls_last(name) // ASC defaults NULLS LAST here
+        case (false, true)  => asc_nulls_first(name)
+        case (true, false)  => desc_nulls_last(name)
+        case (true, true)   => desc_nulls_first(name)
+      }
+    }
 
   /** First-true-wins clause-cascade column builders shared by the CoW
     * ([[GraftTable.mergeInto]]) and MoR ([[GraftTable.mergeIntoMoR]])

@@ -62,21 +62,9 @@ private[catalog] object GraftProcedures {
       case _                     => None
     }
 
-  /** Parse an Iceberg-style sort-order string
-    * (`account ASC NULLS LAST, txn_id DESC NULLS FIRST`) into sort Columns. */
+  /** Iceberg-style sort-order parsing — shared with the write path. */
   private[catalog] def parseSortOrder(s: String): Seq[org.apache.spark.sql.Column] =
-    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
-      val tokens = part.split("\\s+").toSeq
-      val name = tokens.head
-      val desc = tokens.map(_.toUpperCase).contains("DESC")
-      val nullsFirst = tokens.map(_.toUpperCase).containsSlice(Seq("NULLS", "FIRST"))
-      (desc, nullsFirst) match {
-        case (false, false) => asc_nulls_last(name)   // ASC defaults NULLS LAST here
-        case (false, true)  => asc_nulls_first(name)
-        case (true, false)  => desc_nulls_last(name)
-        case (true, true)   => desc_nulls_first(name)
-      }
-    }
+    GraftTable.parseSortOrder(s)
 
   private def str(v: String): UTF8String = UTF8String.fromString(v)
 
