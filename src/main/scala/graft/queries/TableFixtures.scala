@@ -682,11 +682,14 @@ object TableFixtures {
       val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_write_ordered"
       GraftTable.drop(spark, loc)
       val orders = read(spark, sfDir, "orders")
+      // ~8 files at ANY scale factor so the pruning claim holds on the
+      // smallest fixtures too
+      val cap = math.max(50L, orders.count() / 8)
       val t = GraftTable.create(spark, loc, "graft.orders_write_ordered",
         orders.schema,
         props = Map("write.sort-order" -> "o_orderkey ASC NULLS LAST",
           "write.distribution-mode" -> "range",
-          "write.target-file-size-rows" -> "2000"))
+          "write.target-file-size-rows" -> cap.toString))
       // shuffled input: only the declared write order produces clustering
       t.append(orders.repartition(8, col("o_custkey")))
       t
