@@ -2673,9 +2673,7 @@ object SparkEntry {
     // the source's batch state; replay_matches_batch is the engine-side
     // full-equality assertion (oracle: literal TRUE)
     "st_changelog" -> ((s, dir) => {
-      val (src, sink) = TableFixtures.streamChangelogReplayed(s, dir)
-      val matches = sink.toDF.exceptAll(src.toDF).isEmpty &&
-        src.toDF.exceptAll(sink.toDF).isEmpty
+      val (_, sink, matches) = TableFixtures.streamChangelogReplayed(s, dir)
       sink.toDF
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),

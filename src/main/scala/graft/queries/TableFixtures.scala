@@ -1054,7 +1054,8 @@ object TableFixtures {
    * batch state exactly — which is what lets DuckDB oracle a streamed
    * MERGE/delete replay (st_changelog).
    */
-  def streamChangelogReplayed(spark: SparkSession, sfDir: String): (GraftTable, GraftTable) =
+  def streamChangelogReplayed(spark: SparkSession, sfDir: String)
+      : (GraftTable, GraftTable, Boolean) =
     changelogCache.getOrElseUpdate(sfDir, {
       val dir = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       val srcLoc = s"$dir/stream_cdc_src"
@@ -1079,10 +1080,16 @@ object TableFixtures {
       src.deleteWhereMoR(col("o_totalprice") > 300000, Seq("o_orderkey")); run()
       src.append(orders.filter(col("o_orderkey") % 3 === 1)); run()
       src.deleteWherePositional(col("o_orderkey") % 10 === 7); run()
-      (src, sink)
+      // replay-equals-batch parity verified ONCE here: the fixture is
+      // immutable per JVM, so the two exceptAll passes are build-time
+      // assertions (like every fixture invariant), not per-query work
+      val matches = sink.toDF.exceptAll(src.toDF).isEmpty &&
+        src.toDF.exceptAll(sink.toDF).isEmpty
+      (src, sink, matches)
     })
 
-  private val changelogCache = TrieMap.empty[String, (GraftTable, GraftTable)]
+  private val changelogCache =
+    TrieMap.empty[String, (GraftTable, GraftTable, Boolean)]
 
   /**
    * The FULL streaming-lakehouse loop: graft table -> `graft-stream`
