@@ -288,6 +288,78 @@ object Shingles {
 }
 
 /**
+ * Hashed n-gram shingles straight from the token array: each token is
+ * xxhash64'd (seed 42, Spark's `xxhash64` function exactly) and every
+ * n-window combines as XOR_j (a_j·h+b_j) in wrapping Long arithmetic —
+ * the minhash shingle primitive, previously a per-element interpreted
+ * `transform(tokens, xxhash64)` + `transform(sequence, …)` HOF chain.
+ * Bit-identical by construction (two's-complement math, same window
+ * order); inputs shorter than n yield an empty array. NULL input → NULL
+ * (call sites coalesce to empty, the old `when/otherwise` behavior).
+ */
+case class TokenShingleHashes(child: Expression,
+    mixA: Seq[Long], mixB: Seq[Long]) extends UnaryExpression {
+
+  require(mixA.nonEmpty && mixA.size == mixB.size,
+    s"mix constants must pair up, got ${mixA.size}/${mixB.size}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_shingle_hashes requires an array<string> column, got $t")
+  }
+
+  @transient private lazy val aArr: Array[Long] = mixA.toArray
+  @transient private lazy val bArr: Array[Long] = mixB.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TokenShingleHashes.compute(input.asInstanceOf[ArrayData], aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val a = ctx.addReferenceObj("shingleMixA", aArr, "long[]")
+      val b = ctx.addReferenceObj("shingleMixB", bArr, "long[]")
+      s"${ev.value} = graft.functions.TokenShingleHashes.compute($c, $a, $b);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): TokenShingleHashes =
+    copy(child = c)
+}
+
+object TokenShingleHashes {
+  /** Shared by the interpreted and generated paths. */
+  def compute(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val len = arr.numElements()
+    val n = a.length
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    // token hashes once: Spark's xxhash64(col) == XxHash64Function seed 42
+    val h = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      h(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Long](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc ^= a(j) * h(i + j) + b(j)
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * Windowed co-occurrence pairs for PMI collocations: every unordered
  * token pair within `window` positions as `"min max"` strings (the two
  * tokens sorted by UTF8 byte order, space-joined) — the native
@@ -712,6 +784,10 @@ object GraftFunctions {
 
   def token_pairs(tokens: Column, window: Int): Column =
     bridge.column(TokenPairs(bridge.expression(tokens), window))
+
+  def token_shingle_hashes(tokens: Column, mixA: Seq[Long],
+      mixB: Seq[Long]): Column =
+    bridge.column(TokenShingleHashes(bridge.expression(tokens), mixA, mixB))
 
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     bridge.column(PqEncodeCodes(bridge.expression(vec), codebooks))

@@ -211,9 +211,18 @@ object Dedup {
         }.reduce((x, y) => x.bitwiseXOR(y))))
       .otherwise(array().cast("array<long>"))
 
-  private def withTokenHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol),
-      transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+  /** xxhash64 tokens + windowed affine-XOR shingle hashes in ONE native
+    * codegen'd pass (expressions.scala TokenShingleHashes) — bit-identical
+    * to `transform(tokens, xxhash64)` |> [[shingleHashCol]] (the retained
+    * HOF form, which ShingleHashSpec pins parity against). NULL text
+    * coalesces to the empty array, the HOF's when/otherwise behavior. */
+  private[ops] def hashedShingles(textCol: Column, n: Int): Column = {
+    val (as, bs) = (0 until n).map(j => mixConst(1000 + j)).unzip
+    coalesce(
+      graft.functions.GraftFunctions.token_shingle_hashes(
+        TextAnalysis.tokens(textCol), as, bs),
+      typedlit(Seq.empty[Long]))
+  }
 
   /**
    * MinHash signature over hashed word `shingleN`-gram shingles. The k
@@ -230,9 +239,9 @@ object Dedup {
     // slower end-to-end than this shuffle of (doc, hash) pairs with
     // map-side partial mins (22.5s vs 1.5s for d_minhash_lsh at sf0.1).
     // The shuffle carries 16 bytes/shingle and combines before exchange.
-    val exploded = withTokenHashes(df, textCol, idCol)
+    val exploded = df
       .select(col(idCol),
-        explode(array_distinct(shingleHashCol(col("__th"), shingleN))).as("__h0"))
+        explode(array_distinct(hashedShingles(col(textCol), shingleN))).as("__h0"))
     val mins = (0 until k).map { i =>
       val (a, b) = mixConst(i)
       min(graft.functions.GraftFunctions.wrapping_affine(col("__h0"), a, b)).as(s"__h$i")
@@ -335,9 +344,9 @@ object Dedup {
     // verify on hashed shingle sets: long-array intersection is far cheaper
     // than string-array intersection, and the Jaccard value is identical up
     // to 64-bit hash collisions (negligible)
-    val sets = withTokenHashes(df, textCol, idCol)
+    val sets = df
       .select(col(idCol),
-        array_distinct(shingleHashCol(col("__th"), shingleN)).as("__set"))
+        array_distinct(hashedShingles(col(textCol), shingleN)).as("__set"))
     estFiltered
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__set_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__set_b")), Seq("id_b"))
