@@ -2202,6 +2202,42 @@ object SparkEntry {
           col("deleted_data_files_count").cast("long").as("deleted_files"))
         .orderBy("partition")),
 
+    // Iceberg `entries` metadata table over the binpack fixture: the
+    // compacted file is the collapse manifest's ADDED entry (records =
+    // rewritten rows with the MoR delete materialized away), the untouched
+    // big file carries EXISTING status under its original commit's
+    // sequence, and the equality-delete file rides along as a content=2
+    // EXISTING entry with its recorded key count
+    "t_entries" -> ((s, dir) =>
+      TableFixtures.ordersBinpacked(s, dir).entriesDF
+        .groupBy(col("content"), col("status"))
+        .agg(sum(col("record_count")).as("records"))
+        .orderBy("content", "status")),
+
+    // `all_manifests`: manifest REUSE across the append chain — snapshot i
+    // references manifests 1..i untouched, so per (referencing snapshot,
+    // adding snapshot) there is exactly one manifest whose added-record
+    // sum is batch |orders where o_orderkey % 3 = adding - 1|
+    "t_all_manifests" -> ((s, dir) =>
+      TableFixtures.ordersVersioned(s, dir).allManifestsDF
+        .groupBy(col("reference_snapshot_id"), col("added_snapshot_id"))
+        .agg(count(lit(1)).as("n_manifests"),
+          sum(col("added_records")).as("added_records"))
+        .orderBy("reference_snapshot_id", "added_snapshot_id")),
+
+    // `position_deletes`: deletion-vector runs expand back to exact row
+    // positions; the sorted one-file-per-partition fixture pins every
+    // position to the row's key rank, so the oracle recomputes the deleted
+    // index set with row_number() over the same ordering
+    "t_position_deletes" -> ((s, dir) =>
+      TableFixtures.ordersPosIndexed(s, dir).positionDeletesDF
+        .select(regexp_extract(col("file_path"),
+          "o_orderstatus=([^/]+)/", 1).as("partition"), col("pos"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n_del"), sum(col("pos")).as("pos_sum"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+        .orderBy("partition")),
+
     // S1 CSV scan with explicit schema: every generated day folder
     // (including the nullable WAP day) ingested into a partitioned table;
     // the oracle re-reads the identical CSVs with DuckDB read_csv
@@ -5979,6 +6015,46 @@ object SparkEntry {
          cast(2 AS bigint) AS added_files, cast(0 AS bigint) AS existing_files,
          cast(0 AS bigint) AS deleted_files
          FROM (SELECT DISTINCT o_orderstatus FROM orders) ORDER BY 1""",
+
+    // binpack leaves the big file EXISTING (physical rows, deletes NOT
+    // materialized), compacts the small files into ADDED entries with the
+    // delete applied, and carries the equality-delete file as content=2
+    "t_entries" ->
+      """SELECT content, status, records FROM (
+           SELECT 0 AS content, 0 AS status, count(*) AS records
+             FROM orders WHERE o_orderkey % 4 <> 0
+           UNION ALL
+           SELECT 0, 1, count(*) FROM orders
+             WHERE o_orderkey % 4 = 0 AND o_orderkey % 10 <> 3
+           UNION ALL
+           SELECT 2, 0, count(*) FROM orders WHERE o_orderkey % 10 = 3)
+         ORDER BY 1, 2""",
+
+    // snapshot i of ordersVersioned references one manifest per prior
+    // append; a manifest's added records = its batch's row count
+    "t_all_manifests" ->
+      """SELECT cast(v.r AS bigint) AS reference_snapshot_id,
+           cast(v.a AS bigint) AS added_snapshot_id,
+           cast(1 AS bigint) AS n_manifests,
+           cast(b.c AS bigint) AS added_records
+         FROM (VALUES (1,1),(2,1),(2,2),(3,1),(3,2),(3,3)) v(r,a)
+         JOIN (SELECT o_orderkey % 3 AS m, count(*) AS c
+               FROM orders GROUP BY 1) b ON b.m = v.a - 1
+         ORDER BY 1, 2""",
+
+    // deleted positions = key ranks of the high-value band within each
+    // partition's single sorted file
+    "t_position_deletes" ->
+      """SELECT partition, count(*) AS n_del,
+           cast(sum(pos) AS bigint) AS pos_sum,
+           cast(min(pos) AS bigint) AS min_pos,
+           cast(max(pos) AS bigint) AS max_pos
+         FROM (SELECT o_orderstatus AS partition, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_orderkey) - 1 AS pos
+               FROM orders WHERE o_orderkey % 3 = 0)
+         WHERE o_totalprice > 300000
+         GROUP BY 1 ORDER BY 1""",
 
     "t_csv_ingest" ->
       s"""SELECT cast(txn_date AS varchar) AS txn_date, count(*) AS n,

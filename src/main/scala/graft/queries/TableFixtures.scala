@@ -390,6 +390,29 @@ object TableFixtures {
     })
 
   /**
+   * DETERMINISTIC-POSITION delete fixture for the `position_deletes`
+   * metadata table: one file per partition written in o_orderkey order
+   * (repartition-by-status + sortWithinPartitions pins every row's
+   * parquet row index to its key rank), then a DV positional delete of
+   * the high-value band — so the oracle can recompute the exact deleted
+   * positions as `row_number() over (partition by status order by key) - 1`.
+   */
+  def ordersPosIndexed(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_pos_indexed", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_pos_indexed"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_pos_indexed",
+        orders.schema, partitionCols = Seq("o_orderstatus"),
+        props = Map("write.delete.vector.enabled" -> "true"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0)
+        .repartition(col("o_orderstatus"))
+        .sortWithinPartitions("o_orderkey"))
+      t.deleteWherePositional(col("o_totalprice") > 300000)
+      t
+    })
+
+  /**
    * Position-delete MAINTENANCE fixture: two small files, a positional
    * delete spanning both, then a binpack — which materializes those rows
    * away but must carry the delete file for safety (now 100% dangling) —

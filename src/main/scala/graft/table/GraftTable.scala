@@ -1916,6 +1916,120 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("name", "type", "snapshot_id")
   }
 
+  /** `t.entries`: the manifest-entry view of the current snapshot
+    * (Iceberg's `entries` metadata table) — one row per (manifest, file),
+    * data AND delete files, with Iceberg's content / status / sequence
+    * vocabulary:
+    *
+    *  - `content`: 0 data file, 1 position/DV deletes, 2 equality deletes;
+    *  - `status`: 1 ADDED — the entry's writing commit is the manifest's
+    *    own (an append's manifest holds only its added files; a collapse
+    *    manifest's added entries carry the collapsing commit's sequence) —
+    *    0 EXISTING — carried forward from an earlier commit by a
+    *    collapse/rewrite;
+    *  - `snapshot_id` / `sequence_number`: the entry's adding commit (our
+    *    commit ids double as sequence numbers).
+    *
+    * Driver-side over commit metadata only (manifest lists are
+    * O(files-at-head) JSON already in memory) — no data files open. */
+  def entriesDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    lazy val addSeq = addedSeqByPath(m)
+    val rows = m.currentSnapshot.toSeq.flatMap { s =>
+      // resolve per-manifest so status reflects the PHYSICAL layout;
+      // legacy inline file lists read as one synthetic manifest
+      val groups: Seq[(String, ManifestData)] =
+        if (s.manifestRefs.nonEmpty)
+          s.manifestRefs.map(n => n -> SnapshotLog.readManifest(location, n, conf))
+        else Seq(s"v${m.version}.metadata.json" ->
+          ManifestData(s.inlineFiles, s.inlineDeleteFiles))
+      groups.flatMap { case (name, data) =>
+        def seqOf(f: DataFile): Long = f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
+        val written = (data.files.map(seqOf) ++ data.deleteFiles.map(_.seq))
+          .maxOption.getOrElse(s.id)
+        data.files.map { f =>
+          (0, if (seqOf(f) == written) 1 else 0, seqOf(f), seqOf(f),
+            name, fileLoc(f), f.records, f.sizeBytes)
+        } ++ data.deleteFiles.map { d =>
+          (if (d.isPositional || d.isDv) 1 else 2,
+            if (d.seq == written) 1 else 0, d.seq, d.seq,
+            name, s"$dataDir/${d.path}", d.records, d.sizeBytes)
+        }
+      }
+    }
+    rows.toDF("content", "status", "snapshot_id", "sequence_number",
+      "manifest_path", "file_path", "record_count", "file_size_in_bytes")
+  }
+
+  /** `t.all_manifests`: the manifest lists of ALL retained snapshots —
+    * one row per (referencing snapshot, manifest), surfacing manifest
+    * REUSE across the append chain (Iceberg's `all_manifests`). Each
+    * manifest is read once and cached by name; rows carry the manifest's
+    * adding commit and its added-entry record sum so lineage is checkable
+    * without opening data files. */
+  def allManifestsDF: DataFrame = {
+    val m = meta
+    val sp = spark
+    import sp.implicits._
+    val metaDir = SnapshotLog.metadataDir(location)
+    lazy val addSeq = addedSeqByPath(m)
+    val byName = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
+    def resolve(name: String): (Long, Long, Long, Long, Long) =
+      byName.getOrElseUpdate(name, {
+        val data = SnapshotLog.readManifest(location, name, conf)
+        def seqOf(f: DataFile): Long = f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
+        val written = (data.files.map(seqOf) ++ data.deleteFiles.map(_.seq))
+          .maxOption.getOrElse(0L)
+        val len = fs.getFileStatus(new Path(metaDir, name)).getLen
+        (written,
+          data.files.filter(f => seqOf(f) == written).map(_.records).sum,
+          data.files.count(f => seqOf(f) != written).toLong, len,
+          data.deleteFiles.size.toLong)
+      })
+    m.snapshots.sortBy(_.id).flatMap { s =>
+      s.manifestRefs.map { name =>
+        val (added, addedRecords, existingFiles, len, nDeletes) = resolve(name)
+        (s.id, name, len, added, addedRecords, existingFiles, nDeletes)
+      }
+    }.toDF("reference_snapshot_id", "path", "length", "added_snapshot_id",
+      "added_records", "existing_data_files_count", "delete_files_count")
+  }
+
+  /** `t.position_deletes`: one row per DELETED ROW POSITION at the current
+    * snapshot (Iceberg's `position_deletes` metadata table) — position
+    * row lists pass through; deletion vectors expand runs back to
+    * positions. A DISTRIBUTED scan of the delete files (positions can be
+    * O(deleted rows)); only the per-delete-file dispatch is driver-side
+    * (delete-file count is commit metadata, already in memory). */
+  def positionDeletesDF: DataFrame = {
+    val m = meta
+    val schema = StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType),
+      StructField("delete_file_path", StringType)))
+    val dels = m.currentSnapshot.map(_.deleteFiles).getOrElse(Seq.empty)
+      .filter(d => d.isPositional || d.isDv)
+    if (dels.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    dels.map { d =>
+      val content = readDeleteContent(d)
+      val positions =
+        if (d.isPositional) content.select(col("__file"), col("__pos"))
+        else content.select(col("__file"), explode(flatten(transform(
+          sequence(lit(0), (size(col("__runs")) / 2).cast("int") - 1),
+          i => sequence(
+            element_at(col("__runs"), i * 2 + 1),
+            element_at(col("__runs"), i * 2 + 1)
+              + element_at(col("__runs"), i * 2 + 2) - 1)))).as("__pos"))
+      positions.select(
+        concat(lit(s"$dataDir/"), col("__file")).as("file_path"),
+        col("__pos").as("pos"),
+        lit(s"$dataDir/${d.path}").as("delete_file_path"))
+    }.reduce(_.unionByName(_))
+  }
+
   // ---------------------------------------------------------------------
   // Maintenance (reference IcebergLoadActivityTask.scala:156-165)
   // ---------------------------------------------------------------------

@@ -395,7 +395,7 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
   private val metadataTableNames = Set(
     "history", "snapshots", "manifests", "manifest_files", "files",
     "all_files", "metadata_log_entries", "refs", "partitions",
-    "delete_files")
+    "delete_files", "entries", "all_manifests", "position_deletes")
 
   private def metadataTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
@@ -416,6 +416,9 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
       case "refs"                 => t.refsDF
       case "partitions"           => t.partitionsDF
       case "delete_files"         => t.deleteFilesDF
+      case "entries"              => t.entriesDF
+      case "all_manifests"        => t.allManifestsDF
+      case "position_deletes"     => t.positionDeletesDF
     }
     Some(new GraftMetadataTable(s"$parent.$name", df))
   }

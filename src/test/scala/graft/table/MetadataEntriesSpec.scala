@@ -1,0 +1,113 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** The round-15 metadata-table additions — Iceberg's `entries`,
+  * `all_manifests`, and `position_deletes` views over the commit log:
+  * entry STATUS distinguishes a manifest's own writes (ADDED) from files
+  * a collapse carried forward (EXISTING), `all_manifests` surfaces
+  * manifest reuse across the append chain, and `position_deletes`
+  * expands deletion vectors back to exact row positions. */
+class MetadataEntriesSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def rows(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+  }
+
+  test("entries: append chain is all-ADDED; a binpack collapse splits ADDED vs EXISTING") {
+    val t = GraftTable.create(spark, tmpDir("entries"), "entries_t", schema)
+    t.append(rows(0 until 100).coalesce(1))   // snapshot 1: big file
+    t.append(rows(100 until 110).coalesce(1)) // snapshot 2: small file
+    t.append(rows(110 until 120).coalesce(1)) // snapshot 3: small file
+
+    // pure append chain: one manifest per commit, every entry ADDED at
+    // its own commit's sequence
+    val pre = t.entriesDF.collect()
+    assert(pre.length === 3)
+    assert(pre.forall(r => r.getInt(0) == 0 && r.getInt(1) == 1))
+    assert(pre.map(r => (r.getLong(2), r.getLong(6))).sorted.toSeq ===
+      Seq((1L, 100L), (2L, 10L), (3L, 10L)))
+
+    // compact only the small files: the collapse manifest must stamp the
+    // rewritten rows ADDED at the rewrite commit and carry the untouched
+    // big file EXISTING under its original sequence
+    val bigSize = t.meta.currentSnapshot.get.files.map(_.sizeBytes).max
+    t.rewriteDataFilesBinpack(minFileSizeBytes = bigSize)
+    val post = t.entriesDF.collect()
+    val added = post.filter(_.getInt(1) == 1)
+    val existing = post.filter(_.getInt(1) == 0)
+    assert(added.map(_.getLong(6)).sum === 20L, "rewritten rows are ADDED")
+    assert(existing.map(r => (r.getLong(2), r.getLong(6))).toSeq ===
+      Seq((1L, 100L)), "untouched file stays EXISTING at its own sequence")
+  }
+
+  test("entries: a MoR delete file appears as a content=2 entry") {
+    val t = GraftTable.create(spark, tmpDir("entries-del"), "entries_del", schema)
+    t.append(rows(0 until 50).coalesce(1))
+    t.deleteWhereMoR(col("id") % 10 === 3, Seq("id"))
+    val e = t.entriesDF.collect()
+    val del = e.filter(_.getInt(0) == 2)
+    assert(del.length === 1)
+    assert(del.head.getLong(6) === 5L, "delete entry carries its key count")
+    assert(del.head.getInt(1) === 1, "the delete commit's manifest owns it")
+    assert(e.count(_.getInt(0) == 0) === 1)
+  }
+
+  test("all_manifests: snapshot i references manifests 1..i untouched") {
+    val t = GraftTable.create(spark, tmpDir("allman"), "allman_t", schema)
+    (0 until 3).foreach(i => t.append(rows(i * 10 until (i + 1) * 10).coalesce(1)))
+    val rws = t.allManifestsDF
+      .select("reference_snapshot_id", "added_snapshot_id", "added_records")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rws === Seq((1L, 1L, 10L), (2L, 1L, 10L), (2L, 2L, 10L),
+      (3L, 1L, 10L), (3L, 2L, 10L), (3L, 3L, 10L)),
+      "append manifests are shared backward across the whole chain")
+  }
+
+  test("position_deletes: DV runs expand to exact positions; row lists pass through") {
+    def drive(dv: Boolean): Set[(String, Long)] = {
+      val t = GraftTable.create(spark, tmpDir(s"posdel-$dv"), s"posdel_$dv",
+        schema, props = if (dv) Map("write.delete.vector.enabled" -> "true")
+        else Map.empty)
+      t.append(rows(0 until 100).coalesce(1)) // single file: _pos i holds id i
+      t.deleteWherePositional(col("id").between(10, 12) || col("id") === 40)
+      val kinds = t.meta.currentSnapshot.get.deleteFiles.map(_.kind).toSet
+      assert(kinds === Set(if (dv) "dv" else "position"))
+      t.positionDeletesDF.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val fromDv = drive(dv = true)
+    val fromList = drive(dv = false)
+    assert(fromDv.map(_._2) === Set(10L, 11L, 12L, 40L))
+    assert(fromList.map(_._2) === Set(10L, 11L, 12L, 40L),
+      "both physical representations surface the same logical positions")
+    assert(fromDv.map(_._1).size === 1, "all positions name the single data file")
+  }
+
+  test("SQL catalog routes the three new metadata tables") {
+    val wh = tmpDir("meta-cat-wh")
+    spark.conf.set("spark.sql.catalog.metacat",
+      "graft.table.catalog.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.metacat.warehouse", wh)
+    try {
+      val t = GraftTable.create(spark, s"$wh/db/mt", "db.mt", schema,
+        props = Map("write.delete.vector.enabled" -> "true"))
+      t.append(rows(0 until 30).coalesce(1))
+      t.deleteWherePositional(col("id") < 3)
+      assert(spark.sql("SELECT * FROM metacat.db.mt.entries").count() === 2)
+      assert(spark.sql("SELECT * FROM metacat.db.mt.all_manifests").count() >= 2)
+      assert(spark.sql("SELECT pos FROM metacat.db.mt.position_deletes ORDER BY pos")
+        .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.metacat")
+      spark.conf.unset("spark.sql.catalog.metacat.warehouse")
+    }
+  }
+}

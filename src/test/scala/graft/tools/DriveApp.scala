@@ -383,6 +383,20 @@ object DriveApp {
       val entries = mf.map(r => r.getInt(3) + r.getInt(4)).sum
       println(s"manifest-files rows=${mf.length} entries=$entries " +
         s"headFiles=${m.currentSnapshot.map(_.files.size).getOrElse(0)}")
+      // round-15 metadata views: entry-level status + chain-wide manifest
+      // reuse + DV expansion back to row positions
+      val ent = ct.entriesDF.collect()
+      val reuse = ct.allManifestsDF.groupBy("path").count()
+        .filter(col("count") > 1).count()
+      val pd = graft.table.GraftTable.create(spark,
+        java.nio.file.Files.createTempDirectory("drive-posdel").toString + "/t",
+        "drive_posdel", ct.schema,
+        props = Map("write.delete.vector.enabled" -> "true"))
+      pd.append(ct.toDF.coalesce(1))
+      pd.deleteWherePositional(col("amount") > 50)
+      val positions = pd.positionDeletesDF.count()
+      println(s"entries rows=${ent.length} added=${ent.count(_.getInt(1) == 1)} " +
+        s"reusedManifests=$reuse dv-positions=$positions")
     }
     println("== MoR changelog: delete-file commit surfaces row-level DELETEs")
     locally {
