@@ -270,7 +270,17 @@ object TextAnalysis {
     // documented at [[shingles]])
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val toks = base.select(col(idCol), explode(col("__toks")).as("__tok"))
-    val vocab1 = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
+    // PINNED (the Skyline RDD pattern): the unigram dictionary feeds the
+    // two context-count joins AND the corpus-total aggregate — three
+    // consumers, each of which would otherwise replan the full corpus
+    // tokenize+explode+vocab aggregate. Dictionary-sized, so the pin is
+    // trivially cheap at any corpus scale.
+    val vocab1 = {
+      val plan = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
+      val rdd = plan.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.sparkSession.createDataFrame(rdd, plan.schema)
+    }
     val total = vocab1.agg(sum(col("__c1")).cast("double").as("__total"))
     // pre-aggregate per (doc, bigram): every downstream consumer — the
     // bigram dictionary AND the per-doc scoring join — now builds on this
@@ -278,10 +288,18 @@ object TextAnalysis {
     // explode plans/executes once (deriving the dictionary straight from
     // `bgs` pruned its columns differently per branch and re-ran the
     // explode); the map-side combine also shrinks the shuffle by the
-    // within-doc repeat factor
-    val perDoc = base.select(col(idCol),
-        explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
-      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__n"))
+    // within-doc repeat factor. PINNED too: its two consumers prune
+    // columns differently, so without the pin the bigram explode still
+    // runs twice; the pinned set is the doc-distinct bigram postings —
+    // the same magnitude the aggregation shuffle already pays.
+    val perDoc = {
+      val plan = base.select(col(idCol),
+          explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
+        .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__n"))
+      val rdd = plan.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.sparkSession.createDataFrame(rdd, plan.schema)
+    }
     val vocab2 = perDoc.groupBy(col("__bg")).agg(sum(col("__n")).as("__c2"))
     // dictionary-sized scoring: one row per DISTINCT bigram
     val bgScore = vocab2
@@ -577,14 +595,26 @@ object TextAnalysis {
     val qterms = queries.select(col(queryIdCol),
       explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
     // postings of queried terms only — the broadcast prune that keeps
-    // every downstream stage proportional to the QUERY workload
-    val hit = tf.join(broadcast(qterms), Seq("__term"))
+    // every downstream stage proportional to the QUERY workload. PINNED
+    // (the Skyline RDD pattern, ContextCleaner-reclaimed): `hit` feeds
+    // both the per-document contributions and the document frequencies,
+    // and without the pin each consumer replans the FULL corpus
+    // tokenize+explode+postings aggregate (column pruning makes the two
+    // tf subtrees differ, so exchange reuse never fires). The pinned set
+    // is bounded by the postings of queried terms — the query table is
+    // tiny by contract — never the corpus.
+    val hit = {
+      val plan = tf.join(broadcast(qterms), Seq("__term"))
+      val rdd = plan.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.sparkSession.createDataFrame(rdd, plan.schema)
+    }
     // df of term t = its postings count (tf has ONE row per (doc, term)),
-    // computed from tf pruned to the distinct queried terms — never from
-    // the query-expanded `hit` rows, whose volume multiplies by the number
-    // of queries sharing a term
-    val dfreq = tf
-      .join(broadcast(qterms.select(col("__term")).distinct()), Seq("__term"))
+    // recovered exactly from the query-expanded `hit` rows by collapsing
+    // the query dimension first: distinct (term, doc) of hit IS the
+    // pruned postings list, so its per-term count is df — no second pass
+    // over the corpus
+    val dfreq = hit.select(col("__term"), col(idCol)).distinct()
       .groupBy(col("__term")).agg(count(lit(1)).as("__df_hit"))
     val contrib = hit
       .join(dfreq, Seq("__term"))
