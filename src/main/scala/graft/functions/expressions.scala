@@ -422,6 +422,102 @@ object TokenPairs {
 }
 
 /**
+ * All unordered pairs of a SORTED, null-free array as `struct<u, v>`
+ * rows (u before v in array order) — the native pair emitter of
+ * [[graft.ops.Graph.coOccurrenceEdges]]. Replaces a
+ * `flatten(transform(arr, (x, i) -> transform(slice(arr, i+2, …), …)))`
+ * chain that Catalyst interprets per element AND re-materializes a
+ * slice copy of the tail per position — O(n²) array allocations per
+ * cell on top of the boxed lambda evaluation. One loop, no slices.
+ * Output order matches the HOF form exactly: ascending i, then
+ * ascending j. Elements must be long or string; input arrays come from
+ * `collect_list`, which never emits null elements.
+ */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("u", elemType, nullable = false),
+      StructField("v", elemType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs requires an array<long> or array<string> column, got $t")
+  }
+
+  private def isLong: Boolean = elemType == LongType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isLong) SortedPairs.pairsLong(input.asInstanceOf[ArrayData])
+    else SortedPairs.pairsString(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "pairsLong" else "pairsString"
+    defineCodeGen(ctx, ev, c => s"graft.functions.SortedPairs.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SortedPairs =
+    copy(child = c)
+}
+
+object SortedPairs {
+
+  private def alloc(n: Int): Array[Any] = {
+    // C(n,2) as long first: a hostile input array could overflow int
+    val total = n.toLong * (n - 1) / 2
+    require(total <= Int.MaxValue,
+      s"sorted_pairs: $n elements emit $total pairs (> Int.MaxValue)")
+    new Array[Any](total.toInt)
+  }
+
+  /** Shared by the interpreted and generated paths. */
+  def pairsLong(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = alloc(n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val u = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u, arr.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def pairsString(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = alloc(n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u, arr.getUTF8String(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * Per-query PQ asymmetric-distance lookup table, flattened: entry
  * `s*ksub + c` is the inner product of the query's s-th sub-vector with
  * codeword `c` of sub-space `s` — `m*ksub` doubles per query row.
@@ -784,6 +880,9 @@ object GraftFunctions {
 
   def token_pairs(tokens: Column, window: Int): Column =
     bridge.column(TokenPairs(bridge.expression(tokens), window))
+
+  def sorted_pairs(arr: Column): Column =
+    bridge.column(SortedPairs(bridge.expression(arr)))
 
   def token_shingle_hashes(tokens: Column, mixA: Seq[Long],
       mixB: Seq[Long]): Column =

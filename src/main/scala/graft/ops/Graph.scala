@@ -197,10 +197,12 @@ object Graph {
     d.join(sizes, cellCols)
       .groupBy(cells: _*)
       .agg(array_sort(collect_list(col("__u"))).as("__us"))
-      .select(explode(expr(
-        "flatten(transform(__us, (x, i) -> " +
-          "transform(slice(__us, i + 2, size(__us) - i - 1), " +
-          "y -> struct(x AS u, y AS v))))")).as("__p"))
+      // native pair emitter (graft.functions.SortedPairs): the HOF
+      // flatten(transform(…, transform(slice(…)))) chain it replaces
+      // interpreted per element and copied the array tail per position —
+      // O(n²) allocations per cell; identical pairs in identical order
+      .select(explode(
+        graft.functions.GraftFunctions.sorted_pairs(col("__us"))).as("__p"))
       .groupBy(col("__p.u").as("u"), col("__p.v").as("v"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCells.toLong)
