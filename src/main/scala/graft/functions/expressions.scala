@@ -335,12 +335,17 @@ object TokenShingleHashes {
     val n = a.length
     if (len < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
-    // token hashes once: Spark's xxhash64(col) == XxHash64Function seed 42
+    // token hashes once: Spark's xxhash64(col) == XxHash64Function seed 42;
+    // a null element hashes to the unchanged seed, exactly what the
+    // transform(tokens, xxhash64) chain this replaces produced (xxhash64
+    // leaves the seed untouched on null input) — never an NPE
     val h = new Array[Long](len)
     var i = 0
     while (i < len) {
-      h(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        arr.getUTF8String(i), StringType, 42L)
+      val u = arr.getUTF8String(i)
+      h(i) = if (u == null) 42L
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          u, StringType, 42L)
       i += 1
     }
     val out = new Array[Long](len - n + 1)
@@ -409,15 +414,21 @@ object TokenPairs {
       while (i < lim) {
         val a = arr.getUTF8String(i)
         val b = arr.getUTF8String(i + j)
-        // UTF8String binary order, array_sort's comparator for strings
-        val (lo, hi) = if (a.compareTo(b) <= 0) (a, b) else (b, a)
-        out(k) = UTF8String.concatWs(Space, lo, hi)
-        k += 1
+        // null elements never pair (tokenizers don't emit them; a hostile
+        // array must not NPE the whole task)
+        if (a != null && b != null) {
+          // UTF8String binary order, array_sort's comparator for strings
+          val (lo, hi) = if (a.compareTo(b) <= 0) (a, b) else (b, a)
+          out(k) = UTF8String.concatWs(Space, lo, hi)
+          k += 1
+        }
         i += 1
       }
       j += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    if (k == total) new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
   }
 }
 
@@ -477,24 +488,35 @@ object SortedPairs {
     new Array[Any](total.toInt)
   }
 
-  /** Shared by the interpreted and generated paths. */
+  private def trim(out: Array[Any], k: Int): ArrayData =
+    if (k == out.length) new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
+
+  /** Shared by the interpreted and generated paths. Null elements never
+    * pair (collect_list doesn't emit them; a hostile array must not
+    * produce garbage structs). */
   def pairsLong(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = alloc(n)
     var k = 0
     var i = 0
     while (i < n) {
-      val u = arr.getLong(i)
-      var j = i + 1
-      while (j < n) {
-        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](u, arr.getLong(j)))
-        k += 1
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val u = arr.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          if (!arr.isNullAt(j)) {
+            out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](u, arr.getLong(j)))
+            k += 1
+          }
+          j += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    trim(out, k)
   }
 
   def pairsString(arr: ArrayData): ArrayData = {
@@ -504,16 +526,21 @@ object SortedPairs {
     var i = 0
     while (i < n) {
       val u = arr.getUTF8String(i)
-      var j = i + 1
-      while (j < n) {
-        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](u, arr.getUTF8String(j)))
-        k += 1
-        j += 1
+      if (u != null) {
+        var j = i + 1
+        while (j < n) {
+          val v = arr.getUTF8String(j)
+          if (v != null) {
+            out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](u, v))
+            k += 1
+          }
+          j += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    trim(out, k)
   }
 }
 
@@ -541,11 +568,15 @@ case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      // uniform ksub is load-bearing, not cosmetic: the output table is
+      // ksub-strided (entry s*ksub + c), so a ragged codebook would write
+      // codeword c of one sub-space into another's block
       if (codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+        codebooks.forall(_.size == codebooks.head.size) &&
         codebooks.forall(_.forall(_.size == codebooks.head.head.size)))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        "pq_adc_table needs non-empty equal-dsub codebooks")
+        "pq_adc_table needs non-empty codebooks with uniform ksub and dsub")
     case t => TypeCheckResult.TypeCheckFailure(
       s"pq_adc_table requires a float/double array column, got $t")
   }
@@ -645,12 +676,15 @@ case class PqEncodeCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      // uniform ksub kept in lockstep with PqAdcTable/PqAdcSum: the codes
+      // this expression emits index a ksub-strided ADC table downstream
       if (codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
         codebooks.forall(_.size <= 256) &&
+        codebooks.forall(_.size == codebooks.head.size) &&
         codebooks.forall(_.forall(_.size == codebooks.head.head.size)))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        "pq_encode needs non-empty equal-dsub codebooks with ksub <= 256")
+        "pq_encode needs non-empty codebooks with uniform ksub <= 256 and uniform dsub")
     case t => TypeCheckResult.TypeCheckFailure(
       s"pq_encode requires a float/double array column, got $t")
   }

@@ -732,6 +732,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val cols = tableSchema.fields.map(_.name).toSeq
+      // same assignment validation as the CoW route: a typo'd SET/INSERT
+      // column must fail loudly, not silently no-op (the cascade's
+      // by-name lookup would otherwise just never match it)
+      (matched ++ notMatched ++ notMatchedBySource).foreach {
+        case MergeClause.Update(_, set) => set.foreach { case (c, _) =>
+          require(cols.contains(c), s"MERGE assigns unknown column $c") }
+        case MergeClause.Insert(_, vs) => vs.foreach { case (c, _) =>
+          require(cols.contains(c), s"MERGE inserts unknown column $c") }
+        case _: MergeClause.Delete =>
+      }
       keys.foreach { case (k, _) => require(cols.contains(k),
         s"MERGE ON references unknown target column $k") }
       val keyNames = keys.map(_._1)
@@ -1699,9 +1709,33 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val src = m.snapshot(snapshotId).getOrElse(
         throw new IllegalArgumentException(
           s"Unknown snapshot $snapshotId on table ${m.name}"))
-      require(src.operation == "append",
-        s"cherry-pick supports append snapshots; " +
-          s"snapshot $snapshotId is '${src.operation}'")
+      if (src.operation != "append") {
+        // a non-append staged commit (merge/delete/update under a wap id)
+        // cannot be REPLAYED onto a moved head — its file set bakes in the
+        // state it was built against — but when it is still parented on
+        // the target's CURRENT head, publishing is exactly a fast-forward
+        // of the ref onto it, safe for any operation. Without this path a
+        // row-level write under spark.wap.id would succeed at write time
+        // yet be permanently unpublishable.
+        val b = branch.getOrElse(SnapshotLog.MainBranch)
+        val headId = m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch))
+        require(headId.exists(h => !m.isAncestorOf(snapshotId, h) && h != snapshotId),
+          s"Snapshot $snapshotId is already published on $b")
+        require(src.parentId == headId,
+          s"cherry-pick can replay only append snapshots onto a moved head; " +
+            s"snapshot $snapshotId is '${src.operation}' and $b has advanced " +
+            s"past its parent — re-stage the work against the current head")
+        retryMetaCommit { m2 =>
+          require(m2.refs.get(b) == headId,
+            s"$b moved while publishing snapshot $snapshotId; retry")
+          m2.copy(refs = m2.refs + (b -> snapshotId))
+        }
+        src
+      } else cherryPickAppend(m, src, snapshotId, branch)
+    }
+
+  private def cherryPickAppend(m: TableMetadata, src: GraftSnapshot,
+      snapshotId: Long, branch: Option[String]): GraftSnapshot = {
       val addedSet = src.addedFiles.toSet
       val picked = src.files.filter(f => addedSet.contains(f.path))
       val headPaths = resolveWriteBranchHead(m, branch)
@@ -1744,7 +1778,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         extraSummary = Map("cherry-picked-from" -> snapshotId.toString) ++
           srcWap.map("published-wap-id" -> _),
         allowWapStage = false)
-    }
+  }
 
   /** `CALL system.fast_forward(t, to, from)` (reference WapIceberg.scala:81):
     * move `to` up to `from`'s head, requiring `to` to be an ancestor. */

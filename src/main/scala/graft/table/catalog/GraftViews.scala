@@ -125,9 +125,19 @@ object GraftViews {
   def drop(slot: String, conf: Configuration): Boolean = {
     val p = new Path(slot, FileName)
     val fs = p.getFileSystem(conf)
-    val existed = fs.exists(p)
+    // a crashed save may have left the newest complete log under an aside
+    // name with no live file — that still counts as "the view exists"
+    // (exists()/load() would recover it), so DROP must report true and,
+    // critically, remove EVERY aside: leftover aside debris would let a
+    // later recoverAside() resurrect the dropped view from a stale log
+    val asides =
+      if (fs.exists(new Path(slot))) fs.listStatus(new Path(slot))
+        .filter(_.getPath.getName.startsWith(AsidePrefix)).toSeq
+      else Seq.empty
+    val existed = fs.exists(p) || asides.nonEmpty
     if (existed) {
-      fs.delete(p, false)
+      if (fs.exists(p)) fs.delete(p, false)
+      asides.foreach(a => fs.delete(a.getPath, false))
       // remove the slot dir if the view file was its only content
       val dir = new Path(slot)
       if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, false)

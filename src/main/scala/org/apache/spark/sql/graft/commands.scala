@@ -56,10 +56,25 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     // sets merge-on-read, IcebergLoadActivityTask.scala:31)
     val mor = t.properties.get("write.merge.mode").contains("merge-on-read")
     if (deleteMatched) {
-      if (mor) throw new UnsupportedOperationException(
-        "MERGE … WHEN MATCHED THEN DELETE is copy-on-write only; unset " +
-          "write.merge.mode=merge-on-read (or run the CoW merge via the API)")
-      t.merge(df, keys, updateCols, insertNotMatched, deleteMatched = true)
+      if (mor) {
+        // the unconditional WHEN MATCHED THEN DELETE shape under
+        // merge-on-read routes through the general clause-cascade MoR
+        // rewrite (it previously errored here, while the semantically
+        // identical `WHEN MATCHED AND true THEN DELETE` already took
+        // the general path and succeeded — behavior must not depend on
+        // that syntactic detail)
+        // clause namespace contract (GraftMergeRule.toCol): ON keys are
+        // bare source names, clause values reference the __s_ prefix
+        val srcCols = df.columns.toSet
+        t.mergeIntoMoR(df,
+          keys.map(k => k -> org.apache.spark.sql.functions.col(k)),
+          matched = Seq(graft.table.MergeClause.Delete(None)),
+          notMatched = if (insertNotMatched)
+            Seq(graft.table.MergeClause.Insert(None,
+              t.schema.fieldNames.toSeq.filter(srcCols.contains)
+                .map(c => c -> org.apache.spark.sql.functions.col(s"__s_$c"))))
+          else Seq.empty)
+      } else t.merge(df, keys, updateCols, insertNotMatched, deleteMatched = true)
     } else if (mor)
       t.mergeMoR(df, keys, updateCols, insertNotMatched)
     else t.merge(df, keys, updateCols, insertNotMatched)
@@ -355,24 +370,54 @@ case class GraftViewRule(session: ClassicSession)
 
   /** Rewrite relations that carry no catalog qualifier against the view's
     * stored (catalog, namespace): single-part names gain both, multi-part
-    * names whose head is not a registered catalog gain the catalog. */
+    * names whose head is not a registered catalog gain the catalog.
+    *
+    * CTE names shadow table resolution LEXICALLY, not plan-globally: a
+    * WITH inside one subquery must not hide a real table of the same name
+    * referenced in a sibling scope (a global collect would skip the outer
+    * reference and leave it to resolve in the READER's context — the
+    * exact wrong-table bug this rule exists to prevent). The walk carries
+    * the in-scope name set: each CTE definition sees the names defined
+    * before it in the same WITH plus the outer scope; the WITH's main
+    * query sees all of them. Matching uses the session resolver (CTE
+    * names are case-insensitive under the default conf). */
   private def qualifyRelations(parsed: LogicalPlan, cat: String,
       ns: Seq[String]): LogicalPlan = {
-    val cteNames: Set[String] = parsed.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1)
-    }.flatten.toSet
     val cm = session.sessionState.catalogManager
-    parsed.transformUpWithSubqueries {
-      case u: UnresolvedRelation =>
-        u.multipartIdentifier match {
-          case Seq(single) if cteNames.contains(single) => u
-          case Seq(single) =>
-            u.copy(multipartIdentifier = (cat +: ns) :+ single)
-          case parts if !cm.isCatalogRegistered(parts.head) =>
-            u.copy(multipartIdentifier = cat +: parts)
-          case _ => u
-        }
+    val resolver = session.sessionState.conf.resolver
+    def fix(u: UnresolvedRelation, scope: Seq[String]): UnresolvedRelation =
+      u.multipartIdentifier match {
+        case Seq(single) if scope.exists(resolver(_, single)) => u
+        case Seq(single) =>
+          u.copy(multipartIdentifier = (cat +: ns) :+ single)
+        case parts if !cm.isCatalogRegistered(parts.head) =>
+          u.copy(multipartIdentifier = cat +: parts)
+        case _ => u
+      }
+    def walk(plan: LogicalPlan, scope: Seq[String]): LogicalPlan = {
+      val walked = plan match {
+        case w: UnresolvedWith =>
+          var seen = scope
+          val rels = w.cteRelations.map { case (name, rel, maxRec) =>
+            // the definition may reference itself under allowRecursion;
+            // including its own name unconditionally is safe either way
+            // (a self-name can only mean the CTE, never an outer table)
+            val r = walk(rel, name +: seen)
+              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]
+            seen = name +: seen
+            (name, r, maxRec)
+          }
+          w.copy(child = walk(w.child, seen), cteRelations = rels)
+        case u: UnresolvedRelation => fix(u, scope)
+        case other =>
+          other.withNewChildren(other.children.map(walk(_, scope)))
+      }
+      walked.transformExpressions {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(walk(se.plan, scope))
+      }
     }
+    walk(parsed, Seq.empty)
   }
 }
 

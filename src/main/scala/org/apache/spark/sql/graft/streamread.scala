@@ -436,13 +436,19 @@ case class AvroKeyDeletePartition(
     keyList: String) extends InputPartition
 
 class GraftStreamReaderFactory extends PartitionReaderFactory {
-  private def drain(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
+  /** `source`: the UNDERLYING iterator whose resources close() must
+    * release — pass it explicitly whenever the drained iterator is a
+    * `.map`/`.filter` wrapper, because the wrapper is a plain Iterator
+    * and hides the AutoCloseable underneath (an early-terminated stream
+    * query would otherwise leak the open file until GC). */
+  private def drain(it: Iterator[InternalRow],
+      source: Any = null): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = it match {
+      override def close(): Unit = Seq(source, it).foreach {
         case c: AutoCloseable => c.close()
         case _ => ()
       }
@@ -468,9 +474,11 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
           }
         }
       drain(selected.map(r =>
-        new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, tag)))
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, tag)),
+        source = base)
     case kp: KeyDeletePartition =>
-      val it = kp.readFunc(kp.file).map { r =>
+      val under = kp.readFunc(kp.file)
+      val it = under.map { r =>
         val out = new Array[Any](kp.width + 3)
         var i = 0
         while (i < kp.keyIdx.length) {
@@ -482,10 +490,11 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
         out(kp.width + 2) = UTF8String.fromString(kp.keyList)
         new GenericInternalRow(out): InternalRow
       }
-      drain(it)
+      drain(it, source = under)
     case ap: AvroKeyDeletePartition =>
-      val it = graft.table.AvroDeletes.catalystIterator(
-          ap.path, ap.conf.value, ap.keyCols.toSeq, ap.keyTypes.toSeq)
+      val under = graft.table.AvroDeletes.catalystIterator(
+        ap.path, ap.conf.value, ap.keyCols.toSeq, ap.keyTypes.toSeq)
+      val it = under
         .map { keyVals =>
           val out = new Array[Any](ap.width + 3)
           var i = 0
@@ -498,6 +507,6 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
           out(ap.width + 2) = UTF8String.fromString(ap.keyList)
           new GenericInternalRow(out): InternalRow
         }
-      drain(it)
+      drain(it, source = under)
   }
 }

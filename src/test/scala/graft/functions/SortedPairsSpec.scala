@@ -43,6 +43,18 @@ class SortedPairsSpec extends SparkTestBase {
     assert(rows(3).isNullAt(2))
   }
 
+  test("null elements never pair and never NPE") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(Some(1L), None, Some(3L))),
+      (2L, Seq(Option.empty[Long], None))).toDF("id", "__us")
+    val rows = df.select(col("id"),
+        GraftFunctions.sorted_pairs(col("__us")).as("p"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 3L)))
+    assert(rows(1).getSeq[Any](1) === Seq.empty)
+  }
+
   test("coOccurrenceEdges output is unchanged by the native emitter") {
     import spark.implicits._
     val r = new scala.util.Random(41)

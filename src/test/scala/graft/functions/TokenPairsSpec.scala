@@ -48,6 +48,15 @@ class TokenPairsSpec extends SparkTestBase {
     assert(rows(2).isNullAt(1))
   }
 
+  test("null elements are skipped without NPE (tokenizers never emit them)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(Some("a"), None, Some("b")))).toDF("id", "__toks")
+    val got = df.select(GraftFunctions.token_pairs(col("__toks"), 2).as("p"))
+      .head.getSeq[String](0)
+    // pairs not involving the null slot survive: (a,b) at distance 2
+    assert(got === Seq("a b"))
+  }
+
   test("collocations over a hand-checked corpus is unchanged") {
     import spark.implicits._
     val docs = Seq(

@@ -130,5 +130,39 @@ class MergeIntoMorSpec extends SparkTestBase {
     assert(snap.deleteFiles.exists(_.seq == snap.id))
     val rows = t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rows.toSeq === Seq((1L, 100.0), (2L, 20.0), (3L, 30.0), (9L, 90.0)))
+
+    // the SIMPLE-path shape (unconditional WHEN MATCHED THEN DELETE) must
+    // also route to the MoR rewrite instead of erroring — behavior must
+    // not depend on whether the clause happens to carry a condition
+    val before2 = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("""SELECT CAST(9 AS BIGINT) AS id, 0.0 AS amount""")
+      .createOrReplaceTempView("mim_del_src")
+    spark.sql("""MERGE INTO mimsql.fin.g t USING mim_del_src s ON t.id = s.id
+                 WHEN MATCHED THEN DELETE""")
+    val snap2 = t.meta.currentSnapshot.get
+    assert(snap2.removedFiles.isEmpty &&
+      before2.subsetOf(snap2.files.map(_.path).toSet),
+      "MATCHED DELETE under merge-on-read must not rewrite data files")
+    assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+  }
+
+  test("mergeIntoMoR rejects unknown SET/INSERT columns like the CoW route") {
+    import spark.implicits._
+    val t = fixture("mim-unknown-col", mor = true)
+    val srcDf = Seq((1L, "z", 99L)).toDF("id", "v", "n")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeIntoMoR(srcDf, Seq("id" -> col("id")),
+        matched = Seq(MergeClause.Update(None, Seq("v_typo" -> src("v")))))
+    }
+    assert(e.getMessage.contains("unknown column v_typo"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.mergeIntoMoR(srcDf, Seq("id" -> col("id")),
+        notMatched = Seq(MergeClause.Insert(None,
+          Seq("id" -> src("id"), "nope" -> src("n")))))
+    }
+    assert(e2.getMessage.contains("unknown column nope"))
+    assert(state(t) === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)), "failed validation must not commit")
   }
 }

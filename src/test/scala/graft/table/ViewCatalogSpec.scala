@@ -153,6 +153,56 @@ class ViewCatalogSpec extends SparkTestBase {
     assert(!fs.exists(aside))
   }
 
+  test("DROP VIEW removes aside debris: a dropped view must not resurrect") {
+    cat
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    spark.sql(s"CREATE VIEW $cat.ns.v_zombie AS SELECT k FROM $cat.ns.base")
+    val slot = s"$wh/ns/v_zombie"
+    val fs = new org.apache.hadoop.fs.Path(slot).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(slot, "graft.view.json")
+    // stale aside debris from an interrupted save sits next to the live
+    // file; DROP must remove BOTH or recovery would resurrect the view
+    val aside = new org.apache.hadoop.fs.Path(slot, ".view-old-111-stale.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, aside, false, conf)
+    spark.sql(s"DROP VIEW $cat.ns.v_zombie")
+    assert(!fs.exists(live) && !fs.exists(aside))
+    val gone = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.ns.v_zombie").collect()
+    }
+    assert(gone.getMessage.contains("v_zombie"))
+    // aside-only state (crash left no live file) still counts as existing:
+    // DROP reports success once and removes the debris
+    spark.sql(s"CREATE VIEW $cat.ns.v_zombie2 AS SELECT k FROM $cat.ns.base")
+    val slot2 = s"$wh/ns/v_zombie2"
+    val live2 = new org.apache.hadoop.fs.Path(slot2, "graft.view.json")
+    val aside2 = new org.apache.hadoop.fs.Path(slot2, ".view-old-222-crash.json")
+    assert(fs.rename(live2, aside2))
+    spark.sql(s"DROP VIEW $cat.ns.v_zombie2")
+    assert(!fs.exists(live2) && !fs.exists(aside2))
+  }
+
+  test("CTE names shadow lexically, not plan-globally, inside a view body") {
+    cat
+    val prevCat = spark.catalog.currentCatalog()
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      spark.sql(s"USE $cat.ns")
+      // the OUTER `base` reference must qualify against the authoring
+      // context even though an unrelated subquery binds a CTE named
+      // `base` — a plan-global CTE collect would skip qualifying it and
+      // leave it to resolve in the reader's session
+      spark.sql(s"""CREATE VIEW $cat.ns.v_cte_scope AS
+        SELECT count(*) AS c FROM base
+        WHERE n <= (SELECT max(m) FROM (
+          WITH base AS (SELECT 10 AS m) SELECT m FROM base))""")
+      assert(spark.sql(s"SELECT c FROM $cat.ns.v_cte_scope").head.getLong(0) === 10L)
+      spark.sql(s"USE spark_catalog.default")
+      assert(spark.sql(s"SELECT c FROM $cat.ns.v_cte_scope").head.getLong(0) === 10L,
+        "outer `base` must stay pinned to vcat.ns from any reader context")
+    } finally spark.sql(s"USE $prevCat.$prevDb")
+  }
+
   test("time travel composes through a view (VERSION AS OF on the base table)") {
     import spark.implicits._
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")

@@ -84,6 +84,40 @@ class WapIdSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.wap.branch")
   }
 
+  test("non-append staged commits publish by fast-forward while main is unmoved") {
+    import spark.implicits._
+    val t = mk("wapid-rowlevel")
+    t.append(Seq((2L, "x"), (3L, "y")).toDF("id", "v"))
+    val mainBefore = t.meta.currentSnapshotId.get
+    // a row-level write under a wap id stages without moving main
+    val staged = withWapId("wd1") {
+      t.deleteWhere(col("id") === 2L)
+    }
+    assert(t.meta.currentSnapshotId.get === mainBefore)
+    assert(staged.operation === "delete")
+    assert(t.toDF.count() === 3L, "main still sees the deleted row")
+    // publish: main has not advanced past the staged parent, so the
+    // cherry-pick fast-forwards the ref onto the staged snapshot
+    t.cherryPick(staged.id)
+    assert(t.meta.currentSnapshotId.get === staged.id)
+    assert(t.toDF.count() === 2L)
+    assert(t.toDF.filter(col("id") === 2L).count() === 0L)
+    // publishing the same snapshot again is refused
+    val again = intercept[IllegalArgumentException] { t.cherryPick(staged.id) }
+    assert(again.getMessage.contains("already published"))
+  }
+
+  test("non-append staged commit is refused once main advances past its parent") {
+    import spark.implicits._
+    val t = mk("wapid-rowlevel-conflict")
+    val staged = withWapId("wd2") { t.deleteWhere(col("id") === 1L) }
+    t.append(Seq((7L, "later")).toDF("id", "v")) // main moves on
+    val err = intercept[IllegalArgumentException] { t.cherryPick(staged.id) }
+    assert(err.getMessage.contains("re-stage"),
+      s"must direct the user to re-stage, got: ${err.getMessage}")
+    assert(t.toDF.count() === 2L, "failed publish must not change main")
+  }
+
   test("explicit-branch writes bypass id staging; iceberg alias spark.wap.id works") {
     import spark.implicits._
     val t = mk("wapid-branch")
