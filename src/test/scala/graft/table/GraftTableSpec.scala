@@ -469,11 +469,13 @@ class GraftTableSpec extends SparkTestBase {
     // picking the same snapshot again is rejected
     val ex = intercept[IllegalArgumentException](t.cherryPick(stagedSnap.id))
     assert(ex.getMessage.contains("already applied"))
-    // non-append snapshots do not transplant
+    // a non-append snapshot that is ALREADY the published head cannot be
+    // picked again (round 15: linear non-append staged commits publish by
+    // fast-forward; WapIdSpec covers the moved-head re-stage refusal)
     t.deleteWhere(col("txn_id") === "txn18")
     val delSnap = t.meta.currentSnapshotId.get
     assert(intercept[IllegalArgumentException](t.cherryPick(delSnap))
-      .getMessage.contains("append snapshots"))
+      .getMessage.contains("already published"))
   }
 
   test("expire_snapshots keeps branch-pinned + last N, deletes exclusive files") {

@@ -128,4 +128,60 @@ class Round15InteropSpec extends SparkTestBase {
     val live = t.meta.snapshots.flatMap(_.files.map(_.path)).toSet
     assert(stagedOnly.forall(p => !live.contains(p)))
   }
+
+  test("position_deletes x rewrite_position_delete_files: the view tracks the compacted state") {
+    val t = GraftTable.create(spark, tmpDir("r15-posmeta"), "pm", schema,
+      props = Map("write.delete.vector.enabled" -> "true"))
+    t.append(rows(0 until 50).coalesce(1)) // one file, _pos i == id i
+    t.deleteWherePositional(col("id") < 5)
+    t.deleteWherePositional(col("id") === 20L)
+    assert(t.meta.currentSnapshot.get.deleteFiles.size === 2)
+    val before = t.positionDeletesDF.collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(before.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L, 20L))
+    assert(before.map(_._2).distinct.length === 2,
+      "positions come from two physical delete files before the rewrite")
+    t.rewritePositionDeleteFiles()
+    val after = t.positionDeletesDF.collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(after.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L, 20L),
+      "the logical deleted-position set must survive the compaction")
+    assert(after.map(_._2).distinct.length === 1,
+      "one compacted delete file after the rewrite")
+    assert(t.toDF.count() === 44L)
+  }
+
+  test("entries x WAP staging: a staged snapshot never leaks into the head's entries") {
+    val t = GraftTable.create(spark, tmpDir("r15-entwap"), "ew", schema,
+      props = Map("write.wap.enabled" -> "true"))
+    t.append(rows(0 until 10))
+    val headEntries = t.entriesDF.collect()
+    spark.conf.set("spark.graft.wap.id", "we1")
+    try t.append(rows(100 until 105))
+    finally spark.conf.unset("spark.graft.wap.id")
+    assert(t.entriesDF.collect().map(_.getString(5)).sorted.toSeq ===
+      headEntries.map(_.getString(5)).sorted.toSeq,
+      "entries reads the CURRENT snapshot; staged files must not appear")
+    // all_manifests DOES see the staged snapshot (it is a retained
+    // snapshot with its own manifest list) — under its own reference id
+    val staged = t.snapshotForWapId("we1").get
+    val am = t.allManifestsDF.collect()
+    assert(am.exists(_.getLong(0) == staged.id))
+  }
+
+  test("all_manifests x rewrite_manifests: the collapsed chain is reflected at head") {
+    val t = GraftTable.create(spark, tmpDir("r15-amrw"), "am", schema)
+    (0 until 5).foreach(i => t.append(rows(i * 10 until i * 10 + 10)))
+    val headId = t.meta.currentSnapshotId.get
+    val chainBefore = t.allManifestsDF
+      .filter(col("reference_snapshot_id") === headId).count()
+    assert(chainBefore === 5L, "append chain: one manifest per commit")
+    t.rewriteManifests(maxManifests = 2)
+    val m2 = t.meta
+    val newHead = m2.currentSnapshotId.get
+    val chainAfter = t.allManifestsDF
+      .filter(col("reference_snapshot_id") === newHead).count()
+    assert(chainAfter === 1L, "rewrite_manifests collapses the chain")
+    assert(t.toDF.count() === 50L)
+  }
 }
