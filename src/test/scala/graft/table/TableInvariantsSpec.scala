@@ -130,4 +130,42 @@ class TableInvariantsSpec extends SparkTestBase {
     (1 to 5).foreach(i => t2.append(Seq((s"k$i", i.toDouble)).toDF("key", "amount")))
     assert(metaFiles(t2).size === 6) // v0 create + 5 appends
   }
+
+  test("entries/all_manifests/position_deletes agree with the commit metadata " +
+      "through appends, MoR deletes, DV deletes and compaction") {
+    val t = freshTable("inv-meta-views")
+    t.setProperties(Map("write.delete.vector.enabled" -> "true"))
+    for (seed <- Seq(11L, 12L, 13L)) t.append(randomBatch(spark, seed, 150, 60))
+    t.deleteWhereMoR(col("amount") > 80, Seq("key", "part", "amount", "payload"))
+    t.deleteWherePositional(col("amount") < 2)
+
+    def checkViews(): Unit = {
+      val head = t.meta.currentSnapshot.get
+      val e = t.entriesDF.collect()
+      // entry accounting == commit metadata, exactly
+      assert(e.count(_.getInt(0) == 0) === head.files.size)
+      assert(e.filter(_.getInt(0) == 0).map(_.getLong(6)).sum ===
+        head.files.map(_.records).sum)
+      assert(e.count(_.getInt(0) != 0) === head.deleteFiles.size)
+      val dvRecords = head.deleteFiles.filter(d => d.isDv || d.isPositional)
+        .map(_.records).sum
+      assert(t.positionDeletesDF.count() === dvRecords,
+        "expanded DV positions must equal the recorded covered-position count")
+      // every manifest any retained snapshot references appears in
+      // all_manifests under exactly that snapshot
+      val am = t.allManifestsDF.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val expected = t.meta.snapshots
+        .flatMap(s => s.manifestRefs.map(n => (s.id, n))).toSet
+      assert(am === expected)
+    }
+    val before = contentHash(t.toDF)
+    checkViews()
+    // compaction rewrites the physical layout; the views must keep
+    // agreeing with the new metadata and the data must not move
+    t.rewriteDataFilesBinpack(minFileSizeBytes = Long.MaxValue)
+    checkViews()
+    assert(contentHash(t.toDF) === before,
+      "binpack must preserve the exact row multiset")
+  }
 }
