@@ -526,24 +526,20 @@ object Dedup {
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
     // df via a term-partitioned window: counts (id, term) rows per term —
     // identical to a vocab aggregate, but keeps everything in one stream
-    // PINNED (the Skyline RDD pattern): `weights` feeds the norm
-    // aggregate AND both sides of the pair self-join — three consumers,
-    // each of which would otherwise replan the full corpus
+    // pinned WHEN LARGE (pinIfLarge): `weights` feeds the norm aggregate
+    // AND both sides of the pair self-join — three consumers, each of
+    // which would otherwise replan the full corpus
     // tokenize+shingle+explode+postings+window chain. The pinned set is
     // the maxDf-filtered postings (rare terms only — most of a shingle
     // vocabulary is df=1 and everything above maxDf is gone), far
-    // smaller than the corpus pass it replaces.
-    val weights = {
-      val plan = terms
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__term"))))
-        .filter(col("__df") <= maxDf)
-        .crossJoin(broadcast(nDocs))
-        .select(col(idCol), col("__term"), col("__df"),
-          (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
-      val rdd = plan.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.sparkSession.createDataFrame(rdd, plan.schema)
-    }
+    // smaller than the corpus pass it replaces; below the threshold the
+    // triple recompute is still cheaper than a materialization barrier.
+    val weights = pinIfLarge(df, terms
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__term"))))
+      .filter(col("__df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("__term"), col("__df"),
+        (col("__tf") * log(col("__n") / col("__df"))).as("__w")))
     val norms = weights.groupBy(col(idCol))
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
     // df=1 terms contribute to norms but can never meet a partner — a

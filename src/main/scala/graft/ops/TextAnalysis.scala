@@ -270,17 +270,14 @@ object TextAnalysis {
     // documented at [[shingles]])
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val toks = base.select(col(idCol), explode(col("__toks")).as("__tok"))
-    // PINNED (the Skyline RDD pattern): the unigram dictionary feeds the
+    // pinned WHEN LARGE (pinIfLarge): the unigram dictionary feeds the
     // two context-count joins AND the corpus-total aggregate — three
     // consumers, each of which would otherwise replan the full corpus
-    // tokenize+explode+vocab aggregate. Dictionary-sized, so the pin is
-    // trivially cheap at any corpus scale.
-    val vocab1 = {
-      val plan = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
-      val rdd = plan.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.sparkSession.createDataFrame(rdd, plan.schema)
-    }
+    // tokenize+explode+vocab aggregate. Dictionary-sized output, but the
+    // pin's materialization barrier still loses to recompute on small
+    // corpora, so the size gate applies here too.
+    val vocab1 = Dedup.pinIfLarge(df,
+      toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1")))
     val total = vocab1.agg(sum(col("__c1")).cast("double").as("__total"))
     // pre-aggregate per (doc, bigram): every downstream consumer — the
     // bigram dictionary AND the per-doc scoring join — now builds on this
@@ -288,18 +285,14 @@ object TextAnalysis {
     // explode plans/executes once (deriving the dictionary straight from
     // `bgs` pruned its columns differently per branch and re-ran the
     // explode); the map-side combine also shrinks the shuffle by the
-    // within-doc repeat factor. PINNED too: its two consumers prune
-    // columns differently, so without the pin the bigram explode still
-    // runs twice; the pinned set is the doc-distinct bigram postings —
-    // the same magnitude the aggregation shuffle already pays.
-    val perDoc = {
-      val plan = base.select(col(idCol),
-          explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
-        .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__n"))
-      val rdd = plan.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.sparkSession.createDataFrame(rdd, plan.schema)
-    }
+    // within-doc repeat factor. Pinned when large too: its two consumers
+    // prune columns differently, so without a pin the bigram explode
+    // still runs twice on a big corpus; the pinned set is the
+    // doc-distinct bigram postings — the same magnitude the aggregation
+    // shuffle already pays.
+    val perDoc = Dedup.pinIfLarge(df, base.select(col(idCol),
+        explode(shinglesOfTokens(col("__toks"), 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__n")))
     val vocab2 = perDoc.groupBy(col("__bg")).agg(sum(col("__n")).as("__c2"))
     // dictionary-sized scoring: one row per DISTINCT bigram
     val bgScore = vocab2
@@ -595,20 +588,18 @@ object TextAnalysis {
     val qterms = queries.select(col(queryIdCol),
       explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
     // postings of queried terms only — the broadcast prune that keeps
-    // every downstream stage proportional to the QUERY workload. PINNED
-    // (the Skyline RDD pattern, ContextCleaner-reclaimed): `hit` feeds
-    // both the per-document contributions and the document frequencies,
-    // and without the pin each consumer replans the FULL corpus
-    // tokenize+explode+postings aggregate (column pruning makes the two
-    // tf subtrees differ, so exchange reuse never fires). The pinned set
-    // is bounded by the postings of queried terms — the query table is
-    // tiny by contract — never the corpus.
-    val hit = {
-      val plan = tf.join(broadcast(qterms), Seq("__term"))
-      val rdd = plan.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docs.sparkSession.createDataFrame(rdd, plan.schema)
-    }
+    // every downstream stage proportional to the QUERY workload. Pinned
+    // WHEN THE CORPUS IS LARGE (Dedup.pinIfLarge — the conditional
+    // Skyline RDD pattern): `hit` feeds both the per-document
+    // contributions and the document frequencies, and without a pin each
+    // consumer replans the FULL corpus tokenize+explode+postings
+    // aggregate (column pruning makes the two tf subtrees differ, so
+    // exchange reuse never fires). The pinned set is bounded by the
+    // postings of queried terms — the query table is tiny by contract —
+    // never the corpus. Below the size threshold the recompute is
+    // cheaper than the pin's materialization barrier (measured 1.2 s vs
+    // 1.5 s at sf0.1), so small inputs stay pure-plan.
+    val hit = Dedup.pinIfLarge(docs, tf.join(broadcast(qterms), Seq("__term")))
     // df of term t = its postings count (tf has ONE row per (doc, term)),
     // recovered exactly from the query-expanded `hit` rows by collapsing
     // the query dimension first: distinct (term, doc) of hit IS the
