@@ -159,7 +159,15 @@ object Dedup {
     * scale, re-running a scan+tokenize+digest subtree per consumer is the
     * dominant cost and materializing once wins; below the threshold the
     * RDD round-trip (row conversion, no codegen over ExistingRDD) costs
-    * more than recomputing the codegen'd subtree. A source with NO
+    * more than recomputing the codegen'd subtree.
+    *
+    * Caveat shared with EVERY multi-consumer Spark plan: when the pin
+    * does NOT engage, each consumer re-evaluates the source, so a
+    * NON-DETERMINISTIC input (`df.sample`, `rand()`/`uuid()` columns)
+    * can produce a different row set per consumer. Callers feeding such
+    * inputs must materialize them first (cache/checkpoint/write) — the
+    * operators here assume deterministic sources, like Spark's own
+    * self-join of a sampled frame does. A source with NO
     * statistics propagates the `defaultSizeInBytes` sentinel — any
     * estimate at or above the session's sentinel is treated as UNKNOWN,
     * never as large, so stat-less inputs are not force-pinned. The

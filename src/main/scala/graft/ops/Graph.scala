@@ -194,15 +194,26 @@ object Graph {
     val sizes = d.groupBy(cells: _*).agg(count(lit(1)).as("__c"))
       .filter(col("__c").between(2L, maxCellSize.toLong))
       .drop("__c")
+    // native pair emitter (graft.functions.SortedPairs) for the long and
+    // string unit domains: the HOF flatten(transform(…, transform(slice)))
+    // chain it replaces interpreted per element and copied the array tail
+    // per position — O(n²) allocations per cell; identical pairs in
+    // identical order. Other unit types (int keys, dates, decimals) keep
+    // the type-generic HOF form — a working call must never start failing
+    // analysis because of the element type.
+    val unitType = occ.schema(unitCol).dataType
+    val pairEmitter =
+      if (unitType == org.apache.spark.sql.types.LongType ||
+        unitType == org.apache.spark.sql.types.StringType)
+        graft.functions.GraftFunctions.sorted_pairs(col("__us"))
+      else expr(
+        "flatten(transform(__us, (x, i) -> " +
+          "transform(slice(__us, i + 2, size(__us) - i - 1), " +
+          "y -> struct(x AS u, y AS v))))")
     d.join(sizes, cellCols)
       .groupBy(cells: _*)
       .agg(array_sort(collect_list(col("__u"))).as("__us"))
-      // native pair emitter (graft.functions.SortedPairs): the HOF
-      // flatten(transform(…, transform(slice(…)))) chain it replaces
-      // interpreted per element and copied the array tail per position —
-      // O(n²) allocations per cell; identical pairs in identical order
-      .select(explode(
-        graft.functions.GraftFunctions.sorted_pairs(col("__us"))).as("__p"))
+      .select(explode(pairEmitter).as("__p"))
       .groupBy(col("__p.u").as("u"), col("__p.v").as("v"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCells.toLong)

@@ -1718,19 +1718,43 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // row-level write under spark.wap.id would succeed at write time
         // yet be permanently unpublishable.
         val b = branch.getOrElse(SnapshotLog.MainBranch)
-        val headId = m.refs.get(b).orElse(m.refs.get(SnapshotLog.MainBranch))
-        require(headId.exists(h => !m.isAncestorOf(snapshotId, h) && h != snapshotId),
+        def headOf(mx: TableMetadata): Option[Long] =
+          mx.refs.get(b).orElse(mx.refs.get(SnapshotLog.MainBranch))
+        val headId = headOf(m)
+        require(headId.isDefined,
+          s"cannot publish snapshot $snapshotId: table ${m.name} has no " +
+            s"branch head to publish onto")
+        // ancestry(head) includes the head itself, so this single check
+        // also covers head == snapshotId
+        require(!m.isAncestorOf(snapshotId, headId.get),
           s"Snapshot $snapshotId is already published on $b")
         require(src.parentId == headId,
           s"cherry-pick can replay only append snapshots onto a moved head; " +
             s"snapshot $snapshotId is '${src.operation}' and $b has advanced " +
             s"past its parent — re-stage the work against the current head")
-        retryMetaCommit { m2 =>
-          require(m2.refs.get(b) == headId,
-            s"$b moved while publishing snapshot $snapshotId; retry")
-          m2.copy(refs = m2.refs + (b -> snapshotId))
+        val srcWapFf = src.summary.get("wap.id")
+        srcWapFf.foreach { w =>
+          require(!m.snapshots.exists(
+              _.summary.get("published-wap-id").contains(w)),
+            s"wap id '$w' is already published on ${m.name}")
         }
-        src
+        retryMetaCommit { m2 =>
+          // same head derivation as above (the target branch may not
+          // exist yet — publishing CREATES it, like the append path's
+          // commitSnapshot does)
+          require(headOf(m2) == headId,
+            s"$b moved while publishing snapshot $snapshotId; retry")
+          m2.copy(refs = m2.refs + (b -> snapshotId),
+            // stamp the publication on the published snapshot itself so
+            // wap audits and the append path's double-publish guard see
+            // fast-forward publishes too (metadata-only summary edit)
+            snapshots = m2.snapshots.map(s =>
+              if (s.id == snapshotId && srcWapFf.isDefined)
+                s.copy(summary = s.summary +
+                  ("published-wap-id" -> srcWapFf.get))
+              else s))
+        }
+        meta.snapshot(snapshotId).getOrElse(src)
       } else cherryPickAppend(m, src, snapshotId, branch)
     }
 

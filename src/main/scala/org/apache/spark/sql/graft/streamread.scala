@@ -448,9 +448,17 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = Seq(source, it).foreach {
-        case c: AutoCloseable => c.close()
-        case _ => ()
+      override def close(): Unit = {
+        // close both even if the first close throws; surface the first
+        // failure after the second resource is released
+        var first: Throwable = null
+        Seq(source, it).foreach {
+          case c: AutoCloseable =>
+            try c.close()
+            catch { case t: Throwable => if (first == null) first = t }
+          case _ => ()
+        }
+        if (first != null) throw first
       }
     }
 

@@ -55,6 +55,16 @@ class SortedPairsSpec extends SparkTestBase {
     assert(rows(1).getSeq[Any](1) === Seq.empty)
   }
 
+  test("coOccurrenceEdges still accepts non-long/string unit types (HOF fallback)") {
+    import spark.implicits._
+    val occ = Seq((1, "a"), (2, "a"), (3, "a"), (1, "b"), (2, "b"))
+      .toDF("u", "cell") // INT unit column — the native emitter declines it
+    val got = graft.ops.Graph.coOccurrenceEdges(occ, "u", Seq("cell"),
+        minCells = 2, maxCellSize = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got === Set((1, 2)))
+  }
+
   test("coOccurrenceEdges output is unchanged by the native emitter") {
     import spark.implicits._
     val r = new scala.util.Random(41)

@@ -105,6 +105,20 @@ class WapIdSpec extends SparkTestBase {
     // publishing the same snapshot again is refused
     val again = intercept[IllegalArgumentException] { t.cherryPick(staged.id) }
     assert(again.getMessage.contains("already published"))
+    // the fast-forward publish stamps the wap bookkeeping the audits and
+    // the append path's double-publish guard read
+    assert(t.meta.snapshot(staged.id).get
+      .summary.get("published-wap-id").contains("wd1"))
+  }
+
+  test("fast-forward publish onto a branch that does not exist yet creates it") {
+    import spark.implicits._
+    val t = mk("wapid-newbranch")
+    val staged = withWapId("wd3") { t.deleteWhere(col("id") === 1L) }
+    t.cherryPick(staged.id, branch = Some("audit"))
+    assert(t.meta.refs("audit") === staged.id)
+    assert(t.asOf("audit").count() === 0L)
+    assert(t.toDF.count() === 1L, "main is untouched by a branch publish")
   }
 
   test("non-append staged commit is refused once main advances past its parent") {
