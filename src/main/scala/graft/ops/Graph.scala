@@ -140,6 +140,10 @@ object Graph {
       .join(deg.select(col("__n").as("__b"), col("__d").as("__db")), Seq("__b"))
     val aFirst = col("__da") < col("__db") ||
       (col("__da") === col("__db") && col("__a") < col("__b"))
+    // pinned even in broadcast-degree mode: an A/B at sf0.1 measured the
+    // unpinned variant ~15% SLOWER (2.9 s vs 2.5 s) — the three consumers'
+    // recomputed projections cost more than the one materialization
+    // barrier here, unlike the postings pins where the opposite held
     val oriented = stamped.select(
         when(aFirst, col("__a")).otherwise(col("__b")).as("__src"),
         when(aFirst, col("__b")).otherwise(col("__a")).as("__dst"),
