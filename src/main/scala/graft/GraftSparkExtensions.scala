@@ -33,6 +33,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
     ext.injectPostHocResolutionRule(_ => GraftMergeRule)
     ext.injectPostHocResolutionRule(_ => GraftUpdateRule)
+    ext.injectPostHocResolutionRule(_ => graft.sql.GraftDeleteRule)
     // metadata-column refs first (their read plan is also delete-correct),
     // then the MoR/mixed-layout substitution for the remaining relations
     ext.injectPostHocResolutionRule(_ => GraftMetadataColumnRule)

@@ -2238,6 +2238,16 @@ object SparkEntry {
           min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
         .orderBy("partition")),
 
+    // SQL DELETE with an uncorrelated IN-subquery (the anti-set delete):
+    // the condition cannot push as a source filter, so the GraftDeleteRule
+    // routes it to the file-level CoW delete; the oracle replays the same
+    // anti-join over the raw parquet
+    "t_delete_subquery" -> ((s, dir) =>
+      TableFixtures.ordersSubqueryDeleted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+        .orderBy("o_orderstatus")),
+
     // S1 CSV scan with explicit schema: every generated day folder
     // (including the nullable WAP day) ingested into a partitioned table;
     // the oracle re-reads the identical CSVs with DuckDB read_csv
@@ -6054,6 +6064,15 @@ object SparkEntry {
                                     ORDER BY o_orderkey) - 1 AS pos
                FROM orders WHERE o_orderkey % 3 = 0)
          WHERE o_totalprice > 300000
+         GROUP BY 1 ORDER BY 1""",
+
+    "t_delete_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         cast(sum(o_custkey) AS bigint) AS cust_sum
+         FROM orders
+         WHERE o_orderkey % 3 = 0
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_acctbal > 9000)
          GROUP BY 1 ORDER BY 1""",
 
     "t_csv_ingest" ->

@@ -40,6 +40,32 @@ object TableFixtures {
   def read(spark: SparkSession, sfDir: String, t: String): DataFrame =
     spark.read.parquet(s"$sfDir/$t.parquet")
 
+  /**
+   * SQL DELETE-with-subquery fixture: the `%3 == 0` order slice, then
+   * `DELETE FROM t WHERE o_custkey IN (SELECT c_custkey …)` through the
+   * catalog — the anti-set delete every retention pipeline runs. The
+   * subquery cannot push as a source filter, so this exercises the
+   * GraftDeleteRule routing; state == slice minus orders of customers
+   * with c_acctbal > 9000.
+   */
+  def ordersSubqueryDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_subq_deleted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_subq_deleted"
+      GraftTable.drop(spark, loc)
+      val cat = sqlCatalog(spark, sfDir)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, s"$cat.orders_subq_deleted",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      read(spark, sfDir, "customer").createOrReplaceTempView("subq_del_customers")
+      spark.sql(s"""DELETE FROM $cat.orders_subq_deleted
+        WHERE o_custkey IN (SELECT c_custkey FROM subq_del_customers
+                            WHERE c_acctbal > 9000)""")
+      require(t.meta.currentSnapshot.get.operation == "delete",
+        "the subquery DELETE must have committed a delete snapshot")
+      t
+    })
+
   /** Column-stats fixture: the `%3 == 0` order slice with
     * `compute_table_stats` run — per-column HLL NDV + null counts pinned
     * to the head snapshot. */

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{bridge, GraftMergeCommand, GraftMergeIntoCommand, GraftUpdateCommand}
+import org.apache.spark.sql.graft.{bridge, GraftDeleteCommand, GraftMergeCommand, GraftMergeIntoCommand, GraftUpdateCommand}
 
 import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
 
@@ -401,8 +401,12 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
     val targetAttrs = target.outputSet
 
     def toCol(e: Expression, what: String): Column = {
-      if (e.exists(_.isInstanceOf[SubqueryExpression]))
-        fail(s"subquery in $what is not supported")
+      GraftRowLevelSql.checkSubqueries(e, what,
+        // only the WHERE condition may carry (uncorrelated) subqueries:
+        // a SET value is re-evaluated per rewritten ROW by the CoW
+        // projection, where a subquery has no defined execution
+        allowUncorrelated = what == "WHERE condition",
+        fail)
       if (!e.references.subsetOf(targetAttrs))
         fail(s"$what references columns outside the target table: ${e.sql}")
       bridge.column(e.transform {
@@ -424,4 +428,76 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
     GraftUpdateCommand(
       target.table.asInstanceOf[GraftWritableTable].location, sets, cond)
   }
+}
+
+/** Shared row-level SQL helpers for the UPDATE/DELETE rewrites. */
+private[sql] object GraftRowLevelSql {
+
+  /** Enforce the subquery policy on a rewritten expression: uncorrelated
+    * subqueries (`IN (SELECT …)`, `EXISTS (SELECT …)` with no outer
+    * references) re-analyze cleanly inside the command's own table scan —
+    * their plans are self-contained; CORRELATED subqueries reference the
+    * outer row through OuterReference attributes that cannot re-resolve
+    * against the rewrite's scan, so they are refused with a clear error
+    * instead of mis-resolving. */
+  def checkSubqueries(e: Expression, what: String, allowUncorrelated: Boolean,
+      fail: String => Nothing): Unit = {
+    val subs = e.collect { case s: SubqueryExpression => s }
+    if (subs.isEmpty) return
+    if (!allowUncorrelated) fail(s"subquery in $what is not supported")
+    subs.foreach { s =>
+      if (s.children.nonEmpty || s.isCorrelated)
+        fail(s"correlated subquery in $what is not supported " +
+          "(it references the outer row); rewrite as MERGE INTO")
+    }
+  }
+
+  /** A resolved condition re-targeted at a fresh scan: outer attribute
+    * references become by-name lookups; self-contained subquery plans
+    * ride along untouched. */
+  def retarget(e: Expression): Column =
+    bridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+}
+
+/**
+ * `DELETE FROM t WHERE <cond with subquery>` over a graft catalog table:
+ * the pushdown path ([[graft.table.catalog.GraftSparkCatalog]]'s
+ * `SupportsDelete`) serves every source-filter-translatable condition; a
+ * condition carrying a subquery (`WHERE id IN (SELECT …)` — the standard
+ * anti-set delete) can never push, so this rule routes it to the
+ * file-level [[graft.table.GraftTable.deleteWhere]] /
+ * [[graft.table.GraftTable.deleteWhereMoR]] instead of letting physical
+ * planning fail. Uncorrelated subqueries only (see
+ * [[GraftRowLevelSql.checkSubqueries]]).
+ */
+object GraftDeleteRule extends Rule[LogicalPlan] {
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"DELETE FROM graft table: $msg")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable if d.resolved &&
+        SubqueryExpression.hasSubquery(d.condition) &&
+        isGraftTarget(d.table) =>
+      val target = EliminateSubqueryAliases(d.table)
+        .asInstanceOf[DataSourceV2Relation]
+      val cond = d.condition
+      GraftRowLevelSql.checkSubqueries(cond, "WHERE condition",
+        allowUncorrelated = true, fail)
+      if (!cond.references.subsetOf(target.outputSet))
+        fail(s"WHERE condition references columns outside the target " +
+          s"table: ${cond.sql}")
+      GraftDeleteCommand(
+        target.table.asInstanceOf[GraftWritableTable].location,
+        GraftRowLevelSql.retarget(cond))
+    case p => p
+  }
+
+  private def isGraftTarget(table: LogicalPlan): Boolean =
+    EliminateSubqueryAliases(table) match {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftWritableTable]
+      case _ => false
+    }
 }

@@ -106,6 +106,21 @@ case class GraftMergeIntoCommand(location: String, source: LogicalPlan,
   }
 }
 
+/** `DELETE FROM t WHERE <cond with an uncorrelated subquery>` rewritten by
+  * [[graft.sql.GraftDeleteRule]] (pushable conditions go through the
+  * `SupportsDelete` pushdown path instead): the commit shape follows
+  * `write.delete.mode`, like the pushdown path does. */
+case class GraftDeleteCommand(location: String,
+    cond: org.apache.spark.sql.Column) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, location)
+    if (t.properties.get("write.delete.mode").contains("merge-on-read"))
+      t.deleteWhereMoR(cond, t.schema.fieldNames.toSeq)
+    else t.deleteWhere(cond)
+    Seq.empty
+  }
+}
+
 /** `UPDATE t SET … [WHERE …]` rewritten by [[graft.sql.GraftUpdateRule]]:
   * runs the file-level copy-on-write [[GraftTable.updateWhere]] — only files
   * containing rows where the condition is TRUE are rewritten. */

@@ -187,13 +187,13 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     assert(byId.map(_.getString(2)).toSeq === Seq("a", "big", "big", "e"))
   }
 
-  test("UPDATE with a subquery fails clearly") {
+  test("UPDATE with a self-referencing uncorrelated subquery sees the pre-update state") {
     freshTable("u5")
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql("""UPDATE gsql.fin.u5 SET amount = 0.0
-                   WHERE id IN (SELECT id FROM gsql.fin.u5 WHERE amount > 15)""")
-    }
-    assert(e.getMessage.contains("subquery"))
+    spark.sql("""UPDATE gsql.fin.u5 SET amount = 0.0
+                 WHERE id IN (SELECT id FROM gsql.fin.u5 WHERE amount > 15)""")
+    assert(spark.sql("SELECT id, amount FROM gsql.fin.u5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 10.0), (2L, 0.0), (3L, 0.0)))
   }
 
   test("branch DDL: CREATE OR REPLACE BRANCH / DROP BRANCH through SQL") {
@@ -274,5 +274,65 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     // audit passed: publish with the fast_forward procedure
     spark.sql("CALL gsql.system.fast_forward('fin.wap', 'main', 'feature')")
     assert(spark.sql("SELECT count(*) FROM gsql.fin.wap").collect().head.getLong(0) === 4)
+  }
+
+  test("DELETE FROM with an uncorrelated IN-subquery routes to the file-level delete") {
+    val t = freshTable("delsub")
+    spark.sql("""SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)),
+                 (CAST(99 AS BIGINT))) AS s(kill_id)""")
+      .createOrReplaceTempView("delsub_kill")
+    spark.sql("DELETE FROM gsql.fin.delsub WHERE id IN (SELECT kill_id FROM delsub_kill)")
+    assert(spark.sql("SELECT id FROM gsql.fin.delsub ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(t.meta.currentSnapshot.get.operation === "delete")
+    // NOT IN keeps its three-valued null semantics: nothing deletes when
+    // the subquery result carries a null
+    spark.sql("""SELECT * FROM (VALUES (CAST(2 AS BIGINT)),
+                 (CAST(NULL AS BIGINT))) AS s(kill_id)""")
+      .createOrReplaceTempView("delsub_null")
+    spark.sql("DELETE FROM gsql.fin.delsub WHERE id NOT IN (SELECT kill_id FROM delsub_null)")
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.delsub")
+      .collect().head.getLong(0) === 1L, "NOT IN over a null set matches no row")
+  }
+
+  test("DELETE IN-subquery under merge-on-read commits a delete file, no rewrite") {
+    warehouse
+    spark.sql("""CREATE TABLE gsql.fin.delsubmor (id BIGINT, amount DOUBLE)
+                 USING parquet TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO gsql.fin.delsubmor VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    val t = GraftTable.load(spark, s"$warehouse/fin/delsubmor")
+    val before = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("""SELECT CAST(2 AS BIGINT) AS kid""").createOrReplaceTempView("delsubmor_k")
+    spark.sql("DELETE FROM gsql.fin.delsubmor WHERE id IN (SELECT kid FROM delsubmor_k)")
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.files.map(_.path).toSet === before, "MoR delete must not rewrite files")
+    assert(snap.deleteFiles.nonEmpty)
+    assert(spark.sql("SELECT id FROM gsql.fin.delsubmor ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
+  test("UPDATE with an uncorrelated subquery WHERE; correlated still refused") {
+    freshTable("updsub")
+    spark.sql("""SELECT CAST(3 AS BIGINT) AS uid""").createOrReplaceTempView("updsub_k")
+    spark.sql("""UPDATE gsql.fin.updsub SET amount = amount + 1000
+                 WHERE id IN (SELECT uid FROM updsub_k)""")
+    assert(spark.sql("SELECT amount FROM gsql.fin.updsub WHERE id = 3")
+      .collect().head.getDouble(0) === 1030.0)
+    assert(spark.sql("SELECT sum(amount) FROM gsql.fin.updsub WHERE id < 3")
+      .collect().head.getDouble(0) === 30.0, "non-matching rows unchanged")
+    // correlated subqueries cannot re-resolve against the rewrite's scan
+    val cor = intercept[Exception] {
+      spark.sql("""UPDATE gsql.fin.updsub SET amount = 0
+                   WHERE EXISTS (SELECT 1 FROM gsql.fin.delsubmor d
+                                 WHERE d.id = updsub.id)""")
+    }
+    assert(cor.getMessage.contains("correlated subquery"),
+      s"expected the clear refusal, got: ${cor.getMessage}")
+    // subqueries in SET values stay refused
+    val setSub = intercept[Exception] {
+      spark.sql("""UPDATE gsql.fin.updsub
+                   SET amount = (SELECT max(amount) FROM gsql.fin.delsubmor)""")
+    }
+    assert(setSub.getMessage.contains("subquery"))
   }
 }

@@ -113,6 +113,14 @@ object DriveApp {
                  ON target.txn_id = src.txn_id
                  WHEN MATCHED THEN DELETE""")
     println("post-merge-delete txn1-count=" + spark.sql("SELECT count(*) FROM graft.fin.act WHERE txn_id='txn1'").collect().head.getLong(0))
+    // round-15: DELETE with an uncorrelated IN-subquery (non-pushable ->
+    // GraftDeleteRule routes to the file-level delete)
+    spark.sql("SELECT 'txn2' AS kill UNION ALL SELECT 'txn3'")
+      .createOrReplaceTempView("del_subq_src")
+    spark.sql("DELETE FROM graft.fin.act WHERE txn_id IN (SELECT kill FROM del_subq_src)")
+    println("subquery-delete remaining=" + spark.sql(
+      "SELECT count(*) FROM graft.fin.act WHERE txn_id IN ('txn2','txn3')")
+      .collect().head.getLong(0))
     spark.sql("ALTER TABLE graft.fin.act CREATE OR REPLACE BRANCH sqlbranch")
     println("branch-ddl refs=" + ct.meta.refs.keySet.toSeq.sorted.mkString(","))
     spark.sql("ALTER TABLE graft.fin.act DROP BRANCH sqlbranch")
