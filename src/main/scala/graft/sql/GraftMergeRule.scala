@@ -201,10 +201,14 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
 
     /** Rebind a clause expression into the mergeInto namespace: target
       * attrs -> bare names, source attrs -> `__s_` names (or bare when the
-      * expression is evaluated against the RAW source, i.e. ON keys). */
+      * expression is evaluated against the RAW source, i.e. ON keys).
+      * Clause CONDITIONS may carry uncorrelated subqueries
+      * (self-contained plans that re-analyze inside the rewrite's join
+      * and its value projections — Spark 4 plans predicate subqueries in
+      * Project too); assignment VALUES and ON keys may not. */
     def toCol(e: Expression, what: String, srcPrefix: Boolean = true): Column = {
-      if (e.exists(_.isInstanceOf[SubqueryExpression]))
-        fail(s"subquery in $what is not supported")
+      GraftRowLevelSql.checkSubqueries(e, what,
+        allowUncorrelated = what.endsWith("condition"), fail)
       if (!e.references.subsetOf(targetAttrs ++ sourceAttrs))
         fail(s"$what references columns outside the merge: ${e.sql}")
       bridge.column(e.transform {
@@ -441,7 +445,7 @@ private[sql] object GraftRowLevelSql {
     * against the rewrite's scan, so they are refused with a clear error
     * instead of mis-resolving. */
   def checkSubqueries(e: Expression, what: String, allowUncorrelated: Boolean,
-      fail: String => Nothing): Unit = {
+      fail: String => Nothing, scalarOnly: Boolean = false): Unit = {
     val subs = e.collect { case s: SubqueryExpression => s }
     if (subs.isEmpty) return
     if (!allowUncorrelated) fail(s"subquery in $what is not supported")
@@ -449,6 +453,12 @@ private[sql] object GraftRowLevelSql {
       if (s.children.nonEmpty || s.isCorrelated)
         fail(s"correlated subquery in $what is not supported " +
           "(it references the outer row); rewrite as MERGE INTO")
+      if (scalarOnly &&
+          !s.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery])
+        fail(s"only scalar subqueries are supported in $what " +
+          "(IN/EXISTS predicates are Filter-only in Spark and this " +
+          "expression is also evaluated in the rewrite's projections); " +
+          "pre-compute the set into the source instead")
     }
   }
 

@@ -276,6 +276,52 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gsql.fin.wap").collect().head.getLong(0) === 4)
   }
 
+  test("MERGE clause conditions accept uncorrelated subqueries (scalar and IN)") {
+    freshTable("mrgsub")
+    spark.sql("""SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 100.0, 'x', 'p1'),
+        (CAST(2 AS BIGINT), 5.0, 'y', 'p1'),
+        (CAST(9 AS BIGINT), 90.0, 'z', 'p2'))
+      AS s(id, amount, category, part)""").createOrReplaceTempView("mrgsub_src")
+    // scalar subquery: update only when the incoming amount clears the
+    // current table average; IN subquery: insert only ids blessed by a set
+    spark.sql("""SELECT CAST(9 AS BIGINT) AS ok_id""")
+      .createOrReplaceTempView("mrgsub_ok")
+    spark.sql("""MERGE INTO gsql.fin.mrgsub t USING mrgsub_src s ON t.id = s.id
+                 WHEN MATCHED AND s.amount > (SELECT avg(amount) FROM mrgsub_src)
+                   THEN UPDATE SET t.amount = s.amount
+                 WHEN NOT MATCHED AND s.id IN (SELECT ok_id FROM mrgsub_ok)
+                   THEN INSERT (id, amount, category, part)
+                   VALUES (s.id, s.amount, s.category, s.part)""")
+    val rows = spark.sql("SELECT id, amount FROM gsql.fin.mrgsub ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // avg(src amount) = 65: id 1 (100 > 65) updates, id 2 (5 < 65) keeps
+    // 20.0; id 9 inserts (blessed), nothing else does
+    assert(rows === Seq((1L, 100.0), (2L, 20.0), (3L, 30.0), (9L, 90.0)))
+    // correlated clause conditions stay refused with the clear error
+    val cor = intercept[Exception] {
+      spark.sql("""MERGE INTO gsql.fin.mrgsub t USING mrgsub_src s ON t.id = s.id
+                   WHEN MATCHED AND EXISTS (SELECT 1 FROM mrgsub_ok o
+                                            WHERE o.ok_id = t.id)
+                     THEN UPDATE SET t.amount = 0""")
+    }
+    assert(cor.getMessage.contains("correlated subquery"))
+    // the merge-on-read cascade evaluates the same conditions in its
+    // filters and projections — the subquery shape must compose there too
+    spark.sql("""ALTER TABLE gsql.fin.mrgsub
+                 SET TBLPROPERTIES ('write.merge.mode'='merge-on-read')""")
+    val t = GraftTable.load(spark, s"$warehouse/fin/mrgsub")
+    val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("""MERGE INTO gsql.fin.mrgsub t USING mrgsub_src s ON t.id = s.id
+                 WHEN MATCHED AND s.id IN (SELECT ok_id FROM mrgsub_ok)
+                   THEN DELETE""")
+    assert(spark.sql("SELECT id FROM gsql.fin.mrgsub ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val snap = t.meta.currentSnapshot.get
+    assert(filesBefore.subsetOf(snap.files.map(_.path).toSet) &&
+      snap.deleteFiles.nonEmpty, "MoR mode: delete file committed, no rewrite")
+  }
+
   test("DELETE FROM with an uncorrelated IN-subquery routes to the file-level delete") {
     val t = freshTable("delsub")
     spark.sql("""SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)),
