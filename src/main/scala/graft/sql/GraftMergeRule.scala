@@ -406,11 +406,13 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
 
     def toCol(e: Expression, what: String): Column = {
       GraftRowLevelSql.checkSubqueries(e, what,
-        // only the WHERE condition may carry (uncorrelated) subqueries:
-        // a SET value is re-evaluated per rewritten ROW by the CoW
-        // projection, where a subquery has no defined execution
-        allowUncorrelated = what == "WHERE condition",
-        fail)
+        // the WHERE condition may carry any uncorrelated subquery; a SET
+        // value may carry an uncorrelated SCALAR subquery (SET x =
+        // (SELECT max(…))) — it evaluates once per rewritten row in the
+        // CoW projection, where scalar subqueries are well-defined
+        allowUncorrelated = true,
+        fail,
+        scalarOnly = what.startsWith("SET value"))
       if (!e.references.subsetOf(targetAttrs))
         fail(s"$what references columns outside the target table: ${e.sql}")
       bridge.column(e.transform {
@@ -482,15 +484,26 @@ private[sql] object GraftRowLevelSql {
  * planning fail. Uncorrelated subqueries only (see
  * [[GraftRowLevelSql.checkSubqueries]]).
  */
-object GraftDeleteRule extends Rule[LogicalPlan] {
+object GraftDeleteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"DELETE FROM graft table: $msg")
 
+  /** True when every conjunct survives the SAME translation chain the
+    * pushdown path runs (Expression → sources.Filter → Column): those
+    * conditions stay on the well-trodden `SupportsDelete` route; anything
+    * else — subqueries, non-translatable functions like length(x) > 3 —
+    * routes here instead of failing physical planning. */
+  private def pushable(cond: Expression): Boolean =
+    !SubqueryExpression.hasSubquery(cond) &&
+      splitConjunctivePredicates(cond).forall { c =>
+        bridge.translateFilter(c)
+          .exists(f => GraftWritableTable.filterToColumn(f).isDefined)
+      }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case d: DeleteFromTable if d.resolved &&
-        SubqueryExpression.hasSubquery(d.condition) &&
-        isGraftTarget(d.table) =>
+    case d: DeleteFromTable if d.resolved && isGraftTarget(d.table) &&
+        !pushable(d.condition) =>
       val target = EliminateSubqueryAliases(d.table)
         .asInstanceOf[DataSourceV2Relation]
       val cond = d.condition

@@ -805,7 +805,7 @@ object GraftWritableTable {
   /** Translate Spark's pushed V1 filters to Column predicates. Returns None
     * for any shape without an exact Column equivalent — the caller then
     * declines the whole delete rather than approximating it. */
-  private[catalog] def filterToColumn(f: sources.Filter): Option[Column] = f match {
+  private[graft] def filterToColumn(f: sources.Filter): Option[Column] = f match {
     case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
     case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
     case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))

@@ -17,4 +17,13 @@ object bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
+
+  /** The pushdown path's Expression → v1 source Filter translation
+    * (`DataSourceStrategy.translateFilter` is protected[sql]) — used to
+    * decide whether a DELETE condition stays on the SupportsDelete route
+    * or needs the file-level rewrite. */
+  def translateFilter(e: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }

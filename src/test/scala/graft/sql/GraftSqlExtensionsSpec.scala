@@ -276,6 +276,30 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gsql.fin.wap").collect().head.getLong(0) === 4)
   }
 
+  test("DELETE with a non-translatable condition routes to the file-level delete") {
+    val t = freshTable("delfn")
+    // length(category) = 1 translates to no v1 source filter — previously
+    // this failed physical planning; now it routes through GraftDeleteRule
+    spark.sql("DELETE FROM gsql.fin.delfn WHERE length(category) = 1 AND amount > 15")
+    assert(spark.sql("SELECT id FROM gsql.fin.delfn ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(t.meta.currentSnapshot.get.operation === "delete")
+    // fully-pushable conditions keep taking the SupportsDelete route
+    // (observable: they still work, end state identical semantics)
+    spark.sql("DELETE FROM gsql.fin.delfn WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM gsql.fin.delfn")
+      .collect().head.getLong(0) === 0L)
+  }
+
+  test("UPDATE SET accepts an uncorrelated scalar subquery value") {
+    freshTable("updscal")
+    spark.sql("""UPDATE gsql.fin.updscal
+                 SET amount = (SELECT max(amount) FROM gsql.fin.updscal)
+                 WHERE id = 1""")
+    assert(spark.sql("SELECT amount FROM gsql.fin.updscal ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq === Seq(30.0, 20.0, 30.0))
+  }
+
   test("MERGE clause conditions accept uncorrelated subqueries (scalar and IN)") {
     freshTable("mrgsub")
     spark.sql("""SELECT * FROM (VALUES
@@ -374,10 +398,12 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     }
     assert(cor.getMessage.contains("correlated subquery"),
       s"expected the clear refusal, got: ${cor.getMessage}")
-    // subqueries in SET values stay refused
+    // CORRELATED subqueries in SET values stay refused (uncorrelated
+    // scalar SET values are supported — see the dedicated test)
     val setSub = intercept[Exception] {
       spark.sql("""UPDATE gsql.fin.updsub
-                   SET amount = (SELECT max(amount) FROM gsql.fin.delsubmor)""")
+                   SET amount = (SELECT max(d.amount) FROM gsql.fin.delsubmor d
+                                 WHERE d.id = updsub.id)""")
     }
     assert(setSub.getMessage.contains("subquery"))
   }

@@ -114,11 +114,13 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       // the commit is a real 'delete' snapshot in the log
       val t = GraftTable.load(spark, s"$warehouse/finance/sqldelete")
       assert(t.snapshotsDF.filter(col("operation") === "delete").count() === 1)
-      // DELETE with a non-translatable predicate is refused, not approximated
-      val e = intercept[Exception] {
-        spark.sql("DELETE FROM graft.finance.sqldelete WHERE length(k) > 5")
-      }
-      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+      // round 15: a non-translatable predicate no longer fails planning —
+      // GraftDeleteRule routes it to the file-level delete (here nothing
+      // matches, so the state is unchanged under a real delete commit)
+      spark.sql("DELETE FROM graft.finance.sqldelete WHERE length(k) > 5")
+      assert(spark.sql("SELECT count(*) FROM graft.finance.sqldelete")
+        .collect().head.getLong(0) === 3)
+      assert(t.snapshotsDF.filter(col("operation") === "delete").count() === 2)
     } finally spark.sql("DROP TABLE graft.finance.sqldelete")
   }
 
