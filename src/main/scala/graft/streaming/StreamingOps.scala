@@ -52,12 +52,42 @@ object StreamingOps {
     * second writer has its own sequence). */
   val StreamIdSummaryKey = "streaming-stream-id"
 
-  /** Stable stream identity derived from the checkpoint location — the same
-    * identity Structured Streaming itself uses to resume a query. */
-  private[streaming] def streamId(checkpointDir: String): String =
+  /** Stable stream identity. The PRIMARY identity is the streaming query
+    * id persisted in the checkpoint (read from the `sql.streaming.queryId`
+    * local property Structured Streaming sets on the micro-batch thread):
+    * it survives restarts of the same checkpoint and — critically —
+    * CHANGES when a checkpoint is deleted and recreated at the same path,
+    * where batch ids restart at 0 and a path-keyed guard would silently
+    * drop every fresh batch as a replay. The fallback (direct test calls,
+    * no streaming thread) hashes the NORMALIZED checkpoint URI, so
+    * `/tmp/cp`, `/tmp/cp/` and `file:///tmp/cp` — which Spark resolves to
+    * one checkpoint — share one identity. */
+  private[streaming] def streamId(checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val normalized = p.getFileSystem(conf).makeQualified(p).toString
+      .stripSuffix("/")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
+      .digest(normalized.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+  }
+
+  /** The identity to stamp at COMMIT time: the checkpoint's query id when
+    * running inside a streaming micro-batch, else `fallback`. */
+  private[streaming] def runtimeStreamId(spark: org.apache.spark.sql.SparkSession,
+      fallback: String): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(fallback)
+
+  /** The newest batch id this stream has committed to `table`, read back
+    * from the snapshot summaries — the exactly-once replay guard both
+    * streaming sinks consult. */
+  private[streaming] def lastCommittedBatchId(table: graft.table.GraftTable,
+      streamId: String): Option[Long] =
+    table.meta.snapshots
+      .filter(_.summary.get(StreamIdSummaryKey).contains(streamId))
+      .flatMap(_.summary.get(BatchIdSummaryKey)).map(_.toLong).maxOption
 
   /**
    * Stream into a snapshot-versioned graft table: every micro-batch becomes
@@ -112,8 +142,8 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitMicroBatch(table, batch, batchId, mergeKeys, updateCols, sid,
-          latestBy); ()
+        commitMicroBatch(table, batch, batchId, mergeKeys, updateCols,
+          runtimeStreamId(batch.sparkSession, sid), latestBy); ()
       }
     // Trigger.AvailableNow turns the sink into a run-to-completion backfill
     // (process everything available, then stop) — the shape the st_ingest
@@ -129,9 +159,7 @@ object StreamingOps {
       batch: DataFrame, batchId: Long, mergeKeys: Seq[String],
       updateCols: Seq[String], streamId: String,
       latestBy: Seq[String] = Seq.empty): Boolean = {
-    val lastCommitted = table.meta.snapshots
-      .filter(_.summary.get(StreamIdSummaryKey).contains(streamId))
-      .flatMap(_.summary.get(BatchIdSummaryKey)).map(_.toLong).maxOption
+    val lastCommitted = lastCommittedBatchId(table, streamId)
     val stamp = Map(BatchIdSummaryKey -> batchId.toString,
       StreamIdSummaryKey -> streamId)
     if (lastCommitted.exists(_ >= batchId)) false
@@ -199,7 +227,8 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitNearDupBatch(table, batch, batchId, textCol, idCol, maxDist, sid); ()
+        commitNearDupBatch(table, batch, batchId, textCol, idCol, maxDist,
+          runtimeStreamId(batch.sparkSession, sid)); ()
       }
     trigger.fold(writer)(writer.trigger).start()
   }
@@ -212,13 +241,13 @@ object StreamingOps {
       batch: DataFrame, batchId: Long, textCol: String, idCol: String,
       maxDist: Int, streamId: String): Boolean = {
     import graft.ops.Dedup
-    val lastCommitted = table.meta.snapshots
-      .filter(_.summary.get(StreamIdSummaryKey).contains(streamId))
-      .flatMap(_.summary.get(BatchIdSummaryKey)).map(_.toLong).maxOption
+    val lastCommitted = lastCommittedBatchId(table, streamId)
     if (lastCommitted.exists(_ >= batchId)) return false
     val fps = Dedup.simhash(batch, textCol, idCol)
-    // within-batch: a doc near a LOWER-id batch doc is the duplicate
-    val intraDups = Dedup.simhashNearDups(batch, textCol, idCol, maxDist)
+    // within-batch: a doc near a LOWER-id batch doc is the duplicate.
+    // Band the ALREADY-computed fingerprints — simhashNearDups would
+    // re-tokenize and re-hash the whole batch text a second time
+    val intraDups = Dedup.fingerprintNearDups(fps, idCol, "simhash", maxDist)
       .select(col("id_b").as(idCol))
     // vs corpus: band join against the stored fingerprint projection
     val seen = table.toDF.select(col(idCol), col("simhash"))
@@ -379,8 +408,33 @@ object StreamingOps {
               delKeys.select(col("_change_key")).distinct().collect()
                 .map(_.getString(0)).toSeq.sorted
                 .map(_.split(",").toSeq)
-            else Seq(cols.filter(c =>
-              !delKeys.filter(col(c).isNotNull).isEmpty))
+            else {
+              // `_change_key` was projected away — infer the key set from
+              // the null pattern, in ONE aggregation (not one job per
+              // column). A key column must be non-null in EVERY recorded
+              // tuple; a PARTIALLY-populated column is ambiguous (either a
+              // null key value or a second, narrower key set mixed into
+              // the batch) and retracting on a guess would silently
+              // under- or over-delete, so it is refused instead.
+              val counts = delKeys.agg(count(lit(1)).as("__n"),
+                cols.map(c => count(col(c)).as(c)): _*).head
+              val total = counts.getLong(0)
+              val full = cols.filter(c =>
+                counts.getLong(counts.fieldIndex(c)) == total)
+              val partial = cols.filter { c =>
+                val n = counts.getLong(counts.fieldIndex(c))
+                n > 0 && n < total
+              }
+              require(partial.isEmpty,
+                s"replayChangelog: cannot infer delete keys — column(s) " +
+                  s"${partial.mkString(", ")} are non-null in only part of " +
+                  "the recorded tuples (a null key value or mixed key " +
+                  "sets). Keep the _change_key column in the changelog " +
+                  "frame instead of projecting it away.")
+              require(full.nonEmpty,
+                "replayChangelog: no non-null key columns to retract on")
+              Seq(full)
+            }
           keyLists.foreach { keys =>
             val group =
               if (hasKeyCol)

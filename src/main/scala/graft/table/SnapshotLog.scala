@@ -484,8 +484,16 @@ object HardLinkCommitGuard extends CommitGuard {
 }
 
 /** HDFS (and rename-atomic stores): rename with an existing-target refusal
-  * IS the CAS; a pre-check plus read-back verification backs up adapters
-  * with weaker rename contracts. */
+  * IS the CAS — this guard is correct ONLY on filesystems whose rename
+  * REFUSES an existing target (the HDFS contract). The pre-check and the
+  * read-back verification narrow, but cannot close, the race on stores
+  * whose rename OVERWRITES (POSIX-style object-store adapters): there,
+  * two committers can interleave rename/read-back and BOTH pass, silently
+  * losing one commit. Such stores must be routed to a catalog guard
+  * (link / JDBC / REST via [[SnapshotLog.commitGuardFor]]) — a
+  * filesystem without an atomic no-overwrite primitive cannot host a
+  * correct multi-writer file CAS, which is exactly why Iceberg requires a
+  * catalog for S3. */
 object RenameCommitGuard extends CommitGuard {
   def publish(fs: FileSystem, tmp: Path, target: Path, payload: Array[Byte]): Unit = {
     if (fs.exists(target)) {
@@ -543,13 +551,37 @@ object SnapshotLog {
     val dir = new Path(metadataDir(tableDir))
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return None
-    val listed = fs
-      .listStatus(dir)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") =>
-        n.stripPrefix("v").stripSuffix(".metadata.json").toInt
-      }
-    if (listed.isEmpty) None else Some(listed.max)
+    // fast path (Iceberg's version-hint.text): read the hint, verify its
+    // version file exists, then probe FORWARD until a version is missing —
+    // O(commits since the hint, usually 0-1) stat calls instead of a full
+    // directory listing, the op object stores price by entry count. A
+    // missing/corrupt/stale hint (lost hint race, retention-deleted file)
+    // falls back to the listing, which stays the source of truth.
+    val hinted =
+      try {
+        val hp = hintFile(tableDir)
+        if (!fs.exists(hp)) None
+        else {
+          val in = fs.open(hp)
+          val s = try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close()
+          s.toIntOption.filter(v => fs.exists(metadataFile(tableDir, v)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted match {
+      case Some(v0) =>
+        var v = v0
+        while (fs.exists(metadataFile(tableDir, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val listed = fs
+          .listStatus(dir)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toInt
+          }
+        if (listed.isEmpty) None else Some(listed.max)
+    }
   }
 
   def read(tableDir: String, conf: Configuration): TableMetadata = {
@@ -745,13 +777,16 @@ object SnapshotLog {
         // data/ dir).
         throw e
     }
-    // advisory hint; losing a race here is harmless (readers list the dir)
+    // advisory hint consumed by latestVersion's probe-forward fast path;
+    // losing a race here is harmless (a stale hint only means a few extra
+    // forward probes, and readers fall back to listing the dir)
     val hintTmp = new Path(dir, s".hint-${java.util.UUID.randomUUID()}")
     val h = fs.create(hintTmp, true)
     try h.write(nextV.toString.getBytes("UTF-8"))
     finally h.close()
     fs.delete(hintFile(tableDir), false)
-    fs.rename(hintTmp, hintFile(tableDir))
+    if (!fs.rename(hintTmp, hintFile(tableDir)))
+      fs.delete(hintTmp, false) // lost the hint race: don't leak the tmp
     // Iceberg's metadata-version retention (opt-in, identical property
     // names): after a successful commit, drop root-metadata files older
     // than the last `previous-versions-max` versions. Snapshots/time

@@ -196,4 +196,52 @@ class GraftStreamSinkSpec extends SparkTestBase {
       assert(rows === Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
     } finally q.stop()
   }
+
+  test("stream identity: equivalent checkpoint spellings share one id; " +
+      "a recreated checkpoint gets a fresh identity through the query id") {
+    val dir = java.nio.file.Files.createTempDirectory("sid-norm").toString
+    // /tmp/x, /tmp/x/ and file:///tmp/x all resolve to one checkpoint —
+    // the replay guard must see ONE stream for all three spellings
+    assert(StreamingOps.streamId(dir) === StreamingOps.streamId(s"$dir/"))
+    assert(StreamingOps.streamId(dir) === StreamingOps.streamId(s"file://$dir"))
+    assert(StreamingOps.streamId(dir) !== StreamingOps.streamId(s"$dir-other"))
+    // outside a streaming thread the runtime identity is the fallback;
+    // inside one it is the checkpoint's persisted query id (which a
+    // recreated checkpoint regenerates, so batch ids restarting at 0 are
+    // a FRESH stream, not replays)
+    assert(StreamingOps.runtimeStreamId(spark, "fb") === "fb")
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "qid-123")
+    try assert(StreamingOps.runtimeStreamId(spark, "fb") === "qid-123")
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("replayChangelog fallback key inference: clean single key set works, " +
+      "ambiguous partial columns are refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val sink = graft.table.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("rc-fb").toString + "/t",
+      "rc_fb", schema)
+    sink.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // a key-only retraction frame WITHOUT _change_key: id fully
+    // populated, v fully null -> keys inferred as (id) in one pass
+    val retract = Seq((2L, Option.empty[String], "DELETE_KEY", 9L))
+      .toDF("id", "v", "_change_type", "_commit_snapshot_id")
+    StreamingOps.replayChangelog(retract, sink)
+    assert(sink.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L))
+    // a PARTIALLY-populated column is ambiguous (null key value vs mixed
+    // key sets) — refused with a pointer to keep _change_key
+    val ambiguous = Seq(
+      (1L, Some("a"), "DELETE_KEY", 10L),
+      (3L, Option.empty[String], "DELETE_KEY", 10L))
+      .toDF("id", "v", "_change_type", "_commit_snapshot_id")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.replayChangelog(ambiguous, sink)
+    }
+    assert(e.getMessage.contains("_change_key"))
+    assert(sink.toDF.count() === 2L, "refused replay must not mutate the sink")
+  }
 }
