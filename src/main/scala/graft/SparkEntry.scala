@@ -6215,7 +6215,11 @@ object SparkEntry {
            CAST(value AS DOUBLE) AS value
          FROM (VALUES
            (3, 0, 2274.4294), (3, 1, 0.0188), (3, 2, 1960.825), (3, 3, 0.01),
-           (4, 0, 2334.8008), (4, 1, 0.0229), (4, 2, 2008.8625), (4, 3, 0.0109)
+           -- media 4 is STEREO: zcr (dim 1) counts per-channel sign
+           -- changes (samples interleave, so the previous sample of the
+           -- same channel sits `channels` back) — adjacent-interleaved
+           -- counting would report crossings BETWEEN channels
+           (4, 0, 2334.8008), (4, 1, 0.0458), (4, 2, 2008.8625), (4, 3, 0.0109)
          ) AS t(media_id, dim, value)
          ORDER BY 1, 2""",
 

@@ -271,10 +271,14 @@ object Corpus {
       .agg(sum(tok).as("__dom_tokens"))
     val minTok = domTokens.agg(min(col("__dom_tokens")).as("__min_tokens"))
     val fracs = domTokens.crossJoin(broadcast(minTok))
-      .select(col(domainCol),
+      .select(col(domainCol).as("__dom"),
         (col("__min_tokens").cast("double") / col("__dom_tokens").cast("double"))
           .as("keep_frac"))
-    df.join(broadcast(fracs), Seq(domainCol))
+    // null-safe domain match: groupBy keeps a NULL-domain group with its
+    // own keep_frac, and an equi-join would silently drop every
+    // NULL-domain row instead of applying it
+    df.join(broadcast(fracs), df(domainCol) <=> fracs("__dom"))
+      .drop("__dom")
       .filter(pmod(col(keyCol), lit(buckets)) < col("keep_frac") * buckets)
   }
 
@@ -311,12 +315,14 @@ object Corpus {
       if (alpha == 0.5) sqrt(c.cast("double")) else pow(c.cast("double"), alpha)
     val totPow = domTokens.agg(sum(weight(col("__dom_tokens"))).as("__tot_pow"))
     val fracs = domTokens.crossJoin(broadcast(totPow))
-      .select(col(domainCol),
+      .select(col(domainCol).as("__dom"),
         least(lit(1.0),
           lit(tokenBudget.toDouble) * weight(col("__dom_tokens"))
             / col("__tot_pow") / col("__dom_tokens").cast("double"))
           .as("keep_frac"))
-    df.join(broadcast(fracs), Seq(domainCol))
+    // null-safe domain match (same reasoning as balanceToSmallest)
+    df.join(broadcast(fracs), df(domainCol) <=> fracs("__dom"))
+      .drop("__dom")
       .filter(pmod(col(keyCol), lit(buckets)) < col("keep_frac") * buckets)
   }
 
@@ -337,16 +343,15 @@ object Corpus {
    * Scale shape: the global order is materialized as
    * `repartitionByRange(hash) + sortWithinPartitions` — a terasort-style
    * range sort where every task sorts only its slice — and the global
-   * rank falls out of partition offsets + local positions
-   * (`zipWithIndex`), NEVER a single-partition `Window.orderBy`. The
-   * count pass reads parquet metadata only. One range shuffle total; the
-   * downstream shard writer partitions by `shard` and streams each file
-   * in `pos` order.
+   * rank falls out of partition offsets + local positions, NEVER a
+   * single-partition `Window.orderBy`. N comes from a partition-size pass
+   * over the post-shuffle data (shuffle files, not the input lineage).
+   * One range shuffle total; the downstream shard writer partitions by
+   * `shard` and streams each file in `pos` order.
    */
   def shardShuffle(df: DataFrame, idCol: String, seed: String,
       nShards: Int, parts: Int = 32): DataFrame = {
     require(nShards >= 1, s"nShards must be positive, got $nShards")
-    val n = df.count()
     val hashed = df.withColumn("__h",
       md5(concat(col(idCol).cast("string"), lit(":" + seed))))
     // idCol is the tie-break: duplicate ids hash identically, and without
@@ -357,8 +362,22 @@ object Corpus {
     // interchangeable with each other only.
     val sorted = hashed.repartitionByRange(parts, col("__h"))
       .sortWithinPartitions(col("__h"), col(idCol))
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L)) }
+    // N and the global ranks both come from the POST-SHUFFLE data: a
+    // partition-size pass plus an offset-stamped pass, each re-reading the
+    // shuffle files (never the upstream plan — a separate df.count() here
+    // would re-execute the whole input lineage a third time; for derived
+    // inputs that is a full extra corpus pass, not a metadata read).
+    val rdd = sorted.rdd
+    val sizes = rdd.mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.size.toLong)), preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val n = sizes.sum
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { row => k += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k) }
+    }
     val spark = df.sparkSession
     val rdf = spark.createDataFrame(ranked,
       sorted.schema.add("__rank", org.apache.spark.sql.types.LongType))
@@ -502,7 +521,15 @@ object Corpus {
   def selectToBudget(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
       budget: Long, cumCol: String = "cum_value", parts: Int = 32): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
-    runningTotal(df, orderCols, valueCol, cumCol, parts)
+    // the prefix filter is only a prefix when the cumulative sum is
+    // monotonic — a negative value would let later rows duck back under
+    // the budget and the filter would keep a NON-prefix subset. Guarded
+    // inline (codegen'd per row, no extra pass).
+    val guarded = when(valueCol < lit(0), raise_error(concat(
+        lit("selectToBudget: negative value breaks prefix semantics: "),
+        valueCol.cast("string"))))
+      .otherwise(valueCol)
+    runningTotal(df, orderCols, guarded, cumCol, parts)
       .filter(col(cumCol) <= budget)
   }
 

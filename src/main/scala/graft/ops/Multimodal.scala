@@ -264,7 +264,7 @@ object Multimodal {
                 catch { case _: Exception => 3 }
               Some(ImageMeta(r.media_id, reader.getWidth(0), reader.getHeight(0),
                 channels, reader.getFormatName.toLowerCase))
-            } catch { case _: java.io.IOException => None }
+            } catch { case scala.util.control.NonFatal(_) => None } // ImageIO throws RuntimeExceptions on corrupt blobs (CMMException, IAE), not just IOException
             finally reader.dispose()
           }
         } finally stream.close()
@@ -351,6 +351,10 @@ object Multimodal {
    */
   def sampleFrames(media: Dataset[MediaRecord],
       stride: Int = 4): Dataset[VideoFrame] = {
+    // driver-side, like every other operator guard: stride=0 would throw
+    // per-task on executors ("step cannot be 0") and a negative stride
+    // would silently emit zero frames for every clip
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       partitionContext()
@@ -396,7 +400,7 @@ object Multimodal {
   private def frameMeanLuma(frame: Array[Byte]): Option[Double] = {
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(frame))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null } // corrupt-blob RuntimeExceptions included
     if (img == null) None
     else {
       var sum = 0.0
@@ -415,6 +419,7 @@ object Multimodal {
 
   def videoFeatures(media: Dataset[MediaRecord],
       stride: Int = 2): Dataset[MediaFeature] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -548,7 +553,7 @@ object Multimodal {
       it.flatMap { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null } // corrupt-blob RuntimeExceptions included
         if (img == null) None
         else {
           val w = img.getWidth
@@ -587,7 +592,7 @@ object Multimodal {
       it.flatMap { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null } // corrupt-blob RuntimeExceptions included
         if (img == null) None
         else {
           val hist = new Array[Float](24)
@@ -631,7 +636,13 @@ object Multimodal {
             val s = samples(i).toDouble
             sumSq += s * s
             sumAbs += math.abs(s)
-            if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) zc += 1
+            // zero crossings are PER CHANNEL: samples interleave across
+            // channels, so the previous sample of THIS channel sits
+            // `channels` positions back — comparing adjacent interleaved
+            // samples would count sign flips BETWEEN channels (a stereo
+            // signal with constant +L/-R and zero true crossings would
+            // read as maximal ZCR)
+            if (i >= channels && ((samples(i - channels) < 0) != (s < 0))) zc += 1
             i += 1
           }
           val n = math.max(samples.length, 1)

@@ -121,11 +121,18 @@ object Sessionize {
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
     val s = sessionize(events, gapMs, userCol, tsCol)
+    // total_value only when the value column exists: the per-user rollup
+    // (userSessionSummary) never reads it, and a value-less events table
+    // must not fail analysis over an aggregate nothing consumes
+    val base = Seq(
+      count(lit(1)).as("n_events"),
+      (max(unix_millis(col(tsCol))) - min(unix_millis(col(tsCol)))).as("duration_ms"))
+    val aggs =
+      if (events.columns.contains(valueCol))
+        base :+ round(sum(col(valueCol)), 2).as("total_value")
+      else base
     s.groupBy(col(userCol), col("session_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        (max(unix_millis(col(tsCol))) - min(unix_millis(col(tsCol)))).as("duration_ms"),
-        round(sum(col(valueCol)), 2).as("total_value"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /**
@@ -191,7 +198,10 @@ object Sessionize {
         struct(col(tsCol), col(tieBreak), col(typeCol)))).as("__seq"))
       .withColumn("__path",
         concat(lit(","),
-          concat_ws(",", expr(s"transform(__seq, x -> x.$typeCol)")), lit(",")))
+          // getField, not a string-interpolated expr: a hyphenated or
+          // reserved-word typeCol would otherwise parse as arithmetic
+          concat_ws(",", transform(col("__seq"), x => x.getField(typeCol))),
+          lit(",")))
     val stepCols = steps.inits.toSeq.reverse.drop(1).map { prefix =>
       // ,s1,([^,]*,)*s2,… — boundary-anchored ordered-subsequence match
       // over the wrapped path; avoids lookaround so the same pattern runs

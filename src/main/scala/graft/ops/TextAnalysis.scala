@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace tokenization of trimmed, lowercased text. */
+  /** Whitespace tokenization of trimmed, lowercased text.
+    *
+    * Convention: EMPTY text yields `[""]` (one empty-string token), not an
+    * empty array — `split` behaves this way in both Spark and DuckDB, and
+    * every oracle replay relies on the two engines agreeing, so the
+    * convention is deliberately kept. Consequence: an empty document
+    * counts one token in chunking/packing/domain-budget arithmetic; a
+    * corpus with empty documents should filter them before the mixers
+    * (the quality-filter stage upstream of every real pipeline already
+    * does). */
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 

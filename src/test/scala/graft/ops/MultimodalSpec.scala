@@ -151,6 +151,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f(2)(0) - 1000f) < 0.01f)
   }
 
+  test("stereo zero-crossing rate is per channel, not across interleaving") {
+    import spark.implicits._
+    // stereo PCM16: constant L=+1000, R=-1000 — NEITHER channel ever
+    // crosses zero; counting adjacent interleaved samples would read ~1.0
+    def stereoWav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2).putInt(rate)
+        .putInt(rate * 4).putShort(4).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val interleaved = Array.tabulate[Short](1600)(i =>
+      if (i % 2 == 0) 1000 else -1000)
+    val ds = Seq(MediaRecord(7, "audio",
+      stereoWav(interleaved, 16000), "fx")).toDS()
+    val f = audioFeatures(ds).collect().head.feature
+    assert(f(1) === 0f, s"stereo constant channels must have zcr 0, got ${f(1)}")
+    // and a genuinely-alternating stereo signal (both channels flip each
+    // frame) still reads ~1 crossing per comparison
+    val bothFlip = Array.tabulate[Short](1600)(i =>
+      if ((i / 2) % 2 == 0) 1000 else -1000)
+    val ds2 = Seq(MediaRecord(8, "audio",
+      stereoWav(bothFlip, 16000), "fx")).toDS()
+    val f2 = audioFeatures(ds2).collect().head.feature
+    assert(f2(1) > 0.99f)
+  }
+
   test("feature extraction: fixed dim, deterministic across runs") {
     val f1 = extractFeatures(media, dim = 16).collect()
       .map(f => f.media_id -> f.feature.toSeq).toMap

@@ -115,7 +115,9 @@ object GenMediaOracle {
       var sumSq = 0.0; var sumAbs = 0.0; var zc = 0
       samples.zipWithIndex.foreach { case (s, i) =>
         sumSq += s.toDouble * s; sumAbs += math.abs(s.toDouble)
-        if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) zc += 1
+        // per-channel crossings: previous sample of the SAME channel is
+        // `channels` positions back in the interleaved stream
+        if (i >= channels && ((samples(i - channels) < 0) != (s < 0))) zc += 1
       }
       val feats = Seq(
         math.sqrt(sumSq / n).toFloat,
