@@ -50,10 +50,17 @@ object Bloom {
    * return its serialized form (null when `df` is empty). One aggregate
    * job; partial filters are OR-merged map-side.
    */
+  /** Null-preserving key hash: `xxhash64(NULL)` returns the SEED (42), not
+    * null, so hashing a null key directly would insert 42 into the filter
+    * (and make any value hashing to 42 a false "maybe") — the aggregate
+    * must instead SKIP null keys, which it does for a null input. */
+  private def keyHash(key: Column): Column =
+    when(key.isNull, lit(null).cast("long")).otherwise(xxhash64(key))
+
   def buildKeyFilter(df: DataFrame, key: Column,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     val agg = new BloomFilterAggregate(
-      bridge.expression(xxhash64(key)),
+      bridge.expression(keyHash(key)),
       Literal(expectedItems),
       Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression()
     val row = df.agg(bridge.column(agg).as("__bloom")).head()
@@ -61,11 +68,15 @@ object Bloom {
   }
 
   /** Membership probe against a serialized filter from [[buildKeyFilter]]:
-    * false ⇒ the key is definitely not in the build side; true ⇒ maybe. */
+    * false ⇒ the key is definitely not in the build side; true ⇒ maybe.
+    * A NULL probe key reads false (an equi-join never matches null), and
+    * a null `filterBytes` (empty build side) means nothing is contained —
+    * also false, never an NPE or a row-dropping null. */
   def mightContain(filterBytes: Array[Byte], key: Column): Column =
-    bridge.column(BloomFilterMightContain(
+    if (filterBytes == null) lit(false)
+    else coalesce(bridge.column(BloomFilterMightContain(
       Literal(filterBytes, BinaryType),
-      bridge.expression(xxhash64(key))))
+      bridge.expression(keyHash(key)))), lit(false))
 
   /**
    * One Bloom filter PER GROUP per key column — the per-file manifest-stats
@@ -83,7 +94,7 @@ object Bloom {
     val bits = optimalNumBits(expectedItems, fpp)
     val aggs = keys.map { case (name, key) =>
       bridge.column(new BloomFilterAggregate(
-        bridge.expression(xxhash64(key)),
+        bridge.expression(keyHash(key)),
         Literal(expectedItems), Literal(bits)).toAggregateExpression())
         .as(name)
     }
@@ -101,11 +112,14 @@ object Bloom {
       .eval(null).asInstanceOf[Long]
 
   /** Driver-side membership probe on a serialized filter: false ⇒ the value
-    * was definitely never inserted; true ⇒ maybe (fpp-bounded). */
+    * was definitely never inserted; true ⇒ maybe (fpp-bounded). A null
+    * filter (empty build side, [[buildKeyFilter]]'s documented return)
+    * contains nothing. */
   def probeSerialized(filterBytes: Array[Byte], hash: Long): Boolean =
-    org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(filterBytes))
-      .mightContainLong(hash)
+    filterBytes != null &&
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(filterBytes))
+        .mightContainLong(hash)
 
   /**
    * Exact `left LEFT ANTI JOIN right ON left(leftKey) = right(rightKey)`

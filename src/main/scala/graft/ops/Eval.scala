@@ -27,7 +27,11 @@ object Eval {
    * Per-query retrieval metrics at cutoff `k`.
    *
    * @param ranked (queryCol, docCol, rankCol) rows, rank 1-based; rows
-   *               with rank > k are ignored
+   *               with rank > k contribute nothing to the metrics but DO
+   *               keep their query in the output (hits 0, rr 0, ndcg 0) —
+   *               a query whose results all rank beyond the cutoff is a
+   *               zero-quality query, not an absent one, and dropping it
+   *               would inflate every macro-average downstream
    * @param truth  (queryCol, docCol) relevant pairs; duplicates tolerated
    * @return one row per query appearing in `ranked`: `n_rel` (relevant
    *         universe size, 0 when the query has no qrels), `hits` (@k),
@@ -40,8 +44,11 @@ object Eval {
     require(k >= 1, s"k must be positive, got $k")
     val t = truth.select(col(queryCol).as("__q"), col(docCol).as("__d")).distinct()
     val nRel = t.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
-    val perQuery = ranked.filter(col(rankCol) <= k)
-      .join(t, col(queryCol) === col("__q") && col(docCol) === col("__d"), "left")
+    // the cutoff rides the JOIN condition, not a pre-filter: a query with
+    // only beyond-k rows must still group into a zero-metrics output row
+    val perQuery = ranked
+      .join(t, col(queryCol) === col("__q") && col(docCol) === col("__d") &&
+        col(rankCol) <= k, "left")
       .groupBy(col(queryCol))
       .agg(
         count(col("__d")).as("hits"),

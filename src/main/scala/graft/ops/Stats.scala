@@ -46,10 +46,10 @@ object Stats {
         .drop(groupCols.map(c => s"__g_$c"): _*)
     }
     val med = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(expr(s"percentile(`$valueCol`, 0.5)").as("__med"))
     val withMed = attach(df, med, "__med")
     val mad = withMed.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+      .agg(expr(s"percentile(abs(`$valueCol` - __med), 0.5)").as("__mad"))
     attach(withMed, mad, "__mad")
       .withColumn("robust_z",
         when(v.isNotNull && col("__mad") > 0,
@@ -80,7 +80,7 @@ object Stats {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     val cuts = (1 until buckets).map(i => i.toDouble / buckets)
     val bounds = ref.agg(
-      expr(s"percentile($valueCol, array(${cuts.mkString(", ")}))").as("__b"))
+      expr(s"percentile(`$valueCol`, array(${cuts.mkString(", ")}))").as("__b"))
     def bucketCounts(df: DataFrame, outCol: String): DataFrame =
       df.crossJoin(broadcast(bounds))
         .select(size(filter(col("__b"), b => b <= col(valueCol))).as("bucket"))
@@ -123,14 +123,22 @@ object Stats {
     val bounds =
       if (groupCols.nonEmpty)
         df.groupBy(groupCols.map(col): _*)
-          .agg(expr(s"percentile($valueCol, $pLo)").as("__lo"),
-            expr(s"percentile($valueCol, $pHi)").as("__hi"))
+          .agg(expr(s"percentile(`$valueCol`, $pLo)").as("__lo"),
+            expr(s"percentile(`$valueCol`, $pHi)").as("__hi"))
       else
-        df.agg(expr(s"percentile($valueCol, $pLo)").as("__lo"),
-          expr(s"percentile($valueCol, $pHi)").as("__hi"))
+        df.agg(expr(s"percentile(`$valueCol`, $pLo)").as("__lo"),
+          expr(s"percentile(`$valueCol`, $pHi)").as("__hi"))
+    // null-safe attach, the madOutliers contract: a null group's rows
+    // clamp against the null group's own bounds instead of silently
+    // vanishing from an inner equi-join
     val joined =
-      if (groupCols.nonEmpty) df.join(broadcast(bounds), groupCols)
-      else df.crossJoin(broadcast(bounds))
+      if (groupCols.nonEmpty) {
+        val aliased = bounds.select(
+          (groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__lo") :+ col("__hi")): _*)
+        val cond = groupCols.map(c => df(c) <=> aliased(s"__g_$c")).reduce(_ && _)
+        df.join(broadcast(aliased), cond, "left")
+          .drop(groupCols.map(c => s"__g_$c"): _*)
+      } else df.crossJoin(broadcast(bounds))
     // greatest/least skip nulls (a null metric would silently clamp to the
     // low bound) — null values stay null and are flagged unclipped
     joined
@@ -190,7 +198,14 @@ object Stats {
     // Zero pooled standard error (the covariate explains the outcome
     // exactly) leaves t undefined — null, not a division error
     val t = {
-      val se = sqrt(sum(col("__var_adj") / col("n_units")))
+      // sum() SKIPS nulls: var_samp of a single-unit variant is null, and
+      // silently dropping that term would report a confident t built from
+      // only the other variant's variance — strict null propagation via
+      // a null-sensitive per-term sum keeps t null instead
+      val se = sqrt(sum(when(col("__var_adj").isNull, lit(null))
+        .otherwise(col("__var_adj") / col("n_units"))) +
+        when(max(col("__var_adj").isNull.cast("int")) === 1, lit(null))
+          .otherwise(lit(0d)))
       val diff =
         max(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj") -
         min(struct(col("variant"), col("__mean_adj"))).getField("__mean_adj")

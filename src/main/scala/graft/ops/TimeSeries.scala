@@ -46,7 +46,15 @@ object TimeSeries {
       explode(sequence(col("__d0"), col("__d1"))).as("day"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    allDays.join(daily, Seq(keyCol, "day"), "left")
+    // null-safe on the key: a NULL-key group has its own daily aggregate
+    // and span, and an equi-join would never match its grid rows back —
+    // every observed day of the null key would read as a gap
+    val aliased = daily.select(col(keyCol).as("__k"), col("day").as("__day"),
+      col("n"), col("metric"))
+    allDays.join(aliased,
+        allDays(keyCol) <=> aliased("__k") && allDays("day") === aliased("__day"),
+        "left")
+      .drop("__k", "__day")
       .withColumn("metric_locf", last(col("metric"), ignoreNulls = true).over(w))
   }
 }
