@@ -116,6 +116,23 @@ object Bench {
     }
   }
 
+  /** Cumulative Hadoop filesystem counters for the local scheme (round 16:
+    * the r15 driver sweep ran metadata-heavy t_* queries 2-5x over
+    * same-code local at clean cpu/fs probes, and nothing in the artifact
+    * could attribute it). Sampled before/after each query's runs, the
+    * deltas make an FS-side anomaly readable from the artifact alone:
+    * same bytes/ops but slower wall = the filesystem itself was slow;
+    * more ops = the code did more metadata work. JVM-global and queries
+    * run sequentially, so per-query deltas are exact. */
+  private def fsCounters: (Long, Long) = {
+    val ss = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    if (ss == null) (0L, 0L)
+    else {
+      def v(k: String): Long = Option(ss.getLong(k)).map(_.longValue).getOrElse(0L)
+      (v("bytesRead"), v("readOps") + v("largeReadOps"))
+    }
+  }
+
   /** JSON string escape: backslash, quote, and ALL control chars — Spark
     * exception strings embed multi-line plan dumps, and one raw newline
     * makes the whole detail artifact unparseable (round-8 post-mortem). */
@@ -193,12 +210,15 @@ object Bench {
       graft.queries.TableFixtures.ordersView(spark, sfDir)
       graft.queries.TableFixtures.pqServing(spark, sfDir)
       graft.queries.TableFixtures.streamChangelogReplayed(spark, sfDir)
+      graft.queries.TableFixtures.streamChangelogCowReplayed(spark, sfDir)
       graft.queries.TableFixtures.ordersMergeConditional(spark, sfDir)
       graft.queries.TableFixtures.ordersMergeConditionalMor(spark, sfDir)
       graft.queries.TableFixtures.ordersMergeNmbs(spark, sfDir)
       graft.queries.TableFixtures.ordersWapId(spark, sfDir)
       graft.queries.TableFixtures.ordersRefRetention(spark, sfDir)
       graft.queries.TableFixtures.ordersWriteOrdered(spark, sfDir)
+      graft.queries.TableFixtures.ordersCorrelatedDeleted(spark, sfDir)
+      graft.queries.TableFixtures.ordersCorrelatedUpdated(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")
@@ -223,13 +243,15 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // name -> (raw run seconds, first error message if any run threw,
     //          seconds since sweep start when the query's first run began —
-    //          lets a reader correlate slow runs with a contention window)
-    val results: Seq[(String, (Seq[Double], Option[String], Double))] =
+    //          lets a reader correlate slow runs with a contention window,
+    //          (fs bytesRead, fs readOps) deltas across the query's runs)
+    val results: Seq[(String, (Seq[Double], Option[String], Double, (Long, Long)))] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
           var err: Option[String] = None
           val t0Off = r3((System.nanoTime() - sweepT0) / 1e9)
+          val fs0 = fsCounters
           val times = (1 to runs).map { _ =>
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch {
@@ -242,7 +264,9 @@ object Bench {
             }
             (System.nanoTime() - t0) / 1e9
           }
-          name -> (times.map(r3), err, t0Off)
+          val fs1 = fsCounters
+          name -> (times.map(r3), err, t0Off,
+            (fs1._1 - fs0._1, fs1._2 - fs0._2))
         }
     val sweepDurSec = (System.nanoTime() - sweepT0) / 1e9
     val loadAfter = loadAvg
@@ -250,8 +274,8 @@ object Bench {
     val calibSparkEnd = sparkProbe(spark, 3)
     val calibFsEnd = fsProbe(3)
     val gcSweepMs = gcMs - gcBefore
-    val ok = results.collect { case (k, (ts, None, _)) => k -> ts }
-    val failed = results.collect { case (k, (_, Some(_), _)) => k }
+    val ok = results.collect { case (k, (ts, None, _, _)) => k -> ts }
+    val failed = results.collect { case (k, (_, Some(_), _, _)) => k }
     val total = r3(ok.map(_._2.min).sum)
     // Self-discounting (round 14, ATTRIBUTION FIXED round 15): the probes
     // are a pure machine-speed yardstick (identical code + input every
@@ -280,7 +304,7 @@ object Bench {
     val fFs = (
       math.max(fCpu._1, clamp(calibFsStart.min / fsRef)),
       math.max(fCpu._2, clamp(calibFsEnd.min / fsRef)))
-    val t0OffByQ = results.collect { case (k, (_, None, off)) => k -> off }.toMap
+    val t0OffByQ = results.collect { case (k, (_, None, off, _)) => k -> off }.toMap
     def pick(pair: (Double, Double), nearEnd: Boolean): Double =
       if (nearEnd) pair._2 else pair._1
     /** The conservative per-query factor `value_discounted` divides by. */
@@ -315,17 +339,30 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_detail.json"
       else "bench_detail.json")
-    val detailRows = results.map { case (k, (ts, err, t0Off)) =>
+    val detailRows = results.map { case (k, (ts, err, t0Off, (fsBytes, fsOps))) =>
       // a failed query gets NO timing: its wall time measures how fast the
       // failure was, and a reader scanning mins must never mistake it for
       // a fast success
       val timing =
         if (err.isDefined) """"min": null, "runs": []"""
         else s""""min": ${r3(ts.min)}, "runs": [${ts.mkString(", ")}], "factor": ${r3(factorOf(k))}"""
-      s"""    ${jstr(k)}: {$timing, "t0_off": $t0Off, "err": ${err.map(jstr).getOrElse("null")}}"""
+      s"""    ${jstr(k)}: {$timing, "t0_off": $t0Off, "fs_bytes_read": $fsBytes, "fs_read_ops": $fsOps, "err": ${err.map(jstr).getOrElse("null")}}"""
     }.mkString(",\n")
     val discJson =
       s"""{"start_cpu": ${r3(fCpu._1)}, "end_cpu": ${r3(fCpu._2)}, "start_shuffle": ${r3(fShuf._1)}, "end_shuffle": ${r3(fShuf._2)}, "start_fs": ${r3(fFs._1)}, "end_fs": ${r3(fFs._2)}}"""
+    // Explicit cleanliness verdict (round 16): the r15 final sweep shipped
+    // with shuffle probe 1.8-2.6x its idle ref while the round narrative
+    // said "clean probes" (it had eyeballed only cpu/fs) — the machine must
+    // state the verdict itself. A probe is clean only when BOTH its start
+    // and end minima sit within 1.2x the idle reference; any doc claiming a
+    // clean sweep must cite this block, not a human reading of raw minima.
+    val cleanTol = 1.2
+    val pClean = Map(
+      "cpu" -> (math.max(calibCpuStart.min, calibCpuEnd.min) <= cleanTol * cpuRef),
+      "shuffle" -> (math.max(calibSparkStart.min, calibSparkEnd.min) <= cleanTol * sparkRef),
+      "fs" -> (math.max(calibFsStart.min, calibFsEnd.min) <= cleanTol * fsRef))
+    val probesCleanJson =
+      s"""{"cpu": ${pClean("cpu")}, "shuffle": ${pClean("shuffle")}, "fs": ${pClean("fs")}, "all": ${pClean.values.forall(identity)}}"""
     val detail =
       s"""{
          |  "metric": "total",
@@ -333,6 +370,7 @@ object Bench {
          |  "value_discounted": $totalDiscounted,
          |  "value_discounted_shuffle": $totalDiscountedShuffle,
          |  "discount_factors": $discJson,
+         |  "probes_clean": $probesCleanJson,
          |  "unit": "sec",
          |  "sf": ${jstr(sfDir)},
          |  "runs_per_query": $runs,
@@ -363,7 +401,7 @@ object Bench {
     // calib mins on stdout: the judge's first-glance contention check —
     // reference values (idle sandbox) live in BASELINE.md
     val calibJson = s"""{"cpu":${calibCpuStart.min},"cpu_end":${calibCpuEnd.min},"spark":${calibSparkStart.min},"spark_end":${calibSparkEnd.min},"fs":${calibFsStart.min},"fs_end":${calibFsEnd.min},"gc_ms":$gcSweepMs}"""
-    println(s"""{"metric":"total","value":$total,"value_discounted":$totalDiscounted,"value_discounted_shuffle":$totalDiscountedShuffle,"discount_factors":$discJson,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"value_discounted":$totalDiscounted,"value_discounted_shuffle":$totalDiscountedShuffle,"discount_factors":$discJson,"probes_clean":$probesCleanJson,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -2248,6 +2248,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
         .orderBy("o_orderstatus")),
 
+    // SQL DELETE with a CORRELATED EXISTS subquery (round 16) — the
+    // standard retention-pipeline shape. The condition references the
+    // outer row inside the subquery, so it is re-bound by exprId onto a
+    // position-bearing scan, decorrelated by Catalyst into a stock
+    // semi-join, and committed as a position-keyed CoW rewrite; the
+    // oracle replays the same EXISTS over the raw parquet
+    "t_delete_correlated" -> ((s, dir) =>
+      TableFixtures.ordersCorrelatedDeleted(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+        .orderBy("o_orderstatus")),
+
+    // correlated UPDATE twin: SET applies on exactly the EXISTS-matched
+    // row identities through the same position-keyed rewrite
+    "t_update_correlated" -> ((s, dir) =>
+      TableFixtures.ordersCorrelatedUpdated(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // S1 CSV scan with explicit schema: every generated day folder
     // (including the nullable WAP day) ingested into a partitioned table;
     // the oracle re-reads the identical CSVs with DuckDB read_csv
@@ -2720,6 +2741,23 @@ object SparkEntry {
     // full-equality assertion (oracle: literal TRUE)
     "st_changelog" -> ((s, dir) => {
       val (_, sink, matches) = TableFixtures.streamChangelogReplayed(s, dir)
+      sink.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .withColumn("replay_matches_batch", lit(matches))
+        .orderBy("o_orderstatus")
+    }),
+
+    // CoW twin of st_changelog (round 16): the source table's row-level
+    // commits are COPY-ON-WRITE file rewrites — the reference's own
+    // write.delete.mode — streamed as full-row DELETE images of the
+    // removed files plus INSERT images of the rewritten files (carryover
+    // pairs included) and netted by the keyed replay; the sink must equal
+    // the source's batch state exactly
+    "st_changelog_cow" -> ((s, dir) => {
+      val (_, sink, matches) = TableFixtures.streamChangelogCowReplayed(s, dir)
       sink.toDF
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -6075,6 +6113,30 @@ object SparkEntry {
                                  WHERE c_acctbal > 9000)
          GROUP BY 1 ORDER BY 1""",
 
+    // the correlated EXISTS delete replayed as NOT EXISTS over the slice
+    "t_delete_correlated" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         cast(sum(o_custkey) AS bigint) AS cust_sum
+         FROM orders o
+         WHERE o_orderkey % 3 = 0
+           AND NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey
+                             AND c.c_acctbal > 9000)
+         GROUP BY 1 ORDER BY 1""",
+
+    // the correlated UPDATE: matched rows keep their identity, zero price
+    "t_update_correlated" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         cast(sum(o_custkey) AS bigint) AS cust_sum,
+         ${centsSql(
+           """CASE WHEN EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey
+                                  AND c.c_acctbal > 9000)
+                   THEN 0.0 ELSE o_totalprice END""")} AS total_cents
+         FROM orders o
+         WHERE o_orderkey % 3 = 0
+         GROUP BY 1 ORDER BY 1""",
+
     "t_csv_ingest" ->
       s"""SELECT cast(txn_date AS varchar) AS txn_date, count(*) AS n,
          ${centsSql("amount")} AS amount_cents
@@ -6287,6 +6349,24 @@ object SparkEntry {
            ${centsSql("o_totalprice")} AS total_cents,
            TRUE AS replay_matches_batch
          FROM state WHERE NOT (o_orderkey % 10 = 7)
+         GROUP BY 1 ORDER BY 1""",
+
+    // the replayed CoW CDC state: slice 0 minus the CoW-deleted band
+    // (slice 1 appends AFTER the delete, so its high-value rows are
+    // live), then the CoW update zeroes o_totalprice on the %10=7 keys
+    "st_changelog_cow" ->
+      s"""WITH state AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 7 THEN 0.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           WHERE (o_orderkey % 3 = 0 AND NOT (o_totalprice > 300000))
+              OR o_orderkey % 3 = 1)
+         SELECT o_orderstatus, count(*) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           ${centsSql("o_totalprice")} AS total_cents,
+           TRUE AS replay_matches_batch
+         FROM state
          GROUP BY 1 ORDER BY 1""",
 
     // same batch re-derivation: the source->agg->merge-sink loop must land

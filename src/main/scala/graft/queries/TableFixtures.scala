@@ -66,6 +66,51 @@ object TableFixtures {
       t
     })
 
+  /** Correlated-subquery DELETE fixture (round 16): the `%3 == 0` order
+    * slice, then `DELETE … WHERE EXISTS (SELECT 1 FROM customer c WHERE
+    * c.c_custkey = t.o_custkey AND c.c_acctbal > 9000)` — the correlated
+    * retention-pipeline shape, routed through
+    * [[graft.sql.CorrelatedCondition]]'s exprId-preserving re-bind into
+    * the position-keyed CoW delete. */
+  def ordersCorrelatedDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_corr_deleted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_corr_deleted"
+      GraftTable.drop(spark, loc)
+      val cat = sqlCatalog(spark, sfDir)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, s"$cat.orders_corr_deleted",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      read(spark, sfDir, "customer").createOrReplaceTempView("corr_del_customers")
+      spark.sql(s"""DELETE FROM $cat.orders_corr_deleted t
+        WHERE EXISTS (SELECT 1 FROM corr_del_customers c
+                      WHERE c.c_custkey = t.o_custkey AND c.c_acctbal > 9000)""")
+      require(t.meta.currentSnapshot.get.operation == "delete",
+        "the correlated DELETE must have committed a delete snapshot")
+      t
+    })
+
+  /** Correlated-subquery UPDATE twin of [[ordersCorrelatedDeleted]]:
+    * `UPDATE … SET o_totalprice = 0 WHERE EXISTS (…)` through the same
+    * position-keyed CoW rewrite. */
+  def ordersCorrelatedUpdated(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_corr_updated", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_corr_updated"
+      GraftTable.drop(spark, loc)
+      val cat = sqlCatalog(spark, sfDir)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, s"$cat.orders_corr_updated",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      read(spark, sfDir, "customer").createOrReplaceTempView("corr_upd_customers")
+      spark.sql(s"""UPDATE $cat.orders_corr_updated t SET o_totalprice = 0.0
+        WHERE EXISTS (SELECT 1 FROM corr_upd_customers c
+                      WHERE c.c_custkey = t.o_custkey AND c.c_acctbal > 9000)""")
+      require(t.meta.currentSnapshot.get.operation == "update",
+        "the correlated UPDATE must have committed an update snapshot")
+      t
+    })
+
   /** Column-stats fixture: the `%3 == 0` order slice with
     * `compute_table_stats` run — per-column HLL NDV + null counts pinned
     * to the head snapshot. */
@@ -1138,6 +1183,48 @@ object TableFixtures {
     })
 
   private val changelogCache =
+    TrieMap.empty[String, (GraftTable, GraftTable, Boolean)]
+
+  /** CoW twin of [[streamChangelogReplayed]] (round 16): the source table
+    * runs COPY-ON-WRITE row-level commits — the reference's own
+    * `write.delete.mode='copy-on-write'` shape — so every delete/update
+    * is a file rewrite. The changelog stream emits the removed files'
+    * rows as full-row DELETE images and the rewritten files' rows as
+    * INSERT images (carryover pairs included); replayChangelog nets them
+    * per commit, landing the sink on the exact batch state. */
+  def streamChangelogCowReplayed(spark: SparkSession, sfDir: String)
+      : (GraftTable, GraftTable, Boolean) =
+    changelogCowCache.getOrElseUpdate(sfDir, {
+      val dir = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val srcLoc = s"$dir/stream_cdc_cow_src"
+      val sinkLoc = s"$dir/stream_cdc_cow_sink"
+      GraftTable.drop(spark, srcLoc)
+      GraftTable.drop(spark, sinkLoc)
+      val orders = read(spark, sfDir, "orders")
+      val src = GraftTable.create(spark, srcLoc, "graft.stream_cdc_cow_src",
+        orders.schema)
+      val sink = GraftTable.create(spark, sinkLoc, "graft.stream_cdc_cow_sink",
+        orders.schema)
+      val cp = s"$sinkLoc-checkpoint"
+      def run(): Unit = spark.readStream.format("graft-stream")
+        .option("changelog", "true").load(srcLoc)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.StreamingOps.replayChangelog(b, sink))
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      src.append(orders.filter(col("o_orderkey") % 3 === 0)); run()
+      src.deleteWhere(col("o_totalprice") > 300000); run()    // CoW rewrite
+      src.append(orders.filter(col("o_orderkey") % 3 === 1)); run()
+      src.updateWhere(col("o_orderkey") % 10 === 7,            // CoW rewrite
+        Seq("o_totalprice" -> lit(0.0))); run()
+      val matches = sink.toDF.exceptAll(src.toDF).isEmpty &&
+        src.toDF.exceptAll(sink.toDF).isEmpty
+      (src, sink, matches)
+    })
+
+  private val changelogCowCache =
     TrieMap.empty[String, (GraftTable, GraftTable, Boolean)]
 
   /**

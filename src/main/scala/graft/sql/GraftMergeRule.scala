@@ -1,13 +1,13 @@
 package graft.sql
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal, NamedExpression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, ExprId, Expression, Literal, NamedExpression, OuterReference, PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{bridge, GraftDeleteCommand, GraftMergeCommand, GraftMergeIntoCommand, GraftUpdateCommand}
+import org.apache.spark.sql.graft.{bridge, GraftDeleteCommand, GraftDeleteCorrelatedCommand, GraftMergeCommand, GraftMergeIntoCommand, GraftUpdateCommand, GraftUpdateCorrelatedCommand}
 
 import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
 
@@ -38,9 +38,28 @@ import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
  * columns, per-column update/insert expressions that differ — route to the
  * general [[GraftMergeIntoCommand]] ([[graft.table.GraftTable.mergeInto]]'s
  * conditional-cascade CoW rewrite, Iceberg's `RewriteMergeIntoTable`
- * shape). Genuinely unsupported inputs (non-equality ON conjuncts,
- * subqueries inside clauses, WITH SCHEMA EVOLUTION) still raise clear
- * analysis-time errors instead of a silent approximation.
+ * shape; [[graft.table.GraftTable.mergeIntoMoR]] under
+ * `write.merge.mode=merge-on-read`). Clause CONDITIONS may carry
+ * UNCORRELATED subqueries (`WHEN MATCHED AND id IN (SELECT …)`) — their
+ * self-contained plans re-analyze inside the rewrite's join and value
+ * projections.
+ *
+ * What still raises a clear analysis-time error (each deliberately, never
+ * a silent approximation):
+ *
+ *  - a non-equality `ON` conjunct, an `ON` without at least one key, or
+ *    one equating the same target column twice;
+ *  - `WITH SCHEMA EVOLUTION`;
+ *  - CORRELATED subqueries anywhere in a MERGE (clause conditions or
+ *    values) — and in UPDATE SET values; the supported correlated surface
+ *    is DELETE/UPDATE `WHERE` conditions, which [[GraftDeleteRule]] /
+ *    [[GraftUpdateRule]] route through [[CorrelatedCondition]]'s
+ *    exprId-preserving re-bind (round 16);
+ *  - subqueries in clause/assignment VALUES or `ON` keys (conditions only),
+ *    and non-scalar subqueries in UPDATE SET values;
+ *  - clause values referencing columns outside the merge's two relations,
+ *    assignments to non-columns, and NOT-MATCHED(-BY-SOURCE) clauses
+ *    referencing the wrong side.
  */
 object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -429,10 +448,21 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
     }
     sets.groupBy(_._1).collect { case (n, as) if as.size > 1 =>
       fail(s"SET assigns $n more than once") }
-    val cond = u.condition.map(toCol(_, "WHERE condition")).getOrElse(lit(true))
-
-    GraftUpdateCommand(
-      target.table.asInstanceOf[GraftWritableTable].location, sets, cond)
+    val location = target.table.asInstanceOf[GraftWritableTable].location
+    u.condition match {
+      // correlated WHERE (round 16): exprId-preserving re-bind + the
+      // position-keyed commit path; SET values keep the refusal policy
+      // (toCol above already raised on a correlated SET)
+      case Some(c) if GraftRowLevelSql.hasCorrelated(c) =>
+        if (!c.references.subsetOf(targetAttrs))
+          fail(s"WHERE condition references columns outside the target " +
+            s"table: ${c.sql}")
+        GraftUpdateCorrelatedCommand(location, sets,
+          CorrelatedCondition(c, target.output))
+      case other =>
+        val cond = other.map(toCol(_, "WHERE condition")).getOrElse(lit(true))
+        GraftUpdateCommand(location, sets, cond)
+    }
   }
 }
 
@@ -444,8 +474,11 @@ private[sql] object GraftRowLevelSql {
     * references) re-analyze cleanly inside the command's own table scan —
     * their plans are self-contained; CORRELATED subqueries reference the
     * outer row through OuterReference attributes that cannot re-resolve
-    * against the rewrite's scan, so they are refused with a clear error
-    * instead of mis-resolving. */
+    * against the rewrite's scan, so in the positions that still lack a
+    * resolved re-binding path (MERGE clauses, UPDATE SET values) they are
+    * refused with a clear error instead of mis-resolving — DELETE/UPDATE
+    * WHERE conditions route through [[CorrelatedCondition]] before this
+    * check and never see the refusal. */
   def checkSubqueries(e: Expression, what: String, allowUncorrelated: Boolean,
       fail: String => Nothing, scalarOnly: Boolean = false): Unit = {
     val subs = e.collect { case s: SubqueryExpression => s }
@@ -454,7 +487,8 @@ private[sql] object GraftRowLevelSql {
     subs.foreach { s =>
       if (s.children.nonEmpty || s.isCorrelated)
         fail(s"correlated subquery in $what is not supported " +
-          "(it references the outer row); rewrite as MERGE INTO")
+          "(it references the outer row); rewrite as MERGE INTO, or move " +
+          "the correlation into a DELETE/UPDATE WHERE condition")
       if (scalarOnly &&
           !s.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery])
         fail(s"only scalar subqueries are supported in $what " +
@@ -464,6 +498,13 @@ private[sql] object GraftRowLevelSql {
     }
   }
 
+  /** True when the condition carries a subquery that references the outer
+    * row (nested correlation surfaces on the outermost subquery's
+    * outer-attribute list during analysis, so a top-level walk suffices). */
+  def hasCorrelated(e: Expression): Boolean =
+    e.collect { case s: SubqueryExpression
+      if s.isCorrelated || s.children.nonEmpty => s }.nonEmpty
+
   /** A resolved condition re-targeted at a fresh scan: outer attribute
     * references become by-name lookups; self-contained subquery plans
     * ride along untouched. */
@@ -471,6 +512,54 @@ private[sql] object GraftRowLevelSql {
     bridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
+}
+
+/**
+ * A row-level WHERE condition carrying a CORRELATED subquery (round 16:
+ * `DELETE FROM t WHERE EXISTS (SELECT 1 FROM k WHERE k.id = t.id)`, the
+ * standard retention-pipeline shape, plus correlated IN / NOT IN / scalar
+ * comparisons), captured with the analyzer's resolution intact:
+ * `targetOutput` are the DELETE/UPDATE target relation's attributes the
+ * condition — and the subquery plans' [[OuterReference]] nodes — are bound
+ * to.
+ *
+ * [[bindTo]] re-binds everything onto a fresh scan of the same table by
+ * EXPRESSION-ID substitution, never by name: an inner-plan column that
+ * happens to share a name with an outer reference (`EXISTS (SELECT 1 FROM
+ * t t2 WHERE t2.parent = t.id)`) can therefore never capture it, which is
+ * exactly the mis-resolution the old name-based `retarget` path had to
+ * refuse. The re-bound condition sits in a Filter over the scan — the plan
+ * position Catalyst's own RewritePredicateSubquery / DecorrelateInnerQuery
+ * machinery fully decorrelates into a semi/anti/existence join, so the
+ * engine executes a stock join plan, not a per-row subquery.
+ */
+case class CorrelatedCondition(cond: Expression, targetOutput: Seq[Attribute]) {
+
+  /** The condition as a Column resolved against `df`'s own attributes
+    * (matched to `targetOutput` by name — `df` must be a scan of the same
+    * table schema). */
+  def bindTo(df: DataFrame): Column = {
+    val out = bridge.analyzedPlan(df).output
+    val byName = out.map(a => a.name -> a).toMap
+    val subst: Map[ExprId, Attribute] = targetOutput.flatMap(a =>
+      byName.get(a.name).map(a.exprId -> _)).toMap
+    require(targetOutput.forall(a => subst.contains(a.exprId)),
+      s"correlated rebind: scan is missing column(s) " +
+        targetOutput.filterNot(a => subst.contains(a.exprId))
+          .map(_.name).mkString(", "))
+    def remapPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      p.transformDownWithSubqueries {
+        case node => node.transformExpressions {
+          case OuterReference(a: AttributeReference) if subst.contains(a.exprId) =>
+            OuterReference(subst(a.exprId))
+        }
+      }
+    bridge.column(cond.transformDown {
+      case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+      case s: SubqueryExpression => s.withNewPlan(remapPlan(s.plan))
+    })
+  }
 }
 
 /**
@@ -507,14 +596,21 @@ object GraftDeleteRule extends Rule[LogicalPlan] with PredicateHelper {
       val target = EliminateSubqueryAliases(d.table)
         .asInstanceOf[DataSourceV2Relation]
       val cond = d.condition
-      GraftRowLevelSql.checkSubqueries(cond, "WHERE condition",
-        allowUncorrelated = true, fail)
       if (!cond.references.subsetOf(target.outputSet))
         fail(s"WHERE condition references columns outside the target " +
           s"table: ${cond.sql}")
-      GraftDeleteCommand(
-        target.table.asInstanceOf[GraftWritableTable].location,
-        GraftRowLevelSql.retarget(cond))
+      val location = target.table.asInstanceOf[GraftWritableTable].location
+      if (GraftRowLevelSql.hasCorrelated(cond))
+        // correlated subquery (EXISTS / IN / scalar over the outer row):
+        // keep the analyzer's resolution and re-bind by exprId at run
+        // time — the position-keyed commit path (round 16)
+        GraftDeleteCorrelatedCommand(location,
+          CorrelatedCondition(cond, target.output))
+      else {
+        GraftRowLevelSql.checkSubqueries(cond, "WHERE condition",
+          allowUncorrelated = true, fail)
+        GraftDeleteCommand(location, GraftRowLevelSql.retarget(cond))
+      }
     case p => p
   }
 

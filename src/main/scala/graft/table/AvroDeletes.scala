@@ -262,6 +262,14 @@ object AvroDeletes {
   /** Read one-or-more Avro delete files as a DataFrame with `schema` —
     * one task per file (delete files are the small MoR side). */
   def read(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame =
+    readTagged(spark, paths, schema).drop("__source")
+
+  /** [[read]] plus a `__source` column carrying each row's origin path
+    * (verbatim as passed) — lets a multi-file metadata read keep
+    * per-delete-file provenance in ONE distributed scan instead of one
+    * plan branch per file. */
+  def readTagged(spark: SparkSession, paths: Seq[String],
       schema: StructType): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -289,10 +297,11 @@ object AvroDeletes {
             val rec = stream.next()
             Row.fromSeq(fieldNames.zip(fieldTypes).map {
               case (n, dt) => fromAvro(rec.get(n), dt)
-            }.toSeq)
+            }.toSeq :+ p)
           }
         }
       }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd,
+      StructType(schema.fields :+ StructField("__source", StringType)))
   }
 }

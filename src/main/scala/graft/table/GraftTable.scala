@@ -892,6 +892,131 @@ class GraftTable(val spark: SparkSession, val location: String) {
             kind = "position"))
     }
 
+  /**
+   * Row-level DELETE whose condition carries a CORRELATED subquery
+   * (round 16: `WHERE EXISTS (SELECT … WHERE k.id = t.id)` and correlated
+   * IN — SQL surface in [[graft.sql.GraftDeleteRule]]). The condition is
+   * evaluated ONCE as a Filter over a position-bearing scan — the plan
+   * position Catalyst fully decorrelates into a stock semi/anti join —
+   * and the commit keys off the matched `(__file, __pos)` row identities,
+   * so the (possibly expensive) subquery never re-evaluates inside the
+   * rewrite:
+   *
+   *  - copy-on-write (`mor = false`): rewrite exactly the files holding
+   *    matched rows, anti-joined on the matched identities;
+   *  - merge-on-read (`mor = true`): commit the matched positions as a
+   *    position-delete file (deletion vectors when enabled) — exact even
+   *    among full duplicates, O(matched rows) written.
+   *
+   * `condFor` re-binds the resolved condition against the scan passed to
+   * it ([[graft.sql.CorrelatedCondition.bindTo]] — exprId substitution, so
+   * inner-plan columns can never capture same-named outer references).
+   * The plain scan over-approximates matches with already-MoR-deleted
+   * rows, which is harmless: CoW anti-joins against the delete-applying
+   * read, and re-deleting a deleted position is a no-op.
+   */
+  def deleteWhereCorrelated(condFor: DataFrame => Column, mor: Boolean = false,
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val head = resolveWriteBranchHead(m, branch)
+      val headFiles = head.map(_.files).getOrElse(Seq.empty)
+      val posScan = plainReadWithPos(m, tableSchema, headFiles)
+      val matched = posScan.filter(condFor(posScan))
+        .select(col("__file"), col("__pos"))
+      if (mor) {
+        commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch,
+          addedDeletes =
+            if (dvEnabled) writeDvFiles(matched)
+            else writeDeleteFiles(matched, Seq("__file", "__pos"),
+              kind = "position"))
+      } else {
+        // bounded collect: affected-file PATHS (same bound as deleteWhere's
+        // probe); __file is already data-dir-relative, exact match
+        val matchedRel = matched.select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val affectedFiles = headFiles.filter(f => matchedRel.contains(f.path))
+        if (affectedFiles.isEmpty) {
+          commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch)
+        } else {
+          val kept = readWithDeletes(head, m, affectedFiles, keepPos = true)
+            .join(matched, Seq("__file", "__pos"), "left_anti")
+            .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+          val newFiles = writeDataFiles(kept, tableSchema, m.partitionCols)
+          commitSnapshot(m, newFiles, affectedFiles.map(_.path), "delete", branch)
+        }
+      }
+    }
+
+  /**
+   * Row-level UPDATE with a CORRELATED WHERE condition (round 16; SQL
+   * surface in [[graft.sql.GraftUpdateRule]]) — same position-keyed shape
+   * as [[deleteWhereCorrelated]]: one decorrelated Filter evaluation over
+   * a position-bearing scan, then
+   *
+   *  - copy-on-write (`mor = false`): affected files rewritten with SET
+   *    values applied on the matched row identities (a left join against
+   *    the matched positions marks the hits — the condition itself never
+   *    appears in the rewrite's projection, where Catalyst's predicate-
+   *    subquery planning does not reach);
+   *  - merge-on-read (`mor = true`): the matched positions commit as
+   *    position deletes and the updated row versions append —
+   *    O(matched rows) written, exact among duplicates.
+   *
+   * SET values may reference any column of the updated row; correlated
+   * subqueries in SET values are refused at analysis time.
+   */
+  def updateWhereCorrelated(condFor: DataFrame => Column,
+      sets: Seq[(String, Column)], mor: Boolean = false,
+      branch: Option[String] = None): GraftSnapshot =
+    withCommitLock {
+      val m = meta
+      val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      sets.foreach { case (c, _) =>
+        require(tableSchema.fieldNames.contains(c),
+          s"UPDATE references unknown column $c") }
+      val head = resolveWriteBranchHead(m, branch)
+      val headFiles = head.map(_.files).getOrElse(Seq.empty)
+      val posScan = plainReadWithPos(m, tableSchema, headFiles)
+      val matched = posScan.filter(condFor(posScan))
+        .select(col("__file"), col("__pos"))
+      val matchedRel = matched.select(col("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val affectedFiles = headFiles.filter(f => matchedRel.contains(f.path))
+      if (affectedFiles.isEmpty) {
+        commitSnapshot(m, Seq.empty, Seq.empty, "update", branch)
+      } else {
+        val setMap = sets.toMap
+        val src = readWithDeletes(head, m, affectedFiles, keepPos = true)
+        val joined = src.join(matched.withColumn("__hit", lit(true)),
+          Seq("__file", "__pos"), "left_outer")
+        val hit = coalesce(col("__hit"), lit(false))
+        if (mor) {
+          val updated = joined.filter(hit).select(tableSchema.fields.map { f =>
+            setMap.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name))
+          }.toIndexedSeq: _*)
+          val newFiles = writeDataFiles(updated, tableSchema, m.partitionCols)
+          commitSnapshot(m, newFiles, Seq.empty, "update", branch,
+            addedDeletes =
+              if (dvEnabled) writeDvFiles(matched)
+              else writeDeleteFiles(matched, Seq("__file", "__pos"),
+                kind = "position"))
+        } else {
+          val rewritten = joined.select(tableSchema.fields.map { f =>
+            setMap.get(f.name) match {
+              case Some(v) =>
+                when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toIndexedSeq: _*)
+          val newFiles = writeDataFiles(rewritten, tableSchema, m.partitionCols)
+          commitSnapshot(m, newFiles, affectedFiles.map(_.path), "update", branch)
+        }
+      }
+    }
+
   /** Iceberg-v3 deletion-vector mode: position deletes are written as
     * per-data-file run-length bitsets (`write.delete.vector.enabled`),
     * read back as a membership filter instead of a row-list anti-join. */
@@ -2058,9 +2183,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** `t.position_deletes`: one row per DELETED ROW POSITION at the current
     * snapshot (Iceberg's `position_deletes` metadata table) — position
     * row lists pass through; deletion vectors expand runs back to
-    * positions. A DISTRIBUTED scan of the delete files (positions can be
-    * O(deleted rows)); only the per-delete-file dispatch is driver-side
-    * (delete-file count is commit metadata, already in memory). */
+    * positions. ONE distributed multi-path scan per delete-file KIND (at
+    * most three plan branches ever: parquet row lists, avro row lists,
+    * deletion vectors) — a table with thousands of un-compacted delete
+    * files must not build O(files) plan branches (driver-side plan size
+    * and analysis time); per-row provenance (`delete_file_path`) comes
+    * from the scan itself instead of a per-file literal. */
   def positionDeletesDF: DataFrame = {
     val m = meta
     val schema = StructType(Seq(
@@ -2071,21 +2199,38 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .filter(d => d.isPositional || d.isDv)
     if (dels.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    dels.map { d =>
-      val content = readDeleteContent(d)
-      val positions =
-        if (d.isPositional) content.select(col("__file"), col("__pos"))
-        else content.select(col("__file"), explode(flatten(transform(
-          sequence(lit(0), (size(col("__runs")) / 2).cast("int") - 1),
-          i => sequence(
-            element_at(col("__runs"), i * 2 + 1),
-            element_at(col("__runs"), i * 2 + 1)
-              + element_at(col("__runs"), i * 2 + 2) - 1)))).as("__pos"))
-      positions.select(
-        concat(lit(s"$dataDir/"), col("__file")).as("file_path"),
-        col("__pos").as("pos"),
-        lit(s"$dataDir/${d.path}").as("delete_file_path"))
-    }.reduce(_.unionByName(_))
+    // every delete file lives flat under `data/_deletes/` (writeDeleteFiles
+    // / writeDvFiles naming), so the origin path recovers from
+    // input_file_name without caring about URI scheme or qualification;
+    // the generated names are uuid-hex + parquet part names — never
+    // URL-encoded
+    val srcPath = concat(lit(s"$dataDir/_deletes/"),
+      substring_index(input_file_name(), "/_deletes/", -1))
+    def runsToPositions(runs: Column): Column = flatten(transform(
+      sequence(lit(0), (size(runs) / 2).cast("int") - 1),
+      i => sequence(
+        element_at(runs, i * 2 + 1),
+        element_at(runs, i * 2 + 1) + element_at(runs, i * 2 + 2) - 1)))
+    val (dvs, poss) = dels.partition(_.isDv)
+    val (avros, parqs) = poss.partition(_.path.endsWith(AvroDeletes.Extension))
+    val parts = Seq(
+      if (parqs.isEmpty) None
+      else Some(spark.read.parquet(parqs.map(d => s"$dataDir/${d.path}"): _*)
+        .select(col("__file"), col("__pos"), srcPath.as("__del"))),
+      if (avros.isEmpty) None
+      else Some(AvroDeletes.readTagged(spark,
+          avros.map(d => s"$dataDir/${d.path}"),
+          StructType(Seq(StructField("__file", StringType),
+            StructField("__pos", LongType))))
+        .select(col("__file"), col("__pos"), col("__source").as("__del"))),
+      if (dvs.isEmpty) None
+      else Some(spark.read.parquet(dvs.map(d => s"$dataDir/${d.path}"): _*)
+        .select(col("__file"), explode(runsToPositions(col("__runs"))).as("__pos"),
+          srcPath.as("__del")))).flatten
+    parts.reduce(_.unionByName(_)).select(
+      concat(lit(s"$dataDir/"), col("__file")).as("file_path"),
+      col("__pos").as("pos"),
+      col("__del").as("delete_file_path"))
   }
 
   // ---------------------------------------------------------------------

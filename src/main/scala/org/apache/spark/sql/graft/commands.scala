@@ -121,6 +121,44 @@ case class GraftDeleteCommand(location: String,
   }
 }
 
+/** `DELETE FROM t WHERE <correlated subquery>` (round 16) rewritten by
+  * [[graft.sql.GraftDeleteRule]]: the condition references the outer row
+  * inside its subquery (`EXISTS (SELECT … WHERE k.id = t.id)`, correlated
+  * IN / NOT IN / scalar comparisons — the standard retention-pipeline
+  * shapes). One Filter evaluation over a position-bearing scan (Catalyst
+  * decorrelates it into a stock semi/anti join), then the commit keys off
+  * the matched (file, row-index) identities: a CoW rewrite anti-joined on
+  * them, or — under `write.delete.mode=merge-on-read` — a position-delete
+  * commit (deletion vectors when enabled), which deletes exactly the
+  * matched rows even among full duplicates. */
+case class GraftDeleteCorrelatedCommand(location: String,
+    cond: graft.sql.CorrelatedCondition) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, location)
+    t.deleteWhereCorrelated(cond.bindTo,
+      mor = t.properties.get("write.delete.mode").contains("merge-on-read"))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE <correlated subquery>` (round 16) rewritten by
+  * [[graft.sql.GraftUpdateRule]]: same position-keyed shape as
+  * [[GraftDeleteCorrelatedCommand]] — the WHERE evaluates once as a
+  * decorrelated Filter, the rewrite applies SET values on the matched row
+  * identities (`write.update.mode=merge-on-read` commits position deletes
+  * plus the updated rows instead of a file rewrite). SET values keep the
+  * uncorrelated-only policy. */
+case class GraftUpdateCorrelatedCommand(location: String,
+    sets: Seq[(String, org.apache.spark.sql.Column)],
+    cond: graft.sql.CorrelatedCondition) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, location)
+    t.updateWhereCorrelated(cond.bindTo, sets,
+      mor = t.properties.get("write.update.mode").contains("merge-on-read"))
+    Seq.empty
+  }
+}
+
 /** `UPDATE t SET … [WHERE …]` rewritten by [[graft.sql.GraftUpdateRule]]:
   * runs the file-level copy-on-write [[GraftTable.updateWhere]] — only files
   * containing rows where the condition is TRUE are rewritten. */

@@ -71,10 +71,14 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   /** CDC mode (`.option("changelog", true)`): instead of refusing
     * row-changing snapshots, each micro-batch carries change IMAGES —
     * `_change_type` (INSERT / DELETE full-row images for deletion-vector
-    * commits / DELETE_KEY key-tuple retractions for equality-delete
-    * commits, non-key columns null) and `_commit_snapshot_id`, so a sink
-    * can replay MERGE/delete commits in snapshot order (the Iceberg
-    * CDC-read gap; Flink-style keyed upsert/retract stream). */
+    * AND copy-on-write commits / DELETE_KEY key-tuple retractions for
+    * equality-delete commits, non-key columns null) and
+    * `_commit_snapshot_id`, so a sink can replay MERGE/delete commits in
+    * snapshot order (the Iceberg CDC-read gap; Flink-style keyed
+    * upsert/retract stream). CoW rewrites (the reference's own
+    * write.delete.mode) stream the removed files' rows as DELETEs and
+    * the rewritten files' rows as INSERTs — un-netted carryover pairs
+    * included, which a keyed replay nets per commit. */
   private val changelog = Option(options.get("changelog")).exists(_.toBoolean)
 
   /** Table columns only — in changelog mode `declaredSchema` carries the
@@ -236,6 +240,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
         "era-aware batch API (changelogBetween)")
     val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(hadoopConf)
     val width = dataCols.size + partSchema.size
+    val byId = m.snapshots.map(s => s.id -> s).toMap
     def insertParts(sn: graft.table.GraftSnapshot): Seq[InputPartition] = {
       val addedSet = sn.addedFiles.toSet
       sn.files.filter(f => addedSet.contains(f.path)).map(f =>
@@ -306,10 +311,38 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
           }
           delParts ++ insertParts(sn)
         case _ if skipOverwrites => Seq.empty
+        case "delete" | "merge" | "update" | "overwrite" if newDels.isEmpty =>
+          // CoW commit (round 16; the reference's own table declares
+          // write.delete.mode=copy-on-write): the batch changelogBetween
+          // file diff re-expressed as stream partitions — removed files'
+          // rows stream as full-row DELETE images, the added (rewritten)
+          // files' rows as INSERT images. File granularity re-emits a
+          // rewritten file's UNCHANGED rows as DELETE+INSERT pairs in the
+          // same commit ("carryovers", Iceberg's un-netted changelog
+          // shape); a keyed replay (replayChangelog applies a commit's
+          // DELETEs before its INSERTs) nets them exactly.
+          val parent = sn.parentId.flatMap(byId.get)
+          val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
+          val removed = parentFiles.filter(f => sn.removedFiles.contains(f.path))
+          // a removed file that OLDER MoR delete files still applied to
+          // would re-emit already-deleted rows as DELETE images; those
+          // need the delete-applying batch read
+          val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
+          val masked = removed.filter(f =>
+            parentDels.exists(_.seq > f.dataSeq.getOrElse(0L)))
+          if (masked.nonEmpty) throw new UnsupportedOperationException(
+            s"graft changelog stream: CoW snapshot ${sn.id} rewrites " +
+              s"${masked.size} file(s) with older merge-on-read deletes " +
+              "still applied; read this range with changelogBetween, or " +
+              ".option(\"skipOverwriteSnapshots\", true) to skip it")
+          removed.map(f => ChangeImagePartition(readFunc,
+            partitionedFileOf(fs, f), "DELETE", sn.id,
+            runs = null): InputPartition) ++ insertParts(sn)
         case other => throw new UnsupportedOperationException(
           s"graft changelog stream: snapshot ${sn.id} is a '$other' commit " +
-            s"with removed files on $location — its images need a state " +
-            "diff; use changelogBetween, or " +
+            s"that both adds delete files and removes data files on " +
+            s"$location — its images need a state diff; use " +
+            "changelogBetween, or " +
             ".option(\"skipOverwriteSnapshots\", true) to skip it")
       }
     }.toArray

@@ -381,7 +381,7 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
-  test("UPDATE with an uncorrelated subquery WHERE; correlated still refused") {
+  test("UPDATE with an uncorrelated subquery WHERE; correlated WHERE routes to the position-keyed path") {
     freshTable("updsub")
     spark.sql("""SELECT CAST(3 AS BIGINT) AS uid""").createOrReplaceTempView("updsub_k")
     spark.sql("""UPDATE gsql.fin.updsub SET amount = amount + 1000
@@ -390,14 +390,15 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
       .collect().head.getDouble(0) === 1030.0)
     assert(spark.sql("SELECT sum(amount) FROM gsql.fin.updsub WHERE id < 3")
       .collect().head.getDouble(0) === 30.0, "non-matching rows unchanged")
-    // correlated subqueries cannot re-resolve against the rewrite's scan
-    val cor = intercept[Exception] {
-      spark.sql("""UPDATE gsql.fin.updsub SET amount = 0
-                   WHERE EXISTS (SELECT 1 FROM gsql.fin.delsubmor d
-                                 WHERE d.id = updsub.id)""")
-    }
-    assert(cor.getMessage.contains("correlated subquery"),
-      s"expected the clear refusal, got: ${cor.getMessage}")
+    // correlated WHERE is supported since round 16 (exprId-preserving
+    // re-bind; deep coverage in CorrelatedRowLevelSqlSpec)
+    spark.sql("""UPDATE gsql.fin.updsub SET amount = 0
+                 WHERE EXISTS (SELECT 1 FROM gsql.fin.delsubmor d
+                               WHERE d.id = updsub.id)""")
+    assert(spark.sql("SELECT id, amount FROM gsql.fin.updsub ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 0.0), (2L, 20.0), (3L, 0.0)),
+      "delsubmor holds ids {1, 3} after its delete — exactly those zero")
     // CORRELATED subqueries in SET values stay refused (uncorrelated
     // scalar SET values are supported — see the dedicated test)
     val setSub = intercept[Exception] {

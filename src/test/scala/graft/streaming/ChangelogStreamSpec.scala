@@ -174,7 +174,7 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(state(src).map(_._3) === Seq(1.0, 3.0))
   }
 
-  test("position-LIST delete commits are refused in changelog mode; CoW needs skipOverwriteSnapshots") {
+  test("position-LIST delete commits are refused in changelog mode; CoW over pending MoR deletes too") {
     val t = GraftTable.create(spark, tmpDir("cdc-ref"), "cdcref", schema)
     t.append(rows(0 until 10))
     t.deleteWherePositional(col("id") < 2) // legacy row-list (DV off)
@@ -183,14 +183,67 @@ class ChangelogStreamSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("position-LIST") ||
       Option(e.getCause).exists(_.getMessage.contains("position-LIST")))
-    // CoW delete (removes files) refuses without the skip option
-    val t2 = GraftTable.create(spark, tmpDir("cdc-cow"), "cdccow", schema)
+    // a CoW rewrite of files that older MoR deletes still apply to would
+    // re-emit already-deleted rows as DELETE images — refused (round 16)
+    val t2 = GraftTable.create(spark, tmpDir("cdc-cow-mixed"), "cdccowm", schema)
     t2.append(rows(0 until 10))
-    t2.deleteWhere(col("id") < 2)
+    t2.deleteWhereMoR(col("id") === 3L, Seq("id")) // pending equality delete
+    t2.deleteWhere(col("id") < 2)                  // CoW rewrite of the same file
     val e2 = intercept[Exception] {
-      collectChanges(t2.location, tmpDir("cdc-cow-cp"))
+      collectChanges(t2.location, tmpDir("cdc-cow-mixed-cp"))
     }
-    assert(e2.getMessage.contains("state") ||
-      Option(e2.getCause).exists(_.getMessage.contains("state diff")))
+    def msgs(ex: Throwable): Seq[String] =
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+    assert(msgs(e2).exists(_.contains("merge-on-read deletes")), msgs(e2))
+  }
+
+  test("CoW delete/update commits stream DELETE+INSERT images that replay to the batch state (round 16)") {
+    import spark.implicits._
+    // plain table, no DV, no MoR: every row-level commit is a file rewrite —
+    // the reference's own write.delete.mode=copy-on-write shape
+    val src = GraftTable.create(spark, tmpDir("cdc-cow-src"), "cdccowsrc", schema)
+    val sink = GraftTable.create(spark, tmpDir("cdc-cow-sink"), "ccs", schema)
+    val cp = tmpDir("cdc-cow-cp2")
+    def run(): Unit = spark.readStream.format("graft-stream")
+      .option("changelog", "true").load(src.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    src.append(rows(0 until 40)); run()
+    src.deleteWhere(col("id") % 7 === 3); run()       // CoW delete
+    src.append(rows(100 until 120)); run()
+    src.updateWhere(col("id") === 101L, Seq("v" -> lit(999.0))); run()
+    // a full-file CoW delete: removed file, NO added files
+    src.deleteWhere(col("grp") === "g1"); run()
+    // a no-op CoW delete (matches nothing) streams zero images
+    src.deleteWhere(col("id") === -1L); run()
+    def state(t: GraftTable) =
+      t.toDF.as[(Long, String, Double)].collect().toSeq.sorted
+    assert(state(sink) === state(src))
+    assert(state(sink).nonEmpty)
+    assert(state(src).exists(r => r._1 == 101L && r._3 == 999.0))
+  }
+
+  test("CoW images carry exact DELETE pre-images and INSERT post-images per commit") {
+    val t = GraftTable.create(spark, tmpDir("cdc-cow-img"), "cdccowimg", schema)
+    t.append(rows(0 until 30).coalesce(1)) // single file: the rewrite touches all 30 rows
+    t.deleteWhere(col("id") < 5) // CoW: rewrites the file, drops 5 rows
+    val changes = collectChanges(t.location, tmpDir("cdc-cow-img-cp"))
+    val delSnap = changes.filter(_._1 == "DELETE").map(_._2).distinct
+    assert(delSnap.size === 1, "all DELETE images belong to the CoW commit")
+    val byType = changes.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // file-granularity images: the rewritten file's 30 rows are DELETEs,
+    // the surviving 25 re-emit as INSERTs in the same commit (carryovers) —
+    // plus the original append's 30 INSERTs from commit 1
+    assert(byType("DELETE") === (0L until 30L))
+    assert(byType("INSERT").diff(0L until 30L) === (5L until 30L))
+    // keyed net per commit = the batch answer: deletes minus re-inserts
+    val cowId = delSnap.head
+    val netGone = byType("DELETE").diff(
+      changes.filter(c => c._1 == "INSERT" && c._2 == cowId).map(_._3))
+    assert(netGone === (0L until 5L))
   }
 }

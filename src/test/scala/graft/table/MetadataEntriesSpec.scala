@@ -91,6 +91,35 @@ class MetadataEntriesSpec extends SparkTestBase {
     assert(fromDv.map(_._1).size === 1, "all positions name the single data file")
   }
 
+  test("position_deletes: plan stays bounded under 100+ delete files, all kinds in one scan pass (round 16)") {
+    // rows-per-file=1 fans each positional commit out to one file per
+    // deleted row (capped at 64), so two commits build a 100+-file
+    // uncompacted delete set cheaply
+    val t = GraftTable.create(spark, tmpDir("posdel-many"), "posdel_many",
+      schema, props = Map("write.delete.rows-per-file" -> "1"))
+    t.append(rows(0 until 300).coalesce(1)) // single sorted file: _pos i = id i
+    t.deleteWherePositional(col("id") < 60)               // 60 parquet row lists
+    t.deleteWherePositional(col("id").between(100, 159))  // 60 more
+    t.setProperties(Map("write.delete.format.default" -> "avro"))
+    t.deleteWherePositional(col("id").between(200, 219))  // 20 avro row lists
+    t.setProperties(Map("write.delete.vector.enabled" -> "true"))
+    t.deleteWherePositional(col("id") === 250)            // 1 deletion vector
+    val nDel = t.meta.currentSnapshot.get.deleteFiles
+      .count(d => d.isPositional || d.isDv)
+    assert(nDel > 100, s"fixture must fan out 100+ delete files, got $nDel")
+    val df = t.positionDeletesDF
+    // one multi-path scan per KIND: plan size is O(kinds), never O(files) —
+    // the former per-file union fold built 100+ branches here
+    val nodes = df.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes <= 20, s"plan must stay bounded in the delete-file count; got $nodes nodes")
+    val got = df.collect()
+    assert(got.map(_.getLong(1)).toSet ===
+      ((0 until 60) ++ (100 to 159) ++ (200 to 219) ++ Seq(250)).map(_.toLong).toSet,
+      "all three physical kinds surface their exact positions")
+    assert(got.map(_.getString(2)).distinct.length === nDel,
+      "per-row provenance names every contributing delete file")
+  }
+
   test("SQL catalog routes the three new metadata tables") {
     val wh = tmpDir("meta-cat-wh")
     spark.conf.set("spark.sql.catalog.metacat",

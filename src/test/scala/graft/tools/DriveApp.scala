@@ -733,6 +733,59 @@ object DriveApp {
       println(s"wap-id staged=$audit mainDuringStage=$mainDuringStage " +
         s"published=$pub pinAncestors=$pinAnc agedTag=${m.tags.contains("aged")}")
     }
+    println("== correlated row-level SQL + CoW changelog stream (round 16)")
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val wh = java.nio.file.Files.createTempDirectory("drive-corr").toString
+      spark.conf.set("spark.sql.catalog.dcorr",
+        "graft.table.catalog.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.dcorr.warehouse", wh)
+      try {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        val src = graft.table.GraftTable.create(spark, s"$wh/db/t", "db.t", schema)
+        src.append(spark.range(10)
+          .select(col("id"), (col("id") * 1.0).as("v")).coalesce(1))
+        Seq(2L, 5L, 8L).toDF("kid").createOrReplaceTempView("drive_keep")
+        // correlated EXISTS delete: re-bound by exprId, decorrelated to a
+        // semi join, committed as a position-keyed CoW rewrite
+        spark.sql("""DELETE FROM dcorr.db.t t
+                     WHERE EXISTS (SELECT 1 FROM drive_keep k WHERE k.kid = t.id)""")
+        val left = spark.sql("SELECT id FROM dcorr.db.t ORDER BY id")
+          .collect().map(_.getLong(0)).mkString(",")
+        // correlated IN update (correlation through the inner WHERE):
+        // matches ids {1, 4, 7}
+        spark.sql("""UPDATE dcorr.db.t t SET v = -1.0
+                     WHERE t.id IN (SELECT k.kid - 1 FROM drive_keep k
+                                    WHERE k.kid > t.id)""")
+        val negs = spark.sql("SELECT id FROM dcorr.db.t WHERE v = -1.0 ORDER BY id")
+          .collect().map(_.getLong(0)).mkString(",")
+        // the CoW commits above stream as DELETE/INSERT change images and
+        // replay to the exact batch state
+        val sink = graft.table.GraftTable.create(spark, s"$wh/db/sink",
+          "db.sink", schema)
+        spark.readStream.format("graft-stream").option("changelog", "true")
+          .load(s"$wh/db/t")
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.streaming.StreamingOps.replayChangelog(b, sink))
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("drive-corr-cp").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        val replayEq = sink.toDF.exceptAll(src.toDF).isEmpty &&
+          src.toDF.exceptAll(sink.toDF).isEmpty
+        println(s"correlated-sql left=$left negUpdated=$negs " +
+          s"cow-replay-matches=$replayEq")
+      } finally {
+        spark.conf.unset("spark.sql.catalog.dcorr")
+        spark.conf.unset("spark.sql.catalog.dcorr.warehouse")
+      }
+    }
     spark.stop()
   }
 }
