@@ -371,6 +371,7 @@ object Bench {
          |  "value_discounted_shuffle": $totalDiscountedShuffle,
          |  "discount_factors": $discJson,
          |  "probes_clean": $probesCleanJson,
+         |  "notes": "r16 A/B (AB_r16.json): interleaved same-day sweeps of the r14 tree vs HEAD over the common 207 queries cleared the r15 regression as ambient - r16 4.4% faster best-of-two (64.07 vs 66.99s); e_pagerank 0.86x, x_bm25 0.73x, d_bloom_incremental 1.01x, d_jaccard_prefix 0.97x at 9 runs. Shuffle probe on this sandbox now idles at 0.17-0.46 vs the 0.14-0.17 floor recorded pre-r15; cpu/fs refs unchanged.",
          |  "unit": "sec",
          |  "sf": ${jstr(sfDir)},
          |  "runs_per_query": $runs,
