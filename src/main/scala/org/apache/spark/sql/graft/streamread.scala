@@ -122,9 +122,13 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     availableNowCap = Some(headId(meta).getOrElse(0L))
 
   /** Admission control: advance through at most `maxSnapshotsPerTrigger`
-    * snapshots and (soft) `maxFilesPerTrigger` added files — always at
-    * least one snapshot so the stream cannot stall; `addedFiles.size` is
-    * an O(1) metadata count, no manifest resolution. */
+    * snapshots and (soft) `maxFilesPerTrigger` files — always at least
+    * one snapshot so the stream cannot stall; the counts are O(1)
+    * metadata, no manifest resolution. In changelog mode a commit's
+    * batch cost is added + removed + new-delete files (a CoW rewrite
+    * plans one DELETE-image partition per REMOVED file and an MoR
+    * commit one retraction partition per delete file — budgeting only
+    * additions would admit arbitrarily large delete batches). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val m = meta
     val head = availableNowCap match {
@@ -150,6 +154,8 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       if (withinLimits || taken == 0) {
         taken += 1
         files += sn.addedFiles.size
+        if (changelog)
+          files += sn.removedFiles.size + sn.deleteFiles.count(_.seq == sn.id)
         end = sn.id
       }
     }

@@ -174,6 +174,30 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(state(src).map(_._3) === Seq(1.0, 3.0))
   }
 
+  test("changelog admission control budgets removed+delete files, not just additions (round 16)") {
+    val t = GraftTable.create(spark, tmpDir("cdc-rate"), "cdcrate", schema)
+    t.append(rows(0 until 5).coalesce(1))     // snapshot 1: 1 file
+    t.deleteWhere(col("id") < 2)              // snapshot 2: CoW -1 +1 = weight 2
+    t.append(rows(100 until 105).coalesce(1)) // snapshot 3: 1 file
+    val batchSnaps = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .option("maxFilesPerTrigger", "3").load(t.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        batchSnaps.add(b.select("_commit_snapshot_id").distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq); ()
+      })
+      .option("checkpointLocation", tmpDir("cdc-rate-cp"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val snaps = batchSnaps.asScala.toSeq.filter(_.nonEmpty)
+    // budgeting only ADDED files would fit all three commits (1+1+1) in
+    // one batch; the CoW commit's true cost (1 removed + 1 added) spends
+    // the 3-file budget after commit 2
+    assert(snaps === Seq(Seq(1L, 2L), Seq(3L)),
+      s"CoW weight must exhaust the 3-file budget after commit 2; got $snaps")
+  }
+
   test("position-LIST delete commits are refused in changelog mode; CoW over pending MoR deletes too") {
     val t = GraftTable.create(spark, tmpDir("cdc-ref"), "cdcref", schema)
     t.append(rows(0 until 10))
@@ -225,6 +249,31 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(state(sink) === state(src))
     assert(state(sink).nonEmpty)
     assert(state(src).exists(r => r._1 == 101L && r._3 == 999.0))
+  }
+
+  test("partitioned CoW images carry the partition column values (driver-attached, not in the files)") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("cdc-cow-part"), "cdccowp",
+      schema, partitionCols = Seq("grp"))
+    val sink = GraftTable.create(spark, tmpDir("cdc-cow-part-sink"), "ccps", schema)
+    val cp = tmpDir("cdc-cow-part-cp")
+    def run(): Unit = spark.readStream.format("graft-stream")
+      .option("changelog", "true").load(src.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    src.append(rows(0 until 30)); run()
+    // CoW delete rewrites files in TWO partitions (odd ids land in every
+    // grp); the DELETE images' grp values come from the partition
+    // directories, not the data pages
+    src.deleteWhere(col("id") % 2 === 1 && col("grp").isin("g0", "g1")); run()
+    def state(t: GraftTable) =
+      t.toDF.as[(Long, String, Double)].collect().toSeq.sorted
+    assert(state(sink) === state(src))
+    assert(state(src).nonEmpty && !state(src).exists(r => r._1 % 2 == 1 &&
+      (r._2 == "g0" || r._2 == "g1")))
   }
 
   test("CoW images carry exact DELETE pre-images and INSERT post-images per commit") {
