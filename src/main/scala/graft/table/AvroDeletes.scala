@@ -263,14 +263,20 @@ object AvroDeletes {
     * one task per file (delete files are the small MoR side). */
   def read(spark: SparkSession, paths: Seq[String],
       schema: StructType): DataFrame =
-    readTagged(spark, paths, schema).drop("__source")
+    readImpl(spark, paths, schema, tagSource = false)
 
   /** [[read]] plus a `__source` column carrying each row's origin path
     * (verbatim as passed) — lets a multi-file metadata read keep
     * per-delete-file provenance in ONE distributed scan instead of one
-    * plan branch per file. */
+    * plan branch per file. Separate from [[read]] so the MoR read hot
+    * path never builds (and the row encoder never converts) a per-row
+    * path string it would only drop. */
   def readTagged(spark: SparkSession, paths: Seq[String],
-      schema: StructType): DataFrame = {
+      schema: StructType): DataFrame =
+    readImpl(spark, paths, schema, tagSource = true)
+
+  private def readImpl(spark: SparkSession, paths: Seq[String],
+      schema: StructType, tagSource: Boolean): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fieldTypes = schema.fields.map(_.dataType)
@@ -295,13 +301,15 @@ object AvroDeletes {
           }
           override def next(): Row = {
             val rec = stream.next()
-            Row.fromSeq(fieldNames.zip(fieldTypes).map {
+            val vals = fieldNames.zip(fieldTypes).map {
               case (n, dt) => fromAvro(rec.get(n), dt)
-            }.toSeq :+ p)
+            }.toSeq
+            Row.fromSeq(if (tagSource) vals :+ p else vals)
           }
         }
       }
     spark.createDataFrame(rdd,
-      StructType(schema.fields :+ StructField("__source", StringType)))
+      if (tagSource) StructType(schema.fields :+ StructField("__source", StringType))
+      else schema)
   }
 }

@@ -923,8 +923,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val head = resolveWriteBranchHead(m, branch)
       val headFiles = head.map(_.files).getOrElse(Seq.empty)
       val posScan = plainReadWithPos(m, tableSchema, headFiles)
+      // ONE evaluation, pinned: the matched identities feed several
+      // downstream jobs (affected-path collect, rewrite/delete-file
+      // writes), and the condition's subquery joins INNER tables that
+      // are not under this table's commit lock — a recompute between
+      // jobs could see fresh foreign state and diverge the sets.
+      // localCheckpoint cuts the lineage: blocks are reused or the job
+      // fails, never silently recomputed.
       val matched = posScan.filter(condFor(posScan))
-        .select(col("__file"), col("__pos"))
+        .select(col("__file"), col("__pos")).localCheckpoint()
       if (mor) {
         commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch,
           addedDeletes =
@@ -979,8 +986,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val head = resolveWriteBranchHead(m, branch)
       val headFiles = head.map(_.files).getOrElse(Seq.empty)
       val posScan = plainReadWithPos(m, tableSchema, headFiles)
+      // pinned for the same reason as deleteWhereCorrelated: three
+      // consumers (path collect, updated-row write, delete-file write)
+      // must see ONE consistent evaluation of the correlated condition
       val matched = posScan.filter(condFor(posScan))
-        .select(col("__file"), col("__pos"))
+        .select(col("__file"), col("__pos")).localCheckpoint()
       val matchedRel = matched.select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
       val affectedFiles = headFiles.filter(f => matchedRel.contains(f.path))

@@ -153,9 +153,13 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       // prefix stays contiguous
       if (withinLimits || taken == 0) {
         taken += 1
-        files += sn.addedFiles.size
-        if (changelog)
-          files += sn.removedFiles.size + sn.deleteFiles.count(_.seq == sn.id)
+        // a 'replace' (compaction) plans ZERO partitions in both modes —
+        // charging it would burn whole micro-batches that read nothing
+        if (sn.operation != "replace") {
+          files += sn.addedFiles.size
+          if (changelog)
+            files += sn.removedFiles.size + sn.deleteFiles.count(_.seq == sn.id)
+        }
         end = sn.id
       }
     }
@@ -229,6 +233,24 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       if (f.sizeBytes > 0) f.sizeBytes else fs.getFileStatus(full).getLen
     PartitionedFile(pvals, SparkPath.fromPath(full), 0, len)
   }
+
+  /** Target data-file paths a positional/DV delete file names (its
+    * `__file` column) — read ONCE per delete file per stream instance,
+    * driver-side (vector/row-list files are the small MoR side). Used
+    * only to decide whether a CoW-removed file still has unapplied MoR
+    * deletes; equality deletes need no read (the sequence rule alone is
+    * exact for them). */
+  private val positionTargetCache =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  private def positionDeleteTargets(d: graft.table.DeleteFile): Set[String] =
+    positionTargetCache.getOrElseUpdate(d.path, {
+      val full = s"$location/data/${d.path}"
+      val df =
+        if (d.path.endsWith(graft.table.AvroDeletes.Extension))
+          graft.table.AvroDeletes.read(spark, Seq(full))
+        else spark.read.parquet(full)
+      df.select("__file").distinct().collect().map(_.getString(0)).toSet
+    })
 
   /** Changelog planning: per snapshot, DELETE images first (deletion
     * vectors expand to full-row images by reading the parent file and
@@ -329,13 +351,35 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
           // DELETEs before its INSERTs) nets them exactly.
           val parent = sn.parentId.flatMap(byId.get)
           val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
-          val removed = parentFiles.filter(f => sn.removedFiles.contains(f.path))
+          val removedSet = sn.removedFiles.toSet
+          val removed = parentFiles.filter(f => removedSet.contains(f.path))
+          // every removed path must resolve through the RETAINED parent
+          // snapshot — an expired parent would silently drop the DELETE
+          // images (the replay would then keep deleted rows and duplicate
+          // carryovers), so fail loudly like the pre-CoW code did
+          if (removed.size != removedSet.size)
+            throw new UnsupportedOperationException(
+              s"graft changelog stream: CoW snapshot ${sn.id} removed " +
+                s"${removedSet.size} file(s) but its parent snapshot " +
+                s"${sn.parentId.getOrElse(-1L)} is no longer retained " +
+                s"(resolved ${removed.size}); its DELETE images are gone — " +
+                "restart from a later fromSnapshotId, or raise snapshot " +
+                "retention past the consumer lag")
           // a removed file that OLDER MoR delete files still applied to
           // would re-emit already-deleted rows as DELETE images; those
-          // need the delete-applying batch read
+          // need the delete-applying batch read. Equality deletes apply
+          // to EVERY older file (sequence rule — the seq check is exact);
+          // positional/DV deletes record their target files, so only an
+          // actual overlap with the removed set refuses (a DV on an
+          // unrelated file must not permanently kill the stream).
           val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
-          val masked = removed.filter(f =>
-            parentDels.exists(_.seq > f.dataSeq.getOrElse(0L)))
+          val masked = removed.filter { f =>
+            parentDels.exists { d =>
+              d.seq > f.dataSeq.getOrElse(0L) &&
+                (!(d.isDv || d.isPositional) ||
+                  positionDeleteTargets(d).contains(f.path))
+            }
+          }
           if (masked.nonEmpty) throw new UnsupportedOperationException(
             s"graft changelog stream: CoW snapshot ${sn.id} rewrites " +
               s"${masked.size} file(s) with older merge-on-read deletes " +

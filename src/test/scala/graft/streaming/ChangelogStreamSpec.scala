@@ -276,6 +276,56 @@ class ChangelogStreamSpec extends SparkTestBase {
       (r._2 == "g0" || r._2 == "g1")))
   }
 
+  test("CoW rewrite streams when pending DVs target OTHER files; refuses on actual overlap (round 16)") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("cdc-cow-dv"), "cdccowdv", schema,
+      props = Map("write.delete.vector.enabled" -> "true"))
+    val sink = GraftTable.create(spark, tmpDir("cdc-cow-dv-sink"), "ccds", schema)
+    src.append(rows(0 until 10).coalesce(1))    // file A
+    src.append(rows(100 until 110).coalesce(1)) // file B
+    src.deleteWherePositional(col("id") === 105L) // DV targets B only
+    src.deleteWhere(col("id") === 3L)             // CoW rewrite of A
+    val cp = tmpDir("cdc-cow-dv-cp")
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .load(src.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def state(t: GraftTable) =
+      t.toDF.as[(Long, String, Double)].collect().toSeq.sorted
+    assert(state(sink) === state(src),
+      "a DV on an unrelated file must not block CoW streaming")
+    assert(!state(src).exists(r => r._1 == 3L || r._1 == 105L))
+    // the DV'd file itself CoW-rewritten: its DELETE images would
+    // re-emit the DV-deleted row — refuse
+    src.deleteWhere(col("id") === 106L)
+    val e = intercept[Exception] {
+      collectChanges(src.location, tmpDir("cdc-cow-dv-cp2"))
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).toSeq
+    assert(msgs.exists(_.contains("merge-on-read deletes")), msgs)
+  }
+
+  test("CoW changelog fails loudly when the parent snapshot expired (DELETE images unrecoverable)") {
+    val t = GraftTable.create(spark, tmpDir("cdc-cow-exp"), "cdccowexp", schema)
+    t.append(rows(0 until 10).coalesce(1))     // s1
+    t.deleteWhere(col("id") < 3)               // s2: CoW, parent s1
+    t.append(rows(100 until 105).coalesce(1))  // s3
+    val future = System.currentTimeMillis() + 3600L * 1000
+    t.expireSnapshots(olderThanMs = future, retainLast = 2, nowMs = future) // s1 gone
+    assert(t.meta.snapshot(1L).isEmpty, "fixture: s1 must have expired")
+    val e = intercept[Exception] {
+      collectChanges(t.location, tmpDir("cdc-cow-exp-cp"))
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).toSeq
+    assert(msgs.exists(_.contains("no longer retained")),
+      s"an expired parent must fail loudly, not drop DELETE images: $msgs")
+  }
+
   test("CoW images carry exact DELETE pre-images and INSERT post-images per commit") {
     val t = GraftTable.create(spark, tmpDir("cdc-cow-img"), "cdccowimg", schema)
     t.append(rows(0 until 30).coalesce(1)) // single file: the rewrite touches all 30 rows
