@@ -203,13 +203,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * file was written, newest first — the name-based stand-in for
     * Iceberg's field-id resolution. */
   private def physicalName(m: TableMetadata, declared: String, seq: Long): String =
-    // renames are appended chronologically; unwind in strict reverse
-    // insertion order (a sort keyed on afterSeq alone is stable, so two
-    // renames issued with no commit between them — same afterSeq — would
-    // unwind forwards and resolve a->b->c to the never-materialized 'b')
-    m.renames.reverse.foldLeft(declared) { (n, r) =>
-      if (n == r.to && seq <= r.afterSeq) r.from else n
-    }
+    GraftTable.physicalNameOf(m, declared, seq)
 
   /** Physical (in-file) type of a declared column for a file added at
     * commit sequence `seq`: unwind every type promotion that happened
@@ -218,17 +212,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * [[renameColumn]] rewrites them on rename). */
   private def physicalType(m: TableMetadata, declared: String,
       declaredType: DataType, seq: Long): DataType =
-    m.typeChanges.reverse.foldLeft(declaredType) { (t, tc) =>
-      if (tc.column == declared && seq <= tc.afterSeq)
-        DataType.fromJson(tc.fromJson) else t
-    }
+    GraftTable.physicalTypeOf(m, declared, declaredType, seq)
 
   /** Current declared name for a column name recorded at commit sequence
     * `seq` (e.g. an equality-delete key written before later renames). */
   private def declaredNameNow(m: TableMetadata, recorded: String, seq: Long): String =
-    m.renames.foldLeft(recorded) { (n, r) => // chronological insertion order
-      if (n == r.from && seq <= r.afterSeq) r.to else n
-    }
+    GraftTable.declaredNameNowOf(m, recorded, seq)
 
   private def plainRead(m: TableMetadata, s: StructType, files: Seq[DataFile]): DataFrame =
     plainReadImpl(m, s, files, withPos = false)
@@ -3415,6 +3404,39 @@ object GraftTable {
   /** Orphan GC ignores files younger than this (Iceberg's older_than default,
     * 3 days) so in-flight commits' freshly moved files are never collected. */
   val OrphanFileDefaultAgeMs: Long = 3L * 24 * 60 * 60 * 1000
+
+  // --- era resolution, public for readers OUTSIDE the graft packages ---
+  // (the streaming source lives under org.apache.spark.sql for its
+  // private[sql] access and cannot see private[graft] members)
+
+  /** Physical (in-file) name of a declared column for a file added at
+    * commit sequence `seq`: unwind every rename that happened after the
+    * file was written, in strict reverse insertion order (a sort keyed
+    * on afterSeq alone is stable, so two renames issued with no commit
+    * between them — same afterSeq — would unwind forwards and resolve
+    * a->b->c to the never-materialized 'b'). */
+  def physicalNameOf(m: TableMetadata, declared: String, seq: Long): String =
+    m.renames.reverse.foldLeft(declared) { (n, r) =>
+      if (n == r.to && seq <= r.afterSeq) r.from else n
+    }
+
+  /** Physical (in-file) type of a declared column for a file added at
+    * commit sequence `seq` — same era logic as [[physicalNameOf]]
+    * (records are keyed by the current declared name; renameColumn
+    * rewrites them on rename). */
+  def physicalTypeOf(m: TableMetadata, declared: String,
+      declaredType: DataType, seq: Long): DataType =
+    m.typeChanges.reverse.foldLeft(declaredType) { (t, tc) =>
+      if (tc.column == declared && seq <= tc.afterSeq)
+        DataType.fromJson(tc.fromJson) else t
+    }
+
+  /** Current declared name for a column name recorded at commit sequence
+    * `seq` (e.g. an equality-delete key written before later renames). */
+  def declaredNameNowOf(m: TableMetadata, recorded: String, seq: Long): String =
+    m.renames.foldLeft(recorded) { (n, r) => // chronological insertion order
+      if (n == r.from && seq <= r.afterSeq) r.to else n
+    }
 
   /** Parse an Iceberg-style sort-order string
     * (`account ASC NULLS LAST, txn_id DESC NULLS FIRST`) into sort

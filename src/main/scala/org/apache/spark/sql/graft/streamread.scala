@@ -3,12 +3,12 @@ package org.apache.spark.sql.graft
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, GenericInternalRow, Literal, MutableProjection}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -48,6 +48,11 @@ import graft.table.SnapshotLog
  *    streamed ancestry after their offset was committed are simply gone
  *    from the log the stream reads — restart from an explicit
  *    `fromSnapshotId` after such surgery.
+ *  - Schema-evolution ERAS stream (round 16): files written before a
+ *    column rename / type promotion scan under their era's physical
+ *    schema and upcast to the declared types — the same era resolution
+ *    the batch reads apply, so a rename or int→long promotion mid-stream
+ *    no longer forces the consumer to the batch API.
  *
  * Scale shape: planning is driver-side metadata only (O(snapshots in
  * range)); each added file becomes one input partition read by the
@@ -215,6 +220,68 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   private lazy val readFunc: PartitionedFile => Iterator[InternalRow] =
     readerFor(dataCols, partSchema)
 
+  /** Era-aware read closure for one data FILE (round 16): files written
+    * before a column rename / type promotion store old physical names /
+    * narrower types, so they scan under their era's physical schema —
+    * positional layout is identity (partition columns can be neither
+    * renamed nor promoted), and promoted columns upcast to the declared
+    * types through a per-partition codegen'd projection. One closure per
+    * distinct era, cached for the stream's lifetime; era-free tables hit
+    * the single prebuilt [[readFunc]]. Replaces the round-14 refusals
+    * ("read that range with the batch API"). */
+  private val eraReaderCache =
+    scala.collection.concurrent.TrieMap.empty[
+      StructType, PartitionedFile => Iterator[InternalRow]]
+
+  /** A rename/promotion landing UNDER a running query leaves its pinned
+    * schema stale — new files store names/types the pinned schema cannot
+    * map, which would read as silent nulls. Fail loudly instead; a query
+    * STARTED after the evolution pins the current schema and streams
+    * every era. Checked once per era-table batch plan. */
+  private def requireFreshSchema(m: graft.table.TableMetadata): Unit = {
+    val cur = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[StructType]
+    require(cur.fields.map(f => (f.name, f.dataType)).sameElements(
+        baseSchema.fields.map(f => (f.name, f.dataType))),
+      "graft streaming read: the table schema changed under this running " +
+        "query (rename/type promotion after query start); restart the " +
+        "stream to pin the new schema")
+  }
+
+  private def readFuncFor(m: graft.table.TableMetadata,
+      f: graft.table.DataFile): PartitionedFile => Iterator[InternalRow] = {
+    if (m.renames.isEmpty && m.typeChanges.isEmpty) return readFunc
+    val seq = f.dataSeq.getOrElse(0L)
+    val phys = StructType(dataCols.fields.map { fld =>
+      fld.copy(
+        name = graft.table.GraftTable.physicalNameOf(m, fld.name, seq),
+        dataType = graft.table.GraftTable
+          .physicalTypeOf(m, fld.name, fld.dataType, seq))
+    })
+    eraReaderCache.getOrElseUpdate(phys, {
+      val base = readerFor(phys, partSchema)
+      if (phys.fields.map(_.dataType).sameElements(
+          dataCols.fields.map(_.dataType))) base
+      else {
+        // bound cast expressions serialize into the closure; the
+        // projection itself is built per partition on the executor
+        val exprs: Seq[Expression] =
+          dataCols.fields.indices.map { i =>
+            val in = BoundReference(i, phys(i).dataType, nullable = true)
+            if (phys(i).dataType == dataCols(i).dataType) in
+            else Cast(in, dataCols(i).dataType, zone)
+          } ++ partSchema.fields.indices.map { j =>
+            BoundReference(dataCols.size + j, partSchema(j).dataType,
+              nullable = true): Expression
+          }
+        (pf: PartitionedFile) => {
+          val proj = MutableProjection.create(exprs)
+          base(pf).map(proj)
+        }
+      }
+    })
+  }
+
   /** (partition-values row, PartitionedFile) for one snapshot-log entry. */
   private def partitionedFileOf(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -263,16 +330,13 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   private def planChangelog(range: Seq[graft.table.GraftSnapshot],
       m: graft.table.TableMetadata,
       skipOverwrites: Boolean): Array[InputPartition] = {
-    require(m.renames.isEmpty && m.typeChanges.isEmpty,
-      "graft changelog stream: rename/type-promotion eras need the " +
-        "era-aware batch API (changelogBetween)")
     val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(hadoopConf)
     val width = dataCols.size + partSchema.size
     val byId = m.snapshots.map(s => s.id -> s).toMap
     def insertParts(sn: graft.table.GraftSnapshot): Seq[InputPartition] = {
       val addedSet = sn.addedFiles.toSet
       sn.files.filter(f => addedSet.contains(f.path)).map(f =>
-        ChangeImagePartition(readFunc, partitionedFileOf(fs, f),
+        ChangeImagePartition(readFuncFor(m, f), partitionedFileOf(fs, f),
           "INSERT", sn.id, runs = null))
     }
     range.flatMap { sn =>
@@ -295,7 +359,8 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               spark.read.parquet(s"$location/data/${d.path}")
                 .collect().toSeq.flatMap { r =>
                   byPath.get(r.getString(0)).map { f =>
-                    ChangeImagePartition(readFunc, partitionedFileOf(fs, f),
+                    ChangeImagePartition(readFuncFor(m, f),
+                      partitionedFileOf(fs, f),
                       "DELETE", sn.id, runs = r.getSeq[Long](1).toArray)
                   }
                 }
@@ -309,15 +374,34 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               // equality delete: the delete file's rows ARE the key
               // tuples — emit them as DELETE_KEY retractions mapped into
               // the full-width row (non-key columns null), tagged with the
-              // RECORDED key-column list in _change_key. The reference's
+              // key-column list in _change_key (CURRENT declared names —
+              // keys recorded before a later rename map forward, so the
+              // replay retracts on columns that exist). The reference's
               // write.delete.format.default='avro' commits dispatch to a
               // streamed executor-side Avro container reader; parquet
               // deletes go through the columnar reader.
-              d.keyCols.foreach(k => require(!partitionCols.contains(k),
+              val declaredKeys = d.keyCols.map(k =>
+                graft.table.GraftTable.declaredNameNowOf(m, k, d.seq))
+              declaredKeys.foreach(k => require(!partitionCols.contains(k),
                 s"changelog stream: equality-delete key $k is a partition column"))
-              val keyIdx = d.keyCols.map(dataCols.fieldIndex)
-              val keySchema = StructType(d.keyCols.map(k => dataCols(k)))
-              val keyList = d.keyCols.mkString(",")
+              val keyIdx = declaredKeys.map(dataCols.fieldIndex)
+              // a type promotion on a key column AFTER the delete commit
+              // would need per-value upcasting of the recorded tuples in
+              // this low-level reader — refuse; the batch changelogBetween
+              // handles that era through the DataFrame layer
+              declaredKeys.foreach { k =>
+                val dt = dataCols(k).dataType
+                require(graft.table.GraftTable
+                    .physicalTypeOf(m, k, dt, d.seq) == dt,
+                  s"graft changelog stream: equality-delete key $k of " +
+                    s"snapshot ${sn.id} was recorded under a narrower " +
+                    "pre-promotion type; read this range with changelogBetween")
+              }
+              // the delete FILE stores columns under the RECORDED names
+              // (types unpromoted per the guard above)
+              val keySchema = StructType(d.keyCols.zip(declaredKeys).map {
+                case (rec, dec) => StructField(rec, dataCols(dec).dataType) })
+              val keyList = declaredKeys.mkString(",")
               if (d.path.endsWith(graft.table.AvroDeletes.Extension))
                 Seq(AvroKeyDeletePartition(
                   s"$location/data/${d.path}",
@@ -385,7 +469,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               s"${masked.size} file(s) with older merge-on-read deletes " +
               "still applied; read this range with changelogBetween, or " +
               ".option(\"skipOverwriteSnapshots\", true) to skip it")
-          removed.map(f => ChangeImagePartition(readFunc,
+          removed.map(f => ChangeImagePartition(readFuncFor(m, f),
             partitionedFileOf(fs, f), "DELETE", sn.id,
             runs = null): InputPartition) ++ insertParts(sn)
         case other => throw new UnsupportedOperationException(
@@ -408,6 +492,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       .sortBy(_.id)
     val skipOverwrites =
       Option(options.get("skipOverwriteSnapshots")).exists(_.toBoolean)
+    if (m.renames.nonEmpty || m.typeChanges.nonEmpty) requireFreshSchema(m)
     if (changelog) return planChangelog(range, m, skipOverwrites)
     val added = range.flatMap { sn =>
       sn.operation match {
@@ -424,44 +509,13 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       }
     }
     if (added.isEmpty) return Array.empty
-    // rename-era guard: the one batch-read subtlety this reader does not
-    // re-implement. Streamed files written BEFORE a column rename store
-    // old physical names; refuse rather than read silent nulls.
-    if (m.renames.nonEmpty) {
-      val lastRename = m.renames.map(_.afterSeq).max
-      val stale = added.filter(_.dataSeq.forall(_ <= lastRename))
-      require(stale.isEmpty,
-        s"graft streaming read: ${stale.size} streamed file(s) predate a column " +
-          "rename; read that range with the batch API (era-aware) instead")
-    }
-    // same guard for type-promotion eras: pre-promotion files store the
-    // narrower physical type, which this reader's declared schema cannot
-    // decode (parquet INT32 pages are not longs)
-    if (m.typeChanges.nonEmpty) {
-      val lastChange = m.typeChanges.map(_.afterSeq).max
-      val stale = added.filter(_.dataSeq.forall(_ <= lastChange))
-      require(stale.isEmpty,
-        s"graft streaming read: ${stale.size} streamed file(s) predate a column " +
-          "type promotion; read that range with the batch API (era-aware) instead")
-    }
-
+    // files written before a column rename / type promotion scan under
+    // their era's physical schema and upcast back (readFuncFor) — the
+    // round-14 refusals are gone
     val fs = new org.apache.hadoop.fs.Path(location)
       .getFileSystem(hadoopConf)
     added.map { f =>
-      val pvals = new GenericInternalRow(partSchema.fields.map { pf =>
-        f.partitionValues.get(pf.name)
-          .filterNot(_ == "__HIVE_DEFAULT_PARTITION__") match {
-          case Some(raw) =>
-            Cast(Literal(UTF8String.fromString(raw), StringType),
-              pf.dataType, zone).eval(null)
-          case None => null
-        }
-      }.asInstanceOf[Array[Any]])
-      val full = new org.apache.hadoop.fs.Path(s"$location/data/${f.path}")
-      val len =
-        if (f.sizeBytes > 0) f.sizeBytes else fs.getFileStatus(full).getLen
-      GraftFilePartition(readFunc,
-        PartitionedFile(pvals, SparkPath.fromPath(full), 0, len))
+      GraftFilePartition(readFuncFor(m, f), partitionedFileOf(fs, f))
     }.toArray
   }
 

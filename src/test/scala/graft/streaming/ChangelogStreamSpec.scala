@@ -326,6 +326,37 @@ class ChangelogStreamSpec extends SparkTestBase {
       s"an expired parent must fail loudly, not drop DELETE images: $msgs")
   }
 
+  test("changelog streams across a rename: era files and old-name DELETE_KEYs map forward (round 16)") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("cdc-era"), "cdcera", schema)
+    src.append(rows(0 until 10).coalesce(1))          // era 0 (column: id)
+    src.deleteWhere(col("id") === 5L)                 // CoW on the era-0 file
+    src.deleteWhereMoR(col("id") === 2L, Seq("id"))   // key recorded as "id"
+    src.renameColumn("id", "doc_id")
+    src.append(rows(100 until 105).coalesce(1)
+      .withColumnRenamed("id", "doc_id"))             // era 1 (column: doc_id)
+    src.deleteWhereMoR(col("doc_id") === 101L, Seq("doc_id"))
+    val sinkSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("grp", StringType),
+      StructField("v", DoubleType)))
+    val sink = GraftTable.create(spark, tmpDir("cdc-era-sink"), "ces", sinkSchema)
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .load(src.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", tmpDir("cdc-era-cp"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def state(t: GraftTable) = t.toDF
+      .select(col("doc_id"), col("grp"), col("v"))
+      .as[(Long, String, Double)].collect().toSeq.sorted
+    assert(state(sink) === state(src),
+      "era-0 images must map to the current column names; the pre-rename " +
+        "DELETE_KEY must retract under doc_id")
+    assert(!state(src).exists(r => r._1 == 2L || r._1 == 5L || r._1 == 101L))
+    assert(state(src).exists(_._1 == 100L))
+  }
+
   test("CoW images carry exact DELETE pre-images and INSERT post-images per commit") {
     val t = GraftTable.create(spark, tmpDir("cdc-cow-img"), "cdccowimg", schema)
     t.append(rows(0 until 30).coalesce(1)) // single file: the rewrite touches all 30 rows

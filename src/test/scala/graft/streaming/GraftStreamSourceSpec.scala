@@ -156,6 +156,42 @@ class GraftStreamSourceSpec extends SparkTestBase {
     assert(rows.toArray.map(_.asInstanceOf[Long]).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("schema-evolution eras stream: renamed and type-promoted files read era-aware (round 16)") {
+    val t = GraftTable.create(spark, tmpDir("gss-era"), "gss_era", StructType(Seq(
+      StructField("id", IntegerType), StructField("grp", StringType))))
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "grp"))      // era 0: int id, grp
+    t.renameColumn("grp", "category")
+    t.append(Seq((3, "c")).toDF("id", "category"))           // era 1: int id, category
+    t.updateColumnType("id", LongType)
+    t.append(Seq((2147483650L, "d")).toDF("id", "category")) // era 2: long id
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_era").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("gss_era").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "c"), (2147483650L, "d")),
+        "all three eras must read under the current names and types " +
+          "(pre-promotion INT32 pages upcast; pre-rename columns map forward)")
+    } finally q.stop()
+  }
+
+  test("a rename landing UNDER a running stream fails loudly instead of reading silent nulls") {
+    val t = freshTable("era-live")
+    t.append(Seq((1L, "a")).toDF("id", "grp"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_era_live").start()
+    try {
+      q.processAllAvailable()
+      t.renameColumn("grp", "category")
+      t.append(Seq((2L, "b")).toDF("id", "category"))
+      val e = intercept[Exception](q.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+      assert(msgs.exists(_.contains("restart the stream")), msgs)
+    } finally q.stop()
+  }
+
   test("fuzz: random append/compaction interleavings stream exactly the table contents") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 3) {
