@@ -368,14 +368,18 @@ object StreamingOps {
    * a snapshot's deletes never touch its own inserts).
    *
    *  - `DELETE_KEY` images (equality-delete commits) retract by their
-   *    RECORDED key tuple — the `_change_key` metadata column carries the
-   *    delete file's actual key-column list, so an all-null recorded key
-   *    column still participates (batches without `_change_key` fall back
-   *    to inferring keys from non-null columns, with that caveat);
-   *  - `DELETE` images (deletion-vector commits) are full rows and
-   *    retract by whole-row equality (exact when rows are unique — a DV
-   *    names ONE physical row, whole-row replay removes all duplicates;
-   *    deduplicate upstream or key the table if that matters);
+   *    key tuple — the `_change_key` metadata column carries the delete
+   *    file's actual key-column list under the CURRENT declared names
+   *    (keys recorded before a later rename map forward), so an all-null
+   *    recorded key column still participates (batches without
+   *    `_change_key` fall back to inferring keys from non-null columns,
+   *    with that caveat);
+   *  - `DELETE` images (deletion-vector AND copy-on-write commits) are
+   *    full rows and retract by whole-row equality (exact when rows are
+   *    unique — a DV names ONE physical row, whole-row replay removes
+   *    all duplicates; deduplicate upstream or key the table if that
+   *    matters); a CoW commit's carryover DELETE+INSERT pairs net out
+   *    because its deletes apply before its inserts;
    *  - `INSERT` images append.
    *
    * All retractions match NULL-SAFELY (`<=>`, the equality-delete

@@ -48,10 +48,11 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
       declared.filterNot(f => meta.partitionCols.contains(f.name)) ++
         declared.filter(f => meta.partitionCols.contains(f.name)))
     // CDC mode appends the change-image columns (Iceberg changelog shape);
-    // _change_key carries a DELETE_KEY image's RECORDED key-column list
-    // (comma-joined, null on other images) so a replayer retracts on the
-    // delete file's actual keys instead of inferring them from non-null
-    // values — an all-null recorded key column must still be a key
+    // _change_key carries a DELETE_KEY image's key-column list under the
+    // CURRENT declared names (keys recorded before a later rename map
+    // forward; comma-joined, null on other images) so a replayer retracts
+    // on the delete file's actual keys instead of inferring them from
+    // non-null values — an all-null recorded key column must still be a key
     val schema =
       if (changelog) StructType(base.fields ++ Seq(
         org.apache.spark.sql.types.StructField("_change_type",

@@ -237,21 +237,43 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     * schema stale — new files store names/types the pinned schema cannot
     * map, which would read as silent nulls. Fail loudly instead; a query
     * STARTED after the evolution pins the current schema and streams
-    * every era. Checked once per era-table batch plan. */
+    * every era. The check is by (name -> type) CONTAINMENT, deliberately:
+    * the pinned schema orders partition columns last (tableAt), so
+    * element-wise order comparison would brick partitioned era tables;
+    * and additive column widening leaves every pinned column readable —
+    * only a pinned name disappearing (rename/drop) or changing type
+    * (promotion) makes the pin unable to map new files. Checked once per
+    * era-table batch plan. */
   private def requireFreshSchema(m: graft.table.TableMetadata): Unit = {
     val cur = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-      .asInstanceOf[StructType]
-    require(cur.fields.map(f => (f.name, f.dataType)).sameElements(
-        baseSchema.fields.map(f => (f.name, f.dataType))),
-      "graft streaming read: the table schema changed under this running " +
-        "query (rename/type promotion after query start); restart the " +
+      .asInstanceOf[StructType].fields.map(f => f.name -> f.dataType).toMap
+    val stale = baseSchema.fields.filterNot(f => cur.get(f.name).contains(f.dataType))
+    require(stale.isEmpty,
+      s"graft streaming read: column(s) ${stale.map(_.name).mkString(", ")} " +
+        "of this query's pinned schema changed under the running query " +
+        "(rename/type promotion/drop after query start); restart the " +
         "stream to pin the new schema")
   }
 
+  /** Era of a data file — batch parity (GraftTable.addedSeqByPath):
+    * unstamped legacy files (pre-dataSeq metadata) resolve from the
+    * retained add history, 0 only when even that is gone; a bare
+    * getOrElse(0L) would silently read a post-rename unstamped file
+    * under pre-rename physical names (null columns). The history map
+    * builds lazily, at most once per batch plan. */
+  private def seqResolver(m: graft.table.TableMetadata)
+      : graft.table.DataFile => Long = {
+    lazy val addSeq: Map[String, Long] = m.snapshots.sortBy(_.id)
+      .flatMap(sn => sn.addedFiles.map(_ -> sn.id))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    f => f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
+  }
+
   private def readFuncFor(m: graft.table.TableMetadata,
-      f: graft.table.DataFile): PartitionedFile => Iterator[InternalRow] = {
+      f: graft.table.DataFile, seqOf: graft.table.DataFile => Long)
+      : PartitionedFile => Iterator[InternalRow] = {
     if (m.renames.isEmpty && m.typeChanges.isEmpty) return readFunc
-    val seq = f.dataSeq.getOrElse(0L)
+    val seq = seqOf(f)
     val phys = StructType(dataCols.fields.map { fld =>
       fld.copy(
         name = graft.table.GraftTable.physicalNameOf(m, fld.name, seq),
@@ -333,10 +355,11 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(hadoopConf)
     val width = dataCols.size + partSchema.size
     val byId = m.snapshots.map(s => s.id -> s).toMap
+    val seqOf = seqResolver(m)
     def insertParts(sn: graft.table.GraftSnapshot): Seq[InputPartition] = {
       val addedSet = sn.addedFiles.toSet
       sn.files.filter(f => addedSet.contains(f.path)).map(f =>
-        ChangeImagePartition(readFuncFor(m, f), partitionedFileOf(fs, f),
+        ChangeImagePartition(readFuncFor(m, f, seqOf), partitionedFileOf(fs, f),
           "INSERT", sn.id, runs = null))
     }
     range.flatMap { sn =>
@@ -359,7 +382,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               spark.read.parquet(s"$location/data/${d.path}")
                 .collect().toSeq.flatMap { r =>
                   byPath.get(r.getString(0)).map { f =>
-                    ChangeImagePartition(readFuncFor(m, f),
+                    ChangeImagePartition(readFuncFor(m, f, seqOf),
                       partitionedFileOf(fs, f),
                       "DELETE", sn.id, runs = r.getSeq[Long](1).toArray)
                   }
@@ -459,7 +482,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
           val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
           val masked = removed.filter { f =>
             parentDels.exists { d =>
-              d.seq > f.dataSeq.getOrElse(0L) &&
+              d.seq > seqOf(f) &&
                 (!(d.isDv || d.isPositional) ||
                   positionDeleteTargets(d).contains(f.path))
             }
@@ -469,7 +492,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               s"${masked.size} file(s) with older merge-on-read deletes " +
               "still applied; read this range with changelogBetween, or " +
               ".option(\"skipOverwriteSnapshots\", true) to skip it")
-          removed.map(f => ChangeImagePartition(readFuncFor(m, f),
+          removed.map(f => ChangeImagePartition(readFuncFor(m, f, seqOf),
             partitionedFileOf(fs, f), "DELETE", sn.id,
             runs = null): InputPartition) ++ insertParts(sn)
         case other => throw new UnsupportedOperationException(
@@ -514,8 +537,9 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     // round-14 refusals are gone
     val fs = new org.apache.hadoop.fs.Path(location)
       .getFileSystem(hadoopConf)
+    val seqOf = seqResolver(m)
     added.map { f =>
-      GraftFilePartition(readFuncFor(m, f), partitionedFileOf(fs, f))
+      GraftFilePartition(readFuncFor(m, f, seqOf), partitionedFileOf(fs, f))
     }.toArray
   }
 
@@ -547,8 +571,9 @@ case class ChangeImagePartition(
 
 /** Equality-delete key tuples as DELETE_KEY retraction images: the delete
   * parquet's columns map into `keyIdx` positions of the full-width row,
-  * everything else null; `keyList` (the recorded key-column names,
-  * comma-joined) rides in the _change_key metadata column. */
+  * everything else null; `keyList` (the key-column names under their
+  * CURRENT declared spelling — recorded names map forward across later
+  * renames — comma-joined) rides in the _change_key metadata column. */
 case class KeyDeletePartition(
     readFunc: PartitionedFile => Iterator[InternalRow],
     file: PartitionedFile,

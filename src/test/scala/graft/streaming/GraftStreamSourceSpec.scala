@@ -176,6 +176,41 @@ class GraftStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("partitioned era table streams: freshness check is order-insensitive to the partition-cols-last pin") {
+    // declared order (id, grp, v) with grp partitioned: the stream pins
+    // (id, v, grp) — an element-wise schema comparison would brick this
+    val t = GraftTable.create(spark, tmpDir("gss-era-p"), "gss_era_p",
+      StructType(Seq(StructField("id", LongType), StructField("grp", StringType),
+        StructField("v", DoubleType))), partitionCols = Seq("grp"))
+    t.append(Seq((1L, "a", 1.0)).toDF("id", "grp", "v"))
+    t.renameColumn("v", "w")
+    t.append(Seq((2L, "b", 2.0)).toDF("id", "grp", "w"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_era_p").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("gss_era_p").orderBy("id")
+        .select("id", "grp", "w").as[(Long, String, Double)].collect().toSeq
+      assert(rows === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    } finally q.stop()
+  }
+
+  test("additive widening under a running era stream keeps streaming; only pinned-column changes demand a restart") {
+    val t = freshTable("era-widen")
+    t.append(Seq((1L, "a")).toDF("id", "grp"))
+    t.renameColumn("grp", "category") // era table BEFORE the query starts
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_era_widen").start()
+    try {
+      q.processAllAvailable()
+      t.append(Seq((2L, "b", 9.0)).toDF("id", "category", "extra")) // widens
+      q.processAllAvailable() // pinned columns all readable: no restart demand
+      val rows = spark.table("gss_era_widen").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows === Seq((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
+
   test("a rename landing UNDER a running stream fails loudly instead of reading silent nulls") {
     val t = freshTable("era-live")
     t.append(Seq((1L, "a")).toDF("id", "grp"))
