@@ -267,11 +267,17 @@ case class TableMetadata(
     currentSnapshotId.flatMap(snapshot)
 
   /** Snapshot ids on the ancestry chain of the given ref head. */
+  /** Retained ancestor chain of `headId`, newest first. Emits only ids
+    * that still RESOLVE in this metadata: the oldest retained snapshot's
+    * parentId may point past the expiry boundary, and emitting that
+    * dangling id made every `ancestry`-then-act consumer (rollback,
+    * changelog planning) trip over a snapshot that no longer exists —
+    * round-16 fuzz finding. */
   def ancestry(headId: Long): Seq[Long] = {
     val byId = snapshots.map(s => s.id -> s).toMap
     Iterator
       .iterate(Option(headId))(cur => cur.flatMap(byId.get).flatMap(_.parentId))
-      .takeWhile(_.isDefined)
+      .takeWhile(_.exists(byId.contains))
       .flatten
       .toSeq
   }

@@ -120,6 +120,19 @@ class MetadataEntriesSpec extends SparkTestBase {
       "per-row provenance names every contributing delete file")
   }
 
+  test("ancestry never emits an expired, unresolvable snapshot id (round 16)") {
+    val t = GraftTable.create(spark, tmpDir("anc-exp"), "anc_exp", schema)
+    (0 until 3).foreach(i => t.append(rows(i * 10 until (i + 1) * 10)))
+    val future = System.currentTimeMillis() + 3600L * 1000
+    t.expireSnapshots(olderThanMs = future, retainLast = 2, nowMs = future)
+    val m = t.meta
+    val anc = m.ancestry(m.currentSnapshotId.get)
+    assert(anc.forall(id => m.snapshot(id).isDefined),
+      s"ancestry leaked an unresolvable id: $anc")
+    assert(anc === Seq(3L, 2L),
+      "the oldest retained snapshot's dangling parent pointer stays out")
+  }
+
   test("SQL catalog routes the three new metadata tables") {
     val wh = tmpDir("meta-cat-wh")
     spark.conf.set("spark.sql.catalog.metacat",

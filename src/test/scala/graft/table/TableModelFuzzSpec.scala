@@ -78,10 +78,11 @@ class TableModelFuzzSpec extends SparkTestBase {
       check("init")
 
       (1 to 40).foreach { i =>
-        // ops 11-13 (round 15: general merge CoW/MoR, WAP-by-id) run in
-        // every mode; op 10 (positional delete) only in dv/avro campaigns
+        // ops 11-13 (round 15: general merge CoW/MoR, WAP-by-id) and 14
+        // (round 16: position-keyed correlated-path commits) run in every
+        // mode; op 10 (positional delete) only in dv/avro campaigns
         val opCode = {
-          val x = rnd.nextInt(if (dvMode || avroMode) 14 else 13)
+          val x = rnd.nextInt(if (dvMode || avroMode) 15 else 14)
           if (!(dvMode || avroMode) && x >= 10) x + 1 else x
         }
         opCode match {
@@ -201,6 +202,25 @@ class TableModelFuzzSpec extends SparkTestBase {
             t.cherryPick(t.snapshotForWapId(wid).get.id)
             model ++= rows
             check(s"op$i wap-id stage+publish")
+          case 14 => // round 16: the correlated row-level path's
+            // position-keyed commits (matched (__file,__pos) identities ->
+            // CoW anti-join rewrite, or MoR position-delete commit) under
+            // arbitrary interleavings; the condition itself is simple —
+            // the SUBQUERY semantics are pinned by CorrelatedRowLevelSqlSpec,
+            // the COMMIT machinery is what interleaving stresses
+            val m0 = 2 + rnd.nextInt(5); val r = rnd.nextInt(m0)
+            val mor = rnd.nextBoolean()
+            if (rnd.nextBoolean()) {
+              t.deleteWhereCorrelated(df => df("k") % m0 === r, mor = mor)
+              model = model.filterNot { case (k, _, _) => k % m0 == r }
+              check(s"op$i deleteWhereCorrelated(k % $m0 == $r, mor=$mor)")
+            } else {
+              t.updateWhereCorrelated(df => df("k") % m0 === r,
+                Seq("v" -> (col("v") + 2.0)), mor = mor)
+              model = model.map { case row @ (k, v, p) =>
+                if (k % m0 == r) (k, v + 2.0, p) else row }
+              check(s"op$i updateWhereCorrelated(k % $m0 == $r, mor=$mor)")
+            }
         }
       }
 
