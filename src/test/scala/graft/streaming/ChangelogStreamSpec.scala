@@ -198,6 +198,98 @@ class ChangelogStreamSpec extends SparkTestBase {
       s"CoW weight must exhaust the 3-file budget after commit 2; got $snaps")
   }
 
+  test("fuzz: random CoW histories replay through the changelog stream onto the batch state (round 16)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      // pure copy-on-write table (the reference's own delete mode): every
+      // row-level commit is a file rewrite, so no masking refusal can arise
+      val src = GraftTable.create(spark, tmpDir(s"cdc-fz-cow-$trial"),
+        s"cfc$trial", schema)
+      val sink = GraftTable.create(spark, tmpDir(s"cdc-fz-cow-sink-$trial"),
+        s"cfcs$trial", schema)
+      val cp = tmpDir(s"cdc-fz-cow-cp-$trial")
+      def run(): Unit = spark.readStream.format("graft-stream")
+        .option("changelog", "true").load(src.location)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingOps.replayChangelog(b, sink))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      var nextId = 0L
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 =>
+            val k = 1 + rnd.nextInt(8)
+            src.append((nextId until nextId + k)
+              .map(i => (i, s"g${rnd.nextInt(3)}", i * 1.5))
+              .toDF("id", "grp", "v").repartition(1 + rnd.nextInt(2)))
+            nextId += k
+          case 2 =>
+            val m0 = 2 + rnd.nextInt(4)
+            src.deleteWhere(col("id") % m0 === rnd.nextInt(m0))
+          case 3 =>
+            src.updateWhere(col("id") % (2 + rnd.nextInt(4)) === 0,
+              Seq("v" -> (col("v") + 10.0)))
+          case 4 => // replace: row-preserving, must stay invisible
+            if (src.meta.currentSnapshot.exists(_.files.size > 1))
+              src.rewriteDataFilesSorted(Seq(asc("id")))
+        }
+        if (rnd.nextBoolean()) run() // interleave restarts mid-history
+      }
+      run()
+      assert(sink.toDF.exceptAll(src.toDF).isEmpty &&
+        src.toDF.exceptAll(sink.toDF).isEmpty,
+        s"trial $trial: replayed CoW changelog diverged from the batch state")
+    }
+  }
+
+  test("fuzz: random MoR/DV histories replay through the changelog stream onto the batch state (round 16)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for ((trial, props) <- Seq(
+        1 -> Map("write.delete.vector.enabled" -> "true"),
+        2 -> Map("write.delete.vector.enabled" -> "true",
+          "write.delete.format.default" -> "avro"))) {
+      val src = GraftTable.create(spark, tmpDir(s"cdc-fz-mor-$trial"),
+        s"cfm$trial", schema, props = props)
+      val sink = GraftTable.create(spark, tmpDir(s"cdc-fz-mor-sink-$trial"),
+        s"cfms$trial", schema)
+      val cp = tmpDir(s"cdc-fz-mor-cp-$trial")
+      def run(): Unit = spark.readStream.format("graft-stream")
+        .option("changelog", "true").load(src.location)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingOps.replayChangelog(b, sink))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      var nextId = 0L
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 =>
+            val k = 1 + rnd.nextInt(8)
+            src.append((nextId until nextId + k)
+              .map(i => (i, s"g${rnd.nextInt(3)}", i * 1.5))
+              .toDF("id", "grp", "v").repartition(1 + rnd.nextInt(2)))
+            nextId += k
+          case 2 =>
+            val m0 = 2 + rnd.nextInt(4)
+            src.deleteWhereMoR(col("id") % m0 === rnd.nextInt(m0), Seq("id"))
+          case 3 =>
+            src.deleteWherePositional(col("id") % (3 + rnd.nextInt(3)) === 1)
+          case 4 =>
+            src.updateWhereMoR(col("id") % (2 + rnd.nextInt(4)) === 0,
+              Seq("v" -> (col("v") + 100.0)), Seq("id"))
+        }
+        if (rnd.nextBoolean()) run()
+      }
+      run()
+      assert(sink.toDF.exceptAll(src.toDF).isEmpty &&
+        src.toDF.exceptAll(sink.toDF).isEmpty,
+        s"trial $trial: replayed MoR/DV changelog diverged from the batch state")
+    }
+  }
+
   test("position-LIST delete commits are refused in changelog mode; CoW over pending MoR deletes too") {
     val t = GraftTable.create(spark, tmpDir("cdc-ref"), "cdcref", schema)
     t.append(rows(0 until 10))
