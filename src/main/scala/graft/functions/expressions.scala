@@ -65,12 +65,29 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // round 16: mismatched lengths and null ELEMENTS yield NULL — the
+  // zip_with + aggregate HOF semantics this kernel replaces. The old
+  // min-length truncation computed a prefix metric that let one
+  // corrupt-dimension row silently win a top-k; null elements read
+  // through ArrayData as 0.0 without isNullAt, a plausible-but-wrong
+  // similarity. The element null check is emitted only when a side's
+  // array type says elements CAN be null.
+  override def nullable: Boolean = true
+
+  @transient private lazy val lx = elemIsDouble(left)
+  @transient private lazy val ly = elemIsDouble(right)
+  @transient private lazy val checkNulls = elementsNullable(left, right)
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case ArrayType(FloatType, _) => false
     case t => throw new IllegalArgumentException(s"VecCosine needs float/double arrays, got $t")
   }
+
+  private def elementsNullable(es: Expression*): Boolean = es.exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -85,11 +102,12 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val lx = elemIsDouble(left); val ly = elemIsDouble(right)
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lx) x.getDouble(i) else x.getFloat(i).toDouble
       val yv = if (ly) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -100,22 +118,35 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (elemIsDouble(left)) "getDouble" else "getFloat"
-      val getB = if (elemIsDouble(right)) "getDouble" else "getFloat"
+      val getA = if (lx) "getDouble" else "getFloat"
+      val getB = if (ly) "getDouble" else "getFloat"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val nullCheck =
+        if (checkNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double xv = (double) $a.$getA($i);
-          double yv = (double) $b.$getB($i);
-          $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            double $xv = (double) $a.$getA($i);
+            double $yv = (double) $b.$getB($i);
+            $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 
@@ -131,6 +162,17 @@ case class VecL2(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // mismatched lengths / null elements -> NULL, like [[VecCosine]]: a
+  // prefix L2 is systematically SMALLER, so a corrupt-dimension row
+  // would silently win a nearest-neighbor top-k
+  override def nullable: Boolean = true
+
+  @transient private lazy val lx = elemIsDouble(left)
+  @transient private lazy val ly = elemIsDouble(right)
+  @transient private lazy val checkNulls = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -151,11 +193,12 @@ case class VecL2(left: Expression, right: Expression) extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val lx = elemIsDouble(left); val ly = elemIsDouble(right)
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var ss = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lx) x.getDouble(i) else x.getFloat(i).toDouble
       val yv = if (ly) y.getDouble(i) else y.getFloat(i).toDouble
       val d = xv - yv
@@ -167,20 +210,31 @@ case class VecL2(left: Expression, right: Expression) extends BinaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (elemIsDouble(left)) "getDouble" else "getFloat"
-      val getB = if (elemIsDouble(right)) "getDouble" else "getFloat"
+      val getA = if (lx) "getDouble" else "getFloat"
+      val getB = if (ly) "getDouble" else "getFloat"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val ss = ctx.freshName("ss")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (checkNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $ss = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = (double) $a.$getA($i) - (double) $b.$getB($i);
-          $ss += $d * $d;
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $ss = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            double $d = (double) $a.$getA($i) - (double) $b.$getB($i);
+            $ss += $d * $d;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = java.lang.Math.sqrt($ss);
+          }
         }
-        ${ev.value} = java.lang.Math.sqrt($ss);
       """
     })
 
@@ -791,10 +845,20 @@ case class PqReconNorm(child: Expression, norms: Seq[Seq[Double]])
   override def nullSafeEval(input: Any): Any = {
     val codes = input.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    // codes persisted against a DIFFERENT codebook (more sub-spaces, or a
+    // wider ksub) must fail with a pointer at the mismatch, not AIOOBE —
+    // and on the Unsafe path an unchecked read would be silent garbage
+    if (m > nrm.length) throw new IllegalArgumentException(
+      s"pq_recon_norm: codes row has $m sub-spaces but norms cover " +
+        s"${nrm.length} (codebook mismatch)")
     var acc = 0.0
     var s = 0
     while (s < m) {
-      acc += nrm(s)(codes.getByte(s) + 128)
+      val idx = codes.getByte(s) + 128
+      if (idx >= nrm(s).length) throw new IllegalArgumentException(
+        s"pq_recon_norm: code ${idx - 128} in sub-space $s exceeds " +
+          s"ksub=${nrm(s).length} (codebook mismatch)")
+      acc += nrm(s)(idx)
       s += 1
     }
     math.sqrt(acc)
@@ -806,11 +870,17 @@ case class PqReconNorm(child: Expression, norms: Seq[Seq[Double]])
       val s = ctx.freshName("s")
       val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
+      val idx = ctx.freshName("idx")
       s"""
         int $m = $c.numElements();
+        if ($m > $n.length) throw new IllegalArgumentException(
+          "pq_recon_norm: codes/norms sub-space count mismatch (codebook mismatch)");
         double $acc = 0.0;
         for (int $s = 0; $s < $m; $s++) {
-          $acc += $n[$s][((int) $c.getByte($s)) + 128];
+          int $idx = ((int) $c.getByte($s)) + 128;
+          if ($idx >= $n[$s].length) throw new IllegalArgumentException(
+            "pq_recon_norm: code exceeds ksub (codebook mismatch)");
+          $acc += $n[$s][$idx];
         }
         ${ev.value} = java.lang.Math.sqrt($acc);
       """
@@ -846,10 +916,20 @@ case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
     val codes = a.asInstanceOf[ArrayData]
     val table = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    // UnsafeArrayData.getDouble does NOT bounds-check: a ksub/codebook
+    // mismatch would read adjacent row-buffer bytes as silent garbage
+    // scores — validate the exact table size and each code's range
+    if (m.toLong * ksub != table.numElements()) throw new IllegalArgumentException(
+      s"pq_adc_sum: ${table.numElements()}-entry ADC table does not match " +
+        s"$m sub-spaces x ksub=$ksub (codebook mismatch)")
     var acc = 0.0
     var s = 0
     while (s < m) {
-      acc += table.getDouble(s * ksub + codes.getByte(s) + 128)
+      val idx = codes.getByte(s) + 128
+      if (idx >= ksub) throw new IllegalArgumentException(
+        s"pq_adc_sum: code ${idx - 128} in sub-space $s exceeds ksub=$ksub " +
+          "(codes encoded against a different codebook)")
+      acc += table.getDouble(s * ksub + idx)
       s += 1
     }
     acc
@@ -860,11 +940,17 @@ case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
       val s = ctx.freshName("s")
       val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
+      val idx = ctx.freshName("idx")
       s"""
         int $m = $a.numElements();
+        if (((long) $m) * $ksub != $b.numElements()) throw new IllegalArgumentException(
+          "pq_adc_sum: ADC table size does not match sub-spaces x ksub (codebook mismatch)");
         double $acc = 0.0;
         for (int $s = 0; $s < $m; $s++) {
-          $acc += $b.getDouble($s * $ksub + ((int) $a.getByte($s)) + 128);
+          int $idx = ((int) $a.getByte($s)) + 128;
+          if ($idx >= $ksub) throw new IllegalArgumentException(
+            "pq_adc_sum: code exceeds ksub (codes from a different codebook)");
+          $acc += $b.getDouble($s * $ksub + $idx);
         }
         ${ev.value} = $acc;
       """
@@ -933,20 +1019,38 @@ object GraftFunctions {
 
   /** Register the native expressions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
+    // arity validated HERE: builders run during analysis, so a wrong call
+    // must be an analysis error, never a bare IndexOutOfBounds — and a
+    // SURPLUS argument must not be silently dropped (hiding a user's
+    // mistake behind a plausible result)
+    def arity(name: String, n: Int)(
+        build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      exprs => {
+        require(exprs.length == n,
+          s"$name takes exactly $n argument(s), got ${exprs.length}")
+        build(exprs)
+      }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash", arity("rolling_hash(text)", 1)(e => RollingHash(e.head)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => VecCosine(exprs.head, exprs(1)), "built-in")
+      "vec_cosine", arity("vec_cosine(a, b)", 2)(e => VecCosine(e.head, e(1))),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_l2", exprs => VecL2(exprs.head, exprs(1)), "built-in")
+      "vec_l2", arity("vec_l2(a, b)", 2)(e => VecL2(e.head, e(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_eq_count", exprs => ArrayLongEqCount(exprs.head, exprs(1)), "built-in")
+      "array_eq_count",
+      arity("array_eq_count(a, b)", 2)(e => ArrayLongEqCount(e.head, e(1))),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", arity("simhash64(hashes)", 1)(e => SimHash64(e.head)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
+      "char_entropy", arity("char_entropy(text)", 1)(e => CharEntropy(e.head)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+      "nfc_normalize",
+      arity("nfc_normalize(text)", 1)(e => NfcNormalize(e.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => {
         // validate here: the builder runs during analysis, so bad calls
@@ -977,6 +1081,15 @@ case class ArrayLongEqCount(left: Expression, right: Expression) extends BinaryE
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // mismatched lengths / null elements -> NULL, like [[VecCosine]]: a
+  // truncated positional agreement count over-estimates MinHash
+  // similarity exactly for the malformed signatures
+  override def nullable: Boolean = true
+
+  @transient private lazy val checkNulls = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -991,9 +1104,11 @@ case class ArrayLongEqCount(left: Expression, right: Expression) extends BinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var c = 0; var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       if (x.getLong(i) == y.getLong(i)) c += 1
       i += 1
     }
@@ -1005,13 +1120,24 @@ case class ArrayLongEqCount(left: Expression, right: Expression) extends BinaryE
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val c = ctx.freshName("c")
+      val nullCheck =
+        if (checkNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        int $c = 0;
-        for (int $i = 0; $i < $n; $i++) {
-          if ($a.getLong($i) == $b.getLong($i)) $c++;
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          int $c = 0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            if ($a.getLong($i) == $b.getLong($i)) $c++;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $c;
+          }
         }
-        ${ev.value} = $c;
       """
     })
 
@@ -1296,14 +1422,17 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
       val k = ctx.freshName("k")
       val h = ctx.freshName("h")
       val p = ctx.freshName("p")
+      val b = ctx.freshName("b") // the one non-fresh name in the file's
+      // templates would collide if this fragment inlines next to another
+      // scope declaring 'b' — codegen would fall back to interpreted
       s"""
         byte[] $bytes = $c.getBytes();
         long[] $counts = new long[27];
         long $total = 0L;
         for (int $i = 0; $i < $bytes.length; $i++) {
-          byte b = $bytes[$i];
-          if (b >= 'a' && b <= 'z') { $counts[b - 'a']++; $total++; }
-          else if (b == ' ') { $counts[26]++; $total++; }
+          byte $b = $bytes[$i];
+          if ($b >= 'a' && $b <= 'z') { $counts[$b - 'a']++; $total++; }
+          else if ($b == ' ') { $counts[26]++; $total++; }
         }
         double $h = 0.0;
         if ($total > 0L) {

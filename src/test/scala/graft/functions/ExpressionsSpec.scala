@@ -60,6 +60,58 @@ class ExpressionsSpec extends SparkTestBase {
     assert(edge(1).isNullAt(0))
   }
 
+  test("vector kernels yield NULL on mismatched lengths and null elements, never a prefix metric (round 16)") {
+    import spark.implicits._
+    // mismatched dimensions: a truncated prefix L2 is systematically
+    // SMALLER, so a corrupt-dimension row would silently win a top-k
+    val mm = Seq(
+      (1, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (2, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("id", "a", "b")
+      .select(col("id"),
+        GraftFunctions.vec_cosine(col("a"), col("b")).as("c"),
+        GraftFunctions.vec_l2(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(!mm(0).isNullAt(1) && !mm(0).isNullAt(2))
+    assert(mm(1).isNullAt(1) && mm(1).isNullAt(2),
+      "mismatched dimensions must be NULL, not a prefix metric")
+    // a null ELEMENT reads as 0.0 through ArrayData without isNullAt —
+    // must be NULL like the zip_with + aggregate HOF form
+    val ne = Seq((Seq(Option(1.0), None, Option(3.0)),
+        Seq(Option(1.0), Option(2.0), Option(3.0)))).toDF("a", "b")
+      .select(GraftFunctions.vec_cosine(col("a"), col("b")).as("c"),
+        GraftFunctions.vec_l2(col("a"), col("b")).as("d")).collect()
+    assert(ne(0).isNullAt(0) && ne(0).isNullAt(1),
+      "null elements must propagate to NULL")
+    // signature-overlap kernel: same contract
+    val ec = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(GraftFunctions.array_eq_count(col("a"), col("b"))).collect()
+    assert(ec(0).isNullAt(0), "mismatched signature lengths must be NULL")
+    // PQ kernels refuse codebook mismatches with a pointed message
+    // instead of unsafe out-of-bounds reads (silent garbage) or AIOOBE
+    val pq = intercept[Exception] {
+      Seq((Seq(0.toByte, 0.toByte), Seq.fill(16)(1.0))).toDF("c", "t")
+        .select(org.apache.spark.sql.graft.bridge.column(PqAdcSum(
+          org.apache.spark.sql.graft.bridge.expression(col("c")),
+          org.apache.spark.sql.graft.bridge.expression(col("t")),
+          ksub = 4)).as("s")).collect()
+    }
+    def msgs(ex: Throwable): Seq[String] =
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+    assert(msgs(pq).exists(_.contains("codebook mismatch")), msgs(pq))
+    // SQL arity errors are analysis-time and name the function
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0), Seq(1.0))).toDF("a", "b").createOrReplaceTempView("vk_in")
+    val ar = intercept[Exception] {
+      spark.sql("SELECT vec_cosine(a) FROM vk_in").collect()
+    }
+    assert(msgs(ar).exists(_.contains("vec_cosine(a, b) takes exactly 2")), msgs(ar))
+    val ar2 = intercept[Exception] {
+      spark.sql("SELECT rolling_hash('x', 7) FROM vk_in").collect()
+    }
+    assert(msgs(ar2).exists(_.contains("takes exactly 1")), msgs(ar2))
+  }
+
   test("vec_cosine equals the higher-order-function cosine bit-exactly") {
     import spark.implicits._
     val df = (1 to 50).map { i =>
