@@ -845,10 +845,11 @@ case class PqReconNorm(child: Expression, norms: Seq[Seq[Double]])
   override def nullSafeEval(input: Any): Any = {
     val codes = input.asInstanceOf[ArrayData]
     val m = codes.numElements()
-    // codes persisted against a DIFFERENT codebook (more sub-spaces, or a
-    // wider ksub) must fail with a pointer at the mismatch, not AIOOBE —
-    // and on the Unsafe path an unchecked read would be silent garbage
-    if (m > nrm.length) throw new IllegalArgumentException(
+    // codes persisted against a DIFFERENT codebook (any sub-space count
+    // other than the codebook's) must fail with a pointer at the
+    // mismatch, not AIOOBE — and a SHORTER row would otherwise yield a
+    // silently smaller prefix norm, the plausible-but-wrong class
+    if (m != nrm.length) throw new IllegalArgumentException(
       s"pq_recon_norm: codes row has $m sub-spaces but norms cover " +
         s"${nrm.length} (codebook mismatch)")
     var acc = 0.0
@@ -873,7 +874,7 @@ case class PqReconNorm(child: Expression, norms: Seq[Seq[Double]])
       val idx = ctx.freshName("idx")
       s"""
         int $m = $c.numElements();
-        if ($m > $n.length) throw new IllegalArgumentException(
+        if ($m != $n.length) throw new IllegalArgumentException(
           "pq_recon_norm: codes/norms sub-space count mismatch (codebook mismatch)");
         double $acc = 0.0;
         for (int $s = 0; $s < $m; $s++) {

@@ -515,7 +515,11 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       .sortBy(_.id)
     val skipOverwrites =
       Option(options.get("skipOverwriteSnapshots")).exists(_.toBoolean)
-    if (m.renames.nonEmpty || m.typeChanges.nonEmpty) requireFreshSchema(m)
+    // unconditional: DROP COLUMN records only a tombstone (no rename /
+    // type-change entry), so gating on those would let a mid-stream drop
+    // stream the pinned dropped column as silent nulls. The check is one
+    // schema-JSON parse + a map compare per batch plan — cheap.
+    requireFreshSchema(m)
     if (changelog) return planChangelog(range, m, skipOverwrites)
     val added = range.flatMap { sn =>
       sn.operation match {

@@ -136,6 +136,28 @@ class PqAdcSpec extends SparkTestBase {
     assert(row.isNullAt(0))
   }
 
+  test("pq_recon_norm: a SHORTER codes row fails instead of a prefix norm") {
+    import spark.implicits._
+    val norms = randCodebooks(43).map(_.map(cw => cw.map(x => x * x).sum))
+    // m-1 codes against an m-sub-space codebook: must raise, not return
+    // the systematically smaller √Σ over the first m-1 sub-spaces
+    val df = Seq((1L, Seq.fill(m - 1)(0.toByte))).toDF("id", "__codes")
+      .select(GraftFunctions.pq_recon_norm(col("__codes"), norms))
+    val e = intercept[Exception](df.collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).toSeq
+    assert(msgs.exists(_.contains("codebook mismatch")), msgs)
+    // interpreted path agrees with codegen
+    val ie = intercept[IllegalArgumentException](
+      graft.functions.PqReconNorm(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq.fill(m - 1)(0.toByte),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ByteType)),
+        norms).eval(null))
+    assert(ie.getMessage.contains("codebook mismatch"))
+  }
+
   test("both expressions stay inside whole-stage codegen") {
     import spark.implicits._
     val cb = randCodebooks(5)

@@ -227,6 +227,25 @@ class GraftStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a DROP COLUMN landing UNDER a running stream fails loudly (tombstone-only history)") {
+    // drop records only a tombstone — no rename/type-change entry — so a
+    // gate on those lists would stream the pinned dropped column as
+    // silent nulls; the freshness check must run unconditionally
+    val t = freshTable("era-drop-live")
+    t.append(Seq((1L, "a")).toDF("id", "grp"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_era_drop").start()
+    try {
+      q.processAllAvailable()
+      t.dropColumn("grp")
+      t.append(Seq(Tuple1(2L)).toDF("id"))
+      val e = intercept[Exception](q.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+      assert(msgs.exists(_.contains("restart the stream")), msgs)
+    } finally q.stop()
+  }
+
   test("fuzz: random append/compaction interleavings stream exactly the table contents") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 3) {
