@@ -2269,6 +2269,18 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // correlated SCALAR subquery in the SET value (round 17): the
+    // enrichment idiom — each matched row takes its per-row looked-up
+    // value (NULL where the lookup has no match), evaluated once per row
+    // in the same position-keyed Project as the WHERE
+    "t_update_correlated_set" -> ((s, dir) =>
+      TableFixtures.ordersCorrelatedSetUpdated(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_set"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // S1 CSV scan with explicit schema: every generated day folder
     // (including the nullable WAP day) ingested into a partitioned table;
     // the oracle re-reads the identical CSVs with DuckDB read_csv
@@ -6135,6 +6147,21 @@ object SparkEntry {
                    THEN 0.0 ELSE o_totalprice END""")} AS total_cents
          FROM orders o
          WHERE o_orderkey % 3 = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    // the correlated-scalar SET replayed per row: even orderkeys take the
+    // looked-up acctbal (NULL when the customer is at <= 9000), odd keep
+    "t_update_correlated_set" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         count(new_price) AS n_set,
+         ${centsSql("new_price")} AS total_cents
+         FROM (SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 2 = 0
+                      THEN (SELECT c.c_acctbal FROM customer c
+                            WHERE c.c_custkey = o.o_custkey
+                              AND c.c_acctbal > 9000)
+                      ELSE o_totalprice END AS new_price
+               FROM orders o WHERE o_orderkey % 3 = 0)
          GROUP BY 1 ORDER BY 1""",
 
     "t_csv_ingest" ->

@@ -111,6 +111,33 @@ object TableFixtures {
       t
     })
 
+  /** Correlated SCALAR-subquery SET fixture (round 17): the enrichment
+    * idiom `UPDATE t SET x = (SELECT v FROM k WHERE k.id = t.id)` — the
+    * per-row looked-up value lands where a match exists and NULL where it
+    * does not, through the position-keyed rewrite that evaluates the
+    * scalar once per matched row. */
+  def ordersCorrelatedSetUpdated(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_corr_set_updated", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_corr_set_updated"
+      GraftTable.drop(spark, loc)
+      val cat = sqlCatalog(spark, sfDir)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, s"$cat.orders_corr_set_updated",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      read(spark, sfDir, "customer").createOrReplaceTempView("corr_set_customers")
+      // c_custkey is unique, so the scalar lookup is single-row by data;
+      // orders of customers at acctbal <= 9000 take NULL (no inner match)
+      spark.sql(s"""UPDATE $cat.orders_corr_set_updated t
+        SET o_totalprice = (SELECT c.c_acctbal FROM corr_set_customers c
+                            WHERE c.c_custkey = t.o_custkey
+                              AND c.c_acctbal > 9000)
+        WHERE t.o_orderkey % 2 = 0""")
+      require(t.meta.currentSnapshot.get.operation == "update",
+        "the correlated-SET UPDATE must have committed an update snapshot")
+      t
+    })
+
   /** Column-stats fixture: the `%3 == 0` order slice with
     * `compute_table_stats` run — per-column HLL NDV + null counts pinned
     * to the head snapshot. */

@@ -51,10 +51,11 @@ import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
  *    one equating the same target column twice;
  *  - `WITH SCHEMA EVOLUTION`;
  *  - CORRELATED subqueries anywhere in a MERGE (clause conditions or
- *    values) — and in UPDATE SET values; the supported correlated surface
- *    is DELETE/UPDATE `WHERE` conditions, which [[GraftDeleteRule]] /
+ *    values); the supported correlated surface is DELETE/UPDATE `WHERE`
+ *    conditions plus UPDATE SET SCALAR values (`SET x = (SELECT max(v)
+ *    FROM k WHERE k.id = t.id)`), which [[GraftDeleteRule]] /
  *    [[GraftUpdateRule]] route through [[CorrelatedCondition]]'s
- *    exprId-preserving re-bind (round 16);
+ *    exprId-preserving re-bind (rounds 16–17);
  *  - subqueries in clause/assignment VALUES or `ON` keys (conditions only),
  *    and non-scalar subqueries in UPDATE SET values;
  *  - clause values referencing columns outside the merge's two relations,
@@ -423,6 +424,10 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
     val target = EliminateSubqueryAliases(u.table).asInstanceOf[DataSourceV2Relation]
     val targetAttrs = target.outputSet
 
+    def checkRefs(e: Expression, what: String): Unit =
+      if (!e.references.subsetOf(targetAttrs))
+        fail(s"$what references columns outside the target table: ${e.sql}")
+
     def toCol(e: Expression, what: String): Column = {
       GraftRowLevelSql.checkSubqueries(e, what,
         // the WHERE condition may carry any uncorrelated subquery; a SET
@@ -432,36 +437,44 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
         allowUncorrelated = true,
         fail,
         scalarOnly = what.startsWith("SET value"))
-      if (!e.references.subsetOf(targetAttrs))
-        fail(s"$what references columns outside the target table: ${e.sql}")
+      checkRefs(e, what)
       bridge.column(e.transform {
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })
     }
 
-    val sets = u.assignments.map { a =>
+    val rawSets: Seq[(String, Expression)] = u.assignments.map { a =>
       val name = a.key match {
         case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
         case other => fail(s"SET assigns to non-column ${other.sql}")
       }
-      name -> toCol(a.value, s"SET value for $name")
+      name -> a.value
     }
-    sets.groupBy(_._1).collect { case (n, as) if as.size > 1 =>
+    rawSets.groupBy(_._1).collect { case (n, as) if as.size > 1 =>
       fail(s"SET assigns $n more than once") }
     val location = target.table.asInstanceOf[GraftWritableTable].location
-    u.condition match {
-      // correlated WHERE (round 16): exprId-preserving re-bind + the
-      // position-keyed commit path; SET values keep the refusal policy
-      // (toCol above already raised on a correlated SET)
-      case Some(c) if GraftRowLevelSql.hasCorrelated(c) =>
-        if (!c.references.subsetOf(targetAttrs))
-          fail(s"WHERE condition references columns outside the target " +
-            s"table: ${c.sql}")
-        GraftUpdateCorrelatedCommand(location, sets,
-          CorrelatedCondition(c, target.output))
-      case other =>
-        val cond = other.map(toCol(_, "WHERE condition")).getOrElse(lit(true))
-        GraftUpdateCommand(location, sets, cond)
+
+    val condCorrelated = u.condition.exists(GraftRowLevelSql.hasCorrelated)
+    val setsCorrelated = rawSets.exists { case (_, v) =>
+      GraftRowLevelSql.hasCorrelated(v) }
+    if (condCorrelated || setsCorrelated) {
+      // correlated path (rounds 16–17): exprId-preserving re-bind + the
+      // position-keyed commit. SET values may carry SCALAR subqueries
+      // only — they evaluate in a Project, which cannot host predicate
+      // subqueries (IN/EXISTS are Filter-only in Spark's decorrelation)
+      rawSets.foreach { case (n, v) =>
+        checkRefs(v, s"SET value for $n")
+        GraftRowLevelSql.checkScalarOnly(v, s"SET value for $n", fail)
+      }
+      u.condition.foreach(c => checkRefs(c, "WHERE condition"))
+      val cond = u.condition.getOrElse(Literal.TrueLiteral)
+      GraftUpdateCorrelatedCommand(location,
+        rawSets.map { case (n, v) => n -> CorrelatedCondition(v, target.output) },
+        CorrelatedCondition(cond, target.output))
+    } else {
+      val sets = rawSets.map { case (n, v) => n -> toCol(v, s"SET value for $n") }
+      val cond = u.condition.map(toCol(_, "WHERE condition")).getOrElse(lit(true))
+      GraftUpdateCommand(location, sets, cond)
     }
   }
 }
@@ -488,7 +501,8 @@ private[sql] object GraftRowLevelSql {
       if (s.children.nonEmpty || s.isCorrelated)
         fail(s"correlated subquery in $what is not supported " +
           "(it references the outer row); rewrite as MERGE INTO, or move " +
-          "the correlation into a DELETE/UPDATE WHERE condition")
+          "the correlation into a DELETE/UPDATE WHERE condition or an " +
+          "UPDATE SET scalar value")
       if (scalarOnly &&
           !s.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery])
         fail(s"only scalar subqueries are supported in $what " +
@@ -497,6 +511,20 @@ private[sql] object GraftRowLevelSql {
           "pre-compute the set into the source instead")
     }
   }
+
+  /** The correlated-UPDATE value policy (round 17): a SET value evaluates
+    * in a Project over the position-bearing scan, and Spark's
+    * decorrelation plans predicate subqueries (IN/EXISTS) only under
+    * Filter — so every subquery in a SET value, correlated or not, must
+    * be a SCALAR subquery. */
+  def checkScalarOnly(e: Expression, what: String,
+      fail: String => Nothing): Unit =
+    e.collect { case s: SubqueryExpression => s }.foreach { s =>
+      if (!s.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery])
+        fail(s"only scalar subqueries are supported in $what " +
+          "(IN/EXISTS predicates are Filter-only in Spark); " +
+          "pre-compute the set into the source instead")
+    }
 
   /** True when the condition carries a subquery that references the outer
     * row (nested correlation surfaces on the outermost subquery's

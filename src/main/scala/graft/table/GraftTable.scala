@@ -960,11 +960,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
    *    position deletes and the updated row versions append —
    *    O(matched rows) written, exact among duplicates.
    *
-   * SET values may reference any column of the updated row; correlated
-   * subqueries in SET values are refused at analysis time.
+   * SET values are themselves scan-bound closures (round 17): each may
+   * reference any column of the updated row AND carry a correlated SCALAR
+   * subquery (`SET x = (SELECT max(v) FROM k WHERE k.id = t.id)`, the
+   * enrichment idiom). Values evaluate ONCE, per matched row, in the same
+   * position-keyed Project as the condition — Catalyst decorrelates a
+   * scalar subquery under Project into a stock left-outer-join + aggregate,
+   * with standard SQL semantics riding along: no inner match → NULL, more
+   * than one inner row → runtime error. The rewrite then applies the
+   * pre-computed values by (file, pos) identity, so the subquery never
+   * re-evaluates against drifted foreign state.
    */
   def updateWhereCorrelated(condFor: DataFrame => Column,
-      sets: Seq[(String, Column)], mor: Boolean = false,
+      sets: Seq[(String, DataFrame => Column)], mor: Boolean = false,
       branch: Option[String] = None): GraftSnapshot =
     withCommitLock {
       val m = meta
@@ -978,35 +986,39 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // pinned for the same reason as deleteWhereCorrelated: three
       // consumers (path collect, updated-row write, delete-file write)
       // must see ONE consistent evaluation of the correlated condition
+      // AND of every correlated SET value
       val matched = posScan.filter(condFor(posScan))
-        .select(col("__file"), col("__pos")).localCheckpoint()
+        .select(col("__file") +: col("__pos") +:
+          sets.map { case (n, f) =>
+            f(posScan).cast(tableSchema(n).dataType).as(s"__set_$n")
+          }.toIndexedSeq: _*)
+        .localCheckpoint()
       val matchedRel = matched.select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
       val affectedFiles = headFiles.filter(f => matchedRel.contains(f.path))
       if (affectedFiles.isEmpty) {
         commitSnapshot(m, Seq.empty, Seq.empty, "update", branch)
       } else {
-        val setMap = sets.toMap
+        val setCols = sets.map { case (n, _) => n -> col(s"__set_$n") }.toMap
         val src = readWithDeletes(head, m, affectedFiles, keepPos = true)
         val joined = src.join(matched.withColumn("__hit", lit(true)),
           Seq("__file", "__pos"), "left_outer")
         val hit = coalesce(col("__hit"), lit(false))
         if (mor) {
           val updated = joined.filter(hit).select(tableSchema.fields.map { f =>
-            setMap.get(f.name).map(_.cast(f.dataType).as(f.name))
-              .getOrElse(col(f.name))
+            setCols.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
           }.toIndexedSeq: _*)
           val newFiles = writeDataFiles(updated, tableSchema, m.partitionCols)
           commitSnapshot(m, newFiles, Seq.empty, "update", branch,
             addedDeletes =
-              if (dvEnabled) writeDvFiles(matched)
-              else writeDeleteFiles(matched, Seq("__file", "__pos"),
-                kind = "position"))
+              if (dvEnabled) writeDvFiles(matched.select(col("__file"), col("__pos")))
+              else writeDeleteFiles(matched.select(col("__file"), col("__pos")),
+                Seq("__file", "__pos"), kind = "position"))
         } else {
           val rewritten = joined.select(tableSchema.fields.map { f =>
-            setMap.get(f.name) match {
+            setCols.get(f.name) match {
               case Some(v) =>
-                when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+                when(hit, v).otherwise(col(f.name)).as(f.name)
               case None => col(f.name)
             }
           }.toIndexedSeq: _*)

@@ -141,19 +141,25 @@ case class GraftDeleteCorrelatedCommand(location: String,
   }
 }
 
-/** `UPDATE t SET … WHERE <correlated subquery>` (round 16) rewritten by
+/** `UPDATE t SET … WHERE …` where the WHERE and/or a SET value carries a
+  * CORRELATED subquery (rounds 16–17), rewritten by
   * [[graft.sql.GraftUpdateRule]]: same position-keyed shape as
   * [[GraftDeleteCorrelatedCommand]] — the WHERE evaluates once as a
-  * decorrelated Filter, the rewrite applies SET values on the matched row
-  * identities (`write.update.mode=merge-on-read` commits position deletes
-  * plus the updated rows instead of a file rewrite). SET values keep the
-  * uncorrelated-only policy. */
+  * decorrelated Filter, SET values (including correlated SCALAR
+  * subqueries, `SET x = (SELECT max(v) FROM k WHERE k.id = t.id)`)
+  * evaluate once per matched row in the same Project, and the rewrite
+  * applies the pre-computed values on the matched row identities
+  * (`write.update.mode=merge-on-read` commits position deletes plus the
+  * updated rows instead of a file rewrite). Each captured expression
+  * re-binds by exprId ([[graft.sql.CorrelatedCondition.bindTo]]), never
+  * by name. */
 case class GraftUpdateCorrelatedCommand(location: String,
-    sets: Seq[(String, org.apache.spark.sql.Column)],
+    sets: Seq[(String, graft.sql.CorrelatedCondition)],
     cond: graft.sql.CorrelatedCondition) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftTable.load(session, location)
-    t.updateWhereCorrelated(cond.bindTo, sets,
+    t.updateWhereCorrelated(cond.bindTo,
+      sets.map { case (n, v) => n -> (v.bindTo _) },
       mor = t.properties.get("write.update.mode").contains("merge-on-read"))
     Seq.empty
   }

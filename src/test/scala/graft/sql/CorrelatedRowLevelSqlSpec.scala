@@ -137,7 +137,7 @@ class CorrelatedRowLevelSqlSpec extends SparkTestBase {
     assert(t.meta.currentSnapshot.get.addedFiles.isEmpty)
   }
 
-  test("still refused with clear errors: correlated MERGE clause condition and correlated SET value") {
+  test("still refused with clear errors: correlated MERGE clause condition and non-scalar correlated SET value") {
     fixtures("ref1")
     spark.sql("SELECT CAST(2 AS BIGINT) AS id, 9.0 AS amount")
       .createOrReplaceTempView("ref1_src")
@@ -148,12 +148,92 @@ class CorrelatedRowLevelSqlSpec extends SparkTestBase {
                      THEN UPDATE SET t.amount = s.amount""")
     }
     assert(mrg.getMessage.contains("correlated subquery"), mrg.getMessage)
+    // a PREDICATE subquery in a SET value (correlated EXISTS inside a
+    // CASE) cannot evaluate in a Project — refused, not mis-planned
     val set = intercept[Exception] {
       spark.sql("""UPDATE corr.db.ref1 t
-                   SET amount = (SELECT max(k.kid) FROM ref1_keep k
+                   SET amount = CASE WHEN EXISTS (SELECT 1 FROM ref1_keep k
+                                                  WHERE k.kid = t.id)
+                                     THEN 1.0 ELSE 0.0 END""")
+    }
+    assert(set.getMessage.contains("only scalar subqueries"), set.getMessage)
+  }
+
+  test("UPDATE SET with a correlated scalar subquery: per-row enrichment, NULL on no match") {
+    val t = fixtures("uset")
+    // no WHERE: every row updates; blessed ids get kid*100, others NULL —
+    // standard scalar-subquery semantics
+    spark.sql("""UPDATE corr.db.uset t
+                 SET amount = (SELECT k.kid * 100.0 FROM uset_keep k
+                               WHERE k.kid = t.id)""")
+    val got = spark.sql("SELECT id, amount FROM corr.db.uset ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(got === (0L until 10L).map(i =>
+      (i, if (Set(2L, 5L, 8L).contains(i)) Some(i * 100.0) else None)))
+    assert(t.meta.currentSnapshot.get.operation === "update")
+  }
+
+  test("UPDATE SET correlated scalar + plain WHERE: only matched rows touched") {
+    fixtures("usetw")
+    spark.sql("""UPDATE corr.db.usetw t
+                 SET amount = amount + (SELECT max(k.kid) FROM usetw_keep k
+                                        WHERE k.kid >= t.id)
+                 WHERE t.id < 3""")
+    val got = spark.sql("SELECT id, amount FROM corr.db.usetw ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ids 0,1,2: amount + max(kid >= id) = id*10 + 8; others untouched
+    assert(got === (0L until 10L).map(i =>
+      (i, if (i < 3) i * 10.0 + 8.0 else i * 10.0)))
+  }
+
+  test("UPDATE SET correlated scalar under merge-on-read: position deletes + enriched versions") {
+    val t = fixtures("usetmor",
+      "TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    val before = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("""UPDATE corr.db.usetmor t
+                 SET amount = (SELECT k.kid * 7.0 FROM usetmor_keep k
+                               WHERE k.kid = t.id)
+                 WHERE EXISTS (SELECT 1 FROM usetmor_keep k WHERE k.kid = t.id)""")
+    val snap = t.meta.currentSnapshot.get
+    assert(before.subsetOf(snap.files.map(_.path).toSet),
+      "MoR update appends, never rewrites")
+    assert(snap.deleteFiles.nonEmpty &&
+      snap.deleteFiles.forall(_.kind == "position"))
+    val got = spark.sql("SELECT id, amount FROM corr.db.usetmor ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === (0L until 10L).map(i =>
+      (i, if (Set(2L, 5L, 8L).contains(i)) i * 7.0 else i * 10.0)))
+  }
+
+  test("UPDATE SET scalar subquery: more than one inner row fails at run time") {
+    fixtures("usetdup")
+    spark.sql("""SELECT * FROM (VALUES (CAST(2 AS BIGINT)), (CAST(2 AS BIGINT)))
+                 AS s(kid)""").createOrReplaceTempView("usetdup_dups")
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE corr.db.usetdup t
+                   SET amount = (SELECT k.kid * 1.0 FROM usetdup_dups k
                                  WHERE k.kid = t.id)""")
     }
-    assert(set.getMessage.contains("correlated subquery"), set.getMessage)
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString("\n").toLowerCase
+    assert(msgs.contains("more than one row"), msgs)
+  }
+
+  test("UPDATE SET scalar: same-named inner columns never capture the outer reference") {
+    fixtures("usetself")
+    // inner scan is the SAME table with the SAME column names: set each
+    // row's amount to its successor's amount; a name-based re-bind would
+    // match t2.id to the outer t.id and make every row self-referential
+    spark.sql("""UPDATE corr.db.usetself t
+                 SET amount = (SELECT max(t2.amount) FROM corr.db.usetself t2
+                               WHERE t2.id = t.id + 1)""")
+    val got = spark.sql("SELECT id, amount FROM corr.db.usetself ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(got === (0L until 10L).map(i =>
+      (i, if (i < 9) Some((i + 1) * 10.0) else None)),
+      "each row takes its successor's PRE-update amount; the last has none")
   }
 
   test("correlated delete through the graft API surface sees MoR-deleted inner state") {

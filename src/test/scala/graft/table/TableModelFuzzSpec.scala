@@ -216,7 +216,8 @@ class TableModelFuzzSpec extends SparkTestBase {
               check(s"op$i deleteWhereCorrelated(k % $m0 == $r, mor=$mor)")
             } else {
               t.updateWhereCorrelated(df => df("k") % m0 === r,
-                Seq("v" -> (col("v") + 2.0)), mor = mor)
+                Seq("v" -> ((df: org.apache.spark.sql.DataFrame) =>
+                  df("v") + 2.0)), mor = mor)
               model = model.map { case row @ (k, v, p) =>
                 if (k % m0 == r) (k, v + 2.0, p) else row }
               check(s"op$i updateWhereCorrelated(k % $m0 == $r, mor=$mor)")
