@@ -1116,8 +1116,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // never consult records)
     kept.zipWithIndex.map { case (d, i) =>
       val share = deleted / kept.size + (if (i < (deleted % kept.size)) 1L else 0L)
-      d.copy(records = share)
+      d.copy(records = share, targetPaths = recordedTargets(d.path))
     }
+  }
+
+  /** Distinct data-dir-relative target paths of a just-written
+    * positional/DV delete file, bounded by
+    * `write.delete.max-recorded-targets` (default 1000) — a commit wider
+    * than the cap records NOTHING (planners fall back to the content
+    * read; an empty list must never read as "targets nothing"). One
+    * column-pruned distributed read at WRITE time buys O(1) metadata at
+    * every future planning of the changelog stream's masked-CoW check and
+    * DV partition fan-out. */
+  private def recordedTargets(rel: String): Seq[String] = {
+    val cap = properties
+      .getOrElse("write.delete.max-recorded-targets", "1000").toInt
+    if (cap <= 0) return Seq.empty
+    val full = s"$dataDir/$rel"
+    val df =
+      if (rel.endsWith(AvroDeletes.Extension)) AvroDeletes.read(spark, Seq(full))
+      else spark.read.parquet(full)
+    val t = df.select("__file").distinct().limit(cap + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (t.size > cap) Seq.empty else t.sorted
   }
 
   /** Write a delete-content DataFrame (key tuples or positions) as parquet
@@ -1172,7 +1193,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
     fs.delete(staging, true)
     dels.filterNot(_.records > 0).foreach(d => fs.delete(new Path(dataDir, d.path), false))
-    dels.filter(_.records > 0)
+    val live = dels.filter(_.records > 0)
+    if (kind == "position") live.map(d =>
+      d.copy(targetPaths = recordedTargets(d.path)))
+    else live
   }
 
   /** Delete-file CONTENT read dispatching on the physical format (the

@@ -104,6 +104,15 @@ case class DataFile(
  *    the position-list accounting.
  *
  * Compaction materializes and drops delete files of all kinds.
+ *
+ * `targetPaths` (round 17, position/dv kinds only): the data-dir-relative
+ * paths of the data files this delete file's rows target, recorded at
+ * write time — planners (the changelog stream's masked-CoW check and DV
+ * partition planning) consult it as O(1) metadata instead of reading the
+ * delete file's rows on the driver. Empty means NOT RECORDED (legacy
+ * files, equality deletes, or a commit wider than
+ * `write.delete.max-recorded-targets`) — readers must fall back to the
+ * content read, never treat empty as "targets nothing".
  */
 case class DeleteFile(
     path: String,
@@ -111,7 +120,8 @@ case class DeleteFile(
     records: Long,
     sizeBytes: Long,
     seq: Long,
-    kind: String = "equality") {
+    kind: String = "equality",
+    targetPaths: Seq[String] = Seq.empty) {
   def isPositional: Boolean = kind == "position"
   def isDv: Boolean = kind == "dv"
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -332,7 +332,11 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   private val positionTargetCache =
     scala.collection.concurrent.TrieMap.empty[String, Set[String]]
   private def positionDeleteTargets(d: graft.table.DeleteFile): Set[String] =
-    positionTargetCache.getOrElseUpdate(d.path, {
+    // fast path (round 17): writers record the target paths in commit
+    // metadata — O(1), no read. Empty means NOT RECORDED (legacy file or
+    // an over-cap commit), so fall back to the content read.
+    if (d.targetPaths.nonEmpty) d.targetPaths.toSet
+    else positionTargetCache.getOrElseUpdate(d.path, {
       val full = s"$location/data/${d.path}"
       val df =
         if (d.path.endsWith(graft.table.AvroDeletes.Extension))
@@ -378,15 +382,41 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
           val byPath = sn.files.map(f => f.path -> f).toMap
           val delParts: Seq[InputPartition] = newDels.flatMap { d =>
             if (d.isDv) {
-              // one driver-side read of the per-FILE vector rows (small)
-              spark.read.parquet(s"$location/data/${d.path}")
-                .collect().toSeq.flatMap { r =>
-                  byPath.get(r.getString(0)).map { f =>
-                    ChangeImagePartition(readFuncFor(m, f, seqOf),
-                      partitionedFileOf(fs, f),
-                      "DELETE", sn.id, runs = r.getSeq[Long](1).toArray)
+              if (d.targetPaths.nonEmpty) {
+                // round 17: one partition per (DV file, target) planned
+                // straight from commit metadata — zero driver-side row
+                // reads; the executor reads its target's runs from the
+                // vector parquet at execute time (the file is per-target-
+                // row compact, and the read is column-complete anyway)
+                val dvSchema = StructType(Seq(
+                  StructField("__file", StringType),
+                  StructField("__runs", ArrayType(LongType))))
+                val dvRead = readerFor(dvSchema, new StructType())
+                val dvPath = new org.apache.hadoop.fs.Path(
+                  s"$location/data/${d.path}")
+                val dvPf = PartitionedFile(
+                  new GenericInternalRow(Array.empty[Any]),
+                  SparkPath.fromPath(dvPath), 0,
+                  fs.getFileStatus(dvPath).getLen)
+                d.targetPaths.flatMap { tp =>
+                  byPath.get(tp).map { f =>
+                    DvChangeImagePartition(readFuncFor(m, f, seqOf),
+                      partitionedFileOf(fs, f), sn.id,
+                      dvRead, dvPf, tp): InputPartition
                   }
                 }
+              } else {
+                // legacy DV file (pre-targetPaths metadata): one
+                // driver-side read of the per-FILE vector rows (small)
+                spark.read.parquet(s"$location/data/${d.path}")
+                  .collect().toSeq.flatMap { r =>
+                    byPath.get(r.getString(0)).map { f =>
+                      ChangeImagePartition(readFuncFor(m, f, seqOf),
+                        partitionedFileOf(fs, f),
+                        "DELETE", sn.id, runs = r.getSeq[Long](1).toArray)
+                    }
+                  }
+              }
             } else if (d.isPositional) {
               throw new UnsupportedOperationException(
                 s"graft changelog stream: snapshot ${sn.id} carries a " +
@@ -573,6 +603,21 @@ case class ChangeImagePartition(
     snapshotId: Long,
     runs: Array[Long]) extends InputPartition
 
+/** [[ChangeImagePartition]]'s metadata-planned deletion-vector form
+  * (round 17): the driver plans one partition per (DV file, target data
+  * file) from [[graft.table.DeleteFile.targetPaths]] without reading any
+  * delete content; the EXECUTOR locates its target's run-length vector in
+  * the DV parquet (`dvReadFunc` over `dvFile`, rows are per-target-file
+  * compact) and then streams the data file's rows at the vector's
+  * positions as DELETE images. */
+case class DvChangeImagePartition(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile,
+    snapshotId: Long,
+    dvReadFunc: PartitionedFile => Iterator[InternalRow],
+    dvFile: PartitionedFile,
+    targetPath: String) extends InputPartition
+
 /** Equality-delete key tuples as DELETE_KEY retraction images: the delete
   * parquet's columns map into `keyIdx` positions of the full-width row,
   * everything else null; `keyList` (the key-column names under their
@@ -650,6 +695,27 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
       drain(selected.map(r =>
         new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, tag)),
         source = base)
+    case dp: DvChangeImagePartition =>
+      // locate this partition's target vector in the DV parquet (per-
+      // target-file rows, compact), then delegate to the run-filtered
+      // image reader — the one code path for position selection
+      val dvIt = dp.dvReadFunc(dp.dvFile)
+      var runs: Array[Long] = null
+      try {
+        val target = UTF8String.fromString(dp.targetPath)
+        while (runs == null && dvIt.hasNext) {
+          val r = dvIt.next()
+          if (r.getUTF8String(0) == target) runs = r.getArray(1).toLongArray()
+        }
+      } finally dvIt match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
+      if (runs == null) throw new IllegalStateException(
+        s"deletion-vector file has no entry for recorded target " +
+          s"${dp.targetPath} (commit metadata/content divergence)")
+      createReader(ChangeImagePartition(
+        dp.readFunc, dp.file, "DELETE", dp.snapshotId, runs))
     case kp: KeyDeletePartition =>
       val under = kp.readFunc(kp.file)
       val it = under.map { r =>

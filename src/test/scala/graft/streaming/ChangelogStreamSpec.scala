@@ -401,6 +401,81 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(msgs.exists(_.contains("merge-on-read deletes")), msgs)
   }
 
+  test("positional/DV delete commits record their target paths in metadata; equality does not (round 17)") {
+    val t = GraftTable.create(spark, tmpDir("cdc-tp"), "cdctp", schema,
+      props = Map("write.delete.vector.enabled" -> "true"))
+    t.append(rows(0 until 10).coalesce(1))   // file A
+    t.append(rows(100 until 110).coalesce(1)) // file B
+    val dataPaths = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    t.deleteWherePositional(col("id") === 3L || col("id") === 105L)
+    val dv = t.meta.currentSnapshot.get.deleteFiles.filter(_.isDv)
+    assert(dv.nonEmpty)
+    assert(dv.flatMap(_.targetPaths).toSet === dataPaths,
+      "DV targets must be the two hit data files, data-dir-relative")
+    t.deleteWhereMoR(col("id") === 7L, Seq("id"))
+    val eq = t.meta.currentSnapshot.get.deleteFiles
+      .filter(d => d.seq == t.meta.currentSnapshot.get.id)
+    assert(eq.nonEmpty && eq.forall(_.targetPaths.isEmpty),
+      "equality deletes apply by the sequence rule; no targets recorded")
+    // over-cap commits record nothing and stay on the read-fallback path
+    val t2 = GraftTable.create(spark, tmpDir("cdc-tp0"), "cdctp0", schema,
+      props = Map("write.delete.vector.enabled" -> "true",
+        "write.delete.max-recorded-targets" -> "0"))
+    t2.append(rows(0 until 10).coalesce(1))
+    t2.deleteWherePositional(col("id") === 3L)
+    assert(t2.meta.currentSnapshot.get.deleteFiles
+      .forall(_.targetPaths.isEmpty))
+  }
+
+  test("masked-CoW check and DV fan-out plan from metadata: zero delete-content reads (round 17)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("cdc-zeroread"), "cdczr", schema,
+      props = Map("write.delete.vector.enabled" -> "true"))
+    t.append(rows(0 until 10).coalesce(1))    // file A
+    t.append(rows(100 until 110).coalesce(1)) // file B
+    t.deleteWherePositional(col("id") === 105L) // DV targets B only
+    val fromId = t.meta.currentSnapshot.get.id
+    t.deleteWhere(col("id") === 3L)             // CoW rewrite of A
+    // PROOF the masked check is metadata-only: physically remove the DV
+    // parquet — a planner that still read delete content would now fail
+    val delDir = new java.io.File(
+      t.location.stripPrefix("file:") + "/data/_deletes")
+    val removed = delDir.listFiles.filter(_.getName.startsWith("dv-"))
+    assert(removed.nonEmpty)
+    removed.foreach(f => assert(f.delete()))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .option("fromSnapshotId", fromId.toString)
+      .load(t.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("_change_type"), col("id")).collect()
+          .foreach(r => out.add((r.getString(0), r.getLong(1)))))
+      .option("checkpointLocation", tmpDir("cdc-zeroread-cp"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val changes = out.asScala.toSeq
+    val dels = changes.filter(_._1 == "DELETE").map(_._2).sorted
+    val ins = changes.filter(_._1 == "INSERT").map(_._2).sorted
+    // un-netted CoW carryovers: file A's 10 rows DELETE, 9 survivors INSERT
+    assert(dels === (0L until 10L), s"dels=$dels")
+    assert(ins === (0L until 10L).filterNot(_ == 3L), s"ins=$ins")
+  }
+
+  test("DV DELETE images execute through the metadata-planned executor-side vector read (round 17)") {
+    val t = GraftTable.create(spark, tmpDir("cdc-dvexec"), "cdcdvex", schema,
+      props = Map("write.delete.vector.enabled" -> "true"))
+    t.append(rows(0 until 20).repartition(3)) // several files
+    t.deleteWherePositional(col("id") % 5 === 0)
+    val dv = t.meta.currentSnapshot.get.deleteFiles.filter(_.isDv)
+    assert(dv.nonEmpty && dv.forall(_.targetPaths.nonEmpty),
+      "this test must exercise the metadata-planned path")
+    val changes = collectChanges(t.location, tmpDir("cdc-dvexec-cp"))
+    val dels = changes.filter(_._1 == "DELETE").map(_._3).sorted
+    assert(dels === (0L until 20L).filter(_ % 5 == 0),
+      "executor-side vector reads must select exactly the deleted positions")
+  }
+
   test("CoW changelog fails loudly when the parent snapshot expired (DELETE images unrecoverable)") {
     val t = GraftTable.create(spark, tmpDir("cdc-cow-exp"), "cdccowexp", schema)
     t.append(rows(0 until 10).coalesce(1))     // s1

@@ -123,6 +123,23 @@ class DvSpec extends SparkTestBase {
     assert(!empty)
   }
 
+  test("legacy metadata without targetPaths parses to empty (read-fallback contract)") {
+    // pre-round-17 snapshot JSON has no targetPaths field: json4s must
+    // default it empty, and empty means NOT RECORDED — planners fall back
+    // to the content read rather than treating it as "targets nothing"
+    val json = """{"name":"old","schemaJson":"{\"type\":\"struct\",\"fields\":[]}",
+      "partitionCols":[],"props":{},"refs":{"main":1},"version":1,
+      "lastUpdatedMs":0,"metadataLog":[],
+      "snapshots":[{"id":1,"timestampMs":0,"operation":"delete",
+        "inlineFiles":[],"addedFiles":[],"removedFiles":[],"summary":{},
+        "inlineDeleteFiles":[{"path":"_deletes/d1.parquet",
+          "keyCols":["__file","__pos"],"records":3,"sizeBytes":10,
+          "seq":1,"kind":"position"}]}]}"""
+    val m = graft.table.SnapshotLog.parseMetadata(json)
+    val d = m.snapshots.head.deleteFiles.head
+    assert(d.isPositional && d.targetPaths.isEmpty)
+  }
+
   test("read plan: DV merge is a broadcast probe, not a row-list anti-join") {
     val t = mkTable("dv-plan")
     t.append(rows(0 until 100))
