@@ -345,6 +345,33 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
       df.select("__file").distinct().collect().map(_.getString(0)).toSet
     })
 
+  /** Layout of an equality delete file's key tuples against the CURRENT
+    * declared schema (shared by DELETE_KEY planning and CoW masks):
+    * recorded names map forward across later renames; `keyIdx` maps
+    * tuple slot i to the full declared row; the returned schema keeps
+    * the RECORDED column names (what the file stores) with declared
+    * types. A key recorded under a narrower pre-promotion type refuses —
+    * the batch changelogBetween handles that era through the DataFrame
+    * layer. */
+  private def equalityKeyLayout(m: graft.table.TableMetadata,
+      d: graft.table.DeleteFile, snId: Long): (StructType, Array[Int]) = {
+    val declaredKeys = d.keyCols.map(k =>
+      graft.table.GraftTable.declaredNameNowOf(m, k, d.seq))
+    declaredKeys.foreach(k => require(!partitionCols.contains(k),
+      s"changelog stream: equality-delete key $k is a partition column"))
+    val keyIdx = declaredKeys.map(dataCols.fieldIndex)
+    declaredKeys.foreach { k =>
+      val dt = dataCols(k).dataType
+      require(graft.table.GraftTable.physicalTypeOf(m, k, dt, d.seq) == dt,
+        s"graft changelog stream: equality-delete key $k of " +
+          s"snapshot $snId was recorded under a narrower " +
+          "pre-promotion type; read this range with changelogBetween")
+    }
+    val keySchema = StructType(d.keyCols.zip(declaredKeys).map {
+      case (rec, dec) => StructField(rec, dataCols(dec).dataType) })
+    (keySchema, keyIdx.toArray)
+  }
+
   /** Changelog planning: per snapshot, DELETE images first (deletion
     * vectors expand to full-row images by reading the parent file and
     * keeping the vector's positions — a sequential whole-file read's row
@@ -433,33 +460,14 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               // write.delete.format.default='avro' commits dispatch to a
               // streamed executor-side Avro container reader; parquet
               // deletes go through the columnar reader.
-              val declaredKeys = d.keyCols.map(k =>
-                graft.table.GraftTable.declaredNameNowOf(m, k, d.seq))
-              declaredKeys.foreach(k => require(!partitionCols.contains(k),
-                s"changelog stream: equality-delete key $k is a partition column"))
-              val keyIdx = declaredKeys.map(dataCols.fieldIndex)
-              // a type promotion on a key column AFTER the delete commit
-              // would need per-value upcasting of the recorded tuples in
-              // this low-level reader — refuse; the batch changelogBetween
-              // handles that era through the DataFrame layer
-              declaredKeys.foreach { k =>
-                val dt = dataCols(k).dataType
-                require(graft.table.GraftTable
-                    .physicalTypeOf(m, k, dt, d.seq) == dt,
-                  s"graft changelog stream: equality-delete key $k of " +
-                    s"snapshot ${sn.id} was recorded under a narrower " +
-                    "pre-promotion type; read this range with changelogBetween")
-              }
-              // the delete FILE stores columns under the RECORDED names
-              // (types unpromoted per the guard above)
-              val keySchema = StructType(d.keyCols.zip(declaredKeys).map {
-                case (rec, dec) => StructField(rec, dataCols(dec).dataType) })
+              val (keySchema, keyIdx) = equalityKeyLayout(m, d, sn.id)
+              val declaredKeys = keyIdx.map(dataCols.fields(_).name).toSeq
               val keyList = declaredKeys.mkString(",")
               if (d.path.endsWith(graft.table.AvroDeletes.Extension))
                 Seq(AvroKeyDeletePartition(
                   s"$location/data/${d.path}",
                   new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-                  d.keyCols.toArray, keyIdx.toArray,
+                  d.keyCols.toArray, keyIdx,
                   keySchema.fields.map(_.dataType), width, sn.id, keyList))
               else {
                 val delPath = new org.apache.hadoop.fs.Path(s"$location/data/${d.path}")
@@ -469,7 +477,7 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
                   fs.getFileStatus(delPath).getLen)
                 Seq(KeyDeletePartition(
                   readerFor(keySchema, new StructType()), delFile,
-                  keyIdx.toArray, keySchema.fields.map(_.dataType), width, sn.id,
+                  keyIdx, keySchema.fields.map(_.dataType), width, sn.id,
                   keyList))
               }
             }
@@ -503,28 +511,61 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
                 "restart from a later fromSnapshotId, or raise snapshot " +
                 "retention past the consumer lag")
           // a removed file that OLDER MoR delete files still applied to
-          // would re-emit already-deleted rows as DELETE images; those
-          // need the delete-applying batch read. Equality deletes apply
-          // to EVERY older file (sequence rule — the seq check is exact);
-          // positional/DV deletes record their target files, so only an
-          // actual overlap with the removed set refuses (a DV on an
-          // unrelated file must not permanently kill the stream).
+          // must NOT re-emit the already-deleted rows as DELETE images —
+          // they were retracted when the MoR commit streamed. Round 17
+          // (replacing the round-16 refusal): the applicable delete
+          // sources plan as executor-side MASKS — the reader loads them
+          // and streams the removed file's rows MINUS the masked
+          // positions/keys, i.e. exactly the parent-state-live rows.
+          // Equality deletes apply to EVERY older file (sequence rule);
+          // positional/DV deletes only where their recorded targets
+          // overlap the removed file.
           val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
-          val masked = removed.filter { f =>
-            parentDels.exists { d =>
+          def maskOf(d: graft.table.DeleteFile, target: String): MaskSource = {
+            val full = s"$location/data/${d.path}"
+            def pf = {
+              val p = new org.apache.hadoop.fs.Path(full)
+              PartitionedFile(new GenericInternalRow(Array.empty[Any]),
+                SparkPath.fromPath(p), 0, fs.getFileStatus(p).getLen)
+            }
+            val avro = d.path.endsWith(graft.table.AvroDeletes.Extension)
+            if (d.isDv) {
+              val dvSchema = StructType(Seq(
+                StructField("__file", StringType),
+                StructField("__runs", ArrayType(LongType))))
+              DvMask(readerFor(dvSchema, new StructType()), pf, target)
+            } else if (d.isPositional) {
+              if (avro) AvroPosListMask(full,
+                new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+                target)
+              else {
+                val posSchema = StructType(Seq(
+                  StructField("__file", StringType),
+                  StructField("__pos", LongType)))
+                PosListMask(readerFor(posSchema, new StructType()), pf, target)
+              }
+            } else {
+              val (keySchema, keyIdx) = equalityKeyLayout(m, d, sn.id)
+              if (avro) AvroKeyMask(full,
+                new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+                d.keyCols.toArray, keyIdx, keySchema.fields.map(_.dataType))
+              else KeyMask(readerFor(keySchema, new StructType()), pf,
+                keyIdx, keySchema.fields.map(_.dataType))
+            }
+          }
+          removed.map { f =>
+            val masks = parentDels.filter { d =>
               d.seq > seqOf(f) &&
                 (!(d.isDv || d.isPositional) ||
                   positionDeleteTargets(d).contains(f.path))
-            }
-          }
-          if (masked.nonEmpty) throw new UnsupportedOperationException(
-            s"graft changelog stream: CoW snapshot ${sn.id} rewrites " +
-              s"${masked.size} file(s) with older merge-on-read deletes " +
-              "still applied; read this range with changelogBetween, or " +
-              ".option(\"skipOverwriteSnapshots\", true) to skip it")
-          removed.map(f => ChangeImagePartition(readFuncFor(m, f, seqOf),
-            partitionedFileOf(fs, f), "DELETE", sn.id,
-            runs = null): InputPartition) ++ insertParts(sn)
+            }.map(maskOf(_, f.path))
+            if (masks.isEmpty)
+              ChangeImagePartition(readFuncFor(m, f, seqOf),
+                partitionedFileOf(fs, f), "DELETE", sn.id,
+                runs = null): InputPartition
+            else MaskedChangeImagePartition(readFuncFor(m, f, seqOf),
+              partitionedFileOf(fs, f), sn.id, masks)
+          } ++ insertParts(sn)
         case other => throw new UnsupportedOperationException(
           s"graft changelog stream: snapshot ${sn.id} is a '$other' commit " +
             s"that both adds delete files and removes data files on " +
@@ -602,6 +643,59 @@ case class ChangeImagePartition(
     changeType: String,
     snapshotId: Long,
     runs: Array[Long]) extends InputPartition
+
+/** One OLDER merge-on-read delete source still applied to a CoW-removed
+  * file (round 17): its rows were already retracted when the MoR commit
+  * streamed, so they must be EXCLUDED from the CoW commit's DELETE
+  * images. Loaded executor-side by [[MaskedChangeImagePartition]]'s
+  * reader; all read closures/paths are fixed at plan time from metadata
+  * (no driver-side content reads). */
+sealed trait MaskSource extends Serializable
+
+/** Deletion vector: the run-length row indexes recorded for `target`. */
+case class DvMask(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile,
+    target: String) extends MaskSource
+
+/** Position-list parquet: `(__file, __pos)` rows filtered to `target`. */
+case class PosListMask(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile,
+    target: String) extends MaskSource
+
+/** Position-list Avro container twin of [[PosListMask]]. */
+case class AvroPosListMask(
+    path: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    target: String) extends MaskSource
+
+/** Equality-delete parquet: key tuples under the recorded column order;
+  * `keyIdx`/`keyTypes` map tuple slot i into the full declared row. */
+case class KeyMask(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile,
+    keyIdx: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType]) extends MaskSource
+
+/** Equality-delete Avro container twin of [[KeyMask]]. */
+case class AvroKeyMask(
+    path: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    recordedKeys: Array[String],
+    keyIdx: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType]) extends MaskSource
+
+/** [[ChangeImagePartition]] for a CoW-removed file that older MoR deletes
+  * still applied to (round 17 — replaces the refusal): the reader loads
+  * every applicable delete source, then streams the file's rows as
+  * DELETE images MINUS the masked positions/keys — exactly the rows that
+  * were still live in the parent state. */
+case class MaskedChangeImagePartition(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    file: PartitionedFile,
+    snapshotId: Long,
+    masks: Seq[MaskSource]) extends InputPartition
 
 /** [[ChangeImagePartition]]'s metadata-planned deletion-vector form
   * (round 17): the driver plans one partition per (DV file, target data
@@ -695,6 +789,91 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
       drain(selected.map(r =>
         new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, tag)),
         source = base)
+    case mp: MaskedChangeImagePartition =>
+      // load every applicable older delete source (executor-side, plan
+      // shipped only metadata + read closures), then stream the removed
+      // file's rows MINUS the masked positions/keys as DELETE images —
+      // exactly the rows still live in the parent state
+      val intervals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val keySets = scala.collection.mutable.ArrayBuffer.empty[
+        (Array[Int], Array[org.apache.spark.sql.types.DataType],
+          java.util.HashSet[Any])]
+      def drainClose(it: Iterator[InternalRow])(f: InternalRow => Unit): Unit =
+        try it.foreach(f)
+        finally it match { case c: AutoCloseable => c.close(); case _ => () }
+      mp.masks.foreach {
+        case DvMask(rf, file, target) =>
+          val t = UTF8String.fromString(target)
+          drainClose(rf(file)) { r =>
+            if (r.getUTF8String(0) == t) {
+              val runs = r.getArray(1).toLongArray()
+              var i = 0
+              while (i < runs.length / 2) {
+                intervals += ((runs(2 * i), runs(2 * i + 1))); i += 1
+              }
+            }
+          }
+        case PosListMask(rf, file, target) =>
+          val t = UTF8String.fromString(target)
+          drainClose(rf(file)) { r =>
+            if (r.getUTF8String(0) == t) intervals += ((r.getLong(1), 1L))
+          }
+        case AvroPosListMask(path, conf, target) =>
+          val t = UTF8String.fromString(target)
+          graft.table.AvroDeletes.catalystIterator(path, conf.value,
+            Seq("__file", "__pos"),
+            Seq(org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)).foreach { vals =>
+            if (vals(0) == t)
+              intervals += ((vals(1).asInstanceOf[Long], 1L))
+          }
+        case KeyMask(rf, file, keyIdx, keyTypes) =>
+          val set = new java.util.HashSet[Any]()
+          drainClose(rf(file)) { r0 =>
+            val r = r0.copy() // parquet reader reuses row buffers
+            set.add(List.tabulate(keyIdx.length)(i =>
+              if (r.isNullAt(i)) null else r.get(i, keyTypes(i))))
+          }
+          keySets += ((keyIdx, keyTypes, set))
+        case AvroKeyMask(path, conf, recKeys, keyIdx, keyTypes) =>
+          val set = new java.util.HashSet[Any]()
+          graft.table.AvroDeletes.catalystIterator(path, conf.value,
+            recKeys.toSeq, keyTypes.toSeq).foreach { vals =>
+            set.add(List.tabulate(keyIdx.length)(i => vals(i)))
+          }
+          keySets += ((keyIdx, keyTypes, set))
+      }
+      // merged, sorted exclusion runs; the lockstep walk below EXCLUDES
+      // them (the complement of ChangeImagePartition's selection)
+      val runs: Array[Long] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        intervals.sortBy(_._1).foreach { case (s, l) =>
+          if (out.nonEmpty && s <= out(out.size - 2) + out(out.size - 1))
+            out(out.size - 1) =
+              math.max(out(out.size - 2) + out(out.size - 1), s + l) -
+                out(out.size - 2)
+          else { out += s; out += l }
+        }
+        out.toArray
+      }
+      val mtag = new GenericInternalRow(Array[Any](
+        UTF8String.fromString("DELETE"), mp.snapshotId, null))
+      val mbase = mp.readFunc(mp.file)
+      var mpos = -1L
+      var mri = 0
+      val mselected = mbase.filter { r =>
+        mpos += 1
+        while (mri < runs.length / 2 &&
+            mpos >= runs(2 * mri) + runs(2 * mri + 1)) mri += 1
+        val inRun = mri < runs.length / 2 && mpos >= runs(2 * mri)
+        !inRun && !keySets.exists { case (idx, tps, set) =>
+          set.contains(List.tabulate(idx.length)(i =>
+            if (r.isNullAt(idx(i))) null else r.get(idx(i), tps(i))))
+        }
+      }
+      drain(mselected.map(r =>
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, mtag)),
+        source = mbase)
     case dp: DvChangeImagePartition =>
       // locate this partition's target vector in the DV parquet (per-
       // target-file rows, compact), then delegate to the run-filtered

@@ -265,7 +265,7 @@ class ChangelogStreamSpec extends SparkTestBase {
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
       var nextId = 0L
       (1 to 10).foreach { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 | 1 =>
             val k = 1 + rnd.nextInt(8)
             src.append((nextId until nextId + k)
@@ -280,6 +280,14 @@ class ChangelogStreamSpec extends SparkTestBase {
           case 4 =>
             src.updateWhereMoR(col("id") % (2 + rnd.nextInt(4)) === 0,
               Seq("v" -> (col("v") + 100.0)), Seq("id"))
+          // round 17: CoW rewrites interleave with pending MoR deletes —
+          // the masked DELETE-image path must compose with everything
+          case 5 =>
+            val m0 = 2 + rnd.nextInt(4)
+            src.deleteWhere(col("id") % m0 === rnd.nextInt(m0))
+          case 6 =>
+            src.updateWhere(col("id") % (2 + rnd.nextInt(4)) === 1,
+              Seq("v" -> (col("v") - 7.0)))
         }
         if (rnd.nextBoolean()) run()
       }
@@ -290,7 +298,7 @@ class ChangelogStreamSpec extends SparkTestBase {
     }
   }
 
-  test("position-LIST delete commits are refused in changelog mode; CoW over pending MoR deletes too") {
+  test("position-LIST delete commits are refused in changelog mode; masked CoW streams (round 17)") {
     val t = GraftTable.create(spark, tmpDir("cdc-ref"), "cdcref", schema)
     t.append(rows(0 until 10))
     t.deleteWherePositional(col("id") < 2) // legacy row-list (DV off)
@@ -299,19 +307,19 @@ class ChangelogStreamSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("position-LIST") ||
       Option(e.getCause).exists(_.getMessage.contains("position-LIST")))
-    // a CoW rewrite of files that older MoR deletes still apply to would
-    // re-emit already-deleted rows as DELETE images — refused (round 16)
+    // a CoW rewrite of files that older MoR deletes still apply to
+    // (round 17 — was a round-16 refusal): the DELETE images must
+    // exclude the equality-masked row 3
     val t2 = GraftTable.create(spark, tmpDir("cdc-cow-mixed"), "cdccowm", schema)
-    t2.append(rows(0 until 10))
+    t2.append(rows(0 until 10).coalesce(1))
     t2.deleteWhereMoR(col("id") === 3L, Seq("id")) // pending equality delete
     t2.deleteWhere(col("id") < 2)                  // CoW rewrite of the same file
-    val e2 = intercept[Exception] {
-      collectChanges(t2.location, tmpDir("cdc-cow-mixed-cp"))
-    }
-    def msgs(ex: Throwable): Seq[String] =
-      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
-        .map(_.getMessage).filter(_ != null).toSeq
-    assert(msgs(e2).exists(_.contains("merge-on-read deletes")), msgs(e2))
+    val cowId = t2.meta.currentSnapshot.get.id
+    val changes = collectChanges(t2.location, tmpDir("cdc-cow-mixed-cp"))
+    val cowDels = changes.filter(c => c._1 == "DELETE" && c._2 == cowId)
+      .map(_._3).sorted
+    assert(cowDels === (0L until 10L).filterNot(_ == 3L),
+      s"equality-masked CoW DELETE images must exclude the dead row: $cowDels")
   }
 
   test("CoW delete/update commits stream DELETE+INSERT images that replay to the batch state (round 16)") {
@@ -368,7 +376,7 @@ class ChangelogStreamSpec extends SparkTestBase {
       (r._2 == "g0" || r._2 == "g1")))
   }
 
-  test("CoW rewrite streams when pending DVs target OTHER files; refuses on actual overlap (round 16)") {
+  test("CoW rewrite streams when pending DVs target OTHER files; masks on actual overlap (round 17)") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("cdc-cow-dv"), "cdccowdv", schema,
       props = Map("write.delete.vector.enabled" -> "true"))
@@ -390,15 +398,42 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(state(sink) === state(src),
       "a DV on an unrelated file must not block CoW streaming")
     assert(!state(src).exists(r => r._1 == 3L || r._1 == 105L))
-    // the DV'd file itself CoW-rewritten: its DELETE images would
-    // re-emit the DV-deleted row — refuse
+    // the DV'd file itself CoW-rewritten (round 17 — was a refusal):
+    // the DELETE images must EXCLUDE the DV-masked row 105, which was
+    // already retracted when the DV commit streamed
     src.deleteWhere(col("id") === 106L)
-    val e = intercept[Exception] {
-      collectChanges(src.location, tmpDir("cdc-cow-dv-cp2"))
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(_.getMessage).filter(_ != null).toSeq
-    assert(msgs.exists(_.contains("merge-on-read deletes")), msgs)
+    val changes = collectChanges(src.location, tmpDir("cdc-cow-dv-cp2"))
+    val cowId = src.meta.currentSnapshot.get.id
+    val cowDels = changes.filter(c => c._1 == "DELETE" && c._2 == cowId)
+      .map(_._3).sorted
+    assert(cowDels === (100L until 110L).filterNot(_ == 105L),
+      s"masked CoW DELETE images must exclude the DV'd row: $cowDels")
+  }
+
+  test("masked CoW streams exact images when an equality delete AND a DV hit the same file (round 17)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("cdc-maskmix"), "cdcmm", schema,
+      props = Map("write.delete.vector.enabled" -> "true"))
+    val sink = GraftTable.create(spark, tmpDir("cdc-maskmix-sink"), "cdcmms",
+      schema)
+    t.append(rows(0 until 20).coalesce(1))        // one file
+    t.deleteWherePositional(col("id") === 4L)     // DV on the file
+    t.deleteWhereMoR(col("id") >= 18L, Seq("id")) // equality on the file
+    t.deleteWhere(col("id") % 2 === 1L)           // CoW rewrite of the file
+    val cp = tmpDir("cdc-maskmix-cp")
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .load(t.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.replayChangelog(b, sink))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def state(x: GraftTable) =
+      x.toDF.as[(Long, String, Double)].collect().toSeq.sorted
+    assert(state(sink) === state(t),
+      "replay through DV+equality masks must land on the batch state")
+    assert(state(t).map(_._1) ===
+      (0L until 20L).filter(i => i % 2 == 0 && i != 4L && i < 18L))
   }
 
   test("positional/DV delete commits record their target paths in metadata; equality does not (round 17)") {
