@@ -348,28 +348,52 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   /** Layout of an equality delete file's key tuples against the CURRENT
     * declared schema (shared by DELETE_KEY planning and CoW masks):
     * recorded names map forward across later renames; `keyIdx` maps
-    * tuple slot i to the full declared row; the returned schema keeps
-    * the RECORDED column names (what the file stores) with declared
-    * types. A key recorded under a narrower pre-promotion type refuses —
-    * the batch changelogBetween handles that era through the DataFrame
-    * layer. */
+    * tuple slot i to the full declared row. A key recorded under a
+    * narrower PRE-PROMOTION type (round 17 — was a refusal) reads under
+    * its era type and upcasts per value through `castExprs`, the same
+    * bound-Cast-serialized-into-the-closure shape as the era data
+    * reader; `physSchema` is what the FILE stores (recorded names + era
+    * types), `declaredTypes` what consumers emit. */
+  private case class KeyLayout(
+      physSchema: StructType,
+      keyIdx: Array[Int],
+      declaredTypes: Array[org.apache.spark.sql.types.DataType],
+      castExprs: Option[Seq[Expression]])
+
   private def equalityKeyLayout(m: graft.table.TableMetadata,
-      d: graft.table.DeleteFile, snId: Long): (StructType, Array[Int]) = {
+      d: graft.table.DeleteFile, snId: Long): KeyLayout = {
     val declaredKeys = d.keyCols.map(k =>
       graft.table.GraftTable.declaredNameNowOf(m, k, d.seq))
     declaredKeys.foreach(k => require(!partitionCols.contains(k),
       s"changelog stream: equality-delete key $k is a partition column"))
     val keyIdx = declaredKeys.map(dataCols.fieldIndex)
-    declaredKeys.foreach { k =>
-      val dt = dataCols(k).dataType
-      require(graft.table.GraftTable.physicalTypeOf(m, k, dt, d.seq) == dt,
-        s"graft changelog stream: equality-delete key $k of " +
-          s"snapshot $snId was recorded under a narrower " +
-          "pre-promotion type; read this range with changelogBetween")
+    val declaredTypes = declaredKeys.map(dataCols(_).dataType)
+    val eraTypes = declaredKeys.zip(declaredTypes).map { case (k, dt) =>
+      graft.table.GraftTable.physicalTypeOf(m, k, dt, d.seq) }
+    val physSchema = StructType(d.keyCols.zip(eraTypes).map {
+      case (rec, et) => StructField(rec, et) })
+    val castExprs =
+      if (eraTypes == declaredTypes) None
+      else Some(eraTypes.zip(declaredTypes).zipWithIndex.map {
+        case ((et, dt), i) =>
+          val in = BoundReference(i, et, nullable = true)
+          if (et == dt) in else Cast(in, dt, zone): Expression
+      })
+    KeyLayout(physSchema, keyIdx.toArray, declaredTypes.toArray, castExprs)
+  }
+
+  /** Compose a key-tuple read closure with the era upcast projection
+    * (None = identity; same executor-side-build shape as the era data
+    * reader — the bound Cast expressions serialize into the closure). */
+  private def composeCast(
+      base: PartitionedFile => Iterator[InternalRow],
+      castExprs: Option[Seq[Expression]])
+      : PartitionedFile => Iterator[InternalRow] = castExprs match {
+    case None => base
+    case Some(exprs) => (pf: PartitionedFile) => {
+      val proj = MutableProjection.create(exprs)
+      base(pf).map(proj)
     }
-    val keySchema = StructType(d.keyCols.zip(declaredKeys).map {
-      case (rec, dec) => StructField(rec, dataCols(dec).dataType) })
-    (keySchema, keyIdx.toArray)
   }
 
   /** Changelog planning: per snapshot, DELETE images first (deletion
@@ -460,15 +484,16 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
               // write.delete.format.default='avro' commits dispatch to a
               // streamed executor-side Avro container reader; parquet
               // deletes go through the columnar reader.
-              val (keySchema, keyIdx) = equalityKeyLayout(m, d, sn.id)
-              val declaredKeys = keyIdx.map(dataCols.fields(_).name).toSeq
-              val keyList = declaredKeys.mkString(",")
+              val kl = equalityKeyLayout(m, d, sn.id)
+              val keyList = kl.keyIdx.map(dataCols.fields(_).name)
+                .mkString(",")
               if (d.path.endsWith(graft.table.AvroDeletes.Extension))
                 Seq(AvroKeyDeletePartition(
                   s"$location/data/${d.path}",
                   new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-                  d.keyCols.toArray, keyIdx,
-                  keySchema.fields.map(_.dataType), width, sn.id, keyList))
+                  d.keyCols.toArray, kl.keyIdx,
+                  kl.declaredTypes, width, sn.id, keyList,
+                  kl.physSchema.fields.map(_.dataType), kl.castExprs))
               else {
                 val delPath = new org.apache.hadoop.fs.Path(s"$location/data/${d.path}")
                 val delFile = PartitionedFile(
@@ -476,8 +501,9 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
                   SparkPath.fromPath(delPath), 0,
                   fs.getFileStatus(delPath).getLen)
                 Seq(KeyDeletePartition(
-                  readerFor(keySchema, new StructType()), delFile,
-                  keyIdx, keySchema.fields.map(_.dataType), width, sn.id,
+                  composeCast(readerFor(kl.physSchema, new StructType()),
+                    kl.castExprs), delFile,
+                  kl.keyIdx, kl.declaredTypes, width, sn.id,
                   keyList))
               }
             }
@@ -545,12 +571,14 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
                 PosListMask(readerFor(posSchema, new StructType()), pf, target)
               }
             } else {
-              val (keySchema, keyIdx) = equalityKeyLayout(m, d, sn.id)
+              val kl = equalityKeyLayout(m, d, sn.id)
               if (avro) AvroKeyMask(full,
                 new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-                d.keyCols.toArray, keyIdx, keySchema.fields.map(_.dataType))
-              else KeyMask(readerFor(keySchema, new StructType()), pf,
-                keyIdx, keySchema.fields.map(_.dataType))
+                d.keyCols.toArray, kl.keyIdx, kl.declaredTypes,
+                kl.physSchema.fields.map(_.dataType), kl.castExprs)
+              else KeyMask(
+                composeCast(readerFor(kl.physSchema, new StructType()),
+                  kl.castExprs), pf, kl.keyIdx, kl.declaredTypes)
             }
           }
           removed.map { f =>
@@ -678,13 +706,18 @@ case class KeyMask(
     keyIdx: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType]) extends MaskSource
 
-/** Equality-delete Avro container twin of [[KeyMask]]. */
+/** Equality-delete Avro container twin of [[KeyMask]]: values decode
+  * under the recorded era types (`decodeTypes`) and upcast per value
+  * through `castExprs` when the key was later promoted. */
 case class AvroKeyMask(
     path: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     recordedKeys: Array[String],
     keyIdx: Array[Int],
-    keyTypes: Array[org.apache.spark.sql.types.DataType]) extends MaskSource
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    decodeTypes: Array[org.apache.spark.sql.types.DataType],
+    castExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+  extends MaskSource
 
 /** [[ChangeImagePartition]] for a CoW-removed file that older MoR deletes
   * still applied to (round 17 — replaces the refusal): the reader loads
@@ -729,7 +762,9 @@ case class KeyDeletePartition(
 /** [[KeyDeletePartition]]'s Avro twin — the reference's
   * `write.delete.format.default='avro'` commits: the executor streams the
   * container file directly (graft.table.AvroDeletes field decoding), no
-  * parquet reader involved. */
+  * parquet reader involved. Values decode under the recorded era types
+  * (`decodeTypes`) and upcast through `castExprs` when a key column was
+  * promoted after the delete commit (round 17). */
 case class AvroKeyDeletePartition(
     path: String,
     conf: org.apache.spark.util.SerializableConfiguration,
@@ -738,7 +773,10 @@ case class AvroKeyDeletePartition(
     keyTypes: Array[org.apache.spark.sql.types.DataType],
     width: Int,
     snapshotId: Long,
-    keyList: String) extends InputPartition
+    keyList: String,
+    decodeTypes: Array[org.apache.spark.sql.types.DataType],
+    castExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+  extends InputPartition
 
 class GraftStreamReaderFactory extends PartitionReaderFactory {
   /** `source`: the UNDERLYING iterator whose resources close() must
@@ -835,11 +873,14 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
               if (r.isNullAt(i)) null else r.get(i, keyTypes(i))))
           }
           keySets += ((keyIdx, keyTypes, set))
-        case AvroKeyMask(path, conf, recKeys, keyIdx, keyTypes) =>
+        case AvroKeyMask(path, conf, recKeys, keyIdx, keyTypes,
+            decodeTypes, castExprs) =>
           val set = new java.util.HashSet[Any]()
+          val upcast = eraUpcaster(castExprs, keyTypes)
           graft.table.AvroDeletes.catalystIterator(path, conf.value,
-            recKeys.toSeq, keyTypes.toSeq).foreach { vals =>
-            set.add(List.tabulate(keyIdx.length)(i => vals(i)))
+            recKeys.toSeq, decodeTypes.toSeq).foreach { vals =>
+            val cast = upcast(vals)
+            set.add(List.tabulate(keyIdx.length)(i => cast(i)))
           }
           keySets += ((keyIdx, keyTypes, set))
       }
@@ -912,13 +953,15 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
       drain(it, source = under)
     case ap: AvroKeyDeletePartition =>
       val under = graft.table.AvroDeletes.catalystIterator(
-        ap.path, ap.conf.value, ap.keyCols.toSeq, ap.keyTypes.toSeq)
+        ap.path, ap.conf.value, ap.keyCols.toSeq, ap.decodeTypes.toSeq)
+      val upcast = eraUpcaster(ap.castExprs, ap.keyTypes)
       val it = under
         .map { keyVals =>
+          val cast = upcast(keyVals)
           val out = new Array[Any](ap.width + 3)
           var i = 0
           while (i < ap.keyIdx.length) {
-            out(ap.keyIdx(i)) = keyVals(i)
+            out(ap.keyIdx(i)) = cast(i)
             i += 1
           }
           out(ap.width) = UTF8String.fromString("DELETE_KEY")
@@ -927,5 +970,23 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
           new GenericInternalRow(out): InternalRow
         }
       drain(it, source = under)
+  }
+
+  /** Per-tuple era upcast for Avro-decoded key value arrays: None =
+    * identity; otherwise one MutableProjection application per tuple,
+    * values extracted under the declared types (round 17 — the key-
+    * promotion era path). */
+  private def eraUpcaster(
+      castExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
+      declaredTypes: Array[org.apache.spark.sql.types.DataType])
+      : Array[Any] => Array[Any] = castExprs match {
+    case None => identity
+    case Some(exprs) =>
+      val proj = MutableProjection.create(exprs)
+      vals => {
+        val out = proj(new GenericInternalRow(vals))
+        Array.tabulate(vals.length)(i =>
+          if (out.isNullAt(i)) null else out.get(i, declaredTypes(i)))
+      }
   }
 }

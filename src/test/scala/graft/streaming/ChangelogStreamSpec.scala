@@ -559,6 +559,53 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(state(src).exists(_._1 == 100L))
   }
 
+  test("changelog streams across a key-type promotion: pre-promotion tuples upcast per value (round 17)") {
+    import spark.implicits._
+    // key recorded as INT, column later promoted to BIGINT: the recorded
+    // tuples must decode under the era type and upcast — was a refusal
+    for ((tag, props) <- Seq(
+        "parquet" -> Map.empty[String, String],
+        "avro" -> Map("write.delete.format.default" -> "avro"))) {
+      val intSchema = StructType(Seq(
+        StructField("id", IntegerType), StructField("grp", StringType),
+        StructField("v", DoubleType)))
+      val src = GraftTable.create(spark, tmpDir(s"cdc-promo-$tag"),
+        s"cdcpromo$tag", intSchema, props = props)
+      src.append((0 until 10).map(i => (i, s"g${i % 3}", i * 1.5))
+        .toDF("id", "grp", "v").coalesce(1))
+      src.deleteWhereMoR(col("id") === 2, Seq("id")) // key tuple stored INT
+      src.updateColumnType("id", LongType)
+      src.append(Seq((4294967300L, "g0", 1.0)).toDF("id", "grp", "v"))
+      val sinkSchema = StructType(Seq(
+        StructField("id", LongType), StructField("grp", StringType),
+        StructField("v", DoubleType)))
+      val sink = GraftTable.create(spark, tmpDir(s"cdc-promo-sink-$tag"),
+        s"cps$tag", sinkSchema)
+      spark.readStream.format("graft-stream").option("changelog", "true")
+        .load(src.location)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingOps.replayChangelog(b, sink))
+        .option("checkpointLocation", tmpDir(s"cdc-promo-cp-$tag"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      def state(t: GraftTable) =
+        t.toDF.as[(Long, String, Double)].collect().toSeq.sorted
+      assert(state(sink) === state(src),
+        s"[$tag] pre-promotion DELETE_KEY must retract id=2 as a BIGINT")
+      assert(!state(src).exists(_._1 == 2L))
+      assert(state(src).exists(_._1 == 4294967300L))
+      // the masked-CoW path through the same era upcast: rewrite the
+      // era-0 file while the INT-recorded equality delete still applies
+      src.deleteWhere(col("id") === 5L)
+      val cowId = src.meta.currentSnapshot.get.id
+      val changes = collectChanges(src.location, tmpDir(s"cdc-promo-cp2-$tag"))
+      val cowDels = changes.filter(c => c._1 == "DELETE" && c._2 == cowId)
+        .map(_._3).sorted
+      assert(cowDels === (0L until 10L).filterNot(_ == 2L),
+        s"[$tag] masked CoW images must exclude the INT-era-keyed dead row: $cowDels")
+    }
+  }
+
   test("CoW images carry exact DELETE pre-images and INSERT post-images per commit") {
     val t = GraftTable.create(spark, tmpDir("cdc-cow-img"), "cdccowimg", schema)
     t.append(rows(0 until 30).coalesce(1)) // single file: the rewrite touches all 30 rows
