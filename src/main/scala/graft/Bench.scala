@@ -363,9 +363,25 @@ object Bench {
       "fs" -> (math.max(calibFsStart.min, calibFsEnd.min) <= cleanTol * fsRef))
     val probesCleanJson =
       s"""{"cpu": ${pClean("cpu")}, "shuffle": ${pClean("shuffle")}, "fs": ${pClean("fs")}, "all": ${pClean.values.forall(identity)}}"""
+    // A/B block (round 17): tools/bench_ab.sh runs interleaved sweeps of
+    // HEAD vs a baseline sha and merges them into an ab JSON; pointing
+    // SPARK_GRAFT_BENCH_AB_FILE at it embeds the block so the round's
+    // BENCH artifact carries the controlled comparison alongside the raw
+    // sweep — the adjudication path for any regression question.
+    val abJson: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_AB_FILE")
+      .flatMap { p =>
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8").trim
+          if (s.startsWith("{") && s.endsWith("}")) Some(s)
+          else { System.err.println(s"[bench] $p is not a JSON object; skipping ab block"); None }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not read ab file $p: $e"); None }
+      }
+    val abField = abJson.map(s => s"""  "ab": $s,\n""").getOrElse("")
     val detail =
       s"""{
-         |  "metric": "total",
+         |$abField  "metric": "total",
          |  "value": $total,
          |  "value_discounted": $totalDiscounted,
          |  "value_discounted_shuffle": $totalDiscountedShuffle,
@@ -402,7 +418,8 @@ object Bench {
     // calib mins on stdout: the judge's first-glance contention check —
     // reference values (idle sandbox) live in BASELINE.md
     val calibJson = s"""{"cpu":${calibCpuStart.min},"cpu_end":${calibCpuEnd.min},"spark":${calibSparkStart.min},"spark_end":${calibSparkEnd.min},"fs":${calibFsStart.min},"fs_end":${calibFsEnd.min},"gc_ms":$gcSweepMs}"""
-    println(s"""{"metric":"total","value":$total,"value_discounted":$totalDiscounted,"value_discounted_shuffle":$totalDiscountedShuffle,"discount_factors":$discJson,"probes_clean":$probesCleanJson,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
+    val abStdout = abJson.map(_ => s""""ab_file":${jstr(sys.env("SPARK_GRAFT_BENCH_AB_FILE"))},""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"value_discounted":$totalDiscounted,"value_discounted_shuffle":$totalDiscountedShuffle,"discount_factors":$discJson,"probes_clean":$probesCleanJson,$abStdout"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_err":${failed.size},"errors":$errList,"load_avg":$loadJson,"calib":$calibJson,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
