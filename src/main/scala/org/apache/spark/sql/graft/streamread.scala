@@ -382,6 +382,36 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     KeyLayout(physSchema, keyIdx.toArray, declaredTypes.toArray, castExprs)
   }
 
+  /** The executor-side position source for one positional/DV delete file
+    * narrowed to `target` — shared by DELETE-image selection
+    * ([[PositionChangeImagePartition]]) and CoW masking
+    * ([[MaskedChangeImagePartition]]). */
+  private def positionSourceOf(d: graft.table.DeleteFile,
+      target: String): MaskSource = {
+    val full = s"$location/data/${d.path}"
+    def pf = {
+      val p = new org.apache.hadoop.fs.Path(full)
+      val fs = p.getFileSystem(hadoopConf)
+      PartitionedFile(new GenericInternalRow(Array.empty[Any]),
+        SparkPath.fromPath(p), 0, fs.getFileStatus(p).getLen)
+    }
+    if (d.isDv) {
+      val dvSchema = StructType(Seq(
+        StructField("__file", StringType),
+        StructField("__runs", ArrayType(LongType))))
+      DvMask(readerFor(dvSchema, new StructType()), pf, target)
+    } else if (d.path.endsWith(graft.table.AvroDeletes.Extension))
+      AvroPosListMask(full,
+        new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+        target)
+    else {
+      val posSchema = StructType(Seq(
+        StructField("__file", StringType),
+        StructField("__pos", LongType)))
+      PosListMask(readerFor(posSchema, new StructType()), pf, target)
+    }
+  }
+
   /** Compose a key-tuple read closure with the era upcast projection
     * (None = identity; same executor-side-build shape as the era data
     * reader — the bound Cast expressions serialize into the closure). */
@@ -396,14 +426,13 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     }
   }
 
-  /** Changelog planning: per snapshot, DELETE images first (deletion
-    * vectors expand to full-row images by reading the parent file and
-    * keeping the vector's positions — a sequential whole-file read's row
-    * order IS the parquet row index; equality deletes emit their key
-    * tuples as DELETE_KEY retractions straight from the delete parquet),
-    * then the snapshot's INSERT images. Position-LIST delete commits are
-    * refused — migrate to deletion vectors via
-    * rewrite_position_delete_files under write.delete.vector.enabled. */
+  /** Changelog planning: per snapshot, DELETE images first (positional
+    * commits — deletion vectors AND position lists, round 17 — expand to
+    * full-row images by reading the target file and keeping the recorded
+    * positions, a sequential whole-file read's row order being the
+    * parquet row index; equality deletes emit their key tuples as
+    * DELETE_KEY retractions straight from the delete file), then the
+    * snapshot's INSERT images. */
   private def planChangelog(range: Seq[graft.table.GraftSnapshot],
       m: graft.table.TableMetadata,
       skipOverwrites: Boolean): Array[InputPartition] = {
@@ -432,48 +461,24 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
             if sn.removedFiles.isEmpty && newDels.nonEmpty =>
           val byPath = sn.files.map(f => f.path -> f).toMap
           val delParts: Seq[InputPartition] = newDels.flatMap { d =>
-            if (d.isDv) {
-              if (d.targetPaths.nonEmpty) {
-                // round 17: one partition per (DV file, target) planned
-                // straight from commit metadata — zero driver-side row
-                // reads; the executor reads its target's runs from the
-                // vector parquet at execute time (the file is per-target-
-                // row compact, and the read is column-complete anyway)
-                val dvSchema = StructType(Seq(
-                  StructField("__file", StringType),
-                  StructField("__runs", ArrayType(LongType))))
-                val dvRead = readerFor(dvSchema, new StructType())
-                val dvPath = new org.apache.hadoop.fs.Path(
-                  s"$location/data/${d.path}")
-                val dvPf = PartitionedFile(
-                  new GenericInternalRow(Array.empty[Any]),
-                  SparkPath.fromPath(dvPath), 0,
-                  fs.getFileStatus(dvPath).getLen)
-                d.targetPaths.flatMap { tp =>
-                  byPath.get(tp).map { f =>
-                    DvChangeImagePartition(readFuncFor(m, f, seqOf),
-                      partitionedFileOf(fs, f), sn.id,
-                      dvRead, dvPf, tp): InputPartition
-                  }
+            if (d.isDv || d.isPositional) {
+              // round 17: one partition per (delete file, target) — the
+              // executor reads its target's positions (DV runs or
+              // position-list rows, parquet or Avro) at execute time and
+              // streams the file's rows AT those positions as DELETE
+              // images. Targets come from commit metadata (targetPaths,
+              // zero driver reads); a legacy file without them pays one
+              // cached driver read of its distinct targets only.
+              val targets =
+                if (d.targetPaths.nonEmpty) d.targetPaths
+                else positionDeleteTargets(d).toSeq.sorted
+              targets.flatMap { tp =>
+                byPath.get(tp).map { f =>
+                  PositionChangeImagePartition(readFuncFor(m, f, seqOf),
+                    partitionedFileOf(fs, f), sn.id,
+                    positionSourceOf(d, tp)): InputPartition
                 }
-              } else {
-                // legacy DV file (pre-targetPaths metadata): one
-                // driver-side read of the per-FILE vector rows (small)
-                spark.read.parquet(s"$location/data/${d.path}")
-                  .collect().toSeq.flatMap { r =>
-                    byPath.get(r.getString(0)).map { f =>
-                      ChangeImagePartition(readFuncFor(m, f, seqOf),
-                        partitionedFileOf(fs, f),
-                        "DELETE", sn.id, runs = r.getSeq[Long](1).toArray)
-                    }
-                  }
               }
-            } else if (d.isPositional) {
-              throw new UnsupportedOperationException(
-                s"graft changelog stream: snapshot ${sn.id} carries a " +
-                  "position-LIST delete file; migrate to deletion vectors " +
-                  "(write.delete.vector.enabled + " +
-                  "rewrite_position_delete_files) or use changelogBetween")
             } else {
               // equality delete: the delete file's rows ARE the key
               // tuples — emit them as DELETE_KEY retractions mapped into
@@ -547,40 +552,26 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
           // positional/DV deletes only where their recorded targets
           // overlap the removed file.
           val parentDels = parent.map(_.deleteFiles).getOrElse(Seq.empty)
-          def maskOf(d: graft.table.DeleteFile, target: String): MaskSource = {
-            val full = s"$location/data/${d.path}"
-            def pf = {
-              val p = new org.apache.hadoop.fs.Path(full)
-              PartitionedFile(new GenericInternalRow(Array.empty[Any]),
-                SparkPath.fromPath(p), 0, fs.getFileStatus(p).getLen)
-            }
-            val avro = d.path.endsWith(graft.table.AvroDeletes.Extension)
-            if (d.isDv) {
-              val dvSchema = StructType(Seq(
-                StructField("__file", StringType),
-                StructField("__runs", ArrayType(LongType))))
-              DvMask(readerFor(dvSchema, new StructType()), pf, target)
-            } else if (d.isPositional) {
-              if (avro) AvroPosListMask(full,
-                new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-                target)
-              else {
-                val posSchema = StructType(Seq(
-                  StructField("__file", StringType),
-                  StructField("__pos", LongType)))
-                PosListMask(readerFor(posSchema, new StructType()), pf, target)
-              }
-            } else {
+          def maskOf(d: graft.table.DeleteFile, target: String): MaskSource =
+            if (d.isDv || d.isPositional) positionSourceOf(d, target)
+            else {
+              val full = s"$location/data/${d.path}"
               val kl = equalityKeyLayout(m, d, sn.id)
-              if (avro) AvroKeyMask(full,
-                new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-                d.keyCols.toArray, kl.keyIdx, kl.declaredTypes,
-                kl.physSchema.fields.map(_.dataType), kl.castExprs)
-              else KeyMask(
-                composeCast(readerFor(kl.physSchema, new StructType()),
-                  kl.castExprs), pf, kl.keyIdx, kl.declaredTypes)
+              if (d.path.endsWith(graft.table.AvroDeletes.Extension))
+                AvroKeyMask(full,
+                  new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+                  d.keyCols.toArray, kl.keyIdx, kl.declaredTypes,
+                  kl.physSchema.fields.map(_.dataType), kl.castExprs)
+              else {
+                val p = new org.apache.hadoop.fs.Path(full)
+                val delPf = PartitionedFile(
+                  new GenericInternalRow(Array.empty[Any]),
+                  SparkPath.fromPath(p), 0, fs.getFileStatus(p).getLen)
+                KeyMask(
+                  composeCast(readerFor(kl.physSchema, new StructType()),
+                    kl.castExprs), delPf, kl.keyIdx, kl.declaredTypes)
+              }
             }
-          }
           removed.map { f =>
             val masks = parentDels.filter { d =>
               d.seq > seqOf(f) &&
@@ -730,20 +721,17 @@ case class MaskedChangeImagePartition(
     snapshotId: Long,
     masks: Seq[MaskSource]) extends InputPartition
 
-/** [[ChangeImagePartition]]'s metadata-planned deletion-vector form
-  * (round 17): the driver plans one partition per (DV file, target data
+/** [[ChangeImagePartition]]'s metadata-planned positional form (round
+  * 17): the driver plans one partition per (delete file, target data
   * file) from [[graft.table.DeleteFile.targetPaths]] without reading any
-  * delete content; the EXECUTOR locates its target's run-length vector in
-  * the DV parquet (`dvReadFunc` over `dvFile`, rows are per-target-file
-  * compact) and then streams the data file's rows at the vector's
-  * positions as DELETE images. */
-case class DvChangeImagePartition(
+  * delete content; the EXECUTOR loads its target's positions from `src`
+  * (DV runs, or position-list rows in parquet/Avro) and streams the data
+  * file's rows AT those positions as DELETE images. */
+case class PositionChangeImagePartition(
     readFunc: PartitionedFile => Iterator[InternalRow],
     file: PartitionedFile,
     snapshotId: Long,
-    dvReadFunc: PartitionedFile => Iterator[InternalRow],
-    dvFile: PartitionedFile,
-    targetPath: String) extends InputPartition
+    src: MaskSource) extends InputPartition
 
 /** Equality-delete key tuples as DELETE_KEY retraction images: the delete
   * parquet's columns map into `keyIdx` positions of the full-width row,
@@ -836,35 +824,7 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
       val keySets = scala.collection.mutable.ArrayBuffer.empty[
         (Array[Int], Array[org.apache.spark.sql.types.DataType],
           java.util.HashSet[Any])]
-      def drainClose(it: Iterator[InternalRow])(f: InternalRow => Unit): Unit =
-        try it.foreach(f)
-        finally it match { case c: AutoCloseable => c.close(); case _ => () }
       mp.masks.foreach {
-        case DvMask(rf, file, target) =>
-          val t = UTF8String.fromString(target)
-          drainClose(rf(file)) { r =>
-            if (r.getUTF8String(0) == t) {
-              val runs = r.getArray(1).toLongArray()
-              var i = 0
-              while (i < runs.length / 2) {
-                intervals += ((runs(2 * i), runs(2 * i + 1))); i += 1
-              }
-            }
-          }
-        case PosListMask(rf, file, target) =>
-          val t = UTF8String.fromString(target)
-          drainClose(rf(file)) { r =>
-            if (r.getUTF8String(0) == t) intervals += ((r.getLong(1), 1L))
-          }
-        case AvroPosListMask(path, conf, target) =>
-          val t = UTF8String.fromString(target)
-          graft.table.AvroDeletes.catalystIterator(path, conf.value,
-            Seq("__file", "__pos"),
-            Seq(org.apache.spark.sql.types.StringType,
-              org.apache.spark.sql.types.LongType)).foreach { vals =>
-            if (vals(0) == t)
-              intervals += ((vals(1).asInstanceOf[Long], 1L))
-          }
         case KeyMask(rf, file, keyIdx, keyTypes) =>
           val set = new java.util.HashSet[Any]()
           drainClose(rf(file)) { r0 =>
@@ -883,20 +843,11 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
             set.add(List.tabulate(keyIdx.length)(i => cast(i)))
           }
           keySets += ((keyIdx, keyTypes, set))
+        case positional => loadIntervals(positional, intervals)
       }
       // merged, sorted exclusion runs; the lockstep walk below EXCLUDES
       // them (the complement of ChangeImagePartition's selection)
-      val runs: Array[Long] = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-        intervals.sortBy(_._1).foreach { case (s, l) =>
-          if (out.nonEmpty && s <= out(out.size - 2) + out(out.size - 1))
-            out(out.size - 1) =
-              math.max(out(out.size - 2) + out(out.size - 1), s + l) -
-                out(out.size - 2)
-          else { out += s; out += l }
-        }
-        out.toArray
-      }
+      val runs: Array[Long] = mergeRuns(intervals)
       val mtag = new GenericInternalRow(Array[Any](
         UTF8String.fromString("DELETE"), mp.snapshotId, null))
       val mbase = mp.readFunc(mp.file)
@@ -915,27 +866,17 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
       drain(mselected.map(r =>
         new org.apache.spark.sql.catalyst.expressions.JoinedRow(r, mtag)),
         source = mbase)
-    case dp: DvChangeImagePartition =>
-      // locate this partition's target vector in the DV parquet (per-
-      // target-file rows, compact), then delegate to the run-filtered
-      // image reader — the one code path for position selection
-      val dvIt = dp.dvReadFunc(dp.dvFile)
-      var runs: Array[Long] = null
-      try {
-        val target = UTF8String.fromString(dp.targetPath)
-        while (runs == null && dvIt.hasNext) {
-          val r = dvIt.next()
-          if (r.getUTF8String(0) == target) runs = r.getArray(1).toLongArray()
-        }
-      } finally dvIt match {
-        case c: AutoCloseable => c.close()
-        case _ => ()
-      }
-      if (runs == null) throw new IllegalStateException(
-        s"deletion-vector file has no entry for recorded target " +
-          s"${dp.targetPath} (commit metadata/content divergence)")
+    case pp: PositionChangeImagePartition =>
+      // load this partition's target positions (DV runs or position-list
+      // rows), then delegate to the run-filtered image reader — the one
+      // code path for position selection
+      val intervals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      loadIntervals(pp.src, intervals)
+      if (intervals.isEmpty) throw new IllegalStateException(
+        s"delete file has no positions for recorded target of " +
+          s"${pp.file.urlEncodedPath} (commit metadata/content divergence)")
       createReader(ChangeImagePartition(
-        dp.readFunc, dp.file, "DELETE", dp.snapshotId, runs))
+        pp.readFunc, pp.file, "DELETE", pp.snapshotId, mergeRuns(intervals)))
     case kp: KeyDeletePartition =>
       val under = kp.readFunc(kp.file)
       val it = under.map { r =>
@@ -970,6 +911,61 @@ class GraftStreamReaderFactory extends PartitionReaderFactory {
           new GenericInternalRow(out): InternalRow
         }
       drain(it, source = under)
+  }
+
+  private def drainClose(it: Iterator[InternalRow])(
+      f: InternalRow => Unit): Unit =
+    try it.foreach(f)
+    finally it match { case c: AutoCloseable => c.close(); case _ => () }
+
+  /** Append a positional source's (start, len) intervals for its recorded
+    * target — DV runs verbatim, position-list rows as unit intervals. */
+  private def loadIntervals(src: MaskSource,
+      intervals: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit =
+    src match {
+      case DvMask(rf, file, target) =>
+        val t = UTF8String.fromString(target)
+        drainClose(rf(file)) { r =>
+          if (r.getUTF8String(0) == t) {
+            val runs = r.getArray(1).toLongArray()
+            var i = 0
+            while (i < runs.length / 2) {
+              intervals += ((runs(2 * i), runs(2 * i + 1))); i += 1
+            }
+          }
+        }
+      case PosListMask(rf, file, target) =>
+        val t = UTF8String.fromString(target)
+        drainClose(rf(file)) { r =>
+          if (r.getUTF8String(0) == t) intervals += ((r.getLong(1), 1L))
+        }
+      case AvroPosListMask(path, conf, target) =>
+        val t = UTF8String.fromString(target)
+        graft.table.AvroDeletes.catalystIterator(path, conf.value,
+          Seq("__file", "__pos"),
+          Seq(org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).foreach { vals =>
+          if (vals(0) == t)
+            intervals += ((vals(1).asInstanceOf[Long], 1L))
+        }
+      case other => throw new IllegalStateException(
+        s"not a positional source: $other")
+    }
+
+  /** Sort + merge (start, len) intervals into the run-length array shape
+    * [[ChangeImagePartition]] walks (duplicates and overlaps collapse). */
+  private def mergeRuns(
+      intervals: scala.collection.mutable.ArrayBuffer[(Long, Long)])
+      : Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    intervals.sortBy(_._1).foreach { case (s, l) =>
+      if (out.nonEmpty && s <= out(out.size - 2) + out(out.size - 1))
+        out(out.size - 1) =
+          math.max(out(out.size - 2) + out(out.size - 1), s + l) -
+            out(out.size - 2)
+      else { out += s; out += l }
+    }
+    out.toArray
   }
 
   /** Per-tuple era upcast for Avro-decoded key value arrays: None =

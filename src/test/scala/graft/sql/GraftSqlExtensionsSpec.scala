@@ -399,13 +399,18 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
       Seq((1L, 0.0), (2L, 20.0), (3L, 0.0)),
       "delsubmor holds ids {1, 3} after its delete — exactly those zero")
-    // CORRELATED subqueries in SET values stay refused (uncorrelated
-    // scalar SET values are supported — see the dedicated test)
-    val setSub = intercept[Exception] {
-      spark.sql("""UPDATE gsql.fin.updsub
-                   SET amount = (SELECT max(d.amount) FROM gsql.fin.delsubmor d
-                                 WHERE d.id = updsub.id)""")
-    }
-    assert(setSub.getMessage.contains("subquery"))
+    // CORRELATED scalar subqueries in SET values are supported too
+    // (round 17; deep coverage in CorrelatedRowLevelSqlSpec): the per-row
+    // lookup lands where a match exists, NULL where it does not
+    spark.sql("""SELECT CAST(2 AS BIGINT) AS kid, 777.0 AS bonus""")
+      .createOrReplaceTempView("updsub_enrich")
+    spark.sql("""UPDATE gsql.fin.updsub
+                 SET amount = (SELECT e.bonus FROM updsub_enrich e
+                               WHERE e.kid = updsub.id)""")
+    assert(spark.sql("SELECT id, amount FROM gsql.fin.updsub ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq ===
+      Seq((1L, None), (2L, Some(777.0)), (3L, None)),
+      "only id=2 matches the enrichment lookup; the rest take NULL")
   }
 }

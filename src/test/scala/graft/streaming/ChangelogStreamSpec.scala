@@ -250,7 +250,11 @@ class ChangelogStreamSpec extends SparkTestBase {
     for ((trial, props) <- Seq(
         1 -> Map("write.delete.vector.enabled" -> "true"),
         2 -> Map("write.delete.vector.enabled" -> "true",
-          "write.delete.format.default" -> "avro"))) {
+          "write.delete.format.default" -> "avro"),
+        // position LISTS (DV off), parquet and Avro containers — the
+        // round-17 metadata-planned positional DELETE-image path
+        3 -> Map.empty[String, String],
+        4 -> Map("write.delete.format.default" -> "avro"))) {
       val src = GraftTable.create(spark, tmpDir(s"cdc-fz-mor-$trial"),
         s"cfm$trial", schema, props = props)
       val sink = GraftTable.create(spark, tmpDir(s"cdc-fz-mor-sink-$trial"),
@@ -298,15 +302,16 @@ class ChangelogStreamSpec extends SparkTestBase {
     }
   }
 
-  test("position-LIST delete commits are refused in changelog mode; masked CoW streams (round 17)") {
+  test("position-LIST delete commits stream DELETE images; masked CoW streams (round 17)") {
     val t = GraftTable.create(spark, tmpDir("cdc-ref"), "cdcref", schema)
     t.append(rows(0 until 10))
-    t.deleteWherePositional(col("id") < 2) // legacy row-list (DV off)
-    val e = intercept[Exception] {
-      collectChanges(t.location, tmpDir("cdc-ref-cp"))
-    }
-    assert(e.getMessage.contains("position-LIST") ||
-      Option(e.getCause).exists(_.getMessage.contains("position-LIST")))
+    t.deleteWherePositional(col("id") < 2) // row-list commit (DV off)
+    val plId = t.meta.currentSnapshot.get.id
+    val plChanges = collectChanges(t.location, tmpDir("cdc-ref-cp"))
+    val plDels = plChanges.filter(c => c._1 == "DELETE" && c._2 == plId)
+      .map(_._3).sorted
+    assert(plDels === Seq(0L, 1L),
+      s"position-list DELETE images must be the exact deleted rows: $plDels")
     // a CoW rewrite of files that older MoR deletes still apply to
     // (round 17 — was a round-16 refusal): the DELETE images must
     // exclude the equality-masked row 3
