@@ -219,6 +219,8 @@ object Bench {
       graft.queries.TableFixtures.ordersWriteOrdered(spark, sfDir)
       graft.queries.TableFixtures.ordersCorrelatedDeleted(spark, sfDir)
       graft.queries.TableFixtures.ordersCorrelatedUpdated(spark, sfDir)
+      graft.queries.TableFixtures.ordersCorrelatedSetUpdated(spark, sfDir)
+      graft.queries.TableFixtures.ordersCorrelatedMerged(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

@@ -2281,6 +2281,17 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // correlated MERGE (round 17): clause conditions carry correlated
+    // EXISTS and the UPDATE value a correlated scalar lookup, all
+    // re-bound by exprId onto the merge's joined frame and executed by
+    // the same conditional cascade
+    "t_merge_correlated" -> ((s, dir) =>
+      TableFixtures.ordersCorrelatedMerged(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")),
+
     // S1 CSV scan with explicit schema: every generated day folder
     // (including the nullable WAP day) ingested into a partitioned table;
     // the oracle re-reads the identical CSVs with DuckDB read_csv
@@ -6162,6 +6173,31 @@ object SparkEntry {
                               AND c.c_acctbal > 9000)
                       ELSE o_totalprice END AS new_price
                FROM orders o WHERE o_orderkey % 3 = 0)
+         GROUP BY 1 ORDER BY 1""",
+
+    // the correlated MERGE replayed: matched (even-key) blessed rows take
+    // the looked-up acctbal; blessed even non-%3 source rows insert
+    "t_merge_correlated" ->
+      s"""WITH upd AS (
+           SELECT o_orderstatus, o_custkey,
+             CASE WHEN o_orderkey % 2 = 0 AND EXISTS (
+                    SELECT 1 FROM customer c
+                    WHERE c.c_custkey = t0.o_custkey AND c.c_acctbal > 9000)
+                  THEN (SELECT c.c_acctbal FROM customer c
+                        WHERE c.c_custkey = t0.o_custkey)
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders t0 WHERE o_orderkey % 3 = 0),
+         ins AS (
+           SELECT o_orderstatus, o_custkey, o_totalprice
+           FROM orders s
+           WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+             AND EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = s.o_custkey
+                           AND c.c_acctbal > 9000))
+         SELECT o_orderstatus, count(*) AS n,
+           cast(sum(o_custkey) AS bigint) AS cust_sum,
+           ${centsSql("o_totalprice")} AS total_cents
+         FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
          GROUP BY 1 ORDER BY 1""",
 
     "t_csv_ingest" ->

@@ -138,6 +138,42 @@ object TableFixtures {
       t
     })
 
+  /** Correlated MERGE fixture (round 17): clause CONDITIONS carry
+    * correlated EXISTS over an outside relation and the UPDATE value a
+    * correlated scalar lookup — the full joined-frame exprId re-bind
+    * surface in one statement, CoW cascade. */
+  def ordersCorrelatedMerged(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_corr_merged", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_corr_merged"
+      GraftTable.drop(spark, loc)
+      val cat = sqlCatalog(spark, sfDir)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, s"$cat.orders_corr_merged",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      read(spark, sfDir, "customer").createOrReplaceTempView("corr_mrg_customers")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("corr_mrg_src")
+      spark.sql(s"""MERGE INTO $cat.orders_corr_merged t
+        USING corr_mrg_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND EXISTS (SELECT 1 FROM corr_mrg_customers c
+                                 WHERE c.c_custkey = t.o_custkey
+                                   AND c.c_acctbal > 9000)
+          THEN UPDATE SET o_totalprice =
+            (SELECT c.c_acctbal FROM corr_mrg_customers c
+             WHERE c.c_custkey = t.o_custkey)
+        WHEN NOT MATCHED AND EXISTS (SELECT 1 FROM corr_mrg_customers c
+                                     WHERE c.c_custkey = s.o_custkey
+                                       AND c.c_acctbal > 9000)
+          THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority)
+          VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+                  s.o_orderdate, s.o_orderpriority)""")
+      require(t.meta.currentSnapshot.get.operation == "merge",
+        "the correlated MERGE must have committed a merge snapshot")
+      t
+    })
+
   /** Column-stats fixture: the `%3 == 0` order slice with
     * `compute_table_stats` run — per-column HLL NDV + null counts pinned
     * to the head snapshot. */

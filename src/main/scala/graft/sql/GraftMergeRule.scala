@@ -39,10 +39,15 @@ import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
  * general [[GraftMergeIntoCommand]] ([[graft.table.GraftTable.mergeInto]]'s
  * conditional-cascade CoW rewrite, Iceberg's `RewriteMergeIntoTable`
  * shape; [[graft.table.GraftTable.mergeIntoMoR]] under
- * `write.merge.mode=merge-on-read`). Clause CONDITIONS may carry
- * UNCORRELATED subqueries (`WHEN MATCHED AND id IN (SELECT …)`) — their
- * self-contained plans re-analyze inside the rewrite's join and value
- * projections.
+ * `write.merge.mode=merge-on-read`). Clause CONDITIONS may carry any
+ * subquery — uncorrelated ones re-analyze as self-contained plans, and
+ * CORRELATED ones (round 17: `WHEN MATCHED AND EXISTS (SELECT 1 FROM k
+ * WHERE k.id = t.id)`) re-bind by exprId onto the merge's joined frame
+ * through [[MergeClauseSpec]]/[[CorrelatedCondition]]; clause VALUES may
+ * carry SCALAR subqueries, correlated or not (`THEN UPDATE SET x =
+ * (SELECT max(v) FROM k WHERE k.id = t.id)`). The correlated row-level
+ * surface is therefore uniform across DELETE/UPDATE WHERE, UPDATE SET
+ * values, and MERGE clause conditions/values.
  *
  * What still raises a clear analysis-time error (each deliberately, never
  * a silent approximation):
@@ -50,14 +55,8 @@ import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
  *  - a non-equality `ON` conjunct, an `ON` without at least one key, or
  *    one equating the same target column twice;
  *  - `WITH SCHEMA EVOLUTION`;
- *  - CORRELATED subqueries anywhere in a MERGE (clause conditions or
- *    values); the supported correlated surface is DELETE/UPDATE `WHERE`
- *    conditions plus UPDATE SET SCALAR values (`SET x = (SELECT max(v)
- *    FROM k WHERE k.id = t.id)`), which [[GraftDeleteRule]] /
- *    [[GraftUpdateRule]] route through [[CorrelatedCondition]]'s
- *    exprId-preserving re-bind (rounds 16–17);
- *  - subqueries in clause/assignment VALUES or `ON` keys (conditions only),
- *    and non-scalar subqueries in UPDATE SET values;
+ *  - subqueries in `ON` keys, and non-scalar subqueries in
+ *    clause/assignment VALUES (predicate subqueries are not values);
  *  - clause values referencing columns outside the merge's two relations,
  *    assignments to non-columns, and NOT-MATCHED(-BY-SOURCE) clauses
  *    referencing the wrong side.
@@ -94,6 +93,15 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     if (m.notMatchedBySourceActions.nonEmpty) throw NeedsGeneralPath
     if (m.withSchemaEvolution)
       fail("WITH SCHEMA EVOLUTION is not supported")
+    // correlated subqueries anywhere in clauses need the general rewrite's
+    // joined-frame exprId binding (round 17)
+    val clauseExprs = (m.matchedActions ++ m.notMatchedActions).flatMap {
+      case u: UpdateAction => u.condition.toSeq ++ u.assignments.map(_.value)
+      case d: DeleteAction => d.condition.toSeq
+      case i: InsertAction => i.condition.toSeq ++ i.assignments.map(_.value)
+      case _ => Seq.empty
+    }
+    if (clauseExprs.exists(GraftRowLevelSql.hasCorrelated)) throw NeedsGeneralPath
 
     // ON: each conjunct pairs one bare target column with one source-only
     // expression — the merge keys
@@ -222,13 +230,18 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     /** Rebind a clause expression into the mergeInto namespace: target
       * attrs -> bare names, source attrs -> `__s_` names (or bare when the
       * expression is evaluated against the RAW source, i.e. ON keys).
-      * Clause CONDITIONS may carry uncorrelated subqueries
-      * (self-contained plans that re-analyze inside the rewrite's join
-      * and its value projections — Spark 4 plans predicate subqueries in
-      * Project too); assignment VALUES and ON keys may not. */
+      * Clause CONDITIONS may carry any uncorrelated subquery; assignment
+      * VALUES uncorrelated SCALAR subqueries (both re-analyze as
+      * self-contained plans inside the rewrite's join/value projections —
+      * Spark 4 plans predicate and scalar subqueries under Project); ON
+      * keys may carry none. CORRELATED subqueries never reach here — the
+      * caller routes them through [[CorrelatedCondition]]. */
     def toCol(e: Expression, what: String, srcPrefix: Boolean = true): Column = {
       GraftRowLevelSql.checkSubqueries(e, what,
-        allowUncorrelated = what.endsWith("condition"), fail)
+        allowUncorrelated =
+          what.endsWith("condition") || what.endsWith("value"),
+        fail,
+        scalarOnly = what.endsWith("value"))
       if (!e.references.subsetOf(targetAttrs ++ sourceAttrs))
         fail(s"$what references columns outside the merge: ${e.sql}")
       bridge.column(e.transform {
@@ -239,13 +252,28 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
       })
     }
 
+    /** A clause condition/value as the command's late-bound form: the
+      * correlated case (round 17) keeps the analyzer's resolution and
+      * re-binds by exprId onto the merge's joined frame at run time;
+      * values additionally require SCALAR subqueries (a predicate
+      * subquery is not a value). */
+    def toBound(e: Expression, what: String,
+        value: Boolean): Either[Column, CorrelatedCondition] =
+      if (GraftRowLevelSql.hasCorrelated(e)) {
+        if (value) GraftRowLevelSql.checkScalarOnly(e, what, fail)
+        if (!e.references.subsetOf(targetAttrs ++ sourceAttrs))
+          fail(s"$what references columns outside the merge: ${e.sql}")
+        Right(CorrelatedCondition(e, target.output,
+          srcOutput = m.sourceTable.output))
+      } else Left(toCol(e, what))
+
     def assignName(a: Assignment, clause: String): String = a.key match {
       case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
       case other => fail(s"$clause assigns to non-column ${other.sql}")
     }
 
     def convert(a: MergeAction, clause: String,
-        allowed: Set[String]): MergeClause = {
+        allowed: Set[String]): MergeClauseSpec = {
       def checkRefs(e: Expression, what: String): Unit = {
         if (allowed == Set("target") && !e.references.subsetOf(targetAttrs))
           fail(s"$clause $what may only reference target columns: ${e.sql}")
@@ -255,20 +283,26 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
       a match {
         case u: UpdateAction =>
           u.condition.foreach(checkRefs(_, "condition"))
-          MergeClause.Update(u.condition.map(toCol(_, s"$clause condition")),
+          MergeClauseSpec("update",
+            u.condition.map(toBound(_, s"$clause condition", value = false)),
             u.assignments.map { asn =>
               checkRefs(asn.value, "value")
-              assignName(asn, clause) -> toCol(asn.value, s"$clause value")
+              assignName(asn, clause) ->
+                toBound(asn.value, s"$clause value", value = true)
             })
         case d: DeleteAction =>
           d.condition.foreach(checkRefs(_, "condition"))
-          MergeClause.Delete(d.condition.map(toCol(_, s"$clause condition")))
+          MergeClauseSpec("delete",
+            d.condition.map(toBound(_, s"$clause condition", value = false)),
+            Seq.empty)
         case i: InsertAction =>
           i.condition.foreach(checkRefs(_, "condition"))
-          MergeClause.Insert(i.condition.map(toCol(_, s"$clause condition")),
+          MergeClauseSpec("insert",
+            i.condition.map(toBound(_, s"$clause condition", value = false)),
             i.assignments.map { asn =>
               checkRefs(asn.value, "value")
-              assignName(asn, clause) -> toCol(asn.value, s"$clause value")
+              assignName(asn, clause) ->
+                toBound(asn.value, s"$clause value", value = true)
             })
         case other => fail(s"unsupported $clause action: $other")
       }
@@ -561,19 +595,23 @@ private[sql] object GraftRowLevelSql {
  * machinery fully decorrelates into a semi/anti/existence join, so the
  * engine executes a stock join plan, not a per-row subquery.
  */
-case class CorrelatedCondition(cond: Expression, targetOutput: Seq[Attribute]) {
+case class CorrelatedCondition(cond: Expression, targetOutput: Seq[Attribute],
+    srcOutput: Seq[Attribute] = Seq.empty) {
 
   /** The condition as a Column resolved against `df`'s own attributes
-    * (matched to `targetOutput` by name — `df` must be a scan of the same
-    * table schema). */
+    * (matched to `targetOutput` by name; `srcOutput` attributes — a
+    * MERGE's source relation (round 17) — match under the mergeInto
+    * joined-frame namespace `__s_<name>`). */
   def bindTo(df: DataFrame): Column = {
     val out = bridge.analyzedPlan(df).output
     val byName = out.map(a => a.name -> a).toMap
-    val subst: Map[ExprId, Attribute] = targetOutput.flatMap(a =>
-      byName.get(a.name).map(a.exprId -> _)).toMap
-    require(targetOutput.forall(a => subst.contains(a.exprId)),
+    val subst: Map[ExprId, Attribute] = (targetOutput.flatMap(a =>
+      byName.get(a.name).map(a.exprId -> _)) ++
+      srcOutput.flatMap(a =>
+        byName.get(s"__s_${a.name}").map(a.exprId -> _))).toMap
+    require((targetOutput ++ srcOutput).forall(a => subst.contains(a.exprId)),
       s"correlated rebind: scan is missing column(s) " +
-        targetOutput.filterNot(a => subst.contains(a.exprId))
+        (targetOutput ++ srcOutput).filterNot(a => subst.contains(a.exprId))
           .map(_.name).mkString(", "))
     def remapPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
@@ -587,6 +625,34 @@ case class CorrelatedCondition(cond: Expression, targetOutput: Seq[Attribute]) {
       case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
       case s: SubqueryExpression => s.withNewPlan(remapPlan(s.plan))
     })
+  }
+}
+
+/**
+ * A general-path MERGE clause as captured at analysis time (round 17):
+ * the kind and assignment names are static; each condition/value is
+ * either an already-retargeted Column (`Left` — the uncorrelated case,
+ * by-name rebinding) or a [[CorrelatedCondition]] (`Right`) whose
+ * exprId-preserving re-bind resolves against the merge's JOINED frame at
+ * run time (target columns bare, source columns `__s_`-prefixed). Spark 4
+ * plans correlated predicate AND scalar subqueries under Project, so the
+ * bound Columns ride the existing conditional cascade unchanged.
+ */
+case class MergeClauseSpec(
+    kind: String, // update | delete | insert
+    cond: Option[Either[Column, CorrelatedCondition]],
+    sets: Seq[(String, Either[Column, CorrelatedCondition])]) {
+
+  def bind(joined: DataFrame): graft.table.MergeClause = {
+    def c(e: Either[Column, CorrelatedCondition]): Column =
+      e.fold(identity, _.bindTo(joined))
+    kind match {
+      case "update" => graft.table.MergeClause.Update(cond.map(c),
+        sets.map { case (n, v) => n -> c(v) })
+      case "delete" => graft.table.MergeClause.Delete(cond.map(c))
+      case "insert" => graft.table.MergeClause.Insert(cond.map(c),
+        sets.map { case (n, v) => n -> c(v) })
+    }
   }
 }
 

@@ -601,30 +601,60 @@ class GraftTable(val spark: SparkSession, val location: String) {
    * [[merge]]); with them every target row must be inspected, so all head
    * files rewrite — exactly Iceberg's cost model for that clause.
    */
+  /** Clause-shape and assignment-name validation shared by the CoW and
+    * MoR general merges — runs AFTER late binding (round 17), so
+    * correlated-SQL clause thunks are validated on their bound form. */
+  private def validateMergeClauses(cols: Seq[String],
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause]): Unit = {
+    matched.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
+      "WHEN MATCHED clauses must UPDATE or DELETE"))
+    notMatched.foreach(c => require(c.isInstanceOf[MergeClause.Insert],
+      "WHEN NOT MATCHED clauses must INSERT"))
+    notMatchedBySource.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
+      "WHEN NOT MATCHED BY SOURCE clauses must UPDATE or DELETE"))
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
+      case MergeClause.Update(_, set) => set.foreach { case (c, _) =>
+        require(cols.contains(c), s"MERGE assigns unknown column $c") }
+      case MergeClause.Insert(_, vs) => vs.foreach { case (c, _) =>
+        require(cols.contains(c), s"MERGE inserts unknown column $c") }
+      case _: MergeClause.Delete =>
+    }
+  }
+
   def mergeInto(source: DataFrame, keys: Seq[(String, Column)],
       matched: Seq[MergeClause] = Seq.empty,
       notMatched: Seq[MergeClause] = Seq.empty,
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
       branch: Option[String] = None,
       extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
+    mergeIntoBound(source, keys,
+      matched.map(c => (_: DataFrame) => c),
+      notMatched.map(c => (_: DataFrame) => c),
+      notMatchedBySource.map(c => (_: DataFrame) => c),
+      branch, extraSummary)
+
+  /** [[mergeInto]] with LATE-BOUND clauses (round 17): each thunk
+    * receives the merge's JOINED frame (target columns bare, source
+    * columns `__s_`-prefixed, plus `__k_`/`__tgt`/`__src` internals) and
+    * returns the clause with condition/value Columns resolved against it
+    * — the seam correlated SQL subqueries re-bind through
+    * ([[graft.sql.MergeClauseSpec]]'s exprId-preserving binding; Spark 4
+    * plans correlated predicate and scalar subqueries under Project, so
+    * the bound Columns ride the cascade unchanged). Clause-list EMPTINESS
+    * must be statically faithful: the target side pre-shrinks to matched
+    * files only when no NOT-MATCHED-BY-SOURCE thunks exist. */
+  def mergeIntoBound(source: DataFrame, keys: Seq[(String, Column)],
+      matched: Seq[DataFrame => MergeClause],
+      notMatched: Seq[DataFrame => MergeClause],
+      notMatchedBySource: Seq[DataFrame => MergeClause],
+      branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
     withCommitLock {
       require(keys.nonEmpty, "MERGE requires at least one ON key")
-      matched.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
-        "WHEN MATCHED clauses must UPDATE or DELETE"))
-      notMatched.foreach(c => require(c.isInstanceOf[MergeClause.Insert],
-        "WHEN NOT MATCHED clauses must INSERT"))
-      notMatchedBySource.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
-        "WHEN NOT MATCHED BY SOURCE clauses must UPDATE or DELETE"))
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val cols = tableSchema.fields.map(_.name).toSeq
-      (matched ++ notMatched ++ notMatchedBySource).foreach {
-        case MergeClause.Update(_, set) => set.foreach { case (c, _) =>
-          require(cols.contains(c), s"MERGE assigns unknown column $c") }
-        case MergeClause.Insert(_, vs) => vs.foreach { case (c, _) =>
-          require(cols.contains(c), s"MERGE inserts unknown column $c") }
-        case _: MergeClause.Delete =>
-      }
       keys.foreach { case (k, _) => require(cols.contains(k),
         s"MERGE ON references unknown target column $k") }
 
@@ -670,18 +700,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // null-unsafe key equality, matching both the file probe and SQL MERGE
       val joinCond = keyNames.map(k => target(k) === s(s"__k_$k")).reduce(_ && _)
       val joined = target.join(s, joinCond, "full_outer")
+      val matchedC = matched.map(_(joined))
+      val notMatchedC = notMatched.map(_(joined))
+      val nmbsC = notMatchedBySource.map(_(joined))
+      validateMergeClauses(cols, matchedC, notMatchedC, nmbsC)
 
       val isMatched = col("__tgt").isNotNull && col("__src").isNotNull
       val isSrcOnly = col("__tgt").isNull
       import GraftTable.MergeCascade.{keepChain, valChain}
 
-      val keep = when(isMatched, keepChain(matched, default = true))
-        .when(isSrcOnly, keepChain(notMatched, default = false))
-        .otherwise(keepChain(notMatchedBySource, default = true))
+      val keep = when(isMatched, keepChain(matchedC, default = true))
+        .when(isSrcOnly, keepChain(notMatchedC, default = false))
+        .otherwise(keepChain(nmbsC, default = true))
       val outCols = tableSchema.fields.map { f =>
-        when(isMatched, valChain(matched, f.name, col(f.name)))
-          .when(isSrcOnly, valChain(notMatched, f.name, lit(null)))
-          .otherwise(valChain(notMatchedBySource, f.name, col(f.name)))
+        when(isMatched, valChain(matchedC, f.name, col(f.name)))
+          .when(isSrcOnly, valChain(notMatchedC, f.name, lit(null)))
+          .otherwise(valChain(nmbsC, f.name, col(f.name)))
           .cast(f.dataType).as(f.name)
       }
       val result = joined.filter(keep).select(outCols.toIndexedSeq: _*)
@@ -710,27 +744,26 @@ class GraftTable(val spark: SparkSession, val location: String) {
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
       branch: Option[String] = None,
       extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
+    mergeIntoMoRBound(source, keys,
+      matched.map(c => (_: DataFrame) => c),
+      notMatched.map(c => (_: DataFrame) => c),
+      notMatchedBySource.map(c => (_: DataFrame) => c),
+      branch, extraSummary)
+
+  /** [[mergeIntoMoR]] with LATE-BOUND clauses — [[mergeIntoBound]]'s
+    * merge-on-read twin (round 17); the same joined-frame binding seam
+    * for correlated SQL clause conditions/values. */
+  def mergeIntoMoRBound(source: DataFrame, keys: Seq[(String, Column)],
+      matched: Seq[DataFrame => MergeClause],
+      notMatched: Seq[DataFrame => MergeClause],
+      notMatchedBySource: Seq[DataFrame => MergeClause],
+      branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): GraftSnapshot =
     withCommitLock {
       require(keys.nonEmpty, "MERGE requires at least one ON key")
-      matched.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
-        "WHEN MATCHED clauses must UPDATE or DELETE"))
-      notMatched.foreach(c => require(c.isInstanceOf[MergeClause.Insert],
-        "WHEN NOT MATCHED clauses must INSERT"))
-      notMatchedBySource.foreach(c => require(!c.isInstanceOf[MergeClause.Insert],
-        "WHEN NOT MATCHED BY SOURCE clauses must UPDATE or DELETE"))
       val m = meta
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val cols = tableSchema.fields.map(_.name).toSeq
-      // same assignment validation as the CoW route: a typo'd SET/INSERT
-      // column must fail loudly, not silently no-op (the cascade's
-      // by-name lookup would otherwise just never match it)
-      (matched ++ notMatched ++ notMatchedBySource).foreach {
-        case MergeClause.Update(_, set) => set.foreach { case (c, _) =>
-          require(cols.contains(c), s"MERGE assigns unknown column $c") }
-        case MergeClause.Insert(_, vs) => vs.foreach { case (c, _) =>
-          require(cols.contains(c), s"MERGE inserts unknown column $c") }
-        case _: MergeClause.Delete =>
-      }
       keys.foreach { case (k, _) => require(cols.contains(k),
         s"MERGE ON references unknown target column $k") }
       val keyNames = keys.map(_._1)
@@ -765,6 +798,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val s = prepared.withColumn("__src", lit(1))
       val joinCond = keyNames.map(k => target(k) === s(s"__k_$k")).reduce(_ && _)
       val joined = target.join(s, joinCond, "full_outer")
+      val matchedC = matched.map(_(joined))
+      val notMatchedC = notMatched.map(_(joined))
+      val nmbsC = notMatchedBySource.map(_(joined))
+      validateMergeClauses(cols, matchedC, notMatchedC, nmbsC)
 
       val isMatched = col("__tgt").isNotNull && col("__src").isNotNull
       val isSrcOnly = col("__tgt").isNull
@@ -773,19 +810,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // a row enters the DELETE FILE iff a clause fired on it (update =
       // delete-then-reinsert; delete = delete only); untouched rows never
       // pay a delete entry
-      val touched = when(isMatched, touchedChain(matched))
+      val touched = when(isMatched, touchedChain(matchedC))
         .when(isSrcOnly, lit(false))
-        .otherwise(touchedChain(notMatchedBySource))
+        .otherwise(touchedChain(nmbsC))
       // a row is APPENDED iff it survives with a fired Update (matched /
       // NMBS) or a fired Insert (source-only)
-      val appendRow = when(isMatched, touchedChain(matched) && keepChain(matched, default = true))
-        .when(isSrcOnly, keepChain(notMatched, default = false))
-        .otherwise(touchedChain(notMatchedBySource) &&
-          keepChain(notMatchedBySource, default = true))
+      val appendRow = when(isMatched, touchedChain(matchedC) && keepChain(matchedC, default = true))
+        .when(isSrcOnly, keepChain(notMatchedC, default = false))
+        .otherwise(touchedChain(nmbsC) &&
+          keepChain(nmbsC, default = true))
       val outCols = tableSchema.fields.map { f =>
-        when(isMatched, valChain(matched, f.name, col(f.name)))
-          .when(isSrcOnly, valChain(notMatched, f.name, lit(null)))
-          .otherwise(valChain(notMatchedBySource, f.name, col(f.name)))
+        when(isMatched, valChain(matchedC, f.name, col(f.name)))
+          .when(isSrcOnly, valChain(notMatchedC, f.name, lit(null)))
+          .otherwise(valChain(nmbsC, f.name, col(f.name)))
           .cast(f.dataType).as(f.name)
       }
       val delKeys = joined.filter(touched)

@@ -91,17 +91,23 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
   * merge-on-read (the reference's own setting). */
 case class GraftMergeIntoCommand(location: String, source: LogicalPlan,
     keys: Seq[(String, org.apache.spark.sql.Column)],
-    matched: Seq[graft.table.MergeClause],
-    notMatched: Seq[graft.table.MergeClause],
-    notMatchedBySource: Seq[graft.table.MergeClause])
+    matched: Seq[graft.sql.MergeClauseSpec],
+    notMatched: Seq[graft.sql.MergeClauseSpec],
+    notMatchedBySource: Seq[graft.sql.MergeClauseSpec])
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val df = Dataset.ofRows(session.asInstanceOf[ClassicSession], source)
     val t = GraftTable.load(session, location)
+    // clauses bind LATE against the merge's joined frame (round 17):
+    // correlated clause conditions/values re-bind by exprId there
+    def thunks(specs: Seq[graft.sql.MergeClauseSpec]) =
+      specs.map(spec => (j: org.apache.spark.sql.DataFrame) => spec.bind(j))
     if (t.properties.get("write.merge.mode").contains("merge-on-read"))
-      t.mergeIntoMoR(df, keys, matched, notMatched, notMatchedBySource)
-    else t.mergeInto(df, keys, matched, notMatched, notMatchedBySource)
+      t.mergeIntoMoRBound(df, keys, thunks(matched), thunks(notMatched),
+        thunks(notMatchedBySource))
+    else t.mergeIntoBound(df, keys, thunks(matched), thunks(notMatched),
+      thunks(notMatchedBySource))
     Seq.empty
   }
 }

@@ -137,19 +137,19 @@ class CorrelatedRowLevelSqlSpec extends SparkTestBase {
     assert(t.meta.currentSnapshot.get.addedFiles.isEmpty)
   }
 
-  test("still refused with clear errors: correlated MERGE clause condition and non-scalar correlated SET value") {
+  test("correlated MERGE clause conditions now plan (round 17); non-scalar correlated SET value stays refused") {
     fixtures("ref1")
     spark.sql("SELECT CAST(2 AS BIGINT) AS id, 9.0 AS amount")
       .createOrReplaceTempView("ref1_src")
-    val mrg = intercept[Exception] {
-      spark.sql("""MERGE INTO corr.db.ref1 t USING ref1_src s ON t.id = s.id
-                   WHEN MATCHED AND EXISTS (SELECT 1 FROM ref1_keep k
-                                            WHERE k.kid = t.id)
-                     THEN UPDATE SET t.amount = s.amount""")
-    }
-    assert(mrg.getMessage.contains("correlated subquery"), mrg.getMessage)
+    // full coverage in CorrelatedMergeSqlSpec; this pins the routing
+    spark.sql("""MERGE INTO corr.db.ref1 t USING ref1_src s ON t.id = s.id
+                 WHEN MATCHED AND EXISTS (SELECT 1 FROM ref1_keep k
+                                          WHERE k.kid = t.id)
+                   THEN UPDATE SET t.amount = s.amount""")
+    assert(spark.sql("SELECT amount FROM corr.db.ref1 WHERE id = 2")
+      .collect().head.getDouble(0) === 9.0)
     // a PREDICATE subquery in a SET value (correlated EXISTS inside a
-    // CASE) cannot evaluate in a Project — refused, not mis-planned
+    // CASE) is not a value — refused, not mis-planned
     val set = intercept[Exception] {
       spark.sql("""UPDATE corr.db.ref1 t
                    SET amount = CASE WHEN EXISTS (SELECT 1 FROM ref1_keep k

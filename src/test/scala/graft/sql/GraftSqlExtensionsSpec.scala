@@ -322,14 +322,15 @@ class GraftSqlExtensionsSpec extends SparkTestBase {
     // avg(src amount) = 65: id 1 (100 > 65) updates, id 2 (5 < 65) keeps
     // 20.0; id 9 inserts (blessed), nothing else does
     assert(rows === Seq((1L, 100.0), (2L, 20.0), (3L, 30.0), (9L, 90.0)))
-    // correlated clause conditions stay refused with the clear error
-    val cor = intercept[Exception] {
-      spark.sql("""MERGE INTO gsql.fin.mrgsub t USING mrgsub_src s ON t.id = s.id
-                   WHEN MATCHED AND EXISTS (SELECT 1 FROM mrgsub_ok o
-                                            WHERE o.ok_id = t.id)
-                     THEN UPDATE SET t.amount = 0""")
-    }
-    assert(cor.getMessage.contains("correlated subquery"))
+    // correlated clause conditions plan too (round 17; deep coverage in
+    // CorrelatedMergeSqlSpec): only the ok-blessed matched id zeroes
+    spark.sql("""MERGE INTO gsql.fin.mrgsub t USING mrgsub_src s ON t.id = s.id
+                 WHEN MATCHED AND EXISTS (SELECT 1 FROM mrgsub_ok o
+                                          WHERE o.ok_id = t.id)
+                   THEN UPDATE SET t.amount = 0""")
+    assert(spark.sql("SELECT id, amount FROM gsql.fin.mrgsub ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 100.0), (2L, 20.0), (3L, 30.0), (9L, 0.0)))
     // the merge-on-read cascade evaluates the same conditions in its
     // filters and projections — the subquery shape must compose there too
     spark.sql("""ALTER TABLE gsql.fin.mrgsub
