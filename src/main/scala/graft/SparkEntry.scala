@@ -2292,6 +2292,18 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderstatus")),
 
+    // MERGE WITH SCHEMA EVOLUTION (round 17): the star-merge's extra
+    // source column is added through the catalog's alterTable by the
+    // analyzer; pre-evolution files read it as NULL, source rows carry it
+    "t_merge_schema_evolution" -> ((s, dir) =>
+      TableFixtures.ordersSchemaEvolvedMerged(s, dir).toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"),
+          sumCents(col("o_totalprice")).as("total_cents"),
+          count(col("o_orderpriority")).as("pri_n"),
+          min(col("o_orderpriority")).as("pri_min"))
+        .orderBy("o_orderstatus")),
+
     // S1 CSV scan with explicit schema: every generated day folder
     // (including the nullable WAP day) ingested into a partitioned table;
     // the oracle re-reads the identical CSVs with DuckDB read_csv
@@ -6199,6 +6211,23 @@ object SparkEntry {
            ${centsSql("o_totalprice")} AS total_cents
          FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
          GROUP BY 1 ORDER BY 1""",
+
+    // the evolution merge replayed: every %2 source row (update or
+    // insert) carries its priority; surviving target-only rows (%3 and
+    // not %2) predate the column and read NULL
+    "t_merge_schema_evolution" ->
+      s"""WITH merged AS (
+           SELECT o_orderstatus, o_custkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderstatus, o_custkey, o_totalprice, NULL
+           FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+           cast(sum(o_custkey) AS bigint) AS cust_sum,
+           ${centsSql("o_totalprice")} AS total_cents,
+           count(o_orderpriority) AS pri_n,
+           min(o_orderpriority) AS pri_min
+         FROM merged GROUP BY 1 ORDER BY 1""",
 
     "t_csv_ingest" ->
       s"""SELECT cast(txn_date AS varchar) AS txn_date, count(*) AS n,

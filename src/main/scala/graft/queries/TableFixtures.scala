@@ -174,6 +174,41 @@ object TableFixtures {
       t
     })
 
+  /**
+   * `MERGE … WITH SCHEMA EVOLUTION` fixture (round 17): the target is
+   * created WITHOUT `o_orderpriority`, loaded with the `%3 == 0` slice,
+   * then a star-merge of the FULL-schema `%2 == 0` slice under WITH
+   * SCHEMA EVOLUTION — the analyzer adds the missing column through the
+   * catalog's alterTable and the merge runs against the evolved schema.
+   * Final state: all source rows carry their priority; surviving
+   * target-only rows (`%3 == 0 && %2 != 0`) read it as NULL out of the
+   * pre-evolution files.
+   */
+  def ordersSchemaEvolvedMerged(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_evo_merged", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_evo_merged"
+      GraftTable.drop(spark, loc)
+      val cat = sqlCatalog(spark, sfDir)
+      val orders = read(spark, sfDir, "orders")
+      val narrow = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate")
+      val t = GraftTable.create(spark, loc, s"$cat.orders_evo_merged",
+        narrow.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(narrow.filter(col("o_orderkey") % 3 === 0))
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("evo_mrg_src")
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.orders_evo_merged t
+        USING evo_mrg_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val evolved = org.apache.spark.sql.types.DataType
+        .fromJson(t.meta.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(evolved.fieldNames.contains("o_orderpriority"),
+        "WITH SCHEMA EVOLUTION must have added o_orderpriority")
+      t
+    })
+
   /** Column-stats fixture: the `%3 == 0` order slice with
     * `compute_table_stats` run — per-column HLL NDV + null counts pinned
     * to the head snapshot. */

@@ -47,14 +47,18 @@ import graft.table.catalog.{GraftReadOnlyTable, GraftWritableTable}
  * carry SCALAR subqueries, correlated or not (`THEN UPDATE SET x =
  * (SELECT max(v) FROM k WHERE k.id = t.id)`). The correlated row-level
  * surface is therefore uniform across DELETE/UPDATE WHERE, UPDATE SET
- * values, and MERGE clause conditions/values.
+ * values, and MERGE clause conditions/values. `WITH SCHEMA EVOLUTION`
+ * (round 17) is applied upstream by the analyzer — graft tables declare
+ * `AUTOMATIC_SCHEMA_EVOLUTION`, so new source columns / safe type widens
+ * alter the table and the clause rewrite here runs against the evolved
+ * schema (see [[checkSchemaEvolutionApplied]]).
  *
  * What still raises a clear analysis-time error (each deliberately, never
  * a silent approximation):
  *
  *  - a non-equality `ON` conjunct, an `ON` without at least one key, or
  *    one equating the same target column twice;
- *  - `WITH SCHEMA EVOLUTION`;
+ *  - `WITH SCHEMA EVOLUTION` on a path-based target (no catalog to alter);
  *  - subqueries in `ON` keys, and non-scalar subqueries in
  *    clause/assignment VALUES (predicate subqueries are not values);
  *  - clause values referencing columns outside the merge's two relations,
@@ -83,6 +87,20 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"MERGE INTO graft table: $msg")
 
+  /** `WITH SCHEMA EVOLUTION` (round 17) is applied by the ANALYZER:
+    * graft tables declare `AUTOMATIC_SCHEMA_EVOLUTION`, so Spark's
+    * ResolveMergeIntoSchemaEvolution routes the source-vs-target schema
+    * delta through the catalog's alterTable (AddColumn / safe type widen)
+    * and reloads the relation before this post-hoc rule ever sees the
+    * plan — here the clause rewrite just runs against the evolved schema.
+    * A plan that still NEEDS evolution at this point means the analyzer
+    * could not apply it (a path-based relation has no catalog to alter);
+    * refuse loudly rather than silently dropping the new columns. */
+  private def checkSchemaEvolutionApplied(m: MergeIntoTable): Unit =
+    if (m.withSchemaEvolution && m.needSchemaEvolution)
+      fail("WITH SCHEMA EVOLUTION needs a catalog table target " +
+        "(a path-based relation has no catalog to evolve the schema through)")
+
   private def rewrite(m: MergeIntoTable): LogicalPlan = {
     val target = EliminateSubqueryAliases(m.targetTable)
       .asInstanceOf[DataSourceV2Relation]
@@ -91,8 +109,7 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     val sourceAttrs = m.sourceTable.outputSet
 
     if (m.notMatchedBySourceActions.nonEmpty) throw NeedsGeneralPath
-    if (m.withSchemaEvolution)
-      fail("WITH SCHEMA EVOLUTION is not supported")
+    checkSchemaEvolutionApplied(m)
     // correlated subqueries anywhere in clauses need the general rewrite's
     // joined-frame exprId binding (round 17)
     val clauseExprs = (m.matchedActions ++ m.notMatchedActions).flatMap {
@@ -209,8 +226,7 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     val targetAttrs = target.outputSet
     val sourceAttrs = m.sourceTable.outputSet
 
-    if (m.withSchemaEvolution)
-      fail("WITH SCHEMA EVOLUTION is not supported")
+    checkSchemaEvolutionApplied(m)
 
     // same ON contract as the simple path: a conjunction of
     // target-column = source-expression equalities

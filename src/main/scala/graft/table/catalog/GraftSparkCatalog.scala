@@ -759,8 +759,15 @@ class GraftWritableTable(tableName: String, val location: String,
   with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION (round 17) gates exactly one analyzer
+    // behavior in Spark 4.1: `MERGE INTO … WITH SCHEMA EVOLUTION` routes
+    // the source-vs-target schema delta through
+    // ResolveMergeIntoSchemaEvolution -> alterTable (AddColumn / safe
+    // UpdateColumnType) before resolving the clauses, so star-expansion
+    // sees the evolved schema. Existing files read the added columns as
+    // NULL / the pre-promotion era type through the standard read path.
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** `DELETE FROM … WHERE …`: the pushed filters become one Column
     * predicate. The table's `write.delete.mode` property picks the commit

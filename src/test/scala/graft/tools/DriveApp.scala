@@ -701,6 +701,25 @@ object DriveApp {
         .map { case (i, n) => s"$i:$n" }.mkString(",")
       println(s"merge-into state=$state op=${t.meta.currentSnapshot.get.operation}")
     }
+    println("== MERGE WITH SCHEMA EVOLUTION (round 17): new source column + widen")
+    locally {
+      spark.sql("CREATE TABLE graft.fin.evo (id BIGINT, n INT) USING parquet")
+      spark.sql("INSERT INTO graft.fin.evo SELECT id, CAST(id AS INT) FROM range(4)")
+      spark.sql("""SELECT id, CAST(id * 4000000000 AS BIGINT) AS n,
+                     concat('tag', id) AS tag
+                   FROM (VALUES (CAST(2 AS BIGINT)), (7)) v(id)""")
+        .createOrReplaceTempView("evo_src")
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.fin.evo t
+                   USING evo_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+      val cols = spark.table("graft.fin.evo").schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      val st = spark.sql("SELECT id, n, tag FROM graft.fin.evo ORDER BY id")
+        .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}:${Option(r.getString(2)).getOrElse("-")}")
+        .mkString(",")
+      println(s"merge-evolution cols=$cols state=$st")
+    }
     println("== WAP by id + per-ref retention (round 15)")
     locally {
       import spark.implicits._
