@@ -125,6 +125,29 @@ class MergeSchemaEvolutionSpec extends SparkTestBase {
       (4L, 4.5), (5L, 5.5), (6L, 6.5), (7L, 7.5)))
   }
 
+  test("a tombstoned (renamed-away) name cannot be re-added by evolution: old files still store data under it") {
+    val t = fixtures("tomb")
+    t.renameColumn("amount", "amt")
+    // a source column named after the tombstone would be ADDED by the
+    // star-merge's evolution — but name-based resolution would then read
+    // the RENAMED column's stale data out of the pre-rename files, so
+    // addColumn (and therefore the whole evolution) refuses
+    spark.sql("""SELECT CAST(1 AS BIGINT) AS id, CAST(1.5 AS DOUBLE) AS amt,
+                   CAST(99.0 AS DOUBLE) AS amount""")
+      .createOrReplaceTempView("tomb_evo_src")
+    val err = intercept[Exception] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO mse.db.tomb t
+                   USING tomb_evo_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(err.getMessage.contains("renamed or dropped"),
+      s"expected the tombstone refusal, got: ${err.getMessage}")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(t.meta.schemaJson).asInstanceOf[StructType]
+    assert(schema.fieldNames.toSeq === Seq("id", "amt"))
+  }
+
   test("unsafe change (source STRING over target INT) fails loudly, nothing committed") {
     warehouse
     spark.sql("CREATE TABLE mse.db.unsafe (id BIGINT, n INT) USING parquet")
