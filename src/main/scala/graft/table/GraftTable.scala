@@ -1806,6 +1806,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     ()
   }
 
+  /** Update the metadata display name in one metadata commit — the tail
+    * of a catalog `RENAME TABLE` after the directory move (round 17).
+    * Purely cosmetic for reads (resolution is path-keyed), but error
+    * messages and DESCRIBE output follow the new name. */
+  def renameTo(newName: String): Unit = withCommitLock {
+    retryMetaCommit(m => m.copy(name = newName))
+    ()
+  }
+
   /** `ALTER TABLE … SET TBLPROPERTIES`: merge properties in one metadata
     * commit. */
   def setProperties(props: Map[String, String]): Unit = withCommitLock {

@@ -217,8 +217,50 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
       GraftTable.exists(spark, raw) && GraftTable.drop(spark, raw)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** `ALTER TABLE … RENAME TO …` (round 17). Two shapes, mirroring how
+    * the slot resolves:
+    *
+    *  - a REGISTERED name (the slot holds a `graft.ref` pointer) renames
+    *    by re-pointing: write the pointer under the new slot, delete the
+    *    old one — the table it points at is never touched;
+    *  - a PHYSICAL table renames by moving its directory (this catalog is
+    *    path-keyed — the name IS the location, so unlike Iceberg's
+    *    catalog-row rename the data root must move). One FileSystem
+    *    rename, atomic on HDFS/POSIX; on object stores it is a copy, so
+    *    rename there with no concurrent writers (same caveat as any
+    *    directory-keyed catalog). Snapshot-clones of this table hold
+    *    absolute pointers into the OLD location and break — exactly like
+    *    dropping a clone source; rename the clone's source reference
+    *    first if one exists.
+    *
+    * The metadata display name follows the new identifier in one CAS'd
+    * metadata commit after the move. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val oldRaw = rawLocation(oldIdent)
+    val newRaw = rawLocation(newIdent)
+    if (viewExists(oldIdent)) throw new UnsupportedOperationException(
+      s"RENAME TABLE: $oldIdent is a view")
+    require(!SnapshotLog.exists(newRaw, conf) &&
+        registeredTarget(newRaw).isEmpty && !viewExists(newIdent),
+      s"RENAME TABLE: $newIdent already exists")
+    registeredTarget(oldRaw) match {
+      case Some(target) =>
+        registerTable(newIdent, target)
+        val p = new Path(oldRaw)
+        p.getFileSystem(conf).delete(p, true)
+      case None =>
+        if (!SnapshotLog.exists(oldRaw, conf))
+          throw new NoSuchTableException(oldIdent)
+        val src = new Path(oldRaw)
+        val dst = new Path(newRaw)
+        val fs = src.getFileSystem(conf)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst),
+          s"RENAME TABLE: filesystem rename $oldRaw -> $newRaw failed")
+        GraftTable.load(spark, newRaw).renameTo(newIdent.toString)
+    }
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.exists(spark, tableLocation(ident))

@@ -407,4 +407,63 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     assert(g.count() === 800L)
     spark.sql("DROP TABLE graft.finance.cnt")
   }
+
+  test("ALTER TABLE RENAME TO moves a physical table; reads, time travel, and the old name all follow") {
+    warehouse
+    val loc = s"$warehouse/finance/rn_a"
+    val t = GraftTable.create(spark, loc, "finance.rn_a",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+    import spark.implicits._
+    t.append((0L until 5L).map(i => (i, i * 2)).toDF("id", "v"))
+    val snap1 = t.meta.currentSnapshot.get.id
+    t.append((5L until 8L).map(i => (i, i * 2)).toDF("id", "v"))
+    spark.sql("ALTER TABLE graft.finance.rn_a RENAME TO finance.rn_b")
+    assert(spark.sql("SELECT count(*) FROM graft.finance.rn_b")
+      .collect().head.getLong(0) === 8L)
+    // history moved with the directory: time travel to the pre-rename snapshot
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.finance.rn_b VERSION AS OF $snap1")
+      .collect().head.getLong(0) === 5L)
+    // the old name is gone
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.finance.rn_a").collect() }
+    assert(err.getMessage.contains("rn_a"))
+    // display name followed the move
+    assert(GraftTable.load(spark, s"$warehouse/finance/rn_b")
+      .meta.name === "finance.rn_b")
+    spark.sql("DROP TABLE graft.finance.rn_b")
+  }
+
+  test("RENAME TO of a registered pointer re-points the slot; the target table is never touched") {
+    warehouse
+    val srcLoc = s"$warehouse/finance/rn_src_real"
+    val src = GraftTable.create(spark, srcLoc, "finance.rn_src_real",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    import spark.implicits._
+    src.append((0L until 4L).map(i => Tuple1(i)).toDF("id"))
+    spark.sql(s"CALL graft.system.register_table('finance.rn_ptr', '$srcLoc')")
+    assert(spark.sql("SELECT count(*) FROM graft.finance.rn_ptr")
+      .collect().head.getLong(0) === 4L)
+    spark.sql("ALTER TABLE graft.finance.rn_ptr RENAME TO finance.rn_ptr2")
+    assert(spark.sql("SELECT count(*) FROM graft.finance.rn_ptr2")
+      .collect().head.getLong(0) === 4L)
+    intercept[Exception] { spark.sql("SELECT * FROM graft.finance.rn_ptr").collect() }
+    // the pointed-at table itself never moved
+    assert(GraftTable.load(spark, srcLoc).toDF.count() === 4L)
+    // dropping the renamed pointer unregisters only
+    spark.sql("DROP TABLE graft.finance.rn_ptr2")
+    assert(GraftTable.load(spark, srcLoc).toDF.count() === 4L)
+  }
+
+  test("RENAME TO refuses an occupied destination and a missing source") {
+    warehouse
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.finance.activity RENAME TO finance.activity") }
+    assert(err.getMessage.contains("already exists"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.finance.rn_nope RENAME TO finance.rn_x") }
+  }
 }

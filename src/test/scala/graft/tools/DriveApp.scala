@@ -701,6 +701,16 @@ object DriveApp {
         .map { case (i, n) => s"$i:$n" }.mkString(",")
       println(s"merge-into state=$state op=${t.meta.currentSnapshot.get.operation}")
     }
+    println("== ALTER TABLE RENAME TO (round 17): directory move + pointer re-point")
+    locally {
+      spark.sql("CREATE TABLE graft.fin.rn1 (id BIGINT) USING parquet")
+      spark.sql("INSERT INTO graft.fin.rn1 SELECT id FROM range(6)")
+      spark.sql("ALTER TABLE graft.fin.rn1 RENAME TO fin.rn2")
+      val n = spark.sql("SELECT count(*) FROM graft.fin.rn2").collect().head.getLong(0)
+      val oldGone = scala.util.Try(
+        spark.sql("SELECT * FROM graft.fin.rn1").collect()).isFailure
+      println(s"rename-table rows=$n oldGone=$oldGone")
+    }
     println("== MERGE WITH SCHEMA EVOLUTION (round 17): new source column + widen")
     locally {
       spark.sql("CREATE TABLE graft.fin.evo (id BIGINT, n INT) USING parquet")
