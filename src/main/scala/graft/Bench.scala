@@ -221,6 +221,7 @@ object Bench {
       graft.queries.TableFixtures.ordersCorrelatedUpdated(spark, sfDir)
       graft.queries.TableFixtures.ordersCorrelatedSetUpdated(spark, sfDir)
       graft.queries.TableFixtures.ordersCorrelatedMerged(spark, sfDir)
+      graft.queries.TableFixtures.ordersSchemaEvolvedMerged(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

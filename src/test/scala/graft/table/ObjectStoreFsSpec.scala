@@ -237,4 +237,25 @@ class ObjectStoreFsSpec extends SparkTestBase {
       }
     } finally { SnapshotLog.commitGuardFor = restore; ObjectStoreFileSystem.reset() }
   }
+
+  test("ALTER TABLE RENAME TO moves the table directory on the object store") {
+    installFs()
+    val restore = JdbcCommitGuard.installGlobally(derbyUrl("rename"))
+    try {
+      // directory rename on an object store is copy+delete, not atomic —
+      // the documented contract is "no concurrent writers"; this pins
+      // that the move itself and every read after it work
+      val wh = objDir("rename-wh")
+      spark.conf.set("spark.sql.catalog.objrn",
+        classOf[graft.table.catalog.GraftSparkCatalog].getName)
+      spark.conf.set("spark.sql.catalog.objrn.warehouse", wh)
+      spark.sql("CREATE TABLE objrn.db.a (id BIGINT) USING parquet")
+      spark.sql("INSERT INTO objrn.db.a SELECT id FROM range(7)")
+      spark.sql("ALTER TABLE objrn.db.a RENAME TO db.b")
+      assert(spark.sql("SELECT count(*) FROM objrn.db.b")
+        .collect().head.getLong(0) === 7L)
+      intercept[Exception] { spark.sql("SELECT * FROM objrn.db.a").collect() }
+      assert(GraftTable.load(spark, s"$wh/db/b").meta.name === "db.b")
+    } finally { SnapshotLog.commitGuardFor = restore; ObjectStoreFileSystem.reset() }
+  }
 }
