@@ -1881,6 +1881,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** `CALL system.rollback_to_snapshot(t, id)` (Iceberg's rollback
     * procedure): move `main` back to an ANCESTOR snapshot. History is kept —
     * rolled-back snapshots stay in the log for audit until expiry. */
+  /** Iceberg `set_current_snapshot`: point main at ANY retained snapshot
+    * in one metadata commit — no ancestry requirement, unlike
+    * [[rollbackToSnapshot]] (the documented escape hatch for jumping
+    * sideways onto a staged or branch-only snapshot). Time travel to the
+    * bypassed head keeps working while it stays retained. */
+  def setCurrentSnapshot(snapshotId: Long): Unit = withCommitLock {
+    retryMetaCommit { m =>
+      require(m.snapshot(snapshotId).isDefined,
+        s"Unknown snapshot $snapshotId on table ${m.name}")
+      m.copy(refs = m.refs + (SnapshotLog.MainBranch -> snapshotId))
+    }
+    ()
+  }
+
   def rollbackToSnapshot(snapshotId: Long): Unit = withCommitLock {
     retryMetaCommit { m =>
       require(m.snapshot(snapshotId).isDefined,

@@ -55,6 +55,9 @@ private[catalog] object GraftProcedures {
         Some(new RewritePositionDeleteFiles(catalog))
       case "expire_snapshots"    => Some(new ExpireSnapshots(catalog))
       case "rollback_to_snapshot" => Some(new RollbackToSnapshot(catalog))
+      case "rollback_to_timestamp" => Some(new RollbackToTimestamp(catalog))
+      case "set_current_snapshot" => Some(new SetCurrentSnapshot(catalog))
+      case "publish_changes"     => Some(new PublishChanges(catalog))
       case "cherrypick_snapshot" => Some(new CherrypickSnapshot(catalog))
       case "set_partition_spec"  => Some(new SetPartitionSpec(catalog))
       case "create_changelog_view" => Some(new CreateChangelogView(catalog))
@@ -473,6 +476,74 @@ private[catalog] object GraftProcedures {
       val retainLast = if (input.isNullAt(2)) 1 else input.getInt(2)
       val expired = t.expireSnapshots(olderThanMs, retainLast)
       result(out, expired.map(id => new GenericInternalRow(Array[Any](id))))
+    }
+  }
+
+  /** `rollback_to_timestamp(table, timestamp)`: rewind main to the
+    * latest main-ancestry snapshot current at `timestamp` — the
+    * time-keyed twin of rollback_to_snapshot (Iceberg's procedure for
+    * "undo everything since last night"). */
+  private class RollbackToTimestamp(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "rollback_to_timestamp") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("timestamp", TimestampType))
+    private val out = StructType(Seq(
+      StructField("previous_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val tsMs = input.getLong(1) / 1000L
+      val m = t.meta
+      val snap = GraftSqlTables.snapshotAsOf(m, tsMs).getOrElse(
+        throw new IllegalArgumentException(
+          s"rollback_to_timestamp: no snapshot of ${m.name} is current at " +
+            s"$tsMs ms — the timestamp predates the table"))
+      val previous = m.refs("main")
+      t.rollbackToSnapshot(snap.id)
+      result(out, Seq(new GenericInternalRow(Array[Any](previous, snap.id))))
+    }
+  }
+
+  /** `set_current_snapshot(table, snapshot_id)`: point main at ANY
+    * retained snapshot — unlike rollback there is no ancestry
+    * requirement (Iceberg's escape hatch for jumping sideways onto a
+    * staged or branch-only snapshot). */
+  private class SetCurrentSnapshot(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "set_current_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("snapshot_id", LongType))
+    private val out = StructType(Seq(
+      StructField("previous_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val target = input.getLong(1)
+      val previous = t.meta.refs("main")
+      t.setCurrentSnapshot(target)
+      result(out, Seq(new GenericInternalRow(Array[Any](previous, target))))
+    }
+  }
+
+  /** `publish_changes(table, wap_id)`: find the snapshot staged under
+    * `wap.id = <id>` and publish it onto main — cherry-pick when main
+    * moved past its base, ref fast-forward when it is still parented on
+    * the head; refuses an unknown or already-published wap id. */
+  private class PublishChanges(catalog: GraftSparkCatalog)
+    extends GraftProcedure(catalog, "publish_changes") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType), param("wap_id", StringType))
+    private val out = StructType(Seq(
+      StructField("source_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = table(input.getUTF8String(0).toString)
+      val wapId = input.getUTF8String(1).toString
+      val staged = t.snapshotForWapId(wapId).getOrElse(
+        throw new IllegalArgumentException(
+          s"publish_changes: no snapshot staged under wap.id '$wapId'"))
+      val published = t.cherryPick(staged.id)
+      result(out, Seq(new GenericInternalRow(
+        Array[Any](staged.id, published.id))))
     }
   }
 }

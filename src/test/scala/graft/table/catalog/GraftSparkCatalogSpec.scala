@@ -466,4 +466,55 @@ class GraftSparkCatalogSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.finance.rn_nope RENAME TO finance.rn_x") }
   }
+
+  test("CALL rollback_to_timestamp / set_current_snapshot / publish_changes") {
+    warehouse
+    spark.sql("""CREATE TABLE graft.finance.proc2 (id BIGINT) USING parquet
+                 TBLPROPERTIES ('write.wap.enabled'='true')""")
+    spark.sql("INSERT INTO graft.finance.proc2 SELECT id FROM range(5)")
+    val t = GraftTable.load(spark, s"$warehouse/finance/proc2")
+    val s1 = t.meta.refs("main")
+    Thread.sleep(15)
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    spark.sql("INSERT INTO graft.finance.proc2 SELECT id + 5 FROM range(5)")
+    val s2 = t.meta.refs("main")
+    def count() = spark.sql("SELECT count(*) FROM graft.finance.proc2")
+      .collect().head.getLong(0)
+    assert(count() === 10L)
+    // rewind to the snapshot current at ts1 (between the two appends)
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts1))
+    val rb = spark.sql(s"""CALL graft.system.rollback_to_timestamp(
+        table => 'finance.proc2', timestamp => TIMESTAMP '$lit')""")
+      .collect().head
+    assert(rb.getLong(0) === s2 && rb.getLong(1) === s1)
+    assert(count() === 5L)
+    // jump forward again: s2 is NOT an ancestor of main anymore? it IS a
+    // descendant — rollback refuses forward moves, set_current_snapshot
+    // does not care either way
+    spark.sql(s"CALL graft.system.set_current_snapshot('finance.proc2', ${s2}L)")
+    assert(count() === 10L)
+    // WAP: stage an append under an id (no ref moves), then publish it
+    spark.conf.set("spark.wap.id", "batch42")
+    try {
+      spark.sql("INSERT INTO graft.finance.proc2 SELECT id + 100 FROM range(3)")
+      assert(count() === 10L, "staged-by-id commit must not move main")
+    } finally spark.conf.unset("spark.wap.id")
+    val staged = t.snapshotForWapId("batch42")
+    assert(staged.isDefined)
+    val pub = spark.sql(
+      "CALL graft.system.publish_changes('finance.proc2', 'batch42')")
+      .collect().head
+    assert(pub.getLong(0) === staged.get.id)
+    assert(count() === 13L)
+    // unknown and double publish both refuse
+    intercept[Exception] { spark.sql(
+      "CALL graft.system.publish_changes('finance.proc2', 'nope')").collect() }
+    intercept[Exception] { spark.sql(
+      "CALL graft.system.publish_changes('finance.proc2', 'batch42')").collect() }
+    spark.sql("DROP TABLE graft.finance.proc2")
+  }
 }

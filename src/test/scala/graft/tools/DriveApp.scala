@@ -761,6 +761,20 @@ object DriveApp {
       val pinAnc = m.ancestry(m.refs("pin")).size
       println(s"wap-id staged=$audit mainDuringStage=$mainDuringStage " +
         s"published=$pub pinAncestors=$pinAnc agedTag=${m.tags.contains("aged")}")
+      // round 17: the SQL procedure twins — stage a second wap id and
+      // publish it by name; then jump main around with set_current_snapshot
+      spark.conf.set("spark.graft.wap.id", "drive-batch2")
+      try t.append(Seq((6L, 60L)).toDF("id", "v"))
+      finally spark.conf.unset("spark.graft.wap.id")
+      spark.sql(s"CALL graft.system.register_table('fin.dwi', '${t.location}')")
+      val pc = spark.sql(
+        "CALL graft.system.publish_changes('fin.dwi', 'drive-batch2')")
+        .collect().head
+      val before = t.meta.refs("main")
+      spark.sql(s"CALL graft.system.set_current_snapshot('fin.dwi', ${pc.getLong(0)}L)")
+      val jumped = t.toDF.count()
+      t.setCurrentSnapshot(before)
+      println(s"publish-changes current=${t.toDF.count()} jumpedTo=${pc.getLong(0)} jumpedCount=$jumped")
     }
     println("== correlated row-level SQL + CoW changelog stream (round 16)")
     locally {
