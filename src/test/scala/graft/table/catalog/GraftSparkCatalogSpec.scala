@@ -517,4 +517,20 @@ class GraftSparkCatalogSpec extends SparkTestBase {
       "CALL graft.system.publish_changes('finance.proc2', 'batch42')").collect() }
     spark.sql("DROP TABLE graft.finance.proc2")
   }
+
+  test("TRUNCATE TABLE commits a versioned delete; history survives") {
+    warehouse
+    spark.sql("CREATE TABLE graft.finance.trc (id BIGINT) USING parquet")
+    spark.sql("INSERT INTO graft.finance.trc SELECT id FROM range(9)")
+    val t = GraftTable.load(spark, s"$warehouse/finance/trc")
+    val before = t.meta.refs("main")
+    spark.sql("TRUNCATE TABLE graft.finance.trc")
+    assert(spark.sql("SELECT count(*) FROM graft.finance.trc")
+      .collect().head.getLong(0) === 0L)
+    // versioned, not destructive: the pre-truncate snapshot still reads
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.finance.trc VERSION AS OF $before")
+      .collect().head.getLong(0) === 9L)
+    spark.sql("DROP TABLE graft.finance.trc")
+  }
 }
