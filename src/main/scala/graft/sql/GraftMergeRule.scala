@@ -73,7 +73,8 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     extends Exception with scala.util.control.NoStackTrace
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: MergeIntoTable if m.resolved && isGraftTarget(m) =>
+    case m0: MergeIntoTable if m0.resolved && isGraftTarget(m0) =>
+      val m = repairEvolutionRemap(m0)
       try rewrite(m) catch { case NeedsGeneralPath => rewriteGeneral(m) }
     case p => p
   }
@@ -100,6 +101,72 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
     if (m.withSchemaEvolution && m.needSchemaEvolution)
       fail("WITH SCHEMA EVOLUTION needs a catalog table target " +
         "(a path-based relation has no catalog to evolve the schema through)")
+
+  /**
+   * Undo the analyzer's POSITIONAL attribute remap after schema evolution
+   * (round 17). When ResolveMergeIntoSchemaEvolution swaps the evolved
+   * relation in, target references that resolved BEFORE the swap are
+   * re-pointed old-output-index -> new-output-index, keeping their old
+   * NAME — sound only when the new output is the old output plus appended
+   * columns. Graft relations list identity partition columns LAST (the
+   * scan-order convention), so an added column lands BEFORE them and the
+   * remap mis-binds: an assignment key can surface as name `part` wearing
+   * the exprId AND type of the column now at part's old position, and the
+   * assignment aligner then casts the value to that wrong type (the
+   * silent-corruption case is two same-typed columns swapping values —
+   * caught by the evolution fuzz).
+   *
+   * The damage signature is unambiguous: a target AttributeReference
+   * whose NAME disagrees with the name of the output attribute owning its
+   * exprId. Names survive the remap, so repair re-binds by name and
+   * unwraps the aligner's wrong-type Cast (the rewrite re-casts every
+   * value to the true column type anyway). No-op on merges without
+   * evolution mangling.
+   */
+  private def repairEvolutionRemap(m: MergeIntoTable): MergeIntoTable = {
+    if (!m.withSchemaEvolution) return m
+    val out = EliminateSubqueryAliases(m.targetTable) match {
+      case r: DataSourceV2Relation => r.output
+      case _ => return m
+    }
+    val byId = out.map(a => a.exprId -> a).toMap
+    val byName = out.map(a => a.name -> a).toMap
+    def realOf(a: AttributeReference): Option[Attribute] =
+      byId.get(a.exprId).filter(_.name != a.name).flatMap(_ => byName.get(a.name))
+    def fixExpr(e: Expression): Expression = e.transform {
+      case a: AttributeReference => realOf(a).getOrElse(a)
+    }
+    def fixAssignment(asn: Assignment): Assignment = asn.key match {
+      case k: AttributeReference =>
+        realOf(k) match {
+          case Some(real) =>
+            // the aligner cast the value to the MANGLED key's type; strip
+            // exactly that wrapper (a user cast to the TRUE type survives)
+            val v = asn.value match {
+              case c: org.apache.spark.sql.catalyst.expressions.Cast
+                  if c.dataType == k.dataType && c.dataType != real.dataType =>
+                c.child
+              case other => other
+            }
+            Assignment(real, fixExpr(v))
+          case None => asn.copy(value = fixExpr(asn.value))
+        }
+      case _ => asn.copy(value = fixExpr(asn.value))
+    }
+    def fixAction(a: MergeAction): MergeAction = a match {
+      case u: UpdateAction => u.copy(condition = u.condition.map(fixExpr),
+        assignments = u.assignments.map(fixAssignment))
+      case d: DeleteAction => d.copy(condition = d.condition.map(fixExpr))
+      case i: InsertAction => i.copy(condition = i.condition.map(fixExpr),
+        assignments = i.assignments.map(fixAssignment))
+      case other => other
+    }
+    m.copy(
+      mergeCondition = fixExpr(m.mergeCondition),
+      matchedActions = m.matchedActions.map(fixAction),
+      notMatchedActions = m.notMatchedActions.map(fixAction),
+      notMatchedBySourceActions = m.notMatchedBySourceActions.map(fixAction))
+  }
 
   private def rewrite(m: MergeIntoTable): LogicalPlan = {
     val target = EliminateSubqueryAliases(m.targetTable)

@@ -166,4 +166,121 @@ class MergeSchemaEvolutionSpec extends SparkTestBase {
     assert(org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[StructType].apply("n").dataType === IntegerType)
   }
+
+  test("partitioned target: evolution must not remap the partition column onto the new column (positional-remap repair)") {
+    warehouse
+    // the relation lists identity partition columns LAST, so the added
+    // column lands BEFORE `part` — the analyzer's positional post-swap
+    // remap would hand `part` the new column's exprId and type, and the
+    // aligner then casts the part VALUE to that wrong type (or silently
+    // swaps two same-typed columns). GraftMergeRule.repairEvolutionRemap
+    // re-binds by name; this pins the exact failing shape.
+    spark.sql("""CREATE TABLE mse.db.prt (id BIGINT, v DOUBLE, part STRING)
+                 USING parquet PARTITIONED BY (part)""")
+    spark.sql("""INSERT INTO mse.db.prt SELECT id, id*10.0,
+                 CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(4)""")
+    spark.sql("""SELECT CAST(2 AS BIGINT) AS id, CAST(2.5 AS DOUBLE) AS v,
+                 'even' AS part, CAST(777 AS BIGINT) AS c1""")
+      .createOrReplaceTempView("prt_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO mse.db.prt t
+                 USING prt_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id, v, part, c1 FROM mse.db.prt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(rows === Seq((0L, 0.0, "even", -1L), (1L, 10.0, "odd", -1L),
+      (2L, 2.5, "even", 777L), (3L, 30.0, "odd", -1L)))
+  }
+
+  test("partitioned target, same-typed columns: evolution must not silently swap values") {
+    warehouse
+    // the silent twin of the cast failure: when the displaced partition
+    // column and the new column share a type, the mangled alignment
+    // swaps VALUES without any runtime error — only the state check
+    // catches it (this is what the evolution fuzz first surfaced)
+    spark.sql("""CREATE TABLE mse.db.prs (id BIGINT, part STRING)
+                 USING parquet PARTITIONED BY (part)""")
+    spark.sql("""INSERT INTO mse.db.prs SELECT id,
+                 CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(4)""")
+    spark.sql("""SELECT CAST(9 AS BIGINT) AS id, 'odd' AS part,
+                 'tag9' AS tag""").createOrReplaceTempView("prs_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO mse.db.prs t
+                 USING prs_src s ON t.id = s.id
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT id, part, tag FROM mse.db.prs WHERE id = 9")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((9L, "odd", "tag9")),
+      s"part/tag values must not swap: $got")
+  }
+
+  test("fuzz: repeated evolution merges (CoW/MoR, partitioned or not) match a row model") {
+    warehouse
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val mor = trial % 2 == 0
+      val parted = trial >= 3
+      val name = s"fz$trial"
+      val props =
+        if (mor) "TBLPROPERTIES ('write.merge.mode'='merge-on-read')" else ""
+      val partBy = if (parted) "PARTITIONED BY (part)" else ""
+      spark.sql(s"""CREATE TABLE mse.db.$name
+                    (id BIGINT, v DOUBLE, part STRING)
+                    USING parquet $partBy $props""")
+      // model: id -> (v, extras by column name); extras absent = NULL
+      val model = scala.collection.mutable.Map.empty[Long, (Double, Map[String, Long])]
+      val extraCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      def partOf(id: Long) = if (id % 2 == 0) "even" else "odd"
+      // seed rows
+      (0L until 8L).foreach(i => model(i) = (i * 10.0, Map.empty))
+      spark.sql(s"""INSERT INTO mse.db.$name
+                    SELECT id, id * 10.0,
+                      CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END
+                    FROM range(8)""")
+      (1 to 5).foreach { step =>
+        val addNew = extraCols.size < 3 && rnd.nextBoolean()
+        if (addNew) extraCols += s"c${extraCols.size + 1}"
+        // source: a random id slice, all known extras + the new one
+        val ids = (0L until 14L).filter(_ => rnd.nextBoolean())
+        if (ids.nonEmpty) {
+          val extraSel = extraCols.map(c =>
+            s"id * ${c.drop(1)} AS $c").mkString(", ")
+          // CAST: bigint + 0.5 types as decimal(22,1), and the analyzer
+          // would then propose the UNSAFE double -> decimal widen, which
+          // alterTable refuses loudly (correct; pinned by the unsafe test)
+          val sel = s"id, CAST(id + 0.5 AS DOUBLE) AS v, " +
+            s"CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS part" +
+            (if (extraCols.nonEmpty) s", $extraSel" else "")
+          spark.sql(s"SELECT $sel FROM (VALUES ${ids.map(i => s"(CAST($i AS BIGINT))").mkString(",")} ) t(id)")
+            .createOrReplaceTempView(s"${name}_s$step")
+          spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO mse.db.$name t
+                        USING ${name}_s$step s ON t.id = s.id
+                        WHEN MATCHED THEN UPDATE SET *
+                        WHEN NOT MATCHED THEN INSERT *""")
+          val extras = extraCols.map(c => c -> 0L).toMap
+          ids.foreach { i =>
+            model(i) = (i + 0.5,
+              extraCols.map(c => c -> i * c.drop(1).toLong).toMap)
+          }
+          // rows untouched this step keep their old extras (absent = NULL)
+          val _ = extras
+        }
+        // model vs table, every declared column
+        val cols = Seq("id", "v", "part") ++ extraCols
+        val got = spark.sql(
+          s"SELECT ${cols.mkString(",")} FROM mse.db.$name ORDER BY id")
+          .collect().map { r =>
+            val extras = extraCols.zipWithIndex.flatMap { case (c, k) =>
+              if (r.isNullAt(3 + k)) None else Some(c -> r.getLong(3 + k))
+            }.toMap
+            (r.getLong(0), r.getDouble(1), r.getString(2), extras)
+          }.toSeq
+        val want = model.toSeq.sortBy(_._1).map { case (i, (v, ex)) =>
+          (i, v, partOf(i), ex) }
+        assert(got === want,
+          s"trial $trial step $step (mor=$mor parted=$parted): " +
+            s"table diverged from model\n got=$got\nwant=$want")
+      }
+    }
+  }
 }
