@@ -222,6 +222,7 @@ object Bench {
       graft.queries.TableFixtures.ordersCorrelatedSetUpdated(spark, sfDir)
       graft.queries.TableFixtures.ordersCorrelatedMerged(spark, sfDir)
       graft.queries.TableFixtures.ordersSchemaEvolvedMerged(spark, sfDir)
+      graft.queries.TableFixtures.ordersDefaulted(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fixture build failed (t_* queries will pay setup or error): $e")

@@ -2335,6 +2335,16 @@ object SparkEntry {
           sumCents(col("o_totalprice")).as("total_cents"))
         .orderBy(col("o_channel").asc_nulls_first)),
 
+    // column DEFAULT values (round 17, Iceberg v3): pre-add files read
+    // the frozen initial default ('WEB'), explicit values stay, and a
+    // post-SET-DEFAULT append that omits the column stores 'STORE'
+    "t_default_values" -> ((s, dir) =>
+      TableFixtures.ordersDefaulted(s, dir).toDF
+        .groupBy(col("o_channel"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("total_cents"))
+        .orderBy(col("o_channel"))),
+
     // MERGE WHEN MATCHED THEN DELETE: matched keys removed, unmatched
     // source rows inserted, in one file-level CoW commit
     "t_merge_delete" -> ((s, dir) =>
@@ -6245,6 +6255,13 @@ object SparkEntry {
          count(*) AS n, ${centsSql("o_totalprice")} AS total_cents
          FROM orders WHERE o_orderkey % 3 IN (0, 1)
          GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    "t_default_values" ->
+      s"""SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'WEB'
+           WHEN o_orderkey % 3 = 1 THEN upper(substr(o_orderpriority, 1, 1))
+           ELSE 'STORE' END AS o_channel,
+         count(*) AS n, ${centsSql("o_totalprice")} AS total_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "e_salted_agg" ->
       s"""SELECT event_type, ${centsSql("value")} AS sum_value_cents,

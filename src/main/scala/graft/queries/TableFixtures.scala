@@ -366,6 +366,31 @@ object TableFixtures {
     })
 
   /**
+   * Default-values fixture (round 17, Iceberg v3 initial/write defaults):
+   * batch 0 written BEFORE the column exists, then `ADD COLUMN o_channel
+   * DEFAULT 'WEB'` (batch-0 rows read the frozen initial default), batch 1
+   * appended WITH explicit values, then `SET DEFAULT 'STORE'` and batch 2
+   * appended WITHOUT the column (the current write-default fills). Three
+   * deterministic slices — the oracle reconstructs each era with a CASE.
+   */
+  def ordersDefaulted(spark: SparkSession, sfDir: String): GraftTable =
+    cache.getOrElseUpdate(("orders_defaulted", sfDir), {
+      val loc = s"$baseDir/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_defaulted"
+      GraftTable.drop(spark, loc)
+      val orders = read(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, loc, "graft.orders_defaulted",
+        orders.schema, partitionCols = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.addColumn("o_channel", org.apache.spark.sql.types.StringType,
+        defaultSql = Some("'WEB'"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_channel", upper(substring(col("o_orderpriority"), 1, 1))))
+      t.setColumnDefault("o_channel", Some("'STORE'"))
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      t
+    })
+
+  /**
    * Changelog fixture: batch 0 appended (branch `c1`), then a CoW DELETE of
    * o_totalprice > 300000 and a CoW UPDATE re-prioritizing the
    * 200000..300000 band (branch `c2`). `changelogBetween("c1","c2")` must

@@ -258,7 +258,14 @@ object GraftMergeRule extends Rule[LogicalPlan] with PredicateHelper {
           case (Some(u), Some(i)) => agree(attr.name, u, i, "UPDATE and INSERT values"); u
           case (Some(u), None)    => u
           case (None, Some(i))    => i
-          case (None, None)       => Literal(null, attr.dataType)
+          // column unlisted everywhere: inserts store its CURRENT
+          // write-default when declared (analyzed + folded from the
+          // relation metadata), NULL otherwise — standard SQL defaults.
+          // Only reachable without a MATCHED UPDATE on the column, so the
+          // projected value is only ever applied to inserted rows.
+          case (None, None) =>
+            org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .getDefaultValueExprOrNullLit(attr)
         }
       }
       Alias(expr, attr.name)()

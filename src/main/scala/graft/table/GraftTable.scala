@@ -250,13 +250,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // upcasts — parquet readers cannot read e.g. INT32 pages as longs
     def physTypes(seq: Long): Seq[DataType] =
       s.fields.toSeq.map(f => physicalType(m, f.name, f.dataType, seq))
+    // initial-default eras: a file written BEFORE an ADD COLUMN … DEFAULT
+    // does not store the column at all — its rows read the frozen default
+    // recorded at add time, projected as a literal (never coalesce: a
+    // post-add NULL stays NULL). Part of the group key so pre-add and
+    // post-add files land in different scans.
+    def initDefaults(seq: Long): Seq[Option[String]] =
+      s.fields.toSeq.map(f => GraftTable.initialDefaultOf(m, f.name, seq))
     files.groupBy(f =>
-        (f.base, layoutOf(f), physNames(seqOf(f)), physTypes(seqOf(f))))
+        (f.base, layoutOf(f), physNames(seqOf(f)), physTypes(seqOf(f)),
+          initDefaults(seqOf(f))))
       .toSeq
-      .sortBy { case ((base, layout, names, types), _) =>
+      .sortBy { case ((base, layout, names, types, dflts), _) =>
         (base.getOrElse(""), layout.mkString(","), names.mkString(","),
-          types.map(_.simpleString).mkString(",")) }
-      .map { case ((base, _, names, types), group) =>
+          types.map(_.simpleString).mkString(",") +
+            dflts.flatten.mkString("|")) }
+      .map { case ((base, _, names, types, dflts), group) =>
         val physSchema = StructType(s.fields.zip(names).zip(types)
           .map { case ((f, n), t) => f.copy(name = n, dataType = t) })
         val posCols = if (withPos) Seq(
@@ -270,10 +279,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
           // partition values from the SOURCE's directory layout)
           .option("basePath", base.getOrElse(dataDir))
           .parquet(group.map(fileLoc): _*)
-          .select((s.fields.zip(names).zip(types).toSeq
-            .map { case ((f, n), t) =>
-              if (t == f.dataType) col(n).as(f.name)
-              else col(n).cast(f.dataType).as(f.name)
+          .select((s.fields.zip(names).zip(types).toSeq.zip(dflts)
+            .map { case (((f, n), t), dflt) =>
+              dflt match {
+                case Some(dsql) => expr(dsql).cast(f.dataType).as(f.name)
+                case None if t == f.dataType => col(n).as(f.name)
+                case None => col(n).cast(f.dataType).as(f.name)
+              }
             } ++ posCols).toIndexedSeq: _*)
       }
       .reduce(_.unionByName(_))
@@ -714,7 +726,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .otherwise(keepChain(nmbsC, default = true))
       val outCols = tableSchema.fields.map { f =>
         when(isMatched, valChain(matchedC, f.name, col(f.name)))
-          .when(isSrcOnly, valChain(notMatchedC, f.name, lit(null)))
+          .when(isSrcOnly, valChain(notMatchedC, f.name, lit(null),
+            insertMissing = GraftTable.writeDefaultSqlOf(f).map(expr)
+              .getOrElse(lit(null))))
           .otherwise(valChain(nmbsC, f.name, col(f.name)))
           .cast(f.dataType).as(f.name)
       }
@@ -821,7 +835,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
           keepChain(nmbsC, default = true))
       val outCols = tableSchema.fields.map { f =>
         when(isMatched, valChain(matchedC, f.name, col(f.name)))
-          .when(isSrcOnly, valChain(notMatchedC, f.name, lit(null)))
+          .when(isSrcOnly, valChain(notMatchedC, f.name, lit(null),
+            insertMissing = GraftTable.writeDefaultSqlOf(f).map(expr)
+              .getOrElse(lit(null))))
           .otherwise(valChain(nmbsC, f.name, col(f.name)))
           .cast(f.dataType).as(f.name)
       }
@@ -1684,9 +1700,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Schema evolution: append a nullable column to the declared schema (one
     * metadata commit, no file rewrite — existing files read the column as
-    * NULL, the inverse of the append-time mergeSchema widen). */
+    * NULL, the inverse of the append-time mergeSchema widen).
+    *
+    * With `defaultSql` (Iceberg v3 default values / `ADD COLUMN … DEFAULT`):
+    * the expression is validated constant-foldable, folded ONCE here, and
+    * recorded two ways — the frozen fold as the column's immutable
+    * INITIAL default (rows in files written before this commit read it
+    * instead of NULL, resolved per file era like renames/promotions), and
+    * the original text as the CURRENT write-default in the field metadata
+    * (Spark's own CURRENT_DEFAULT/EXISTS_DEFAULT keys, so DESCRIBE and
+    * INSERT default-filling work through the stock analyzer). Change or
+    * drop the write-default later with [[setColumnDefault]]; the initial
+    * default never changes. */
   def addColumn(name: String, dataType: DataType,
-      comment: Option[String] = None): Unit = withCommitLock {
+      comment: Option[String] = None,
+      defaultSql: Option[String] = None): Unit = withCommitLock {
+    // fold OUTSIDE the commit closure: parsing/evaluation is deterministic,
+    // and a retried CAS must re-record the SAME frozen value
+    val folded = defaultSql.map(s => GraftTable.foldDefault(spark, s, dataType))
     retryMetaCommit { m =>
       val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
@@ -1695,12 +1726,62 @@ class GraftTable(val spark: SparkSession, val location: String) {
         s"Column name $name was renamed or dropped on ${m.name} and cannot be " +
           "reused: live files may still store the old column's data under it " +
           "(name-based resolution; Iceberg avoids this with field ids)")
-      val field0 = StructField(name, dataType, nullable = true)
-      val field = comment.fold(field0)(field0.withComment)
-      m.copy(schemaJson = StructType(schema.fields :+ field).json)
+      val field1 = StructField(name, dataType, nullable = true)
+      val field2 = comment.fold(field1)(field1.withComment)
+      val field = (defaultSql, folded) match {
+        case (Some(cur), Some(ex)) =>
+          field2.copy(metadata = new MetadataBuilder()
+            .withMetadata(field2.metadata)
+            .putString(GraftTable.CurrentDefaultKey, cur)
+            .putString(GraftTable.ExistsDefaultKey, ex)
+            .build())
+        case _ => field2
+      }
+      m.copy(
+        schemaJson = StructType(schema.fields :+ field).json,
+        columnDefaults = folded.fold(m.columnDefaults)(ex =>
+          m.columnDefaults :+ ColumnDefaultRecord(name, ex,
+            m.snapshots.map(_.id).maxOption.getOrElse(0L))))
     }
     ()
   }
+
+  /** `ALTER COLUMN … SET DEFAULT expr` / `DROP DEFAULT` (None): replace or
+    * remove the column's CURRENT write-default in one metadata commit.
+    * Affects only FUTURE writes that omit the column — the initial default
+    * recorded at ADD COLUMN time (what pre-add files read) is immutable,
+    * and rows already written are untouched; exactly the Spark/Iceberg-v3
+    * current-vs-existence default split. Setting a default on a column
+    * that existed from table creation is allowed and write-only: files
+    * have stored the column from day one, so no initial default applies. */
+  def setColumnDefault(name: String, defaultSql: Option[String]): Unit =
+    withCommitLock {
+      retryMetaCommit { m =>
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val field = schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"Unknown column $name on ${m.name}"))
+        // CURRENT_DEFAULT only — EXISTS_DEFAULT is the frozen initial
+        // default and must survive both SET and DROP, or a later SET
+        // DEFAULT would retroactively change what pre-add files read
+        val newMeta = defaultSql match {
+          case Some(cur) =>
+            // validate/fold now so a bad expression fails the ALTER, not a
+            // later INSERT; the fold itself is discarded (writes re-fold
+            // CURRENT_DEFAULT at write time — same value, it is constant)
+            GraftTable.foldDefault(spark, cur, field.dataType)
+            new MetadataBuilder().withMetadata(field.metadata)
+              .putString(GraftTable.CurrentDefaultKey, cur)
+              .build()
+          case None =>
+            new MetadataBuilder().withMetadata(field.metadata)
+              .remove(GraftTable.CurrentDefaultKey)
+              .build()
+        }
+        m.copy(schemaJson = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(metadata = newMeta) else f)).json)
+      }
+      ()
+    }
 
   /**
    * Schema evolution: RENAME COLUMN as one metadata commit, no file
@@ -1733,10 +1814,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
         schemaJson = newSchema.json,
         renames = m.renames :+ RenameRecord(from, to, afterSeq),
         tombstones = m.tombstones :+ from,
-        // type-promotion eras are keyed by the CURRENT declared name
-        // ([[physicalType]]); follow the rename so they keep resolving
+        // type-promotion eras and initial-default records are keyed by the
+        // CURRENT declared name ([[physicalType]]); follow the rename so
+        // they keep resolving
         typeChanges = m.typeChanges.map(tc =>
-          if (tc.column == from) tc.copy(column = to) else tc))
+          if (tc.column == from) tc.copy(column = to) else tc),
+        columnDefaults = m.columnDefaults.map(cd =>
+          if (cd.column == from) cd.copy(column = to) else cd))
     }
     ()
   }
@@ -1801,7 +1885,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
         s"Cannot drop the last data column of ${m.name}")
       m.copy(
         schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
-        tombstones = m.tombstones :+ name)
+        tombstones = m.tombstones :+ name,
+        // the name can never be reused (tombstoned), so its initial-default
+        // record can never apply again — shed it
+        columnDefaults = m.columnDefaults.filterNot(_.column == name))
     }
     ()
   }
@@ -3149,7 +3236,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val staging = new Path(s"$location/_staging/$commitId")
     val alignedRaw = df.select(tableSchema.fields.map(f =>
       (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+       // a write that omits the column stores its CURRENT write-default
+       // (ALTER COLUMN … SET DEFAULT), falling back to NULL — evaluated
+       // per write, inside the plan (constant-folded; declared
+       // deterministic at ALTER time)
+       else GraftTable.writeDefaultSqlOf(f).map(expr)
+         .getOrElse(lit(null)).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
     // Hidden partitioning: transform fields (days(ts), bucket(n,id), …)
     // add a DERIVED directory column; partitionBy consumes it, so the
     // derived value becomes the path segment while the SOURCE column stays
@@ -3527,6 +3619,54 @@ object GraftTable {
         DataType.fromJson(tc.fromJson) else t
     }
 
+  /** Spark's own column-default field-metadata keys
+    * (ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY /
+    * EXISTS_DEFAULT_COLUMN_METADATA_KEY): storing under them makes
+    * DESCRIBE, the DSv2 Column surface, and the analyzer's INSERT
+    * default-filling see graft defaults natively. */
+  val CurrentDefaultKey: String = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  val ExistsDefaultKey: String = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  /** Validate a DEFAULT expression and fold it to a frozen constant,
+    * rendered back as parseable SQL. Rejects expressions that reference
+    * columns (analysis fails — a default has no input row) and
+    * non-deterministic ones (`rand()` — Spark refuses these too: the
+    * default must be ONE value, decided now). `current_timestamp` et al.
+    * are deterministic-per-query and freeze to their fold here, exactly
+    * Spark's EXISTS_DEFAULT capture. */
+  private[table] def foldDefault(spark: SparkSession, sql: String,
+      dataType: DataType): String = {
+    val df =
+      try spark.sql(s"SELECT CAST(($sql) AS ${dataType.sql}) AS d")
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"Invalid DEFAULT expression `$sql`: ${e.getMessage}") }
+    require(df.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"DEFAULT expression `$sql` is non-deterministic; a column default " +
+        "must fold to one constant")
+    val v = df.head().get(0)
+    org.apache.spark.sql.catalyst.expressions.Literal.create(v, dataType).sql
+  }
+
+  /** The frozen initial default a declared column reads in files written
+    * at commit sequence `seq` — `Some` only when the file PREDATES the
+    * column's ADD COLUMN … DEFAULT (era rule identical to renames:
+    * seq <= afterSeq). Files written after the add physically store the
+    * column, so no default applies. */
+  def initialDefaultOf(m: TableMetadata, declared: String,
+      seq: Long): Option[String] =
+    m.columnDefaults.find(r => r.column == declared && seq <= r.afterSeq)
+      .map(_.defaultSql)
+
+  /** The column's CURRENT write-default expression text, if declared —
+    * what a write that omits the column stores. */
+  def writeDefaultSqlOf(field: StructField): Option[String] =
+    if (field.metadata.contains(CurrentDefaultKey))
+      Some(field.metadata.getString(CurrentDefaultKey))
+    else None
+
   /** Current declared name for a column name recorded at commit sequence
     * `seq` (e.g. an equality-delete key written before later renames). */
   def declaredNameNowOf(m: TableMetadata, recorded: String, seq: Long): String =
@@ -3577,12 +3717,16 @@ object GraftTable {
         Some(acc.fold(when(cond, lit(true)))(_.when(cond, lit(true))))
       }.fold(lit(false))(_.otherwise(lit(false)))
 
-    /** The value column `c` takes under the first firing clause. */
-    def valChain(clauses: Seq[MergeClause], c: String, default: Column): Column =
+    /** The value column `c` takes under the first firing clause.
+      * `insertMissing` is what an INSERT clause that does not list `c`
+      * stores — the column's CURRENT write-default where one is declared
+      * (standard SQL default filling), NULL otherwise. */
+    def valChain(clauses: Seq[MergeClause], c: String, default: Column,
+        insertMissing: Column = lit(null)): Column =
       clauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
         val v: Column = cl match {
           case MergeClause.Update(_, set) => set.toMap.getOrElse(c, default)
-          case MergeClause.Insert(_, vs)  => vs.toMap.getOrElse(c, lit(null))
+          case MergeClause.Insert(_, vs)  => vs.toMap.getOrElse(c, insertMissing)
           case _: MergeClause.Delete      => default // row dropped by keepChain
         }
         val cond = cl.condition.getOrElse(lit(true))

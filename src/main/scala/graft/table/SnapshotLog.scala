@@ -208,6 +208,21 @@ case class RenameRecord(from: String, to: String, afterSeq: Long)
 case class TypeChangeRecord(column: String, fromJson: String, toJson: String,
     afterSeq: Long)
 
+/** One column added with a DEFAULT (Iceberg v3's initial-default /
+  * write-default split): rows in data files committed at sequence <=
+  * `afterSeq` — files written BEFORE the column existed — read
+  * `defaultSql`'s literal instead of NULL. The value is the FOLDED
+  * constant captured at ADD COLUMN time (so `current_timestamp` freezes,
+  * exactly Spark's EXISTS_DEFAULT / Iceberg's initial-default contract)
+  * and is immutable for the life of the column; the CURRENT write-default
+  * — what an INSERT that omits the column stores — lives in the schema
+  * field metadata (Spark's CURRENT_DEFAULT key) and may be changed or
+  * dropped later without touching this record. Keyed by the column's
+  * CURRENT declared name; [[GraftTable.renameColumn]] rewrites the key on
+  * rename, like [[TypeChangeRecord]]. */
+case class ColumnDefaultRecord(column: String, defaultSql: String,
+    afterSeq: Long)
+
 /** Table-level column statistics for one column: the HLL-sketch NDV
   * estimate, the exact null count, and the base64 datasketches HLL
   * payload itself — kept because HLL sketches are MERGEABLE (hll_union),
@@ -260,7 +275,10 @@ case class TableMetadata(
     typeChanges: Seq[TypeChangeRecord] = Seq.empty,
     // column-level NDV/null statistics (CALL system.compute_table_stats);
     // None on pre-stats metadata and whenever stats were never computed
-    columnStats: Option[ColumnStatsRecord] = None) {
+    columnStats: Option[ColumnStatsRecord] = None,
+    // immutable initial defaults for columns added with DEFAULT (empty on
+    // pre-default metadata: json4s defaults the field on deserialization)
+    columnDefaults: Seq[ColumnDefaultRecord] = Seq.empty) {
 
   def currentSnapshotId: Option[Long] = refs.get(SnapshotLog.MainBranch)
 

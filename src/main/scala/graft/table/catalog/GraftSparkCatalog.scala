@@ -64,6 +64,13 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
 
   override def name(): String = catalogName
 
+  /** Declares column-default DDL support (`CREATE TABLE (c INT DEFAULT 5)`,
+    * `ALTER TABLE … ADD COLUMN … DEFAULT`, `ALTER COLUMN … SET/DROP
+    * DEFAULT`): without this, Spark's analyzer rejects the statements
+    * before [[createTable]]/[[alterTable]] ever see them. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** Catalog slot on disk for `ident` — BEFORE `graft.ref` indirection. */
   private def rawLocation(ident: Identifier): String =
     (ident.namespace().toSeq :+ ident.name()).mkString(s"$warehouse/", "/", "")
@@ -183,7 +190,19 @@ class GraftSparkCatalog extends TableCatalog with ProcedureCatalog
         require(add.fieldNames().length == 1,
           "ALTER TABLE ADD COLUMNS: nested fields are not supported")
         t.addColumn(add.fieldNames().head, add.dataType(),
-          Option(add.comment()))
+          Option(add.comment()),
+          // ADD COLUMN … DEFAULT expr: the analyzer already validated and
+          // folded it (capability-gated); the original text flows through
+          // as both the initial and the current write-default
+          Option(add.defaultValue()).map(_.getSql))
+      case dflt: TableChange.UpdateColumnDefaultValue =>
+        require(dflt.fieldNames().length == 1,
+          "ALTER COLUMN DEFAULT: nested fields are not supported")
+        // SET DEFAULT expr carries the text; DROP DEFAULT arrives as an
+        // empty/absent default — map to removal
+        val sql = Option(dflt.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(dflt.newDefaultValue())).map(_.trim).filter(_.nonEmpty)
+        t.setColumnDefault(dflt.fieldNames().head, sql)
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case unset: TableChange.RemoveProperty =>
@@ -617,9 +636,20 @@ private[catalog] object GraftSqlTables {
     // values against two different data roots; the graft read plan groups
     // scans per base
     val externalFiles = snap.exists(_.files.exists(_.base.isDefined))
+    // a sixth shape: live files written BEFORE an ADD COLUMN … DEFAULT
+    // must read the frozen initial default, not NULL — the graft read
+    // plan projects it per era. (Spark's parquet reader would fill the
+    // schema-metadata EXISTS_DEFAULT for missing columns on its own, but
+    // correctness must not hang on that reader internal — route through
+    // the era plan like renames/promotions.)
+    val preDefaultFiles = meta.columnDefaults.nonEmpty && {
+      val lastAdd = meta.columnDefaults.map(_.afterSeq).max
+      snap.exists(_.files.exists(_.dataSeq.forall(_ <= lastAdd)))
+    }
     val planRead = snap
       .filter(sn => sn.deleteFiles.nonEmpty || mixedLayout ||
-        preRenameFiles || preTypeChangeFiles || externalFiles)
+        preRenameFiles || preTypeChangeFiles || externalFiles ||
+        preDefaultFiles)
       .map(sn => GraftPlanRead(loc, sn.id))
     // metadata-only COUNT(*): exact when no merge-on-read delete can drop
     // rows at read time (the planRead guard already refuses those scans,
@@ -726,10 +756,11 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
     // refusing beats silently dropping files or surfacing deleted rows
     planRead.foreach { _ => throw new UnsupportedOperationException(
       s"$tableName needs the graft read plan (pending merge-on-read deletes, " +
-        "mixed partition layouts, rename/type-promotion eras, or external " +
-        "entries from a metadata-only snapshot clone): SQL reads need " +
-        "spark.sql.extensions=graft.GraftSparkExtensions (or read via the " +
-        "GraftTable API / run a compaction to rewrite the snapshot)") }
+        "mixed partition layouts, rename/type-promotion/initial-default " +
+        "eras, or external entries from a metadata-only snapshot clone): " +
+        "SQL reads need spark.sql.extensions=graft.GraftSparkExtensions " +
+        "(or read via the GraftTable API / run a compaction to rewrite " +
+        "the snapshot)") }
     val base = inner.newScanBuilder(options)
     // every graft scan goes through the delegating wrapper: bucket specs
     // get the SPJ-keyed partitioning (one input partition per bucket, so

@@ -231,7 +231,8 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
     * ("read that range with the batch API"). */
   private val eraReaderCache =
     scala.collection.concurrent.TrieMap.empty[
-      StructType, PartitionedFile => Iterator[InternalRow]]
+      (StructType, Seq[Option[String]]),
+      PartitionedFile => Iterator[InternalRow]]
 
   /** A rename/promotion landing UNDER a running query leaves its pinned
     * schema stale — new files store names/types the pinned schema cannot
@@ -272,7 +273,8 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
   private def readFuncFor(m: graft.table.TableMetadata,
       f: graft.table.DataFile, seqOf: graft.table.DataFile => Long)
       : PartitionedFile => Iterator[InternalRow] = {
-    if (m.renames.isEmpty && m.typeChanges.isEmpty) return readFunc
+    if (m.renames.isEmpty && m.typeChanges.isEmpty &&
+      m.columnDefaults.isEmpty) return readFunc
     val seq = seqOf(f)
     val phys = StructType(dataCols.fields.map { fld =>
       fld.copy(
@@ -280,18 +282,32 @@ class GraftMicroBatchStream(spark: SparkSession, location: String,
         dataType = graft.table.GraftTable
           .physicalTypeOf(m, fld.name, fld.dataType, seq))
     })
-    eraReaderCache.getOrElseUpdate(phys, {
+    // initial-default era (batch parity, GraftTable.plainReadImpl): a file
+    // written before an ADD COLUMN … DEFAULT does not store the column —
+    // its rows emit the frozen default literal, never NULL
+    val dflts: Seq[Option[String]] = dataCols.fields.toSeq.map(fld =>
+      graft.table.GraftTable.initialDefaultOf(m, fld.name, seq))
+    eraReaderCache.getOrElseUpdate((phys, dflts), {
       val base = readerFor(phys, partSchema)
       if (phys.fields.map(_.dataType).sameElements(
-          dataCols.fields.map(_.dataType))) base
+          dataCols.fields.map(_.dataType)) && dflts.forall(_.isEmpty)) base
       else {
         // bound cast expressions serialize into the closure; the
-        // projection itself is built per partition on the executor
+        // projection itself is built per partition on the executor.
+        // Default literals fold driver-side to plain Literals (the stored
+        // sql IS a rendered literal) so nothing parses on executors.
         val exprs: Seq[Expression] =
           dataCols.fields.indices.map { i =>
-            val in = BoundReference(i, phys(i).dataType, nullable = true)
-            if (phys(i).dataType == dataCols(i).dataType) in
-            else Cast(in, dataCols(i).dataType, zone)
+            dflts(i) match {
+              case Some(dsql) =>
+                val parsed = spark.sessionState.sqlParser.parseExpression(dsql)
+                Literal(Cast(parsed, dataCols(i).dataType, zone)
+                  .eval(null), dataCols(i).dataType): Expression
+              case None =>
+                val in = BoundReference(i, phys(i).dataType, nullable = true)
+                if (phys(i).dataType == dataCols(i).dataType) in
+                else Cast(in, dataCols(i).dataType, zone)
+            }
           } ++ partSchema.fields.indices.map { j =>
             BoundReference(dataCols.size + j, partSchema(j).dataType,
               nullable = true): Expression

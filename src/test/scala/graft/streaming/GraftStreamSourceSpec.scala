@@ -176,6 +176,24 @@ class GraftStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("initial defaults stream: pre-add files emit the frozen default, not NULL (round 17)") {
+    val t = GraftTable.create(spark, tmpDir("gss-dflt"), "gss_dflt",
+      StructType(Seq(StructField("id", LongType), StructField("grp", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "grp")) // pre-add era
+    t.addColumn("channel", StringType, defaultSql = Some("'WEB'"))
+    t.append(Seq((3L, "c", "STORE")).toDF("id", "grp", "channel"))
+    val q = spark.readStream.format("graft-stream").load(t.location)
+      .writeStream.format("memory").queryName("gss_dflt").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("gss_dflt").orderBy("id")
+        .select("id", "channel").as[(Long, String)].collect().toSeq
+      assert(rows === Seq((1L, "WEB"), (2L, "WEB"), (3L, "STORE")),
+        "a stream pinning the post-add schema must read pre-add files " +
+          "through the initial default, batch parity")
+    } finally q.stop()
+  }
+
   test("partitioned era table streams: freshness check is order-insensitive to the partition-cols-last pin") {
     // declared order (id, grp, v) with grp partitioned: the stream pins
     // (id, v, grp) — an element-wise schema comparison would brick this

@@ -730,6 +730,21 @@ object DriveApp {
         .mkString(",")
       println(s"merge-evolution cols=$cols state=$st")
     }
+    println("== column DEFAULT values (round 17): initial vs write default")
+    locally {
+      spark.sql("CREATE TABLE graft.fin.dflt (id BIGINT, ch STRING DEFAULT 'WEB') USING parquet")
+      spark.sql("INSERT INTO graft.fin.dflt (id) VALUES (1)")
+      spark.sql("ALTER TABLE graft.fin.dflt ADD COLUMN score INT DEFAULT 7")
+      spark.sql("ALTER TABLE graft.fin.dflt ALTER COLUMN score SET DEFAULT 9")
+      spark.sql("INSERT INTO graft.fin.dflt (id, ch) VALUES (2, 'APP')")
+      val rows = spark.sql(
+        "SELECT id, ch, score FROM graft.fin.dflt ORDER BY id")
+        .collect().map(r => s"${r.getLong(0)}:${r.getString(1)}:${r.getInt(2)}")
+        .mkString(",")
+      // row 1 predates `score` -> initial default 7; row 2 post-add omits
+      // it -> current write-default 9; `ch` fills 'WEB' where omitted
+      println(s"default-values state=$rows")
+    }
     println("== WAP by id + per-ref retention (round 15)")
     locally {
       import spark.implicits._
