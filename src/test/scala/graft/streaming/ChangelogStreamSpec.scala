@@ -56,6 +56,43 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(changes.filter(_._1 == "DELETE").map(_._2).distinct.size === 1)
   }
 
+  test("changelog images of pre-add files carry initial defaults, not NULL (round 17)") {
+    val t = GraftTable.create(spark, tmpDir("cdc-dflt"), "cdcdflt", schema)
+    t.append(rows(0 until 6))                               // pre-add era
+    t.addColumn("channel", StringType, defaultSql = Some("'WEB'"))
+    t.append(rows(6 until 8).withColumn("channel", lit("STORE")))
+    t.deleteWhere(col("id") < 2)                            // CoW on pre-add rows
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, String)]()
+    spark.readStream.format("graft-stream").option("changelog", "true")
+      .load(t.location)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("_change_type"), col("id"), col("channel"))
+          .collect().foreach(r =>
+            out.add((r.getString(0), r.getLong(1),
+              Option(r.getString(2)).getOrElse("∅")))))
+      .option("checkpointLocation", tmpDir("cdc-dflt-cp"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val changes = out.asScala.toSeq
+    // every image of a pre-add row — INSERT carryovers and the DELETEs of
+    // the CoW rewrite alike — reads the frozen initial default
+    val preAdd = changes.filter(_._2 < 6)
+    assert(preAdd.nonEmpty && preAdd.forall(_._3 == "WEB"),
+      s"pre-add images must carry the initial default: $changes")
+    assert(changes.filter(c => c._2 >= 6 && c._1 == "INSERT")
+      .forall(_._3 == "STORE"))
+    // file-granularity CoW: deleted rows 0,1 plus possible un-netted
+    // carryover DELETE+INSERT pairs for survivors sharing their files —
+    // a keyed replay must net to exactly ids 2..7
+    val net = changes.groupBy(_._2).view.mapValues(cs =>
+      cs.count(_._1 == "INSERT") - cs.count(_._1 == "DELETE")).toMap
+    assert((0L until 8L).map(id => id -> net(id)).toMap ===
+      (0L until 8L).map(id => id -> (if (id < 2) 0 else 1)).toMap,
+      s"netted changelog must land on the batch state: $changes")
+  }
+
   test("replayChangelog lands on the batch state; incremental runs resume the checkpoint") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("cdc-src"), "cdcsrc", schema,
