@@ -493,7 +493,8 @@ private[sql] object GraftReadSubstitution {
  */
 object GraftMetadataColumnRule extends Rule[LogicalPlan] {
 
-  private val MetaNames = Set("_file", "_pos", "_partition")
+  private val MetaNames = Set("_file", "_pos", "_partition",
+    "_row_id", "_last_updated_sequence_number")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     GraftReadSubstitution.rewrite(plan) { r =>

@@ -164,7 +164,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def metadataRead(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame = {
     val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val base = readWithDeletes(snap, m, snap.map(_.files).getOrElse(Seq.empty),
-      keepPos = true)
+      keepPos = true, keepLineage = true)
     val sp = spark
     import sp.implicits._
     val fileDf = snap.map(_.files).getOrElse(Seq.empty)
@@ -175,11 +175,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .select((s.fields.toSeq.map(f => col(f.name)) ++ Seq(
         col("_file"),
         col("__pos").as("_pos"),
-        col("_partition"))).toIndexedSeq: _*)
+        col("_partition"),
+        // row lineage (v3): stable row identity + last-modifying commit
+        col("__row_id").as("_row_id"),
+        col("__last_seq").as("_last_updated_sequence_number"))).toIndexedSeq: _*)
   }
 
   private def scan(snap: Option[GraftSnapshot], m: TableMetadata): DataFrame =
     readWithDeletes(snap, m, snap.map(_.files).getOrElse(Seq.empty))
+
+  /** WAP-aware full read carrying the RESOLVED row-lineage columns — the
+    * read every preserving rewrite (compaction, CoW/MoR merge) starts
+    * from, so rewritten files materialize each surviving row's identity. */
+  private def lineageScan(): DataFrame = {
+    val m = meta
+    val ref = wapBranch.filter(m.refs.contains).getOrElse(SnapshotLog.MainBranch)
+    val snap = m.snapshotForRef(ref)
+    readWithDeletes(snap, m, snap.map(_.files).getOrElse(Seq.empty),
+      keepLineage = true)
+  }
 
   /** Ordered partition-column layout a file was written under, derived
     * from its path segments. Files written before/after a partition-spec
@@ -228,16 +242,48 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def plainReadWithPos(m: TableMetadata, s: StructType, files: Seq[DataFile]): DataFrame =
     plainReadImpl(m, s, files, withPos = true)
 
+  /** [[plainReadWithPos]] plus RESOLVED row-lineage columns `__row_id` /
+    * `__last_seq` (Iceberg v3): a materialized cell wins; a NULL cell (or
+    * a non-materialized file) inherits firstRowId + position for the id
+    * and the file's data sequence for the last-updated number. The
+    * resolution joins the driver-resident file list, explicitly broadcast
+    * (metadata ≪ data), and rides the scan — no shuffle. */
+  private def plainReadLineage(m: TableMetadata, s: StructType,
+      files: Seq[DataFile]): DataFrame =
+    attachLineage(plainReadImpl(m, s, files, withPos = true,
+      withLineage = true), m, files)
+
+  private def attachLineage(df: DataFrame, m: TableMetadata,
+      files: Seq[DataFile]): DataFrame = {
+    lazy val addSeq = addedSeqByPath(m)
+    val sp = spark
+    import sp.implicits._
+    val fileMeta = files.map(f => (f.path,
+        f.firstRowId.map(Long.box).orNull: java.lang.Long,
+        Long.box(f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L)))))
+      .toDF("__lfile", "__frid", "__fseq")
+    df.join(broadcast(fileMeta), col("__file") === col("__lfile"))
+      .withColumn("__row_id",
+        coalesce(col("__mrid"), col("__frid") + col("__pos")))
+      .withColumn("__last_seq", coalesce(col("__mseq"), col("__fseq")))
+      .drop("__lfile", "__frid", "__fseq", "__mrid", "__mseq")
+  }
+
   /** Groups files by (partition layout, physical-name era): each group is
     * one parquet scan under the era's physical schema, aliased back to the
     * declared names — renames stay metadata-only. The re-projection also
     * keeps the declared column order stable (the file reader surfaces
     * partition columns last). */
   private def plainReadImpl(m: TableMetadata, s: StructType,
-      files: Seq[DataFile], withPos: Boolean): DataFrame = {
-    val posFields = if (withPos)
+      files: Seq[DataFile], withPos: Boolean,
+      withLineage: Boolean = false): DataFrame = {
+    require(!withLineage || withPos,
+      "lineage read needs positions (ids derive from firstRowId + __pos)")
+    val posFields = (if (withPos)
       Seq(StructField("__file", StringType), StructField("__pos", LongType))
-    else Seq.empty
+    else Seq.empty) ++ (if (withLineage)
+      Seq(StructField("__mrid", LongType), StructField("__mseq", LongType))
+    else Seq.empty)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(s.fields ++ posFields))
@@ -257,21 +303,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // post-add files land in different scans.
     def initDefaults(seq: Long): Seq[Option[String]] =
       s.fields.toSeq.map(f => GraftTable.initialDefaultOf(m, f.name, seq))
+    // lineage groups: files that MATERIALIZE row ids scan the physical
+    // `__row_id`/`__last_seq` columns; non-materialized files surface
+    // typed nulls and the caller resolves via firstRowId + position
+    def hasLineage(f: DataFile): Boolean = withLineage && f.lineage
     files.groupBy(f =>
         (f.base, layoutOf(f), physNames(seqOf(f)), physTypes(seqOf(f)),
-          initDefaults(seqOf(f))))
+          initDefaults(seqOf(f)), hasLineage(f)))
       .toSeq
-      .sortBy { case ((base, layout, names, types, dflts), _) =>
+      .sortBy { case ((base, layout, names, types, dflts, lin), _) =>
         (base.getOrElse(""), layout.mkString(","), names.mkString(","),
           types.map(_.simpleString).mkString(",") +
-            dflts.flatten.mkString("|")) }
-      .map { case ((base, _, names, types, dflts), group) =>
+            dflts.flatten.mkString("|") + lin) }
+      .map { case ((base, _, names, types, dflts, lin), group) =>
         val physSchema = StructType(s.fields.zip(names).zip(types)
-          .map { case ((f, n), t) => f.copy(name = n, dataType = t) })
+          .map { case ((f, n), t) => f.copy(name = n, dataType = t) } ++
+          (if (lin) Seq(StructField("__row_id", LongType),
+            StructField("__last_seq", LongType)) else Seq.empty))
         val posCols = if (withPos) Seq(
           regexp_replace(col("_metadata.file_path"), "^.*/data/", "").as("__file"),
           col("_metadata.row_index").as("__pos"))
         else Seq.empty
+        val lineageCols = if (!withLineage) Seq.empty else if (lin)
+          Seq(col("__row_id").as("__mrid"), col("__last_seq").as("__mseq"))
+        else Seq(lit(null).cast(LongType).as("__mrid"),
+          lit(null).cast(LongType).as("__mseq"))
         spark.read
           .schema(physSchema)
           // per-group base: hive partition recovery resolves against the
@@ -286,7 +342,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
                 case None if t == f.dataType => col(n).as(f.name)
                 case None => col(n).cast(f.dataType).as(f.name)
               }
-            } ++ posCols).toIndexedSeq: _*)
+            } ++ posCols ++ lineageCols).toIndexedSeq: _*)
       }
       .reduce(_.unionByName(_))
   }
@@ -301,17 +357,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * metadata fall back to deriving it from the retained snapshot list
     * (0 — predates every retained delete — when even that is gone). */
   private def readWithDeletes(snap: Option[GraftSnapshot], m: TableMetadata,
-      subset: Seq[DataFile], keepPos: Boolean = false): DataFrame = {
+      subset: Seq[DataFile], keepPos: Boolean = false,
+      keepLineage: Boolean = false): DataFrame = {
     val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val posFields =
-      if (keepPos) Seq(StructField("__file", StringType), StructField("__pos", LongType))
-      else Seq.empty
+      (if (keepPos) Seq(StructField("__file", StringType), StructField("__pos", LongType))
+      else Seq.empty) ++
+        (if (keepLineage) Seq(StructField("__row_id", LongType),
+          StructField("__last_seq", LongType)) else Seq.empty)
     if (snap.isEmpty || subset.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(s.fields ++ posFields))
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
-    if (dels.isEmpty)
-      return if (keepPos) plainReadWithPos(m, s, subset) else plainRead(m, s, subset)
+    if (dels.isEmpty) {
+      if (!keepLineage)
+        return if (keepPos) plainReadWithPos(m, s, subset) else plainRead(m, s, subset)
+      val lr = plainReadLineage(m, s, subset)
+      return if (keepPos) lr else lr.drop("__file", "__pos")
+    }
     lazy val addSeq: Map[String, Long] = addedSeqByPath(m)
     def seqOf(f: DataFile): Long =
       f.dataSeq.getOrElse(addSeq.getOrElse(f.path, 0L))
@@ -321,7 +384,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map { case (applicable, files) =>
         val appl = dels.filter(d => applicable(d.path))
         val base =
-          if (keepPos || appl.exists(d => d.isPositional || d.isDv))
+          if (keepLineage) plainReadLineage(m, s, files)
+          else if (keepPos || appl.exists(d => d.isPositional || d.isDv))
             plainReadWithPos(m, s, files)
           else plainRead(m, s, files)
         val filtered = appl.foldLeft(base) { (df, d) =>
@@ -541,7 +605,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // 2. rewrite affected files with merged contents + all inserts
       // (through the delete-applying read: a CoW rewrite of a file with
       // pending MoR deletes must not resurrect the deleted rows)
-      val target = readWithDeletes(head, m, affectedFiles)
+      val target = readWithDeletes(head, m, affectedFiles, keepLineage = true)
 
       val t = target.withColumn("__tgt", lit(1))
       val sFlagged = alignedSrc
@@ -559,8 +623,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
         else t(k) === sFlagged(s"__s_$k")).reduce(_ && _)
       val joined = t.join(sFlagged, joinCond, "full_outer")
 
+      // row lineage: matched rows keep their id and take the new file's
+      // sequence (NULL materialized cell inherits it); source-only inserts
+      // get fresh ids (target-side columns are null through the full
+      // outer join); carryover rows keep both
+      val isTouched = col("__tgt").isNotNull && col("__src").isNotNull
+      val lineageOut = Seq(col("__row_id"),
+        when(isTouched, lit(null)).otherwise(col("__last_seq"))
+          .cast("long").as("__last_seq"))
       val merged = joined
-        .select(cols.map { c =>
+        .select((cols.map { c =>
           val fromSrc = col(s"__s_$c")
           val out =
             if (keys.contains(c)) coalesce(col(c), fromSrc)
@@ -569,7 +641,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
             else
               when(col("__tgt").isNull, fromSrc).otherwise(col(c))
           out.as(c)
-        }.toIndexedSeq: _*)
+        } ++ lineageOut).toIndexedSeq: _*)
       val result =
         if (deleteMatched)
           // WHEN MATCHED THEN DELETE: matched rows vanish; unmatched target
@@ -577,17 +649,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
           joined
             .filter(!(col("__tgt").isNotNull && col("__src").isNotNull))
             .filter(if (insertNotMatched) lit(true) else col("__tgt").isNotNull)
-            .select(cols.map(c =>
+            .select((cols.map(c =>
               when(col("__tgt").isNull, col(s"__s_$c")).otherwise(col(c)).as(c))
-              .toIndexedSeq: _*)
+              ++ lineageOut).toIndexedSeq: _*)
         else if (insertNotMatched) merged
-        else joined.filter(col("__tgt").isNotNull).select(cols.map { c =>
+        else joined.filter(col("__tgt").isNotNull).select((cols.map { c =>
           val out =
             if (updates.contains(c))
               when(col("__src").isNotNull, col(s"__s_$c")).otherwise(col(c))
             else col(c)
           out.as(c)
-        }.toIndexedSeq: _*)
+        } ++ lineageOut).toIndexedSeq: _*)
 
       val newFiles = writeDataFiles(result, tableSchema, m.partitionCols)
       commitSnapshot(m, newFiles, affectedFiles.map(_.path), "merge", branch,
@@ -707,7 +779,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
           partitionAffected(headFiles, matchedFilePaths)._1
         }
 
-      val target = readWithDeletes(head, m, affectedFiles).withColumn("__tgt", lit(1))
+      val target = readWithDeletes(head, m, affectedFiles, keepLineage = true)
+        .withColumn("__tgt", lit(1))
       val s = prepared.withColumn("__src", lit(1))
       // null-unsafe key equality, matching both the file probe and SQL MERGE
       val joinCond = keyNames.map(k => target(k) === s(s"__k_$k")).reduce(_ && _)
@@ -719,7 +792,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
       val isMatched = col("__tgt").isNotNull && col("__src").isNotNull
       val isSrcOnly = col("__tgt").isNull
-      import GraftTable.MergeCascade.{keepChain, valChain}
+      import GraftTable.MergeCascade.{keepChain, touchedChain, valChain}
 
       val keep = when(isMatched, keepChain(matchedC, default = true))
         .when(isSrcOnly, keepChain(notMatchedC, default = false))
@@ -732,7 +805,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .otherwise(valChain(nmbsC, f.name, col(f.name)))
           .cast(f.dataType).as(f.name)
       }
-      val result = joined.filter(keep).select(outCols.toIndexedSeq: _*)
+      // row lineage: a row a clause FIRED on (updated) keeps its id and
+      // takes the new file's sequence; src-only inserts are fresh (target
+      // columns null through the join); untouched carryovers keep both
+      val rowTouched = when(isMatched, touchedChain(matchedC))
+        .when(isSrcOnly, lit(true))
+        .otherwise(touchedChain(nmbsC))
+      val lineageOut = Seq(col("__row_id"),
+        when(coalesce(rowTouched, lit(false)), lit(null))
+          .otherwise(col("__last_seq")).cast("long").as("__last_seq"))
+      val result = joined.filter(keep)
+        .select((outCols.toSeq ++ lineageOut).toIndexedSeq: _*)
 
       val newFiles = writeDataFiles(result, tableSchema, m.partitionCols)
       commitSnapshot(m, newFiles, affectedFiles.map(_.path), "merge", branch,
@@ -797,7 +880,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
           s"rows on key (${keyNames.mkString(", ")}); deduplicate the source first")
 
       val head = resolveWriteBranchHead(m, branch)
-      val current = scan(head, m) // delete-applied live state
+      // delete-applied live state, with lineage: an appended row version
+      // keeps its target row id (null for fresh inserts) and inherits the
+      // append file's sequence (materialized null)
+      val current = readWithDeletes(head, m,
+        head.map(_.files).getOrElse(Seq.empty), keepLineage = true)
       // without NMBS clauses only key-matched target rows can change, so
       // the join's target side pre-shrinks to them (a broadcast-able
       // semi-join against the source keys, never the whole table)
@@ -843,7 +930,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
       val delKeys = joined.filter(touched)
         .select(keyNames.map(col).toIndexedSeq: _*).distinct()
-      val appended = joined.filter(appendRow).select(outCols.toIndexedSeq: _*)
+      val lineageOut = Seq(col("__row_id"),
+        lit(null).cast("long").as("__last_seq"))
+      val appended = joined.filter(appendRow)
+        .select((outCols.toSeq ++ lineageOut).toIndexedSeq: _*)
 
       val newFiles = writeDataFiles(appended, tableSchema, m.partitionCols)
       commitSnapshot(m, newFiles, Seq.empty, "merge", branch,
@@ -875,7 +965,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // SQL DELETE removes only rows where cond is TRUE; rows where cond
         // evaluates to NULL must be KEPT, so the keep-filter is
         // NOT coalesce(cond, false) — a bare !cond would silently drop them
-        val kept = readWithDeletes(head, m, affectedFiles)
+        val kept = readWithDeletes(head, m, affectedFiles, keepLineage = true)
           .filter(not(coalesce(cond, lit(false))))
         val newFiles = writeDataFiles(kept, tableSchema, m.partitionCols)
         commitSnapshot(m, newFiles, affectedFiles.map(_.path), "delete", branch)
@@ -989,9 +1079,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
         if (affectedFiles.isEmpty) {
           commitSnapshot(m, Seq.empty, Seq.empty, "delete", branch)
         } else {
-          val kept = readWithDeletes(head, m, affectedFiles, keepPos = true)
+          val kept = readWithDeletes(head, m, affectedFiles, keepPos = true,
+              keepLineage = true)
             .join(matched, Seq("__file", "__pos"), "left_anti")
-            .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+            .select((tableSchema.fieldNames.map(col).toSeq ++
+              Seq(col("__row_id"), col("__last_seq"))).toIndexedSeq: _*)
           val newFiles = writeDataFiles(kept, tableSchema, m.partitionCols)
           commitSnapshot(m, newFiles, affectedFiles.map(_.path), "delete", branch)
         }
@@ -1053,14 +1145,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
         commitSnapshot(m, Seq.empty, Seq.empty, "update", branch)
       } else {
         val setCols = sets.map { case (n, _) => n -> col(s"__set_$n") }.toMap
-        val src = readWithDeletes(head, m, affectedFiles, keepPos = true)
+        val src = readWithDeletes(head, m, affectedFiles, keepPos = true,
+          keepLineage = true)
         val joined = src.join(matched.withColumn("__hit", lit(true)),
           Seq("__file", "__pos"), "left_outer")
         val hit = coalesce(col("__hit"), lit(false))
         if (mor) {
-          val updated = joined.filter(hit).select(tableSchema.fields.map { f =>
+          val updated = joined.filter(hit).select((tableSchema.fields.map { f =>
             setCols.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
-          }.toIndexedSeq: _*)
+          }.toSeq ++ Seq(col("__row_id"),
+            lit(null).cast("long").as("__last_seq"))).toIndexedSeq: _*)
           val newFiles = writeDataFiles(updated, tableSchema, m.partitionCols)
           commitSnapshot(m, newFiles, Seq.empty, "update", branch,
             addedDeletes =
@@ -1068,13 +1162,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
               else writeDeleteFiles(matched.select(col("__file"), col("__pos")),
                 Seq("__file", "__pos"), kind = "position"))
         } else {
-          val rewritten = joined.select(tableSchema.fields.map { f =>
+          val rewritten = joined.select((tableSchema.fields.map { f =>
             setCols.get(f.name) match {
               case Some(v) =>
                 when(hit, v).otherwise(col(f.name)).as(f.name)
               case None => col(f.name)
             }
-          }.toIndexedSeq: _*)
+          }.toSeq ++ Seq(col("__row_id"),
+            when(hit, lit(null)).otherwise(col("__last_seq"))
+              .cast("long").as("__last_seq"))).toIndexedSeq: _*)
           val newFiles = writeDataFiles(rewritten, tableSchema, m.partitionCols)
           commitSnapshot(m, newFiles, affectedFiles.map(_.path), "update", branch)
         }
@@ -1279,11 +1375,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
           s"MoR update references unknown column $c"))
       val head = resolveWriteBranchHead(m, branch)
       val setMap = sets.toMap
-      val matched = scan(head, m).filter(cond)
+      val matched = readWithDeletes(head, m,
+        head.map(_.files).getOrElse(Seq.empty), keepLineage = true)
+        .filter(cond)
       val keys = matched.select(keyCols.map(col).toIndexedSeq: _*).distinct()
-      val updated = matched.select(tableSchema.fields.map { f =>
+      // row lineage: the appended new versions keep their ids and inherit
+      // the append file's sequence (materialized null)
+      val updated = matched.select((tableSchema.fields.map { f =>
         setMap.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
-      }.toIndexedSeq: _*)
+      }.toSeq ++ Seq(col("__row_id"),
+        lit(null).cast("long").as("__last_seq"))).toIndexedSeq: _*)
       val newFiles = writeDataFiles(updated, tableSchema, m.partitionCols)
       commitSnapshot(m, newFiles, Seq.empty, "update", branch,
         addedDeletes = writeDeleteFiles(keys, keyCols))
@@ -1308,7 +1409,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val alignedSrc = source.select(tableSchema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       val head = resolveWriteBranchHead(m, branch)
-      val current = scan(head, m)
+      val current = readWithDeletes(head, m,
+        head.map(_.files).getOrElse(Seq.empty), keepLineage = true)
       // same cardinality rule as the CoW merge
       val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
       val srcCard = alignedSrc.filter(keysNotNull).agg(
@@ -1323,14 +1425,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .select(cols.map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
       val joinCond = keys.map(k => matched(k) === sPrefixed(s"__s_$k")).reduce(_ && _)
       val updatedRows = matched.join(sPrefixed, joinCond, "inner")
-        .select(cols.map { c =>
+        .select((cols.map { c =>
           (if (updates.contains(c)) col(s"__s_$c") else col(c)).as(c)
-        }.toIndexedSeq: _*)
+        } ++ Seq(col("__row_id"),
+          lit(null).cast("long").as("__last_seq"))).toIndexedSeq: _*)
       val inserts =
-        if (insertNotMatched)
+        (if (insertNotMatched)
           alignedSrc.join(current.select(keys.map(col).toIndexedSeq: _*).distinct(),
             keys, "left_anti")
-        else alignedSrc.limit(0)
+        else alignedSrc.limit(0))
+          .withColumn("__row_id", lit(null).cast("long"))
+          .withColumn("__last_seq", lit(null).cast("long"))
       val out = updatedRows.unionByName(inserts)
       val matchedKeys = matched.select(keys.map(col).toIndexedSeq: _*).distinct()
       val newFiles = writeDataFiles(out, tableSchema, m.partitionCols)
@@ -1369,14 +1474,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
         commitSnapshot(m, Seq.empty, Seq.empty, "update", branch)
       } else {
         val setMap = sets.toMap
-        val src = readWithDeletes(head, m, affectedFiles)
+        val src = readWithDeletes(head, m, affectedFiles, keepLineage = true)
         val hit = coalesce(cond, lit(false))
-        val rewritten = src.select(tableSchema.fields.map { f =>
+        // row lineage: updated rows KEEP their id and take the new file's
+        // sequence (a NULL materialized __last_seq inherits it at read);
+        // carryover rows keep both
+        val rewritten = src.select((tableSchema.fields.map { f =>
           setMap.get(f.name) match {
             case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
             case None    => col(f.name)
           }
-        }.toIndexedSeq: _*)
+        }.toSeq ++ Seq(col("__row_id"),
+          when(hit, lit(null)).otherwise(col("__last_seq"))
+            .cast("long").as("__last_seq"))).toIndexedSeq: _*)
         val newFiles = writeDataFiles(rewritten, tableSchema, m.partitionCols)
         commitSnapshot(m, newFiles, affectedFiles.map(_.path), "update", branch)
       }
@@ -2469,7 +2579,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       targetFiles: Int = 8): GraftSnapshot = {
     require(zCols.nonEmpty && zCols.size <= 4,
       s"z-order supports 1-4 columns, got ${zCols.size}")
-    val df = toDF
+    val df = lineageScan() // carryover rewrite: every row keeps id + seq
     val aggs = zCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
@@ -2539,7 +2649,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (small.size <= 1) snap // nothing to coalesce
     else {
       val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-      val rows = readWithDeletes(Some(snap), m, small)
+      val rows = readWithDeletes(Some(snap), m, small, keepLineage = true)
       val clustered =
         if (m.partitionCols.nonEmpty)
           rows.repartition(partitionClusterExprs.toIndexedSeq: _*)
@@ -2553,7 +2663,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   def rewriteDataFilesSorted(sortExprs: Seq[Column],
       targetFiles: Int = 8): GraftSnapshot = {
-    val df = toDF
+    val df = lineageScan() // carryover rewrite: every row keeps id + seq
     // partition columns LEAD the local sort (see rewriteDataFilesZOrder):
     // otherwise the writer's own dynamic-partition sort reorders rows and
     // within-file order silently degrades to arbitrary
@@ -3216,7 +3326,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** append-style schema widening for mergeSchema semantics */
   private def maybeWidenSchema(m: TableMetadata, df: DataFrame): TableMetadata = {
     val cur = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val newCols = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+    // the __-prefix namespace is internal (lineage/position carriers on
+    // rewrite frames) and never widens the declared schema
+    val newCols = df.schema.fields.filterNot(f =>
+      cur.fieldNames.contains(f.name) || f.name.startsWith("__"))
     // a widen must never resurrect a renamed/dropped physical name — old
     // files still store unrelated data under it (see addColumn)
     val tombed = newCols.filter(f =>
@@ -3234,14 +3347,27 @@ class GraftTable(val spark: SparkSession, val location: String) {
       parts: Seq[String], applyDistribution: Boolean = true): Seq[DataFile] = {
     val commitId = UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$location/_staging/$commitId")
-    val alignedRaw = df.select(tableSchema.fields.map(f =>
+    // Row lineage (v3): a rewrite that read through the lineage columns
+    // carries `__row_id`/`__last_seq` here — materialize them physically
+    // so rewritten rows KEEP their identity across the rewrite; NULL
+    // cells (inserted rows, update bumps) inherit firstRowId + position /
+    // the new file's dataSeq at read. Plain appends don't carry them and
+    // derive ids from commit metadata alone.
+    val lineageWrite = df.columns.contains("__row_id") &&
+      df.columns.contains("__last_seq")
+    val lineageCols =
+      if (lineageWrite) Seq(col("__row_id").cast(LongType).as("__row_id"),
+        col("__last_seq").cast(LongType).as("__last_seq"))
+      else Seq.empty
+    val alignedRaw = df.select((tableSchema.fields.map(f =>
       (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
        // a write that omits the column stores its CURRENT write-default
        // (ALTER COLUMN … SET DEFAULT), falling back to NULL — evaluated
        // per write, inside the plan (constant-folded; declared
        // deterministic at ALTER time)
        else GraftTable.writeDefaultSqlOf(f).map(expr)
-         .getOrElse(lit(null)).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+         .getOrElse(lit(null)).cast(f.dataType)).as(f.name)).toSeq ++
+      lineageCols).toIndexedSeq: _*)
     // Hidden partitioning: transform fields (days(ts), bucket(n,id), …)
     // add a DERIVED directory column; partitionBy consumes it, so the
     // derived value becomes the path segment while the SOURCE column stays
@@ -3381,7 +3507,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         }
         out += DataFile(relTarget, pv, records, fs.getFileStatus(target).getLen,
           stats,
-          blooms = fileBlooms.get(st.getPath.getName).filter(_.nonEmpty))
+          blooms = fileBlooms.get(st.getPath.getName).filter(_.nonEmpty),
+          lineage = lineageWrite)
       }
     }
     fs.delete(staging, true)
@@ -3521,8 +3648,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val id = m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     // stamp the adding commit's id on each new file (Iceberg's
     // data_sequence_number): delete-applicability must not depend on the
-    // adding snapshot staying in the (expirable) snapshot list
-    val stamped = added.map(_.copy(dataSeq = Some(id)))
+    // adding snapshot staying in the (expirable) snapshot list.
+    // Row lineage (v3): each added file is also assigned its firstRowId
+    // from the table's monotonic counter, advancing by record count —
+    // rows without a materialized id read firstRowId + position. Assigned
+    // HERE, against the caller's metadata read, so a CAS retry re-assigns
+    // against fresh metadata and ids are never double-issued.
+    var nextRid = m.nextRowId
+    val stamped = added.map { f =>
+      val fr = nextRid
+      nextRid += f.records
+      f.copy(dataSeq = Some(id), firstRowId = Some(fr))
+    }
     // Amortized (manifest-list) path — Iceberg's manifest reuse: a commit
     // that removes nothing inlines ONLY its added entries and references
     // the parent's manifests untouched, so its metadata write is O(added),
@@ -3583,7 +3720,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     snap.manifestLoader = name => SnapshotLog.readManifest(location, name, conf)
     val newRefs = if (stagingId.isDefined) m.refs else m.refs + (b -> id)
     GraftTable.onBeforeCommit()
-    SnapshotLog.commit(location, m.copy(refs = newRefs, snapshots = m.snapshots :+ snap), conf)
+    SnapshotLog.commit(location, m.copy(refs = newRefs,
+      snapshots = m.snapshots :+ snap, nextRowId = nextRid), conf)
     snap
   }
 }

@@ -44,6 +44,19 @@ case class DataFile(
     sizeBytes: Long,
     stats: Option[Map[String, ColumnStats]] = None,
     dataSeq: Option[Long] = None,
+    // Row lineage (Iceberg v3): the id assigned to this file's first row
+    // at commit time — a row's `_row_id` is firstRowId + its file
+    // position unless the file MATERIALIZES row ids (see `lineage`).
+    // None only on files committed before this field existed; their rows
+    // read a NULL `_row_id` until a compaction re-stamps them.
+    firstRowId: Option[Long] = None,
+    // True when the file physically stores `__row_id`/`__last_seq`
+    // columns — rewrites (compaction, CoW delete/update/merge) write them
+    // to PRESERVE row identity across the rewrite; a NULL cell in a
+    // materialized column means "assign fresh": firstRowId + position for
+    // ids, the file's own dataSeq for the last-updated sequence — exactly
+    // the v3 inheritance rule.
+    lineage: Boolean = false,
     // per-column Bloom filters over the file's values (base64 of Spark's
     // sketch format), written when `write.metadata.bloom-filter.column.X`
     // is set — the POINT-LOOKUP complement of min/max stats: on a
@@ -278,7 +291,13 @@ case class TableMetadata(
     columnStats: Option[ColumnStatsRecord] = None,
     // immutable initial defaults for columns added with DEFAULT (empty on
     // pre-default metadata: json4s defaults the field on deserialization)
-    columnDefaults: Seq[ColumnDefaultRecord] = Seq.empty) {
+    columnDefaults: Seq[ColumnDefaultRecord] = Seq.empty,
+    // row lineage (Iceberg v3): the next unassigned row id. Commits stamp
+    // `firstRowId` on each added data file from here and advance it by
+    // the file's record count — monotonic for the table's life (rollback
+    // moves refs, never this counter, so ids are never reused even when
+    // histories diverge). 0 on pre-lineage metadata.
+    nextRowId: Long = 0L) {
 
   def currentSnapshotId: Option[Long] = refs.get(SnapshotLog.MainBranch)
 

@@ -706,10 +706,13 @@ case class GraftPlanRead(location: String, snapshotId: Long)
   * it ([[org.apache.spark.sql.connector.catalog.MetadataColumn]]). */
 case class GraftMetaColumn(colName: String,
     colType: org.apache.spark.sql.types.DataType,
-    colComment: String) extends MetadataColumn {
+    colComment: String,
+    // lineage columns are nullable: files committed before row lineage
+    // existed have no firstRowId to derive ids from
+    nullable: Boolean = false) extends MetadataColumn {
   override def name(): String = colName
   override def dataType(): org.apache.spark.sql.types.DataType = colType
-  override def isNullable: Boolean = false
+  override def isNullable: Boolean = nullable
   override def comment(): String = colComment
 }
 
@@ -739,7 +742,13 @@ class GraftReadOnlyTable(tableName: String, inner: ParquetTable,
   override def metadataColumns(): Array[MetadataColumn] = Array(
     GraftMetaColumn("_file", StringType, "absolute data file path"),
     GraftMetaColumn("_pos", LongType, "row position in the data file"),
-    GraftMetaColumn("_partition", StringType, "partition tuple {k=v, ...}"))
+    GraftMetaColumn("_partition", StringType, "partition tuple {k=v, ...}"),
+    GraftMetaColumn("_row_id", LongType,
+      "stable row id (v3 row lineage): firstRowId + position, preserved " +
+        "across rewrites via materialization", nullable = true),
+    GraftMetaColumn("_last_updated_sequence_number", LongType,
+      "sequence number of the commit that last created or updated the row",
+      nullable = true))
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   // hidden-partitioning spec surfaces through DESCRIBE EXTENDED /

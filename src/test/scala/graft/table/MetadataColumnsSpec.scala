@@ -30,7 +30,8 @@ class MetadataColumnsSpec extends SparkTestBase {
     val t = makeTable("metacols")
     val md = t.metadataDF
     assert(md.columns.toSeq ===
-      Seq("id", "k", "cat", "_file", "_pos", "_partition"))
+      Seq("id", "k", "cat", "_file", "_pos", "_partition",
+        "_row_id", "_last_updated_sequence_number"))
     assert(md.count() === 10)
 
     val filePaths = t.filesDF.select("file_path").collect().map(_.getString(0)).toSet

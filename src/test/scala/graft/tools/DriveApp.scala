@@ -745,6 +745,23 @@ object DriveApp {
       // it -> current write-default 9; `ch` fills 'WEB' where omitted
       println(s"default-values state=$rows")
     }
+    println("== row lineage (round 17): stable _row_id across rewrites")
+    locally {
+      spark.sql("CREATE TABLE graft.fin.lin (id BIGINT, v DOUBLE) USING parquet")
+      spark.sql("INSERT INTO graft.fin.lin VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      val before = spark.sql("SELECT id, _row_id FROM graft.fin.lin")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sql("UPDATE graft.fin.lin SET v = 9.0 WHERE id = 2")
+      spark.sql("DELETE FROM graft.fin.lin WHERE id = 3")
+      val after = spark.sql(
+        "SELECT id, _row_id, _last_updated_sequence_number FROM graft.fin.lin ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val stable = after.forall { case (id, rid, _) => before(id) == rid }
+      val seqs = after.map(_._3).distinct.sorted.mkString(",")
+      // update keeps id 2's _row_id but bumps its sequence; the delete's
+      // rewrite carries id 1/2 unchanged
+      println(s"row-lineage stable=$stable rows=${after.length} seqs=$seqs")
+    }
     println("== WAP by id + per-ref retention (round 15)")
     locally {
       import spark.implicits._
