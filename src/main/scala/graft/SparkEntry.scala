@@ -354,7 +354,9 @@ object SparkEntry {
         .orderBy("src_a", "src_b")),
 
     "x_langid" -> ((s, dir) =>
-      T(s, dir, "documents")
+      // langId is a wide per-row marker scan — fan out the single-task
+      // small scan so it runs at cluster parallelism (no-op when parallel)
+      graft.ops.Par.fanOut(T(s, dir, "documents"), col("doc_id"))
         .withColumn("predicted", TextAnalysis.langId(col("text")))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
@@ -631,7 +633,7 @@ object SparkEntry {
     // literal TRUE oracle-side. One corpus pass builds the 64 KB grid;
     // probing is a narrow codegen map over the grid literal
     "x_cms_counts" -> ((s, dir) => {
-      val toks = T(s, dir, "documents")
+      val toks = graft.ops.Par.fanOut(T(s, dir, "documents"), col("doc_id"))
         .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
         .filter(length(col("item")) > 0)
       val probes = toks.groupBy(col("item")).agg(count(lit(1)).as("cnt"))

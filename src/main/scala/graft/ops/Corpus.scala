@@ -563,7 +563,9 @@ object Corpus {
       isTarget: Column, buckets: Int = 2048, prior: Double = 0.5): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(prior > 0.0, s"prior must be positive, got $prior")
-    val toks = df
+    // single-task small scans serialize the tokenize+explode front —
+    // repair parallelism first (no-op on already-parallel inputs)
+    val toks = Par.fanOut(df, col(idCol))
       .select(col(idCol), isTarget.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
       .filter(col("__tok") =!= "")
@@ -604,6 +606,9 @@ object Corpus {
       strataCol: String, minQuality: Double,
       fractions: Map[String, Double], chunkSize: Int,
       sampleBuckets: Int = 1000): DataFrame = {
+    // (r17 note: a Par.fanOut here measured SLOWER — the pipeline's first
+    // exchange is the dedup digest shuffle right after the filter, so the
+    // extra full-text exchange buys nothing; left as-is deliberately)
     val filtered = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
     val deduped = Dedup.exactDedup(filtered, textCol, idCol)
     val redacted = deduped.withColumn(textCol, redactPii(col(textCol)))

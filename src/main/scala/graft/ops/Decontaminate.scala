@@ -55,7 +55,7 @@ object Decontaminate {
     // into a pre-Generate filter, re-shingling every row once more per
     // predicate. n_grams is therefore recomputed AFTER the join instead —
     // on the (rare) hit rows only, from the carried token array.
-    val corpusGrams = corpus
+    val corpusGrams = Par.fanOut(corpus, col(idCol))
       .select((carried :+ TextAnalysis.tokens(col(textCol)).as("__toks")): _*)
       .select((carried :+ col("__toks")
         :+ explode(gramsOfToks).as("__gram")): _*)

@@ -370,10 +370,14 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 1): DataFrame = {
+    // small-input scans plan as one task; the tokenize+shingle front and
+    // the pair verification are per-row heavy, so repair the parallelism
+    // first (Par.fanOut is a no-op whenever the scan is already parallel)
+    val src = Par.fanOut(df, col(idCol))
     // tokenize in a separate projection so the interpreted shingle lambda
     // slices a materialized array instead of re-splitting the text per
     // shingle (higher-order functions get no subexpression elimination)
-    val sets = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val sets = src.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         (if (shingleN == 1) array_distinct(col("__toks"))
          else array_distinct(TextAnalysis.shinglesOfTokens(col("__toks"), shingleN))).as("__set"))
@@ -432,7 +436,10 @@ object Dedup {
     // (sf0.1: 2.3 s pinned vs 1.6 s recomputed — same 100 TB plan, sized
     // by the optimizer's scan estimate)
     def maybePin(plan: DataFrame): DataFrame = pinIfLarge(df, plan)
-    val sized = maybePin(df.select(col(idCol).as("__id"),
+    // single-task small scans serialize the tokenize+shingle front —
+    // repair parallelism first (no-op on already-parallel inputs)
+    val src = Par.fanOut(df, col(idCol))
+    val sized = maybePin(src.select(col(idCol).as("__id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("__id"),
         (if (shingleN == 1) array_distinct(col("__toks"))
@@ -526,7 +533,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(shingleN >= 1, s"shingleN must be positive, got $shingleN")
     require(maxDf >= 2, s"maxDf < 2 can never produce a pair, got $maxDf")
-    val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // single-task small scans serialize the tokenize+shingle front —
+    // repair parallelism first (no-op on already-parallel inputs)
+    val base = Par.fanOut(df, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
     val terms = base.select(col(idCol),
         explode(if (shingleN == 1) col("__toks")
         else TextAnalysis.shinglesOfTokens(col("__toks"), shingleN)).as("__term"))
@@ -586,7 +596,10 @@ object Dedup {
    */
   def simhash(df: DataFrame, textCol: String, idCol: String,
       tokenHash: Column => Column = xxhash64(_)): DataFrame =
-    df.select(col(idCol),
+    // the fingerprint expression is per-row heavy (tokenize + per-token
+    // hash + 64 bit votes); a single-task small scan serializes it —
+    // repair parallelism first (no-op on already-parallel inputs)
+    Par.fanOut(df, col(idCol)).select(col(idCol),
       graft.functions.GraftFunctions.simhash64(
         transform(array_distinct(TextAnalysis.tokens(col(textCol))), tokenHash))
         .as("simhash"))
@@ -901,8 +914,9 @@ object Dedup {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
     // both the per-digest aggregate and the join probe consume the
     // tokenize+shingle+md5 subtree — pin it for large corpora so the
-    // regex/digest map work runs once, not twice
-    val wins = pinIfLarge(df, df
+    // regex/digest map work runs once, not twice; fan out single-task
+    // small scans first (no-op on already-parallel inputs)
+    val wins = pinIfLarge(df, Par.fanOut(df, col(idCol))
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         explode(TextAnalysis.shinglesOfTokens(col("__toks"), window)).as("__w"))
@@ -1014,8 +1028,9 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2 tokens, got $k")
     // pinned for large corpora: the duplicate-key aggregate and the
-    // semi-join probe both consume the tokenize+shingle+md5 subtree
-    val wins = pinIfLarge(df, df
+    // semi-join probe both consume the tokenize+shingle+md5 subtree;
+    // fan out single-task small scans first (no-op when already parallel)
+    val wins = pinIfLarge(df, Par.fanOut(df, col(idCol))
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         posexplode(TextAnalysis.shinglesOfTokens(col("__toks"), k)))

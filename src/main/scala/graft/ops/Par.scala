@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.exchange.Exchange
+
+import scala.util.control.NonFatal
+
+/** Scan-parallelism repair for per-row-expensive operators (r17, guide §2.2
+  * "fewer, larger map tasks" inverted for the small-file edge).
+  *
+  * Spark sizes scan splits by BYTES (`maxPartitionBytes`,
+  * `filesource.openCostInBytes`), so a small input — one file, one parquet
+  * row group — plans as ONE task no matter how many cores the cluster has.
+  * That is the right call when per-row work is cheap (an exchange would
+  * cost more than it buys), and exactly wrong when the operator's first
+  * stage does heavy per-row compute: tokenize + shingle + explode, vector
+  * kernels, fingerprinting. Measured at sf0.1 (single-row-group testdata,
+  * 32 cores): the whole tokenize front of the lexical-dedup family ran as
+  * one ~0.5 s serial task per consumer; hash-repartitioning the scan first
+  * cut d_simhash 0.98→0.40 s and d_jaccard_prefix 1.92→1.27 s while a
+  * BLANKET repartition of every table read regressed the cheap relational
+  * queries by ~0.4 s each (full-row exchange with no compute to amortize
+  * it) — hence an opt-in helper on the heavy operators only, never a
+  * global rewrite.
+  *
+  * Scale safety: the repartition fires ONLY when the input's planned
+  * parallelism is under half the session target (max of
+  * `spark.sql.shuffle.partitions` and the cluster default parallelism).
+  * At 100 TB a scan has thousands of splits, the deficit test fails and
+  * this is a no-op — the gate is derived from the session, not a local
+  * constant. Inputs that already contain an Exchange are left alone: their
+  * downstream parallelism is the shuffle's, and probing partition counts
+  * through AQE would execute the upstream query stages.
+  */
+object Par {
+
+  /** Session parallelism target: shuffle partitions or cluster default
+    * parallelism, whichever is larger (both scale with the deployment). */
+  def target(df: DataFrame): Int = math.max(
+    df.sparkSession.sessionState.conf.numShufflePartitions,
+    df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Hash-repartition `df` by `keys` to the session target iff its planned
+    * parallelism is under half the target and its plan is exchange-free
+    * (scan/project/filter shapes). Keyed repartition skips round-robin's
+    * sort-before-repartition pass and stays deterministic under retries;
+    * pass a high-cardinality key (the row id). No-op on any error — this
+    * is a performance rewrite, never a correctness dependency. */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "fanOut needs at least one partitioning key")
+    try {
+      val plan = df.queryExecution.sparkPlan
+      if (plan.exists(_.isInstanceOf[Exchange])) return df
+      val parts = df.queryExecution.toRdd.getNumPartitions
+      val t = target(df)
+      if (parts.toLong * 2 <= t) df.repartition(t, keys: _*) else df
+    } catch { case NonFatal(_) => df }
+  }
+}

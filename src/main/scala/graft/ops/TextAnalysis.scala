@@ -229,7 +229,10 @@ object TextAnalysis {
    */
   def unigramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    // single-task small scans serialize the tokenize front — repair
+    // parallelism first (no-op on already-parallel inputs)
+    val toks = Par.fanOut(df, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
     val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
     val total = vocab.agg(sum(col("__tf")).cast("double").as("__total"))
     toks.join(vocab, "__tok")
@@ -276,8 +279,10 @@ object TextAnalysis {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
     // tokenize ONCE into a column; inlining tokens() inside the shingle
     // lambda re-splits the text per OUTPUT SHINGLE (the O(tokens^2) trap
-    // documented at [[shingles]])
-    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // documented at [[shingles]]). Fan out single-task small scans first
+    // (no-op on already-parallel inputs).
+    val base = Par.fanOut(df, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
     val toks = base.select(col(idCol), explode(col("__toks")).as("__tok"))
     // pinned WHEN LARGE (pinIfLarge): the unigram dictionary feeds the
     // two context-count joins AND the corpus-total aggregate — three
