@@ -149,10 +149,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE coalescing floor (round 17): AQE merges post-shuffle partitions
+    // by BYTES, but the CPU-dense joins/aggregates of this suite (postings
+    // self-joins, vector kernels) carry ~100x more compute per byte than a
+    // relational scan, so the 1m default floor collapses them to a handful
+    // of tasks on MB-scale intermediates. A lower floor only changes how
+    // far SMALL stages coalesce — large stages are governed by the
+    // advisory size either way — so the local default is also safe at
+    // cluster scale; parameterised for deployments that prefer the stock
+    // floor. Interleaved same-JVM A/B at sf0.1 (ConfAB, 5 runs/arm):
+    // 256k beat 1m by 0.55 s over the 9 AQE-sensitive queries (x_bm25
+    // −0.25, e_triangles −0.14, s_hybrid_rrf −0.11) with no regression
+    // beyond noise; 64k overshot (more task overhead than win).
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
  * Scale shape: one edge-keyed aggregate builds the transition table (and
  * is reused — persisted — across every iteration); each node is stamped
  * ONCE with a has-out-edges flag, so each iteration is ONE src-keyed
- * join + dst-keyed aggregate over the edges plus two 1-row aggregates
- * (dangling mass — a filter+sum over the rank state, never a per-round
- * anti join; node count) that ride broadcast cross joins — no
- * driver-side rank state ever, so billion-node graphs only shuffle
+ * join + dst-keyed aggregate over the edges plus one 1-row aggregate
+ * (dangling mass — a filter+sum over the pinned rank state, never a
+ * per-round anti join) whose scalar result is inlined as a literal, like
+ * the loop-constant node count. The driver holds exactly two doubles —
+ * never per-node rank state — so billion-node graphs only shuffle
  * (node, flag, double) tuples. Per-iteration results persist at the RDD
  * level (localCheckpoint) to truncate the exponential re-computation a multi-consumer lazy
  * lineage would otherwise pay (ContextCleaner reclaims the caches once
@@ -53,7 +54,13 @@ object Graph {
       .select(col("__src"), col("__dst"), (col("__w") / col("__outw")).as("__p")))
     val nodes = pin(trans.select(col("__src").as("__node"))
       .union(trans.select(col("__dst").as("__node"))).distinct())
-    val nDf = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    // node count as a DRIVER SCALAR (r17): it is a loop constant read off
+    // the pinned node set, and inlining it as a literal deletes one 1-row
+    // aggregate + broadcast-exchange build job from EVERY iteration's
+    // plan (the sweep showed pageRank's wall dominated by job-scheduling
+    // barriers, not stage time: 38 stages summing 0.7 s under a 1.6 s
+    // wall). One long per graph, never per-node state.
+    val n = nodes.count().toDouble
     // stamp each node once with "has outgoing edges": the dangling-mass
     // scalar then reads off the rank state as a filter+sum instead of an
     // anti join against the edge list EVERY iteration
@@ -62,21 +69,27 @@ object Graph {
     val flagged = pin(nodes.join(srcSet, Seq("__node"), "left")
       .select(col("__node"), coalesce(col("__hasOut"), lit(false)).as("__hasOut")))
 
-    var ranks = flagged.crossJoin(broadcast(nDf))
-      .select(col("__node"), col("__hasOut"), (lit(1.0) / col("__n")).as("__rank"))
+    var ranks = flagged
+      .select(col("__node"), col("__hasOut"), lit(1.0 / n).as("__rank"))
     (1 to iters).foreach { _ =>
       val r = pin(ranks)
       val contribs = r.join(trans, r("__node") === trans("__src"))
         .groupBy(col("__dst").as("__node"))
         .agg(sum(col("__rank") * col("__p")).as("__c"))
-      val dangling = r.filter(!col("__hasOut"))
+      // dangling mass as a driver scalar too: the rank state is already
+      // materialized (pinned), so this is one cheap job over it — where
+      // the broadcast-crossjoin form paid a separate broadcast build job
+      // per iteration for the same double. Same IEEE arithmetic: the sum
+      // is the identical aggregate, the division happens once instead of
+      // per row on equal operands.
+      val dm = r.filter(!col("__hasOut"))
         .agg(coalesce(sum(col("__rank")), lit(0.0)).as("__dm"))
+        .head().getDouble(0)
       ranks = flagged.join(contribs, Seq("__node"), "left")
-        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nDf))
         .select(col("__node"), col("__hasOut"),
-          (lit(1.0 - damping) / col("__n") +
+          (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              col("__dm") / col("__n"))).as("__rank"))
+              lit(dm / n))).as("__rank"))
     }
     ranks.select(col("__node").as("node"), col("__rank").as("pagerank"))
   }
@@ -143,12 +156,26 @@ object Graph {
     // pinned even in broadcast-degree mode: an A/B at sf0.1 measured the
     // unpinned variant ~15% SLOWER (2.9 s vs 2.5 s) — the three consumers'
     // recomputed projections cost more than the one materialization
-    // barrier here, unlike the postings pins where the opposite held
-    val oriented = stamped.select(
+    // barrier here, unlike the postings pins where the opposite held.
+    // Fan-out before the pin (r17): the checkpoint freezes its input's
+    // partition count, and a small oriented edge set arrives AQE-coalesced
+    // to a handful of partitions — every downstream wedge/closure task
+    // count is then stuck there (sf0.1: the wedge+closure stage carried
+    // 5.4 s of CPU over 8 frozen partitions). Deficit-gated like
+    // Par.fanOut: at scale the edge set is already wide and this is a
+    // no-op; keyed by __src so the wedge self-join reads co-partitioned
+    // legs straight off the checkpoint.
+    val orientedPlan = stamped.select(
         when(aFirst, col("__a")).otherwise(col("__b")).as("__src"),
         when(aFirst, col("__b")).otherwise(col("__a")).as("__dst"),
         struct(when(aFirst, col("__db")).otherwise(col("__da")).as("d"),
           when(aFirst, col("__b")).otherwise(col("__a")).as("n")).as("__dk"))
+    val fanTarget = math.max(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val oriented = (if (und.rdd.getNumPartitions * 2 <= fanTarget)
+        orientedPlan.repartition(fanTarget, col("__src"))
+      else orientedPlan)
       .localCheckpoint()
     // wedges u→v, u→w with key(v) < key(w); the closing edge, if the
     // triangle exists, is oriented v→w by the same order
@@ -189,12 +216,26 @@ object Graph {
     require(minCells >= 1, s"minCells must be >= 1, got $minCells")
     require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
     val cells = cellCols.map(col)
-    // pinned: both the size aggregate and the pairing join consume the
-    // distinct occurrence set — unpinned, the distinct's full exchange
-    // runs twice (ContextCleaner reclaims the checkpoint blocks once the
-    // result's references drop, the pageRank/Skyline pattern)
+    // distinct FIRST (its partial aggregate collapses repeat occurrences
+    // map-side — a hot cell's duplicates never ride a shuffle raw), then
+    // one EXPLICIT cell-keyed exchange that every downstream step reuses
+    // (r17): the size aggregate, the size-filter join and the member
+    // collect all require cell clustering, so with both consumers built
+    // on the same repartition the optimizer plans ONE shuffle and reuses
+    // its map output — the localCheckpoint barrier this replaces
+    // materialized the same rows but serialized the job into stages.
+    // The partition count is pinned (session target, never an AQE
+    // coalesce decision) because pair emission is O(|cell|²) per row
+    // while AQE coalesces by BYTES: at sf0.1 it folded the MB-sized
+    // member arrays into ONE task and serialized the quadratic work
+    // (935 ms of a 2.5 s query); with the pinned fan-out the same stage
+    // runs ~30-way parallel. At cluster scale the pin equals the
+    // configured shuffle parallelism — the same width the implicit
+    // exchange would start from.
     val d = occ.select((col(unitCol).as("__u") +: cells): _*).distinct()
-      .localCheckpoint()
+      .repartition(math.max(
+        occ.sparkSession.sessionState.conf.numShufflePartitions,
+        occ.sparkSession.sparkContext.defaultParallelism), cells: _*)
     val sizes = d.groupBy(cells: _*).agg(count(lit(1)).as("__c"))
       .filter(col("__c").between(2L, maxCellSize.toLong))
       .drop("__c")

@@ -49,6 +49,11 @@ object Par {
   def fanOut(df: DataFrame, keys: Column*): DataFrame = {
     require(keys.nonEmpty, "fanOut needs at least one partitioning key")
     try {
+      // runtime kill switch (also the interleaved-A/B hook: a session conf
+      // lets one JVM alternate arms run-by-run, the only contention-robust
+      // way to measure a plan rewrite on a shared sandbox)
+      if (!df.sparkSession.conf.get("spark.graft.fanout.enabled", "true").toBoolean)
+        return df
       val plan = df.queryExecution.sparkPlan
       if (plan.exists(_.isInstanceOf[Exchange])) return df
       val parts = df.queryExecution.toRdd.getNumPartitions

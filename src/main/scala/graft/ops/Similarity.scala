@@ -70,6 +70,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // (r17 note: a Par.fanOut of the corpus side measured SLOWER in an
+    // interleaved A/B — the scan fuses with the broadcast crossjoin +
+    // cosine + salted-window phase 1 into one stage, and breaking that
+    // fusion with an exchange costs more than the parallelism buys on
+    // the MB-scale corpora where the gate would fire; left as-is)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -90,6 +95,7 @@ object Similarity {
   def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // no corpus fan-out, for the reason documented in [[bruteForceTopK]]
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
