@@ -179,14 +179,31 @@ object Dedup {
     * cache once the result plan is garbage-collected (the Skyline
     * pattern). */
   private[ops] def pinIfLarge(source: DataFrame, plan: DataFrame): DataFrame = {
-    val sz = source.queryExecution.optimizedPlan.stats.sizeInBytes
-    val sentinel = BigInt(
-      source.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (sz <= (256L << 20) || sz >= sentinel) plan
-    else {
-      val rdd = plan.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      source.sparkSession.createDataFrame(rdd, plan.schema)
+    // r17: pin mode is a session conf so plan-rewrite arms can be A/B'd
+    // interleaved in one JVM (the only contention-robust measurement on a
+    // shared sandbox).
+    //  - "legacy" (default): the size-gated Row-persist form.
+    //  - "checkpoint": LAZY localCheckpoint of every pin candidate, no
+    //    size gate. Measured AT BEST a wash (x_bm25 −0.08 s at 7
+    //    interleaved runs — it does delete that plan's duplicated corpus
+    //    tokenize pass) and clearly worse where the pin freezes a
+    //    well-parallelized subtree or blocks pruning below it
+    //    (d_jaccard_prefix +0.86 s, x_perplexity +0.20 s) — kept as an
+    //    experiment arm, not the default.
+    //  - "off": never pin.
+    source.sparkSession.conf.get("spark.graft.pin.mode", "legacy") match {
+      case "off" => plan
+      case "checkpoint" => plan.localCheckpoint(false)
+      case _ =>
+        val sz = source.queryExecution.optimizedPlan.stats.sizeInBytes
+        val sentinel = BigInt(
+          source.sparkSession.sessionState.conf.defaultSizeInBytes)
+        if (sz <= (256L << 20) || sz >= sentinel) plan
+        else {
+          val rdd = plan.rdd
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          source.sparkSession.createDataFrame(rdd, plan.schema)
+        }
     }
   }
 

@@ -1024,7 +1024,11 @@ object Similarity {
           .withColumn("__sub", pmod(xxhash64(col(vecCol)), col("__splits")))
           .drop("__sc", "__splits")
       }
-    val a = cells.select(col("cluster_id"), col("__sub"), col(idCol).as("id_a"),
+    // the probe side pays |cell| cosine kernels per row — fan out a
+    // single-task small scan (no-op when already parallel); the build
+    // side stays unfanned (it broadcasts)
+    val a = Par.fanOut(cells, col(idCol))
+      .select(col("cluster_id"), col("__sub"), col(idCol).as("id_a"),
       col(vecCol).as("__va"))
     val b = cells.select(col("cluster_id").as("__cb"), col("__sub").as("__sb"),
       col(idCol).as("id_b"), col(vecCol).as("__vb"))
@@ -1113,6 +1117,11 @@ object Similarity {
     val k = centroids.count()
     require(k > 0, "assignToCentroids: empty centroid table")
     val vecOk = col(vecCol).isNotNull && size(col(vecCol)) > 0
+    // (r17 note: a Par.fanOut of `vectors` here measured SLOWER in an
+    // interleaved A/B (+0.11 s assign, +0.57 s over a 3-round kmeans
+    // train) — k unrolled cosines per row are cheaper than an exchange,
+    // and the training loop pays the exchange once per iteration)
+    val src = vectors
     if (k * vectorDim(centroids, vecCol) <= UnrolledAssignLimit) {
       val cents = centroids
         .select(col(centroidIdCol).cast("long").as("cluster_id"),
@@ -1126,7 +1135,7 @@ object Similarity {
       // the outer when() is load-bearing: element_at on a FOLDABLE array
       // with a null index constant-folds to a non-null element in Spark
       // 4.1, so null must be forced before the literal lookup
-      vectors
+      src
         .withColumn("__sims", when(vecOk, sims))
         .withColumn("cluster_id",
           when(vecOk, element_at(ids,
@@ -1136,7 +1145,7 @@ object Similarity {
       val cents = centroids.select(
         col(centroidIdCol).cast("long").as("__cent_id"),
         col(vecCol).cast("array<double>").as("__centroid"))
-      val best = vectors
+      val best = src
         .filter(vecOk)
         .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
         .crossJoin(broadcast(cents))
@@ -1145,7 +1154,7 @@ object Similarity {
           cosineFast(col("__v").cast("array<double>"), col("__centroid")).as("s"),
           (-col("__cent_id")).as("negId"))).as("__best"))
         .select(col("__vid"), (-col("__best.negId")).as("cluster_id"))
-      vectors.join(best, vectors(idCol) === col("__vid"), "left")
+      src.join(best, src(idCol) === col("__vid"), "left")
         .drop("__vid")
     }
   }
@@ -1181,7 +1190,9 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val maxabs = aggregate(col(vecCol), lit(0.0),
       (a, x) => greatest(a, abs(x.cast("double"))))
-    df.withColumn("scale", maxabs / lit(127.0))
+    // interpreted HOF transforms per row — fan out a single-task small
+    // scan first (no-op on already-parallel inputs)
+    Par.fanOut(df, col(idCol)).withColumn("scale", maxabs / lit(127.0))
       .withColumn("qvec",
         when(col("scale") === 0.0,
           transform(col(vecCol), _ => lit(0)))
@@ -1383,6 +1394,7 @@ object Similarity {
     val vecOk = col(vecCol).isNotNull && size(col(vecCol)) > 0
     val k = centroids.count()
     require(k >= 2, s"silhouette needs >= 2 centroids, got $k")
+    val src = vectors
     if (k * vectorDim(centroids, vecCol) <= UnrolledAssignLimit) {
       val cents = centroids
         .select(col(centroidIdCol).cast("long").as("cluster_id"),
@@ -1394,7 +1406,7 @@ object Similarity {
         lit(1.0) -
           cosineFast(col(vecCol).cast("array<double>"), typedlit(v)) }: _*)
       val ids = typedlit(cents.map(_._1))
-      vectors.filter(vecOk)
+      src.filter(vecOk)
         .withColumn("__dis", dis)
         // array_position takes the FIRST index of the min — with cents
         // sorted, a distance tie assigns the lowest cluster_id, matching
@@ -1410,7 +1422,7 @@ object Similarity {
       val cents = broadcast(centroids.select(
         col(centroidIdCol).cast("long").as("__cid"),
         col(vecCol).cast("array<double>").as("__centroid")))
-      val scored = vectors.filter(vecOk)
+      val scored = src.filter(vecOk)
         .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
         .crossJoin(cents)
         .withColumn("__d", lit(1.0) -
@@ -1421,7 +1433,7 @@ object Similarity {
           sort_array(collect_list(col("__d"))).as("__srt"))
         .select(col("__vid"), col("__best").getField("__cid").as("cluster_id"),
           silhouetteOf(col("__srt")(0), col("__srt")(1)).as("silhouette"))
-      vectors.filter(vecOk)
+      src.filter(vecOk)
         .join(perVec, col(idCol) === col("__vid"))
         .drop("__vid")
     }

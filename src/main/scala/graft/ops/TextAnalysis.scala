@@ -606,27 +606,28 @@ object TextAnalysis {
     val qterms = queries.select(col(queryIdCol),
       explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
     // postings of queried terms only — the broadcast prune that keeps
-    // every downstream stage proportional to the QUERY workload. Pinned
-    // WHEN THE CORPUS IS LARGE (Dedup.pinIfLarge — the conditional
-    // Skyline RDD pattern): `hit` feeds both the per-document
-    // contributions and the document frequencies, and without a pin each
-    // consumer replans the FULL corpus tokenize+explode+postings
-    // aggregate (column pruning makes the two tf subtrees differ, so
-    // exchange reuse never fires). The pinned set is bounded by the
-    // postings of queried terms — the query table is tiny by contract —
-    // never the corpus. Below the size threshold the recompute is
-    // cheaper than the pin's materialization barrier (measured 1.2 s vs
-    // 1.5 s at sf0.1), so small inputs stay pure-plan.
-    val hit = Dedup.pinIfLarge(docs, tf.join(broadcast(qterms), Seq("__term")))
-    // df of term t = its postings count (tf has ONE row per (doc, term)),
-    // recovered exactly from the query-expanded `hit` rows by collapsing
-    // the query dimension first: distinct (term, doc) of hit IS the
-    // pruned postings list, so its per-term count is df — no second pass
-    // over the corpus
-    val dfreq = hit.select(col("__term"), col(idCol)).distinct()
-      .groupBy(col("__term")).agg(count(lit(1)).as("__df_hit"))
+    // every downstream stage proportional to the QUERY workload. The
+    // query dimension is attached AFTER the document frequency so the df
+    // computation never has to collapse it back out (r17): tf has ONE row
+    // per (doc, term), so df(t) is a plain count over the pruned postings
+    // — computed as a term-partitioned WINDOW in the same stream (the
+    // tfidfCosinePairs shape). The r16 form derived df from the
+    // query-expanded rows via distinct + aggregate, and because that gave
+    // `hit` two consumers the optimizer re-ran the ENTIRE corpus
+    // tokenize+explode+postings pass once per consumer (plan audit:
+    // two Generate-over-Scan subtrees; two ~0.4 s serial stages at
+    // sf0.1). One stream = one corpus pass, no pin needed. The window
+    // group is a queried term's postings list — bounded by the same
+    // postings the scoring join streams, and it spills rather than
+    // OOMs (ExternalAppendOnlyUnsafeRowArray), the trade
+    // tfidfCosinePairs already takes.
+    val qt = qterms.select(col("__term")).distinct()
+    val hit = tf.join(broadcast(qt), Seq("__term"))
+      .withColumn("__df_hit",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__term"))))
+      .join(broadcast(qterms), Seq("__term"))
     val contrib = hit
-      .join(dfreq, Seq("__term"))
       .join(dlen, Seq(idCol))
       .crossJoin(broadcast(stats))
       .select(col(queryIdCol), col(idCol),
