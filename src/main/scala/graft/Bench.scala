@@ -162,11 +162,23 @@ object Bench {
     // −0.25, e_triangles −0.14, s_hybrid_rrf −0.11) with no regression
     // beyond noise; 64k overshot (more task overhead than win).
     val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k")
+    // Parallel file-listing threshold (round 17): a snapshot read plans an
+    // explicit multi-file parquet relation, and >32 paths makes Spark run
+    // a DISTRIBUTED listing job — 240 empty tasks (~330 ms) per scan of
+    // the hidden-partitioning fixture, against microseconds of driver
+    // getFileStatus on a local filesystem. Interleaved A/B: the t_*
+    // family dropped 3.11 -> 2.16 s (t_hidden_partitioning 0.81 -> 0.22).
+    // Object-store deployments should keep the stock 32 (driver-side
+    // listing is the bottleneck there) — hence the env parameter.
+    val listThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "1024")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        listThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")

@@ -132,6 +132,9 @@ object Graph {
     // `und` three ways (degree agg twice via the stamp joins + the stamped
     // edge set) and `oriented` three ways (both wedge legs + the closure),
     // which would recompute the full upstream edge builder ~6x
+    // (r17 A/B: dropping this pin in favor of shuffle-reuse of the edge
+    // builder's final aggregate measured 0.58 s SLOWER at sf0.1 — the
+    // reduce-side recompute per consumer costs more than the barrier)
     val und = (if (assumeCanonical)
         edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       else edges.select(
@@ -173,6 +176,8 @@ object Graph {
     val fanTarget = math.max(
       edges.sparkSession.sessionState.conf.numShufflePartitions,
       edges.sparkSession.sparkContext.defaultParallelism)
+    // the .rdd partition probe is safe here: und is a materialized
+    // checkpoint, so this reads a partition count, it runs nothing
     val oriented = (if (und.rdd.getNumPartitions * 2 <= fanTarget)
         orientedPlan.repartition(fanTarget, col("__src"))
       else orientedPlan)

@@ -30,6 +30,35 @@ object ConfAB {
       Seq("orders", "customer", "nation", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$dir/$t.parquet").count())
     } catch { case e: Throwable => System.err.println(s"warmup: $e") }
+    // t_/st_ queries need the bench fixture tables; opt-in (slow)
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_FIXTURES")) {
+      val fx = graft.queries.TableFixtures
+      try {
+        fx.ordersVersioned(spark, dir); fx.lineitemMerged(spark, dir)
+        fx.wapAccepted(spark, dir); fx.wapRejected(spark, dir)
+        fx.ordersMaintained(spark, dir); fx.ordersZOrdered(spark, dir)
+        fx.ordersDeleted(spark, dir); fx.ordersUpdated(spark, dir)
+        fx.ordersMorDeleted(spark, dir); fx.ordersPosDeleted(spark, dir)
+        fx.ordersRolledBack(spark, dir); fx.ordersChangelog(spark, dir)
+        fx.ordersChangelogMor(spark, dir); fx.ordersEvolved(spark, dir)
+        fx.ordersRenamed(spark, dir); fx.ordersMergeDeleted(spark, dir)
+        fx.ordersHashFiles(spark, dir); fx.ordersMetaCols(spark, dir)
+        fx.activityCsvIngested(spark); fx.bucketedTables(spark, dir)
+        fx.ordersCloned(spark, dir); fx.ordersPosRewritten(spark, dir)
+        fx.ordersStats(spark, dir); fx.ordersView(spark, dir)
+        fx.pqServing(spark, dir); fx.ivfRefreshed(spark, dir)
+        fx.ordersMergeConditional(spark, dir)
+        fx.ordersMergeConditionalMor(spark, dir)
+        fx.ordersMergeNmbs(spark, dir); fx.ordersWapId(spark, dir)
+        fx.ordersRefRetention(spark, dir); fx.ordersWriteOrdered(spark, dir)
+        fx.ordersCorrelatedDeleted(spark, dir)
+        fx.ordersCorrelatedUpdated(spark, dir)
+        fx.ordersCorrelatedSetUpdated(spark, dir)
+        fx.ordersCorrelatedMerged(spark, dir)
+        fx.ordersSchemaEvolvedMerged(spark, dir)
+        fx.ordersDefaulted(spark, dir)
+      } catch { case e: Throwable => System.err.println(s"fixtures: $e") }
+    }
     var totA = 0.0
     var totB = 0.0
     qcsv.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
