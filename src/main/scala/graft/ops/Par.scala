@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.execution.exchange.Exchange
 
 import scala.util.control.NonFatal
 
@@ -28,9 +27,10 @@ import scala.util.control.NonFatal
   * `spark.sql.shuffle.partitions` and the cluster default parallelism).
   * At 100 TB a scan has thousands of splits, the deficit test fails and
   * this is a no-op — the gate is derived from the session, not a local
-  * constant. Inputs that already contain an Exchange are left alone: their
-  * downstream parallelism is the shuffle's, and probing partition counts
-  * through AQE would execute the upstream query stages.
+  * constant. Inputs whose logical plan can demand a shuffle are left
+  * alone: their downstream parallelism is the shuffle's/AQE's, and probing
+  * partition counts through an executing adaptive plan would run its
+  * upstream query stages.
   */
 object Par {
 
@@ -41,11 +41,20 @@ object Par {
     df.sparkSession.sparkContext.defaultParallelism)
 
   /** Hash-repartition `df` by `keys` to the session target iff its planned
-    * parallelism is under half the target and its plan is exchange-free
-    * (scan/project/filter shapes). Keyed repartition skips round-robin's
-    * sort-before-repartition pass and stays deterministic under retries;
-    * pass a high-cardinality key (the row id). No-op on any error — this
-    * is a performance rewrite, never a correctness dependency. */
+    * parallelism is under half the target and its plan is a narrow
+    * scan/project/filter/generate shape. Keyed repartition skips
+    * round-robin's sort-before-repartition pass and stays deterministic
+    * under retries; pass a high-cardinality key (the row id). No-op on any
+    * error — this is a performance rewrite, never a correctness
+    * dependency.
+    *
+    * The shape gate is LOGICAL, not physical, on purpose: physical
+    * exchanges are only inserted by the executedPlan preparations
+    * (EnsureRequirements), and probing partition counts through an
+    * AQE-wrapped plan with exchanges would EXECUTE its upstream query
+    * stages. Any logical operator that can demand a shuffle (join,
+    * aggregate, window, sort, repartition, distinct, limit) disqualifies
+    * the input — downstream of a shuffle, parallelism is AQE's job. */
   def fanOut(df: DataFrame, keys: Column*): DataFrame = {
     require(keys.nonEmpty, "fanOut needs at least one partitioning key")
     try {
@@ -54,8 +63,14 @@ object Par {
       // way to measure a plan rewrite on a shared sandbox)
       if (!df.sparkSession.conf.get("spark.graft.fanout.enabled", "true").toBoolean)
         return df
-      val plan = df.queryExecution.sparkPlan
-      if (plan.exists(_.isInstanceOf[Exchange])) return df
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val mayShuffle = df.queryExecution.optimizedPlan.exists {
+        case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+             _: RepartitionOperation | _: GlobalLimit | _: Intersect |
+             _: Except => true
+        case _ => false
+      }
+      if (mayShuffle) return df
       val parts = df.queryExecution.toRdd.getNumPartitions
       val t = target(df)
       if (parts.toLong * 2 <= t) df.repartition(t, keys: _*) else df
