@@ -1199,9 +1199,10 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val maxabs = aggregate(col(vecCol), lit(0.0),
       (a, x) => greatest(a, abs(x.cast("double"))))
-    // interpreted HOF transforms per row — fan out a single-task small
-    // scan first (no-op on already-parallel inputs)
-    Par.fanOut(df, col(idCol)).withColumn("scale", maxabs / lit(127.0))
+    // (r17 note: a Par.fanOut here re-measured as noise (+0.01 s
+    // interleaved) and PlanQualitySpec pins this op as a pure narrow map
+    // — no exchange before the write; left narrow deliberately)
+    df.withColumn("scale", maxabs / lit(127.0))
       .withColumn("qvec",
         when(col("scale") === 0.0,
           transform(col(vecCol), _ => lit(0)))
