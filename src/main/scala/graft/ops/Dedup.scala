@@ -461,21 +461,43 @@ object Dedup {
       .select(col("__id"),
         (if (shingleN == 1) array_distinct(col("__toks"))
          else array_distinct(TextAnalysis.shinglesOfTokens(col("__toks"), shingleN))).as("__set"))
-      .filter(size(col("__set")) >= 1)
       .select(col("__id"), col("__set"), size(col("__set")).as("__sz")))
+    // explode_outer + a post-generate null filter, NOT plain explode with a
+    // size >= 1 filter (r18): a filter on the derived __set column gets
+    // substituted and PUSHED BELOW the fan-out exchange, where it re-runs
+    // the whole tokenize+shingle expression serially on the single scan
+    // task (plan audit: a 288 ms one-task Filter evaluating shingles()
+    // twice, ahead of the exchange meant to parallelize exactly that
+    // work). The null filter on the GENERATOR OUTPUT cannot sink below the
+    // Generate, so the shingle work stays post-exchange. Row-identical:
+    // explode_outer only adds null-__tok rows for empty/null sets, which
+    // the filter drops; docs with no shingles never form candidate pairs
+    // and the verify joins are inner, so dropping the size filter from
+    // `sized` changes nothing either.
     val posts = sized.select(col("__id"), col("__sz"),
-      explode(col("__set")).as("__tok"))
-    val dfreq = posts.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+      explode_outer(col("__set")).as("__tok"))
+      .filter(col("__tok").isNotNull)
     // prefix length s - ceil(t*s) + 1; the 1e-9 nudge keeps an integral
     // t*s from float-rounding UP (a too-long prefix only adds candidates,
     // a too-short one silently loses pairs)
     val prefixLen = (col("__sz") -
       ceil(lit(threshold) * col("__sz") - lit(1e-9)) + lit(1)).cast("int")
+    // r18: document frequency as a shingle-partitioned COUNT window over
+    // the postings instead of a separate aggregate joined back (the r17
+    // x_bm25 / tfidfCosinePairs shape, guide §2.3/§2.4): the dfreq
+    // aggregate gave the postings subtree a second consumer, and
+    // per-consumer column pruning made the copies non-reusable — the plan
+    // re-ran the corpus tokenize+shingle+explode pass once per copy (r18
+    // plan audit: four Generate-over-Scan subtrees; values identical
+    // since posts is one row per (doc, shingle)). The window group is one
+    // shingle's postings list; it spills (never OOMs) on a degenerate
+    // stop-shingle, which the rarest-first prefix discards anyway.
+    val wTok = Window.partitionBy(col("__tok"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("__tok").asc)
     // the prefix table feeds BOTH sides of the candidate self-join —
-    // persist it too, or the doc-keyed window (and the df-fit aggregate
-    // under it) runs twice
-    val prefixes = maybePin(posts.join(dfreq, Seq("__tok"))
+    // persist it too, or the doc-keyed window runs twice
+    val prefixes = maybePin(posts
+      .withColumn("__df", count(lit(1)).over(wTok))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= prefixLen)
       .select(col("__id"), col("__sz"), col("__tok"), col("__rank")))
@@ -561,20 +583,34 @@ object Dedup {
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
     // df via a term-partitioned window: counts (id, term) rows per term —
     // identical to a vocab aggregate, but keeps everything in one stream
-    // pinned WHEN LARGE (pinIfLarge): `weights` feeds the norm aggregate
-    // AND both sides of the pair self-join — three consumers, each of
-    // which would otherwise replan the full corpus
-    // tokenize+shingle+explode+postings+window chain. The pinned set is
-    // the maxDf-filtered postings (rare terms only — most of a shingle
-    // vocabulary is df=1 and everything above maxDf is gone), far
-    // smaller than the corpus pass it replaces; below the threshold the
-    // triple recompute is still cheaper than a materialization barrier.
-    val weights = pinIfLarge(df, terms
+    // r18: `weights` is MATERIALIZED (lazy localCheckpoint) instead of the
+    // size-gated pinIfLarge — it feeds the norm aggregate AND both sides
+    // of the pair self-join, three consumers each of which otherwise
+    // replans the full corpus tokenize+shingle+explode+postings+window
+    // chain (r17 left this as the known residual; exchange reuse is
+    // defeated by per-consumer pruning). The materialized set is the
+    // maxDf-filtered postings (rare terms only — most of a shingle
+    // vocabulary is df=1 and everything above maxDf is gone), far smaller
+    // than the corpus passes it replaces, at ANY scale. Interleaved A/B
+    // at 32 cores in the bench AQE regime: 1.139 -> 0.971 s (the r17
+    // "wash" verdict predated the bench session's 256k AQE floor in the
+    // A/B tool). Fault-tolerance note: localCheckpoint truncates lineage,
+    // so an executor loss mid-query fails the query instead of
+    // recomputing — same trade Graph/marginMinePairs already make; the
+    // `legacy` arm keeps the size-gated persist for deployments that
+    // prefer it, `off` disables pinning for A/Bs.
+    val weightsPlan = terms
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__term"))))
       .filter(col("__df") <= maxDf)
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("__term"), col("__df"),
-        (col("__tf") * log(col("__n") / col("__df"))).as("__w")))
+        (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
+    val weights =
+      df.sparkSession.conf.get("spark.graft.tfidf.pin", "checkpoint") match {
+        case "off" => weightsPlan
+        case "legacy" => pinIfLarge(df, weightsPlan)
+        case _ => weightsPlan.localCheckpoint(false)
+      }
     val norms = weights.groupBy(col(idCol))
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
     // df=1 terms contribute to norms but can never meet a partner — a
@@ -1047,10 +1083,19 @@ object Dedup {
     // pinned for large corpora: the duplicate-key aggregate and the
     // semi-join probe both consume the tokenize+shingle+md5 subtree;
     // fan out single-task small scans first (no-op when already parallel)
+    // the RAW native shingles expression, not shinglesOfTokens' coalesce
+    // wrapper (r18): under a non-outer posexplode a NULL array and the
+    // coalesced empty array emit identically zero rows, but the coalesce
+    // fallback literal carries containsNull=true, which made the exploded
+    // window column nullable — and the duplicate-key join then INFERRED
+    // `isnotnull(md5(...))`, evaluating the md5 digest a second time per
+    // window row in a Filter (plan audit: md5 in both Filter and Project).
+    // With containsNull=false the inferred filter constant-folds away and
+    // each window digest is computed exactly once.
     val wins = pinIfLarge(df, Par.fanOut(df, col(idCol))
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
-        posexplode(TextAnalysis.shinglesOfTokens(col("__toks"), k)))
+        posexplode(graft.functions.GraftFunctions.shingles(col("__toks"), k)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("__p"),
         md5(col("col")).as("__k")))
     val dupKeys = wins
