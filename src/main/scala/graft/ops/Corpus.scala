@@ -367,20 +367,31 @@ object Corpus {
     // shuffle files (never the upstream plan — a separate df.count() here
     // would re-execute the whole input lineage a third time; for derived
     // inputs that is a full extra corpus pass, not a metadata read).
-    val rdd = sorted.rdd
+    // UnsafeRow passes (r18): same two-pass offset scheme, minus the boxed
+    // Row conversion both passes paid and the per-row Row.fromSeq rebuild
+    // of the stamping pass — see runningTotal for the pattern
+    val rdd = org.apache.spark.sql.graft.bridge.toInternalRdd(sorted)
     val sizes = rdd.mapPartitionsWithIndex((i, it) =>
         Iterator((i, it.size.toLong)), preservesPartitioning = true)
       .collect().sortBy(_._1).map(_._2)
     val n = sizes.sum
     val offsets = sizes.scanLeft(0L)(_ + _)
+    val rankedSchema = sorted.schema
+      .add("__rank", org.apache.spark.sql.types.LongType, nullable = false)
     val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(rankedSchema)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val tail = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
       var k = offsets(i)
       it.map { row => k += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k) }
+        tail.update(0, k)
+        proj(joined(row, tail)): org.apache.spark.sql.catalyst.InternalRow }
     }
     val spark = df.sparkSession
-    val rdf = spark.createDataFrame(ranked,
-      sorted.schema.add("__rank", org.apache.spark.sql.types.LongType))
+    val rdf = org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(spark, ranked, rankedSchema)
     // SQL ntile(n): q = N/n size floor, first r = N%n shards take q+1
     val q = n / nShards
     val r = n % nShards
@@ -484,23 +495,38 @@ object Corpus {
     val sorted = withV.repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val vIdx = sorted.schema.fieldIndex("__rt_v")
+    // both passes run on the executed plan's UnsafeRows (r18): the
+    // previous `.rdd` form converted every field of every row to boxed
+    // external objects TWICE — once per pass — and the stamping pass
+    // re-boxed each row a third time via Row.fromSeq(row.toSeq :+ run).
+    // The InternalRow RDD is the same lazily-cached lineage `.rdd` shared
+    // (one shuffle, two reads of its files), minus all conversion.
+    val rdd = org.apache.spark.sql.graft.bridge.toInternalRdd(sorted)
     // pass 1: one long per partition (reads the same shuffle output the
     // ranking pass below re-reads — no recomputation of the input scan)
-    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
       it.foreach(r => s += r.getLong(vIdx))
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = sum of partitions < i
-    val ranked = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val outSchema = sorted.schema
+      .add(outCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(outSchema)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val tail = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
       var run = offsets(i)
       it.map { row =>
         run += row.getLong(vIdx)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ run)
+        tail.update(0, run)
+        proj(joined(row, tail)): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(ranked,
-        sorted.schema.add(outCol, org.apache.spark.sql.types.LongType))
+    org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(spark, ranked, outSchema)
       .drop("__rt_v")
   }
 

@@ -329,7 +329,12 @@ object Dedup {
       threshold: Double, k: Int = 32, bands: Int = 8,
       shingleN: Int = 3, estimateMargin: Double = 0.15,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    // single-task small scans serialize the two per-row-heavy fronts (the
+    // shingle+k-min signature pass and the verify side's hashed shingle
+    // sets — r18 profile: 265 ms + 131 ms one-task stages); repair
+    // parallelism once for both (no-op on already-parallel inputs)
+    val src = Par.fanOut(df, col(idCol))
+    val sigs = minhashSignatures(src, textCol, idCol, k, shingleN)
     val rowsPerBand = k / bands
     // carry the signature through the band join: the est filter then runs
     // BEFORE the pair distinct, so non-candidates never shuffle twice
@@ -369,7 +374,7 @@ object Dedup {
     // verify on hashed shingle sets: long-array intersection is far cheaper
     // than string-array intersection, and the Jaccard value is identical up
     // to 64-bit hash collisions (negligible)
-    val sets = df
+    val sets = src
       .select(col(idCol),
         array_distinct(hashedShingles(col(textCol), shingleN)).as("__set"))
     estFiltered

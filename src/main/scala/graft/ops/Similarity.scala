@@ -1138,18 +1138,8 @@ object Similarity {
         .orderBy("cluster_id")
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val sims = array(cents.map { case (_, v) =>
-        cosineFast(col(vecCol).cast("array<double>"), typedlit(v)) }: _*)
-      val ids = typedlit(cents.map(_._1))
-      // the outer when() is load-bearing: element_at on a FOLDABLE array
-      // with a null index constant-folds to a non-null element in Spark
-      // 4.1, so null must be forced before the literal lookup
-      src
-        .withColumn("__sims", when(vecOk, sims))
-        .withColumn("cluster_id",
-          when(vecOk, element_at(ids,
-            array_position(col("__sims"), array_max(col("__sims"))).cast("int"))))
-        .drop("__sims")
+        .toSeq
+      assignUnrolled(src, cents, vecCol)
     } else {
       val cents = centroids.select(
         col(centroidIdCol).cast("long").as("__cent_id"),
@@ -1166,6 +1156,31 @@ object Similarity {
       src.join(best, src(idCol) === col("__vid"), "left")
         .drop("__vid")
     }
+  }
+
+  /** The unrolled small-k assignment over DRIVER-LOCAL centroids — the
+    * shared core of [[assignToCentroids]]' literal path, split out (r18)
+    * so [[kmeansTrain]] can feed each round's centroids straight from the
+    * previous round's collected rows instead of paying a count() job, a
+    * dim-probe head() job, and a LocalRelation round-trip per iteration.
+    * `cents` must be sorted by cluster id ascending (find-first argmax
+    * then ties toward the lowest id, identical to a (sim desc, cid asc)
+    * window ordering). */
+  private[ops] def assignUnrolled(src: DataFrame,
+      cents: Seq[(Long, Seq[Double])], vecCol: String): DataFrame = {
+    val vecOk = col(vecCol).isNotNull && size(col(vecCol)) > 0
+    val sims = array(cents.map { case (_, v) =>
+      cosineFast(col(vecCol).cast("array<double>"), typedlit(v)) }: _*)
+    val ids = typedlit(cents.map(_._1))
+    // the outer when() is load-bearing: element_at on a FOLDABLE array
+    // with a null index constant-folds to a non-null element in Spark
+    // 4.1, so null must be forced before the literal lookup
+    src
+      .withColumn("__sims", when(vecOk, sims))
+      .withColumn("cluster_id",
+        when(vecOk, element_at(ids,
+          array_position(col("__sims"), array_max(col("__sims"))).cast("int"))))
+      .drop("__sims")
   }
 
   /** Unroll threshold for [[assignToCentroids]]: above ~10k literal
@@ -1231,7 +1246,15 @@ object Similarity {
   def kmeansStep(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "vec_id"): DataFrame =
-    assignToCentroids(vectors, centroids, idCol, vecCol, centroidIdCol)
+    meanUpdate(
+      assignToCentroids(vectors, centroids, idCol, vecCol, centroidIdCol),
+      vecCol)
+
+  /** The per-dimension mean update over an assigned frame — shared by
+    * [[kmeansStep]] and [[kmeansTrain]]'s driver-local fast loop so both
+    * run the exact same expressions. */
+  private def meanUpdate(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
       .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .groupBy(col("cluster_id"), col("dim"))
       // + 0.0 folds IEEE negative zero into +0.0 so engines that round a
@@ -1264,17 +1287,46 @@ object Similarity {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = vectors.sparkSession
     import spark.implicits._
+    // r18: the centroids live on the DRIVER between rounds. The previous
+    // loop rebuilt a LocalRelation each round and re-entered
+    // assignToCentroids, which re-collected it, re-probed its dimension
+    // (a head() job) and re-counted it (another job) before the step —
+    // three extra driver-synced jobs per iteration on a loop whose stage
+    // work is ~0.5 s under a ~1.1 s wall at sf0.1. One initial collect
+    // replaces all of that; each round feeds the unrolled assignment
+    // straight from the previous round's collected rows. Semantics are
+    // byte-identical: same ordered collect, same unrolled expressions
+    // (assignUnrolled + meanUpdate are the exact code kmeansStep runs),
+    // same 4-dp quantized driver sync the oracle replays.
     var cents = initCentroids.select(
-      col(centroidIdCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("embedding"))
+        col(centroidIdCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("embedding"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, "assignToCentroids: empty centroid table")
+    val dim0 = Option(cents.head._2).map(_.length.toLong).getOrElse(0L)
     var lastRows: Array[org.apache.spark.sql.Row] = Array.empty
-    for (_ <- 0 until iters) {
-      lastRows = kmeansStep(vectors, cents, idCol, vecCol, "vec_id")
-        .collect()
-      cents = lastRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-        .map { case (cid, rs) =>
-          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }.toDF("vec_id", "embedding")
+    if (cents.size * dim0 > UnrolledAssignLimit) {
+      // corpus-proportional k (semDedup's design point): the broadcast-
+      // join argmax path — per-round centroid tables stay DataFrames
+      var centsDf = cents.toDF("vec_id", "embedding")
+      for (_ <- 0 until iters) {
+        lastRows = kmeansStep(vectors, centsDf, idCol, vecCol, "vec_id")
+          .collect()
+        centsDf = lastRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+          .map { case (cid, rs) =>
+            (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }.toDF("vec_id", "embedding")
+      }
+    } else {
+      for (_ <- 0 until iters) {
+        lastRows = meanUpdate(assignUnrolled(vectors, cents, vecCol), vecCol)
+          .collect()
+        cents = lastRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+          .map { case (cid, rs) =>
+            (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }
+      }
     }
     lastRows.toSeq
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))

@@ -597,21 +597,44 @@ object TextAnalysis {
     // with their aggregates, and the added exchange + stage barriers cost
     // more than the tokenize parallelism buys; left as-is deliberately)
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__term"))
-    val tf = toks.groupBy(col(idCol), col("__term"))
+    // r18: the queried-terms prune joins BELOW the tf aggregate, not above
+    // it (§2.3 "shuffle fewer bytes"): the optimizer cannot push an inner
+    // join under a groupBy itself, so the r17 shape exchanged the ENTIRE
+    // corpus postings and discarded every non-query term afterwards.
+    // Pruning pre-aggregate is count-preserving (the term is a group key,
+    // so dropping whole groups before or after counting is identical) and
+    // shrinks the postings exchange from corpus-wide to query-terms-only.
+    val qterms = queries.select(col(queryIdCol),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
+    val qt = qterms.select(col("__term")).distinct()
+    // conf arms for the interleaved A/B (same convention as
+    // spark.graft.fanout.enabled): "post" (default) joins the queried-term
+    // prune above the tf aggregate, "pre" below it. "pre" is the §2.3
+    // scale shape — it keeps the postings EXCHANGE proportional to the
+    // query workload instead of the corpus vocabulary — but the r18
+    // interleaved A/B at 32 cores measured it 0.50 s SLOWER on the x_bm25
+    // bench row (min of 5/arm: 1.60 vs 1.10): the bench queries are
+    // stopword-heavy (first-5-token prefixes), so the prune removes
+    // almost nothing locally while the pre-aggregate probe pays a
+    // broadcast-hash lookup per corpus TOKEN rather than per postings
+    // GROUP. Selective-query deployments at corpus scale should flip to
+    // "pre"; results are bit-identical either way (the term is a group
+    // key, so dropping whole groups before or after counting commutes).
+    val prunePre = docs.sparkSession.conf
+      .get("spark.graft.bm25.prune", "post") == "pre"
+    val tf0 = if (prunePre) toks.join(broadcast(qt), Seq("__term")) else toks
+    val tfAgg = tf0.groupBy(col(idCol), col("__term"))
       .agg(count(lit(1)).as("__tf"))
+    val tf = if (prunePre) tfAgg else tfAgg.join(broadcast(qt), Seq("__term"))
     val dlen = docs.select(col(idCol),
       tokenCount(col(textCol)).cast("double").as("__dl"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
       avg(tokenCount(col(textCol))).as("__avgdl"))
-    val qterms = queries.select(col(queryIdCol),
-      explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
-    // postings of queried terms only — the broadcast prune that keeps
-    // every downstream stage proportional to the QUERY workload. The
-    // query dimension is attached AFTER the document frequency so the df
-    // computation never has to collapse it back out (r17): tf has ONE row
-    // per (doc, term), so df(t) is a plain count over the pruned postings
-    // — computed as a term-partitioned WINDOW in the same stream (the
-    // tfidfCosinePairs shape). The r16 form derived df from the
+    // The query dimension is attached AFTER the document frequency so the
+    // df computation never has to collapse it back out (r17): tf has ONE
+    // row per (doc, term), so df(t) is a plain count over the pruned
+    // postings — computed as a term-partitioned WINDOW in the same stream
+    // (the tfidfCosinePairs shape). The r16 form derived df from the
     // query-expanded rows via distinct + aggregate, and because that gave
     // `hit` two consumers the optimizer re-ran the ENTIRE corpus
     // tokenize+explode+postings pass once per consumer (plan audit:
@@ -621,8 +644,7 @@ object TextAnalysis {
     // postings the scoring join streams, and it spills rather than
     // OOMs (ExternalAppendOnlyUnsafeRowArray), the trade
     // tfidfCosinePairs already takes.
-    val qt = qterms.select(col("__term")).distinct()
-    val hit = tf.join(broadcast(qt), Seq("__term"))
+    val hit = tf
       .withColumn("__df_hit",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("__term"))))
