@@ -961,6 +961,96 @@ case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/**
+ * Symmetric int8 vector quantization in ONE codegen'd pass:
+ * `struct(scale, qvec)` with `scale = max|x| / 127` and each element
+ * `clamp(round_half_up(x / scale), -127, 127)` (all-zero vectors quantize
+ * to zeros with scale 0). Bit-identical to the interpreted
+ * `aggregate(greatest(abs)) + transform(round/least/greatest)` HOF chain
+ * it replaces (QuantizeParitySpec pins every edge: null/NaN/Inf elements,
+ * empty and all-zero vectors, half-way rounding) — that chain evaluated
+ * per ELEMENT through interpreted lambdas and cost s_quantize ~0.8 s of
+ * single-task eval at sf0.1. Mirrored quirks, load-bearing for parity:
+ * null elements quantize to 127 under a non-zero scale (Least/Greatest
+ * SKIP nulls, so `greatest(-127, least(127, null))` = 127) and to 0 under
+ * scale 0 (the constant-0 lambda ignores the element); a NaN element
+ * makes scale NaN (Greatest ranks NaN largest), every ratio then rounds
+ * through NaN, and the int cast RAISES — Spark 4 runs ANSI by default,
+ * so the legacy chain throws CAST_OVERFLOW on non-finite input and this
+ * expression throws a matching ArithmeticException. Finite inputs can
+ * never overflow: |x| <= max|x| = 127·scale bounds every ratio to
+ * [-127, 127] by construction.
+ */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = QuantizeInt8.outType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 requires an array<double> column, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeInt8.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeInt8.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8 =
+    copy(child = c)
+}
+
+object QuantizeInt8 {
+  val outType: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = true),
+    StructField("qvec", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  /** Shared by the interpreted and generated paths. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(arr.getDouble(i))
+        // Greatest semantics: NaN ranks above everything and sticks
+        if (!(a <= m)) m = a
+      }
+      i += 1
+    }
+    val scale = m / 127.0
+    val out = new Array[Int](n)
+    if (scale != 0.0) { // NaN scale lands here, like `when(scale === 0)`
+      var j = 0
+      while (j < n) {
+        out(j) =
+          if (arr.isNullAt(j)) 127 // least/greatest skip the null candidate
+          else {
+            val r = arr.getDouble(j) / scale
+            if (java.lang.Double.isNaN(r) || java.lang.Double.isInfinite(r))
+              // a non-finite ratio only arises from NaN/Inf elements; the
+              // legacy transform's double→int cast raises CAST_OVERFLOW
+              // there (ANSI, the Spark 4 default) — match it
+              throw new ArithmeticException(
+                "quantize_int8: non-finite quantization ratio " +
+                  s"($r — NaN/Inf element in the vector)")
+            val rd = java.math.BigDecimal.valueOf(r)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+            val q = rd.toInt
+            if (q > 127) 127 else if (q < -127) -127 else q
+          }
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)))
+  }
+}
+
 object GraftFunctions {
 
   def rolling_hash(c: Column): Column =
@@ -1008,6 +1098,9 @@ object GraftFunctions {
   def token_shingle_hashes(tokens: Column, mixA: Seq[Long],
       mixB: Seq[Long]): Column =
     bridge.column(TokenShingleHashes(bridge.expression(tokens), mixA, mixB))
+
+  def quantize_int8(vec: Column): Column =
+    bridge.column(QuantizeInt8(bridge.expression(vec)))
 
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     bridge.column(PqEncodeCodes(bridge.expression(vec), codebooks))

@@ -177,7 +177,14 @@ object Graph {
       edges.sparkSession.sessionState.conf.numShufflePartitions,
       edges.sparkSession.sparkContext.defaultParallelism)
     // the .rdd partition probe is safe here: und is a materialized
-    // checkpoint, so this reads a partition count, it runs nothing
+    // checkpoint, so this reads a partition count, it runs nothing.
+    // Known proxy weakness (r18, advisory): und's width stands in for
+    // `oriented`'s — under the default broadcastDegrees=false the stamp
+    // joins shuffle, and AQE decides THEIR output width at runtime, so
+    // the gate can fire on an already-wide join output (harmless extra
+    // exchange) or skip a coalesced-narrow one (checkpoint freezes the
+    // narrow width). Perf heuristic only, results unaffected; measured
+    // fine at both 8 and 32 cores on this suite.
     val oriented = (if (und.rdd.getNumPartitions * 2 <= fanTarget)
         orientedPlan.repartition(fanTarget, col("__src"))
       else orientedPlan)

@@ -67,10 +67,22 @@ object Par {
       val mayShuffle = df.queryExecution.optimizedPlan.exists {
         case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
              _: RepartitionOperation | _: GlobalLimit | _: Intersect |
-             _: Except => true
-        case _ => false
+             _: Except | _: MapGroups | _: CoGroup |
+             _: FlatMapGroupsWithState => true
+        // subquery expressions (scalar/IN/EXISTS inside a Filter or
+        // Project) AQE-wrap the plan even when the main tree is narrow —
+        // same hazard as the operators above (r18, advisory fix)
+        case p => p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
       }
       if (mayShuffle) return df
+      // belt-and-braces physical gate (r18): if the prepared plan is
+      // AQE-wrapped despite the logical screen, probing toRdd would call
+      // AdaptiveSparkPlanExec.getFinalPhysicalPlan and EXECUTE its
+      // upstream query stages at plan-build time — bail instead
+      if (df.queryExecution.executedPlan
+          .isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
+        return df
       val parts = df.queryExecution.toRdd.getNumPartitions
       val t = target(df)
       if (parts.toLong * 2 <= t) df.repartition(t, keys: _*) else df

@@ -980,6 +980,12 @@ object Similarity {
     // the operator's UnsafeRows directly (~4x smaller, no conversion) and
     // adds no barrier. Same three-consumer reuse semantics. The legacy
     // arm stays reachable for interleaved A/Bs via spark.graft.margin.pin.
+    // Fault-tolerance trade (r18, advisory): localCheckpoint TRUNCATES
+    // lineage into non-replicated storage — on a real cluster an executor
+    // loss mid-query fails the query instead of recomputing the pinned
+    // partitions, where the legacy MEMORY_AND_DISK persist kept lineage.
+    // Deployments that prefer recompute-on-loss over the boxed-Row cost
+    // set spark.graft.margin.pin=legacy.
     val ranked =
       if (spark.conf.get("spark.graft.margin.pin", "checkpoint") == "legacy") {
         val rankedRdd = scoredPlan.rdd
@@ -1212,18 +1218,34 @@ object Similarity {
    */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val maxabs = aggregate(col(vecCol), lit(0.0),
-      (a, x) => greatest(a, abs(x.cast("double"))))
     // (r17 note: a Par.fanOut here re-measured as noise (+0.01 s
     // interleaved) and PlanQualitySpec pins this op as a pure narrow map
     // — no exchange before the write; left narrow deliberately)
-    df.withColumn("scale", maxabs / lit(127.0))
-      .withColumn("qvec",
-        when(col("scale") === 0.0,
-          transform(col(vecCol), _ => lit(0)))
-          .otherwise(transform(col(vecCol), x =>
-            greatest(lit(-127), least(lit(127),
-              round(x.cast("double") / col("scale")).cast("int"))))))
+    // r18: the quantization runs in the native QuantizeInt8 expression —
+    // one codegen'd pass per row where the previous aggregate + transform
+    // HOF chain paid interpreted per-ELEMENT lambda eval (s_quantize:
+    // 0.78 s of stable single-task lambda time at sf0.1, ~1.5 ms/row on
+    // 64-dim vectors). Bit-identical (QuantizeParitySpec pins the legacy
+    // form, including the null/NaN/Inf quirks); `legacy` arm kept for
+    // interleaved A/Bs.
+    if (df.sparkSession.conf.get("spark.graft.quantize.impl", "native")
+        == "legacy") {
+      val maxabs = aggregate(col(vecCol), lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double"))))
+      df.withColumn("scale", maxabs / lit(127.0))
+        .withColumn("qvec",
+          when(col("scale") === 0.0,
+            transform(col(vecCol), _ => lit(0)))
+            .otherwise(transform(col(vecCol), x =>
+              greatest(lit(-127), least(lit(127),
+                round(x.cast("double") / col("scale")).cast("int"))))))
+    } else {
+      val q = GraftFunctions.quantize_int8(col(vecCol).cast("array<double>"))
+      df.withColumn("__q8", q)
+        .withColumn("scale", col("__q8.scale"))
+        .withColumn("qvec", col("__q8.qvec"))
+        .drop("__q8")
+    }
   }
 
   /**

@@ -182,10 +182,13 @@ object UnigramLm {
       vocab: Map[String, Double], maxPieceLen: Int = 4,
       maxWordLen: Int = 12): DataFrame = {
     require(vocab.nonEmpty, "encodeTokenCounts: empty vocabulary")
-    val occ = docs
+    // pinned WHEN LARGE (r18): `occ` feeds the dictionary distinct (via
+    // the eager checkpoint below) AND the final per-doc join — without a
+    // pin the corpus explode+aggregate runs once per consumer at scale
+    val occ = Dedup.pinIfLarge(docs, docs
       .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__occ")))
     // dp[i+1] = best (prob-max, then piece-count-min, then first-l) path
     // over positions; candidates fold l = 1..maxPieceLen with a strict
     // replace rule, so ties keep the smallest l — replayed verbatim by

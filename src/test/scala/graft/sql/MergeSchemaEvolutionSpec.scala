@@ -214,10 +214,22 @@ class MergeSchemaEvolutionSpec extends SparkTestBase {
       s"part/tag values must not swap: $got")
   }
 
-  test("fuzz: repeated evolution merges (CoW/MoR, partitioned or not) match a row model") {
+  // r18 budget trim: the default run fuzzes the MoR-unpartitioned and
+  // CoW-partitioned trials (the two mode axes crossed); the other two
+  // combinations are tagged slow. Each trial keeps its own model, so a
+  // subset is self-consistent.
+  test("fuzz: repeated evolution merges (MoR / partitioned CoW) match a row model") {
+    evolutionFuzz(Seq(2, 3))
+  }
+  test("fuzz: evolution merges, remaining mode combinations (slow)",
+      graft.SlowTest) {
+    evolutionFuzz(Seq(1, 4))
+  }
+
+  private def evolutionFuzz(trials: Seq[Int]): Unit = {
     warehouse
     val rnd = new scala.util.Random(41)
-    for (trial <- 1 to 4) {
+    for (trial <- trials) {
       val mor = trial % 2 == 0
       val parted = trial >= 3
       val name = s"fz$trial"

@@ -281,7 +281,19 @@ class ChangelogStreamSpec extends SparkTestBase {
     }
   }
 
+  // r18 budget trim: the default run fuzzes DV-parquet and list-Avro
+  // (both delete-storage axes crossed); the other two combinations are
+  // tagged slow. Each trial carries its own model, so a subset is
+  // self-consistent.
   test("fuzz: random MoR/DV histories replay through the changelog stream onto the batch state (round 16)") {
+    morDvFuzz(Set(1, 4))
+  }
+  test("fuzz: MoR/DV changelog histories, remaining delete-storage combinations (slow)",
+      graft.SlowTest) {
+    morDvFuzz(Set(2, 3))
+  }
+
+  private def morDvFuzz(which: Set[Int]): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
     for ((trial, props) <- Seq(
@@ -291,7 +303,8 @@ class ChangelogStreamSpec extends SparkTestBase {
         // position LISTS (DV off), parquet and Avro containers — the
         // round-17 metadata-planned positional DELETE-image path
         3 -> Map.empty[String, String],
-        4 -> Map("write.delete.format.default" -> "avro"))) {
+        4 -> Map("write.delete.format.default" -> "avro"))
+        if which.contains(trial)) {
       val src = GraftTable.create(spark, tmpDir(s"cdc-fz-mor-$trial"),
         s"cfm$trial", schema, props = props)
       val sink = GraftTable.create(spark, tmpDir(s"cdc-fz-mor-sink-$trial"),

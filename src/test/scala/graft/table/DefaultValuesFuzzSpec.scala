@@ -26,8 +26,12 @@ class DefaultValuesFuzzSpec extends SparkTestBase {
 
   private type MRow = Map[String, Any]
 
-  test("defaults-era fuzz: 2 seeds x 40 ops match the column-map model") {
-    for (seed <- Seq(19, 73)) campaign(seed)
+  // r18 budget trim: one seed by default, the second tagged slow
+  test("defaults-era fuzz: 1 seed x 40 ops match the column-map model") {
+    campaign(19)
+  }
+  test("defaults-era fuzz, extra seed (slow)", graft.SlowTest) {
+    campaign(73)
   }
 
   private def campaign(seed: Int): Unit = {

@@ -156,11 +156,19 @@ class MergeIntoFuzzSpec extends SparkTestBase {
     if (t.grp == null) "\u0000" else t.grp,
     if (t.n == null) Long.MinValue else t.n)
 
-  test("fuzz: 20 random clause cascades, CoW and MoR both match the reference") {
+  // r18 budget trim: 6 rounds by default, the full 20 tagged slow
+  test("fuzz: 6 random clause cascades, CoW and MoR both match the reference") {
+    clauseFuzz(6)
+  }
+  test("fuzz: 20 random clause cascades (slow)", graft.SlowTest) {
+    clauseFuzz(20)
+  }
+
+  private def clauseFuzz(rounds: Int): Unit = {
     import spark.implicits._
     val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20250815L)
     val r = new scala.util.Random(seed)
-    (1 to 20).foreach { round =>
+    (1 to rounds).foreach { round =>
       // unique ids (MoR contract: keys identify rows), at most one null id
       val ids = r.shuffle((0 to 12).map(_.toLong).toVector).take(3 + r.nextInt(6))
       val target = ids.map(i => T(i,

@@ -80,7 +80,10 @@ class SnapshotCloneSpec extends SparkTestBase {
     assert(clone2.toDF.agg(sum("n")).head.getLong(0) === 4095L)
   }
 
-  test("snapshotTo(link=true): a many-file clone links in parallel, in seconds, inode-proven") {
+  // tagged slow (r18 budget trim): the 2560-file fixture build alone is
+  // ~1 min; the small-clone tests above keep the link path covered
+  test("snapshotTo(link=true): a many-file clone links in parallel, in seconds, inode-proven",
+      graft.SlowTest) {
     import spark.implicits._
     // thousands of REAL files: one tiny parquet per commit would be slow,
     // so write a heavily fragmented frame in a handful of appends
